@@ -1,0 +1,110 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table registry: name → declared schema + loader.
+  *
+  * The reference infers every schema at read time (19×
+  * `inferSchema=True`, reference dag-transform.py:134-163) which costs an
+  * extra pass per scan and breaks silently on upstream drift. Here every
+  * table has an explicit `StructType` (SURVEY §1.4): scans carry a declared
+  * schema, so CSV needs no inference pass and Parquet scans prune columns
+  * against a known catalog. At 100 TB an inference pass per read is a full
+  * extra scan — declared schemas are a scale requirement, not a style choice.
+  */
+object Catalog {
+
+  /** One fixture table: explicit schema, parquet file layout `<dir>/<name>.parquet`. */
+  final case class TableDef(name: String, schema: StructType) {
+    def path(sfDir: String): String = s"$sfDir/$name.parquet"
+    /** Schema-declared parquet scan — no footer-merge/inference job. */
+    def load(spark: SparkSession, sfDir: String): DataFrame =
+      spark.read.schema(schema).parquet(path(sfDir))
+  }
+
+  val region = TableDef("region", StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType))))
+
+  val nation = TableDef("nation", StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType))))
+
+  val customer = TableDef("customer", StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType))))
+
+  val supplier = TableDef("supplier", StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType))))
+
+  val part = TableDef("part", StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType))))
+
+  val orders = TableDef("orders", StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType))))
+
+  val lineitem = TableDef("lineitem", StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType))))
+
+  val events = TableDef("events", StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType), // fixture is ns; Spark truncates to µs
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType))))
+
+  val documents = TableDef("documents", StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType))))
+
+  val embeddings = TableDef("embeddings", StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType))))
+
+  val all: Seq[TableDef] = Seq(
+    region, nation, customer, supplier, part, orders, lineitem,
+    events, documents, embeddings)
+
+  private val byName: Map[String, TableDef] = all.map(t => t.name -> t).toMap
+
+  /** Load a fixture table by name with its declared schema. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    byName(name).load(spark, sfDir)
+
+  /** Load every fixture table (used by pipelines / the runner). */
+  def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    byName.map { case (n, t) => n -> t.load(spark, sfDir) }
+}

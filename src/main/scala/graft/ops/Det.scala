@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic-aggregate helpers for oracle parity (SURVEY §7.5.1).
+  *
+  * `sum(double)` is order-dependent (parallel reduction order differs run to
+  * run and engine to engine), so a hash-compare against DuckDB would flap.
+  * Recipe: keep per-row arithmetic in IEEE double (bit-identical in any
+  * engine), cast each row's value to an exact decimal, sum the decimals
+  * (associative & exact → order-independent), cast the final sum back to
+  * double. Both engines then produce the identical 64-bit value.
+  *
+  * This is also the right call at scale: a 1000-executor sum has a
+  * nondeterministic combine order, so any double-sum pipeline that feeds a
+  * comparison or an idempotency check needs the same trick.
+  */
+object Det {
+  val Dec = "decimal(38,6)"
+
+  /** Order-independent sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Order-independent average (decimal-sum ÷ count), returned as double. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Oracle-SQL fragment equivalents (DuckDB syntax). */
+  def sqlSum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+  def sqlAvg(expr: String): String =
+    s"(${sqlSum(expr)} / COUNT(*))"
+}

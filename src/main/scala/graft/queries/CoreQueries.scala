@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Q
+import graft.catalog.Catalog
+import graft.ops.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scans (S1/S2 analogs), projections/filters
+  * (P1-P4), multi-way inner equi-joins (J1-J3 analogs), hash aggregation
+  * (A1), derived-metric expressions (§2.6 analogs), sort/limit.
+  *
+  * Scale notes: every query here is a declarative plan — filters and
+  * column selection reach the parquet scan (PushedFilters/ReadSchema),
+  * dimension joins broadcast (region/nation/customer are tiny vs lineitem),
+  * aggregates run partial→final with map-side combine. Nothing collects to
+  * the driver.
+  */
+object CoreQueries {
+
+  /** TPC-H Q1-shaped pricing summary: filter → groupBy → 6 aggregates.
+    * Reference analog: the A1 groupBy+sum (dag-transform.py:166-169) plus
+    * the §2.6 expr arithmetic, on the fixture star schema. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") < lit("2000-06-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val pricingSummarySql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity")} AS sum_qty,
+       |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |  ${sqlAvg("l_quantity")} AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate < TIMESTAMP '2000-06-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Flagship mart: 5-way inner equi-join chain (J1 analog: left-deep on
+    * keys) → region/nation rollup → derived metrics (§2.6 analog).
+    * Dimensions (region, nation, customer, orders-side keys) broadcast;
+    * only the lineitem-side aggregation shuffles. */
+  def regionNationMart(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    val o = Catalog.load(spark, dir, "orders")
+    val c = Catalog.load(spark, dir, "customer")
+    val n = Catalog.load(spark, dir, "nation")
+    val r = Catalog.load(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      // §2.6-style derived metrics, computed from the deterministic sums
+      .withColumn("revenue_per_order", col("revenue") / col("n_orders"))
+      .withColumn("qty_per_line", col("sum_qty") / col("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val regionNationMartSql =
+    s"""SELECT r_name, n_name,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  COUNT(DISTINCT o_orderkey) AS n_orders,
+       |  ${sqlSum("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS n_lines,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} / COUNT(DISTINCT o_orderkey) AS revenue_per_order,
+       |  ${sqlSum("l_quantity")} / COUNT(*) AS qty_per_line
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-k: revenue per supplier, ordered, limit 10 → Catalyst plans
+    * TakeOrderedAndProject (no global sort materialization). */
+  def topSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    val s = Catalog.load(spark, dir, "supplier")
+    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("supp_revenue"))
+      .orderBy(col("supp_revenue").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
+  private val topSuppliersSql =
+    s"""SELECT s_suppkey, s_name,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS supp_revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_suppkey, s_name
+       |ORDER BY supp_revenue DESC, s_suppkey
+       |LIMIT 10""".stripMargin
+
+  /** Pure filter + projection: predicate and column pruning must reach the
+    * parquet scan (PushedFilters / 4-column ReadSchema). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-07-01").cast("timestamp") &&
+        col("l_discount") >= lit(0.05) && col("l_quantity") < lit(25))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val filterProjectSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+      |  CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-07-01'
+      |  AND l_discount >= 0.05 AND l_quantity < 25
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q01_pricing_summary", pricingSummary, Some(pricingSummarySql),
+      "filter → hash-agg (partial/final) with deterministic decimal sums"),
+    Q("q02_region_nation_mart", regionNationMart, Some(regionNationMartSql),
+      "5-way broadcast join chain → rollup → derived metrics (flagship)"),
+    Q("q03_top_suppliers", topSuppliers, Some(topSuppliersSql),
+      "join → agg → TakeOrderedAndProject top-k"),
+    Q("q04_filter_project", filterProject, Some(filterProjectSql),
+      "pushdown filter + pruned projection"))
+}
