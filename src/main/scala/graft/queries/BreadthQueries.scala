@@ -1,3 +1,266 @@
 package graft.queries
+
 import graft.Q
-object BreadthQueries { val all: Seq[Q] = Seq() }
+import graft.catalog.Catalog
+import graft.ops.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Breadth operators beyond the reference surface (SURVEY §2.7 table):
+  * semi/anti/outer joins, set operations, distinct, cube/rollup, case/when,
+  * string/date/JSON scalar packs, having. Each oracle-checked.
+  */
+object BreadthQueries {
+
+  // ---- semi / anti / outer joins --------------------------------------
+
+  /** left-semi = EXISTS: customers having at least one big order.
+    * Plans as a broadcast/shuffled semi join — no row duplication. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.load(spark, dir, "customer")
+    val o = Catalog.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val semiJoinSql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** left-anti = NOT EXISTS: customers with no urgent order. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.load(spark, dir, "customer")
+    val o = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** left outer join preserving customers with zero orders (count 0,
+    * not dropped — the opposite of the marts' inner-join semantics). */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.load(spark, dir, "customer")
+    val o = Catalog.load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"), // counts non-null only
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val outerJoinSql =
+    s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       |  ${sqlSum("COALESCE(o_totalprice, 0.0)")} AS total_spend
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey
+       |ORDER BY c_custkey""".stripMargin
+
+  // ---- set operations -------------------------------------------------
+
+  /** UNION (distinct) ∪ INTERSECT ∪ EXCEPT in one result: tags each
+    * custkey with its set membership across two predicates. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 250000).select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val union = big.union(urgent).distinct().withColumn("set_op", lit("union"))
+    val inter = big.intersect(urgent).withColumn("set_op", lit("intersect"))
+    val exc = big.except(urgent).withColumn("set_op", lit("except"))
+    union.union(inter).union(exc)
+      .orderBy(col("set_op"), col("o_custkey"))
+  }
+
+  private val setOpsSql =
+    """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 250000),
+      |     urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT o_custkey, set_op FROM (
+      |  SELECT o_custkey, 'union' AS set_op FROM (SELECT o_custkey FROM big UNION SELECT o_custkey FROM urgent)
+      |  UNION ALL
+      |  SELECT o_custkey, 'intersect' FROM (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM urgent)
+      |  UNION ALL
+      |  SELECT o_custkey, 'except' FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent)
+      |)
+      |ORDER BY set_op, o_custkey""".stripMargin
+
+  // ---- distinct / dropDuplicates --------------------------------------
+
+  /** dropDuplicates on a projection + exact distinct count per group. */
+  def distinctOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    li.select(col("l_returnflag"), col("l_linestatus"), col("l_suppkey"))
+      .dropDuplicates()
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val distinctOpsSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(DISTINCT l_suppkey) AS n_supp
+      |FROM (SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey FROM lineitem)
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- cube / rollup --------------------------------------------------
+
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping sets; NULL group
+    * labels coalesced to 'ALL' so both engines sort identically. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  private val cubeAggSql =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       |       COALESCE(l_linestatus, 'ALL') AS ls,
+       |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+
+  /** ROLLUP over (r_name, n_name) through the dimension join. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.load(spark, dir, "customer")
+    val n = Catalog.load(spark, dir, "nation")
+    val r = Catalog.load(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("c_acctbal")).as("sum_bal"), count(lit(1)).as("n_cust"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("sum_bal"), col("n_cust"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  private val rollupAggSql =
+    s"""SELECT COALESCE(r_name, 'ALL') AS region,
+       |       COALESCE(n_name, 'ALL') AS nation,
+       |  ${sqlSum("c_acctbal")} AS sum_bal, COUNT(*) AS n_cust
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY region, nation""".stripMargin
+
+  // ---- case/when + having ---------------------------------------------
+
+  /** CASE WHEN banding + HAVING-style post-aggregation filter. */
+  def caseHaving(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    o.withColumn("band",
+        when(col("o_totalprice") < 100000, "small")
+          .when(col("o_totalprice") < 300000, "medium")
+          .otherwise("large"))
+      .groupBy(col("band"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("volume"))
+      .filter(col("n") > 10) // HAVING
+      .orderBy(col("band"), col("o_orderstatus"))
+  }
+
+  private val caseHavingSql =
+    s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+       |            WHEN o_totalprice < 300000 THEN 'medium'
+       |            ELSE 'large' END AS band,
+       |       o_orderstatus, COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS volume
+       |FROM orders
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) > 10
+       |ORDER BY band, o_orderstatus""".stripMargin
+
+  // ---- scalar packs ---------------------------------------------------
+
+  /** String functions over documents: upper/substr/length/concat/instr. */
+  def stringPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Catalog.load(spark, dir, "documents")
+    d.select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("prefix_u"),
+        length(col("text")).cast("long").as("text_len"),
+        concat(col("lang"), lit(":"), col("source")).as("lang_source"),
+        instr(col("text"), "spark").cast("long").as("spark_pos"),
+        (col("n_chars") === length(col("text"))).as("len_consistent"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stringPackSql =
+    """SELECT doc_id,
+      |  upper(substr(text, 1, 10)) AS prefix_u,
+      |  length(text) AS text_len,
+      |  lang || ':' || source AS lang_source,
+      |  CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos,
+      |  n_chars = length(text) AS len_consistent
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Date functions over orders: extract year/month, month bucket. */
+  def datePack(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    o.groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("volume"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  private val datePackSql =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
+       |  COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS volume
+       |FROM orders
+       |GROUP BY 1, 2
+       |ORDER BY yr, mo""".stripMargin
+
+  /** JSON extraction from the events.props string column. */
+  def jsonPack(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+    e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        count(when(col("k") >= 50, lit(1))).as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  private val jsonPackSql =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50) AS n_high
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q20_semi_join", semiJoin, Some(semiJoinSql), "left-semi join (EXISTS)"),
+    Q("q21_anti_join", antiJoin, Some(antiJoinSql), "left-anti join (NOT EXISTS)"),
+    Q("q22_outer_join_agg", outerJoin, Some(outerJoinSql), "left-outer join preserving empty groups"),
+    Q("q23_set_ops", setOps, Some(setOpsSql), "union-distinct / intersect / except"),
+    Q("q24_distinct", distinctOps, Some(distinctOpsSql), "dropDuplicates + countDistinct"),
+    Q("q25_cube", cubeAgg, Some(cubeAggSql), "CUBE grouping sets"),
+    Q("q26_rollup", rollupAgg, Some(rollupAggSql), "ROLLUP through dimension joins"),
+    Q("q27_case_having", caseHaving, Some(caseHavingSql), "CASE WHEN banding + HAVING"),
+    Q("q28_string_pack", stringPack, Some(stringPackSql), "string scalar functions"),
+    Q("q29_date_pack", datePack, Some(datePackSql), "date extraction + monthly agg"),
+    Q("q30_json_pack", jsonPack, Some(jsonPackSql), "JSON field extraction from props"))
+}
