@@ -15,12 +15,16 @@ import org.apache.spark.sql.types._
   */
 object Catalog {
 
-  /** One fixture table: explicit schema, parquet file layout `<dir>/<name>.parquet`. */
-  final case class TableDef(name: String, schema: StructType) {
+  /** One fixture table: explicit schema, parquet file layout
+    * `<dir>/<name>.parquet`, plus an optional normalization applied after
+    * the scan (used for physical-vs-logical type mismatches). */
+  final case class TableDef(
+      name: String, schema: StructType,
+      post: DataFrame => DataFrame = identity) {
     def path(sfDir: String): String = s"$sfDir/$name.parquet"
     /** Schema-declared parquet scan — no footer-merge/inference job. */
     def load(spark: SparkSession, sfDir: String): DataFrame =
-      spark.read.schema(schema).parquet(path(sfDir))
+      post(spark.read.schema(schema).parquet(path(sfDir)))
   }
 
   val region = TableDef("region", StructType(Seq(
@@ -74,13 +78,17 @@ object Catalog {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType))))
 
+  // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map to
+  // TimestampType ([PARQUET_TYPE_ILLEGAL]). Read the raw INT64 nanos and
+  // truncate to a µs TimestampType (matching DuckDB's epoch_ns(ts)//1000).
   val events = TableDef("events", StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType), // fixture is ns; Spark truncates to µs
+    StructField("ts", LongType), // raw ns since epoch
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
-    StructField("props", StringType))))
+    StructField("props", StringType))),
+    post = _.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
 
   val documents = TableDef("documents", StructType(Seq(
     StructField("doc_id", LongType),

@@ -1,3 +1,136 @@
 package graft.queries
+
 import graft.Q
-object EventQueries { val all: Seq[Q] = Seq() }
+import graft.catalog.Catalog
+import graft.ops.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table (SURVEY §2.7 extensions):
+  * tumbling/sliding time windows, session windows, pivot. These are the
+  * batch forms; the identical plans run under Structured Streaming with
+  * `withWatermark` (graft.streaming). Window boundaries are exported as
+  * epoch-microsecond BIGINTs — timestamp *values* round-trip differently
+  * between engines (ns vs µs), µs integers do not.
+  */
+object EventQueries {
+
+  private val DecV = "decimal(18,2)"
+
+  /** Tumbling 1-hour event-time windows: count + exact sum per window. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+  }
+
+  private val tumblingSql =
+    s"""SELECT epoch_ns(date_trunc('hour', ts)) // 1000 AS win_start_us,
+       |  event_type, COUNT(*) AS n,
+       |  ${Det.sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY win_start_us, event_type""".stripMargin
+
+  /** Sliding windows: 1-hour length, 30-minute slide — every event lands
+    * in exactly two windows. Oracle reproduces the window assignment by
+    * unioning the two candidate starts per event. */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("n"), col("sum_value"))
+      .orderBy(col("win_start_us"))
+  }
+
+  private val slidingSql =
+    s"""WITH assigned AS (
+       |  SELECT epoch_ns(time_bucket(INTERVAL '30 minutes', ts)) // 1000 AS win_start_us,
+       |         value
+       |  FROM events
+       |  UNION ALL
+       |  SELECT epoch_ns(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes') // 1000,
+       |         value
+       |  FROM events
+       |)
+       |SELECT win_start_us, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM assigned
+       |GROUP BY 1
+       |ORDER BY win_start_us""".stripMargin
+
+  /** Session windows per user with a 5-minute inactivity gap (batch form
+    * of session_window; streaming variant in graft.streaming). Session
+    * end = last event + gap. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+    e.groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+
+  private val sessionsSql =
+    s"""WITH t AS (
+       |  SELECT user_id, value, epoch_ns(ts) // 1000 AS ts_us,
+       |    CASE WHEN epoch_ns(ts) // 1000
+       |           - lag(epoch_ns(ts) // 1000) OVER
+       |             (PARTITION BY user_id ORDER BY ts, event_id)
+       |           >= 300000000
+       |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |    THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |), s AS (
+       |  SELECT *, SUM(new_sess) OVER
+       |    (PARTITION BY user_id ORDER BY ts_us
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM t
+       |)
+       |SELECT user_id,
+       |  MIN(ts_us) AS sess_start_us,
+       |  MAX(ts_us) + 300000000 AS sess_end_us,
+       |  COUNT(*) AS n_events,
+       |  ${Det.sqlSum("value")} AS sum_value
+       |FROM s
+       |GROUP BY user_id, sess_id
+       |ORDER BY user_id, sess_start_us""".stripMargin
+
+  /** Pivot: one column per event_type holding that type's exact sum
+    * (absent combinations are NULL in both engines). */
+  def pivotTypes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+    e.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(Det.dsum(col("value")))
+      .orderBy(col("user_id"))
+  }
+
+  private val pivotTypesSql = {
+    def f(t: String) =
+      s"""CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = '$t') AS DOUBLE) AS "$t""""
+    s"""SELECT user_id,
+       |  ${Seq("click", "error", "purchase", "signup", "view").map(f).mkString(",\n  ")}
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q45_tumbling_window", tumbling, Some(tumblingSql),
+      "1h tumbling event-time windows"),
+    Q("q46_sliding_window", sliding, Some(slidingSql),
+      "1h/30min sliding windows (each event in 2 windows)"),
+    Q("q47_session_window", sessions, Some(sessionsSql),
+      "5-min-gap session windows per user"),
+    Q("q48_pivot_types", pivotTypes, Some(pivotTypesSql),
+      "pivot event_type → per-type sums"))
+}

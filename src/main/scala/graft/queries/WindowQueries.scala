@@ -1,3 +1,151 @@
 package graft.queries
+
 import graft.Q
-object WindowQueries { val all: Seq[Q] = Seq() }
+import graft.catalog.Catalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytic window functions (SURVEY §2.7): ranking, top-k per group,
+  * running/moving frames, lag/lead. Determinism rules: every window
+  * ORDER BY is a total order (tiebreak on the unique key) wherever the
+  * function is order-sensitive (row_number, ntile, lag, running sums);
+  * windowed double sums use the decimal-cast recipe (Det) because engines
+  * disagree on frame accumulation order (Spark incremental vs DuckDB
+  * segment-tree).
+  */
+object WindowQueries {
+
+  private val DecV = "decimal(18,2)" // events.value / prices have 2 decimals
+
+  /** Top-3 orders per customer by price — the window top-k pattern.
+    * Shuffles once on o_custkey; no global sort. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val topkPerGroupSql =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Ranking family: rank/dense_rank (tie-stable), ntile/percent_rank/
+    * cume_dist (over a total order). */
+  def rankingPack(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    val byPrice = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc)
+    val total = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        rank().over(byPrice).cast("long").as("rnk"),
+        dense_rank().over(byPrice).cast("long").as("drnk"),
+        percent_rank().over(byPrice).as("prk"),
+        cume_dist().over(byPrice).as("cd"),
+        ntile(4).over(total).cast("long").as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val rankingPackSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  percent_rank() OVER w AS prk,
+      |  cume_dist() OVER w AS cd,
+      |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Running (cumulative) sum per user over event time — decimal-cast so
+    * the accumulation is order-independent-exact. */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecV)).over(w).cast("double").as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy(col("event_id"))
+  }
+
+  private val runningSumSql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+      |  COUNT(*) OVER w AS running_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** lag/lead + µs-exact gap to the previous event per user. */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(
+        col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val lagLeadSql =
+    """SELECT event_id, user_id, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000, 1) OVER w AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** Moving aggregate over a bounded rows frame (last 3 events). */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    e.select(
+        col("event_id"), col("user_id"),
+        (sum(col("value").cast(DecV)).over(w).cast("double") /
+          count(lit(1)).over(w)).as("moving_avg3"),
+        max(col("value")).over(w).as("moving_max3"))
+      .orderBy(col("event_id"))
+  }
+
+  private val movingAvgSql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS moving_avg3,
+      |  max(value) OVER w AS moving_max3
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q35_topk_per_group", topkPerGroup, Some(topkPerGroupSql),
+      "row_number top-k per group"),
+    Q("q36_ranking_pack", rankingPack, Some(rankingPackSql),
+      "rank/dense_rank/ntile/percent_rank/cume_dist"),
+    Q("q37_running_sum", runningSum, Some(runningSumSql),
+      "cumulative frame per key, decimal-exact"),
+    Q("q38_lag_lead", lagLead, Some(lagLeadSql),
+      "lag/lead + µs event gaps"),
+    Q("q39_moving_avg", movingAvg, Some(movingAvgSql),
+      "bounded rows frame moving aggregate"))
+}
