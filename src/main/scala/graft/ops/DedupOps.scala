@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2.7 /
+  * north-star): exact (hash-groupBy), exact n-gram Jaccard via shingle
+  * join, MinHash+LSH banding, SimHash.
+  *
+  * Scale design: nothing here compares all pairs. Exact dedup is one
+  * shuffle on a 32-byte hash; Jaccard joins on rare shingles (cost =
+  * Σ bucket², bounded by shingle rarity); MinHash reduces each document
+  * to k minima then joins on band signatures; SimHash buckets on 16-bit
+  * sub-bands. All use xxhash64 — a fixed, partition-order-independent
+  * hash — so results are reproducible across any cluster layout.
+  */
+object DedupOps {
+
+  /** Exact duplicate groups keyed by sha256(text): representative id,
+    * copy count. One shuffle; text itself never shuffles (hash only). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 5): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    // shingle i = tokens[i..i+n-1] joined — sliding window via transform
+    // over index range, then explode + distinct
+    val idx = sequence(lit(0), size(t) - n)
+    val sh = transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(n))))
+    docs.filter(size(t) >= n)
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs via shingle equi-join:
+    * candidates share ≥1 shingle; jaccard = |∩| / (|A|+|B|−|∩|). */
+  def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(card.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(card.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k independent permutations simulated by
+    * xxhash64(seed_i, shingle); signature i = min hash over the doc's
+    * shingles. One shuffle (groupBy doc). */
+  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: k minhashes → bands of r rows; band signature =
+    * xxhash64 of the band's minhashes. Output (doc_id, band_id, band_hash). */
+  def lshBands(sig: DataFrame, k: Int = 64, r: Int = 4): DataFrame = {
+    val bands = (0 until k / r).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified: candidates collide in ≥1
+    * band; each candidate pair is then verified with exact Jaccard over
+    * its shingles (no all-pairs stage anywhere). */
+  def minhashLshPairs(docs: DataFrame, n: Int = 5, k: Int = 64, r: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val bands = lshBands(minhashSignatures(sh, k), k, r)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(card.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(card.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document from token hashes: bitwise majority vote
+    * over xxhash64(token) — two shuffles, fully distributed. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = TextOps.exploded(docs).withColumn("h", xxhash64(col("tok")))
+    tok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("bit", expr("cast(shiftright(h, b) & 1 as int)"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L))
+        .as("simhash64"))
+  }
+
+  /** SimHash near-dup candidates: 4×16-bit sub-band collision (any pair
+    * with hamming distance ≤ 3 must agree on ≥1 sub-band), then exact
+    * hamming via bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = simhash(docs)
+    val banded = s.select(col("doc_id"), col("simhash64"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            expr(s"cast(shiftright(simhash64, ${b * 16}) & 65535 as int)").as("band_val"))): _*))
+          .as("band"))
+      .select(col("doc_id"), col("simhash64"), col("band.band_id"), col("band.band_val"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash64 ^ y.simhash64)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * per-document statistics, quality scoring, stopword-profile language ID,
+  * term frequencies, content fingerprinting.
+  *
+  * All operators are declarative column algebra (codegen'd built-ins — no
+  * UDFs), so they stay inside whole-stage codegen and scale linearly with
+  * a shuffle only where a groupBy genuinely needs one.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer as an array column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document token statistics: counts are exact ints; ratios are
+    * IEEE-deterministic divisions of exact ints. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      col("n_chars"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(t)).as("avg_token_len"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("lexical_diversity"))
+  }
+
+  /** Stopword profiles per language (tiny heuristic sets; the operator
+    * shape — explode → conditional count → argmax — is the real surface). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de", "le", "shi", "he", "zai"))
+
+  /** Explode to one row per token (keeps doc_id + lang labels). */
+  def exploded(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+
+  /** Quality score in [0,1]: length saturation + stopword density +
+    * lexical diversity, all from exact counts. */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    val en = stopwords("en")
+    val perDoc = exploded(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("tok").isInCollection(en), lit(1))).as("n_stop"),
+        countDistinct(col("tok")).as("n_distinct"))
+    perDoc.select(
+      col("doc_id"), col("n_tokens"), col("n_stop"),
+      (least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.4 +
+        (col("n_stop").cast("double") / col("n_tokens")) * 0.3 +
+        (col("n_distinct").cast("double") / col("n_tokens")) * 0.3)
+        .as("quality"))
+  }
+
+  /** Stopword-vote language ID: count hits per language profile, predict
+    * the argmax (ties broken by fixed language order). */
+  def langId(docs: DataFrame): DataFrame = {
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val votes = langs.map { l =>
+      count(when(col("tok").isInCollection(stopwords(l)), lit(1))).as(s"c_$l")
+    }
+    val scored = exploded(docs).groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val best = langs.map(l => col(s"c_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und"): Column) { (l, rest) =>
+      when(col(s"c_$l") === best && best > 0, l).otherwise(rest)
+    }
+    scored.select((col("doc_id") +: langs.map(l => col(s"c_$l"))) :+ pred.as("pred_lang"): _*)
+  }
+
+  /** 64-bit content fingerprint (xxhash64 — partition-order independent). */
+  def fingerprinted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), xxhash64(col("text")).as("fp64"))
+
+  /** Corpus term frequencies, top-n with deterministic tie-break. */
+  def termFreq(docs: DataFrame, topN: Int): DataFrame =
+    exploded(docs)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(topN)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{DedupOps, TextOps}
+import graft.catalog.Catalog
+
+/** Specs for the non-oracle-checkable dedup/text ops (engine-specific
+  * hashing): MinHash-LSH recall vs exact Jaccard, SimHash behavior,
+  * fingerprint determinism.
+  */
+class DedupTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Catalog.load(spark, dir, "documents")
+
+  test("minhash-lsh pairs == exact jaccard pairs at τ=0.5 (full recall here)") {
+    val exact = DedupOps.jaccardPairs(docs, 5, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLshPairs(docs, 5, 64, 4, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // LSH candidates are exact-verified, so no false positives possible:
+    assert(lsh.subsetOf(exact))
+    // with 16 bands × 4 rows at s≥0.5 recall is ~1 on this corpus:
+    assert(lsh == exact, s"missed=${exact -- lsh}")
+  }
+
+  test("simhash: identical texts get identical signatures; stable across runs") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+    val sig = DedupOps.simhash(d).as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    val sig2 = DedupOps.simhash(d.repartition(7)).as[(Long, Long)].collect().toMap
+    assert(sig == sig2) // partition-layout independent
+  }
+
+  test("simhash pairs: near-identical docs collide, distant ones don't") {
+    // heavy token repetition → strong per-bit majority margins, so a
+    // single-occurrence edit flips few bits (the realistic near-dup shape)
+    val base = (1 to 20).flatMap(i => Seq.fill(10)(s"tok$i")).mkString(" ")
+    val nearDup = ("changed" +: (1 to 20).flatMap(i =>
+      Seq.fill(if (i == 1) 9 else 10)(s"tok$i"))).mkString(" ")
+    val other = (1 to 20).flatMap(i => Seq.fill(10)(s"other$i")).mkString(" ")
+    val d = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(d, maxHamming = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("fingerprint: deterministic across partitionings and runs") {
+    val f1 = TextOps.fingerprinted(docs).as[(Long, Long)].collect().toMap
+    val f2 = TextOps.fingerprinted(docs.repartition(13)).as[(Long, Long)].collect().toMap
+    assert(f1 == f2)
+    assert(f1.values.toSet.size > 490) // essentially collision-free here
+  }
+
+  test("exact dedup groups: synthetic duplicates collapse to one keeper") {
+    val d = Seq((10L, "same text"), (11L, "same text"), (12L, "unique text"))
+      .toDF("doc_id", "text")
+    val g = DedupOps.exactGroups(d).as[(String, Long, Long)].collect()
+    val dup = g.find(_._3 == 2L).get
+    assert(dup._2 == 10L) // min doc_id kept
+    assert(g.length == 2)
+  }
+
+  test("langId: stopword votes pick the planted language") {
+    val d = Seq(
+      (1L, "the cat sat of the mat and a dog in town"),
+      (2L, "el la de y es el la de y es"),
+      (3L, "zz qq ww")) // no stopwords at all → und
+      .toDF("doc_id", "text")
+    val out = TextOps.langId(d).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+}
