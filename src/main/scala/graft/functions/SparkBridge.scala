@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression conversions (Spark 4 moved
+  * them behind `org.apache.spark.sql.classic.ExpressionUtils`). Declared in
+  * the org.apache.spark.sql package for access — the standard pattern for
+  * out-of-tree Catalyst extensions.
+  */
+object GraftBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.ops.VectorOps
+import graft.functions.CosineSimilarity.cosineSim
+
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Catalog.load(spark, dir, "embeddings")
+
+  test("codegen CosineSimilarity == HOF double-fold formulation (bit-exact)") {
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)) *
+        sqrt(aggregate(transform(col("b"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)))
+    val pairs = emb.select(col("embedding").as("a"), col("vec_id"))
+      .crossJoin(emb.select(col("embedding").as("b"), col("vec_id").as("v2")))
+      .filter(col("vec_id") < 3 && col("v2") < 20)
+    val diffs = pairs.select((cosineSim(col("a"), col("b")) - hof).as("d"))
+      .agg(max(abs(col("d")))).as[Double].collect()(0)
+    assert(diffs == 0.0)
+  }
+
+  test("cosine_sim: self-similarity 1.0, null-safe, zero-norm → 0.0") {
+    val d = Seq(
+      (1L, Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (2L, Array(0f, 0f, 0f), Array(1f, 2f, 3f)))
+      .toDF("id", "a", "b")
+    val r = d.select(col("id"), cosineSim(col("a"), col("b")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - 1.0) < 1e-12)
+    assert(r(2L) == 0.0)
+    val withNull = d.withColumn("a", when(col("id") === 1, col("a")))
+      .filter(col("id") === 2 || col("id") === 1)
+      .select(cosineSim(when(lit(false), col("a")), col("b")).as("s"))
+    assert(withNull.collect().forall(_.isNullAt(0)))
+  }
+
+  test("ANN multiprobe recall@5 vs brute force ≥ 0.7") {
+    val exact = VectorOps.cosineTopK(emb, col("vec_id") < 8, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = VectorOps.annTopK(emb, col("vec_id") < 8, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(s"ANN recall@5 = $recall (${(exact & ann).size}/${exact.size})")
+    assert(recall >= 0.7)
+  }
+
+  test("UDAF centroids == relational centroids exactly") {
+    val a = VectorOps.labelCentroids(emb).orderBy("label", "i")
+      .as[(Int, Long, Double)].collect()
+    val b = VectorOps.labelCentroidsUdaf(emb).orderBy("label", "i")
+      .as[(Int, Long, Double)].collect()
+    assert(a.sameElements(b))
+  }
+}
