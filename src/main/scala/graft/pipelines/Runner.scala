@@ -1,0 +1,99 @@
+package graft.pipelines
+
+import java.nio.file.{Files, Paths}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Pipeline orchestration preserving the reference's semantics
+  * (SURVEY §2.8), minus its bugs (§2 "Reference bugs"):
+  *
+  *  - gate: short-circuit the whole run unless every input table exists
+  *    (reference: 18 `_SUCCESS` marker probes, dag-transform.py:55-63)
+  *  - fan-out: the three marts run concurrently (reference TaskGroup,
+  *    dag-transform.py:452-472) — Spark's scheduler interleaves their
+  *    jobs; on a cluster this keeps all executors busy
+  *  - per-mart error isolation: one failure → Left in the status map,
+  *    the others still complete (reference dag-extract.py:90-97)
+  *  - explicit completion marker after all marts land (reference
+  *    `transform_SUCCESS`, dag-transform.py:393-412); per-mart `_SUCCESS`
+  *    comes free from Spark's FileOutputCommitter
+  *  - the partition date is computed once per run and threaded through
+  *    (the reference computed it at import time — stale across midnight)
+  */
+object Runner {
+
+  /** Pluggable sink family (K1-K5 analogs, SURVEY §2.2). */
+  sealed trait Sink { def write(df: DataFrame, name: String): Unit }
+
+  /** K2 analog: partitioned parquet, idempotent overwrite. */
+  final case class PartitionedParquetSink(baseDir: String, partitionCols: Seq[String])
+      extends Sink {
+    def write(df: DataFrame, name: String): Unit = {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$baseDir/$name")
+    }
+  }
+
+  /** K3 analog: the reference's single-file CSV mart (`coalesce(1)` is the
+    * reference's deliberate anti-scale choice — kept for parity, used only
+    * for final small marts, never mid-pipeline). */
+  final case class SingleFileCsvSink(baseDir: String) extends Sink {
+    def write(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(s"$baseDir/$name")
+  }
+
+  /** K4 analog: JDBC full-replace (drop+recreate = pandas
+    * `if_exists="replace"`). No database ships in this sandbox, so this
+    * sink is exercised only for its plan construction in specs. */
+  final case class JdbcSink(url: String, props: java.util.Properties) extends Sink {
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode(SaveMode.Overwrite).jdbc(url, name, props)
+  }
+
+  final case class RunReport(
+      date: java.time.LocalDate,
+      statuses: Map[String, Either[Throwable, Long]],
+      gated: Boolean)
+
+  /** Gate: all catalog tables present under sfDir (S4 analog). */
+  def gate(sfDir: String): Boolean =
+    graft.catalog.Catalog.all.forall(t => Files.exists(Paths.get(t.path(sfDir))))
+
+  /** Run the three reference marts concurrently against sfDir, writing
+    * each through `sink`; returns per-mart statuses (row count or error). */
+  def run(spark: SparkSession, sfDir: String, sink: Sink,
+      runDate: java.time.LocalDate = java.time.LocalDate.now(),
+      markerDir: Option[String] = None): RunReport = {
+    if (!gate(sfDir)) return RunReport(runDate, Map.empty, gated = true)
+
+    val marts: Map[String, () => DataFrame] = Map(
+      "attack" -> (() => Marts.attack(RefTables.tables(spark, sfDir))),
+      "defense" -> (() => Marts.defense(RefTables.tables(spark, sfDir))),
+      "discipline" -> (() => Marts.discipline(RefTables.tables(spark, sfDir))))
+
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = marts.map { case (name, build) =>
+      name -> Future {
+        val df = build().withColumn("run_date",
+          org.apache.spark.sql.functions.lit(runDate.toString))
+        sink.write(df, name)
+        df.count()
+      }
+    }
+    val statuses = futures.map { case (name, f) =>
+      name -> (Try(Await.result(f, 10.minutes)) match {
+        case Success(n) => Right(n): Either[Throwable, Long]
+        case Failure(e) => Left(e): Either[Throwable, Long]
+      })
+    }
+    if (statuses.values.forall(_.isRight)) markerDir.foreach { d =>
+      Files.createDirectories(Paths.get(d))
+      Files.writeString(Paths.get(s"$d/transform_SUCCESS"), runDate.toString)
+    }
+    RunReport(runDate, statuses, gated = false)
+  }
+}

@@ -1,3 +1,50 @@
 package graft.queries
+
 import graft.Q
-object MultimodalQueries { val all: Seq[Q] = Seq() }
+import graft.catalog.Catalog
+import graft.ops.MediaOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal surface: binary-payload decode + feature extraction via
+  * typed mapPartitions. The decode stub derives metadata as a pure
+  * function of payload length, so the metadata projection is fully
+  * oracle-checkable even though it flows through opaque partition-local
+  * Scala code; the float feature vectors are spec-checked instead.
+  */
+object MultimodalQueries {
+
+  /** Metadata path (oracle-checked): media_id, type, dimensions, frames. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.mediaFeatures(Catalog.load(spark, dir, "documents"))
+      .select("media_id", "media_type", "width", "height", "n_frames", "n_bytes")
+      .orderBy(col("media_id"))
+
+  private val mediaMetaSql =
+    """SELECT doc_id AS media_id,
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |  CAST(64 + strlen(text) % 640 AS INT) AS width,
+      |  CAST(64 + strlen(text) % 480 AS INT) AS height,
+      |  CAST(ceil(strlen(text) / 32.0) AS INT) AS n_frames,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  /** Feature path (rows-only; determinism spec-checked): per-type mean
+    * feature norms — the shape a downstream training pipeline consumes. */
+  def mediaFeatureStats(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.mediaFeatures(Catalog.load(spark, dir, "documents"))
+      .withColumn("feat_norm",
+        sqrt(aggregate(transform(col("features"), x => x.cast("double") * x),
+          lit(0.0), (a, x) => a + x)))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_items"),
+        avg(col("feat_norm")).as("mean_feat_norm"))
+      .orderBy(col("media_type"))
+
+  val all: Seq[Q] = Seq(
+    Q("q75_media_meta", mediaMeta, Some(mediaMetaSql),
+      "binary decode-stub metadata via typed mapPartitions (oracle on length-derived fields)"),
+    Q("q76_media_feature_stats", mediaFeatureStats, None,
+      "per-type feature-vector stats (spec-checked determinism)"))
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipelines.Runner
+
+class RunnerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("gate short-circuits on missing inputs (no work, no marker)") {
+    val out = java.nio.file.Files.createTempDirectory("runner-gated").toString
+    val report = Runner.run(spark, "/tmp/definitely-missing-sf",
+      Runner.SingleFileCsvSink(out), markerDir = Some(out))
+    assert(report.gated)
+    assert(report.statuses.isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/transform_SUCCESS")))
+  }
+
+  test("full run: three marts fan out, statuses Right, marker + _SUCCESS written") {
+    val out = java.nio.file.Files.createTempDirectory("runner-out").toString
+    val date = java.time.LocalDate.of(2026, 8, 12)
+    val report = Runner.run(spark, dir, Runner.SingleFileCsvSink(out),
+      runDate = date, markerDir = Some(out))
+    assert(!report.gated)
+    assert(report.statuses.keySet == Set("attack", "defense", "discipline"))
+    assert(report.statuses.values.forall(_.isRight))
+    for (m <- Seq("attack", "defense", "discipline")) {
+      val d = java.nio.file.Paths.get(s"$out/$m")
+      assert(java.nio.file.Files.exists(d.resolve("_SUCCESS"))) // committer marker
+      val csvs = java.nio.file.Files.list(d).filter(_.toString.endsWith(".csv"))
+      assert(csvs.count() == 1) // K3 single-file semantics
+    }
+    val marker = java.nio.file.Paths.get(s"$out/transform_SUCCESS")
+    assert(java.nio.file.Files.readString(marker) == "2026-08-12")
+  }
+
+  test("partitioned parquet sink round-trips with partition pruning layout") {
+    val out = java.nio.file.Files.createTempDirectory("runner-parq").toString
+    val report = Runner.run(spark, dir,
+      Runner.PartitionedParquetSink(out, Seq("run_date")),
+      runDate = java.time.LocalDate.of(2026, 8, 12))
+    assert(report.statuses.values.forall(_.isRight))
+    // Hive-style layout (reference key template analog) + readable back
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/attack/run_date=2026-08-12")))
+    val back = spark.read.parquet(s"$out/attack")
+    assert(back.count() == report.statuses("attack").toOption.get)
+    assert(back.columns.contains("run_date"))
+  }
+}
