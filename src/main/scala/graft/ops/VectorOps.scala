@@ -37,19 +37,21 @@ object VectorOps {
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
   /** Brute-force exact cosine top-k neighbors for a set of query vectors.
-    * Queries are broadcast; ranking is a window over each query's
-    * candidates with deterministic tie-break. */
+    * Queries are broadcast; similarity is the fused codegen
+    * [[graft.functions.ScaledIntCosine]] (bit-identical to the oracle's
+    * scaled-integer arithmetic, no intermediate arrays); ranking is a
+    * window over each query's candidates with deterministic tie-break. */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val base = emb.select(col("vec_id"), scaled(col("embedding")).as("sv"))
-      .withColumn("n2", dotLong(col("sv"), col("sv")))
+    val base = emb.select(col("vec_id"), col("embedding"))
     val queries = base.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("sv").as("qv"), col("n2").as("qn2"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        cosFromInts(dotLong(col("qv"), col("sv")), col("qn2"), col("n2")).as("cos_sim"))
+        graft.functions.ScaledIntCosine.scaledCosine(col("qv"), col("embedding"))
+          .as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("rn").cast("long").as("rn"),
@@ -62,16 +64,10 @@ object VectorOps {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def planeDot(v: Column, plane: Array[Double]): Column =
-    aggregate(
-      zip_with(v, array(plane.map(lit): _*), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** LSH bucket id: sign bits of the vector against `planes`. */
+  /** LSH bucket id: sign bits of the vector against `planes`, via the
+    * fused codegen expression (one compiled loop over all planes). */
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(planeDot(v, p) >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    graft.functions.LshBucketExpr.lshBucket(v, planes)
 
   /** Approximate cosine top-k: multi-table random-hyperplane LSH with
     * hamming-1 multiprobe, exact rerank inside probed buckets via the
@@ -95,6 +91,7 @@ object VectorOps {
         explode(array(tables: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache() // reused by query side + probe join: bucket once, not twice
     val flips = lit(0) +: (0 until nPlanes).map(j => lit(1 << j))
     val queries = base.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
