@@ -75,24 +75,38 @@ object Marts {
   private def innerJoinAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduceLeft((a, b) => a.join(b, Seq("Team"), "inner"))
 
-  /** Attack mart (reference dag-transform.py:131-239): 10-way inner join on
-    * Team — 9 stat tables + the A1 player→team assist rollup — then the
-    * 18-column projection and 10 derived metrics. */
-  def attack(t: Map[String, DataFrame]): DataFrame = {
-    // A1: player-level expected assists rolled up to team with
-    // order-independent sums (reference dag-transform.py:166-169)
-    val assists = t("player_expected_assists")
+  /** A1: player-level expected assists rolled up to team with
+    * order-independent sums (reference dag-transform.py:166-169). */
+  def assistRollup(playerAssists: DataFrame): DataFrame =
+    playerAssists
       .groupBy(col("Team"))
       .agg(
         sum(col("Actual Assists").cast(DecT)).cast("double").as("Actual Assists"),
         sum(col("Expected Assists (xA)").cast(DecT)).cast("double").as("Expected Assists"))
+
+  /** Attack mart (reference dag-transform.py:131-239): 10-way inner join on
+    * Team — 9 stat tables + the A1 player→team assist rollup — then the
+    * 18-column projection and 10 derived metrics. */
+  def attack(t: Map[String, DataFrame]): DataFrame = {
     val joined = innerJoinAll(Seq(
       t("big_chance_team"), t("clean_sheet_team"), t("effective_clearance_team"),
       t("expected_goals_team"), t("ontarget_scoring_att_team"), t("penalty_won_team"),
       t("possession_won_att"), t("team_goals_per_match"), t("touches_in_opp_box_team"),
-      assists))
-    // P1: 18-column projection incl. the reference's rename
-    // (`Conversion Rate (%)` → `Penalties Conversion Rate (%)`, :192)
+      assistRollup(t("player_expected_assists"))))
+    attackProjectAndDerive(joined)
+  }
+
+  /** The scale form: same mart from a pre-fused stat table (one scan, one
+    * shuffle — RefTables.fusedAttackStats) joined only with the assist
+    * rollup. Identical output to [[attack]] (shares its oracle via q13). */
+  def attackFused(fusedStats: DataFrame, playerAssists: DataFrame): DataFrame =
+    attackProjectAndDerive(
+      fusedStats.join(assistRollup(playerAssists), Seq("Team"), "inner"))
+
+  /** P1: 18-column projection incl. the reference's rename
+    * (`Conversion Rate (%)` → `Penalties Conversion Rate (%)`, :192),
+    * then the 10 derived metrics. */
+  private def attackProjectAndDerive(joined: DataFrame): DataFrame = {
     val projected = joined.select(
       col("Team"),
       col("Big Chances"), col("Clean Sheets"),

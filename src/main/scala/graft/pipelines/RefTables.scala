@@ -31,39 +31,76 @@ object RefTables {
 
   private def cnt(cond: org.apache.spark.sql.Column) = count(when(cond, lit(1)))
 
+  /** Per-table aggregate expressions, shared by the per-table plans and
+    * the fused single-scan variant ([[fusedAttackStats]]). */
+  private def aggExprs: Map[String, Seq[org.apache.spark.sql.Column]] = {
+    val matches = countDistinct(col("l_orderkey")).as("Matches")
+    Map(
+      "big_chance_team" -> Seq(cnt(col("l_quantity") >= 30).as("Big Chances")),
+      "clean_sheet_team" -> Seq(cnt(col("l_discount") === 0).as("Clean Sheets")),
+      "effective_clearance_team" -> Seq(
+        (Det.dsum(col("l_quantity")) / count(lit(1))).as("Clearances per Match"),
+        Det.dsum(col("l_quantity")).as("Total Clearances")),
+      "expected_goals_team" -> Seq(
+        (Det.dsum(col("l_extendedprice")) / lit(1000000)).as("Expected Goals")),
+      "ontarget_scoring_att_team" -> Seq(
+        (Det.dsum(col("l_quantity") * (lit(1) - col("l_discount"))) / count(lit(1)))
+          .as("Shots on Target per Match"),
+        (cnt(col("l_quantity") >= 30) * lit(100) / count(lit(1)))
+          .as("Shot Conversion Rate (%)")),
+      "penalty_won_team" -> Seq(
+        cnt(col("l_returnflag") === "R").as("Penalties Won"),
+        (cnt(col("l_returnflag") === "R") * lit(100) / count(lit(1)))
+          .as("Conversion Rate (%)")),
+      "possession_won_att" -> Seq(
+        (Det.dsum(col("l_tax") * 100) / count(lit(1))).as("Possession Won Final 3rd per Match"),
+        cnt(col("l_tax") > 0.03).as("Total Possessions Won")),
+      "team_goals_per_match" -> Seq(
+        (Det.dsum(col("l_quantity")) / countDistinct(col("l_orderkey"))).as("Goals per Match"),
+        Det.dsum(col("l_quantity")).as("Total Goals Scored"), matches),
+      "touches_in_opp_box_team" -> Seq(cnt(col("l_linenumber") === 1).as("Touches in Opposition Box")))
+  }
+
+  /** The nine attack stat tables in join order. */
+  val attackTableNames: Seq[String] = Seq(
+    "big_chance_team", "clean_sheet_team", "effective_clearance_team",
+    "expected_goals_team", "ontarget_scoring_att_team", "penalty_won_team",
+    "possession_won_att", "team_goals_per_match", "touches_in_opp_box_team")
+
+  /** Scale rewrite of the attack input side: all nine per-team stat
+    * tables in ONE scan + ONE shuffle (a single groupBy computing the
+    * union of their aggregates) instead of nine scans and shuffles.
+    * Semantically identical to joining the nine tables (they share the
+    * groupBy key and inner-join on it) — q13 proves it against q10's
+    * oracle. At 100 TB this is the difference between reading lineitem
+    * once and reading it nine times. */
+  def fusedAttackStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = attackTableNames.flatMap(aggExprs)
+    base(spark, dir).groupBy(col("s_name").as("Team")).agg(cols.head, cols.tail: _*)
+  }
+
   /** All 18 reference-shaped tables as DataFrames keyed by reference name. */
   def tables(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     val b = base(spark, dir)
     def agg(cols: org.apache.spark.sql.Column*): DataFrame =
       b.groupBy(col("s_name").as("Team")).agg(cols.head, cols.tail: _*)
+    def aggT(name: String): DataFrame = {
+      val cs = aggExprs(name)
+      b.groupBy(col("s_name").as("Team")).agg(cs.head, cs.tail: _*)
+    }
 
     val matches = countDistinct(col("l_orderkey")).as("Matches")
-    val goals = Det.dsum(col("l_quantity")).as("Total Goals Scored")
 
     Map(
-      "big_chance_team" -> agg(cnt(col("l_quantity") >= 30).as("Big Chances")),
-      "clean_sheet_team" -> agg(cnt(col("l_discount") === 0).as("Clean Sheets")),
-      "effective_clearance_team" -> agg(
-        (Det.dsum(col("l_quantity")) / count(lit(1))).as("Clearances per Match"),
-        Det.dsum(col("l_quantity")).as("Total Clearances")),
-      "expected_goals_team" -> agg(
-        (Det.dsum(col("l_extendedprice")) / lit(1000000)).as("Expected Goals")),
-      "ontarget_scoring_att_team" -> agg(
-        (Det.dsum(col("l_quantity") * (lit(1) - col("l_discount"))) / count(lit(1)))
-          .as("Shots on Target per Match"),
-        (cnt(col("l_quantity") >= 30) * lit(100) / count(lit(1)))
-          .as("Shot Conversion Rate (%)")),
-      "penalty_won_team" -> agg(
-        cnt(col("l_returnflag") === "R").as("Penalties Won"),
-        (cnt(col("l_returnflag") === "R") * lit(100) / count(lit(1)))
-          .as("Conversion Rate (%)")),
-      "possession_won_att" -> agg(
-        (Det.dsum(col("l_tax") * 100) / count(lit(1))).as("Possession Won Final 3rd per Match"),
-        cnt(col("l_tax") > 0.03).as("Total Possessions Won")),
-      "team_goals_per_match" -> agg(
-        (Det.dsum(col("l_quantity")) / countDistinct(col("l_orderkey"))).as("Goals per Match"),
-        goals, matches),
-      "touches_in_opp_box_team" -> agg(cnt(col("l_linenumber") === 1).as("Touches in Opposition Box")),
+      "big_chance_team" -> aggT("big_chance_team"),
+      "clean_sheet_team" -> aggT("clean_sheet_team"),
+      "effective_clearance_team" -> aggT("effective_clearance_team"),
+      "expected_goals_team" -> aggT("expected_goals_team"),
+      "ontarget_scoring_att_team" -> aggT("ontarget_scoring_att_team"),
+      "penalty_won_team" -> aggT("penalty_won_team"),
+      "possession_won_att" -> aggT("possession_won_att"),
+      "team_goals_per_match" -> aggT("team_goals_per_match"),
+      "touches_in_opp_box_team" -> aggT("touches_in_opp_box_team"),
       // per-player rows: player = (Team, l_partkey); mart rolls up (A1)
       "player_expected_assists" -> b.groupBy(col("s_name").as("Team"), col("l_partkey").as("Player"))
         .agg(

@@ -59,6 +59,17 @@ object RefMartQueries {
        |FROM projected ORDER BY "Team"""".stripMargin
   }
 
+  // ---- attack, fused (scale rewrite) ----------------------------------
+
+  /** Same mart, one lineitem scan + one shuffle for all nine stat tables
+    * (RefTables.fusedAttackStats) — proves the scan-sharing rewrite
+    * against the identical oracle. */
+  def attackFused(spark: SparkSession, dir: String): DataFrame =
+    Marts.attackFused(
+      RefTables.fusedAttackStats(spark, dir),
+      RefTables.tables(spark, dir)("player_expected_assists"))
+      .orderBy(col("Team"))
+
   // ---- defense --------------------------------------------------------
 
   def defense(spark: SparkSession, dir: String): DataFrame =
@@ -113,6 +124,8 @@ object RefMartQueries {
   val all: Seq[Q] = Seq(
     Q("q10_attack_mart", attack, Some(attackSql),
       "reference attack job: 10-way inner join + A1 rollup + 10 expr metrics"),
+    Q("q13_attack_mart_fused", attackFused, Some(attackSql),
+      "attack mart from one fused scan/shuffle — same oracle as q10"),
     Q("q11_defense_mart", defense, Some(defenseSql),
       "reference defense job: 6-way inner join + 10 expr metrics"),
     Q("q12_discipline_mart", discipline, Some(disciplineSql),

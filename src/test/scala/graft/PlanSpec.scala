@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Plan-quality gates: the physical plans the engine would need at 100 TB,
+  * asserted on the plans it actually produces. A regression that drops a
+  * pushdown, broadcast, or partial aggregate fails here even though
+  * results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter/projection reach the parquet scan (pushdown + pruning)") {
+    val p = plan(CoreQueries.filterProject(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double," +
+      "l_extendedprice:double,l_discount:dou"))
+    assert(!p.contains("l_returnflag")) // pruned column never read
+  }
+
+  test("dimension joins broadcast; no sort-merge in the star mart") {
+    val p = plan(CoreQueries.regionNationMart(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("aggregates run partial->final (map-side combine before shuffle)") {
+    val p = plan(CoreQueries.pricingSummary(spark, dir))
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1) // one shuffle
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan(CoreQueries.topSuppliers(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("fused attack mart reads lineitem once (vs 10 scans in q10)") {
+    def scans(p: String) = "FileScan parquet".r.findAllIn(p).size
+    val fused = plan(RefMartQueries.attackFused(spark, dir))
+    val classic = plan(RefMartQueries.attack(spark, dir))
+    // fused: lineitem scan for stats + one for the player rollup + supplier
+    assert(scans(fused) <= 4, s"fused plan has ${scans(fused)} scans")
+    assert(scans(classic) >= 15, s"classic plan has ${scans(classic)} scans")
+  }
+
+  test("cosine top-k: custom expression in-plan + partial window top-k") {
+    val p = plan(graft.queries.VectorQueries.cosineTopK(spark, dir))
+    assert(p.contains("scaledintcosine")) // the codegen expression, fused in Project
+    // Spark 4 plans per-partition partial top-k before the shuffle:
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial"))
+  }
+}
