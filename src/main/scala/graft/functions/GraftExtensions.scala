@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions as SQL functions, so `spark.sql("... cosine_sim
+  * (a, b) ...")` works in any session built with
+  * `.withExtensions(new GraftExtensions)` — or via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` on a cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim_exact"),
+      new ExpressionInfo(classOf[ScaledIntCosine].getName, "cosine_sim_exact"),
+      (args: Seq[Expression]) => ScaledIntCosine(args(0), args(1))))
+  }
+}

@@ -134,7 +134,48 @@ object CoreQueries {
       |  AND l_discount >= 0.05 AND l_quantity < 25
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Full RelationalGroupedDataset surface: min/max/exact avg/count
+    * (SURVEY §2.5 — the oracle harness exercises what the reference
+    * never used). */
+  def aggPack(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        davg(col("o_totalprice")).as("avg_price"),
+        min(col("o_orderdate")).cast("date").as("first_date"),
+        max(col("o_orderdate")).cast("date").as("last_date"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val aggPackSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       |  ${sqlAvg("o_totalprice")} AS avg_price,
+       |  CAST(MIN(o_orderdate) AS DATE) AS first_date,
+       |  CAST(MAX(o_orderdate) AS DATE) AS last_date
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** HLL++ approximate distinct next to the exact count (approx side is
+    * engine-specific → rows-only driver check; accuracy spec-checked). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q05_agg_pack", aggPack, Some(aggPackSql),
+      "min/max/avg/count aggregate surface"),
+    Q("q06_approx_distinct", approxDistinct, None,
+      "approx_count_distinct (HLL++) next to exact (spec-checked accuracy)"),
     Q("q01_pricing_summary", pricingSummary, Some(pricingSummarySql),
       "filter → hash-agg (partial/final) with deterministic decimal sums"),
     Q("q02_region_nation_mart", regionNationMart, Some(regionNationMartSql),

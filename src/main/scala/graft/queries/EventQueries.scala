@@ -124,7 +124,44 @@ object EventQueries {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** As-of join: each view event picks up the user's latest prior (or
+    * simultaneous) purchase. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asofViewPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("value").as("purchase_value"))
+    graft.ops.AsofOps.asofJoin(
+        views, purchases, key = "user_id", ts = "ts_us",
+        leftCols = Seq("event_id", "value"),
+        rightCols = Seq("ts_us", "purchase_value"))
+      .withColumnRenamed("asof_ts_us", "purchase_ts_us")
+      .withColumnRenamed("asof_purchase_value", "purchase_value")
+      .orderBy(col("event_id"))
+  }
+
+  private val asofSql =
+    """WITH e AS (
+      |  SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events
+      |), views AS (
+      |  SELECT user_id, ts_us, event_id, value FROM e WHERE event_type = 'view'
+      |), purchases AS (
+      |  SELECT user_id, ts_us, value AS purchase_value FROM e
+      |  WHERE event_type = 'purchase'
+      |)
+      |SELECT v.user_id, v.ts_us, v.event_id, v.value,
+      |  p.ts_us AS purchase_ts_us, p.purchase_value
+      |FROM views v
+      |ASOF LEFT JOIN purchases p
+      |  ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q80_asof_join", asofViewPurchase, Some(asofSql),
+      "point-in-time as-of join via union+window (one shuffle, no range blowup)"),
     Q("q45_tumbling_window", tumbling, Some(tumblingSql),
       "1h tumbling event-time windows"),
     Q("q46_sliding_window", sliding, Some(slidingSql),

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** Remaining SURVEY §2 surface: CSV scans with declared schemas and
+  * non-identifier column names (S2/K1), approx_count_distinct accuracy,
+  * SQL registration of native expressions via SparkSessionExtensions.
+  */
+class SurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CSV round-trip: declared schema, no inference, spaced column names") {
+    val dir = java.nio.file.Files.createTempDirectory("csv-rt").toString
+    val df = Seq(("Arsenal", 10L, 55.5), ("Spurs", 0L, 47.1))
+      .toDF("Team", "Red Cards", "Possession (%)")
+    // K1/K3 analog: header CSV out
+    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(dir)
+    // S2 analog: declared-schema scan — no inference pass, exact types
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Team", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("Red Cards", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("Possession (%)", org.apache.spark.sql.types.DoubleType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assert(back.schema == schema)
+    // the §2.6 surface: backtick-quoted non-identifier names through expr()
+    val derived = back.withColumn("Cards per Point",
+      expr("`Red Cards` / nullif(`Possession (%)`, 0)"))
+    val rows = derived.orderBy("Team").collect()
+    assert(rows(0).getDouble(3) == 10L / 55.5)
+    assert(back.as[(String, Long, Double)].collect().toSet ==
+      Set(("Arsenal", 10L, 55.5), ("Spurs", 0L, 47.1)))
+  }
+
+  test("approx_count_distinct within 5% of exact on fixtures") {
+    val li = Catalog.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey")).as("approx"))
+      .as[(Long, Long)].collect()(0)
+    val err = math.abs(r._2 - r._1).toDouble / r._1
+    info(s"exact=${r._1} approx=${r._2} err=$err")
+    assert(err < 0.05)
+  }
+
+  test("extensions register native expressions as SQL functions") {
+    val prev = spark // keep the shared session alive for other suites
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT cosine_sim(array(1.0f, 2.0f), array(2.0f, 4.0f)) AS c,
+          |       cosine_sim_exact(array(1.0f, 0.0f), array(0.0f, 1.0f)) AS o
+          |""".stripMargin).collect()(0)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getDouble(1) == 0.0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
