@@ -251,7 +251,27 @@ object BreadthQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Explicit GROUPING SETS through the engine's SQL entry point
+    * (spark.sql over a registered view) — the DataFrame API covers cube/
+    * rollup (q25/q26); arbitrary sets need SQL. The statement is written
+    * in the common SQL dialect and runs VERBATIM on both engines. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Catalog.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(groupingSetsSql)
+  }
+
+  private val groupingSetsSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |       COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q31_grouping_sets", groupingSets, Some(groupingSetsSql),
+      "explicit GROUPING SETS via spark.sql — same statement runs on both engines"),
     Q("q20_semi_join", semiJoin, Some(semiJoinSql), "left-semi join (EXISTS)"),
     Q("q21_anti_join", antiJoin, Some(antiJoinSql), "left-anti join (NOT EXISTS)"),
     Q("q22_outer_join_agg", outerJoin, Some(outerJoinSql), "left-outer join preserving empty groups"),

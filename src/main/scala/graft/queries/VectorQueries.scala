@@ -75,7 +75,48 @@ object VectorQueries {
   def centroidsUdaf(spark: SparkSession, dir: String): DataFrame =
     VectorOps.labelCentroidsUdaf(emb(spark, dir)).orderBy(col("label"), col("i"))
 
+  /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding op):
+    * all pairs in a bounded id range with cosine ≥ τ, exact scaled-int
+    * arithmetic. The bounded range keeps the oracle's unnest join small;
+    * the unbounded scale path is the LSH candidate generation of q71
+    * (bucket join + exact verify — no all-pairs stage). */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        graft.functions.ScaledIntCosine
+          .scaledCosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val embeddingNearDupSql =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+      |    unnest(range(len(embedding))) AS i
+      |  FROM embeddings WHERE vec_id < 300
+      |), n AS (
+      |  SELECT vec_id, SUM(xi * xi) AS n2 FROM v GROUP BY 1
+      |), d AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         CAST(SUM(a.xi * b.xi) AS BIGINT) AS dot
+      |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT vec_a, vec_b,
+      |  CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos_sim
+      |FROM d JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
+      |WHERE CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q64_embedding_near_dup", embeddingNearDup, Some(embeddingNearDupSql),
+      "embedding-cosine near-dup pairs at τ=0.4 (exact scaled-int oracle)"),
     Q("q70_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "exact brute-force cosine top-5 for 8 query vectors (scaled-int oracle)"),
     Q("q71_ann_lsh_topk", annTopK, None,

@@ -35,6 +35,13 @@ class SurfaceSpec extends AnyFunSuite {
       Set(("Arsenal", 10L, 55.5), ("Spurs", 0L, 47.1)))
   }
 
+  test("scalar udf() surface works (engine prefers native exprs; surface exists)") {
+    val slug = udf((s: String) => s.toLowerCase.replace(' ', '-'))
+    val out = Seq("Big Chances", "Clean Sheets").toDF("s")
+      .select(slug(col("s")).as("slug")).as[String].collect().toSeq
+    assert(out == Seq("big-chances", "clean-sheets"))
+  }
+
   test("approx_count_distinct within 5% of exact on fixtures") {
     val li = Catalog.load(spark, "/root/testdata/sf0.01", "lineitem")
     val r = li.agg(
