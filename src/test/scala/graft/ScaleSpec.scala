@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.ops.SkewOps
+
+/** Scale-pattern specs: salted skew joins, bucketed co-located joins,
+  * partition-pruned reads, streaming dedup — each asserting both the
+  * result AND the plan property that matters on a cluster.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted join == plain join (skew spreading changes plan, not result)") {
+    val li = Catalog.load(spark, dir, "lineitem")
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"), "inner")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"),
+        graft.ops.Det.dsum(col("o_totalprice")).as("s"))
+    val salted = SkewOps.saltedJoin(li, o, "l_orderkey", factor = 8,
+        saltFrom = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"),
+        graft.ops.Det.dsum(col("o_totalprice")).as("s"))
+    val a = plain.orderBy("l_orderkey").as[(Long, Long, Double)].collect()
+    val b = salted.orderBy("l_orderkey").as[(Long, Long, Double)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS o_b")
+    Catalog.load(spark, dir, "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").mode("overwrite").saveAsTable("li_b")
+    Catalog.load(spark, dir, "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o_b").mode("overwrite").saveAsTable("o_b")
+    // at fixture size Catalyst would (rightly) broadcast; disable it to
+    // exercise the large-large path bucketing exists for
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must not reshuffle either side")
+      assert(joined.count() ==
+        Catalog.load(spark, dir, "lineitem").count()) // FK: every line has an order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("partition-pruned read: only the matching run_date is scanned") {
+    val out = java.nio.file.Files.createTempDirectory("prune").toString
+    val df = Seq(("a", "2026-08-11"), ("b", "2026-08-12"), ("c", "2026-08-12"))
+      .toDF("v", "run_date")
+    df.write.partitionBy("run_date").parquet(s"$out/t")
+    val read = spark.read.parquet(s"$out/t").filter(col("run_date") === "2026-08-12")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(run_date"))
+    assert(read.count() == 2)
+    // the pruned partition's files are not in the scan
+    assert(!plan.contains("run_date=2026-08-11"))
+  }
+
+  test("streaming dedup: dropDuplicates over the stream == batch distinct") {
+    val staged = java.nio.file.Files.createTempDirectory("events-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    // duplicate the file → every event arrives twice
+    java.nio.file.Files.copy(
+      staged.resolve("events.parquet"), staged.resolve("events2.parquet"))
+    val q = graft.streaming.Streams.eventStream(spark, staged.toString)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_stream").as[Long].collect()(0)
+    val batch = Catalog.load(spark, dir, "events").count()
+    assert(streamed == batch)
+  }
+}
