@@ -115,6 +115,47 @@ object VectorOps {
         col("neighbor_id"), col("cos_sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the second ANN scale path
+    * next to LSH. Coarse quantizer = a fixed set of centroid vectors
+    * (here: the first `nCells` corpus vectors — deterministic "training";
+    * swap in k-means centroids without changing the plan). Every vector
+    * is assigned to its nearest cell (one pass, broadcast centroids);
+    * queries probe their `nProbe` nearest cells and rerank exactly inside
+    * them. At scale the cell assignment is a partitioning key: each
+    * executor owns whole cells and the rerank never leaves the node. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, nProbe: Int = 6): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cv"))
+    def nearestCells(df: DataFrame, idCol: String, vCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__sim").desc, col("cell"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__sim", cosineSim(col(vCol), col("cv")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+        .drop("cv", "__sim", "__r")
+    }
+    val assigned = nearestCells(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+    val queryProbes = nearestCells(
+      emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(queryProbes),
+        assigned("cell") === queryProbes("cell") &&
+          assigned("vec_id") =!= queryProbes("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("qv"), col("embedding")).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("cos_sim"))
+  }
+
   /** Mutable buffer for [[CentroidAgg]]: element-wise sums + row count. */
   case class CentroidBuf(sums: Array[Long], n: Long)
 

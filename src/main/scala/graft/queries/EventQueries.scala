@@ -159,7 +159,46 @@ object EventQueries {
       |  ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
       |ORDER BY event_id""".stripMargin
 
+  /** Banded range join: orders (points in time) against per-supplier
+    * activity windows (intervals) as an equi-join on coarse time buckets +
+    * residual filter — no theta/cartesian join. Oracle: DuckDB's native
+    * non-equi BETWEEN join. */
+  def rangeJoinOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    val o = Catalog.load(spark, dir, "orders")
+    val windows = li.groupBy(col("l_suppkey"))
+      .agg(min(datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date")))
+        .cast("long").as("lo"))
+      .withColumn("hi", col("lo") + 30)
+    val points = o.select(
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"),
+      col("o_totalprice"))
+    graft.ops.RangeJoinOps.pointInInterval(points, "d", windows, "lo", "hi", bucket = 32L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("volume"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val rangeJoinSql =
+    s"""WITH w AS (
+       |  SELECT l_suppkey,
+       |    CAST(MIN(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS lo
+       |  FROM lineitem GROUP BY 1
+       |), p AS (
+       |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+       |         o_totalprice
+       |  FROM orders
+       |)
+       |SELECT l_suppkey, COUNT(*) AS n_orders,
+       |  ${Det.sqlSum("o_totalprice")} AS volume
+       |FROM p JOIN w ON p.d BETWEEN w.lo AND w.lo + 30
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q81_range_join", rangeJoinOrders, Some(rangeJoinSql),
+      "banded point-in-interval join (bucket equi-join + residual filter)"),
     Q("q80_asof_join", asofViewPurchase, Some(asofSql),
       "point-in-time as-of join via union+window (one shuffle, no range blowup)"),
     Q("q45_tumbling_window", tumbling, Some(tumblingSql),

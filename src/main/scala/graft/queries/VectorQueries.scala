@@ -56,6 +56,10 @@ object VectorQueries {
     VectorOps.annTopK(emb(spark, dir), col("vec_id") < NQ, K)
       .orderBy(col("query_id"), col("rn"))
 
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.ivfTopK(emb(spark, dir), col("vec_id") < NQ, K)
+      .orderBy(col("query_id"), col("rn"))
+
   private val centroidSql =
     """WITH v AS (
       |  SELECT label,
@@ -121,6 +125,8 @@ object VectorQueries {
       "exact brute-force cosine top-5 for 8 query vectors (scaled-int oracle)"),
     Q("q71_ann_lsh_topk", annTopK, None,
       "hyperplane-LSH multiprobe ANN top-5 (spec-checked recall)"),
+    Q("q74_ann_ivf_topk", ivfTopK, None,
+      "IVF coarse-quantizer ANN top-5, 6/16 cells probed (spec-checked recall)"),
     Q("q72_label_centroids", centroids, Some(centroidSql),
       "per-label embedding centroids, relational plan"),
     Q("q73_centroids_udaf", centroidsUdaf, Some(centroidSql),

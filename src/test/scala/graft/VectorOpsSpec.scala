@@ -53,6 +53,16 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7)
   }
 
+  test("IVF top-k recall vs brute force (6/16 cells probed)") {
+    val exact = VectorOps.cosineTopK(emb, col("vec_id") < 8, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorOps.ivfTopK(emb, col("vec_id") < 8, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.5)
+  }
+
   test("UDAF centroids == relational centroids exactly") {
     val a = VectorOps.labelCentroids(emb).orderBy("label", "i")
       .as[(Int, Long, Double)].collect()
