@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property tests (SURVEY §5.4): structural invariants of the operator
+  * library under ScalaCheck-generated inputs (sampled with fixed seeds —
+  * the offline cache has no scalatest-scalacheck bridge, so sampling is
+  * driven directly).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val teamRows = Gen.listOfN(12,
+    Gen.zip(Gen.oneOf("A", "B", "C", "D", "E"), Gen.chooseNum(0L, 100L)))
+
+  test("inner join row count ≤ min input count under key uniqueness") {
+    for ((l, r) <- samples(Gen.zip(teamRows, teamRows), 10)) {
+      val ld = l.distinctBy(_._1).toDF("Team", "x")
+      val rd = r.distinctBy(_._1).toDF("Team", "y")
+      val n = ld.join(rd, Seq("Team"), "inner").count()
+      assert(n <= math.min(ld.count(), rd.count()))
+    }
+  }
+
+  test("derived metric is NULL iff denominator is zero (nullif semantics)") {
+    for (rows <- samples(teamRows, 10)) {
+      val df = rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("id", "Team", "denom")
+        .withColumn("m", expr("100 / nullif(denom, 0)"))
+      val got = df.select(col("denom"), col("m").isNull).as[(Long, Boolean)].collect()
+      got.foreach { case (d, isNull) => assert(isNull == (d == 0L)) }
+    }
+  }
+
+  test("partitionBy write round-trip preserves the row multiset") {
+    for (rows <- samples(teamRows, 5)) {
+      val out = java.nio.file.Files.createTempDirectory("prop-rt").toString
+      val df = rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("id", "team", "v")
+      df.write.partitionBy("team").mode("overwrite").parquet(out)
+      val back = spark.read.parquet(out).select("id", "team", "v")
+      assert(back.as[(Long, String, Long)].collect().sorted.toSeq ==
+        df.as[(Long, String, Long)].collect().sorted.toSeq)
+    }
+  }
+
+  test("decimal-sum determinism: any repartitioning gives identical doubles") {
+    for (xs <- samples(Gen.listOfN(50, Gen.chooseNum(-1e6, 1e6)), 10)) {
+      val df = xs.toDF("x")
+      def s(parts: Int) = df.repartition(parts)
+        .agg(graft.ops.Det.dsum(col("x"))).as[Double].collect()(0)
+      assert(s(1) == s(7))
+    }
+  }
+}
