@@ -16,6 +16,13 @@ object TextOps {
   /** Whitespace tokenizer as an array column. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BPE-style pre-tokenization: maximal runs of letters, digits, or
+    * single punctuation marks — the segmentation a byte-pair tokenizer
+    * starts from (the subsequent merge table lookup is vocabulary-bound
+    * and sits outside the engine). */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Per-document token statistics: counts are exact ints; ratios are
     * IEEE-deterministic divisions of exact ints. */
   def tokenStats(docs: DataFrame): DataFrame = {
@@ -27,7 +34,8 @@ object TextOps {
       col("n_chars"),
       (length(regexp_replace(col("text"), " ", "")).cast("double") /
         size(t)).as("avg_token_len"),
-      (size(array_distinct(t)).cast("double") / size(t)).as("lexical_diversity"))
+      (size(array_distinct(t)).cast("double") / size(t)).as("lexical_diversity"),
+      size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))
   }
 
   /** Stopword profiles per language (tiny heuristic sets; the operator

@@ -27,7 +27,9 @@ object TextQueries {
       |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
       |    / len(string_split(text, ' ')) AS avg_token_len,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |    / len(string_split(text, ' ')) AS lexical_diversity
+      |    / len(string_split(text, ' ')) AS lexical_diversity,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+      |    AS n_bpe_tokens
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
