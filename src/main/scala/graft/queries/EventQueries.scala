@@ -196,7 +196,27 @@ object EventQueries {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** Same as-of semantics through the custom physical operator
+    * (plans/AsofJoinNative: logical node + strategy + BinaryExecNode
+    * sort-merge) — shares q80's DuckDB ASOF JOIN oracle. */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts_us").as("p_ts_us"),
+        col("value").as("purchase_value"))
+    graft.plans.AsofJoinNative.asofJoinNative(
+        views, purchases, "user_id", "p_user_id", "ts_us", "p_ts_us")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"),
+        col("p_ts_us").as("purchase_ts_us"), col("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q82_asof_join_native", asofNative, Some(asofSql),
+      "as-of join via custom LogicalPlan+Strategy+BinaryExecNode (same oracle as q80)"),
     Q("q81_range_join", rangeJoinOrders, Some(rangeJoinSql),
       "banded point-in-interval join (bucket equi-join + residual filter)"),
     Q("q80_asof_join", asofViewPurchase, Some(asofSql),

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.plans.AsofJoinNative
+
+/** The native (custom SparkPlan) as-of join must agree exactly with the
+  * composed union+window implementation on real data, handle no-match
+  * lefts with nulls, and plan through the custom strategy.
+  */
+class AsofNativeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sides = {
+    val e = Catalog.load(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts_us").as("p_ts_us"),
+        col("value").as("p_value"))
+    (views, purchases)
+  }
+
+  test("native as-of join == composed union+window as-of join") {
+    val (views, purchases) = sides
+    val native = AsofJoinNative.asofJoinNative(
+        views, purchases, "user_id", "p_user_id", "ts_us", "p_ts_us")
+      .select(col("event_id"), col("p_ts_us"), col("p_value"))
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1)
+    val composed = graft.ops.AsofOps.asofJoin(
+        views, purchases.select(col("p_user_id").as("user_id"),
+          col("p_ts_us").as("ts_us"), col("p_value")),
+        key = "user_id", ts = "ts_us",
+        leftCols = Seq("event_id", "value"),
+        rightCols = Seq("ts_us", "p_value"))
+      .select(col("event_id"), col("asof_ts_us"), col("asof_p_value"))
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1)
+    assert(native.length == composed.length && native.length > 0)
+    assert(native.sameElements(composed))
+    // both matched and unmatched lefts occur on this fixture
+    assert(native.exists(_._2.isEmpty) && native.exists(_._2.nonEmpty))
+  }
+
+  test("plans through AsofJoinExec with one exchange per side") {
+    val (views, purchases) = sides
+    val df = AsofJoinNative.asofJoinNative(
+      views, purchases, "user_id", "p_user_id", "ts_us", "p_ts_us")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin")) // AsofJoinExec renders without the Exec suffix
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2)
+  }
+
+  test("edge semantics: equal timestamps match; empty right side → all nulls") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (3L, 1L, 9.9))
+      .toDF("rk", "rt", "rv")
+    val out = AsofJoinNative.asofJoinNative(l, r, "k", "rk", "t", "rt")
+      .select("k", "t", "lv", "rt", "rv")
+      .as[(Long, Long, String, Option[Long], Option[Double])]
+      .collect().sortBy(x => (x._1, x._2))
+    assert(out(0) == ((1L, 10L, "a", Some(10L), Some(1.0)))) // ts-equal matches
+    assert(out(1) == ((1L, 20L, "b", Some(15L), Some(2.0)))) // latest prior
+    assert(out(2) == ((2L, 5L, "c", None, None)))            // no right key
+    val empty = AsofJoinNative.asofJoinNative(
+      l, r.filter(col("rk") < 0), "k", "rk", "t", "rt")
+    assert(empty.count() == 3 && empty.filter(col("rv").isNotNull).count() == 0)
+  }
+}
