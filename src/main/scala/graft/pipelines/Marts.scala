@@ -124,11 +124,17 @@ object Marts {
 
   /** Defense mart (reference dag-transform.py:243-320): 6-way inner join →
     * 13-column projection → 10 metrics. */
-  def defense(t: Map[String, DataFrame]): DataFrame = {
-    val joined = innerJoinAll(Seq(
+  def defense(t: Map[String, DataFrame]): DataFrame =
+    defenseProjectAndDerive(innerJoinAll(Seq(
       t("expected_goals_conceded_team"), t("goals_conceded_team_match"),
       t("interception_team"), t("penalty_conceded_team"), t("saves_team"),
-      t("won_tackle_team")))
+      t("won_tackle_team"))))
+
+  /** Scale form: defense mart from the fused one-scan stat table. */
+  def defenseFused(fusedStats: DataFrame): DataFrame =
+    defenseProjectAndDerive(fusedStats)
+
+  private def defenseProjectAndDerive(joined: DataFrame): DataFrame = {
     val projected = joined.select(
       col("Team"), col("Matches"), col("Expected Goals Conceded"),
       col("Goals Conceded per Match"), col("Total Goals Conceded"),
@@ -141,9 +147,15 @@ object Marts {
 
   /** Discipline mart (reference dag-transform.py:324-389): 3-way inner join
     * → 7-column projection → 10 metrics. */
-  def discipline(t: Map[String, DataFrame]): DataFrame = {
-    val joined = innerJoinAll(Seq(
-      t("fk_foul_lost_team"), t("interception_team"), t("total_yel_card_team")))
+  def discipline(t: Map[String, DataFrame]): DataFrame =
+    disciplineProjectAndDerive(innerJoinAll(Seq(
+      t("fk_foul_lost_team"), t("interception_team"), t("total_yel_card_team"))))
+
+  /** Scale form: discipline mart from the fused one-scan stat table. */
+  def disciplineFused(fusedStats: DataFrame): DataFrame =
+    disciplineProjectAndDerive(fusedStats)
+
+  private def disciplineProjectAndDerive(joined: DataFrame): DataFrame = {
     val projected = joined.select(
       col("Team"), col("Matches"), col("Fouls per Match"),
       col("Interceptions per Match"), col("Total Interceptions"),

@@ -58,7 +58,55 @@ object RefTables {
       "team_goals_per_match" -> Seq(
         (Det.dsum(col("l_quantity")) / countDistinct(col("l_orderkey"))).as("Goals per Match"),
         Det.dsum(col("l_quantity")).as("Total Goals Scored"), matches),
-      "touches_in_opp_box_team" -> Seq(cnt(col("l_linenumber") === 1).as("Touches in Opposition Box")))
+      "touches_in_opp_box_team" -> Seq(cnt(col("l_linenumber") === 1).as("Touches in Opposition Box")),
+      "expected_goals_conceded_team" -> Seq(
+        matches,
+        Det.dsum(col("l_tax") * col("l_quantity")).as("Expected Goals Conceded")),
+      "goals_conceded_team_match" -> Seq(
+        (cnt(col("l_returnflag") === "A").cast("double") / countDistinct(col("l_orderkey")))
+          .as("Goals Conceded per Match"),
+        cnt(col("l_returnflag") === "A").as("Total Goals Conceded")),
+      "interception_team" -> Seq(
+        (cnt(col("l_linestatus") === "F").cast("double") / countDistinct(col("l_orderkey")))
+          .as("Interceptions per Match"),
+        cnt(col("l_linestatus") === "F").as("Total Interceptions")),
+      "penalty_conceded_team" -> Seq(
+        cnt(col("l_quantity") < 5).as("Penalties Conceded"),
+        cnt(col("l_quantity") < 3).as("Penalty Goals Conceded")),
+      "saves_team" -> Seq(
+        (cnt(col("l_discount") >= 0.05).cast("double") / countDistinct(col("l_orderkey")))
+          .as("Saves per Match"),
+        cnt(col("l_discount") >= 0.05).as("Total Saves")),
+      "won_tackle_team" -> Seq(
+        (cnt(col("l_tax") <= 0.04).cast("double") / countDistinct(col("l_orderkey")))
+          .as("Successful Tackles per Match"),
+        (cnt(col("l_tax") <= 0.04) * lit(100) / count(lit(1))).as("Tackle Success (%)")),
+      "fk_foul_lost_team" -> Seq(
+        matches,
+        (cnt(col("l_discount") > 0.07).cast("double") / countDistinct(col("l_orderkey")))
+          .as("Fouls per Match")),
+      "total_yel_card_team" -> Seq(
+        cnt(col("l_returnflag") === "N").as("Yellow Cards"),
+        cnt(col("l_returnflag") === "R" && col("l_linestatus") === "F").as("Red Cards")))
+  }
+
+  /** The six defense / three discipline stat tables in join order. */
+  val defenseTableNames: Seq[String] = Seq(
+    "expected_goals_conceded_team", "goals_conceded_team_match",
+    "interception_team", "penalty_conceded_team", "saves_team", "won_tackle_team")
+  val disciplineTableNames: Seq[String] = Seq(
+    "fk_foul_lost_team", "interception_team", "total_yel_card_team")
+
+  /** Generic fused stat table: the union of the named tables' aggregates
+    * in ONE scan + ONE shuffle (they all group on Team and inner-join on
+    * it, so the fused groupBy is semantically the joined result as long
+    * as column names are disjoint — which each mart's table set is,
+    * deduplicated here for the shared `Matches`). */
+  def fusedStats(spark: SparkSession, dir: String, tableNames: Seq[String]): DataFrame = {
+    // dedupe repeated aggregates (e.g. the shared `Matches` appears in two
+    // defense tables as the identical Column) by their rendered form
+    val cols = tableNames.flatMap(aggExprs).distinctBy(_.toString)
+    base(spark, dir).groupBy(col("s_name").as("Team")).agg(cols.head, cols.tail: _*)
   }
 
   /** The nine attack stat tables in join order. */
@@ -74,10 +122,8 @@ object RefTables {
     * groupBy key and inner-join on it) — q13 proves it against q10's
     * oracle. At 100 TB this is the difference between reading lineitem
     * once and reading it nine times. */
-  def fusedAttackStats(spark: SparkSession, dir: String): DataFrame = {
-    val cols = attackTableNames.flatMap(aggExprs)
-    base(spark, dir).groupBy(col("s_name").as("Team")).agg(cols.head, cols.tail: _*)
-  }
+  def fusedAttackStats(spark: SparkSession, dir: String): DataFrame =
+    fusedStats(spark, dir, attackTableNames)
 
   /** All 18 reference-shaped tables as DataFrames keyed by reference name. */
   def tables(spark: SparkSession, dir: String): Map[String, DataFrame] = {
@@ -111,35 +157,14 @@ object RefTables {
           // (exact-binary nearest) round differently.
           Det.dsum(col("l_extendedprice") * col("l_discount"))
             .as("Expected Assists (xA)")),
-      "expected_goals_conceded_team" -> agg(
-        matches,
-        Det.dsum(col("l_tax") * col("l_quantity")).as("Expected Goals Conceded")),
-      "goals_conceded_team_match" -> agg(
-        (cnt(col("l_returnflag") === "A").cast("double") / countDistinct(col("l_orderkey")))
-          .as("Goals Conceded per Match"),
-        cnt(col("l_returnflag") === "A").as("Total Goals Conceded")),
-      "interception_team" -> agg(
-        (cnt(col("l_linestatus") === "F").cast("double") / countDistinct(col("l_orderkey")))
-          .as("Interceptions per Match"),
-        cnt(col("l_linestatus") === "F").as("Total Interceptions")),
-      "penalty_conceded_team" -> agg(
-        cnt(col("l_quantity") < 5).as("Penalties Conceded"),
-        cnt(col("l_quantity") < 3).as("Penalty Goals Conceded")),
-      "saves_team" -> agg(
-        (cnt(col("l_discount") >= 0.05).cast("double") / countDistinct(col("l_orderkey")))
-          .as("Saves per Match"),
-        cnt(col("l_discount") >= 0.05).as("Total Saves")),
-      "won_tackle_team" -> agg(
-        (cnt(col("l_tax") <= 0.04).cast("double") / countDistinct(col("l_orderkey")))
-          .as("Successful Tackles per Match"),
-        (cnt(col("l_tax") <= 0.04) * lit(100) / count(lit(1))).as("Tackle Success (%)")),
-      "fk_foul_lost_team" -> agg(
-        matches,
-        (cnt(col("l_discount") > 0.07).cast("double") / countDistinct(col("l_orderkey")))
-          .as("Fouls per Match")),
-      "total_yel_card_team" -> agg(
-        cnt(col("l_returnflag") === "N").as("Yellow Cards"),
-        cnt(col("l_returnflag") === "R" && col("l_linestatus") === "F").as("Red Cards")))
+      "expected_goals_conceded_team" -> aggT("expected_goals_conceded_team"),
+      "goals_conceded_team_match" -> aggT("goals_conceded_team_match"),
+      "interception_team" -> aggT("interception_team"),
+      "penalty_conceded_team" -> aggT("penalty_conceded_team"),
+      "saves_team" -> aggT("saves_team"),
+      "won_tackle_team" -> aggT("won_tackle_team"),
+      "fk_foul_lost_team" -> aggT("fk_foul_lost_team"),
+      "total_yel_card_team" -> aggT("total_yel_card_team"))
   }
 
   // ---- DuckDB oracle CTEs (1:1 with the DataFrames above) -------------

@@ -70,6 +70,16 @@ object RefMartQueries {
       RefTables.tables(spark, dir)("player_expected_assists"))
       .orderBy(col("Team"))
 
+  def defenseFused(spark: SparkSession, dir: String): DataFrame =
+    Marts.defenseFused(
+      RefTables.fusedStats(spark, dir, RefTables.defenseTableNames))
+      .orderBy(col("Team"))
+
+  def disciplineFused(spark: SparkSession, dir: String): DataFrame =
+    Marts.disciplineFused(
+      RefTables.fusedStats(spark, dir, RefTables.disciplineTableNames))
+      .orderBy(col("Team"))
+
   // ---- defense --------------------------------------------------------
 
   def defense(spark: SparkSession, dir: String): DataFrame =
@@ -129,5 +139,9 @@ object RefMartQueries {
     Q("q11_defense_mart", defense, Some(defenseSql),
       "reference defense job: 6-way inner join + 10 expr metrics"),
     Q("q12_discipline_mart", discipline, Some(disciplineSql),
-      "reference discipline job: 3-way inner join + 10 expr metrics"))
+      "reference discipline job: 3-way inner join + 10 expr metrics"),
+    Q("q14_defense_mart_fused", defenseFused, Some(defenseSql),
+      "defense mart from one fused scan/shuffle — same oracle as q11"),
+    Q("q15_discipline_mart_fused", disciplineFused, Some(disciplineSql),
+      "discipline mart from one fused scan/shuffle — same oracle as q12"))
 }
