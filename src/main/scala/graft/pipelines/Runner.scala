@@ -70,10 +70,16 @@ object Runner {
       markerDir: Option[String] = None): RunReport = {
     if (!gate(sfDir)) return RunReport(runDate, Map.empty, gated = true)
 
+    // production path: the fused single-scan stat tables (q13-q15 prove
+    // them equal to the join-topology forms against the same oracles)
     val marts: Map[String, () => DataFrame] = Map(
-      "attack" -> (() => Marts.attack(RefTables.tables(spark, sfDir))),
-      "defense" -> (() => Marts.defense(RefTables.tables(spark, sfDir))),
-      "discipline" -> (() => Marts.discipline(RefTables.tables(spark, sfDir))))
+      "attack" -> (() => Marts.attackFused(
+        RefTables.fusedStats(spark, sfDir, RefTables.attackTableNames),
+        RefTables.tables(spark, sfDir)("player_expected_assists"))),
+      "defense" -> (() => Marts.defenseFused(
+        RefTables.fusedStats(spark, sfDir, RefTables.defenseTableNames))),
+      "discipline" -> (() => Marts.disciplineFused(
+        RefTables.fusedStats(spark, sfDir, RefTables.disciplineTableNames))))
 
     implicit val ec: ExecutionContext = ExecutionContext.global
     val futures = marts.map { case (name, build) =>

@@ -47,6 +47,9 @@ class PlanSpec extends AnyFunSuite {
     // fused: lineitem scan for stats + one for the player rollup + supplier
     assert(scans(fused) <= 4, s"fused plan has ${scans(fused)} scans")
     assert(scans(classic) >= 15, s"classic plan has ${scans(classic)} scans")
+    // defense/discipline fused forms: one lineitem scan + supplier each
+    assert(scans(plan(RefMartQueries.defenseFused(spark, dir))) <= 2)
+    assert(scans(plan(RefMartQueries.disciplineFused(spark, dir))) <= 2)
   }
 
   test("cosine top-k: custom expression in-plan + partial window top-k") {
