@@ -115,18 +115,51 @@ object VectorOps {
         col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Deterministic k-means (Lloyd's) coarse-quantizer training: init from
+    * the first k corpus vectors, then `iters` rounds of assign (broadcast
+    * centroids, codegen cosine) + recompute (exact scaled-int means, like
+    * labelCentroids). Only the k tiny centroid vectors ever reach the
+    * driver — the model, not the data — so the loop is cluster-safe. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2): Seq[(Int, Array[Float])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var centroids: Seq[(Int, Array[Float])] = emb.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("embedding").as[Array[Float]]
+      .collect().toSeq.zipWithIndex.map(_.swap)
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(centroids.toDF("cell", "cv"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__sim").desc, col("cell"))
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(cdf)
+        .withColumn("__sim", cosineSim(col("embedding"), col("cv")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("cell").as("label"), col("embedding"))
+      centroids = labelCentroids(assigned)
+        .groupBy(col("label")).agg(
+          sort_array(collect_list(struct(col("i"), col("c")))).as("cs"))
+        .select(col("label"),
+          transform(col("cs"), s => s.getField("c").cast("float")).as("cv"))
+        .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) approximate top-k: the second ANN scale path
-    * next to LSH. Coarse quantizer = a fixed set of centroid vectors
-    * (here: the first `nCells` corpus vectors — deterministic "training";
-    * swap in k-means centroids without changing the plan). Every vector
-    * is assigned to its nearest cell (one pass, broadcast centroids);
-    * queries probe their `nProbe` nearest cells and rerank exactly inside
-    * them. At scale the cell assignment is a partitioning key: each
-    * executor owns whole cells and the rerank never leaves the node. */
+    * next to LSH. Coarse quantizer = k-means-trained centroids
+    * ([[kmeansCentroids]]; pass `trainIters = 0` for the raw first-k
+    * init). Every vector is assigned to its nearest cell (one pass,
+    * broadcast centroids); queries probe their `nProbe` nearest cells and
+    * rerank exactly inside them. At scale the cell assignment is a
+    * partitioning key: each executor owns whole cells and the rerank
+    * never leaves the node. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      nCells: Int = 16, nProbe: Int = 6): DataFrame = {
-    val centroids = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cv"))
+      nCells: Int = 16, nProbe: Int = 6, trainIters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = broadcast(
+      kmeansCentroids(emb, nCells, trainIters).toDF("cell", "cv"))
     def nearestCells(df: DataFrame, idCol: String, vCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("__sim").desc, col("cell"))
