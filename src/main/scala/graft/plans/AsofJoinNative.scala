@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Ascending, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.GraftBridge
 
 /** Native as-of join: the full custom-operator tier (SURVEY §7.4 /
@@ -24,9 +24,9 @@ import org.apache.spark.sql.GraftBridge
   * memory two-pointer merge — the plan a purpose-built engine would run,
   * with the smaller total sort volume of keeping the sides separate.
   *
-  * v1 restriction: key and ts must be LongType (what the engine's event
-  * surface uses); generic orderings would swap the two comparisons for
-  * `TypeUtils.getInterpretedOrdering`.
+  * Key and ts may be any orderable atomic types (interpreted orderings
+  * from TypeUtils); rows with null key or ts never match (filtered from
+  * the right, null-joined on the left).
   */
 object AsofJoinNative {
 
@@ -78,27 +78,41 @@ object AsofJoinNative {
       val rTsB = BindReferences.bindReference(rightTs, right.output)
       val rightArity = right.output.size
       val outAttrs = output
+      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+      val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
       left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
         val proj = UnsafeProjection.create(outAttrs, outAttrs)
         val nullRight = new GenericInternalRow(rightArity)
         val joined = new JoinedRow
-        // lookahead on the right stream
-        var rNext: InternalRow = if (rIt.hasNext) rIt.next() else null
-        var rCur: InternalRow = null // latest right row already consumed
-        var rCurKey = 0L
-        lIt.map { lRow =>
-          val k = lKeyB.eval(lRow).asInstanceOf[Long]
-          val t = lTsB.eval(lRow).asInstanceOf[Long]
-          var advancing = true
-          while (advancing && rNext != null) {
-            val nk = rKeyB.eval(rNext).asInstanceOf[Long]
-            if (nk < k || (nk == k && rTsB.eval(rNext).asInstanceOf[Long] <= t)) {
-              rCur = rNext.copy(); rCurKey = nk
-              rNext = if (rIt.hasNext) rIt.next() else null
-            } else advancing = false
+        // lookahead on the right stream; rows with null key/ts are skipped
+        def nextRight(): InternalRow = {
+          while (rIt.hasNext) {
+            val r = rIt.next()
+            if (rKeyB.eval(r) != null && rTsB.eval(r) != null) return r
           }
-          val r = if (rCur != null && rCurKey == k) rCur else nullRight
-          proj(joined(lRow, r))
+          null
+        }
+        var rNext: InternalRow = nextRight()
+        var rCur: InternalRow = null // latest right row already consumed
+        var rCurKey: Any = null
+        lIt.map { lRow =>
+          val k = lKeyB.eval(lRow)
+          val t = lTsB.eval(lRow)
+          if (k == null || t == null) proj(joined(lRow, nullRight))
+          else {
+            var advancing = true
+            while (advancing && rNext != null) {
+              val nk = rKeyB.eval(rNext)
+              val c = keyOrd.compare(nk, k)
+              if (c < 0 || (c == 0 && tsOrd.compare(rTsB.eval(rNext), t) <= 0)) {
+                rCur = rNext.copy(); rCurKey = nk
+                rNext = nextRight()
+              } else advancing = false
+            }
+            val r = if (rCur != null && keyOrd.compare(rCurKey, k) == 0) rCur
+              else nullRight
+            proj(joined(lRow, r))
+          }
         }
       }
     }
@@ -125,9 +139,10 @@ object AsofJoinNative {
         throw new IllegalArgumentException(s"no column $n"))
     val (lk, lt) = (attr(lp, leftKey), attr(lp, leftTs))
     val (rk, rt) = (attr(rp, rightKey), attr(rp, rightTs))
-    require(lk.dataType == LongType && lt.dataType == LongType &&
-      rk.dataType == LongType && rt.dataType == LongType,
-      "asofJoinNative v1 requires LongType key/ts")
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(lk.dataType) &&
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(lt.dataType) &&
+      lk.dataType == rk.dataType && lt.dataType == rt.dataType,
+      "asofJoinNative requires matching orderable key/ts types")
     GraftBridge.ofRows(spark, AsofJoinPlan(lp, rp, lk, rk, lt, rt))
   }
 }

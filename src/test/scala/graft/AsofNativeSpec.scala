@@ -54,6 +54,23 @@ class AsofNativeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2)
   }
 
+  test("generic types: string keys + timestamp ts; nulls never match") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq(("u1", ts("2026-01-01 10:00:00"), 1L),
+      ("u2", ts("2026-01-01 11:00:00"), 2L),
+      (null.asInstanceOf[String], ts("2026-01-01 12:00:00"), 3L))
+      .toDF("k", "t", "lv")
+    val r = Seq(("u1", ts("2026-01-01 09:30:00"), 7.0),
+      ("u3", ts("2026-01-01 09:00:00"), 8.0))
+      .toDF("rk", "rt", "rv")
+    val out = AsofJoinNative.asofJoinNative(l, r, "k", "rk", "t", "rt")
+      .select("lv", "rv").as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(7.0))))
+    assert(out(1) == ((2L, None)))
+    assert(out(2) == ((3L, None))) // null key → null-joined, not dropped
+  }
+
   test("edge semantics: equal timestamps match; empty right side → all nulls") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "t", "lv")
