@@ -46,6 +46,31 @@ object Runner {
         .option("header", "true").csv(s"$baseDir/$name")
   }
 
+  /** Atomic-publish parquet sink (the Delta-style upgrade of the
+    * reference's marker files, SURVEY §1.4): writes into a staging dir,
+    * then atomically renames it over the target and drops a `_COMMIT`
+    * manifest (run date + part list). Readers either see the previous
+    * complete version or the new one — never a partial write; a crashed
+    * job leaves only an ignorable staging dir. */
+  final case class AtomicParquetSink(baseDir: String, runTag: String) extends Sink {
+    def write(df: DataFrame, name: String): Unit = {
+      val target = Paths.get(s"$baseDir/$name")
+      val staging = Paths.get(s"$baseDir/.staging-$name-$runTag")
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val parts = Files.list(staging).filter(_.toString.endsWith(".parquet"))
+        .map[String](_.getFileName.toString).sorted().toArray.mkString("\n")
+      Files.writeString(staging.resolve("_COMMIT"), s"$runTag\n$parts\n")
+      // atomic swap: old version (if any) moved aside, staging renamed in
+      val old = Paths.get(s"$baseDir/.old-$name-$runTag")
+      if (Files.exists(target)) Files.move(target, old)
+      Files.move(staging, target) // atomic on a posix filesystem
+      if (Files.exists(old)) {
+        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
+  }
+
   /** K4 analog: JDBC full-replace (drop+recreate = pandas
     * `if_exists="replace"`). No database ships in this sandbox, so this
     * sink is exercised only for its plan construction in specs. */

@@ -34,6 +34,25 @@ class RunnerSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(marker) == "2026-08-12")
   }
 
+  test("atomic sink: commit manifest present, old version fully replaced") {
+    val out = java.nio.file.Files.createTempDirectory("runner-atomic").toString
+    val sink = Runner.AtomicParquetSink(out, "r1")
+    val r1 = Runner.run(spark, dir, sink)
+    assert(r1.statuses.values.forall(_.isRight))
+    val commit = java.nio.file.Paths.get(s"$out/attack/_COMMIT")
+    assert(java.nio.file.Files.readString(commit).startsWith("r1\n"))
+    val n1 = spark.read.parquet(s"$out/attack").count()
+    // second publish replaces atomically; no staging/old dirs remain
+    val r2 = Runner.run(spark, dir, Runner.AtomicParquetSink(out, "r2"))
+    assert(r2.statuses.values.forall(_.isRight))
+    assert(java.nio.file.Files.readString(commit).startsWith("r2\n"))
+    assert(spark.read.parquet(s"$out/attack").count() == n1)
+    val stray = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .filter(p => p.getFileName.toString.startsWith(".staging") ||
+        p.getFileName.toString.startsWith(".old"))
+    assert(stray.count() == 0)
+  }
+
   test("partitioned parquet sink round-trips with partition pruning layout") {
     val out = java.nio.file.Files.createTempDirectory("runner-parq").toString
     val report = Runner.run(spark, dir,
