@@ -269,7 +269,30 @@ object BreadthQueries {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
       |ORDER BY rf, ls""".stripMargin
 
+  /** Scalar + correlated scalar subqueries through the SQL entry point:
+    * customers above the global average balance, with their distance from
+    * their nation's average (Catalyst decorrelates the inner query into a
+    * join — no per-row execution). Deterministic decimal-avg on both
+    * engines; the statement runs verbatim on both. */
+  def subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Catalog.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(subqueriesSql)
+  }
+
+  private val subqueriesSql =
+    """SELECT c_custkey, c_acctbal,
+      |  c_acctbal - (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |                      / COUNT(*)
+      |               FROM customer c2
+      |               WHERE c2.c_nationkey = c.c_nationkey) AS above_nation_avg
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |                          / COUNT(*) FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q32_subqueries", subqueries, Some(subqueriesSql),
+      "scalar + correlated scalar subqueries (decorrelated by Catalyst)"),
     Q("q31_grouping_sets", groupingSets, Some(groupingSetsSql),
       "explicit GROUPING SETS via spark.sql — same statement runs on both engines"),
     Q("q20_semi_join", semiJoin, Some(semiJoinSql), "left-semi join (EXISTS)"),
