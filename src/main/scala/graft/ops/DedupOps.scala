@@ -173,6 +173,52 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken): k-gram
+    * rolling hashes over the token stream, then the minimum hash of every
+    * sliding window of `w` consecutive k-grams (rightmost tie-break),
+    * deduplicated per document. Guarantees any shared run of ≥ w+k-1
+    * tokens contributes a shared fingerprint, with ~2/(w+1) sampling
+    * density. Same compiled partition-local shape as [[hashedShingles]];
+    * output (doc_id, fp) longs, no payload shuffle. */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(' ')
+          val n = toks.length - k + 1
+          if (n < 1) Iterator.empty
+          else {
+            val kh = new Array[Long](n)
+            val th = toks.map { t =>
+              val lo = MurmurHash3.stringHash(t, 0x12345678)
+              val hi = MurmurHash3.stringHash(t, 0x9747b28c)
+              (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+            }
+            var i = 0
+            while (i < n) {
+              var h = -7046029254386353131L
+              var j = 0
+              while (j < k) { h = h * 31 ^ th(i + j); j += 1 }
+              kh(i) = h; i += 1
+            }
+            val seen = new java.util.HashSet[java.lang.Long]()
+            val out = Array.newBuilder[(Long, Long)]
+            i = 0
+            while (i + w <= n) { // window of w k-gram hashes
+              var m = kh(i); var j = 1
+              while (j < w) { if (kh(i + j) <= m) m = kh(i + j); j += 1 }
+              if (seen.add(m)) out += ((id, m))
+              i += 1
+            }
+            out.result().iterator
+          }
+        }
+      }.toDF("doc_id", "fp")
+  }
+
   /** 64-bit SimHash per document from token hashes: bitwise majority vote
     * over xxhash64(token) — two shuffles, fully distributed. */
   def simhash(docs: DataFrame): DataFrame = {

@@ -103,5 +103,9 @@ object TextQueries {
     Q("q53_lang_id", langId, Some(langIdSql),
       "stopword-profile language identification"),
     Q("q54_fingerprint", fingerprint, None,
-      "xxhash64 document fingerprint (rows-only; spec-checked)"))
+      "xxhash64 document fingerprint (rows-only; spec-checked)"),
+    Q("q55_winnowed_fingerprints",
+      (s, d) => graft.ops.DedupOps.winnowedFingerprints(docs(s, d))
+        .orderBy(col("doc_id"), col("fp")), None,
+      "winnowed k-gram rolling-hash fingerprints (rows-only; spec-checked)"))
 }

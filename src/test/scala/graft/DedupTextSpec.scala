@@ -49,6 +49,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("winnowed fingerprints: shared runs share prints; disjoint docs don't") {
+    val common = (1 to 30).map(i => s"shared$i").mkString(" ")
+    val d = Seq(
+      (1L, common + " tail1 a b c d e f g h"),
+      (2L, "head2 x y z w v u t s " + common),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fp = DedupOps.winnowedFingerprints(d, k = 5, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty)  // 30-token shared run ⇒ shared prints
+    assert((fp(1L) & fp(3L)).isEmpty)
+    // density ≈ 2/(w+1): far fewer prints than k-grams
+    assert(fp(3L).size < 36 && fp(3L).nonEmpty)
+    val fp2 = DedupOps.winnowedFingerprints(d.repartition(5), 5, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp == fp2)
+  }
+
   test("fingerprint: deterministic across partitionings and runs") {
     val f1 = TextOps.fingerprinted(docs).as[(Long, Long)].collect().toMap
     val f2 = TextOps.fingerprinted(docs.repartition(13)).as[(Long, Long)].collect().toMap
