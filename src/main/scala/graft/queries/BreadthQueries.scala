@@ -290,7 +290,37 @@ object BreadthQueries {
       |                          / COUNT(*) FROM customer)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Math scalar pack over IEEE-exact operations only (abs/ceil/floor/
+    * sqrt/round/%): exp/ln are deliberately absent — libm transcendentals
+    * are not correctly-rounded and differ across engines, so they cannot
+    * be hash-compared (they'd need a tolerance oracle). */
+  def mathPack(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - 50000).as("abs_dev"),
+        ceil(col("l_quantity") / 7).cast("long").as("qty_ceil7"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("price_k"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        (col("l_orderkey") % 97).as("key_mod"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val mathPackSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_extendedprice - 50000) AS abs_dev,
+      |  CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+      |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+      |  sqrt(l_extendedprice) AS price_sqrt,
+      |  round(l_extendedprice, 1) AS price_r1,
+      |  l_orderkey % 97 AS key_mod
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q33_math_pack", mathPack, Some(mathPackSql),
+      "IEEE-exact math scalars (abs/ceil/floor/sqrt/round/mod)"),
     Q("q32_subqueries", subqueries, Some(subqueriesSql),
       "scalar + correlated scalar subqueries (decorrelated by Catalyst)"),
     Q("q31_grouping_sets", groupingSets, Some(groupingSetsSql),
