@@ -28,14 +28,6 @@ object VectorOps {
   def scaled(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000000).cast("long"))
 
-  /** Exact long dot product of two equally-sized long arrays. */
-  def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-
-  /** Exact cosine from scaled-integer dot/norms (double only at the end). */
-  private def cosFromInts(dot: Column, n2a: Column, n2b: Column): Column =
-    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
-
   /** Brute-force exact cosine top-k neighbors for a set of query vectors.
     * Queries are broadcast; similarity is the fused codegen
     * [[graft.functions.ScaledIntCosine]] (bit-identical to the oracle's
