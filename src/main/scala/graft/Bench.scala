@@ -13,15 +13,22 @@ object Bench {
     // Untimed warmup: JVM/codegen/scan setup shouldn't be charged to
     // whichever query happens to run first.
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName; false }
+      // failed queries are reported with a negative wall time so a crash
+      // can never masquerade as a healthy timing
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

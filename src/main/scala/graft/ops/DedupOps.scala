@@ -146,11 +146,24 @@ object DedupOps {
 
   /** MinHash-LSH near-dup pairs, exact-verified: candidates collide in ≥1
     * band; each candidate pair is then verified with exact Jaccard over
-    * its shingles (no all-pairs stage anywhere). */
+    * its shingle sets (no all-pairs stage anywhere).
+    *
+    * Single-pass shape: ONE groupBy(doc_id) produces both the k minhashes
+    * and the doc's (deduped 8-byte-hash) shingle set, so the expensive
+    * shingling+shuffle subplan is identical under every consumer and
+    * Spark's ReuseExchange runs it once — no cache() to leak, nothing
+    * pinned in executor storage memory. Verification is then a hash join
+    * of candidate pairs against the compact doc→set table with
+    * `array_intersect` for |∩| (exact, integer). */
   def minhashLshPairs(docs: DataFrame, n: Int = 5, k: Int = 64, r: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sh = hashedShingles(docs, n).cache()
-    val bands = lshBands(minhashSignatures(sh, k), k, r)
+    val sh = hashedShingles(docs, n)
+    val mins = (0 until k).map(i => min(xxhash64(col("sh_h"), lit(i))).as(s"mh_$i"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(mins.head, (mins.tail :+ collect_set(col("sh_h")).as("shs")): _*)
+    val bands = lshBands(sig, k, r)
+    val docsets = sig.select(col("doc_id"), col("shs"),
+      size(col("shs")).cast("long").as("n_sh"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -158,17 +171,14 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = cand
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh_h") === col("b.sh_h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(card.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(card.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    cand
+      .join(docsets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(docsets.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("a.shs"), col("b.shs"))).cast("long"))
       .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+        col("n_common").cast("double") /
+          (col("a.n_sh") + col("b.n_sh") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -75,20 +75,24 @@ object VectorOps {
     */
   def annTopK(emb: DataFrame, queryPred: Column, k: Int,
       nTables: Int = 6, nPlanes: Int = 5, dim: Int = 64): DataFrame = {
-    val tables = (0 until nTables).map { t =>
+    def perTable(vCol: String, out: String) = (0 until nTables).map { t =>
       val planes = hyperplanes(nPlanes, dim, seed = 42L + t)
-      struct(lit(t).as("tbl"), lshBucket(col("embedding"), planes).as("bucket"))
+      struct(lit(t).as("tbl"), lshBucket(col(vCol), planes).as(out))
     }
+    // Corpus side: streamed straight into the join — never cached. The
+    // query side re-derives its buckets from the (tiny, broadcast-bound)
+    // filtered rows instead of reusing the corpus plan, so nothing needs
+    // to be materialized in executor storage memory.
     val base = emb.select(col("vec_id"), col("embedding"),
-        explode(array(tables: _*)).as("tb"))
+        explode(array(perTable("embedding", "bucket"): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .cache() // reused by query side + probe join: bucket once, not twice
     val flips = lit(0) +: (0 until nPlanes).map(j => lit(1 << j))
-    val queries = base.filter(queryPred)
+    val queries = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("tbl"), explode(array(flips: _*)).as("flip"),
-        col("bucket").as("qbucket"))
+        explode(array(perTable("embedding", "qbucket"): _*)).as("tb"))
+      .select(col("query_id"), col("qv"), col("tb.tbl").as("tbl"),
+        explode(array(flips: _*)).as("flip"), col("tb.qbucket").as("qbucket"))
       .select(col("query_id"), col("qv"), col("tbl"),
         col("qbucket").bitwiseXOR(col("flip")).as("probe"))
     val w = Window.partitionBy(col("query_id"))

@@ -49,24 +49,40 @@ object Runner {
   /** Atomic-publish parquet sink (the Delta-style upgrade of the
     * reference's marker files, SURVEY §1.4): writes into a staging dir,
     * then atomically renames it over the target and drops a `_COMMIT`
-    * manifest (run date + part list). Readers either see the previous
-    * complete version or the new one — never a partial write; a crashed
-    * job leaves only an ignorable staging dir. */
+    * manifest (run date + part list). A crashed job leaves only an
+    * ignorable staging dir (plus, in the worst case, the `.old-` aside —
+    * see the window note below); a reader that finds `_COMMIT` has a
+    * complete version. */
   final case class AtomicParquetSink(baseDir: String, runTag: String) extends Sink {
     def write(df: DataFrame, name: String): Unit = {
       val target = Paths.get(s"$baseDir/$name")
       val staging = Paths.get(s"$baseDir/.staging-$name-$runTag")
       df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val parts = Files.list(staging).filter(_.toString.endsWith(".parquet"))
+      val listing = Files.list(staging)
+      val parts = try listing.filter(_.toString.endsWith(".parquet"))
         .map[String](_.getFileName.toString).sorted().toArray.mkString("\n")
+      finally listing.close()
       Files.writeString(staging.resolve("_COMMIT"), s"$runTag\n$parts\n")
-      // atomic swap: old version (if any) moved aside, staging renamed in
+      // Swap: old version moved aside, staging renamed in. Both moves
+      // request ATOMIC_MOVE so a cross-filesystem baseDir fails loudly
+      // instead of silently degrading to a copy. POSIX has no two-dir
+      // exchange rename, so there IS an instant between the two renames
+      // with no `target`; a crash there is rolled back below, and readers
+      // are expected to treat a missing dir as "retry", not "empty".
       val old = Paths.get(s"$baseDir/.old-$name-$runTag")
-      if (Files.exists(target)) Files.move(target, old)
-      Files.move(staging, target) // atomic on a posix filesystem
+      import java.nio.file.StandardCopyOption.ATOMIC_MOVE
+      if (Files.exists(target)) Files.move(target, old, ATOMIC_MOVE)
+      try Files.move(staging, target, ATOMIC_MOVE)
+      catch { case e: Throwable =>
+        if (Files.exists(old) && !Files.exists(target))
+          Files.move(old, target, ATOMIC_MOVE) // restore previous version
+        throw e
+      }
       if (Files.exists(old)) {
-        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(old)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
+        finally walk.close()
       }
     }
   }

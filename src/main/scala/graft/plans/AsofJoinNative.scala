@@ -105,7 +105,10 @@ object AsofJoinNative {
               val nk = rKeyB.eval(rNext)
               val c = keyOrd.compare(nk, k)
               if (c < 0 || (c == 0 && tsOrd.compare(rTsB.eval(rNext), t) <= 0)) {
-                rCur = rNext.copy(); rCurKey = nk
+                // Re-derive the key from the COPIED row: for non-primitive
+                // keys (UTF8String, Decimal) `nk` may point into a buffer the
+                // upstream sort iterator reuses once we advance past rNext.
+                rCur = rNext.copy(); rCurKey = rKeyB.eval(rCur)
                 rNext = nextRight()
               } else advancing = false
             }

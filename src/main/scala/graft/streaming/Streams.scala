@@ -44,15 +44,15 @@ object Streams {
 
   val GapUs: Long = 5 * 60 * 1000000L
 
-  /** Custom-state sessionizer: buffers a user's events in GroupState and
-    * emits gap-split sessions (5-minute inactivity, end = last + gap —
-    * the same semantics as session_window in EventQueries.sessions).
+  /** Custom-state sessionizer, BATCH form: flatMapGroupsWithState in a
+    * batch query sees each user's complete history exactly once (state
+    * starts empty, timeouts never fire), so emitting every gap-split
+    * session of the group is the correct-and-complete batch semantics —
+    * same output as session_window in EventQueries.sessions.
     *
-    * Batch-ordering note: within a micro-batch the iterator is unsorted,
-    * so events are sorted in-state before splitting; at scale the
-    * watermark-driven timeout variant evicts finished sessions instead of
-    * holding them until end-of-stream.
-    */
+    * This form must NOT be used under a real stream (it would re-emit
+    * open sessions every micro-batch and hold all events in state);
+    * the streaming surface is [[sessionizeStream]]. */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -60,16 +60,68 @@ object Streams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
-          val prev = state.getOption.map(_.events).getOrElse(Nil)
-          val all = (prev ++ it.map(e => (e.ts_us, e.value))).sortBy(_._1)
-          state.update(SessionState(all))
-          // emit nothing until the group is complete; the memory-sink spec
-          // drains with a final empty batch via state timeout — here we
-          // emit on every invocation and overwrite state, relying on the
-          // test harness reading the last batch. For production use the
-          // EventTimeTimeout variant.
+          val all = it.map(e => (e.ts_us, e.value)).toList.sortBy(_._1)
           splitSessions(uid, all).iterator
       }
+  }
+
+  /** Custom-state sessionizer, STREAMING form: EventTimeTimeout +
+    * watermark. Each invocation merges the state's open tail with the
+    * new events, splits on the 5-minute gap, and emits ONLY sessions the
+    * watermark has already closed (session end ≤ watermark — no later
+    * event can extend or create anything before it). Emitted sessions
+    * leave state; only the still-open tail is kept, and the timeout is
+    * armed at that tail's close time so the session is flushed by the
+    * watermark even if the user never returns. State per user is O(open
+    * session), emissions are exactly-once — the multi-batch StreamsSpec
+    * asserts no duplicates across micro-batches.
+    *
+    * `events` must carry an event-time `ts` timestamp column with
+    * `withWatermark` already applied (see [[sessionizeStreamFromRaw]]). */
+  def sessionizeStream(events: Dataset[EvT]): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[SessionState]) =>
+          val prev = state.getOption.map(_.events).getOrElse(Nil)
+          val incoming = it.map { e =>
+            val inst = e.ts.toInstant
+            (inst.getEpochSecond * 1000000L + inst.getNano / 1000L, e.value)
+          }.toList
+          val all = (prev ++ incoming).sortBy(_._1)
+          if (all.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val sessions = splitSessions(uid, all)
+            val (closed, open) = sessions.partition(_.sess_end_us <= wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              val keepFrom = open.head.sess_start_us
+              state.update(SessionState(all.filter(_._1 >= keepFrom)))
+              // flush when the watermark passes the open tail's close time;
+              // +1ms keeps the timeout strictly later than the watermark
+              // (µs→ms truncation could otherwise land exactly on it)
+              state.setTimeoutTimestamp(open.last.sess_end_us / 1000L + 1L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  case class EvT(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Convenience wrapper: raw event stream (catalog schema) → watermarked
+    * typed stream → [[sessionizeStream]]. */
+  def sessionizeStreamFromRaw(events: DataFrame,
+      watermarkDelay: String = "10 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    sessionizeStream(
+      events.select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", watermarkDelay)
+        .as[EvT])
   }
 
   /** Pure gap-split (shared by the stateful op and its spec oracle). */

@@ -32,6 +32,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sessionizer: EventTimeTimeout emits each session exactly once") {
+    val staged = java.nio.file.Files.createTempDirectory("events-sess-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = Streams.sessionizeStreamFromRaw(Streams.eventStream(spark, staged.toString))
+      .toDF().writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // Second micro-batch: one sentinel event far past every fixture ts
+    // pushes the watermark beyond every real session's close time, so the
+    // timeout path must flush every remaining open session.
+    val maxTsNs = spark.read.schema(graft.catalog.Catalog.events.schema)
+      .parquet(s"$dir/events.parquet")
+      .agg(max("ts")).as[Long].head()
+    val sentinelNs = maxTsNs + (Streams.GapUs + 100L * 1000000L) * 1000L
+    val tmpOut = java.nio.file.Files.createTempDirectory("sentinel-out")
+    Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = java.nio.file.Files.list(tmpOut)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("sess").filter($"user_id" >= 0)
+      .select("user_id", "sess_start_us", "sess_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // exactly once: no session may be emitted twice across micro-batches
+    assert(emitted.size == emitted.toSet.size)
+    val batch = EventQueries.sessions(spark, dir)
+      .select("user_id", "sess_start_us", "sess_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(emitted.toSet == batch)
+  }
+
   test("stateful sessionizer == session_window batch semantics") {
     val events = graft.catalog.Catalog.load(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
