@@ -18,6 +18,7 @@ object Registry {
     queries.CoreQueries.all ++
       queries.RefMartQueries.all ++
       queries.BreadthQueries.all ++
+      queries.AnalyticsQueries.all ++
       queries.WindowQueries.all ++
       queries.TextQueries.all ++
       queries.DedupQueries.all ++

@@ -229,6 +229,66 @@ object DedupOps {
       }.toDF("doc_id", "fp")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the exact-Jaccard
+    * pair graph, labels = min doc_id reachable (the canonical "keeper" of
+    * each dup cluster in a training-data pipeline). Iterative min-label
+    * propagation: lbl(u) ← min(lbl(u), min over neighbors lbl(v)) until
+    * fixpoint — O(component diameter) rounds, each one distributed join +
+    * aggregate, nothing collected to the driver. Each round is
+    * `localCheckpoint`ed: iterative plans otherwise nest one join per
+    * round and re-execute the whole chain at every convergence check
+    * (blocks of dropped rounds are freed by the ContextCleaner once
+    * unreferenced). At 100 TB you'd swap in the large-star/small-star
+    * variant (same primitive ops, fewer rounds on skewed graphs).
+    *
+    * Output: (doc_id, cluster_rep) for EVERY document — singletons map to
+    * themselves. Deterministic: fixpoint of min-propagation is exactly
+    * "min doc_id in my component". */
+  def dedupClusters(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
+      maxIters: Int = 25): DataFrame = {
+    val pairs = jaccardPairs(docs, n, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .select(labels("doc_id"),
+          least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.as("nx").join(labels.as("ol"), "doc_id")
+        .filter(col("nx.lbl") < col("ol.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
+  }
+
+  /** End-to-end corpus cleaning — the composed training-data pipeline:
+    * keep a document iff (1) its quality score clears `qualityMin`
+    * (TextOps.qualityScored: length/stopword/diversity mix), (2) it is
+    * its exact-dup group's keeper (min doc_id per sha256), and (3) it is
+    * its near-dup cluster's representative ([[dedupClusters]], which also
+    * covers exact dups of ≥n tokens — rule 2 catches the short ones).
+    * Output: (doc_id, lang, quality) of survivors. */
+  def corpusClean(docs: DataFrame, qualityMin: Double = 0.38): DataFrame = {
+    val quality = TextOps.qualityScored(docs).select(col("doc_id"), col("quality"))
+    val reps = dedupClusters(docs)
+      .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
+    val keepers = exactGroups(docs).select(col("keep_id").as("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(quality, "doc_id")
+      .filter(col("quality") >= qualityMin)
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
   /** 64-bit SimHash per document from token hashes: bitwise majority vote
     * over xxhash64(token) — two shuffles, fully distributed. */
   def simhash(docs: DataFrame): DataFrame = {

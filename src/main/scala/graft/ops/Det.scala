@@ -25,9 +25,17 @@ object Det {
   /** Order-independent average (decimal-sum ÷ count), returned as double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
-  /** Oracle-SQL fragment equivalents (DuckDB syntax). */
+  /** Oracle-SQL fragment equivalents (DuckDB syntax).
+    *
+    * The final decimal→double hop goes through VARCHAR: DuckDB's direct
+    * DECIMAL→DOUBLE cast divides two separately-rounded doubles
+    * (int128 unscaled, then /1e6) and is off by 1 ulp once the unscaled
+    * value exceeds 2^53 (~9e9 in the sum), while Spark's Decimal.toDouble
+    * is correctly rounded. VARCHAR→DOUBLE (strtod) is correctly rounded
+    * in DuckDB, so both engines land on the identical 64-bit value at any
+    * magnitude. */
   def sqlSum(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
   def sqlAvg(expr: String): String =
     s"(${sqlSum(expr)} / COUNT(*))"
 }

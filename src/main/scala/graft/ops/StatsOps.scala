@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Det._
+
+/** Second-moment statistics (variance / stddev / covariance / correlation)
+  * with exact cross-engine determinism.
+  *
+  * Built-in `stddev`/`corr` stream Welford-style updates whose result
+  * depends on partition merge order — fine numerically, but not
+  * hash-comparable across engines or even across two runs at different
+  * parallelism. Recipe here: accumulate the five raw moments (Σx, Σy,
+  * Σx², Σy², Σxy) as exact decimals (order-independent), cast once to
+  * double, and apply ONE closed-form IEEE expression per statistic —
+  * written as the same SQL text on both engines so the operation order
+  * is bit-identical. This is also the scale-correct shape: one partial+
+  * final hash aggregate over the fact table, no second pass for the mean.
+  */
+object StatsOps {
+
+  /** Grouped moment sums + derived stats for (x, y) per `key`. Output:
+    * key, n, mean_x, var_x, stddev_x, covar_xy, corr_xy. */
+  def momentStats(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    val m = df.groupBy(key).agg(
+      count(lit(1)).as("n"),
+      dsum(x).as("sx"), dsum(y).as("sy"),
+      dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+      dsum(x * y).as("sxy"))
+    // One closed-form double expression per stat — identical text runs on
+    // DuckDB (see AnalyticsQueries.statsPackSql), so IEEE op order matches.
+    // Every product is followed by a division (a - b*b/n): the textbook
+    // one-line corr formula (n*sxy - sx*sy) has bare mul-sub shapes that a
+    // -ffp-contract compiler fuses into FMAs — measured 1-ulp divergence
+    // vs the JVM — so corr is built from the division-guarded pieces.
+    m.selectExpr(
+        m.columns.head, "n",
+        "sx / n AS mean_x",
+        "(sxx - sx*sx/n) / (n - 1) AS var_x",
+        "(syy - sy*sy/n) / (n - 1) AS var_y",
+        "(sxy - sx*sy/n) / (n - 1) AS covar_xy")
+      .selectExpr(
+        m.columns.head, "n", "mean_x", "var_x",
+        "sqrt(var_x) AS stddev_x",
+        "covar_xy",
+        "covar_xy / (sqrt(var_x) * sqrt(var_y)) AS corr_xy")
+  }
+
+  /** Exact grouped percentiles by explicit rank selection (no engine
+    * quantile builtin: interpolation order differs across engines). The
+    * chosen ranks — lower/upper median, ceil(0.9·n) for p90 — and the
+    * final (lo+hi)/2 are the same integer/IEEE expressions on both sides.
+    * Plan shape: one window (rank + group size in a single shuffle) and
+    * one hash aggregate; at scale this is sort-within-group, no collect. */
+  def rankPercentiles(df: DataFrame, key: Column, v: Column, tiebreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(key.as("k"), v.as("v"), tiebreak.as("tb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v"), col("tb"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("k"))))
+    ranked.groupBy(col("k")).agg(
+        max(col("n")).as("n"),
+        max(when(expr("rn = (n + 1) div 2"), col("v"))).as("med_lo"),
+        max(when(expr("rn = (n + 2) div 2"), col("v"))).as("med_hi"),
+        max(when(expr("rn = cast(ceil(n * 0.9) as bigint)"), col("v"))).as("p90"))
+      .select(col("k"), col("n"),
+        ((col("med_lo") + col("med_hi")) / 2).as("median"), col("p90"))
+  }
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.Q
+import graft.catalog.Catalog
+import graft.ops.Det._
+import graft.ops.StatsOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 analytics surface: deterministic second-moment statistics,
+  * exact rank-based percentiles, array scalar pack, unpivot/melt, regex
+  * scalar pack. All oracle-checked (SURVEY §2.7 extensions).
+  */
+object AnalyticsQueries {
+
+  // ---- moment statistics (var/stddev/covar/corr) -----------------------
+
+  /** Grouped variance/stddev/covariance/correlation of (quantity, price)
+    * from exact decimal moment sums — see StatsOps for why the builtins
+    * (Welford, merge-order-dependent) can't be hash-compared. */
+  def statsPack(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.momentStats(
+        Catalog.load(spark, dir, "lineitem"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_returnflag"))
+
+  private val statsPackSql =
+    s"""WITH m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${sqlSum("l_quantity")} AS sx,
+       |    ${sqlSum("l_extendedprice")} AS sy,
+       |    ${sqlSum("l_quantity * l_quantity")} AS sxx,
+       |    ${sqlSum("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${sqlSum("l_quantity * l_extendedprice")} AS sxy
+       |  FROM lineitem GROUP BY 1
+       |)
+       |, v AS (
+       |  SELECT l_returnflag, n,
+       |    sx / n AS mean_x,
+       |    (sxx - sx*sx/n) / (n - 1) AS var_x,
+       |    (syy - sy*sy/n) / (n - 1) AS var_y,
+       |    (sxy - sx*sy/n) / (n - 1) AS covar_xy
+       |  FROM m
+       |)
+       |SELECT l_returnflag, n, mean_x, var_x,
+       |  sqrt(var_x) AS stddev_x,
+       |  covar_xy,
+       |  covar_xy / (sqrt(var_x) * sqrt(var_y)) AS corr_xy
+       |FROM v
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ---- exact percentiles by rank selection -----------------------------
+
+  /** Median + p90 of order totals per priority via explicit rank picks
+    * (window rank + one aggregate — engine quantile builtins interpolate
+    * in engine-specific op order and can't be hash-compared). */
+  def percentilePack(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.rankPercentiles(
+        Catalog.load(spark, dir, "orders"),
+        col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumnRenamed("k", "o_orderpriority")
+      .orderBy(col("o_orderpriority"))
+
+  private val percentilePackSql =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority, MAX(n) AS n,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN o_totalprice END)) / 2 AS median,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN o_totalprice END) AS p90
+      |FROM r
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- array scalar pack ------------------------------------------------
+
+  /** Array functions over tokenized documents: slice/join/contains/
+    * distinct/sort/element_at — the ArrayType scalar surface. */
+  def arrayPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Catalog.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    d.select(
+        col("doc_id"),
+        array_join(slice(toks, 1, 3), "_").as("first3"),
+        array_contains(toks, "the").as("has_the"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        array_join(slice(sort_array(array_distinct(toks)), 1, 5), "_").as("low5_sorted"),
+        element_at(toks, -1).as("last_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val arrayPackSql =
+    """SELECT doc_id,
+      |  array_to_string(string_split(text, ' ')[1:3], '_') AS first3,
+      |  list_contains(string_split(text, ' '), 'the') AS has_the,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '_') AS low5_sorted,
+      |  string_split(text, ' ')[-1] AS last_tok
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- unpivot / melt ---------------------------------------------------
+
+  /** Wide per-flag aggregates melted to (flag, metric, value) rows via the
+    * Dataset unpivot API (the inverse of q48's pivot). */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    val wide = li.groupBy(col("l_returnflag")).agg(
+      dsum(col("l_quantity")).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_price"),
+      count(lit(1)).cast("double").as("n_rows"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  private val unpivotMetricsSql =
+    s"""WITH w AS (
+       |  SELECT l_returnflag,
+       |    ${sqlSum("l_quantity")} AS sum_qty,
+       |    ${sqlSum("l_extendedprice")} AS sum_price,
+       |    CAST(COUNT(*) AS DOUBLE) AS n_rows
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT l_returnflag, metric, value FROM (
+       |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+       |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+       |  UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w
+       |)
+       |ORDER BY l_returnflag, metric""".stripMargin
+
+  // ---- regex scalar pack --------------------------------------------------
+
+  /** regexp extract / extract_all / replace / match over documents.
+    * Patterns kept in the Java∩RE2 common subset (character classes,
+    * quantifiers) so both engines' regex libraries agree. */
+  def regexPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Catalog.load(spark, dir, "documents")
+    d.select(
+        col("doc_id"),
+        coalesce(nullif(regexp_extract(col("text"), "[0-9]+", 0), lit(""))
+          .cast("long"), lit(-1L)).as("first_num"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_nums"),
+        length(regexp_replace(col("text"), "[a-z]+", "w")).cast("long").as("len_wmask"),
+        col("text").rlike("data").as("mentions_data"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val regexPackSql =
+    """SELECT doc_id,
+      |  COALESCE(CAST(nullif(regexp_extract(text, '[0-9]+'), '') AS BIGINT), -1) AS first_num,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+      |  CAST(length(regexp_replace(text, '[a-z]+', 'w', 'g')) AS BIGINT) AS len_wmask,
+      |  regexp_matches(text, 'data') AS mentions_data
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q34_stats_pack", statsPack, Some(statsPackSql),
+      "deterministic var/stddev/covar/corr from decimal moment sums"),
+    Q("q40_percentile_pack", percentilePack, Some(percentilePackSql),
+      "exact median/p90 via rank selection (window + aggregate)"),
+    Q("q41_array_pack", arrayPack, Some(arrayPackSql),
+      "array scalar functions over tokenized text"),
+    Q("q42_unpivot", unpivotMetrics, Some(unpivotMetricsSql),
+      "unpivot/melt of wide aggregates (inverse of pivot)"),
+    Q("q56_regex_pack", regexPack, Some(regexPackSql),
+      "regexp extract/extract_all/replace/match scalar pack"))
+}

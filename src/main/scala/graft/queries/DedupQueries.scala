@@ -53,6 +53,86 @@ object DedupQueries {
       |WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared oracle fragment: the exact-Jaccard pair graph (q61's CTEs)
+    * extended to undirected edges + recursive transitive closure. */
+  private val reachCtes =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      |  WHERE len(t) >= 5
+      |), card AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM common
+      |  JOIN card x ON doc_a = x.doc_id
+      |  JOIN card y ON doc_b = y.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= 0.5
+      |), edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      |)""".stripMargin
+
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupClusters(docs(spark, dir), n = 5, threshold = 0.5)
+      .orderBy(col("doc_id"))
+
+  private val clustersSql =
+    s"""WITH RECURSIVE $reachCtes
+       |SELECT d.doc_id,
+       |  CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT) AS cluster_rep
+       |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.corpusClean(docs(spark, dir), qualityMin = 0.38)
+      .orderBy(col("doc_id"))
+
+  private val corpusCleanSql = {
+    val stops = graft.ops.TextOps.stopwords("en").map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE $reachCtes, rep AS (
+       |  SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |), keeper AS (
+       |  SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY sha256(text)
+       |), tq AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), qc AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    COUNT(*) FILTER (tok IN ($stops)) AS n_stop,
+       |    COUNT(DISTINCT tok) AS n_distinct
+       |  FROM tq GROUP BY doc_id
+       |), qual AS (
+       |  SELECT doc_id,
+       |    least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+       |      + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+       |      + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3 AS quality
+       |  FROM qc
+       |)
+       |SELECT d.doc_id, d.lang, qual.quality
+       |FROM documents d
+       |JOIN qual ON qual.doc_id = d.doc_id
+       |JOIN rep ON rep.doc_id = d.doc_id
+       |WHERE qual.quality >= 0.38
+       |  AND rep.cluster_rep = d.doc_id
+       |  AND d.doc_id IN (SELECT keep_id FROM keeper)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashLshPairs(docs(spark, dir), n = 5, k = 64, r = 4, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -68,5 +148,9 @@ object DedupQueries {
     Q("q62_minhash_lsh", minhashLsh, None,
       "MinHash(64)+LSH(16x4) near-dup pairs, exact-verified (spec-checked)"),
     Q("q63_simhash", simhashSigs, None,
-      "64-bit SimHash signatures (spec-checked)"))
+      "64-bit SimHash signatures (spec-checked)"),
+    Q("q65_dedup_clusters", clusters, Some(clustersSql),
+      "connected-component dup clusters via min-label propagation (oracle: recursive CTE)"),
+    Q("q66_corpus_clean", corpusClean, Some(corpusCleanSql),
+      "composed pipeline: quality gate + exact keeper + near-dup cluster rep"))
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, StatsOps}
+
+/** Specs for the round-2 analytics ops: moment statistics vs hand
+  * computation, rank percentiles vs a known distribution, dup clustering
+  * (transitivity, singletons, determinism), corpus-clean rule logic.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("momentStats matches hand-computed variance/covariance/correlation") {
+    val df = Seq(
+      ("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0), ("g", 4.0, 8.0))
+      .toDF("k", "x", "y")
+    val r = StatsOps.momentStats(df, col("k"), col("x"), col("y"))
+      .collect().head
+    // x = 1..4: mean 2.5, sample var 5/3; y = 2x exactly correlated
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("mean_x") - 2.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_x") - 5.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("stddev_x") - math.sqrt(5.0 / 3)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("covar_xy") - 10.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("corr_xy") - 1.0) < 1e-12)
+  }
+
+  test("rankPercentiles: exact median for odd/even group sizes, p90 rank pick") {
+    val odd = (1 to 9).map(i => ("odd", i.toDouble, i.toLong))
+    val even = (1 to 10).map(i => ("even", i.toDouble, i.toLong))
+    val r = StatsOps.rankPercentiles(
+        (odd ++ even).toDF("g", "v", "id"), col("g"), col("v"), col("id"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("odd").getAs[Double]("median") == 5.0) // rn 5 both picks
+    assert(r("even").getAs[Double]("median") == 5.5) // (5 + 6) / 2
+    assert(r("odd").getAs[Double]("p90") == 9.0) // ceil(9*0.9) = 9
+    assert(r("even").getAs[Double]("p90") == 9.0) // ceil(10*0.9) = 9
+  }
+
+  test("dedupClusters: transitive chains collapse to min doc_id; singletons self-map") {
+    // a~b and b~c share ≥50% 3-gram shingles, a~c do not (transitivity
+    // must come from propagation, not the pair predicate)
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 zz"),
+      (3L, "yy w2 w3 w4 w5 zz"),
+      (9L, "a1 a2 a3 a4 a5 a6")).toDF("doc_id", "text")
+    val pairs = DedupOps.jaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L))) // chain, not clique
+    val reps = DedupOps.dedupClusters(docs, 3, 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("dedupClusters is partition-layout independent") {
+    val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = DedupOps.dedupClusters(docs).as[(Long, Long)].collect().toMap
+    val b = DedupOps.dedupClusters(docs.repartition(13)).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // every rep is a member of its own cluster and is its minimum
+    a.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep)
+    }
+  }
+
+  test("corpusClean: keeps only quality-cleared cluster reps and exact keepers") {
+    val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    val kept = DedupOps.corpusClean(docs, 0.38).select("doc_id")
+      .as[Long].collect().toSet
+    val reps = DedupOps.dedupClusters(docs)
+      .filter(col("doc_id") === col("cluster_rep"))
+      .select("doc_id").as[Long].collect().toSet
+    val keepers = DedupOps.exactGroups(docs)
+      .select("keep_id").as[Long].collect().toSet
+    val quality = graft.ops.TextOps.qualityScored(docs)
+      .filter(col("quality") >= 0.38).select("doc_id").as[Long].collect().toSet
+    assert(kept == (reps intersect keepers intersect quality))
+    assert(kept.nonEmpty && kept.size < docs.count())
+  }
+}
