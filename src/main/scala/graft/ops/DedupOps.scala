@@ -124,13 +124,77 @@ object DedupOps {
     * (An affine h·aᵢ+bᵢ mix would be cheaper still, but Spark 4 runs
     * ANSI mode by default and a wrapping long multiply throws
     * ARITHMETIC_OVERFLOW.) Signature i = min over the doc's shingles.
-    * One shuffle. */
+    * One shuffle. Relational formulation kept for the API surface; the
+    * hot path is [[minhashDocs]] (row-local, no shuffle). */
   def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
     val hashed =
       if (sh.columns.contains("sh_h")) sh
       else sh.withColumn("sh_h", xxhash64(col("shingle")))
     val mins = (0 until k).map(i => min(xxhash64(col("sh_h"), lit(i))).as(s"mh_$i"))
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** splitmix64-style avalanche of a shingle hash with a permutation
+    * index — the JVM-side minhash family (wrapping arithmetic is fine in
+    * compiled code; the SQL surface can't wrap under ANSI mode). */
+  @inline private def mix(h: Long, i: Int): Long = {
+    var z = h ^ (i.toLong * 0x9E3779B97F4A7C15L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-document MinHash signatures + shingle set in ONE compiled
+    * partition-local pass: (doc_id, mins: array<long>[k], shs: sorted
+    * distinct shingle hashes). A document's signature depends only on its
+    * own text, so there is NO shuffle here at all — each row is complete
+    * when the scan task finishes. The relational form ([[minhashSignatures]])
+    * shuffles every (doc, shingle) pair and evaluates k interpreted
+    * hash expressions per pair; this loop is the same math at
+    * k·|shingles| compiled ops, the shape a 100 TB corpus needs. */
+  def minhashDocs(docs: DataFrame, n: Int = 5, k: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(' ')
+          if (toks.length < n) (id, Array.fill(k)(Long.MaxValue), Array.empty[Long])
+          else {
+            val th = new Array[Long](toks.length)
+            var i = 0
+            while (i < toks.length) {
+              val lo = MurmurHash3.stringHash(toks(i), 0x12345678)
+              val hi = MurmurHash3.stringHash(toks(i), 0x9747b28c)
+              th(i) = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+              i += 1
+            }
+            val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
+            val mins = Array.fill(k)(Long.MaxValue)
+            i = 0
+            while (i <= toks.length - n) {
+              var h = -7046029254386353131L // same shingle hash as hashedShingles
+              var j = 0
+              while (j < n) { h = h * 31 ^ th(i + j); j += 1 }
+              if (seen.add(h)) {
+                var p = 0
+                while (p < k) {
+                  val m = mix(h, p)
+                  if (m < mins(p)) mins(p) = m
+                  p += 1
+                }
+              }
+              i += 1
+            }
+            val shs = new Array[Long](seen.size)
+            val itr = seen.iterator(); var s = 0
+            while (itr.hasNext) { shs(s) = itr.next(); s += 1 }
+            java.util.Arrays.sort(shs)
+            (id, mins, shs)
+          }
+        }
+      }.toDF("doc_id", "mins", "shs")
   }
 
   /** LSH banding: k minhashes → bands of r rows; band signature =
@@ -148,21 +212,25 @@ object DedupOps {
     * band; each candidate pair is then verified with exact Jaccard over
     * its shingle sets (no all-pairs stage anywhere).
     *
-    * Single-pass shape: ONE groupBy(doc_id) produces both the k minhashes
-    * and the doc's (deduped 8-byte-hash) shingle set, so the expensive
-    * shingling+shuffle subplan is identical under every consumer and
-    * Spark's ReuseExchange runs it once — no cache() to leak, nothing
-    * pinned in executor storage memory. Verification is then a hash join
-    * of candidate pairs against the compact doc→set table with
+    * Single-pass, shuffle-free signatures: [[minhashDocs]] computes each
+    * doc's k minhashes AND its shingle set row-locally in one compiled
+    * scan — the only shuffles left are the band self-join and the
+    * candidate verify join, both on compact keys. Verification is a hash
+    * join of candidate pairs against the doc→set table with
     * `array_intersect` for |∩| (exact, integer). */
   def minhashLshPairs(docs: DataFrame, n: Int = 5, k: Int = 64, r: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sh = hashedShingles(docs, n)
-    val mins = (0 until k).map(i => min(xxhash64(col("sh_h"), lit(i))).as(s"mh_$i"))
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(mins.head, (mins.tail :+ collect_set(col("sh_h")).as("shs")): _*)
-    val bands = lshBands(sig, k, r)
-    val docsets = sig.select(col("doc_id"), col("shs"),
+    // docs shorter than n tokens have no shingles — banding their
+    // sentinel signatures would collide them all with each other
+    val md = minhashDocs(docs, n, k).filter(size(col("shs")) > 0)
+    val bandCols = (0 until k / r).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64((b * r until (b + 1) * r).map(i =>
+          element_at(col("mins"), i + 1)): _*).as("band_hash"))
+    }
+    val bands = md.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val docsets = md.select(col("doc_id"), col("shs"),
       size(col("shs")).cast("long").as("n_sh"))
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -229,6 +297,37 @@ object DedupOps {
       }.toDF("doc_id", "fp")
   }
 
+  /** Exact n-gram Jaccard pairs over HASHED shingles: same semantics as
+    * [[jaccardPairs]] (modulo astronomically-unlikely 64-bit collisions),
+    * much cheaper plan — shingle sets come shuffle-free from
+    * [[minhashDocs]], the candidate self-join keys on 8-byte longs
+    * instead of shingle strings, and |∩| is an `array_intersect` against
+    * the compact doc→set table. The pair-graph builder for
+    * [[dedupClusters]]/[[corpusClean]]; [[jaccardPairs]] stays as the
+    * string-exact oracle path (q61). */
+  def jaccardPairsHashed(docs: DataFrame, n: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val md = minhashDocs(docs, n, k = 0).filter(size(col("shs")) > 0)
+    val sh = md.select(col("doc_id"), explode(col("shs")).as("sh_h"))
+    val docsets = md.select(col("doc_id"), col("shs"),
+      size(col("shs")).cast("long").as("n_sh"))
+    val cand = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docsets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(docsets.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("a.shs"), col("b.shs"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("a.n_sh") + col("b.n_sh") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the exact-Jaccard
     * pair graph, labels = min doc_id reachable (the canonical "keeper" of
     * each dup cluster in a training-data pipeline). Iterative min-label
@@ -246,14 +345,18 @@ object DedupOps {
     * "min doc_id in my component". */
   def dedupClusters(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
       maxIters: Int = 25): DataFrame = {
-    val pairs = jaccardPairs(docs, n, threshold)
+    val pairs = jaccardPairsHashed(docs, n, threshold)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v").localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+    // The loop runs ONLY over the dup-graph's vertices — at corpus scale
+    // near-dup vertices are a small fraction of all documents, so the
+    // iterated state is tiny; singletons rejoin at the end with rep=self.
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
       .localCheckpoint(true)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
@@ -266,7 +369,10 @@ object DedupOps {
       labels = next
       iter += 1
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_rep"))
   }
 
   /** End-to-end corpus cleaning — the composed training-data pipeline:

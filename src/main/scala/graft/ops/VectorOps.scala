@@ -114,19 +114,24 @@ object VectorOps {
   /** Deterministic k-means (Lloyd's) coarse-quantizer training: init from
     * the first k corpus vectors, then `iters` rounds of assign (broadcast
     * centroids, codegen cosine) + recompute (exact scaled-int means, like
-    * labelCentroids). Only the k tiny centroid vectors ever reach the
+    * labelCentroids). Training reads only a bounded deterministic prefix
+    * of the corpus (`trainCap` vectors) — standard IVF practice: the
+    * coarse quantizer needs a representative sample, never the full
+    * 100 TB corpus. Only the k tiny centroid vectors ever reach the
     * driver — the model, not the data — so the loop is cluster-safe. */
-  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2): Seq[(Int, Array[Float])] = {
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2,
+      trainCap: Int = 4096): Seq[(Int, Array[Float])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    var centroids: Seq[(Int, Array[Float])] = emb.filter(col("vec_id") < k)
+    val train = emb.filter(col("vec_id") < trainCap)
+    var centroids: Seq[(Int, Array[Float])] = train.filter(col("vec_id") < k)
       .orderBy("vec_id").select("embedding").as[Array[Float]]
       .collect().toSeq.zipWithIndex.map(_.swap)
     for (_ <- 0 until iters) {
       val cdf = broadcast(centroids.toDF("cell", "cv"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("__sim").desc, col("cell"))
-      val assigned = emb.select(col("vec_id"), col("embedding"))
+      val assigned = train.select(col("vec_id"), col("embedding"))
         .crossJoin(cdf)
         .withColumn("__sim", cosineSim(col("embedding"), col("cv")))
         .withColumn("__r", row_number().over(w))

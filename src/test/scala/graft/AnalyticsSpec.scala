@@ -56,6 +56,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
   }
 
+  test("jaccardPairsHashed == string-shingle jaccardPairs on the fixture corpus") {
+    val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = DedupOps.jaccardPairs(docs, 5, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val hashed = DedupOps.jaccardPairsHashed(docs, 5, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(hashed == exact)
+  }
+
   test("dedupClusters is partition-layout independent") {
     val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
     val a = DedupOps.dedupClusters(docs).as[(Long, Long)].collect().toMap
