@@ -112,6 +112,17 @@ object Catalog {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     byName(name).load(spark, sfDir)
 
+  /** Declared-schema CSV scan (S2 analog, reference dag-transform.py:
+    * 134-163): the catalog supplies the schema, so — unlike the
+    * reference's 19× `inferSchema=True` — reading CSV costs exactly one
+    * pass, same as parquet. Layout: `<csvDir>/<name>.csv/` as written by
+    * `df.write.option("header",true).csv(...)`. */
+  def loadCsv(spark: SparkSession, csvDir: String, name: String): DataFrame = {
+    val t = byName(name)
+    t.post(spark.read.schema(t.schema).option("header", "true")
+      .csv(s"$csvDir/${t.name}.csv"))
+  }
+
   /** Load every fixture table (used by pipelines / the runner). */
   def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     byName.map { case (n, t) => n -> t.load(spark, sfDir) }

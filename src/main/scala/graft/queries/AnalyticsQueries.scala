@@ -136,6 +136,58 @@ object AnalyticsQueries {
        |)
        |ORDER BY l_returnflag, metric""".stripMargin
 
+  // ---- deterministic sampling -------------------------------------------
+
+  /** Systematic 10% sample by key residue, then aggregate — the
+    * reproducible sampling surface. `sample()` / TABLESAMPLE is
+    * partition-layout-dependent and can't be cross-checked; keyed residue
+    * sampling is stable under any layout (at scale you'd residue a
+    * uniform key hash — same plan, engine-specific hash, so the
+    * cross-engine-checkable form uses the key itself). */
+  def systematicSample(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    o.filter(col("o_orderkey") % 10 === 3)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("volume"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val systematicSampleSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS volume
+       |FROM orders
+       |WHERE o_orderkey % 10 = 3
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  // ---- RANGE window frame -------------------------------------------------
+
+  /** Value-range window frame (vs q37-39's ROWS frames): per user, the
+    * count and exact sum of their events in the trailing 10 event-time
+    * minutes. Peers with equal ts fall in the same frame on both engines
+    * (RANGE semantics); the sum is decimal-accumulated so the frame's
+    * combine order can't flap the hash. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-600000000L, 0L)
+    e.select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("value").cast(graft.ops.Det.Dec)).over(w).cast("double").as("sum_10m"))
+      .orderBy(col("event_id"))
+  }
+
+  private val rangeFrameSql =
+    """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |  COUNT(*) OVER w AS n_10m,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_10m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+      |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // ---- regex scalar pack --------------------------------------------------
 
   /** regexp extract / extract_all / replace / match over documents.
@@ -171,6 +223,10 @@ object AnalyticsQueries {
       "array scalar functions over tokenized text"),
     Q("q42_unpivot", unpivotMetrics, Some(unpivotMetricsSql),
       "unpivot/melt of wide aggregates (inverse of pivot)"),
+    Q("q43_systematic_sample", systematicSample, Some(systematicSampleSql),
+      "deterministic keyed-residue sampling + aggregate"),
+    Q("q44_range_frame", rangeFrame, Some(rangeFrameSql),
+      "RANGE window frame (trailing 10 event-time minutes per user)"),
     Q("q56_regex_pack", regexPack, Some(regexPackSql),
       "regexp extract/extract_all/replace/match scalar pack"))
 }

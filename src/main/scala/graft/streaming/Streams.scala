@@ -124,6 +124,16 @@ object Streams {
         .as[EvT])
   }
 
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` keyed on
+    * event_id — the streaming twin of DedupOps.exactGroups for a
+    * continuously-ingested corpus. State holds only keys newer than the
+    * watermark (bounded, unlike a plain streaming dropDuplicates whose
+    * key state grows forever); duplicates arriving within the watermark
+    * window are suppressed exactly once. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Pure gap-split (shared by the stateful op and its spec oracle). */
   def splitSessions(uid: Long, sorted: Seq[(Long, Double)]): Seq[Session] = {
     if (sorted.isEmpty) return Nil

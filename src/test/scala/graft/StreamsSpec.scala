@@ -67,6 +67,25 @@ class StreamsSpec extends AnyFunSuite {
     assert(emitted.toSet == batch)
   }
 
+  test("streaming dedup-within-watermark suppresses re-ingested duplicates") {
+    val staged = java.nio.file.Files.createTempDirectory("events-dedup-stream")
+    // the same fixture file lands twice (re-ingestion): every event is a dup
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), staged.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), staged.resolve("b.parquet"))
+    val q = Streams.dedupStream(Streams.eventStream(spark, staged.toString))
+      .select("event_id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup").as[Long].collect()
+    val expected = graft.catalog.Catalog.load(spark, dir, "events")
+      .select(countDistinct("event_id")).as[Long].head()
+    assert(ids.length.toLong == expected) // each id exactly once
+    assert(ids.toSet.size == ids.length)
+  }
+
   test("stateful sessionizer == session_window batch semantics") {
     val events = graft.catalog.Catalog.load(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
