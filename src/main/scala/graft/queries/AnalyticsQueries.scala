@@ -214,6 +214,33 @@ object AnalyticsQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- Scala UDF surface --------------------------------------------------
+
+  /** The `udf()` tier, pinned by an oracle: a closure UDF is opaque to
+    * Catalyst (no pushdown through it, no codegen — PLANS shows the
+    * BatchEvalUDF break), so the engine reserves it for logic that
+    * genuinely can't be a Column expression; this query exists to pin
+    * the surface's semantics against the equivalent SQL. */
+  def udfScalar(spark: SparkSession, dir: String): DataFrame = {
+    val band = udf((b: Double) =>
+      if (b < 0) "neg" else if (b < 5000) "low" else "high")
+    val balK = udf((b: Double) => math.floor(math.abs(b) / 1000).toLong)
+    val c = Catalog.load(spark, dir, "customer")
+    c.select(col("c_custkey"),
+        band(col("c_acctbal")).as("bal_band"),
+        balK(col("c_acctbal")).as("bal_k"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val udfScalarSql =
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 'neg'
+      |       WHEN c_acctbal < 5000 THEN 'low'
+      |       ELSE 'high' END AS bal_band,
+      |  CAST(floor(abs(c_acctbal) / 1000) AS BIGINT) AS bal_k
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_stats_pack", statsPack, Some(statsPackSql),
       "deterministic var/stddev/covar/corr from decimal moment sums"),
@@ -228,5 +255,7 @@ object AnalyticsQueries {
     Q("q44_range_frame", rangeFrame, Some(rangeFrameSql),
       "RANGE window frame (trailing 10 event-time minutes per user)"),
     Q("q56_regex_pack", regexPack, Some(regexPackSql),
-      "regexp extract/extract_all/replace/match scalar pack"))
+      "regexp extract/extract_all/replace/match scalar pack"),
+    Q("q58_udf_scalar", udfScalar, Some(udfScalarSql),
+      "Scala closure UDFs pinned against the equivalent SQL"))
 }

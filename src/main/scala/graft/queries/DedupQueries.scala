@@ -133,6 +133,35 @@ object DedupQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Dedup observability: per-source duplicate rates — the summary a
+    * training-data pipeline reports after a dedup pass. One aggregate
+    * over content hashes, one rollup; text never shuffles. */
+  def dupStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("source"), sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("n")) - count(lit(1))).as("n_dupes"),
+        ((sum(col("n")) - count(lit(1))).cast("double") / sum(col("n")))
+          .as("dup_rate"))
+      .orderBy(col("source"))
+
+  private val dupStatsSql =
+    """WITH g AS (
+      |  SELECT source, sha256(text) AS h, COUNT(*) AS n
+      |  FROM documents GROUP BY 1, 2
+      |)
+      |SELECT source,
+      |  CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_unique,
+      |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dupes,
+      |  CAST(CAST(SUM(n) - COUNT(*) AS BIGINT) AS DOUBLE)
+      |    / CAST(SUM(n) AS BIGINT) AS dup_rate
+      |FROM g GROUP BY source
+      |ORDER BY source""".stripMargin
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashLshPairs(docs(spark, dir), n = 5, k = 64, r = 4, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -152,5 +181,7 @@ object DedupQueries {
     Q("q65_dedup_clusters", clusters, Some(clustersSql),
       "connected-component dup clusters via min-label propagation (oracle: recursive CTE)"),
     Q("q66_corpus_clean", corpusClean, Some(corpusCleanSql),
-      "composed pipeline: quality gate + exact keeper + near-dup cluster rep"))
+      "composed pipeline: quality gate + exact keeper + near-dup cluster rep"),
+    Q("q67_dup_stats", dupStats, Some(dupStatsSql),
+      "per-source duplicate-rate observability rollup"))
 }
