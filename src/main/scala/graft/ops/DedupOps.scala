@@ -342,33 +342,64 @@ object DedupOps {
     *
     * Output: (doc_id, cluster_rep) for EVERY document — singletons map to
     * themselves. Deterministic: fixpoint of min-propagation is exactly
-    * "min doc_id in my component". */
+    * "min doc_id in my component".
+    *
+    * Hybrid solver: the pair graph after near-dup filtering is orders of
+    * magnitude smaller than the corpus. If it has at most `driverEdgeCap`
+    * edges (default 2²⁰ ≈ 16 MB of longs) the driver runs exact
+    * union-find on the collected edge list and broadcasts the label map —
+    * no iteration rounds at all; only the model-sized labels, never
+    * documents, cross to the driver. Larger graphs fall back to the
+    * distributed loop. Both paths produce identical output (asserted in
+    * AnalyticsSpec). */
   def dedupClusters(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, driverEdgeCap: Long = 1L << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val pairs = jaccardPairsHashed(docs, n, threshold)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v").localCheckpoint(true)
-    // The loop runs ONLY over the dup-graph's vertices — at corpus scale
-    // near-dup vertices are a small fraction of all documents, so the
-    // iterated state is tiny; singletons rejoin at the end with rep=self.
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
-      .localCheckpoint(true)
-    var iter = 0
-    var converged = labels.isEmpty
-    while (!converged && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
-        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
-        .select(labels("doc_id"),
-          least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      converged = next.as("nx").join(labels.as("ol"), "doc_id")
-        .filter(col("nx.lbl") < col("ol.lbl")).isEmpty
-      labels = next
-      iter += 1
-    }
+    val nEdges = edges.count() // already materialized by the checkpoint
+    val labels: DataFrame =
+      if (nEdges == 0) spark.emptyDataset[(Long, Long)].toDF("doc_id", "lbl")
+      else if (nEdges <= driverEdgeCap) {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
+          r
+        }
+        edges.as[(Long, Long)].collect().foreach { case (u, v) =>
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        val verts = parent.keySet ++ parent.values
+        broadcast(verts.toSeq.sorted.map(x => (x, find(x))).toDF("doc_id", "lbl"))
+      } else {
+        // Distributed min-label propagation over the dup-graph's vertices
+        // only; singletons rejoin at the end with rep=self.
+        var lbl = edges.select(col("u").as("doc_id")).distinct()
+          .withColumn("lbl", col("doc_id"))
+          .localCheckpoint(true)
+        var iter = 0
+        var converged = false
+        while (!converged && iter < maxIters) {
+          val nbrMin = edges.join(lbl, edges("v") === lbl("doc_id"))
+            .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+          val next = lbl.join(nbrMin, lbl("doc_id") === nbrMin("u"), "left")
+            .select(lbl("doc_id"),
+              least(lbl("lbl"), coalesce(col("nbr_lbl"), lbl("lbl"))).as("lbl"))
+            .localCheckpoint(true)
+          converged = next.as("nx").join(lbl.as("ol"), "doc_id")
+            .filter(col("nx.lbl") < col("ol.lbl")).isEmpty
+          lbl = next
+          iter += 1
+        }
+        lbl
+      }
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -134,6 +134,21 @@ object Streams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Publish a streaming aggregation's complete-mode snapshots through
+    * the batch sink family: every micro-batch atomically swaps in a new
+    * committed version of `name` (AtomicParquetSink → staging write +
+    * ATOMIC_MOVE + `_COMMIT` manifest). Readers always see a whole
+    * snapshot; a crash mid-batch leaves the previous version in place.
+    * This is the streaming face of the reference's marker-file protocol
+    * (SURVEY §2.2 K5) — commit metadata instead of `_SUCCESS` probes. */
+  def publishSnapshots(agg: DataFrame, baseDir: String, name: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream.outputMode("complete")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipelines.Runner.AtomicParquetSink(baseDir, s"b$id")
+          .write(batch.toDF(), name)
+      }
+
   /** Pure gap-split (shared by the stateful op and its spec oracle). */
   def splitSessions(uid: Long, sorted: Seq[(Long, Double)]): Seq[Session] = {
     if (sorted.isEmpty) return Nil

@@ -65,6 +65,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(hashed == exact)
   }
 
+  test("dedupClusters: driver union-find == distributed label propagation") {
+    val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    val unionFind = DedupOps.dedupClusters(docs) // small graph → driver path
+    val propagated = DedupOps.dedupClusters(docs, driverEdgeCap = 0) // force loop
+    assert(unionFind.as[(Long, Long)].collect().toMap ==
+      propagated.as[(Long, Long)].collect().toMap)
+  }
+
   test("dedupClusters is partition-layout independent") {
     val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
     val a = DedupOps.dedupClusters(docs).as[(Long, Long)].collect().toMap

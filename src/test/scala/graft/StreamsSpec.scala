@@ -86,6 +86,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids.toSet.size == ids.length)
   }
 
+  test("streaming snapshots publish atomically through the batch sink family") {
+    val staged = java.nio.file.Files.createTempDirectory("events-snap-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("snap-out").toString
+    val q = Streams.publishSnapshots(
+        Streams.tumblingCounts(Streams.eventStream(spark, staged.toString)),
+        out, "tumbling")
+      .start()
+    q.processAllAvailable(); q.stop()
+    // committed version present, manifest intact, content == batch form
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/tumbling/_COMMIT")))
+    val published = spark.read.parquet(s"$out/tumbling")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = EventQueries.tumbling(spark, dir)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(published == batch)
+    // no leftover staging or old-version dirs
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[String](_.getFileName.toString).toArray.map(_.toString)
+      .filter(n => n.startsWith(".staging-") || n.startsWith(".old-"))
+    assert(leftovers.isEmpty)
+  }
+
   test("stateful sessionizer == session_window batch semantics") {
     val events = graft.catalog.Catalog.load(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
