@@ -85,4 +85,38 @@ object MediaOps {
         col("width"), col("height"), col("n_frames"), col("n_bytes"),
         col("features"))
   }
+
+  /** One sampled frame: position, size, content digest. */
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Int,
+      frame_md5: String)
+
+  /** Frame sampling: the decode stub's frame slices, flat-mapped to
+    * (media_id, frame_idx, size, md5) rows — the batch shape a video/audio
+    * pipeline hands to per-frame feature extraction. Partition-local
+    * flatMap; payload bytes never shuffle, only digests do. */
+  def frameSample(media: DataFrame): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
+      def md5Hex(b: Array[Byte]): String = {
+        md.reset()
+        val d = md.digest(b)
+        val out = new Array[Char](32)
+        var i = 0
+        while (i < 16) {
+          out(2 * i) = hex((d(i) >> 4) & 0xf); out(2 * i + 1) = hex(d(i) & 0xf)
+          i += 1
+        }
+        new String(out)
+      }
+      it.flatMap { m =>
+        val (_, _, _, frames) = decodeStub(m)
+        frames.iterator.zipWithIndex.map { case (f, i) =>
+          Frame(m.media_id, i, f.length, md5Hex(f))
+        }
+      }
+    }
+  }
 }

@@ -42,9 +42,31 @@ object MultimodalQueries {
         avg(col("feat_norm")).as("mean_feat_norm"))
       .orderBy(col("media_type"))
 
+  /** Frame sampling (oracle-checked): the stub slices payloads into
+    * 32-byte frames, so DuckDB can replicate positions/sizes/digests with
+    * substr + md5 over the (all-ASCII) source text. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.frameSample(
+        MediaOps.mediaFromDocuments(Catalog.load(spark, dir, "documents")))
+      .toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_bytes").cast("long").as("frame_bytes"), col("frame_md5"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  private val frameSampleSql =
+    """SELECT doc_id AS media_id,
+      |  CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(strlen(substr(text, CAST(i * 32 + 1 AS INT), 32)) AS BIGINT) AS frame_bytes,
+      |  md5(substr(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_md5
+      |FROM documents,
+      |  unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT))) AS u(i)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q75_media_meta", mediaMeta, Some(mediaMetaSql),
       "binary decode-stub metadata via typed mapPartitions (oracle on length-derived fields)"),
     Q("q76_media_feature_stats", mediaFeatureStats, None,
-      "per-type feature-vector stats (spec-checked determinism)"))
+      "per-type feature-vector stats (spec-checked determinism)"),
+    Q("q77_frame_sample", frameSample, Some(frameSampleSql),
+      "frame sampling: payload → 32-byte frames with digests (flatMap, no payload shuffle)"))
 }
