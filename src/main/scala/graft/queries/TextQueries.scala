@@ -88,6 +88,36 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** MapType surface: per-doc term-frequency MAP built with
+    * map_from_entries(collect_list(struct)), then probed with size /
+    * try_element_at (ANSI mode: plain element_at throws on a missing
+    * key). The map is a real column in the plan; the outputs project it
+    * back to scalars so DuckDB can check the values. */
+  def tfMap(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.exploded(docs(spark, dir))
+    t.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("tok"), col("c"))))).as("tf"))
+      .select(col("doc_id"),
+        size(col("tf")).cast("long").as("n_distinct_tokens"),
+        coalesce(try_element_at(col("tf"), lit("the")), lit(0L)).as("the_count"),
+        coalesce(try_element_at(col("tf"), lit("data")), lit(0L)).as("data_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tfMapSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |)
+      |SELECT doc_id,
+      |  COUNT(DISTINCT tok) AS n_distinct_tokens,
+      |  CAST(COUNT(*) FILTER (tok = 'the') AS BIGINT) AS the_count,
+      |  CAST(COUNT(*) FILTER (tok = 'data') AS BIGINT) AS data_count
+      |FROM t GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** xxhash64 fingerprint — engine-specific hash, rows-only check;
     * stability is asserted in TextOpsSpec. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -102,6 +132,8 @@ object TextQueries {
       "document quality scoring from exact counts"),
     Q("q53_lang_id", langId, Some(langIdSql),
       "stopword-profile language identification"),
+    Q("q57_map_pack", tfMap, Some(tfMapSql),
+      "MapType term-frequency column probed with size/try_element_at"),
     Q("q54_fingerprint", fingerprint, None,
       "xxhash64 document fingerprint (rows-only; spec-checked)"),
     Q("q55_winnowed_fingerprints",
