@@ -214,6 +214,29 @@ object AnalyticsQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- skew-salted join ---------------------------------------------------
+
+  /** Salted join surfaced as a query: lineitem (probe, potentially hot
+    * suppkeys) joins supplier through SkewOps.saltedJoin (deterministic
+    * salt, build side replicated ×8), then aggregates. The oracle is the
+    * PLAIN join — salting must be invisible in the result. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    val s = Catalog.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    graft.ops.SkewOps.saltedJoin(li, s, "l_suppkey", 8,
+        saltFrom = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("s_name"))
+  }
+
+  private val saltedJoinAggSql =
+    s"""SELECT s_name, COUNT(*) AS n_lines, ${sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_name
+       |ORDER BY s_name""".stripMargin
+
   // ---- Scala UDF surface --------------------------------------------------
 
   /** The `udf()` tier, pinned by an oracle: a closure UDF is opaque to
@@ -257,5 +280,7 @@ object AnalyticsQueries {
     Q("q56_regex_pack", regexPack, Some(regexPackSql),
       "regexp extract/extract_all/replace/match scalar pack"),
     Q("q58_udf_scalar", udfScalar, Some(udfScalarSql),
-      "Scala closure UDFs pinned against the equivalent SQL"))
+      "Scala closure UDFs pinned against the equivalent SQL"),
+    Q("q59_salted_join", saltedJoinAgg, Some(saltedJoinAggSql),
+      "skew-salted join (deterministic salt, x8 replication) == plain join"))
 }

@@ -118,7 +118,54 @@ object VectorQueries {
       |    (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Int8 scalar quantization of embeddings (the compression step before
+    * an ANN index ships to serving): per-dimension min/max over the
+    * corpus, codes = floor((x−min)/(max−min)·256) clamped to 255,
+    * midpoint dequantization, per-label reconstruction-error stats. All
+    * arithmetic is the same IEEE expression text on both engines; the
+    * error SUM uses the decimal recipe, MAX is order-independent. */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .selectExpr("vec_id", "label", "i0 + 1 AS i", "cast(xf as double) AS x")
+    val d = e.groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    e.join(d, "i")
+      .selectExpr("label", "x", "mn", "mx",
+        "least(floor(coalesce((x - mn) / nullif(mx - mn, 0.0), 0.0) * 256), 255.0) AS code")
+      .selectExpr("label", "abs(x - (mn + (code + 0.5) * (mx - mn) / 256)) AS err")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_values"),
+        (graft.ops.Det.dsum(col("err")) / count(lit(1))).as("mae"),
+        max(col("err")).as("max_err"))
+      .orderBy(col("label"))
+  }
+
+  private val int8QuantSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    unnest(range(1, len(embedding) + 1)) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings
+       |), d AS (
+       |  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY i
+       |), q AS (
+       |  SELECT e.label, e.x, d.mn, d.mx,
+       |    least(floor(coalesce((e.x - d.mn) / nullif(d.mx - d.mn, 0.0), 0.0) * 256), 255.0) AS code
+       |  FROM e JOIN d ON e.i = d.i
+       |), r AS (
+       |  SELECT label, abs(x - (mn + (code + 0.5) * (mx - mn) / 256)) AS err FROM q
+       |)
+       |SELECT label, COUNT(*) AS n_values,
+       |  ${graft.ops.Det.sqlSum("err")} / COUNT(*) AS mae,
+       |  MAX(err) AS max_err
+       |FROM r GROUP BY label
+       |ORDER BY label""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q78_int8_quant", int8Quant, Some(int8QuantSql),
+      "int8 embedding quantization + per-label reconstruction error"),
     Q("q64_embedding_near_dup", embeddingNearDup, Some(embeddingNearDupSql),
       "embedding-cosine near-dup pairs at τ=0.4 (exact scaled-int oracle)"),
     Q("q70_cosine_topk", cosineTopK, Some(cosineTopKSql),
