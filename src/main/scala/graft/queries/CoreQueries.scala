@@ -171,7 +171,125 @@ object CoreQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** TPC-H Q4-shaped priority check: date-windowed orders that have at
+    * least one late-shipped line — a semi join whose condition mixes the
+    * equi key with a non-equi predicate (l_shipdate > o_orderdate). */
+  def priorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+    val li = Catalog.load(spark, dir, "lineitem")
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val priorityCheckSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q8-shaped market share: per year, ASIA's fraction of global
+    * revenue — conditional aggregation over a two-fact join, with the
+    * share ratio computed from two deterministic decimal sums. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    val o = Catalog.load(spark, dir, "orders")
+    val c = Catalog.load(spark, dir, "customer")
+    val n = Catalog.load(spark, dir, "nation")
+    val r = Catalog.load(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(
+        dsum(when(col("r_name") === "ASIA",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+          .as("asia_revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      .withColumn("asia_share",
+        col("asia_revenue") / nullif(col("total_revenue"), lit(0.0)))
+      .orderBy(col("yr"))
+  }
+
+  private val marketShareSql =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  ${sqlSum("CASE WHEN r_name = 'ASIA' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS asia_revenue,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+       |  ${sqlSum("CASE WHEN r_name = 'ASIA' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       |    / nullif(${sqlSum("l_extendedprice * (1 - l_discount)")}, 0.0) AS asia_share
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY 1
+       |ORDER BY yr""".stripMargin
+
+  /** TPC-H Q9-shaped brand/year revenue: part + supplier joins into the
+    * fact table, grouped by brand and order year. */
+  def brandYearRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    val o = Catalog.load(spark, dir, "orders")
+    val p = Catalog.load(spark, dir, "part")
+    val s = Catalog.load(spark, dir, "supplier")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("p_brand"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("p_brand"), col("yr"))
+  }
+
+  private val brandYearRevenueSql =
+    s"""SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  COUNT(DISTINCT s_suppkey) AS n_suppliers
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY p_brand, 2
+       |ORDER BY p_brand, yr""".stripMargin
+
+  /** Correlated LATERAL subquery through the SQL entry point: per nation,
+    * its top-2 customers by balance. The statement runs VERBATIM on both
+    * engines (Catalyst plans the lateral as a rewritten join, DuckDB as a
+    * dependent join). */
+  def lateralTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Catalog.load(spark, dir, "nation").createOrReplaceTempView("nation")
+    Catalog.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(lateralTopCustomersSql)
+  }
+
+  private val lateralTopCustomersSql =
+    """SELECT n_name, c_name, c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey
+      |  LIMIT 2)
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q07_priority_check", priorityCheck, Some(priorityCheckSql),
+      "date-windowed semi join with non-equi condition (TPC-H Q4 shape)"),
+    Q("q08_market_share", marketShare, Some(marketShareSql),
+      "conditional-aggregation market share per year (TPC-H Q8 shape)"),
+    Q("q09_brand_year_revenue", brandYearRevenue, Some(brandYearRevenueSql),
+      "brand x year revenue over part/supplier joins (TPC-H Q9 shape)"),
+    Q("q49_lateral_topk", lateralTopCustomers, Some(lateralTopCustomersSql),
+      "correlated LATERAL subquery, verbatim statement on both engines"),
     Q("q05_agg_pack", aggPack, Some(aggPackSql),
       "min/max/avg/count aggregate surface"),
     Q("q06_approx_distinct", approxDistinct, None,
