@@ -51,6 +51,31 @@ object TextOps {
   def exploded(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
 
+  /** All word n-grams per document, NOT deduplicated (frequency-counting
+    * input, unlike DedupOps.shingles' distinct sets). Compiled
+    * partition-local loop — same rationale as shingling: the zip_with
+    * HOF formulation runs interpreted. */
+  def ngrams(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(' ')
+          if (toks.length < n) Iterator.empty
+          else (0 to toks.length - n).iterator.map { i =>
+            val sb = new java.lang.StringBuilder(64)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j)); j += 1
+            }
+            (id, sb.toString)
+          }
+        }
+      }.toDF("doc_id", "ngram")
+  }
+
   /** Quality score in [0,1]: length saturation + stopword density +
     * lexical diversity, all from exact counts. */
   def qualityScored(docs: DataFrame): DataFrame = {

@@ -118,6 +118,28 @@ object TextQueries {
       |FROM t GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus bigram frequencies (n-gram LM data prep): compiled n-gram
+    * emission, one aggregate, top-20 with deterministic tie-break. */
+  def bigramFreq(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ngrams(docs(spark, dir), 2)
+      .groupBy(col("ngram").as("bigram"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(20)
+
+  private val bigramFreqSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      |  FROM toks, unnest(range(1, len(t))) AS u(i)
+      |  WHERE len(t) >= 2
+      |)
+      |SELECT bigram, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+      |FROM bg GROUP BY bigram
+      |ORDER BY freq DESC, bigram
+      |LIMIT 20""".stripMargin
+
   /** xxhash64 fingerprint — engine-specific hash, rows-only check;
     * stability is asserted in TextOpsSpec. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -134,6 +156,8 @@ object TextQueries {
       "stopword-profile language identification"),
     Q("q57_map_pack", tfMap, Some(tfMapSql),
       "MapType term-frequency column probed with size/try_element_at"),
+    Q("q68_bigram_freq", bigramFreq, Some(bigramFreqSql),
+      "corpus bigram frequencies top-20 (n-gram LM data prep)"),
     Q("q54_fingerprint", fingerprint, None,
       "xxhash64 document fingerprint (rows-only; spec-checked)"),
     Q("q55_winnowed_fingerprints",
