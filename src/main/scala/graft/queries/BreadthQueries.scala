@@ -70,6 +70,101 @@ object BreadthQueries {
        |GROUP BY c_custkey
        |ORDER BY c_custkey""".stripMargin
 
+  /** FULL OUTER join: two disjoint-key aggregates stitched so unmatched
+    * sides survive from BOTH inputs (vs q22's left-outer). */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_big"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_urgent"))
+    big.join(urgent, Seq("k"), "full_outer")
+      .select(col("k").as("o_custkey"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val fullOuterJoinSql =
+    """WITH big AS (
+      |  SELECT o_custkey AS k, COUNT(*) AS n_big
+      |  FROM orders WHERE o_totalprice > 400000 GROUP BY 1
+      |), urgent AS (
+      |  SELECT o_custkey AS k, COUNT(*) AS n_urgent
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+      |)
+      |SELECT COALESCE(big.k, urgent.k) AS o_custkey,
+      |  COALESCE(n_big, 0) AS n_big,
+      |  COALESCE(n_urgent, 0) AS n_urgent
+      |FROM big FULL OUTER JOIN urgent ON big.k = urgent.k
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Explicit CROSS join of the two smallest dims (the deliberate
+    * cartesian surface — everything else in the engine joins on keys). */
+  def crossJoinDims(spark: SparkSession, dir: String): DataFrame = {
+    val r = Catalog.load(spark, dir, "region").select(col("r_name"))
+    val n = Catalog.load(spark, dir, "nation").select(col("n_name"))
+    r.crossJoin(n)
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val crossJoinDimsSql =
+    """SELECT r_name, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** unionByName with allowMissingColumns: two differently-shaped
+    * projections merge by NAME (missing columns null-filled) — schema
+    * evolution's everyday operation; positional union would silently
+    * misalign. */
+  def unionByNameQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    val a = o.filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 350000)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    a.unionByName(b, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  private val unionByNameSql =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority FROM (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus, NULL AS o_orderpriority
+      |  FROM orders WHERE o_totalprice > 450000
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice, NULL AS o_orderstatus
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+      |)
+      |ORDER BY o_orderkey, o_totalprice, o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Null-safe equality (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of vanishing — the semantics dedup pipelines need
+    * when the join key itself may be absent. */
+  def nullSafeEq(spark: SparkSession, dir: String): DataFrame = {
+    val d = Catalog.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("lang") === "und", lit(null)).otherwise(col("lang")).as("lg"))
+    val counts = d.groupBy(col("lg").as("lg2")).agg(count(lit(1)).as("n_lang"))
+    d.join(counts, col("lg") <=> col("lg2"))
+      .select(col("doc_id"), coalesce(col("lg"), lit("?")).as("lang_or_q"), col("n_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val nullSafeEqSql =
+    """WITH d AS (
+      |  SELECT doc_id, CASE WHEN lang = 'und' THEN NULL ELSE lang END AS lg
+      |  FROM documents
+      |), c AS (
+      |  SELECT lg, COUNT(*) AS n_lang FROM d GROUP BY lg
+      |)
+      |SELECT d.doc_id, COALESCE(d.lg, '?') AS lang_or_q, c.n_lang
+      |FROM d JOIN c ON d.lg IS NOT DISTINCT FROM c.lg
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- set operations -------------------------------------------------
 
   /** UNION (distinct) ∪ INTERSECT ∪ EXCEPT in one result: tags each
@@ -328,6 +423,14 @@ object BreadthQueries {
     Q("q20_semi_join", semiJoin, Some(semiJoinSql), "left-semi join (EXISTS)"),
     Q("q21_anti_join", antiJoin, Some(antiJoinSql), "left-anti join (NOT EXISTS)"),
     Q("q22_outer_join_agg", outerJoin, Some(outerJoinSql), "left-outer join preserving empty groups"),
+    Q("q69_full_outer", fullOuterJoin, Some(fullOuterJoinSql),
+      "full-outer join preserving unmatched rows from BOTH sides"),
+    Q("q79_cross_join", crossJoinDims, Some(crossJoinDimsSql),
+      "explicit cartesian product of the two smallest dims"),
+    Q("q83_union_by_name", unionByNameQ, Some(unionByNameSql),
+      "unionByName with missing-column null-fill (schema evolution)"),
+    Q("q84_null_safe_eq", nullSafeEq, Some(nullSafeEqSql),
+      "null-safe equality join (<=> / IS NOT DISTINCT FROM)"),
     Q("q23_set_ops", setOps, Some(setOpsSql), "union-distinct / intersect / except"),
     Q("q24_distinct", distinctOps, Some(distinctOpsSql), "dropDuplicates + countDistinct"),
     Q("q25_cube", cubeAgg, Some(cubeAggSql), "CUBE grouping sets"),
