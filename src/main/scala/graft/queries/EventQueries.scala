@@ -214,7 +214,30 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Event-time interval join (batch form of the stream-stream
+    * attribution join, Streams.viewPurchaseJoin — StreamsSpec asserts the
+    * streaming twin emits the identical set): each view matched to the
+    * same user's purchases within the next 10 minutes. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.viewPurchaseJoin(
+        Catalog.load(spark, dir, "events"), windowMinutes = 10)
+      .orderBy(col("view_id"), col("purchase_id"))
+
+  private val intervalJoinSql =
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+      |  epoch_ns(v.ts) // 1000 AS view_us,
+      |  epoch_ns(p.ts) // 1000 AS purchase_us,
+      |  p.value
+      |FROM events v JOIN events p
+      |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND v.user_id = p.user_id
+      |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+      |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 600000000
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q85_interval_join", intervalJoin, Some(intervalJoinSql),
+      "event-time interval join (batch twin of the stream-stream join)"),
     Q("q82_asof_join_native", asofNative, Some(asofSql),
       "as-of join via custom LogicalPlan+Strategy+BinaryExecNode (same oracle as q80)"),
     Q("q81_range_join", rangeJoinOrders, Some(rangeJoinSql),

@@ -134,6 +134,32 @@ object Streams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with event-time bounds: each view joins the
+    * purchases of the same user within the following `windowMinutes`.
+    * Both sides carry watermarks and the join condition bounds purchase
+    * time relative to view time, so Spark can size BOTH state stores and
+    * evict rows the watermark has passed — the join every attribution
+    * pipeline runs, in bounded memory. Batch twin: the identical join
+    * expression over the static events table (asserted in StreamsSpec). */
+  def viewPurchaseJoin(events: DataFrame, windowMinutes: Int = 10,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", watermarkDelay)
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"),
+        unix_micros(col("v_ts")).as("view_us"),
+        unix_micros(col("p_ts")).as("purchase_us"), col("value"))
+  }
+
   /** Publish a streaming aggregation's complete-mode snapshots through
     * the batch sink family: every micro-batch atomically swaps in a new
     * committed version of `name` (AtomicParquetSink → staging write +

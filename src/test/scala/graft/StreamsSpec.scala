@@ -86,6 +86,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids.toSet.size == ids.length)
   }
 
+  test("stream-stream view->purchase join == identical batch join") {
+    val staged = java.nio.file.Files.createTempDirectory("events-ssj-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = Streams.viewPurchaseJoin(Streams.eventStream(spark, staged.toString))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val batchEvents = graft.catalog.Catalog.load(spark, dir, "events")
+    val batch = Streams.viewPurchaseJoin(batchEvents) // same expr, batch plan
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming snapshots publish atomically through the batch sink family") {
     val staged = java.nio.file.Files.createTempDirectory("events-snap-stream")
     java.nio.file.Files.copy(
