@@ -59,4 +59,34 @@ class PropertySpec extends AnyFunSuite {
       assert(s(1) == s(7))
     }
   }
+
+  test("momentStats invariants: var ≥ 0, |corr| ≤ 1, corr(x,x) = 1") {
+    val pairGen = Gen.listOfN(20,
+      Gen.zip(Gen.chooseNum(-1e3, 1e3), Gen.chooseNum(-1e3, 1e3)))
+    for (rows <- samples(pairGen, 5) if rows.map(_._1).distinct.size > 1) {
+      val df = rows.map { case (x, y) => ("g", x, y) }.toDF("k", "x", "y")
+      val r = graft.ops.StatsOps.momentStats(df, col("k"), col("x"), col("y"))
+        .collect().head
+      assert(r.getAs[Double]("var_x") >= 0.0)
+      assert(math.abs(r.getAs[Double]("corr_xy")) <= 1.0 + 1e-12)
+      val self = graft.ops.StatsOps.momentStats(df, col("k"), col("x"), col("x"))
+        .collect().head
+      assert(math.abs(self.getAs[Double]("corr_xy") - 1.0) < 1e-9)
+    }
+  }
+
+  test("cluster reps: rep ≤ every member, reps are members, idempotent under relabel") {
+    val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    val m = graft.ops.DedupOps.dedupClusters(docs).as[(Long, Long)].collect().toMap
+    m.foreach { case (doc, rep) => assert(rep <= doc && m(rep) == rep) }
+  }
+
+  test("corpusClean output is a subset of documents with no duplicate texts") {
+    val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    val kept = graft.ops.DedupOps.corpusClean(docs, 0.38).select("doc_id").as[Long].collect().toSet
+    val texts = docs.filter(col("doc_id").isInCollection(kept))
+      .select("text").as[String].collect()
+    assert(texts.length == texts.distinct.length) // exact dups removed
+    assert(kept.subsetOf(docs.select("doc_id").as[Long].collect().toSet))
+  }
 }

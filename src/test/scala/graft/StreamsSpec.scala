@@ -86,6 +86,37 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids.toSet.size == ids.length)
   }
 
+  test("sessionizer state runs on the RocksDB state store provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val staged = java.nio.file.Files.createTempDirectory("events-rocksdb")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val q = Streams.sessionizeStreamFromRaw(Streams.eventStream(spark, staged.toString))
+        .toDF().writeStream.format("memory").queryName("sess_rocks")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val emitted = spark.table("sess_rocks")
+        .select("user_id", "sess_start_us", "sess_end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = EventQueries.sessions(spark, dir)
+        .select("user_id", "sess_start_us", "sess_end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // single batch, no sentinel: watermark-closed sessions only — must
+      // be a nonempty exact subset of the batch session set
+      assert(emitted.nonEmpty && emitted.subsetOf(batch))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream view->purchase join == identical batch join") {
     val staged = java.nio.file.Files.createTempDirectory("events-ssj-stream")
     java.nio.file.Files.copy(
