@@ -24,8 +24,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Runner {
 
-  /** Pluggable sink family (K1-K5 analogs, SURVEY §2.2). */
-  sealed trait Sink { def write(df: DataFrame, name: String): Unit }
+  /** Pluggable sink family (K1-K5 analogs, SURVEY §2.2) — open for
+    * user-defined sinks (a "pluggable" family can't be sealed). */
+  trait Sink { def write(df: DataFrame, name: String): Unit }
 
   /** K2 analog: partitioned parquet, idempotent overwrite. */
   final case class PartitionedParquetSink(baseDir: String, partitionCols: Seq[String])

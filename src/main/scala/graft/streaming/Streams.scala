@@ -142,7 +142,8 @@ object Streams {
     * pipeline runs, in bounded memory. Batch twin: the identical join
     * expression over the static events table (asserted in StreamsSpec). */
   def viewPurchaseJoin(events: DataFrame, windowMinutes: Int = 10,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
@@ -154,11 +155,22 @@ object Streams {
     views.join(purchases,
       col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"),
         unix_micros(col("v_ts")).as("view_us"),
         unix_micros(col("p_ts")).as("purchase_us"), col("value"))
   }
+
+  /** LEFT OUTER stream-stream join: unconverted views emit with null
+    * purchase columns — but only once the watermark proves no purchase
+    * can still arrive inside the window (the time bound is what makes an
+    * outer streaming join well-defined at all). Same builder as the inner
+    * form; StreamsSpec drives it across micro-batches with a sentinel to
+    * force the null-emitting path. */
+  def viewPurchaseJoinOuter(events: DataFrame, windowMinutes: Int = 10,
+      watermarkDelay: String = "10 seconds"): DataFrame =
+    viewPurchaseJoin(events, windowMinutes, watermarkDelay, "left_outer")
 
   /** Publish a streaming aggregation's complete-mode snapshots through
     * the batch sink family: every micro-batch atomically swaps in a new

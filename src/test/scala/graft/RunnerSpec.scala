@@ -34,6 +34,24 @@ class RunnerSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(marker) == "2026-08-12")
   }
 
+  test("per-mart error isolation: one failing sink → Left, others complete, no marker") {
+    val out = java.nio.file.Files.createTempDirectory("runner-isolate").toString
+    final case class FailOn(inner: Runner.Sink, name: String) extends Runner.Sink {
+      def write(df: org.apache.spark.sql.DataFrame, n: String): Unit =
+        if (n == name) throw new RuntimeException("injected sink failure")
+        else inner.write(df, n)
+    }
+    val report = Runner.run(spark, dir,
+      FailOn(Runner.PartitionedParquetSink(out, Nil), "defense"),
+      markerDir = Some(out))
+    assert(report.statuses("defense").isLeft)
+    assert(report.statuses("attack").isRight)
+    assert(report.statuses("discipline").isRight)
+    // partial success must NOT publish the completion marker
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/transform_SUCCESS")))
+  }
+
   test("atomic sink: commit manifest present, old version fully replaced") {
     val out = java.nio.file.Files.createTempDirectory("runner-atomic").toString
     val sink = Runner.AtomicParquetSink(out, "r1")

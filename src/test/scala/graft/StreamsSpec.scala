@@ -134,6 +134,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("outer stream-stream join emits unmatched views after the watermark") {
+    val staged = java.nio.file.Files.createTempDirectory("events-ssj-outer")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = Streams.viewPurchaseJoinOuter(Streams.eventStream(spark, staged.toString))
+      .writeStream.format("memory").queryName("ssjo")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // sentinel far in the future closes every view's window → all
+    // unmatched views must flush with null purchase columns
+    val maxTsNs = spark.read.schema(graft.catalog.Catalog.events.schema)
+      .parquet(s"$dir/events.parquet").agg(max("ts")).as[Long].head()
+    val sentinelNs = maxTsNs + 3600L * 1000000000L
+    val tmpOut = java.nio.file.Files.createTempDirectory("ssjo-sentinel")
+    Seq((-1L, sentinelNs, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = java.nio.file.Files.list(tmpOut)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssjo").filter($"user_id" >= 0)
+      .as[(Long, Option[Long], Long, Long, Option[Long], Option[Double])]
+      .collect().toSet
+    val batch = Streams.viewPurchaseJoinOuter(
+        graft.catalog.Catalog.load(spark, dir, "events"))
+      .as[(Long, Option[Long], Long, Long, Option[Long], Option[Double])]
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists(_._2.isEmpty)) // null-emitting path exercised
+  }
+
   test("streaming snapshots publish atomically through the batch sink family") {
     val staged = java.nio.file.Files.createTempDirectory("events-snap-stream")
     java.nio.file.Files.copy(
