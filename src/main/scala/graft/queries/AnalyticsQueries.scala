@@ -264,7 +264,55 @@ object AnalyticsQueries {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- GROUP BY ALL (verbatim SQL) -----------------------------------
+
+  /** GROUP BY ALL through the SQL entry point — the statement runs
+    * verbatim on both engines (like q31/q32): every non-aggregate select
+    * item becomes a grouping key. */
+  def groupByAll(spark: SparkSession, dir: String): DataFrame = {
+    Catalog.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(groupByAllSql)
+  }
+
+  private val groupByAllSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS volume
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---- try_* error-safe scalars ----------------------------------------
+
+  /** ANSI-safe scalar surface: under Spark 4's default ANSI mode,
+    * division by zero and bad casts THROW; `try_divide`/`try_cast` return
+    * NULL instead — the semantics the oracle side expresses with
+    * nullif/TRY_CAST. Pins the engine's error-safe forms cross-engine. */
+  def tryPack(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_extendedprice, l_linenumber - 1)").as("per_prev_line"),
+        // decimal stays in-plan; the OUTPUT is double (decimal output
+        // columns sort as strings on one side of the compare harness)
+        expr("cast(try_cast(concat('', l_quantity) AS decimal(4,1)) as double)")
+          .as("qty_d"),
+        expr("try_add(l_orderkey, 1)").as("next_key"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val tryPackSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice / nullif(l_linenumber - 1, 0) AS per_prev_line,
+      |  CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(4,1)) AS DOUBLE) AS qty_d,
+      |  l_orderkey + 1 AS next_key
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q86_group_by_all", groupByAll, Some(groupByAllSql),
+      "GROUP BY ALL, verbatim statement on both engines"),
+    Q("q87_try_pack", tryPack, Some(tryPackSql),
+      "error-safe try_divide/try_cast/try_add under ANSI mode"),
     Q("q34_stats_pack", statsPack, Some(statsPackSql),
       "deterministic var/stddev/covar/corr from decimal moment sums"),
     Q("q40_percentile_pack", percentilePack, Some(percentilePackSql),
