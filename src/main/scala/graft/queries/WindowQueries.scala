@@ -69,6 +69,34 @@ object WindowQueries {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Value-position window functions: first/last/nth over an explicit
+    * full-partition frame (last_value's default frame ends at CURRENT ROW
+    * — the classic silent-wrong-answer — so the frame is spelled out) on
+    * a total order. */
+  def valueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        first(col("o_totalprice")).over(w).as("top_price"),
+        last(col("o_totalprice")).over(w).as("bottom_price"),
+        nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val valueWindowsSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  first_value(o_totalprice) OVER w AS top_price,
+      |  last_value(o_totalprice) OVER w AS bottom_price,
+      |  nth_value(o_totalprice, 3) OVER w AS third_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Running (cumulative) sum per user over event time — decimal-cast so
     * the accumulation is order-independent-exact. */
   def runningSum(spark: SparkSession, dir: String): DataFrame = {
@@ -147,5 +175,7 @@ object WindowQueries {
     Q("q38_lag_lead", lagLead, Some(lagLeadSql),
       "lag/lead + µs event gaps"),
     Q("q39_moving_avg", movingAvg, Some(movingAvgSql),
-      "bounded rows frame moving aggregate"))
+      "bounded rows frame moving aggregate"),
+    Q("q88_value_windows", valueWindows, Some(valueWindowsSql),
+      "first/last/nth_value over explicit full-partition frames"))
 }

@@ -52,6 +52,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scans(plan(RefMartQueries.disciplineFused(spark, dir))) <= 2)
   }
 
+  test("observe(): execution metrics collected in the same pass as the action") {
+    val obs = new org.apache.spark.sql.Observation()
+    val li = graft.catalog.Catalog.load(spark, dir, "lineitem")
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+    val n = li.count()
+    // metrics ride the same job — no second scan for pipeline accounting
+    assert(obs.get("n_rows").asInstanceOf[Long] == n)
+  }
+
   test("cosine top-k: custom expression in-plan + partial window top-k") {
     val p = plan(graft.queries.VectorQueries.cosineTopK(spark, dir))
     assert(p.contains("scaledintcosine")) // the codegen expression, fused in Project
