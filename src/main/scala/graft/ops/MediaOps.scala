@@ -86,6 +86,29 @@ object MediaOps {
         col("features"))
   }
 
+  /** Resize result: original + target dimensions and the resized payload
+    * size (stub: 3 bytes/pixel RGB). */
+  case class Resized(media_id: Long, width: Int, height: Int,
+      new_w: Int, new_h: Int, resized_bytes: Long)
+
+  /** Aspect-preserving resize into a `box`×`box` bounding box — STUB like
+    * decode: the dimension arithmetic (the part a pipeline plans around:
+    * shapes, batch memory) is real and oracle-checkable; the pixel
+    * resample would live where `decodeStub` links a codec. Partition-
+    * local map, no shuffle. */
+  def resizeStub(media: DataFrame, box: Int = 64): Dataset[Resized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      val (w, h, _, _) = decodeStub(m)
+      val mx = math.max(w, h)
+      val scale = if (mx > box) box.toDouble / mx else 1.0
+      val nw = math.max(1, math.floor(w * scale).toInt)
+      val nh = math.max(1, math.floor(h * scale).toInt)
+      Resized(m.media_id, w, h, nw, nh, nw.toLong * nh * 3)
+    })
+  }
+
   /** One sampled frame: position, size, content digest. */
   case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Int,
       frame_md5: String)

@@ -68,5 +68,43 @@ object MultimodalQueries {
     Q("q76_media_feature_stats", mediaFeatureStats, None,
       "per-type feature-vector stats (spec-checked determinism)"),
     Q("q77_frame_sample", frameSample, Some(frameSampleSql),
-      "frame sampling: payload → 32-byte frames with digests (flatMap, no payload shuffle)"))
+      "frame sampling: payload → 32-byte frames with digests (flatMap, no payload shuffle)"),
+    Q("q89_media_resize", mediaResize, Some(mediaResizeSql),
+      "aspect-preserving resize dimensions into a 64px box (stubbed resample)"))
+
+  /** Resize path (oracle-checked on the dimension arithmetic — same IEEE
+    * scale expression on both engines). */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.resizeStub(
+        MediaOps.mediaFromDocuments(Catalog.load(spark, dir, "documents")))
+      .toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("new_w").cast("long").as("new_w"),
+        col("new_h").cast("long").as("new_h"),
+        col("resized_bytes"))
+      .orderBy(col("media_id"))
+
+  // lazy: referenced from `all`, which is declared above this definition
+  private lazy val mediaResizeSql =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    64 + strlen(text) % 640 AS w,
+      |    64 + strlen(text) % 480 AS h
+      |  FROM documents
+      |), s AS (
+      |  SELECT media_id, w, h,
+      |    CASE WHEN greatest(w, h) > 64
+      |         THEN 64.0 / greatest(w, h) ELSE 1.0 END AS scale
+      |  FROM d
+      |)
+      |SELECT media_id,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(greatest(1, CAST(floor(w * scale) AS BIGINT)) AS BIGINT) AS new_w,
+      |  CAST(greatest(1, CAST(floor(h * scale) AS BIGINT)) AS BIGINT) AS new_h,
+      |  CAST(greatest(1, CAST(floor(w * scale) AS BIGINT))
+      |     * greatest(1, CAST(floor(h * scale) AS BIGINT)) * 3 AS BIGINT) AS resized_bytes
+      |FROM s
+      |ORDER BY media_id""".stripMargin
 }
