@@ -95,9 +95,16 @@ object CoreQueries {
   def topSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val li = Catalog.load(spark, dir, "lineitem")
     val s = Catalog.load(spark, dir, "supplier")
-    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
-      .groupBy(col("s_suppkey"), col("s_name"))
+    // Aggregate BELOW the join: the rollup collapses the fact table to
+    // one row per supplier before any join work, so the join touches
+    // |suppliers| rows instead of |lineitem| — Catalyst doesn't push
+    // aggregates through joins itself, so this is written in the shape
+    // a 100 TB plan needs. Inner join keeps the original semantics
+    // (suppliers with no lineitem rows don't appear).
+    val perSupp = li.groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("supp_revenue"))
+    perSupp.join(broadcast(s), perSupp("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("supp_revenue"))
       .orderBy(col("supp_revenue").desc, col("s_suppkey"))
       .limit(10)
   }
