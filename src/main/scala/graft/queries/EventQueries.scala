@@ -159,6 +159,43 @@ object EventQueries {
       |  ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
       |ORDER BY event_id""".stripMargin
 
+  /** Forward as-of: each view attaches the user's NEXT purchase (earliest
+    * purchase at-or-after the view) — merge_asof direction="forward".
+    * DuckDB's ASOF picks the direction from the inequality's sense. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("value").as("purchase_value"))
+    graft.ops.AsofOps.asofJoin(
+        views, purchases, key = "user_id", ts = "ts_us",
+        leftCols = Seq("event_id", "value"),
+        rightCols = Seq("ts_us", "purchase_value"),
+        direction = "forward")
+      .withColumnRenamed("asof_ts_us", "purchase_ts_us")
+      .withColumnRenamed("asof_purchase_value", "purchase_value")
+      .orderBy(col("event_id"))
+  }
+
+  private val asofForwardSql =
+    """WITH e AS (
+      |  SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events
+      |), views AS (
+      |  SELECT user_id, ts_us, event_id, value FROM e WHERE event_type = 'view'
+      |), purchases AS (
+      |  SELECT user_id, ts_us, value AS purchase_value FROM e
+      |  WHERE event_type = 'purchase'
+      |)
+      |SELECT v.user_id, v.ts_us, v.event_id, v.value,
+      |  p.ts_us AS purchase_ts_us, p.purchase_value
+      |FROM views v
+      |ASOF LEFT JOIN purchases p
+      |  ON v.user_id = p.user_id AND v.ts_us <= p.ts_us
+      |ORDER BY event_id""".stripMargin
+
   /** Banded range join: orders (points in time) against per-supplier
     * activity windows (intervals) as an equi-join on coarse time buckets +
     * residual filter — no theta/cartesian join. Oracle: DuckDB's native
@@ -238,6 +275,8 @@ object EventQueries {
   val all: Seq[Q] = Seq(
     Q("q85_interval_join", intervalJoin, Some(intervalJoinSql),
       "event-time interval join (batch twin of the stream-stream join)"),
+    Q("q90_asof_forward", asofForward, Some(asofForwardSql),
+      "forward as-of join (next purchase at-or-after each view)"),
     Q("q82_asof_join_native", asofNative, Some(asofSql),
       "as-of join via custom LogicalPlan+Strategy+BinaryExecNode (same oracle as q80)"),
     Q("q81_range_join", rangeJoinOrders, Some(rangeJoinSql),

@@ -71,6 +71,23 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(out(2) == ((3L, None))) // null key → null-joined, not dropped
   }
 
+  test("asof directions + tolerance: backward/forward/nearest on a known series") {
+    val left = Seq((1L, 10L, "a"), (1L, 100L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, 8L, 8.0), (1L, 12L, 12.0), (1L, 50L, 50.0))
+      .toDF("k", "t", "rv")
+    def run(dir: String, tol: Option[Long] = None) =
+      graft.ops.AsofOps.asofJoin(left, right, "k", "t",
+          Seq("tag"), Seq("rv"), direction = dir, tolerance = tol)
+        .select("tag", "asof_rv").as[(String, Option[Double])]
+        .collect().toMap
+    assert(run("backward") == Map("a" -> Some(8.0), "b" -> Some(50.0)))
+    assert(run("forward") == Map("a" -> Some(12.0), "b" -> None))
+    // nearest: |10-8| == |12-10| → tie goes backward; 100 → 50 (only side)
+    assert(run("nearest") == Map("a" -> Some(8.0), "b" -> Some(50.0)))
+    // tolerance 5: 10→8 (Δ2 ok); 100→50 (Δ50) nulled out
+    assert(run("backward", Some(5L)) == Map("a" -> Some(8.0), "b" -> None))
+  }
+
   test("edge semantics: equal timestamps match; empty right side → all nulls") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "t", "lv")
