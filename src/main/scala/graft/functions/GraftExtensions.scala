@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim_exact"),
       new ExpressionInfo(classOf[ScaledIntCosine].getName, "cosine_sim_exact"),
       (args: Seq[Expression]) => ScaledIntCosine(args(0), args(1))))
+    // custom optimizer rule: abs(col) <= t  →  -t <= col <= t, so the
+    // bound reaches the parquet scan as PushedFilters (SurfaceSpec)
+    e.injectOptimizerRule(_ => graft.plans.AbsRangeRewrite)
   }
 }

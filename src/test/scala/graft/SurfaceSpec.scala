@@ -74,4 +74,31 @@ class SurfaceSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("injected optimizer rule: abs(col) <= t reaches the parquet scan as a range") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .appName("graft-rule-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val li = Catalog.load(s2, "/root/testdata/sf0.001", "lineitem")
+      val q = li.filter(expr("abs(l_discount) <= 0.05")).select("l_orderkey")
+      val plan = q.queryExecution.executedPlan.toString
+      // the bound must appear as pushable attribute-vs-literal filters
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(l_discount,-0.05)") &&
+        plan.contains("LessThanOrEqual(l_discount,0.05)"), plan.take(2000))
+      // and the rewrite must not change results vs the plain session
+      val expected = Catalog.load(prev, "/root/testdata/sf0.001", "lineitem")
+        .filter(expr("abs(l_discount) <= 0.05")).count()
+      assert(q.count() == expected)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
