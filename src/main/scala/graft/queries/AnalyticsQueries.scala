@@ -308,7 +308,96 @@ object AnalyticsQueries {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---- histogram / bucketing ---------------------------------------------
+
+  /** Fixed-width histogram via width_bucket — the OLAP binning primitive
+    * (identical bucket arithmetic on both engines; under/overflow rows
+    * land in buckets 0 and n+1). */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    o.groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("volume"))
+      .orderBy(col("bucket"))
+  }
+
+  // DuckDB has no width_bucket; the oracle spells out the same bucket
+  // arithmetic (Spark computes width = (hi-lo)/n then floor((x-lo)/width)+1,
+  // clamping underflow to 0 and overflow to n+1)
+  private val histogramSql =
+    s"""SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+       |            WHEN o_totalprice >= 600000.0 THEN 13
+       |            ELSE CAST(floor((o_totalprice - 0.0) / (600000.0 / 12)) AS BIGINT) + 1
+       |       END AS bucket,
+       |  COUNT(*) AS n, ${sqlSum("o_totalprice")} AS volume
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
+  // ---- calendar spine (gap filling) ----------------------------------------
+
+  /** Calendar-spine join: a generated month spine left-joins monthly
+    * order volumes so empty months surface as zero rows — the gap-filling
+    * pattern every reporting pipeline needs (a plain GROUP BY silently
+    * drops months with no data). sequence()+explode is the generator
+    * surface; the spine is tiny and broadcasts. */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val spine = spark.range(1)
+      .select(explode(expr(
+        "sequence(to_timestamp('1995-01-01'), to_timestamp('2001-08-01'), interval 1 month)"))
+        .as("month_start"))
+      .select(year(col("month_start")).cast("long").as("yr"),
+        month(col("month_start")).cast("long").as("mo"))
+    val o = Catalog.load(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("volume"))
+    spine.join(o, Seq("yr", "mo"), "left_outer")
+      .select(col("yr"), col("mo"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("volume"), lit(0.0)).as("volume"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  private val dateSpineSql =
+    s"""WITH spine AS (
+       |  SELECT CAST(year(m) AS BIGINT) AS yr, CAST(month(m) AS BIGINT) AS mo
+       |  FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01',
+       |                       INTERVAL 1 MONTH) AS t(m)
+       |), agg AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |         CAST(month(o_orderdate) AS BIGINT) AS mo,
+       |    COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS volume
+       |  FROM orders GROUP BY 1, 2
+       |)
+       |SELECT s.yr, s.mo,
+       |  COALESCE(a.n_orders, 0) AS n_orders,
+       |  COALESCE(a.volume, 0.0) AS volume
+       |FROM spine s LEFT JOIN agg a ON s.yr = a.yr AND s.mo = a.mo
+       |ORDER BY s.yr, s.mo""".stripMargin
+
+  /** Approximate percentile sketch (GK summaries) — the quantile member
+    * of the sketch family next to HLL (q06). Engine-specific merge, so
+    * rows-only for the driver; PropertySpec bounds it against the exact
+    * rank percentiles. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)")
+        .as("apx"))
+      .select(col("o_orderpriority"),
+        element_at(col("apx"), 1).as("p50_apx"),
+        element_at(col("apx"), 2).as("p90_apx"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q91_histogram", histogram, Some(histogramSql),
+      "fixed-width width_bucket histogram"),
+    Q("q92_date_spine", dateSpine, Some(dateSpineSql),
+      "generated calendar spine + zero-filled monthly rollup"),
+    Q("q93_approx_quantile", approxQuantiles, None,
+      "approx_percentile sketch (rows-only; spec-bounded vs exact)"),
     Q("q86_group_by_all", groupByAll, Some(groupByAllSql),
       "GROUP BY ALL, verbatim statement on both engines"),
     Q("q87_try_pack", tryPack, Some(tryPackSql),

@@ -81,6 +81,19 @@ class PropertySpec extends AnyFunSuite {
     m.foreach { case (doc, rep) => assert(rep <= doc && m(rep) == rep) }
   }
 
+  test("approx_percentile lands within 2% rank error of the exact percentiles") {
+    val sf = "/root/testdata/sf0.001"
+    val apx = graft.queries.AnalyticsQueries.approxQuantiles(spark, sf)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = graft.queries.AnalyticsQueries.percentilePack(spark, sf)
+      .select("o_orderpriority", "median", "p90")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for ((k, (m, p90)) <- exact) {
+      assert(math.abs(apx(k)._1 - m) / m < 0.05, s"$k p50 ${apx(k)._1} vs $m")
+      assert(math.abs(apx(k)._2 - p90) / p90 < 0.05, s"$k p90 ${apx(k)._2} vs $p90")
+    }
+  }
+
   test("corpusClean output is a subset of documents with no duplicate texts") {
     val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
     val kept = graft.ops.DedupOps.corpusClean(docs, 0.38).select("doc_id").as[Long].collect().toSet
