@@ -391,7 +391,43 @@ object AnalyticsQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ---- fuzzy entity matching (blocked edit distance) -----------------------
+
+  /** Fuzzy entity resolution: a synthetically-corrupted name column (6th
+    * character dropped) is matched back to the clean table — equi-join on
+    * a blocking key derived from each side's own string, then exact
+    * levenshtein verification. The all-pairs comparison never happens;
+    * candidates come only from block collisions, which is the shape
+    * entity dedup runs at corpus scale. */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.load(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val dirty = c.select(col("c_custkey").as("dirty_key"),
+      expr("concat(substr(c_name, 1, 5), substr(c_name, 7))").as("dname"))
+    val cand = dirty
+      .withColumn("blk", expr("substr(dname, 9, 10)"))
+      .join(c.withColumn("blk", expr("substr(c_name, 10, 10)")), "blk")
+      .filter(expr("levenshtein(dname, c_name) <= 1"))
+    cand.select(col("dirty_key"), col("c_custkey").as("matched_key"),
+        expr("cast(levenshtein(dname, c_name) as bigint)").as("dist"))
+      .orderBy(col("dirty_key"), col("matched_key"))
+  }
+
+  private val fuzzyMatchSql =
+    """WITH dirty AS (
+      |  SELECT c_custkey AS dirty_key,
+      |    substr(c_name, 1, 5) || substr(c_name, 7) AS dname
+      |  FROM customer
+      |)
+      |SELECT d.dirty_key, c.c_custkey AS matched_key,
+      |  CAST(levenshtein(d.dname, c.c_name) AS BIGINT) AS dist
+      |FROM dirty d
+      |JOIN customer c ON substr(d.dname, 9, 10) = substr(c.c_name, 10, 10)
+      |WHERE levenshtein(d.dname, c.c_name) <= 1
+      |ORDER BY dirty_key, matched_key""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q94_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql),
+      "blocked levenshtein entity matching (no all-pairs stage)"),
     Q("q91_histogram", histogram, Some(histogramSql),
       "fixed-width width_bucket histogram"),
     Q("q92_date_spine", dateSpine, Some(dateSpineSql),
