@@ -52,6 +52,26 @@ class PlanSpec extends AnyFunSuite {
     assert(scans(plan(RefMartQueries.disciplineFused(spark, dir))) <= 2)
   }
 
+  test("top-suppliers aggregates BELOW the broadcast join (fact collapsed first)") {
+    val plan = graft.queries.CoreQueries.topSuppliers(spark, dir)
+      .queryExecution.executedPlan.toString
+    val join = plan.indexOf("BroadcastHashJoin")
+    val agg = plan.indexOf("HashAggregate")
+    assert(join >= 0 && agg >= 0 && join < agg,
+      "the per-supplier aggregate must sit under the join, not above it")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "one aggregate exchange only — the join itself must not shuffle")
+  }
+
+  test("RANGE-frame window and as-of forms run on a single hash exchange") {
+    for (q <- Seq("q44_range_frame", "q90_asof_forward")) {
+      val plan = graft.Registry.byName(q).build(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"$q must shuffle exactly once (plus only the output range sort)")
+    }
+  }
+
   test("observe(): execution metrics collected in the same pass as the action") {
     val obs = new org.apache.spark.sql.Observation()
     val li = graft.catalog.Catalog.load(spark, dir, "lineitem")
