@@ -425,7 +425,29 @@ object AnalyticsQueries {
       |WHERE levenshtein(d.dname, c.c_name) <= 1
       |ORDER BY dirty_key, matched_key""".stripMargin
 
+  // ---- recursive CTE (verbatim SQL) ---------------------------------------
+
+  /** WITH RECURSIVE through the SQL entry point (Spark 4 gained recursive
+    * CTEs): the recursion generates a 1..12 month spine that left-joins
+    * per-calendar-month order counts — recursion-as-generator plus the
+    * gap-fill join, one statement, VERBATIM on both engines. */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Catalog.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(recursiveCteSql)
+  }
+
+  private val recursiveCteSql =
+    """WITH RECURSIVE seq(n) AS (
+      |  SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 12
+      |)
+      |SELECT s.n AS mo, COUNT(o_orderkey) AS n_orders
+      |FROM seq s LEFT JOIN orders ON month(o_orderdate) = s.n
+      |GROUP BY s.n
+      |ORDER BY mo""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q95_recursive_cte", recursiveCte, Some(recursiveCteSql),
+      "WITH RECURSIVE month generator + gap-fill join, verbatim on both engines"),
     Q("q94_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql),
       "blocked levenshtein entity matching (no all-pairs stage)"),
     Q("q91_histogram", histogram, Some(histogramSql),
