@@ -16,6 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Default document-frequency cap for candidate-join posting lists
+    * (shingles, LSH bands, SimHash sub-bands). A key shared by d
+    * documents contributes d·(d−1)/2 candidate pairs to a self-join, so
+    * one boilerplate shingle ("click here to subscribe…") that appears in
+    * 10⁸ documents would alone emit ~5·10¹⁵ pairs — the classic
+    * quadratic blowup of MinHash at corpus scale. Capping df bounds the
+    * self-join at |postings|·maxDf/2 pairs total. 1000 keeps every
+    * fixture posting (≤500 docs) while bounding any single key's fan-out
+    * at ~5·10⁵ pairs on a real corpus. */
+  val DefaultMaxDf: Long = 1000L
+
+  /** Drop postings whose key occurs in more than `maxDf` documents,
+    * BEFORE a candidate self-join (maxDf ≤ 0 disables the cap).
+    *
+    * Recall trade (document-frequency capping, standard MinHash-at-scale
+    * practice): a pair is surfaced only if it shares ≥1 key with
+    * df ≤ maxDf. Pairs whose every common shingle/band is corpus-hot are
+    * missed — but such pairs share only boilerplate, which is exactly
+    * the similarity signal dedup wants to ignore. Verification stages
+    * always run on FULL per-document sets, so the cap never changes a
+    * reported jaccard value, only candidate recall.
+    *
+    * Cost: one count aggregate over the compact (doc, key) postings
+    * (8-byte keys) + an anti-join against the hot-key list, which is at
+    * most |postings|/maxDf keys and is typically broadcast-sized. */
+  def capHotKeys(postings: DataFrame, keyCols: Seq[String], maxDf: Long): DataFrame = {
+    if (maxDf <= 0L) postings
+    else {
+      val ks = keyCols.map(col)
+      val hot = postings.groupBy(ks: _*)
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf)
+        .select(ks: _*)
+      postings.join(hot, keyCols, "left_anti")
+    }
+  }
+
   /** Exact duplicate groups keyed by sha256(text): representative id,
     * copy count. One shuffle; text itself never shuffles (hash only). */
   def exactGroups(docs: DataFrame): DataFrame =
@@ -56,20 +93,31 @@ object DedupOps {
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs via shingle equi-join:
-    * candidates share ≥1 shingle; jaccard = |∩| / (|A|+|B|−|∩|). */
-  def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    * candidates share ≥1 shingle with df ≤ maxDf ([[capHotKeys]] — the
+    * cap bounds the self-join's quadratic hot-key blowup at corpus
+    * scale); each candidate is then verified with exact
+    * jaccard = |∩| / (|A|+|B|−|∩|) over the FULL shingle sets, so the
+    * cap affects candidate recall only, never a reported value. */
+  def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
     val sh = shingles(docs, n)
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(card.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(card.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    val docsets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shs"),
+        count(lit(1)).as("n_sh")) // shingles are already distinct per doc
+    val capped = capHotKeys(sh, Seq("shingle"), maxDf)
+    val cand = capped.as("x")
+      .join(capped.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docsets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(docsets.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("a.shs"), col("b.shs"))).cast("long"))
       .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+        col("n_common").cast("double") /
+          (col("a.n_sh") + col("b.n_sh") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -219,10 +267,14 @@ object DedupOps {
     * join of candidate pairs against the doc→set table with
     * `array_intersect` for |∩| (exact, integer). */
   def minhashLshPairs(docs: DataFrame, n: Int = 5, k: Int = 64, r: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDf: Long = DefaultMaxDf): DataFrame = {
     // docs shorter than n tokens have no shingles — banding their
-    // sentinel signatures would collide them all with each other
+    // sentinel signatures would collide them all with each other.
+    // localCheckpoint: md feeds both the bands and the docsets branches
+    // (the latter twice), and without it the compiled per-doc
+    // MinHash+shingle pass re-executes once per consumer.
     val md = minhashDocs(docs, n, k).filter(size(col("shs")) > 0)
+      .localCheckpoint(true)
     val bandCols = (0 until k / r).map { b =>
       struct(lit(b).as("band_id"),
         xxhash64((b * r until (b + 1) * r).map(i =>
@@ -232,8 +284,12 @@ object DedupOps {
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
     val docsets = md.select(col("doc_id"), col("shs"),
       size(col("shs")).cast("long").as("n_sh"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
+    // df-cap on band postings: a band value shared by d docs yields d²/2
+    // candidates; capping bounds the self-join on boilerplate-heavy
+    // corpora (verification below still uses full shingle sets)
+    val cappedBands = capHotKeys(bands, Seq("band_id", "band_hash"), maxDf)
+    val cand = cappedBands.as("x")
+      .join(cappedBands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -306,13 +362,20 @@ object DedupOps {
     * [[dedupClusters]]/[[corpusClean]]; [[jaccardPairs]] stays as the
     * string-exact oracle path (q61). */
   def jaccardPairsHashed(docs: DataFrame, n: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDf: Long = DefaultMaxDf): DataFrame = {
+    // localCheckpoint: md fans out to the postings and docsets branches
+    // (docsets twice) — without it the compiled shingle pass re-runs per
+    // consumer
     val md = minhashDocs(docs, n, k = 0).filter(size(col("shs")) > 0)
+      .localCheckpoint(true)
     val sh = md.select(col("doc_id"), explode(col("shs")).as("sh_h"))
     val docsets = md.select(col("doc_id"), col("shs"),
       size(col("shs")).cast("long").as("n_sh"))
-    val cand = sh.as("a")
-      .join(sh.as("b"),
+    // candidates key on df-capped postings; exact verify below uses the
+    // full sets, so the cap trades only candidate recall on hot keys
+    val capped = capHotKeys(sh, Seq("sh_h"), maxDf)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -353,10 +416,11 @@ object DedupOps {
     * distributed loop. Both paths produce identical output (asserted in
     * AnalyticsSpec). */
   def dedupClusters(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
-      maxIters: Int = 25, driverEdgeCap: Long = 1L << 20): DataFrame = {
+      maxIters: Int = 25, driverEdgeCap: Long = 1L << 20,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = jaccardPairsHashed(docs, n, threshold)
+    val pairs = jaccardPairsHashed(docs, n, threshold, maxDf)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v").localCheckpoint(true)
@@ -398,6 +462,13 @@ object DedupOps {
           lbl = next
           iter += 1
         }
+        // the fixpoint/determinism guarantee only holds if we converged;
+        // a component with diameter > maxIters would otherwise silently
+        // get split labels
+        if (!converged) throw new IllegalStateException(
+          s"dedupClusters: min-label propagation did not converge in " +
+            s"$maxIters iterations (a component's diameter exceeds it); " +
+            "raise maxIters")
         lbl
       }
     docs.select(col("doc_id"))
@@ -413,9 +484,10 @@ object DedupOps {
     * its near-dup cluster's representative ([[dedupClusters]], which also
     * covers exact dups of ≥n tokens — rule 2 catches the short ones).
     * Output: (doc_id, lang, quality) of survivors. */
-  def corpusClean(docs: DataFrame, qualityMin: Double = 0.38): DataFrame = {
+  def corpusClean(docs: DataFrame, qualityMin: Double = 0.38,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
     val quality = TextOps.qualityScored(docs).select(col("doc_id"), col("quality"))
-    val reps = dedupClusters(docs)
+    val reps = dedupClusters(docs, maxDf = maxDf)
       .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
     val keepers = exactGroups(docs).select(col("keep_id").as("doc_id"))
     docs.select(col("doc_id"), col("lang"))
@@ -443,14 +515,19 @@ object DedupOps {
   /** SimHash near-dup candidates: 4×16-bit sub-band collision (any pair
     * with hamming distance ≤ 3 must agree on ≥1 sub-band), then exact
     * hamming via bit_count(xor). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
     val s = simhash(docs)
-    val banded = s.select(col("doc_id"), col("simhash64"),
+    val allBanded = s.select(col("doc_id"), col("simhash64"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_id"),
             expr(s"cast(shiftright(simhash64, ${b * 16}) & 65535 as int)").as("band_val"))): _*))
           .as("band"))
       .select(col("doc_id"), col("simhash64"), col("band.band_id"), col("band.band_val"))
+    // df-cap bounds the sub-band self-join on corpora where many docs
+    // share a sub-band (weakens the ≤3-hamming completeness guarantee
+    // only for pairs whose every agreeing sub-band is corpus-hot)
+    val banded = capHotKeys(allBanded, Seq("band_id", "band_val"), maxDf)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&

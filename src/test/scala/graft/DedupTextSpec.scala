@@ -25,6 +25,16 @@ class DedupTextSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed=${exact -- lsh}")
   }
 
+  test("default df cap leaves fixture near-dup output unchanged") {
+    // 500 fixture docs, so no key can exceed DefaultMaxDf=1000: the capped
+    // and uncapped forms must agree pair-for-pair
+    val capped = DedupOps.jaccardPairsHashed(docs, 5, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncapped = DedupOps.jaccardPairsHashed(docs, 5, 0.5, maxDf = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped)
+  }
+
   test("simhash: identical texts get identical signatures; stable across runs") {
     val d = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t"))
       .toDF("doc_id", "text")

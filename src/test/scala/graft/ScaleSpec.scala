@@ -68,6 +68,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("run_date=2026-08-11"))
   }
 
+  test("df-capped dedup candidates: one hot shingle cannot go quadratic") {
+    import graft.ops.DedupOps
+    // 300 docs all sharing a 12-token boilerplate prefix (8 hot shingles,
+    // df=300 each) + unique 30-token tails, plus one genuine near-dup pair
+    // built from rare shingles
+    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    val base = (1L to 300L).map { i =>
+      (i, s"$boiler " + (1 to 30).map(j => s"u${i}w$j").mkString(" "))
+    }
+    val nd1 = (900L, (1 to 31).map(j => s"ndw$j").mkString(" "))
+    val nd2 = (901L, ((1 to 30).map(j => s"ndw$j") :+ "tailx").mkString(" "))
+    val docs = (base :+ nd1 :+ nd2).toDF("doc_id", "text")
+    val sh = DedupOps.hashedShingles(docs, 5)
+    def candidates(postings: org.apache.spark.sql.DataFrame): Long =
+      postings.as("a").join(postings.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+        .count()
+    // uncapped: the hot shingles alone emit 8 × C(300,2) ≈ 3.6e5 pairs
+    assert(candidates(sh) > 300000L)
+    // capped at maxDf=50: hot shingles dropped, only the near-dup pair's
+    // 26 shared rare shingles survive as candidates
+    val capped = DedupOps.capHotKeys(sh, Seq("sh_h"), maxDf = 50)
+    assert(candidates(capped) <= 30L)
+    // the op still finds exactly the true near-dup under the cap (the
+    // boilerplate-only pairs are far below τ=0.5 anyway)
+    val pairs = DedupOps.jaccardPairsHashed(docs, 5, 0.5, maxDf = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((900L, 901L)))
+  }
+
   test("streaming dedup: dropDuplicates over the stream == batch distinct") {
     val staged = java.nio.file.Files.createTempDirectory("events-dedup")
     java.nio.file.Files.copy(
