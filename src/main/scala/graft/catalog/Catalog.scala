@@ -123,6 +123,38 @@ object Catalog {
       .csv(s"$csvDir/${t.name}.csv"))
   }
 
+  /** S1 analog: JDBC full-table scan (reference dag-extract.py:61-62,
+    * `MySqlHook.get_pandas_df("SELECT * FROM {table}")` — one machine,
+    * one cursor). Here the read is split into `numPartitions`
+    * range-partitioned queries over `partitionCol`, so every executor
+    * pulls its own slice concurrently — the only JDBC-ingest shape that
+    * survives a table too big for one connection. Bounds are probed with
+    * a single MIN/MAX query (an indexed O(1) lookup on a sane schema)
+    * rather than asked of the caller, matching the reference's
+    * zero-config "give me the table" contract.
+    *
+    * `partitionCol` must be an integral column; an empty table degrades
+    * to a single-partition read. */
+  def loadJdbc(spark: SparkSession, url: String, table: String,
+      partitionCol: String, numPartitions: Int): DataFrame = {
+    val bounds = spark.read.format("jdbc")
+      .option("url", url)
+      // ANSI-quoted: Spark's JDBC writer creates case-sensitive lowercase
+      // identifiers, which an unquoted reference would upcase away
+      .option("query",
+        s"""SELECT MIN("$partitionCol") AS lo, MAX("$partitionCol") AS hi FROM $table""")
+      .load().collect()(0)
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    if (bounds.isNullAt(0)) base.load()
+    else base
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", bounds.get(0).toString)
+      .option("upperBound", bounds.get(1).toString)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+  }
+
   /** Load every fixture table (used by pipelines / the runner). */
   def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     byName.map { case (n, t) => n -> t.load(spark, sfDir) }
