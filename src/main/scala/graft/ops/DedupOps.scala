@@ -498,9 +498,51 @@ object DedupOps {
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 
-  /** 64-bit SimHash per document from token hashes: bitwise majority vote
-    * over xxhash64(token) — two shuffles, fully distributed. */
+  /** 64-bit SimHash per document: bitwise majority vote over
+    * xxhash64(token), computed in ONE compiled partition-local pass —
+    * a signature depends only on its own document, so there is NO
+    * shuffle (the previous relational form exploded 64 rows per token
+    * before its first aggregate; at 100 TB that is a 64× row inflation
+    * feeding a corpus-wide shuffle). Bit-equal to [[simhashRelational]]
+    * — the same token hash (XxHash64Function, seed 42, the interpreted
+    * body of the SQL `xxhash64`) and the same `split(' ')` tokenization
+    * with trailing empties kept — asserted in DedupTextSpec. */
   def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.unsafe.types.UTF8String
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
+          val counts = new Array[Int](64)
+          var t = 0
+          while (t < toks.length) {
+            val h = XxHash64Function.hash(UTF8String.fromString(toks(t)),
+              org.apache.spark.sql.types.StringType, 42L)
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
+            t += 1
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+          (id, sig)
+        }
+      }.toDF("doc_id", "simhash64")
+  }
+
+  /** Relational twin of [[simhash]] (declarative column algebra: explode
+    * tokens × 64 bit positions, two aggregates). Kept as the
+    * cross-checkable specification of the signature — DedupTextSpec
+    * asserts bit-equality — but the row-local form is the production
+    * path: this one inflates 64 rows per token before its first
+    * shuffle. */
+  def simhashRelational(docs: DataFrame): DataFrame = {
     val tok = TextOps.exploded(docs).withColumn("h", xxhash64(col("tok")))
     tok
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("b"))

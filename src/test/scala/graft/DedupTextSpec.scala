@@ -45,6 +45,12 @@ class DedupTextSpec extends AnyFunSuite {
     assert(sig == sig2) // partition-layout independent
   }
 
+  test("row-local simhash is bit-equal to the relational formulation") {
+    val rowLocal = DedupOps.simhash(docs).as[(Long, Long)].collect().toMap
+    val relational = DedupOps.simhashRelational(docs).as[(Long, Long)].collect().toMap
+    assert(rowLocal == relational)
+  }
+
   test("simhash pairs: near-identical docs collide, distant ones don't") {
     // heavy token repetition → strong per-bit majority margins, so a
     // single-occurrence edit flips few bits (the realistic near-dup shape)
