@@ -62,19 +62,24 @@ object AsofOps {
     if (direction != "backward")
       u = u.withColumn("__f", last(col("__payload"), ignoreNulls = true).over(wFwd))
     val joined = u.filter(col("__side") === 1)
-    val chosen0 = direction match {
-      case "backward" => col("__b")
-      case "forward" => col("__f")
-      case "nearest" =>
-        when(col("__b").isNull, col("__f"))
-          .when(col("__f").isNull, col("__b"))
-          .when(col(ts) - col("__b.__rts") <= col("__f.__rts") - col(ts), col("__b"))
-          .otherwise(col("__f"))
+    // tolerance is applied PER SIDE before nearest picks a winner
+    // (pandas merge_asof parity: when the nearer side is out of
+    // tolerance but the other side is within it, the in-tolerance
+    // match wins — nulling only after the pick would drop it)
+    def within(c: Column): Column = tolerance match {
+      case Some(t) => when(abs(col(ts) - c.getField("__rts")) <= t, c)
+      case None => c
     }
-    val chosen = tolerance match {
-      case Some(t) =>
-        when(abs(col(ts) - chosen0.getField("__rts")) <= t, chosen0)
-      case None => chosen0
+    val chosen = direction match {
+      case "backward" => within(col("__b"))
+      case "forward" => within(col("__f"))
+      case "nearest" =>
+        val b = within(col("__b"))
+        val f = within(col("__f"))
+        when(b.isNull, f)
+          .when(f.isNull, b)
+          .when(col(ts) - b.getField("__rts") <= f.getField("__rts") - col(ts), b)
+          .otherwise(f)
     }
     val outCols: Seq[Column] =
       (Seq(col(key), col(ts)) ++ leftCols.map(col)) ++

@@ -15,10 +15,12 @@ import org.apache.spark.sql.GraftBridge
   * physical BinaryExecNode that merge-joins two (key, ts)-sorted streams
   * partition-by-partition.
   *
-  * Semantics are identical to [[graft.ops.AsofOps.asofJoin]] (left row
-  * picks up the latest right row with equal key and right.ts ≤ left.ts;
-  * unmatched lefts keep nulls) — asserted in AsofNativeSpec and against
-  * q80's DuckDB ASOF JOIN oracle. The physical shape differs: instead of
+  * Semantics are identical to [[graft.ops.AsofOps.asofJoin]] — backward
+  * (latest right with ts ≤ left.ts), forward (earliest right with
+  * ts ≥ left.ts), nearest (closer of the two, ties backward), with
+  * per-side tolerance; unmatched lefts keep nulls — asserted in
+  * AsofNativeSpec and against q80/q90's DuckDB ASOF JOIN oracles. The
+  * physical shape differs: instead of
   * unioning both inputs through one window, each side shuffles ONCE on
   * its own key, sorts within partitions, and streams through a constant-
   * memory two-pointer merge — the plan a purpose-built engine would run,
@@ -34,7 +36,8 @@ object AsofJoinNative {
   case class AsofJoinPlan(
       left: LogicalPlan, right: LogicalPlan,
       leftKey: Attribute, rightKey: Attribute,
-      leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
+      leftTs: Attribute, rightTs: Attribute,
+      direction: String, tolerance: Option[Long]) extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -45,8 +48,8 @@ object AsofJoinNative {
   /** Planner strategy: logical → physical. */
   object AsofStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      case AsofJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
       case _ => Nil
     }
   }
@@ -54,7 +57,8 @@ object AsofJoinNative {
   case class AsofJoinExec(
       left: SparkPlan, right: SparkPlan,
       leftKey: Expression, rightKey: Expression,
-      leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+      leftTs: Expression, rightTs: Expression,
+      direction: String, tolerance: Option[Long]) extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -80,10 +84,15 @@ object AsofJoinNative {
       val outAttrs = output
       val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
       val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+      val dir = direction
+      val tol = tolerance
       left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
         val proj = UnsafeProjection.create(outAttrs, outAttrs)
         val nullRight = new GenericInternalRow(rightArity)
         val joined = new JoinedRow
+        // ts distance only exists for integral/temporal ts (enforced at
+        // the API for nearest/tolerance); internal values are Numbers
+        @inline def num(v: Any): Long = v.asInstanceOf[Number].longValue
         // lookahead on the right stream; rows with null key/ts are skipped
         def nextRight(): InternalRow = {
           while (rIt.hasNext) {
@@ -95,6 +104,7 @@ object AsofJoinNative {
         var rNext: InternalRow = nextRight()
         var rCur: InternalRow = null // latest right row already consumed
         var rCurKey: Any = null
+        var rCurTs: Any = null
         lIt.map { lRow =>
           val k = lKeyB.eval(lRow)
           val t = lTsB.eval(lRow)
@@ -105,16 +115,47 @@ object AsofJoinNative {
               val nk = rKeyB.eval(rNext)
               val c = keyOrd.compare(nk, k)
               if (c < 0 || (c == 0 && tsOrd.compare(rTsB.eval(rNext), t) <= 0)) {
-                // Re-derive the key from the COPIED row: for non-primitive
+                // Re-derive key/ts from the COPIED row: for non-primitive
                 // keys (UTF8String, Decimal) `nk` may point into a buffer the
                 // upstream sort iterator reuses once we advance past rNext.
-                rCur = rNext.copy(); rCurKey = rKeyB.eval(rCur)
+                rCur = rNext.copy(); rCurKey = rKeyB.eval(rCur); rCurTs = rTsB.eval(rCur)
                 rNext = nextRight()
               } else advancing = false
             }
-            val r = if (rCur != null && keyOrd.compare(rCurKey, k) == 0) rCur
-              else nullRight
-            proj(joined(lRow, r))
+            // backward candidate: latest consumed right with this key
+            val backRow = if (rCur != null && keyOrd.compare(rCurKey, k) == 0) rCur
+              else null
+            // forward candidate: a consumed right at EXACTLY t (distance 0),
+            // else the lookahead row when it still has this key (it is the
+            // earliest right with rts > t, by sort order). rNext is safe to
+            // emit un-copied: it is projected into the output before the
+            // merge ever advances past it.
+            val fwdRow =
+              if (dir == "backward") null
+              else if (backRow != null && tsOrd.compare(rCurTs, t) == 0) backRow
+              else if (rNext != null && keyOrd.compare(rKeyB.eval(rNext), k) == 0) rNext
+              else null
+            val fwdTs: Any =
+              if (fwdRow == null) null
+              else if (fwdRow eq backRow) rCurTs
+              else rTsB.eval(rNext)
+            val chosen = dir match {
+              case "backward" =>
+                if (backRow != null && tol.forall(num(t) - num(rCurTs) <= _)) backRow
+                else nullRight
+              case "forward" =>
+                if (fwdRow != null && tol.forall(num(fwdTs) - num(t) <= _)) fwdRow
+                else nullRight
+              case _ => // nearest: tolerance per side, smaller distance wins, tie → backward
+                val dB = if (backRow == null) -1L else num(t) - num(rCurTs)
+                val dF = if (fwdRow == null) -1L else num(fwdTs) - num(t)
+                val okB = backRow != null && tol.forall(dB <= _)
+                val okF = fwdRow != null && tol.forall(dF <= _)
+                if (okB && (!okF || dB <= dF)) backRow
+                else if (okF) fwdRow
+                else nullRight
+            }
+            proj(joined(lRow, chosen))
           }
         }
       }
@@ -125,12 +166,21 @@ object AsofJoinNative {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Public API: as-of join `left` with `right` on LongType key/ts columns.
-    * Right-side column names must not collide with the left's. Registers
-    * the strategy on the session (idempotent). */
+  /** Public API: as-of join `left` with `right`; full
+    * [[graft.ops.AsofOps.asofJoin]] parity — backward/forward/nearest
+    * plus an optional tolerance (pandas merge_asof semantics: tolerance
+    * is applied per side BEFORE nearest picks a winner; ties go
+    * backward). Right-side column names must not collide with the
+    * left's. Registers the strategy on the session (idempotent).
+    * `nearest` and `tolerance` need a ts type with subtraction —
+    * integral or temporal. */
   def asofJoinNative(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown asof direction: $direction")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofStrategy))
       spark.experimental.extraStrategies =
@@ -146,6 +196,12 @@ object AsofJoinNative {
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(lt.dataType) &&
       lk.dataType == rk.dataType && lt.dataType == rt.dataType,
       "asofJoinNative requires matching orderable key/ts types")
-    GraftBridge.ofRows(spark, AsofJoinPlan(lp, rp, lk, rk, lt, rt))
+    if (direction == "nearest" || tolerance.nonEmpty) {
+      import org.apache.spark.sql.types._
+      require(Seq(ByteType, ShortType, IntegerType, LongType, DateType,
+        TimestampType, TimestampNTZType).contains(lt.dataType),
+        "nearest/tolerance need an integral or temporal ts column")
+    }
+    GraftBridge.ofRows(spark, AsofJoinPlan(lp, rp, lk, rk, lt, rt, direction, tolerance))
   }
 }

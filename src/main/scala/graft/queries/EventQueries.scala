@@ -251,6 +251,25 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of through the native physical operator — proves the
+    * custom-operator tier carries the full direction/tolerance surface
+    * of the composed op; shares q90's DuckDB oracle. */
+  def asofNativeForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts_us").as("p_ts_us"),
+        col("value").as("purchase_value"))
+    graft.plans.AsofJoinNative.asofJoinNative(
+        views, purchases, "user_id", "p_user_id", "ts_us", "p_ts_us",
+        direction = "forward")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"),
+        col("p_ts_us").as("purchase_ts_us"), col("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Event-time interval join (batch form of the stream-stream
     * attribution join, Streams.viewPurchaseJoin — StreamsSpec asserts the
     * streaming twin emits the identical set): each view matched to the
@@ -279,6 +298,8 @@ object EventQueries {
       "forward as-of join (next purchase at-or-after each view)"),
     Q("q82_asof_join_native", asofNative, Some(asofSql),
       "as-of join via custom LogicalPlan+Strategy+BinaryExecNode (same oracle as q80)"),
+    Q("q96_asof_native_forward", asofNativeForward, Some(asofForwardSql),
+      "forward as-of through the native operator (same oracle as q90)"),
     Q("q81_range_join", rangeJoinOrders, Some(rangeJoinSql),
       "banded point-in-interval join (bucket equi-join + residual filter)"),
     Q("q80_asof_join", asofViewPurchase, Some(asofSql),

@@ -88,6 +88,49 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(run("backward", Some(5L)) == Map("a" -> Some(8.0), "b" -> None))
   }
 
+  test("native directions + tolerance agree with the composed op on real data") {
+    val (views, purchases) = sides
+    def native(d: String, tol: Option[Long]) =
+      AsofJoinNative.asofJoinNative(views, purchases,
+          "user_id", "p_user_id", "ts_us", "p_ts_us", d, tol)
+        .select(col("event_id"), col("p_ts_us"), col("p_value"))
+        .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    def composed(d: String, tol: Option[Long]) =
+      graft.ops.AsofOps.asofJoin(
+          views, purchases.select(col("p_user_id").as("user_id"),
+            col("p_ts_us").as("ts_us"), col("p_value")),
+          key = "user_id", ts = "ts_us",
+          leftCols = Seq("event_id", "value"),
+          rightCols = Seq("ts_us", "p_value"),
+          direction = d, tolerance = tol)
+        .select(col("event_id"), col("asof_ts_us"), col("asof_p_value"))
+        .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    for (d <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(3600L * 1000000L))) { // 1h in µs
+      val n = native(d, tol)
+      assert(n == composed(d, tol), s"direction=$d tolerance=$tol")
+      assert(n.nonEmpty)
+    }
+  }
+
+  test("native nearest + tolerance on a known series (ties go backward)") {
+    val l = Seq((1L, 10L, "a"), (1L, 100L, "b"), (1L, 49L, "c")).toDF("k", "t", "lv")
+    val r = Seq((1L, 8L, 8.0), (1L, 12L, 12.0), (1L, 50L, 50.0)).toDF("rk", "rt", "rv")
+    def run(d: String, tol: Option[Long]) =
+      AsofJoinNative.asofJoinNative(l, r, "k", "rk", "t", "rt", d, tol)
+        .select("lv", "rv").as[(String, Option[Double])].collect().toMap
+    // nearest: a ties (Δ2 both ways) → backward 8; b → 50; c → 50 (Δ1 fwd < Δ37 back)
+    assert(run("nearest", None) ==
+      Map("a" -> Some(8.0), "b" -> Some(50.0), "c" -> Some(50.0)))
+    // tolerance 5: b's only neighbor is Δ50 away → null
+    assert(run("nearest", Some(5L)) ==
+      Map("a" -> Some(8.0), "b" -> None, "c" -> Some(50.0)))
+    assert(run("forward", Some(5L)) ==
+      Map("a" -> Some(12.0), "b" -> None, "c" -> Some(50.0)))
+    assert(run("backward", Some(5L)) ==
+      Map("a" -> Some(8.0), "b" -> None, "c" -> None))
+  }
+
   test("edge semantics: equal timestamps match; empty right side → all nulls") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "t", "lv")
