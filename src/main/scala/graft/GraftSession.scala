@@ -22,13 +22,16 @@ object GraftSession {
       appName: String = "graft",
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
       shufflePartitions: Option[Int] = None): SparkSession = {
+    val procs = Runtime.getRuntime.availableProcessors()
     val cores = master match {
       case s if s.startsWith("local[") && s.endsWith("]") =>
-        s.stripPrefix("local[").stripSuffix("]") match {
-          case "*" => Runtime.getRuntime.availableProcessors()
-          case n => n.toInt
+        // first segment only: "local[4,2]" (N, maxTaskFailures) is a
+        // valid master; anything unparseable falls back to the machine
+        s.stripPrefix("local[").stripSuffix("]").split(',')(0).trim match {
+          case "*" => procs
+          case n => n.toIntOption.getOrElse(procs)
         }
-      case _ => Runtime.getRuntime.availableProcessors()
+      case _ => procs
     }
     SparkSession.builder()
       .appName(appName)

@@ -105,11 +105,29 @@ object Runner {
   def gate(sfDir: String): Boolean =
     graft.catalog.Catalog.all.forall(t => Files.exists(Paths.get(t.path(sfDir))))
 
+  /** Bounded retry with doubling backoff (§2.8: the reference declares
+    * `retries` + `retry_delay` per task, dag-extract.py:171-172). Only
+    * non-fatal errors retry; the last failure propagates to the caller
+    * (→ a Left in the status map). */
+  @annotation.tailrec
+  private def withRetry[T](retriesLeft: Int, delay: Duration)(body: () => T): T =
+    Try(body()) match {
+      case Success(v) => v
+      case Failure(e) if retriesLeft > 0 && scala.util.control.NonFatal(e) =>
+        Thread.sleep(delay.toMillis)
+        withRetry(retriesLeft - 1, delay * 2)(body)
+      case Failure(e) => throw e
+    }
+
   /** Run the three reference marts concurrently against sfDir, writing
-    * each through `sink`; returns per-mart statuses (row count or error). */
+    * each through `sink`; returns per-mart statuses (row count or error).
+    * Each mart's build+write retries up to `retries` times with doubling
+    * `backoff` before counting as failed. */
   def run(spark: SparkSession, sfDir: String, sink: Sink,
       runDate: java.time.LocalDate = java.time.LocalDate.now(),
-      markerDir: Option[String] = None): RunReport = {
+      markerDir: Option[String] = None,
+      retries: Int = 2,
+      backoff: FiniteDuration = 500.millis): RunReport = {
     if (!gate(sfDir)) return RunReport(runDate, Map.empty, gated = true)
 
     // production path: the fused single-scan stat tables (q13-q15 prove
@@ -126,10 +144,12 @@ object Runner {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val futures = marts.map { case (name, build) =>
       name -> Future {
-        val df = build().withColumn("run_date",
-          org.apache.spark.sql.functions.lit(runDate.toString))
-        sink.write(df, name)
-        df.count()
+        withRetry(retries, backoff) { () =>
+          val df = build().withColumn("run_date",
+            org.apache.spark.sql.functions.lit(runDate.toString))
+          sink.write(df, name)
+          df.count()
+        }
       }
     }
     val statuses = futures.map { case (name, f) =>

@@ -17,9 +17,14 @@ import org.apache.spark.sql.types._
   *  - NULL input: both forms evaluate to NULL;
   *  - NaN input: `abs(NaN) <= t` is false, and `NaN >= -t` is false;
   *  - `-0.0`: `abs` gives `0.0`, and `-0.0 >= -t && -0.0 <= t` agrees;
-  *  - NaN or type-minimum literals are left untouched (a NaN bound flips
-  *    truth under Spark's NaN ordering; negating Int/Long.MinValue
-  *    overflows), as is any non-literal bound.
+  *  - NaN literals are left untouched (a NaN bound flips truth under
+  *    Spark's NaN ordering), as is any non-literal bound.
+  * The rewrite applies to FLOATING-POINT attributes only: for an
+  * integral column holding Int/Long.MinValue, `abs` raises
+  * ARITHMETIC_OVERFLOW under ANSI mode (on by default in Spark 4) and
+  * silently returns a negative value with ANSI off — either way the
+  * range form would diverge from the original, so integral columns are
+  * never rewritten.
   * Replacement (not conjunction) keeps the rule idempotent, so the
   * operator-optimization batch converges.
   */
@@ -28,24 +33,24 @@ object AbsRangeRewrite extends Rule[LogicalPlan] {
   private def negated(l: Literal): Option[Literal] = l match {
     case Literal(v: Double, DoubleType) if !v.isNaN => Some(Literal(-v, DoubleType))
     case Literal(v: Float, FloatType) if !v.isNaN => Some(Literal(-v, FloatType))
-    case Literal(v: Long, LongType) if v != Long.MinValue => Some(Literal(-v, LongType))
-    case Literal(v: Int, IntegerType) if v != Int.MinValue => Some(Literal(-v, IntegerType))
-    case Literal(v: Short, ShortType) if v != Short.MinValue => Some(Literal((-v).toShort, ShortType))
     case _ => None
   }
 
+  private def fp(a: AttributeReference): Boolean =
+    a.dataType == DoubleType || a.dataType == FloatType
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case e @ LessThanOrEqual(Abs(a: AttributeReference, _), l: Literal) =>
+    case e @ LessThanOrEqual(Abs(a: AttributeReference, _), l: Literal) if fp(a) =>
       negated(l).map(nl =>
         And(GreaterThanOrEqual(a, nl), LessThanOrEqual(a, l))).getOrElse(e)
-    case e @ LessThan(Abs(a: AttributeReference, _), l: Literal) =>
+    case e @ LessThan(Abs(a: AttributeReference, _), l: Literal) if fp(a) =>
       negated(l).map(nl =>
         And(GreaterThan(a, nl), LessThan(a, l))).getOrElse(e)
     // mirrored literal-first forms
-    case e @ GreaterThanOrEqual(l: Literal, Abs(a: AttributeReference, _)) =>
+    case e @ GreaterThanOrEqual(l: Literal, Abs(a: AttributeReference, _)) if fp(a) =>
       negated(l).map(nl =>
         And(GreaterThanOrEqual(a, nl), LessThanOrEqual(a, l))).getOrElse(e)
-    case e @ GreaterThan(l: Literal, Abs(a: AttributeReference, _)) =>
+    case e @ GreaterThan(l: Literal, Abs(a: AttributeReference, _)) if fp(a) =>
       negated(l).map(nl =>
         And(GreaterThan(a, nl), LessThan(a, l))).getOrElse(e)
   }

@@ -25,4 +25,16 @@ class GraftSessionSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("local[N,maxFailures] master form parses N instead of crashing") {
+    val prev = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = GraftSession.create(appName = "graft-session-spec2", master = "local[3,2]")
+    try assert(s.conf.get("spark.sql.shuffle.partitions") == "6") // 3 cores × 2
+    finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }

@@ -52,6 +52,33 @@ class RunnerSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$out/transform_SUCCESS")))
   }
 
+  test("retry with backoff: once-failing sink succeeds on the retry") {
+    val out = java.nio.file.Files.createTempDirectory("runner-retry").toString
+    val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    final case class FlakySink(inner: Runner.Sink) extends Runner.Sink {
+      def write(df: org.apache.spark.sql.DataFrame, n: String): Unit = {
+        if (failedOnce.add(n)) throw new RuntimeException("transient failure")
+        inner.write(df, n)
+      }
+    }
+    val report = Runner.run(spark, dir,
+      FlakySink(Runner.PartitionedParquetSink(out, Nil)),
+      markerDir = Some(out), retries = 2,
+      backoff = scala.concurrent.duration.Duration(50, "ms"))
+    assert(report.statuses.values.forall(_.isRight))
+    assert(failedOnce.size == 3) // every mart really did fail once
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/transform_SUCCESS")))
+    // retries=0 keeps the old fail-fast behavior: the one transient
+    // failure is terminal
+    failedOnce.clear()
+    val report0 = Runner.run(spark, dir,
+      FlakySink(Runner.PartitionedParquetSink(
+        java.nio.file.Files.createTempDirectory("runner-retry0").toString, Nil)),
+      retries = 0)
+    assert(report0.statuses.values.forall(_.isLeft))
+  }
+
   test("atomic sink: commit manifest present, old version fully replaced") {
     val out = java.nio.file.Files.createTempDirectory("runner-atomic").toString
     val sink = Runner.AtomicParquetSink(out, "r1")
