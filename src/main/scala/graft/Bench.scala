@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-query repetitions; the median filters ambient load variance
+    // (r1→r2 showed a uniform ~1.16× drift from single-shot timings)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,20 +18,22 @@ object Bench {
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          errors(name) = e.getClass.getSimpleName; false }
+          errors(name) = e.getClass.getSimpleName; None }
+      }
       // failed queries are reported with a negative wall time so a crash
       // can never masquerade as a healthy timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":${errors.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
