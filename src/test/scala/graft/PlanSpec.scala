@@ -72,6 +72,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("plan gates hold at sf0.1 under AQE (thresholds don't flip as data grows)") {
+    // 100× the spec fixture: guards against a broadcast threshold or
+    // scan-fusion property silently flipping as the data grows
+    val big = "/root/testdata/sf0.1"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // let AQE settle on the final plan before asserting
+      // the adaptive plan prints final + initial trees; assert on final only
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val p13 = finalPlan(RefMartQueries.attackFused(spark, big))
+    assert("FileScan parquet".r.findAllIn(p13).size <= 4,
+      "fused attack mart must keep its single-scan-per-table shape")
+    assert(!p13.contains("SortMergeJoin"))
+    val p02 = finalPlan(CoreQueries.regionNationMart(spark, big))
+    assert("BroadcastHashJoin".r.findAllIn(p02).size >= 3,
+      "dimension chain must stay all-broadcast at sf0.1")
+    assert(!p02.contains("SortMergeJoin"))
+    // exactly the two-phase count(distinct) shape: one exchange on
+    // (keys, o_orderkey), one on keys — joins add none
+    assert("Exchange hashpartitioning".r.findAllIn(p02).size == 2,
+      "only the distinct-aggregate exchanges at sf0.1")
+  }
+
   test("observe(): execution metrics collected in the same pass as the action") {
     val obs = new org.apache.spark.sql.Observation()
     val li = graft.catalog.Catalog.load(spark, dir, "lineitem")
