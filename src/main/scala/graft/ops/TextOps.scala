@@ -120,4 +120,109 @@ object TextOps {
       .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
       .orderBy(col("freq").desc, col("tok"))
       .limit(topN)
+
+  /** Gopher-style repetition metrics per document — the standard
+    * quality-filter signals for LLM training corpora (most-frequent
+    * unigram share, most-frequent bigram share, duplicated 5-gram
+    * fraction). Every metric depends only on its own document, so all
+    * three are computed in ONE compiled partition-local pass with ZERO
+    * shuffles — the relational form would explode tokens + two n-gram
+    * tables into three corpus-wide aggregates. Fractions are IEEE
+    * divisions of exact counts (cross-engine deterministic). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(' ')
+          val n = toks.length
+          val uni = new java.util.HashMap[String, Int](n * 2)
+          var maxUni = 0
+          var i = 0
+          while (i < n) {
+            val c = uni.merge(toks(i), 1, (a, b) => a + b)
+            if (c > maxUni) maxUni = c
+            i += 1
+          }
+          var maxBi = 0
+          if (n >= 2) {
+            val bi = new java.util.HashMap[String, Int](n * 2)
+            i = 0
+            while (i < n - 1) {
+              val c = bi.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+              if (c > maxBi) maxBi = c
+              i += 1
+            }
+          }
+          var d5 = 0
+          if (n >= 5) {
+            val g5 = new java.util.HashSet[String](n * 2)
+            i = 0
+            while (i <= n - 5) {
+              val sb = new java.lang.StringBuilder(64)
+              var j = 0
+              while (j < 5) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              if (g5.add(sb.toString)) d5 += 1
+              i += 1
+            }
+          }
+          (id, n.toLong,
+            maxUni.toDouble / n,
+            if (n >= 2) maxBi.toDouble / (n - 1) else 0.0,
+            if (n >= 5) 1.0 - d5.toDouble / (n - 4) else 0.0)
+        }
+      }.toDF("doc_id", "n_tokens", "top_unigram_frac", "top_bigram_frac",
+        "dup_5gram_frac")
+  }
+
+  /** PII/URL scrubbing: mask emails, URLs, and long digit runs, and flag
+    * which documents contained them. Patterns are deliberately restricted
+    * to syntax RE2 and java.util.regex share (no lookaround, no
+    * backreferences) so the same literal pattern runs on any engine.
+    * Pure codegen'd column algebra — scrubbing is the archetypal
+    * map-only 100 TB pass. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+  val LongNumberPattern = "[0-9]{9,}"
+  def scrubbed(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        LongNumberPattern, "<NUM>").as("clean_text"),
+      col("text").rlike(EmailPattern).as("has_email"),
+      col("text").rlike(UrlPattern).as("has_url"),
+      col("text").rlike(LongNumberPattern).as("has_long_number"))
+
+  /** Top-k terms per document by tf-idf (keyword extraction / corpus
+    * summarization). The idf surrogate is the rational (n_docs+1)/(df+1)
+    * — ln-free on purpose: exact-int ratios are bit-deterministic across
+    * engines, a transcendental ln is not, and the RANKING it induces is
+    * identical (ln is monotonic). Two aggregates on compact (doc, term)
+    * pairs + one broadcast of the corpus-size scalar; the per-doc top-k
+    * is a rank-k window (WindowGroupLimit keeps it partial). */
+  def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = exploded(docs).groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") *
+      (col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", score)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok").as("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
 }

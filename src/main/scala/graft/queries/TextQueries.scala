@@ -145,6 +145,79 @@ object TextQueries {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprinted(docs(spark, dir)).orderBy(col("doc_id"))
 
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(docs(spark, dir)).orderBy(col("doc_id"))
+
+  private val repetitionSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(t) AS tok FROM toks
+      |), uni AS (
+      |  SELECT doc_id, MAX(c) AS max_uni, CAST(SUM(c) AS BIGINT) AS n_tokens
+      |  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), bg AS (
+      |  SELECT doc_id, MAX(c) AS max_bi, CAST(SUM(c) AS BIGINT) AS n_bi
+      |  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM (
+      |      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      |      FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), g5 AS (
+      |  SELECT doc_id, COUNT(*) AS n5, COUNT(DISTINCT g) AS d5 FROM (
+      |    SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      |    FROM toks, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5)
+      |  GROUP BY 1
+      |)
+      |SELECT u.doc_id, u.n_tokens,
+      |  CAST(u.max_uni AS DOUBLE) / u.n_tokens AS top_unigram_frac,
+      |  COALESCE(CAST(b.max_bi AS DOUBLE) / b.n_bi, 0.0) AS top_bigram_frac,
+      |  COALESCE(1.0 - CAST(g.d5 AS DOUBLE) / g.n5, 0.0) AS dup_5gram_frac
+      |FROM uni u LEFT JOIN bg b USING (doc_id) LEFT JOIN g5 g USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTop(docs(spark, dir), k = 3)
+      .orderBy(col("doc_id"), col("term"))
+
+  private val tfidfSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n_docs FROM documents
+      |), s AS (
+      |  SELECT doc_id, tok AS term, tf, df,
+      |    CAST(tf AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE)
+      |      / CAST(df + 1 AS DOUBLE) AS tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE)
+      |        / CAST(df + 1 AS DOUBLE) DESC, tok) AS rk
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+      |)
+      |SELECT doc_id, term, tf, df, tfidf FROM s WHERE rk <= 3
+      |ORDER BY doc_id, term""".stripMargin
+
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    TextOps.scrubbed(docs(spark, dir)).orderBy(col("doc_id"))
+
+  private val scrubSql =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    'https?://[^ ]+', '<URL>', 'g'),
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{9,}', '<NUM>', 'g') AS clean_text,
+      |  regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')
+      |    AS has_email,
+      |  regexp_matches(text, 'https?://[^ ]+') AS has_url,
+      |  regexp_matches(text, '[0-9]{9,}') AS has_long_number
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", tokenStats, Some(tokenStatsSql),
       "per-doc token counts / lexical diversity"),
@@ -158,6 +231,12 @@ object TextQueries {
       "MapType term-frequency column probed with size/try_element_at"),
     Q("q68_bigram_freq", bigramFreq, Some(bigramFreqSql),
       "corpus bigram frequencies top-20 (n-gram LM data prep)"),
+    Q("q97_repetition_stats", repetition, Some(repetitionSql),
+      "Gopher-style repetition metrics (top n-gram shares, dup 5-gram fraction)"),
+    Q("q98_tfidf_top", tfidf, Some(tfidfSql),
+      "top-3 terms per doc by tf-idf (rational idf, rank-identical to ln)"),
+    Q("q99_scrub_pii", scrub, Some(scrubSql),
+      "PII/URL scrubbing: masked text + per-doc flags (RE2-safe patterns)"),
     Q("q54_fingerprint", fingerprint, None,
       "xxhash64 document fingerprint (rows-only; spec-checked)"),
     Q("q55_winnowed_fingerprints",

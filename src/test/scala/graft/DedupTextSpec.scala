@@ -99,6 +99,50 @@ class DedupTextSpec extends AnyFunSuite {
     assert(g.length == 2)
   }
 
+  test("repetitionStats: hand-computed Gopher metrics on planted docs") {
+    val d = Seq(
+      (1L, "a a a a a"),        // all one token
+      (2L, "a b c d e f"),      // no repetition at all
+      (3L, "x y x y x y x y"))  // alternating
+      .toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(d)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((5L, 1.0, 1.0, 0.0)))          // 1 distinct 5-gram of 1
+    assert(r(2L) == ((6L, 1.0 / 6, 1.0 / 5, 0.0)))
+    // top bigram "x y" 4 of 7; 5-grams: 2 distinct of 4 → dup 0.5
+    assert(r(3L) == ((8L, 0.5, 4.0 / 7, 0.5)))
+  }
+
+  test("scrubbed: masks emails/urls/long numbers and flags the docs") {
+    val d = Seq(
+      (1L, "contact bob@example.com or visit https://x.io/page ref 123456789"),
+      (2L, "plain text with short 123 number"))
+      .toDF("doc_id", "text")
+    val out = TextOps.scrubbed(d)
+      .as[(Long, String, Boolean, Boolean, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(out(1L)._2 == "contact <EMAIL> or visit <URL> ref <NUM>")
+    assert(out(1L)._3 && out(1L)._4 && out(1L)._5)
+    assert(out(2L)._2 == "plain text with short 123 number")
+    assert(!out(2L)._3 && !out(2L)._4 && !out(2L)._5)
+  }
+
+  test("tfidfTop: rare terms outrank corpus-wide ones; k rows per doc") {
+    val d = Seq(
+      (1L, "common rare1 rare1"),
+      (2L, "common rare2 rare2"),
+      (3L, "common rare3 rare3"))
+      .toDF("doc_id", "text")
+    val top1 = TextOps.tfidfTop(d, k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // "common" is in every doc (df=3); each rareN is df=1 → higher idf
+    assert(top1 == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3"))
+    val all = TextOps.tfidfTop(d, k = 2).groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(all.values.forall(_ == 2L))
+  }
+
   test("langId: stopword votes pick the planted language") {
     val d = Seq(
       (1L, "the cat sat of the mat and a dog in town"),
