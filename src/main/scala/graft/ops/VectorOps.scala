@@ -156,11 +156,21 @@ object VectorOps {
     * partitioning key: each executor owns whole cells and the rerank
     * never leaves the node. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      nCells: Int = 16, nProbe: Int = 6, trainIters: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 6, trainIters: Int = 2): DataFrame =
+    ivfTopKWith(emb, queryPred, k, kmeansCentroids(emb, nCells, trainIters),
+      nProbe)
+
+  /** IVF search against an ALREADY-TRAINED coarse quantizer — the
+    * production shape: at scale you train the centroids once
+    * ([[kmeansCentroids]], a bounded-prefix job), persist the model-sized
+    * Seq, and serve every subsequent query batch from it without paying
+    * the training loop again (IvfModelSpec asserts search-with-reused-
+    * model ≡ train-inside-the-call). */
+  def ivfTopKWith(emb: DataFrame, queryPred: Column, k: Int,
+      model: Seq[(Int, Array[Float])], nProbe: Int = 6): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = broadcast(
-      kmeansCentroids(emb, nCells, trainIters).toDF("cell", "cv"))
+    val centroids = broadcast(model.toDF("cell", "cv"))
     def nearestCells(df: DataFrame, idCol: String, vCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("__sim").desc, col("cell"))

@@ -63,6 +63,19 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5)
   }
 
+  test("IVF model reuse: train once, serve many query batches identically") {
+    val model = VectorOps.kmeansCentroids(emb, k = 16, iters = 2)
+    val inline = VectorOps.ivfTopK(emb, col("vec_id") < 8, 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val reused = VectorOps.ivfTopKWith(emb, col("vec_id") < 8, 5, model)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(inline.sameElements(reused))
+    // a second batch against the SAME model — no retraining job
+    val batch2 = VectorOps.ivfTopKWith(emb,
+      col("vec_id") >= 8 && col("vec_id") < 12, 5, model)
+    assert(batch2.select(countDistinct(col("query_id"))).as[Long].collect()(0) == 4L)
+  }
+
   test("UDAF centroids == relational centroids exactly") {
     val a = VectorOps.labelCentroids(emb).orderBy("label", "i")
       .as[(Int, Long, Double)].collect()
