@@ -123,6 +123,15 @@ object Catalog {
       .csv(s"$csvDir/${t.name}.csv"))
   }
 
+  /** Declared-schema JSON-lines scan (data-lake interchange format):
+    * like [[loadCsv]], the catalog supplies the schema so the read costs
+    * one pass — no sampling inference job. Layout: `<jsonDir>/<name>.json/`
+    * as written by `df.write.json(...)`. */
+  def loadJson(spark: SparkSession, jsonDir: String, name: String): DataFrame = {
+    val t = byName(name)
+    t.post(spark.read.schema(t.schema).json(s"$jsonDir/${t.name}.json"))
+  }
+
   /** S1 analog: JDBC full-table scan (reference dag-extract.py:61-62,
     * `MySqlHook.get_pandas_df("SELECT * FROM {table}")` — one machine,
     * one cursor). Here the read is split into `numPartitions`

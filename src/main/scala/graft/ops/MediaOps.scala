@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators (north-star): treat image/audio/video as
@@ -41,6 +41,21 @@ object MediaOps {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
       col("text").cast("binary").as("payload"))
+
+  /** Raw-file ingestion via Spark's `binaryFile` source — how a real
+    * multimodal corpus enters the engine (image/audio/video files on
+    * object storage → one row per file, content as an opaque binary
+    * column, no decoding on read). media_id is a stable hash of the
+    * path; media_type comes from the file extension. The source
+    * parallelizes over files, so a 100 TB media lake scans exactly like
+    * any other table. */
+  def fromBinaryFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("media_type"),
+        col("content").as("payload"),
+        col("path"), col("length"))
 
   /** ---- STUB ---- deterministic fake decode: a real build links an
     * image/audio codec here. Metadata is a pure function of byte length

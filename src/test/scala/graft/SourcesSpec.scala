@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.ops.MediaOps
+import graft.pipelines.Compaction
+
+/** Round-trip coverage for the non-CSV sources (JSON lines, binaryFile)
+  * and the small-file compaction maintenance operator.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("JSON-lines round-trip with declared schema (no inference pass)") {
+    val out = java.nio.file.Files.createTempDirectory("json-src").toString
+    val nation = Catalog.load(spark, dir, "nation")
+    nation.write.json(s"$out/nation.json")
+    val back = Catalog.loadJson(spark, out, "nation")
+    assert(back.schema == nation.schema) // declared, not inferred
+    val a = nation.orderBy("n_nationkey").as[(Int, String, Int)].collect().toSeq
+    val b = back.orderBy("n_nationkey").as[(Int, String, Int)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("binaryFile source: one row per file, bytes intact, parallel scan") {
+    val d = java.nio.file.Files.createTempDirectory("binsrc")
+    val payloads = Map("a.jpg" -> "fake-jpeg-bytes", "b.wav" -> "fake-wav",
+      "c.mp4" -> "fake-video-payload")
+    payloads.foreach { case (n, s) =>
+      java.nio.file.Files.write(d.resolve(n), s.getBytes("UTF-8"))
+    }
+    val media = MediaOps.fromBinaryFiles(spark, d.toString)
+    val rows = media.select(col("media_type"), col("payload"), col("length"))
+      .as[(String, Array[Byte], Long)].collect()
+    assert(rows.length == 3)
+    assert(rows.map(_._1).sorted.toSeq == Seq("jpg", "mp4", "wav"))
+    assert(rows.forall { case (_, p, len) => p.length.toLong == len })
+    assert(rows.map(r => new String(r._2, "UTF-8")).toSet == payloads.values.toSet)
+    // ingested rows flow straight into the decode/featurize pipeline
+    val feats = MediaOps.decodeAndFeaturize(
+      media.select(col("media_id"), col("media_type"), col("payload")))
+    assert(feats.count() == 3)
+  }
+
+  test("compaction: fragmented dataset collapses to sized files, rows intact") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val docs = Catalog.load(spark, dir, "documents")
+    docs.repartition(32).write.parquet(s"$base/docs")
+    val before = Compaction.compact(spark, base, "docs",
+      targetBytes = 1L << 30) // everything fits one file
+    assert(before.filesBefore >= 32)
+    assert(before.outputFiles == 1)
+    // atomic publish leaves a complete, commit-marked, readable version
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/docs/_COMMIT")))
+    val back = spark.read.parquet(s"$base/docs")
+    assert(back.count() == docs.count())
+    assert(parquetCount(s"$base/docs") == 1)
+    // shuffle=true balanced variant also round-trips
+    docs.repartition(16).write.mode("overwrite").parquet(s"$base/docs2")
+    val r2 = Compaction.compact(spark, base, "docs2",
+      targetBytes = 1L << 30, shuffle = true)
+    assert(r2.outputFiles == 1 &&
+      spark.read.parquet(s"$base/docs2").count() == docs.count())
+  }
+
+  private def parquetCount(p: String): Int = {
+    val l = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+    try l.filter(_.toString.endsWith(".parquet")).count().toInt
+    finally l.close()
+  }
+}
