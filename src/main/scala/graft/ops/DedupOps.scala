@@ -477,6 +477,41 @@ object DedupOps {
         coalesce(col("lbl"), col("doc_id")).as("cluster_rep"))
   }
 
+  /** Leakage-safe train/val/test split: assignment is keyed on the
+    * near-dup CLUSTER representative, not the document id, so two
+    * near-duplicates can never land in different splits — the classic
+    * train/test-contamination bug a naive per-doc split commits at corpus
+    * scale. Buckets are `cluster_rep % 100` (deterministic: the rep is
+    * the min doc_id of the component), carved into train/val/test by the
+    * given percentages. */
+  def leakageSafeSplits(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
+      trainPct: Int = 80, valPct: Int = 10,
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    dedupClusters(docs, n, threshold, maxDf = maxDf)
+      .withColumn("split",
+        when(col("cluster_rep") % 100 < trainPct, "train")
+          .when(col("cluster_rep") % 100 < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+
+  /** Benchmark-contamination scan: corpus documents sharing at least
+    * `minCommon` RARE n-gram shingles (corpus df ≤ maxDf — ubiquitous
+    * boilerplate n-grams are noise for contamination, and the cap is
+    * what keeps the join linear) with any document of an evaluation set.
+    * The standard pre-training hygiene pass: run before training with
+    * every benchmark you intend to report. Equi-join on shingles — cost
+    * is Σ posting², bounded by the df cap; the (small) eval side is
+    * never capped. */
+  def contamination(corpus: DataFrame, evalDocs: DataFrame, n: Int = 5,
+      minCommon: Long = 3, maxDf: Long = DefaultMaxDf): DataFrame = {
+    val rare = capHotKeys(shingles(corpus, n), Seq("shingle"), maxDf)
+    val es = shingles(evalDocs, n)
+    rare.as("c").join(es.as("e"), col("c.shingle") === col("e.shingle"))
+      .groupBy(col("c.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+
   /** End-to-end corpus cleaning — the composed training-data pipeline:
     * keep a document iff (1) its quality score clears `qualityMin`
     * (TextOps.qualityScored: length/stopword/diversity mix), (2) it is

@@ -162,6 +162,56 @@ object DedupQueries {
       |FROM g GROUP BY source
       |ORDER BY source""".stripMargin
 
+  def splits(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.leakageSafeSplits(docs(spark, dir)).orderBy(col("doc_id"))
+
+  private val splitsSql =
+    s"""WITH RECURSIVE $reachCtes, rep AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |)
+       |SELECT doc_id, cluster_rep,
+       |  CASE WHEN cluster_rep % 100 < 80 THEN 'train'
+       |       WHEN cluster_rep % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM rep
+       |ORDER BY doc_id""".stripMargin
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    DedupOps.contamination(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  private val contaminationSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE source <> 'src0'
+      |), ev AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE source = 'src0'
+      |), cs AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM corpus, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5
+      |), dfreq AS (
+      |  SELECT shingle, COUNT(*) AS c FROM cs GROUP BY 1
+      |), rare AS (
+      |  SELECT doc_id, shingle FROM cs JOIN dfreq USING (shingle)
+      |  WHERE c <= 1000
+      |), es AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM ev, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5
+      |)
+      |SELECT r.doc_id, e.doc_id AS eval_id, COUNT(*) AS n_common
+      |FROM rare r JOIN es e USING (shingle)
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 3
+      |ORDER BY r.doc_id, eval_id""".stripMargin
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashLshPairs(docs(spark, dir), n = 5, k = 64, r = 4, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -183,5 +233,9 @@ object DedupQueries {
     Q("q66_corpus_clean", corpusClean, Some(corpusCleanSql),
       "composed pipeline: quality gate + exact keeper + near-dup cluster rep"),
     Q("q67_dup_stats", dupStats, Some(dupStatsSql),
-      "per-source duplicate-rate observability rollup"))
+      "per-source duplicate-rate observability rollup"),
+    Q("q100_leakage_safe_split", splits, Some(splitsSql),
+      "train/val/test split keyed on near-dup cluster rep (no split leakage)"),
+    Q("q101_contamination", contamination, Some(contaminationSql),
+      "benchmark-contamination scan: rare-shingle overlap vs an eval set"))
 }

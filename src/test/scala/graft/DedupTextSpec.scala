@@ -143,6 +143,34 @@ class DedupTextSpec extends AnyFunSuite {
     assert(all.values.forall(_ == 2L))
   }
 
+  test("leakageSafeSplits: near-dup cluster members always share a split") {
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (7L, common),                    // near-dups of each other
+      (203L, common + " tail"),        // 203 % 100 = 3 but rep is 7
+      (185L, (1 to 40).map(i => s"x$i").mkString(" "))) // singleton
+      .toDF("doc_id", "text")
+    val s = DedupOps.leakageSafeSplits(d)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(s(7L)._1 == 7L && s(203L)._1 == 7L) // same cluster rep
+    assert(s(7L)._2 == s(203L)._2)             // → same split, no leakage
+    assert(s(7L)._2 == "train")                // 7 % 100 = 7 < 80
+    assert(s(185L) == ((185L, "val")))         // singleton: 85 ∈ [80, 90)
+  }
+
+  test("contamination: planted eval overlap found; boilerplate-only ignored") {
+    val leak = (1 to 20).map(i => s"bench$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$leak extra tokens beyond the benchmark run"), // contaminated
+      (2L, (1 to 30).map(i => s"clean$i").mkString(" ")))   // clean
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, leak)).toDF("doc_id", "text")
+    val hits = DedupOps.contamination(corpus, evalSet, minCommon = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((1L, 100L)))
+    assert(hits.head._3 == 16L) // all 16 5-grams of the 20-token benchmark
+  }
+
   test("langId: stopword votes pick the planted language") {
     val d = Seq(
       (1L, "the cat sat of the mat and a dog in town"),
