@@ -187,6 +187,35 @@ object Streams {
           .write(batch.toDF(), name)
       }
 
+  /** Publish complete-mode snapshots to a JDBC table with per-epoch
+    * bookkeeping — the `foreachBatch` idempotence recipe for
+    * transactional sinks: each micro-batch full-replaces `<name>` and
+    * appends its epoch id to `<name>_epochs`; a replayed epoch (restart
+    * recovery re-delivers the last uncommitted batch) finds its id
+    * already recorded and is skipped, so the serving table never moves
+    * backwards. The streaming twin of the reference's load phase
+    * (dag-load.py: S3 csv → MySQL full-replace), minus its
+    * read-everything-then-write single machine. */
+  def publishToJdbc(agg: DataFrame, url: String, name: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream.outputMode("complete")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val props = new java.util.Properties
+        val alreadyDone =
+          try spark.read.jdbc(url, s"${name}_epochs", props)
+            .filter(col("epoch") === id).count() > 0
+          catch { case _: Throwable => false } // first batch: no table yet
+        if (!alreadyDone) {
+          batch.toDF().write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .jdbc(url, name, props)
+          Seq(id).toDF("epoch")
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .jdbc(url, s"${name}_epochs", props)
+        }
+      }
+
   /** Pure gap-split (shared by the stateful op and its spec oracle). */
   def splitSessions(uid: Long, sorted: Seq[(Long, Double)]): Seq[Session] = {
     if (sorted.isEmpty) return Nil

@@ -42,6 +42,27 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(back.count() == r1.count())
   }
 
+  test("streaming snapshots publish to JDBC with per-epoch bookkeeping") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val agg = in.toDF().toDF("user_id", "value")
+      .groupBy("user_id").agg(sum(col("value")).as("total"))
+    val q = graft.streaming.Streams.publishToJdbc(agg, url, "snap").start()
+    try {
+      in.addData((1L, 2.0), (2L, 3.0)); q.processAllAvailable()
+      in.addData((1L, 5.0)); q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "snap").load()
+      .as[(Long, Double)].collect().toMap
+    assert(back == Map(1L -> 7.0, 2L -> 3.0)) // latest snapshot serves
+    val epochs = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "snap_epochs").load()
+      .as[Long].collect().toSet
+    assert(epochs.size >= 2) // one bookkeeping row per committed batch
+  }
+
   test("empty table degrades to a single-partition read") {
     val empty = Catalog.load(spark, dir, "region").filter(lit(false))
     Runner.JdbcSink(url, new java.util.Properties).write(empty, "region_empty")
