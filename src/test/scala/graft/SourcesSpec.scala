@@ -67,6 +67,32 @@ class SourcesSpec extends AnyFunSuite {
       spark.read.parquet(s"$base/docs2").count() == docs.count())
   }
 
+  test("versioned publish: time travel, retention pruning, rollback") {
+    import graft.pipelines.Versioned
+    val base = java.nio.file.Files.createTempDirectory("versioned").toString
+    val r = Catalog.load(spark, dir, "region")
+    def versionWith(extra: Int) =
+      r.withColumn("v_tag", lit(extra))
+    assert(Versioned.latestVersion(base, "t") == None)
+    assert(Versioned.publish(versionWith(0), base, "t", keep = 2) == 0L)
+    assert(Versioned.publish(versionWith(1), base, "t", keep = 2) == 1L)
+    assert(Versioned.publish(versionWith(2), base, "t", keep = 2) == 2L)
+    // latest serves v2; time travel reaches v1; v0 pruned past keep=2
+    assert(Versioned.read(spark, base, "t")
+      .select(max(col("v_tag"))).as[Int].collect()(0) == 2)
+    assert(Versioned.read(spark, base, "t", Some(1L))
+      .select(max(col("v_tag"))).as[Int].collect()(0) == 1)
+    assertThrows[IllegalStateException] {
+      Versioned.read(spark, base, "t", Some(0L))
+    }
+    // rollback republishes v1's content as v3; history stays linear
+    val v3 = Versioned.rollback(spark, base, "t", toVersion = 1L, keep = 2)
+    assert(v3 == 3L)
+    assert(Versioned.read(spark, base, "t")
+      .select(max(col("v_tag"))).as[Int].collect()(0) == 1)
+    assert(Versioned.latestVersion(base, "t") == Some(3L))
+  }
+
   private def parquetCount(p: String): Int = {
     val l = java.nio.file.Files.list(java.nio.file.Paths.get(p))
     try l.filter(_.toString.endsWith(".parquet")).count().toInt
