@@ -79,6 +79,24 @@ class RunnerSpec extends AnyFunSuite {
     assert(report0.statuses.values.forall(_.isLeft))
   }
 
+  test("quality guard: metrics ride the write job, thresholds validate after") {
+    import graft.pipelines.Guard
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"))
+      .toDF("id", "name")
+    val (guarded, obs) = Guard.withMetrics(df, Seq("name"))
+    val out = java.nio.file.Files.createTempDirectory("guard").toString
+    guarded.write.parquet(s"$out/t") // the ONE job; metrics collected here
+    assert(Guard.check(obs, minRows = 1, maxNullFrac = 0.5, Seq("name")) ==
+      Right(Map("name" -> 1L, "rows" -> 3L)))
+    val (g2, obs2) = Guard.withMetrics(df, Seq("name"))
+    g2.count()
+    val strict = Guard.check(obs2, minRows = 10, maxNullFrac = 0.0, Seq("name"))
+    assert(strict.isLeft && strict.left.toOption.get.size == 2)
+  }
+
   test("atomic sink: commit manifest present, old version fully replaced") {
     val out = java.nio.file.Files.createTempDirectory("runner-atomic").toString
     val sink = Runner.AtomicParquetSink(out, "r1")
