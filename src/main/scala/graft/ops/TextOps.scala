@@ -179,6 +179,33 @@ object TextOps {
         "dup_5gram_frac")
   }
 
+  /** Collocation mining: top word pairs by LIFT — the rational form of
+    * PMI, `P(xy) / (P(x)·P(y)) = c_xy · N / (c_x · c_y)` — over corpus
+    * bigram and unigram counts (n-gram LM / tokenizer-merge data prep).
+    * ln-free like [[tfidfTop]]'s idf: exact-count ratios are
+    * bit-deterministic across engines and the ranking equals PMI's
+    * (ln is monotonic). `minCount` suppresses the unstable low-frequency
+    * tail, standard collocation practice. Two aggregates over compact
+    * pairs + two broadcast-sized joins. */
+  def collocations(docs: DataFrame, topN: Int = 20, minCount: Long = 5): DataFrame = {
+    val uni = exploded(docs).groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+    val nTok = uni.agg(sum(col("c_tok")).as("n_tok"))
+    val bg = ngrams(docs, 2).groupBy(col("ngram").as("bigram"))
+      .agg(count(lit(1)).as("c_bg"))
+      .filter(col("c_bg") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    bg
+      .join(uni.select(col("tok").as("w1"), col("c_tok").as("c_w1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c_tok").as("c_w2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("lift",
+        col("c_bg").cast("double") * col("n_tok") / col("c_w1") / col("c_w2"))
+      .select(col("bigram"), col("c_bg"), col("c_w1"), col("c_w2"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(topN)
+  }
+
   /** PII/URL scrubbing: mask emails, URLs, and long digit runs, and flag
     * which documents contained them. Patterns are deliberately restricted
     * to syntax RE2 and java.util.regex share (no lookaround, no

@@ -270,6 +270,46 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Per-event session ASSIGNMENT (batch): each event gets its user's
+    * running session ordinal — new session when the gap from the
+    * previous event reaches Streams.GapUs (same gap as the streaming
+    * sessionizer). The lag + conditional cumulative-sum idiom: one
+    * shuffle on user_id, two window passes over the same sort. The
+    * assignment form (vs q47's aggregate-per-session) is what labeling
+    * jobs join back onto events. */
+  def sessionAssign(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gap = graft.streaming.Streams.GapUs
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("session_seq",
+        sum(when(col("prev").isNull || col("ts_us") - col("prev") >= gap, 1L)
+          .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("session_seq"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  private val sessionAssignSql = {
+    val gap = graft.streaming.Streams.GapUs
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+       |), m AS (
+       |  SELECT *, lag(ts_us) OVER (
+       |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+       |  FROM e
+       |)
+       |SELECT user_id, event_id, ts_us,
+       |  CAST(SUM(CASE WHEN prev IS NULL OR ts_us - prev >= $gap
+       |             THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |FROM m
+       |ORDER BY user_id, ts_us, event_id""".stripMargin
+  }
+
   /** Event-time interval join (batch form of the stream-stream
     * attribution join, Streams.viewPurchaseJoin — StreamsSpec asserts the
     * streaming twin emits the identical set): each view matched to the
@@ -300,6 +340,8 @@ object EventQueries {
       "as-of join via custom LogicalPlan+Strategy+BinaryExecNode (same oracle as q80)"),
     Q("q96_asof_native_forward", asofNativeForward, Some(asofForwardSql),
       "forward as-of through the native operator (same oracle as q90)"),
+    Q("q103_session_assign", sessionAssign, Some(sessionAssignSql),
+      "per-event session ordinal via lag + conditional running sum"),
     Q("q81_range_join", rangeJoinOrders, Some(rangeJoinSql),
       "banded point-in-interval join (bucket equi-join + residual filter)"),
     Q("q80_asof_join", asofViewPurchase, Some(asofSql),

@@ -205,6 +205,35 @@ object TextQueries {
   def scrub(spark: SparkSession, dir: String): DataFrame =
     TextOps.scrubbed(docs(spark, dir)).orderBy(col("doc_id"))
 
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    TextOps.collocations(docs(spark, dir), topN = 20, minCount = 5)
+
+  private val collocationsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), uni AS (
+      |  SELECT tok, COUNT(*) AS c_tok FROM tok GROUP BY 1
+      |), n AS (
+      |  SELECT CAST(SUM(c_tok) AS BIGINT) AS n_tok FROM uni
+      |), toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), bg AS (
+      |  SELECT t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1, t[i+1] AS w2,
+      |    COUNT(*) AS c_bg
+      |  FROM toks, unnest(range(1, len(t))) AS u(i)
+      |  WHERE len(t) >= 2
+      |  GROUP BY 1, 2, 3
+      |  HAVING COUNT(*) >= 5
+      |)
+      |SELECT bigram, c_bg, u1.c_tok AS c_w1, u2.c_tok AS c_w2,
+      |  CAST(c_bg AS DOUBLE) * n_tok / u1.c_tok / u2.c_tok AS lift
+      |FROM bg
+      |JOIN uni u1 ON bg.w1 = u1.tok
+      |JOIN uni u2 ON bg.w2 = u2.tok
+      |CROSS JOIN n
+      |ORDER BY lift DESC, bigram
+      |LIMIT 20""".stripMargin
+
   private val scrubSql =
     """SELECT doc_id,
       |  regexp_replace(regexp_replace(regexp_replace(text,
@@ -237,6 +266,8 @@ object TextQueries {
       "top-3 terms per doc by tf-idf (rational idf, rank-identical to ln)"),
     Q("q99_scrub_pii", scrub, Some(scrubSql),
       "PII/URL scrubbing: masked text + per-doc flags (RE2-safe patterns)"),
+    Q("q102_collocations", collocations, Some(collocationsSql),
+      "top word pairs by lift (rational PMI — rank-identical, ln-free)"),
     Q("q54_fingerprint", fingerprint, None,
       "xxhash64 document fingerprint (rows-only; spec-checked)"),
     Q("q55_winnowed_fingerprints",

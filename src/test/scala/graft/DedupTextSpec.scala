@@ -171,6 +171,18 @@ class DedupTextSpec extends AnyFunSuite {
     assert(hits.head._3 == 16L) // all 16 5-grams of the 20-token benchmark
   }
 
+  test("collocations: hand-computed lift, low-frequency tail suppressed") {
+    val d = ((1L to 5L).map(i => (i, "a b")) ++
+      (6L to 10L).map(i => (i, "c d")) ++
+      Seq((11L, "rare pair"))) // c_bg=1 < minCount → suppressed
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.collocations(d, topN = 10, minCount = 5)
+      .as[(String, Long, Long, Long, Double)].collect()
+    // n_tok=22; lift(a b) = 5·22/(5·5) = 4.4 — both pairs tie, bigram breaks
+    assert(out.map(_._1).toSeq == Seq("a b", "c d"))
+    assert(out.forall(_._5 == 5.0 * 22 / 25))
+  }
+
   test("langId: stopword votes pick the planted language") {
     val d = Seq(
       (1L, "the cat sat of the mat and a dog in town"),
