@@ -95,6 +95,33 @@ class PlanSpec extends AnyFunSuite {
       "only the distinct-aggregate exchanges at sf0.1")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the modern large-large shape: when broadcast is impossible, Spark
+    // can still push a bloom filter built from the selective side into
+    // the fact scan — row-level runtime pruning before the shuffle
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.1", "lineitem")
+      val o = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.1", "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter") || p.contains("might_contain"),
+        "expected a runtime bloom filter on the fact side")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("observe(): execution metrics collected in the same pass as the action") {
     val obs = new org.apache.spark.sql.Observation()
     val li = graft.catalog.Catalog.load(spark, dir, "lineitem")

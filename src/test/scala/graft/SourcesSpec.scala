@@ -93,6 +93,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(Versioned.latestVersion(base, "t") == Some(3L))
   }
 
+  test("incremental upsert: incoming wins on key, history time-travels") {
+    import graft.pipelines.{Incremental, Versioned}
+    val base = java.nio.file.Files.createTempDirectory("upsert").toString
+    val v0 = Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"))
+      .toDF("r_regionkey", "r_name")
+    assert(Incremental.publishUpsert(spark, base, "region", v0,
+      Seq("r_regionkey")) == 0L)
+    // batch 2: update key 1, insert key 9
+    val delta = Seq((1, "AMERICA-v2"), (9, "ATLANTIS")).toDF("r_regionkey", "r_name")
+    assert(Incremental.publishUpsert(spark, base, "region", delta,
+      Seq("r_regionkey")) == 1L)
+    val latest = Versioned.read(spark, base, "region")
+      .as[(Int, String)].collect().toMap
+    assert(latest == Map(0 -> "AFRICA", 1 -> "AMERICA-v2", 2 -> "ASIA",
+      9 -> "ATLANTIS"))
+    // pre-upsert state still reachable for rollback
+    val old = Versioned.read(spark, base, "region", Some(0L))
+      .as[(Int, String)].collect().toMap
+    assert(old(1) == "AMERICA")
+  }
+
   private def parquetCount(p: String): Int = {
     val l = java.nio.file.Files.list(java.nio.file.Paths.get(p))
     try l.filter(_.toString.endsWith(".parquet")).count().toInt
