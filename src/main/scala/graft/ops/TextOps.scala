@@ -179,6 +179,34 @@ object TextOps {
         "dup_5gram_frac")
   }
 
+  /** RAG chunking: split each document into overlapping token windows —
+    * the unit a retrieval pipeline embeds and indexes (the reference IS
+    * a RAG ingest pipeline; this is its missing center). Windows are
+    * `size` tokens starting every `size - overlap` tokens; the tail
+    * chunk may be short. Per-document arithmetic → one compiled
+    * partition-local pass, zero shuffles, like every other per-doc op
+    * here. Chunk count = ceil(n_tokens / stride). */
+  def chunked(docs: DataFrame, size: Int = 32, overlap: Int = 8): DataFrame = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val stride = size - overlap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(' ')
+          val n = toks.length
+          val nChunks = (n + stride - 1) / stride
+          (0 until nChunks).iterator.map { k =>
+            val from = k * stride
+            val until = math.min(from + size, n)
+            (id, k.toLong, toks.slice(from, until).mkString(" "),
+              (until - from).toLong)
+          }
+        }
+      }.toDF("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+  }
+
   /** Collocation mining: top word pairs by LIFT — the rational form of
     * PMI, `P(xy) / (P(x)·P(y)) = c_xy · N / (c_x · c_y)` — over corpus
     * bigram and unigram counts (n-gram LM / tokenizer-merge data prep).

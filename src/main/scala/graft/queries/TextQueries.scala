@@ -205,6 +205,22 @@ object TextQueries {
   def scrub(spark: SparkSession, dir: String): DataFrame =
     TextOps.scrubbed(docs(spark, dir)).orderBy(col("doc_id"))
 
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunked(docs(spark, dir), size = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunksSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |  array_to_string(t[k * 24 + 1 : least(k * 24 + 32, len(t))], ' ')
+      |    AS chunk_text,
+      |  CAST(least(k * 24 + 32, len(t)) - k * 24 AS BIGINT) AS n_chunk_tokens
+      |FROM toks,
+      |  unnest(range(0, CAST(ceil(len(t) / 24.0) AS BIGINT))) AS u(k)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   def collocations(spark: SparkSession, dir: String): DataFrame =
     TextOps.collocations(docs(spark, dir), topN = 20, minCount = 5)
 
@@ -268,6 +284,8 @@ object TextQueries {
       "PII/URL scrubbing: masked text + per-doc flags (RE2-safe patterns)"),
     Q("q102_collocations", collocations, Some(collocationsSql),
       "top word pairs by lift (rational PMI — rank-identical, ln-free)"),
+    Q("q104_rag_chunks", chunks, Some(chunksSql),
+      "RAG chunking: overlapping 32-token windows, stride 24, per-doc pass"),
     Q("q54_fingerprint", fingerprint, None,
       "xxhash64 document fingerprint (rows-only; spec-checked)"),
     Q("q55_winnowed_fingerprints",

@@ -171,6 +171,25 @@ class DedupTextSpec extends AnyFunSuite {
     assert(hits.head._3 == 16L) // all 16 5-grams of the 20-token benchmark
   }
 
+  test("chunked: window boundaries, overlap, short tails, exact multiples") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, size 4 stride 3
+      (2L, (1 to 6).map(i => s"s$i").mkString(" ")),  // exact multiple of stride
+      (3L, "solo"))                                   // shorter than one window
+      .toDF("doc_id", "text")
+    val c = graft.ops.TextOps.chunked(d, size = 4, overlap = 1)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    // doc1: starts 0,3,6,9 → last chunk is the 1-token tail
+    assert(c(1L) == Seq(("t1 t2 t3 t4", 4L), ("t4 t5 t6 t7", 4L),
+      ("t7 t8 t9 t10", 4L), ("t10", 1L)))
+    // doc2: 6 tokens, stride 3 → exactly two windows, second short
+    assert(c(2L) == Seq(("s1 s2 s3 s4", 4L), ("s4 s5 s6", 3L)))
+    assert(c(3L) == Seq(("solo", 1L)))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(c(1L)(0)._1.split(' ').last == c(1L)(1)._1.split(' ').head)
+  }
+
   test("collocations: hand-computed lift, low-frequency tail suppressed") {
     val d = ((1L to 5L).map(i => (i, "a b")) ++
       (6L to 10L).map(i => (i, "c d")) ++
