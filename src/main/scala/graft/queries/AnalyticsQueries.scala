@@ -445,7 +445,58 @@ object AnalyticsQueries {
       |GROUP BY s.n
       |ORDER BY mo""".stripMargin
 
+  // ---- iterative graph analytics: PageRank ----------------------------
+
+  /** PageRank over the (symmetrized) customer–supplier trade graph:
+    * edge cᵢ ↔ sⱼ for every order line customer i bought from supplier j.
+    * Five power-iteration rounds; every per-node contribution sum runs
+    * through the decimal recipe, so the doubles hash-match DuckDB's
+    * unrolled-CTE evaluation of the identical recurrence. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("u"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("v"))
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    graft.ops.GraphOps.pageRank(edges, iters = 5)
+      .select(col("n").as("node"), col("r").as("rank"))
+      .orderBy(col("node"))
+  }
+
+  private val pagerankSql = {
+    def round(k: Int) =
+      s"""pr$k AS (
+         |  SELECT n.n,
+         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+         |      * COALESCE(c.s, CAST(0 AS DOUBLE)) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.v, ${graft.ops.Det.sqlSum("p.r / d.d")} AS s
+         |    FROM edges e JOIN pr${k - 1} p ON e.u = p.n JOIN deg d ON e.u = d.u
+         |    GROUP BY e.v) c ON c.v = n.n
+         |)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+       |), nodes AS (
+       |  SELECT DISTINCT u AS n FROM edges
+       |), deg AS (
+       |  SELECT u, COUNT(*) AS d FROM edges GROUP BY 1
+       |), pr0 AS (
+       |  SELECT n, CAST(1 AS DOUBLE) AS r FROM nodes
+       |), ${(1 to 5).map(round).mkString(", ")}
+       |SELECT n AS node, r AS rank FROM pr5
+       |ORDER BY node""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q105_pagerank", pagerank, Some(pagerankSql),
+      "5-round PageRank on the customer-supplier graph (decimal-sum rounds)"),
     Q("q95_recursive_cte", recursiveCte, Some(recursiveCteSql),
       "WITH RECURSIVE month generator + gap-fill join, verbatim on both engines"),
     Q("q94_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql),

@@ -9,6 +9,25 @@ import graft.ops.{DedupOps, StatsOps}
   * (transitivity, singletons, determinism), corpus-clean rule logic.
   */
 class AnalyticsSpec extends AnyFunSuite {
+
+  test("pageRank: hand-computed star graph, partition-layout independent") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // undirected star a-b, a-c: deg a=2, b=c=1
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("u", "v")
+    val r1 = graft.ops.GraphOps.pageRank(edges, iters = 1)
+      .as[(String, Double)].collect().toMap
+    // r1(a) = 0.15 + 0.85·(1/1 + 1/1); r1(b) = r1(c) = 0.15 + 0.85·(1/2)
+    assert(r1("a") == 0.15 + 0.85 * 2.0)
+    assert(r1("b") == 0.15 + 0.85 * 0.5 && r1("c") == r1("b"))
+    val r5 = graft.ops.GraphOps.pageRank(edges, iters = 5)
+      .as[(String, Double)].collect().toMap
+    val r5b = graft.ops.GraphOps.pageRank(edges.repartition(7), iters = 5)
+      .as[(String, Double)].collect().toMap
+    assert(r5 == r5b) // decimal rounds: layout cannot move a single bit
+    assert(r5("a") > r5("b"))
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
