@@ -27,8 +27,9 @@ object GraphOps {
       .union(e.select(col("v").as("n"))).distinct()
       .localCheckpoint(true)
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // joined every round
     var pr = nodes.withColumn("r", lit(1.0))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contrib = e.join(pr, e("u") === pr("n"))
         .join(deg, "u")
         .select(col("v"), (col("r") / col("d")).as("x"))
@@ -36,7 +37,11 @@ object GraphOps {
       pr = nodes.join(contrib, nodes("n") === contrib("v"), "left")
         .select(col("n"),
           (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+      // lazy checkpoint: truncates lineage for the NEXT round's planning
+      // without forcing a blocking job per round (fixed iteration count —
+      // no convergence action needs the intermediate result); the final
+      // action runs the whole recurrence as one pipelined job
+      if (i < iters - 1) pr = pr.localCheckpoint(false)
     }
     pr
   }

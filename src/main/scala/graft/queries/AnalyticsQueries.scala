@@ -457,12 +457,19 @@ object AnalyticsQueries {
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Catalog.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
+    // numeric node ids (customer → 2k, supplier → 2k+1) keep every
+    // iteration shuffle on 8-byte keys; the rank values are identical to
+    // a labeled-graph run (same groups, order-independent decimal sums),
+    // so labels are formatted only on the final 1-row-per-node output
     val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("u"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("v"))
+      .select((col("o_custkey") * 2).as("u"),
+        (col("l_suppkey") * 2 + 1).as("v"))
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     graft.ops.GraphOps.pageRank(edges, iters = 5)
-      .select(col("n").as("node"), col("r").as("rank"))
+      .select(
+        when(col("n") % 2 === 0, concat(lit("c"), (col("n") / 2).cast("long")))
+          .otherwise(concat(lit("s"), (col("n") / 2).cast("long"))).as("node"),
+        col("r").as("rank"))
       .orderBy(col("node"))
   }
 
