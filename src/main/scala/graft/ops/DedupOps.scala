@@ -49,7 +49,10 @@ object DedupOps {
         .agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf)
         .select(ks: _*)
+      // usingColumns joins move the key columns first; restore the
+      // caller's column order so the cap is a pure filter
       postings.join(hot, keyCols, "left_anti")
+        .select(postings.columns.map(col): _*)
     }
   }
 

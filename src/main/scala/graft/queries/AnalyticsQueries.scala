@@ -449,9 +449,9 @@ object AnalyticsQueries {
 
   /** PageRank over the (symmetrized) customer–supplier trade graph:
     * edge cᵢ ↔ sⱼ for every order line customer i bought from supplier j.
-    * Five power-iteration rounds; every per-node contribution sum runs
-    * through the decimal recipe, so the doubles hash-match DuckDB's
-    * unrolled-CTE evaluation of the identical recurrence. */
+    * Five power-iteration rounds in fixed-point micro-rank integers (see
+    * GraphOps.pageRank), so the final doubles hash-match DuckDB's
+    * unrolled-CTE evaluation of the identical recurrence bit-for-bit. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val o = Catalog.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
@@ -474,13 +474,15 @@ object AnalyticsQueries {
   }
 
   private val pagerankSql = {
+    // fixed-point micro-rank recurrence, mirrored exactly: BIGINT floor
+    // division and integer sums have one answer on every engine
     def round(k: Int) =
       s"""pr$k AS (
          |  SELECT n.n,
-         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
-         |      * COALESCE(c.s, CAST(0 AS DOUBLE)) AS r
+         |    CAST(150000 AS BIGINT)
+         |      + CAST(85 * COALESCE(c.s, 0) AS BIGINT) // 100 AS r
          |  FROM nodes n LEFT JOIN (
-         |    SELECT e.v, ${graft.ops.Det.sqlSum("p.r / d.d")} AS s
+         |    SELECT e.v, SUM(p.r // d.d) AS s
          |    FROM edges e JOIN pr${k - 1} p ON e.u = p.n JOIN deg d ON e.u = d.u
          |    GROUP BY e.v) c ON c.v = n.n
          |)""".stripMargin
@@ -495,9 +497,10 @@ object AnalyticsQueries {
        |), deg AS (
        |  SELECT u, COUNT(*) AS d FROM edges GROUP BY 1
        |), pr0 AS (
-       |  SELECT n, CAST(1 AS DOUBLE) AS r FROM nodes
+       |  SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes
        |), ${(1 to 5).map(round).mkString(", ")}
-       |SELECT n AS node, r AS rank FROM pr5
+       |SELECT n AS node, CAST(r AS DOUBLE) / CAST(1000000 AS DOUBLE) AS rank
+       |FROM pr5
        |ORDER BY node""".stripMargin
   }
 

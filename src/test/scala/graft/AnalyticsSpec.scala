@@ -18,9 +18,10 @@ class AnalyticsSpec extends AnyFunSuite {
       .toDF("u", "v")
     val r1 = graft.ops.GraphOps.pageRank(edges, iters = 1)
       .as[(String, Double)].collect().toMap
-    // r1(a) = 0.15 + 0.85·(1/1 + 1/1); r1(b) = r1(c) = 0.15 + 0.85·(1/2)
-    assert(r1("a") == 0.15 + 0.85 * 2.0)
-    assert(r1("b") == 0.15 + 0.85 * 0.5 && r1("c") == r1("b"))
+    // micro-units: r1(a) = 150000 + 85·2000000 div 100 = 1850000;
+    // r1(b) = r1(c) = 150000 + 85·500000 div 100 = 575000
+    assert(r1("a") == 1850000L / 1e6)
+    assert(r1("b") == 575000L / 1e6 && r1("c") == r1("b"))
     val r5 = graft.ops.GraphOps.pageRank(edges, iters = 5)
       .as[(String, Double)].collect().toMap
     val r5b = graft.ops.GraphOps.pageRank(edges.repartition(7), iters = 5)

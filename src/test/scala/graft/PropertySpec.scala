@@ -94,6 +94,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunking reconstructs the document: drop each chunk's overlap, concat") {
+    val docGen = Gen.listOfN(8, Gen.zip(Gen.chooseNum(1, 90),
+      Gen.chooseNum(2, 12), Gen.chooseNum(0, 6)))
+    for (cases <- samples(docGen, 5); (nTok, size0, ov0) <- cases) {
+      val size = math.max(size0, ov0 + 1)
+      val text = (1 to nTok).map(i => s"w$i").mkString(" ")
+      val chunks = graft.ops.TextOps.chunked(
+          Seq((1L, text)).toDF("doc_id", "text"), size, math.min(ov0, size - 1))
+        .orderBy("chunk_idx").as[(Long, Long, String, Long)].collect()
+      val overlap = math.min(ov0, size - 1)
+      val stitched = chunks.zipWithIndex.map { case ((_, _, c, _), i) =>
+        val toks = c.split(' ')
+        (if (i == 0) toks else toks.drop(overlap)).mkString(" ")
+      }.filter(_.nonEmpty).mkString(" ")
+      assert(stitched == text, s"n=$nTok size=$size ov=$overlap")
+      // chunks never exceed the window; the first is as full as the doc allows
+      chunks.foreach { case (_, _, _, n) => assert(n >= 1 && n <= size) }
+      assert(chunks.head._4 == math.min(size, nTok))
+    }
+  }
+
+  test("capHotKeys: survivors keep df ≤ cap; survivors are exactly the cold keys") {
+    val postGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(1L, 20L), Gen.chooseNum(1L, 8L)))
+    for (rows <- samples(postGen, 5)) {
+      val p = rows.distinct.toDF("doc_id", "sh_h")
+      val cap = 3L
+      val kept = graft.ops.DedupOps.capHotKeys(p, Seq("sh_h"), cap)
+        .as[(Long, Long)].collect().toSet
+      val dfByKey = rows.distinct.groupBy(_._2).view.mapValues(_.size.toLong)
+      kept.foreach { case (_, k) => assert(dfByKey(k) <= cap) }
+      val expected = rows.distinct.filter(r => dfByKey(r._2) <= cap).toSet
+      assert(kept == expected)
+    }
+  }
+
+  test("pageRank conserves total rank on symmetric graphs (no dangling mass)") {
+    // every node has out-edges, so Σ pr_{t+1} = 0.15·N + 0.85·Σ pr_t; with
+    // pr₀ = 1 the total stays N at every round (up to decimal rounding)
+    val edgeGen = Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(1L, 8L)))
+    for (es <- samples(edgeGen, 4)) {
+      val asym = es.filter(e => e._1 != e._2)
+      if (asym.nonEmpty) {
+        val sym = (asym ++ asym.map(_.swap)).distinct
+        val edges = sym.toDF("u", "v")
+        val pr = graft.ops.GraphOps.pageRank(edges, iters = 3)
+          .as[(Long, Double)].collect()
+        val n = sym.flatMap(e => Seq(e._1, e._2)).distinct.size
+        assert(math.abs(pr.map(_._2).sum - n) < 1e-3)
+        assert(pr.forall(_._2 >= 0.15))
+      }
+    }
+  }
+
   test("corpusClean output is a subset of documents with no duplicate texts") {
     val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
     val kept = graft.ops.DedupOps.corpusClean(docs, 0.38).select("doc_id").as[Long].collect().toSet
