@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   * This is also the right call at scale: a 1000-executor sum has a
   * nondeterministic combine order, so any double-sum pipeline that feeds a
   * comparison or an idempotency check needs the same trick.
+  *
+  * LIMIT of the recipe: the per-row double→decimal cast itself is only
+  * engine-portable when the doubles are "decimal-shaped" (prices,
+  * quantities — values a 6-digit decimal represents exactly). For
+  * arbitrary quotients the engines disagree in rare last-ulp cases
+  * (DuckDB rounds through a float multiply, Spark expands the double
+  * exactly — observed as a 1.7e-6 drift in 5-round PageRank at sf0.1).
+  * Iterative numeric recurrences should run in fixed-point integer
+  * units instead (GraphOps.pageRank): 64-bit integer arithmetic has
+  * exactly one answer everywhere.
   */
 object Det {
   val Dec = "decimal(38,6)"
