@@ -15,7 +15,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * On object storage the pointer swap maps to a conditional PUT and the
   * version directories to immutable prefixes — the same protocol Delta /
   * Iceberg implement with manifest files, reduced to its load-bearing
-  * core. */
+  * core. Writer concurrency contract: SINGLE writer per table (like a
+  * Delta transaction owner) — concurrent publishes would race the
+  * version counter; readers need no coordination at all. */
 object Versioned {
 
   private def dir(baseDir: String, name: String) = s"$baseDir/$name"

@@ -216,6 +216,25 @@ object Streams {
         }
       }
 
+  /** Incrementally-maintained materialized view: an UPDATE-mode
+    * aggregation emits only the keys each micro-batch changed, and those
+    * deltas upsert into a [[graft.pipelines.Versioned]] table — so the
+    * view stays queryable (with time travel) while the stream runs, and
+    * each refresh costs only the changed keys, not a full recompute.
+    * The batch-streaming composition a 100 TB ingest wants: complete
+    * mode rewrites the world every batch; this rewrites the delta. */
+  def publishUpserts(agg: DataFrame, baseDir: String, name: String,
+      keys: Seq[String], keep: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.pipelines.Incremental.publishUpsert(
+            batch.sparkSession, baseDir, name, batch.toDF(), keys, keep)
+          ()
+        }
+      }
+
   /** Pure gap-split (shared by the stateful op and its spec oracle). */
   def splitSessions(uid: Long, sorted: Seq[(Long, Double)]): Seq[Session] = {
     if (sorted.isEmpty) return Nil

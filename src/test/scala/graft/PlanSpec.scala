@@ -122,6 +122,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("per-document text ops plan with zero hash exchanges (map-only passes)") {
+    for (q <- Seq("q97_repetition_stats", "q104_rag_chunks")) {
+      val p = graft.Registry.byName(q).build(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle — every metric is per-document")
+      assert(p.contains("MapPartitions"))
+    }
+  }
+
+  test("tf-idf top-k keeps the partial WindowGroupLimit before the shuffle") {
+    val p = graft.Registry.byName("q98_tfidf_top").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial"))
+  }
+
   test("observe(): execution metrics collected in the same pass as the action") {
     val obs = new org.apache.spark.sql.Observation()
     val li = graft.catalog.Catalog.load(spark, dir, "lineitem")

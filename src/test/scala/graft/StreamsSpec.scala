@@ -14,6 +14,31 @@ class StreamsSpec extends AnyFunSuite {
   import spark.implicits._
   private val dir = "/root/testdata/sf0.001"
 
+  test("update-mode upserts maintain a versioned view incrementally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("stream-mv").toString
+    val in = MemoryStream[(Long, Double)]
+    val agg = in.toDF().toDF("user_id", "value")
+      .groupBy("user_id").agg(sum(col("value")).as("total"))
+    val q = Streams.publishUpserts(agg, base, "totals", Seq("user_id")).start()
+    try {
+      in.addData((1L, 2.0), (2L, 3.0)); q.processAllAvailable()
+      val v0 = graft.pipelines.Versioned.read(spark, base, "totals")
+        .as[(Long, Double)].collect().toMap
+      assert(v0 == Map(1L -> 2.0, 2L -> 3.0))
+      // second batch touches only user 1 → the delta upserts, user 2 survives
+      in.addData((1L, 5.0)); q.processAllAvailable()
+      val v1 = graft.pipelines.Versioned.read(spark, base, "totals")
+        .as[(Long, Double)].collect().toMap
+      assert(v1 == Map(1L -> 7.0, 2L -> 3.0))
+      // the pre-update state is still time-travelable
+      val prev = graft.pipelines.Versioned.latestVersion(base, "totals").get - 1
+      assert(graft.pipelines.Versioned.read(spark, base, "totals", Some(prev))
+        .as[(Long, Double)].collect().toMap == v0)
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts == batch tumbling (complete mode)") {
     // file stream sources need a directory: stage the fixture file
     val staged = java.nio.file.Files.createTempDirectory("events-stream")
