@@ -504,9 +504,32 @@ object AnalyticsQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---- mergeable distinct-count sketches ------------------------------
+
+  /** Mergeable HLL sketches (DataSketches surface): per-day user
+    * sketches unioned into a per-event-type distinct estimate — the
+    * pre-aggregation pattern that makes distinct counting cheap at
+    * 100 TB: each day/partition keeps a kilobyte sketch, and any rollup
+    * (week, month, all-time) is a sketch union instead of a re-scan.
+    * Engine-specific binary → rows-only driver check; AnalyticsSpec
+    * bounds the estimate against exact and asserts union-of-parts ==
+    * whole-stream sketch. */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    e.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q106_hll_rollup", hllRollup, None,
+      "per-day HLL sketches unioned to distinct-user estimates (spec-bounded)"),
     Q("q105_pagerank", pagerank, Some(pagerankSql),
-      "5-round PageRank on the customer-supplier graph (decimal-sum rounds)"),
+      "5-round PageRank on the customer-supplier graph (fixed-point rounds)"),
     Q("q95_recursive_cte", recursiveCte, Some(recursiveCteSql),
       "WITH RECURSIVE month generator + gap-fill join, verbatim on both engines"),
     Q("q94_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql),

@@ -10,6 +10,26 @@ import graft.ops.{DedupOps, StatsOps}
   */
 class AnalyticsSpec extends AnyFunSuite {
 
+  test("HLL rollup: union-of-day-sketches ≈ exact distinct, == whole-stream sketch") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.catalog.Catalog.load(spark0, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val approx = graft.queries.AnalyticsQueries.hllRollup(spark0, dir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((t, ex) <- exact)
+      assert(math.abs(approx(t) - ex).toDouble / ex < 0.05, s"$t: ${approx(t)} vs $ex")
+    // mergeability: union of per-day sketches == one sketch over the stream
+    val whole = e.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("a"))
+      .as[(String, Long)].collect().toMap
+    assert(approx == whole)
+  }
+
   test("pageRank: hand-computed star graph, partition-layout independent") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
