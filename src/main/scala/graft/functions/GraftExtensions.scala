@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim_exact"),
       new ExpressionInfo(classOf[ScaledIntCosine].getName, "cosine_sim_exact"),
       (args: Seq[Expression]) => ScaledIntCosine(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (args: Seq[Expression]) => ZOrderKey(args(0), args(1))))
     // custom optimizer rule: abs(col) <= t  →  -t <= col <= t, so the
     // bound reaches the parquet scan as PushedFilters (SurfaceSpec)
     e.injectOptimizerRule(_ => graft.plans.AbsRangeRewrite)

@@ -525,7 +525,33 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  // ---- multi-dimensional clustering key -------------------------------
+
+  /** Z-order keys for (l_partkey, l_suppkey): the write-side clustering
+    * trick — sort files by this key and parquet min/max stats can skip
+    * on EITHER column. The codegen expression interleaves bits with
+    * shift-mask dilation; the oracle spells the same interleave out as
+    * 64 SQL bit terms, so the keys hash-match bit-for-bit. */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrderKey.zorderKey(
+          col("l_partkey"), col("l_suppkey")).as("zkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val zorderSql = {
+    val terms = (0 until 32).flatMap(i => Seq(
+      s"(((l_partkey >> $i) & 1) << ${2 * i})",
+      s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"))
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(${terms.mkString(" | ")} AS BIGINT) AS zkey
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q107_zorder_keys", zorderKeys, Some(zorderSql),
+      "codegen Morton/z-order clustering key vs 64-term SQL bit interleave"),
     Q("q106_hll_rollup", hllRollup, None,
       "per-day HLL sketches unioned to distinct-user estimates (spec-bounded)"),
     Q("q105_pagerank", pagerank, Some(pagerankSql),

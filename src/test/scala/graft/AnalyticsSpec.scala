@@ -30,6 +30,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(approx == whole)
   }
 
+  test("zorder key: quadrant ordering, interleave roundtrip, SQL registration") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import graft.functions.ZOrderKey.zorderKey
+    import org.apache.spark.sql.functions._
+    val pts = (for (a <- 0 until 8; b <- 0 until 8) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val z = pts.select(col("a"), col("b"), zorderKey(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    // roundtrip: de-interleaving the key recovers both coordinates
+    def undilate(x: Long): Long = {
+      var v = x & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0f0f0f0f0f0f0f0fL
+      v = (v | (v >> 4)) & 0x00ff00ff00ff00ffL
+      v = (v | (v >> 8)) & 0x0000ffff0000ffffL
+      (v | (v >> 16)) & 0xffffffffL
+    }
+    z.foreach { case (a, b, k) =>
+      assert(undilate(k) == a && undilate(k >> 1) == b)
+    }
+    // quadrant property: every key in the (low,low) quadrant sorts before
+    // every key in the (high,high) quadrant — the clustering guarantee
+    val lo = z.filter(p => p._1 < 4 && p._2 < 4).map(_._3).max
+    val hi = z.filter(p => p._1 >= 4 && p._2 >= 4).map(_._3).min
+    assert(lo < hi)
+    // registered as a SQL function via GraftExtensions (same expression)
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val gs = GraftSession.create(appName = "zorder-sql", master = "local[2]")
+    try assert(gs.sql("SELECT zorder_key(5, 3) AS z").head().getLong(0) ==
+      (0x11L | (0x5L << 1))) // dilate(5)=0b10001, dilate(3)=0b101
+    finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark0)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark0)
+    }
+  }
+
   test("pageRank: hand-computed star graph, partition-layout independent") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
