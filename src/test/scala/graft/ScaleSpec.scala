@@ -98,6 +98,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(pairs == Set((900L, 901L)))
   }
 
+  test("z-order layout: 2-D selective scan reads less than random layout") {
+    import graft.functions.ZOrderKey.zorderKey
+    val li = Catalog.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .withColumn("zkey", zorderKey(col("l_partkey"), col("l_suppkey")))
+    val out = java.nio.file.Files.createTempDirectory("zorder").toString
+    // clustered: each of 16 files covers one zkey range → tight per-file
+    // (l_partkey, l_suppkey) min/max envelopes
+    li.repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
+      .drop("zkey").write.parquet(s"$out/clustered")
+    // random: every file spans the full key space
+    li.drop("zkey").repartition(16).write.parquet(s"$out/random")
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_partkey") < 100 && col("l_suppkey") < 5)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.get
+    }
+    val clustered = scanRows(s"$out/clustered")
+    val random = scanRows(s"$out/random")
+    // same answer, far fewer rows surface from the clustered scan because
+    // whole row groups fail the pushed min/max bounds
+    assert(clustered < random / 2,
+      s"clustered=$clustered random=$random — z-order should prune row groups")
+  }
+
   test("streaming dedup: dropDuplicates over the stream == batch distinct") {
     val staged = java.nio.file.Files.createTempDirectory("events-dedup")
     java.nio.file.Files.copy(
