@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions.col
 object Incremental {
 
   /** Pure upsert: `incoming` wins on key collision. Schemas must match
-    * by name (unionByName). */
+    * by name (unionByName); output keeps `existing`'s column order (the
+    * using-columns anti-join would otherwise move key columns first,
+    * drifting the published schema between versions). */
   def upsert(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String]): DataFrame =
     existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .select(existing.columns.map(col): _*)
       .unionByName(incoming)
 
   /** Upsert `incoming` into the latest published version of
