@@ -32,11 +32,23 @@ object Compaction {
     } finally listing.close()
   }
 
-  /** Compact `baseDir/name` in place (atomic publish). */
+  /** Compact `baseDir/name` in place (atomic publish). Flat datasets
+    * only: a Hive-partitioned layout (`k=v/` subdirectories) would be
+    * silently flattened by a whole-dataset rewrite, so it is rejected —
+    * compact each partition directory individually instead. */
   def compact(spark: SparkSession, baseDir: String, name: String,
       targetBytes: Long = 128L * 1024 * 1024,
       shuffle: Boolean = false): CompactReport = {
     val dir = s"$baseDir/$name"
+    val listing = Files.list(Paths.get(dir))
+    val hasPartitionDirs = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.exists(p =>
+        Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    } finally listing.close()
+    require(!hasPartitionDirs,
+      s"$dir is Hive-partitioned; compact each partition directory, " +
+        "not the dataset root (a whole-dataset rewrite drops the layout)")
     val before = parquetFiles(dir)
     val total = before.map(Files.size).sum
     val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt

@@ -65,6 +65,12 @@ class SourcesSpec extends AnyFunSuite {
       targetBytes = 1L << 30, shuffle = true)
     assert(r2.outputFiles == 1 &&
       spark.read.parquet(s"$base/docs2").count() == docs.count())
+    // a Hive-partitioned dataset is refused, not silently flattened
+    docs.withColumn("p", col("doc_id") % 2)
+      .write.partitionBy("p").parquet(s"$base/parted")
+    assertThrows[IllegalArgumentException] {
+      Compaction.compact(spark, base, "parted")
+    }
   }
 
   test("versioned publish: time travel, retention pruning, rollback") {
