@@ -147,8 +147,12 @@ object Runner {
         withRetry(retries, backoff) { () =>
           val df = build().withColumn("run_date",
             org.apache.spark.sql.functions.lit(runDate.toString))
-          sink.write(df, name)
-          df.count()
+          // row count rides the write job via observe() — the previous
+          // df.count() recomputed every mart a second time (fresh
+          // Observation per attempt: one instance can only collect once)
+          val (observed, obs) = Guard.withMetrics(df, Nil)
+          sink.write(observed, name)
+          obs.get("rows").asInstanceOf[Long]
         }
       }
     }
