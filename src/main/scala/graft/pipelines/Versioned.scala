@@ -34,13 +34,27 @@ object Versioned {
     * Versions older than the newest `keep` are pruned AFTER the pointer
     * moves (a reader that resolved the pointer before the swap may still
     * be scanning keep-1 versions back — size `keep` to exceed your
-    * longest query). */
+    * longest query). The next id comes from the on-disk version dirs,
+    * not the pointer: a publish that crashed after writing its dir but
+    * before the swap leaves an orphan, and deriving from the pointer
+    * would collide with it forever (the orphan is skipped, never served,
+    * and pruned once the retention window passes it). */
   def publish(df: DataFrame, baseDir: String, name: String,
       keep: Int = 3): Long = {
     require(keep >= 1, "keep must retain at least the current version")
     val base = Paths.get(dir(baseDir, name))
     Files.createDirectories(base)
-    val next = latestVersion(baseDir, name).getOrElse(-1L) + 1L
+    val onDisk = {
+      val listing = Files.list(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_v"))
+          .map(_.stripPrefix("_v").toLong).maxOption
+      } finally listing.close()
+    }
+    val next = math.max(onDisk.getOrElse(-1L),
+      latestVersion(baseDir, name).getOrElse(-1L)) + 1L
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$base/_v$next")
     // two-step atomic pointer swap: write aside, ATOMIC_MOVE over
     val tmp = base.resolve(s"._LATEST-$next")

@@ -97,6 +97,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(Versioned.read(spark, base, "t")
       .select(max(col("v_tag"))).as[Int].collect()(0) == 1)
     assert(Versioned.latestVersion(base, "t") == Some(3L))
+    // crash recovery: an orphan version dir (written, never pointed to)
+    // must not block the next publish — it is skipped past
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/t/_v4"))
+    val v5 = Versioned.publish(versionWith(5), base, "t", keep = 2)
+    assert(v5 == 5L)
+    assert(Versioned.read(spark, base, "t")
+      .select(max(col("v_tag"))).as[Int].collect()(0) == 5)
   }
 
   test("incremental upsert: incoming wins on key, history time-travels") {
