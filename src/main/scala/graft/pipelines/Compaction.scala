@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction for parquet datasets — the maintenance operator
@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   * (ceil(bytes / targetBytes) files) and republishes through
   * [[Runner.AtomicParquetSink]], so readers see either the old fragmented
   * version or the complete compacted one — never a partial directory.
+  * All listing/sizing goes through the Hadoop `FileSystem` API ([[Fs]]);
+  * note the sink's rename-based swap is for HDFS/local — on object
+  * stores compact into a [[Versioned]] table instead.
   *
   * By default partitions merge with `coalesce` (no shuffle — the scale
   * default: compaction should move bytes once, not twice); pass
@@ -24,39 +27,33 @@ object Compaction {
   final case class CompactReport(
       filesBefore: Int, filesAfter: Int, bytes: Long, outputFiles: Int)
 
-  private def parquetFiles(dir: String): Seq[java.nio.file.Path] = {
-    val listing = Files.list(Paths.get(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      listing.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
-    } finally listing.close()
-  }
+  private def parquetFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    Fs.list(dir).filter(_.getPath.getName.endsWith(".parquet"))
 
   /** Compact `baseDir/name` in place (atomic publish). Flat datasets
     * only: a Hive-partitioned layout (`k=v/` subdirectories) would be
     * silently flattened by a whole-dataset rewrite, so it is rejected —
-    * compact each partition directory individually instead. */
+    * compact each partition directory individually instead. A directory
+    * with no parquet files is likewise rejected (rather than dying later
+    * inside schema inference, or being mistaken for a healthy no-op). */
   def compact(spark: SparkSession, baseDir: String, name: String,
       targetBytes: Long = 128L * 1024 * 1024,
       shuffle: Boolean = false): CompactReport = {
-    val dir = s"$baseDir/$name"
-    val listing = Files.list(Paths.get(dir))
-    val hasPartitionDirs = try {
-      import scala.jdk.CollectionConverters._
-      listing.iterator().asScala.exists(p =>
-        Files.isDirectory(p) && p.getFileName.toString.contains("="))
-    } finally listing.close()
+    val dir = new Path(s"$baseDir/$name")
+    val hasPartitionDirs = Fs.list(dir).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
     require(!hasPartitionDirs,
       s"$dir is Hive-partitioned; compact each partition directory, " +
         "not the dataset root (a whole-dataset rewrite drops the layout)")
     val before = parquetFiles(dir)
-    val total = before.map(Files.size).sum
+    require(before.nonEmpty,
+      s"$dir has no parquet files to compact (missing or empty dataset)")
+    val total = before.map(_.getLen).sum
     val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(dir)
+    val df = spark.read.parquet(dir.toString)
     val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
     Runner.AtomicParquetSink(baseDir, s"compact-${System.nanoTime()}")
       .write(sized, name)
-    val after = parquetFiles(dir)
-    CompactReport(before.size, after.size, total, nOut)
+    CompactReport(before.size, parquetFiles(dir).size, total, nOut)
   }
 }

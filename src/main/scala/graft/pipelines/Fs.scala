@@ -1,0 +1,82 @@
+package graft.pipelines
+
+import java.io.FileNotFoundException
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Thin helpers over `org.apache.hadoop.fs.FileSystem` — the storage
+  * abstraction the publishing/maintenance utilities ([[Versioned]],
+  * [[Runner.AtomicParquetSink]], [[Compaction]]) run on, so the same code
+  * executes against local disk, HDFS, or any object-store connector
+  * (s3a://, gs://, abfs://) resolved from the scheme of the path. This
+  * replaces the earlier `java.nio.file` implementation, which could only
+  * ever run on a local POSIX filesystem — the reference's sink layer is
+  * an object store (dag-extract.py:75-86 PUTs Hive-keyed objects to S3),
+  * so a publishing layer that cannot execute against one is a parity gap.
+  *
+  * Atomicity contract used by callers:
+  *  - `createExclusive` (create with overwrite=false) is the commit
+  *    primitive: atomic create on HDFS, conditional PUT on S3-compatible
+  *    stores — at most one writer wins.
+  *  - `rename` is atomic on HDFS and single-volume local disk; on S3A it
+  *    is copy+delete (NOT atomic) — rename-based protocols
+  *    ([[Runner.AtomicParquetSink]]) document this and the marker-commit
+  *    protocol ([[Versioned]]) avoids rename entirely.
+  *
+  * The Hadoop `Configuration` comes from the active Spark session (so
+  * per-session `fs.<scheme>.impl` registrations and credentials apply);
+  * a bare default is used when no session is up.
+  */
+object Fs {
+
+  def conf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  def of(p: Path): FileSystem = p.getFileSystem(conf)
+
+  def exists(p: Path): Boolean = of(p).exists(p)
+
+  def mkdirs(p: Path): Unit = of(p).mkdirs(p)
+
+  /** Children of `p`, empty if `p` does not exist. */
+  def list(p: Path): Seq[FileStatus] =
+    try of(p).listStatus(p).toSeq
+    catch { case _: FileNotFoundException => Nil }
+
+  def readString(p: Path): String = {
+    val in = of(p).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Write a small text file, replacing any existing one. Not atomic on
+    * its own — callers needing atomic visibility commit via
+    * [[createExclusive]] of a separate marker AFTER this lands. */
+  def writeString(p: Path, s: String): Unit = {
+    val out = of(p).create(p, true)
+    try out.write(s.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Exclusive create (the commit primitive): fails with
+    * `FileAlreadyExistsException` if `p` exists — at most one writer can
+    * win a given marker. */
+  def createExclusive(p: Path, s: String): Unit = {
+    val out = of(p).create(p, false)
+    try out.write(s.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Checked rename: Hadoop's `FileSystem.rename` reports failure by
+    * returning false; turn that into a loud error so a failed swap can
+    * never be mistaken for success. */
+  def rename(src: Path, dst: Path): Unit = {
+    if (!of(src).rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
+  def deleteRecursive(p: Path): Unit = { of(p).delete(p, true); () }
+}

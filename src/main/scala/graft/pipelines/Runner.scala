@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration._
 import scala.util.{Failure, Success, Try}
@@ -16,11 +16,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    jobs; on a cluster this keeps all executors busy
   *  - per-mart error isolation: one failure → Left in the status map,
   *    the others still complete (reference dag-extract.py:90-97)
-  *  - explicit completion marker after all marts land (reference
-  *    `transform_SUCCESS`, dag-transform.py:393-412); per-mart `_SUCCESS`
-  *    comes free from Spark's FileOutputCommitter
+  *  - markers: explicit `transform_SUCCESS` after all marts land
+  *    (reference dag-transform.py:393-412) and a per-mart `<mart>_ERROR`
+  *    on failure (reference writes per-table error markers,
+  *    dag-extract.py:128-157) so downstream gates can skip per-mart;
+  *    per-mart `_SUCCESS` comes free from Spark's FileOutputCommitter
   *  - the partition date is computed once per run and threaded through
   *    (the reference computed it at import time — stale across midnight)
+  *
+  * All filesystem access goes through the Hadoop `FileSystem` API
+  * ([[Fs]]) so gates, markers, and the atomic sink run identically on
+  * local disk, HDFS, and object-store connectors.
   */
 object Runner {
 
@@ -49,48 +55,42 @@ object Runner {
 
   /** Atomic-publish parquet sink (the Delta-style upgrade of the
     * reference's marker files, SURVEY §1.4): writes into a staging dir,
-    * then atomically renames it over the target and drops a `_COMMIT`
-    * manifest (run date + part list). A crashed job leaves only an
-    * ignorable staging dir (plus, in the worst case, the `.old-` aside —
-    * see the window note below); a reader that finds `_COMMIT` has a
-    * complete version. */
+    * then renames it over the target and drops a `_COMMIT` manifest (run
+    * tag + part list). A crashed job leaves only an ignorable staging dir
+    * (plus, in the worst case, the `.old-` aside — see the window note
+    * below); a reader that finds `_COMMIT` has a complete version.
+    *
+    * The swap is rename-based: atomic on HDFS and single-volume local
+    * disk. On S3A, `rename` is copy+delete — NOT atomic — so for object
+    * stores use [[Versioned]] (whose commit is a conditional-PUT marker
+    * and which never renames) instead of this sink. */
   final case class AtomicParquetSink(baseDir: String, runTag: String) extends Sink {
     def write(df: DataFrame, name: String): Unit = {
-      val target = Paths.get(s"$baseDir/$name")
-      val staging = Paths.get(s"$baseDir/.staging-$name-$runTag")
+      val target = new Path(s"$baseDir/$name")
+      val staging = new Path(s"$baseDir/.staging-$name-$runTag")
       df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val listing = Files.list(staging)
-      val parts = try listing.filter(_.toString.endsWith(".parquet"))
-        .map[String](_.getFileName.toString).sorted().toArray.mkString("\n")
-      finally listing.close()
-      Files.writeString(staging.resolve("_COMMIT"), s"$runTag\n$parts\n")
-      // Swap: old version moved aside, staging renamed in. Both moves
-      // request ATOMIC_MOVE so a cross-filesystem baseDir fails loudly
-      // instead of silently degrading to a copy. POSIX has no two-dir
-      // exchange rename, so there IS an instant between the two renames
-      // with no `target`; a crash there is rolled back below, and readers
-      // are expected to treat a missing dir as "retry", not "empty".
-      val old = Paths.get(s"$baseDir/.old-$name-$runTag")
-      import java.nio.file.StandardCopyOption.ATOMIC_MOVE
-      if (Files.exists(target)) Files.move(target, old, ATOMIC_MOVE)
-      try Files.move(staging, target, ATOMIC_MOVE)
+      val parts = Fs.list(staging).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).sorted.mkString("\n")
+      Fs.writeString(new Path(staging, "_COMMIT"), s"$runTag\n$parts\n")
+      // Swap: old version renamed aside, staging renamed in. Hadoop has
+      // no two-dir exchange rename, so there IS an instant between the
+      // two renames with no `target`; a crash there is rolled back below,
+      // and readers are expected to treat a missing dir as "retry", not
+      // "empty".
+      val old = new Path(s"$baseDir/.old-$name-$runTag")
+      if (Fs.exists(target)) Fs.rename(target, old)
+      try Fs.rename(staging, target)
       catch { case e: Throwable =>
-        if (Files.exists(old) && !Files.exists(target))
-          Files.move(old, target, ATOMIC_MOVE) // restore previous version
+        if (Fs.exists(old) && !Fs.exists(target))
+          Fs.rename(old, target) // restore previous version
         throw e
       }
-      if (Files.exists(old)) {
-        val walk = Files.walk(old)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-        finally walk.close()
-      }
+      if (Fs.exists(old)) Fs.deleteRecursive(old)
     }
   }
 
   /** K4 analog: JDBC full-replace (drop+recreate = pandas
-    * `if_exists="replace"`). No database ships in this sandbox, so this
-    * sink is exercised only for its plan construction in specs. */
+    * `if_exists="replace"`). Exercised against embedded Derby in specs. */
   final case class JdbcSink(url: String, props: java.util.Properties) extends Sink {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).jdbc(url, name, props)
@@ -99,11 +99,12 @@ object Runner {
   final case class RunReport(
       date: java.time.LocalDate,
       statuses: Map[String, Either[Throwable, Long]],
-      gated: Boolean)
+      gated: Boolean,
+      timeout: Duration = Duration.Inf)
 
   /** Gate: all catalog tables present under sfDir (S4 analog). */
   def gate(sfDir: String): Boolean =
-    graft.catalog.Catalog.all.forall(t => Files.exists(Paths.get(t.path(sfDir))))
+    graft.catalog.Catalog.all.forall(t => Fs.exists(new Path(t.path(sfDir))))
 
   /** Bounded retry with doubling backoff (§2.8: the reference declares
     * `retries` + `retry_delay` per task, dag-extract.py:171-172). Only
@@ -122,13 +123,19 @@ object Runner {
   /** Run the three reference marts concurrently against sfDir, writing
     * each through `sink`; returns per-mart statuses (row count or error).
     * Each mart's build+write retries up to `retries` times with doubling
-    * `backoff` before counting as failed. */
+    * `backoff` before counting as failed. `timeout` bounds each mart's
+    * total wall time and defaults to unbounded — a healthy 100 TB mart
+    * can legitimately run for hours, so only set a finite timeout when an
+    * external scheduler needs this process to yield (note: on timeout the
+    * mart is reported Left(TimeoutException) but its Spark jobs keep
+    * running detached). */
   def run(spark: SparkSession, sfDir: String, sink: Sink,
       runDate: java.time.LocalDate = java.time.LocalDate.now(),
       markerDir: Option[String] = None,
       retries: Int = 2,
-      backoff: FiniteDuration = 500.millis): RunReport = {
-    if (!gate(sfDir)) return RunReport(runDate, Map.empty, gated = true)
+      backoff: FiniteDuration = 500.millis,
+      timeout: Duration = Duration.Inf): RunReport = {
+    if (!gate(sfDir)) return RunReport(runDate, Map.empty, gated = true, timeout)
 
     // production path: the fused single-scan stat tables (q13-q15 prove
     // them equal to the join-topology forms against the same oracles)
@@ -157,15 +164,22 @@ object Runner {
       }
     }
     val statuses = futures.map { case (name, f) =>
-      name -> (Try(Await.result(f, 10.minutes)) match {
+      name -> (Try(Await.result(f, timeout)) match {
         case Success(n) => Right(n): Either[Throwable, Long]
         case Failure(e) => Left(e): Either[Throwable, Long]
       })
     }
-    if (statuses.values.forall(_.isRight)) markerDir.foreach { d =>
-      Files.createDirectories(Paths.get(d))
-      Files.writeString(Paths.get(s"$d/transform_SUCCESS"), runDate.toString)
+    markerDir.foreach { d =>
+      Fs.mkdirs(new Path(d))
+      statuses.foreach {
+        case (name, Left(e)) =>
+          Fs.writeString(new Path(s"$d/${name}_ERROR"),
+            s"$runDate\n${e.getClass.getName}: ${e.getMessage}\n")
+        case _ => ()
+      }
+      if (statuses.values.forall(_.isRight))
+        Fs.writeString(new Path(s"$d/transform_SUCCESS"), runDate.toString)
     }
-    RunReport(runDate, statuses, gated = false)
+    RunReport(runDate, statuses, gated = false, timeout)
   }
 }

@@ -1,93 +1,202 @@
 package graft.pipelines
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Versioned parquet publishing — the Delta-lite upgrade of the sink
   * family (SURVEY §2.2): every publish writes a NEW immutable version
-  * directory (`<name>/_v<k>/`) and then atomically swaps a one-line
-  * `_LATEST` pointer file to it. Readers resolve the pointer first, so
-  * they always see a complete version; concurrent publishes never touch
-  * a directory a reader might be scanning (contrast AtomicParquetSink,
-  * which renames over the current path). Old versions stay readable for
-  * time travel / rollback until pruned past `keep`.
+  * directory (`<name>/_v<k>/`) and commits it by exclusively creating a
+  * `_COMMIT` marker inside it. Readers resolve "latest" as the highest
+  * version with a marker, so they always see a complete version;
+  * concurrent publishes never touch a directory a reader might be
+  * scanning (contrast AtomicParquetSink, which renames over the current
+  * path). Old versions stay readable for time travel / rollback until
+  * pruned past `keep`.
   *
-  * On object storage the pointer swap maps to a conditional PUT and the
-  * version directories to immutable prefixes — the same protocol Delta /
-  * Iceberg implement with manifest files, reduced to its load-bearing
-  * core. Writer concurrency contract: SINGLE writer per table (like a
-  * Delta transaction owner) — concurrent publishes would race the
-  * version counter; readers need no coordination at all. */
+  * Runs on any Hadoop `FileSystem` ([[Fs]]): local disk, HDFS, or an
+  * object-store connector resolved from the path's scheme — matching the
+  * reference's S3-backed sink layer (dag-extract.py:75-86). The commit
+  * point is `create(_COMMIT, overwrite=false)`: atomic create on HDFS, a
+  * conditional PUT on S3-compatible stores. There is deliberately NO
+  * mutable pointer file and NO rename anywhere in this protocol — every
+  * object written is immutable until pruned, which is exactly the shape
+  * object stores make cheap and consistent. Writer concurrency contract:
+  * SINGLE writer per table (like a Delta transaction owner) — a racing
+  * second writer loses the exclusive `_COMMIT` create and fails loudly;
+  * readers need no coordination at all.
+  *
+  * Partitioned versions (see [[publishPartitioned]] / [[publishDelta]])
+  * additionally carry a `_MANIFEST` mapping each partition value to the
+  * directory holding its data — possibly inside an OLDER version, so an
+  * incremental refresh rewrites only the partitions it touches and links
+  * the rest (the Iceberg-manifest idea reduced to its load-bearing core).
+  * Pruning never deletes a version directory still referenced by a
+  * retained manifest.
+  */
 object Versioned {
 
-  private def dir(baseDir: String, name: String) = s"$baseDir/$name"
-  private def pointer(baseDir: String, name: String) =
-    Paths.get(dir(baseDir, name), "_LATEST")
+  private def tableDir(baseDir: String, name: String) = new Path(s"$baseDir/$name")
+  private def vdir(t: Path, v: Long) = new Path(t, s"_v$v")
+  private def commitPath(t: Path, v: Long) = new Path(vdir(t, v), "_COMMIT")
+  private def manifestPath(t: Path, v: Long) = new Path(vdir(t, v), "_MANIFEST")
+
+  /** Every `_v<k>` directory on disk, committed or not (a publish that
+    * crashed between data write and commit leaves an uncommitted orphan:
+    * skipped by readers, stepped past by the version counter, deleted
+    * once the retention window passes it). */
+  private def versionsOnDisk(t: Path): Seq[Long] =
+    Fs.list(t).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("_v")).flatMap(_.stripPrefix("_v").toLongOption)
 
   /** Highest committed version, or None before the first publish. */
   def latestVersion(baseDir: String, name: String): Option[Long] = {
-    val p = pointer(baseDir, name)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+    val t = tableDir(baseDir, name)
+    versionsOnDisk(t).filter(v => Fs.exists(commitPath(t, v))).maxOption
   }
 
-  /** Publish `df` as the next version; returns the new version id.
-    * Versions older than the newest `keep` are pruned AFTER the pointer
-    * moves (a reader that resolved the pointer before the swap may still
-    * be scanning keep-1 versions back — size `keep` to exceed your
-    * longest query). The next id comes from the on-disk version dirs,
-    * not the pointer: a publish that crashed after writing its dir but
-    * before the swap leaves an orphan, and deriving from the pointer
-    * would collide with it forever (the orphan is skipped, never served,
-    * and pruned once the retention window passes it). */
+  /** Partition manifest of one version: the partition column, its DDL
+    * type, and (value, dir-relative-to-table) per partition. Values are
+    * the Hive directory strings; partition values containing tabs,
+    * newlines, or characters Hive percent-escapes are not supported. */
+  final case class Manifest(partCol: String, partType: String,
+      entries: Seq[(String, String)])
+
+  /** Manifest of `version`, or None for a plain (non-partitioned) one. */
+  def manifest(baseDir: String, name: String, version: Long): Option[Manifest] =
+    manifestOf(tableDir(baseDir, name), version)
+
+  private def manifestOf(t: Path, version: Long): Option[Manifest] = {
+    if (!Fs.exists(manifestPath(t, version))) None
+    else {
+      val lines = Fs.readString(manifestPath(t, version)).split("\n").toSeq
+        .filter(_.nonEmpty)
+      val hdr = lines.take(2).map(_.split("\t", 2)).map(a => a(0) -> a(1)).toMap
+      Some(Manifest(hdr("partCol"), hdr("partType"),
+        lines.drop(2).map(_.split("\t", 2)).map(a => (a(0), a(1)))))
+    }
+  }
+
+  private def writeManifest(t: Path, v: Long, m: Manifest): Unit = {
+    require(m.entries.nonEmpty, "refusing to publish an empty partitioned " +
+      "version (no partition directories were written)")
+    val body = Seq(s"partCol\t${m.partCol}", s"partType\t${m.partType}") ++
+      m.entries.map { case (value, rel) => s"$value\t$rel" }
+    Fs.writeString(manifestPath(t, v), body.mkString("", "\n", "\n"))
+  }
+
+  /** Commit `next` (exclusive marker create — the atomic publish point),
+    * then prune versions past the retention window. A version directory
+    * older than the window survives while any retained manifest still
+    * references it. Pruning runs AFTER the commit: a reader that resolved
+    * "latest" before the commit may still be scanning keep-1 versions
+    * back — size `keep` to exceed your longest query. */
+  private def commitAndPrune(t: Path, next: Long, keep: Int): Unit = {
+    Fs.createExclusive(commitPath(t, next), s"$next\n")
+    val cutoff = next - keep + 1
+    val referenced = versionsOnDisk(t)
+      .filter(v => v >= cutoff && Fs.exists(commitPath(t, v)))
+      .flatMap { v =>
+        v +: manifestOf(t, v).toSeq.flatMap(_.entries.flatMap {
+          case (_, rel) => rel.takeWhile(_ != '/').stripPrefix("_v").toLongOption
+        })
+      }.toSet
+    versionsOnDisk(t)
+      .filter(v => v < cutoff && !referenced.contains(v))
+      .foreach(v => Fs.deleteRecursive(vdir(t, v)))
+  }
+
+  /** Publish `df` as the next version; returns the new version id. The
+    * next id steps past every on-disk directory, committed or orphaned,
+    * so a crashed publish can never block or collide with the next one. */
   def publish(df: DataFrame, baseDir: String, name: String,
       keep: Int = 3): Long = {
     require(keep >= 1, "keep must retain at least the current version")
-    val base = Paths.get(dir(baseDir, name))
-    Files.createDirectories(base)
-    val onDisk = {
-      val listing = Files.list(base)
-      try {
-        import scala.jdk.CollectionConverters._
-        listing.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("_v"))
-          .map(_.stripPrefix("_v").toLong).maxOption
-      } finally listing.close()
-    }
-    val next = math.max(onDisk.getOrElse(-1L),
-      latestVersion(baseDir, name).getOrElse(-1L)) + 1L
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$base/_v$next")
-    // two-step atomic pointer swap: write aside, ATOMIC_MOVE over
-    val tmp = base.resolve(s"._LATEST-$next")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, pointer(baseDir, name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // prune beyond the retention window
-    val cutoff = next - keep + 1
-    val listing = Files.list(base)
-    try {
-      import scala.jdk.CollectionConverters._
-      listing.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("_v"))
-        .filter(_.getFileName.toString.stripPrefix("_v").toLong < cutoff)
-        .toSeq.foreach { old =>
-          val walk = Files.walk(old)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.delete(p))
-          finally walk.close()
-        }
-    } finally listing.close()
+    val t = tableDir(baseDir, name)
+    Fs.mkdirs(t)
+    val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
+    df.write.mode(SaveMode.ErrorIfExists).parquet(vdir(t, next).toString)
+    commitAndPrune(t, next, keep)
     next
   }
 
-  /** Read the latest version (default) or time-travel to `version`. */
+  /** Hive-escaped partition-dir suffix → raw value (%XX unescape). */
+  private def unescapePart(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** (value, relDir) for each `<partCol>=<value>` child of `vd`. */
+  private def partDirEntries(vd: Path, vRel: String, partCol: String)
+      : Seq[(String, String)] =
+    Fs.list(vd).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(partCol + "=")).sorted
+      .map(dn => (unescapePart(dn.stripPrefix(partCol + "=")), s"$vRel/$dn"))
+
+  /** Publish `df` Hive-partitioned by `partCol` as the next version.
+    * Readers get the same rows as [[publish]]; the payoff is
+    * [[publishDelta]]: later refreshes can rewrite single partitions.
+    * Partition values must be non-null. */
+  def publishPartitioned(df: DataFrame, baseDir: String, name: String,
+      partCol: String, keep: Int = 3): Long =
+    publishDelta(df, baseDir, name, partCol, reuse = Nil, keep = keep)
+
+  /** Publish `delta` (rows of the partitions being REWRITTEN) as the next
+    * version, linking every `reuse` entry — (value, relDir) rows from the
+    * previous version's manifest — unchanged into the new manifest. The
+    * untouched partitions' bytes are never read or written: the new
+    * version references their existing files in place. This is the
+    * partition-scoped refresh a 100 TB table needs — an upsert touching
+    * 1 of N partitions costs O(1/N) of a full rewrite. */
+  def publishDelta(delta: DataFrame, baseDir: String, name: String,
+      partCol: String, reuse: Seq[(String, String)], keep: Int = 3): Long = {
+    require(keep >= 1, "keep must retain at least the current version")
+    val t = tableDir(baseDir, name)
+    Fs.mkdirs(t)
+    val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
+    val vd = vdir(t, next)
+    delta.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
+      .parquet(vd.toString)
+    val fresh = partDirEntries(vd, s"_v$next", partCol)
+    val freshVals = fresh.map(_._1).toSet
+    writeManifest(t, next, Manifest(partCol,
+      delta.schema(partCol).dataType.catalogString,
+      (fresh ++ reuse.filterNot(r => freshVals(r._1))).sortBy(_._1)))
+    commitAndPrune(t, next, keep)
+    next
+  }
+
+  /** Absolute path of a manifest-relative data directory. */
+  def resolveRel(baseDir: String, name: String, rel: String): String =
+    new Path(tableDir(baseDir, name), rel).toString
+
+  /** Read the latest version (default) or time-travel to `version`.
+    * Partitioned versions come back as data columns in written order with
+    * the partition column last. */
   def read(spark: SparkSession, baseDir: String, name: String,
       version: Option[Long] = None): DataFrame = {
+    val t = tableDir(baseDir, name)
     val v = version.orElse(latestVersion(baseDir, name)).getOrElse(
       throw new IllegalStateException(s"no published version of $name"))
-    val path = Paths.get(dir(baseDir, name), s"_v$v")
-    if (!Files.exists(path)) throw new IllegalStateException(
+    if (!Fs.exists(commitPath(t, v))) throw new IllegalStateException(
       s"version $v of $name is pruned or was never published")
-    spark.read.parquet(path.toString)
+    manifest(baseDir, name, v) match {
+      case None => spark.read.parquet(vdir(t, v).toString)
+      case Some(m) =>
+        m.entries.map { case (value, rel) =>
+          spark.read.parquet(new Path(t, rel).toString)
+            .withColumn(m.partCol, lit(value).cast(m.partType))
+        }.reduce(_.unionByName(_))
+    }
   }
 
   /** Roll back: republish an old version's content as the NEW latest
@@ -96,4 +205,21 @@ object Versioned {
   def rollback(spark: SparkSession, baseDir: String, name: String,
       toVersion: Long, keep: Int = 3): Long =
     publish(read(spark, baseDir, name, Some(toVersion)), baseDir, name, keep)
+
+  /** Publish with a z-ordered layout: range-partition the rows by the
+    * Morton key of (`colA`, `colB`) and sort each output file by it, so
+    * every parquet file covers a tight rectangle in BOTH dimensions and
+    * min/max row-group statistics prune scans on either column — the
+    * one-call form of the layout win ScaleSpec proves for
+    * [[graft.functions.ZOrderKey]] (Delta's OPTIMIZE ZORDER as a publish
+    * mode). Columns must be non-negative integers ≤ 2³². */
+  def publishClustered(df: DataFrame, baseDir: String, name: String,
+      colA: String, colB: String, numFiles: Int = 8, keep: Int = 3): Long = {
+    val keyed = df.withColumn("__zkey",
+        graft.functions.ZOrderKey.zorderKey(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+    publish(keyed, baseDir, name, keep)
+  }
 }

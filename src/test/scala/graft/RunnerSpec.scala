@@ -50,6 +50,41 @@ class RunnerSpec extends AnyFunSuite {
     // partial success must NOT publish the completion marker
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$out/transform_SUCCESS")))
+    // ...but the failing mart gets its per-mart _ERROR marker (reference
+    // parity: dag-extract.py's per-table error markers) so a downstream
+    // gate can skip just that mart
+    val errMarker = java.nio.file.Paths.get(s"$out/defense_ERROR")
+    assert(java.nio.file.Files.exists(errMarker))
+    assert(java.nio.file.Files.readString(errMarker)
+      .contains("injected sink failure"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/attack_ERROR")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/discipline_ERROR")))
+  }
+
+  test("mart timeout: finite timeout → Left(TimeoutException); default is unbounded") {
+    import scala.concurrent.duration._
+    val out = java.nio.file.Files.createTempDirectory("runner-timeout").toString
+    final case class SlowSink(inner: Runner.Sink, delayMs: Long) extends Runner.Sink {
+      def write(df: org.apache.spark.sql.DataFrame, n: String): Unit = {
+        Thread.sleep(delayMs); inner.write(df, n)
+      }
+    }
+    // a mart that completes — but past the configured timeout — is a Left
+    val slow = Runner.run(spark, dir,
+      SlowSink(Runner.PartitionedParquetSink(out, Nil), delayMs = 5000),
+      retries = 0, timeout = 200.millis)
+    assert(slow.timeout == 200.millis)
+    assert(slow.statuses.values.forall(s => s.isLeft &&
+      s.left.exists(_.isInstanceOf[java.util.concurrent.TimeoutException])))
+    // the default (Duration.Inf) never times a healthy mart out
+    val ok = Runner.run(spark, dir,
+      SlowSink(Runner.PartitionedParquetSink(
+        java.nio.file.Files.createTempDirectory("runner-timeout2").toString,
+        Nil), delayMs = 50))
+    assert(ok.timeout == Duration.Inf)
+    assert(ok.statuses.values.forall(_.isRight))
   }
 
   test("retry with backoff: once-failing sink succeeds on the retry") {
