@@ -24,9 +24,9 @@ object Bench {
         catch { case e: Throwable =>
           errors(name) = e.getClass.getSimpleName; None }
       }
-      // failed queries are reported with a negative wall time so a crash
-      // can never masquerade as a healthy timing
-      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+      // ANY failed rep reports -1.0 (excluded from total): a query that
+      // crashes intermittently must never masquerade as a healthy median
+      name -> (if (times.size < reps) -1.0 else times.sorted.apply(times.size / 2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

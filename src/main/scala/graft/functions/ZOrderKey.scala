@@ -47,14 +47,27 @@ case class ZOrderKey(left: Expression, right: Expression)
     case _ => v.asInstanceOf[Long]
   }
 
+  /** Inputs outside [0, 2³²) would silently produce a key whose ordering
+    * no longer clusters the true values (only the low 32 bits interleave)
+    * — fail loudly instead of degrading the layout. */
+  private def checkRange(v: Long): Long = {
+    if (v < 0L || v > 0xffffffffL) throw new IllegalArgumentException(
+      s"zorder_key input out of range [0, 2^32): $v")
+    v
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    dilate(toLong(left, a)) | (dilate(toLong(right, b)) << 1)
+    dilate(checkRange(toLong(left, a))) |
+      (dilate(checkRange(toLong(right, b))) << 1)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val xa = ctx.freshName("xa"); val xb = ctx.freshName("xb")
       def dil(src: String, x: String) =
         s"""
+           |if (((long) $src) < 0L || ((long) $src) > 4294967295L)
+           |  throw new IllegalArgumentException(
+           |    "zorder_key input out of range [0, 2^32): " + ((long) $src));
            |long $x = ((long) $src) & 0xffffffffL;
            |$x = ($x | ($x << 16)) & 0x0000ffff0000ffffL;
            |$x = ($x | ($x << 8))  & 0x00ff00ff00ff00ffL;

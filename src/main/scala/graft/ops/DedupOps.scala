@@ -72,7 +72,7 @@ object DedupOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
           if (toks.length < n) Iterator.empty
           else {
             val seen = new java.util.HashSet[String](toks.length * 2)
@@ -103,7 +103,11 @@ object DedupOps {
     * cap affects candidate recall only, never a reported value. */
   def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
       maxDf: Long = DefaultMaxDf): DataFrame = {
-    val sh = shingles(docs, n)
+    // localCheckpoint: sh feeds the docsets branch plus capHotKeys' two
+    // consumers (df-count aggregate + anti-join) — without it the
+    // compiled shingling pass re-executes once per consumer (the hashed
+    // twin already checkpoints for exactly this reason)
+    val sh = shingles(docs, n).localCheckpoint(true)
     val docsets = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("shs"),
         count(lit(1)).as("n_sh")) // shingles are already distinct per doc
@@ -142,7 +146,7 @@ object DedupOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
           if (toks.length < n) Iterator.empty
           else {
             val th = new Array[Long](toks.length)
@@ -210,7 +214,7 @@ object DedupOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
           if (toks.length < n) (id, Array.fill(k)(Long.MaxValue), Array.empty[Long])
           else {
             val th = new Array[Long](toks.length)
@@ -324,7 +328,7 @@ object DedupOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
           val n = toks.length - k + 1
           if (n < 1) Iterator.empty
           else {
@@ -507,7 +511,11 @@ object DedupOps {
     * never capped. */
   def contamination(corpus: DataFrame, evalDocs: DataFrame, n: Int = 5,
       minCommon: Long = 3, maxDf: Long = DefaultMaxDf): DataFrame = {
-    val rare = capHotKeys(shingles(corpus, n), Seq("shingle"), maxDf)
+    // localCheckpoint: capHotKeys consumes the corpus postings twice
+    // (df-count + anti-join); checkpointing stops the compiled corpus
+    // shingling pass from re-executing per consumer
+    val sh = shingles(corpus, n).localCheckpoint(true)
+    val rare = capHotKeys(sh, Seq("shingle"), maxDf)
     val es = shingles(evalDocs, n)
     rare.as("c").join(es.as("e"), col("c.shingle") === col("e.shingle"))
       .groupBy(col("c.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
@@ -543,8 +551,9 @@ object DedupOps {
     * before its first aggregate; at 100 TB that is a 64× row inflation
     * feeding a corpus-wide shuffle). Bit-equal to [[simhashRelational]]
     * — the same token hash (XxHash64Function, seed 42, the interpreted
-    * body of the SQL `xxhash64`) and the same `split(' ')` tokenization
-    * with trailing empties kept — asserted in DedupTextSpec. */
+    * body of the SQL `xxhash64`) and the same `split(" ", -1)`
+    * tokenization with trailing empties kept — asserted in
+    * DedupTextSpec. */
   def simhash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -61,7 +61,7 @@ object TextOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
           if (toks.length < n) Iterator.empty
           else (0 to toks.length - n).iterator.map { i =>
             val sb = new java.lang.StringBuilder(64)
@@ -135,7 +135,7 @@ object TextOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
           val n = toks.length
           val uni = new java.util.HashMap[String, Int](n * 2)
           var maxUni = 0
@@ -194,7 +194,7 @@ object TextOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
           val n = toks.length
           val nChunks = (n + stride - 1) / stride
           (0 until nChunks).iterator.map { k =>

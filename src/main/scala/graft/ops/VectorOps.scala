@@ -128,15 +128,14 @@ object VectorOps {
       .orderBy("vec_id").select("embedding").as[Array[Float]]
       .collect().toSeq.zipWithIndex.map(_.swap)
     for (_ <- 0 until iters) {
-      val cdf = broadcast(centroids.toDF("cell", "cv"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("__sim").desc, col("cell"))
-      val assigned = train.select(col("vec_id"), col("embedding"))
-        .crossJoin(cdf)
-        .withColumn("__sim", cosineSim(col("embedding"), col("cv")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("cell").as("label"), col("embedding"))
+      // fused argmin assignment: one compiled pass over the broadcast
+      // centroid array per vector — no k× crossJoin inflation, no window
+      // exchange (bit-identical assignments to the relational form,
+      // asserted in VectorOpsSpec)
+      val assigned = train.select(
+        element_at(graft.functions.NearestCentroids.nearestCells(
+          col("embedding"), centroids, 1), 1).as("label"),
+        col("embedding"))
       centroids = labelCentroids(assigned)
         .groupBy(col("label")).agg(
           sort_array(collect_list(struct(col("i"), col("c")))).as("cs"))
@@ -168,24 +167,18 @@ object VectorOps {
     * model ≡ train-inside-the-call). */
   def ivfTopKWith(emb: DataFrame, queryPred: Column, k: Int,
       model: Seq[(Int, Array[Float])], nProbe: Int = 6): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val centroids = broadcast(model.toDF("cell", "cv"))
-    def nearestCells(df: DataFrame, idCol: String, vCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__sim").desc, col("cell"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("__sim", cosineSim(col(vCol), col("cv")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= n)
-        .drop("cv", "__sim", "__r")
-    }
-    val assigned = nearestCells(
-      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
-    val queryProbes = nearestCells(
-      emb.filter(queryPred)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      "query_id", "qv", nProbe)
+    // fused cell search ([[graft.functions.NearestCentroids]]): the
+    // corpus-side assignment is ONE compiled pass per vector over the
+    // reference-object centroid array — the previous
+    // crossJoin-all-centroids + rank-1 window inflated every corpus row
+    // k× before filtering, the dominant cost at realistic cell counts
+    def cells(vCol: Column, n: Int): Column =
+      graft.functions.NearestCentroids.nearestCells(vCol, model, n)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      element_at(cells(col("embedding"), 1), 1).as("cell"))
+    val queryProbes = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(cells(col("embedding"), nProbe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     assigned.join(broadcast(queryProbes),

@@ -203,10 +203,25 @@ object Streams {
         val spark = batch.sparkSession
         import spark.implicits._
         val props = new java.util.Properties
-        val alreadyDone =
-          try spark.read.jdbc(url, s"${name}_epochs", props)
+        // Probe table EXISTENCE via JDBC metadata (first batch: no table
+        // yet) instead of a catch-all around the read — a transient DB
+        // error must propagate, not be misread as "first batch" (which
+        // would redundantly rewrite the snapshot and duplicate the epoch
+        // row).
+        val epochsTable = s"${name}_epochs"
+        val tableExists = {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+            var found = false
+            while (!found && rs.next())
+              found = rs.getString("TABLE_NAME").equalsIgnoreCase(epochsTable)
+            found
+          } finally conn.close()
+        }
+        val alreadyDone = tableExists &&
+          spark.read.jdbc(url, epochsTable, props)
             .filter(col("epoch") === id).count() > 0
-          catch { case _: Throwable => false } // first batch: no table yet
         if (!alreadyDone) {
           batch.toDF().write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .jdbc(url, name, props)

@@ -56,6 +56,18 @@ class AnalyticsSpec extends AnyFunSuite {
     val lo = z.filter(p => p._1 < 4 && p._2 < 4).map(_._3).max
     val hi = z.filter(p => p._1 >= 4 && p._2 >= 4).map(_._3).min
     assert(lo < hi)
+    // out-of-range inputs fail loudly instead of silently degrading the
+    // layout (only the low 32 bits interleave)
+    for (bad <- Seq(-1L, 1L << 33)) {
+      val e = intercept[Throwable] {
+        Seq((bad, 1L)).toDF("a", "b")
+          .select(zorderKey(col("a"), col("b"))).collect()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        String.valueOf(c.getMessage).contains("out of range")))
+    }
     // registered as a SQL function via GraftExtensions (same expression)
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()

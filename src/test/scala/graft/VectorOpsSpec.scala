@@ -76,6 +76,39 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(batch2.select(countDistinct(col("query_id"))).as[Long].collect()(0) == 4L)
   }
 
+  test("fused nearest-cells == crossJoin+window rank form, no join node " +
+    "in the assignment plan") {
+    import org.apache.spark.sql.expressions.Window
+    val model = VectorOps.kmeansCentroids(emb, k = 16, iters = 1)
+    // relational specification form: crossJoin every vector with all k
+    // centroids, rank by (sim desc, cell asc), keep rank ≤ n
+    def relational(n: Int) = {
+      val cdf = broadcast(model.toDF("cell", "cv"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__sim").desc, col("cell"))
+      emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(cdf)
+        .withColumn("__sim", cosineSim(col("embedding"), col("cv")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+        .select(col("vec_id"), col("__r"), col("cell"))
+    }
+    val fused = emb.select(col("vec_id"),
+        posexplode(graft.functions.NearestCentroids.nearestCells(
+          col("embedding"), model, 6)).as(Seq("pos", "cell")))
+      .select(col("vec_id"), (col("pos") + 1).as("__r"), col("cell"))
+    val a = relational(6).as[(Long, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    val b = fused.as[(Long, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(a.sameElements(b))
+    // the fused assignment plan contains NO join node at all — the
+    // centroids ride as a reference object, not a relation
+    val assignPlan = emb.select(element_at(
+        graft.functions.NearestCentroids.nearestCells(col("embedding"), model, 1), 1))
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("CartesianProduct") &&
+      !assignPlan.contains("Join"), assignPlan)
+  }
+
   test("UDAF centroids == relational centroids exactly") {
     val a = VectorOps.labelCentroids(emb).orderBy("label", "i")
       .as[(Int, Long, Double)].collect()
