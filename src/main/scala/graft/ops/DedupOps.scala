@@ -398,30 +398,116 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Distributed min-label propagation over a symmetric (u, v) edge
+    * list: lbl(u) ← min(lbl(u), min over neighbors lbl(v)) until
+    * fixpoint — one join + aggregate per round, O(component diameter)
+    * rounds, nothing collected to the driver. Kept as the simple
+    * reference solver (ScaleSpec asserts it agrees with
+    * [[largeSmallStarLabels]], which needs far fewer rounds on skewed
+    * graphs and is the production distributed path). Each round is
+    * `localCheckpoint`ed: iterative plans otherwise nest one join per
+    * round and re-execute the whole chain at every convergence check.
+    * Returns (labels over the graph's vertices, rounds used); throws on
+    * non-convergence (a silent split label would break determinism). */
+  def minLabelPropagation(edges: DataFrame, maxIters: Int = 25)
+      : (DataFrame, Int) = {
+    var lbl = edges.select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(lbl, edges("v") === lbl("doc_id"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = lbl.join(nbrMin, lbl("doc_id") === nbrMin("u"), "left")
+        .select(lbl("doc_id"),
+          least(lbl("lbl"), coalesce(col("nbr_lbl"), lbl("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.as("nx").join(lbl.as("ol"), "doc_id")
+        .filter(col("nx.lbl") < col("ol.lbl")).isEmpty
+      lbl = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"minLabelPropagation did not converge in $maxIters iterations " +
+        "(a component's diameter exceeds it); raise maxIters")
+    (lbl, iter)
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR moves
+    * (the MapReduce CC algorithm of Kiveris et al. 2014): large-star
+    * hangs every neighbor LARGER than u off the minimum of u's closed
+    * neighborhood; small-star re-hangs the smaller neighbors (and u
+    * itself) off that minimum. Both moves preserve connectivity and
+    * strictly flatten trees, converging to per-component stars rooted at
+    * the component minimum in O(log n) rounds — where min-label
+    * propagation needs O(diameter) rounds (a path graph of length d
+    * costs d join rounds there, ~log d here, and near-dup corpora
+    * produce exactly such chains through boilerplate bridges). Each move
+    * is one window-min over the edge list partitioned by vertex — no
+    * joins inside a round; rounds are `localCheckpoint`ed like every
+    * iterative op here.
+    *
+    * Input: (u, v) edge list (either orientation, self-loops ignored).
+    * Output: ((doc_id, lbl = component min) for every vertex appearing
+    * in `edges`, rounds used). Throws on non-convergence. */
+  def largeSmallStarLabels(edges: DataFrame, maxIters: Int = 25)
+      : (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    def canon(e: DataFrame) = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def sym(e: DataFrame) = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val w = Window.partitionBy(col("u"))
+    // large-star: for v ∈ Γ(u) with v > u, emit (v, min(Γ(u) ∪ {u}))
+    def largeStar(e: DataFrame): DataFrame =
+      sym(e).withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    // small-star: orient (u > v); per u emit (v, m) for all smaller
+    // neighbors v plus (u, m), m = min neighbor (all < u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = canon(e).withColumn("m", min(col("v")).over(w))
+      o.select(col("v").as("u"), col("m").as("v"))
+        .union(o.select(col("u"), col("m").as("v")))
+    }
+    var cur = canon(edges).localCheckpoint(true)
+    var rounds = 0
+    var converged = cur.isEmpty
+    while (!converged && rounds < maxIters) {
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      // both sides are canonical distinct sets: equal size + empty
+      // one-direction difference ⇒ identical ⇒ fixpoint (stars)
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"largeSmallStarLabels did not converge in $maxIters rounds; " +
+        "raise maxIters")
+    val labels = sym(cur).groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("doc_id"), least(col("u"), col("mn")).as("lbl"))
+    (labels, rounds)
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the exact-Jaccard
     * pair graph, labels = min doc_id reachable (the canonical "keeper" of
-    * each dup cluster in a training-data pipeline). Iterative min-label
-    * propagation: lbl(u) ← min(lbl(u), min over neighbors lbl(v)) until
-    * fixpoint — O(component diameter) rounds, each one distributed join +
-    * aggregate, nothing collected to the driver. Each round is
-    * `localCheckpoint`ed: iterative plans otherwise nest one join per
-    * round and re-execute the whole chain at every convergence check
-    * (blocks of dropped rounds are freed by the ContextCleaner once
-    * unreferenced). At 100 TB you'd swap in the large-star/small-star
-    * variant (same primitive ops, fewer rounds on skewed graphs).
+    * each dup cluster in a training-data pipeline).
     *
     * Output: (doc_id, cluster_rep) for EVERY document — singletons map to
-    * themselves. Deterministic: fixpoint of min-propagation is exactly
-    * "min doc_id in my component".
+    * themselves. Deterministic: the component minimum, whichever solver
+    * runs.
     *
     * Hybrid solver: the pair graph after near-dup filtering is orders of
     * magnitude smaller than the corpus. If it has at most `driverEdgeCap`
     * edges (default 2²⁰ ≈ 16 MB of longs) the driver runs exact
     * union-find on the collected edge list and broadcasts the label map —
     * no iteration rounds at all; only the model-sized labels, never
-    * documents, cross to the driver. Larger graphs fall back to the
-    * distributed loop. Both paths produce identical output (asserted in
-    * AnalyticsSpec). */
+    * documents, cross to the driver. Larger graphs run distributed
+    * [[largeSmallStarLabels]] (O(log n) rounds even on skewed hot-hub
+    * graphs). All paths produce identical output (asserted in
+    * AnalyticsSpec / ScaleSpec). */
   def dedupClusters(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
       maxIters: Int = 25, driverEdgeCap: Long = 1L << 20,
       maxDf: Long = DefaultMaxDf): DataFrame = {
@@ -449,35 +535,7 @@ object DedupOps {
         }
         val verts = parent.keySet ++ parent.values
         broadcast(verts.toSeq.sorted.map(x => (x, find(x))).toDF("doc_id", "lbl"))
-      } else {
-        // Distributed min-label propagation over the dup-graph's vertices
-        // only; singletons rejoin at the end with rep=self.
-        var lbl = edges.select(col("u").as("doc_id")).distinct()
-          .withColumn("lbl", col("doc_id"))
-          .localCheckpoint(true)
-        var iter = 0
-        var converged = false
-        while (!converged && iter < maxIters) {
-          val nbrMin = edges.join(lbl, edges("v") === lbl("doc_id"))
-            .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
-          val next = lbl.join(nbrMin, lbl("doc_id") === nbrMin("u"), "left")
-            .select(lbl("doc_id"),
-              least(lbl("lbl"), coalesce(col("nbr_lbl"), lbl("lbl"))).as("lbl"))
-            .localCheckpoint(true)
-          converged = next.as("nx").join(lbl.as("ol"), "doc_id")
-            .filter(col("nx.lbl") < col("ol.lbl")).isEmpty
-          lbl = next
-          iter += 1
-        }
-        // the fixpoint/determinism guarantee only holds if we converged;
-        // a component with diameter > maxIters would otherwise silently
-        // get split labels
-        if (!converged) throw new IllegalStateException(
-          s"dedupClusters: min-label propagation did not converge in " +
-            s"$maxIters iterations (a component's diameter exceeds it); " +
-            "raise maxIters")
-        lbl
-      }
+      } else largeSmallStarLabels(edges, maxIters)._1
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

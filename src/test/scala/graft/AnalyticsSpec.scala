@@ -155,10 +155,10 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(hashed == exact)
   }
 
-  test("dedupClusters: driver union-find == distributed label propagation") {
+  test("dedupClusters: driver union-find == distributed large/small-star") {
     val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
     val unionFind = DedupOps.dedupClusters(docs) // small graph → driver path
-    val propagated = DedupOps.dedupClusters(docs, driverEdgeCap = 0) // force loop
+    val propagated = DedupOps.dedupClusters(docs, driverEdgeCap = 0) // force distributed
     assert(unionFind.as[(Long, Long)].collect().toMap ==
       propagated.as[(Long, Long)].collect().toMap)
   }

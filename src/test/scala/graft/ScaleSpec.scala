@@ -98,6 +98,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(pairs == Set((900L, 901L)))
   }
 
+  test("large/small-star CC == min-label propagation on a skewed " +
+    "hot-hub graph, in far fewer rounds") {
+    import graft.ops.DedupOps
+    // one component shaped like near-dup graphs actually look: a long
+    // chain (diameter 41 — worst case for diameter-bound propagation)
+    // welded to a hot hub (one vertex with 500 spokes — worst case for
+    // per-vertex skew)
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val hub = (1L to 500L).map(i => (1000L, 1000L + i))
+    val edges0 = (chain ++ hub :+ (40L, 1000L)).toDF("u", "v")
+    val sym = edges0.union(edges0.select(col("v").as("u"), col("u").as("v")))
+    val (mlp, mlpRounds) = DedupOps.minLabelPropagation(sym, maxIters = 60)
+    val (lss, lssRounds) = DedupOps.largeSmallStarLabels(sym, maxIters = 60)
+    val a = mlp.as[(Long, Long)].collect().toMap
+    val b = lss.as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(b.values.toSet == Set(0L)) // one component, labeled by its min
+    assert(b.size == 542)            // every vertex labeled
+    info(s"min-label rounds=$mlpRounds, large/small-star rounds=$lssRounds")
+    assert(lssRounds < mlpRounds / 2,
+      s"expected O(log) rounds vs O(diameter): $lssRounds vs $mlpRounds")
+  }
+
   test("z-order layout: 2-D selective scan reads less than random layout") {
     import graft.functions.ZOrderKey.zorderKey
     val li = Catalog.load(spark, "/root/testdata/sf0.01", "lineitem")
