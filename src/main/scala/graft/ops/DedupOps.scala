@@ -564,18 +564,23 @@ object DedupOps {
     * boilerplate n-grams are noise for contamination, and the cap is
     * what keeps the join linear) with any document of an evaluation set.
     * The standard pre-training hygiene pass: run before training with
-    * every benchmark you intend to report. Equi-join on shingles — cost
-    * is Σ posting², bounded by the df cap; the (small) eval side is
-    * never capped. */
+    * every benchmark you intend to report. Equi-join on HASHED shingles
+    * ([[hashedShingles]], both sides the same 64-bit hash — the shingle
+    * string never shuffles, the checkpoint and join carry 8-byte longs):
+    * cost is Σ posting², bounded by the df cap; the (small) eval side is
+    * never capped. Counting distinct shared hashes instead of strings
+    * can differ only on a 64-bit collision inside one (corpus doc, eval
+    * doc) pair's shingles — vanishing at any corpus size that fits an
+    * exabyte. */
   def contamination(corpus: DataFrame, evalDocs: DataFrame, n: Int = 5,
       minCommon: Long = 3, maxDf: Long = DefaultMaxDf): DataFrame = {
     // localCheckpoint: capHotKeys consumes the corpus postings twice
     // (df-count + anti-join); checkpointing stops the compiled corpus
     // shingling pass from re-executing per consumer
-    val sh = shingles(corpus, n).localCheckpoint(true)
-    val rare = capHotKeys(sh, Seq("shingle"), maxDf)
-    val es = shingles(evalDocs, n)
-    rare.as("c").join(es.as("e"), col("c.shingle") === col("e.shingle"))
+    val sh = hashedShingles(corpus, n).localCheckpoint(true)
+    val rare = capHotKeys(sh, Seq("sh_h"), maxDf)
+    val es = hashedShingles(evalDocs, n)
+    rare.as("c").join(es.as("e"), col("c.sh_h") === col("e.sh_h"))
       .groupBy(col("c.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)

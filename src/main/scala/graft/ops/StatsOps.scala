@@ -66,4 +66,25 @@ object StatsOps {
       .select(col("k"), col("n"),
         ((col("med_lo") + col("med_hi")) / 2).as("median"), col("p90"))
   }
+
+  /** Deterministic stratified sampling: within each stratum (`by`), rank
+    * rows by a multiplicative-hash key of the id (exact BIGINT arithmetic
+    * — the same expression runs on any engine, unlike rand(seed) whose
+    * stream is engine-private) and keep the top ceil(frac·n). Every
+    * stratum is sampled at the same rate regardless of size — the
+    * balanced-subcorpus draw a training mix needs. One window per
+    * stratum, no global sort, no driver round-trip. */
+  def stratifiedSample(df: DataFrame, idCol: Column, by: Column,
+      frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(idCol.as("id"), by.as("stratum"))
+      .withColumn("__key", pmod(col("id") * lit(2654435761L), lit(1000000007L)))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("__key"), col("id"))
+    keyed
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stratum"))))
+      .filter(col("rk") <= ceil(col("n") * frac))
+      .select(col("id"), col("stratum"), col("rk"))
+  }
 }

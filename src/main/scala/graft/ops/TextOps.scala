@@ -207,6 +207,29 @@ object TextOps {
       }.toDF("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
   }
 
+  /** Greedy sequence packing for pre-training batches: documents are
+    * laid end-to-end per `by` group in doc_id order and each is assigned
+    * the context-window bin (`budget` tokens) its FIRST token lands in —
+    * the concat-then-chunk packing every LLM data loader performs,
+    * expressed as one running-sum window so the assignment is
+    * deterministic and engine-independent (exact BIGINT arithmetic, `div`
+    * integer division). Packing is per-group (per language here, per
+    * shard in production) so the window never needs a global total order
+    * — the 100 TB shape; a single global ORDER BY would serialize the
+    * corpus through one partition. */
+  def packSequences(docs: DataFrame, budget: Long = 2048,
+      by: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(by)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col(by),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col(by), col("n_tokens"),
+        expr(s"before div $budget").as("pack_id"),
+        (col("before") % budget).as("pack_offset"))
+  }
+
   /** Collocation mining: top word pairs by LIFT — the rational form of
     * PMI, `P(xy) / (P(x)·P(y)) = c_xy · N / (c_x · c_y)` — over corpus
     * bigram and unigram counts (n-gram LM / tokenizer-merge data prep).

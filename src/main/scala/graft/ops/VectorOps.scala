@@ -50,6 +50,32 @@ object VectorOps {
         col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the top-k
+    * most cosine-similar vectors with a DIFFERENT label — the negatives
+    * that actually teach an embedding model (random negatives are too
+    * easy; these sit right at the decision boundary). Same plan shape
+    * and scaled-int determinism contract as [[cosineTopK]]: queries
+    * broadcast, fused codegen similarity, partial top-k per partition
+    * before the final window. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val queries = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    base.join(broadcast(queries), col("label") =!= col("qlabel"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        graft.functions.ScaledIntCosine.scaledCosine(col("qv"), col("embedding"))
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("neg_label"), col("cos_sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

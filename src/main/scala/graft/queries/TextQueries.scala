@@ -221,6 +221,44 @@ object TextQueries {
       |  unnest(range(0, CAST(ceil(len(t) / 24.0) AS BIGINT))) AS u(k)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  def packed(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(docs(spark, dir), budget = 2048)
+      .orderBy(col("lang"), col("doc_id"))
+
+  private val packedSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - n_tokens AS BIGINT) AS before
+      |  FROM t
+      |)
+      |SELECT doc_id, lang, n_tokens,
+      |  before // 2048 AS pack_id, before % 2048 AS pack_offset
+      |FROM c ORDER BY lang, doc_id""".stripMargin
+
+  def stratified(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.StatsOps.stratifiedSample(
+        docs(spark, dir), col("doc_id"), col("lang"), frac = 0.2)
+      .select(col("id").as("doc_id"), col("stratum").as("lang"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+
+  private val stratifiedSql =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT)
+      |      AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, rk FROM s WHERE rk <= ceil(n * 0.2)
+      |ORDER BY lang, rk""".stripMargin
+
   def collocations(spark: SparkSession, dir: String): DataFrame =
     TextOps.collocations(docs(spark, dir), topN = 20, minCount = 5)
 
@@ -286,6 +324,12 @@ object TextQueries {
       "top word pairs by lift (rational PMI — rank-identical, ln-free)"),
     Q("q104_rag_chunks", chunks, Some(chunksSql),
       "RAG chunking: overlapping 32-token windows, stride 24, per-doc pass"),
+    Q("q108_seq_packing", packed, Some(packedSql),
+      "greedy 2048-token sequence packing per language (concat-then-chunk " +
+        "bin assignment, exact BIGINT running sum)"),
+    Q("q109_stratified_sample", stratified, Some(stratifiedSql),
+      "deterministic stratified 20% sample per language " +
+        "(multiplicative-hash rank, engine-independent)"),
     Q("q54_fingerprint", fingerprint, None,
       "xxhash64 document fingerprint (rows-only; spec-checked)"),
     Q("q55_winnowed_fingerprints",

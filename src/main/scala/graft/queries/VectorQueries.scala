@@ -52,6 +52,44 @@ object VectorQueries {
        |WHERE rn <= $K
        |ORDER BY query_id, rn""".stripMargin
 
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.hardNegatives(emb(spark, dir), col("vec_id") < NQ, K)
+      .orderBy(col("query_id"), col("rn"))
+
+  private val hardNegativesSql =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+       |    unnest(range(len(embedding))) AS i
+       |  FROM embeddings
+       |), l AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, SUM(xi * xi) AS n2 FROM v GROUP BY 1
+       |), dots AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |         CAST(SUM(q.xi * d.xi) AS BIGINT) AS dot
+       |  FROM v q JOIN v d ON q.i = d.i
+       |  WHERE q.vec_id < $NQ
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT query_id, neighbor_id, dl.label AS neg_label,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(dn.n2 AS DOUBLE))) AS cos_sim
+       |  FROM dots
+       |  JOIN n qn ON query_id = qn.vec_id
+       |  JOIN n dn ON neighbor_id = dn.vec_id
+       |  JOIN l ql ON query_id = ql.vec_id
+       |  JOIN l dl ON neighbor_id = dl.vec_id
+       |  WHERE ql.label <> dl.label
+       |)
+       |SELECT query_id, rn, neighbor_id, neg_label, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM sims)
+       |WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin
+
   def annTopK(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annTopK(emb(spark, dir), col("vec_id") < NQ, K)
       .orderBy(col("query_id"), col("rn"))
@@ -170,6 +208,9 @@ object VectorQueries {
       "embedding-cosine near-dup pairs at τ=0.4 (exact scaled-int oracle)"),
     Q("q70_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "exact brute-force cosine top-5 for 8 query vectors (scaled-int oracle)"),
+    Q("q110_hard_negatives", hardNegatives, Some(hardNegativesSql),
+      "contrastive hard-negative mining: top-5 most-similar other-label " +
+        "vectors per query (scaled-int oracle)"),
     Q("q71_ann_lsh_topk", annTopK, None,
       "hyperplane-LSH multiprobe ANN top-5 (spec-checked recall)"),
     Q("q74_ann_ivf_topk", ivfTopK, None,

@@ -202,6 +202,39 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out.forall(_._5 == 5.0 * 22 / 25))
   }
 
+  test("packSequences: hand-computed bin boundaries, straddling doc " +
+    "belongs to the bin its first token lands in") {
+    // per-group token counts 4,3,5,2 with budget 6:
+    //   before = 0,4,7,12 → pack_id 0,0,1,2 ; offset 0,4,1,0
+    val d = Seq((1L, "t t t t", "en"), (2L, "t t t", "en"),
+      (3L, "t t t t t", "en"), (4L, "t t", "en"),
+      (10L, "x x x x x x x", "es")) // second group packs independently
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.packSequences(d, budget = 6)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4, r._5)).toMap
+    assert(out(1L) == ((4L, 0L, 0L)))
+    assert(out(2L) == ((3L, 0L, 4L)))
+    assert(out(3L) == ((5L, 1L, 1L)))
+    assert(out(4L) == ((2L, 2L, 0L)))
+    assert(out(10L) == ((7L, 0L, 0L)))
+  }
+
+  test("stratifiedSample: every stratum sampled at ceil(frac*n), " +
+    "deterministic across partitionings") {
+    import org.apache.spark.sql.functions.col
+    val sizes = docs.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val s = graft.ops.StatsOps.stratifiedSample(
+      docs, col("doc_id"), col("lang"), frac = 0.2)
+    val got = s.groupBy(col("stratum")).count().as[(String, Long)].collect().toMap
+    assert(got == sizes.map { case (l, n) => l -> math.ceil(n * 0.2).toLong })
+    val again = graft.ops.StatsOps.stratifiedSample(
+        docs.repartition(13), col("doc_id"), col("lang"), frac = 0.2)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == s.as[(Long, String, Long)].collect().toSet)
+  }
+
   test("langId: stopword votes pick the planted language") {
     val d = Seq(
       (1L, "the cat sat of the mat and a dog in town"),

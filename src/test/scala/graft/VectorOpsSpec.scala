@@ -76,6 +76,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(batch2.select(countDistinct(col("query_id"))).as[Long].collect()(0) == 4L)
   }
 
+  test("hardNegatives: never the query's own label, top-k of exactly the " +
+    "other-label candidates") {
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val hn = VectorOps.hardNegatives(emb, col("vec_id") < 8, 5)
+      .as[(Long, Long, Long, Int, Double)].collect()
+    assert(hn.length == 8 * 5)
+    assert(hn.forall { case (q, _, n, negLabel, _) =>
+      labels(n) == negLabel && negLabel != labels(q) })
+    // per query: ranks 1..5, similarity non-increasing in rank
+    hn.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 5L))
+      assert(sorted.sliding(2).forall(w => w(0)._5 >= w(1)._5))
+    }
+  }
+
   test("fused nearest-cells == crossJoin+window rank form, no join node " +
     "in the assignment plan") {
     import org.apache.spark.sql.expressions.Window
