@@ -89,6 +89,17 @@ object Runner {
     }
   }
 
+  /** Versioned-publish sink: every run lands as a NEW immutable version
+    * of `<name>` with time travel and rollback ([[Versioned]]) — the
+    * object-store-safe member of the family (no renames anywhere; the
+    * commit is an exclusive marker create = conditional PUT). Use this
+    * instead of [[AtomicParquetSink]] when baseDir is s3a:///gs://. */
+  final case class VersionedSink(baseDir: String, keep: Int = 3) extends Sink {
+    def write(df: DataFrame, name: String): Unit = {
+      Versioned.publish(df, baseDir, name, keep); ()
+    }
+  }
+
   /** K4 analog: JDBC full-replace (drop+recreate = pandas
     * `if_exists="replace"`). Exercised against embedded Derby in specs. */
   final case class JdbcSink(url: String, props: java.util.Properties) extends Sink {

@@ -113,6 +113,25 @@ class PublishSpec extends AnyFunSuite {
     assert(Versioned.read(spark, base, "t").count() == 90)
   }
 
+  test("VersionedSink: each mart run publishes a new version with time travel") {
+    val base = tmp("vsink")
+    val dir = "/root/testdata/sf0.001"
+    val r1 = Runner.run(spark, dir, Runner.VersionedSink(base),
+      runDate = java.time.LocalDate.of(2026, 8, 11))
+    val r2 = Runner.run(spark, dir, Runner.VersionedSink(base),
+      runDate = java.time.LocalDate.of(2026, 8, 12))
+    assert(r1.statuses.values.forall(_.isRight))
+    assert(r2.statuses.values.forall(_.isRight))
+    for (m <- Seq("attack", "defense", "discipline")) {
+      assert(Versioned.latestVersion(base, m) == Some(1L))
+      val latest = Versioned.read(spark, base, m)
+      assert(latest.select("run_date").distinct().as[String].head() == "2026-08-12")
+      // yesterday's mart still served by version 0
+      assert(Versioned.read(spark, base, m, Some(0L))
+        .select("run_date").distinct().as[String].head() == "2026-08-11")
+    }
+  }
+
   test("publishClustered: a published z-ordered version prunes a 2-D " +
     "selective scan below half the rows of a random layout") {
     val base = tmp("clustered")
