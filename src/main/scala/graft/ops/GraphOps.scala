@@ -33,12 +33,13 @@ object GraphOps {
     val nodes = e.select(col("u").as("n"))
       .union(e.select(col("v").as("n"))).distinct()
       .localCheckpoint(true)
-    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true) // joined every round
+    // out-degree attached to the edge list ONCE — one join per round
+    // instead of two (the degree never changes between rounds)
+    val ed = e.join(e.groupBy(col("u")).agg(count(lit(1)).as("d")), "u")
+      .localCheckpoint(true)
     var pr = nodes.withColumn("r", lit(1000000L)) // 1.0 in micro-units
     for (i <- 0 until iters) {
-      val contrib = e.join(pr, e("u") === pr("n"))
-        .join(deg, "u")
+      val contrib = ed.join(pr, ed("u") === pr("n"))
         .select(col("v"), expr("r div d").as("x"))
         .groupBy(col("v")).agg(sum(col("x")).as("s")) // exact long sum
       pr = nodes.join(contrib, nodes("n") === contrib("v"), "left")

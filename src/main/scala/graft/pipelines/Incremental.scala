@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions.{col, lit}
   * typically broadcast-sized so Catalyst plans the anti-join broadcast.
   * Composed with [[Versioned]] the result is an upsert with time travel:
   * each refresh publishes a new immutable version, so a bad batch rolls
-  * back by pointer swap instead of by restore-from-backup.
+  * back by republishing the previous version instead of by
+  * restore-from-backup.
   *
   * [[publishUpsert]] merges against the WHOLE table — correct anywhere,
   * but at 100 TB a daily 0.1% batch would cost a full-table rewrite.
