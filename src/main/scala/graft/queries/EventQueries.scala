@@ -124,6 +124,99 @@ object EventQueries {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** Strict-order conversion funnel view → click → purchase: per user,
+    * the first view, the first click AT OR AFTER that view, and the
+    * first purchase at or after that click — the product-analytics
+    * staple, as three dependent min-aggregates. All three joins
+    * co-partition on user_id (one shuffle key end-to-end; AQE reuses
+    * the exchange), so the funnel depth adds aggregates, not shuffles.
+    * Times are epoch-µs BIGINTs (cross-engine, like every event query
+    * here); `stage` = how far the user got. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    def step(evType: String, after: DataFrame, afterTs: String, out: String) =
+      e.filter(col("event_type") === evType)
+        .join(after, "user_id")
+        .filter(col("ts_us") >= col(afterTs))
+        .groupBy((col("user_id") +: after.columns.filter(_ != "user_id")
+          .map(col)): _*)
+        .agg(min(col("ts_us")).as(out))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+    val clicks = step("click", views, "view_us", "click_us")
+    val purchases = step("purchase", clicks, "click_us", "purchase_us")
+    views
+      .join(clicks, Seq("user_id", "view_us"), "left")
+      .join(purchases, Seq("user_id", "view_us", "click_us"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"),
+        col("purchase_us"),
+        (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0)
+          + when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  private val funnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+      |), v AS (
+      |  SELECT user_id, MIN(ts_us) AS view_us FROM e
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, v.view_us, MIN(e.ts_us) AS click_us
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_us >= v.view_us
+      |  GROUP BY 1, 2
+      |), p AS (
+      |  SELECT e.user_id, c.view_us, c.click_us, MIN(e.ts_us) AS purchase_us
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_us >= c.click_us
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+      |  1 + CASE WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN p.purchase_us IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id AND v.view_us = c.view_us
+      |LEFT JOIN p ON v.user_id = p.user_id AND v.view_us = p.view_us
+      |  AND c.click_us = p.click_us
+      |ORDER BY v.user_id""".stripMargin
+
+  /** Weekly cohort retention: users grouped by first-activity week, then
+    * distinct active users counted per (cohort, week offset) — the
+    * retention triangle. Week buckets and offsets are exact epoch-µs
+    * BIGINT arithmetic (`div` by the 7-day µs constant), so the matrix
+    * is engine-identical. Two aggregates + one join, all keyed on
+    * user_id / (cohort, offset). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("user_id"),
+        unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+      .distinct()
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("wk_us")).as("cohort_us"))
+    e.join(cohorts, "user_id")
+      .select(col("cohort_us"),
+        expr("(wk_us - cohort_us) div 604800000000").as("week_offset"))
+      .groupBy(col("cohort_us"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_us"), col("week_offset"))
+  }
+
+  private val cohortSql =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_ns(date_trunc('week', ts)) // 1000
+      |    AS wk_us
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, MIN(wk_us) AS cohort_us FROM a GROUP BY 1
+      |)
+      |SELECT cohort_us, (wk_us - cohort_us) // 604800000000 AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** As-of join: each view event picks up the user's latest prior (or
     * simultaneous) purchase. Oracle: DuckDB's native ASOF LEFT JOIN. */
   def asofViewPurchase(spark: SparkSession, dir: String): DataFrame = {
@@ -342,6 +435,11 @@ object EventQueries {
       "forward as-of through the native operator (same oracle as q90)"),
     Q("q103_session_assign", sessionAssign, Some(sessionAssignSql),
       "per-event session ordinal via lag + conditional running sum"),
+    Q("q111_funnel", funnel, Some(funnelSql),
+      "strict-order view→click→purchase funnel per user (dependent " +
+        "min-aggregates, one shuffle key end-to-end)"),
+    Q("q112_cohort_retention", cohortRetention, Some(cohortSql),
+      "weekly cohort retention triangle (exact epoch-µs week arithmetic)"),
     Q("q81_range_join", rangeJoinOrders, Some(rangeJoinSql),
       "banded point-in-interval join (bucket equi-join + residual filter)"),
     Q("q80_asof_join", asofViewPurchase, Some(asofSql),
