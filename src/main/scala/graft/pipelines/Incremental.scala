@@ -44,6 +44,56 @@ object Incremental {
     Versioned.publish(merged, baseDir, name, keep)
   }
 
+  /** Slowly-changing-dimension Type 2 merge: `history` carries full row
+    * versioning — (`keys`, attributes, `valid_from`, `valid_to`) with
+    * `valid_to` NULL marking current rows; `incoming` is a (`keys`,
+    * attributes) snapshot stamped `batchTs`. Current rows whose
+    * attributes changed are CLOSED (`valid_to = batchTs`) and the new
+    * attribute versions appended (`valid_from = batchTs`); unchanged and
+    * absent keys pass through untouched; new keys insert. Attribute
+    * comparison is null-safe (`<=>`). One key-shuffle full-outer join of
+    * the CURRENT slice against the snapshot — closed history never
+    * reshuffles, so the merge cost tracks the dimension's live size, not
+    * its accumulated history. Composes with [[Versioned]] the same way
+    * [[publishUpsert]] does. */
+  def scd2Merge(history: DataFrame, incoming: DataFrame, keys: Seq[String],
+      batchTs: Long): DataFrame = {
+    val attrs = history.columns
+      .filterNot(c => keys.contains(c) || c == "valid_from" || c == "valid_to")
+      .toSeq
+    require(incoming.columns.toSet == (keys ++ attrs).toSet,
+      s"incoming must carry exactly keys+attributes: ${keys ++ attrs}")
+    val outCols = (keys ++ attrs :+ "valid_from" :+ "valid_to").map(col)
+    val closed = history.filter(col("valid_to").isNotNull)
+    val current = history.filter(col("valid_to").isNull)
+      .withColumn("__c", lit(1))
+    val inc = incoming.select((keys ++ attrs).map(col): _*)
+      .withColumn("__i", lit(1))
+    val j = current.as("c").join(inc.as("i"), keys, "full_outer")
+    val changed = attrs.map(a => !(col(s"c.$a") <=> col(s"i.$a")))
+      .reduce(_ || _)
+    val kept = j.filter(col("c.__c").isNotNull &&
+        (col("i.__i").isNull || !changed))
+      .select((keys.map(col) ++ attrs.map(a => col(s"c.$a")) :+
+        col("c.valid_from") :+ col("c.valid_to")): _*)
+    val closedNow = j.filter(col("c.__c").isNotNull &&
+        col("i.__i").isNotNull && changed)
+      .select((keys.map(col) ++ attrs.map(a => col(s"c.$a")) :+
+        col("c.valid_from") :+ lit(batchTs).as("valid_to")): _*)
+    val inserted = j.filter(col("i.__i").isNotNull &&
+        (col("c.__c").isNull || changed))
+      .select((keys.map(col) ++ attrs.map(a => col(s"i.$a")) :+
+        lit(batchTs).as("valid_from") :+
+        lit(null).cast("long").as("valid_to")): _*)
+    // all four legs share the canonical (keys, attrs, valid_from,
+    // valid_to) names — unionByName aligns them regardless of the
+    // caller's history column order
+    closed.select(outCols: _*)
+      .unionByName(kept)
+      .unionByName(closedNow)
+      .unionByName(inserted)
+  }
+
   /** Partition-scoped upsert: merge `incoming` only against the
     * partitions (by `partCol` value) it actually contains, rewrite those,
     * and reuse every untouched partition's files by manifest link. An

@@ -199,6 +199,30 @@ object Versioned {
     }
   }
 
+  /** Version history as a DataFrame — the operational observability
+    * surface (Delta's DESCRIBE HISTORY reduced to what the protocol
+    * stores): one row per on-disk version with commit status, file/byte
+    * totals (only files physically inside the version dir — a manifest
+    * version's linked partitions are counted where they live), and the
+    * partition count for manifest versions. Driver-side listing only;
+    * never reads data files. */
+  def describe(spark: SparkSession, baseDir: String, name: String): org.apache.spark.sql.DataFrame = {
+    val t = tableDir(baseDir, name)
+    val latest = latestVersion(baseDir, name)
+    val rows = versionsOnDisk(t).sorted.map { v =>
+      val files = Fs.list(vdir(t, v)).filter(!_.isDirectory) ++
+        Fs.list(vdir(t, v)).filter(_.isDirectory)
+          .flatMap(d => Fs.list(d.getPath).filter(!_.isDirectory))
+      val parquet = files.filter(_.getPath.getName.endsWith(".parquet"))
+      (v, Fs.exists(commitPath(t, v)), latest.contains(v),
+        parquet.size.toLong, parquet.map(_.getLen).sum,
+        manifestOf(t, v).map(_.entries.size.toLong))
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed", "is_latest", "n_files", "bytes",
+      "n_partitions")
+  }
+
   /** Roll back: republish an old version's content as the NEW latest
     * (history stays linear — the bad version remains on disk for
     * forensics until pruned). */

@@ -91,6 +91,17 @@ class PublishSpec extends AnyFunSuite {
     val old = Versioned.read(spark, base, "t", Some(0L))
     assert(old.count() == 300)
     assert(old.filter(col("k") === 1).select("v").as[String].head() == "val1")
+
+    // DESCRIBE-style history: both versions committed, v1 latest; both
+    // expose 3 logical partitions but v1 physically holds only the
+    // rewritten one (fewer bytes in its own dir)
+    val hist = Versioned.describe(spark, base, "t")
+      .as[(Long, Boolean, Boolean, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(hist(0L)._2 && !hist(0L)._3)
+    assert(hist(1L)._2 && hist(1L)._3)
+    assert(hist.values.forall(_._6 == Some(3L)))
+    assert(hist(1L)._5 < hist(0L)._5)
   }
 
   test("pruning keeps version dirs still referenced by retained manifests") {
@@ -111,6 +122,36 @@ class PublishSpec extends AnyFunSuite {
       Versioned.publishPartitioned(v0, base, "t", "p", keep = 2)
     assert(!Fs.exists(new Path(s"$base/t/_v0")), "_v0 unreferenced, pruned")
     assert(Versioned.read(spark, base, "t").count() == 90)
+  }
+
+  test("scd2Merge: changed rows close+reopen, unchanged/new/absent keys " +
+    "handled, closed history untouched") {
+    import graft.pipelines.Incremental.scd2Merge
+    // history at t=100: k1 already has a closed older version; k1/k2/k3
+    // current
+    val history = Seq(
+      (1L, "a-old", 50L, Some(100L)),
+      (1L, "a", 100L, None), (2L, "b", 100L, None), (3L, "c", 100L, None))
+      .toDF("k", "attr", "valid_from", "valid_to")
+      .select(col("k"), col("attr"), col("valid_from"),
+        col("valid_to").cast("long"))
+    // t=200 snapshot: k1 changed, k2 unchanged, k3 absent, k4 new
+    val snap = Seq((1L, "a2"), (2L, "b"), (4L, "d")).toDF("k", "attr")
+    val merged = scd2Merge(history, snap, Seq("k"), batchTs = 200L)
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(merged == Set(
+      (1L, "a-old", 50L, Some(100L)), // closed history untouched
+      (1L, "a", 100L, Some(200L)),    // changed: closed at batch ts
+      (1L, "a2", 200L, None),         // ...and reopened with new attrs
+      (2L, "b", 100L, None),          // unchanged: passes through
+      (3L, "c", 100L, None),          // absent from snapshot: stays open
+      (4L, "d", 200L, None)))         // new key: inserted
+    // idempotence: re-merging the same snapshot changes nothing
+    val again = scd2Merge(
+      merged.toSeq.toDF("k", "attr", "valid_from", "valid_to"),
+      snap, Seq("k"), batchTs = 300L)
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(again == merged)
   }
 
   test("VersionedSink: each mart run publishes a new version with time travel") {
