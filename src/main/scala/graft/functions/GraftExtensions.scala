@@ -24,6 +24,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
       (args: Seq[Expression]) => ZOrderKey(args(0), args(1))))
+    // nearest_cells(vec, array(array<float>...), n): the centroid model
+    // must be a foldable literal — it is evaluated ONCE at plan build
+    // into the expression's reference object, exactly like the Column
+    // API path bakes in a trained model
+    e.injectFunction((
+      new FunctionIdentifier("nearest_cells"),
+      new ExpressionInfo(classOf[NearestCentroids].getName, "nearest_cells"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 && args(1).foldable && args(2).foldable,
+          "nearest_cells(vec, <literal array<array<float>> centroids>, <literal int n>)")
+        val arr = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val centroids = (0 until arr.numElements())
+          .map(i => arr.getArray(i).toFloatArray()).toArray
+        NearestCentroids(args(0), centroids.indices.toArray, centroids,
+          args(2).eval().asInstanceOf[Int])
+      }))
     // custom optimizer rule: abs(col) <= t  →  -t <= col <= t, so the
     // bound reaches the parquet scan as PushedFilters (SurfaceSpec)
     e.injectOptimizerRule(_ => graft.plans.AbsRangeRewrite)

@@ -127,29 +127,33 @@ object EventQueries {
   /** Strict-order conversion funnel view → click → purchase: per user,
     * the first view, the first click AT OR AFTER that view, and the
     * first purchase at or after that click — the product-analytics
-    * staple, as three dependent min-aggregates. All three joins
-    * co-partition on user_id (one shuffle key end-to-end; AQE reuses
-    * the exchange), so the funnel depth adds aggregates, not shuffles.
-    * Times are epoch-µs BIGINTs (cross-engine, like every event query
-    * here); `stage` = how far the user got. */
+    * staple. Expressed as CHAINED whole-partition window minima over one
+    * user_id partitioning: each stage's condition references the
+    * previous stage's window result, so all three dependent minima (and
+    * the final per-user collapse) ride a SINGLE hash exchange — no joins
+    * anywhere (the naive formulation joins events back per stage and
+    * re-shuffles on every widening key; PlanSpec pins this one at one
+    * exchange). Times are epoch-µs BIGINTs (cross-engine, like every
+    * event query here); `stage` = how far the user got. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Catalog.load(spark, dir, "events")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    Catalog.load(spark, dir, "events")
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    def step(evType: String, after: DataFrame, afterTs: String, out: String) =
-      e.filter(col("event_type") === evType)
-        .join(after, "user_id")
-        .filter(col("ts_us") >= col(afterTs))
-        .groupBy((col("user_id") +: after.columns.filter(_ != "user_id")
-          .map(col)): _*)
-        .agg(min(col("ts_us")).as(out))
-    val views = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
-    val clicks = step("click", views, "view_us", "click_us")
-    val purchases = step("purchase", clicks, "click_us", "purchase_us")
-    views
-      .join(clicks, Seq("user_id", "view_us"), "left")
-      .join(purchases, Seq("user_id", "view_us", "click_us"), "left")
+      .withColumn("view_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("click_us",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") >= col("view_us"), col("ts_us"))).over(w))
+      .withColumn("purchase_us",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") >= col("click_us"), col("ts_us"))).over(w))
+      .filter(col("view_us").isNotNull) // funnel entry requires a view
+      .groupBy(col("user_id"))
+      .agg(min(col("view_us")).as("view_us"),
+        min(col("click_us")).as("click_us"),
+        min(col("purchase_us")).as("purchase_us"))
       .select(col("user_id"), col("view_us"), col("click_us"),
         col("purchase_us"),
         (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0)

@@ -72,9 +72,18 @@ class AnalyticsSpec extends AnyFunSuite {
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
     val gs = GraftSession.create(appName = "zorder-sql", master = "local[2]")
-    try assert(gs.sql("SELECT zorder_key(5, 3) AS z").head().getLong(0) ==
-      (0x11L | (0x5L << 1))) // dilate(5)=0b10001, dilate(3)=0b101
-    finally {
+    try {
+      assert(gs.sql("SELECT zorder_key(5, 3) AS z").head().getLong(0) ==
+        (0x11L | (0x5L << 1))) // dilate(5)=0b10001, dilate(3)=0b101
+      // nearest_cells also registered: literal 2-centroid model, the
+      // vector aligned with the second centroid wins
+      val nc = gs.sql(
+        """SELECT nearest_cells(array(CAST(0.1 AS FLOAT), CAST(0.9 AS FLOAT)),
+          |  array(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |        array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))), 2) AS c
+          |""".stripMargin).head().getSeq[Int](0)
+      assert(nc == Seq(1, 0))
+    } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(spark0)
       org.apache.spark.sql.SparkSession.setActiveSession(spark0)
     }

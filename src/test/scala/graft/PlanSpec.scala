@@ -156,4 +156,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
     assert(p.contains("Partial"))
   }
+
+  test("sequence packing runs on one per-group window exchange") {
+    val p = plan(graft.Registry.byName("q108_seq_packing").build(spark, dir))
+    // one hash exchange for the per-lang window; the trailing range sort
+    // is only the deterministic output ordering
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("hard negatives: broadcast queries + partial window top-k, like q70") {
+    val p = plan(graft.Registry.byName("q110_hard_negatives").build(spark, dir))
+    assert(p.contains("scaledintcosine"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("funnel: three dependent stages + per-user collapse on ONE hash " +
+    "exchange, no joins") {
+    val p = plan(graft.Registry.byName("q111_funnel").build(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+  }
 }
