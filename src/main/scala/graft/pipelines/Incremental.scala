@@ -122,10 +122,10 @@ object Incremental {
           .collect().map(r => String.valueOf(r.get(0))).toSet
         val (touchedEntries, untouched) =
           m.entries.partition { case (value, _) => touched(value) }
-        val existing = touchedEntries.map { case (value, rel) =>
-          spark.read.parquet(Versioned.resolveRel(baseDir, name, rel))
-            .withColumn(partCol, lit(value).cast(m.partType))
-        }.reduceOption(_.unionByName(_))
+        val existing =
+          if (touchedEntries.isEmpty) None
+          else Some(Versioned.readPartitions(spark, baseDir, name, m,
+            touchedEntries))
         val merged = existing.map(e => upsert(e, incoming, keys))
           .getOrElse(incoming)
         Versioned.publishDelta(merged, baseDir, name, partCol, untouched, keep)

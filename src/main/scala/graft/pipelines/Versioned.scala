@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 
 /** Versioned parquet publishing — the Delta-lite upgrade of the sink
   * family (SURVEY §2.2): every publish writes a NEW immutable version
@@ -175,9 +175,25 @@ object Versioned {
     next
   }
 
-  /** Absolute path of a manifest-relative data directory. */
-  def resolveRel(baseDir: String, name: String, rel: String): String =
-    new Path(tableDir(baseDir, name), rel).toString
+  /** Read the manifest entries' data: entries are grouped by the version
+    * directory that physically holds them and each group is ONE
+    * `spark.read` with `basePath`, so Spark derives the partition column
+    * from the directory names — the plan has at most `keep` reads no
+    * matter how many partitions the table carries (a per-partition union
+    * would blow up driver-side planning at 10⁴ partitions). The
+    * partition column is cast to the manifest's declared type (directory
+    * inference alone would guess). */
+  private def readEntries(spark: SparkSession, t: Path, m: Manifest,
+      entries: Seq[(String, String)]): DataFrame = {
+    require(entries.nonEmpty, "no partitions to read")
+    entries.groupBy(_._2.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (vRel, group) =>
+        spark.read.option("basePath", new Path(t, vRel).toString)
+          .parquet(group.map { case (_, rel) => new Path(t, rel).toString }: _*)
+      }
+      .map(df => df.withColumn(m.partCol, col(m.partCol).cast(m.partType)))
+      .reduce(_.unionByName(_))
+  }
 
   /** Read the latest version (default) or time-travel to `version`.
     * Partitioned versions come back as data columns in written order with
@@ -191,13 +207,15 @@ object Versioned {
       s"version $v of $name is pruned or was never published")
     manifest(baseDir, name, v) match {
       case None => spark.read.parquet(vdir(t, v).toString)
-      case Some(m) =>
-        m.entries.map { case (value, rel) =>
-          spark.read.parquet(new Path(t, rel).toString)
-            .withColumn(m.partCol, lit(value).cast(m.partType))
-        }.reduce(_.unionByName(_))
+      case Some(m) => readEntries(spark, t, m, m.entries)
     }
   }
+
+  /** Read a subset of a manifest version's partitions (same grouped-read
+    * plan shape as [[read]]). */
+  def readPartitions(spark: SparkSession, baseDir: String, name: String,
+      m: Manifest, entries: Seq[(String, String)]): DataFrame =
+    readEntries(spark, tableDir(baseDir, name), m, entries)
 
   /** Version history as a DataFrame — the operational observability
     * surface (Delta's DESCRIBE HISTORY reduced to what the protocol
