@@ -477,9 +477,10 @@ object DedupOps {
     var converged = cur.isEmpty
     while (!converged && rounds < maxIters) {
       val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
-      // both sides are canonical distinct sets: equal size + empty
-      // one-direction difference ⇒ identical ⇒ fixpoint (stars)
-      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      // both sides are canonical distinct sets: equal size + next ⊆ cur
+      // (anti-join, cheaper than except) ⇒ identical ⇒ fixpoint (stars)
+      converged = next.count() == cur.count() &&
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
       cur = next
       rounds += 1
     }

@@ -56,4 +56,22 @@ object Compaction {
       .write(sized, name)
     CompactReport(before.size, parquetFiles(dir).size, total, nOut)
   }
+
+  /** Compact every partition of a Hive-layout dataset, one atomic
+    * publish per partition directory — the loop the flat-dataset guard
+    * tells users to run, packaged. Partitions compact independently
+    * (each is its own [[compact]] call), so a huge table can be
+    * maintained incrementally and a failure affects one partition.
+    * Returns (partition dir name → report), insertion-ordered. */
+  def compactPartitioned(spark: SparkSession, baseDir: String, name: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      shuffle: Boolean = false): Seq[(String, CompactReport)] = {
+    val root = new Path(s"$baseDir/$name")
+    val parts = Fs.list(root).filter(st =>
+      st.isDirectory && st.getPath.getName.contains("=")).map(_.getPath.getName)
+    require(parts.nonEmpty, s"$root has no partition directories")
+    parts.sorted.map { p =>
+      p -> compact(spark, root.toString, p, targetBytes, shuffle)
+    }
+  }
 }

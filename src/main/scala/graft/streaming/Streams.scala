@@ -112,6 +112,77 @@ object Streams {
 
   case class EvT(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
+  case class EvTyped(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class FunnelState(events: List[(Long, String)])
+  case class FunnelOut(user_id: Long, view_us: Option[Long],
+      click_us: Option[Long], purchase_us: Option[Long], stage: Int)
+
+  /** Pure strict-order funnel computation (shared by the stream and the
+    * batch twin's spec): first view, first click ≥ it, first purchase ≥
+    * that — None (no emission) for users who never viewed, matching the
+    * batch query's funnel-entry filter. */
+  def computeFunnel(uid: Long, evs: Seq[(Long, String)]): Option[FunnelOut] =
+    evs.collect { case (t, "view") => t }.minOption.map { v =>
+      val click = evs.collect { case (t, "click") if t >= v => t }.minOption
+      val purchase = click.flatMap(c =>
+        evs.collect { case (t, "purchase") if t >= c => t }.minOption)
+      FunnelOut(uid, Some(v), click, purchase, 1 + click.size + purchase.size)
+    }
+
+  /** Streaming conversion funnel: buffer each user's funnel-relevant
+    * events; when the watermark passes `quietUs` of event-time silence,
+    * compute the strict-order funnel over the COMPLETE buffered set and
+    * emit it exactly once (state removed). Buffering until the horizon
+    * closes is what makes the result order-insensitive — an on-the-fly
+    * state machine would lock in a later view/click and give a different
+    * answer under out-of-order arrival. A user who re-engages after a
+    * flush starts a fresh funnel (windowed-funnel semantics); size
+    * `quietUs` to the conversion horizon you mean. State per user is
+    * O(funnel-relevant events inside one horizon). */
+  def funnelStream(events: Dataset[EvTyped],
+      quietUs: Long = GapUs): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val funnelTypes = Set("view", "click", "purchase")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvTyped], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val evs = state.getOption.map(_.events).getOrElse(Nil)
+            state.remove()
+            computeFunnel(uid, evs).iterator
+          } else {
+            val incoming = it.filter(e => funnelTypes(e.event_type)).map { e =>
+              val inst = e.ts.toInstant
+              (inst.getEpochSecond * 1000000L + inst.getNano / 1000L,
+                e.event_type)
+            }.toList
+            val all = state.getOption.map(_.events).getOrElse(Nil) ++ incoming
+            if (all.isEmpty) Iterator.empty
+            else {
+              state.update(FunnelState(all))
+              // flush when the watermark passes the last event + horizon
+              state.setTimeoutTimestamp(
+                (all.map(_._1).max + quietUs) / 1000L + 1L)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** Raw catalog-schema stream → watermarked typed stream → funnel. */
+  def funnelStreamFromRaw(events: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      quietUs: Long = GapUs): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    funnelStream(
+      events.withWatermark("ts", watermarkDelay)
+        .select(col("user_id"), col("ts"), col("event_type")).as[EvTyped],
+      quietUs)
+  }
+
   /** Convenience wrapper: raw event stream (catalog schema) → watermarked
     * typed stream → [[sessionizeStream]]. */
   def sessionizeStreamFromRaw(events: DataFrame,

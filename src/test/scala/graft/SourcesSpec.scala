@@ -67,10 +67,18 @@ class SourcesSpec extends AnyFunSuite {
       spark.read.parquet(s"$base/docs2").count() == docs.count())
     // a Hive-partitioned dataset is refused, not silently flattened
     docs.withColumn("p", col("doc_id") % 2)
-      .write.partitionBy("p").parquet(s"$base/parted")
+      .repartition(8).write.partitionBy("p").parquet(s"$base/parted")
     assertThrows[IllegalArgumentException] {
       Compaction.compact(spark, base, "parted")
     }
+    // ...and the partition-wise loop compacts each dir, layout intact
+    val reports = Compaction.compactPartitioned(spark, base, "parted",
+      targetBytes = 1L << 30)
+    assert(reports.map(_._1) == Seq("p=0", "p=1"))
+    assert(reports.forall(_._2.outputFiles == 1))
+    val parted = spark.read.parquet(s"$base/parted")
+    assert(parted.count() == docs.count())
+    assert(parted.select("p").distinct().count() == 2) // layout preserved
   }
 
   test("versioned publish: time travel, retention pruning, rollback") {

@@ -92,6 +92,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(emitted.toSet == batch)
   }
 
+  test("streaming funnel: watermark-flushed state == batch funnel query") {
+    val staged = java.nio.file.Files.createTempDirectory("events-funnel-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    // long horizon: every user's full fixture history buffers as one funnel
+    val q = Streams.funnelStreamFromRaw(
+        Streams.eventStream(spark, staged.toString),
+        quietUs = 365L * 86400L * 1000000L)
+      .toDF().writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // sentinel far past every fixture ts + horizon forces the flush
+    val maxTsNs = spark.read.schema(graft.catalog.Catalog.events.schema)
+      .parquet(s"$dir/events.parquet").agg(max("ts")).as[Long].head()
+    val sentinelNs = maxTsNs + 366L * 86400L * 1000000000L
+    val tmpOut = java.nio.file.Files.createTempDirectory("funnel-sentinel")
+    Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = java.nio.file.Files.list(tmpOut)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("funnel").filter($"user_id" >= 0)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().toSet
+    val batch = EventQueries.funnel(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+      .map(r => (r._1, Some(r._2): Option[Long], r._3, r._4, r._5)).toSet
+    assert(emitted == batch)
+    assert(emitted.map(_._1).size == emitted.size) // exactly one per user
+  }
+
   test("streaming dedup-within-watermark suppresses re-ingested duplicates") {
     val staged = java.nio.file.Files.createTempDirectory("events-dedup-stream")
     // the same fixture file lands twice (re-ingestion): every event is a dup
