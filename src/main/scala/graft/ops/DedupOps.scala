@@ -587,6 +587,66 @@ object DedupOps {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** Incremental dedup admission — vet a NEW batch of documents against
+    * an already-deduplicated corpus, and within itself, WITHOUT ever
+    * forming a corpus×corpus pair: candidate pairs are (batch×corpus) ∪
+    * (batch×batch) only, keyed on df-capped hashed-shingle postings, so
+    * a daily batch costs O(batch-side postings), not a corpus re-pair.
+    * This is the production shape of dedup at 100 TB — the corpus was
+    * cleaned once; every refresh only admits newcomers.
+    *
+    * Verdicts per batch document (precedence order):
+    * `exact_dup` (same text as a corpus doc, or as a smaller-id batch
+    * doc), `near_dup` (Jaccard ≥ threshold against any corpus doc or any
+    * smaller-id batch doc — greedy by id, the same min-keeper convention
+    * as [[dedupClusters]]), else `admitted`. Verification always runs on
+    * FULL shingle sets ([[capHotKeys]] contract). */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, n: Int = 5,
+      threshold: Double = 0.5, maxDf: Long = DefaultMaxDf): DataFrame = {
+    // exact tier: 32-byte hashes, never the text
+    val cHash = corpus.select(sha2(col("text"), 256).as("h")).distinct()
+    val bHash = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .localCheckpoint(true) // three consumers below
+    val exactDup = bHash.join(cHash, "h").select(col("doc_id"))
+      .union(bHash
+        .join(bHash.groupBy(col("h")).agg(min(col("doc_id")).as("keep")), "h")
+        .filter(col("doc_id") =!= col("keep")).select(col("doc_id")))
+      .distinct()
+    // near tier: row-local shingle sets, df-capped union postings
+    val cmd = minhashDocs(corpus, n, k = 0).filter(size(col("shs")) > 0)
+      .localCheckpoint(true)
+    val bmd = minhashDocs(batch, n, k = 0).filter(size(col("shs")) > 0)
+      .localCheckpoint(true)
+    def postings(md: DataFrame, side: String) =
+      md.select(col("doc_id"), explode(col("shs")).as("sh_h"))
+        .withColumn("side", lit(side))
+    val posts = capHotKeys(
+      postings(cmd, "c").union(postings(bmd, "b")), Seq("sh_h"), maxDf)
+    val cand = posts.filter(col("side") === "b").as("x")
+      .join(posts.as("y"),
+        col("x.sh_h") === col("y.sh_h") &&
+          (col("y.side") === "c" || col("x.doc_id") > col("y.doc_id")))
+      .select(col("x.doc_id").as("doc_b"), col("y.doc_id").as("doc_a"))
+      .distinct()
+    val docsets = cmd.union(bmd).select(col("doc_id"), col("shs"),
+      size(col("shs")).cast("long").as("n_sh"))
+    val nearDup = cand
+      .join(docsets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(docsets.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("a.shs"), col("b.shs"))).cast("long"))
+      .filter(col("n_common").cast("double") /
+        (col("a.n_sh") + col("b.n_sh") - col("n_common")) >= threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(exactDup.withColumn("__e", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("__n", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__e").isNotNull, "exact_dup")
+          .when(col("__n").isNotNull, "near_dup")
+          .otherwise("admitted").as("status"))
+  }
+
   /** End-to-end corpus cleaning — the composed training-data pipeline:
     * keep a document iff (1) its quality score clears `qualityMin`
     * (TextOps.qualityScored: length/stopword/diversity mix), (2) it is

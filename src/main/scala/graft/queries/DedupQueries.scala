@@ -31,6 +31,73 @@ object DedupQueries {
     DedupOps.jaccardPairs(docs(spark, dir), n = 5, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Incremental admission: batch = every 5th doc_id, corpus = the rest
+    * (proportional at any scale factor). */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    DedupOps.incrementalDedup(
+        d.filter(col("doc_id") % 5 =!= 4), d.filter(col("doc_id") % 5 === 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+      |), batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+      |), exact AS (
+      |  SELECT b.doc_id FROM batch b JOIN corpus c ON b.text = c.text
+      |  UNION
+      |  SELECT b.doc_id FROM batch b
+      |  JOIN (SELECT text, MIN(doc_id) AS keep FROM batch GROUP BY 1) k
+      |    ON b.text = k.text AND b.doc_id <> k.keep
+      |), ctoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+      |), btoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM batch
+      |), csh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM ctoks, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5
+      |), bsh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM btoks, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5
+      |), allsh AS (
+      |  SELECT doc_id, shingle, 'c' AS side FROM csh
+      |  UNION ALL
+      |  SELECT doc_id, shingle, 'b' AS side FROM bsh
+      |), dfreq AS (
+      |  SELECT shingle, COUNT(*) AS c FROM allsh GROUP BY 1
+      |), capped AS (
+      |  SELECT a.doc_id, a.shingle, a.side FROM allsh a
+      |  JOIN dfreq USING (shingle) WHERE c <= 1000
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_b, y.doc_id AS doc_a
+      |  FROM capped x JOIN capped y
+      |    ON x.shingle = y.shingle AND x.side = 'b'
+      |    AND (y.side = 'c' OR x.doc_id > y.doc_id)
+      |), card AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM allsh GROUP BY 1
+      |), common AS (
+      |  SELECT c.doc_b, c.doc_a, COUNT(*) AS cnt
+      |  FROM cand c
+      |  JOIN allsh a ON a.doc_id = c.doc_a
+      |  JOIN allsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2
+      |), near AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM common
+      |  JOIN card x ON doc_a = x.doc_id
+      |  JOIN card y ON doc_b = y.doc_id
+      |  WHERE CAST(cnt AS DOUBLE) / (x.n_sh + y.n_sh - cnt) >= 0.5
+      |)
+      |SELECT b.doc_id,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'admitted' END AS status
+      |FROM batch b
+      |LEFT JOIN exact e ON b.doc_id = e.doc_id
+      |LEFT JOIN near n ON b.doc_id = n.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   private val jaccardSql =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -237,5 +304,8 @@ object DedupQueries {
     Q("q100_leakage_safe_split", splits, Some(splitsSql),
       "train/val/test split keyed on near-dup cluster rep (no split leakage)"),
     Q("q101_contamination", contamination, Some(contaminationSql),
-      "benchmark-contamination scan: rare-shingle overlap vs an eval set"))
+      "benchmark-contamination scan: rare-shingle overlap vs an eval set"),
+    Q("q113_incremental_dedup", incremental, Some(incrementalSql),
+      "incremental admission: batch vetted against a clean corpus with " +
+        "no corpus×corpus pairing (exact + near tiers)"))
 }

@@ -202,6 +202,30 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out.forall(_._5 == 5.0 * 22 / 25))
   }
 
+  test("incrementalDedup: planted exact/near/chain cases get the right " +
+    "verdicts; clean docs admitted") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val corpus = Seq(
+      (1L, base),                        // exact twin of batch 100
+      (2L, base.replace("w10", "zz")),   // near-dup of batch 101
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base),                          // exact dup vs corpus
+      (101L, base.replace("w9", "yy")),      // near-dup vs corpus doc 2? no — vs corpus 1
+      (102L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),  // clean: admitted
+      (103L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 xx"),   // near-dup of SMALLER batch 102
+      (104L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"))  // exact dup of batch 102
+      .toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(corpus, batch, n = 5, threshold = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(out(100L) == "exact_dup")
+    assert(out(101L) == "near_dup")   // shares 5-grams with corpus doc 1/2
+    assert(out(102L) == "admitted")   // the batch keeper
+    assert(out(103L) == "near_dup")   // greedy: loses to smaller batch id
+    assert(out(104L) == "exact_dup")  // batch-internal exact dup
+    assert(out.size == 5)
+  }
+
   test("packSequences: hand-computed bin boundaries, straddling doc " +
     "belongs to the bin its first token lands in") {
     // per-group token counts 4,3,5,2 with budget 6:
