@@ -230,6 +230,35 @@ object TextOps {
         (col("before") % budget).as("pack_offset"))
   }
 
+  /** Corpus-relative length cut: keep documents whose token count lies
+    * between the rank-selected loFrac and hiFrac percentiles of their
+    * OWN stratum (language here, shard in production) — the
+    * quality-filter cousin of a fixed length threshold, robust to
+    * strata with different natural lengths. Percentiles are exact rank
+    * picks (`ceil(frac·n)`-th order statistic, the
+    * [[StatsOps.rankPercentiles]] recipe) so the cut is
+    * engine-identical — quantile builtins interpolate engine-
+    * specifically. One window per stratum + a broadcast bounds join;
+    * no global sort. */
+  def lengthPercentileFilter(docs: DataFrame, loFrac: Double = 0.1,
+      hiFrac: Double = 0.9, by: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col(by),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val ranked = toks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(by)).orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(by))))
+    val bounds = ranked.groupBy(col(by)).agg(
+      max(when(expr(s"rn = cast(ceil(n * $loFrac) as bigint)"),
+        col("n_tokens"))).as("lo"),
+      max(when(expr(s"rn = cast(ceil(n * $hiFrac) as bigint)"),
+        col("n_tokens"))).as("hi"))
+    toks.join(broadcast(bounds), by)
+      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .select(col("doc_id"), col(by), col("n_tokens"), col("lo"), col("hi"))
+  }
+
   /** Collocation mining: top word pairs by LIFT — the rational form of
     * PMI, `P(xy) / (P(x)·P(y)) = c_xy · N / (c_x · c_y)` — over corpus
     * bigram and unigram counts (n-gram LM / tokenizer-merge data prep).

@@ -241,6 +241,34 @@ object TextQueries {
       |  before // 2048 AS pack_id, before % 2048 AS pack_offset
       |FROM c ORDER BY lang, doc_id""".stripMargin
 
+  def lengthCut(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lengthPercentileFilter(docs(spark, dir), 0.1, 0.9)
+      .orderBy(col("lang"), col("doc_id"))
+
+  private val lengthCutSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM t
+      |), b AS (
+      |  SELECT lang,
+      |    MAX(CASE WHEN rn = CAST(ceil(n * 0.1) AS BIGINT)
+      |      THEN n_tokens END) AS lo,
+      |    MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+      |      THEN n_tokens END) AS hi
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT doc_id, t.lang, n_tokens, lo, hi
+      |FROM t JOIN b ON t.lang = b.lang
+      |WHERE n_tokens >= lo AND n_tokens <= hi
+      |ORDER BY t.lang, doc_id""".stripMargin
+
   def stratified(spark: SparkSession, dir: String): DataFrame =
     graft.ops.StatsOps.stratifiedSample(
         docs(spark, dir), col("doc_id"), col("lang"), frac = 0.2)
@@ -330,6 +358,9 @@ object TextQueries {
     Q("q109_stratified_sample", stratified, Some(stratifiedSql),
       "deterministic stratified 20% sample per language " +
         "(multiplicative-hash rank, engine-independent)"),
+    Q("q114_length_cut", lengthCut, Some(lengthCutSql),
+      "corpus-relative p10-p90 token-length cut per language " +
+        "(exact rank-selected bounds)"),
     Q("q54_fingerprint", fingerprint, None,
       "xxhash64 document fingerprint (rows-only; spec-checked)"),
     Q("q55_winnowed_fingerprints",
