@@ -67,6 +67,51 @@ object StatsOps {
         ((col("med_lo") + col("med_hi")) / 2).as("median"), col("p90"))
   }
 
+  /** Misra–Gries heavy-hitters buffer: at most `k` tracked candidates. */
+  case class MgBuf(counts: Map[String, Long])
+
+  /** Misra–Gries mergeable heavy-hitters sketch as a typed Aggregator —
+    * the bounded-memory member of the sketch family next to HLL (q106)
+    * and the quantile sketch (q93): exact corpus term frequency needs a
+    * full (term → count) shuffle; this tracks at most k candidates per
+    * partition and merges by pairwise-sum + decrement, giving every
+    * item with true frequency > n/k a guaranteed slot and per-item
+    * count error ≤ n/k (the classic summary-merge bound from
+    * Agarwal et al., "Mergeable Summaries"). The surviving candidate SET
+    * can vary with partition layout (decrements depend on merge
+    * grouping) — the guarantee itself holds under ANY layout, which is
+    * what the spec asserts.
+    * Finish emits (item, lower-bound count) pairs; callers re-count the
+    * survivors exactly if they need true frequencies (one semi-join —
+    * the standard two-pass heavy-hitters recipe). */
+  class HeavyHittersAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, MgBuf, Map[String, Long]] {
+    def zero: MgBuf = MgBuf(Map.empty)
+
+    private def offer(m: Map[String, Long], item: String, w: Long): Map[String, Long] = {
+      if (m.contains(item)) m.updated(item, m(item) + w)
+      else if (m.size < k) m.updated(item, w)
+      else {
+        // decrement all by the smallest of (w, min count); drop zeros,
+        // and keep the remainder of the incoming item if any
+        val dec = math.min(w, m.values.min)
+        val kept = m.map { case (i, c) => i -> (c - dec) }.filter(_._2 > 0L)
+        if (w - dec > 0L) kept.updated(item, w - dec) else kept
+      }
+    }
+
+    def reduce(b: MgBuf, item: String): MgBuf = MgBuf(offer(b.counts, item, 1L))
+    def merge(x: MgBuf, y: MgBuf): MgBuf =
+      MgBuf(y.counts.toSeq.sortBy(_._1).foldLeft(x.counts) {
+        case (m, (item, w)) => offer(m, item, w)
+      })
+    def finish(r: MgBuf): Map[String, Long] = r.counts
+    def bufferEncoder: org.apache.spark.sql.Encoder[MgBuf] =
+      org.apache.spark.sql.Encoders.product[MgBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** Deterministic stratified sampling: within each stratum (`by`), rank
     * rows by a multiplicative-hash key of the id (exact BIGINT arithmetic
     * — the same expression runs on any engine, unlike rand(seed) whose

@@ -111,6 +111,28 @@ class AnalyticsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("Misra-Gries heavy hitters: guarantee and error bound hold under " +
+    "any partition layout") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val k = 50
+    // n=1000: "hot" (60) and "warm" (25) exceed n/k=20 → guaranteed slots
+    val words = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 915).map(i => s"w${i % 300}")
+    val trueCounts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 7, 13)) {
+      val sk = words.toDS().repartition(parts)
+        .select(new graft.ops.StatsOps.HeavyHittersAgg(k).toColumn).head()
+      assert(sk.size <= k)
+      assert(sk.contains("hot") && sk.contains("warm"))
+      // reported counts are lower bounds within n/k of the truth
+      sk.foreach { case (w, c) =>
+        assert(c <= trueCounts(w) && trueCounts(w) - c <= words.size / k,
+          s"$w: sketch=$c true=${trueCounts(w)}")
+      }
+    }
+  }
+
   test("momentStats matches hand-computed variance/covariance/correlation") {
     val df = Seq(
       ("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0), ("g", 4.0, 8.0))
