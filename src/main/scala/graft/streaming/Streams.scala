@@ -321,6 +321,45 @@ object Streams {
         }
       }
 
+  /** Streaming corpus ingestion with dedup admission — the composed
+    * 100 TB training-data front door: every micro-batch of documents is
+    * vetted against the CURRENT published corpus with
+    * [[graft.ops.DedupOps.incrementalDedup]] (batch×corpus ∪ batch×batch
+    * candidates only — the corpus is never re-paired), and only
+    * `admitted` documents are appended as a new [[graft.pipelines.Versioned]]
+    * version — so the corpus is clean at every version, and a bad batch
+    * rolls back by time travel. The first batch bootstraps against an
+    * empty corpus (self-dedup only). Batch semantics are exactly the
+    * batch op's (spec-asserted); restart idempotence follows the
+    * foreachBatch recipe — a replayed epoch re-admits the same already-
+    * present doc_ids, which the upsert's key-replace absorbs. */
+  def ingestDeduped(docs: DataFrame, baseDir: String, name: String,
+      n: Int = 5, threshold: Double = 0.5, keep: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val corpus = graft.pipelines.Versioned
+            .latestVersion(baseDir, name) match {
+            case Some(_) => graft.pipelines.Versioned.read(spark, baseDir, name)
+            case None => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema)
+          }
+          val verdicts = graft.ops.DedupOps.incrementalDedup(
+            corpus, batch.toDF(), n, threshold)
+          val admitted = batch.toDF().join(
+            verdicts.filter(col("status") === "admitted").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          if (!admitted.isEmpty) {
+            graft.pipelines.Incremental.publishUpsert(
+              spark, baseDir, name, admitted, Seq("doc_id"), keep)
+            ()
+          }
+        }
+      }
+
   /** Pure gap-split (shared by the stateful op and its spec oracle). */
   def splitSessions(uid: Long, sorted: Seq[(Long, Double)]): Seq[Session] = {
     if (sorted.isEmpty) return Nil

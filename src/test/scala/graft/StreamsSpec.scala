@@ -126,6 +126,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(emitted.map(_._1).size == emitted.size) // exactly one per user
   }
 
+  test("ingestDeduped: micro-batches build a corpus that is clean at " +
+    "every version") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ingest-dedup").toString
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.Streams.ingestDeduped(docs, base, "corpus").start()
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    in.addData((1L, a), (2L, b)); q.processAllAvailable()
+    assert(graft.pipelines.Versioned.read(spark, base, "corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // batch 2: exact dup of 1, near-dup of 2, one clean doc
+    in.addData((10L, a), (11L, b.replace("b8", "zz")), (12L, "c1 c2 c3 c4 c5 c6"))
+    q.processAllAvailable(); q.stop()
+    val v1 = graft.pipelines.Versioned.read(spark, base, "corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(v1 == Set(1L, 2L, 12L)) // dups rejected, clean doc admitted
+    // time travel still serves the pre-batch-2 corpus
+    assert(graft.pipelines.Versioned
+      .read(spark, base, "corpus", Some(0L))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("streaming dedup-within-watermark suppresses re-ingested duplicates") {
     val staged = java.nio.file.Files.createTempDirectory("events-dedup-stream")
     // the same fixture file lands twice (re-ingestion): every event is a dup
