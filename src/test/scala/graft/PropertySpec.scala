@@ -148,6 +148,69 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences invariants: offsets in [0,budget), first bin 0, " +
+    "bin*budget+offset reconstructs each doc's exact start token") {
+    val gen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(1, 15), Gen.oneOf("g1", "g2")))
+    for ((docs, budget) <- samples(Gen.zip(gen, Gen.chooseNum(4L, 12L)), 8)) {
+      val df = docs.zipWithIndex.map { case ((len, g), i) =>
+        (i.toLong, Seq.fill(len)("t").mkString(" "), g)
+      }.toDF("doc_id", "text", "lang")
+      val out = graft.ops.TextOps.packSequences(df, budget)
+        .as[(Long, String, Long, Long, Long)].collect()
+      assert(out.forall(r => r._5 >= 0 && r._5 < budget)) // offset in range
+      for ((_, rows) <- out.groupBy(_._2)) {
+        val sorted = rows.sortBy(_._1)
+        assert(sorted.head._4 == 0L) // first doc opens bin 0
+        // bin ids never decrease in doc order (a doc longer than the
+        // budget legitimately SKIPS bins — its overflow fills them)
+        assert(sorted.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+        // conservation: bin·budget + offset is each doc's exact start token
+        val starts = sorted.map(r => r._4 * budget + r._5).toSeq
+        assert(starts == sorted.map(_._3).scanLeft(0L)(_ + _).init.toSeq)
+      }
+    }
+  }
+
+  test("stratifiedSample: exact per-stratum quota for any fraction") {
+    val gen = Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(1, 40),
+      Gen.chooseNum(0.05, 0.95))
+    for ((na, nb, frac) <- samples(gen, 8)) {
+      val df = ((0 until na).map(i => (i.toLong, "a")) ++
+        (0 until nb).map(i => (1000L + i, "b"))).toDF("doc_id", "lang")
+      val got = graft.ops.StatsOps.stratifiedSample(
+          df, col("doc_id"), col("lang"), frac)
+        .groupBy(col("stratum")).count().as[(String, Long)].collect().toMap
+      assert(got("a") == math.ceil(na * frac).toLong)
+      assert(got("b") == math.ceil(nb * frac).toLong)
+    }
+  }
+
+  test("scd2Merge invariants: one open row per live key, history never " +
+    "shrinks, re-merge is a no-op") {
+    import graft.pipelines.Incremental.scd2Merge
+    val gen = Gen.listOfN(6, Gen.zip(Gen.chooseNum(1L, 4L), Gen.oneOf("x", "y", "z")))
+    for ((snap1, snap2) <- samples(Gen.zip(gen, gen), 8)) {
+      val s1 = snap1.distinctBy(_._1).toDF("k", "attr")
+      val s2 = snap2.distinctBy(_._1).toDF("k", "attr")
+      val h0 = s1.withColumn("valid_from", lit(100L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val h1 = scd2Merge(h0, s2, Seq("k"), batchTs = 200L)
+      val rows = h1.as[(Long, String, Long, Option[Long])].collect()
+      // exactly one open row per key
+      val open = rows.filter(_._4.isEmpty)
+      assert(open.map(_._1).distinct.length == open.length)
+      // history monotone: every h0 key still has rows
+      assert(s1.as[(Long, String)].collect().map(_._1).toSet
+        .subsetOf(rows.map(_._1).toSet))
+      // idempotence at a later ts
+      val h2 = scd2Merge(
+        rows.toSeq.toDF("k", "attr", "valid_from", "valid_to"),
+        s2, Seq("k"), batchTs = 300L)
+      assert(h2.as[(Long, String, Long, Option[Long])].collect().toSet ==
+        rows.toSet)
+    }
+  }
+
   test("corpusClean output is a subset of documents with no duplicate texts") {
     val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
     val kept = graft.ops.DedupOps.corpusClean(docs, 0.38).select("doc_id").as[Long].collect().toSet
