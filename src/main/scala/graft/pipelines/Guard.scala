@@ -28,6 +28,49 @@ object Guard {
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 
+  /** ANALYZE-style numeric column profile: one row per column with
+    * min/max/null count/exact distinct count — the stats table a
+    * warehouse keeps per dataset, computed in ONE partial+final
+    * aggregate pass over the data (every per-column aggregate rides the
+    * same job; the unpivot to rows is a zero-cost projection of the
+    * 1-row aggregate). Exact ndv by design: it is the expensive-but-
+    * hashable choice (approx_count_distinct is engine-specific); at
+    * 100 TB swap in the HLL rollup (q106) per column. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"),
+        count(when(col(c).isNull, 1)).as(s"nulls_$c"),
+        count_distinct(col(c)).as(s"ndv_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      one.select(lit(c).as("col_name"), col(s"min_$c").as("min_v"),
+        col(s"max_$c").as("max_v"), col(s"nulls_$c").as("n_nulls"),
+        col(s"ndv_$c").as("ndv"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** dbt-style integrity checks, each one aggregate returning a
+    * violation count (0 = pass): key uniqueness, referential integrity
+    * (child keys present in parent), and accepted-values domain. */
+  def uniqueViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).as("violations"))
+
+  def refIntegrityViolations(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey)).filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+
+  def acceptedValuesViolations(df: DataFrame, c: String,
+      accepted: Seq[String]): DataFrame =
+    df.filter(!col(c).isInCollection(accepted) || col(c).isNull)
+      .agg(count(lit(1)).as("violations"))
+
   /** Validate collected metrics; Left = human-readable violations. Call
     * only after an action has run on the instrumented frame. */
   def check(obs: Observation, minRows: Long, maxNullFrac: Double,

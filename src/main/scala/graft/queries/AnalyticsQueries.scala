@@ -549,7 +549,81 @@ object AnalyticsQueries {
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** ANALYZE-style numeric profile of lineitem (one aggregate pass). */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.Guard.profile(
+        Catalog.load(spark, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("col_name"))
+
+  private val profileSql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(MIN($c) AS DOUBLE) AS min_v,
+         |  CAST(MAX($c) AS DOUBLE) AS max_v,
+         |  COUNT(*) FILTER ($c IS NULL) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS ndv
+         |FROM lineitem""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** dbt-style integrity suite: every check is one aggregate returning a
+    * violation count; 0 everywhere = referentially sound star schema. */
+  def integrity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.Guard
+    val li = Catalog.load(spark, dir, "lineitem")
+    val o = Catalog.load(spark, dir, "orders")
+    val c = Catalog.load(spark, dir, "customer")
+    val s = Catalog.load(spark, dir, "supplier")
+    Seq(
+      "orders_pk_unique" -> Guard.uniqueViolations(o, Seq("o_orderkey")),
+      "lineitem_fk_orders" ->
+        Guard.refIntegrityViolations(li, "l_orderkey", o, "o_orderkey"),
+      "orders_fk_customer" ->
+        Guard.refIntegrityViolations(o, "o_custkey", c, "c_custkey"),
+      "lineitem_fk_supplier" ->
+        Guard.refIntegrityViolations(li, "l_suppkey", s, "s_suppkey"),
+      "orders_priority_domain" ->
+        Guard.acceptedValuesViolations(o, "o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+      .map { case (n, df) => df.select(lit(n).as("chk"), col("violations")) }
+      .reduce(_.unionByName(_))
+      .orderBy(col("chk"))
+  }
+
+  private val integritySql =
+    """SELECT 'orders_pk_unique' AS chk,
+      |  (SELECT COALESCE(SUM(n - 1), 0) FROM (
+      |     SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+      |     HAVING COUNT(*) > 1)) AS violations
+      |UNION ALL
+      |SELECT 'lineitem_fk_orders',
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |UNION ALL
+      |SELECT 'orders_fk_customer',
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+      |   AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |UNION ALL
+      |SELECT 'lineitem_fk_supplier',
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+      |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+      |UNION ALL
+      |SELECT 'orders_priority_domain',
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL
+      |   OR o_orderpriority NOT IN
+      |   ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'))
+      |ORDER BY chk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q115_profile", profile, Some(profileSql),
+      "ANALYZE-style numeric column profile (min/max/nulls/exact ndv, " +
+        "one aggregate pass)"),
+    Q("q116_integrity", integrity, Some(integritySql),
+      "dbt-style integrity suite: pk uniqueness, FK containment, " +
+        "accepted-values domain"),
     Q("q107_zorder_keys", zorderKeys, Some(zorderSql),
       "codegen Morton/z-order clustering key vs 64-term SQL bit interleave"),
     Q("q106_hll_rollup", hllRollup, None,
