@@ -221,6 +221,70 @@ object EventQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Event-type transition matrix: per-user consecutive event pairs
+    * (lag/lead over one user_id window) aggregated to (from, to) counts —
+    * the Markov/sankey view of user journeys next to the funnel. One
+    * window exchange + one aggregate. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val transitionsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events
+      |), t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS to_type
+      |  FROM e
+      |)
+      |SELECT from_type, to_type, COUNT(*) AS n
+      |FROM t WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** Latest-wins snapshot per key — the CDC-compaction staple: keep each
+    * user's most recent event (rank-1 window, partial WindowGroupLimit
+    * keeps the per-partition top-1 before the shuffle). */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val latestStateSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM e
+      |)
+      |SELECT user_id, event_id, event_type, value, ts_us
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   /** As-of join: each view event picks up the user's latest prior (or
     * simultaneous) purchase. Oracle: DuckDB's native ASOF LEFT JOIN. */
   def asofViewPurchase(spark: SparkSession, dir: String): DataFrame = {
@@ -444,6 +508,10 @@ object EventQueries {
         "min-aggregates, one shuffle key end-to-end)"),
     Q("q112_cohort_retention", cohortRetention, Some(cohortSql),
       "weekly cohort retention triangle (exact epoch-µs week arithmetic)"),
+    Q("q117_transitions", transitions, Some(transitionsSql),
+      "event-type transition matrix (per-user lead window → pair counts)"),
+    Q("q118_latest_state", latestState, Some(latestStateSql),
+      "latest-wins snapshot per user (CDC compaction, partial top-1)"),
     Q("q81_range_join", rangeJoinOrders, Some(rangeJoinSql),
       "banded point-in-interval join (bucket equi-join + residual filter)"),
     Q("q80_asof_join", asofViewPurchase, Some(asofSql),
