@@ -52,7 +52,7 @@ object DedupOps {
       // usingColumns joins move the key columns first; restore the
       // caller's column order so the cap is a pure filter
       postings.join(hot, keyCols, "left_anti")
-        .select(postings.columns.map(col): _*)
+        .select(postings.columns.toIndexedSeq.map(col): _*)
     }
   }
 

@@ -76,6 +76,33 @@ object VectorOps {
         col("neighbor_id"), col("neg_label"), col("cos_sim"))
   }
 
+  /** Seeded Gaussian Johnson–Lindenstrauss matrix (outDim × inDim),
+    * scaled 1/√outDim so expected inner products are preserved. */
+  def jlMatrix(outDim: Int, inDim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(outDim)(Array.fill(inDim)(
+      (rnd.nextGaussian() / math.sqrt(outDim)).toFloat))
+  }
+
+  /** Random projection (Johnson–Lindenstrauss): map embeddings to
+    * `outDim` dimensions through a seeded Gaussian matrix — the cheap
+    * scale lever for ANN over high-dimensional embeddings: pairwise
+    * angles are approximately preserved (distortion ~1/√outDim, bounded
+    * in the spec) while every downstream bucket/rerank touches
+    * outDim/inDim of the bytes. LIMIT, honestly: top-k rankings survive
+    * only when neighbor margins exceed that noise floor — on
+    * near-orthogonal corpora (like the synthetic fixture) 2× compression
+    * blurs fine rankings, so use it for coarse candidate generation with
+    * full-dimension rerank, not as the final scorer. Map-only: the
+    * matrix rides as a codegen reference object
+    * ([[graft.functions.MatVec]]), no shuffle, no row inflation;
+    * deterministic for a fixed seed on any cluster layout. */
+  def randomProject(emb: DataFrame, outDim: Int, inDim: Int = 64,
+      seed: Long = 42L): DataFrame =
+    emb.withColumn("embedding",
+      graft.functions.MatVec.matVec(col("embedding"),
+        jlMatrix(outDim, inDim, seed)))
+
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -29,7 +29,7 @@ object Incremental {
   def upsert(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String]): DataFrame =
     existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      .select(existing.columns.map(col): _*)
+      .select(existing.columns.toIndexedSeq.map(col): _*)
       .unionByName(incoming)
 
   /** Upsert `incoming` into the latest published version of
