@@ -51,7 +51,14 @@ object MatVec {
     var j = 0
     while (j < m.length) {
       val row = m(j)
-      val len = math.min(v.numElements(), row.length)
+      // fail loudly on shape mismatch (same contract as ZOrderKey's
+      // range check): truncating would return a plausible-but-wrong
+      // projection
+      if (v.numElements() != row.length)
+        throw new IllegalArgumentException(
+          s"mat_vec: vector length ${v.numElements()} != matrix row length " +
+            s"${row.length}")
+      val len = row.length
       var acc = 0.0
       var i = 0
       while (i < len) { acc += v.getFloat(i).toDouble * row(i).toDouble; i += 1 }

@@ -71,7 +71,13 @@ object NearestCentroids {
     var c = 0
     while (c < k) {
       val cv = centroids(c)
-      val len = math.min(v.numElements(), cv.length)
+      // fail loudly on shape mismatch (same contract as MatVec/ZOrderKey):
+      // a truncated dot product silently mis-ranks cells
+      if (v.numElements() != cv.length)
+        throw new IllegalArgumentException(
+          s"nearest_cells: vector length ${v.numElements()} != centroid " +
+            s"length ${cv.length}")
+      val len = cv.length
       var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
       while (i < len) {
         val xi = v.getFloat(i).toDouble

@@ -122,8 +122,15 @@ object StatsOps {
   def stratifiedSample(df: DataFrame, idCol: Column, by: Column,
       frac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // reduce the id into [0, p) BEFORE the multiply: id * 2654435761
+    // overflows BIGINT for |id| ≳ 3.5e9 (hash-derived ids), which under
+    // ANSI mode throws; pmod-first keeps the product ≤ (p-1)·2654435761
+    // ≈ 2.65e18 < Long.Max, and normalizes negative ids identically to
+    // the SQL oracle's ((id % p) + p) % p form
+    val p = 1000000007L
     val keyed = df.select(idCol.as("id"), by.as("stratum"))
-      .withColumn("__key", pmod(col("id") * lit(2654435761L), lit(1000000007L)))
+      .withColumn("__key",
+        pmod(pmod(col("id"), lit(p)) * lit(2654435761L), lit(p)))
     val w = Window.partitionBy(col("stratum"))
       .orderBy(col("__key"), col("id"))
     keyed

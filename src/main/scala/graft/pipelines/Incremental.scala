@@ -118,8 +118,22 @@ object Incremental {
       case Some(m) =>
         require(m.partCol == partCol,
           s"table $name is partitioned by ${m.partCol}, not $partCol")
-        val touched = incoming.select(col(partCol)).distinct()
-          .collect().map(r => String.valueOf(r.get(0))).toSet
+        // Match manifest entries to the batch on TYPED values: the
+        // manifest stores the Hive-dir rendering (e.g. timestamp
+        // '…00:00:00'), which differs from JVM toString ('…00:00:00.0')
+        // for some types — a string compare would silently miss the
+        // merge and drop existing rows. Casting both sides through the
+        // manifest's declared partType makes the comparison
+        // rendering-independent.
+        val incVals = incoming.select(col(partCol).cast(m.partType))
+          .na.drop().distinct().collect().map(_.get(0)).toSet
+        val touched = spark.createDataset(m.entries.map(_._1))(
+            org.apache.spark.sql.Encoders.STRING)
+          .select(col("value").cast(m.partType).as("__tv"), col("value"))
+          .collect()
+          .collect { case r if !r.isNullAt(0) && incVals(r.get(0)) =>
+            r.getString(1) }
+          .toSet
         val (touchedEntries, untouched) =
           m.entries.partition { case (value, _) => touched(value) }
         val existing =

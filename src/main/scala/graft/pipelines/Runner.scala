@@ -186,7 +186,11 @@ object Runner {
         case (name, Left(e)) =>
           Fs.writeString(new Path(s"$d/${name}_ERROR"),
             s"$runDate\n${e.getClass.getName}: ${e.getMessage}\n")
-        case _ => ()
+        case (name, Right(_)) =>
+          // a success must retract any stale failure marker from an
+          // earlier run, or downstream per-mart gates keep tripping on
+          // transform_SUCCESS + <mart>_ERROR coexisting
+          Fs.deleteRecursive(new Path(s"$d/${name}_ERROR"))
       }
       if (statuses.values.forall(_.isRight))
         Fs.writeString(new Path(s"$d/transform_SUCCESS"), runDate.toString)

@@ -595,26 +595,26 @@ object AnalyticsQueries {
 
   private val integritySql =
     """SELECT 'orders_pk_unique' AS chk,
-      |  (SELECT COALESCE(SUM(n - 1), 0) FROM (
+      |  CAST((SELECT COALESCE(SUM(n - 1), 0) FROM (
       |     SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
-      |     HAVING COUNT(*) > 1)) AS violations
+      |     HAVING COUNT(*) > 1)) AS BIGINT) AS violations
       |UNION ALL
       |SELECT 'lineitem_fk_orders',
-      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
-      |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |  CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
       |UNION ALL
       |SELECT 'orders_fk_customer',
-      |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
-      |   AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |  CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+      |   AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
       |UNION ALL
       |SELECT 'lineitem_fk_supplier',
-      |  (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL
-      |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+      |  CAST((SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+      |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS BIGINT)
       |UNION ALL
       |SELECT 'orders_priority_domain',
-      |  (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL
+      |  CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL
       |   OR o_orderpriority NOT IN
-      |   ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'))
+      |   ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')) AS BIGINT)
       |ORDER BY chk""".stripMargin
 
   val all: Seq[Q] = Seq(

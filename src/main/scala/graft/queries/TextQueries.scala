@@ -279,7 +279,8 @@ object TextQueries {
     """WITH s AS (
       |  SELECT doc_id, lang,
       |    CAST(row_number() OVER (PARTITION BY lang
-      |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT)
+      |      ORDER BY ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+      |                * 2654435761) % 1000000007, doc_id) AS BIGINT)
       |      AS rk,
       |    COUNT(*) OVER (PARTITION BY lang) AS n
       |  FROM documents

@@ -185,6 +185,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample: hash-derived huge and negative ids sample " +
+    "without ANSI overflow") {
+    // |id| ≳ 3.5e9 overflowed the old id*2654435761 key under ANSI mode
+    val df = Seq(Long.MaxValue, Long.MinValue + 1, -4000000000L, 4000000000L,
+        0L, 7L)
+      .map(id => (id, "a")).toDF("doc_id", "lang")
+    val got = graft.ops.StatsOps.stratifiedSample(
+        df, col("doc_id"), col("lang"), frac = 0.5)
+      .as[(Long, String, Long)].collect()
+    assert(got.length == 3) // ceil(6 * 0.5)
+  }
+
   test("scd2Merge invariants: one open row per live key, history never " +
     "shrinks, re-merge is a no-op") {
     import graft.pipelines.Incremental.scd2Merge

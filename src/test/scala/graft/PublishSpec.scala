@@ -104,6 +104,35 @@ class PublishSpec extends AnyFunSuite {
     assert(hist(1L)._5 < hist(0L)._5)
   }
 
+  test("partition-scoped upsert matches touched partitions on TYPED values " +
+    "(timestamp dir rendering differs from Timestamp.toString)") {
+    val base = tmp("upsert-ts")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two hourly partitions; Timestamp.toString renders '…:00:00.0' while
+    // the Hive dir value is '…:00:00' — a string compare would miss the
+    // match, skip the merge, and drop k=1/k=2 from the rewritten partition
+    val v0 = Seq((1L, "a", ts("2024-01-01 00:00:00")),
+        (2L, "b", ts("2024-01-01 00:00:00")),
+        (3L, "c", ts("2024-01-01 01:00:00")))
+      .toDF("k", "v", "h")
+    assert(Incremental.publishUpsertPartitioned(
+      spark, base, "t", v0, Seq("k"), "h") == 0L)
+    val delta = Seq((2L, "B", ts("2024-01-01 00:00:00")),
+        (9L, "new", ts("2024-01-01 00:00:00")))
+      .toDF("k", "v", "h")
+    assert(Incremental.publishUpsertPartitioned(
+      spark, base, "t", delta, Seq("k"), "h") == 1L)
+    val latest = Versioned.read(spark, base, "t")
+      .select(col("k"), col("v")).as[(Long, String)].collect().toSet
+    // k=1 must SURVIVE the partition rewrite; k=2 updated; k=9 inserted
+    assert(latest == Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "new")))
+    // and the untouched hour-01 partition is manifest-linked, not rewritten
+    val m1 = Versioned.manifest(base, "t", 1L).get
+    assert(m1.entries.collect {
+      case (v, rel) if v.startsWith("2024-01-01 01") => rel
+    }.forall(_.startsWith("_v0/")))
+  }
+
   test("pruning keeps version dirs still referenced by retained manifests") {
     val base = tmp("part-prune")
     val v0 = (0 until 90).map(i => (i.toLong, s"v$i", i % 3)).toDF("k", "v", "p")

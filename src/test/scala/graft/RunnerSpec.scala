@@ -61,6 +61,16 @@ class RunnerSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$out/attack_ERROR")))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$out/discipline_ERROR")))
+
+    // a later clean run must retract the stale defense_ERROR marker —
+    // otherwise transform_SUCCESS and defense_ERROR coexist and the
+    // downstream per-mart gates read a contradiction
+    val report2 = Runner.run(spark, dir,
+      Runner.PartitionedParquetSink(out, Nil), markerDir = Some(out))
+    assert(report2.statuses.values.forall(_.isRight))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/transform_SUCCESS")))
+    assert(!java.nio.file.Files.exists(errMarker))
   }
 
   test("mart timeout: finite timeout → Left(TimeoutException); default is unbounded") {

@@ -175,4 +175,23 @@ class VectorOpsSpec extends AnyFunSuite {
       .as[(Int, Long, Double)].collect()
     assert(a.sameElements(b))
   }
+
+  test("MatVec and nearestCells fail loudly on dimension mismatch " +
+    "(no silent truncation)") {
+    // embeddings are 64-dim; a 3-column matrix / 3-dim centroid must throw
+    def msgs(t: Throwable): Seq[String] = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(10).map(m => String.valueOf(m.getMessage)).toSeq
+    val badM = Array(Array(1f, 2f, 3f))
+    val e1 = intercept[Throwable] {
+      emb.select(graft.functions.MatVec.matVec(col("embedding"), badM))
+        .collect()
+    }
+    assert(msgs(e1).exists(_.contains("mat_vec")), msgs(e1).mkString(" | "))
+    val badModel = Seq((0, Array(1f, 0f, 0f)))
+    val e2 = intercept[Throwable] {
+      emb.select(graft.functions.NearestCentroids.nearestCells(
+        col("embedding"), badModel, 1)).collect()
+    }
+    assert(msgs(e2).exists(_.contains("nearest_cells")), msgs(e2).mkString(" | "))
+  }
 }
