@@ -53,4 +53,40 @@ object GraphOps {
     }
     pr.select(col("n"), (col("r").cast("double") / 1000000.0).as("r"))
   }
+
+  /** Per-node triangle counts via DEGREE-ORIENTED wedge enumeration —
+    * the shape that survives skewed graphs: orienting every edge toward
+    * its higher-(degree, id) endpoint bounds each node's out-degree by
+    * O(√m), so the wedge self-join fans out ≤ out-deg² per node instead
+    * of deg² (a celebrity node with 10⁷ neighbors would otherwise emit
+    * 10¹⁴ wedges). Wedges close against the undirected edge list by an
+    * equi-join on the (min,max) key — no inequality join anywhere. Each
+    * triangle is produced exactly once, so per-node counts equal the
+    * naive a<b<c enumeration (the oracle form).
+    *
+    * @param edges undirected edges as columns (a, b) with a < b;
+    *              deduplicated here */
+  def trianglesPerNode(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val tri = wedges.join(e,
+        least(col("y"), col("z")) === col("a") &&
+          greatest(col("y"), col("z")) === col("b"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -139,4 +139,74 @@ object StatsOps {
       .filter(col("rk") <= ceil(col("n") * frac))
       .select(col("id"), col("stratum"), col("rk"))
   }
+
+  /** Training-mix composer: apportion a document `budget` across strata
+    * proportionally to integer `weightCol` via LARGEST-REMAINDER
+    * (Hamilton) rounding — quotas sum exactly to the budget, which
+    * floor-only or rate-based sampling can't guarantee — then take each
+    * stratum's quota deterministically by the same multiplicative-hash
+    * ranking as [[stratifiedSample]]. Everything is BIGINT arithmetic,
+    * so the draw is engine-independent and reproducible on any cluster
+    * layout. Quota math runs on the per-stratum aggregate (one row per
+    * stratum — bounded by the same cardinality contract as Hive
+    * partitioning), and the window over it orders that tiny frame only;
+    * the per-document rank shuffles once on the stratum key.
+    *
+    * A stratum with fewer documents than its quota contributes all of
+    * them (the rank filter caps at availability; the draw then lands
+    * under budget — deliberate: silently stealing the shortfall from
+    * other strata would distort the declared mixture). */
+  def mixtureSample(df: DataFrame, idCol: Column, by: Column,
+      weightCol: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = 1000000007L
+    val keyed = df.select(idCol.as("id"), by.as("stratum"),
+      weightCol.cast("long").as("w"))
+    val strata = keyed.groupBy(col("stratum")).agg(first(col("w")).as("w"))
+    val all = Window.partitionBy(lit(1)) // the ≤O(strata) aggregate frame
+    val quotas = strata
+      .withColumn("tot", sum(col("w")).over(all))
+      .withColumn("base", expr(s"($budget * w) div tot"))
+      .withColumn("rem", expr(s"($budget * w) % tot"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("stratum")))
+        .cast("long"))
+      .select(col("stratum"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(pmod(pmod(col("id"), lit(p)) * lit(2654435761L), lit(p)),
+        col("id"))
+    keyed
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), "stratum")
+      .filter(col("rk") <= col("quota"))
+      .select(col("id"), col("stratum"), col("quota"), col("rk"))
+  }
+
+  /** 2-D Pareto skyline (maximize `sizeCol`, minimize `costCol`) in the
+    * aggregate-then-broadcast shape: the naive NOT EXISTS form (the
+    * oracle) is an O(n²) self-join, but in 2-D a row survives iff its
+    * cost is the minimum within its size AND strictly below the best
+    * cost of every strictly larger size. So: aggregate min cost per
+    * distinct size (tiny frame, bounded by the size domain), running
+    * min over it sorted by size descending, broadcast back — one
+    * aggregate + one broadcast join over the data, no self-join. Ties
+    * on both dimensions all survive (neither strictly dominates). */
+  def skyline2d(df: DataFrame, idCol: Column, sizeCol: Column,
+      costCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(idCol.as("id"), sizeCol.as("size"),
+      costCol.as("cost"))
+    val perSize = rows.groupBy(col("size")).agg(min(col("cost")).as("mn"))
+    // distinct sizes only → no peers; rowsBetween == rangeBetween here
+    val larger = Window.partitionBy(lit(1)).orderBy(col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thresh = perSize.withColumn("better", min(col("mn")).over(larger))
+    rows.join(broadcast(thresh), "size")
+      .filter(col("cost") === col("mn") &&
+        (col("better").isNull || col("cost") < col("better")))
+      .select(col("id"), col("size"), col("cost"))
+  }
 }

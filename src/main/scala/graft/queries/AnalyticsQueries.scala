@@ -617,7 +617,68 @@ object AnalyticsQueries {
       |   ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')) AS BIGINT)
       |ORDER BY chk""".stripMargin
 
+  /** Per-supplier triangle counts on the co-supply graph (suppliers
+    * sharing an order): degree-oriented wedge enumeration
+    * ([[graft.ops.GraphOps.trianglesPerNode]]) vs the oracle's naive
+    * a<b<c three-way self-join — same triangles, scale-safe fan-out. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val pe = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    // pairs per order are bounded by the suppliers-per-order cardinality
+    // (≤ order line count), so the self-join fans out O(k²) per order
+    val edges = pe.as("x").join(pe.as("y"),
+        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+    graft.ops.GraphOps.trianglesPerNode(edges)
+      .select(col("n").as("supp"), col("triangles"))
+      .orderBy(col("supp"))
+  }
+
+  private val trianglesSql =
+    """WITH pe AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+      |), e AS (
+      |  SELECT DISTINCT x.s AS a, y.s AS b
+      |  FROM pe x JOIN pe y ON x.o = y.o AND x.s < y.s
+      |), t AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |)
+      |SELECT supp, CAST(COUNT(*) AS BIGINT) AS triangles
+      |FROM (SELECT x AS supp FROM t
+      |      UNION ALL SELECT y FROM t
+      |      UNION ALL SELECT z FROM t)
+      |GROUP BY supp
+      |ORDER BY supp""".stripMargin
+
+  /** Pareto skyline over part (maximize size, minimize retail price):
+    * aggregate-then-broadcast ([[StatsOps.skyline2d]]) vs the oracle's
+    * O(n²) NOT EXISTS dominance scan. */
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.skyline2d(Catalog.load(spark, dir, "part"),
+        col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .select(col("id").as("p_partkey"), col("size").as("p_size"),
+        col("cost").as("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
+  private val skylineSql =
+    """SELECT p_partkey, p_size, p_retailprice
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+      |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+      |ORDER BY p_partkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q119_triangles", triangles, Some(trianglesSql),
+      "per-supplier triangle counts, degree-oriented wedge join vs naive " +
+        "3-way self-join oracle"),
+    Q("q122_skyline", skyline, Some(skylineSql),
+      "2-D Pareto skyline via per-size aggregate + broadcast threshold " +
+        "(no self-join)"),
     Q("q115_profile", profile, Some(profileSql),
       "ANALYZE-style numeric column profile (min/max/nulls/exact ndv, " +
         "one aggregate pass)"),

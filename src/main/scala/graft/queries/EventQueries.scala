@@ -492,7 +492,80 @@ object EventQueries {
       |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 600000000
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** First/last-touch attribution: each purchase credited to the user's
+    * earliest and latest PRECEDING non-purchase events. The preceding
+    * touch is found with plain min/max windows over a BIGINT encoding
+    * (row ordinal ×8 + touch-type index): SQL min/max skip NULLs on
+    * every engine, which sidesteps the engine-specific
+    * `last_value IGNORE NULLS` window syntax entirely. One shuffle on
+    * user_id; decode back to the type name on output. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val idx = expr("CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
+      "WHEN 'signup' THEN 2 WHEN 'view' THEN 3 END")
+    def decode(c: org.apache.spark.sql.Column) = {
+      val m = pmod(c, lit(8L)) // enc ≥ 0, so pmod == the oracle's %
+      when(m === 0, "click").when(m === 1, "error")
+        .when(m === 2, "signup").when(m === 3, "view")
+    }
+    val pre = w.rowsBetween(Window.unboundedPreceding, -1)
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("enc",
+        when(col("event_type") =!= "purchase", col("rn") * 8 + idx))
+      .withColumn("first_enc", min(col("enc")).over(pre))
+      .withColumn("last_enc", max(col("enc")).over(pre))
+      .withColumn("n_touches", count(col("enc")).over(pre))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        decode(col("first_enc")).as("first_touch"),
+        decode(col("last_enc")).as("last_touch"),
+        col("n_touches"))
+      .orderBy(col("event_id"))
+  }
+
+  private val attributionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 1000 AS ts_us FROM events
+      |), r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS rn
+      |  FROM e
+      |), enc AS (
+      |  SELECT *, CASE WHEN event_type <> 'purchase' THEN rn * 8 +
+      |    CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |         WHEN 'signup' THEN 2 WHEN 'view' THEN 3 END END AS enc
+      |  FROM r
+      |), att AS (
+      |  SELECT *,
+      |    MIN(enc) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_enc,
+      |    MAX(enc) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_enc,
+      |    CAST(COUNT(enc) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+      |      AS n_touches
+      |  FROM enc
+      |)
+      |SELECT event_id, user_id,
+      |  CASE first_enc % 8 WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+      |       WHEN 2 THEN 'signup' WHEN 3 THEN 'view' END AS first_touch,
+      |  CASE last_enc % 8 WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+      |       WHEN 2 THEN 'signup' WHEN 3 THEN 'view' END AS last_touch,
+      |  n_touches
+      |FROM att
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q121_attribution", attribution, Some(attributionSql),
+      "first/last-touch purchase attribution via null-skipping min/max " +
+        "windows over an ordinal encoding"),
     Q("q85_interval_join", intervalJoin, Some(intervalJoinSql),
       "event-time interval join (batch twin of the stream-stream join)"),
     Q("q90_asof_forward", asofForward, Some(asofForwardSql),

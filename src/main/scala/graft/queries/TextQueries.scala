@@ -330,7 +330,87 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Training-mix composer: apportion a 100-doc budget across sources
+    * proportionally to an integer weight (here derived from the source
+    * name: srcN → weight N+1) with largest-remainder rounding, then
+    * draw each source's quota by deterministic hash rank. */
+  def mixture(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.StatsOps.mixtureSample(
+        docs(spark, dir), col("doc_id"), col("source"),
+        expr("CAST(substring(source, 4, 10) AS BIGINT) + 1"), budget = 100L)
+      .select(col("id").as("doc_id"), col("stratum").as("source"),
+        col("quota"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+
+  private val mixtureSql =
+    """WITH s AS (
+      |  SELECT source, CAST(substr(source, 4) AS BIGINT) + 1 AS w
+      |  FROM documents GROUP BY 1
+      |), q1 AS (
+      |  SELECT source, w, SUM(w) OVER () AS tot FROM s
+      |), q2 AS (
+      |  SELECT source, (100 * w) // tot AS base, (100 * w) % tot AS rem
+      |  FROM q1
+      |), q3 AS (
+      |  SELECT source, base, 100 - SUM(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM q2
+      |), quotas AS (
+      |  SELECT source,
+      |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |      AS quota
+      |  FROM q3
+      |), ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+      |                * 2654435761) % 1000000007, doc_id) AS BIGINT) AS rk
+      |  FROM documents
+      |)
+      |SELECT doc_id, r.source, quota, rk
+      |FROM ranked r JOIN quotas USING (source)
+      |WHERE rk <= quota
+      |ORDER BY r.source, rk""".stripMargin
+
+  /** Bigram LM-proxy quality: per doc, how "corpus-typical" its bigrams
+    * are — total corpus hits of its bigrams plus its hapax count
+    * (bigrams occurring exactly once corpus-wide). The count join is the
+    * exact form; at 100 TB the bigram table df-caps like the dedup
+    * postings (hot bigrams carry no signal for hapax detection). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = TextOps.ngrams(docs(spark, dir), 2)
+    val cnt = bg.groupBy(col("ngram")).agg(count(lit(1)).as("c"))
+    bg.join(cnt, "ngram")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c")).as("corpus_hits"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      |  FROM toks, unnest(range(1, len(t))) AS u(i)
+      |  WHERE len(t) >= 2
+      |), c AS (
+      |  SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(c.c) AS BIGINT) AS corpus_hits,
+      |  CAST(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |FROM bg JOIN c USING (bigram)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q120_mixture", mixture, Some(mixtureSql),
+      "largest-remainder training-mix apportionment + deterministic " +
+        "hash draw per source"),
+    Q("q123_lm_score", lmScore, Some(lmScoreSql),
+      "bigram LM-proxy quality: corpus-hit mass and hapax count per doc"),
     Q("q50_token_stats", tokenStats, Some(tokenStatsSql),
       "per-doc token counts / lexical diversity"),
     Q("q51_term_freq", termFreq, Some(termFreqSql),

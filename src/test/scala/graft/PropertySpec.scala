@@ -197,6 +197,82 @@ class PropertySpec extends AnyFunSuite {
     assert(got.length == 3) // ceil(6 * 0.5)
   }
 
+  test("trianglesPerNode: degree-oriented counts == brute-force a<b<c " +
+    "enumeration on random graphs") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+    for (raw <- samples(edgeGen, 8)) {
+      val edges = raw.collect { case (x, y) if x != y =>
+        (math.min(x, y), math.max(x, y)) }.distinct
+      if (edges.nonEmpty) {
+        val eset = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val brute = (for {
+          a <- nodes; b <- nodes if a < b && eset((a, b))
+          c <- nodes if b < c && eset((b, c)) && eset((a, c))
+        } yield Seq(a, b, c)).flatten
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val got = graft.ops.GraphOps.trianglesPerNode(edges.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == brute, s"edges=$edges")
+      }
+    }
+  }
+
+  test("mixtureSample: quotas apportion the budget exactly and each " +
+    "stratum draws min(quota, available)") {
+    val gen = Gen.zip(Gen.chooseNum(1, 30), Gen.chooseNum(1, 30),
+      Gen.chooseNum(1, 30), Gen.chooseNum(5L, 40L))
+    for ((na, nb, nc, budget) <- samples(gen, 8)) {
+      val docs = ((0 until na).map(i => (i.toLong, "a", 1L)) ++
+        (0 until nb).map(i => (100L + i, "b", 2L)) ++
+        (0 until nc).map(i => (200L + i, "c", 3L)))
+        .toDF("doc_id", "src", "w")
+      val got = graft.ops.StatsOps.mixtureSample(
+          docs, col("doc_id"), col("src"), col("w"), budget)
+        .as[(Long, String, Long, Long)].collect()
+      // expected Hamilton apportionment, computed independently
+      val ws = Map("a" -> 1L, "b" -> 2L, "c" -> 3L)
+      val tot = ws.values.sum
+      val base = ws.view.mapValues(w => budget * w / tot).toMap
+      val leftover = (budget - base.values.sum).toInt
+      val bonus = ws.keys.toSeq
+        .sortBy(s => (-(budget * ws(s) % tot), s)).take(leftover).toSet
+      val expQuota = ws.keys.map(s =>
+        s -> (base(s) + (if (bonus(s)) 1L else 0L))).toMap
+      assert(expQuota.values.sum == budget)
+      val avail = Map("a" -> na.toLong, "b" -> nb.toLong, "c" -> nc.toLong)
+      // the op's reported quota matches, and each stratum draws
+      // min(quota, available)
+      got.groupBy(_._2).foreach { case (s, rows) =>
+        assert(rows.head._3 == expQuota(s), s"quota for $s")
+        assert(rows.length.toLong == math.min(expQuota(s), avail(s)),
+          s"draw for $s")
+      }
+      // a stratum absent from the draw must have quota 0 or no docs
+      (ws.keySet -- got.map(_._2).toSet).foreach { s =>
+        assert(expQuota(s) == 0L || avail(s) == 0L, s"missing stratum $s")
+      }
+    }
+  }
+
+  test("skyline2d == NOT EXISTS dominance brute force on random points") {
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(1, 8), Gen.chooseNum(1, 8)))
+    for (pts <- samples(gen, 8)) {
+      val rows = pts.zipWithIndex.map { case ((s, c), i) =>
+        (i.toLong, s, c.toDouble) }
+      val brute = rows.filter { p =>
+        !rows.exists(q => q._2 >= p._2 && q._3 <= p._3 &&
+          (q._2 > p._2 || q._3 < p._3))
+      }.map(_._1).toSet
+      val got = graft.ops.StatsOps.skyline2d(
+          rows.toDF("id", "sz", "cost"), col("id"), col("sz"), col("cost"))
+        .as[(Long, Int, Double)].collect().map(_._1).toSet
+      assert(got == brute)
+    }
+  }
+
   test("scd2Merge invariants: one open row per live key, history never " +
     "shrinks, re-merge is a no-op") {
     import graft.pipelines.Incremental.scd2Merge
