@@ -171,6 +171,78 @@ object Streams {
       }
   }
 
+  case class EvFull(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String)
+  case class AttribState(events: List[(Long, Long, String)])
+  case class AttribOut(user_id: Long, event_id: Long,
+      first_touch: Option[String], last_touch: Option[String],
+      n_touches: Long)
+
+  /** Pure attribution computation (shared by the stream and the batch
+    * twin's spec): each purchase credited to the earliest and latest
+    * PRECEDING non-purchase events in (ts, event_id) order — exactly
+    * the q121 window semantics. */
+  def computeAttribution(uid: Long,
+      evs: Seq[(Long, Long, String)]): Seq[AttribOut] = {
+    val sorted = evs.sortBy(e => (e._1, e._2))
+    sorted.zipWithIndex.collect { case ((_, id, "purchase"), i) =>
+      val prior = sorted.take(i).filter(_._3 != "purchase")
+      AttribOut(uid, id, prior.headOption.map(_._3),
+        prior.lastOption.map(_._3), prior.size.toLong)
+    }
+  }
+
+  /** Streaming first/last-touch attribution: buffer each user's events;
+    * when the watermark passes `quietUs` of event-time silence, compute
+    * attribution over the COMPLETE buffered history and emit one row per
+    * purchase (state removed). Same buffering rationale as
+    * [[funnelStream]]: an on-the-fly state machine would lock in touches
+    * in arrival order and diverge from the batch answer under
+    * out-of-order events. State per user is O(events in one horizon). */
+  def attributionStream(events: Dataset[EvFull],
+      quietUs: Long = GapUs): Dataset[AttribOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttribOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvFull], state: GroupState[AttribState]) =>
+          if (state.hasTimedOut) {
+            val evs = state.getOption.map(_.events).getOrElse(Nil)
+            state.remove()
+            computeAttribution(uid, evs).iterator
+          } else {
+            val incoming = it.map { e =>
+              val inst = e.ts.toInstant
+              (inst.getEpochSecond * 1000000L + inst.getNano / 1000L,
+                e.event_id, e.event_type)
+            }.toList
+            val all = state.getOption.map(_.events).getOrElse(Nil) ++ incoming
+            if (all.isEmpty) Iterator.empty
+            else {
+              state.update(AttribState(all))
+              state.setTimeoutTimestamp(
+                (all.map(_._1).max + quietUs) / 1000L + 1L)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** Raw catalog-schema stream → watermarked typed stream →
+    * [[attributionStream]]. */
+  def attributionStreamFromRaw(events: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      quietUs: Long = GapUs): Dataset[AttribOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    attributionStream(
+      events.withWatermark("ts", watermarkDelay)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")).as[EvFull],
+      quietUs)
+  }
+
   /** Raw catalog-schema stream → watermarked typed stream → funnel. */
   def funnelStreamFromRaw(events: DataFrame,
       watermarkDelay: String = "10 seconds",

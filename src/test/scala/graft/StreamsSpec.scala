@@ -126,6 +126,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(emitted.map(_._1).size == emitted.size) // exactly one per user
   }
 
+  test("streaming attribution: watermark-flushed state == batch q121 " +
+    "window query") {
+    val staged = java.nio.file.Files.createTempDirectory("events-attrib-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = Streams.attributionStreamFromRaw(
+        Streams.eventStream(spark, staged.toString),
+        quietUs = 365L * 86400L * 1000000L)
+      .toDF().writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val maxTsNs = spark.read.schema(graft.catalog.Catalog.events.schema)
+      .parquet(s"$dir/events.parquet").agg(max("ts")).as[Long].head()
+    val sentinelNs = maxTsNs + 366L * 86400L * 1000000000L
+    val tmpOut = java.nio.file.Files.createTempDirectory("attrib-sentinel")
+    Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = java.nio.file.Files.list(tmpOut)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("attrib").filter($"user_id" >= 0)
+      .as[(Long, Long, Option[String], Option[String], Long)]
+      .collect().map(r => (r._2, r._1, r._3, r._4, r._5)).toSet
+    val batch = EventQueries.attribution(spark, dir)
+      .as[(Long, Long, Option[String], Option[String], Long)].collect()
+      .toSet
+    assert(emitted == batch)
+    assert(emitted.nonEmpty)
+  }
+
   test("ingestDeduped: micro-batches build a corpus that is clean at " +
     "every version") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
