@@ -179,4 +179,25 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join") && !p.contains("CartesianProduct"))
   }
+
+  test("skyline: per-size threshold broadcasts back; no dominance self-join") {
+    val p = plan(graft.Registry.byName("q122_skyline").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // exactly one scan of part feeds the per-size aggregate, one the rows
+    assert("Scan parquet".r.findAllIn(p).size == 2, p)
+  }
+
+  test("mixture: quota frame broadcasts; per-doc rank is the only " +
+    "data-sized exchange") {
+    val p = plan(graft.Registry.byName("q120_mixture").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("attribution: all windows share one user_id exchange") {
+    val p = plan(graft.Registry.byName("q121_attribution").build(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"))
+  }
 }
