@@ -66,8 +66,14 @@ object GraphOps {
     *
     * @param edges undirected edges as columns (a, b) with a < b;
     *              deduplicated here */
-  def trianglesPerNode(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+  /** Degree orientation of an undirected (a, b) edge list: each edge
+    * points from its lower-(degree, id) endpoint to the higher one.
+    * Out-degree under this orientation is O(√m) for any graph — a node
+    * only keeps an out-edge to a neighbor of ≥ its own degree, and there
+    * can't be more than √(2m) nodes of degree ≥ √(2m). ScaleSpec
+    * asserts the bound on a hub graph. */
+  def orient(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     val withDeg = e
@@ -75,10 +81,14 @@ object GraphOps {
       .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = withDeg.select(
-        when(aFirst, col("a")).otherwise(col("b")).as("u"),
-        when(aFirst, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint(true)
+    withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"))
+  }
+
+  def trianglesPerNode(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val oriented = orient(e).localCheckpoint(true)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))

@@ -286,7 +286,52 @@ object DedupQueries {
   def simhashSigs(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhash(docs(spark, dir)).orderBy(col("doc_id"))
 
+  /** Cross-source overlap matrix: for every source pair, how many RARE
+    * shingles (present in ≤4 sources) they share — the "how much does
+    * corpus A duplicate corpus B" dashboard a training-mix owner reads
+    * before weighting sources. The rarity cap is also the scale bound:
+    * each shingle fans out to ≤ C(4,2) pairs in the self-join, so one
+    * boilerplate shingle shared by every source can't go quadratic. */
+  def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ss = DedupOps.shingles(d, 5)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+      .localCheckpoint(true) // feeds both the df count and the pair join
+    val rare = ss.join(
+      ss.groupBy(col("shingle")).agg(count(lit(1)).as("ns"))
+        .filter(col("ns") <= 4).select(col("shingle")), "shingle")
+    rare.as("x").join(rare.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val overlapMatrixSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT source, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5
+      |), freq AS (
+      |  SELECT shingle, COUNT(*) AS ns FROM sh GROUP BY 1
+      |), rare AS (
+      |  SELECT s.source, s.shingle FROM sh s
+      |  JOIN freq USING (shingle) WHERE ns <= 4
+      |)
+      |SELECT x.source AS src_a, y.source AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS shared_shingles
+      |FROM rare x JOIN rare y
+      |  ON x.shingle = y.shingle AND x.source < y.source
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q124_overlap_matrix", overlapMatrix, Some(overlapMatrixSql),
+      "cross-source rare-shingle overlap matrix (pair fan-out capped by " +
+        "the rarity filter)"),
     Q("q60_exact_dedup", exact, Some(exactSql),
       "exact dedup groups via sha256 hash-groupBy"),
     Q("q61_jaccard_pairs", jaccard, Some(jaccardSql),

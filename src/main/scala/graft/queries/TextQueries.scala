@@ -405,7 +405,45 @@ object TextQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Token-budget corpus selection: per source, admit documents
+    * longest-first until a 1000-token budget fills — the greedy knapsack
+    * every pretraining data pipeline runs per source/epoch. One running-
+    * sum window per source key; no global order, no driver round-trip. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 1000)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  private val tokenBudgetSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY n_tokens DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM d
+      |)
+      |SELECT doc_id, source, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= 1000
+      |ORDER BY source, cum_tokens""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q125_token_budget", tokenBudget, Some(tokenBudgetSql),
+      "per-source greedy token-budget selection (longest-first running " +
+        "sum, one window per source key)"),
     Q("q120_mixture", mixture, Some(mixtureSql),
       "largest-remainder training-mix apportionment + deterministic " +
         "hash draw per source"),

@@ -150,6 +150,31 @@ class ScaleSpec extends AnyFunSuite {
       s"clustered=$clustered random=$random — z-order should prune row groups")
   }
 
+  test("degree orientation bounds wedge fan-out: a 60-degree hub keeps " +
+    "out-degree 0") {
+    // star graph: hub 0 — leaves 1..60, plus a sparse leaf ring. Naive
+    // wedge enumeration at the hub is C(60,2) = 1770 pairs; oriented,
+    // every hub edge points INTO the hub (it has the max degree), so the
+    // hub contributes zero wedges and the max out-degree stays tiny.
+    val star = (1L to 60L).map(i => (0L, i)) ++
+      (1L until 60L by 7L).map(i => (i, i + 1))
+    val oriented = graft.ops.GraphOps.orient(star.toDF("a", "b"))
+    val outdeg = oriented.groupBy($"u").count().as[(Long, Long)].collect().toMap
+    assert(!outdeg.contains(0L)) // hub: out-degree 0
+    assert(outdeg.values.max <= 2, outdeg) // every leaf: ≤ ring + hub edge
+    // and the oriented triangle count still matches the naive enumeration
+    // on this graph (PropertySpec covers random graphs)
+    val eset = star.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = star.flatMap(e => Seq(e._1, e._2)).distinct
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b && eset((a, b))
+      c <- nodes if b < c && eset((b, c)) && eset((a, c))
+    } yield 1).size.toLong
+    val got = graft.ops.GraphOps.trianglesPerNode(star.toDF("a", "b"))
+      .agg(sum($"triangles")).as[Option[Long]].collect()(0).getOrElse(0L)
+    assert(got == brute * 3) // each triangle counted at its 3 nodes
+  }
+
   test("streaming dedup: dropDuplicates over the stream == batch distinct") {
     val staged = java.nio.file.Files.createTempDirectory("events-dedup")
     java.nio.file.Files.copy(
