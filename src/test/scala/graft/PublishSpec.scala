@@ -133,6 +133,26 @@ class PublishSpec extends AnyFunSuite {
     }.forall(_.startsWith("_v0/")))
   }
 
+  test("partition-scoped upsert round-trips string partition values that " +
+    "Hive-escape in dir names (space, colon, percent)") {
+    val base = tmp("upsert-esc")
+    // dir names become e.g. 'p=a b%3Ac' — the manifest stores the
+    // unescaped value and matching must survive the round trip
+    val weird = Seq("a b:c", "100%", "plain")
+    val v0 = weird.zipWithIndex.map { case (p, i) => (i.toLong, s"v$i", p) }
+      .toDF("k", "v", "p")
+    assert(Incremental.publishUpsertPartitioned(
+      spark, base, "t", v0, Seq("k"), "p") == 0L)
+    val delta = Seq((0L, "UPD", "a b:c"), (9L, "NEW", "a b:c"))
+      .toDF("k", "v", "p")
+    assert(Incremental.publishUpsertPartitioned(
+      spark, base, "t", delta, Seq("k"), "p") == 1L)
+    val latest = Versioned.read(spark, base, "t")
+      .as[(Long, String, String)].collect().toSet
+    assert(latest == Set((0L, "UPD", "a b:c"), (9L, "NEW", "a b:c"),
+      (1L, "v1", "100%"), (2L, "v2", "plain")))
+  }
+
   test("pruning keeps version dirs still referenced by retained manifests") {
     val base = tmp("part-prune")
     val v0 = (0 until 90).map(i => (i.toLong, s"v$i", i % 3)).toDF("k", "v", "p")
