@@ -132,6 +132,15 @@ object Catalog {
     t.post(spark.read.schema(t.schema).json(s"$jsonDir/${t.name}.json"))
   }
 
+  /** Declared-schema ORC scan — the second columnar format next to
+    * parquet, same predicate-pushdown/column-pruning machinery (ORC jars
+    * ship with Spark). Layout: `<orcDir>/<name>.orc/` as written by
+    * `df.write.orc(...)`. */
+  def loadOrc(spark: SparkSession, orcDir: String, name: String): DataFrame = {
+    val t = byName(name)
+    t.post(spark.read.schema(t.schema).orc(s"$orcDir/${t.name}.orc"))
+  }
+
   /** S1 analog: JDBC full-table scan (reference dag-extract.py:61-62,
     * `MySqlHook.get_pandas_df("SELECT * FROM {table}")` — one machine,
     * one cursor). Here the read is split into `numPartitions`

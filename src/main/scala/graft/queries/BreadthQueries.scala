@@ -413,7 +413,33 @@ object BreadthQueries {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Ordered string aggregation (LISTAGG, new in Spark 4): per-nation
+    * CSV of its suppliers — WITHIN GROUP (ORDER BY) makes the
+    * concatenation deterministic (an unordered listagg is
+    * partition-order-dependent and can never hash-match). */
+  def listaggSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val s = Catalog.load(spark, dir, "supplier")
+    val n = Catalog.load(spark, dir, "nation")
+    s.join(n, s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)")
+          .as("suppliers_csv"),
+        count(lit(1)).as("n_suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  private val listaggSql =
+    """SELECT n_name,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers_csv,
+      |  CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q126_listagg", listaggSuppliers, Some(listaggSql),
+      "deterministic LISTAGG WITHIN GROUP — per-nation supplier CSV"),
     Q("q33_math_pack", mathPack, Some(mathPackSql),
       "IEEE-exact math scalars (abs/ceil/floor/sqrt/round/mod)"),
     Q("q32_subqueries", subqueries, Some(subqueriesSql),

@@ -25,6 +25,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ORC round-trip with declared schema; pushdown + pruning reach " +
+    "the ORC scan") {
+    val out = java.nio.file.Files.createTempDirectory("orc-src").toString
+    val li = Catalog.load(spark, dir, "lineitem")
+    li.write.orc(s"$out/lineitem.orc")
+    val back = Catalog.loadOrc(spark, out, "lineitem")
+    assert(back.schema == li.schema)
+    assert(back.count() == li.count())
+    // same scan machinery as parquet: filters push, columns prune
+    val p = back.filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,40"), p)
+    assert(!p.contains("l_extendedprice"), p)
+    val a = li.agg(sum(col("l_quantity").cast("decimal(38,6)"))).collect()(0)
+    val b = back.agg(sum(col("l_quantity").cast("decimal(38,6)"))).collect()(0)
+    assert(a == b)
+  }
+
   test("binaryFile source: one row per file, bytes intact, parallel scan") {
     val d = java.nio.file.Files.createTempDirectory("binsrc")
     val payloads = Map("a.jpg" -> "fake-jpeg-bytes", "b.wav" -> "fake-wav",
