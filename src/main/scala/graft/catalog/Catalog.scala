@@ -173,6 +173,37 @@ object Catalog {
       .load()
   }
 
+  /** Incremental (watermark) JDBC pull: rows with `watermarkCol` STRICTLY
+    * greater than `lastSeen` — the delta-extract every recurring ingest
+    * runs instead of the reference's full-table pull per day
+    * (dag-extract.py:62 re-reads everything daily). The predicate is
+    * pushed into the source query, so the database scans its index range
+    * and ships only the delta; partitioned like [[loadJdbc]] but with
+    * MIN/MAX probed over the delta only. Pair with
+    * `Incremental.publishUpsert` for ingest-merge-publish; track the new
+    * high-water mark with `max(watermarkCol)` on the returned frame
+    * BEFORE merging (the merged table may carry older rows). */
+  def loadJdbcIncremental(spark: SparkSession, url: String, table: String,
+      watermarkCol: String, lastSeen: Long, partitionCol: String,
+      numPartitions: Int): DataFrame = {
+    val delta = s"""SELECT * FROM $table WHERE "$watermarkCol" > $lastSeen"""
+    val bounds = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query",
+        s"""SELECT MIN("$partitionCol") AS lo, MAX("$partitionCol") AS hi
+           |FROM ($delta) d""".stripMargin.replace('\n', ' '))
+      .load().collect()(0)
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", s"($delta) d")
+    if (bounds.isNullAt(0)) base.load()
+    else base
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", bounds.get(0).toString)
+      .option("upperBound", bounds.get(1).toString)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+  }
+
   /** Load every fixture table (used by pipelines / the runner). */
   def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     byName.map { case (n, t) => n -> t.load(spark, sfDir) }

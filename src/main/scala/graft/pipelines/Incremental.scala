@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 /** Keyed incremental refresh without a table format — the MERGE INTO
   * core as plain relational algebra: incoming rows replace existing
@@ -92,6 +92,27 @@ object Incremental {
       .unionByName(kept)
       .unionByName(closedNow)
       .unionByName(inserted)
+  }
+
+  /** Incremental aggregate maintenance (the materialized-view refresh
+    * core): merge a delta batch's partial SUM/COUNT aggregates into an
+    * existing aggregate table instead of recomputing over all history —
+    * refresh cost is O(delta + |groups touched|), not O(corpus). Only
+    * self-mergeable aggregates qualify (sum, count; avg as sum/count at
+    * read time); min/max merge too but can't handle deletions. `existing`
+    * and `delta` must both carry (`keys`, `sumCols`, `cnt`); result
+    * groups are the union with element-wise sums. Compose with
+    * [[Versioned]] to publish each refresh as an immutable version. */
+  def mergeAggregates(existing: DataFrame, deltaAgg: DataFrame,
+      keys: Seq[String], sumCols: Seq[String], cntCol: String): DataFrame = {
+    val valueCols = sumCols :+ cntCol
+    require((keys ++ valueCols).forall(existing.columns.contains),
+      s"existing must carry ${keys ++ valueCols}")
+    existing.unionByName(deltaAgg.select((keys ++ valueCols).map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .select((keys ++ valueCols).map(col): _*)
   }
 
   /** Partition-scoped upsert: merge `incoming` only against the

@@ -34,6 +34,31 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("incremental watermark pull ships only the delta; predicate " +
+    "pushed to the database") {
+    val rows = (1L to 20L).map(i => (i, s"row$i", i * 10)) // wm = i*10
+    Runner.JdbcSink(url, new java.util.Properties)
+      .write(rows.toDF("id", "v", "wm"), "inc_src")
+    // first pull: everything after wm=0
+    val first = Catalog.loadJdbcIncremental(spark, url, "inc_src",
+      watermarkCol = "wm", lastSeen = 0L, partitionCol = "id",
+      numPartitions = 4)
+    assert(first.count() == 20)
+    assert(first.rdd.getNumPartitions == 4) // delta read is range-split
+    val hwm = first.agg(max(col("wm"))).collect()(0).getLong(0)
+    assert(hwm == 200L)
+    // second pull from the high-water mark: empty (STRICTLY greater)
+    assert(Catalog.loadJdbcIncremental(spark, url, "inc_src",
+      "wm", hwm, "id", 4).count() == 0)
+    // new rows arrive; only they ship
+    Seq((21L, "row21", 210L), (22L, "row22", 220L)).toDF("id", "v", "wm")
+      .write.mode("append").jdbc(url, "inc_src", new java.util.Properties)
+    val delta = Catalog.loadJdbcIncremental(spark, url, "inc_src",
+      "wm", hwm, "id", 4)
+    assert(delta.select(col("id").cast("long")).as[Long].collect().toSet ==
+      Set(21L, 22L))
+  }
+
   test("full-replace semantics: second write replaces, never appends") {
     val r1 = Catalog.load(spark, dir, "region")
     Runner.JdbcSink(url, new java.util.Properties).write(r1, "region")

@@ -299,6 +299,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mergeAggregates: incremental refresh over any batch split == " +
+    "one-shot aggregate") {
+    import graft.pipelines.Incremental.mergeAggregates
+    val gen = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c", "d"),
+      Gen.chooseNum(-50L, 50L)))
+    def aggOf(rows: Seq[(String, Long)]) =
+      rows.toDF("k", "x").groupBy($"k")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("cnt"))
+    for ((rows, cut) <- samples(Gen.zip(gen, Gen.chooseNum(0, 30)), 8)) {
+      val (b1, b2) = rows.splitAt(cut)
+      val full = aggOf(rows).as[(String, Long, Long)].collect().toSet
+      val incr = mergeAggregates(aggOf(b1), aggOf(b2),
+          Seq("k"), Seq("sx"), "cnt")
+        .as[(String, Long, Long)].collect().toSet
+      // empty batches union cleanly; groups only in one batch pass through
+      assert(incr == full, s"cut=$cut")
+    }
+  }
+
   test("corpusClean output is a subset of documents with no duplicate texts") {
     val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.001", "documents")
     val kept = graft.ops.DedupOps.corpusClean(docs, 0.38).select("doc_id").as[Long].collect().toSet
