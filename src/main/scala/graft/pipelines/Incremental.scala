@@ -94,6 +94,39 @@ object Incremental {
       .unionByName(inserted)
   }
 
+  /** Schema-evolving upsert: like [[upsert]], but `incoming` may carry
+    * NEW columns (backfilled as NULL for existing rows) and may omit
+    * existing non-key columns (NULL for incoming rows). Output column
+    * order: existing's columns, then genuinely new ones — so downstream
+    * position-based readers see a stable prefix. Key columns must be
+    * present on both sides. The relational form of ADD COLUMN without a
+    * table rewrite: compose with [[Versioned]] and only this version's
+    * files carry the new column. */
+  def upsertEvolve(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.forall(incoming.columns.contains),
+      s"incoming must carry key columns $keys")
+    val newCols = incoming.columns.filterNot(existing.columns.contains).toSeq
+    existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .select(existing.columns.toIndexedSeq.map(col): _*)
+      .unionByName(incoming, allowMissingColumns = true)
+      .select((existing.columns.toIndexedSeq ++ newCols).map(col): _*)
+  }
+
+  /** Row-level delete on a versioned table (the GDPR/right-to-erasure
+    * primitive): anti-join the latest version against the delete-key set
+    * and publish the survivors as the next immutable version. Time travel
+    * still reaches pre-delete versions until retention prunes them — set
+    * `keep = 1` for erasure semantics where old versions must go away
+    * with the next publishes. The delete set is typically tiny →
+    * broadcast anti-join, one pass over the table. */
+  def publishDelete(spark: SparkSession, baseDir: String, name: String,
+      deleteKeys: DataFrame, keys: Seq[String], keep: Int = 3): Long = {
+    val survivors = Versioned.read(spark, baseDir, name)
+      .join(deleteKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    Versioned.publish(survivors, baseDir, name, keep)
+  }
+
   /** Incremental aggregate maintenance (the materialized-view refresh
     * core): merge a delta batch's partial SUM/COUNT aggregates into an
     * existing aggregate table instead of recomputing over all history —

@@ -173,6 +173,38 @@ class PublishSpec extends AnyFunSuite {
     assert(Versioned.read(spark, base, "t").count() == 90)
   }
 
+  test("upsertEvolve: incoming adds a column (NULL backfill) and may " +
+    "omit non-key columns") {
+    import graft.pipelines.Incremental.upsertEvolve
+    val existing = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x")
+    // incoming: updates k=2, inserts k=3; adds column w; omits x
+    val incoming = Seq((2L, "B", "w2"), (3L, "c", "w3")).toDF("k", "v", "w")
+    val out = upsertEvolve(existing, incoming, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "v", "x", "w")) // stable prefix
+    val got = out.as[(Long, String, Option[Int], Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "a", Some(10), None),      // untouched, new col NULL
+      (2L, "B", None, Some("w2")),    // replaced; omitted col NULL
+      (3L, "c", None, Some("w3"))))   // inserted
+  }
+
+  test("publishDelete: erased keys gone in the new version; time travel " +
+    "reaches the pre-delete state until pruned") {
+    import graft.pipelines.Incremental
+    val base = tmp("gdpr-del")
+    val v0 = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    assert(Versioned.publish(v0, base, "t") == 0L)
+    val deletes = Seq(3L, 7L, 99L).toDF("k") // 99 absent: no-op
+    assert(Incremental.publishDelete(spark, base, "t", deletes,
+      Seq("k")) == 1L)
+    val now = Versioned.read(spark, base, "t")
+      .select("k").as[Long].collect().toSet
+    assert(now == (1L to 10L).toSet -- Set(3L, 7L))
+    // pre-delete version still serves until retention prunes it
+    assert(Versioned.read(spark, base, "t", Some(0L)).count() == 10)
+  }
+
   test("scd2Merge: changed rows close+reopen, unchanged/new/absent keys " +
     "handled, closed history untouched") {
     import graft.pipelines.Incremental.scd2Merge
