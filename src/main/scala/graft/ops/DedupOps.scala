@@ -587,6 +587,35 @@ object DedupOps {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** [[contamination]] with a broadcast Bloom prefilter on the corpus
+    * side — the shape that wins once the corpus is 100 TB and the eval
+    * set is megabytes: corpus postings are probed against a bloom of the
+    * eval set's shingle hashes BEFORE the shuffle join, so only the
+    * ~fpp·|corpus postings| + true matches ever shuffle, instead of
+    * every corpus posting. Result is EXACTLY [[contamination]]'s (same
+    * oracle): the bloom only drops rows the equi-join would drop anyway;
+    * false positives survive to the join and die there. The cap still
+    * computes on the FULL postings df (same rarity semantics). The eval
+    * side is counted once to size the filter — an action on the small
+    * side only; the probe is a scala UDF by necessity (the sketch rides
+    * as a broadcast object), acceptable because it guards a shuffle that
+    * would otherwise move the whole corpus. */
+  def contaminationBloom(corpus: DataFrame, evalDocs: DataFrame, n: Int = 5,
+      minCommon: Long = 3, maxDf: Long = DefaultMaxDf,
+      fpp: Double = 0.01): DataFrame = {
+    val sh = hashedShingles(corpus, n).localCheckpoint(true)
+    val rare = capHotKeys(sh, Seq("sh_h"), maxDf)
+    val es = hashedShingles(evalDocs, n).localCheckpoint(true)
+    val bloom = es.stat.bloomFilter("sh_h", math.max(es.count(), 1L), fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val probe = udf((h: Long) => bc.value.mightContainLong(h))
+    rare.filter(probe(col("sh_h")))
+      .as("c").join(es.as("e"), col("c.sh_h") === col("e.sh_h"))
+      .groupBy(col("c.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+
   /** Incremental dedup admission — vet a NEW batch of documents against
     * an already-deduplicated corpus, and within itself, WITHOUT ever
     * forming a corpus×corpus pair: candidate pairs are (batch×corpus) ∪

@@ -349,6 +349,18 @@ object DedupQueries {
       "per-source duplicate-rate observability rollup"),
     Q("q100_leakage_safe_split", splits, Some(splitsSql),
       "train/val/test split keyed on near-dup cluster rep (no split leakage)"),
+    Q("q127_contamination_bloom",
+      (s, d) => {
+        val dd = docs(s, d)
+        DedupOps.contaminationBloom(
+            dd.filter(col("source") =!= "src0"),
+            dd.filter(col("source") === "src0"))
+          .orderBy(col("doc_id"), col("eval_id"))
+      },
+      Some(contaminationSql),
+      "q101's contamination scan behind a broadcast Bloom prefilter — " +
+        "identical result (same oracle), corpus postings never shuffle " +
+        "unless they might match"),
     Q("q101_contamination", contamination, Some(contaminationSql),
       "benchmark-contamination scan: rare-shingle overlap vs an eval set"),
     Q("q113_incremental_dedup", incremental, Some(incrementalSql),

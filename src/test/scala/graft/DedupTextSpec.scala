@@ -171,6 +171,25 @@ class DedupTextSpec extends AnyFunSuite {
     assert(hits.head._3 == 16L) // all 16 5-grams of the 20-token benchmark
   }
 
+  test("contaminationBloom == contamination even at fpp=0.5 (false " +
+    "positives die in the join, never in the result)") {
+    val leak = (1 to 20).map(i => s"bench$i").mkString(" ")
+    val corpus = ((1 to 30).map(i =>
+      (i.toLong, (1 to 30).map(j => s"c${i}_$j").mkString(" "))) :+
+      (31L -> s"$leak plus some trailing context here"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, leak),
+      (101L, (1 to 25).map(i => s"e$i").mkString(" "))).toDF("doc_id", "text")
+    val exact = DedupOps.contamination(corpus, evalSet, minCommon = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // a deliberately terrible filter: half of everything "might match"
+    val bloomed = DedupOps.contaminationBloom(corpus, evalSet,
+        minCommon = 3, fpp = 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloomed == exact)
+    assert(exact.map(h => (h._1, h._2)) == Set((31L, 100L)))
+  }
+
   test("chunked: window boundaries, overlap, short tails, exact multiples") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, size 4 stride 3
