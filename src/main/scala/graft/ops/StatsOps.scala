@@ -162,7 +162,10 @@ object StatsOps {
     val p = 1000000007L
     val keyed = df.select(idCol.as("id"), by.as("stratum"),
       weightCol.cast("long").as("w"))
-    val strata = keyed.groupBy(col("stratum")).agg(first(col("w")).as("w"))
+    // min (not first): weights are functionally dependent on the stratum
+    // by contract, but min keeps the aggregate deterministic even if a
+    // caller violates that
+    val strata = keyed.groupBy(col("stratum")).agg(min(col("w")).as("w"))
     val all = Window.partitionBy(lit(1)) // the ≤O(strata) aggregate frame
     val quotas = strata
       .withColumn("tot", sum(col("w")).over(all))

@@ -437,7 +437,64 @@ object BreadthQueries {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Multiset set operations — EXCEPT ALL / INTERSECT ALL keep
+    * duplicates by occurrence count (bag semantics), unlike the q23-q26
+    * set forms: the dedup-aware diff/overlap between two ingest batches. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_linenumber"))
+    val a = li.filter(col("l_linenumber") <= 4)
+    val b = li.filter(col("l_linenumber") >= 3)
+    a.exceptAll(b).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_except"))
+      .join(
+        a.intersectAll(b).groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_intersect")),
+        Seq("l_suppkey"), "full_outer")
+      .select(col("l_suppkey"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val setOpsAllSql =
+    """WITH a AS (
+      |  SELECT l_suppkey, l_linenumber FROM lineitem WHERE l_linenumber <= 4
+      |), b AS (
+      |  SELECT l_suppkey, l_linenumber FROM lineitem WHERE l_linenumber >= 3
+      |), ex AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_except
+      |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1
+      |), ix AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_intersect
+      |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1
+      |)
+      |SELECT COALESCE(ex.l_suppkey, ix.l_suppkey) AS l_suppkey,
+      |  COALESCE(n_except, 0) AS n_except,
+      |  COALESCE(n_intersect, 0) AS n_intersect
+      |FROM ex FULL OUTER JOIN ix ON ex.l_suppkey = ix.l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Exact MEDIAN per group (Spark 4 `median` == percentile_cont 0.5;
+    * the midpoint average of two doubles is the same IEEE operation on
+    * both engines). */
+  def medianQuantity(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(median(col("l_quantity")).as("med_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val medianSql =
+    """SELECT l_returnflag, median(l_quantity) AS med_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q128_set_ops_all", setOpsAll, Some(setOpsAllSql),
+      "EXCEPT ALL / INTERSECT ALL multiset semantics per key"),
+    Q("q129_median", medianQuantity, Some(medianSql),
+      "exact per-group median (midpoint-interpolated, IEEE-identical)"),
     Q("q126_listagg", listaggSuppliers, Some(listaggSql),
       "deterministic LISTAGG WITHIN GROUP — per-nation supplier CSV"),
     Q("q33_math_pack", mathPack, Some(mathPackSql),
