@@ -71,6 +71,43 @@ object Guard {
     df.filter(!col(c).isInCollection(accepted) || col(c).isNull)
       .agg(count(lit(1)).as("violations"))
 
+  /** Schema contract check — the fail-loud answer to the reference's
+    * inferSchema-everywhere posture (SURVEY §1.2: a silent upstream
+    * rename breaks select lists at runtime). Returns every drift as a
+    * human-readable line: missing columns, unexpected extras, and type
+    * changes. Column ORDER is deliberately not a violation (readers
+    * select by name); nullability is compared only when
+    * `checkNullability` (Spark often widens it on write). */
+  def schemaDrift(df: org.apache.spark.sql.DataFrame,
+      expected: org.apache.spark.sql.types.StructType,
+      checkNullability: Boolean = false): Seq[String] = {
+    val got = df.schema.map(f => f.name -> f).toMap
+    val exp = expected.map(f => f.name -> f).toMap
+    val missing = expected.map(_.name).filterNot(got.contains)
+      .map(n => s"missing column: $n")
+    val extra = df.schema.map(_.name).filterNot(exp.contains)
+      .map(n => s"unexpected column: $n")
+    val changed = expected.flatMap { f =>
+      got.get(f.name).toSeq.flatMap { g =>
+        val t = if (g.dataType != f.dataType)
+          Seq(s"column ${f.name}: type ${g.dataType.simpleString} != " +
+            s"expected ${f.dataType.simpleString}") else Nil
+        val nl = if (checkNullability && g.nullable != f.nullable)
+          Seq(s"column ${f.name}: nullable ${g.nullable} != " +
+            s"expected ${f.nullable}") else Nil
+        t ++ nl
+      }
+    }
+    missing ++ extra ++ changed
+  }
+
+  /** [[schemaDrift]] as a gate: throws with every violation listed. */
+  def requireSchema(df: org.apache.spark.sql.DataFrame,
+      expected: org.apache.spark.sql.types.StructType): Unit = {
+    val drift = schemaDrift(df, expected)
+    require(drift.isEmpty, s"schema drift:\n  ${drift.mkString("\n  ")}")
+  }
+
   /** Validate collected metrics; Left = human-readable violations. Call
     * only after an action has run on the instrumented frame. */
   def check(obs: Observation, minRows: Long, maxNullFrac: Double,

@@ -490,7 +490,30 @@ object BreadthQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Two-phase salted aggregation (q59's twin for groupBy): result is
+    * identical to the plain aggregate — the oracle IS the plain GROUP BY.
+    * sum(l_quantity) stays exact because the values are integral doubles
+    * far below 2^53 (order-independent). */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewOps.saltedAgg(
+        Catalog.load(spark, dir, "lineitem"), "l_suppkey", factor = 8,
+        saltFrom = Seq("l_orderkey", "l_linenumber"),
+        aggs = Seq(
+          "n_rows" -> (count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+          "sum_qty" -> (sum(col("l_quantity")),
+            (c: org.apache.spark.sql.Column) => sum(c)),
+          "max_price" -> (max(col("l_extendedprice")),
+            (c: org.apache.spark.sql.Column) => max(c))))
+      .orderBy(col("l_suppkey"))
+
+  private val saltedAggSql =
+    """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  SUM(l_quantity) AS sum_qty, MAX(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q130_salted_agg", saltedAgg, Some(saltedAggSql),
+      "two-phase salted aggregation for hot group keys == plain GROUP BY"),
     Q("q128_set_ops_all", setOpsAll, Some(setOpsAllSql),
       "EXCEPT ALL / INTERSECT ALL multiset semantics per key"),
     Q("q129_median", medianQuantity, Some(medianSql),

@@ -73,6 +73,33 @@ class RunnerSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(errMarker))
   }
 
+  test("schemaDrift: missing/extra/type-changed columns reported; " +
+    "order never flagged; requireSchema throws with the full list") {
+    import graft.pipelines.Guard
+    import org.apache.spark.sql.types._
+    val spark0 = spark
+    import spark0.implicits._
+    val expected = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType), StructField("c", IntegerType)))
+    val df = Seq(("x", 1L, 2.0)).toDF("b", "a", "d") // reordered, c→d, no c
+    val drift = Guard.schemaDrift(df.withColumn("a", $"a"), expected)
+    assert(drift.exists(_.contains("missing column: c")))
+    assert(drift.exists(_.contains("unexpected column: d")))
+    // pure reorder with right types: clean
+    val ok = Seq((1L, "x", 3)).toDF("a", "b", "c").select("c", "a", "b")
+    assert(Guard.schemaDrift(ok, expected).isEmpty)
+    Guard.requireSchema(ok, expected) // no throw
+    // type change detected
+    val retyped = Seq((1, "x", 3)).toDF("a", "b", "c") // a is Int not Long
+    assert(Guard.schemaDrift(retyped, expected)
+      .exists(_.contains("type int != expected bigint")))
+    val e = intercept[IllegalArgumentException] {
+      Guard.requireSchema(df, expected)
+    }
+    assert(e.getMessage.contains("missing column: c") &&
+      e.getMessage.contains("unexpected column: d"))
+  }
+
   test("mart timeout: finite timeout → Left(TimeoutException); default is unbounded") {
     import scala.concurrent.duration._
     val out = java.nio.file.Files.createTempDirectory("runner-timeout").toString
