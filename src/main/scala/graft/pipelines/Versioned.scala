@@ -120,6 +120,100 @@ object Versioned {
     next
   }
 
+  // ---- group (multi-table) publish: WAL journal + roll-forward --------
+
+  private def txnDir(baseDir: String) = new Path(s"$baseDir/_txn")
+  private def stagedPath(baseDir: String, id: Long) =
+    new Path(txnDir(baseDir), s"$id.staged")
+  private def committedPath(baseDir: String, id: Long) =
+    new Path(txnDir(baseDir), s"$id.committed")
+
+  private def txnIds(baseDir: String, suffix: String): Seq[Long] =
+    if (!Fs.exists(txnDir(baseDir))) Nil
+    else Fs.list(txnDir(baseDir)).map(_.getPath.getName)
+      .filter(_.endsWith(suffix))
+      .flatMap(_.stripSuffix(suffix).toLongOption)
+
+  /** Publish several tables as ONE logical transaction. Sequence:
+    * (1) stage every table's next version directory (all the data I/O,
+    * no commits yet); (2) write a journal listing (table, version) —
+    * the group's write-ahead record; (3) commit each member (cheap
+    * exclusive marker creates); (4) mark the journal committed.
+    *
+    * Per-table readers see each member appear in commit order over a
+    * window of milliseconds (metadata ops only); a crash inside that
+    * window is ROLLED FORWARD by [[recoverGroups]] — the journal is
+    * written only after all data is staged, so completion is always
+    * possible. For readers that must never see a torn group, [[readGroup]]
+    * resolves the last fully-committed journal and reads every member AT
+    * its journaled version — cross-table snapshot isolation built from
+    * per-table time travel, no coordination on the read path. */
+  def publishGroup(dfs: Seq[(String, DataFrame)], baseDir: String,
+      keep: Int = 3): Map[String, Long] = {
+    require(dfs.nonEmpty, "publishGroup needs at least one table")
+    Fs.mkdirs(txnDir(baseDir))
+    val staged = dfs.map { case (name, df) =>
+      val t = tableDir(baseDir, name)
+      Fs.mkdirs(t)
+      val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
+      df.write.mode(SaveMode.ErrorIfExists).parquet(vdir(t, next).toString)
+      name -> next
+    }
+    val id = (txnIds(baseDir, ".staged") ++ txnIds(baseDir, ".committed"))
+      .maxOption.getOrElse(-1L) + 1L
+    // trailing END sentinel: a journal truncated by a crash mid-write
+    // must never be rolled forward as if it named the whole group
+    Fs.writeString(stagedPath(baseDir, id),
+      staged.map { case (n, v) => s"$n\t$v" }.mkString("", "\n", "\nEND\n"))
+    staged.foreach { case (n, v) => commitAndPrune(tableDir(baseDir, n), v, keep) }
+    Fs.createExclusive(committedPath(baseDir, id), "done\n")
+    staged.toMap
+  }
+
+  /** Roll forward crashed group publishes: any journal without its
+    * committed marker has all member data staged (journal writes follow
+    * staging), so create each member's missing `_COMMIT` and mark the
+    * journal done. Unparseable / empty journals are abandoned (their
+    * orphan version dirs age out through retention pruning). Call on
+    * writer startup, like Delta log replay. */
+  def recoverGroups(baseDir: String): Seq[Long] = {
+    val pending = txnIds(baseDir, ".staged")
+      .filterNot(id => Fs.exists(committedPath(baseDir, id))).sorted
+    pending.filter { id =>
+      val lines = Fs.readString(stagedPath(baseDir, id)).split("\n")
+        .filter(_.nonEmpty).toSeq
+      val sealed_ = lines.lastOption.contains("END")
+      val entries = lines.dropRight(1).map(_.split("\t")).collect {
+        case Array(n, v) if v.toLongOption.isDefined => (n, v.toLong)
+      }
+      val complete = sealed_ && entries.nonEmpty &&
+        entries.forall { case (n, v) =>
+          Fs.exists(vdir(tableDir(baseDir, n), v)) }
+      if (complete) {
+        entries.foreach { case (n, v) =>
+          val cp = commitPath(tableDir(baseDir, n), v)
+          if (!Fs.exists(cp)) Fs.createExclusive(cp, s"$v\n")
+        }
+        Fs.createExclusive(committedPath(baseDir, id), "recovered\n")
+      } else Fs.deleteRecursive(stagedPath(baseDir, id))
+      complete
+    }
+  }
+
+  /** The last fully-committed group as (table → frame AT its journaled
+    * version): a consistent cross-table snapshot even while newer
+    * per-table versions land. */
+  def readGroup(spark: SparkSession, baseDir: String): Map[String, DataFrame] = {
+    val id = txnIds(baseDir, ".committed").maxOption.getOrElse(
+      throw new IllegalStateException("no committed group"))
+    Fs.readString(stagedPath(baseDir, id)).split("\n")
+      .filter(l => l.nonEmpty && l != "END")
+      .map(_.split("\t")).collect {
+        case Array(n, v) if v.toLongOption.isDefined =>
+          n -> read(spark, baseDir, n, Some(v.toLong))
+      }.toMap
+  }
+
   /** Hive-escaped partition-dir suffix → raw value (%XX unescape). */
   private def unescapePart(s: String): String =
     if (!s.contains('%')) s

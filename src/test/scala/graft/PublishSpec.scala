@@ -173,6 +173,41 @@ class PublishSpec extends AnyFunSuite {
     assert(Versioned.read(spark, base, "t").count() == 90)
   }
 
+  test("publishGroup: cross-table snapshot via readGroup; crash between " +
+    "member commits rolls forward; torn journal abandoned") {
+    val base = tmp("group-pub")
+    val v = Versioned.publishGroup(Seq(
+      "alpha" -> Seq((1, "a")).toDF("k", "v"),
+      "beta" -> Seq((2, "b")).toDF("k", "v")), base)
+    assert(v == Map("alpha" -> 0L, "beta" -> 0L))
+    // a later single-table publish moves alpha ahead...
+    Versioned.publish(Seq((9, "a2")).toDF("k", "v"), base, "alpha")
+    assert(Versioned.latestVersion(base, "alpha") == Some(1L))
+    // ...but the group read still serves the journaled consistent pair
+    val g = Versioned.readGroup(spark, base)
+    assert(g("alpha").as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    assert(g("beta").as[(Int, String)].collect().toSeq == Seq((2, "b")))
+
+    // crash simulation: second group publish, then tear out one member's
+    // commit marker and the group's committed marker
+    val v2 = Versioned.publishGroup(Seq(
+      "alpha" -> Seq((10, "a3")).toDF("k", "v"),
+      "beta" -> Seq((20, "b3")).toDF("k", "v")), base)
+    Fs.deleteRecursive(new Path(s"$base/beta/_v${v2("beta")}/_COMMIT"))
+    Fs.deleteRecursive(new Path(s"$base/_txn/1.committed"))
+    assert(Versioned.latestVersion(base, "beta") == Some(0L)) // torn
+    assert(Versioned.recoverGroups(base) == Seq(1L)) // rolled forward
+    assert(Versioned.latestVersion(base, "beta") == Some(v2("beta")))
+    val g2 = Versioned.readGroup(spark, base)
+    assert(g2("alpha").as[(Int, String)].collect().toSeq == Seq((10, "a3")))
+    assert(g2("beta").as[(Int, String)].collect().toSeq == Seq((20, "b3")))
+
+    // a journal truncated mid-write (no END sentinel) is abandoned
+    Fs.writeString(new Path(s"$base/_txn/7.staged"), "alpha\t0\n")
+    assert(Versioned.recoverGroups(base).isEmpty)
+    assert(!Fs.exists(new Path(s"$base/_txn/7.staged")))
+  }
+
   test("upsertEvolve: incoming adds a column (NULL backfill) and may " +
     "omit non-key columns") {
     import graft.pipelines.Incremental.upsertEvolve
