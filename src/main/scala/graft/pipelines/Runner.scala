@@ -131,6 +131,38 @@ object Runner {
       case Failure(e) => throw e
     }
 
+  /** Production mart builders — the fused single-scan stat tables
+    * (q13-q15 prove them output-equal to the reference's join-topology
+    * forms against the same oracles). */
+  def martBuilders(spark: SparkSession,
+      sfDir: String): Map[String, () => DataFrame] = Map(
+    "attack" -> (() => Marts.attackFused(
+      RefTables.fusedStats(spark, sfDir, RefTables.attackTableNames),
+      RefTables.tables(spark, sfDir)("player_expected_assists"))),
+    "defense" -> (() => Marts.defenseFused(
+      RefTables.fusedStats(spark, sfDir, RefTables.defenseTableNames))),
+    "discipline" -> (() => Marts.disciplineFused(
+      RefTables.fusedStats(spark, sfDir, RefTables.disciplineTableNames))))
+
+  /** Run all marts and publish them as ONE [[Versioned]] group: the
+    * reference's "write transform_SUCCESS only after all marts land"
+    * contract (dag-transform.py:393-412), made actually atomic — either
+    * every mart of this run becomes visible or (after a crash) the group
+    * is rolled forward in one recovery step; `Versioned.readGroup` serves
+    * the last complete run even while a new one is mid-publish. Starts
+    * with journal replay, like any write-ahead-log owner. */
+  def runGrouped(spark: SparkSession, sfDir: String, baseDir: String,
+      runDate: java.time.LocalDate = java.time.LocalDate.now(),
+      keep: Int = 3): Option[Map[String, Long]] = {
+    if (!gate(sfDir)) return None
+    Versioned.recoverGroups(baseDir)
+    val marts = martBuilders(spark, sfDir).toSeq.sortBy(_._1).map {
+      case (n, build) => n -> build().withColumn("run_date",
+        org.apache.spark.sql.functions.lit(runDate.toString))
+    }
+    Some(Versioned.publishGroup(marts, baseDir, keep))
+  }
+
   /** Run the three reference marts concurrently against sfDir, writing
     * each through `sink`; returns per-mart statuses (row count or error).
     * Each mart's build+write retries up to `retries` times with doubling
@@ -148,16 +180,7 @@ object Runner {
       timeout: Duration = Duration.Inf): RunReport = {
     if (!gate(sfDir)) return RunReport(runDate, Map.empty, gated = true, timeout)
 
-    // production path: the fused single-scan stat tables (q13-q15 prove
-    // them equal to the join-topology forms against the same oracles)
-    val marts: Map[String, () => DataFrame] = Map(
-      "attack" -> (() => Marts.attackFused(
-        RefTables.fusedStats(spark, sfDir, RefTables.attackTableNames),
-        RefTables.tables(spark, sfDir)("player_expected_assists"))),
-      "defense" -> (() => Marts.defenseFused(
-        RefTables.fusedStats(spark, sfDir, RefTables.defenseTableNames))),
-      "discipline" -> (() => Marts.disciplineFused(
-        RefTables.fusedStats(spark, sfDir, RefTables.disciplineTableNames))))
+    val marts = martBuilders(spark, sfDir)
 
     implicit val ec: ExecutionContext = ExecutionContext.global
     val futures = marts.map { case (name, build) =>

@@ -100,6 +100,18 @@ class RunnerSpec extends AnyFunSuite {
       e.getMessage.contains("unexpected column: d"))
   }
 
+  test("runGrouped: all three marts publish as one atomic group; " +
+    "readGroup serves the complete run") {
+    import graft.pipelines.Versioned
+    val out = java.nio.file.Files.createTempDirectory("runner-group").toString
+    val v = Runner.runGrouped(spark, dir, out).get
+    assert(v.keySet == Set("attack", "defense", "discipline"))
+    val g = Versioned.readGroup(spark, out)
+    assert(g.keySet == v.keySet)
+    g.values.foreach(df => assert(df.count() > 0))
+    assert(g("attack").columns.contains("run_date"))
+  }
+
   test("mart timeout: finite timeout → Left(TimeoutException); default is unbounded") {
     import scala.concurrent.duration._
     val out = java.nio.file.Files.createTempDirectory("runner-timeout").toString
