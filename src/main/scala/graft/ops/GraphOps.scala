@@ -29,14 +29,17 @@ object GraphOps {
     *
     * @param edges directed edges as columns (u, v); deduplicated here */
   def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
-    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(true)
+    // lazy checkpoints: all three frames materialize inside the final
+    // action's first use and are block-reused by every round after —
+    // three up-front blocking jobs collapse into one pipelined job
+    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
     val nodes = e.select(col("u").as("n"))
       .union(e.select(col("v").as("n"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // out-degree attached to the edge list ONCE — one join per round
     // instead of two (the degree never changes between rounds)
     val ed = e.join(e.groupBy(col("u")).agg(count(lit(1)).as("d")), "u")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var pr = nodes.withColumn("r", lit(1000000L)) // 1.0 in micro-units
     for (i <- 0 until iters) {
       val contrib = ed.join(pr, ed("u") === pr("n"))
@@ -54,18 +57,6 @@ object GraphOps {
     pr.select(col("n"), (col("r").cast("double") / 1000000.0).as("r"))
   }
 
-  /** Per-node triangle counts via DEGREE-ORIENTED wedge enumeration —
-    * the shape that survives skewed graphs: orienting every edge toward
-    * its higher-(degree, id) endpoint bounds each node's out-degree by
-    * O(√m), so the wedge self-join fans out ≤ out-deg² per node instead
-    * of deg² (a celebrity node with 10⁷ neighbors would otherwise emit
-    * 10¹⁴ wedges). Wedges close against the undirected edge list by an
-    * equi-join on the (min,max) key — no inequality join anywhere. Each
-    * triangle is produced exactly once, so per-node counts equal the
-    * naive a<b<c enumeration (the oracle form).
-    *
-    * @param edges undirected edges as columns (a, b) with a < b;
-    *              deduplicated here */
   /** Degree orientation of an undirected (a, b) edge list: each edge
     * points from its lower-(degree, id) endpoint to the higher one.
     * Out-degree under this orientation is O(√m) for any graph — a node
@@ -86,6 +77,18 @@ object GraphOps {
       when(aFirst, col("b")).otherwise(col("a")).as("v"))
   }
 
+  /** Per-node triangle counts via DEGREE-ORIENTED wedge enumeration —
+    * the shape that survives skewed graphs: [[orient]] bounds each
+    * node's out-degree by O(√m), so the wedge self-join fans out ≤
+    * out-deg² per node instead of deg² (a celebrity node with 10⁷
+    * neighbors would otherwise emit 10¹⁴ wedges). Wedges close against
+    * the undirected edge list by an equi-join on the (min,max) key — no
+    * inequality join anywhere. Each triangle is produced exactly once,
+    * so per-node counts equal the naive a<b<c enumeration (the oracle
+    * form).
+    *
+    * @param edges undirected edges as columns (a, b) with a < b;
+    *              deduplicated here */
   def trianglesPerNode(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
     val oriented = orient(e).localCheckpoint(true)
