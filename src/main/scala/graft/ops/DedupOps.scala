@@ -107,7 +107,7 @@ object DedupOps {
     // consumers (df-count aggregate + anti-join) — without it the
     // compiled shingling pass re-executes once per consumer (the hashed
     // twin already checkpoints for exactly this reason)
-    val sh = shingles(docs, n).localCheckpoint(true)
+    val sh = shingles(docs, n).localCheckpoint(false)
     val docsets = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("shs"),
         count(lit(1)).as("n_sh")) // shingles are already distinct per doc
@@ -281,7 +281,7 @@ object DedupOps {
     // (the latter twice), and without it the compiled per-doc
     // MinHash+shingle pass re-executes once per consumer.
     val md = minhashDocs(docs, n, k).filter(size(col("shs")) > 0)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val bandCols = (0 until k / r).map { b =>
       struct(lit(b).as("band_id"),
         xxhash64((b * r until (b + 1) * r).map(i =>
@@ -374,7 +374,7 @@ object DedupOps {
     // (docsets twice) — without it the compiled shingle pass re-runs per
     // consumer
     val md = minhashDocs(docs, n, k = 0).filter(size(col("shs")) > 0)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sh = md.select(col("doc_id"), explode(col("shs")).as("sh_h"))
     val docsets = md.select(col("doc_id"), col("shs"),
       size(col("shs")).cast("long").as("n_sh"))
@@ -578,7 +578,7 @@ object DedupOps {
     // localCheckpoint: capHotKeys consumes the corpus postings twice
     // (df-count + anti-join); checkpointing stops the compiled corpus
     // shingling pass from re-executing per consumer
-    val sh = hashedShingles(corpus, n).localCheckpoint(true)
+    val sh = hashedShingles(corpus, n).localCheckpoint(false)
     val rare = capHotKeys(sh, Seq("sh_h"), maxDf)
     val es = hashedShingles(evalDocs, n)
     rare.as("c").join(es.as("e"), col("c.sh_h") === col("e.sh_h"))
@@ -603,9 +603,9 @@ object DedupOps {
   def contaminationBloom(corpus: DataFrame, evalDocs: DataFrame, n: Int = 5,
       minCommon: Long = 3, maxDf: Long = DefaultMaxDf,
       fpp: Double = 0.01): DataFrame = {
-    val sh = hashedShingles(corpus, n).localCheckpoint(true)
+    val sh = hashedShingles(corpus, n).localCheckpoint(false)
     val rare = capHotKeys(sh, Seq("sh_h"), maxDf)
-    val es = hashedShingles(evalDocs, n).localCheckpoint(true)
+    val es = hashedShingles(evalDocs, n).localCheckpoint(false)
     val bloom = es.stat.bloomFilter("sh_h", math.max(es.count(), 1L), fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val probe = udf((h: Long) => bc.value.mightContainLong(h))
@@ -635,7 +635,7 @@ object DedupOps {
     // exact tier: 32-byte hashes, never the text
     val cHash = corpus.select(sha2(col("text"), 256).as("h")).distinct()
     val bHash = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .localCheckpoint(true) // three consumers below
+      .localCheckpoint(false) // three consumers below
     val exactDup = bHash.join(cHash, "h").select(col("doc_id"))
       .union(bHash
         .join(bHash.groupBy(col("h")).agg(min(col("doc_id")).as("keep")), "h")
@@ -643,9 +643,9 @@ object DedupOps {
       .distinct()
     // near tier: row-local shingle sets, df-capped union postings
     val cmd = minhashDocs(corpus, n, k = 0).filter(size(col("shs")) > 0)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val bmd = minhashDocs(batch, n, k = 0).filter(size(col("shs")) > 0)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def postings(md: DataFrame, side: String) =
       md.select(col("doc_id"), explode(col("shs")).as("sh_h"))
         .withColumn("side", lit(side))

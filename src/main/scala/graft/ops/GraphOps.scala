@@ -90,8 +90,8 @@ object GraphOps {
     * @param edges undirected edges as columns (a, b) with a < b;
     *              deduplicated here */
   def trianglesPerNode(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
-    val oriented = orient(e).localCheckpoint(true)
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(false)
+    val oriented = orient(e).localCheckpoint(false)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))

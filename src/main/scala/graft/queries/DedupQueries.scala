@@ -297,11 +297,11 @@ object DedupQueries {
     val ss = DedupOps.shingles(d, 5)
       .join(d.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), col("shingle")).distinct()
-      .localCheckpoint(true) // feeds both the df count and the pair join
+      .localCheckpoint(false) // feeds both the df count and the pair join
     val rare = ss.join(
         ss.groupBy(col("shingle")).agg(count(lit(1)).as("ns"))
           .filter(col("ns") <= 4).select(col("shingle")), "shingle")
-      .localCheckpoint(true) // both sides of the pair self-join read it
+      .localCheckpoint(false) // both sides of the pair self-join read it
     rare.as("x").join(rare.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.source") < col("y.source"))
