@@ -393,6 +393,42 @@ object Streams {
         }
       }
 
+  /** Streaming incremental materialized view: per micro-batch, compute
+    * the batch's PARTIAL aggregates (sum/count per key) and fold them
+    * into the latest published aggregate table with
+    * [[graft.pipelines.Incremental.mergeAggregates]] — refresh cost is
+    * O(batch + touched groups), never a recompute over history, and the
+    * view time-travels like any versioned table. Sum columns should be
+    * DECIMAL (cast upstream) so merge order can't drift doubles — with
+    * decimals the maintained view is bit-equal to a one-shot aggregate
+    * of all data ever seen (spec-asserted). Groups-only state lives in
+    * the published table itself: the stream stays stateless (append
+    * mode, no watermark state), so restarts replay at most one epoch —
+    * and a replayed epoch WOULD double-count; run with exactly-once
+    * sinks or idempotent batch ids in production (documented limit). */
+  def maintainAggregate(rows: DataFrame, baseDir: String, name: String,
+      keys: Seq[String], sumCols: Seq[String], keep: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val partial = batch.toDF().groupBy(keys.map(col): _*)
+            .agg(sum(col(sumCols.head)).as(sumCols.head),
+              (sumCols.tail.map(c => sum(col(c)).as(c)) :+
+                count(lit(1)).as("cnt")): _*)
+          val merged = graft.pipelines.Versioned
+            .latestVersion(baseDir, name) match {
+            case Some(_) => graft.pipelines.Incremental.mergeAggregates(
+              graft.pipelines.Versioned.read(spark, baseDir, name),
+              partial, keys, sumCols, "cnt")
+            case None => partial
+          }
+          graft.pipelines.Versioned.publish(merged, baseDir, name, keep)
+          ()
+        }
+      }
+
   /** Streaming corpus ingestion with dedup admission — the composed
     * 100 TB training-data front door: every micro-batch of documents is
     * vetted against the CURRENT published corpus with

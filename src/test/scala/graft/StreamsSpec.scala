@@ -159,6 +159,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(emitted.nonEmpty)
   }
 
+  test("maintainAggregate: streaming MV == one-shot aggregate at every " +
+    "version (decimal-exact)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("stream-mv").toString
+    val in = MemoryStream[(String, Double)]
+    val rows = in.toDF().toDF("k", "x")
+      .withColumn("sx", col("x").cast("decimal(38,6)")).drop("x")
+    val q = graft.streaming.Streams.maintainAggregate(
+      rows, base, "mv", Seq("k"), Seq("sx")).start()
+    val b1 = Seq(("a", 1.5), ("b", 2.0), ("a", 0.25))
+    val b2 = Seq(("b", 4.0), ("c", 8.5))
+    def oneShot(data: Seq[(String, Double)]) =
+      data.toDF("k", "x").withColumn("sx", col("x").cast("decimal(38,6)"))
+        .groupBy($"k").agg(sum($"sx").as("sx"), count(lit(1)).as("cnt"))
+        .select($"k", $"sx".cast("string"), $"cnt").as[(String, String, Long)]
+        .collect().toSet
+    in.addData(b1: _*); q.processAllAvailable()
+    val v0 = graft.pipelines.Versioned.read(spark, base, "mv")
+      .select($"k", $"sx".cast("string"), $"cnt").as[(String, String, Long)]
+      .collect().toSet
+    assert(v0 == oneShot(b1))
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val v1 = graft.pipelines.Versioned.read(spark, base, "mv")
+      .select($"k", $"sx".cast("string"), $"cnt").as[(String, String, Long)]
+      .collect().toSet
+    assert(v1 == oneShot(b1 ++ b2))
+    // the view time-travels: version 0 still serves the first batch's state
+    assert(graft.pipelines.Versioned.read(spark, base, "mv", Some(0L))
+      .select($"k", $"sx".cast("string"), $"cnt").as[(String, String, Long)]
+      .collect().toSet == oneShot(b1))
+  }
+
   test("ingestDeduped: micro-batches build a corpus that is clean at " +
     "every version") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
