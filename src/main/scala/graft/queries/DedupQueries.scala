@@ -294,16 +294,21 @@ object DedupQueries {
     * boilerplate shingle shared by every source can't go quadratic. */
   def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val ss = DedupOps.shingles(d, 5)
+    // hashed shingles: every shuffle below carries 8-byte longs, never
+    // the shingle strings. Counting shared HASHES can differ from shared
+    // strings only on a 64-bit collision among one pair's shared
+    // shingles — the same vanishing-probability contract the q101
+    // contamination oracle already accepts.
+    val ss = DedupOps.hashedShingles(d, 5)
       .join(d.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("shingle")).distinct()
+      .select(col("source"), col("sh_h")).distinct()
       .localCheckpoint(false) // feeds both the df count and the pair join
     val rare = ss.join(
-        ss.groupBy(col("shingle")).agg(count(lit(1)).as("ns"))
-          .filter(col("ns") <= 4).select(col("shingle")), "shingle")
+        ss.groupBy(col("sh_h")).agg(count(lit(1)).as("ns"))
+          .filter(col("ns") <= 4).select(col("sh_h")), "sh_h")
       .localCheckpoint(false) // both sides of the pair self-join read it
     rare.as("x").join(rare.as("y"),
-        col("x.shingle") === col("y.shingle") &&
+        col("x.sh_h") === col("y.sh_h") &&
           col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
       .agg(count(lit(1)).as("shared_shingles"))
