@@ -3,7 +3,7 @@ package graft.queries
 import graft.Q
 import graft.catalog.Catalog
 import graft.ops.Det._
-import graft.ops.StatsOps
+import graft.ops.{StatsOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -680,7 +680,91 @@ object AnalyticsQueries {
       |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
       |ORDER BY p_partkey""".stripMargin
 
+  /** Winsorized aggregates: exact rank-selected p05/p95 price bounds per
+    * return flag (no interpolation — engine-exact, q40's recipe), every
+    * value clipped into [lo, hi], then an order-independent decimal sum.
+    * The outlier-robust rollup a feature pipeline runs instead of
+    * dropping rows. One window + one broadcast-joined aggregate. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("x"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = li
+      .withColumn("rn", row_number().over(Window.partitionBy(col("flag"))
+        .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("flag"))))
+    val bounds = ranked.groupBy(col("flag")).agg(
+      max(when(expr("rn = cast(ceil(n * 0.05) as bigint)"), col("x"))).as("lo"),
+      max(when(expr("rn = cast(ceil(n * 0.95) as bigint)"), col("x"))).as("hi"))
+    li.join(broadcast(bounds), "flag")
+      .groupBy(col("flag"))
+      .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        dsum(least(greatest(col("x"), col("lo")), col("hi")))
+          .as("sum_winsorized"))
+      .orderBy(col("flag"))
+  }
+
+  private val winsorizeSql =
+    s"""WITH r AS (
+       |  SELECT l_returnflag AS flag, l_extendedprice AS x,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM lineitem
+       |), b AS (
+       |  SELECT flag,
+       |    MAX(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT) THEN x END) AS lo,
+       |    MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN x END) AS hi
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT flag, MAX(lo) AS lo, MAX(hi) AS hi,
+       |  CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       |  CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       |  ${sqlSum("least(greatest(x, lo), hi)")} AS sum_winsorized
+       |FROM (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem) v
+       |JOIN b USING (flag)
+       |GROUP BY flag
+       |ORDER BY flag""".stripMargin
+
+  /** Per-document lexical concentration as GINI IMPURITY
+    * `1 − Σ (c_t/n)²` — the ln-free cousin of token entropy (same
+    * ordering for quality filtering, but exact-count arithmetic: one
+    * integer Σc², one division — bit-identical on any engine, where
+    * entropy's per-term ln drifts). */
+  def giniLexical(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.exploded(
+      Catalog.load(spark, dir, "documents"))
+    t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+      .select(col("doc_id"), col("n"),
+        (lit(1.0) - col("ss").cast("double") /
+          (col("n") * col("n")).cast("double")).as("gini"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val giniSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), c AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |  1.0 - CAST(SUM(c * c) AS DOUBLE) / (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS gini
+      |FROM c GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q131_winsorize", winsorize, Some(winsorizeSql),
+      "winsorized per-flag price rollup: exact rank-selected p05/p95 " +
+        "bounds, clipped decimal sum"),
+    Q("q132_gini_lexical", giniLexical, Some(giniSql),
+      "per-doc lexical concentration via Gini impurity (ln-free, " +
+        "exact-count arithmetic)"),
     Q("q119_triangles", triangles, Some(trianglesSql),
       "per-supplier triangle counts, degree-oriented wedge join vs naive " +
         "3-way self-join oracle"),
