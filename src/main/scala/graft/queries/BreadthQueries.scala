@@ -511,7 +511,35 @@ object BreadthQueries {
       |  SUM(l_quantity) AS sum_qty, MAX(l_extendedprice) AS max_price
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Relational division ("FOR ALL"): customers whose orders span EVERY
+    * priority class. The distinct-count == domain-count formulation is
+    * the scale form — one aggregate, no nested NOT EXISTS double
+    * negation, no join against the domain table. */
+  def relationalDivision(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    val nPrio = o.select(col("o_orderpriority")).distinct().count()
+    o.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("n_prio") === nPrio)
+      .orderBy(col("o_custkey"))
+  }
+
+  private val relationalDivisionSql =
+    """SELECT o_custkey,
+      |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |GROUP BY 1
+      |HAVING COUNT(DISTINCT o_orderpriority) =
+      |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+      |ORDER BY o_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q133_relational_division", relationalDivision,
+      Some(relationalDivisionSql),
+      "FOR-ALL division: customers covering every priority class, " +
+        "one aggregate (no double NOT EXISTS)"),
     Q("q130_salted_agg", saltedAgg, Some(saltedAggSql),
       "two-phase salted aggregation for hot group keys == plain GROUP BY"),
     Q("q128_set_ops_all", setOpsAll, Some(setOpsAllSql),

@@ -562,7 +562,57 @@ object EventQueries {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** Time-weighted average value per user (TWAP): each event's value
+    * holds until the user's next event, so its weight is that gap in
+    * epoch-µs (the last event carries no weight — its holding period is
+    * unobserved). Durations are exact BIGINTs; the value·duration
+    * products sum through the decimal recipe, one final IEEE division.
+    * One user_id exchange for the lead window and the aggregate. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Det
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("dur", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("user_id"))
+      // cast value to decimal BEFORE the multiply: decimal × bigint is
+      // exact, so the engines can't disagree on a rounded double product
+      .agg(sum(col("value").cast(Det.Dec) * col("dur"))
+        .cast("double").as("vw"),
+        sum(col("dur")).as("total_us"))
+      .select(col("user_id"),
+        (col("vw") / col("total_us").cast("double")).as("twap"),
+        col("total_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val twapSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value,
+       |    epoch_ns(ts) // 1000 AS ts_us FROM events
+       |), d AS (
+       |  SELECT user_id, value,
+       |    lead(ts_us) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) - ts_us AS dur
+       |  FROM e
+       |)
+       |SELECT user_id,
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6)) * dur) AS VARCHAR)
+       |    AS DOUBLE) /
+       |    CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) AS twap,
+       |  CAST(SUM(dur) AS BIGINT) AS total_us
+       |FROM d WHERE dur IS NOT NULL
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q134_twap", twap, Some(twapSql),
+      "time-weighted average value per user: lead-gap weights, decimal " +
+        "product sums, one user_id exchange"),
     Q("q121_attribution", attribution, Some(attributionSql),
       "first/last-touch purchase attribution via null-skipping min/max " +
         "windows over an ordinal encoding"),
