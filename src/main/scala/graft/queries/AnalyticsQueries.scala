@@ -758,7 +758,82 @@ object AnalyticsQueries {
       |FROM c GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Equi-depth histogram via ntile: 10 buckets of equal row count per
+    * flag, each reporting its exact value range and population — the
+    * complement of q91's fixed-width histogram (stats collectors keep
+    * both). Ordering inside ntile is made total with a unique tiebreak,
+    * so bucket assignment is deterministic on any engine. */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Catalog.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(10).over(Window.partitionBy(col("flag"))
+        .orderBy(col("x"), col("l_orderkey"), col("l_linenumber")))
+        .cast("long"))
+      .groupBy(col("flag"), col("bucket"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy(col("flag"), col("bucket"))
+  }
+
+  private val equidepthSql =
+    """WITH r AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS x,
+      |    CAST(ntile(10) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+      |      AS bucket
+      |  FROM lineitem
+      |)
+      |SELECT flag, bucket, MIN(x) AS lo, MAX(x) AS hi,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM r GROUP BY 1, 2
+      |ORDER BY flag, bucket""".stripMargin
+
+  /** Deterministic z-score outlier flags: per-brand price mean/stddev
+    * from the exact decimal moment sums ([[StatsOps]] recipe — the same
+    * IEEE expression text on both engines), flagging rows beyond 1.5σ (the fixture prices are near-uniform, where |z| never exceeds √3 — a 3σ cut is the right production default but would prove nothing here).
+    * The outlier scan every feature store runs; broadcast of the tiny
+    * per-brand stats frame, one pass over the fact table. */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val p = Catalog.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    val stats = p.groupBy(col("p_brand")).agg(
+      count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sx"),
+      dsum(col("p_retailprice") * col("p_retailprice")).as("sxx"))
+    // identical expression TEXT on both engines (momentStats recipe)
+    val armed = stats.selectExpr("p_brand", "n",
+      "sx / n AS mean",
+      "sqrt((sxx - sx * sx / n) / (n - 1)) AS sd")
+    p.join(broadcast(armed), "p_brand")
+      .filter(col("n") > 1 && col("sd") > 0 &&
+        abs(col("p_retailprice") - col("mean")) > lit(1.5) * col("sd"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        col("mean"), col("sd"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val zscoreSql =
+    s"""WITH s AS (
+       |  SELECT p_brand, COUNT(*) AS n,
+       |    ${sqlSum("p_retailprice")} AS sx,
+       |    ${sqlSum("p_retailprice * p_retailprice")} AS sxx
+       |  FROM part GROUP BY 1
+       |), a AS (
+       |  SELECT p_brand, n, sx / n AS mean,
+       |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+       |  FROM s
+       |)
+       |SELECT p_partkey, p.p_brand, p_retailprice, mean, sd
+       |FROM part p JOIN a ON p.p_brand = a.p_brand
+       |WHERE n > 1 AND sd > 0 AND abs(p_retailprice - mean) > 1.5 * sd
+       |ORDER BY p_partkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q135_equidepth_hist", equidepthHistogram, Some(equidepthSql),
+      "equi-depth 10-bucket histogram per flag (deterministic ntile)"),
+    Q("q136_zscore_outliers", zscoreOutliers, Some(zscoreSql),
+      "z-score outlier scan from exact decimal moments, broadcast stats"),
     Q("q131_winsorize", winsorize, Some(winsorizeSql),
       "winsorized per-flag price rollup: exact rank-selected p05/p95 " +
         "bounds, clipped decimal sum"),
