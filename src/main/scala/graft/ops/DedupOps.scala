@@ -606,10 +606,19 @@ object DedupOps {
     val sh = hashedShingles(corpus, n).localCheckpoint(false)
     val rare = capHotKeys(sh, Seq("sh_h"), maxDf)
     val es = hashedShingles(evalDocs, n).localCheckpoint(false)
-    val bloom = es.stat.bloomFilter("sh_h", math.max(es.count(), 1L), fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val probe = udf((h: Long) => bc.value.mightContainLong(h))
-    rare.filter(probe(col("sh_h")))
+    val nEval = es.count()
+    // an empty eval set can't contaminate anything; stat.bloomFilter over
+    // zero rows also yields an unusable (bit-array-less) sketch — short
+    // circuit rather than probe it
+    val prefiltered =
+      if (nEval == 0L) rare.filter(lit(false))
+      else {
+        val bloom = es.stat.bloomFilter("sh_h", nEval, fpp)
+        val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+        val probe = udf((h: Long) => bc.value.mightContainLong(h))
+        rare.filter(probe(col("sh_h")))
+      }
+    prefiltered
       .as("c").join(es.as("e"), col("c.sh_h") === col("e.sh_h"))
       .groupBy(col("c.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
       .agg(count(lit(1)).as("n_common"))

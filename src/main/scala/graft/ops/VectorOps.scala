@@ -180,6 +180,9 @@ object VectorOps {
     var centroids: Seq[(Int, Array[Float])] = train.filter(col("vec_id") < k)
       .orderBy("vec_id").select("embedding").as[Array[Float]]
       .collect().toSeq.zipWithIndex.map(_.swap)
+    // an empty corpus has no quantizer to train — return the empty model
+    // (ivfTopKWith degrades to an empty search result)
+    if (centroids.isEmpty) return Nil
     for (_ <- 0 until iters) {
       // fused argmin assignment: one compiled pass over the broadcast
       // centroid array per vector — no k× crossJoin inflation, no window
@@ -220,6 +223,21 @@ object VectorOps {
     * model ≡ train-inside-the-call). */
   def ivfTopKWith(emb: DataFrame, queryPred: Column, k: Int,
       model: Seq[(Int, Array[Float])], nProbe: Int = 6): DataFrame = {
+    // an empty corpus trains an empty quantizer: the search result is
+    // the empty top-k frame, not a crash (zero-row inputs are routine —
+    // a pruned partition, a quiet ingest day)
+    if (model.isEmpty)
+      return emb.sparkSession.createDataFrame(
+        emb.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rn",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cos_sim",
+            org.apache.spark.sql.types.DoubleType))))
     // fused cell search ([[graft.functions.NearestCentroids]]): the
     // corpus-side assignment is ONE compiled pass per vector over the
     // reference-object centroid array — the previous
