@@ -72,7 +72,8 @@ object DedupOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
+          val toks = if (text == null) Array.empty[String]
+            else text.split(" ", -1) // limit -1: SQL trailing-"" semantics
           if (toks.length < n) Iterator.empty
           else {
             val seen = new java.util.HashSet[String](toks.length * 2)
@@ -146,7 +147,8 @@ object DedupOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
+          val toks = if (text == null) Array.empty[String]
+            else text.split(" ", -1) // limit -1: SQL trailing-"" semantics
           if (toks.length < n) Iterator.empty
           else {
             val th = new Array[Long](toks.length)
@@ -214,7 +216,8 @@ object DedupOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
+          val toks = if (text == null) Array.empty[String]
+            else text.split(" ", -1) // limit -1: SQL trailing-"" semantics
           if (toks.length < n) (id, Array.fill(k)(Long.MaxValue), Array.empty[Long])
           else {
             val th = new Array[Long](toks.length)
@@ -328,7 +331,8 @@ object DedupOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
+          val toks = if (text == null) Array.empty[String]
+            else text.split(" ", -1) // limit -1: SQL trailing-"" semantics
           val n = toks.length - k + 1
           if (n < 1) Iterator.empty
           else {
@@ -723,8 +727,10 @@ object DedupOps {
     import org.apache.spark.unsafe.types.UTF8String
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
+        // null text contributes no tokens and therefore no signature —
+        // the doc is skipped, matching the relational twin's explode(NULL)
+        it.filter(_._2 != null).map { case (id, text) =>
+          val toks = text.split(" ", -1) // limit -1: SQL trailing-"" semantics
           val counts = new Array[Int](64)
           var t = 0
           while (t < toks.length) {

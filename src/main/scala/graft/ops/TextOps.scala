@@ -61,7 +61,8 @@ object TextOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
+          val toks = if (text == null) Array.empty[String]
+            else text.split(" ", -1) // limit -1: SQL trailing-"" semantics
           if (toks.length < n) Iterator.empty
           else (0 to toks.length - n).iterator.map { i =>
             val sb = new java.lang.StringBuilder(64)
@@ -134,8 +135,10 @@ object TextOps {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
+        // null text → doc absent (matches the SQL twin, and avoids 0/0
+        // NaN metrics for a row that has no tokens to measure)
+        it.filter(_._2 != null).map { case (id, text) =>
+          val toks = text.split(" ", -1) // limit -1: SQL trailing-"" semantics
           val n = toks.length
           val uni = new java.util.HashMap[String, Int](n * 2)
           var maxUni = 0
@@ -194,7 +197,8 @@ object TextOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(" ", -1) // limit -1: SQL split keeps trailing ""
+          val toks = if (text == null) Array.empty[String]
+            else text.split(" ", -1) // limit -1: SQL trailing-"" semantics
           val n = toks.length
           val nChunks = (n + stride - 1) / stride
           (0 until nChunks).iterator.map { k =>
