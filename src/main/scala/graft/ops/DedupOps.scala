@@ -130,6 +130,36 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
+    * One-sided similarity — a document wholly contained in a much larger
+    * one scores 1.0 here but only |A|/|B| under Jaccard, so this is the
+    * detector for quote-expansion / subset documents. Candidate
+    * generation and full-set verification are exactly [[jaccardPairs]]'s
+    * (df-capped equi-join; the cap never changes a reported value). */
+  def containmentPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val sh = shingles(docs, n).localCheckpoint(false)
+    val docsets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shs"),
+        count(lit(1)).as("n_sh"))
+    val capped = capHotKeys(sh, Seq("shingle"), maxDf)
+    val cand = capped.as("x")
+      .join(capped.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docsets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(docsets.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("a.shs"), col("b.shs"))).cast("long"))
+      .withColumn("containment",
+        col("n_common").cast("double") /
+          least(col("a.n_sh"), col("b.n_sh")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Distinct hashed shingles per document: (doc_id, sh_h: long). The
     * shingle string is never materialized: token hashes are computed once
     * per token and combined per window in compiled JVM code

@@ -334,7 +334,80 @@ object DedupQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Chunk-level dedup (the C4/RefinedWeb line-dedup step lifted to
+    * token windows): split every document into non-overlapping 16-token
+    * chunks and mark each repeated chunk occurrence, keeping the first
+    * by (doc_id, chunk_idx). At corpus scale the partition key would be
+    * the chunk HASH (the hashed-shingle recipe); the oracle-checkable
+    * form keys the string. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = graft.ops.TextOps.chunked(docs(spark, dir), size = 16, overlap = 0)
+    val w = Window.partitionBy(col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    ch.withColumn("is_dup", row_number().over(w) > 1)
+      .select(col("doc_id"), col("chunk_idx"), col("is_dup"),
+        col("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkDedupSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), ch AS (
+      |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |    array_to_string(t[k * 16 + 1 : least(k * 16 + 16, len(t))], ' ')
+      |      AS chunk_text,
+      |    CAST(least(k * 16 + 16, len(t)) - k * 16 AS BIGINT)
+      |      AS n_chunk_tokens
+      |  FROM toks,
+      |    unnest(range(0, CAST(ceil(len(t) / 16.0) AS BIGINT))) AS u(k)
+      |)
+      |SELECT doc_id, chunk_idx,
+      |  row_number() OVER (PARTITION BY chunk_text
+      |    ORDER BY doc_id, chunk_idx) > 1 AS is_dup,
+      |  n_chunk_tokens
+      |FROM ch
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.8 — catches
+    * quote-expansion and subset documents that symmetric Jaccard misses
+    * (a doc fully contained in a 3× larger one has Jaccard ≈ 0.33 but
+    * containment 1.0). Same df-capped candidate join and full-set verify
+    * as q61. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.containmentPairs(docs(spark, dir), n = 5, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val containmentSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      |  WHERE len(t) >= 5
+      |), card AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(c AS DOUBLE) / least(x.n_sh, y.n_sh) AS containment
+      |FROM common
+      |JOIN card x ON doc_a = x.doc_id
+      |JOIN card y ON doc_b = y.doc_id
+      |WHERE CAST(c AS DOUBLE) / least(x.n_sh, y.n_sh) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q137_chunk_dedup", chunkDedup, Some(chunkDedupSql),
+      "chunk-level dedup: repeated 16-token windows flagged, first " +
+        "occurrence kept"),
+    Q("q138_containment", containmentPairs, Some(containmentSql),
+      "containment near-dups |A∩B|/min(|A|,|B|) — subset docs Jaccard " +
+        "misses"),
     Q("q124_overlap_matrix", overlapMatrix, Some(overlapMatrixSql),
       "cross-source rare-shingle overlap matrix (pair fan-out capped by " +
         "the rarity filter)"),
