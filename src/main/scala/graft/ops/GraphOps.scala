@@ -102,4 +102,35 @@ object GraphOps {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
   }
+
+  /** Multi-source BFS: minimum hop distance from any seed node, bounded
+    * at `maxHops` rounds. Frontier-style level-synchronous expansion —
+    * each round joins the CURRENT frontier (not the whole visited set)
+    * against the edge list, then anti-joins out already-visited nodes,
+    * so per-round work is proportional to the frontier, the scale shape
+    * for high-diameter graphs. Integer hop counts have exactly one
+    * answer on any engine (no float recurrence to drift).
+    *
+    * @param edges directed edges as columns (u, v); deduplicated here
+    * @param seeds one column `n` of start nodes (dist 0)
+    * @return (n, dist) for every node within `maxHops` of a seed */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
+    var visited = seeds.select(col("n")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(e, frontier("n") === e("u"))
+        .select(col("v").as("n")).distinct()
+        .join(visited.select(col("n")), Seq("n"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      // eager checkpoint: `next` feeds BOTH the union and the next
+      // round's anti-join; without it the frontier plan re-executes and
+      // nests one join per level
+      frontier = next.localCheckpoint(true)
+      visited = visited.union(frontier).localCheckpoint(false)
+      if (frontier.isEmpty) return visited
+    }
+    visited
+  }
 }

@@ -661,6 +661,49 @@ object AnalyticsQueries {
       |GROUP BY supp
       |ORDER BY supp""".stripMargin
 
+  /** Multi-source BFS hop distance on the symmetrized customer–supplier
+    * trade graph (same graph as q105): minimum hops from the seed set
+    * {c1, c2, c3} bounded at 3. Frontier-style expansion
+    * ([[graft.ops.GraphOps.bfsHops]]) — per-round work ∝ frontier, not
+    * visited set — vs the oracle's recursive-CTE enumeration with
+    * MIN(dist). Integer hops: nothing to drift cross-engine. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    // numeric ids (customer → 2k, supplier → 2k+1): every round's
+    // shuffle stays on 8-byte keys; labels formatted on final output
+    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"),
+        (col("l_suppkey") * 2 + 1).as("v"))
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val seeds = edges.filter(col("u").isin(2L, 4L, 6L))
+      .select(col("u").as("n"))
+    graft.ops.GraphOps.bfsHops(edges, seeds, maxHops = 3)
+      .select(
+        when(col("n") % 2 === 0, concat(lit("c"), (col("n") / 2).cast("long")))
+          .otherwise(concat(lit("s"), (col("n") / 2).cast("long"))).as("node"),
+        col("dist"))
+      .orderBy(col("node"))
+  }
+
+  private val bfsHopsSql =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+      |    's' || CAST(l_suppkey AS VARCHAR) AS v
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), edges AS (
+      |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+      |), r(n, d) AS (
+      |  SELECT DISTINCT u, 0 FROM edges WHERE u IN ('c1', 'c2', 'c3')
+      |  UNION
+      |  SELECT e.v, r.d + 1 FROM r JOIN edges e ON e.u = r.n WHERE r.d < 3
+      |)
+      |SELECT n AS node, CAST(MIN(d) AS BIGINT) AS dist
+      |FROM r GROUP BY n
+      |ORDER BY node""".stripMargin
+
   /** Pareto skyline over part (maximize size, minimize retail price):
     * aggregate-then-broadcast ([[StatsOps.skyline2d]]) vs the oracle's
     * O(n²) NOT EXISTS dominance scan. */
@@ -843,6 +886,9 @@ object AnalyticsQueries {
     Q("q119_triangles", triangles, Some(trianglesSql),
       "per-supplier triangle counts, degree-oriented wedge join vs naive " +
         "3-way self-join oracle"),
+    Q("q139_bfs_hops", bfsHops, Some(bfsHopsSql),
+      "multi-source BFS hop distance (frontier expansion) vs " +
+        "recursive-CTE MIN(dist) oracle"),
     Q("q122_skyline", skyline, Some(skylineSql),
       "2-D Pareto skyline via per-size aggregate + broadcast threshold " +
         "(no self-join)"),

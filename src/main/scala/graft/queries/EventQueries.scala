@@ -609,7 +609,207 @@ object EventQueries {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** SCD-2 intervalization: compress each user's event stream into
+    * validity intervals of its event_type "state" — rows where the state
+    * changes open an interval (`valid_from_us`), closed by the next
+    * change (`valid_to_us`, NULL while current), with a per-user version
+    * ordinal. The warehouse history-table build (CDC → slowly-changing
+    * dimension type 2); q118 is its SCD-1 (latest-wins) sibling. Single
+    * user_id exchange shared by both window passes. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val changes = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(ordered))
+      .filter(not(col("prev") <=> col("event_type")))
+    changes
+      .withColumn("version", row_number().over(ordered).cast("long"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(ordered))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val scd2Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 1000 AS ts_us,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+      |  FROM events
+      |), ch AS (
+      |  SELECT * FROM e WHERE prev IS DISTINCT FROM event_type
+      |)
+      |SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS BIGINT) AS version,
+      |  event_type AS state,
+      |  ts_us AS valid_from_us,
+      |  lead(ts_us) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS valid_to_us
+      |FROM ch
+      |ORDER BY user_id, version""".stripMargin
+
+  /** Exact trailing-7-day distinct users per day. The day spine is tiny
+    * (one row per distinct day), so Spark broadcasts it and the range
+    * join never shuffles the fact side by anything but its day — each
+    * (day, user) pair fans out to ≤ 7 spine days, the bounded-expansion
+    * form of windowed COUNT DISTINCT (which no sliding frame can do
+    * exactly). */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = Catalog.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .filter(col("day").isNotNull)
+      .distinct()
+    val spine = du.select(col("day").as("d")).distinct()
+    du.join(broadcast(spine), datediff(col("d"), col("day")).between(0, 6))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("users_7d"),
+        countDistinct(when(col("day") === col("d"), col("user_id")))
+          .as("users_1d"))
+      .select(datediff(col("d"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day_idx"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("users_7d"), col("users_1d"))
+      .orderBy(col("day_idx"))
+  }
+
+  private val rollingDistinctSql =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |  WHERE ts IS NOT NULL
+      |), spine AS (
+      |  SELECT DISTINCT day AS d FROM du
+      |)
+      |SELECT CAST(d - DATE '2024-01-01' AS BIGINT) AS day_idx,
+      |  strftime(d, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d,
+      |  CAST(COUNT(DISTINCT u.user_id)
+      |    FILTER (u.day = s.d) AS BIGINT) AS users_1d
+      |FROM spine s JOIN du u ON u.day BETWEEN s.d - 6 AND s.d
+      |GROUP BY s.d
+      |ORDER BY day_idx""".stripMargin
+
+  /** MAD-based robust outlier profile per event_type: median, median
+    * absolute deviation, and the count beyond 3·MAD. The robust twin of
+    * q136's z-score scan — MAD shrugs off the very outliers that inflate
+    * a standard deviation. Two grouped exact-median passes; the per-type
+    * stats frame (5 rows) broadcasts back for the outlier count. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(median(col("value")).as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val stats = dev.groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), median(col("adev")).as("mad"))
+    dev.select(col("event_type"), col("adev"))
+      .join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(when(col("adev") > lit(3.0) * col("mad"), lit(1)))
+          .as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val madOutliersSql =
+    """WITH med AS (
+      |  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+      |), dev AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m USING (event_type)
+      |), st AS (
+      |  SELECT event_type, max(med) AS med, median(adev) AS mad
+      |  FROM dev GROUP BY 1
+      |)
+      |SELECT d.event_type, max(s.med) AS med, max(s.mad) AS mad,
+      |  CAST(COUNT(*) FILTER (d.adev > 3.0 * s.mad) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM dev d JOIN st s USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
+
+  /** Per-type OLS trend (closed form): slope/intercept of value against
+    * hours-since-2024-01-01, from one aggregate pass of exact moments —
+    * Σx, Σx² as BIGINTs, Σy, Σxy through the decimal-sum recipe — then
+    * a single mirrored double evaluation of
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)`. Exact sums make the final
+    * doubles engine-identical; the x offset keeps every product far
+    * inside both 2⁵³ and the decimal range. */
+  def trend(spark: SparkSession, dir: String): DataFrame = {
+    val startUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val e = Catalog.load(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - ${startUs}L) div 3600000000L").as("x"),
+        col("value"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        Det.dsum(col("value")).as("sy"),
+        Det.dsum(col("x").cast("double") * col("value")).as("sxy"))
+      .withColumn("slope",
+        (col("n").cast("double") * col("sxy")
+          - col("sx").cast("double") * col("sy")) /
+          (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .select(col("event_type"), col("n"), col("slope"), col("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  private val trendSql = {
+    val sy = Det.sqlSum("value")
+    val sxy = Det.sqlSum("CAST(x AS DOUBLE) * value")
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 1000 - 1704067200000000) // 3600000000 AS x,
+      |    value
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |), m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    SY AS sy,
+      |    SXY AS sxy
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+      |  (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      |FROM m
+      |ORDER BY event_type""".stripMargin
+      .replace("SY", sy).replace("SXY", sxy)
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q140_scd2", scd2, Some(scd2Sql),
+      "SCD-2 intervalization: state-change rows opened/closed into " +
+        "validity intervals, one user_id exchange"),
+    Q("q141_rolling_distinct", rollingDistinct, Some(rollingDistinctSql),
+      "exact trailing-7-day distinct users via broadcast day-spine " +
+        "range join"),
+    Q("q142_mad_outliers", madOutliers, Some(madOutliersSql),
+      "MAD robust outlier profile per event_type (exact medians, " +
+        "broadcast stats)"),
+    Q("q144_trend", trend, Some(trendSql),
+      "closed-form OLS trend per event_type from exact decimal/bigint " +
+        "moments"),
     Q("q134_twap", twap, Some(twapSql),
       "time-weighted average value per user: lead-gap weights, decimal " +
         "product sums, one user_id exchange"),

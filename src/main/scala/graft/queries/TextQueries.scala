@@ -440,7 +440,90 @@ object TextQueries {
       |FROM c WHERE cum_tokens <= 1000
       |ORDER BY source, cum_tokens""".stripMargin
 
+  /** BM25 retrieval scoring (k1 = 1.2, b = 0.75) for a fixed query-term
+    * set, top-10 docs per term. The idf keeps Robertson's rational form
+    * `(N − df + 0.5) / (df + 0.5)` WITHOUT the log — log is monotone, so
+    * ranks are identical, and rational arithmetic over exact counts is
+    * engine-identical where ln() is not (same trick as q98's tf-idf).
+    * Corpus stats (N, Σdl) are a 1-row broadcast; df is a 3-row
+    * broadcast — the only data-sized shuffle is the per-doc tf
+    * aggregate. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("join", "vector", "scan")
+    val d = docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .filter(col("dl") > 0)
+    val corpus = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nD = col("n_docs").cast("double")
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        (nD - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("score",
+        (col("idf") * (col("tf").cast("double") * lit(2.2))) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("sum_dl").cast("double") / nD)))))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("term"), col("rk"), col("doc_id"), col("tf"), col("dl"),
+        col("score"))
+      .orderBy(col("term"), col("rk"))
+  }
+
+  private val bm25Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents WHERE text IS NOT NULL
+      |), corpus AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    CAST(SUM(dl) AS DOUBLE) AS sum_dl
+      |  FROM d
+      |), tf AS (
+      |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+      |  WHERE term IN ('join', 'vector', 'scan')
+      |  GROUP BY 1, 2, 3
+      |), dfreq AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), s AS (
+      |  SELECT tf.term, tf.doc_id, tf.tf, tf.dl,
+      |    (n_docs - CAST(df AS DOUBLE) + 0.5)
+      |      / (CAST(df AS DOUBLE) + 0.5) AS idf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
+      |), sc AS (
+      |  SELECT term, doc_id, tf, dl,
+      |    (idf * (CAST(tf AS DOUBLE) * 2.2)) /
+      |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |        (CAST(dl AS DOUBLE) /
+      |          ((SELECT sum_dl FROM corpus) / (SELECT n_docs FROM corpus)))))
+      |      AS score
+      |  FROM s
+      |)
+      |SELECT term,
+      |  CAST(row_number() OVER (PARTITION BY term
+      |    ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+      |  doc_id, tf, dl, score
+      |FROM sc
+      |QUALIFY rk <= 10
+      |ORDER BY term, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q143_bm25", bm25, Some(bm25Sql),
+      "BM25 top-10 docs per query term (rational ln-free idf, broadcast " +
+        "corpus stats)"),
     Q("q125_token_budget", tokenBudget, Some(tokenBudgetSql),
       "per-source greedy token-budget selection (longest-first running " +
         "sum, one window per source key)"),

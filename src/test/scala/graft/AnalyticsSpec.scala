@@ -89,6 +89,29 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("bfsHops: hand-computed path graph — min dist, hop bound, " +
+    "unreachable excluded, early exit on empty frontier") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // directed path a→b→c→d plus shortcut a→c; island x→y unreachable
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+      ("x", "y")).toDF("u", "v")
+    val seeds = Seq("a").toDF("n")
+    val d3 = graft.ops.GraphOps.bfsHops(edges, seeds, maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    // shortcut wins: c at 1 hop (not 2), d at 2
+    assert(d3 == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    // hop bound truncates: maxHops = 1 stops before d
+    val d1 = graft.ops.GraphOps.bfsHops(edges, seeds, maxHops = 1)
+      .as[(String, Long)].collect().toMap
+    assert(d1 == Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+    // multi-source: nearest seed wins; early exit past exhaustion
+    val multi = graft.ops.GraphOps.bfsHops(
+        edges, Seq("a", "d").toDF("n"), maxHops = 99)
+      .as[(String, Long)].collect().toMap
+    assert(multi("d") == 0L && multi("c") == 1L)
+  }
+
   test("pageRank: hand-computed star graph, partition-layout independent") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
