@@ -182,6 +182,35 @@ object TextOps {
         "dup_5gram_frac")
   }
 
+  /** Per-document deflate compression ratio — the Gopher/RefinedWeb
+    * quality signal the repetition metrics approximate: highly
+    * repetitive or templated text compresses far below natural prose.
+    * `ratio = deflated_bytes / utf8_bytes` (level 6, raw deflate), so
+    * lower = more redundant. Partition-local single pass, one reused
+    * Deflater per partition, zero shuffles. The byte stream a codec
+    * emits is implementation-specific → no SQL oracle; bounds and
+    * monotonicity are spec-checked instead (TextQueries registers the
+    * rows-only form). */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        it.filter(t => t._2 != null && t._2.nonEmpty).map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished())
+            out += deflater.deflate(buf)
+          (id, raw.length.toLong, out, out.toDouble / raw.length)
+        }
+      }.toDF("doc_id", "n_bytes", "n_deflated", "compression_ratio")
+  }
+
   /** RAG chunking: split each document into overlapping token windows —
     * the unit a retrieval pipeline embeds and indexes (the reference IS
     * a RAG ingest pipeline; this is its missing center). Windows are

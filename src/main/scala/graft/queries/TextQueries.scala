@@ -520,7 +520,13 @@ object TextQueries {
       |QUALIFY rk <= 10
       |ORDER BY term, rk""".stripMargin
 
+  def compression(spark: SparkSession, dir: String): DataFrame =
+    TextOps.compressionRatio(docs(spark, dir)).orderBy(col("doc_id"))
+
   val all: Seq[Q] = Seq(
+    Q("q145_compression", compression, None,
+      "per-doc deflate compression ratio (codec-specific bytes → " +
+        "rows-only; bounds spec-checked)"),
     Q("q143_bm25", bm25, Some(bm25Sql),
       "BM25 top-10 docs per query term (rational ln-free idf, broadcast " +
         "corpus stats)"),

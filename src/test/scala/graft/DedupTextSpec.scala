@@ -114,6 +114,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r(3L) == ((8L, 0.5, 4.0 / 7, 0.5)))
   }
 
+  test("compressionRatio: repetitive text compresses below diverse text; " +
+    "bounds hold; null/empty dropped") {
+    val diverse = (0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val d = Seq(
+      (1L, "spam " * 200),            // maximally repetitive
+      (2L, diverse),                  // high-entropy token stream
+      (3L, null.asInstanceOf[String]),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextOps.compressionRatio(d)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r.keySet == Set(1L, 2L)) // null/empty absent, not NaN rows
+    assert(r(1L)._4 < r(2L)._4)     // redundancy compresses further
+    assert(r.values.forall(t => t._4 > 0 && t._4 < 1.2 && t._3 > 0))
+    assert(r(1L)._2 == 1000L)       // utf8 byte count is exact
+  }
+
   test("scrubbed: masks emails/urls/long numbers and flags the docs") {
     val d = Seq(
       (1L, "contact bob@example.com or visit https://x.io/page ref 123456789"),

@@ -310,4 +310,36 @@ class PublishSpec extends AnyFunSuite {
     assert(clustered < random / 2,
       s"clustered=$clustered random=$random — published layout should prune")
   }
+
+  test("Bucketed: co-bucketed tables join AND aggregate with zero shuffle " +
+    "exchanges, result equal to the plain join") {
+    import graft.pipelines.Bucketed
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.catalog.Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = graft.catalog.Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Bucketed.publish(li, "b_li", "l_orderkey", nBuckets = 8)
+    Bucketed.publish(o, "b_o", "l_orderkey", nBuckets = 8)
+    try {
+      // force the sort-merge path: broadcast would hide the layout win
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketed.join(spark, "b_li", "b_o", Seq("l_orderkey"))
+      assert(j.count() == li.join(o, Seq("l_orderkey")).count())
+      val jp = j.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$jp")
+      // aggregation on the bucket column rides the same layout
+      val a = Bucketed.read(spark, "b_li").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      a.collect()
+      val ap = a.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange hashpartitioning"),
+        s"bucketed aggregate must not shuffle:\n$ap")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_li")
+      spark.sql("DROP TABLE IF EXISTS b_o")
+    }
+  }
 }
