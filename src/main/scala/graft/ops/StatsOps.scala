@@ -112,6 +112,65 @@ object StatsOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Count-Min buffer: the depth×width counter matrix, row-major. */
+  case class CmBuf(counts: Array[Long])
+
+  /** Count-Min sketch (Cormode & Muthukrishnan) as a typed mergeable
+    * Aggregator — the frequency-estimation member of the sketch family
+    * next to HLL (q106, cardinality), the quantile sketch (q93) and
+    * Misra–Gries ([[HeavyHittersAgg]], top candidates). Each item
+    * increments one counter per row (hash seeded by the row index);
+    * merge is ELEMENTWISE ADDITION, so unlike Misra–Gries the final
+    * matrix is bit-identical under any partitioning or merge order —
+    * the property the spec asserts. `estimate` (min over rows) never
+    * underestimates, and overestimates by more than 2n∕width on a given
+    * row with probability ≤ 1/2, i.e. on all `depth` rows with
+    * probability ≤ 2^-depth. Fixed 4×256 longs = 8 KiB per group —
+    * safe to keep per key at any corpus size. */
+  class CountMinAgg(depth: Int = 4, width: Int = 256)
+      extends org.apache.spark.sql.expressions.Aggregator[String, CmBuf, Array[Long]] {
+    def zero: CmBuf = CmBuf(new Array[Long](depth * width))
+
+    private def cell(r: Int, item: String): Int = {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(item),
+        org.apache.spark.sql.types.StringType, r.toLong)
+      r * width + java.lang.Math.floorMod(h, width.toLong).toInt
+    }
+
+    def reduce(b: CmBuf, item: String): CmBuf = {
+      if (item != null) {
+        var r = 0
+        while (r < depth) { b.counts(cell(r, item)) += 1L; r += 1 }
+      }
+      b
+    }
+
+    def merge(x: CmBuf, y: CmBuf): CmBuf = {
+      var i = 0
+      while (i < x.counts.length) { x.counts(i) += y.counts(i); i += 1 }
+      x
+    }
+
+    def finish(r: CmBuf): Array[Long] = r.counts
+    def bufferEncoder: org.apache.spark.sql.Encoder[CmBuf] =
+      org.apache.spark.sql.Encoders.product[CmBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+    /** Point frequency estimate from a finished sketch (min over rows). */
+    def estimate(sketch: Array[Long], item: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = sketch(cell(r, item))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
+
   /** Deterministic stratified sampling: within each stratum (`by`), rank
     * rows by a multiplicative-hash key of the id (exact BIGINT arithmetic
     * — the same expression runs on any engine, unlike rand(seed) whose

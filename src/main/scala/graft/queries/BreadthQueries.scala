@@ -535,7 +535,61 @@ object BreadthQueries {
       |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
       |ORDER BY o_custkey""".stripMargin
 
+  /** Reciprocal-rank fusion of two supplier rankings — by exact-decimal
+    * revenue and by distinct orders served (the multi-signal ranking
+    * merge behind hybrid search, here over relational signals so the
+    * whole thing is oracle-checkable). Ranks are deterministic
+    * row_numbers with key tie-breaks; the RRF score 1∕(60+r₁) + 1∕(60+r₂)
+    * is two mirrored IEEE divisions, exact on both engines. Each ranking
+    * is one aggregate + one window; the fusion joins on the key. */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Catalog.load(spark, dir, "lineitem")
+    val byRev = li.groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .withColumn("r_rev", row_number().over(
+        Window.partitionBy().orderBy(col("revenue").desc, col("l_suppkey"))))
+    val byCnt = li.groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      .withColumn("r_cnt", row_number().over(
+        Window.partitionBy().orderBy(col("n_orders").desc, col("l_suppkey"))))
+    byRev.join(byCnt, "l_suppkey")
+      .select(col("l_suppkey"), col("r_rev"), col("r_cnt"),
+        (lit(1.0) / (lit(60.0) + col("r_rev"))
+          + lit(1.0) / (lit(60.0) + col("r_cnt"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("l_suppkey"))
+      .limit(20)
+  }
+
+  private val rankFusionSql = {
+    val rev = sqlSum("l_extendedprice * (1.0 - l_discount)")
+    s"""WITH a AS (
+       |  SELECT l_suppkey, $rev AS revenue
+       |  FROM lineitem GROUP BY 1
+       |), ra AS (
+       |  SELECT l_suppkey,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_suppkey) AS INT) AS r_rev
+       |  FROM a
+       |), b AS (
+       |  SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_orders
+       |  FROM lineitem GROUP BY 1
+       |), rb AS (
+       |  SELECT l_suppkey,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC, l_suppkey) AS INT) AS r_cnt
+       |  FROM b
+       |)
+       |SELECT l_suppkey, r_rev, r_cnt,
+       |  1.0 / (60.0 + r_rev) + 1.0 / (60.0 + r_cnt) AS rrf
+       |FROM ra JOIN rb USING (l_suppkey)
+       |ORDER BY rrf DESC, l_suppkey
+       |LIMIT 20""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q154_rank_fusion", rankFusion, Some(rankFusionSql),
+      "reciprocal-rank fusion of revenue and order-count supplier " +
+        "rankings (mirrored IEEE 1/(60+r) terms)"),
     Q("q133_relational_division", relationalDivision,
       Some(relationalDivisionSql),
       "FOR-ALL division: customers covering every priority class, " +

@@ -419,6 +419,12 @@ object DedupQueries {
       "MinHash(64)+LSH(16x4) near-dup pairs, exact-verified (spec-checked)"),
     Q("q63_simhash", simhashSigs, None,
       "64-bit SimHash signatures (spec-checked)"),
+    Q("q156_simhash_pairs",
+      (s, d) => DedupOps.simhashPairs(docs(s, d))
+        .orderBy(col("doc_a"), col("doc_b")),
+      None,
+      "SimHash near-dup pairs: 4x16-bit sub-band collision + exact " +
+        "bit_count hamming verify (spec-checked vs brute force)"),
     Q("q65_dedup_clusters", clusters, Some(clustersSql),
       "connected-component dup clusters via min-label propagation (oracle: recursive CTE)"),
     Q("q66_corpus_clean", corpusClean, Some(corpusCleanSql),

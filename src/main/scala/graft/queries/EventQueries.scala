@@ -797,7 +797,270 @@ object EventQueries {
       .replace("SY", sy).replace("SXY", sxy)
   }
 
+  /** Forward-fill (LOCF): each event carries the most recent non-error
+    * value at-or-before it for its user. `last(_, ignoreNulls)` over an
+    * explicit ROWS running frame is the distributed gap-fill primitive —
+    * one user_id exchange + sort-within-partition, no self-join, no
+    * collect, and the frame never buffers more than the frame head. The
+    * filled value passes through unchanged (no arithmetic), so
+    * cross-engine equality is structural. */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        when(col("event_type") =!= "error", col("value")).as("v"))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("filled"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  private val forwardFillSql =
+    """SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+      |  LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM events
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  /** Finite-horizon EWMA with dyadic weights 8/4/2/1 over the last four
+    * events per user. Dyadic weights make every product IEEE-exact and
+    * the fixed-shape left-to-right sum evaluates identically on both
+    * engines; missing lags drop out of the numerator (COALESCE 0) and the
+    * divisor (conditional weight) together. One window exchange, three
+    * lags riding the same sort. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .withColumn("v1", lag(col("value"), 1).over(w))
+      .withColumn("v2", lag(col("value"), 2).over(w))
+      .withColumn("v3", lag(col("value"), 3).over(w))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        ((col("value") * lit(8.0)
+          + coalesce(col("v1"), lit(0.0)) * lit(4.0)
+          + coalesce(col("v2"), lit(0.0)) * lit(2.0)
+          + coalesce(col("v3"), lit(0.0)))
+          / (lit(8)
+            + when(col("v1").isNotNull, 4).otherwise(0)
+            + when(col("v2").isNotNull, 2).otherwise(0)
+            + when(col("v3").isNotNull, 1).otherwise(0)).cast("double"))
+          .as("ewma"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  private val ewmaSql =
+    """WITH l AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value,
+      |    lag(value, 1) OVER w AS v1,
+      |    lag(value, 2) OVER w AS v2,
+      |    lag(value, 3) OVER w AS v3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY epoch_ns(ts) // 1000, event_id)
+      |)
+      |SELECT user_id, ts_us, event_id,
+      |  (value * 8.0 + COALESCE(v1, 0.0) * 4.0
+      |   + COALESCE(v2, 0.0) * 2.0 + COALESCE(v3, 0.0))
+      |  / CAST(8 + CASE WHEN v1 IS NOT NULL THEN 4 ELSE 0 END
+      |           + CASE WHEN v2 IS NOT NULL THEN 2 ELSE 0 END
+      |           + CASE WHEN v3 IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE)
+      |  AS ewma
+      |FROM l
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  /** Per-user modal event type (grouped MODE with a deterministic
+    * lexicographic tie-break — engine mode() builtins break ties
+    * arbitrarily, so they can't be hash-compared). Count aggregate +
+    * top-1 window on the already-aggregated (user, type) table: the
+    * window input is ≤ |users|·|types| rows, never the raw events. */
+  def modeType(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Catalog.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+      .orderBy(col("user_id"))
+  }
+
+  private val modeTypeSql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events WHERE event_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT user_id, event_type, n,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY n DESC, event_type) AS rn
+      |  FROM c
+      |)
+      |SELECT user_id, event_type AS mode_type, n
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Dwell time: per event type, exact median/p90 of the µs gap to the
+    * user's NEXT event (lead window) — the engagement-latency profile.
+    * Gaps are exact BIGINT µs; percentiles by explicit rank selection
+    * ([[graft.ops.StatsOps.rankPercentiles]]) so both engines pick the
+    * same elements. Two window exchanges (user_id, then event_type). */
+  def dwellTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("gap_us").isNotNull && col("event_type").isNotNull)
+    graft.ops.StatsOps
+      .rankPercentiles(gaps, col("event_type"), col("gap_us"), col("event_id"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+  }
+
+  private val dwellTimeSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    lead(epoch_ns(ts) // 1000, 1) OVER
+      |      (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+      |      - epoch_ns(ts) // 1000 AS gap_us,
+      |    event_id
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, gap_us,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY gap_us, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM g WHERE gap_us IS NOT NULL AND event_type IS NOT NULL
+      |)
+      |SELECT event_type, MAX(n) AS n,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN gap_us END)) / 2 AS median,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN gap_us END) AS p90
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Chi-square independence scan of event_type × hour-of-day — the
+    * drift/association test behind data-quality monitors (is traffic mix
+    * time-dependent?). Observed/expected from one contingency aggregate +
+    * whole-table window totals; each cell's (o−e)²∕e is a mirrored IEEE
+    * evaluation over exact BIGINT totals, and the per-type cell sum runs
+    * through the decimal-cast recipe so partitioning can't reorder it. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Catalog.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("o"))
+    val withTotals = cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("hr"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    withTotals
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e"))
+      .groupBy(col("event_type"))
+      .agg(max(col("rt")).as("n_row"),
+        count(lit(1)).as("n_cells"),
+        Det.dsum(col("term")).as("chi2_part"))
+      .orderBy(col("event_type"))
+  }
+
+  private val chiSquareSql = {
+    val term = Det.sqlSum("term")
+    s"""WITH c AS (
+       |  SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS o
+       |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1, 2
+       |), t AS (
+       |  SELECT event_type, hr, o,
+       |    SUM(o) OVER (PARTITION BY event_type) AS rt,
+       |    SUM(o) OVER (PARTITION BY hr) AS ct,
+       |    SUM(o) OVER () AS n
+       |  FROM c
+       |), x AS (
+       |  SELECT event_type, rt,
+       |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+       |  FROM t
+       |)
+       |SELECT event_type, CAST(MAX(rt) AS BIGINT) AS n_row,
+       |  COUNT(*) AS n_cells, $term AS chi2_part
+       |FROM x
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** Day-over-day revenue change: exact decimal daily sums from orders,
+    * then a lag window and ONE mirrored double division for the percent
+    * change — period-over-period reporting with no engine-specific
+    * rounding. Day buckets are epoch-µs BIGINTs like every event query
+    * here. */
+  def popChange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(unix_micros(date_trunc("day", col("o_orderdate"))).as("day_us"))
+      .agg(Det.dsum(col("o_totalprice")).as("revenue"))
+    daily
+      .withColumn("prev", lag(col("revenue"), 1).over(
+        Window.partitionBy().orderBy(col("day_us"))))
+      .select(col("day_us"), col("revenue"),
+        ((col("revenue") - col("prev")) / col("prev") * lit(100.0))
+          .as("pct_change"))
+      .orderBy(col("day_us"))
+  }
+
+  private val popChangeSql = {
+    val rev = Det.sqlSum("o_totalprice")
+    s"""WITH d AS (
+       |  SELECT epoch_ns(date_trunc('day', o_orderdate)) // 1000 AS day_us,
+       |    $rev AS revenue
+       |  FROM orders WHERE o_orderdate IS NOT NULL
+       |  GROUP BY 1
+       |)
+       |SELECT day_us, revenue,
+       |  (revenue - lag(revenue, 1) OVER (ORDER BY day_us))
+       |    / lag(revenue, 1) OVER (ORDER BY day_us) * 100.0 AS pct_change
+       |FROM d
+       |ORDER BY day_us""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q146_forward_fill", forwardFill, Some(forwardFillSql),
+      "forward-fill (LOCF): last non-error value carried forward per " +
+        "user via a null-skipping running window"),
+    Q("q147_ewma", ewma, Some(ewmaSql),
+      "finite-horizon EWMA with dyadic 8/4/2/1 weights over the last " +
+        "four events per user (IEEE-exact both engines)"),
+    Q("q148_mode", modeType, Some(modeTypeSql),
+      "grouped MODE with deterministic tie-break (top-1 window over the " +
+        "aggregated contingency, not the raw events)"),
+    Q("q151_dwell_time", dwellTime, Some(dwellTimeSql),
+      "per-type exact median/p90 dwell time to the next user event " +
+        "(BIGINT µs gaps, rank-selected percentiles)"),
+    Q("q152_chi_square", chiSquare, Some(chiSquareSql),
+      "chi-square independence scan of event_type x hour (drift test; " +
+        "mirrored IEEE cells, decimal-exact sum)"),
+    Q("q155_pop_change", popChange, Some(popChangeSql),
+      "day-over-day revenue percent change (exact decimal daily sums, " +
+        "one mirrored division)"),
     Q("q140_scd2", scd2, Some(scd2Sql),
       "SCD-2 intervalization: state-change rows opened/closed into " +
         "validity intervals, one user_id exchange"),

@@ -523,7 +523,105 @@ object TextQueries {
   def compression(spark: SparkSession, dir: String): DataFrame =
     TextOps.compressionRatio(docs(spark, dir)).orderBy(col("doc_id"))
 
+  /** Inverted index (search-engine posting lists): term → document
+    * frequency + the ordered CSV postings list, for mid-frequency terms
+    * (5 ≤ df ≤ 50 — high-df postings belong in a different layout and
+    * low-df terms are noise). WITHIN GROUP ordering makes the list
+    * deterministic; the build is one explode + distinct + one aggregate,
+    * everything keyed on the term, nothing driver-side. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        expr("listagg(CAST(doc_id AS STRING), ',') WITHIN GROUP (ORDER BY doc_id)")
+          .as("postings"))
+      .filter(col("df").between(5, 50))
+      .orderBy(col("tok"))
+
+  private val invertedIndexSql =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+      |)
+      |SELECT tok, COUNT(*) AS df,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM t
+      |GROUP BY tok
+      |HAVING COUNT(*) BETWEEN 5 AND 50
+      |ORDER BY tok""".stripMargin
+
+  /** Deterministic weighted Bernoulli sample: P(keep) = n_chars ∕
+    * max(n_chars) — longer documents proportionally more likely, the
+    * hash draw replayable on any engine (pure integer arithmetic, the
+    * q109 multiplicative-hash family). The corpus max rides a broadcast
+    * 1-row join; the draw-vs-threshold compare is cross-multiplied so no
+    * division ever happens. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000000007L
+    val d = docs(spark, dir)
+      .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+    val mx = d.agg(max(col("n_chars")).as("mx"))
+    d.crossJoin(broadcast(mx))
+      .withColumn("draw",
+        pmod(pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p)),
+          lit(1000000L)))
+      .filter(col("draw") * col("mx") < col("n_chars") * lit(1000000L))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val weightedSampleSql =
+    """WITH m AS (
+      |  SELECT MAX(n_chars) AS mx FROM documents
+      |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |)
+      |SELECT doc_id, lang, source, n_chars
+      |FROM documents, m
+      |WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |  AND ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 * mx
+      |      < n_chars * 1000000
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic k-fold cross-validation assignment (k = 5): fold =
+    * multiplicative hash of doc_id mod 5, reported as the fold × lang
+    * census (docs, chars, distinct sources) that validates the split is
+    * balanced. Pure integer hashing → the same folds on every engine and
+    * every run; one aggregate, no sampling state. */
+  def kfold(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000000007L
+    docs(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .withColumn("fold",
+        pmod(pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p)),
+          lit(5L)))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
+  private val kfoldSql =
+    """SELECT ((doc_id % 1000000007) * 2654435761) % 1000000007 % 5 AS fold,
+      |  lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents WHERE doc_id IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY fold, lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q149_inverted_index", invertedIndex, Some(invertedIndexSql),
+      "inverted-index posting lists for mid-frequency terms (ordered " +
+        "LISTAGG, term-keyed build)"),
+    Q("q150_weighted_sample", weightedSample, Some(weightedSampleSql),
+      "weighted Bernoulli sample, P(keep) proportional to n_chars " +
+        "(integer hash draw, division-free compare)"),
+    Q("q153_kfold", kfold, Some(kfoldSql),
+      "deterministic 5-fold CV assignment + fold x lang balance census"),
     Q("q145_compression", compression, None,
       "per-doc deflate compression ratio (codec-specific bytes → " +
         "rows-only; bounds spec-checked)"),

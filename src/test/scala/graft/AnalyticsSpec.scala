@@ -156,6 +156,36 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("Count-Min sketch: never underestimates, layout-independent matrix, " +
+    "estimates within the 2n/width bound") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val agg = new graft.ops.StatsOps.CountMinAgg(depth = 4, width = 256)
+    val words = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 915).map(i => s"w${i % 300}")
+    val trueCounts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sketches = Seq(1, 7, 13).map(p =>
+      words.toDS().repartition(p).select(agg.toColumn).head())
+    // elementwise-add merge → the SAME matrix under any partitioning
+    // (unlike Misra-Gries, whose candidate set is layout-dependent)
+    assert(sketches.tail.forall(_.sameElements(sketches.head)))
+    val sk = sketches.head
+    assert(sk.sum == 4L * words.size) // every item lands once per row
+    trueCounts.foreach { case (w, c) =>
+      assert(agg.estimate(sk, w) >= c,
+        s"$w: underestimate ${agg.estimate(sk, w)} < $c")
+    }
+    // the 2n/width overestimate bound is per-row probabilistic (≤1/2),
+    // so the min over 4 rows exceeds it with prob ≤ 2⁻⁴ per item —
+    // assert the violation RATE, not each item (the sketch is
+    // deterministic, so this is a fixed property of the fixture)
+    val violations = trueCounts.count { case (w, c) =>
+      agg.estimate(sk, w) - c > 2L * words.size / 256
+    }
+    assert(violations <= trueCounts.size / 8,
+      s"$violations of ${trueCounts.size} items exceed the 2n/width bound")
+  }
+
   test("momentStats matches hand-computed variance/covariance/correlation") {
     val df = Seq(
       ("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0), ("g", 4.0, 8.0))
