@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Versioned parquet publishing — the Delta-lite upgrade of the sink
   * family (SURVEY §2.2): every publish writes a NEW immutable version
@@ -357,5 +357,168 @@ object Versioned {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
     publish(keyed, baseDir, name, keep)
+  }
+
+  // ---- file skipping: footer min/max manifest ---------------------------
+
+  private def fileStatsPath(t: Path, v: Long) = new Path(vdir(t, v), "_FILESTATS")
+
+  /** Per-file min/max of one column, harvested from the PARQUET FOOTER —
+    * no data pages are ever read. `None` = the footer carried no usable
+    * statistics for the column (the file can never be skipped). */
+  private def footerMinMax(p: Path,
+      colsWanted: Set[String]): Map[String, (String, String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, Fs.conf))
+    try {
+      // (tag, min, max) per column, folded across row groups; a column
+      // drops out entirely if ANY row group lacks stats (pruning on a
+      // partial picture would be wrong, not just suboptimal)
+      var acc = Map.empty[String, (String, Any, Any)]
+      var dead = Set.empty[String]
+      rd.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { cc =>
+          val name = cc.getPath.toDotString
+          if (colsWanted(name) && !dead(name)) {
+            val st = cc.getStatistics
+            if (st == null || !st.hasNonNullValue) {
+              dead += name; acc -= name
+            } else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Number, mx: java.lang.Number)
+                  if !mn.isInstanceOf[java.lang.Double] &&
+                    !mn.isInstanceOf[java.lang.Float] =>
+                val (l, h) = (mn.longValue(), mx.longValue())
+                acc += name -> (acc.get(name) match {
+                  case Some(("long", pl: Long, ph: Long)) =>
+                    ("long", math.min(pl, l), math.max(ph, h))
+                  case _ => ("long", l, h)
+                })
+              case (mn: java.lang.Number, mx: java.lang.Number) =>
+                val (l, h) = (mn.doubleValue(), mx.doubleValue())
+                acc += name -> (acc.get(name) match {
+                  case Some(("double", pl: Double, ph: Double)) =>
+                    ("double", math.min(pl, l), math.max(ph, h))
+                  case _ => ("double", l, h)
+                })
+              case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) =>
+                val (l, h) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                acc += name -> (acc.get(name) match {
+                  case Some(("string", pl: String, ph: String)) =>
+                    ("string", if (pl < l) pl else l, if (ph > h) ph else h)
+                  case _ => ("string", l, h)
+                })
+              case _ => dead += name; acc -= name // boolean/int96/etc.
+            }
+          }
+        }
+      }
+      acc.map { case (c, (tag, mn, mx)) => c -> (tag, mn.toString, mx.toString) }
+    } finally rd.close()
+  }
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Publish `df` with a `_FILESTATS` manifest: per output file, the
+    * footer min/max of each `statsCols` column — written BEFORE the
+    * `_COMMIT` marker, so the stats are part of the atomic publish (a
+    * version either has its skipping manifest or does not exist).
+    * This is the Delta/Iceberg data-skipping core reduced to its
+    * load-bearing move: at 10⁶ files, a [[readSkipping]] range query
+    * consults one small manifest instead of opening 10⁶ footers — the
+    * planner never even LISTS the non-matching files. Pair with a
+    * clustered layout ([[publishClustered]] or repartitionByRange) so
+    * file ranges are disjoint and skipping actually bites. */
+  def publishSkippable(df: DataFrame, baseDir: String, name: String,
+      statsCols: Seq[String], keep: Int = 3): Long = {
+    require(keep >= 1, "keep must retain at least the current version")
+    val t = tableDir(baseDir, name)
+    Fs.mkdirs(t)
+    val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
+    val vd = vdir(t, next)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(vd.toString)
+    val wanted = statsCols.toSet
+    val lines = Fs.list(vd)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+      .flatMap { p =>
+        val st = footerMinMax(p, wanted)
+        // every file appears at least once (col "-") so readers know the
+        // full file set; stat-less columns simply never prune it
+        val head = s"${enc(p.getName)}\t-\t-\t-\t-"
+        head +: st.toSeq.sorted.map { case (c, (tag, mn, mx)) =>
+          s"${enc(p.getName)}\t${enc(c)}\t$tag\t${enc(mn)}\t${enc(mx)}"
+        }
+      }
+    Fs.writeString(fileStatsPath(t, next), lines.mkString("", "\n", "\n"))
+    commitAndPrune(t, next, keep)
+    next
+  }
+
+  /** Range read through the skipping manifest: returns only rows with
+    * `lo ≤ colName ≤ hi`, reading ONLY the files whose footer min/max
+    * overlaps the range (files without stats for the column are always
+    * read — correctness never depends on the manifest being complete).
+    * The residual filter still applies inside surviving files, and
+    * parquet row-group pruning stacks beneath it. `lo`/`hi` must be
+    * Int/Long for long-stats columns, numbers for double columns, or
+    * Strings for string columns. */
+  def readSkipping(spark: SparkSession, baseDir: String, name: String,
+      colName: String, lo: Any, hi: Any,
+      version: Option[Long] = None): DataFrame = {
+    val t = tableDir(baseDir, name)
+    val v = version.orElse(latestVersion(baseDir, name))
+      .getOrElse(throw new IllegalStateException(s"no committed version of $name"))
+    require(Fs.exists(commitPath(t, v)), s"version $v of $name is not committed")
+    val vd = vdir(t, v)
+    val statsFile = fileStatsPath(t, v)
+    require(Fs.exists(statsFile),
+      s"version $v of $name has no _FILESTATS (published without publishSkippable?)")
+    val rows = Fs.readString(statsFile).split("\n").filter(_.nonEmpty)
+      .map(_.split("\t", -1))
+    val allFiles = rows.map(r => dec(r(0))).distinct.toSeq
+    val statted = rows.filter(r => dec(r(1)) == colName)
+      .map(r => dec(r(0)) -> (r(2), dec(r(3)), dec(r(4)))).toMap
+    def overlaps(tag: String, mn: String, mx: String): Boolean = tag match {
+      case "long" =>
+        val (l, h) = (toLong(lo), toLong(hi))
+        mn.toLong <= h && mx.toLong >= l
+      case "double" =>
+        val (l, h) = (toDouble(lo), toDouble(hi))
+        mn.toDouble <= h && mx.toDouble >= l
+      case "string" =>
+        val (l, h) = (lo.toString, hi.toString)
+        mn <= h && mx >= l
+      case _ => true
+    }
+    val survivors = allFiles.filter(f => statted.get(f) match {
+      case Some((tag, mn, mx)) => overlaps(tag, mn, mx)
+      case None => true // no stats → cannot skip
+    })
+    val residual = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    if (survivors.isEmpty)
+      spark.read.parquet(vd.toString).where(lit(false))
+    else
+      spark.read.parquet(survivors.map(f => new Path(vd, f).toString): _*)
+        .filter(residual)
+  }
+
+  private def toLong(x: Any): Long = x match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case o => throw new IllegalArgumentException(
+      s"long-stats column needs an integral bound, got $o")
+  }
+  private def toDouble(x: Any): Double = x match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case n: java.lang.Number => n.doubleValue()
+    case o => throw new IllegalArgumentException(
+      s"double-stats column needs a numeric bound, got $o")
   }
 }

@@ -544,17 +544,20 @@ object BreadthQueries {
     * is one aggregate + one window; the fusion joins on the key. */
   def rankFusion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = Catalog.load(spark, dir, "lineitem")
-    val byRev = li.groupBy(col("l_suppkey"))
+    // BOTH ranking signals come out of ONE lineitem scan + one supplier
+    // aggregate; the two global rank windows then order only the
+    // |suppliers|-sized frame (a join of two separately-built rankings
+    // would scan and shuffle the fact table twice)
+    val bySupp = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"))
+        .as("revenue"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    bySupp
       .withColumn("r_rev", row_number().over(
         Window.partitionBy().orderBy(col("revenue").desc, col("l_suppkey"))))
-    val byCnt = li.groupBy(col("l_suppkey"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
       .withColumn("r_cnt", row_number().over(
         Window.partitionBy().orderBy(col("n_orders").desc, col("l_suppkey"))))
-    byRev.join(byCnt, "l_suppkey")
       .select(col("l_suppkey"), col("r_rev"), col("r_cnt"),
         (lit(1.0) / (lit(60.0) + col("r_rev"))
           + lit(1.0) / (lit(60.0) + col("r_cnt"))).as("rrf"))

@@ -229,6 +229,79 @@ object Streams {
       }
   }
 
+  case class FillState(events: List[(Long, Long, String, Double)])
+  case class FillOut(user_id: Long, ts_us: Long, event_id: Long,
+      filled: Option[Double])
+
+  /** Pure forward-fill computation (shared by the stream and the batch
+    * twin's spec): each event carries the most recent non-error value
+    * at-or-before it in (ts, event_id) order — exactly the q146 window
+    * semantics; events before the first non-error value emit None. */
+  def computeForwardFill(uid: Long,
+      evs: Seq[(Long, Long, String, Double)]): Seq[FillOut] = {
+    val sorted = evs.sortBy(e => (e._1, e._2))
+    var lastSeen: Option[Double] = None
+    sorted.map { case (ts, id, tpe, v) =>
+      if (tpe != "error") lastSeen = Some(v)
+      FillOut(uid, ts, id, lastSeen)
+    }
+  }
+
+  /** Streaming forward-fill (LOCF): buffer each user's events; when the
+    * watermark passes `quietUs` of event-time silence, sort the COMPLETE
+    * buffered history and emit every event with its carried-forward
+    * value (state removed). Buffering until the horizon closes is what
+    * keeps the fill order-insensitive — an on-the-fly "remember last
+    * value" state machine fills in ARRIVAL order and diverges from the
+    * batch answer the moment events arrive out of order. State per user
+    * is O(events in one horizon). */
+  def forwardFillStream(events: Dataset[EvFull2],
+      quietUs: Long = GapUs): Dataset[FillOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FillState, FillOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvFull2], state: GroupState[FillState]) =>
+          if (state.hasTimedOut) {
+            val evs = state.getOption.map(_.events).getOrElse(Nil)
+            state.remove()
+            computeForwardFill(uid, evs).iterator
+          } else {
+            val incoming = it.map { e =>
+              val inst = e.ts.toInstant
+              (inst.getEpochSecond * 1000000L + inst.getNano / 1000L,
+                e.event_id, e.event_type, e.value)
+            }.toList
+            val all = state.getOption.map(_.events).getOrElse(Nil) ++ incoming
+            if (all.isEmpty) Iterator.empty
+            else {
+              state.update(FillState(all))
+              state.setTimeoutTimestamp(
+                (all.map(_._1).max + quietUs) / 1000L + 1L)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  case class EvFull2(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Raw catalog-schema stream → watermarked typed stream →
+    * [[forwardFillStream]]. */
+  def forwardFillStreamFromRaw(events: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      quietUs: Long = GapUs): Dataset[FillOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    forwardFillStream(
+      events.withWatermark("ts", watermarkDelay)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value")).as[EvFull2],
+      quietUs)
+  }
+
   /** Raw catalog-schema stream → watermarked typed stream →
     * [[attributionStream]]. */
   def attributionStreamFromRaw(events: DataFrame,

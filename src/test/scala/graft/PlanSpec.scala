@@ -200,4 +200,33 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join"))
   }
+
+  test("forward-fill and EWMA run on one user_id exchange, no join") {
+    for (q <- Seq("q146_forward_fill", "q147_ewma")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q:\n$p")
+      assert(!p.contains("Join"), q)
+    }
+  }
+
+  test("mode: top-1 window runs over the AGGREGATED contingency " +
+    "(partial agg before the shuffle, window after)") {
+    val p = plan(graft.Registry.byName("q148_mode").build(spark, dir))
+    // partial+final aggregate pair: the window never sees raw events
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("weighted sample: corpus max broadcasts back; draw filter is " +
+    "join-free integer arithmetic") {
+    val p = plan(graft.Registry.byName("q150_weighted_sample").build(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("rank fusion: two single-row-frame rankings joined on the key, " +
+    "top-20 as TakeOrderedAndProject not a global sort") {
+    val p = plan(graft.Registry.byName("q154_rank_fusion").build(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

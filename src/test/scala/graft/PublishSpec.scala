@@ -311,6 +311,40 @@ class PublishSpec extends AnyFunSuite {
       s"clustered=$clustered random=$random — published layout should prune")
   }
 
+  test("publishSkippable + readSkipping: a range query opens ONLY the " +
+    "overlapping files; result equals the full-scan filter") {
+    val base = tmp("skipping")
+    val docs = graft.catalog.Catalog.load(spark, "/root/testdata/sf0.01",
+      "documents")
+    // range-clustered layout: 8 files with disjoint doc_id spans
+    Versioned.publishSkippable(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      base, "docs", statsCols = Seq("doc_id", "lang"))
+    val full = Versioned.read(spark, base, "docs")
+    val nFiles = full.inputFiles.length
+    assert(nFiles >= 4, s"expected a multi-file layout, got $nFiles")
+    // long-stats pruning on the clustered column
+    val pruned = Versioned.readSkipping(spark, base, "docs", "doc_id", 100L, 140L)
+    val expect = full.filter(col("doc_id").between(100, 140))
+      .collect().map(_.toSeq).toSet
+    assert(pruned.collect().map(_.toSeq).toSet == expect)
+    assert(pruned.inputFiles.length < nFiles / 2,
+      s"${pruned.inputFiles.length} of $nFiles files read — skipping did not bite")
+    // string-stats bounds on an UNclustered column: every file matched
+    // ('lang' spans the whole alphabet in each file) → no pruning, same rows
+    val byLang = Versioned.readSkipping(spark, base, "docs", "lang", "de", "en")
+    assert(byLang.collect().map(_.toSeq).toSet ==
+      full.filter(col("lang") >= "de" && col("lang") <= "en")
+        .collect().map(_.toSeq).toSet)
+    // a range outside every file's span reads NOTHING, schema intact
+    val none = Versioned.readSkipping(spark, base, "docs", "doc_id",
+      10000000L, 20000000L)
+    assert(none.count() == 0 && none.columns.sameElements(full.columns))
+    // stats ride the atomic commit: _FILESTATS lives inside the version dir
+    assert(Fs.exists(new Path(s"$base/docs/_v0/_FILESTATS")))
+  }
+
   test("Bucketed: co-bucketed tables join AND aggregate with zero shuffle " +
     "exchanges, result equal to the plain join") {
     import graft.pipelines.Bucketed

@@ -159,6 +159,37 @@ class StreamsSpec extends AnyFunSuite {
     assert(emitted.nonEmpty)
   }
 
+  test("streaming forward-fill: watermark-flushed state == batch q146 " +
+    "window query") {
+    val staged = java.nio.file.Files.createTempDirectory("events-fill-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = Streams.forwardFillStreamFromRaw(
+        Streams.eventStream(spark, staged.toString),
+        quietUs = 365L * 86400L * 1000000L)
+      .toDF().writeStream.format("memory").queryName("ffill")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val maxTsNs = spark.read.schema(graft.catalog.Catalog.events.schema)
+      .parquet(s"$dir/events.parquet").agg(max("ts")).as[Long].head()
+    val sentinelNs = maxTsNs + 366L * 86400L * 1000000000L
+    val tmpOut = java.nio.file.Files.createTempDirectory("ffill-sentinel")
+    Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = java.nio.file.Files.list(tmpOut)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("ffill").filter($"user_id" >= 0)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    val batch = EventQueries.forwardFill(spark, dir)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(emitted == batch)
+    assert(emitted.exists(_._4.isDefined)) // fills actually happened
+  }
+
   test("maintainAggregate: streaming MV == one-shot aggregate at every " +
     "version (decimal-exact)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
