@@ -41,7 +41,10 @@ object Bench {
     // the full 110+-query map at double precision is ~2× that, so a
     // tail-based parse of it can never succeed). Slowest queries first,
     // ms precision, capped so line + trailing build-status line < 2000.
-    val maxQueryChars = 1500
+    // 1000 (not 1500): with 150+ queries line 2 must leave room in the
+    // ~1900-char tail for the trailing sbt status line plus any shutdown
+    // warnings — at 1500 the margin was ~200 chars.
+    val maxQueryChars = 1000
     val byCost = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
     val kept = byCost.scanLeft(0)((acc, e) => acc + e.length + 1).tail
