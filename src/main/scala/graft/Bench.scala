@@ -24,6 +24,14 @@ object Bench {
         catch { case e: Throwable =>
           errors(name) = e.getClass.getSimpleName; None }
       }
+      // Release engine-internal persisted state (localCheckpoint blocks
+      // from the dedup/graph builders, cached plans) before the next
+      // query: in a 150-query single-JVM sweep the leftover blocks
+      // otherwise accumulate in the block manager and inflate later
+      // queries' times by memory pressure they didn't cause.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
       // ANY failed rep reports -1.0 (excluded from total): a query that
       // crashes intermittently must never masquerade as a healthy median
       name -> (if (times.size < reps) -1.0 else times.sorted.apply(times.size / 2))

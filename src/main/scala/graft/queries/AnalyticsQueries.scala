@@ -935,5 +935,180 @@ object AnalyticsQueries {
     Q("q58_udf_scalar", udfScalar, Some(udfScalarSql),
       "Scala closure UDFs pinned against the equivalent SQL"),
     Q("q59_salted_join", saltedJoinAgg, Some(saltedJoinAggSql),
-      "skew-salted join (deterministic salt, x8 replication) == plain join"))
+      "skew-salted join (deterministic salt, x8 replication) == plain join"),
+    Q("q157_acf", acf, Some(acfSql),
+      "autocorrelation of the daily-revenue series at lags 1-7 " +
+        "(decimal-exact centered products, tiny post-aggregate window)"),
+    Q("q160_benford", benford, Some(benfordSql),
+      "Benford first-digit audit of prices (integer-cents digit " +
+        "extraction, literal log10 expectations)"),
+    Q("q162_degree_hist", degreeHist, Some(degreeHistSql),
+      "power-of-two degree histogram of the co-supply graph " +
+        "(bit-length buckets, no floating log2)"))
+
+  // ---- time-series diagnostics ----------------------------------------
+
+  /** Lag-1..7 autocorrelation of the daily revenue series. The series is
+    * the OUTPUT of a distributed aggregate (one row per calendar day —
+    * bounded by the calendar, not by sf), so the ordered lag window runs
+    * on an aggregate-sized frame; the scan/aggregate below it is the
+    * only data-sized work. Centered products go through the
+    * [[graft.ops.Det]] decimal recipe so the sums hash-match DuckDB
+    * regardless of partition order; the final acf is one double
+    * division of two order-independent sums. */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val stats = daily.agg(davg(col("rev")).as("m"))
+    // scale to millions BEFORE the centered products: at daily-revenue
+    // magnitude (1e6+) a product's double ulp exceeds the decimal(38,6)
+    // step, and the two engines' double→decimal casts (shortest-string
+    // vs exact-binary) round the sub-ulp digits differently. O(1)-sized
+    // products keep the 6th decimal well inside double precision; the
+    // acf ratio is invariant to the (exact, power-of-ten) scaling.
+    val centered = daily.crossJoin(broadcast(stats))
+      .withColumn("c", (col("rev") - col("m")) / lit(1e6))
+    val den = centered.agg(dsum(col("c") * col("c")).as("den"))
+    val w = Window.orderBy(col("d"))
+    val legs = (1 to 7).map { k =>
+      centered
+        .withColumn("cl", lag(col("c"), k).over(w))
+        .agg(lit(k).as("lag"), count(col("cl")).as("n_pairs"),
+          dsum(col("c") * col("cl")).as("num"))
+    }
+    legs.reduce(_.unionByName(_))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"), (col("num") / col("den")).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  private lazy val acfSql = {
+    val legs = (1 to 7).map { k =>
+      s"""SELECT $k AS lag, COUNT(cl$k) AS n_pairs,
+         |  ${sqlSum(s"c * cl$k")} AS num
+         |FROM l""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    ${sqlSum("o_totalprice")} AS rev
+       |  FROM orders GROUP BY 1
+       |), s AS (
+       |  SELECT ${sqlAvg("rev")} AS m FROM daily
+       |), cent AS (
+       |  SELECT d, (rev - m) / 1e6 AS c FROM daily, s
+       |), den AS (
+       |  SELECT ${sqlSum("c * c")} AS den FROM cent
+       |), l AS (
+       |  SELECT c,
+       |    ${(1 to 7).map(k => s"lag(c, $k) OVER (ORDER BY d) AS cl$k")
+                 .mkString(",\n    ")}
+       |  FROM cent
+       |), legs AS (
+       |$legs
+       |)
+       |SELECT lag, n_pairs, num / (SELECT den FROM den) AS acf
+       |FROM legs ORDER BY lag""".stripMargin
+  }
+
+  // ---- data-quality audits ---------------------------------------------
+
+  /** Benford's-law first-digit audit of line-item prices. The first
+    * digit is extracted through exact integer cents (round(p*100) →
+    * BIGINT → leading character): doubles never render to strings, so
+    * both engines see the identical digit. Expected shares are literal
+    * log10(1+1/d) constants — the same 17-digit literals in both the
+    * Spark plan and the oracle, so no engine evaluates a log. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Catalog.load(spark, dir, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+      .select(substring(round(col("l_extendedprice") * 100)
+        .cast("long").cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    val expect = BenfordP.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        expect.as("benford_p"))
+      .withColumn("delta", col("share") - col("benford_p"))
+      .orderBy(col("digit"))
+  }
+
+  /** log10(1 + 1/d), d = 1..9 — shortest-roundtrip literals shared with
+    * the oracle text so both engines parse the identical double. */
+  private lazy val BenfordP = Seq(
+    "1" -> "0.3010299956639812", "2" -> "0.17609125905568124",
+    "3" -> "0.12493873660829992", "4" -> "0.09691001300805642",
+    "5" -> "0.07918124604762482", "6" -> "0.06694678963061322",
+    "7" -> "0.05799194697768673", "8" -> "0.05115252244738129",
+    "9" -> "0.04575749056067514").map { case (d, p) => (d, p.toDouble) }
+
+  private lazy val benfordSql = {
+    val cases = BenfordP.map { case (d, p) => s"WHEN '$d' THEN $p" }
+      .mkString(" ")
+    s"""WITH digits AS (
+       |  SELECT substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS digit
+       |  FROM lineitem WHERE l_extendedprice > 0
+       |), counts AS (
+       |  SELECT digit, COUNT(*) AS n FROM digits GROUP BY 1
+       |)
+       |SELECT digit, n,
+       |  CAST(n AS DOUBLE) / (SELECT SUM(n) FROM counts) AS share,
+       |  CASE digit $cases END AS benford_p,
+       |  CAST(n AS DOUBLE) / (SELECT SUM(n) FROM counts)
+       |    - CASE digit $cases END AS delta
+       |FROM counts ORDER BY digit""".stripMargin
+  }
+
+  // ---- graph diagnostics -----------------------------------------------
+
+  /** Power-of-two degree histogram of the high-volume co-supply graph
+    * (same edge construction as q119's triangles). Buckets come from the
+    * INTEGER bit length of the degree (`conv(_, 10, 2)` string length —
+    * no floating log2, whose 1-ulp error at exact powers of two would
+    * flip a bucket), so [1], [2-3], [4-7], ... Degree counting unions
+    * both endpoint columns — one shuffle on the node id. */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val pe = Catalog.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    val edges = pe.as("x").join(pe.as("y"),
+        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg
+      .withColumn("bits", length(conv(col("degree"), 10, 2)))
+      .withColumn("bucket_lo",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), bits - 1) AS BIGINT)"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("degree")).as("min_deg"),
+        max(col("degree")).as("max_deg"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  private lazy val degreeHistSql =
+    """WITH pe AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+      |  FROM lineitem WHERE l_quantity >= 45
+      |), edges AS (
+      |  SELECT DISTINCT x.s AS a, y.s AS b
+      |  FROM pe x JOIN pe y ON x.o = y.o AND x.s < y.s
+      |), deg AS (
+      |  SELECT node, COUNT(*) AS degree FROM (
+      |    SELECT a AS node FROM edges
+      |    UNION ALL
+      |    SELECT b AS node FROM edges
+      |  ) GROUP BY 1
+      |)
+      |SELECT CAST(1 AS BIGINT) << (length(ltrim(bin(CAST(degree AS BIGINT)), '0')) - 1)
+      |    AS bucket_lo,
+      |  COUNT(*) AS n_nodes, MIN(degree) AS min_deg, MAX(degree) AS max_deg
+      |FROM deg GROUP BY 1 ORDER BY bucket_lo""".stripMargin
 }

@@ -1109,5 +1109,128 @@ object EventQueries {
     Q("q47_session_window", sessions, Some(sessionsSql),
       "5-min-gap session windows per user"),
     Q("q48_pivot_types", pivotTypes, Some(pivotTypesSql),
-      "pivot event_type → per-type sums"))
+      "pivot event_type → per-type sums"),
+    Q("q158_paths", topPaths, Some(topPathsSql),
+      "top-20 early event-type paths (ordered first-8 prefix per user, " +
+        "one user_id exchange)"),
+    Q("q159_rfm", rfm, Some(rfmSql),
+      "RFM quintile segmentation per user (total-ordered ntile over the " +
+        "aggregated user frame)"),
+    Q("q161_survivorship", survivorship, Some(survivorshipSql),
+      "golden-record merge per user: latest non-null attribute values " +
+        "(null-skipping max_by, one aggregate pass)"))
+
+  // ---- behavioral-path mining ------------------------------------------
+
+  /** Top-20 early behavior paths: each user's first 8 events (by time,
+    * event-id tiebreak) joined into a `a>b>c` path string, counted
+    * across users. Path assembly is one user_id exchange — the prefix
+    * filter runs BEFORE the aggregation so at most 8 rows per user
+    * reach the path builder; the final top-20 is an aggregate-sized
+    * sort (TakeOrderedAndProject, not a global sort of users). */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        s => s.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  private lazy val topPathsSql =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 8 GROUP BY 1
+      |)
+      |SELECT path, COUNT(*) AS n_users FROM p GROUP BY 1
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+
+  // ---- user segmentation -----------------------------------------------
+
+  /** RFM segmentation: per-user recency (last event µs), frequency
+    * (event count), monetary (decimal-exact value sum) → quintiles via
+    * `ntile(5)` under a STRICT total order (metric, user_id), so both
+    * engines assign identical buckets. The ntile windows run over the
+    * AGGREGATED user frame (|users| rows, not |events|) — at a 1e9-user
+    * scale swap the ntile for the rank-threshold form (q114's
+    * rank-selected bounds) to avoid the single-partition window. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Det
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Catalog.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        Det.dsum(col("value")).as("monetary"))
+    perUser
+      .withColumn("r_q",
+        ntile(5).over(Window.orderBy(col("recency_us"), col("user_id"))))
+      .withColumn("f_q",
+        ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))))
+      .withColumn("m_q",
+        ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
+      .withColumn("segment",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .orderBy(col("user_id"))
+  }
+
+  private lazy val rfmSql =
+    s"""WITH u AS (
+       |  SELECT user_id, MAX(epoch_ns(ts) // 1000) AS recency_us,
+       |    COUNT(*) AS frequency, ${graft.ops.Det.sqlSum("value")} AS monetary
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT user_id, recency_us, frequency, monetary,
+       |  ntile(5) OVER (ORDER BY recency_us, user_id) AS r_q,
+       |  ntile(5) OVER (ORDER BY frequency, user_id) AS f_q,
+       |  ntile(5) OVER (ORDER BY monetary, user_id) AS m_q,
+       |  ntile(5) OVER (ORDER BY recency_us, user_id) * 100
+       |    + ntile(5) OVER (ORDER BY frequency, user_id) * 10
+       |    + ntile(5) OVER (ORDER BY monetary, user_id) AS segment
+       |FROM u ORDER BY user_id""".stripMargin
+
+  // ---- entity resolution -----------------------------------------------
+
+  /** Golden-record merge (survivorship): per user, the LATEST NON-NULL
+    * value of each attribute — the standard MDM merge rule. One
+    * aggregate pass: `max_by` keyed on the event timestamp with the
+    * ordering key nulled out when the attribute is null, mirroring
+    * DuckDB's null-skipping `arg_max`. (user_id, ts) is unique in the
+    * events table, so the pick is deterministic without a tiebreak. */
+  def survivorship(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    def latest(c: String) =
+      max_by(col(c), when(col(c).isNotNull, col("ts_us")))
+    e.groupBy(col("user_id"))
+      .agg(latest("event_type").as("last_type"),
+        latest("value").as("last_value"),
+        latest("props").as("last_props"),
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private lazy val survivorshipSql =
+    """SELECT user_id,
+      |  arg_max(event_type, epoch_ns(ts) // 1000) AS last_type,
+      |  arg_max(value, epoch_ns(ts) // 1000) AS last_value,
+      |  arg_max(props, epoch_ns(ts) // 1000) AS last_props,
+      |  COUNT(*) AS n_events,
+      |  MIN(epoch_ns(ts) // 1000) AS first_us,
+      |  MAX(epoch_ns(ts) // 1000) AS last_us
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 }
