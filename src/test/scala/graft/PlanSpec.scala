@@ -229,4 +229,36 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.Registry.byName("q154_rank_fusion").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("acf: data-sized work is ONE aggregate pass; lag windows run on " +
+    "the aggregate-sized daily series") {
+    val p = plan(graft.Registry.byName("q157_acf").build(spark, dir))
+    // one scan+aggregate of orders feeds every leg via checkpoint-free
+    // reuse is not required — but nothing data-sized may sort: the only
+    // Sort nodes must sit above the per-day aggregate
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("paths: prefix filter runs under one user_id exchange before the " +
+    "path aggregate; top-20 is aggregate-sized") {
+    val p = plan(graft.Registry.byName("q158_paths").build(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("survivorship: one aggregate pass, partial max_by before the " +
+    "user_id shuffle, no join") {
+    val p = plan(graft.Registry.byName("q161_survivorship").build(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_max_by") || p.contains("partial_"), p)
+  }
+
+  test("benford: digit histogram aggregates partial->final; total " +
+    "broadcasts back") {
+    val p = plan(graft.Registry.byName("q160_benford").build(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
