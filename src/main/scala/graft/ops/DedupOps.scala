@@ -130,6 +130,50 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard pairs via PPJoin-style PREFIX FILTERING (Bayardo et
+    * al. WWW'07; Xiao et al. WWW'08) — the LOSSLESS candidate pruner:
+    * under any global token order, two sets with jaccard ≥ t must share
+    * a token inside their first `|x| − ceil(t·|x|) + 1` tokens (if all
+    * common tokens sat in x's suffix, the overlap would be ≤
+    * ceil(t·|x|) − 1 < t·|x| ≤ |x∩y| — contradiction). Ordering tokens
+    * RAREST-FIRST makes those prefixes land on low-df postings, so the
+    * candidate join's Σ posting² collapses without the recall loss of
+    * [[capHotKeys]] (which drops hot postings entirely): this variant's
+    * output is exactly the uncapped join's. Shuffles carry 8-byte
+    * hashed shingles; verification runs on full sets as always.
+    * Cost: one df aggregate + one doc_id window + the (pruned)
+    * candidate equi-join. */
+  def jaccardPairsPrefix(docs: DataFrame, n: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = hashedShingles(docs, n).localCheckpoint(false)
+    val docsets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh_h")).as("shs"), count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh_h"))
+    val prefix = sh.join(dfreq, "sh_h")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rnk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("sh_h"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docsets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(docsets.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("a.shs"), col("b.shs"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("a.n_sh") + col("b.n_sh") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
     * One-sided similarity — a document wholly contained in a much larger
     * one scores 1.0 here but only |A|/|B| under Jaccard, so this is the

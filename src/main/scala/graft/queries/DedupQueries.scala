@@ -31,6 +31,12 @@ object DedupQueries {
     DedupOps.jaccardPairs(docs(spark, dir), n = 5, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Same pair graph through the LOSSLESS prefix filter — shares q61's
+    * oracle because the pruning provably drops no qualifying pair. */
+  def jaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.jaccardPairsPrefix(docs(spark, dir), n = 5, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Incremental admission: batch = every 5th doc_id, corpus = the rest
     * (proportional at any scale factor). */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
@@ -415,6 +421,9 @@ object DedupQueries {
       "exact dedup groups via sha256 hash-groupBy"),
     Q("q61_jaccard_pairs", jaccard, Some(jaccardSql),
       "exact 5-gram Jaccard near-dup pairs via shingle join"),
+    Q("q163_jaccard_prefix", jaccardPrefix, Some(jaccardSql),
+      "same exact pairs via PPJoin prefix filtering (lossless rarest-" +
+        "first candidate pruning, hashed-shingle shuffle)"),
     Q("q62_minhash_lsh", minhashLsh, None,
       "MinHash(64)+LSH(16x4) near-dup pairs, exact-verified (spec-checked)"),
     Q("q63_simhash", simhashSigs, None,

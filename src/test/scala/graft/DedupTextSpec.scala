@@ -35,6 +35,33 @@ class DedupTextSpec extends AnyFunSuite {
     assert(capped == uncapped)
   }
 
+  test("prefix filter is lossless: PPJoin pairs == uncapped exact pairs, " +
+    "and prefixes genuinely prune the postings") {
+    val exact = DedupOps.jaccardPairsHashed(docs, 5, 0.5, maxDf = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = DedupOps.jaccardPairsPrefix(docs, 5, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefix == exact,
+      s"missed=${exact -- prefix} extra=${prefix -- exact}")
+    // at t=0.5 each doc keeps |x| - ceil(|x|/2) + 1 ≈ half its shingles:
+    // the candidate join's postings must shrink accordingly
+    val full = DedupOps.hashedShingles(docs, 5).count()
+    val kept = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val sh = DedupOps.hashedShingles(docs, 5)
+      val dfreq = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "sh_h")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh_h"))))
+        .withColumn("n_sh", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"))))
+        .filter(col("rnk") <= col("n_sh") - ceil(lit(0.5) * col("n_sh")) + 1)
+        .count()
+    }
+    assert(kept <= full * 6 / 10, s"prefix kept $kept of $full postings")
+  }
+
   test("simhash: identical texts get identical signatures; stable across runs") {
     val d = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t"))
       .toDF("doc_id", "text")
