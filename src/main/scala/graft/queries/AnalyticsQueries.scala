@@ -872,7 +872,70 @@ object AnalyticsQueries {
        |WHERE n > 1 AND sd > 0 AND abs(p_retailprice - mean) > 1.5 * sd
        |ORDER BY p_partkey""".stripMargin
 
+  // ---- content checksums ------------------------------------------------
+
+  /** Order-independent per-month content checksum of the orders table —
+    * the primitive behind cross-engine migration audits and
+    * cross-version drift detection (pair with Versioned time travel to
+    * answer "did this partition's CONTENT change?" without reading both
+    * sides row-by-row). Each row is canonicalized engine-neutrally
+    * (integers and BIGINT cents only — doubles never render to text),
+    * md5-hashed, and the first 60 bits are folded two ways: an XOR (no
+    * overflow, any row count) and a mod-p sum (catches the even-count
+    * duplicate flips XOR misses). Both folds are commutative, so a
+    * 1000-executor partial aggregate needs no ordering guarantee — this
+    * is a map-side-combinable single-exchange aggregate at any scale. */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long"),
+      unix_micros(date_trunc("day", col("o_orderdate"))),
+      col("o_orderpriority"))
+    val h = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .withColumn("h", h)
+      .groupBy(unix_micros(date_trunc("month", col("o_orderdate")))
+        .as("month_us"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_c"),
+        sum(col("h") % lit(checksumP)).as("sum_c"))
+      .orderBy(col("month_us"))
+  }
+
+  private val checksumP = 1000000007L
+
+  private lazy val tableChecksumSql = {
+    // DuckDB has no hex→int cast, so the 60-bit parse is spelled as a
+    // 15-term base-16 polynomial — same generated-literal trick as the
+    // q107 z-order interleave.
+    val poly = (0 until 15).map { k =>
+      val pow = math.pow(16, 14 - k).toLong
+      s"(strpos('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1) * $pow"
+    }.mkString(" + ")
+    s"""WITH rows_ AS (
+       |  SELECT epoch_ns(date_trunc('month', o_orderdate)) // 1000
+       |      AS month_us,
+       |    md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+       |      CAST(round(o_totalprice * 100) AS BIGINT),
+       |      epoch_ns(date_trunc('day', o_orderdate)) // 1000,
+       |      o_orderpriority)) AS h
+       |  FROM orders WHERE o_orderdate IS NOT NULL
+       |), hashed AS (
+       |  SELECT month_us, CAST($poly AS BIGINT) AS hv FROM rows_
+       |)
+       |SELECT month_us, COUNT(*) AS n_rows,
+       |  bit_xor(hv) AS xor_c,
+       |  CAST(SUM(hv % $checksumP) AS BIGINT) AS sum_c
+       |FROM hashed
+       |GROUP BY month_us
+       |ORDER BY month_us""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q165_table_checksum", tableChecksum, Some(tableChecksumSql),
+      "order-independent per-month content checksum (md5-60bit XOR + " +
+        "mod-p sum folds; map-side-combinable at any scale)"),
     Q("q135_equidepth_hist", equidepthHistogram, Some(equidepthSql),
       "equi-depth 10-bucket histogram per flag (deterministic ntile)"),
     Q("q136_zscore_outliers", zscoreOutliers, Some(zscoreSql),

@@ -1042,7 +1042,70 @@ object EventQueries {
        |ORDER BY day_us""".stripMargin
   }
 
+  /** CUSUM drift detection over the daily-revenue series. The textbook
+    * recursion S_t = max(0, S_(t-1) + (x_t - mean)) is not a SQL window
+    * function, but it has a closed drawdown form: with c_t the running
+    * sum of deviations, S_t = c_t - min(0, min_(i<=t) c_i) (and the
+    * downward arm T_t = max(0, max_(i<=t) c_i) - c_t) — two ordinary
+    * prefix windows. Everything stays in exact integers: revenues as
+    * BIGINT cents, deviations scaled by n (dev = n*x - total) so the
+    * mean never becomes a quotient. A day drifts when the upward arm
+    * exceeds five mean-days, i.e. scaled CUSUM > 5*total — an integer
+    * compare, so both engines flag the identical days. The series is one
+    * row per day (bounded at any corpus scale), so the single-partition
+    * ordering window is safe; the heavy work — reducing order lines to
+    * daily cents — is an ordinary distributed aggregate. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(unix_micros(date_trunc("day", col("o_orderdate"))).as("day_us"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val stats = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("rev_c")).as("total_c"))
+    val ord = Window.partitionBy().orderBy(col("day_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("dev", col("n_days") * col("rev_c") - col("total_c"))
+      .withColumn("c", sum(col("dev")).over(ord))
+      .select(col("day_us"), col("rev_c"),
+        (col("c") - least(lit(0L), min(col("c")).over(ord))).as("cusum_up"),
+        (greatest(lit(0L), max(col("c")).over(ord)) - col("c")).as("cusum_down"),
+        (col("c") - least(lit(0L), min(col("c")).over(ord)) >
+          lit(5L) * col("total_c")).as("drifted"))
+      .orderBy(col("day_us"))
+  }
+
+  private val cusumSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(date_trunc('day', o_orderdate)) // 1000 AS day_us,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders WHERE o_orderdate IS NOT NULL
+      |  GROUP BY 1
+      |), st AS (
+      |  SELECT COUNT(*) AS n_days, CAST(SUM(rev_c) AS BIGINT) AS total_c
+      |  FROM daily
+      |), c AS (
+      |  SELECT day_us, rev_c, total_c,
+      |    CAST(SUM(n_days * rev_c - total_c) OVER
+      |      (ORDER BY day_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      |  FROM daily, st
+      |)
+      |SELECT day_us, rev_c,
+      |  c - LEAST(0, CAST(MIN(c) OVER (ORDER BY day_us ROWS UNBOUNDED
+      |    PRECEDING) AS BIGINT)) AS cusum_up,
+      |  GREATEST(0, CAST(MAX(c) OVER (ORDER BY day_us ROWS UNBOUNDED
+      |    PRECEDING) AS BIGINT)) - c AS cusum_down,
+      |  c - LEAST(0, CAST(MIN(c) OVER (ORDER BY day_us ROWS UNBOUNDED
+      |    PRECEDING) AS BIGINT)) > 5 * total_c AS drifted
+      |FROM c
+      |ORDER BY day_us""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q164_cusum", cusum, Some(cusumSql),
+      "CUSUM drift detection over daily revenue via the exact-integer " +
+        "drawdown identity (two prefix windows, no recursion)"),
     Q("q146_forward_fill", forwardFill, Some(forwardFillSql),
       "forward-fill (LOCF): last non-error value carried forward per " +
         "user via a null-skipping running window"),
