@@ -171,6 +171,26 @@ object StatsOps {
     }
   }
 
+  /** CMS accuracy audit over a token stream: sketch every token through
+    * [[CountMinAgg]] (one partial matrix per task, tree-merged — no key
+    * ever shuffles), then compare the sketch's estimates against the
+    * exact counts of the `topN` most frequent tokens. `overest` is the
+    * structural CMS guarantee and must be true on every row; SketchSpec
+    * also bounds the absolute excess. This is the audit a 100 TB corpus
+    * runs on a small slice to size (depth, width) before trusting the
+    * sketch where exact per-key aggregation no longer fits. */
+  def cmsFreqAudit(toks: org.apache.spark.sql.Dataset[String],
+      depth: Int = 4, width: Int = 1024, topN: Int = 20): DataFrame = {
+    val agg = new CountMinAgg(depth, width)
+    val sk = toks.select(agg.toColumn).head()
+    val est = udf((t: String) => agg.estimate(sk, t))
+    toks.toDF("tok").groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(topN)
+      .withColumn("est_n", est(col("tok")))
+      .withColumn("overest", col("est_n") >= col("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
   /** Deterministic stratified sampling: within each stratum (`by`), rank
     * rows by a multiplicative-hash key of the id (exact BIGINT arithmetic
     * — the same expression runs on any engine, unlike rand(seed) whose

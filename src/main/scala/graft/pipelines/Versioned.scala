@@ -106,6 +106,32 @@ object Versioned {
       .foreach(v => Fs.deleteRecursive(vdir(t, v)))
   }
 
+  /** Reclaim crashed-publish debris: delete uncommitted `_v<k>`
+    * directories below the latest committed version. Those are exactly
+    * the publishes that died between data write and commit and then
+    * lost the id race to a later successful publish — under the
+    * single-writer contract nothing can still be writing them, and no
+    * manifest can reference an uncommitted directory, so removal never
+    * affects a reader at any retention depth. An uncommitted directory
+    * ABOVE the latest commit may be a publish in flight right now and
+    * is only removed with `includeInflight = true` (call that from the
+    * same scheduler slot that owns the writer lock). Returns the ids
+    * reclaimed. Normal retention ([[publish]]'s `keep`) prunes old
+    * COMMITTED versions; vacuum is the complement for dirs retention
+    * never sees as live. */
+  def vacuum(baseDir: String, name: String,
+      includeInflight: Boolean = false): Seq[Long] = {
+    val t = tableDir(baseDir, name)
+    if (!Fs.exists(t)) return Nil
+    val latest = latestVersion(baseDir, name).getOrElse(-1L)
+    val dead = versionsOnDisk(t)
+      .filterNot(v => Fs.exists(commitPath(t, v)))
+      .filter(v => includeInflight || v < latest)
+      .sorted
+    dead.foreach(v => Fs.deleteRecursive(vdir(t, v)))
+    dead
+  }
+
   /** Publish `df` as the next version; returns the new version id. The
     * next id steps past every on-disk directory, committed or orphaned,
     * so a crashed publish can never block or collide with the next one. */

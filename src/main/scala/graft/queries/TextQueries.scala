@@ -613,7 +613,21 @@ object TextQueries {
       |GROUP BY 1, 2
       |ORDER BY fold, lang""".stripMargin
 
+  /** Count-min sketch frequency audit — see StatsOps.cmsFreqAudit.
+    * Sketch-internal (no SQL oracle, like q106's HLL); SketchSpec pins
+    * the overestimate guarantee and the error bound, AnalyticsSpec the
+    * matrix's layout independence. */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.StatsOps.cmsFreqAudit(
+      TextOps.exploded(Catalog.load(spark, dir, "documents"))
+        .select(col("tok")).as[String])
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q166_cms_freq", cmsFreq, None,
+      "count-min sketch token-frequency audit vs exact top-20 counts " +
+        "(mergeable 4x1024 sketch; overestimate + error bound spec-pinned)"),
     Q("q149_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted-index posting lists for mid-frequency terms (ordered " +
         "LISTAGG, term-keyed build)"),

@@ -350,6 +350,19 @@ object Streams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static dimension enrichment: join the event stream against a
+    * small static dimension frame (the stream side keeps its incremental
+    * execution; the static side is planned per micro-batch, and
+    * `broadcast()` pins the dimension to every executor so no micro-batch
+    * ever shuffles the stream on the join key — the only streaming join
+    * shape that stays stateless). At 100 TB/day of events a re-read
+    * dimension snapshot per batch is exactly how slowly-changing lookup
+    * tables are consumed; pair with Versioned.read for a consistent
+    * snapshot per restart. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream inner join with event-time bounds: each view joins the
     * purchases of the same user within the following `windowMinutes`.
     * Both sides carry watermarks and the join condition bounds purchase

@@ -261,4 +261,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("cusum: order lines reduce in ONE partial->final day aggregate; " +
+    "stats broadcast back; prefix windows run on the day-sized series") {
+    val p = plan(graft.Registry.byName("q164_cusum").build(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p) // map-side combine on the daily sum
+  }
+
+  test("table checksum: map-side-combinable single-exchange aggregate " +
+    "(no join, no window, one hash exchange)") {
+    val p = plan(graft.Registry.byName("q165_table_checksum").build(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_"), p)
+  }
 }

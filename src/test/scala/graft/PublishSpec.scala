@@ -153,6 +153,29 @@ class PublishSpec extends AnyFunSuite {
       (1L, "v1", "100%"), (2L, "v2", "plain")))
   }
 
+  test("vacuum reclaims crashed-publish orphans below the latest commit, " +
+    "spares in-flight dirs above it unless asked, never touches committed") {
+    val base = tmp("vacuum")
+    val df = Seq((1, "a")).toDF("k", "v")
+    assert(Versioned.publish(df, base, "t") == 0L)
+    // crashed publish: data written as _v1, no _COMMIT; a later publish
+    // steps past it to _v2
+    df.write.parquet(s"$base/t/_v1")
+    assert(Versioned.publish(df, base, "t") == 2L)
+    // in-flight publish above the latest commit: _v3 without _COMMIT
+    df.write.parquet(s"$base/t/_v3")
+    assert(Versioned.vacuum(base, "t") == Seq(1L))
+    assert(!Fs.exists(new Path(s"$base/t/_v1")))
+    assert(Fs.exists(new Path(s"$base/t/_v3")), "in-flight dir spared")
+    assert(Fs.exists(new Path(s"$base/t/_v0/_COMMIT")), "committed spared")
+    assert(Versioned.vacuum(base, "t", includeInflight = true) == Seq(3L))
+    assert(!Fs.exists(new Path(s"$base/t/_v3")))
+    // reads and time travel unaffected
+    assert(Versioned.read(spark, base, "t").count() == 1L)
+    assert(Versioned.read(spark, base, "t", Some(0L)).count() == 1L)
+    assert(Versioned.vacuum(base, "missing") == Nil)
+  }
+
   test("pruning keeps version dirs still referenced by retained manifests") {
     val base = tmp("part-prune")
     val v0 = (0 until 90).map(i => (i.toLong, s"v$i", i % 3)).toDF("k", "v", "p")

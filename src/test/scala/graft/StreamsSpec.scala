@@ -315,6 +315,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stream-static broadcast enrichment == batch left join, and the " +
+    "micro-batch plan carries a BroadcastHashJoin (stateless shape)") {
+    val staged = java.nio.file.Files.createTempDirectory("events-enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val dim = (0L until 50L).map(u => (u, s"seg${u % 5}")).toDF("user_id", "segment")
+    val q = Streams.enrichStream(
+        Streams.eventStream(spark, staged.toString), dim)
+      .select(col("event_id"), col("segment"))
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich")
+      .as[(Long, Option[String])].collect().toSet
+    val batch = Streams.enrichStream(
+        graft.catalog.Catalog.load(spark, dir, "events"), dim)
+      .select(col("event_id"), col("segment"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // the batch twin's physical plan proves the stateless broadcast shape
+    val phys = Streams.enrichStream(
+      graft.catalog.Catalog.load(spark, dir, "events"), dim)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys.take(400))
+  }
+
   test("outer stream-stream join emits unmatched views after the watermark") {
     val staged = java.nio.file.Files.createTempDirectory("events-ssj-outer")
     java.nio.file.Files.copy(
