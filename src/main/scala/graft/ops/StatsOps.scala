@@ -191,6 +191,29 @@ object StatsOps {
       .orderBy(col("exact_n").desc, col("tok"))
   }
 
+  /** The standard two-pass heavy-hitters recipe, as a runnable query:
+    * pass 1 folds the token stream through [[HeavyHittersAgg]] (bounded
+    * k-entry state per task, tree-merged — nothing keyed ever shuffles);
+    * pass 2 recounts ONLY the surviving candidates exactly via a
+    * broadcast semi-join (candidate set is ≤ k rows, so the recount
+    * shuffles k keys instead of the whole vocabulary). Emits each
+    * candidate's exact count next to its MG lower bound; SketchSpec pins
+    * the two MG guarantees (no miss above n/k, error ≤ n/k). At 100 TB
+    * this is the only exact-top-k shape that works: the full per-term
+    * aggregate is the thing being avoided. */
+  def heavyHittersAudit(toks: org.apache.spark.sql.Dataset[String],
+      k: Int = 32): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val cands = toks.select(new HeavyHittersAgg(k).toColumn).head()
+    val candDf = cands.toSeq.toDF("tok", "mg_lower")
+    toks.toDF("tok")
+      .join(broadcast(candDf), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_n"),
+        first(col("mg_lower")).as("mg_lower"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
   /** Deterministic stratified sampling: within each stratum (`by`), rank
     * rows by a multiplicative-hash key of the id (exact BIGINT arithmetic
     * — the same expression runs on any engine, unlike rand(seed) whose

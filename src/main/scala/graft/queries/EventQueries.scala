@@ -1102,7 +1102,61 @@ object EventQueries {
       |FROM c
       |ORDER BY day_us""".stripMargin
 
+  /** Seasonality-adjusted revenue outliers: each day is compared against
+    * the exact median of ITS weekday (day-of-week from pure epoch-day
+    * integer arithmetic — `(epoch_day + 4) mod 7`, Sunday=0; never an
+    * engine-specific dayofweek whose origin differs), and flagged when
+    * the residual exceeds 3× that weekday's MAD. The robust twin of
+    * q136's z-scores with q142's MAD machinery, answering the question
+    * those can't: "is this Monday low FOR A MONDAY?" All heavy work is
+    * the one daily-cents aggregate; the weekday stats are 7 rows,
+    * broadcast back. */
+  def seasonalOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(unix_micros(date_trunc("day", col("o_orderdate"))).as("day_us"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .withColumn("dow",
+        pmod(expr("day_us div 86400000000") + lit(4L), lit(7L)))
+    val med = daily.groupBy(col("dow")).agg(median(col("rev_c")).as("med"))
+    val resid = daily.join(broadcast(med), Seq("dow"))
+      .withColumn("resid", col("rev_c") - col("med"))
+    val mad = resid.groupBy(col("dow"))
+      .agg(median(abs(col("resid"))).as("mad"))
+    resid.join(broadcast(mad), Seq("dow"))
+      .select(col("day_us"), col("dow"), col("rev_c"), col("resid"),
+        (abs(col("resid")) > lit(3.0) * col("mad")).as("is_outlier"))
+      .orderBy(col("day_us"))
+  }
+
+  private val seasonalOutliersSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(date_trunc('day', o_orderdate)) // 1000 AS day_us,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders WHERE o_orderdate IS NOT NULL
+      |  GROUP BY 1
+      |), d AS (
+      |  SELECT day_us, rev_c,
+      |    (day_us // 86400000000 + 4) % 7 AS dow
+      |  FROM daily
+      |), med AS (
+      |  SELECT dow, median(rev_c) AS med FROM d GROUP BY 1
+      |), r AS (
+      |  SELECT d.day_us, d.dow, d.rev_c, d.rev_c - m.med AS resid
+      |  FROM d JOIN med m USING (dow)
+      |), mad AS (
+      |  SELECT dow, median(abs(resid)) AS mad FROM r GROUP BY 1
+      |)
+      |SELECT r.day_us, r.dow, r.rev_c, r.resid,
+      |  abs(r.resid) > 3.0 * mad.mad AS is_outlier
+      |FROM r JOIN mad USING (dow)
+      |ORDER BY r.day_us""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q168_seasonal_outliers", seasonalOutliers, Some(seasonalOutliersSql),
+      "seasonality-adjusted daily-revenue outliers: weekday-median " +
+        "residuals vs 3x weekday MAD (integer-epoch dow, exact medians)"),
     Q("q164_cusum", cusum, Some(cusumSql),
       "CUSUM drift detection over daily revenue via the exact-integer " +
         "drawdown identity (two prefix windows, no recursion)"),

@@ -624,7 +624,20 @@ object TextQueries {
         .select(col("tok")).as[String])
   }
 
+  /** Two-pass Misra–Gries heavy hitters — see StatsOps.heavyHittersAudit.
+    * Candidate SET depends on merge layout (sketch-internal → no SQL
+    * oracle); SketchSpec pins the no-miss and error-bound guarantees. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.StatsOps.heavyHittersAudit(
+      TextOps.exploded(Catalog.load(spark, dir, "documents"))
+        .select(col("tok")).as[String])
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q167_heavy_hitters", heavyHitters, None,
+      "two-pass Misra-Gries heavy hitters: bounded-state candidates + " +
+        "exact broadcast recount (no-miss above n/k spec-pinned)"),
     Q("q166_cms_freq", cmsFreq, None,
       "count-min sketch token-frequency audit vs exact top-20 counts " +
         "(mergeable 4x1024 sketch; overestimate + error bound spec-pinned)"),

@@ -176,6 +176,43 @@ class PublishSpec extends AnyFunSuite {
     assert(Versioned.vacuum(base, "missing") == Nil)
   }
 
+  test("maintainJoin: view == one-shot join at every version; earlier " +
+    "epochs' files are manifest-linked, never rewritten") {
+    val base = tmp("ivm")
+    def a(rows: (Int, String)*) = rows.toSeq.toDF("k", "av")
+    def b(rows: (Int, Long)*) = rows.toSeq.toDF("k", "bv")
+    def view = Versioned.read(spark, base, "j").drop("epoch")
+      .as[(Int, String, Long)].collect().toSet
+    // epoch 0
+    Incremental.maintainJoin(spark, base, "j",
+      a(1 -> "x", 2 -> "y"), b(1 -> 10L, 3 -> 30L), Seq("k"))
+    assert(view == Set((1, "x", 10L)))
+    // epoch 1: new A row matches old B; new B rows match old and new A
+    Incremental.maintainJoin(spark, base, "j",
+      a(3 -> "z"), b(2 -> 20L, 3 -> 31L), Seq("k"))
+    assert(view == Set((1, "x", 10L), (2, "y", 20L),
+      (3, "z", 30L), (3, "z", 31L)))
+    // epoch 2: empty B delta — only the dA x B leg contributes
+    Incremental.maintainJoin(spark, base, "j",
+      a(1 -> "x2"), b(), Seq("k"))
+    assert(view == Set((1, "x", 10L), (1, "x2", 10L), (2, "y", 20L),
+      (3, "z", 30L), (3, "z", 31L)))
+    // matches the one-shot join of everything ever fed
+    val oneShot = a(1 -> "x", 2 -> "y", 3 -> "z", 1 -> "x2")
+      .join(b(1 -> 10L, 3 -> 30L, 2 -> 20L, 3 -> 31L), Seq("k"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(view == oneShot)
+    // earlier epochs reused in place: the latest manifest's epoch-0
+    // entry still points into the ORIGINAL version directory
+    val v = Versioned.latestVersion(base, "j").get
+    val m = Versioned.manifest(base, "j", v).get
+    assert(m.entries.find(_._1 == "0").get._2.startsWith("_v0/"),
+      m.entries.mkString(","))
+    // time travel to the first refresh still answers
+    assert(Versioned.read(spark, base, "j", Some(0L)).drop("epoch")
+      .as[(Int, String, Long)].collect().toSet == Set((1, "x", 10L)))
+  }
+
   test("pruning keeps version dirs still referenced by retained manifests") {
     val base = tmp("part-prune")
     val v0 = (0 until 90).map(i => (i.toLong, s"v$i", i % 3)).toDF("k", "v", "p")

@@ -14,6 +14,27 @@ class SketchSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("heavy hitters: every token above n/k is a candidate; exact count " +
+    "within n/k of the MG lower bound") {
+    val docs = graft.catalog.Catalog.load(spark, dir, "documents")
+    val toks = graft.ops.TextOps.exploded(docs).select(col("tok")).as[String]
+    val n = toks.count()
+    val k = 32
+    val rows = graft.queries.TextQueries.heavyHitters(spark, dir)
+      .select("tok", "exact_n", "mg_lower")
+      .as[(String, Long, Long)].collect()
+    val cand = rows.map(_._1).toSet
+    // no-miss guarantee: anything with true frequency > n/k survives
+    val mustHave = toks.toDF("tok").groupBy("tok").count()
+      .filter(col("count") > n / k).as[(String, Long)].collect()
+    for ((tok, c) <- mustHave)
+      assert(cand(tok), s"missed heavy hitter $tok ($c > ${n / k})")
+    for ((tok, exact, lower) <- rows) {
+      assert(lower <= exact, s"$tok: MG bound $lower above exact $exact")
+      assert(exact - lower <= n / k + 1, s"$tok: error ${exact - lower}")
+    }
+  }
+
   test("cms audit: every estimate >= exact, excess within 10*N/width") {
     val docs = graft.catalog.Catalog.load(spark, dir, "documents")
     val toks = graft.ops.TextOps.exploded(docs).select(col("tok")).as[String]
