@@ -425,6 +425,32 @@ object AnalyticsQueries {
       |WHERE levenshtein(d.dname, c.c_name) <= 1
       |ORDER BY dirty_key, matched_key""".stripMargin
 
+  /** Entity resolution with the native [[graft.functions.JaroWinkler]]
+    * scorer: names are dirtied by an adjacent-digit TRANSPOSITION (the
+    * classic data-entry error Levenshtein counts as distance 2 and q94's
+    * edit-distance matcher is blind to at threshold 1), blocked on the
+    * stable name tail, and every blocked pair is scored by the compiled
+    * jaro_winkler kernel fused into the join stage. Sketch-free exact
+    * scoring inside each block — the block key is what keeps the pair
+    * count linear at scale (q163's prefix filter is the set-similarity
+    * analog). Scores are deterministic doubles from one kernel (no SQL
+    * oracle — engines disagree on JW's boost-threshold variant; the
+    * canonical test vectors + 100% self-recall are spec-pinned). */
+  def jwEr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val c = Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val dirty = c.select(col("c_custkey").as("dirty_key"),
+      expr("concat(substr(c_name, 1, 11), substr(c_name, 13, 1), " +
+        "substr(c_name, 12, 1), substr(c_name, 14))").as("dname"))
+    dirty.withColumn("blk", expr("substr(dname, 15, 4)"))
+      .join(c.withColumn("blk", expr("substr(c_name, 15, 4)")), "blk")
+      .withColumn("jw", jaroWinkler(col("dname"), col("c_name")))
+      .filter(col("jw") >= 0.95)
+      .select(col("dirty_key"), col("c_custkey").as("matched_key"), col("jw"))
+      .orderBy(col("dirty_key"), col("matched_key"))
+  }
+
   // ---- recursive CTE (verbatim SQL) ---------------------------------------
 
   /** WITH RECURSIVE through the SQL entry point (Spark 4 gained recursive
@@ -933,6 +959,10 @@ object AnalyticsQueries {
   }
 
   val all: Seq[Q] = Seq(
+    Q("q170_jw_er", jwEr, None,
+      "entity resolution on transposition-dirtied names via the native " +
+        "jaro_winkler codegen kernel, tail-blocked pairs (spec: " +
+        "canonical vectors + 100% self-recall)"),
     Q("q165_table_checksum", tableChecksum, Some(tableChecksumSql),
       "order-independent per-month content checksum (md5-60bit XOR + " +
         "mod-p sum folds; map-side-combinable at any scale)"),

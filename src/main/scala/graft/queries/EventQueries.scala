@@ -1153,7 +1153,53 @@ object EventQueries {
       |FROM r JOIN mad USING (dow)
       |ORDER BY r.day_us""".stripMargin
 
+  /** Wilson-score lower bound on the hourly purchase rate — the
+    * ranking-safe conversion metric (a 3-of-5 hour never outranks a
+    * 300-of-500 hour, which the raw rate allows). The bound's algebra is
+    * ONE SHARED FORMULA STRING between the Spark plan and the oracle
+    * ([[wilsonExpr]]): every literal (1.96, 3.8416) parses to the same
+    * double via correctly-rounded strtod in both engines, and +,*,/ and
+    * sqrt are all IEEE correctly-rounded single ops, so identical text =
+    * identical 64-bit results — no decimal detour needed even though the
+    * expression nests nine float ops. Inputs are exact integer counts
+    * from one partial→final aggregate; hour-of-day comes from pure
+    * epoch-µs arithmetic (no engine hour() origin/timezone skew). */
+  def wilsonCtr(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Catalog.load(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .groupBy(pmod(expr("unix_micros(ts) div 3600000000"), lit(24L)).as("h"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", 1)).as("c"))
+    hourly
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("wilson_lo", expr(wilsonExpr))
+      .orderBy(col("h"))
+  }
+
+  /** Shared Spark/DuckDB formula text — see [[wilsonCtr]]. */
+  private val wilsonExpr =
+    "(p + 3.8416 / (2 * n) - 1.96 * sqrt(p * (1 - p) / n" +
+      " + 3.8416 / (4 * n * n))) / (1 + 3.8416 / n)"
+
+  private val wilsonCtrSql =
+    s"""WITH hourly AS (
+       |  SELECT (epoch_ns(ts) // 1000 // 3600000000) % 24 AS h,
+       |    COUNT(*) AS n,
+       |    CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS c
+       |  FROM events WHERE ts IS NOT NULL
+       |  GROUP BY 1
+       |), r AS (
+       |  SELECT h, n, c, CAST(c AS DOUBLE) / n AS p FROM hourly
+       |)
+       |SELECT h, n, c, p,
+       |  $wilsonExpr AS wilson_lo
+       |FROM r
+       |ORDER BY h""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q169_wilson_ctr", wilsonCtr, Some(wilsonCtrSql),
+      "Wilson-score lower bound on hourly purchase rate (one shared " +
+        "IEEE formula string, exact integer count inputs)"),
     Q("q168_seasonal_outliers", seasonalOutliers, Some(seasonalOutliersSql),
       "seasonality-adjusted daily-revenue outliers: weekday-median " +
         "residuals vs 3x weekday MAD (integer-epoch dow, exact medians)"),

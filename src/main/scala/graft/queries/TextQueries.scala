@@ -64,6 +64,66 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality-decile duplicate-rate profile — the observability query a
+    * training-data pipeline runs before choosing a quality cutoff: does
+    * low quality predict duplication? Composes q52's exact quality score
+    * with q60's exact-hash dup flag, deciles by deterministic total-order
+    * ntile (q135's pattern), and reports one mirrored-division rate per
+    * decile. The two data-sized legs are the token aggregate and the
+    * 32-byte-hash count; the decile window orders only (score, id)
+    * pairs. */
+  def qualityDupProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val q = TextOps.qualityScored(d).select(col("doc_id"), col("quality"))
+    val dupFlag = d.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .withColumn("n_copies", count(lit(1)).over(
+        Window.partitionBy(col("h"))))
+      .select(col("doc_id"), (col("n_copies") > 1).as("is_dup"))
+    q.join(dupFlag, "doc_id")
+      .withColumn("decile", ntile(10).over(
+        Window.partitionBy().orderBy(col("quality"), col("doc_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("is_dup"), 1)).as("n_dup"))
+      .select(col("decile"), col("n"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n")).as("dup_rate"))
+      .orderBy(col("decile"))
+  }
+
+  private val qualityDupProfileSql = {
+    val stops = TextOps.stopwords("en").map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), d AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    COUNT(*) FILTER (tok IN ($stops)) AS n_stop,
+       |    COUNT(DISTINCT tok) AS n_distinct
+       |  FROM t GROUP BY doc_id
+       |), q AS (
+       |  SELECT doc_id,
+       |    least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+       |      + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+       |      + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3 AS quality
+       |  FROM d
+       |), f AS (
+       |  SELECT doc_id,
+       |    COUNT(*) OVER (PARTITION BY sha256(text)) > 1 AS is_dup
+       |  FROM documents
+       |), x AS (
+       |  SELECT q.doc_id, q.quality, f.is_dup,
+       |    CAST(NTILE(10) OVER (ORDER BY q.quality, q.doc_id) AS INT)
+       |      AS decile
+       |  FROM q JOIN f USING (doc_id)
+       |)
+       |SELECT decile, COUNT(*) AS n,
+       |  CAST(COUNT(*) FILTER (is_dup) AS BIGINT) AS n_dup,
+       |  CAST(COUNT(*) FILTER (is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
+       |FROM x
+       |GROUP BY decile
+       |ORDER BY decile""".stripMargin
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextOps.langId(docs(spark, dir)).orderBy(col("doc_id"))
 
@@ -635,6 +695,10 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(
+    Q("q171_quality_dup_profile", qualityDupProfile,
+      Some(qualityDupProfileSql),
+      "quality-decile duplicate-rate profile: exact quality score x " +
+        "exact-hash dup flag, deterministic ntile deciles"),
     Q("q167_heavy_hitters", heavyHitters, None,
       "two-pass Misra-Gries heavy hitters: bounded-state candidates + " +
         "exact broadcast recount (no-miss above n/k spec-pinned)"),

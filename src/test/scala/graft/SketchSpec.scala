@@ -35,6 +35,31 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("jaro_winkler: canonical vectors, bounds, codegen==eval, and q170 " +
+    "resolves every transposed name back to its own key") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String): Double = JaroWinkler.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-15)
+    assert(jw("", "") == 1.0 && jw("a", "") == 0.0 && jw("same", "same") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    // interpreted eval matches the codegen path through a real plan
+    val viaPlan = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .select(JaroWinkler.jaroWinkler(col("a"), col("b")).as("s"))
+      .as[Double].head()
+    assert(viaPlan == jw("MARTHA", "MARHTA"))
+    // q170: every dirtied customer matches its own key with jw >= 0.95
+    val er = graft.Registry.byName("q170_jw_er").build(spark, dir)
+      .select("dirty_key", "matched_key", "jw")
+      .as[(Long, Long, Double)].collect()
+    val self = er.filter(r => r._1 == r._2)
+    val nCust = graft.catalog.Catalog.load(spark, dir, "customer").count()
+    assert(self.length == nCust, s"${self.length} of $nCust self-matches")
+    assert(self.forall(_._3 >= 0.95))
+  }
+
   test("cms audit: every estimate >= exact, excess within 10*N/width") {
     val docs = graft.catalog.Catalog.load(spark, dir, "documents")
     val toks = graft.ops.TextOps.exploded(docs).select(col("tok")).as[String]

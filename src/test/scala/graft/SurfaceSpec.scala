@@ -65,10 +65,31 @@ class SurfaceSpec extends AnyFunSuite {
     try {
       val r = s2.sql(
         """SELECT cosine_sim(array(1.0f, 2.0f), array(2.0f, 4.0f)) AS c,
-          |       cosine_sim_exact(array(1.0f, 0.0f), array(0.0f, 1.0f)) AS o
+          |       cosine_sim_exact(array(1.0f, 0.0f), array(0.0f, 1.0f)) AS o,
+          |       jaro_winkler('MARTHA', 'MARHTA') AS jw
           |""".stripMargin).collect()(0)
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(r.getDouble(1) == 0.0)
+      assert(math.abs(r.getDouble(2) - 0.9611111111111111) < 1e-15)
+      // LevenshteinBoundRewrite: the <= k predicate becomes the bounded
+      // 3-arg kernel in the optimized plan, with identical results
+      // (incl. the NULL row, dropped by both forms)
+      import s2.implicits._
+      // parquet-backed input: a LocalRelation would be constant-folded
+      // whole before the rewritten predicate is visible in the plan
+      val pdir = java.nio.file.Files.createTempDirectory("lev").toString
+      Seq(("kitten", "sitten"), ("kitten", "kitten"),
+        ("abc", "xyzzy"), (null, "x")).toDF("a", "b")
+        .write.mode("overwrite").parquet(pdir)
+      val pairs = s2.read.parquet(pdir)
+      val filtered = pairs.filter(expr("levenshtein(a, b) <= 1"))
+      val opt = filtered.queryExecution.optimizedPlan.toString
+      assert(opt.contains("levenshtein(a#") && opt.contains("Some(1)) >= 0"), opt)
+      assert(filtered.as[(String, String)].collect().toSet ==
+        Set(("kitten", "sitten"), ("kitten", "kitten")))
+      // strict < and literal-first forms rewrite too
+      val lt = pairs.filter(expr("2 > levenshtein(a, b)"))
+      assert(lt.queryExecution.optimizedPlan.toString.contains("Some(1)) >= 0"))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
