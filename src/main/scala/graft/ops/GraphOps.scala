@@ -57,6 +57,40 @@ object GraphOps {
     pr.select(col("n"), (col("r").cast("double") / 1000000.0).as("r"))
   }
 
+  /** Personalized PageRank (random walk with restart): identical
+    * fixed-point recurrence to [[pageRank]], but the 15% restart mass
+    * returns ONLY to the `sources` set instead of every node —
+    * `pr_{t+1}(v) = (150000 if v ∈ S else 0) + 85% · Σ contributions` —
+    * so ranks measure proximity TO THE SOURCES (the recommendation /
+    * similar-entity primitive), not global centrality. Same scale
+    * posture: the source flag is one broadcast `isin` on the node frame,
+    * every round stays a distributed join + aggregate in exact 64-bit
+    * micro-units, nothing collects. Sources absent from the graph
+    * contribute nothing (flag never matches), mirroring the oracle's
+    * `CASE n IN (...)`. */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
+      iters: Int = 5): DataFrame = {
+    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
+    val nodes = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n"))).distinct()
+      .withColumn("b",
+        when(col("n").isInCollection(sources), lit(150000L)).otherwise(lit(0L)))
+      .localCheckpoint(false)
+    val ed = e.join(e.groupBy(col("u")).agg(count(lit(1)).as("d")), "u")
+      .localCheckpoint(false)
+    var pr = nodes.select(col("n"), col("b"), col("b").as("r"))
+    for (i <- 0 until iters) {
+      val contrib = ed.join(pr, ed("u") === pr("n"))
+        .select(col("v"), expr("r div d").as("x"))
+        .groupBy(col("v")).agg(sum(col("x")).as("s"))
+      pr = nodes.join(contrib, nodes("n") === contrib("v"), "left")
+        .select(col("n"), col("b"),
+          (col("b") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+      if (i < iters - 1) pr = pr.localCheckpoint(false)
+    }
+    pr.select(col("n"), (col("r").cast("double") / 1000000.0).as("r"))
+  }
+
   /** Degree orientation of an undirected (a, b) edge list: each edge
     * points from its lower-(degree, id) endpoint to the higher one.
     * Out-degree under this orientation is O(√m) for any graph — a node

@@ -71,6 +71,49 @@ object Guard {
     df.filter(!col(c).isInCollection(accepted) || col(c).isNull)
       .agg(count(lit(1)).as("violations"))
 
+  /** Declarative expectation set for [[expectations]]: not-null columns,
+    * accepted-value domains, numeric [lo, hi] ranges, and a row-count
+    * floor. Everything here folds into ONE aggregate pass. (Uniqueness
+    * and referential integrity need their own shuffle/join by nature —
+    * use [[uniqueViolations]] / [[refIntegrityViolations]] alongside.) */
+  final case class Expectations(
+      notNull: Seq[String] = Nil,
+      accepted: Map[String, Seq[String]] = Map.empty,
+      ranges: Map[String, (Double, Double)] = Map.empty,
+      minRows: Long = 0L)
+
+  /** Compile the whole expectation set into ONE aggregate returning a
+    * single report row: `rows` plus one violation count per rule
+    * (`null_<col>`, `domain_<col>`, `range_<col>`). One scan, one
+    * map-side-combinable aggregate, no matter how many rules — the
+    * Deequ-style analyzer shape that stays a single pass at 100 TB,
+    * where every per-rule `df.filter(...).count()` loop would be a full
+    * extra read per rule. */
+  def expectations(df: DataFrame, e: Expectations): DataFrame = {
+    val aggs = count(lit(1)).as("rows") +: (
+      e.notNull.map(c =>
+        count(when(col(c).isNull, 1)).as(s"null_$c")) ++
+      e.accepted.toSeq.sortBy(_._1).map { case (c, vs) =>
+        count(when(col(c).isNull || !col(c).isInCollection(vs), 1))
+          .as(s"domain_$c") } ++
+      e.ranges.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        count(when(col(c) < lo || col(c) > hi, 1)).as(s"range_$c") })
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[expectations]] as a gate: one pass, then throws with every failed
+    * rule listed (rows floor included). */
+  def requireExpectations(df: DataFrame, e: Expectations): Unit = {
+    val row = expectations(df, e).collect()(0)
+    val rows = row.getAs[Long]("rows")
+    val violated = row.schema.fieldNames.filter(_ != "rows")
+      .collect { case f if row.getAs[Long](f) > 0 =>
+        s"$f: ${row.getAs[Long](f)} violations" }
+    val all = (if (rows < e.minRows)
+      Seq(s"rows=$rows below minRows=${e.minRows}") else Nil) ++ violated
+    require(all.isEmpty, s"expectations failed:\n  ${all.mkString("\n  ")}")
+  }
+
   /** Schema contract check — the fail-loud answer to the reference's
     * inferSchema-everywhere posture (SURVEY §1.2: a silent upstream
     * rename breaks select lists at runtime). Returns every drift as a

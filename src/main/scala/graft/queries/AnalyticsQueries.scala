@@ -530,6 +530,65 @@ object AnalyticsQueries {
        |ORDER BY node""".stripMargin
   }
 
+  /** Personalized PageRank from customers c1-c3 over the same trade
+    * graph as q105 — rank = proximity to those seed customers (the
+    * "similar suppliers / co-shoppers" recommendation primitive).
+    * Identical fixed-point micro-unit machinery; the restart mass
+    * returns only to the seeds, initialized at the restart vector.
+    * Seeds missing from a small graph simply contribute nothing (CASE
+    * mirrors the Spark-side isin flag). */
+  def ppr(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"),
+        (col("l_suppkey") * 2 + 1).as("v"))
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    // custkeys 1..3 under the numeric (customer → 2k) node scheme
+    graft.ops.GraphOps.personalizedPageRank(edges, Seq(2L, 4L, 6L), iters = 5)
+      .select(
+        when(col("n") % 2 === 0, concat(lit("c"), (col("n") / 2).cast("long")))
+          .otherwise(concat(lit("s"), (col("n") / 2).cast("long"))).as("node"),
+        col("r").as("rank"))
+      .filter(col("rank") > 0.0) // untouched nodes carry no information
+      .orderBy(col("node"))
+  }
+
+  private val pprSql = {
+    def round(k: Int) =
+      s"""pr$k AS (
+         |  SELECT n.n,
+         |    CASE WHEN n.n IN ('c1', 'c2', 'c3')
+         |      THEN CAST(150000 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |      + CAST(85 * COALESCE(c.s, 0) AS BIGINT) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.v, SUM(p.r // d.d) AS s
+         |    FROM edges e JOIN pr${k - 1} p ON e.u = p.n JOIN deg d ON e.u = d.u
+         |    GROUP BY e.v) c ON c.v = n.n
+         |)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+       |), nodes AS (
+       |  SELECT DISTINCT u AS n FROM edges
+       |), deg AS (
+       |  SELECT u, COUNT(*) AS d FROM edges GROUP BY 1
+       |), pr0 AS (
+       |  SELECT n, CASE WHEN n IN ('c1', 'c2', 'c3')
+       |    THEN CAST(150000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r
+       |  FROM nodes
+       |), ${(1 to 5).map(round).mkString(", ")}
+       |SELECT n AS node, CAST(r AS DOUBLE) / CAST(1000000 AS DOUBLE) AS rank
+       |FROM pr5
+       |WHERE r > 0
+       |ORDER BY node""".stripMargin
+  }
+
   // ---- mergeable distinct-count sketches ------------------------------
 
   /** Mergeable HLL sketches (DataSketches surface): per-day user
@@ -995,6 +1054,9 @@ object AnalyticsQueries {
       "codegen Morton/z-order clustering key vs 64-term SQL bit interleave"),
     Q("q106_hll_rollup", hllRollup, None,
       "per-day HLL sketches unioned to distinct-user estimates (spec-bounded)"),
+    Q("q172_personalized_pagerank", ppr, Some(pprSql),
+      "personalized PageRank from seed customers c1-c3 (restart mass " +
+        "to seeds only; exact fixed-point micro-units)"),
     Q("q105_pagerank", pagerank, Some(pagerankSql),
       "5-round PageRank on the customer-supplier graph (fixed-point rounds)"),
     Q("q95_recursive_cte", recursiveCte, Some(recursiveCteSql),

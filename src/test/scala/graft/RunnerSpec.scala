@@ -73,6 +73,43 @@ class RunnerSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(errMarker))
   }
 
+  test("expectations: whole rule set compiles to ONE aggregate pass; " +
+    "violation counts exact; requireExpectations lists every failure") {
+    import graft.pipelines.Guard
+    import graft.pipelines.Guard.Expectations
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, "ok", 5.0), (2L, null, 50.0), (3L, "bad", -1.0), (4L, "ok", 7.0))
+      .toDF("id", "status", "score")
+    val e = Expectations(
+      notNull = Seq("status"),
+      accepted = Map("status" -> Seq("ok", "retry")),
+      ranges = Map("score" -> (0.0, 10.0)),
+      minRows = 10L)
+    val rep = Guard.expectations(df, e)
+    // single aggregate pass: no join, no window, at most the one
+    // final-aggregate exchange
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    val row = rep.collect()(0)
+    assert(row.getAs[Long]("rows") == 4L)
+    assert(row.getAs[Long]("null_status") == 1L)
+    assert(row.getAs[Long]("domain_status") == 2L) // null + 'bad'
+    assert(row.getAs[Long]("range_score") == 2L)   // 50.0 and -1.0
+    val err = intercept[IllegalArgumentException] {
+      Guard.requireExpectations(df, e)
+    }
+    assert(err.getMessage.contains("rows=4 below minRows=10") &&
+      err.getMessage.contains("domain_status: 2") &&
+      err.getMessage.contains("range_score: 2"))
+    // a clean frame passes the gate
+    Guard.requireExpectations(
+      Seq((1L, "ok", 5.0)).toDF("id", "status", "score"),
+      e.copy(minRows = 1L))
+  }
+
   test("schemaDrift: missing/extra/type-changed columns reported; " +
     "order never flagged; requireSchema throws with the full list") {
     import graft.pipelines.Guard
