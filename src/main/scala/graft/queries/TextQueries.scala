@@ -645,6 +645,53 @@ object TextQueries {
       |      < n_chars * 1000000
       |ORDER BY doc_id""".stripMargin
 
+  /** Fixed-size weighted sample: the top-10 docs per language by a
+    * deterministic weighted priority — the bounded-output counterpart of
+    * q150's Bernoulli sampler (which draws a RATE, not a size). Priority
+    * is the exponential-race analog done in exact integers: a uniform
+    * hash draw FLOOR-DIVIDED by the weight, `(draw * 10^6) div n_chars`,
+    * so heavier docs get systematically smaller keys — no log/pow, no
+    * float compare, bit-identical ranking on every engine. The per-group
+    * top-k runs as one window exchange with Spark's partial
+    * WindowGroupLimit doing per-partition pruning before the shuffle
+    * (same plan family as q35; the scale path for "sample k per stratum
+    * from 100 TB"). */
+  def weightedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = 1000000007L
+    docs(spark, dir)
+      .filter(col("doc_id").isNotNull && col("n_chars").isNotNull &&
+        col("n_chars") > 0)
+      .withColumn("draw",
+        pmod(pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p)),
+          lit(1000000L)))
+      .withColumn("prio", expr("(draw * 1000000L) div n_chars"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("prio"), col("doc_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"),
+        col("prio"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  private val weightedTopKSql =
+    """WITH d AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000
+      |      AS draw
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+      |), r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    (draw * 1000000) // n_chars AS prio,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY (draw * 1000000) // n_chars, doc_id) AS INT) AS rn
+      |  FROM d
+      |)
+      |SELECT lang, rn, doc_id, n_chars, prio
+      |FROM r WHERE rn <= 10
+      |ORDER BY lang, rn""".stripMargin
+
   /** Deterministic k-fold cross-validation assignment (k = 5): fold =
     * multiplicative hash of doc_id mod 5, reported as the fold × lang
     * census (docs, chars, distinct sources) that validates the split is
@@ -708,6 +755,10 @@ object TextQueries {
     Q("q149_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted-index posting lists for mid-frequency terms (ordered " +
         "LISTAGG, term-keyed build)"),
+    Q("q173_weighted_topk", weightedTopK, Some(weightedTopKSql),
+      "fixed-size weighted sample: top-10 per language by exact " +
+        "integer-rational priority (draw*10^6 div weight), partial " +
+        "window top-k"),
     Q("q150_weighted_sample", weightedSample, Some(weightedSampleSql),
       "weighted Bernoulli sample, P(keep) proportional to n_chars " +
         "(integer hash draw, division-free compare)"),

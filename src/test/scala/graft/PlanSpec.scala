@@ -262,6 +262,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("weighted top-k sample: partial WindowGroupLimit prunes before " +
+    "the lang shuffle; no join") {
+    val p = plan(graft.Registry.byName("q173_weighted_topk").build(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("cusum: order lines reduce in ONE partial->final day aggregate; " +
     "stats broadcast back; prefix windows run on the day-sized series") {
     val p = plan(graft.Registry.byName("q164_cusum").build(spark, dir))
