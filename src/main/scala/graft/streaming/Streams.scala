@@ -515,6 +515,45 @@ object Streams {
         }
       }
 
+  /** Streaming heavy hitters: maintain a Misra–Gries candidate table
+    * across micro-batches. Each batch folds its tokens through
+    * [[graft.ops.StatsOps.HeavyHittersAgg]] (bounded k-entry state per
+    * task, nothing keyed shuffles), and the batch's ≤k-entry summary is
+    * merged into the published candidate set with the SAME offer/decrement
+    * rule — Misra–Gries summaries are mergeable (Agarwal et al.), so the
+    * maintained table keeps the no-miss guarantee over EVERYTHING ever
+    * streamed: any token with total frequency > n/k since the start is
+    * guaranteed a slot, with per-item undercount ≤ n/k (spec-asserted
+    * across batches). The merge touches two ≤k maps — driver-trivial —
+    * and the table versions like any published view, so the candidate
+    * history time-travels. Exactly-once caveats are maintainAggregate's. */
+  def maintainHeavyHitters(toks: DataFrame, baseDir: String, name: String,
+      k: Int = 32, keep: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    toks.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val agg = new graft.ops.StatsOps.HeavyHittersAgg(k)
+          val batchMg = batch.toDF().select(col("tok")).as[String]
+            .select(agg.toColumn).head()
+          val prev: Map[String, Long] = graft.pipelines.Versioned
+            .latestVersion(baseDir, name) match {
+            case Some(_) => graft.pipelines.Versioned
+              .read(spark, baseDir, name)
+              .as[(String, Long)].collect().toMap
+            case None => Map.empty
+          }
+          val merged = agg.merge(
+            graft.ops.StatsOps.MgBuf(prev),
+            graft.ops.StatsOps.MgBuf(batchMg)).counts
+          graft.pipelines.Versioned.publish(
+            merged.toSeq.toDF("tok", "lower_bound"), baseDir, name, keep)
+          ()
+        }
+      }
+
   /** Streaming corpus ingestion with dedup admission — the composed
     * 100 TB training-data front door: every micro-batch of documents is
     * vetted against the CURRENT published corpus with

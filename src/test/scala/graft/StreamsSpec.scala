@@ -315,6 +315,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("maintainHeavyHitters: MG candidates merged across micro-batches " +
+    "keep the no-miss and undercount guarantees over the whole stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("mg-stream").toString
+    val in = MemoryStream[String]
+    val k = 16
+    val q = Streams.maintainHeavyHitters(
+      in.toDF().toDF("tok"), base, "hh", k).start()
+    val b1 = Seq.fill(40)("hot") ++ (1 to 60).map(i => s"a${i % 30}")
+    val b2 = Seq.fill(25)("warm") ++ (1 to 75).map(i => s"b${i % 40}")
+    val b3 = Seq.fill(30)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 50).map(i => s"c${i % 25}")
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    in.addData(b3); q.processAllAvailable()
+    q.stop()
+    val all = b1 ++ b2 ++ b3
+    val n = all.size.toLong
+    val trueCounts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cand = graft.pipelines.Versioned.read(spark, base, "hh")
+      .as[(String, Long)].collect().toMap
+    // no-miss: every token above n/k survives the cross-batch merges
+    for ((tok, c) <- trueCounts if c > n / k)
+      assert(cand.contains(tok), s"missed $tok ($c > ${n / k})")
+    // summaries only undercount, by at most n/k
+    for ((tok, lower) <- cand) {
+      val c = trueCounts(tok)
+      assert(lower <= c && c - lower <= n / k + 1, s"$tok: $lower vs $c")
+    }
+    // the candidate table versions: batch-1 state is still readable
+    assert(graft.pipelines.Versioned.read(spark, base, "hh", Some(0L))
+      .count() > 0)
+  }
+
   test("stream-static broadcast enrichment == batch left join, and the " +
     "micro-batch plan carries a BroadcastHashJoin (stateless shape)") {
     val staged = java.nio.file.Files.createTempDirectory("events-enrich")
