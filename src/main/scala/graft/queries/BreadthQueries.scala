@@ -589,7 +589,54 @@ object BreadthQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** Lorenz curve of supplier revenue concentration — the curve under
+    * q132's Gini number: suppliers ranked ascending by exact BIGINT-cent
+    * revenue, cumulative share at each rank. Everything is one
+    * lineitem aggregate; the ranking windows order only the
+    * supplier-sized frame, and the single mirrored division per row
+    * happens after all arithmetic is exact (integer cents, BIGINT
+    * cumulative sums). The "top 1% of suppliers carry X% of revenue"
+    * readout drops straight out of the tail rows. */
+  def lorenz(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+    val tot = s.agg(sum(col("rev_c")).as("total_c"))
+    val ord = Window.partitionBy().orderBy(col("rev_c"), col("l_suppkey"))
+    s.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cum_c", sum(col("rev_c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rk"), col("l_suppkey"), col("rev_c"), col("cum_c"),
+        (col("cum_c").cast("double") / col("total_c")).as("cum_share"))
+      .orderBy(col("rk"))
+  }
+
+  private val lorenzSql =
+    """WITH s AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM lineitem GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(rev_c) AS BIGINT) AS total_c FROM s
+      |)
+      |SELECT
+      |  CAST(ROW_NUMBER() OVER (ORDER BY rev_c, l_suppkey) AS INT) AS rk,
+      |  l_suppkey, rev_c,
+      |  CAST(SUM(rev_c) OVER (ORDER BY rev_c, l_suppkey
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+      |  CAST(CAST(SUM(rev_c) OVER (ORDER BY rev_c, l_suppkey
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / total_c
+      |    AS cum_share
+      |FROM s, t
+      |ORDER BY rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q174_lorenz", lorenz, Some(lorenzSql),
+      "Lorenz curve of supplier revenue concentration (exact cents, " +
+        "BIGINT cumulative sums, one mirrored division per row)"),
     Q("q154_rank_fusion", rankFusion, Some(rankFusionSql),
       "reciprocal-rank fusion of revenue and order-count supplier " +
         "rankings (mirrored IEEE 1/(60+r) terms)"),

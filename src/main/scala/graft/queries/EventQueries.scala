@@ -1196,7 +1196,68 @@ object EventQueries {
        |FROM r
        |ORDER BY h""".stripMargin
 
+  /** Funnel drop-off table: q111's strict-order per-user stages reduced
+    * to three step rows with users-remaining and conversion-from-previous
+    * (nullif-guarded mirrored divisions — empty inputs yield empty, a
+    * zero step yields NULL on both engines, never an ANSI error). The
+    * per-user funnel is the only data-sized work; the step table is a
+    * projection of one aggregate row. */
+  def funnelDropoff(spark: SparkSession, dir: String): DataFrame = {
+    // lazy checkpoint: the three step projections reuse ONE computed
+    // aggregate row instead of re-running the funnel per step
+    val agg = funnel(spark, dir).agg(
+      count(lit(1)).as("n1"),
+      count(col("click_us")).as("n2"),
+      count(col("purchase_us")).as("n3")).localCheckpoint(false)
+    def pct(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      num.cast("double") / nullif(den, lit(0)) * lit(100.0)
+    val steps = Seq(
+      (1, "view", col("n1"), lit(100.0)),
+      (2, "click", col("n2"), pct(col("n2"), col("n1"))),
+      (3, "purchase", col("n3"), pct(col("n3"), col("n2"))))
+    steps.map { case (i, nm, users, conv) =>
+      agg.select(lit(i).as("step"), lit(nm).as("step_name"),
+        users.as("users"), conv.as("conv_pct"))
+    }.reduce(_.unionByName(_)).orderBy(col("step"))
+  }
+
+  private val funnelDropoffSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+      |), v AS (
+      |  SELECT user_id, MIN(ts_us) AS view_us FROM e
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, MIN(e.ts_us) AS click_us
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_us >= v.view_us
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, MIN(e.ts_us) AS purchase_us
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_us >= c.click_us
+      |  GROUP BY 1
+      |), a AS (
+      |  SELECT (SELECT COUNT(*) FROM v) AS n1,
+      |    (SELECT COUNT(*) FROM c) AS n2,
+      |    (SELECT COUNT(*) FROM p) AS n3
+      |)
+      |SELECT step, step_name, users, conv_pct FROM (
+      |  SELECT 1 AS step, 'view' AS step_name, n1 AS users,
+      |    100.0 AS conv_pct FROM a
+      |  UNION ALL
+      |  SELECT 2, 'click', n2,
+      |    CAST(n2 AS DOUBLE) / nullif(n1, 0) * 100.0 FROM a
+      |  UNION ALL
+      |  SELECT 3, 'purchase', n3,
+      |    CAST(n3 AS DOUBLE) / nullif(n2, 0) * 100.0 FROM a
+      |)
+      |ORDER BY step""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q175_funnel_dropoff", funnelDropoff, Some(funnelDropoffSql),
+      "funnel drop-off table from q111's strict-order stages " +
+        "(users-remaining + nullif-guarded conversion percentages)"),
     Q("q169_wilson_ctr", wilsonCtr, Some(wilsonCtrSql),
       "Wilson-score lower bound on hourly purchase rate (one shared " +
         "IEEE formula string, exact integer count inputs)"),
