@@ -633,7 +633,52 @@ object BreadthQueries {
       |FROM s, t
       |ORDER BY rk""".stripMargin
 
+  /** Spark 4 VARIANT round-trip: order fields → JSON text → `parse_json`
+    * → typed `variant_get` extraction → aggregate. Variant is Spark 4's
+    * answer to schemaless columns (binary-encoded semi-structured values
+    * with typed path access — the modern form of the reference's
+    * inferSchema-everywhere posture, but per-value instead of per-file).
+    * Only TYPED extracts leave the query, so engine JSON rendering
+    * differences never reach the output: doubles survive the text
+    * round-trip exactly (shortest-roundtrip print, correctly-rounded
+    * parse, on both engines), then flow into the usual integer-cents
+    * aggregate. */
+  def variantJson(spark: SparkSession, dir: String): DataFrame = {
+    Catalog.load(spark, dir, "orders")
+      .withColumn("v", expr(
+        "parse_json(to_json(struct(o_totalprice AS p, o_orderkey AS k)))"))
+      .select(col("o_orderpriority"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.p', 'double')").as("p"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("key_sum"),
+        sum(round(col("p") * 100).cast("long")).as("cents_sum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val variantJsonSql =
+    """WITH j AS (
+      |  SELECT o_orderpriority,
+      |    to_json(struct_pack(p := o_totalprice, k := o_orderkey)) AS v
+      |  FROM orders
+      |), t AS (
+      |  SELECT o_orderpriority,
+      |    CAST(v ->> '$.k' AS BIGINT) AS k,
+      |    CAST(v ->> '$.p' AS DOUBLE) AS p
+      |  FROM j
+      |)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+      |FROM t
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q176_variant_json", variantJson, Some(variantJsonSql),
+      "Spark 4 VARIANT round-trip: parse_json + typed variant_get " +
+        "extraction feeding an exact-cents aggregate"),
     Q("q174_lorenz", lorenz, Some(lorenzSql),
       "Lorenz curve of supplier revenue concentration (exact cents, " +
         "BIGINT cumulative sums, one mirrored division per row)"),
