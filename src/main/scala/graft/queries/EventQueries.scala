@@ -1254,7 +1254,58 @@ object EventQueries {
       |)
       |ORDER BY step""".stripMargin
 
+  /** Shipments in flight per day by SWEEP LINE: each order contributes a
+    * [first-ship-day, last-ship-day] interval; instead of range-joining
+    * every interval against a date spine (q141's shape — O(intervals ×
+    * days-covered) pairs), each interval emits exactly TWO delta events
+    * (+1 at start, −1 past end) and a running sum over day order
+    * reconstructs the concurrent-interval count. O(n) rows regardless of
+    * interval length — the 100 TB answer to interval stacking, where a
+    * month-long interval would otherwise fan out 30×. Output is the
+    * standard compressed step function: one row per change day. All
+    * integer epoch-days and BIGINT sums. */
+  def sweepLine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = Catalog.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(expr("min(unix_micros(l_shipdate) div 86400000000)").as("s"),
+        expr("max(unix_micros(l_shipdate) div 86400000000)").as("e"))
+    val deltas = spans.select(col("s").as("day"), lit(1L).as("d"))
+      .unionByName(spans.select((col("e") + 1).as("day"), lit(-1L).as("d")))
+    val ord = Window.partitionBy().orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.groupBy(col("day")).agg(sum(col("d")).as("delta"))
+      .withColumn("in_flight", sum(col("delta")).over(ord))
+      .select((col("day") * 86400000000L).as("day_us"),
+        col("delta"), col("in_flight"))
+      .orderBy(col("day_us"))
+  }
+
+  private val sweepLineSql =
+    """WITH spans AS (
+      |  SELECT l_orderkey,
+      |    MIN(epoch_ns(l_shipdate) // 1000 // 86400000000) AS s,
+      |    MAX(epoch_ns(l_shipdate) // 1000 // 86400000000) AS e
+      |  FROM lineitem WHERE l_shipdate IS NOT NULL
+      |  GROUP BY 1
+      |), deltas AS (
+      |  SELECT s AS day, CAST(1 AS BIGINT) AS d FROM spans
+      |  UNION ALL
+      |  SELECT e + 1, CAST(-1 AS BIGINT) FROM spans
+      |), daily AS (
+      |  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY 1
+      |)
+      |SELECT day * 86400000000 AS day_us, delta,
+      |  CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS in_flight
+      |FROM daily
+      |ORDER BY day_us""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q177_sweep_line", sweepLine, Some(sweepLineSql),
+      "shipments in flight per day via sweep line: two delta events per " +
+        "interval + running sum (no interval x day fan-out)"),
     Q("q175_funnel_dropoff", funnelDropoff, Some(funnelDropoffSql),
       "funnel drop-off table from q111's strict-order stages " +
         "(users-remaining + nullif-guarded conversion percentages)"),
