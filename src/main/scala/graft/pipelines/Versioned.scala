@@ -361,6 +361,24 @@ object Versioned {
       "n_partitions")
   }
 
+  /** Row-level change set between two published versions: every row of
+    * `vNew` not in `vOld` tagged `added`, every row of `vOld` not in
+    * `vNew` tagged `removed` (multiset semantics via EXCEPT ALL, so a
+    * duplicated row appearing one extra time shows up once). An updated
+    * row is an add+remove pair under its key — the caller joins the two
+    * sides on the key to see updates as such. Answers "what did that
+    * publish actually change?" across time travel without any external
+    * diff tool; for a cheap partition-level pre-screen at 100 TB run the
+    * q165-style content checksum per partition first and diff only
+    * partitions whose checksums moved. */
+  def diff(spark: SparkSession, baseDir: String, name: String,
+      vOld: Long, vNew: Long): DataFrame = {
+    val before = read(spark, baseDir, name, Some(vOld))
+    val after = read(spark, baseDir, name, Some(vNew))
+    after.exceptAll(before).withColumn("change", lit("added"))
+      .unionByName(before.exceptAll(after).withColumn("change", lit("removed")))
+  }
+
   /** Roll back: republish an old version's content as the NEW latest
     * (history stays linear — the bad version remains on disk for
     * forensics until pruned). */

@@ -176,6 +176,24 @@ class PublishSpec extends AnyFunSuite {
     assert(Versioned.vacuum(base, "missing") == Nil)
   }
 
+  test("diff: upsert's change set recovered exactly across time travel " +
+    "(update = add+remove pair, untouched rows absent, multiset exact)") {
+    val base = tmp("vdiff")
+    // duplicate row (1,"a") on purpose: multiset semantics
+    val v0 = Seq((1, "a"), (1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    assert(Versioned.publish(v0, base, "t") == 0L)
+    val v1 = Seq((1, "a"), (2, "B"), (4, "d")).toDF("k", "v") // full replace
+    assert(Versioned.publish(v1, base, "t") == 1L)
+    val d = Versioned.diff(spark, base, "t", 0L, 1L)
+      .as[(Int, String, String)].collect().toSeq
+      .groupBy(_._3).view.mapValues(_.map(r => (r._1, r._2)).sorted).toMap
+    assert(d("added") == Seq((2, "B"), (4, "d")))
+    // one of the two (1,"a") copies survives → exactly one removal
+    assert(d("removed") == Seq((1, "a"), (2, "b"), (3, "c")))
+    // identical versions diff to empty
+    assert(Versioned.diff(spark, base, "t", 1L, 1L).count() == 0L)
+  }
+
   test("maintainJoin: view == one-shot join at every version; earlier " +
     "epochs' files are manifest-linked, never rewritten") {
     val base = tmp("ivm")
