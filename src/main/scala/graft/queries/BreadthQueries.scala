@@ -675,7 +675,61 @@ object BreadthQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Market-basket co-purchase analysis: top part pairs by order
+    * co-occurrence, with lift against independence. The pair join is
+    * per-basket bounded — self-join on l_orderkey where baskets hold a
+    * handful of distinct parts, so candidates are O(Σ kᵢ²) with small
+    * kᵢ, never all-parts × all-parts (q102's collocations are the text
+    * twin of this shape). Counts stay exact integers; lift is ONE
+    * mirrored double expression over them. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val perPart = items.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = items.select(col("ok"), col("pk").as("a"))
+      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(perPart.select(col("pk").as("a"), col("n_part").as("n_a")), "a")
+      .join(perPart.select(col("pk").as("b"), col("n_part").as("n_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") * col("n_orders")
+          / (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  private val basketPairsSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), n AS (
+      |  SELECT COUNT(DISTINCT ok) AS n_orders FROM items
+      |), pp AS (
+      |  SELECT pk, COUNT(*) AS n_part FROM items GROUP BY 1
+      |), pairs AS (
+      |  SELECT x.pk AS a, y.pk AS b, COUNT(*) AS n_ab
+      |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.a, p.b, p.n_ab, pa.n_part AS n_a, pb.n_part AS n_b,
+      |  CAST(p.n_ab AS DOUBLE) * n.n_orders / (pa.n_part * pb.n_part)
+      |    AS lift
+      |FROM pairs p
+      |JOIN pp pa ON pa.pk = p.a
+      |JOIN pp pb ON pb.pk = p.b
+      |CROSS JOIN n
+      |ORDER BY p.n_ab DESC, p.a, p.b
+      |LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q179_basket_pairs", basketPairs, Some(basketPairsSql),
+      "market-basket co-purchase pairs with lift (per-basket bounded " +
+        "self-join, exact counts, one mirrored division)"),
     Q("q176_variant_json", variantJson, Some(variantJsonSql),
       "Spark 4 VARIANT round-trip: parse_json + typed variant_get " +
         "extraction feeding an exact-cents aggregate"),

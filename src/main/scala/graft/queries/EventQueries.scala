@@ -1302,7 +1302,48 @@ object EventQueries {
       |FROM daily
       |ORDER BY day_us""".stripMargin
 
+  /** Daily active users split into NEW vs RETURNING: a user's first-seen
+    * day (one min-aggregate) joined back to the distinct (day, user)
+    * activity pairs — the daily companion to q112's weekly cohort
+    * matrix, and the decomposition growth dashboards actually plot.
+    * Two shuffles total (both on user_id-sized keys); the broadcast is
+    * never needed because the join key is the user id on both
+    * user-sized frames. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val act = Catalog.load(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day_us")).as("first_us"))
+    act.join(first, "user_id")
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("day_us") === col("first_us"), 1)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .orderBy(col("day_us"))
+  }
+
+  private val newVsReturningSql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_ns(date_trunc('day', ts)) // 1000 AS day_us
+      |  FROM events WHERE ts IS NOT NULL
+      |), f AS (
+      |  SELECT user_id, MIN(day_us) AS first_us FROM act GROUP BY 1
+      |)
+      |SELECT a.day_us, COUNT(*) AS n_active,
+      |  CAST(COUNT(*) FILTER (a.day_us = f.first_us) AS BIGINT) AS n_new,
+      |  COUNT(*) - CAST(COUNT(*) FILTER (a.day_us = f.first_us) AS BIGINT)
+      |    AS n_returning
+      |FROM act a JOIN f USING (user_id)
+      |GROUP BY a.day_us
+      |ORDER BY a.day_us""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q178_new_vs_returning", newVsReturning, Some(newVsReturningSql),
+      "daily active users decomposed into new vs returning via " +
+        "first-seen-day join (the daily face of q112's cohorts)"),
     Q("q177_sweep_line", sweepLine, Some(sweepLineSql),
       "shipments in flight per day via sweep line: two delta events per " +
         "interval + running sum (no interval x day fan-out)"),
