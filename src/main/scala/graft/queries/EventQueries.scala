@@ -1340,7 +1340,92 @@ object EventQueries {
       |GROUP BY a.day_us
       |ORDER BY a.day_us""".stripMargin
 
+  /** Deterministic A/B experiment readout: users split into two arms by
+    * the q153 multiplicative hash (same assignment on every engine and
+    * every run — no stored assignment table needed), outcome = "user
+    * ever purchased", per-arm conversion with the q169 Wilson lower
+    * bound (same shared-IEEE-formula trick). The entire analysis is two
+    * exact aggregates + two rows of float algebra — the experimentation
+    * loop a data platform runs daily, and the deterministic-assignment
+    * property is what makes it replayable on 100 TB of history. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000000007L
+    val perUser = Catalog.load(spark, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("converted"))
+    perUser
+      .withColumn("arm",
+        pmod(pmod(pmod(col("user_id"), lit(p)) * lit(2654435761L), lit(p)),
+          lit(2L)))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("wilson_lo", expr(wilsonExpr))
+      .orderBy(col("arm"))
+  }
+
+  private val abTestSql =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS converted
+       |  FROM events WHERE user_id IS NOT NULL
+       |  GROUP BY 1
+       |), a AS (
+       |  SELECT ((user_id % 1000000007) * 2654435761) % 1000000007 % 2
+       |      AS arm,
+       |    COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS c
+       |  FROM u GROUP BY 1
+       |), r AS (
+       |  SELECT arm, n, c, CAST(c AS DOUBLE) / n AS p FROM a
+       |)
+       |SELECT arm, n, c, p, $wilsonExpr AS wilson_lo
+       |FROM r ORDER BY arm""".stripMargin
+
+  /** Week-over-week change aligned to the SAME WEEKDAY: each day joins
+    * the day exactly 7 days earlier by integer µs arithmetic (never
+    * `lag(7)` over row positions, which silently misaligns across gaps),
+    * so Mondays compare to Mondays — q155's day-over-day without the
+    * weekend artifact. Left join keeps the first week with NULL change;
+    * nullif guards the division per house rule. */
+  def wowChange(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(unix_micros(date_trunc("day", col("o_orderdate"))).as("day_us"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val prev = daily.select((col("day_us") + 604800000000L).as("day_us"),
+      col("rev_c").as("prev_c"))
+    daily.join(prev, Seq("day_us"), "left")
+      .select(col("day_us"), col("rev_c"), col("prev_c"),
+        ((col("rev_c") - col("prev_c")).cast("double")
+          / nullif(col("prev_c"), lit(0L)) * lit(100.0)).as("wow_pct"))
+      .orderBy(col("day_us"))
+  }
+
+  private val wowChangeSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(date_trunc('day', o_orderdate)) // 1000 AS day_us,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders WHERE o_orderdate IS NOT NULL
+      |  GROUP BY 1
+      |)
+      |SELECT d.day_us, d.rev_c, p.rev_c AS prev_c,
+      |  CAST(d.rev_c - p.rev_c AS DOUBLE) / nullif(p.rev_c, 0) * 100.0
+      |    AS wow_pct
+      |FROM daily d
+      |LEFT JOIN daily p ON p.day_us + 604800000000 = d.day_us
+      |ORDER BY d.day_us""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q180_ab_test", abTest, Some(abTestSql),
+      "deterministic A/B readout: hash-assigned arms, exact conversion " +
+        "counts, Wilson lower bounds (shared IEEE formula)"),
+    Q("q181_wow_change", wowChange, Some(wowChangeSql),
+      "week-over-week revenue change aligned to the same weekday by " +
+        "integer day arithmetic (no row-position lag misalignment)"),
     Q("q178_new_vs_returning", newVsReturning, Some(newVsReturningSql),
       "daily active users decomposed into new vs returning via " +
         "first-seen-day join (the daily face of q112's cohorts)"),
