@@ -1419,7 +1419,63 @@ object EventQueries {
       |LEFT JOIN daily p ON p.day_us + 604800000000 = d.day_us
       |ORDER BY d.day_us""".stripMargin
 
+  /** Order-fulfillment latency percentiles per priority class: each
+    * order's days from placement to its LAST line shipping (one
+    * order-keyed aggregate over lineitem joined to orders), then q151's
+    * exact rank-selected median/p90 per priority — the SLA readout
+    * "does priority actually predict fulfillment speed?". All integer
+    * day arithmetic; the join is orders⨝(per-order max), both keyed by
+    * the same 8-byte orderkey. */
+  def fulfillment(spark: SparkSession, dir: String): DataFrame = {
+    val lastShip = Catalog.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(expr("max(unix_micros(l_shipdate) div 86400000000)").as("ship_d"))
+    val lat = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("order_d"))
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("ship_d") - col("order_d")).as("lat_days"))
+    graft.ops.StatsOps
+      .rankPercentiles(lat, col("o_orderpriority"), col("lat_days"),
+        col("o_orderkey"))
+      .withColumnRenamed("k", "o_orderpriority")
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val fulfillmentSql =
+    """WITH ls AS (
+      |  SELECT l_orderkey,
+      |    MAX(epoch_ns(l_shipdate) // 1000 // 86400000000) AS ship_d
+      |  FROM lineitem WHERE l_shipdate IS NOT NULL
+      |  GROUP BY 1
+      |), lat AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    ship_d - epoch_ns(o_orderdate) // 1000 // 86400000000 AS lat_days
+      |  FROM orders JOIN ls ON o_orderkey = l_orderkey
+      |  WHERE o_orderdate IS NOT NULL
+      |), r AS (
+      |  SELECT o_orderpriority, lat_days,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY lat_days, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM lat
+      |)
+      |SELECT o_orderpriority, MAX(n) AS n,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN lat_days END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN lat_days END)) / 2 AS median,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN lat_days END)
+      |    AS p90
+      |FROM r
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q182_fulfillment", fulfillment, Some(fulfillmentSql),
+      "order-fulfillment latency median/p90 per priority (exact " +
+        "rank-selected percentiles over integer day gaps)"),
     Q("q180_ab_test", abTest, Some(abTestSql),
       "deterministic A/B readout: hash-assigned arms, exact conversion " +
         "counts, Wilson lower bounds (shared IEEE formula)"),
