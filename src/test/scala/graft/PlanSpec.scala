@@ -262,6 +262,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sweep line: interval stacking is union + aggregate + running " +
+    "window — no join of any kind") {
+    val p = plan(graft.Registry.byName("q177_sweep_line").build(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("basket pairs: per-basket equi-join only — no cartesian product; " +
+    "the 1-row total broadcasts") {
+    val p = plan(graft.Registry.byName("q179_basket_pairs").build(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20, not global sort
+  }
+
   test("weighted top-k sample: partial WindowGroupLimit prunes before " +
     "the lang shuffle; no join") {
     val p = plan(graft.Registry.byName("q173_weighted_topk").build(spark, dir))
