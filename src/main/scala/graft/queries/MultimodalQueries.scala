@@ -14,6 +14,44 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** Modality coverage audit — the cross-table completeness question a
+    * multimodal training pipeline asks before every run: which media
+    * items have a companion embedding row, per modality? One 8-byte-key
+    * left join (media ids against distinct vector ids) and one
+    * aggregate; the percentage is a single nullif-guarded mirrored
+    * division. At 100 TB both sides join on ids only — payloads and
+    * vectors never move. */
+  def modalityCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val m = MediaOps.mediaFeatures(Catalog.load(spark, dir, "documents"))
+      .select(col("media_id"), col("media_type"))
+    val e = Catalog.load(spark, dir, "embeddings")
+      .select(col("vec_id")).distinct()
+    m.join(e, m("media_id") === e("vec_id"), "left")
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("vec_id")).as("n_emb"))
+      .withColumn("coverage_pct",
+        col("n_emb").cast("double") / nullif(col("n"), lit(0L)) * lit(100.0))
+      .orderBy(col("media_type"))
+  }
+
+  private val modalityCoverageSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+      |      AS media_type
+      |  FROM documents
+      |), e AS (
+      |  SELECT DISTINCT vec_id FROM embeddings
+      |)
+      |SELECT media_type, COUNT(*) AS n,
+      |  CAST(COUNT(e.vec_id) AS BIGINT) AS n_emb,
+      |  CAST(COUNT(e.vec_id) AS DOUBLE) / nullif(COUNT(*), 0) * 100.0
+      |    AS coverage_pct
+      |FROM m LEFT JOIN e ON m.media_id = e.vec_id
+      |GROUP BY media_type
+      |ORDER BY media_type""".stripMargin
+
   /** Metadata path (oracle-checked): media_id, type, dimensions, frames. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     MediaOps.mediaFeatures(Catalog.load(spark, dir, "documents"))
@@ -63,6 +101,9 @@ object MultimodalQueries {
       |ORDER BY media_id, frame_idx""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q183_modality_coverage", modalityCoverage, Some(modalityCoverageSql),
+      "modality coverage audit: per media type, how many items carry an " +
+        "embedding (left join on 8-byte ids, nullif-guarded pct)"),
     Q("q75_media_meta", mediaMeta, Some(mediaMetaSql),
       "binary decode-stub metadata via typed mapPartitions (oracle on length-derived fields)"),
     Q("q76_media_feature_stats", mediaFeatureStats, None,
