@@ -365,4 +365,39 @@ object TextOps {
       .select(col("doc_id"), col("tok").as("term"), col("tf"), col("df"),
         col("tfidf"))
   }
+
+  /** CCNet-style cross-document boilerplate removal at segment
+    * granularity: each document is cut into fixed `width`-token
+    * segments, and a segment whose exact text occurs in >= `minDf`
+    * distinct documents is boilerplate (the repeated headers / footers /
+    * licence blocks web-crawl pipelines strip before training). Returns
+    * per document the segment counts and the text rebuilt from the
+    * surviving segments in order. The corpus-wide document-frequency
+    * count and the flag join both run on the 8-byte xxhash64 of the
+    * segment (the hashed-shingle trick), so the df shuffle moves hashes
+    * + doc ids only; segment text is shuffled exactly once, keyed by its
+    * own 8-byte doc_id, to rebuild the document. */
+  def boilerplateClean(docs: DataFrame, width: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    require(width > 0 && minDf > 1, "need width > 0 and minDf > 1")
+    val words = tokens(col("text"))
+    val segs = docs
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0),
+            ceil(size(words) / lit(width.toDouble)).cast("int") - 1),
+          i => array_join(slice(words, i * lit(width) + 1, lit(width)), " ")))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("h", xxhash64(col("seg")))
+    val dfreq = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("df") >= minDf, 1)).as("n_boiler"),
+        array_join(transform(
+            sort_array(collect_list(when(col("df") < minDf,
+              struct(col("seg_idx"), col("seg"))))),
+            s => s("seg")), " ").as("clean_text"))
+  }
 }

@@ -1472,7 +1472,53 @@ object EventQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Gaps-and-islands: per customer, runs of CONSECUTIVE order months.
+    * The classic trick — month ordinal minus the per-customer
+    * row_number is constant within an island — needs one custkey
+    * exchange, but the windows run over (customer, month) pairs, not
+    * raw orders: the distinct aggregate first collapses order volume to
+    * at most one row per customer-month, so per-partition window state
+    * is bounded by the calendar span regardless of order count. */
+  def orderStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val months = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .distinct()
+    months
+      .withColumn("grp", col("m") - row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("m"))))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"),
+        sum(col("len")).as("n_months"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val orderStreaksSql =
+    """WITH m AS (
+      |  SELECT DISTINCT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+      |  FROM orders WHERE o_orderdate IS NOT NULL
+      |), g AS (
+      |  SELECT o_custkey, m,
+      |    m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+      |  FROM m
+      |), s AS (
+      |  SELECT o_custkey, grp, COUNT(*) AS len FROM g GROUP BY 1, 2
+      |)
+      |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest,
+      |  CAST(SUM(len) AS BIGINT) AS n_months
+      |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q185_order_streaks", orderStreaks, Some(orderStreaksSql),
+      "gaps-and-islands: consecutive-order-month streaks per customer " +
+        "(windows over collapsed customer-month pairs, not raw orders)"),
     Q("q182_fulfillment", fulfillment, Some(fulfillmentSql),
       "order-fulfillment latency median/p90 per priority (exact " +
         "rank-selected percentiles over integer day gaps)"),

@@ -329,6 +329,32 @@ object TextQueries {
       |WHERE n_tokens >= lo AND n_tokens <= hi
       |ORDER BY t.lang, doc_id""".stripMargin
 
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextOps.boilerplateClean(docs(spark, dir), width = 8, minDf = 2)
+      .orderBy(col("doc_id"))
+
+  private val boilerplateSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |    array_to_string(
+      |      ws[(CAST(i AS INT) * 8 + 1):(CAST(i AS INT) * 8 + 8)], ' ')
+      |      AS seg
+      |  FROM w, unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+      |), d AS (
+      |  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+      |), f AS (
+      |  SELECT s.doc_id, s.seg_idx, s.seg, d.df
+      |  FROM segs s JOIN d USING (seg)
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+      |  CAST(COUNT(*) FILTER (df >= 2) AS BIGINT) AS n_boiler,
+      |  COALESCE(array_to_string(
+      |    list(seg ORDER BY seg_idx) FILTER (df < 2), ' '), '') AS clean_text
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def stratified(spark: SparkSession, dir: String): DataFrame =
     graft.ops.StatsOps.stratifiedSample(
         docs(spark, dir), col("doc_id"), col("lang"), frac = 0.2)
@@ -809,6 +835,9 @@ object TextQueries {
     Q("q114_length_cut", lengthCut, Some(lengthCutSql),
       "corpus-relative p10-p90 token-length cut per language " +
         "(exact rank-selected bounds)"),
+    Q("q184_boilerplate", boilerplate, Some(boilerplateSql),
+      "cross-document boilerplate removal: 8-token segments repeated in " +
+        ">=2 docs stripped, text rebuilt from survivors (hashed-segment df)"),
     Q("q54_fingerprint", fingerprint, None,
       "xxhash64 document fingerprint (rows-only; spec-checked)"),
     Q("q55_winnowed_fingerprints",
