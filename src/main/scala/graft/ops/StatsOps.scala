@@ -214,6 +214,81 @@ object StatsOps {
       .orderBy(col("exact_n").desc, col("tok"))
   }
 
+  /** KMV buffer: the k smallest DISTINCT 64-bit hashes seen, ascending. */
+  case class KmvBuf(hs: Array[Long])
+
+  /** K-Minimum-Values distinct sketch (Bar-Yossef et al., "Counting
+    * distinct elements in a data stream") as a typed mergeable
+    * Aggregator — the cardinality member of the sketch family whose
+    * k-min SET (unlike HLL's engine-private registers) is an exact,
+    * relationally checkable object: it equals
+    * `slice(sort_array(collect_set(hash)), 1, k)` under ANY partitioning
+    * (SketchSpec asserts bit-equality), because insert keeps the k
+    * smallest distinct hashes and merge is a k-bounded set union — both
+    * order-independent. State is ≤ k longs per group (k=256 → 2 KiB),
+    * safe per key at any corpus size, where the exact collect_set twin
+    * grows with the true cardinality. The estimator (k-1)/u_(k) maps the
+    * k-th smallest signed hash monotonically onto [0,1); with fewer than
+    * k distinct hashes the sketch IS the exact distinct count. */
+  class KmvAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, KmvBuf, Array[Long]] {
+    require(k > 1, "need k > 1")
+    def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
+
+    private def insert(a: Array[Long], h: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(a, h)
+      if (i >= 0) a // already present: distinct-ness is the invariant
+      else {
+        val ins = -i - 1
+        if (a.length < k) {
+          val out = new Array[Long](a.length + 1)
+          System.arraycopy(a, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(a, ins, out, ins + 1, a.length - ins)
+          out
+        } else if (ins < k) { // displaces the current maximum
+          val out = new Array[Long](k)
+          System.arraycopy(a, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(a, ins, out, ins + 1, k - ins - 1)
+          out
+        } else a
+      }
+    }
+
+    def reduce(b: KmvBuf, h: Long): KmvBuf = KmvBuf(insert(b.hs, h))
+    def merge(x: KmvBuf, y: KmvBuf): KmvBuf =
+      KmvBuf(y.hs.foldLeft(x.hs)(insert))
+    def finish(r: KmvBuf): Array[Long] = r.hs
+    def bufferEncoder: org.apache.spark.sql.Encoder[KmvBuf] =
+      org.apache.spark.sql.Encoders.product[KmvBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Per-group KMV distinct estimate of `valueCol` within `by`: fold
+    * hashes through [[KmvAgg]] (bounded per-task state, tree-merged; the
+    * only shuffle moves ≤ k longs per group), then derive the estimate
+    * from the k-min set in column space. Exact below k, (k-1)/u_(k)
+    * above — relative error ~1/sqrt(k-2). */
+  def kmvDistinct(df: DataFrame, by: Column, valueCol: Column,
+      k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val twoPow64 = 1.8446744073709552e19
+    df.select(by.cast("string").as("grp"), xxhash64(valueCol).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new KmvAgg(k).toColumn.name("kmins"))
+      .toDF("grp", "kmins")
+      .select(col("grp"), size(col("kmins")).cast("long").as("n_mins"),
+        when(size(col("kmins")) < k, size(col("kmins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("kmins"), size(col("kmins"))).cast("double")
+              / twoPow64 + 0.5)).as("kmv_est"))
+  }
+
   /** Deterministic stratified sampling: within each stratum (`by`), rank
     * rows by a multiplicative-hash key of the id (exact BIGINT arithmetic
     * — the same expression runs on any engine, unlike rand(seed) whose

@@ -610,6 +610,21 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** KMV distinct users per event type ([[graft.ops.StatsOps.KmvAgg]])
+    * — the sketch-family member whose state is relationally auditable:
+    * unlike HLL's opaque registers, the k-min hash set is provably
+    * `slice(sort_array(collect_set(hash)), 1, k)` under any partitioning
+    * (SketchSpec asserts bit-equality and bounds the estimate against
+    * exact). Bounded 2 KiB state per group vs collect_set's
+    * cardinality-proportional growth. Engine-specific hash → rows-only
+    * driver check. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.StatsOps.kmvDistinct(
+        Catalog.load(spark, dir, "events"), col("event_type"),
+        col("user_id"), k = 256)
+      .withColumnRenamed("grp", "event_type")
+      .orderBy(col("event_type"))
+
   // ---- multi-dimensional clustering key -------------------------------
 
   /** Z-order keys for (l_partkey, l_suppkey): the write-side clustering
@@ -1052,6 +1067,9 @@ object AnalyticsQueries {
         "accepted-values domain"),
     Q("q107_zorder_keys", zorderKeys, Some(zorderSql),
       "codegen Morton/z-order clustering key vs 64-term SQL bit interleave"),
+    Q("q187_kmv_distinct", kmvDistinct, None,
+      "KMV distinct-user sketch per event type (bounded k-min-hash " +
+        "state, relationally auditable; rows-only, spec-checked)"),
     Q("q106_hll_rollup", hllRollup, None,
       "per-day HLL sketches unioned to distinct-user estimates (spec-bounded)"),
     Q("q172_personalized_pagerank", ppr, Some(pprSql),

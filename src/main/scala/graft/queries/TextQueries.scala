@@ -458,6 +458,57 @@ object TextQueries {
       |WHERE rk <= quota
       |ORDER BY r.source, rk""".stripMargin
 
+  /** Temperature-rebalanced training mix (α = 0.5): stratum weight is
+    * floor(sqrt(n_lang)·10⁶) instead of n_lang, upweighting rare
+    * languages the way multilingual pre-training mixes do, then the same
+    * largest-remainder quota + deterministic hash draw as q120. sqrt and
+    * the 10⁶ scale are correctly-rounded IEEE ops on integers, so the
+    * integer weights — and therefore the whole draw — are bit-identical
+    * across engines. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("lang").isNotNull)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val weighted = d.join(broadcast(counts), "lang")
+      .withColumn("w",
+        floor(sqrt(col("n_lang").cast("double")) * 1e6).cast("long"))
+    graft.ops.StatsOps.mixtureSample(
+        weighted, col("doc_id"), col("lang"), col("w"), budget = 200L)
+      .select(col("id").as("doc_id"), col("stratum").as("lang"),
+        col("quota"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val temperatureMixSql =
+    """WITH s AS (
+      |  SELECT lang,
+      |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+      |), q1 AS (
+      |  SELECT lang, w, SUM(w) OVER () AS tot FROM s
+      |), q2 AS (
+      |  SELECT lang, (200 * w) // tot AS base, (200 * w) % tot AS rem
+      |  FROM q1
+      |), q3 AS (
+      |  SELECT lang, base, 200 - SUM(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      |  FROM q2
+      |), quotas AS (
+      |  SELECT lang,
+      |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |      AS quota
+      |  FROM q3
+      |), ranked AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+      |                * 2654435761) % 1000000007, doc_id) AS BIGINT) AS rk
+      |  FROM documents WHERE lang IS NOT NULL
+      |)
+      |SELECT doc_id, r.lang, quota, rk
+      |FROM ranked r JOIN quotas USING (lang)
+      |WHERE rk <= quota
+      |ORDER BY r.lang, rk""".stripMargin
+
   /** Bigram LM-proxy quality: per doc, how "corpus-typical" its bigrams
     * are — total corpus hits of its bigrams plus its hapax count
     * (bigrams occurring exactly once corpus-wide). The count join is the
@@ -835,6 +886,9 @@ object TextQueries {
     Q("q114_length_cut", lengthCut, Some(lengthCutSql),
       "corpus-relative p10-p90 token-length cut per language " +
         "(exact rank-selected bounds)"),
+    Q("q186_temperature_mix", temperatureMix, Some(temperatureMixSql),
+      "alpha=0.5 temperature-rebalanced training mix: sqrt-count integer " +
+        "weights, largest-remainder quotas, deterministic hash draw"),
     Q("q184_boilerplate", boilerplate, Some(boilerplateSql),
       "cross-document boilerplate removal: 8-token segments repeated in " +
         ">=2 docs stripped, text rebuilt from survivors (hashed-segment df)"),

@@ -74,4 +74,47 @@ class SketchSpec extends AnyFunSuite {
       assert(est - exact <= bound, s"$tok: excess ${est - exact} > $bound")
     }
   }
+
+  test("kmv: k-min set == relational slice(sort_array(collect_set)) " +
+    "under any partitioning; plain merge associates; estimate near exact") {
+    import graft.ops.StatsOps
+    val k = 256
+    val e = graft.catalog.Catalog.load(spark, dir, "events")
+    // relational twin: exact k smallest distinct hashes per group
+    val twin = e
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .groupBy("event_type")
+      .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("kmins"))
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("kmins"))
+      .as[(String, Array[Long])].collect().toMap.view.mapValues(_.toSeq).toMap
+    val agg = new StatsOps.KmvAgg(k)
+    def viaUdaf(parts: Int) = e.repartition(parts)
+      .select(col("event_type").cast("string").as("grp"),
+        xxhash64(col("user_id")).as("h"))
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("kmins")).toDF("event_type", "kmins")
+    assert(sets(viaUdaf(1)) == sets(twin))
+    assert(sets(viaUdaf(13)) == sets(twin))
+    // merge is a k-bounded set union regardless of grouping
+    val hs = (1L to 1000L).map(h => h * 2654435761L)
+    val (a, b) = hs.splitAt(317)
+    val whole = hs.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(
+      a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.hs.toSeq == whole.hs.toSeq)
+    // estimator: within 20% of exact on the fixture (deterministic)
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = graft.queries.AnalyticsQueries.kmvDistinct(spark, dir)
+      .select(col("event_type"), col("kmv_est"))
+      .as[(String, Double)].collect()
+    assert(est.nonEmpty)
+    for ((t, v) <- est) {
+      val ex = exact(t).toDouble
+      assert(math.abs(v - ex) <= 0.2 * ex + 1,
+        s"$t: kmv $v vs exact $ex")
+    }
+  }
 }
