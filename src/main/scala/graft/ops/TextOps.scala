@@ -366,6 +366,31 @@ object TextOps {
         col("tfidf"))
   }
 
+  /** BPE merge-candidate mining — the first iteration of byte-pair-
+    * encoding tokenizer training: count adjacent character pairs across
+    * the corpus, weighted by word frequency (the pair a BPE trainer
+    * would merge first is the top row). Runs on the distinct-word
+    * aggregate, not raw tokens — the pair fan-out is |vocab|·word_len,
+    * independent of corpus size, which is what makes tokenizer training
+    * feasible over 100 TB: the only corpus-sized work is the word count
+    * every pipeline already has. Pairs are 2-char substrings (one
+    * compiled transform per word), so a pair occurring twice in a word
+    * ("aaa" → "aa"×2) is counted per position, exactly like the BPE
+    * frequency table. */
+  def bpePairCandidates(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val words = exploded(docs).groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+    words.filter(length(col("tok")) >= 2)
+      .select(col("tok"), col("wc"),
+        explode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wc")).as("total_count"),
+        count(lit(1)).as("n_positions"),
+        countDistinct(col("tok")).as("n_words"))
+      .orderBy(col("total_count").desc, col("pair"))
+      .limit(topN)
+  }
+
   /** CCNet-style cross-document boilerplate removal at segment
     * granularity: each document is cut into fixed `width`-token
     * segments, and a segment whose exact text occurs in >= `minDf`

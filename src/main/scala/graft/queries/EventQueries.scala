@@ -1472,6 +1472,77 @@ object EventQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Interval coalescing (merge-overlapping-intervals): per supplier,
+    * collapse per-order shipping spans [first ship day, last ship day]
+    * into maximal covered intervals. The classic running-max island
+    * detector — an interval starts a new island iff its start exceeds
+    * the max end seen so far — needs one supplier-key exchange, and the
+    * windows run over the per-order aggregate (one row per supplier ×
+    * order), not raw line items. Integer day arithmetic end to end. */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Catalog.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_suppkey"), col("l_orderkey"))
+      .agg(expr("min(unix_micros(l_shipdate) div 86400000000)").as("s"),
+        expr("max(unix_micros(l_shipdate) div 86400000000)").as("e"))
+    val ord = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("s"), col("e"), col("l_orderkey"))
+    iv
+      .withColumn("prev_max_e",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("l_suppkey"), col("island"))
+      .agg(count(lit(1)).as("n_iv"), min(col("s")).as("is_s"),
+        max(col("e")).as("is_e"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("is_e") - col("is_s") + 1).as("covered_days"),
+        max(col("is_e") - col("is_s") + 1).as("max_island_days"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val intervalMergeSql =
+    """WITH iv AS (
+      |  SELECT l_suppkey, l_orderkey,
+      |    MIN(epoch_ns(l_shipdate) // 1000 // 86400000000) AS s,
+      |    MAX(epoch_ns(l_shipdate) // 1000 // 86400000000) AS e
+      |  FROM lineitem WHERE l_shipdate IS NOT NULL
+      |  GROUP BY 1, 2
+      |), flag AS (
+      |  SELECT l_suppkey, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY l_suppkey
+      |        ORDER BY s, e, l_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR s > max(e) OVER (PARTITION BY l_suppkey
+      |        ORDER BY s, e, l_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS new_island,
+      |    l_orderkey
+      |  FROM iv
+      |), isl AS (
+      |  SELECT l_suppkey, s, e,
+      |    SUM(new_island) OVER (PARTITION BY l_suppkey
+      |      ORDER BY s, e, l_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flag
+      |), grp AS (
+      |  SELECT l_suppkey, island, COUNT(*) AS n_iv,
+      |    MIN(s) AS is_s, MAX(e) AS is_e
+      |  FROM isl GROUP BY 1, 2
+      |)
+      |SELECT l_suppkey, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+      |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(is_e - is_s + 1) AS BIGINT) AS covered_days,
+      |  CAST(MAX(is_e - is_s + 1) AS BIGINT) AS max_island_days
+      |FROM grp GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
   /** Gaps-and-islands: per customer, runs of CONSECUTIVE order months.
     * The classic trick — month ordinal minus the per-customer
     * row_number is constant within an island — needs one custkey
@@ -1516,6 +1587,9 @@ object EventQueries {
       |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q189_interval_merge", intervalMerge, Some(intervalMergeSql),
+      "interval coalescing: per-supplier shipping spans merged into " +
+        "maximal covered intervals via the running-max island detector"),
     Q("q185_order_streaks", orderStreaks, Some(orderStreaksSql),
       "gaps-and-islands: consecutive-order-month streaks per customer " +
         "(windows over collapsed customer-month pairs, not raw orders)"),

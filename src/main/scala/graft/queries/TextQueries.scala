@@ -329,6 +329,26 @@ object TextQueries {
       |WHERE n_tokens >= lo AND n_tokens <= hi
       |ORDER BY t.lang, doc_id""".stripMargin
 
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpePairCandidates(docs(spark, dir), topN = 20)
+
+  private val bpePairsSql =
+    """WITH w AS (
+      |  SELECT tok, COUNT(*) AS wc
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok
+      |), p AS (
+      |  SELECT tok, wc, substring(tok, CAST(i AS INT), 2) AS pair
+      |  FROM w, unnest(range(1, length(tok))) AS t(i)
+      |  WHERE length(tok) >= 2
+      |)
+      |SELECT pair, CAST(SUM(wc) AS BIGINT) AS total_count,
+      |  CAST(COUNT(*) AS BIGINT) AS n_positions,
+      |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_words
+      |FROM p GROUP BY pair
+      |ORDER BY total_count DESC, pair LIMIT 20""".stripMargin
+
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
     TextOps.boilerplateClean(docs(spark, dir), width = 8, minDf = 2)
       .orderBy(col("doc_id"))
@@ -886,6 +906,9 @@ object TextQueries {
     Q("q114_length_cut", lengthCut, Some(lengthCutSql),
       "corpus-relative p10-p90 token-length cut per language " +
         "(exact rank-selected bounds)"),
+    Q("q188_bpe_pairs", bpePairs, Some(bpePairsSql),
+      "BPE merge-candidate mining: top adjacent char pairs weighted by " +
+        "word frequency, over the vocab aggregate (tokenizer training)"),
     Q("q186_temperature_mix", temperatureMix, Some(temperatureMixSql),
       "alpha=0.5 temperature-rebalanced training mix: sqrt-count integer " +
         "weights, largest-remainder quotas, deterministic hash draw"),
