@@ -200,6 +200,37 @@ object Incremental {
     }
   }
 
+  /** Apply an ordered change-data-capture log to a keyed snapshot — the
+    * Debezium-shaped half of MERGE INTO: `log` carries the snapshot's
+    * columns plus an op column ('I'nsert / 'U'pdate / 'D'elete) and a
+    * monotone sequence column; for each key the HIGHEST-sequence op
+    * wins, then D removes the key and I/U replace (or insert) the
+    * payload. Intermediate history collapses before ever touching the
+    * snapshot: the window runs over the log only (O(changes), and a
+    * day's CDC batch is broadcast-sized next to the table), followed by
+    * one key anti-join + union — the same single-shuffle shape as
+    * [[upsert]]. Ties on (key, seq) break on op descending (U > I > D
+    * alphabetically reversed — deterministic, documented, and a
+    * malformed feed with duplicate sequence numbers still applies
+    * identically on every engine). */
+  def applyCdc(snapshot: DataFrame, log: DataFrame, keys: Seq[String],
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = snapshot.columns.toIndexedSeq
+    require((payload ++ Seq(opCol, seqCol)).toSet == log.columns.toSet,
+      s"log must carry exactly snapshot columns + $opCol + $seqCol")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = log
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+    snapshot
+      .join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .select(payload.map(col): _*)
+      .unionByName(latest.filter(col(opCol) =!= "D")
+        .select(payload.map(col): _*))
+  }
+
   /** Append `rows` to the versioned table `name` as a new `epoch=<k>`
     * partition, linking every earlier epoch's files unchanged — an
     * O(batch) append with time travel, the storage shape incremental

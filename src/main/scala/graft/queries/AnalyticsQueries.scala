@@ -4,7 +4,7 @@ import graft.Q
 import graft.catalog.Catalog
 import graft.ops.Det._
 import graft.ops.{StatsOps, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-2 analytics surface: deterministic second-moment statistics,
@@ -625,6 +625,67 @@ object AnalyticsQueries {
       .withColumnRenamed("grp", "event_type")
       .orderBy(col("event_type"))
 
+  /** CDC apply ([[graft.pipelines.Incremental.applyCdc]]) driven by a
+    * deterministic synthetic change log over `orders`: deletes
+    * (key%7=0), updates (key%7=1, price×2), update-then-delete chains
+    * (key%14=2: U at seq 1, D at seq 2 — exercises per-key sequence
+    * collapse), and fresh inserts (key%7=3 shifted into new key space).
+    * The oracle replays the identical log in SQL, so the merged table
+    * hash-matches row for row. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("order_d"))
+    def entry(f: Column, price: Column, key: Column, op: String,
+        seq: Int): DataFrame =
+      base.filter(f).select(key.as("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), price.as("o_totalprice"), col("order_d"),
+        lit(op).as("op"), lit(seq).as("seq"))
+    val k = col("o_orderkey")
+    val p = col("o_totalprice")
+    val log = entry(k % 7 === 1, p * 2, k, "U", 1)
+      .unionByName(entry(k % 7 === 0, p, k, "D", 1))
+      .unionByName(entry(k % 14 === 2, p * 3, k, "U", 1))
+      .unionByName(entry(k % 14 === 2, p, k, "D", 2))
+      .unionByName(entry(k % 7 === 3, p, k + 100000000L, "I", 1))
+    graft.pipelines.Incremental.applyCdc(base, log, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val cdcApplySql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    epoch_ns(o_orderdate) // 1000 // 86400000000 AS order_d
+      |  FROM orders
+      |), log AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice * 2 AS o_totalprice, order_d, 'U' AS op, 1 AS seq
+      |  FROM base WHERE o_orderkey % 7 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    order_d, 'D', 1 FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 3,
+      |    order_d, 'U', 1 FROM base WHERE o_orderkey % 14 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    order_d, 'D', 2 FROM base WHERE o_orderkey % 14 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+      |    o_totalprice, order_d, 'I', 1 FROM base WHERE o_orderkey % 7 = 3
+      |), latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |    ORDER BY seq DESC, op DESC) AS rn
+      |  FROM log
+      |)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, order_d
+      |FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM log)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, order_d
+      |FROM latest WHERE rn = 1 AND op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- multi-dimensional clustering key -------------------------------
 
   /** Z-order keys for (l_partkey, l_suppkey): the write-side clustering
@@ -1067,6 +1128,9 @@ object AnalyticsQueries {
         "accepted-values domain"),
     Q("q107_zorder_keys", zorderKeys, Some(zorderSql),
       "codegen Morton/z-order clustering key vs 64-term SQL bit interleave"),
+    Q("q190_cdc_apply", cdcApply, Some(cdcApplySql),
+      "CDC apply: ordered I/U/D change log collapsed per key (window " +
+        "over the log only) then one anti-join+union merge into orders"),
     Q("q187_kmv_distinct", kmvDistinct, None,
       "KMV distinct-user sketch per event type (bounded k-min-hash " +
         "state, relationally auditable; rows-only, spec-checked)"),

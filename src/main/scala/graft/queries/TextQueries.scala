@@ -529,6 +529,62 @@ object TextQueries {
       |WHERE rk <= quota
       |ORDER BY r.lang, rk""".stripMargin
 
+  /** Sample-based approximate aggregation with its own error audit: the
+    * per-language char-count sum estimated from q109's deterministic
+    * 20% stratified sample, scaled by n/n_samp, next to the exact sum
+    * and the relative error. At 100 TB this is the pattern that reads a
+    * fifth of the data for a dashboard: the sample draw is the hash
+    * rank (engine-independent), the integer sums are exact, and the
+    * only doubles are the final scale-up and error columns — identical
+    * formula strings on both engines. */
+  def sampleAgg(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("lang").isNotNull)
+    val exact = d.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+      sum(col("n_chars")).as("exact_sum"))
+    val samp = graft.ops.StatsOps
+      .stratifiedSample(d, col("doc_id"), col("lang"), frac = 0.2)
+      .select(col("id").as("doc_id"))
+      .join(d.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_samp"),
+        sum(col("n_chars")).as("samp_sum"))
+    val est = col("samp_sum").cast("double") *
+      (col("n").cast("double") / col("n_samp").cast("double"))
+    exact.join(samp, "lang")
+      .select(col("lang"), col("n"), col("n_samp"), col("exact_sum"),
+        est.as("est_sum"),
+        (abs(est - col("exact_sum").cast("double"))
+          / col("exact_sum").cast("double") * 100.0).as("rel_err_pct"))
+      .orderBy(col("lang"))
+  }
+
+  private val sampleAggSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE lang IS NOT NULL
+      |), ranked AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+      |                * 2654435761) % 1000000007, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM d
+      |), s AS (
+      |  SELECT lang, COUNT(*) AS n_samp, SUM(n_chars) AS samp_sum
+      |  FROM ranked WHERE rk <= ceil(n * 0.2) GROUP BY 1
+      |), e AS (
+      |  SELECT lang, COUNT(*) AS n, SUM(n_chars) AS exact_sum FROM d
+      |  GROUP BY 1
+      |)
+      |SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_samp AS BIGINT) AS n_samp,
+      |  CAST(exact_sum AS BIGINT) AS exact_sum,
+      |  CAST(samp_sum AS DOUBLE)
+      |    * (CAST(n AS DOUBLE) / CAST(n_samp AS DOUBLE)) AS est_sum,
+      |  abs(CAST(samp_sum AS DOUBLE)
+      |      * (CAST(n AS DOUBLE) / CAST(n_samp AS DOUBLE))
+      |      - CAST(exact_sum AS DOUBLE))
+      |    / CAST(exact_sum AS DOUBLE) * 100.0 AS rel_err_pct
+      |FROM e JOIN s USING (lang)
+      |ORDER BY lang""".stripMargin
+
   /** Bigram LM-proxy quality: per doc, how "corpus-typical" its bigrams
     * are — total corpus hits of its bigrams plus its hapax count
     * (bigrams occurring exactly once corpus-wide). The count join is the
@@ -906,6 +962,9 @@ object TextQueries {
     Q("q114_length_cut", lengthCut, Some(lengthCutSql),
       "corpus-relative p10-p90 token-length cut per language " +
         "(exact rank-selected bounds)"),
+    Q("q191_sample_agg", sampleAgg, Some(sampleAggSql),
+      "approximate aggregation from the deterministic 20% stratified " +
+        "sample, with exact-vs-estimate error audit columns"),
     Q("q188_bpe_pairs", bpePairs, Some(bpePairsSql),
       "BPE merge-candidate mining: top adjacent char pairs weighted by " +
         "word frequency, over the vocab aggregate (tokenizer training)"),

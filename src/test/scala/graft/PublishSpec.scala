@@ -302,6 +302,27 @@ class PublishSpec extends AnyFunSuite {
       (3L, "c", None, Some("w3"))))   // inserted
   }
 
+  test("applyCdc: highest-seq op wins per key; D removes, I/U upsert, " +
+    "untouched keys pass through; schema contract enforced") {
+    import graft.pipelines.Incremental.applyCdc
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val log = Seq(
+      (2L, "B1", "U", 1), (2L, "B2", "U", 2),   // last update wins
+      (3L, "c", "D", 1),                        // delete
+      (4L, "d", "I", 1), (4L, "dX", "D", 2),    // insert then delete: gone
+      (5L, "e", "D", 1), (5L, "E", "I", 2)      // delete then re-insert
+    ).toDF("k", "v", "op", "seq")
+    val got = applyCdc(snap, log, Seq("k")).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (5L, "E")))
+    // duplicate seq: op DESC tie-break (U > I > D) is deterministic
+    val dup = Seq((1L, "x", "U", 1), (1L, "y", "D", 1)).toDF("k", "v", "op", "seq")
+    assert(applyCdc(snap, dup, Seq("k")).as[(Long, String)].collect().toSet
+      == Set((1L, "x"), (2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException] {
+      applyCdc(snap, log.drop("seq"), Seq("k"))
+    }
+  }
+
   test("publishDelete: erased keys gone in the new version; time travel " +
     "reaches the pre-delete state until pruned") {
     import graft.pipelines.Incremental
