@@ -1472,6 +1472,147 @@ object EventQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Welch's unequal-variance t-test between two order-priority groups
+    * on o_totalprice. Counts and decimal-cast sums/sum-of-squares are
+    * exact and order-independent (Det recipe — prices and their squares
+    * are decimal-shaped); every downstream step (mean, variance,
+    * standard errors, t, Welch–Satterthwaite df) is a single IEEE op on
+    * already-identical values, staged so both engines execute the same
+    * operation sequence. One aggregate over the filtered rows; the
+    * two-group pivot is conditional aggregation on a 2-row frame. */
+  def welchT(spark: SparkSession, dir: String): DataFrame = {
+    val g1 = "1-URGENT"; val g2 = "5-LOW"
+    val g = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin(g1, g2))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("s"),
+        Det.dsum(col("o_totalprice") * col("o_totalprice")).as("ss"))
+      .withColumn("mean", col("s") / col("n").cast("double"))
+      .withColumn("vr",
+        (col("ss") - col("n").cast("double") * col("mean") * col("mean"))
+          / (col("n") - 1).cast("double"))
+    def pick(c: String, grp: String) =
+      max(when(col("o_orderpriority") === grp, col(c)))
+    g.agg(
+        pick("n", g1).as("n1"), pick("n", g2).as("n2"),
+        pick("mean", g1).as("mean1"), pick("mean", g2).as("mean2"),
+        pick("vr", g1).as("var1"), pick("vr", g2).as("var2"))
+      .withColumn("se1", col("var1") / col("n1").cast("double"))
+      .withColumn("se2", col("var2") / col("n2").cast("double"))
+      .withColumn("sesum", col("se1") + col("se2"))
+      .select(col("n1"), col("n2"), col("mean1"), col("mean2"),
+        col("var1"), col("var2"),
+        ((col("mean1") - col("mean2")) / sqrt(col("sesum"))).as("t_stat"),
+        (col("sesum") * col("sesum") /
+          (col("se1") * col("se1") / (col("n1") - 1).cast("double")
+            + col("se2") * col("se2") / (col("n2") - 1).cast("double")))
+          .as("df"))
+  }
+
+  private val welchTSql = {
+    val s = Det.sqlSum("o_totalprice")
+    val ss = Det.sqlSum("o_totalprice * o_totalprice")
+    s"""WITH g AS (
+       |  SELECT o_orderpriority, COUNT(*) AS n, $s AS s, $ss AS ss
+       |  FROM orders
+       |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+       |  GROUP BY 1
+       |), m AS (
+       |  SELECT o_orderpriority, n, s, ss, s / CAST(n AS DOUBLE) AS mean
+       |  FROM g
+       |), v AS (
+       |  SELECT o_orderpriority, n, mean,
+       |    (ss - CAST(n AS DOUBLE) * mean * mean) / CAST(n - 1 AS DOUBLE)
+       |      AS vr
+       |  FROM m
+       |), piv AS (
+       |  SELECT
+       |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN n END) AS n1,
+       |    MAX(CASE WHEN o_orderpriority = '5-LOW' THEN n END) AS n2,
+       |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN mean END) AS mean1,
+       |    MAX(CASE WHEN o_orderpriority = '5-LOW' THEN mean END) AS mean2,
+       |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN vr END) AS var1,
+       |    MAX(CASE WHEN o_orderpriority = '5-LOW' THEN vr END) AS var2
+       |  FROM v
+       |), se AS (
+       |  SELECT *, var1 / CAST(n1 AS DOUBLE) AS se1,
+       |    var2 / CAST(n2 AS DOUBLE) AS se2
+       |  FROM piv
+       |), f AS (SELECT *, se1 + se2 AS sesum FROM se)
+       |SELECT n1, n2, mean1, mean2, var1, var2,
+       |  (mean1 - mean2) / sqrt(sesum) AS t_stat,
+       |  sesum * sesum /
+       |    (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+       |      + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS df
+       |FROM f""".stripMargin
+  }
+
+  /** Mann–Whitney U (rank-sum) test between the same two priority
+    * groups — the non-parametric sibling of [[welchT]], and unlike it
+    * EXACT end to end: average-tie ranks are kept in DOUBLED integer
+    * units (2·rank_min + ties − 1), so rank sums and both U statistics
+    * are BIGINT arithmetic with one answer on any engine; only the
+    * final normal-approximation z goes through (identical) IEEE ops.
+    * The global rank is one total-order sort — at scale a
+    * range-partitioned sort, the same shape as any global ranking. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g1 = "1-URGENT"; val g2 = "5-LOW"
+    val o = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin(g1, g2))
+      .select(col("o_orderpriority").as("g"), col("o_totalprice").as("x"))
+    val ranked = o
+      .withColumn("rmin", rank().over(Window.orderBy(col("x"))).cast("long"))
+      .withColumn("ties", count(lit(1)).over(Window.partitionBy(col("x"))))
+      .withColumn("r2", lit(2L) * col("rmin") + col("ties") - 1L)
+    ranked.groupBy()
+      .agg(
+        count(when(col("g") === g1, 1)).as("n1"),
+        count(when(col("g") === g2, 1)).as("n2"),
+        sum(when(col("g") === g1, col("r2"))).as("r1_x2"))
+      .withColumn("u1_x2",
+        col("r1_x2") - col("n1") * (col("n1") + 1L))
+      .withColumn("u2_x2",
+        lit(2L) * col("n1") * col("n2") - col("u1_x2"))
+      .withColumn("mu_x2", col("n1") * col("n2"))
+      .select(col("n1"), col("n2"), col("r1_x2"), col("u1_x2"), col("u2_x2"),
+        ((col("u1_x2") - col("mu_x2")).cast("double") / 2.0 /
+          sqrt(col("n1").cast("double") * col("n2").cast("double")
+            * (col("n1") + col("n2") + 1L).cast("double") / 12.0))
+          .as("z_approx"))
+  }
+
+  private val mannWhitneySql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS g, o_totalprice AS x FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |), r AS (
+      |  SELECT g, x,
+      |    CAST(rank() OVER (ORDER BY x) AS BIGINT) AS rmin,
+      |    COUNT(*) OVER (PARTITION BY x) AS ties
+      |  FROM o
+      |), r2 AS (SELECT g, 2 * rmin + ties - 1 AS r2 FROM r
+      |), agg AS (
+      |  SELECT
+      |    COUNT(*) FILTER (g = '1-URGENT') AS n1,
+      |    COUNT(*) FILTER (g = '5-LOW') AS n2,
+      |    SUM(r2) FILTER (g = '1-URGENT') AS r1_x2
+      |  FROM r2
+      |), u AS (
+      |  SELECT n1, n2, r1_x2,
+      |    r1_x2 - n1 * (n1 + 1) AS u1_x2,
+      |    2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+      |    n1 * n2 AS mu_x2
+      |  FROM agg
+      |)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(r1_x2 AS BIGINT) AS r1_x2,
+      |  CAST(u1_x2 AS BIGINT) AS u1_x2, CAST(u2_x2 AS BIGINT) AS u2_x2,
+      |  CAST(u1_x2 - mu_x2 AS DOUBLE) / 2.0 /
+      |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |      * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0) AS z_approx
+      |FROM u""".stripMargin
+
   /** Interval coalescing (merge-overlapping-intervals): per supplier,
     * collapse per-order shipping spans [first ship day, last ship day]
     * into maximal covered intervals. The classic running-max island
@@ -1587,6 +1728,12 @@ object EventQueries {
       |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q192_welch_t", welchT, Some(welchTSql),
+      "Welch's unequal-variance t-test between two priority groups " +
+        "(decimal-exact moments, staged single-op IEEE tail)"),
+    Q("q193_mann_whitney", mannWhitney, Some(mannWhitneySql),
+      "Mann-Whitney U rank-sum test: tie-averaged ranks in doubled " +
+        "integer units, BIGINT-exact U statistics, shared-formula z"),
     Q("q189_interval_merge", intervalMerge, Some(intervalMergeSql),
       "interval coalescing: per-supplier shipping spans merged into " +
         "maximal covered intervals via the running-max island detector"),

@@ -554,6 +554,42 @@ object Streams {
         }
       }
 
+  /** Streaming CDC apply: each micro-batch of ordered I/U/D changes is
+    * collapsed and merged into the CURRENT published snapshot with
+    * [[graft.pipelines.Incremental.applyCdc]] and the result published
+    * as the next [[graft.pipelines.Versioned]] version — a continuously
+    * maintained replica with time travel, the streaming half of a
+    * Debezium pipeline. Batch semantics are exactly the batch op's
+    * (spec asserts the maintained table equals one applyCdc of the
+    * concatenated log at every version). Within a micro-batch the `seq`
+    * column orders ops; ACROSS batches arrival order wins (each batch's
+    * survivors replace the keys they touch), so a replayed epoch
+    * re-applies the same collapsed ops onto keys it already wrote —
+    * idempotent, the foreachBatch recipe. First batch bootstraps the
+    * snapshot from the insert/update payloads alone. */
+  def maintainCdc(changes: DataFrame, baseDir: String, name: String,
+      keys: Seq[String], keep: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val payloadCols = batch.columns.filterNot(c => c == "op" || c == "seq")
+          val prev = graft.pipelines.Versioned
+            .latestVersion(baseDir, name) match {
+            case Some(_) =>
+              graft.pipelines.Versioned.read(spark, baseDir, name)
+            case None => // bootstrap: an empty snapshot with the payload schema
+              batch.toDF().select(payloadCols.map(col).toIndexedSeq: _*)
+                .limit(0)
+          }
+          val next = graft.pipelines.Incremental
+            .applyCdc(prev, batch.toDF(), keys)
+          graft.pipelines.Versioned.publish(next, baseDir, name, keep)
+          ()
+        }
+      }
+
   /** Streaming corpus ingestion with dedup admission — the composed
     * 100 TB training-data front door: every micro-batch of documents is
     * vetted against the CURRENT published corpus with

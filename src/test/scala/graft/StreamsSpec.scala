@@ -350,6 +350,42 @@ class StreamsSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("maintainCdc: streamed I/U/D batches maintain a versioned replica " +
+    "equal to one batch applyCdc of the concatenated log; time travel " +
+    "reaches every intermediate state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("cdc-stream").toString
+    val in = MemoryStream[(Long, String, String, Int)]
+    val q = Streams.maintainCdc(
+      in.toDF().toDF("k", "v", "op", "seq"), base, "rep", Seq("k")).start()
+    // batch 1: bootstrap inserts (plus an in-batch U collapse on k=2)
+    val b1 = Seq((1L, "a", "I", 1), (2L, "b0", "I", 1), (2L, "b", "U", 2),
+      (3L, "c", "I", 1))
+    // batch 2: delete k=1, update k=3, insert k=4
+    val b2 = Seq((1L, "-", "D", 1), (3L, "C", "U", 1), (4L, "d", "I", 1))
+    in.addData(b1); q.processAllAvailable()
+    val afterB1 = graft.pipelines.Versioned.read(spark, base, "rep")
+      .as[(Long, String)].collect().toSet
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(afterB1 == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val finalState = graft.pipelines.Versioned.read(spark, base, "rep")
+      .as[(Long, String)].collect().toSet
+    assert(finalState == Set((2L, "b"), (3L, "C"), (4L, "d")))
+    // == one batch applyCdc over the whole log, seq re-numbered by arrival
+    val whole = (b1.map { case (k, v, op, s) => (k, v, op, s) } ++
+      b2.map { case (k, v, op, s) => (k, v, op, s + 10) })
+      .toDF("k", "v", "op", "seq")
+    val oneShot = graft.pipelines.Incremental.applyCdc(
+        Seq.empty[(Long, String)].toDF("k", "v"), whole, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(oneShot == finalState)
+    // batch-1 state still served by time travel
+    assert(graft.pipelines.Versioned.read(spark, base, "rep", Some(0L))
+      .as[(Long, String)].collect().toSet == afterB1)
+  }
+
   test("stream-static broadcast enrichment == batch left join, and the " +
     "micro-batch plan carries a BroadcastHashJoin (stateless shape)") {
     val staged = java.nio.file.Files.createTempDirectory("events-enrich")
