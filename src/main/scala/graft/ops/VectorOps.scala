@@ -310,4 +310,118 @@ object VectorOps {
       .select(col("label"), posexplode(col("centroid")).as(Seq("i", "c")))
       .select(col("label"), col("i").cast("long").as("i"), col("c"))
   }
+
+  /** Product-quantization codebooks: split the `dim`-dim embedding into
+    * `m` contiguous subspaces and train an independent [[kmeansCentroids]]
+    * codebook per subspace (same bounded deterministic training prefix,
+    * same fused-argmin assignment). m·k tiny centroid slices — the
+    * model — are all that reaches the driver. PQ is how a 100 TB corpus
+    * fits serving memory: d floats become m small codes (d=64, m=8,
+    * k=16 → 8 nibbles ≈ 64× compression), and IVF-PQ is the standard
+    * production ANN layout (coarse cells from [[kmeansCentroids]],
+    * residual codes from here). */
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
+      iters: Int = 2): Seq[Seq[(Int, Array[Float])]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      kmeansCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        k, iters)
+    }
+  }
+
+  /** Encode every vector as its m nearest-subcentroid codes — one fused
+    * [[graft.functions.NearestCentroids]] pass per subspace over the
+    * broadcast codebooks, all m inside a single projection (no joins,
+    * no shuffle, codegen end to end). */
+  def pqEncode(emb: DataFrame, books: Seq[Seq[(Int, Array[Float])]],
+      dim: Int = 64): DataFrame = {
+    // an empty corpus trains empty codebooks — encode nothing, same
+    // zero-row contract as ivfTopKWith
+    if (books.isEmpty || books.exists(_.isEmpty))
+      return emb.select(col("vec_id"),
+        array().cast("array<int>").as("codes")).limit(0)
+    val m = books.size
+    val sub = dim / m
+    val codes = array((0 until m).map { s =>
+      element_at(graft.functions.NearestCentroids.nearestCells(
+        slice(col("embedding"), s * sub + 1, sub), books(s), 1), 1)
+    }: _*)
+    emb.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** Reconstruction audit: decode each vector's codes back to the
+    * concatenated subspace centroids and report cosine(original,
+    * reconstruction) — the distortion number that decides (m, k) before
+    * trusting PQ distances at scale. Codes come from the codegen
+    * [[pqEncode]] path (single source of truth for assignment); the
+    * decode+cosine is one partition-local typed pass with the
+    * model-sized codebooks as a closure reference — nothing shuffles
+    * but the 8-byte-keyed code join. */
+  def pqAudit(emb: DataFrame, books: Seq[Seq[(Int, Array[Float])]],
+      dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = books.size
+    val sub = dim / m
+    // code -> centroid lookup per subspace (cell ids are 0..k-1 from
+    // kmeansCentroids; map is robust to gaps after empty-cluster drops)
+    val lookup: Array[Map[Int, Array[Float]]] =
+      books.map(_.toMap).toArray
+    emb.select(col("vec_id"), col("embedding"))
+      .join(pqEncode(emb, books, dim), "vec_id")
+      .as[(Long, Array[Float], Array[Int])]
+      .mapPartitions(_.map { case (id, v, codes) =>
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        var s = 0
+        while (s < m) {
+          val cv = lookup(s)(codes(s))
+          var i = 0
+          while (i < sub) {
+            val xi = v(s * sub + i).toDouble
+            val yi = cv(i).toDouble
+            dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+          }
+          s += 1
+        }
+        val denom = math.sqrt(nx) * math.sqrt(ny)
+        (id, codes, if (denom == 0.0) 0.0 else dot / denom)
+      })
+      .toDF("vec_id", "codes", "cos_recon")
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): rank corpus vectors for each
+    * query by cosine(query_original, reconstruction(corpus_codes)) —
+    * the search the compressed serving tier actually runs. Implemented
+    * by substituting reconstructions for corpus embeddings and reusing
+    * the exact [[cosineTopK]] machinery (broadcast queries, partial
+    * per-partition top-k); queries keep their ORIGINAL vectors, which
+    * is the "asymmetric" in ADC. */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int,
+      books: Seq[Seq[(Int, Array[Float])]], dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = books.size
+    val sub = dim / m
+    val lookup: Array[Map[Int, Array[Float]]] = books.map(_.toMap).toArray
+    val recon = emb.select(col("vec_id"), col("embedding"))
+      .join(pqEncode(emb, books, dim), "vec_id")
+      .as[(Long, Array[Float], Array[Int])]
+      .mapPartitions(_.map { case (id, _, codes) =>
+        val out = new Array[Float](dim)
+        var s = 0
+        while (s < m) {
+          System.arraycopy(lookup(s)(codes(s)), 0, out, s * sub, sub)
+          s += 1
+        }
+        (id, out)
+      }).toDF("vec_id", "recon")
+    val substituted = emb.join(recon, "vec_id")
+      .select(col("vec_id"),
+        when(queryPred, col("embedding")).otherwise(col("recon"))
+          .as("embedding"))
+    cosineTopK(substituted, queryPred, k)
+  }
 }

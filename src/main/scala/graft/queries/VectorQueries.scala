@@ -98,6 +98,17 @@ object VectorQueries {
     VectorOps.ivfTopK(emb(spark, dir), col("vec_id") < NQ, K)
       .orderBy(col("query_id"), col("rn"))
 
+  /** PQ train→encode→reconstruction-distortion audit (engine-specific
+    * k-means model → rows-only; VectorOpsSpec pins determinism, code
+    * ranges, distortion and ADC recall). */
+  def pqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    VectorOps.pqAudit(e, VectorOps.pqTrain(e))
+      .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"),
+        col("cos_recon"))
+      .orderBy(col("vec_id"))
+  }
+
   private val centroidSql =
     """WITH v AS (
       |  SELECT label,
@@ -213,6 +224,9 @@ object VectorQueries {
         "vectors per query (scaled-int oracle)"),
     Q("q71_ann_lsh_topk", annTopK, None,
       "hyperplane-LSH multiprobe ANN top-5 (spec-checked recall)"),
+    Q("q194_pq_audit", pqAudit, None,
+      "product quantization: per-subspace codebooks, codegen encode, " +
+        "reconstruction-cosine audit (rows-only; spec-checked)"),
     Q("q74_ann_ivf_topk", ivfTopK, None,
       "IVF coarse-quantizer ANN top-5, 6/16 cells probed (spec-checked recall)"),
     Q("q72_label_centroids", centroids, Some(centroidSql),

@@ -176,6 +176,51 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("PQ: deterministic codebooks, codes in range, reconstruction " +
+    "beats the global-centroid baseline, ADC recall@10 vs exact") {
+    import graft.ops.VectorOps
+    val books = VectorOps.pqTrain(emb)
+    assert(books.size == 8 && books.forall(_.nonEmpty))
+    // deterministic retrain (fixed prefix init, exact integer means)
+    val again = VectorOps.pqTrain(emb)
+    assert(books.zip(again).forall { case (a, b) =>
+      a.map(_._1) == b.map(_._1) &&
+        a.zip(b).forall { case ((_, x), (_, y)) => x.sameElements(y) }
+    })
+    val audit = VectorOps.pqAudit(emb, books)
+      .select(col("codes"), col("cos_recon"))
+      .as[(Array[Int], Double)].collect()
+    assert(audit.nonEmpty)
+    val validIds = books.map(_.map(_._1).toSet)
+    assert(audit.forall { case (codes, _) =>
+      codes.length == 8 && codes.zipWithIndex.forall {
+        case (c, s) => validIds(s)(c) }
+    })
+    val meanCos = audit.map(_._2).sum / audit.length
+    // baseline: quantize everything to the single global centroid
+    val global = VectorOps.kmeansCentroids(emb, 1, 0)
+    val base = VectorOps.pqAudit(emb, (0 until 8).map(s =>
+        global.map { case (id, v) => (id, v.slice(s * 8, s * 8 + 8)) }))
+      .select(col("cos_recon")).as[Double].collect()
+    val meanBase = base.sum / base.length
+    assert(meanCos > meanBase + 0.05,
+      s"PQ mean cos $meanCos vs global-centroid baseline $meanBase")
+    // ADC search: top-10 by reconstructed similarity overlaps exact
+    val k = 10
+    val exact = VectorOps.cosineTopK(emb, col("vec_id") < 8, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val adc = VectorOps.pqTopK(emb, col("vec_id") < 8, k, books)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map(q =>
+      (exact(q) & adc.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.3, s"ADC mean recall@10 $meanRecall")
+  }
+
   test("MatVec and nearestCells fail loudly on dimension mismatch " +
     "(no silent truncation)") {
     // embeddings are 64-dim; a 3-column matrix / 3-dim centroid must throw
