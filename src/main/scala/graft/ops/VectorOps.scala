@@ -392,6 +392,86 @@ object VectorOps {
       .toDF("vec_id", "codes", "cos_recon")
   }
 
+  /** IVF-PQ search — the composed production ANN layout: a coarse
+    * quantizer partitions the corpus into cells ([[kmeansCentroids]]),
+    * PQ codebooks are trained on the RESIDUALS v − centroid(cell)
+    * (residuals are smaller than raw vectors, so the same code budget
+    * quantizes finer — the standard IVF-PQ detail), and each query
+    * probes its `nProbe` nearest cells ranking candidates by
+    * cosine(query, centroid + residual-reconstruction). Corpus vectors
+    * are represented by cell id + m codes only: at 100 TB the serving
+    * tier holds ~1 byte-per-subspace per vector instead of d floats,
+    * cells shard across executors, and the rank join touches probed
+    * cells only. Queries keep their original (asymmetric) vectors. */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, nProbe: Int = 6, m: Int = 8, pqK: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse = kmeansCentroids(emb, nCells)
+    if (coarse.isEmpty)
+      return emb.sparkSession.createDataFrame(
+        emb.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rn",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cos_sim",
+            org.apache.spark.sql.types.DoubleType))))
+    val coarseMap = coarse.toMap
+    def cells(vCol: Column, n: Int): Column =
+      graft.functions.NearestCentroids.nearestCells(vCol, coarse, n)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      element_at(cells(col("embedding"), 1), 1).as("cell"))
+    val residuals = assigned.as[(Long, Array[Float], Int)]
+      .mapPartitions(_.map { case (id, v, cell) =>
+        val c = coarseMap(cell)
+        val r = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
+        (id, r, cell)
+      }).toDF("vec_id", "embedding", "cell")
+      .localCheckpoint(false) // feeds pqTrain (m passes) + encode
+    val books = pqTrain(residuals, m, pqK, dim)
+    val sub = dim / m
+    val lookup: Array[Map[Int, Array[Float]]] = books.map(_.toMap).toArray
+    // compressed representation: (vec_id, cell, codes) is ALL the
+    // serving tier keeps; recon = centroid(cell) + decode(codes)
+    val recon = residuals
+      .join(pqEncode(residuals, books, dim), "vec_id")
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Int, Array[Int])]
+      .mapPartitions(_.map { case (id, cell, codes) =>
+        val out = coarseMap(cell).clone()
+        var s = 0
+        while (s < m) {
+          val cv = lookup(s)(codes(s))
+          var i = 0
+          while (i < sub) { out(s * sub + i) += cv(i); i += 1 }
+          s += 1
+        }
+        (id, cell, out)
+      }).toDF("vec_id", "cell", "recon")
+    val queryProbes = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(cells(col("embedding"), nProbe)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    recon.join(broadcast(queryProbes),
+        recon("cell") === queryProbes("cell") &&
+          recon("vec_id") =!= queryProbes("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("qv"), col("recon")).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("cos_sim"))
+  }
+
   /** PQ asymmetric-distance top-k (ADC): rank corpus vectors for each
     * query by cosine(query_original, reconstruction(corpus_codes)) —
     * the search the compressed serving tier actually runs. Implemented

@@ -625,6 +625,42 @@ object AnalyticsQueries {
       .withColumnRenamed("grp", "event_type")
       .orderBy(col("event_type"))
 
+  /** Spatial radius self-join on the grid ([[graft.ops.GeoOps]]):
+    * customers get deterministic planar positions (multiplicative-hash
+    * coordinates — the fixtures ship no geo columns), and the engine
+    * finds all pairs within 500 units by bucketing into 500-sized cells
+    * and equi-joining the 3×3 neighborhood — candidates are
+    * density-bounded per cell, never the O(n²) cross product the naive
+    * oracle form spells out. Integer cells and squared distances end to
+    * end: no trig, no floats, bit-equal on any engine. */
+  def gridJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        graft.ops.GeoOps.hashCoord(col("c_custkey"), 2654435761L, 100000L)
+          .as("x"),
+        graft.ops.GeoOps.hashCoordSq(col("c_custkey"), 1099087573L, 100000L)
+          .as("y"))
+    graft.ops.GeoOps.gridRadiusJoin(pts, 500L)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val gridJoinSql =
+    """WITH p AS (
+      |  SELECT c_custkey AS id,
+      |    ((((c_custkey % 1000000007) + 1000000007) % 1000000007)
+      |      * 2654435761) % 1000000007 % 100000 AS x,
+      |    ((((c_custkey % 1000000007) * (c_custkey % 1000000007))
+      |      % 1000000007) * 1099087573) % 1000000007 % 100000 AS y
+      |  FROM customer
+      |)
+      |SELECT a.id AS a, b.id AS b,
+      |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |    AS BIGINT) AS dist2
+      |FROM p a JOIN p b ON a.id < b.id
+      |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |  <= 250000
+      |ORDER BY a, b""".stripMargin
+
   /** CDC apply ([[graft.pipelines.Incremental.applyCdc]]) driven by a
     * deterministic synthetic change log over `orders`: deletes
     * (key%7=0), updates (key%7=1, price×2), update-then-delete chains
@@ -1128,6 +1164,9 @@ object AnalyticsQueries {
         "accepted-values domain"),
     Q("q107_zorder_keys", zorderKeys, Some(zorderSql),
       "codegen Morton/z-order clustering key vs 64-term SQL bit interleave"),
+    Q("q195_grid_join", gridJoin, Some(gridJoinSql),
+      "spatial radius self-join via 3x3 grid-cell equi-join (integer " +
+        "cells + squared distances; oracle is the naive cross form)"),
     Q("q190_cdc_apply", cdcApply, Some(cdcApplySql),
       "CDC apply: ordered I/U/D change log collapsed per key (window " +
         "over the log only) then one anti-join+union merge into orders"),

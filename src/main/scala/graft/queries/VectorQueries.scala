@@ -109,6 +109,10 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.ivfPqTopK(emb(spark, dir), col("vec_id") < NQ, K)
+      .orderBy(col("query_id"), col("rn"))
+
   private val centroidSql =
     """WITH v AS (
       |  SELECT label,
@@ -224,6 +228,9 @@ object VectorQueries {
         "vectors per query (scaled-int oracle)"),
     Q("q71_ann_lsh_topk", annTopK, None,
       "hyperplane-LSH multiprobe ANN top-5 (spec-checked recall)"),
+    Q("q196_ivf_pq_topk", ivfPqTopK, None,
+      "IVF-PQ search: coarse cells + residual codes, probed-cell " +
+        "asymmetric rerank (rows-only; recall spec-checked)"),
     Q("q194_pq_audit", pqAudit, None,
       "product quantization: per-subspace codebooks, codegen encode, " +
         "reconstruction-cosine audit (rows-only; spec-checked)"),

@@ -299,4 +299,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(p.contains("partial_"), p)
   }
+
+  test("grid radius join: cell equi-join, never a cartesian/nested-loop " +
+    "product (the oracle's naive form)") {
+    val p = plan(graft.Registry.byName("q195_grid_join").build(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
 }

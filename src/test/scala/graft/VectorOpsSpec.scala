@@ -221,6 +221,25 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(meanRecall >= 0.3, s"ADC mean recall@10 $meanRecall")
   }
 
+  test("IVF-PQ: recall vs brute force with 6/16 cells probed and " +
+    "residual codes; beats nothing-probed baseline by construction") {
+    import graft.ops.VectorOps
+    val k = 10
+    val exact = VectorOps.cosineTopK(emb, col("vec_id") < 8, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val ivfpq = VectorOps.ivfPqTopK(emb, col("vec_id") < 8, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map(q =>
+      (exact(q) & ivfpq.getOrElse(q, Set.empty)).size.toDouble
+        / exact(q).size)
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.3, s"IVF-PQ mean recall@10 $meanRecall")
+  }
+
   test("MatVec and nearestCells fail loudly on dimension mismatch " +
     "(no silent truncation)") {
     // embeddings are 64-dim; a 3-column matrix / 3-dim centroid must throw
