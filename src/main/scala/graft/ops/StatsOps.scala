@@ -266,6 +266,105 @@ object StatsOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Bottom-k sample buffer: parallel (hash, value) arrays, ascending
+    * by (hash, value). */
+  case class BkBuf(hs: Array[Long], vs: Array[Double])
+
+  /** Bottom-k-by-hash row sample as a typed mergeable Aggregator — the
+    * quantile member of the sketch family (MG counts, CMS frequencies,
+    * HLL/KMV cardinality, this one distributions): keeping the k rows
+    * with the smallest (hash, value) keys is a uniform random sample
+    * whose membership is a pure function of the data — deterministic
+    * under ANY partitioning (merge = k-bounded ordered union, spec
+    * asserts bit-equality with the relational rank-k window), unlike
+    * `TABLESAMPLE`/`rand()` whose stream is engine- and layout-private.
+    * Quantile estimates are exact rank selections on the sample; state
+    * is ≤ k (long, double) pairs per group. Ties on hash (id reuse,
+    * 64-bit collisions) break on the value so the sample stays a total
+    * function of the multiset. */
+  class BottomKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Double), BkBuf, BkBuf] {
+    require(k > 1, "need k > 1")
+    def zero: BkBuf = BkBuf(Array.emptyLongArray, Array.emptyDoubleArray)
+
+    private def lt(h1: Long, v1: Double, h2: Long, v2: Double): Boolean =
+      h1 < h2 || (h1 == h2 && v1 < v2)
+
+    private def insert(b: BkBuf, h: Long, v: Double): BkBuf = {
+      val n = b.hs.length
+      if (n == k && !lt(h, v, b.hs(n - 1), b.vs(n - 1))) return b
+      var ins = 0
+      while (ins < n && lt(b.hs(ins), b.vs(ins), h, v)) ins += 1
+      // drop exact (hash, value) duplicates only when they ARE the same
+      // row key — identical hashes with identical values collapse; the
+      // multiset semantics for true duplicates ride on distinct row ids
+      if (ins < n && b.hs(ins) == h && b.vs(ins) == v) return b
+      val m = math.min(n + 1, k)
+      val hs = new Array[Long](m); val vs = new Array[Double](m)
+      System.arraycopy(b.hs, 0, hs, 0, ins)
+      System.arraycopy(b.vs, 0, vs, 0, ins)
+      if (ins < m) { hs(ins) = h; vs(ins) = v }
+      var i = ins + 1
+      while (i < m) { hs(i) = b.hs(i - 1); vs(i) = b.vs(i - 1); i += 1 }
+      BkBuf(hs, vs)
+    }
+
+    def reduce(b: BkBuf, a: (Long, Double)): BkBuf = insert(b, a._1, a._2)
+    def merge(x: BkBuf, y: BkBuf): BkBuf = {
+      var out = x
+      var i = 0
+      while (i < y.hs.length) { out = insert(out, y.hs(i), y.vs(i)); i += 1 }
+      out
+    }
+    def finish(r: BkBuf): BkBuf = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[BkBuf] =
+      org.apache.spark.sql.Encoders.product[BkBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[BkBuf] =
+      org.apache.spark.sql.Encoders.product[BkBuf]
+  }
+
+  /** Per-group quantile estimates from the [[BottomKAgg]] sample next to
+    * the exact answers — the audit that sizes k before trusting the
+    * sketch where the exact window no longer fits. The sketch pass
+    * tree-merges bounded state (nothing keyed shuffles); the exact pass
+    * is one rank window per group. `idCol` must be row-unique (the
+    * sample key). */
+  def bottomKQuantiles(df: DataFrame, by: Column, idCol: Column,
+      valueCol: Column, k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sk = df
+      .select(by.cast("string").as("grp"), xxhash64(idCol).as("h"),
+        valueCol.cast("double").as("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new BottomKAgg(k).toColumn.name("sample"))
+      .toDF("grp", "sample")
+      .select(col("grp"), sort_array(col("sample.vs")).as("sv"))
+      .select(col("grp"), size(col("sv")).cast("long").as("n_samp"),
+        element_at(col("sv"),
+          ceil(size(col("sv")) * 0.5).cast("int")).as("est_p50"),
+        element_at(col("sv"),
+          ceil(size(col("sv")) * 0.9).cast("int")).as("est_p90"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col("h"))
+    val exact = df
+      .select(by.cast("string").as("grp"), xxhash64(idCol).as("h"),
+        valueCol.cast("double").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("v")))
+          .as("exact_p50"),
+        max(when(col("rn") === ceil(col("n") * 0.9), col("v")))
+          .as("exact_p90"))
+    exact.join(sk, "grp")
+      .select(col("grp"), col("n"), col("n_samp"),
+        col("exact_p50"), col("est_p50"), col("exact_p90"), col("est_p90"))
+  }
+
   /** Per-group KMV distinct estimate of `valueCol` within `by`: fold
     * hashes through [[KmvAgg]] (bounded per-task state, tree-merged; the
     * only shuffle moves ≤ k longs per group), then derive the estimate

@@ -722,6 +722,21 @@ object AnalyticsQueries {
       |FROM latest WHERE rn = 1 AND op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Bottom-k-by-hash sample quantiles next to exact
+    * ([[graft.ops.StatsOps.BottomKAgg]]) — the distribution member of
+    * the sketch family: a deterministic uniform row sample whose
+    * membership is a pure function of the data, so unlike
+    * TABLESAMPLE/rand() the same sample materializes on any engine and
+    * any partitioning. Engine-specific hash → rows-only; SketchSpec
+    * pins layout independence, the relational-twin bit-equality, and
+    * the rank-error bound vs exact. */
+  def sampleQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.StatsOps.bottomKQuantiles(
+        Catalog.load(spark, dir, "events"), col("event_type"),
+        col("event_id"), col("value"), k = 256)
+      .withColumnRenamed("grp", "event_type")
+      .orderBy(col("event_type"))
+
   // ---- multi-dimensional clustering key -------------------------------
 
   /** Z-order keys for (l_partkey, l_suppkey): the write-side clustering
@@ -1164,6 +1179,9 @@ object AnalyticsQueries {
         "accepted-values domain"),
     Q("q107_zorder_keys", zorderKeys, Some(zorderSql),
       "codegen Morton/z-order clustering key vs 64-term SQL bit interleave"),
+    Q("q197_sample_quantiles", sampleQuantiles, None,
+      "bottom-k-by-hash deterministic sample quantiles with exact audit " +
+        "(bounded mergeable state; rows-only, spec-checked)"),
     Q("q195_grid_join", gridJoin, Some(gridJoinSql),
       "spatial radius self-join via 3x3 grid-cell equi-join (integer " +
         "cells + squared distances; oracle is the naive cross form)"),

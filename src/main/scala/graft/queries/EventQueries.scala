@@ -1472,6 +1472,55 @@ object EventQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** MATCH_RECOGNIZE-lite complex event processing: per user, encode
+    * the time-ordered event stream as a symbol string (one char per
+    * event) and count regex occurrences of the conversion pattern
+    * `V[VC]*P` — a view leading to a purchase through only views and
+    * clicks. Sequence assembly is one user-key exchange + a compiled
+    * sort/transform; the pattern runs leftmost-first/greedy, identical
+    * in Java and RE2, so the oracle replays it verbatim. Per-user
+    * strings are session-sized — the same bounded-state contract as the
+    * funnel and path-mining ops (q111/q158), with arbitrary regex
+    * instead of a fixed step list. */
+  def eventPattern(spark: SparkSession, dir: String): DataFrame = {
+    val sym = element_at(
+      map(lit("view"), lit("V"), lit("click"), lit("C"),
+        lit("purchase"), lit("P"), lit("signup"), lit("S"),
+        lit("error"), lit("E")),
+      col("event_type"))
+    val matches = regexp_extract_all(col("seq"), lit("V[VC]*P"), lit(0))
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+          sym.as("s")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(col("user_id"),
+        array_join(transform(col("evs"), e => e("s")), "").as("seq"))
+      .select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
+        size(matches).cast("long").as("n_matches"),
+        coalesce(array_max(transform(matches, m => length(m))), lit(0))
+          .cast("long").as("longest"))
+      .orderBy(col("user_id"))
+  }
+
+  private val eventPatternSql =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(CASE event_type WHEN 'view' THEN 'V'
+      |      WHEN 'click' THEN 'C' WHEN 'purchase' THEN 'P'
+      |      WHEN 'signup' THEN 'S' WHEN 'error' THEN 'E' END, ''
+      |      ORDER BY epoch_ns(ts) // 1000, event_id) AS seq
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(seq, 'V[VC]*P')) AS BIGINT)
+      |    AS n_matches,
+      |  CAST(COALESCE(list_max(list_transform(
+      |    regexp_extract_all(seq, 'V[VC]*P'), m -> length(m))), 0)
+      |    AS BIGINT) AS longest
+      |FROM s ORDER BY user_id""".stripMargin
+
   /** Welch's unequal-variance t-test between two order-priority groups
     * on o_totalprice. Counts and decimal-cast sums/sum-of-squares are
     * exact and order-independent (Det recipe — prices and their squares
@@ -1728,6 +1777,9 @@ object EventQueries {
       |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q198_event_pattern", eventPattern, Some(eventPatternSql),
+      "MATCH_RECOGNIZE-lite: per-user symbol stream, regex conversion " +
+        "pattern V[VC]*P counted with longest-match stats"),
     Q("q192_welch_t", welchT, Some(welchTSql),
       "Welch's unequal-variance t-test between two priority groups " +
         "(decimal-exact moments, staged single-op IEEE tail)"),

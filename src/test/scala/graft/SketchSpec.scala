@@ -117,4 +117,59 @@ class SketchSpec extends AnyFunSuite {
         s"$t: kmv $v vs exact $ex")
     }
   }
+
+  test("bottom-k sample: layout-independent, bit-equal to the relational " +
+    "rank-k twin, merge associates, quantile rank error bounded") {
+    import graft.ops.StatsOps
+    val k = 256
+    val e = graft.catalog.Catalog.load(spark, dir, "events")
+    def viaUdaf(parts: Int) = e.repartition(parts)
+      .select(col("event_type").cast("string").as("grp"),
+        xxhash64(col("event_id")).as("h"), col("value").as("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new StatsOps.BottomKAgg(k).toColumn.name("s"))
+      .map { case (g, s) => (g, (s.hs.toSeq, s.vs.toSeq)) }
+      .collect().toMap
+    val a = viaUdaf(1); val b = viaUdaf(13)
+    assert(a == b, "partition layout changed the sample")
+    // relational twin: the k smallest (hash, value) rows per group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"), col("v"))
+    val twin = e
+      .select(col("event_type").cast("string").as("grp"),
+        xxhash64(col("event_id")).as("h"), col("value").as("v"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .orderBy(col("grp"), col("h"), col("v"))
+      .select(col("grp"), col("h"), col("v"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> (rows.map(_._2).toSeq, rows.map(_._3).toSeq) }
+    assert(a == twin, "UDAF sample != relational rank-k twin")
+    // merge associativity on plain buffers
+    val agg = new StatsOps.BottomKAgg(8)
+    val items = (1L to 100L).map(i => (i * 2654435761L, i * 1.5))
+    val (x, y) = items.splitAt(37)
+    val whole = items.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(
+      x.foldLeft(agg.zero)(agg.reduce), y.foldLeft(agg.zero)(agg.reduce))
+    assert(whole.hs.toSeq == merged.hs.toSeq &&
+      whole.vs.toSeq == merged.vs.toSeq)
+    // rank-error bound: est_p50 lands within exact ranks [0.35n, 0.65n]
+    val q = graft.queries.AnalyticsQueries.sampleQuantiles(spark, dir)
+      .select(col("event_type"), col("est_p50"), col("est_p90"))
+      .as[(String, Double, Double)].collect()
+    assert(q.nonEmpty)
+    val byType = e.select(col("event_type").cast("string"), col("value"))
+      .as[(String, Double)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    for ((t, p50, p90) <- q) {
+      val vs = byType(t); val n = vs.length
+      def rankOf(v: Double) = vs.count(_ <= v).toDouble / n
+      assert(rankOf(p50) >= 0.35 && rankOf(p50) <= 0.65,
+        s"$t p50 rank ${rankOf(p50)}")
+      assert(rankOf(p90) >= 0.80 && rankOf(p90) <= 0.97,
+        s"$t p90 rank ${rankOf(p90)}")
+    }
+  }
 }
