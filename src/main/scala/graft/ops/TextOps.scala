@@ -391,6 +391,93 @@ object TextOps {
       .limit(topN)
   }
 
+  /** One BPE merge rule applied to a symbol sequence: every
+    * non-overlapping adjacent (a, b) occurrence fuses left-to-right —
+    * the standard apply order, shared by training and encoding. */
+  private[graft] def applyMerge(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Full BPE tokenizer training on the VOCAB aggregate: after the one
+    * corpus-sized word count, every iteration counts weighted adjacent
+    * symbol pairs over the (word, freq) table — model-sized even at web
+    * scale (the vocabulary is corpus-bounded), which is why production
+    * BPE trainers work off exactly this aggregate. q188 is the first
+    * iteration of this loop as a relational query; here the loop runs
+    * to `nMerges`, tie-breaking deterministically on (count desc, pair
+    * asc). Returns merges in priority order. */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words: Seq[(Array[String], Long)] = exploded(docs)
+      .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var continue = true
+    while (continue && merges.length < nMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- words; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + c
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val (a, b) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        words = words.map { case (syms, c) => (applyMerge(syms, a, b), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode one word with an ordered merge list (rule 1 everywhere,
+    * then rule 2, ...). */
+  private[graft] def bpeEncodeWord(word: String,
+      merges: Seq[(String, String)]): Array[String] = {
+    var syms = word.split("").filter(_.nonEmpty)
+    for ((a, b) <- merges) syms = applyMerge(syms, a, b)
+    syms
+  }
+
+  /** Apply a trained merge list to the corpus: per document, encode
+    * every word and report word/symbol counts — the tokenize step a
+    * pre-training pipeline runs after [[bpeTrainMerges]]. One
+    * partition-local compiled pass with the model-sized merge list as a
+    * closure reference and a per-partition word→encoding memo (the
+    * vocabulary is tiny next to the corpus, so each word encodes once
+    * per partition, not once per occurrence). */
+  def bpeEncode(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.Map[String, Array[String]]()
+        it.map { case (id, text) =>
+          val words = if (text == null) Array.empty[String]
+            else text.split(" ", -1)
+          var nSyms = 0L
+          var maxLen = 0
+          for (w <- words) {
+            val enc = memo.getOrElseUpdate(w, bpeEncodeWord(w, merges))
+            nSyms += enc.length
+            for (s <- enc) if (s.length > maxLen) maxLen = s.length
+          }
+          (id, words.length.toLong, nSyms, maxLen.toLong)
+        }
+      }.toDF("doc_id", "n_words", "n_symbols", "max_symbol_len")
+  }
+
   /** CCNet-style cross-document boilerplate removal at segment
     * granularity: each document is cut into fixed `width`-token
     * segments, and a segment whose exact text occurs in >= `minDf`

@@ -1472,6 +1472,54 @@ object EventQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Conversion latency: per user, microseconds from the FIRST view to
+    * the first purchase at-or-after it, then exact rank-selected
+    * median/p90 across converting users. Two conditional min-aggregates
+    * per user (one user-key exchange) — no event self-join — then the
+    * percentile windows run over the user-level frame. Integer µs end
+    * to end. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val perUser = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("t"))).as("v0"))
+      .join(e.filter(col("event_type") === "purchase"), Seq("user_id"))
+      .filter(col("t") >= col("v0"))
+      .groupBy(col("user_id"), col("v0"))
+      .agg(min(col("t")).as("p0"))
+      .select(col("user_id"), (col("p0") - col("v0")).as("lat_us"))
+    graft.ops.StatsOps
+      .rankPercentiles(perUser.withColumn("g", lit("all")), col("g"),
+        col("lat_us"), col("user_id"))
+      .select(col("n"), col("median"), col("p90"))
+  }
+
+  private val conversionLatencySql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events
+      |), v AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN t END) AS v0
+      |  FROM e GROUP BY 1
+      |), lat AS (
+      |  SELECT e.user_id, MIN(e.t) - MAX(v.v0) AS lat_us
+      |  FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND e.t >= v.v0
+      |  GROUP BY e.user_id, v.v0
+      |), r AS (
+      |  SELECT user_id, lat_us,
+      |    ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM lat
+      |)
+      |SELECT MAX(n) AS n,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN lat_us END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN lat_us END)) / 2 AS median,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN lat_us END)
+      |    AS p90
+      |FROM r""".stripMargin
+
   /** MATCH_RECOGNIZE-lite complex event processing: per user, encode
     * the time-ordered event stream as a symbol string (one char per
     * event) and count regex occurrences of the conversion pattern
@@ -1777,6 +1825,10 @@ object EventQueries {
       |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q200_conversion_latency", conversionLatency,
+      Some(conversionLatencySql),
+      "first-view to first-purchase latency: conditional min-aggregates " +
+        "per user (no event self-join), exact median/p90 in integer us"),
     Q("q198_event_pattern", eventPattern, Some(eventPatternSql),
       "MATCH_RECOGNIZE-lite: per-user symbol stream, regex conversion " +
         "pattern V[VC]*P counted with longest-match stats"),

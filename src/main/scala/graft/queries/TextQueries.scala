@@ -349,6 +349,15 @@ object TextQueries {
       |FROM p GROUP BY pair
       |ORDER BY total_count DESC, pair LIMIT 20""".stripMargin
 
+  /** Train 10 BPE merges on the vocab aggregate, then tokenize the
+    * corpus with them (engine-side iterative training → rows-only;
+    * DedupTextSpec pins the invariants incl. q188 cross-validation). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.bpeEncode(d, TextOps.bpeTrainMerges(d, 10))
+      .orderBy(col("doc_id"))
+  }
+
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
     TextOps.boilerplateClean(docs(spark, dir), width = 8, minDf = 2)
       .orderBy(col("doc_id"))
@@ -962,6 +971,9 @@ object TextQueries {
     Q("q114_length_cut", lengthCut, Some(lengthCutSql),
       "corpus-relative p10-p90 token-length cut per language " +
         "(exact rank-selected bounds)"),
+    Q("q199_bpe_encode", bpeEncode, None,
+      "BPE tokenize with 10 vocab-trained merges: per-doc word/symbol " +
+        "counts from the memoized compiled pass (rows-only, spec-checked)"),
     Q("q191_sample_agg", sampleAgg, Some(sampleAggSql),
       "approximate aggregation from the deterministic 20% stratified " +
         "sample, with exact-vs-estimate error audit columns"),

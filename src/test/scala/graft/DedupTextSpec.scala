@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{DedupOps, TextOps}
 import graft.catalog.Catalog
+import org.apache.spark.sql.functions.{col, length, regexp_replace, sum}
 
 /** Specs for the non-oracle-checkable dedup/text ops (engine-specific
   * hashing): MinHash-LSH recall vs exact Jaccard, SimHash behavior,
@@ -333,5 +334,39 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out(1L) == "en")
     assert(out(2L) == "es")
     assert(out(3L) == "und")
+  }
+
+  test("BPE: word-level merge mechanics, round-trip, monotone compression, " +
+    "and the first trained merge equals q188's top pair") {
+    val docs = graft.catalog.Catalog.load(
+      spark, "/root/testdata/sf0.001", "documents")
+    // mechanics on a known word: merging (a,b) then (ab,c)
+    assert(TextOps.bpeEncodeWord("abcabc",
+      Seq(("a", "b"), ("ab", "c"))).toSeq == Seq("abc", "abc"))
+    assert(TextOps.bpeEncodeWord("aaa", Seq(("a", "a"))).toSeq
+      == Seq("aa", "a")) // left-to-right non-overlapping
+    // round-trip: symbols concatenate back to the word, at any depth
+    val merges = TextOps.bpeTrainMerges(docs, 10)
+    assert(merges.length == 10)
+    for (w <- Seq("table", "window", "customer", "spark"))
+      assert(TextOps.bpeEncodeWord(w, merges).mkString == w)
+    // zero merges = character count
+    val chars = TextOps.bpeEncode(docs, Nil)
+      .agg(sum(col("n_symbols"))).as[Long].head()
+    val charsExpected = docs
+      .agg(sum(length(regexp_replace(col("text"), " ", ""))))
+      .as[Long].head()
+    assert(chars == charsExpected)
+    // more merges never inflate the encoding
+    val s5 = TextOps.bpeEncode(docs, merges.take(5))
+      .agg(sum(col("n_symbols"))).as[Long].head()
+    val s10 = TextOps.bpeEncode(docs, merges)
+      .agg(sum(col("n_symbols"))).as[Long].head()
+    assert(s10 <= s5 && s5 <= chars)
+    // the trainer's first merge is exactly q188's top-ranked pair
+    val topPair = TextOps.bpePairCandidates(docs, 1)
+      .select(col("pair")).as[String].head()
+    assert(merges.head._1 + merges.head._2 == topPair,
+      s"first merge ${merges.head} vs q188 top $topPair")
   }
 }
