@@ -264,6 +264,62 @@ object VectorOps {
         col("neighbor_id"), col("cos_sim"))
   }
 
+  /** MMR (maximal marginal relevance) diverse top-k: greedily pick the
+    * candidate maximizing λ·sim(query, d) − (1−λ)·max_{s∈selected}
+    * sim(d, s) — the standard diversity rerank between retrieval and a
+    * RAG prompt, which plain top-k (near-duplicate neighbors) can't
+    * give. Two stages with the standard serving contract: the CLUSTER
+    * ranks a bounded candidate list (exact [[cosineTopK]] — broadcast
+    * query, partial per-partition top-k), then the greedy loop reranks
+    * those `candidates` rows driver-side — k·candidates model-sized
+    * work on a list that is bounded by construction at any corpus
+    * scale, exactly where every production MMR implementation runs it.
+    * Ties break on lower vec_id; the loop is single-threaded over
+    * doubles → deterministic. */
+  def mmrTopK(emb: DataFrame, queryPred: Column, k: Int,
+      lambda: Double = 0.7, candidates: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cand = cosineTopK(emb, queryPred, candidates)
+      .select(col("neighbor_id"), col("cos_sim"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .as[(Long, Double, Array[Float])].collect()
+      .sortBy { case (id, rel, _) => (-rel, id) }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val selectedVecs = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val pool = scala.collection.mutable.ArrayBuffer(cand: _*)
+    while (selected.length < k && pool.nonEmpty) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      for (i <- pool.indices) {
+        val (id, rel, v) = pool(i)
+        val pen =
+          if (selectedVecs.isEmpty) 0.0
+          else selectedVecs.map(s => cos(v, s)).max
+        val score = lambda * rel - (1 - lambda) * pen
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestScore = score; bestIdx = i; bestId = id
+        }
+      }
+      val (id, rel, v) = pool.remove(bestIdx)
+      selectedVecs += v
+      selected += ((id, rel, bestScore))
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+      .toSeq.toDF("rn", "vec_id", "relevance", "mmr_score")
+  }
+
   /** Mutable buffer for [[CentroidAgg]]: element-wise sums + row count. */
   case class CentroidBuf(sums: Array[Long], n: Long)
 

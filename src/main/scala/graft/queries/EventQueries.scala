@@ -1472,6 +1472,148 @@ object EventQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Theil–Sen robust trend per region: the median of all pairwise
+    * slopes of the monthly-revenue series — the estimator that shrugs
+    * off the outlier months that pull q144's least-squares line. The
+    * pair join runs on the MONTH-AGGREGATED series (≈84 points per
+    * region at any corpus scale, since the calendar — not the data —
+    * bounds it), so the O(n²) pair set is a few thousand rows per
+    * region regardless of order volume; the median is the exact
+    * rank-selected one. Revenue in integer cents, slopes one double
+    * division each, identical formula both engines. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val months = Catalog.load(spark, dir, "orders")
+      .join(Catalog.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Catalog.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Catalog.load(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("rev_c"))
+    val a = months.select(col("r_name"), col("m").as("m1"),
+      col("rev_c").as("r1"))
+    val b = months.select(col("r_name").as("r_name2"), col("m").as("m2"),
+      col("rev_c").as("r2"))
+    val slopes = a.join(b,
+        col("r_name") === col("r_name2") && col("m1") < col("m2"))
+      .select(col("r_name"),
+        ((col("r2") - col("r1")).cast("double")
+          / (col("m2") - col("m1")).cast("double")).as("slope"),
+        (col("m1") * 10000 + col("m2")).as("pair_id"))
+    graft.ops.StatsOps
+      .rankPercentiles(slopes, col("r_name"), col("slope"), col("pair_id"))
+      .select(col("k").as("r_name"), col("n").as("n_pairs"),
+        col("median").as("ts_slope"))
+      .orderBy(col("r_name"))
+  }
+
+  private val theilSenSql =
+    """WITH months AS (
+      |  SELECT r_name,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2
+      |), slopes AS (
+      |  SELECT a.r_name,
+      |    CAST(b.rev_c - a.rev_c AS DOUBLE) / CAST(b.m - a.m AS DOUBLE)
+      |      AS slope,
+      |    a.m * 10000 + b.m AS pair_id
+      |  FROM months a JOIN months b
+      |    ON a.r_name = b.r_name AND a.m < b.m
+      |), r AS (
+      |  SELECT r_name, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY r_name
+      |      ORDER BY slope, pair_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY r_name) AS n
+      |  FROM slopes
+      |)
+      |SELECT r_name, MAX(n) AS n_pairs,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN slope END)) / 2 AS ts_slope
+      |FROM r GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Two-regressor OLS per group (multiple regression via the 2×2
+    * normal equations): l_extendedprice ~ l_quantity + l_discount per
+    * return flag. The nine raw moments are decimal-exact
+    * order-independent sums (all products are decimal-shaped); the
+    * closed-form solve (centered covariances → determinant → β₁, β₂,
+    * intercept, R²) is a staged chain of single IEEE ops mirrored
+    * verbatim in the oracle. One partial→final aggregate over lineitem
+    * — the same single-exchange shape as q144's one-regressor trend. */
+  def ols2(spark: SparkSession, dir: String): DataFrame = {
+    val x1 = col("l_quantity"); val x2 = col("l_discount")
+    val y = col("l_extendedprice")
+    val m = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(x1).as("s1"), Det.dsum(x2).as("s2"), Det.dsum(y).as("sy"),
+        Det.dsum(x1 * x1).as("s11"), Det.dsum(x2 * x2).as("s22"),
+        Det.dsum(x1 * x2).as("s12"),
+        Det.dsum(x1 * y).as("s1y"), Det.dsum(x2 * y).as("s2y"),
+        Det.dsum(y * y).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("c11", col("s11") - col("s1") * col("s1") / col("nd"))
+      .withColumn("c22", col("s22") - col("s2") * col("s2") / col("nd"))
+      .withColumn("c12", col("s12") - col("s1") * col("s2") / col("nd"))
+      .withColumn("c1y", col("s1y") - col("s1") * col("sy") / col("nd"))
+      .withColumn("c2y", col("s2y") - col("s2") * col("sy") / col("nd"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("nd"))
+      .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+      .withColumn("b1",
+        (col("c1y") * col("c22") - col("c2y") * col("c12")) / col("det"))
+      .withColumn("b2",
+        (col("c2y") * col("c11") - col("c1y") * col("c12")) / col("det"))
+    m.select(col("l_returnflag"), col("n"), col("b1"), col("b2"),
+        (col("sy") / col("nd") - col("b1") * (col("s1") / col("nd"))
+          - col("b2") * (col("s2") / col("nd"))).as("b0"),
+        ((col("b1") * col("c1y") + col("b2") * col("c2y")) / col("cyy"))
+          .as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val ols2Sql = {
+    def ds(e: String) = Det.sqlSum(e)
+    s"""WITH m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${ds("l_quantity")} AS s1, ${ds("l_discount")} AS s2,
+       |    ${ds("l_extendedprice")} AS sy,
+       |    ${ds("l_quantity * l_quantity")} AS s11,
+       |    ${ds("l_discount * l_discount")} AS s22,
+       |    ${ds("l_quantity * l_discount")} AS s12,
+       |    ${ds("l_quantity * l_extendedprice")} AS s1y,
+       |    ${ds("l_discount * l_extendedprice")} AS s2y,
+       |    ${ds("l_extendedprice * l_extendedprice")} AS syy
+       |  FROM lineitem GROUP BY 1
+       |), c AS (
+       |  SELECT *, CAST(n AS DOUBLE) AS nd FROM m
+       |), cc AS (
+       |  SELECT *,
+       |    s11 - s1 * s1 / nd AS c11, s22 - s2 * s2 / nd AS c22,
+       |    s12 - s1 * s2 / nd AS c12, s1y - s1 * sy / nd AS c1y,
+       |    s2y - s2 * sy / nd AS c2y, syy - sy * sy / nd AS cyy
+       |  FROM c
+       |), d AS (
+       |  SELECT *, c11 * c22 - c12 * c12 AS det FROM cc
+       |), b AS (
+       |  SELECT *,
+       |    (c1y * c22 - c2y * c12) / det AS b1,
+       |    (c2y * c11 - c1y * c12) / det AS b2
+       |  FROM d
+       |)
+       |SELECT l_returnflag, n, b1, b2,
+       |  sy / nd - b1 * (s1 / nd) - b2 * (s2 / nd) AS b0,
+       |  (b1 * c1y + b2 * c2y) / cyy AS r2
+       |FROM b ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Conversion latency: per user, microseconds from the FIRST view to
     * the first purchase at-or-after it, then exact rank-selected
     * median/p90 across converting users. Two conditional min-aggregates
@@ -1825,6 +1967,12 @@ object EventQueries {
       |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q203_theil_sen", theilSen, Some(theilSenSql),
+      "Theil-Sen robust slope per region: median of pairwise slopes " +
+        "over the calendar-bounded monthly series"),
+    Q("q202_ols2", ols2, Some(ols2Sql),
+      "two-regressor OLS per return flag via 2x2 normal equations " +
+        "(decimal-exact moments, staged IEEE solve, single exchange)"),
     Q("q200_conversion_latency", conversionLatency,
       Some(conversionLatencySql),
       "first-view to first-purchase latency: conditional min-aggregates " +

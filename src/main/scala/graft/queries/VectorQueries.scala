@@ -113,6 +113,11 @@ object VectorQueries {
     VectorOps.ivfPqTopK(emb(spark, dir), col("vec_id") < NQ, K)
       .orderBy(col("query_id"), col("rn"))
 
+  /** MMR diverse retrieval for query vec 0 (engine-specific rerank →
+    * rows-only; VectorOpsSpec pins the diversity property). */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.mmrTopK(emb(spark, dir), col("vec_id") === 0, k = 5)
+
   private val centroidSql =
     """WITH v AS (
       |  SELECT label,
@@ -228,6 +233,9 @@ object VectorQueries {
         "vectors per query (scaled-int oracle)"),
     Q("q71_ann_lsh_topk", annTopK, None,
       "hyperplane-LSH multiprobe ANN top-5 (spec-checked recall)"),
+    Q("q201_mmr_topk", mmrTopK, None,
+      "MMR diverse top-5: bounded exact candidate list, greedy " +
+        "relevance-minus-redundancy rerank (rows-only; spec-checked)"),
     Q("q196_ivf_pq_topk", ivfPqTopK, None,
       "IVF-PQ search: coarse cells + residual codes, probed-cell " +
         "asymmetric rerank (rows-only; recall spec-checked)"),

@@ -554,6 +554,49 @@ object Streams {
         }
       }
 
+  /** Streaming KMV maintenance — the cardinality twin of
+    * [[maintainHeavyHitters]]: fold each micro-batch's ids into
+    * per-group k-min hash sets and merge with the published state.
+    * Unlike the MG candidates (layout-dependent set, layout-independent
+    * GUARANTEE), KMV merge is a pure k-bounded set union, so the
+    * maintained sketch is BIT-IDENTICAL to the one-shot sketch of the
+    * whole stream at every version (spec-asserted) — incremental
+    * distinct-count observability with time travel, state ≤ k longs per
+    * group. Expects columns (grp: string, v: any) — v is hashed here. */
+  def maintainKmv(rows: DataFrame, baseDir: String, name: String,
+      k: Int = 256, keep: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val agg = new graft.ops.StatsOps.KmvAgg(k)
+          val batchSk = batch.toDF()
+            .select(col("grp"), xxhash64(col("v")).as("h"))
+            .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+            .agg(agg.toColumn.name("kmins"))
+            .collect().toMap
+          val prev: Map[String, Array[Long]] = graft.pipelines.Versioned
+            .latestVersion(baseDir, name) match {
+            case Some(_) => graft.pipelines.Versioned
+              .read(spark, baseDir, name)
+              .as[(String, Array[Long])].collect().toMap
+            case None => Map.empty
+          }
+          val merged = (batchSk.keySet ++ prev.keySet).toSeq.sorted.map { g =>
+            val m = agg.merge(
+              graft.ops.StatsOps.KmvBuf(prev.getOrElse(g, Array.emptyLongArray)),
+              graft.ops.StatsOps.KmvBuf(
+                batchSk.getOrElse(g, Array.emptyLongArray)))
+            (g, m.hs)
+          }
+          graft.pipelines.Versioned.publish(
+            merged.toDF("grp", "kmins"), baseDir, name, keep)
+          ()
+        }
+      }
+
   /** Streaming CDC apply: each micro-batch of ordered I/U/D changes is
     * collapsed and merged into the CURRENT published snapshot with
     * [[graft.pipelines.Incremental.applyCdc]] and the result published

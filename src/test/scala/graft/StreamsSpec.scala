@@ -386,6 +386,38 @@ class StreamsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == afterB1)
   }
 
+  test("maintainKmv: maintained sketch bit-identical to the one-shot " +
+    "sketch of the whole stream, at every version") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("kmv-stream").toString
+    val k = 16
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.maintainKmv(
+      in.toDF().toDF("grp", "v"), base, "kmv", k).start()
+    val b1 = (1L to 40L).map(i => ("a", i)) ++ (1L to 10L).map(i => ("b", i))
+    val b2 = (20L to 70L).map(i => ("a", i)) ++ (1L to 5L).map(i => ("c", i))
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    def oneShot(rows: Seq[(String, Long)]): Map[String, Seq[Long]] = {
+      val agg = new graft.ops.StatsOps.KmvAgg(k)
+      rows.toDF("grp", "v")
+        .select(col("grp"), xxhash64(col("v")).as("h"))
+        .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+        .agg(agg.toColumn.name("kmins"))
+        .collect().toMap.view.mapValues(_.toSeq).toMap
+    }
+    val maintained = graft.pipelines.Versioned.read(spark, base, "kmv")
+      .as[(String, Array[Long])].collect().toMap.view
+      .mapValues(_.toSeq).toMap
+    assert(maintained == oneShot(b1 ++ b2))
+    val v0 = graft.pipelines.Versioned.read(spark, base, "kmv", Some(0L))
+      .as[(String, Array[Long])].collect().toMap.view
+      .mapValues(_.toSeq).toMap
+    assert(v0 == oneShot(b1))
+  }
+
   test("stream-static broadcast enrichment == batch left join, and the " +
     "micro-batch plan carries a BroadcastHashJoin (stateless shape)") {
     val staged = java.nio.file.Files.createTempDirectory("events-enrich")

@@ -240,6 +240,37 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(meanRecall >= 0.3, s"IVF-PQ mean recall@10 $meanRecall")
   }
 
+  test("MMR: first pick is the exact top-1; lambda=1 degenerates to " +
+    "plain top-k; selected set is no less diverse than plain top-k") {
+    import graft.ops.VectorOps
+    val top5 = VectorOps.cosineTopK(emb, col("vec_id") === 0, 5)
+      .select(col("neighbor_id")).as[Long].collect().toSeq
+    val mmr = VectorOps.mmrTopK(emb, col("vec_id") === 0, 5)
+      .select(col("rn"), col("vec_id")).as[(Long, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(mmr.length == 5 && mmr.distinct.length == 5)
+    assert(mmr.head == top5.head, "MMR first pick must be the top-1")
+    val lam1 = VectorOps.mmrTopK(emb, col("vec_id") === 0, 5, lambda = 1.0)
+      .select(col("rn"), col("vec_id")).as[(Long, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(lam1 == top5, "lambda=1 must reproduce plain top-k order")
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.length
+    }
+    assert(meanPairSim(mmr) <= meanPairSim(top5) + 1e-12,
+      s"MMR ${meanPairSim(mmr)} vs top-k ${meanPairSim(top5)}")
+  }
+
   test("MatVec and nearestCells fail loudly on dimension mismatch " +
     "(no silent truncation)") {
     // embeddings are 64-dim; a 3-column matrix / 3-dim centroid must throw
