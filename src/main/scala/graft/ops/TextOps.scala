@@ -500,6 +500,10 @@ object TextOps {
           i => array_join(slice(words, i * lit(width) + 1, lit(width)), " ")))
         .as(Seq("seg_idx", "seg")))
       .withColumn("h", xxhash64(col("seg")))
+      // lazy checkpoint: segs feeds BOTH the df count and the flag join
+      // — without it the split/transform/posexplode segmentation pass
+      // re-executes (the q61/q101 double-shingle lesson)
+      .localCheckpoint(false)
     val dfreq = segs.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
     segs.join(dfreq, "h")

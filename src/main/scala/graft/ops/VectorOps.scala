@@ -377,14 +377,20 @@ object VectorOps {
     * production ANN layout (coarse cells from [[kmeansCentroids]],
     * residual codes from here). */
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
-      iters: Int = 2): Seq[Seq[(Int, Array[Float])]] = {
+      iters: Int = 2, trainCap: Int = 4096): Seq[Seq[(Int, Array[Float])]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val sub = dim / m
     (0 until m).map { s =>
+      // lazy checkpoint of the bounded TRAINING PREFIX only: each
+      // subspace's loop takes iters+1 actions over its slice —
+      // materialize it once instead of re-scanning and re-slicing the
+      // corpus every round (the prefix is trainCap rows at any scale)
       kmeansCentroids(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
-        k, iters)
+        emb.filter(col("vec_id") < trainCap)
+          .select(col("vec_id"),
+            slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+          .localCheckpoint(false),
+        k, iters, trainCap)
     }
   }
 

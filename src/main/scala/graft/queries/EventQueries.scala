@@ -1494,6 +1494,9 @@ object EventQueries {
           .cast("long").as("m"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         .as("rev_c"))
+      // lazy checkpoint: the month series feeds both sides of the pair
+      // self-join — don't run the 4-table join twice for a ~400-row frame
+      .localCheckpoint(false)
     val a = months.select(col("r_name"), col("m").as("m1"),
       col("rev_c").as("r1"))
     val b = months.select(col("r_name").as("r_name2"), col("m").as("m2"),

@@ -300,6 +300,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("welch-t / ols2: one partial->final aggregate over the fact " +
+    "table, no window, no sort-merge join") {
+    for (name <- Seq("q192_welch_t", "q202_ols2")) {
+      val p = plan(graft.Registry.byName(name).build(spark, dir))
+      assert(!p.contains("Window"), s"$name: $p")
+      assert(!p.contains("SortMergeJoin"), s"$name: $p")
+      assert(p.contains("partial_"), s"$name: $p")
+    }
+  }
+
+  test("interval merge / streaks: windows run over the collapsed " +
+    "aggregate, with map-side combine before the key exchange") {
+    for (name <- Seq("q189_interval_merge", "q185_order_streaks")) {
+      val p = plan(graft.Registry.byName(name).build(spark, dir))
+      assert(p.contains("Window"), s"$name: $p")
+      assert(p.contains("partial_"), s"$name: $p") // per-order/month collapse
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+    }
+  }
+
+  test("cdc apply: change-log collapse windows over the log only; the " +
+    "snapshot side joins without a window pass") {
+    val p = plan(graft.Registry.byName("q190_cdc_apply").build(spark, dir))
+    // exactly one window (the per-key seq collapse on the log)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("grid radius join: cell equi-join, never a cartesian/nested-loop " +
     "product (the oracle's naive form)") {
     val p = plan(graft.Registry.byName("q195_grid_join").build(spark, dir))
