@@ -1472,6 +1472,73 @@ object EventQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Markov next-event prediction with the train/eval split INSIDE the
+    * engine — the model-evaluation loop a data platform runs before
+    * shipping a heuristic: consecutive event pairs are split by time at
+    * min + 3·(max−min)/5 (integer µs, data-derived, engine-exact),
+    * transition counts on the train side become an argmax-next model
+    * (ties → lexicographically smallest), and accuracy is scored on the
+    * held-out pairs. Pairs ride one user-key window; the model is a
+    * ≤|event types|² aggregate joined back broadcast-sized. */
+  def markovEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val pairs = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), col("event_type").as("nxt"))
+      .withColumn("prev", lag(col("nxt"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val bounds = pairs.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+    val cut = pairs.crossJoin(broadcast(bounds))
+      .withColumn("thr", expr("lo + (hi - lo) * 3 div 5"))
+      .localCheckpoint(false) // feeds both the train and eval slices
+    val model = cut.filter(col("t") < col("thr"))
+      .groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("prev"))
+          .orderBy(col("c").desc, col("nxt"))))
+      .filter(col("rk") === 1)
+      .select(col("prev"), col("nxt").as("predicted"))
+    cut.filter(col("t") >= col("thr"))
+      .join(broadcast(model), Seq("prev"), "left")
+      .groupBy(col("prev"))
+      .agg(count(lit(1)).as("n_test"),
+        count(when(col("nxt") === col("predicted"), 1)).as("n_correct"),
+        max(col("predicted")).as("predicted"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_test").cast("double"))
+      .orderBy(col("prev"))
+  }
+
+  private val markovEvalSql =
+    """WITH p0 AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+      |    event_type AS nxt,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+      |  FROM events
+      |), pairs AS (SELECT * FROM p0 WHERE prev IS NOT NULL
+      |), b AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM pairs
+      |), cut AS (
+      |  SELECT pairs.*, lo + (hi - lo) * 3 // 5 AS thr FROM pairs, b
+      |), model AS (
+      |  SELECT prev, nxt AS predicted FROM (
+      |    SELECT prev, nxt, COUNT(*) AS c,
+      |      row_number() OVER (PARTITION BY prev
+      |        ORDER BY COUNT(*) DESC, nxt) AS rk
+      |    FROM cut WHERE t < thr GROUP BY prev, nxt)
+      |  WHERE rk = 1
+      |)
+      |SELECT prev, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  CAST(COUNT(*) FILTER (nxt = predicted) AS BIGINT) AS n_correct,
+      |  MAX(predicted) AS predicted,
+      |  CAST(COUNT(*) FILTER (nxt = predicted) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+      |FROM cut LEFT JOIN model USING (prev)
+      |WHERE t >= thr
+      |GROUP BY prev ORDER BY prev""".stripMargin
+
   /** Theil–Sen robust trend per region: the median of all pairwise
     * slopes of the monthly-revenue series — the estimator that shrugs
     * off the outlier months that pull q144's least-squares line. The
@@ -1970,6 +2037,9 @@ object EventQueries {
       |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q204_markov_eval", markovEval, Some(markovEvalSql),
+      "Markov next-event model trained on the first 60% of time and " +
+        "scored on the held-out tail (argmax transitions, exact split)"),
     Q("q203_theil_sen", theilSen, Some(theilSenSql),
       "Theil-Sen robust slope per region: median of pairwise slopes " +
         "over the calendar-bounded monthly series"),
