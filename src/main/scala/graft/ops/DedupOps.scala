@@ -869,4 +869,83 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** ALL token n-gram shingles per document WITH their 1-based token
+    * position: (doc_id, pos, shingle). Unlike [[shingles]] this keeps
+    * every occurrence (no per-doc dedup) — positions are what the
+    * duplicated-span detector chains on. Same compiled partition-local
+    * loop as [[shingles]] (the HOF formulation runs interpreted). */
+  def positionedShingles(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String]
+            else text.split(" ", -1) // limit -1: SQL trailing-"" semantics
+          if (toks.length < n) Iterator.empty
+          else {
+            val out = new Array[(Long, Int, String)](toks.length - n + 1)
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(64)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              out(i) = ((id, i + 1, sb.toString))
+              i += 1
+            }
+            out.iterator
+          }
+        }
+      }.toDF("doc_id", "pos", "shingle")
+  }
+
+  /** Exact duplicated-substring spans across documents — the
+    * exact-substring dedup step of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), reformulated as a
+    * shingle-chain join instead of their suffix array: positioned
+    * n-gram shingles are equi-joined across documents (df-capped —
+    * a boilerplate shingle in every doc can't go quadratic), and
+    * matches at constant offset delta with consecutive positions are
+    * merged islands-style (pos − row_number) into maximal spans.
+    *
+    * A run of L matching n-shingles certifies an identical substring of
+    * L+n−1 tokens, so `minRun` spans ≥ minRun+n−1 duplicated tokens.
+    * The df cap can split (never invent) a span whose interior shingle
+    * is corpus-hot — deterministically, which is why the oracle can
+    * reproduce it. At 100 TB the join key becomes the 8-byte shingle
+    * hash ([[hashedShingles]] recipe); strings here keep the DuckDB
+    * oracle exact.
+    *
+    * @return (doc_a, doc_b, a_start, b_start, span_tokens), a < b. */
+  def dupSpans(docs: DataFrame, n: Int = 6, maxDf: Long = 8,
+      minRun: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // capHotKeys counts occurrences (postings), which here also bounds
+    // the pair fan-out at C(maxDf, 2) per surviving shingle
+    val sh = capHotKeys(positionedShingles(docs, n), Seq("shingle"), maxDf)
+      .localCheckpoint(false) // both sides of the pair self-join read it
+    val m = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"))
+    // islands: within one (a, b, delta) diagonal pa is unique, so
+    // pa − row_number is constant exactly along consecutive runs
+    val w = Window.partitionBy(col("a"), col("b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    m.withColumn("g", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("delta"),
+        col("g"))
+      .agg(min(col("pa")).cast("long").as("a_start"),
+        min(col("pb")).cast("long").as("b_start"),
+        count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("a_start"), col("b_start"),
+        (col("run") + lit(n - 1)).as("span_tokens"))
+  }
 }

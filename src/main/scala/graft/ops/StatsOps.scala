@@ -473,6 +473,28 @@ object StatsOps {
     * min over it sorted by size descending, broadcast back — one
     * aggregate + one broadcast join over the data, no self-join. Ties
     * on both dimensions all survive (neither strictly dominates). */
+  /** Quantile normalization across groups (the microarray/feature-prep
+    * standard, coarsened to `k` buckets so unequal group sizes stay
+    * well-defined): every row is ranked within its group into
+    * `ntile(k)` buckets on a fully deterministic order, and the
+    * normalized value is the cross-group mean of its bucket — after
+    * which every group shares one distribution. Two shuffles total
+    * (rank window + bucket aggregate); the ≤k-row bucket reference
+    * broadcasts back. The decimal-sum mean ([[Det.davg]]) keeps the
+    * result order-independent at any parallelism.
+    *
+    * @param tieBreak unique column making the in-group order total —
+    *   without it ntile on tied values is engine-dependent. */
+  def quantileNormalize(df: DataFrame, group: Column, value: Column,
+      tieBreak: Column, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("bucket",
+      ntile(k).over(Window.partitionBy(group).orderBy(value, tieBreak)))
+    val ref = bucketed.groupBy(col("bucket"))
+      .agg(davg(value).as("norm_value"))
+    bucketed.join(broadcast(ref), "bucket")
+  }
+
   def skyline2d(df: DataFrame, idCol: Column, sizeCol: Column,
       costCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

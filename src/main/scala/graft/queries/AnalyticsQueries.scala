@@ -1144,7 +1144,99 @@ object AnalyticsQueries {
        |ORDER BY month_us""".stripMargin
   }
 
+  /** Quantile normalization of order prices across priority classes
+    * ([[StatsOps.quantileNormalize]]): after it, every priority class
+    * shares one price distribution — the feature-prep step that stops a
+    * model from learning "URGENT orders are cheap" when that's a
+    * collection artifact, and the microarray-normalization standard. */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.quantileNormalize(
+        Catalog.load(spark, dir, "orders"),
+        col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("bucket"),
+        col("norm_value"))
+      .orderBy(col("o_orderkey"))
+
+  private val quantileNormSql =
+    s"""WITH b AS (
+       |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+       |    ntile(100) OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_totalprice, o_orderkey) AS bucket
+       |  FROM orders
+       |), ref AS (
+       |  SELECT bucket, ${sqlAvg("o_totalprice")} AS norm_value
+       |  FROM b GROUP BY bucket
+       |)
+       |SELECT o_orderkey, o_orderpriority, bucket, norm_value
+       |FROM b JOIN ref USING (bucket)
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** Local clustering coefficient per node on q119's co-supply graph:
+    * lcc = 2·triangles / (deg·(deg−1)) — the "how clique-ish is this
+    * node's neighborhood" signal on top of the triangle counts. Degrees
+    * come from one aggregate over the oriented edge list; the ≤|V|-row
+    * triangle table joins back on node id. Integer inputs + one IEEE
+    * division keep the double bit-identical cross-engine. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val pe = Catalog.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    val edges = pe.as("x").join(pe.as("y"),
+        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+      .localCheckpoint(false) // feeds degrees + the triangle wedge join
+    val deg = edges.select(col("a").as("n"))
+      .union(edges.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(graft.ops.GraphOps.trianglesPerNode(edges), Seq("n"), "left")
+      .select(col("n").as("supp"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        (coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
+          (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("lcc"))
+      .orderBy(col("supp"))
+  }
+
+  private val clusteringCoeffSql =
+    """WITH pe AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+      |  WHERE l_quantity >= 45
+      |), e AS (
+      |  SELECT DISTINCT x.s AS a, y.s AS b
+      |  FROM pe x JOIN pe y ON x.o = y.o AND x.s < y.s
+      |), deg AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS degree
+      |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY n
+      |), t AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |), tri AS (
+      |  SELECT supp, CAST(COUNT(*) AS BIGINT) AS triangles
+      |  FROM (SELECT x AS supp FROM t
+      |        UNION ALL SELECT y FROM t
+      |        UNION ALL SELECT z FROM t)
+      |  GROUP BY supp
+      |)
+      |SELECT n AS supp, degree,
+      |  COALESCE(triangles, 0) AS triangles,
+      |  CAST(COALESCE(triangles, 0) AS DOUBLE) * 2
+      |    / CAST(degree * (degree - 1) AS DOUBLE) AS lcc
+      |FROM deg LEFT JOIN tri ON n = supp
+      |WHERE degree >= 2
+      |ORDER BY supp""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q206_quantile_norm", quantileNorm, Some(quantileNormSql),
+      "quantile normalization across priority classes: deterministic " +
+        "ntile ranks, decimal-exact cross-group bucket means, broadcast " +
+        "reference join"),
+    Q("q207_clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql),
+      "local clustering coefficient on the co-supply graph (degree " +
+        "aggregate + wedge-join triangles, one exact IEEE division)"),
     Q("q170_jw_er", jwEr, None,
       "entity resolution on transposition-dirtied names via the native " +
         "jaro_winkler codegen kernel, tail-blocked pairs (spec: " +

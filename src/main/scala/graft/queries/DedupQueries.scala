@@ -407,7 +407,41 @@ object DedupQueries {
       |WHERE CAST(c AS DOUBLE) / least(x.n_sh, y.n_sh) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact duplicated-substring spans (Lee et al. 2022's exact-substring
+    * dedup as a shingle-chain join). */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.dupSpans(docs(spark, dir), n = 6, maxDf = 8, minRun = 3)
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+
+  private val dupSpansSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    array_to_string(t[i:i+5], ' ') AS s
+      |  FROM toks, unnest(range(1, len(t) - 4)) AS u(i) WHERE len(t) >= 6
+      |), df AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 8
+      |), sh AS (SELECT sh0.* FROM sh0 JOIN df USING (s)
+      |), m AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+      |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |), isl AS (
+      |  SELECT a, b, pa, pb,
+      |    pa - row_number() OVER (PARTITION BY a, b, pa - pb
+      |      ORDER BY pa) AS g
+      |  FROM m
+      |)
+      |SELECT a AS doc_a, b AS doc_b, MIN(pa) AS a_start,
+      |  MIN(pb) AS b_start, CAST(COUNT(*) + 5 AS BIGINT) AS span_tokens
+      |FROM isl GROUP BY a, b, pa - pb, g HAVING COUNT(*) >= 3
+      |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q205_dup_spans", dupSpans, Some(dupSpansSql),
+      "exact duplicated-substring spans: df-capped positioned-shingle " +
+        "join chained islands-style into maximal cross-doc token spans " +
+        "(Lee et al. exact-substring dedup, suffix-array-free)"),
     Q("q137_chunk_dedup", chunkDedup, Some(chunkDedupSql),
       "chunk-level dedup: repeated 16-token windows flagged, first " +
         "occurrence kept"),

@@ -903,7 +903,76 @@ object TextQueries {
         .select(col("tok")).as[String])
   }
 
+  /** C4/FineWeb-style filter-rule attrition dashboard: for each cleaning
+    * rule, how many documents it removes and how many it ALONE removes
+    * (unique attrition — the number you lose by keeping the rule, the
+    * number that tells you which rule to tune first). Every ratio
+    * threshold is a cross-multiplied integer compare (dr < 8/25 ⇔
+    * 25·nd < 8·wc), so there is no float rounding to disagree on.
+    * One map pass + a 5-row aggregate — nothing shuffles but the flags. */
+  def filterAttrition(spark: SparkSession, dir: String): DataFrame = {
+    val wc = size(split(col("text"), " "))
+    val nd = size(array_distinct(split(col("text"), " ")))
+    val wchars = col("n_chars") - wc + 1 // chars excluding separators
+    val flags = docs(spark, dir).select(
+      (wc < 20).cast("int").as("f_too_short"),
+      (wc > 88).cast("int").as("f_too_long"),
+      (wchars * 100 < wc * 417 || wchars * 100 > wc * 485)
+        .cast("int").as("f_word_len"),
+      (nd * 25 < wc * 8).cast("int").as("f_repetitive"),
+      (!col("lang").isin("en", "es")).cast("int").as("f_lang"))
+    val rules = Seq("too_short", "too_long", "word_len", "repetitive",
+      "lang")
+    val nf = rules.map(r => col(s"f_$r")).reduce(_ + _)
+    flags.withColumn("nf", nf)
+      .select(explode(array(rules.map(r => struct(
+        lit(r).as("rule"), col(s"f_$r").as("fail"),
+        (col(s"f_$r") === 1 && col("nf") === 1).cast("int").as("uniq")))
+        : _*)).as("x"))
+      .groupBy(col("x.rule").as("rule"))
+      .agg(sum(col("x.fail")).as("n_fail"),
+        sum(col("x.uniq")).as("n_unique"))
+      .orderBy(col("rule"))
+  }
+
+  private val filterAttritionSql =
+    """WITH f AS (
+      |  SELECT
+      |    CASE WHEN len(string_split(text, ' ')) < 20
+      |      THEN 1 ELSE 0 END AS f_too_short,
+      |    CASE WHEN len(string_split(text, ' ')) > 88
+      |      THEN 1 ELSE 0 END AS f_too_long,
+      |    CASE WHEN (n_chars - len(string_split(text, ' ')) + 1) * 100
+      |        < len(string_split(text, ' ')) * 417
+      |      OR (n_chars - len(string_split(text, ' ')) + 1) * 100
+      |        > len(string_split(text, ' ')) * 485
+      |      THEN 1 ELSE 0 END AS f_word_len,
+      |    CASE WHEN len(list_distinct(string_split(text, ' '))) * 25
+      |        < len(string_split(text, ' ')) * 8
+      |      THEN 1 ELSE 0 END AS f_repetitive,
+      |    CASE WHEN lang NOT IN ('en', 'es') THEN 1 ELSE 0 END AS f_lang
+      |  FROM documents
+      |), n AS (
+      |  SELECT f.*, f_too_short + f_too_long + f_word_len + f_repetitive
+      |    + f_lang AS nf FROM f
+      |)
+      |SELECT rule, CAST(SUM(fail) AS BIGINT) AS n_fail,
+      |  CAST(SUM(CASE WHEN fail = 1 AND nf = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unique
+      |FROM (
+      |  SELECT 'too_short' AS rule, f_too_short AS fail, nf FROM n
+      |  UNION ALL SELECT 'too_long', f_too_long, nf FROM n
+      |  UNION ALL SELECT 'word_len', f_word_len, nf FROM n
+      |  UNION ALL SELECT 'repetitive', f_repetitive, nf FROM n
+      |  UNION ALL SELECT 'lang', f_lang, nf FROM n
+      |)
+      |GROUP BY rule
+      |ORDER BY rule""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q208_filter_attrition", filterAttrition, Some(filterAttritionSql),
+      "per-rule corpus-cleaning attrition (total + unique removals per " +
+        "rule, integer-exact ratio thresholds, single map pass)"),
     Q("q171_quality_dup_profile", qualityDupProfile,
       Some(qualityDupProfileSql),
       "quality-decile duplicate-rate profile: exact quality score x " +
