@@ -1229,7 +1229,125 @@ object AnalyticsQueries {
       |WHERE degree >= 2
       |ORDER BY supp""".stripMargin
 
+  /** Fellegi–Sunter probabilistic record linkage over nation-blocked
+    * customer pairs: three field comparisons (market segment, account-
+    * balance bucket, last cent digit) each contribute a fixed
+    * milli-log₂-odds weight — agree w = ⌊1000·log₂(m/u)⌋, disagree
+    * w = ⌊1000·log₂((1−m)/(1−u))⌋ for declared (m, u) of (0.9, 0.2),
+    * (0.85, 0.09), (0.8, 0.1) — so the match score is an exact integer
+    * sum. Blocking bounds the pair fan-out (at corpus scale the block
+    * key becomes a sorted-neighborhood / LSH key, same join shape). */
+  def fsLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"),
+        floor(expr("cast(cast(round(c_acctbal * 100) as bigint) as double)")
+          / 100000).as("bal"),
+        expr("cast(round(c_acctbal * 100) as bigint) % 10").as("cd"))
+      .localCheckpoint(false) // both sides of the blocked self-join
+    c.as("a").join(c.as("b"),
+        col("a.nk") === col("b.nk") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("cust_a"), col("b.k").as("cust_b"),
+        col("a.nk").as("nation"),
+        (col("a.seg") === col("b.seg")).cast("int").as("agree_seg"),
+        (col("a.bal") === col("b.bal")).cast("int").as("agree_bal"),
+        (col("a.cd") === col("b.cd")).cast("int").as("agree_cd"))
+      .withColumn("score_milli",
+        when(col("agree_seg") === 1, 2170).otherwise(-3000) +
+          when(col("agree_bal") === 1, 3240).otherwise(-2601) +
+          when(col("agree_cd") === 1, 3000).otherwise(-2170))
+      .filter(col("score_milli") >= 5000)
+      .orderBy(col("cust_a"), col("cust_b"))
+  }
+
+  private val fsLinkageSql =
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg,
+      |    floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+      |      / 100000) AS bal,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) % 10 AS cd
+      |  FROM customer
+      |), p AS (
+      |  SELECT a.k AS cust_a, b.k AS cust_b, a.nk AS nation,
+      |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS agree_seg,
+      |    CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS agree_bal,
+      |    CASE WHEN a.cd = b.cd THEN 1 ELSE 0 END AS agree_cd
+      |  FROM c a JOIN c b ON a.nk = b.nk AND a.k < b.k
+      |)
+      |SELECT *,
+      |  (CASE WHEN agree_seg = 1 THEN 2170 ELSE -3000 END
+      |   + CASE WHEN agree_bal = 1 THEN 3240 ELSE -2601 END
+      |   + CASE WHEN agree_cd = 1 THEN 3000 ELSE -2170 END) AS score_milli
+      |FROM p
+      |WHERE (CASE WHEN agree_seg = 1 THEN 2170 ELSE -3000 END
+      |   + CASE WHEN agree_bal = 1 THEN 3240 ELSE -2601 END
+      |   + CASE WHEN agree_cd = 1 THEN 3000 ELSE -2170 END) >= 5000
+      |ORDER BY cust_a, cust_b""".stripMargin
+
+  /** One-way ANOVA F over order prices by priority class, from exact
+    * sufficient statistics: per-group (n, Σcents, Σcents²) — the square
+    * sums ride DECIMAL(38,0) so a 100 TB fact table can't overflow them —
+    * then SSB/SSW/F as mirrored IEEE expressions over those exact
+    * integers. Two hash aggregates (group, then the k-row rollup);
+    * nothing else moves. */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    val per = Catalog.load(spark, dir, "orders")
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("c"),
+        col("o_orderpriority").as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("qg"))
+    per.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"), sum(col("qg")).as("q_dec"),
+        dsum(col("sg").cast("double") * col("sg").cast("double")
+          / col("ng").cast("double")).as("t"))
+      .select(col("k"), col("n"),
+        (col("t") - col("s").cast("double") * col("s").cast("double")
+          / col("n").cast("double")).as("ss_between"),
+        (col("q_dec").cast("double") - col("t")).as("ss_within"))
+      .withColumn("f_stat",
+        (col("ss_between") / (col("k") - 1)) /
+          (col("ss_within") / (col("n") - col("k"))))
+      .select(col("k"), col("n"), col("ss_between"), col("ss_within"),
+        col("f_stat"))
+  }
+
+  private val anovaFSql = {
+    val t = sqlSum("CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) " +
+      "/ CAST(ng AS DOUBLE)")
+    s"""WITH per AS (
+       |  SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS ng,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS sg,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+       |      * CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS DECIMAL(38,0)) AS qg
+       |  FROM orders GROUP BY 1
+       |), agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+       |    CAST(CAST(SUM(qg) AS DECIMAL(38,0)) AS VARCHAR) AS q_str,
+       |    $t AS t
+       |  FROM per
+       |), d AS (
+       |  SELECT k, n,
+       |    t - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |      AS ss_between,
+       |    CAST(q_str AS DOUBLE) - t AS ss_within
+       |  FROM agg
+       |)
+       |SELECT k, n, ss_between, ss_within,
+       |  (ss_between / (k - 1)) / (ss_within / (n - k)) AS f_stat
+       |FROM d""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q211_fs_linkage", fsLinkage, Some(fsLinkageSql),
+      "Fellegi-Sunter record linkage: nation-blocked pairs, integer " +
+        "milli-log-odds field weights, exact match scores"),
+    Q("q212_anova_f", anovaF, Some(anovaFSql),
+      "one-way ANOVA F from exact per-group sufficient statistics " +
+        "(decimal square sums, mirrored IEEE F)"),
     Q("q206_quantile_norm", quantileNorm, Some(quantileNormSql),
       "quantile normalization across priority classes: deterministic " +
         "ntile ranks, decimal-exact cross-group bucket means, broadcast " +

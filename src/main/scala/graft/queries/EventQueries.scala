@@ -2036,7 +2036,98 @@ object EventQueries {
       |  CAST(SUM(len) AS BIGINT) AS n_months
       |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Model-calibration bins: treating value∕500 as a predicted purchase
+    * probability, 10 fixed-width bins compare mean predicted confidence
+    * against the empirical purchase rate — the reliability-diagram table
+    * behind an ECE readout. Everything flows through integer cents
+    * (CAST(round(value·100) AS BIGINT)), so bin edges and both rates are
+    * engine-exact; one hash aggregate, no shuffle beyond the 10 bins. */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+        (col("event_type") === "purchase").cast("int").as("pos"))
+      .withColumn("bin", least(expr("cents div 5000"), lit(9L)))
+    e.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("sum_cents").cast("double") /
+          (col("n") * 50000).cast("double")).as("conf"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("acc"))
+      .orderBy(col("bin"))
+  }
+
+  private val calibrationBinsSql =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |), b AS (
+      |  SELECT least(cents // 5000, 9) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT bin, n, n_pos,
+      |  CAST(sum_cents AS DOUBLE) / CAST(n * 50000 AS DOUBLE) AS conf,
+      |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+      |FROM b ORDER BY bin""".stripMargin
+
+  /** Exact ROC AUC of value as a purchase ranker, via the tie-aware rank
+    * statistic: AUC·2n⁺n⁻ = Σ_scores n⁺(s)·(2·negBelow(s) + n⁻(s)) — an
+    * all-integer numerator (every tied pair counts ½), one distinct-score
+    * aggregate + a running window, no O(n²) pair join. The single IEEE
+    * division at the end is identical in any engine. */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Catalog.load(spark, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+        (col("event_type") === "purchase").cast("int").as("pos"))
+      .groupBy(col("cents"))
+      .agg(sum(col("pos")).as("np"),
+        sum(lit(1) - col("pos")).as("nn"))
+    val cum = g.withColumn("cum_nn",
+      sum(col("nn")).over(Window.orderBy(col("cents"))))
+    cum.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2) * (col("cum_nn") - col("nn")) + col("nn")))
+          .as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        (col("auc_num2").cast("double") /
+          (lit(2) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
+  private val rocAucSql =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |), g AS (
+      |  SELECT cents, CAST(SUM(pos) AS BIGINT) AS np,
+      |    CAST(SUM(1 - pos) AS BIGINT) AS nn
+      |  FROM e GROUP BY 1
+      |), c AS (
+      |  SELECT np, nn,
+      |    CAST(SUM(nn) OVER (ORDER BY cents) AS BIGINT) AS cum_nn
+      |  FROM g
+      |)
+      |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+      |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |  CAST(SUM(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS auc_num2,
+      |  CAST(CAST(SUM(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS DOUBLE)
+      |    / CAST(2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT)
+      |        AS DOUBLE) AS auc
+      |FROM c""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q209_calibration_bins", calibrationBins, Some(calibrationBinsSql),
+      "reliability-diagram calibration table: integer-cent bins, " +
+        "confidence vs empirical purchase rate"),
+    Q("q210_roc_auc", rocAuc, Some(rocAucSql),
+      "exact tie-aware ROC AUC from an integer rank statistic " +
+        "(distinct-score aggregate + running window, no pair join)"),
     Q("q204_markov_eval", markovEval, Some(markovEvalSql),
       "Markov next-event model trained on the first 60% of time and " +
         "scored on the held-out tail (argmax transitions, exact split)"),
