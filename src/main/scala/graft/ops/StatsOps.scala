@@ -388,6 +388,39 @@ object StatsOps {
               / twoPow64 + 0.5)).as("kmv_est"))
   }
 
+  /** KMV set-similarity: Jaccard between per-group value SETS estimated
+    * from the same bottom-k signatures [[kmvDistinct]] keeps — the
+    * mergeable-sketch identity |A∩B| = |A|+|B|−|A∪B| where the union
+    * sketch is just the k smallest of the merged signature (array_union
+    * + sort + slice — sketches merge, raw sets never meet). Pairwise
+    * over groups: |groups|² tiny rows, each carrying k longs. The
+    * ±O(1/√k) error bound is spec-pinned against exact Jaccard. */
+  def kmvJaccard(df: DataFrame, by: Column, valueCol: Column,
+      k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val twoPow64 = 1.8446744073709552e19
+    def est(arr: Column): Column =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (element_at(arr, size(arr)).cast("double") / twoPow64 + 0.5))
+    val sk = df.select(by.cast("string").as("grp"), xxhash64(valueCol).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new KmvAgg(k).toColumn.name("kmins"))
+      .toDF("grp", "kmins")
+      .localCheckpoint(false) // both sides of the pairwise sketch join
+    sk.as("a").join(sk.as("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        est(col("a.kmins")).as("na_est"), est(col("b.kmins")).as("nb_est"),
+        est(slice(array_sort(array_union(col("a.kmins"), col("b.kmins"))),
+          1, k)).as("union_est"))
+      .withColumn("jaccard_est",
+        greatest(col("na_est") + col("nb_est") - col("union_est"), lit(0.0))
+          / col("union_est"))
+  }
+
   /** Deterministic stratified sampling: within each stratum (`by`), rank
     * rows by a multiplicative-hash key of the id (exact BIGINT arithmetic
     * — the same expression runs on any engine, unlike rand(seed) whose

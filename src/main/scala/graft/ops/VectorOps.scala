@@ -566,4 +566,79 @@ object VectorOps {
           .as("embedding"))
     cosineTopK(substituted, queryPred, k)
   }
+
+  /** Greedy k-center (farthest-first / Gonzalez) coreset selection — the
+    * diversity-sampling pass that picks k maximally-spread exemplars
+    * (2-approx to the optimal cover radius): seed with the smallest
+    * vec_id, then k−1 times add the point FARTHEST (in cosine distance
+    * 1−cos) from everything chosen so far, ties to the smallest id.
+    *
+    * Each round is one broadcast map over the corpus (the ≤k chosen
+    * vectors ride as literals) + a 1-row argmax aggregate — k driver
+    * round-trips of one row each, never the data. min-distance over
+    * chosen is recomputed per round (k² per row total), trading a tiny
+    * recompute for NO iterative lineage/checkpoint state.
+    *
+    * @return (rank, vec_id, min_dist) — min_dist is the selection-time
+    *   distance to the already-chosen set (the cover radius after rank−1
+    *   centers); the seed's is 2.0 (the cosine-distance supremum). */
+  def kCenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(false) // scanned k times below
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .as[(Long, Array[Float])].collect()
+    if (seed.isEmpty) return Seq.empty[(Int, Long, Double)]
+      .toDF("rank", "vec_id", "min_dist")
+    var chosen = Vector((seed(0)._1, seed(0)._2, 2.0))
+    for (_ <- 1 until k) {
+      val minDist = chosen.map { case (_, v, _) =>
+        lit(1.0) - cosineSim(typedLit(v), col("embedding"))
+      }.reduce(least(_, _))
+      val next = base.filter(!col("vec_id").isInCollection(chosen.map(_._1)))
+        .select(col("vec_id"), col("embedding"), minDist.as("d"))
+        .agg(max(struct(col("d"), (-col("vec_id")).as("nid"),
+          col("embedding"))).as("m"))
+        .select(col("m.d"), (-col("m.nid")).as("vec_id"),
+          col("m.embedding"))
+        .as[(Double, Long, Array[Float])].collect()
+      if (next.nonEmpty) chosen :+= ((next(0)._2, next(0)._3, next(0)._1))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("rank", "vec_id", "min_dist")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus with the IVF coarse quantizer ([[kmeansCentroids]], one
+    * broadcast argmin pass per vector), then inside each cluster drop
+    * every vector that has an earlier (smaller vec_id) cluster-mate with
+    * cosine ≥ tau. Cluster scoping is the scale contract: the quadratic
+    * pair join runs per cell, cells partition the corpus, and nothing
+    * crosses cells — exactly the published algorithm's reason for
+    * clustering first. Chains collapse to their smallest id (the
+    * keep-one-per-group policy, deterministic on any engine).
+    *
+    * @return (vec_id, cell, is_dup) for every input vector. */
+  def semDedup(emb: DataFrame, nCells: Int = 16, tau: Double = 0.97,
+      trainIters: Int = 2): DataFrame = {
+    val model = kmeansCentroids(emb, nCells, trainIters)
+    if (model.isEmpty)
+      return emb.select(col("vec_id"), lit(0).as("cell"),
+        lit(false).as("is_dup")).filter(lit(false))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+        element_at(graft.functions.NearestCentroids.nearestCells(
+          col("embedding"), model, 1), 1).as("cell"))
+      .localCheckpoint(false) // both sides of the in-cell pair join
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          cosineSim(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("is_dup", lit(true)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

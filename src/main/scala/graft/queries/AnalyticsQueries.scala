@@ -1341,7 +1341,111 @@ object AnalyticsQueries {
        |FROM d""".stripMargin
   }
 
+  /** Herfindahl–Hirschman concentration of customer revenue per nation:
+    * HHI = Σᵢ shareᵢ² computed as Σsᵢ² / S² over exact integer cents —
+    * the antitrust-style "is this market one whale or many minnows"
+    * number, and for a corpus the "is this source dominated by one
+    * crawler" audit. Two aggregates; the squares stay inside BIGINT
+    * because per-entity sums are ≤9 digits of cents. */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val per = Catalog.load(spark, dir, "orders")
+      .join(Catalog.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("s"))
+    per.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("s")).as("total_cents"),
+        sum(col("s") * col("s")).as("sq"))
+      .select(col("c_nationkey"), col("n_custs"), col("total_cents"),
+        (col("sq").cast("double") /
+          (col("total_cents").cast("double") *
+            col("total_cents").cast("double"))).as("hhi"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val hhiSql =
+    """WITH per AS (
+      |  SELECT c_nationkey, c_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS s
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+      |    CAST(SUM(s) AS BIGINT) AS total_cents,
+      |    CAST(SUM(s * s) AS BIGINT) AS sq
+      |  FROM per GROUP BY 1
+      |)
+      |SELECT c_nationkey, n_custs, total_cents,
+      |  CAST(sq AS DOUBLE)
+      |    / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE))
+      |    AS hhi
+      |FROM agg ORDER BY c_nationkey""".stripMargin
+
+  /** Decile lift table for the value→purchase ranker q210 scores as one
+    * number: deciles by descending score (deterministic ntile on
+    * (cents, event_id)), per decile the positive count, rate, cumulative
+    * capture of all positives, and lift vs base rate — the table a
+    * targeting team reads before paying for the model. Integer counts +
+    * mirrored IEEE divisions only. */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Catalog.load(spark, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+        col("event_id"),
+        (col("event_type") === "purchase").cast("int").as("pos"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("cents").desc, col("event_id"))))
+    val d = e.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    d.withColumn("cum_pos",
+        sum(col("n_pos")).over(Window.orderBy(col("decile"))))
+      .withColumn("tot_pos", sum(col("n_pos")).over(Window.partitionBy()))
+      .withColumn("tot_n", sum(col("n")).over(Window.partitionBy()))
+      .select(col("decile"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("rate"),
+        (col("cum_pos").cast("double") / col("tot_pos").cast("double"))
+          .as("cum_capture"),
+        ((col("n_pos").cast("double") / col("n").cast("double"))
+          / (col("tot_pos").cast("double") / col("tot_n").cast("double")))
+          .as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  private val decileLiftSql =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |), t AS (
+      |  SELECT pos, ntile(10) OVER (ORDER BY cents DESC, event_id)
+      |    AS decile FROM e
+      |), d AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos
+      |  FROM t GROUP BY 1
+      |), c AS (
+      |  SELECT decile, n, n_pos,
+      |    CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+      |    CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS tot_n
+      |  FROM d
+      |)
+      |SELECT decile, n, n_pos,
+      |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+      |  CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS cum_capture,
+      |  (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS lift
+      |FROM c ORDER BY decile""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q216_hhi", hhi, Some(hhiSql),
+      "Herfindahl revenue-concentration index per nation from exact " +
+        "integer cent shares"),
+    Q("q217_decile_lift", decileLift, Some(decileLiftSql),
+      "ranker decile lift table: deterministic score deciles, positive " +
+        "rate, cumulative capture, lift vs base"),
     Q("q211_fs_linkage", fsLinkage, Some(fsLinkageSql),
       "Fellegi-Sunter record linkage: nation-blocked pairs, integer " +
         "milli-log-odds field weights, exact match scores"),

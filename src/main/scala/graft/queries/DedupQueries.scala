@@ -437,7 +437,21 @@ object DedupQueries {
       |FROM isl GROUP BY a, b, pa - pb, g HAVING COUNT(*) >= 3
       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
 
+  /** KMV-sketch Jaccard between per-source token vocabularies
+    * ([[graft.ops.StatsOps.kmvJaccard]]) — the sketch twin of q124's
+    * exact overlap matrix: raw vocabularies never meet, only k-long
+    * signatures do. */
+  def kmvVocabJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ops.TextOps.exploded(docs(spark, dir))
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    graft.ops.StatsOps.kmvJaccard(toks, col("source"), col("tok"), k = 256)
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q214_kmv_jaccard", kmvVocabJaccard, None,
+      "KMV bottom-k sketch Jaccard between source vocabularies " +
+        "(mergeable union sketch; error-bound spec vs exact)"),
     Q("q205_dup_spans", dupSpans, Some(dupSpansSql),
       "exact duplicated-substring spans: df-capped positioned-shingle " +
         "join chained islands-style into maximal cross-doc token spans " +

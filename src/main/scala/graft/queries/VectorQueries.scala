@@ -221,7 +221,23 @@ object VectorQueries {
        |FROM r GROUP BY label
        |ORDER BY label""".stripMargin
 
+  /** Greedy k-center diversity coreset ([[VectorOps.kCenterCoreset]]). */
+  def kcenter(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.kCenterCoreset(emb(spark, dir), k = 8).orderBy(col("rank"))
+
+  /** SemDeDup semantic dedup ([[VectorOps.semDedup]]): IVF-cell-scoped
+    * cosine near-dup removal, keep-smallest-id per chain. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.semDedup(emb(spark, dir), nCells = 16, tau = 0.97)
+      .orderBy(col("vec_id"))
+
   val all: Seq[Q] = Seq(
+    Q("q213_kcenter_coreset", kcenter, None,
+      "greedy k-center (farthest-first) diversity coreset: 8 exemplars, " +
+        "broadcast distance passes (rows-only; spec vs brute-force greedy)"),
+    Q("q215_semantic_dedup", semanticDedup, None,
+      "SemDeDup: k-means-cell-scoped cosine dedup keep-smallest-id " +
+        "(rows-only; drop/keep property spec-checked per cell)"),
     Q("q78_int8_quant", int8Quant, Some(int8QuantSql),
       "int8 embedding quantization + per-label reconstruction error"),
     Q("q64_embedding_near_dup", embeddingNearDup, Some(embeddingNearDupSql),
