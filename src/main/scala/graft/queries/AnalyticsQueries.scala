@@ -1439,7 +1439,40 @@ object AnalyticsQueries {
       |    / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS lift
       |FROM c ORDER BY decile""".stripMargin
 
+  /** k-anonymity audit over the quasi-identifier (nation, market
+    * segment, balance-thousands bucket): every equivalence class with
+    * fewer than k=5 members is a re-identification risk — the privacy
+    * gate a training-data release runs before shipping user-derived
+    * rows. One hash aggregate on the quasi-identifier; the l-diversity
+    * column (distinct last-cent digits as a stand-in sensitive value)
+    * rides the same aggregate for free. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(expr("cast(cast(round(c_acctbal * 100) as bigint) as double)")
+          / 100000).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(expr("cast(round(c_acctbal * 100) as bigint) % 10"))
+          .as("l_diversity"))
+      .filter(col("class_size") < 5)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+
+  private val kAnonymitySql =
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+      |    / 100000) AS BIGINT) AS bal_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS class_size,
+      |  CAST(COUNT(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) % 10)
+      |    AS BIGINT) AS l_diversity
+      |FROM customer
+      |GROUP BY 1, 2, 3
+      |HAVING COUNT(*) < 5
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q220_k_anonymity", kAnonymity, Some(kAnonymitySql),
+      "k-anonymity risk audit: quasi-identifier classes below k=5 with " +
+        "an l-diversity column, one aggregate"),
     Q("q216_hhi", hhi, Some(hhiSql),
       "Herfindahl revenue-concentration index per nation from exact " +
         "integer cent shares"),

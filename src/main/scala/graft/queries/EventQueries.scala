@@ -2121,7 +2121,134 @@ object EventQueries {
       |        AS DOUBLE) AS auc
       |FROM c""".stripMargin
 
+  /** Optimal single changepoint in the daily-revenue series (binary-
+    * segmentation step 1): the split day maximizing the two-segment
+    * between-sum-of-squares gain s₁²/n₁ + s₂²/n₂ − S²/N. Prefix sums
+    * ride ONE ordered window over exact integer cents; the gain is a
+    * mirrored IEEE expression, argmax ties break to the earliest day.
+    * Where q164's CUSUM flags drift, this names the break. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(unix_micros(date_trunc("day", col("o_orderdate")))
+        .as("day_us"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .as("cents"))
+    val w = Window.orderBy(col("day_us"))
+    val cum = daily
+      .withColumn("n1", row_number().over(w).cast("long"))
+      .withColumn("s1", sum(col("cents")).over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("s", sum(col("cents")).over(Window.partitionBy()))
+      .filter(col("n1") < col("n")) // a split needs a non-empty tail
+      .withColumn("gain",
+        col("s1").cast("double") * col("s1").cast("double")
+          / col("n1").cast("double") +
+          (col("s") - col("s1")).cast("double")
+            * (col("s") - col("s1")).cast("double")
+            / (col("n") - col("n1")).cast("double") -
+          col("s").cast("double") * col("s").cast("double")
+            / col("n").cast("double"))
+    cum.orderBy(col("gain").desc, col("day_us")).limit(1)
+      .select(col("day_us").as("split_day_us"), col("n1").as("n_before"),
+        (col("n") - col("n1")).as("n_after"), col("gain"))
+  }
+
+  private val changepointSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(date_trunc('day', o_orderdate)) // 1000 AS day_us,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+      |), cum AS (
+      |  SELECT day_us,
+      |    CAST(row_number() OVER (ORDER BY day_us) AS BIGINT) AS n1,
+      |    CAST(SUM(cents) OVER (ORDER BY day_us) AS BIGINT) AS s1,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+      |    CAST(SUM(cents) OVER () AS BIGINT) AS s
+      |  FROM daily
+      |), g AS (
+      |  SELECT day_us, n1, n - n1 AS n_after,
+      |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      + CAST(s - s1 AS DOUBLE) * CAST(s - s1 AS DOUBLE)
+      |        / CAST(n - n1 AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS gain
+      |  FROM cum WHERE n1 < n
+      |)
+      |SELECT day_us AS split_day_us, n1 AS n_before, n_after, gain
+      |FROM g ORDER BY gain DESC, day_us LIMIT 1""".stripMargin
+
+  /** Balanced-repeated-replication (half-sample bootstrap) CI for the
+    * mean daily revenue: 64 deterministic half-samples — day d joins
+    * replicate b iff a quadratic multiplicative hash of (day index + b)
+    * is even (quadratic because two LINEAR hashes of the same key are
+    * affinely related — a lattice, not a resample) — and the CI is the
+    * exact rank-selected p05/p95 of the replicate means. All-integer
+    * until the final divisions; at scale this is the Poisson-bootstrap
+    * shape: B× fan-out of day aggregates, never of fact rows. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy((unix_micros(date_trunc("day", col("o_orderdate")))
+        / lit(86400000000L)).cast("long").as("day_idx"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .as("cents"))
+    val reps = daily.select(col("day_idx"), col("cents"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .filter((col("day_idx") + col("b")) * (col("day_idx") + col("b"))
+        * 2654435761L % 1000003L % 2 === 0)
+      .groupBy(col("b"))
+      .agg((sum(col("cents")).cast("double") /
+        (count(lit(1)) * 100).cast("double")).as("rep_mean"))
+    val ranked = reps.withColumn("rk",
+      row_number().over(Window.orderBy(col("rep_mean"), col("b"))))
+    ranked.agg(
+      count(lit(1)).as("n_reps"),
+      Det.dsum(col("rep_mean")).as("sum_means"),
+      max(when(col("rk") === 4, col("rep_mean"))).as("ci_lo"),
+      max(when(col("rk") === 61, col("rep_mean"))).as("ci_hi"))
+      .select(col("n_reps"),
+        (col("sum_means") / col("n_reps")).as("boot_mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  private val bootstrapCiSql = {
+    val sm = Det.sqlSum("rep_mean")
+    s"""WITH daily AS (
+       |  SELECT (epoch_ns(date_trunc('day', o_orderdate)) // 1000)
+       |      // 86400000000 AS day_idx,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+       |), reps AS (
+       |  SELECT b,
+       |    CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) * 100 AS DOUBLE)
+       |      AS rep_mean
+       |  FROM daily, unnest(range(0, 64)) AS u(b)
+       |  WHERE (day_idx + b) * (day_idx + b) * 2654435761 % 1000003 % 2 = 0
+       |  GROUP BY b
+       |), ranked AS (
+       |  SELECT b, rep_mean,
+       |    row_number() OVER (ORDER BY rep_mean, b) AS rk
+       |  FROM reps
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+       |  $sm / COUNT(*) AS boot_mean,
+       |  MAX(CASE WHEN rk = 4 THEN rep_mean END) AS ci_lo,
+       |  MAX(CASE WHEN rk = 61 THEN rep_mean END) AS ci_hi
+       |FROM ranked""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q218_changepoint", changepoint, Some(changepointSql),
+      "optimal single changepoint by two-segment SS gain over exact " +
+        "prefix sums (binary segmentation step)"),
+    Q("q221_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql),
+      "balanced half-sample bootstrap CI for mean daily revenue: 64 " +
+        "hash-deterministic replicates, exact rank CI"),
     Q("q209_calibration_bins", calibrationBins, Some(calibrationBinsSql),
       "reliability-diagram calibration table: integer-cent bins, " +
         "confidence vs empirical purchase rate"),

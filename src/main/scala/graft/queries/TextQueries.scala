@@ -969,7 +969,60 @@ object TextQueries {
       |GROUP BY rule
       |ORDER BY rule""".stripMargin
 
+  /** One-row dataset card — the corpus summary published next to a
+    * training set: sizes, language mix, exact-duplicate rate, token
+    * volume. Every number is a count or a mirrored IEEE division over
+    * counts; the dup rate reuses the sha256 exact-dedup contract (one
+    * extra 32-byte-key aggregate). The whole card is two scans of
+    * `documents` and aggregates all the way down. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val wc = size(split(col("text"), " "))
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(wc.cast("long")).as("total_tokens"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val dups = d.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_dup_docs"))
+    base.crossJoin(dups).select(
+      col("n_docs"), col("n_sources"), col("n_langs"),
+      col("total_tokens"),
+      (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+        .as("avg_tokens"),
+      (col("n_en").cast("double") / col("n_docs").cast("double"))
+        .as("pct_en"),
+      (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+        .as("dup_rate"))
+  }
+
+  private val datasetCardSql =
+    """WITH base AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |      AS total_tokens,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_en
+      |  FROM documents
+      |), dups AS (
+      |  SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_dup_docs
+      |  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY sha256(text))
+      |)
+      |SELECT n_docs, n_sources, n_langs, total_tokens,
+      |  CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    AS avg_tokens,
+      |  CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pct_en,
+      |  CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+      |FROM base, dups""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q219_dataset_card", datasetCard, Some(datasetCardSql),
+      "one-row corpus dataset card: sizes, language mix, token volume, " +
+        "exact-dup rate (aggregates only)"),
     Q("q208_filter_attrition", filterAttrition, Some(filterAttritionSql),
       "per-rule corpus-cleaning attrition (total + unique removals per " +
         "rule, integer-exact ratio thresholds, single map pass)"),

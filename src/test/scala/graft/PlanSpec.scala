@@ -336,4 +336,56 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p)
   }
+
+  test("dup spans: shingle match is an equi-join (never cartesian); " +
+    "island windows run under the pair exchange") {
+    val p = plan(graft.Registry.byName("q205_dup_spans").build(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("quantile norm: the <=k-row bucket reference broadcasts back " +
+    "(no fact-x-fact sort-merge)") {
+    val p = plan(graft.Registry.byName("q206_quantile_norm")
+      .build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("fs linkage / k-anonymity: blocked pair join stays equi; the " +
+    "audit is one partial->final aggregate") {
+    val p1 = plan(graft.Registry.byName("q211_fs_linkage").build(spark, dir))
+    assert(!p1.contains("CartesianProduct"), p1)
+    assert(!p1.contains("BroadcastNestedLoopJoin"), p1)
+    val p2 = plan(graft.Registry.byName("q220_k_anonymity")
+      .build(spark, dir))
+    assert(p2.contains("partial_count") || p2.contains("partial_sum"), p2)
+    assert("Exchange hashpartitioning".r.findAllIn(p2).size <= 2, p2)
+  }
+
+  test("anova / hhi / roc auc / calibration: fact table collapses in a " +
+    "partial->final aggregate before anything else moves") {
+    for (q <- Seq("q212_anova_f", "q216_hhi", "q210_roc_auc",
+        "q209_calibration_bins")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q\n$p")
+    }
+  }
+
+  test("changepoint: one ordered window over the collapsed daily " +
+    "aggregate, then TakeOrdered — the fact table never re-sorts") {
+    val p = plan(graft.Registry.byName("q218_changepoint")
+      .build(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("semantic dedup: in-cell pair join is an equi-join, not a " +
+    "cartesian product") {
+    val p = plan(graft.Registry.byName("q215_semantic_dedup")
+      .build(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
