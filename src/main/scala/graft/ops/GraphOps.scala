@@ -167,4 +167,63 @@ object GraphOps {
     }
     visited
   }
+
+  /** k-core decomposition by fixed-round peeling: each round drops every
+    * node whose degree in the SURVIVING subgraph is < k, until `rounds`
+    * rounds have run — the standard cohesive-subgraph extractor (spam
+    * rings, community cores). A fixed round count instead of
+    * loop-until-stable keeps the recurrence engine-exact (the oracle
+    * unrolls the same rounds as CTEs); rounds is a parameter precisely
+    * so a caller can raise it until a convergence check passes. Each
+    * round is one degree aggregate + two semi-joins, lineage cut per
+    * round like [[pageRank]].
+    *
+    * @param edges undirected edges as (a, b), a < b, deduplicated here
+    * @return (n, degree) for every node of the surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("a"), col("b")).distinct()
+      .localCheckpoint(false)
+    for (_ <- 0 until rounds) {
+      val keep = e.select(col("a").as("n"))
+        .union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+        .localCheckpoint(false) // probed by both semi-joins below
+      e = e.join(keep, e("a") === keep("n"), "left_semi")
+        .join(keep, e("b") === keep("n"), "left_semi")
+        .localCheckpoint(false)
+    }
+    e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Degree assortativity r (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every directed edge — do hubs link to hubs
+    * (r>0) or to leaves (r<0)? All five moment sums are exact BIGINTs
+    * over integer degrees; the closed form runs as ONE mirrored IEEE
+    * expression (sqrt is correctly rounded everywhere), so the double
+    * is engine-exact. One degree aggregate + one join + one rollup.
+    *
+    * @param edges undirected edges as (a, b); both orientations scored */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("a"), col("b")).distinct()
+    val both = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false) // feeds the degree aggregate AND the join
+    val deg = both.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val xy = both
+      .join(deg.select(col("u"), col("d").as("x")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("y")), "v")
+    xy.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("m"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+            sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))).as("assortativity"))
+  }
 }

@@ -1469,7 +1469,142 @@ object AnalyticsQueries {
       |HAVING COUNT(*) < 5
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Sorted-neighborhood entity resolution — q211's Fellegi–Sunter
+    * scoring under the OTHER classic blocking scheme: sort once on a
+    * cheap key (balance cents), slide a window of 4, and score only
+    * window pairs — O(n·w) candidates instead of per-block quadratic.
+    * The window join is an exact equi-join on exploded neighbor ranks.
+    * At 100 TB the global row_number becomes a range-partitioned sort
+    * with boundary overlap; the candidate shape is unchanged. */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("cents"),
+        expr("cast(round(c_acctbal * 100) as bigint) % 10").as("cd"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cents"), col("k"))).cast("long"))
+      .localCheckpoint(false) // both sides of the neighbor-rank join
+    val probes = c.select(col("k"), col("nk"), col("seg"), col("cd"),
+      explode(sequence(col("rn") + 1, col("rn") + 4)).as("rn2"))
+    probes.as("a").join(c.as("b"), col("a.rn2") === col("b.rn"))
+      .select(col("a.k").as("cust_a"), col("b.k").as("cust_b"),
+        (when(col("a.nk") === col("b.nk"), 3170).otherwise(-2737) +
+          when(col("a.seg") === col("b.seg"), 2170).otherwise(-3000) +
+          when(col("a.cd") === col("b.cd"), 3000).otherwise(-2170))
+          .as("score_milli"))
+      .filter(col("score_milli") >= 3000)
+      .orderBy(col("cust_a"), col("cust_b"))
+  }
+
+  private val sortedNeighborhoodSql =
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) % 10 AS cd
+      |  FROM customer
+      |), r AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY cents, k) AS BIGINT)
+      |    AS rn FROM c
+      |), p AS (
+      |  SELECT a.k AS cust_a, b.k AS cust_b,
+      |    (CASE WHEN a.nk = b.nk THEN 3170 ELSE -2737 END
+      |     + CASE WHEN a.seg = b.seg THEN 2170 ELSE -3000 END
+      |     + CASE WHEN a.cd = b.cd THEN 3000 ELSE -2170 END)
+      |      AS score_milli
+      |  FROM r a, unnest(range(1, 5)) AS u(d)
+      |  JOIN r b ON b.rn = a.rn + d
+      |)
+      |SELECT * FROM p WHERE score_milli >= 3000
+      |ORDER BY cust_a, cust_b""".stripMargin
+
+  private def coSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pe = Catalog.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    pe.as("x").join(pe.as("y"),
+        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+  }
+
+  private val coSupplyEdgesSql =
+    """e0 AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+      |  WHERE l_quantity >= 45
+      |), e AS (
+      |  SELECT DISTINCT x.s AS a, y.s AS b
+      |  FROM e0 x JOIN e0 y ON x.o = y.o AND x.s < y.s
+      |)""".stripMargin
+
+  /** 3-core of the co-supply graph ([[graft.ops.GraphOps.kCore]], 6
+    * peeling rounds) — the dense trading core after iteratively
+    * shedding peripheral suppliers. */
+  def kCore3(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.kCore(coSupplyEdges(spark, dir), k = 3, rounds = 6)
+      .select(col("n").as("supp"), col("degree"))
+      .orderBy(col("supp"))
+
+  private val kCore3Sql = {
+    // MATERIALIZED: each round is referenced twice (both semi-join
+    // sides); inlined CTEs would re-evaluate the whole prefix 2^rounds
+    // times and exhaust file handles on the base scan
+    def round(i: Int) =
+      s"""keep$i AS MATERIALIZED (
+         |  SELECT n FROM (
+         |    SELECT n, COUNT(*) AS d FROM (
+         |      SELECT a AS n FROM e$i UNION ALL SELECT b FROM e$i)
+         |    GROUP BY n) WHERE d >= 3
+         |), e${i + 1} AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e$i e
+         |  JOIN keep$i ka ON e.a = ka.n
+         |  JOIN keep$i kb ON e.b = kb.n
+         |)""".stripMargin
+    s"""WITH $coSupplyEdgesSql, e1 AS MATERIALIZED (SELECT a, b FROM e),
+       |${(1 to 6).map(round).mkString(", ")}
+       |SELECT n AS supp, CAST(COUNT(*) AS BIGINT) AS degree
+       |FROM (SELECT a AS n FROM e7 UNION ALL SELECT b FROM e7)
+       |GROUP BY n ORDER BY supp""".stripMargin
+  }
+
+  /** Degree assortativity of the co-supply graph
+    * ([[graft.ops.GraphOps.assortativity]]). */
+  def assortativityQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.assortativity(coSupplyEdges(spark, dir))
+
+  private val assortativitySql =
+    s"""WITH $coSupplyEdgesSql, both_ AS (
+       |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+       |), deg AS (
+       |  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM both_ GROUP BY u
+       |), xy AS (
+       |  SELECT dx.d AS x, dy.d AS y
+       |  FROM both_ b JOIN deg dx ON b.u = dx.u JOIN deg dy ON b.v = dy.u
+       |), s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy
+       |  FROM xy
+       |)
+       |SELECT m,
+       |  CAST(m * sxy - sx * sy AS DOUBLE)
+       |    / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+       |       * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS assortativity
+       |FROM s""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q222_sorted_neighborhood", sortedNeighborhood,
+      Some(sortedNeighborhoodSql),
+      "sorted-neighborhood ER: one cheap-key sort, sliding window-4 " +
+        "equi-join candidates, integer Fellegi-Sunter scores"),
+    Q("q224_kcore", kCore3, Some(kCore3Sql),
+      "3-core decomposition by 6-round peeling (degree aggregate + " +
+        "semi-joins per round) vs unrolled-CTE oracle"),
+    Q("q225_assortativity", assortativityQ, Some(assortativitySql),
+      "degree assortativity r from exact BIGINT moment sums, one " +
+        "mirrored IEEE closed form"),
     Q("q220_k_anonymity", kAnonymity, Some(kAnonymitySql),
       "k-anonymity risk audit: quasi-identifier classes below k=5 with " +
         "an l-diversity column, one aggregate"),

@@ -1019,7 +1019,67 @@ object TextQueries {
       |  CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
       |FROM base, dups""".stripMargin
 
+  /** Snorkel-style weak-supervision label model (majority vote): three
+    * deterministic labeling functions each emit +1 / −1 / 0-abstain on
+    * "is this a high-quality doc" — length, lexical diversity (as the
+    * cross-multiplied integer compares q208 uses), language — and the
+    * vote is the sign of the non-abstain sum, with a conflict flag when
+    * both polarities fired. The aggregate-free map pass scales to any
+    * corpus; downstream, `label` is the training signal and `conflict`
+    * the disagreement-audit slice. */
+  def labelModel(spark: SparkSession, dir: String): DataFrame = {
+    val wc = size(split(col("text"), " "))
+    val nd = size(array_distinct(split(col("text"), " ")))
+    val lf1 = when(wc >= 40, 1).when(wc < 20, -1).otherwise(0)
+    val lf2 = when(nd * 20 >= wc * 9, 1).when(nd * 25 < wc * 8, -1)
+      .otherwise(0)
+    val lf3 = when(col("lang").isin("en", "es"), 1)
+      .when(col("lang") === "zh", -1).otherwise(0)
+    docs(spark, dir)
+      .select(col("doc_id"), lf1.as("lf_length"), lf2.as("lf_diversity"),
+        lf3.as("lf_lang"))
+      .withColumn("vote_sum",
+        col("lf_length") + col("lf_diversity") + col("lf_lang"))
+      .withColumn("label",
+        when(col("vote_sum") > 0, 1).when(col("vote_sum") < 0, -1)
+          .otherwise(0))
+      .withColumn("conflict",
+        (greatest(col("lf_length"), col("lf_diversity"), col("lf_lang"))
+          === 1 &&
+          least(col("lf_length"), col("lf_diversity"), col("lf_lang"))
+            === -1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val labelModelSql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1
+      |      WHEN len(string_split(text, ' ')) < 20 THEN -1
+      |      ELSE 0 END AS lf_length,
+      |    CASE WHEN len(list_distinct(string_split(text, ' '))) * 20
+      |        >= len(string_split(text, ' ')) * 9 THEN 1
+      |      WHEN len(list_distinct(string_split(text, ' '))) * 25
+      |        < len(string_split(text, ' ')) * 8 THEN -1
+      |      ELSE 0 END AS lf_diversity,
+      |    CASE WHEN lang IN ('en', 'es') THEN 1
+      |      WHEN lang = 'zh' THEN -1 ELSE 0 END AS lf_lang
+      |  FROM documents
+      |)
+      |SELECT doc_id, lf_length, lf_diversity, lf_lang,
+      |  lf_length + lf_diversity + lf_lang AS vote_sum,
+      |  CASE WHEN lf_length + lf_diversity + lf_lang > 0 THEN 1
+      |    WHEN lf_length + lf_diversity + lf_lang < 0 THEN -1
+      |    ELSE 0 END AS label,
+      |  CASE WHEN greatest(lf_length, lf_diversity, lf_lang) = 1
+      |    AND least(lf_length, lf_diversity, lf_lang) = -1
+      |    THEN 1 ELSE 0 END AS conflict
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q223_label_model", labelModel, Some(labelModelSql),
+      "weak-supervision majority-vote label model: 3 deterministic " +
+        "labeling functions, sign vote, conflict flag (map-only)"),
     Q("q219_dataset_card", datasetCard, Some(datasetCardSql),
       "one-row corpus dataset card: sizes, language mix, token volume, " +
         "exact-dup rate (aggregates only)"),
