@@ -1594,7 +1594,198 @@ object AnalyticsQueries {
        |       * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS assortativity
        |FROM s""".stripMargin
 
+  /** Spearman rank correlation of (quantity, extended-price cents) with
+    * full tie handling: each value's AVERAGE rank, doubled to stay
+    * integral (2·rank + |ties| − 1), then Pearson over the doubled
+    * ranks from exact DECIMAL(38,0) moment sums and one mirrored IEEE
+    * closed form (÷, sqrt, × are correctly rounded — engine-exact).
+    * The global rank is one total-order sort; at 100 TB it becomes a
+    * range-partitioned sort with per-partition offsets, the moment
+    * rollup is unchanged. BIGINT would overflow at m·Σxy ≈ 4n³ — the
+    * decimal moments hold to n ≈ 10⁹ rows per corpus. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val b = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
+    val r = b
+      .withColumn("x2", rank().over(Window.orderBy(col("x")))
+        .cast("long") * 2 +
+        count(lit(1)).over(Window.partitionBy(col("x"))) - 1)
+      .withColumn("y2", rank().over(Window.orderBy(col("y")))
+        .cast("long") * 2 +
+        count(lit(1)).over(Window.partitionBy(col("y"))) - 1)
+    val s = r.agg(count(lit(1)).as("m"),
+      sum(col("x2").cast(dec)).as("sx"), sum(col("y2").cast(dec)).as("sy"),
+      sum((col("x2").cast(dec) * col("x2")).cast(dec)).as("sxx"),
+      sum((col("y2").cast(dec) * col("y2")).cast(dec)).as("syy"),
+      sum((col("x2").cast(dec) * col("y2")).cast(dec)).as("sxy"))
+    val m = col("m").cast(dec)
+    s.select(col("m"),
+      ((m * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((m * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((m * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("spearman_rho"))
+  }
+
+  // HUGEINT mirrors the Spark decimal(38,0) moments exactly; the final
+  // hop to DOUBLE goes through VARCHAR because DuckDB's direct
+  // HUGEINT→DOUBLE cast is not correctly rounded past 2^53 while
+  // strtod is (see Det.sqlSum)
+  private def hugeDbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+
+  private val spearmanSql =
+    s"""WITH b AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+       |  FROM lineitem
+       |), r AS (
+       |  SELECT
+       |    CAST(rank() OVER (ORDER BY x) AS BIGINT) * 2
+       |      + COUNT(*) OVER (PARTITION BY x) - 1 AS x2,
+       |    CAST(rank() OVER (ORDER BY y) AS BIGINT) * 2
+       |      + COUNT(*) OVER (PARTITION BY y) - 1 AS y2
+       |  FROM b
+       |), s AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+       |    SUM(CAST(x2 AS HUGEINT)) AS sx, SUM(CAST(y2 AS HUGEINT)) AS sy,
+       |    SUM(CAST(x2 AS HUGEINT) * x2) AS sxx,
+       |    SUM(CAST(y2 AS HUGEINT) * y2) AS syy,
+       |    SUM(CAST(x2 AS HUGEINT) * y2) AS sxy
+       |  FROM r
+       |)
+       |SELECT CAST(m AS BIGINT) AS m,
+       |  ${hugeDbl("m * sxy - sx * sy")}
+       |    / (sqrt(${hugeDbl("m * sxx - sx * sx")})
+       |       * sqrt(${hugeDbl("m * syy - sy * sy")})) AS spearman_rho
+       |FROM s""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov statistic comparing the order-value
+    * distribution of URGENT vs LOW priority orders — the classic
+    * "did this slice drift" test for pipeline snapshots. The ECDF gap
+    * is kept as the EXACT integer |c1·n2 − c2·n1| (max over distinct
+    * values), divided once at the end — no per-point doubles to
+    * accumulate. One aggregate per distinct value + one cumulative
+    * window + one max; the cumulative sort range-partitions at scale. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("v"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("g"))
+    val per = b.groupBy(col("v"))
+      .agg(sum(col("g")).as("d1"), sum(lit(1L) - col("g")).as("d2"))
+    val cum = per
+      .withColumn("c1", sum(col("d1")).over(Window.orderBy(col("v"))))
+      .withColumn("c2", sum(col("d2")).over(Window.orderBy(col("v"))))
+    val tot = b.agg(sum(col("g")).as("n1"),
+      sum(lit(1L) - col("g")).as("n2"))
+    cum.crossJoin(tot)
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .as("ks_num"))
+      .select(col("n1"), col("n2"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("ks_stat"))
+  }
+
+  private val ksTestSql =
+    """WITH b AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |), per AS (
+      |  SELECT v, CAST(SUM(g) AS BIGINT) AS d1,
+      |    CAST(SUM(1 - g) AS BIGINT) AS d2
+      |  FROM b GROUP BY v
+      |), cum AS (
+      |  SELECT CAST(SUM(d1) OVER (ORDER BY v) AS BIGINT) AS c1,
+      |    CAST(SUM(d2) OVER (ORDER BY v) AS BIGINT) AS c2
+      |  FROM per
+      |), tot AS (
+      |  SELECT CAST(SUM(g) AS BIGINT) AS n1,
+      |    CAST(SUM(1 - g) AS BIGINT) AS n2
+      |  FROM b
+      |)
+      |SELECT n1, n2, MAX(abs(c1 * n2 - c2 * n1)) AS ks_num,
+      |  CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+      |FROM cum, tot
+      |GROUP BY n1, n2""".stripMargin
+
+  /** Per-group OLS fit (slope, intercept, r²) of extended-price cents
+    * on quantity by return flag — closed-form normal equations over
+    * exact integer/decimal moment sums, so both engines land on the
+    * identical doubles (every post-moment op is a correctly-rounded
+    * IEEE ÷, √, ×). The Σy² moment needs DECIMAL(38,0) (cents² sums
+    * pass 2⁶³ even at sf0.1); products of moments go through
+    * decimal/HUGEINT. One partial-aggregated groupBy — no second pass,
+    * no windows — so the fit costs a single shuffle of 6 numbers per
+    * group at any scale. */
+  def olsFit(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("y").cast(dec) * col("y")).cast(dec)).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val m = col("m").cast(dec)
+    val num = (m * col("sxy").cast(dec) -
+      col("sx").cast(dec) * col("sy").cast(dec)).cast("double")
+    val dx = (m * col("sxx").cast(dec) -
+      col("sx").cast(dec) * col("sx").cast(dec)).cast("double")
+    val dy = (m * col("syy") -
+      col("sy").cast(dec) * col("sy").cast(dec)).cast("double")
+    val slope = num / dx
+    val rho = num / (sqrt(dx) * sqrt(dy))
+    s.select(col("l_returnflag"), col("m"), slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("m").cast("double")).as("intercept"),
+        (rho * rho).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val olsFitSql = {
+    val num = hugeDbl("m * sxy - sx * sy")
+    val dx = hugeDbl("m * sxx - sx * sx")
+    val dy = hugeDbl("m * syy - sy * sy")
+    s"""WITH s AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS m,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM (
+       |    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+       |      CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+       |    FROM lineitem) GROUP BY 1
+       |)
+       |SELECT l_returnflag, CAST(m AS BIGINT) AS m,
+       |  $num / $dx AS slope,
+       |  (${hugeDbl("sy")} - ($num / $dx) * ${hugeDbl("sx")})
+       |    / ${hugeDbl("m")} AS intercept,
+       |  ($num / (sqrt($dx) * sqrt($dy)))
+       |    * ($num / (sqrt($dx) * sqrt($dy))) AS r2
+       |FROM s ORDER BY l_returnflag""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q226_spearman", spearman, Some(spearmanSql),
+      "Spearman rank correlation with average-rank ties (doubled " +
+        "integral ranks), exact decimal moments, IEEE closed form"),
+    Q("q227_ks_test", ksTest, Some(ksTestSql),
+      "two-sample Kolmogorov-Smirnov drift test from exact integer " +
+        "ECDF gap numerators, one final division"),
+    Q("q228_ols", olsFit, Some(olsFitSql),
+      "per-group OLS slope/intercept/r2 via closed-form normal " +
+        "equations over exact decimal moments, one shuffle"),
     Q("q222_sorted_neighborhood", sortedNeighborhood,
       Some(sortedNeighborhoodSql),
       "sorted-neighborhood ER: one cheap-key sort, sliding window-4 " +

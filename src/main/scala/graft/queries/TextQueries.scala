@@ -1076,7 +1076,58 @@ object TextQueries {
       |    THEN 1 ELSE 0 END AS conflict
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Total-variation drift between the token distributions of two
+    * corpus halves (even- vs odd-numbered sources — "yesterday's crawl
+    * vs today's"): TV = ½·Σ_tok |p₁ − p₀|, kept EXACT as the integer
+    * Σ|c₁·N₀ − c₀·N₁| over 2·N₁·N₀ with one final division — unlike
+    * KL/JS there is no log, so the statistic is engine-exact and
+    * order-independent. One token explode + one groupBy + a broadcast
+    * 1-row totals join; at 100 TB the groupBy is the only shuffle and
+    * carries (token, 2 counts). */
+  def tvDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select((substring(col("source"), 4, 10).cast("long") % 2).as("g"),
+        explode(split(col("text"), " ")).as("tok"))
+    val per = toks.groupBy(col("tok"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c0"))
+      .localCheckpoint(false) // feeds the totals agg AND the final agg
+    val tot = per.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    per.crossJoin(tot)
+      .groupBy(col("n1"), col("n0"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(abs(col("c1") * col("n0") - col("c0") * col("n1")))
+          .as("tv_num"))
+      .select(col("n1"), col("n0"), col("n_tokens"), col("tv_num"),
+        (col("tv_num").cast("double") /
+          (lit(2.0) * col("n1").cast("double") * col("n0").cast("double")))
+          .as("tv_dist"))
+  }
+
+  private val tvDriftSql =
+    """WITH t AS (
+      |  SELECT CAST(substr(source, 4) AS BIGINT) % 2 AS g,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), per AS (
+      |  SELECT tok, CAST(SUM(g) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - g) AS BIGINT) AS c0
+      |  FROM t GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c0) AS BIGINT) AS n0
+      |  FROM per
+      |)
+      |SELECT n1, n0, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(abs(c1 * n0 - c0 * n1)) AS BIGINT) AS tv_num,
+      |  CAST(SUM(abs(c1 * n0 - c0 * n1)) AS DOUBLE)
+      |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS tv_dist
+      |FROM per, tot
+      |GROUP BY n1, n0""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q229_tv_drift", tvDrift, Some(tvDriftSql),
+      "total-variation token-distribution drift between corpus halves " +
+        "from exact integer ECDF-free numerators, one division"),
     Q("q223_label_model", labelModel, Some(labelModelSql),
       "weak-supervision majority-vote label model: 3 deterministic " +
         "labeling functions, sign vote, conflict flag (map-only)"),

@@ -35,7 +35,7 @@ class NullInputSpec extends AnyFunSuite {
   test("text/dedup/vector queries survive NULL text/lang/source rows") {
     val families = Registry.all.filter(q =>
       q.name.matches("q(5[0-9]|6[0-8]|9[789]|10[0-4]|108|109|113|114|120|" +
-        "12[3-5]|127|132|184|186|188|191|199|205|208|219|223)_.*"))
+        "12[3-5]|127|132|184|186|188|191|199|205|208|219|223|229)_.*"))
     assert(families.nonEmpty)
     val failures = families.flatMap { q =>
       try { q.build(spark, nullDir).count(); None }
