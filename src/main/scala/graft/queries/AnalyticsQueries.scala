@@ -1776,7 +1776,146 @@ object AnalyticsQueries {
        |FROM s ORDER BY l_returnflag""".stripMargin
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013, the
+    * industry-standard experiment adjustment): per-customer pre-period
+    * spend is the covariate x, post-period spend the outcome y,
+    * θ = cov(x,y)/var(x) pooled, and each arm's adjusted mean is
+    * ȳ_g − θ·(x̄_g − x̄). Everything is derived from exact integer-cent
+    * moment sums (DECIMAL(38,0) for the squares), so both engines
+    * evaluate the identical correctly-rounded IEEE DAG — no per-row
+    * doubles. One groupBy(customer) + one groupBy(arm) + a broadcast
+    * 1-row pooled join: two shuffles of tiny aggregates at any scale. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val split = 883612800000000L // 1998-01-01 UTC, epoch micros
+    val per = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("c"),
+        (unix_micros(col("o_orderdate")) < split).as("pre"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("c")).otherwise(0L)).as("y"))
+      .withColumn("arm", (col("o_custkey") % 2).as("arm"))
+      .localCheckpoint(false) // feeds pooled moments AND per-arm sums
+    val pooled = per.agg(count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x").cast(dec) * col("x")).cast(dec)).as("sxx"),
+      sum((col("x").cast(dec) * col("y")).cast(dec)).as("sxy"))
+    val m = col("m").cast(dec)
+    val theta = ((m * col("sxy") - col("sx").cast(dec) * col("sy").cast(dec))
+      .cast("double") /
+      (m * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec))
+        .cast("double"))
+    val arms = per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("sx_g"),
+        sum(col("y")).as("sy_g"))
+    arms.crossJoin(pooled)
+      .select(col("arm"), col("n_g"), theta.as("theta"),
+        (col("sy_g").cast("double") / col("n_g").cast("double"))
+          .as("mean_y"),
+        (col("sy_g").cast("double") / col("n_g").cast("double") -
+          theta * (col("sx_g").cast("double") / col("n_g").cast("double") -
+            col("sx").cast("double") / col("m").cast("double")))
+          .as("mean_adj"))
+      .orderBy(col("arm"))
+  }
+
+  private val cupedSql = {
+    val theta = s"(${hugeDbl("m * sxy - sx * sy")} " +
+      s"/ ${hugeDbl("m * sxx - sx * sx")})"
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CASE WHEN epoch_ns(o_orderdate) // 1000
+       |        < 883612800000000 THEN
+       |      CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN epoch_ns(o_orderdate) // 1000
+       |        >= 883612800000000 THEN
+       |      CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS y,
+       |    o_custkey % 2 AS arm
+       |  FROM orders GROUP BY o_custkey
+       |), pooled AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM per
+       |), arms AS (
+       |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+       |    CAST(SUM(x) AS BIGINT) AS sx_g, CAST(SUM(y) AS BIGINT) AS sy_g
+       |  FROM per GROUP BY arm
+       |)
+       |SELECT arm, n_g, $theta AS theta,
+       |  CAST(sy_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_y,
+       |  CAST(sy_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+       |    - $theta * (CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+       |      - ${hugeDbl("sx")} / ${hugeDbl("m")}) AS mean_adj
+       |FROM arms, pooled
+       |ORDER BY arm""".stripMargin
+  }
+
+  /** Cramér's V association between customer nation and market segment
+    * — the normalized-χ² "are these two categoricals independent"
+    * audit (for a corpus: source × language balance). Each cell's χ²
+    * term keeps the EXACT BIGINT deviation d = o·n − rt·ct and divides
+    * once (d²/(n·rt·ct), all inputs < 2⁵³ so the doubles are exact);
+    * the 125-cell sum goes through the decimal-cast order-independent
+    * sum ([[graft.ops.Det]]). Three aggregates over counts. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Catalog.load(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nk"),
+        col("c_mktsegment").as("seg"))
+    val cells = cust.groupBy(col("nk"), col("seg"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false) // feeds row/col totals and the cell sum
+    val rows = cells.groupBy(col("nk")).agg(sum(col("o")).as("rt"))
+    val cols = cells.groupBy(col("seg")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("nk")).as("r"), countDistinct(col("seg")).as("c"))
+    val d = (col("o") * col("n") - col("rt") * col("ct")).cast("double")
+    val chi = cells.join(rows, "nk").join(cols, "seg").crossJoin(tot)
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(dsum(d * d /
+        (col("n") * col("rt") * col("ct")).cast("double")).as("chi2"))
+    chi.select(col("n"), col("r"), col("c"), col("chi2"),
+      sqrt(col("chi2") / (col("n") * (least(col("r"), col("c")) - 1))
+        .cast("double")).as("cramers_v"))
+  }
+
+  private val cramersVSql = {
+    val term = "CAST(o * n - rt * ct AS DOUBLE) " +
+      "* CAST(o * n - rt * ct AS DOUBLE) / CAST(n * rt * ct AS DOUBLE)"
+    s"""WITH cells AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+       |    CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM customer GROUP BY 1, 2
+       |), rws AS (
+       |  SELECT nk, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY nk
+       |), cls AS (
+       |  SELECT seg, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY seg
+       |), tot AS (
+       |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+       |    CAST(COUNT(DISTINCT nk) AS BIGINT) AS r,
+       |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS c
+       |  FROM cells
+       |), chi AS (
+       |  SELECT n, r, c, ${sqlSum(term)} AS chi2
+       |  FROM cells JOIN rws USING (nk) JOIN cls USING (seg), tot
+       |  GROUP BY n, r, c
+       |)
+       |SELECT n, r, c, chi2,
+       |  sqrt(chi2 / CAST(n * (least(r, c) - 1) AS DOUBLE)) AS cramers_v
+       |FROM chi""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q230_cuped", cuped, Some(cupedSql),
+      "CUPED variance-reduced A/B means from exact integer-cent " +
+        "moments: theta = cov/var pooled, per-arm adjusted means"),
+    Q("q231_cramers_v", cramersV, Some(cramersVSql),
+      "Cramer's V nation x segment association: exact BIGINT cell " +
+        "deviations, decimal-cast order-independent chi2 sum"),
     Q("q226_spearman", spearman, Some(spearmanSql),
       "Spearman rank correlation with average-rank ties (doubled " +
         "integral ranks), exact decimal moments, IEEE closed form"),

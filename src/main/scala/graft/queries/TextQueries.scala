@@ -1124,7 +1124,76 @@ object TextQueries {
       |FROM per, tot
       |GROUP BY n1, n0""".stripMargin
 
+  /** Top-k vocabulary churn between the two corpus halves (q229's
+    * split): overlap@k and Jaccard@k of the top-k token lists for
+    * k ∈ {10, 25, 50}. Ranking is the deterministic total order
+    * (count DESC, token ASC), so the lists — and the exact integer
+    * intersection sizes — are engine-identical; only the two final
+    * ratios are doubles. The window ranks only the per-token count
+    * table (vocabulary-sized, not corpus-sized); the half-vs-half
+    * match on token is an equi-join of two ≤k-row lists. */
+  def rankOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kMax = 50
+    val ranked = docs(spark, dir)
+      .select((substring(col("source"), 4, 10).cast("long") % 2).as("g"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("d", row_number().over(
+        Window.partitionBy(col("g"))
+          .orderBy(col("cnt").desc, col("tok"))).cast("long"))
+      .filter(col("d") <= kMax)
+      .localCheckpoint(false) // both halves of the tok equi-join
+    val joined = ranked.filter(col("g") === 1)
+      .select(col("tok"), col("d").as("da"))
+      .join(ranked.filter(col("g") === 0)
+        .select(col("tok"), col("d").as("db")), "tok")
+    joined
+      .crossJoin(spark.range(1).select(
+        explode(lit(Array(10L, 25L, 50L))).as("k")))
+      .groupBy(col("k"))
+      .agg(sum(when(col("da") <= col("k") && col("db") <= col("k"), 1L)
+        .otherwise(0L)).as("inter"))
+      .select(col("k"), col("inter"),
+        (col("inter").cast("double") / col("k").cast("double"))
+          .as("overlap_at_k"),
+        (col("inter").cast("double") /
+          (lit(2L) * col("k") - col("inter")).cast("double"))
+          .as("jaccard_at_k"))
+      .orderBy(col("k"))
+  }
+
+  private val rankOverlapSql =
+    """WITH t AS (
+      |  SELECT CAST(substr(source, 4) AS BIGINT) % 2 AS g,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT g, tok, CAST(row_number() OVER (PARTITION BY g
+      |    ORDER BY COUNT(*) DESC, tok) AS BIGINT) AS d
+      |  FROM t GROUP BY g, tok
+      |  QUALIFY d <= 50
+      |), joined AS (
+      |  SELECT a.tok, a.d AS da, b.d AS db
+      |  FROM (SELECT tok, d FROM ranked WHERE g = 1) a
+      |  JOIN (SELECT tok, d FROM ranked WHERE g = 0) b USING (tok)
+      |), ks AS (SELECT unnest([10, 25, 50]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  CAST(SUM(CASE WHEN da <= k AND db <= k THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS inter,
+      |  CAST(SUM(CASE WHEN da <= k AND db <= k THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(k AS DOUBLE) AS overlap_at_k,
+      |  CAST(SUM(CASE WHEN da <= k AND db <= k THEN 1 ELSE 0 END)
+      |    AS DOUBLE)
+      |    / CAST(2 * k - SUM(CASE WHEN da <= k AND db <= k THEN 1
+      |        ELSE 0 END) AS DOUBLE) AS jaccard_at_k
+      |FROM joined, ks
+      |GROUP BY k ORDER BY k""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q232_rank_overlap", rankOverlap, Some(rankOverlapSql),
+      "top-k vocabulary churn between corpus halves: overlap@k and " +
+        "jaccard@k over deterministic (count desc, tok) rankings"),
     Q("q229_tv_drift", tvDrift, Some(tvDriftSql),
       "total-variation token-distribution drift between corpus halves " +
         "from exact integer ECDF-free numerators, one division"),

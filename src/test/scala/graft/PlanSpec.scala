@@ -388,4 +388,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("round-5 stats batch (assortativity/spearman/ols/cuped/cramers): " +
+    "the fact table collapses in a partial->final aggregate; the closed " +
+    "forms move only moment rows") {
+    for (q <- Seq("q225_assortativity", "q226_spearman", "q228_ols",
+        "q230_cuped", "q231_cramers_v", "q227_ks_test", "q229_tv_drift")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
+  test("round-5 pair/graph batch: sorted-neighborhood, k-core and " +
+    "rank-overlap candidate joins are equi-joins, never cartesian") {
+    for (q <- Seq("q222_sorted_neighborhood", "q224_kcore",
+        "q232_rank_overlap")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+    // label model is map-only: no exchange before the output sort
+    val p223 = plan(graft.Registry.byName("q223_label_model")
+      .build(spark, dir))
+    assert(!"Exchange hashpartitioning".r.findAllIn(p223).hasNext, p223)
+  }
 }
