@@ -1519,23 +1519,26 @@ object AnalyticsQueries {
       |SELECT * FROM p WHERE score_milli >= 3000
       |ORDER BY cust_a, cust_b""".stripMargin
 
-  private def coSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def coSupplyEdges(spark: SparkSession, dir: String,
+      minQty: Int = 45): DataFrame = {
     val pe = Catalog.load(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 45)
+      .filter(col("l_quantity") >= minQty)
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
     pe.as("x").join(pe.as("y"),
         col("x.o") === col("y.o") && col("x.s") < col("y.s"))
       .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
   }
 
-  private val coSupplyEdgesSql =
-    """e0 AS (
-      |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
-      |  WHERE l_quantity >= 45
-      |), e AS (
-      |  SELECT DISTINCT x.s AS a, y.s AS b
-      |  FROM e0 x JOIN e0 y ON x.o = y.o AND x.s < y.s
-      |)""".stripMargin
+  private def coSupplyEdgesSqlAt(minQty: Int) =
+    s"""e0 AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+       |  WHERE l_quantity >= $minQty
+       |), e AS (
+       |  SELECT DISTINCT x.s AS a, y.s AS b
+       |  FROM e0 x JOIN e0 y ON x.o = y.o AND x.s < y.s
+       |)""".stripMargin
+
+  private val coSupplyEdgesSql = coSupplyEdgesSqlAt(45)
 
   /** 3-core of the co-supply graph ([[graft.ops.GraphOps.kCore]], 6
     * peeling rounds) — the dense trading core after iteratively
@@ -1909,7 +1912,91 @@ object AnalyticsQueries {
        |FROM chi""".stripMargin
   }
 
+  /** Exponential-decay recency spend score per customer — the classic
+    * recency-weighted engagement feature (and the decayed-count shape
+    * behind streaming heavy-hitter decay). Weight halves every 30-day
+    * bucket; the score stays an EXACT integer because each bucket's
+    * cents·10⁶ is shifted right by the bucket index (floor division by
+    * 2^k, arithmetic shift in both engines) before the sum — no
+    * floating decay factor, no order sensitivity. Buckets cap at 20
+    * (weight < 10⁻⁶ ≈ 0). One groupBy + TakeOrdered(100). */
+  def decayScore(spark: SparkSession, dir: String): DataFrame = {
+    val asofUs = 996710400000000L // 2001-08-02 UTC, epoch micros
+    Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint) * 1000000")
+          .as("micro"),
+        expr(s"least(($asofUs - unix_micros(o_orderdate)) " +
+          "div 2592000000000, 20)").as("k"))
+      .select(col("o_custkey"),
+        expr("shiftright(micro, cast(k as int))").as("w"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("w")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("o_custkey"))
+      .limit(100)
+  }
+
+  private val decayScoreSql =
+    """WITH b AS (
+      |  SELECT o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 AS micro,
+      |    least((996710400000000 - epoch_ns(o_orderdate) // 1000)
+      |      // 2592000000000, 20) AS k
+      |  FROM orders
+      |)
+      |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(micro >> k) AS BIGINT) AS score_micro
+      |FROM b GROUP BY o_custkey
+      |ORDER BY score_micro DESC, o_custkey
+      |LIMIT 100""".stripMargin
+
+  /** Two-hop reach per node of the (sharper, qty ≥ 48) co-supply graph
+    * — the friend-of-friend feature behind graph-based negative
+    * sampling and influence scoring. 1-hop ∪ 2-hop distinct targets
+    * per source; the 2-hop expansion is the one equi-join whose output
+    * is Σ deg², which the tighter quantity filter bounds (the same
+    * df-cap discipline the dedup joins use). */
+  def twoHopReach(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = coSupplyEdges(spark, dir, 48)
+    val both = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false) // degree agg + both sides of the hop join
+    val hop2 = both.as("x").join(both.as("y"),
+        col("x.v") === col("y.u") && col("y.v") =!= col("x.u"))
+      .select(col("x.u").as("u"), col("y.v").as("w"))
+    val reach = both.select(col("u"), col("v").as("w")).union(hop2)
+      .distinct().groupBy(col("u")).agg(count(lit(1)).as("reach2"))
+    both.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .join(reach, "u")
+      .select(col("u").as("supp"), col("deg"), col("reach2"))
+      .orderBy(col("supp"))
+  }
+
+  private val twoHopReachSql =
+    s"""WITH ${coSupplyEdgesSqlAt(48)}, both_ AS (
+       |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+       |), h2 AS (
+       |  SELECT x.u, y.v AS w
+       |  FROM both_ x JOIN both_ y ON x.v = y.u AND y.v <> x.u
+       |), r AS (
+       |  SELECT u, CAST(COUNT(*) AS BIGINT) AS reach2 FROM (
+       |    SELECT DISTINCT u, w FROM (
+       |      SELECT u, v AS w FROM both_ UNION ALL SELECT u, w FROM h2))
+       |  GROUP BY u
+       |), d AS (
+       |  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM both_ GROUP BY u
+       |)
+       |SELECT d.u AS supp, deg, reach2
+       |FROM d JOIN r ON d.u = r.u
+       |ORDER BY supp""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q233_decay_score", decayScore, Some(decayScoreSql),
+      "exponential-decay recency spend: integer micro-unit halving per " +
+        "30-day bucket via arithmetic shift, exact at any order"),
+    Q("q235_two_hop_reach", twoHopReach, Some(twoHopReachSql),
+      "two-hop reach per supplier on the sharp co-supply graph: " +
+        "1+2-hop distinct targets, degree-bounded equi-join"),
     Q("q230_cuped", cuped, Some(cupedSql),
       "CUPED variance-reduced A/B means from exact integer-cent " +
         "moments: theta = cov/var pooled, per-arm adjusted means"),

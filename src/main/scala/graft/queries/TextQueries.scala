@@ -1190,7 +1190,91 @@ object TextQueries {
       |FROM joined, ks
       |GROUP BY k ORDER BY k""".stripMargin
 
+  /** BM25-lite retrieval scoring for the fixed 3-term query
+    * {hash, join, vector}: the full BM25 tf-saturation term
+    * tf·(k₁+1)/(tf + k₁·(1−b+b·dl/avgdl)) with the RATIONAL idf
+    * (N−df+½)/(df+½) instead of its log (the same ln-free idf choice
+    * as q98 — log is not correctly rounded across engines, rationals
+    * are). Per-term tf comes from one counting pass over the token
+    * arrays (no explode shuffle); corpus stats are a broadcast 1-row
+    * aggregate; the 3 per-term scores add in fixed order so the total
+    * is the identical IEEE double on both engines. TakeOrdered(20). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "vector")
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id") +: size(split(col("text"), " ")).cast("long")
+          .as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(split(col("text"), " "), x => x === lit(t)))
+            .cast("long").as(s"tf$i")
+        }: _*)
+      .localCheckpoint(false) // corpus stats AND the scored scan
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+      sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+    def score(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = (col("n").cast("double") - col(s"df$i").cast("double") +
+        lit(0.5)) / (col(s"df$i").cast("double") + lit(0.5))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") /
+            (col("sdl").cast("double") / col("n").cast("double")))))
+    }
+    perDoc.crossJoin(stats)
+      .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+      .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"),
+        (score(0) + score(1) + score(2)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25TopKSql = {
+    def score(i: Int) =
+      s"""((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         |    / (CAST(df$i AS DOUBLE) + 0.5))
+         |    * (CAST(tf$i AS DOUBLE) * 2.2)
+         |    / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |      * (CAST(dl AS DOUBLE)
+         |        / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+        .stripMargin
+    s"""WITH per AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x = 'hash')) AS BIGINT) AS tf0,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x = 'join')) AS BIGINT) AS tf1,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x = 'vector')) AS BIGINT) AS tf2
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dl) AS BIGINT) AS sdl,
+       |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS df0,
+       |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS df1,
+       |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS df2
+       |  FROM per
+       |)
+       |SELECT doc_id, tf0, tf1, tf2,
+       |  ${score(0)}
+       |  + ${score(1)}
+       |  + ${score(2)} AS bm25
+       |FROM per, stats
+       |WHERE tf0 + tf1 + tf2 > 0
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q234_bm25_topk", bm25TopK, Some(bm25TopKSql),
+      "BM25-lite 3-term retrieval: rational ln-free idf, full tf " +
+        "saturation, fixed-order IEEE sum, TakeOrdered(20)"),
     Q("q232_rank_overlap", rankOverlap, Some(rankOverlapSql),
       "top-k vocabulary churn between corpus halves: overlap@k and " +
         "jaccard@k over deterministic (count desc, tok) rankings"),

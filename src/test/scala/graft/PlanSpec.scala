@@ -413,4 +413,17 @@ class PlanSpec extends AnyFunSuite {
       .build(spark, dir))
     assert(!"Exchange hashpartitioning".r.findAllIn(p223).hasNext, p223)
   }
+
+  test("decay score / bm25: top-k plans as TakeOrderedAndProject over " +
+    "one partial->final aggregate, never a global sort") {
+    for (q <- Seq("q233_decay_score", "q234_bm25_topk")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(p.contains("TakeOrderedAndProject"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+    val p235 = plan(graft.Registry.byName("q235_two_hop_reach")
+      .build(spark, dir))
+    assert(!p235.contains("CartesianProduct"), p235)
+    assert(!p235.contains("BroadcastNestedLoopJoin"), p235)
+  }
 }
