@@ -641,4 +641,77 @@ object VectorOps {
       .select(col("vec_id"), col("cell"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
+
+  /** Typed Aggregator for the upper-triangle gram matrix Σ xᵢxⱼ (i ≤ j)
+    * of a scaled-integer embedding corpus — the d(d+1)/2 exact sums that
+    * feed covariance/PCA. ONE pass, map-side partial aggregation of a
+    * flat long array, a single d²-sized reduce — at 100 TB the shuffle
+    * carries one 2080-long buffer per map task, nothing row-shaped
+    * (contrast the relational posexplode self-join, which inflates every
+    * row d(d+1)/2×). Overflow contract: per-term |xᵢxⱼ| ≤ scale², so a
+    * long holds ≥ 9.2e18/scale² rows — scale 10⁴ gives ~9e10 rows of
+    * headroom; drop scale (coarser quantization) to buy more. */
+  class GramAgg(dim: Int, scale: Double)
+      extends Aggregator[Array[Float], Array[Long], Array[Long]] {
+    private val len = dim * (dim + 1) / 2
+    def zero: Array[Long] = new Array[Long](len)
+    def reduce(b: Array[Long], v: Array[Float]): Array[Long] = {
+      val s = new Array[Long](dim)
+      var i = 0
+      while (i < dim) { s(i) = math.floor(v(i) * scale).toLong; i += 1 }
+      var k = 0; i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { b(k) += s(i) * s(j); j += 1; k += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var k = 0; while (k < len) { x(k) += y(k); k += 1 }; x
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Embedding gram matrix as (i, j, g) rows (upper triangle, exact
+    * scaled-int), via [[GramAgg]]. The index arrays mapping the flat
+    * buffer position back to (i, j) ride as literals — no join, no UDF. */
+  def gramMatrix(emb: DataFrame, dim: Int = 64,
+      scale: Double = 10000.0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val iIdx = (0 until dim).flatMap(i => (i until dim).map(_ => i))
+    val jIdx = (0 until dim).flatMap(i => i until dim)
+    emb.select(col("embedding")).as[Array[Float]]
+      .select(new GramAgg(dim, scale).toColumn.name("g"))
+      .select(posexplode(col("g")).as(Seq("k", "g")))
+      .select(
+        element_at(typedLit(iIdx), col("k") + 1).cast("long").as("i"),
+        element_at(typedLit(jIdx), col("k") + 1).cast("long").as("j"),
+        col("g"))
+  }
+
+  /** Full ranked retrieval per query vector with a same-label relevance
+    * flag — the shared scaffold for rank-quality metrics (MRR, average
+    * precision). Same contract as [[cosineTopK]]: queries broadcast,
+    * fused scaled-int cosine, deterministic (cos desc, id asc) ranks. */
+  def rankedRetrieval(emb: DataFrame, queryPred: Column): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val queries = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"),
+        col("vec_id").as("neighbor_id"),
+        (col("label") === col("qlabel")).as("rel"),
+        graft.functions.ScaledIntCosine.scaledCosine(col("qv"), col("embedding"))
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+  }
 }

@@ -4,6 +4,7 @@ import graft.Q
 import graft.catalog.Catalog
 import graft.ops.Det._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Breadth operators beyond the reference surface (SURVEY §2.7 table):
@@ -726,7 +727,66 @@ object BreadthQueries {
       |ORDER BY p.n_ab DESC, p.a, p.b
       |LIMIT 20""".stripMargin
 
+  /** Item-item collaborative-filtering neighbors: cosine similarity over
+    * order co-occurrence (n_ab / √n_a·√n_b), top-3 most-similar items
+    * per item — the classic item2item recommendation table. Scale shape:
+    * the pair join is bounded per basket (TPC-H baskets ≤ 7 items), the
+    * count aggregation shuffles once on (a, b), and the per-item top-k
+    * is a WindowGroupLimit-prunable window. All counts exact; the
+    * cosine is two exact-rounded sqrts and one division — deterministic
+    * cross-engine. */
+  def itemSimilar(spark: SparkSession, dir: String): DataFrame = {
+    val items = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val perPart = items.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = items.select(col("ok"), col("pk").as("a"))
+      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cos_sim").desc, col("b"))
+    pairs
+      .join(perPart.select(col("pk").as("a"), col("n_part").as("n_a")), "a")
+      .join(perPart.select(col("pk").as("b"), col("n_part").as("n_b")), "b")
+      .select(col("a"), col("b"), col("n_ab"),
+        (col("n_ab").cast("double") /
+          (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))))
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("a"), col("rn"))
+  }
+
+  private val itemSimilarSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), pp AS (
+      |  SELECT pk, COUNT(*) AS n_part FROM items GROUP BY 1
+      |), pairs AS (
+      |  SELECT x.pk AS a, y.pk AS b, COUNT(*) AS n_ab
+      |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk <> y.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |), sims AS (
+      |  SELECT p.a, p.b, p.n_ab,
+      |    CAST(p.n_ab AS DOUBLE) /
+      |      (sqrt(CAST(pa.n_part AS DOUBLE)) * sqrt(CAST(pb.n_part AS DOUBLE)))
+      |      AS cos_sim
+      |  FROM pairs p
+      |  JOIN pp pa ON pa.pk = p.a
+      |  JOIN pp pb ON pb.pk = p.b
+      |)
+      |SELECT a, b, n_ab, cos_sim, rn FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY a
+      |    ORDER BY cos_sim DESC, b) AS BIGINT) AS rn
+      |  FROM sims)
+      |WHERE rn <= 3 ORDER BY a, rn""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q236_item_similar", itemSimilar, Some(itemSimilarSql),
+      "item2item collaborative filtering: co-occurrence cosine top-3 " +
+        "neighbors per item (basket-bounded pair join, exact counts)"),
     Q("q179_basket_pairs", basketPairs, Some(basketPairsSql),
       "market-basket co-purchase pairs with lift (per-basket bounded " +
         "self-join, exact counts, one mirrored division)"),

@@ -4,6 +4,7 @@ import graft.Q
 import graft.catalog.Catalog
 import graft.ops.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search surface over `embeddings` (north-star extensions).
@@ -231,7 +232,123 @@ object VectorQueries {
     VectorOps.semDedup(emb(spark, dir), nCells = 16, tau = 0.97)
       .orderBy(col("vec_id"))
 
+  /** Shared oracle scaffold for the rank-metric queries: scaled-int
+    * cosine ranking of every candidate per query vector, with the
+    * neighbor's label for the same-label relevance flag. Mirrors
+    * [[VectorOps.rankedRetrieval]] term for term. */
+  private val rankedSql =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+       |    unnest(range(len(embedding))) AS i
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, SUM(xi * xi) AS n2 FROM v GROUP BY 1
+       |), lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), dots AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |         CAST(SUM(q.xi * d.xi) AS BIGINT) AS dot
+       |  FROM v q JOIN v d ON q.i = d.i
+       |  WHERE q.vec_id < $NQ AND d.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(dn.n2 AS DOUBLE))) AS cos_sim
+       |  FROM dots
+       |  JOIN n qn ON query_id = qn.vec_id
+       |  JOIN n dn ON neighbor_id = dn.vec_id
+       |), ranked AS (
+       |  SELECT s.query_id, ql.label AS qlabel, s.neighbor_id,
+       |    nl.label = ql.label AS rel,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY s.cos_sim DESC, s.neighbor_id) AS rn
+       |  FROM sims s
+       |  JOIN lab ql ON s.query_id = ql.vec_id
+       |  JOIN lab nl ON s.neighbor_id = nl.vec_id
+       |)""".stripMargin
+
+  /** Retrieval MRR: rank of the first same-label hit per query vector.
+    * 1/rank is a single exact-rounded IEEE division of exact integers —
+    * deterministic on any engine. */
+  def mrr(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.rankedRetrieval(emb(spark, dir), col("vec_id") < NQ)
+      .filter(col("rel"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(min(col("rn")).as("first_rel_rank"))
+      .withColumn("recip_rank", lit(1.0) / col("first_rel_rank"))
+      .orderBy(col("query_id"))
+
+  private val mrrSql =
+    s"""$rankedSql
+       |SELECT query_id, qlabel,
+       |  CAST(MIN(rn) AS BIGINT) AS first_rel_rank,
+       |  CAST(1 AS DOUBLE) / CAST(MIN(rn) AS BIGINT) AS recip_rank
+       |FROM ranked WHERE rel
+       |GROUP BY 1, 2 ORDER BY query_id""".stripMargin
+
+  /** Exact average precision (PR-AUC) per query in fixed-point
+    * micro-units: each relevant rank contributes ⌊10⁶·TP@k / k⌋ (pure
+    * integer arithmetic, one answer on every engine — the Det.scala
+    * arbitrary-quotient rule), summed exactly and divided by the
+    * relevant count. */
+  def avgPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = VectorOps.rankedRetrieval(emb(spark, dir), col("vec_id") < NQ)
+    val wcum = Window.partitionBy(col("query_id")).orderBy(col("rn"))
+    ranked
+      .withColumn("tp", sum(col("rel").cast("long")).over(wcum))
+      .filter(col("rel"))
+      .select(col("query_id"), col("qlabel"),
+        expr("CAST((tp * 1000000) div rn AS BIGINT)").as("term_micro"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(count(lit(1)).as("n_rel"), sum(col("term_micro")).as("s"))
+      .select(col("query_id"), col("qlabel"), col("n_rel"),
+        expr("CAST(s div n_rel AS BIGINT)").as("ap_micro"))
+      .orderBy(col("query_id"))
+  }
+
+  private val avgPrecisionSql =
+    s"""$rankedSql, cum AS (
+       |  SELECT query_id, qlabel, rn, rel,
+       |    SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY query_id ORDER BY rn) AS tp
+       |  FROM ranked
+       |), terms AS (
+       |  SELECT query_id, qlabel,
+       |    CAST((tp * 1000000) // rn AS BIGINT) AS term_micro
+       |  FROM cum WHERE rel
+       |)
+       |SELECT query_id, qlabel, COUNT(*) AS n_rel,
+       |  CAST(SUM(term_micro) // COUNT(*) AS BIGINT) AS ap_micro
+       |FROM terms GROUP BY 1, 2 ORDER BY query_id""".stripMargin
+
+  /** Embedding gram matrix (upper triangle, exact scaled-int sums) via
+    * the single-pass [[VectorOps.GramAgg]] aggregator. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.gramMatrix(emb(spark, dir)).orderBy(col("i"), col("j"))
+
+  private val gramMatrixSql =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xi,
+      |    unnest(range(len(embedding))) AS i
+      |  FROM embeddings
+      |)
+      |SELECT q.i AS i, d.i AS j, CAST(SUM(q.xi * d.xi) AS BIGINT) AS g
+      |FROM v q JOIN v d ON q.vec_id = d.vec_id AND q.i <= d.i
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q237_mrr", mrr, Some(mrrSql),
+      "retrieval MRR: first same-label rank per query vector " +
+        "(scaled-int ranking, exact reciprocal)"),
+    Q("q238_avg_precision", avgPrecision, Some(avgPrecisionSql),
+      "exact average precision per query in fixed-point micro-units " +
+        "(integer-division terms, engine-independent)"),
+    Q("q239_gram_matrix", gramMatrix, Some(gramMatrixSql),
+      "embedding gram matrix via single-pass typed Aggregator: 2080 " +
+        "exact long sums, map-side partials, one buffer-sized reduce"),
     Q("q213_kcenter_coreset", kcenter, None,
       "greedy k-center (farthest-first) diversity coreset: 8 exemplars, " +
         "broadcast distance passes (rows-only; spec vs brute-force greedy)"),

@@ -426,4 +426,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p235.contains("CartesianProduct"), p235)
     assert(!p235.contains("BroadcastNestedLoopJoin"), p235)
   }
+
+  test("item2item: per-item top-3 prunes via WindowGroupLimit before the " +
+    "full window; pair join stays equi") {
+    val p = plan(graft.Registry.byName("q236_item_similar")
+      .build(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rank metrics (mrr / avg precision): queries broadcast — the " +
+    "corpus never shuffles to meet them") {
+    for (q <- Seq("q237_mrr", "q238_avg_precision")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      // pure != predicate → BNLJ is the right physical op; the pin is
+      // that the QUERY side is the broadcast build, corpus streams once
+      assert(p.contains("BroadcastNestedLoopJoin BuildRight"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
+  test("gram matrix: single-pass ObjectHashAggregate with map-side " +
+    "partials — one buffer per task crosses the wire, nothing row-shaped") {
+    val p = plan(graft.Registry.byName("q239_gram_matrix")
+      .build(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext, p)
+  }
 }
