@@ -695,6 +695,41 @@ object VectorOps {
         col("g"))
   }
 
+  /** Dominant eigenvector of the embedding gram matrix (the top
+    * principal direction, un-centered PCA) by fixed-point power
+    * iteration. The cluster's only job is the ONE-pass [[GramAgg]]
+    * reduce; the d×d model then iterates driver-side — the same
+    * model-sized-work-on-the-driver contract as [[mmrTopK]] and
+    * kmeans, valid at any corpus scale. All arithmetic is integer
+    * (gram and vector renormalized to ±10⁶ micro-units each step;
+    * BigInt for the normalize product, mirroring the oracle's
+    * HUGEINT), so the result is bit-identical on any engine and any
+    * cluster layout — the Det.scala iterative-recurrence rule. */
+  def powerIteration(emb: DataFrame, dim: Int = 64, scale: Double = 10000.0,
+      iters: Int = 8): Seq[(Int, Long)] = {
+    val g = Array.ofDim[Long](dim, dim)
+    gramMatrix(emb, dim, scale).collect().foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+      g(i)(j) = v; g(j)(i) = v
+    }
+    val gmax = g.flatMap(_.map(math.abs)).max max 1L
+    def norm(x: Long, m: Long): Long =
+      if (x < 0) -((BigInt(-x) * 1000000) / m).toLong
+      else ((BigInt(x) * 1000000) / m).toLong
+    val gn = g.map(_.map(norm(_, gmax)))
+    var vv = Array.fill(dim)(1000000L)
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim) { i =>
+        var s = 0L; var j = 0
+        while (j < dim) { s += gn(i)(j) * vv(j); j += 1 }
+        s
+      }
+      val m = w.map(math.abs).max max 1L
+      vv = w.map(norm(_, m))
+    }
+    (0 until dim).map(i => (i, vv(i)))
+  }
+
   /** Full ranked retrieval per query vector with a same-label relevance
     * flag — the shared scaffold for rank-quality metrics (MRR, average
     * precision). Same contract as [[cosineTopK]]: queries broadcast,

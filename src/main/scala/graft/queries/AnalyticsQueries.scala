@@ -1990,7 +1990,51 @@ object AnalyticsQueries {
        |FROM d JOIN r ON d.u = r.u
        |ORDER BY supp""".stripMargin
 
+  /** Leave-one-out target encoding of customer nation by order spend —
+    * the standard high-cardinality categorical feature that avoids
+    * self-leakage: each row's encode is (Σ_group − own) / (n−1), so no
+    * row sees its own target. Scale shape: per-group (sum, count) is a
+    * tiny partial→final aggregate BROADCAST back onto the fact table —
+    * map-only encode, no window sort over skewed groups. Exact integer
+    * cents; the single final division is exact-rounded IEEE. */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val j = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(Catalog.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val grp = j.groupBy(col("c_nationkey"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    j.join(broadcast(grp), Seq("c_nationkey"))
+      .select(col("o_orderkey"),
+        col("c_nationkey").cast("long").as("nation"),
+        when(col("n") > 1,
+          (col("s") - col("cents")).cast("double") / (col("n") - 1))
+          .as("loo_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val targetEncodeSql =
+    """WITH j AS (
+      |  SELECT o_orderkey, c_nationkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |), g AS (
+      |  SELECT c_nationkey, CAST(SUM(cents) AS BIGINT) AS s,
+      |    COUNT(*) AS n
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT j.o_orderkey, CAST(j.c_nationkey AS BIGINT) AS nation,
+      |  CASE WHEN g.n > 1
+      |    THEN CAST(g.s - j.cents AS DOUBLE) / (g.n - 1) END AS loo_cents
+      |FROM j JOIN g ON j.c_nationkey = g.c_nationkey
+      |ORDER BY j.o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q242_target_encode", targetEncode, Some(targetEncodeSql),
+      "leave-one-out target encoding: per-group (sum,count) broadcast " +
+        "back, map-only (sum-own)/(n-1) in exact cents"),
     Q("q233_decay_score", decayScore, Some(decayScoreSql),
       "exponential-decay recency spend: integer micro-unit halving per " +
         "30-day bucket via arithmetic shift, exact at any order"),

@@ -2242,7 +2242,67 @@ object EventQueries {
        |FROM ranked""".stripMargin
   }
 
+  /** Point-in-time (as-of-dimension) join: every purchase event joined
+    * to the SCD-2 state interval valid at its timestamp — the
+    * leak-proof way to attach dimension history to facts (a plain
+    * latest-state join leaks future attribute values into training
+    * features). Scale shape: equi-join on user_id with the interval
+    * predicate as residual — the fact side shuffles once on its join
+    * key, intervals are the (much smaller) change-rows only. */
+  def scd2PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val ev = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val iv = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(ordered))
+      .filter(not(col("prev") <=> col("event_type")))
+      .withColumn("version", row_number().over(ordered).cast("long"))
+      .withColumn("to_us", lead(col("ts_us"), 1).over(ordered))
+      .select(col("user_id").as("d_user"), col("version"),
+        col("event_type").as("state"), col("ts_us").as("from_us"),
+        col("to_us"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+      .join(iv, col("user_id") === col("d_user") &&
+        col("from_us") <= col("ts_us") &&
+        (col("to_us").isNull || col("ts_us") < col("to_us")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("version"), col("state"))
+      .orderBy(col("event_id"))
+  }
+
+  private val scd2PitJoinSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events
+      |), ch AS (
+      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS prev
+      |  FROM e
+      |), iv AS (
+      |  SELECT user_id AS d_user,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS BIGINT) AS version,
+      |    event_type AS state, ts_us AS from_us,
+      |    lead(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS to_us
+      |  FROM ch WHERE prev IS DISTINCT FROM event_type
+      |)
+      |SELECT f.event_id, f.user_id, f.ts_us, iv.version, iv.state
+      |FROM e f JOIN iv ON f.user_id = iv.d_user
+      |  AND iv.from_us <= f.ts_us
+      |  AND (iv.to_us IS NULL OR f.ts_us < iv.to_us)
+      |WHERE f.event_type = 'purchase'
+      |ORDER BY f.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q241_scd2_pit_join", scd2PitJoin, Some(scd2PitJoinSql),
+      "point-in-time join: purchases to the SCD-2 state valid at event " +
+        "time (equi user join + interval residual, leak-proof features)"),
     Q("q218_changepoint", changepoint, Some(changepointSql),
       "optimal single changepoint by two-segment SS gain over exact " +
         "prefix sums (binary segmentation step)"),

@@ -1271,7 +1271,44 @@ object TextQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** Feature hashing (the hashing trick): tokens bucketed by a 60-bit
+    * md5 prefix mod 64 into fixed-width sparse count vectors — the
+    * vocabulary-free featurizer whose width is independent of corpus
+    * size (no dictionary to build, broadcast, or grow stale at 100 TB).
+    * Map-side explode + one (doc, bucket) partial→final aggregate. */
+  def featureHash(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          % 64).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  /** DuckDB has no hex→int cast: the 60-bit md5 prefix is parsed with
+    * the same generated 15-term base-16 strpos polynomial as the q165
+    * checksum oracle. */
+  private val featureHashSql = {
+    val poly = (0 until 15).map { k =>
+      val pow = math.pow(16, 14 - k).toLong
+      s"(strpos('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1) * $pow"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
+       |)
+       |SELECT doc_id, ($poly) % 64 AS bucket, COUNT(*) AS cnt
+       |FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q243_feature_hash", featureHash, Some(featureHashSql),
+      "hashing-trick featurizer: 60-bit md5 token buckets mod 64, " +
+        "vocabulary-free sparse count vectors, map-side explode"),
     Q("q234_bm25_topk", bm25TopK, Some(bm25TopKSql),
       "BM25-lite 3-term retrieval: rational ln-free idf, full tf " +
         "saturation, fixed-order IEEE sum, TakeOrdered(20)"),

@@ -339,7 +339,57 @@ object VectorQueries {
       |FROM v q JOIN v d ON q.vec_id = d.vec_id AND q.i <= d.i
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Top principal direction by fixed-point power iteration
+    * ([[VectorOps.powerIteration]]): one cluster pass for the gram
+    * buffer, then d×d integer iterations driver-side. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    VectorOps.powerIteration(emb(spark, dir))
+      .toDF("i", "v_micro")
+      .select(col("i").cast("long").as("i"), col("v_micro"))
+      .orderBy(col("i"))
+  }
+
+  private val pcaIters = 8
+
+  /** Unrolled-CTE oracle (the q105 PageRank trick): each iteration is a
+    * generated matvec + max-abs renormalize stage in pure integer
+    * arithmetic (HUGEINT ÷ on non-negative operands == the Scala
+    * BigInt truncation). */
+  private lazy val pcaPowerSql = {
+    val stages = (1 to pcaIters).map { t =>
+      s"""w$t AS (
+         |  SELECT gn.i, SUM(gn.gv * v${t - 1}.vi) AS w
+         |  FROM gn JOIN v${t - 1} ON gn.j = v${t - 1}.i GROUP BY 1
+         |), m$t AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w$t),
+         |v$t AS (
+         |  SELECT i, CAST(CASE WHEN w < 0 THEN -(((-w) * 1000000) // m)
+         |    ELSE (w * 1000000) // m END AS BIGINT) AS vi
+         |  FROM w$t, m$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xi,
+       |    unnest(range(len(embedding))) AS i
+       |  FROM embeddings
+       |), g0 AS (
+       |  SELECT q.i AS i, d.i AS j, CAST(SUM(q.xi * d.xi) AS BIGINT) AS g
+       |  FROM v q JOIN v d ON q.vec_id = d.vec_id GROUP BY 1, 2
+       |), gm AS (SELECT GREATEST(MAX(ABS(g)), 1) AS m FROM g0),
+       |gn AS (
+       |  SELECT i, j, CAST(CASE WHEN g < 0 THEN -(((-g) * 1000000) // m)
+       |    ELSE (g * 1000000) // m END AS BIGINT) AS gv
+       |  FROM g0, gm
+       |), v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS vi FROM g0),
+       |$stages
+       |SELECT i, vi AS v_micro FROM v$pcaIters ORDER BY i""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q240_pca_power", pcaPower, Some(pcaPowerSql),
+      "top principal direction: single-pass gram reduce + fixed-point " +
+        "power iteration (8 rounds), bit-exact vs unrolled-CTE oracle"),
     Q("q237_mrr", mrr, Some(mrrSql),
       "retrieval MRR: first same-label rank per query vector " +
         "(scaled-int ranking, exact reciprocal)"),

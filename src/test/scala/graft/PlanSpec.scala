@@ -453,4 +453,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext, p)
   }
+
+  test("pca power: cluster work ends at the gram reduce — the returned " +
+    "eigenvector is a driver-local table, no distributed stage") {
+    val p = plan(graft.Registry.byName("q240_pca_power")
+      .build(spark, dir))
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("scd2 point-in-time join: equi on user with interval residual — " +
+    "never a cartesian or nested-loop plan") {
+    val p = plan(graft.Registry.byName("q241_scd2_pit_join")
+      .build(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("target encode: group stats broadcast back onto the fact table — " +
+    "map-only encode, no window sort over skewed groups") {
+    val p = plan(graft.Registry.byName("q242_target_encode")
+      .build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("feature hashing: map-side explode collapses in one (doc, bucket) " +
+    "partial->final aggregate — a single hash exchange") {
+    val p = plan(graft.Registry.byName("q243_feature_hash")
+      .build(spark, dir))
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
 }
