@@ -528,6 +528,39 @@ object StatsOps {
     bucketed.join(broadcast(ref), "bucket")
   }
 
+  /** Sign-aware truncating integer division — BigInt `/` and DuckDB
+    * `//`-on-non-negatives agree under this form, so fixed-point
+    * recurrences land on identical values on every engine. */
+  def idiv(x: Long, d: Long): Long = if (x < 0) -((-x) / d) else x / d
+
+  /** Holt double exponential smoothing (level + trend) in fixed-point
+    * micro-units over an already-collapsed series — the model step of a
+    * forecast pipeline. The cluster's job ends at the daily aggregate
+    * (1e12 raw rows → one row per day); the recurrence is inherently
+    * sequential, so it runs driver-side on the model-sized series (the
+    * same contract as k-means / power iteration). All integer: one
+    * answer on any engine.
+    *
+    * @return (t, level, trend) per step, 1-based, in input units. */
+  def holtSmooth(xs: Seq[Long], alphaMicro: Long = 300000L,
+      betaMicro: Long = 300000L): Seq[(Long, Long, Long)] = {
+    if (xs.isEmpty) return Seq.empty
+    val M = 1000000L
+    var l = xs.head
+    var tr = 0L
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    out += ((1L, l, tr))
+    var t = 1
+    while (t < xs.length) {
+      val lNew = idiv(alphaMicro * xs(t) + (M - alphaMicro) * (l + tr), M)
+      val trNew = idiv(betaMicro * (lNew - l) + (M - betaMicro) * tr, M)
+      l = lNew; tr = trNew
+      out += ((t + 1L, l, tr))
+      t += 1
+    }
+    out.result()
+  }
+
   def skyline2d(df: DataFrame, idCol: Column, sizeCol: Column,
       costCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

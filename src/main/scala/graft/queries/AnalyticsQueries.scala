@@ -2031,7 +2031,207 @@ object AnalyticsQueries {
       |FROM j JOIN g ON j.c_nationkey = g.c_nationkey
       |ORDER BY j.o_orderkey""".stripMargin
 
+  /** Daily revenue in exact cents with a 1-based day ordinal — the
+    * collapsed model-sized series the sequential-model queries
+    * (q245 Holt, q247 conformal) consume driver-side. */
+  private def dailyCents(spark: SparkSession, dir: String): Seq[Long] =
+    Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(col("o_orderdate"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+      .orderBy(col("o_orderdate"))
+      .select(col("cents")).collect().toSeq.map(_.getLong(0))
+
+  private val dailyCentsSql =
+    """SELECT CAST(row_number() OVER (ORDER BY o_orderdate) AS BIGINT) AS t,
+      |    cents FROM (
+      |  SELECT o_orderdate,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)""".stripMargin
+
+  /** Holt double exponential smoothing of daily revenue
+    * ([[StatsOps.holtSmooth]], α=β=0.3 in micro-units). */
+  def holt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    StatsOps.holtSmooth(dailyCents(spark, dir))
+      .toDF("t", "level_cents", "trend_cents")
+      .orderBy(col("t"))
+  }
+
+  /** Recursive-CTE oracle: the same fixed-point recurrence, one row per
+    * step; the sign-CASE division mirrors [[StatsOps.idiv]]. */
+  private val holtSql =
+    s"""WITH RECURSIVE daily AS (
+       |  $dailyCentsSql
+       |), hw(t, l, tr) AS (
+       |  SELECT t, cents, CAST(0 AS BIGINT) FROM daily WHERE t = 1
+       |  UNION ALL
+       |  SELECT t, lnew,
+       |    CAST(CASE WHEN tb < 0 THEN -((-tb) // 1000000)
+       |      ELSE tb // 1000000 END AS BIGINT)
+       |  FROM (
+       |    SELECT t, lnew, 300000 * (lnew - lprev) + 700000 * trprev AS tb
+       |    FROM (
+       |      SELECT d.t AS t, hw.l AS lprev, hw.tr AS trprev,
+       |        CAST(CASE WHEN (300000 * d.cents + 700000 * (hw.l + hw.tr)) < 0
+       |          THEN -((-(300000 * d.cents + 700000 * (hw.l + hw.tr))) // 1000000)
+       |          ELSE (300000 * d.cents + 700000 * (hw.l + hw.tr)) // 1000000
+       |          END AS BIGINT) AS lnew
+       |      FROM hw JOIN daily d ON d.t = hw.t + 1
+       |    )
+       |  )
+       |)
+       |SELECT t, l AS level_cents, tr AS trend_cents FROM hw
+       |ORDER BY t""".stripMargin
+
+  /** Right-to-be-forgotten cascade audit: a deletion-request key set
+    * (synthetic: every 97th customer / user) propagated through the
+    * foreign-key graph, reporting per-table purge counts BEFORE any
+    * destructive write. Scale shape: the request set broadcasts; each
+    * fact table answers with one left-join aggregate (no row ever
+    * moves); lineitem cascades through the purged-order keys. */
+  def deletePropagation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Catalog.load(spark, dir, "customer")
+    val orders = Catalog.load(spark, dir, "orders")
+    val li = Catalog.load(spark, dir, "lineitem")
+    val ev = Catalog.load(spark, dir, "events")
+    val delC = cust.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("k"))
+    val delO = orders.join(broadcast(delC), col("o_custkey") === col("k"))
+      .select(col("o_orderkey").as("ok"))
+    def report(name: String, total: Column, purged: Column,
+        from: DataFrame): DataFrame =
+      from.agg(total.as("total_rows"), purged.as("purged"))
+        .select(lit(name).as("tbl"), col("total_rows"), col("purged"),
+          (col("total_rows") - col("purged")).as("surviving"))
+    Seq(
+      report("customer", count(lit(1)),
+        count(when(col("c_custkey") % 97 === 0, 1)), cust),
+      report("orders", count(lit(1)), count(col("k")),
+        orders.join(broadcast(delC), col("o_custkey") === col("k"), "left")),
+      report("lineitem", count(lit(1)), count(col("ok")),
+        li.join(delO, col("l_orderkey") === col("ok"), "left")),
+      report("events", count(lit(1)),
+        count(when(col("user_id") % 97 === 0, 1)), ev))
+      .reduce(_.unionByName(_))
+      .orderBy(col("tbl"))
+  }
+
+  private val deletePropagationSql =
+    """WITH delc AS (
+      |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+      |), delo AS (
+      |  SELECT o_orderkey AS ok FROM orders
+      |  JOIN delc ON o_custkey = k
+      |)
+      |SELECT * FROM (
+      |  SELECT 'customer' AS tbl, COUNT(*) AS total_rows,
+      |    COUNT(CASE WHEN c_custkey % 97 = 0 THEN 1 END) AS purged,
+      |    COUNT(*) - COUNT(CASE WHEN c_custkey % 97 = 0 THEN 1 END)
+      |      AS surviving
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'orders', COUNT(*), COUNT(k), COUNT(*) - COUNT(k)
+      |  FROM orders LEFT JOIN delc ON o_custkey = k
+      |  UNION ALL
+      |  SELECT 'lineitem', COUNT(*), COUNT(ok), COUNT(*) - COUNT(ok)
+      |  FROM lineitem LEFT JOIN delo ON l_orderkey = ok
+      |  UNION ALL
+      |  SELECT 'events', COUNT(*),
+      |    COUNT(CASE WHEN user_id % 97 = 0 THEN 1 END),
+      |    COUNT(*) - COUNT(CASE WHEN user_id % 97 = 0 THEN 1 END)
+      |  FROM events
+      |) ORDER BY tbl""".stripMargin
+
+  /** Split-conformal prediction-interval calibration on daily revenue:
+    * fit a linear trend (exact integer closed form, BigInt — the same
+    * rational OLS as q228 but with no floating point anywhere), take
+    * the 90% quantile of absolute calibration residuals (odd days) as
+    * the interval half-width, and report empirical coverage on the
+    * held-out even days. Distributed work is ONLY the daily collapse;
+    * the model math runs on the bounded per-day series. */
+  def conformalBand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xs = dailyCents(spark, dir)
+    // degenerate series: no residual variance is defined (d = 0 below);
+    // the oracle's q CTE is likewise empty, so 0 rows is the parity answer
+    if (xs.length < 2)
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("n_calib", "n_test", "q_mic", "covered", "coverage")
+    val n = BigInt(xs.length)
+    val ts = (1 to xs.length).map(BigInt(_))
+    val xb = xs.map(BigInt(_))
+    val tSum = ts.sum; val xSum = xb.sum
+    val stx = ts.zip(xb).map { case (a, b) => a * b }.sum
+    val stt = ts.map(t => t * t).sum
+    val snum = n * stx - tSum * xSum
+    val d = n * stt - tSum * tSum
+    val nd = n * d
+    def rMic(t: BigInt, x: BigInt): BigInt =
+      ((x * nd - xSum * d - snum * (n * t - tSum)).abs * 1000000) / nd
+    val resid = ts.zip(xb).map { case (t, x) => (t, rMic(t, x)) }
+    val calib = resid.collect { case (t, r) if t % 2 == 1 => r }.sorted
+    val test = resid.collect { case (t, r) if t % 2 == 0 => r }
+    val k = ((9 * (calib.length + 1) + 9) / 10).min(calib.length)
+    val qMic = calib(k - 1)
+    val covered = test.count(_ <= qMic)
+    Seq((calib.length.toLong, test.length.toLong, qMic.toLong,
+      covered.toLong, covered.toDouble / test.length))
+      .toDF("n_calib", "n_test", "q_mic", "covered", "coverage")
+  }
+
+  private val conformalBandSql =
+    s"""WITH daily AS (
+       |  $dailyCentsSql
+       |), s AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(t) AS HUGEINT) AS tt,
+       |    CAST(SUM(cents) AS HUGEINT) AS x,
+       |    CAST(SUM(t * cents) AS HUGEINT) AS stx,
+       |    CAST(SUM(t * t) AS HUGEINT) AS stt
+       |  FROM daily
+       |), m AS (
+       |  SELECT n, tt, x, n * stx - tt * x AS snum,
+       |    n * stt - tt * tt AS d
+       |  FROM s
+       |), r AS (
+       |  SELECT t,
+       |    ABS(CAST(cents AS HUGEINT) * n * d - x * d
+       |      - snum * (n * t - tt)) * 1000000 // (CAST(n AS HUGEINT) * d)
+       |      AS r_mic
+       |  FROM daily, m
+       |), calib AS (
+       |  SELECT r_mic, row_number() OVER (ORDER BY r_mic) AS rn
+       |  FROM r WHERE t % 2 = 1
+       |), kk AS (
+       |  SELECT LEAST((9 * (COUNT(*) + 1) + 9) // 10, COUNT(*)) AS k,
+       |    COUNT(*) AS n_calib
+       |  FROM calib
+       |), q AS (
+       |  SELECT CAST(c.r_mic AS BIGINT) AS q_mic, kk.n_calib
+       |  FROM calib c, kk WHERE c.rn = kk.k
+       |)
+       |SELECT q.n_calib,
+       |  (SELECT COUNT(*) FROM r WHERE t % 2 = 0) AS n_test,
+       |  q.q_mic,
+       |  (SELECT COUNT(*) FROM r WHERE t % 2 = 0 AND r_mic <= q.q_mic)
+       |    AS covered,
+       |  CAST((SELECT COUNT(*) FROM r WHERE t % 2 = 0 AND r_mic <= q.q_mic)
+       |    AS DOUBLE) /
+       |    (SELECT COUNT(*) FROM r WHERE t % 2 = 0) AS coverage
+       |FROM q""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q245_holt", holt, Some(holtSql),
+      "Holt double exponential smoothing of daily revenue in fixed-point " +
+        "micro-units, bit-exact vs a recursive-CTE oracle"),
+    Q("q246_delete_propagation", deletePropagation, Some(deletePropagationSql),
+      "right-to-be-forgotten cascade audit: broadcast request keys, one " +
+        "left-join aggregate per table, FK-cascaded purge counts"),
+    Q("q247_conformal_band", conformalBand, Some(conformalBandSql),
+      "split-conformal interval calibration: exact-integer trend fit, " +
+        "90% calibration quantile, held-out coverage"),
     Q("q242_target_encode", targetEncode, Some(targetEncodeSql),
       "leave-one-out target encoding: per-group (sum,count) broadcast " +
         "back, map-only (sum-own)/(n-1) in exact cents"),

@@ -352,11 +352,12 @@ object VectorQueries {
 
   private val pcaIters = 8
 
-  /** Unrolled-CTE oracle (the q105 PageRank trick): each iteration is a
-    * generated matvec + max-abs renormalize stage in pure integer
-    * arithmetic (HUGEINT ÷ on non-negative operands == the Scala
-    * BigInt truncation). */
-  private lazy val pcaPowerSql = {
+  /** Unrolled-CTE oracle prefix (the q105 PageRank trick), shared by
+    * q240/q244: each iteration is a generated matvec + max-abs
+    * renormalize stage in pure integer arithmetic (HUGEINT ÷ on
+    * non-negative operands == the Scala BigInt truncation). Ends with
+    * the converged vector CTE `v$pcaIters`. */
+  private lazy val pcaCtes = {
     val stages = (1 to pcaIters).map { t =>
       s"""w$t AS (
          |  SELECT gn.i, SUM(gn.gv * v${t - 1}.vi) AS w
@@ -382,14 +383,43 @@ object VectorQueries {
        |    ELSE (g * 1000000) // m END AS BIGINT) AS gv
        |  FROM g0, gm
        |), v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS vi FROM g0),
-       |$stages
-       |SELECT i, vi AS v_micro FROM v$pcaIters ORDER BY i""".stripMargin
+       |$stages""".stripMargin
   }
+
+  private lazy val pcaPowerSql =
+    s"""$pcaCtes
+       |SELECT i, vi AS v_micro FROM v$pcaIters ORDER BY i""".stripMargin
+
+  /** Project every embedding onto the top principal direction: the
+    * dimensionality-reduction map-only pass. The 64-long eigenvector
+    * rides as a literal; the dot product is a fused zip_with+aggregate
+    * over exact scaled ints — codegen, zero shuffle, any corpus size. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val w = VectorOps.powerIteration(emb(spark, dir)).map(_._2)
+    emb(spark, dir)
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 10000).cast("long")),
+            typedLit(w), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("score"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val pcaProjectSql =
+    s"""$pcaCtes
+       |SELECT ev.vec_id, CAST(SUM(ev.xi * w.vi) AS BIGINT) AS score
+       |FROM v ev JOIN v$pcaIters w ON ev.i = w.i
+       |GROUP BY 1 ORDER BY vec_id""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("q240_pca_power", pcaPower, Some(pcaPowerSql),
       "top principal direction: single-pass gram reduce + fixed-point " +
         "power iteration (8 rounds), bit-exact vs unrolled-CTE oracle"),
+    Q("q244_pca_project", pcaProject, Some(pcaProjectSql),
+      "PCA projection: eigenvector as literal, fused zip_with dot " +
+        "product over scaled ints — map-only, zero shuffle"),
     Q("q237_mrr", mrr, Some(mrrSql),
       "retrieval MRR: first same-label rank per query vector " +
         "(scaled-int ranking, exact reciprocal)"),
