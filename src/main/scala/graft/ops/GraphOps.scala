@@ -197,6 +197,38 @@ object GraphOps {
       .groupBy(col("n")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Resource-allocation link prediction (Zhou–Lü–Zhang 2009): score
+    * each NON-adjacent pair (x, y) by Σ_{z ∈ N(x)∩N(y)} 1/deg(z), kept
+    * in exact micro-units (`1000000 div deg` — 64-bit floor division,
+    * one answer on any engine). One self-join of the bidirectional edge
+    * list on the shared neighbor z finds every wedge x–z–y; existing
+    * edges are anti-joined away; degrees ride a broadcast-sized
+    * aggregate. The wedge join shuffles on z and fans out deg(z)² per
+    * hub, so hub capping belongs in the edge builder upstream (the
+    * same df-cap posture as DedupOps candidate joins) — this operator
+    * adds no driver state and no extra shuffle beyond the wedge key.
+    *
+    * @param edges undirected edges as (a, b)
+    * @param topK  rows returned, ordered by score desc then pair */
+  def linkPredict(edges: DataFrame, topK: Int): DataFrame = {
+    val e0 = edges.select(col("a"), col("b")).distinct()
+    val both = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false) // degree agg + two wedge sides + anti side
+    val deg = both.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val wedge = both.select(col("v").as("z"), col("u").as("x"))
+      .join(both.select(col("u").as("z"), col("v").as("y")), "z")
+      .filter(col("x") < col("y"))
+      .join(both, col("x") === col("u") && col("y") === col("v"),
+        "left_anti")
+    wedge.join(deg.withColumnRenamed("u", "z"), "z")
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common_n"),
+        sum(expr("1000000 div d")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** Degree assortativity r (Newman 2002): the Pearson correlation of
     * endpoint degrees over every directed edge — do hubs link to hubs
     * (r>0) or to leaves (r<0)? All five moment sums are exact BIGINTs

@@ -2222,7 +2222,284 @@ object AnalyticsQueries {
        |    (SELECT COUNT(*) FROM r WHERE t % 2 = 0) AS coverage
        |FROM q""".stripMargin
 
+  /** Resource-allocation link prediction on the co-supply graph
+    * ([[graft.ops.GraphOps.linkPredict]]): which supplier pairs that
+    * never co-supplied are most likely to — scored by shared-neighbor
+    * inverse degree in exact micro-units. */
+  def linkPredictQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.linkPredict(coSupplyEdges(spark, dir), topK = 50)
+      .select(col("x").as("supp_a"), col("y").as("supp_b"),
+        col("common_n"), col("score_micro"))
+
+  private val linkPredictSql =
+    s"""WITH $coSupplyEdgesSql, both_ AS (
+       |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+       |), deg AS (
+       |  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM both_ GROUP BY u
+       |), wedge AS (
+       |  SELECT l.u AS x, r.v AS y, l.v AS z
+       |  FROM both_ l JOIN both_ r ON l.v = r.u AND l.u < r.v
+       |  WHERE NOT EXISTS (SELECT 1 FROM both_ b
+       |                    WHERE b.u = l.u AND b.v = r.v)
+       |)
+       |SELECT w.x AS supp_a, w.y AS supp_b,
+       |  CAST(COUNT(*) AS BIGINT) AS common_n,
+       |  CAST(SUM(1000000 // dg.d) AS BIGINT) AS score_micro
+       |FROM wedge w JOIN deg dg ON w.z = dg.u
+       |GROUP BY 1, 2
+       |ORDER BY score_micro DESC, supp_a, supp_b LIMIT 50""".stripMargin
+
+  /** Rendezvous (highest-random-weight) shard-assignment audit over the
+    * document corpus: each doc goes to the shard with the max keyed
+    * hash; growing the ring 8 → 9 shards must move ONLY the docs whose
+    * new shard wins — ~1/9 of the corpus, the whole point of HRW over
+    * mod-N (which reshuffles ~8/9). The hash is squared after the
+    * multiplicative mix so per-doc shard scores are not an arithmetic
+    * progression (a linear mix's argmax is lattice-biased); max packs
+    * (h·16 + shard) into one BIGINT so the argmax is ONE integer max —
+    * no window, no sort, one aggregate over a 9× explode. */
+  def rendezvousShard(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000000007L
+    val perDoc = Catalog.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(sequence(lit(0), lit(8))).as("s"))
+      .withColumn("h1",
+        pmod((pmod(col("doc_id"), lit(p)) + col("s") * lit(1000003L))
+          * lit(2654435761L), lit(p)))
+      .withColumn("packed", pmod(col("h1") * col("h1"), lit(p)) * 16
+        + col("s"))
+      .groupBy(col("doc_id"))
+      .agg(pmod(max(when(col("s") < 8, col("packed"))), lit(16L))
+          .as("shard8"),
+        pmod(max(col("packed")), lit(16L)).as("shard9"))
+    val c8 = perDoc.groupBy(col("shard8").as("shard"))
+      .agg(count(lit(1)).as("cnt8"))
+    val c9 = perDoc.groupBy(col("shard9").as("shard"))
+      .agg(count(lit(1)).as("cnt9"),
+        sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+          .as("moved_in"))
+    c8.join(c9, Seq("shard"), "full_outer")
+      .select(col("shard"), coalesce(col("cnt8"), lit(0L)).as("cnt8"),
+        coalesce(col("cnt9"), lit(0L)).as("cnt9"),
+        coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+      .orderBy(col("shard"))
+  }
+
+  private val rendezvousShardSql =
+    """WITH h AS (
+      |  SELECT doc_id, s,
+      |    (((doc_id % 1000000007) + s * 1000003) * 2654435761)
+      |      % 1000000007 AS h1
+      |  FROM read_parquet_documents, unnest(range(0, 9)) AS u(s)
+      |), pk AS (
+      |  SELECT doc_id, s, ((h1 * h1) % 1000000007) * 16 + s AS packed
+      |  FROM h
+      |), a AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN s < 8 THEN packed END) % 16 AS shard8,
+      |    MAX(packed) % 16 AS shard9
+      |  FROM pk GROUP BY doc_id
+      |), c8 AS (
+      |  SELECT shard8 AS shard, CAST(COUNT(*) AS BIGINT) AS cnt8
+      |  FROM a GROUP BY 1
+      |), c9 AS (
+      |  SELECT shard9 AS shard, CAST(COUNT(*) AS BIGINT) AS cnt9,
+      |    CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS moved_in
+      |  FROM a GROUP BY 1
+      |)
+      |SELECT COALESCE(c8.shard, c9.shard) AS shard,
+      |  COALESCE(cnt8, 0) AS cnt8, COALESCE(cnt9, 0) AS cnt9,
+      |  COALESCE(moved_in, 0) AS moved_in
+      |FROM c8 FULL OUTER JOIN c9 ON c8.shard = c9.shard
+      |ORDER BY shard""".stripMargin
+      .replace("read_parquet_documents", "documents")
+
+  /** Kendall τ-b between quantity and price over a DETERMINISTIC
+    * 2000-row hash-ranked sample of lineitem. Concordant / discordant /
+    * tie counts are exact integers from the rn<rn2 pair join (bounded
+    * 2M pairs regardless of corpus size — the sample IS the scale
+    * contract; the exact all-pairs form is O(n²) and has no
+    * distributed merge-sort shape worth the complexity). τ-b itself is
+    * one mirrored IEEE closed form over the integer counts. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = 1000000007L
+    val r = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("y"),
+        pmod(pmod(col("l_orderkey"), lit(p)) * lit(2654435761L)
+          + col("l_linenumber"), lit(p)).as("hk"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("hk"), col("l_orderkey"), col("l_linenumber")))
+        .cast("long"))
+      .filter(col("rn") <= 2000)
+      .select(col("rn"), col("x"), col("y"))
+      .localCheckpoint(false) // both sides of the 2M-row pair join
+    val pairs = r.as("a").join(r.as("b"), col("a.rn") < col("b.rn"))
+      .select((col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).as("dy"))
+    pairs.agg(
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ties_y"),
+        count(lit(1)).as("n0"))
+      .select(col("n0"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          (sqrt((col("n0") - col("ties_x")).cast("double")) *
+            sqrt((col("n0") - col("ties_y")).cast("double"))))
+          .as("tau_b"))
+  }
+
+  private val kendallTauSql =
+    """WITH r0 AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+      |    ((l_orderkey % 1000000007) * 2654435761 + l_linenumber)
+      |      % 1000000007 AS hk,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT CAST(row_number()
+      |      OVER (ORDER BY hk, l_orderkey, l_linenumber) AS BIGINT)
+      |      AS rn, x, y
+      |  FROM r0 QUALIFY rn <= 2000
+      |), pr AS (
+      |  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+      |  FROM r a JOIN r b ON a.rn < b.rn
+      |), s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS concordant,
+      |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS discordant,
+      |    CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ties_x,
+      |    CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ties_y,
+      |    CAST(COUNT(*) AS BIGINT) AS n0
+      |  FROM pr
+      |)
+      |SELECT n0, concordant, discordant, ties_x, ties_y,
+      |  CAST(concordant - discordant AS DOUBLE)
+      |    / (sqrt(CAST(n0 - ties_x AS DOUBLE))
+      |       * sqrt(CAST(n0 - ties_y AS DOUBLE))) AS tau_b
+      |FROM s""".stripMargin
+
+  /** Seeded permutation test for the URGENT-vs-rest mean order value
+    * gap: 200 deterministic hash permutations of the group labels; the
+    * p-value counts permuted |mean diff| ≥ observed via the EXACT
+    * cross-multiplied rational comparison |s1·n0 − s0·n1| in
+    * DECIMAL(38,0) — no per-rep float means, so every engine counts
+    * the same reps. One 200× label explode + one aggregate per rep;
+    * the explode is map-side and the rollup shuffles 200 rows. */
+  def permutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000000007L
+    val dec = "decimal(38,0)"
+    val b = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("v"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("g"))
+      .localCheckpoint(false) // observed stat + 200-rep explode
+    val obs = b.agg(
+      sum(when(col("g") === 1, col("v")).otherwise(0L)).as("s1"),
+      sum(col("g")).as("n1"),
+      sum(when(col("g") === 0, col("v")).otherwise(0L)).as("s0"),
+      sum(lit(1L) - col("g")).as("n0"))
+    val perm = b
+      .select(col("k"), col("v"), explode(sequence(lit(1), lit(200)))
+        .as("r"))
+      .withColumn("h1",
+        pmod((pmod(col("k"), lit(p)) + col("r") * lit(1000003L))
+          * lit(2654435761L), lit(p)))
+      .withColumn("gp", pmod(col("h1") * col("h1"), lit(p)) % 2)
+      .groupBy(col("r"))
+      .agg(sum(when(col("gp") === 1, col("v")).otherwise(0L)).as("s1p"),
+        sum(col("gp")).as("n1p"),
+        sum(when(col("gp") === 0, col("v")).otherwise(0L)).as("s0p"),
+        sum(lit(1L) - col("gp")).as("n0p"))
+    perm.crossJoin(obs)
+      .select(col("r"), col("s1"), col("n1"), col("s0"), col("n0"),
+        when(
+          abs(col("s1p").cast(dec) * col("n0p") -
+            col("s0p").cast(dec) * col("n1p")) *
+            (col("n1").cast(dec) * col("n0")) >=
+            abs(col("s1").cast(dec) * col("n0") -
+              col("s0").cast(dec) * col("n1")) *
+              (col("n1p").cast(dec) * col("n0p")), 1L).otherwise(0L)
+          .as("ge"))
+      .groupBy(col("s1"), col("n1"), col("s0"), col("n0"))
+      .agg(sum(col("ge")).as("n_ge"), count(lit(1)).as("reps"))
+      .select(col("n1"), col("n0"), col("s1"), col("s0"), col("reps"),
+        col("n_ge"),
+        ((col("n_ge") + 1).cast("double") /
+          (col("reps") + 1).cast("double")).as("p_value"))
+  }
+
+  private val permutationTestSql =
+    """WITH b AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+      |  FROM orders
+      |), obs AS (
+      |  SELECT CAST(SUM(CASE WHEN g = 1 THEN v ELSE 0 END) AS BIGINT)
+      |      AS s1,
+      |    CAST(SUM(g) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN g = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+      |    CAST(SUM(1 - g) AS BIGINT) AS n0
+      |  FROM b
+      |), h AS (
+      |  SELECT r, v,
+      |    ((((k % 1000000007) + r * 1000003) * 2654435761)
+      |      % 1000000007) AS h1
+      |  FROM b, unnest(range(1, 201)) AS u(r)
+      |), perm AS (
+      |  SELECT r,
+      |    CAST(SUM(CASE WHEN (h1 * h1) % 1000000007 % 2 = 1
+      |      THEN v ELSE 0 END) AS BIGINT) AS s1p,
+      |    CAST(SUM((h1 * h1) % 1000000007 % 2) AS BIGINT) AS n1p,
+      |    CAST(SUM(CASE WHEN (h1 * h1) % 1000000007 % 2 = 0
+      |      THEN v ELSE 0 END) AS BIGINT) AS s0p,
+      |    CAST(SUM(1 - (h1 * h1) % 1000000007 % 2) AS BIGINT) AS n0p
+      |  FROM h GROUP BY r
+      |)
+      |SELECT n1, n0, s1, s0,
+      |  CAST(COUNT(*) AS BIGINT) AS reps,
+      |  CAST(SUM(CASE WHEN
+      |    ABS(CAST(s1p AS HUGEINT) * n0p - CAST(s0p AS HUGEINT) * n1p)
+      |      * (CAST(n1 AS HUGEINT) * n0) >=
+      |    ABS(CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1)
+      |      * (CAST(n1p AS HUGEINT) * n0p)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+      |  CAST(CAST(SUM(CASE WHEN
+      |    ABS(CAST(s1p AS HUGEINT) * n0p - CAST(s0p AS HUGEINT) * n1p)
+      |      * (CAST(n1 AS HUGEINT) * n0) >=
+      |    ABS(CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1)
+      |      * (CAST(n1p AS HUGEINT) * n0p)
+      |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(COUNT(*) + 1 AS BIGINT) AS DOUBLE) AS p_value
+      |FROM perm, obs
+      |GROUP BY n1, n0, s1, s0""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q248_link_predict", linkPredictQ, Some(linkPredictSql),
+      "resource-allocation link prediction on the co-supply graph: " +
+        "wedge join + anti-join, exact micro-unit 1/deg scores"),
+    Q("q249_rendezvous_shard", rendezvousShard, Some(rendezvousShardSql),
+      "rendezvous-hash shard audit: HRW argmax as one packed integer " +
+        "max; 8->9 shard growth moves ~1/9 of docs"),
+    Q("q250_kendall_tau", kendallTau, Some(kendallTauSql),
+      "Kendall tau-b on a deterministic 2000-row hash sample: exact " +
+        "integer concordant/discordant/tie counts"),
+    Q("q251_permutation_test", permutationTest, Some(permutationTestSql),
+      "seeded 200-rep permutation test, exact DECIMAL(38,0) " +
+        "cross-multiplied mean-gap comparison"),
     Q("q245_holt", holt, Some(holtSql),
       "Holt double exponential smoothing of daily revenue in fixed-point " +
         "micro-units, bit-exact vs a recursive-CTE oracle"),

@@ -486,4 +486,63 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
+
+  test("pca project: eigenvector rides as a literal — map-only dot " +
+    "product, no join and no hash exchange") {
+    val p = plan(graft.Registry.byName("q244_pca_project")
+      .build(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext, p)
+  }
+
+  test("sequential models (holt / conformal): cluster work ends at the " +
+    "daily collapse — the returned frame is driver-local") {
+    for (q <- Seq("q245_holt", "q247_conformal_band")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(p.contains("LocalTableScan"), s"$q\n$p")
+      assert(!p.contains("FileScan"), s"$q\n$p")
+    }
+  }
+
+  test("delete propagation: request keys broadcast into every fact " +
+    "table — no sort-merge shuffle of the facts") {
+    val p = plan(graft.Registry.byName("q246_delete_propagation")
+      .build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("link prediction: wedge join is an equi-join on the shared " +
+    "neighbor; top-k takes TakeOrderedAndProject, never a global sort") {
+    val p = plan(graft.Registry.byName("q248_link_predict")
+      .build(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rendezvous shard: HRW argmax is one partial->final integer max " +
+    "aggregate — no window sort over the 9x explode") {
+    val p = plan(graft.Registry.byName("q249_rendezvous_shard")
+      .build(spark, dir))
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kendall tau: the bounded 2000-row sample broadcasts for the " +
+    "pair join; counts collapse in one partial->final aggregate") {
+    val p = plan(graft.Registry.byName("q250_kendall_tau")
+      .build(spark, dir))
+    // pure rn<rn2 predicate → BNLJ over the broadcast bounded sample
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("permutation test: per-rep sums collapse map-side (200 rows " +
+    "shuffle); the observed stat broadcasts onto them") {
+    val p = plan(graft.Registry.byName("q251_permutation_test")
+      .build(spark, dir))
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
