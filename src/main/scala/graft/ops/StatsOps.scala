@@ -561,6 +561,41 @@ object StatsOps {
     out.result()
   }
 
+  /** Holt–Winters additive triple smoothing (level + trend + seasonal,
+    * rotating `period`-slot seasonal state) in the same fixed-point
+    * micro-unit integer arithmetic as [[holtSmooth]] — the recurrence
+    * is sequential and runs driver-side on the collapsed model-sized
+    * series; every operation is 64-bit integer, one answer anywhere.
+    * Cold start: level = x₁, trend = 0, seasonal slots = 0 (slots warm
+    * up over the first cycle).
+    *
+    * @return (t, level, trend, seasonal) per step, 1-based. */
+  def holtWinters(xs: Seq[Long], period: Int = 7,
+      alphaMicro: Long = 300000L, betaMicro: Long = 100000L,
+      gammaMicro: Long = 200000L): Seq[(Long, Long, Long, Long)] = {
+    if (xs.isEmpty) return Seq.empty
+    val M = 1000000L
+    val seas = Array.fill(period)(0L)
+    var l = xs.head
+    var tr = 0L
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    out += ((1L, l, tr, 0L))
+    var t = 1
+    while (t < xs.length) {
+      val p = t % period // 0-based slot of step t+1
+      val sOld = seas(p)
+      val x = xs(t)
+      val lNew = idiv(alphaMicro * (x - sOld) + (M - alphaMicro) * (l + tr), M)
+      val trNew = idiv(betaMicro * (lNew - l) + (M - betaMicro) * tr, M)
+      val sNew = idiv(gammaMicro * (x - lNew) + (M - gammaMicro) * sOld, M)
+      seas(p) = sNew
+      l = lNew; tr = trNew
+      out += ((t + 1L, l, tr, sNew))
+      t += 1
+    }
+    out.result()
+  }
+
   def skyline2d(df: DataFrame, idCol: Column, sizeCol: Column,
       costCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -2487,7 +2487,183 @@ object AnalyticsQueries {
       |FROM perm, obs
       |GROUP BY n1, n0, s1, s0""".stripMargin
 
+  /** Holt–Winters triple smoothing of daily revenue
+    * ([[StatsOps.holtWinters]], period 7, α=.3 β=.1 γ=.2 in
+    * micro-units) — the seasonal extension of q245. */
+  def holtWintersQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    StatsOps.holtWinters(dailyCents(spark, dir))
+      .toDF("t", "level_cents", "trend_cents", "seasonal_cents")
+      .orderBy(col("t"))
+  }
+
+  /** The sign-CASE integer division mirroring [[StatsOps.idiv]]. */
+  private def sqlIdiv(e: String): String =
+    s"CAST(CASE WHEN ($e) < 0 THEN -((-($e)) // 1000000) " +
+      s"ELSE ($e) // 1000000 END AS BIGINT)"
+
+  /** Recursive-CTE oracle with the 7-slot seasonal state carried as
+    * seven rotating columns; every step is the same idiv fixed-point
+    * arithmetic as the Scala recurrence. */
+  private val holtWintersSql = {
+    val sCols = (0 until 7).map(i => s"s$i").mkString(", ")
+    val zeros = (0 until 7).map(_ => "CAST(0 AS BIGINT)").mkString(", ")
+    val sOldCase = (0 until 7)
+      .map(i => s"WHEN hw.t % 7 = $i THEN hw.s$i")
+      .mkString("CASE ", " ", " END")
+    val passS = (0 until 7).map(i => s"hw.s$i AS s$i").mkString(", ")
+    val rot = (0 until 7)
+      .map(i => s"CASE WHEN p = $i THEN snew ELSE s$i END")
+      .mkString(", ")
+    val lnew = sqlIdiv("300000 * (x - sold) + 700000 * (lprev + trprev)")
+    val trnew = sqlIdiv("100000 * (lnew - lprev) + 900000 * trprev")
+    val snew = sqlIdiv("200000 * (x - lnew) + 800000 * sold")
+    val seasOut = (0 until 7)
+      .map(i => s"WHEN (t - 1) % 7 = $i THEN s$i")
+      .mkString("CASE ", " ", " END")
+    s"""WITH RECURSIVE daily AS (
+       |  $dailyCentsSql
+       |), hw(t, l, tr, $sCols) AS (
+       |  SELECT t, cents, CAST(0 AS BIGINT), $zeros
+       |  FROM daily WHERE t = 1
+       |  UNION ALL
+       |  SELECT t, lnew, $trnew, $rot
+       |  FROM (
+       |    SELECT *, $snew AS snew FROM (
+       |      SELECT *, $lnew AS lnew FROM (
+       |        SELECT d.t AS t, hw.t % 7 AS p, d.cents AS x,
+       |          hw.l AS lprev, hw.tr AS trprev, $sOldCase AS sold,
+       |          $passS
+       |        FROM hw JOIN daily d ON d.t = hw.t + 1
+       |      )
+       |    )
+       |  )
+       |)
+       |SELECT t, l AS level_cents, tr AS trend_cents,
+       |  $seasOut AS seasonal_cents
+       |FROM hw ORDER BY t""".stripMargin
+  }
+
+  /** Two-sample Cramér–von Mises criterion (URGENT vs LOW order
+    * values) — q227's KS sibling that integrates the SQUARED ECDF gap
+    * instead of taking its max, so it sees distributional differences
+    * a single extreme point hides. The sum Σ (d1+d2)·(c1·n2 − c2·n1)²
+    * is exact DECIMAL(38,0) (the gap alone can reach n1·n2 ≈ 5·10⁹ at
+    * sf0.1 — squared it overflows BIGINT, hence decimal); the statistic
+    * divides once at the end through the Det.scala exact-decimal→double
+    * recipe. Same scale shape as KS: one aggregate per distinct value,
+    * one cumulative window, one rollup. */
+  def cvmTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val b = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("v"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("g"))
+    val per = b.groupBy(col("v"))
+      .agg(sum(col("g")).as("d1"), sum(lit(1L) - col("g")).as("d2"))
+    val cum = per
+      .withColumn("c1", sum(col("d1")).over(Window.orderBy(col("v"))))
+      .withColumn("c2", sum(col("d2")).over(Window.orderBy(col("v"))))
+    val tot = b.agg(sum(col("g")).as("n1"),
+      sum(lit(1L) - col("g")).as("n2"))
+    cum.crossJoin(tot)
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(((col("d1") + col("d2")).cast(dec) *
+        (col("c1") * col("n2") - col("c2") * col("n1")).cast(dec) *
+        (col("c1") * col("n2") - col("c2") * col("n1")).cast(dec)))
+        .as("s"))
+      .select(col("n1"), col("n2"),
+        (col("s").cast("double") /
+          ((col("n1") + col("n2")).cast(dec) *
+            (col("n1").cast(dec) * col("n2")) *
+            (col("n1").cast(dec) * col("n2"))).cast("double"))
+          .as("cvm_stat"))
+  }
+
+  private val cvmTestSql =
+    s"""WITH b AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+       |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+       |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+       |), per AS (
+       |  SELECT v, CAST(SUM(g) AS BIGINT) AS d1,
+       |    CAST(SUM(1 - g) AS BIGINT) AS d2
+       |  FROM b GROUP BY v
+       |), cum AS (
+       |  SELECT d1, d2,
+       |    CAST(SUM(d1) OVER (ORDER BY v) AS BIGINT) AS c1,
+       |    CAST(SUM(d2) OVER (ORDER BY v) AS BIGINT) AS c2
+       |  FROM per
+       |), tot AS (
+       |  SELECT CAST(SUM(g) AS BIGINT) AS n1,
+       |    CAST(SUM(1 - g) AS BIGINT) AS n2
+       |  FROM b
+       |), s AS (
+       |  SELECT n1, n2,
+       |    SUM(CAST(d1 + d2 AS HUGEINT)
+       |      * (c1 * CAST(n2 AS HUGEINT) - c2 * CAST(n1 AS HUGEINT))
+       |      * (c1 * CAST(n2 AS HUGEINT) - c2 * CAST(n1 AS HUGEINT)))
+       |      AS s
+       |  FROM cum, tot GROUP BY n1, n2
+       |)
+       |SELECT n1, n2,
+       |  ${hugeDbl("s")} /
+       |    ${hugeDbl("CAST(n1 + n2 AS HUGEINT) * (CAST(n1 AS HUGEINT) * n2) * (CAST(n1 AS HUGEINT) * n2)")}
+       |    AS cvm_stat
+       |FROM s""".stripMargin
+
+  /** Quantity-weighted median order price per return flag: the
+    * smallest value whose cumulative weight reaches half the total —
+    * exact integers end to end (2·cumw ≥ totw avoids any division).
+    * One aggregate per (flag, value), one cumulative window per flag,
+    * one min rollup; the per-flag window range-partitions at scale. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("v"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("flag"), col("v")).agg(sum(col("w")).as("dw"))
+    val cum = per
+      .withColumn("cw", sum(col("dw")).over(
+        Window.partitionBy(col("flag")).orderBy(col("v"))))
+      .withColumn("tw", sum(col("dw")).over(Window.partitionBy(col("flag"))))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("flag"))
+      .agg(min(col("v")).as("wmedian_cents"), max(col("tw")).as("total_w"))
+      .orderBy(col("flag"))
+  }
+
+  private val weightedMedianSql =
+    """WITH per AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS dw
+      |  FROM lineitem GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT flag, v,
+      |    CAST(SUM(dw) OVER (PARTITION BY flag ORDER BY v) AS BIGINT)
+      |      AS cw,
+      |    CAST(SUM(dw) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      |  FROM per
+      |)
+      |SELECT flag, CAST(MIN(v) AS BIGINT) AS wmedian_cents,
+      |  CAST(MAX(tw) AS BIGINT) AS total_w
+      |FROM cum WHERE cw * 2 >= tw
+      |GROUP BY flag ORDER BY flag""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q252_holt_winters", holtWintersQ, Some(holtWintersSql),
+      "Holt-Winters triple smoothing (period 7) in fixed-point " +
+        "micro-units, bit-exact vs a 7-slot rotating recursive CTE"),
+    Q("q254_cvm_test", cvmTest, Some(cvmTestSql),
+      "two-sample Cramer-von Mises criterion: exact DECIMAL(38,0) " +
+        "squared-ECDF-gap sum, one double division at the end"),
+    Q("q255_weighted_median", weightedMedian, Some(weightedMedianSql),
+      "quantity-weighted median price per return flag: exact " +
+        "cumulative-weight threshold, no division"),
     Q("q248_link_predict", linkPredictQ, Some(linkPredictSql),
       "resource-allocation link prediction on the co-supply graph: " +
         "wedge join + anti-join, exact micro-unit 1/deg scores"),

@@ -323,6 +323,59 @@ object VectorQueries {
        |  CAST(SUM(term_micro) // COUNT(*) AS BIGINT) AS ap_micro
        |FROM terms GROUP BY 1, 2 ORDER BY query_id""".stripMargin
 
+  private val ndcgK = 10
+  // floor(10⁶ / log₂(r+1)) for r = 1..K, computed ONCE here and
+  // embedded as the same literal table in both engines — exact binary
+  // NDCG@K without either engine ever evaluating a log at query time
+  private val ndcgW: Seq[Long] = (1 to ndcgK)
+    .map(r => math.floor(1000000.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .toLong)
+  private val ndcgCum: Seq[Long] = ndcgW.scanLeft(0L)(_ + _)
+
+  /** NDCG@10 per query: binary gain at the integer weight table above;
+    * the ideal DCG is the cumulative-weight table at
+    * min(#relevant, K). DCG and IDCG are exact BIGINTs; the final
+    * ratio is one exact-operand IEEE division. */
+  def ndcg(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.rankedRetrieval(emb(spark, dir), col("vec_id") < NQ)
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(
+        sum(when(col("rel") && col("rn") <= ndcgK,
+          element_at(typedLit(ndcgW), col("rn").cast("int")))
+          .otherwise(0L)).as("dcg_micro"),
+        sum(col("rel").cast("long")).as("rel_total"))
+      .select(col("query_id"), col("qlabel"), col("dcg_micro"),
+        col("rel_total"),
+        element_at(typedLit(ndcgCum),
+          (least(col("rel_total"), lit(ndcgK.toLong)) + 1).cast("int"))
+          .as("idcg_micro"))
+      .withColumn("ndcg", when(col("idcg_micro") > 0,
+        col("dcg_micro").cast("double") / col("idcg_micro").cast("double")))
+      .orderBy(col("query_id"))
+
+  private val ndcgSql = {
+    val wList = ndcgW.mkString("[", ", ", "]")
+    val cumList = ndcgCum.mkString("[", ", ", "]")
+    s"""$rankedSql, per AS (
+       |  SELECT query_id, qlabel,
+       |    CAST(SUM(CASE WHEN rel AND rn <= $ndcgK
+       |      THEN ($wList)[CAST(rn AS INT)] ELSE 0 END) AS BIGINT)
+       |      AS dcg_micro,
+       |    CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS rel_total
+       |  FROM ranked GROUP BY 1, 2
+       |)
+       |SELECT query_id, qlabel, dcg_micro, rel_total,
+       |  CAST(($cumList)[CAST(LEAST(rel_total, $ndcgK) + 1 AS INT)]
+       |    AS BIGINT) AS idcg_micro,
+       |  CASE WHEN ($cumList)[CAST(LEAST(rel_total, $ndcgK) + 1 AS INT)] > 0
+       |    THEN CAST(dcg_micro AS DOUBLE)
+       |      / CAST(($cumList)[CAST(LEAST(rel_total, $ndcgK) + 1 AS INT)]
+       |          AS DOUBLE)
+       |  END AS ndcg
+       |FROM per ORDER BY query_id""".stripMargin
+  }
+
   /** Embedding gram matrix (upper triangle, exact scaled-int sums) via
     * the single-pass [[VectorOps.GramAgg]] aggregator. */
   def gramMatrix(spark: SparkSession, dir: String): DataFrame =
@@ -420,6 +473,9 @@ object VectorQueries {
     Q("q244_pca_project", pcaProject, Some(pcaProjectSql),
       "PCA projection: eigenvector as literal, fused zip_with dot " +
         "product over scaled ints — map-only, zero shuffle"),
+    Q("q253_ndcg", ndcg, Some(ndcgSql),
+      "NDCG@10: binary gain over an embedded integer log2 weight " +
+        "table — exact BIGINT DCG/IDCG, one final division"),
     Q("q237_mrr", mrr, Some(mrrSql),
       "retrieval MRR: first same-label rank per query vector " +
         "(scaled-int ranking, exact reciprocal)"),

@@ -495,9 +495,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext, p)
   }
 
-  test("sequential models (holt / conformal): cluster work ends at the " +
-    "daily collapse — the returned frame is driver-local") {
-    for (q <- Seq("q245_holt", "q247_conformal_band")) {
+  test("sequential models (holt / holt-winters / conformal): cluster " +
+    "work ends at the daily collapse — the returned frame is driver-local") {
+    for (q <- Seq("q245_holt", "q252_holt_winters", "q247_conformal_band")) {
       val p = plan(graft.Registry.byName(q).build(spark, dir))
       assert(p.contains("LocalTableScan"), s"$q\n$p")
       assert(!p.contains("FileScan"), s"$q\n$p")
@@ -544,5 +544,21 @@ class PlanSpec extends AnyFunSuite {
       .build(spark, dir))
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ndcg: the weight table is a literal — same broadcast retrieval " +
+    "shape as mrr, corpus streams once") {
+    val p = plan(graft.Registry.byName("q253_ndcg").build(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cvm / weighted median: one partial->final aggregate feeds the " +
+    "cumulative window — no cartesian anywhere") {
+    for (q <- Seq("q254_cvm_test", "q255_weighted_median")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(p.contains("partial_sum"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
   }
 }
