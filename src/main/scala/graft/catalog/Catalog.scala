@@ -17,14 +17,20 @@ object Catalog {
 
   /** One fixture table: explicit schema, parquet file layout
     * `<dir>/<name>.parquet`, plus an optional normalization applied after
-    * the scan (used for physical-vs-logical type mismatches). */
+    * the scan (used for physical-vs-logical type mismatches) and an
+    * optional loader override (used when the scan itself must adapt to
+    * the file's physical types, e.g. events.ts — see [[eventsFrom]]). */
   final case class TableDef(
       name: String, schema: StructType,
-      post: DataFrame => DataFrame = identity) {
+      post: DataFrame => DataFrame = identity,
+      loader: Option[(SparkSession, String) => DataFrame] = None) {
     def path(sfDir: String): String = s"$sfDir/$name.parquet"
     /** Schema-declared parquet scan — no footer-merge/inference job. */
     def load(spark: SparkSession, sfDir: String): DataFrame =
-      post(spark.read.schema(schema).parquet(path(sfDir)))
+      loader match {
+        case Some(f) => f(spark, sfDir)
+        case None    => post(spark.read.schema(schema).parquet(path(sfDir)))
+      }
   }
 
   val region = TableDef("region", StructType(Seq(
@@ -78,17 +84,73 @@ object Catalog {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType))))
 
-  // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map to
-  // TimestampType ([PARQUET_TYPE_ILLEGAL]). Read the raw INT64 nanos and
-  // truncate to a µs TimestampType (matching DuckDB's epoch_ns(ts)//1000).
+  // events.ts has shipped as BOTH parquet TIMESTAMP(MICROS) and raw
+  // INT64 nanoseconds across fixture generations. Spark 4 maps µs to
+  // TimestampType natively but refuses TIMESTAMP(NANOS)
+  // ([PARQUET_TYPE_ILLEGAL]), so the loader probes the footer (driver-side
+  // metadata read, cached per path — no job) and branches: µs files scan
+  // straight to TimestampType; ns files scan as LongType and truncate to
+  // µs (matching DuckDB's epoch_ns(ts)//1000). Either way callers see one
+  // logical schema: ts TIMESTAMP(µs).
   val events = TableDef("events", StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw ns since epoch
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType))),
-    post = _.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+    loader = Some((spark, sfDir) => eventsFrom(spark, s"$sfDir/events.parquet")))
+
+  /** events schema as stored when ts is raw INT64 nanoseconds. */
+  val eventsNsSchema: StructType = StructType(events.schema.map {
+    case f if f.name == "ts" => f.copy(dataType = LongType)
+    case f => f
+  })
+
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True when the parquet file(s) at `path` store `ts` as INT64
+    * nanoseconds — either annotated TIMESTAMP(NANOS) or an unannotated
+    * INT64. Reads one footer via parquet-hadoop (no Spark job); result is
+    * cached per path. `path` may be a single file or a directory of
+    * parquet files (first file wins — fixtures are unit-homogeneous). */
+  def tsIsNanos(spark: SparkSession, path: String): Boolean =
+    tsNanosCache.computeIfAbsent(path, { p =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(hp).isDirectory)
+          fs.listStatus(hp).map(_.getPath)
+            .filter(q => q.getName.endsWith(".parquet")).head
+        else hp
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFileMetaData.getSchema
+        schema.getType(schema.getFieldIndex("ts"))
+          .asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case null => true // bare INT64: the ns-era physical layout
+          case _    => false
+        }
+      } finally reader.close()
+    })
+
+  /** Unit-aware events scan over an explicit path (file or directory):
+    * always yields the logical schema (ts TIMESTAMP(µs)) regardless of the
+    * file's physical unit. */
+  def eventsFrom(spark: SparkSession, path: String): DataFrame =
+    if (tsIsNanos(spark, path))
+      spark.read.schema(eventsNsSchema).parquet(path)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else spark.read.schema(events.schema).parquet(path)
 
   val documents = TableDef("documents", StructType(Seq(
     StructField("doc_id", LongType),

@@ -413,12 +413,25 @@ object TextOps {
     * BPE trainers work off exactly this aggregate. q188 is the first
     * iteration of this loop as a relational query; here the loop runs
     * to `nMerges`, tie-breaking deterministically on (count desc, pair
-    * asc). Returns merges in priority order. */
-  def bpeTrainMerges(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    * asc). Returns merges in priority order.
+    *
+    * The driver-side vocabulary is explicitly bounded: a raw web corpus
+    * has an unbounded distinct-token tail (typos, ids, urls), so the
+    * collect keeps only the `maxVocab` most frequent words at
+    * `minFreq`+ occurrences (deterministic tie-break on token). That is
+    * the standard production-trainer prune — hapax tokens cannot win a
+    * merge anyway — and turns the collect into a distributed
+    * TakeOrderedAndProject with a fixed driver ceiling at any corpus
+    * size. Defaults never bind on the fixtures. */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int,
+      maxVocab: Int = 1 << 20, minFreq: Long = 1L): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     var words: Seq[(Array[String], Long)] = exploded(docs)
       .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= minFreq)
+      .orderBy(col("wc").desc, col("tok"))
+      .limit(maxVocab)
       .as[(String, Long)].collect().toSeq
       .map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()

@@ -451,6 +451,24 @@ object AnalyticsQueries {
       .orderBy(col("dirty_key"), col("matched_key"))
   }
 
+  /** q170's oracle: DuckDB ships `jaro_winkler_similarity`, and on this
+    * ASCII name data its doubles bit-match the native kernel (verified
+    * pairwise over every blocked pair at sf0.01 — both engines compute
+    * the same (m/|a|+m/|b|+(m-t)/m)/3 + prefix-boost double expression),
+    * so the score column hash-compares exactly rather than spec-only. */
+  private val jwErSql =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer),
+      |dirty AS (
+      |  SELECT c_custkey AS dirty_key,
+      |    concat(substr(c_name, 1, 11), substr(c_name, 13, 1),
+      |           substr(c_name, 12, 1), substr(c_name, 14)) AS dname
+      |  FROM c)
+      |SELECT dirty_key, c.c_custkey AS matched_key,
+      |  jaro_winkler_similarity(dname, c_name) AS jw
+      |FROM dirty JOIN c ON substr(dname, 15, 4) = substr(c_name, 15, 4)
+      |WHERE jaro_winkler_similarity(dname, c_name) >= 0.95
+      |ORDER BY dirty_key, matched_key""".stripMargin
+
   // ---- recursive CTE (verbatim SQL) ---------------------------------------
 
   /** WITH RECURSIVE through the SQL entry point (Spark 4 gained recursive
@@ -2741,10 +2759,10 @@ object AnalyticsQueries {
     Q("q207_clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql),
       "local clustering coefficient on the co-supply graph (degree " +
         "aggregate + wedge-join triangles, one exact IEEE division)"),
-    Q("q170_jw_er", jwEr, None,
+    Q("q170_jw_er", jwEr, Some(jwErSql),
       "entity resolution on transposition-dirtied names via the native " +
-        "jaro_winkler codegen kernel, tail-blocked pairs (spec: " +
-        "canonical vectors + 100% self-recall)"),
+        "jaro_winkler codegen kernel, tail-blocked pairs — hash-checked " +
+        "against DuckDB's jaro_winkler_similarity (bit-identical doubles)"),
     Q("q165_table_checksum", tableChecksum, Some(tableChecksumSql),
       "order-independent per-month content checksum (md5-60bit XOR + " +
         "mod-p sum folds; map-side-combinable at any scale)"),

@@ -19,12 +19,20 @@ object Streams {
   /** File-source stream over a directory of events parquet files
     * (schema-declared — file streams require it; same catalog schema as
     * batch). The file source wants a directory, so callers stage the
-    * fixture file into one (see StreamsSpec). */
+    * fixture file into one (see StreamsSpec). Physical ts unit (µs
+    * timestamp vs raw INT64 ns) is probed from the staged files once at
+    * stream definition, mirroring [[Catalog.eventsFrom]]; files arriving
+    * later must match. */
   def eventStream(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream
-      .schema(Catalog.events.schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (Catalog.tsIsNanos(spark, eventsDir))
+      spark.readStream
+        .schema(Catalog.eventsNsSchema)
+        .parquet(eventsDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.readStream
+        .schema(Catalog.events.schema)
+        .parquet(eventsDir)
 
   /** Streaming tumbling 1-hour counts with a 10-minute watermark —
     * the streaming twin of EventQueries.tumbling. */

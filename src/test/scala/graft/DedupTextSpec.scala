@@ -368,5 +368,12 @@ class DedupTextSpec extends AnyFunSuite {
       .select(col("pair")).as[String].head()
     assert(merges.head._1 + merges.head._2 == topPair,
       s"first merge ${merges.head} vs q188 top $topPair")
+    // the driver-memory cap: default never binds (same merges), and a
+    // tight maxVocab still trains deterministically on the top-N words
+    assert(TextOps.bpeTrainMerges(docs, 10,
+      maxVocab = Int.MaxValue, minFreq = 1L) == merges)
+    val capped = TextOps.bpeTrainMerges(docs, 5, maxVocab = 100)
+    assert(capped.length == 5)
+    assert(capped == TextOps.bpeTrainMerges(docs, 5, maxVocab = 100))
   }
 }

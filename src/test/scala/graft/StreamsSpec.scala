@@ -14,6 +14,30 @@ class StreamsSpec extends AnyFunSuite {
   import spark.implicits._
   private val dir = "/root/testdata/sf0.001"
 
+  /** Max fixture event time in µs — via the unit-aware catalog load, so
+    * the spec holds under either physical ts layout. */
+  private lazy val maxTsUs: Long =
+    graft.catalog.Catalog.load(spark, dir, "events")
+      .agg(max(unix_micros(col("ts")))).as[Long].head()
+
+  /** Stage a one-row sentinel events file at `tsUs` into `staged`, with
+    * ts written as a µs timestamp to match the fixture layout. */
+  private def stageSentinel(staged: java.nio.file.Path, tsUs: Long,
+      eventType: String = "sentinel"): Unit = {
+    val tmpOut = java.nio.file.Files.createTempDirectory("sentinel-out")
+    spark.range(1).select(
+        lit(-1L).as("event_id"),
+        timestamp_micros(lit(tsUs)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit(eventType).as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = java.nio.file.Files.list(tmpOut)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+  }
+
   test("update-mode upserts maintain a versioned view incrementally") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -69,17 +93,7 @@ class StreamsSpec extends AnyFunSuite {
     // Second micro-batch: one sentinel event far past every fixture ts
     // pushes the watermark beyond every real session's close time, so the
     // timeout path must flush every remaining open session.
-    val maxTsNs = spark.read.schema(graft.catalog.Catalog.events.schema)
-      .parquet(s"$dir/events.parquet")
-      .agg(max("ts")).as[Long].head()
-    val sentinelNs = maxTsNs + (Streams.GapUs + 100L * 1000000L) * 1000L
-    val tmpOut = java.nio.file.Files.createTempDirectory("sentinel-out")
-    Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = java.nio.file.Files.list(tmpOut)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
-    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+    stageSentinel(staged, maxTsUs + Streams.GapUs + 100L * 1000000L)
     q.processAllAvailable(); q.stop()
     val emitted = spark.table("sess").filter($"user_id" >= 0)
       .select("user_id", "sess_start_us", "sess_end_us", "n_events")
@@ -105,16 +119,7 @@ class StreamsSpec extends AnyFunSuite {
       .outputMode("append").start()
     q.processAllAvailable()
     // sentinel far past every fixture ts + horizon forces the flush
-    val maxTsNs = spark.read.schema(graft.catalog.Catalog.events.schema)
-      .parquet(s"$dir/events.parquet").agg(max("ts")).as[Long].head()
-    val sentinelNs = maxTsNs + 366L * 86400L * 1000000000L
-    val tmpOut = java.nio.file.Files.createTempDirectory("funnel-sentinel")
-    Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = java.nio.file.Files.list(tmpOut)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
-    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+    stageSentinel(staged, maxTsUs + 366L * 86400L * 1000000L)
     q.processAllAvailable(); q.stop()
     val emitted = spark.table("funnel").filter($"user_id" >= 0)
       .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
@@ -138,16 +143,7 @@ class StreamsSpec extends AnyFunSuite {
       .toDF().writeStream.format("memory").queryName("attrib")
       .outputMode("append").start()
     q.processAllAvailable()
-    val maxTsNs = spark.read.schema(graft.catalog.Catalog.events.schema)
-      .parquet(s"$dir/events.parquet").agg(max("ts")).as[Long].head()
-    val sentinelNs = maxTsNs + 366L * 86400L * 1000000000L
-    val tmpOut = java.nio.file.Files.createTempDirectory("attrib-sentinel")
-    Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = java.nio.file.Files.list(tmpOut)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
-    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+    stageSentinel(staged, maxTsUs + 366L * 86400L * 1000000L)
     q.processAllAvailable(); q.stop()
     val emitted = spark.table("attrib").filter($"user_id" >= 0)
       .as[(Long, Long, Option[String], Option[String], Long)]
@@ -171,16 +167,7 @@ class StreamsSpec extends AnyFunSuite {
       .toDF().writeStream.format("memory").queryName("ffill")
       .outputMode("append").start()
     q.processAllAvailable()
-    val maxTsNs = spark.read.schema(graft.catalog.Catalog.events.schema)
-      .parquet(s"$dir/events.parquet").agg(max("ts")).as[Long].head()
-    val sentinelNs = maxTsNs + 366L * 86400L * 1000000000L
-    val tmpOut = java.nio.file.Files.createTempDirectory("ffill-sentinel")
-    Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = java.nio.file.Files.list(tmpOut)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
-    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+    stageSentinel(staged, maxTsUs + 366L * 86400L * 1000000L)
     q.processAllAvailable(); q.stop()
     val emitted = spark.table("ffill").filter($"user_id" >= 0)
       .as[(Long, Long, Long, Option[Double])].collect().toSet
@@ -457,16 +444,7 @@ class StreamsSpec extends AnyFunSuite {
     q.processAllAvailable()
     // sentinel far in the future closes every view's window → all
     // unmatched views must flush with null purchase columns
-    val maxTsNs = spark.read.schema(graft.catalog.Catalog.events.schema)
-      .parquet(s"$dir/events.parquet").agg(max("ts")).as[Long].head()
-    val sentinelNs = maxTsNs + 3600L * 1000000000L
-    val tmpOut = java.nio.file.Files.createTempDirectory("ssjo-sentinel")
-    Seq((-1L, sentinelNs, -1L, "view", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = java.nio.file.Files.list(tmpOut)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
-    java.nio.file.Files.copy(part, staged.resolve("sentinel.parquet"))
+    stageSentinel(staged, maxTsUs + 3600L * 1000000L, eventType = "view")
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("ssjo").filter($"user_id" >= 0)
       .as[(Long, Option[Long], Long, Long, Option[Long], Option[Double])]
