@@ -2299,7 +2299,252 @@ object EventQueries {
       |WHERE f.event_type = 'purchase'
       |ORDER BY f.event_id""".stripMargin
 
+  // ---- survival analysis: Kaplan-Meier ingredients ---------------------
+
+  /** Kaplan-Meier hazard table for time-to-first-purchase: per user, the
+    * day offset from their first event to their first `purchase`
+    * (censored at the global horizon when no purchase exists), then per
+    * day the at-risk count, observed events, and censorings — the exact
+    * integer ingredients S(t) is a product of. Two shuffled aggregates
+    * (per-user reduction, per-day rollup), a 1-row broadcast horizon, and
+    * a ~days-sized reverse-cumulative window on the post-aggregate table;
+    * the per-user reduction is the only corpus-sized pass, keyed on
+    * user_id — the at-scale shape for survival curves over billions of
+    * users. Integer `div` day bucketing keeps both engines exact. */
+  def kmHazard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    val horizon = e.agg(max(col("ts_us")).as("horizon_us"))
+    val perUser = e.groupBy(col("user_id")).agg(
+      min(col("ts_us")).as("t0_us"),
+      min(when(col("event_type") === "purchase", col("ts_us"))).as("tp_us"))
+    val durations = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(col("tp_us").isNotNull,
+          expr("(tp_us - t0_us) div 86400000000"))
+          .otherwise(expr("(horizon_us - t0_us) div 86400000000"))
+          .as("dur_day"),
+        col("tp_us").isNotNull.cast("int").as("observed"))
+    val byDay = durations.groupBy(col("dur_day")).agg(
+      sum(col("observed")).cast("long").as("n_event"),
+      sum(lit(1) - col("observed")).cast("long").as("n_censored"))
+    val wRisk = Window.orderBy(col("dur_day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_risk",
+        sum(col("n_event") + col("n_censored")).over(wRisk).cast("long"))
+      .select(col("dur_day"), col("n_risk"), col("n_event"), col("n_censored"))
+      .orderBy(col("dur_day"))
+  }
+
+  private val kmHazardSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events
+      |), h AS (
+      |  SELECT MAX(ts_us) AS horizon_us FROM e
+      |), u AS (
+      |  SELECT user_id, MIN(ts_us) AS t0_us,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) AS tp_us
+      |  FROM e GROUP BY 1
+      |), d AS (
+      |  SELECT CASE WHEN tp_us IS NOT NULL
+      |           THEN (tp_us - t0_us) // 86400000000
+      |           ELSE (horizon_us - t0_us) // 86400000000 END AS dur_day,
+      |    CASE WHEN tp_us IS NOT NULL THEN 1 ELSE 0 END AS observed
+      |  FROM u, h
+      |), t AS (
+      |  SELECT dur_day, CAST(SUM(observed) AS BIGINT) AS n_event,
+      |    CAST(SUM(1 - observed) AS BIGINT) AS n_censored
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT dur_day,
+      |  CAST(SUM(n_event + n_censored) OVER (ORDER BY dur_day DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_risk,
+      |  n_event, n_censored
+      |FROM t ORDER BY dur_day""".stripMargin
+
+  // ---- inter-arrival gap distribution ----------------------------------
+
+  /** Per-event-type inter-arrival gaps: for each consecutive pair of a
+    * user's events (event-time order, event_id tiebreak), the µs gap is
+    * attributed to the leading event's type; per type the gap count,
+    * min/max, and EXACT median via the rank-selection recipe (q40's
+    * shape) — one user-keyed window for the lead, one type-keyed window
+    * for ranks, both on 8-byte keys, no driver state. */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(wUser))
+      .filter(col("next_us").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (col("next_us") - col("ts_us")).as("gap_us"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_us"), col("event_id"))
+    val wN = Window.partitionBy(col("event_type"))
+    gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        ((max(when(col("rn") === expr("(n + 1) div 2"), col("gap_us")))
+          + max(when(col("rn") === expr("(n + 2) div 2"), col("gap_us"))))
+          / 2).as("median_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  private val interarrivalSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, event_id,
+      |    lead(ts_us, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) - ts_us AS gap_us
+      |  FROM e
+      |), r AS (
+      |  SELECT event_type, gap_us,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY gap_us, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM g WHERE gap_us IS NOT NULL
+      |)
+      |SELECT event_type, MAX(n) AS n_gaps,
+      |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN gap_us END)) / 2
+      |    AS median_gap_us
+      |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---- burstiness (Fano factor) ----------------------------------------
+
+  /** Hourly burstiness per event type: the Fano factor (variance/mean of
+    * hourly arrival counts) from exact BIGINT sufficient statistics —
+    * Poisson arrivals give ≈1, bursty traffic >1. Two-level aggregate
+    * (hour cell counts, then per-type moment sums; both map-side
+    * combinable) and ONE mirrored IEEE division at the end:
+    * (H·S2 − S1²) / (H·S1) over exact integers, so the doubles
+    * hash-match across engines. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("c")).cast("long").as("s1"),
+        sum(col("c") * col("c")).cast("long").as("s2"))
+      .select(col("event_type"), col("n_hours"), col("s1"),
+        ((col("n_hours") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n_hours") * col("s1")).cast("double")).as("fano"))
+      .orderBy(col("event_type"))
+
+  private val burstinessSql =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000 // 3600000000 AS hour_id,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM h GROUP BY 1
+      |)
+      |SELECT event_type, n_hours, s1,
+      |  CAST(n_hours * s2 - s1 * s1 AS DOUBLE)
+      |    / CAST(n_hours * s1 AS DOUBLE) AS fano
+      |FROM a ORDER BY event_type""".stripMargin
+
+  // ---- sessions-per-user distribution ----------------------------------
+
+  /** Histogram of sessions per user (5-minute gap sessionization — the
+    * q103 semantics): how many users had exactly k sessions over the
+    * window. Session roll-up shuffles on user_id once; both downstream
+    * aggregates are map-side combinable and tiny. The engagement-shape
+    * summary a growth dashboard reads daily. */
+  def sessionCountHist(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .groupBy(col("n_sessions"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_sessions"))
+
+  private val sessionCountHistSql =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    CASE WHEN epoch_ns(ts) // 1000
+      |           - lag(epoch_ns(ts) // 1000) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id)
+      |           >= 300000000
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS NULL
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+      |  FROM t GROUP BY 1
+      |)
+      |SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM u GROUP BY 1 ORDER BY n_sessions""".stripMargin
+
+  // ---- user lifecycle shape --------------------------------------------
+
+  /** Active-days histogram: users bucketed by how many distinct calendar
+    * days they produced events, with the exact event mass per bucket —
+    * the lifecycle/power-user curve. countDistinct compiles to a
+    * two-level exact aggregate (no sketch); everything keyed on
+    * user_id / the bucket, nothing driver-side. */
+  def userLifecycle(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("day")).as("n_active_days"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("n_active_days"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).cast("long").as("sum_events"))
+      .orderBy(col("n_active_days"))
+
+  private val userLifecycleSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id, COUNT(DISTINCT day) AS n_active_days,
+      |    COUNT(*) AS n_events
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT n_active_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n_events) AS BIGINT) AS sum_events
+      |FROM u GROUP BY 1 ORDER BY n_active_days""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q260_session_count_hist", sessionCountHist, Some(sessionCountHistSql),
+      "sessions-per-user histogram over 5-min gap sessions (one user " +
+        "shuffle, map-side-combinable rollups)"),
+    Q("q262_user_lifecycle", userLifecycle, Some(userLifecycleSql),
+      "active-days histogram with exact event mass per bucket (exact " +
+        "two-level countDistinct, no sketch)"),
+    Q("q256_km_hazard", kmHazard, Some(kmHazardSql),
+      "Kaplan-Meier hazard table for time-to-first-purchase: exact " +
+        "integer at-risk/event/censor counts per day offset"),
+    Q("q257_interarrival", interarrival, Some(interarrivalSql),
+      "per-type inter-arrival gap stats with exact rank-selected median " +
+        "(user-keyed lead window + type-keyed rank window)"),
+    Q("q259_burstiness", burstiness, Some(burstinessSql),
+      "hourly Fano factor per event type from exact BIGINT moments, one " +
+        "mirrored IEEE division"),
     Q("q241_scd2_pit_join", scd2PitJoin, Some(scd2PitJoinSql),
       "point-in-time join: purchases to the SCD-2 state valid at event " +
         "time (equi user join + interval residual, leak-proof features)"),

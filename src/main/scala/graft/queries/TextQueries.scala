@@ -1305,7 +1305,114 @@ object TextQueries {
        |FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
   }
 
+  // ---- Heaps-law vocabulary growth -------------------------------------
+
+  /** Vocabulary growth curve (Heaps' law audit): distinct-token count
+    * after each tenth of the corpus, the curve a tokenizer-budget
+    * decision reads off before training. Prefixes are doc_id-VALUE
+    * ranges (boundary k = max_id·k/10), not rank ranges, so no global
+    * sort exists anywhere: one explode + min(doc_id)-per-token aggregate
+    * (the only corpus-sized pass, keyed on token), then a 10-row
+    * broadcast range join rolls tokens and docs into their prefix
+    * buckets. Exact integers end-to-end. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("text").isNotNull)
+    val firsts = d
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val bounds = spark.range(1, 11).toDF("k")
+      .crossJoin(broadcast(d.agg(max(col("doc_id")).as("m"))))
+      .select(col("k"), expr("m * k div 10").as("bound"))
+    val vocab = firsts.join(broadcast(bounds), col("first_doc") <= col("bound"))
+      .groupBy(col("k"), col("bound"))
+      .agg(count(lit(1)).as("vocab"))
+    val nDocs = d.join(broadcast(bounds), col("doc_id") <= col("bound"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_docs"))
+    vocab.join(broadcast(nDocs), "k")
+      .select(col("k"), col("bound"), col("n_docs"), col("vocab"))
+      .orderBy(col("k"))
+  }
+
+  private val heapsLawSql =
+    """WITH f AS (
+      |  SELECT tok, MIN(doc_id) AS first_doc FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE text IS NOT NULL) s
+      |  WHERE tok <> '' GROUP BY 1
+      |), m AS (
+      |  SELECT MAX(doc_id) AS m FROM documents WHERE text IS NOT NULL
+      |), ks AS (
+      |  SELECT k, (m * k) // 10 AS bound FROM range(1, 11) t(k), m
+      |), v AS (
+      |  SELECT k, bound, CAST(COUNT(*) AS BIGINT) AS vocab
+      |  FROM f, ks WHERE first_doc <= bound GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents, ks WHERE text IS NOT NULL AND doc_id <= bound
+      |  GROUP BY 1
+      |)
+      |SELECT v.k, v.bound, nd.n_docs, v.vocab
+      |FROM v JOIN nd USING (k) ORDER BY k""".stripMargin
+
+  // ---- n-gram novelty (contamination-style audit) ----------------------
+
+  /** Trigram novelty of the corpus tail: of the distinct 3-grams
+    * appearing in the last tenth of the corpus (by doc_id value), what
+    * fraction was never seen in the first 90% — the pre-training freshness
+    * / memorization-risk audit run before admitting a new crawl slice.
+    * One shingle pass (row-local, per-doc distinct), one min/max-per-
+    * shingle aggregate keyed on the shingle, a 1-row broadcast boundary,
+    * and a global sum — no joins over the corpus. Exact integers plus one
+    * mirrored IEEE division. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("text").isNotNull)
+    val stats = graft.ops.DedupOps.shingles(d, 3)
+      .groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    val bound = d.agg(expr("max(doc_id) * 9 div 10").as("b"))
+    stats.crossJoin(broadcast(bound))
+      .agg(
+        sum(when(col("last_doc") > col("b"), 1L).otherwise(0L))
+          .cast("long").as("tail_trigrams"),
+        sum(when(col("first_doc") > col("b"), 1L).otherwise(0L))
+          .cast("long").as("novel_trigrams"))
+      .select(col("tail_trigrams"), col("novel_trigrams"),
+        (col("novel_trigrams").cast("double")
+          / col("tail_trigrams").cast("double")).as("novelty_rate"))
+  }
+
+  private val ngramNoveltySql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents WHERE text IS NOT NULL
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+      |), st AS (
+      |  SELECT shingle, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |  FROM sh GROUP BY 1
+      |), bd AS (
+      |  SELECT MAX(doc_id) * 9 // 10 AS b
+      |  FROM documents WHERE text IS NOT NULL
+      |)
+      |SELECT
+      |  CAST(SUM(CASE WHEN last_doc > b THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS tail_trigrams,
+      |  CAST(SUM(CASE WHEN first_doc > b THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS novel_trigrams,
+      |  CAST(SUM(CASE WHEN first_doc > b THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(CASE WHEN last_doc > b THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS novelty_rate
+      |FROM st, bd""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q261_ngram_novelty", ngramNovelty, Some(ngramNoveltySql),
+      "trigram novelty of the corpus tail vs first 90%: min/max-per-" +
+        "shingle aggregate, broadcast boundary, one IEEE division"),
+    Q("q258_heaps_law", heapsLaw, Some(heapsLawSql),
+      "Heaps-law vocabulary growth over corpus tenths: min-doc-per-token " +
+        "aggregate + 10-row broadcast range join, exact integers"),
     Q("q243_feature_hash", featureHash, Some(featureHashSql),
       "hashing-trick featurizer: 60-bit md5 token buckets mod 64, " +
         "vocabulary-free sparse count vectors, map-side explode"),

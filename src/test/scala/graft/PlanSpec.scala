@@ -561,4 +561,28 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q\n$p")
     }
   }
+
+  test("km hazard: 1-row horizon broadcasts; per-user + per-day " +
+    "aggregates are partial->final; the risk window is post-aggregate") {
+    val p = plan(EventQueries.kmHazard(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // 1-row horizon, never shuffled
+    assert(p.contains("partial_min") || p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("burstiness: both aggregate levels map-side combine — no raw-row " +
+    "shuffle reaches the moment sums") {
+    val p = plan(EventQueries.burstiness(spark, dir))
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("heaps law: the 10-row bound table broadcasts into both range " +
+    "joins — no cartesian, no sort-merge") {
+    val p = plan(TextQueries.heapsLaw(spark, dir))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
