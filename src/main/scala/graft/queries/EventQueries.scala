@@ -2529,7 +2529,136 @@ object EventQueries {
       |  CAST(SUM(n_events) AS BIGINT) AS sum_events
       |FROM u GROUP BY 1 ORDER BY n_active_days""".stripMargin
 
+  // ---- weekly churn / retention flow -----------------------------------
+
+  /** Weekly activity flow: per epoch-week, active users, retained (also
+    * active next week), churned (not active next week), and new (not
+    * active the prior week). One distinct (user, week) reduction, then
+    * two self-equi-joins against ±1-week shifts of the SAME distinct
+    * table — co-partitioned on (user_id, week), so the shuffles line up
+    * and nothing is rescanned. Exact integers; the last week's churn
+    * counts everyone by definition. */
+  def weeklyChurn(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Catalog.load(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val nxt = uw.select(col("user_id"), (col("week") - 1).as("week"),
+      lit(1).as("has_next"))
+    val prv = uw.select(col("user_id"), (col("week") + 1).as("week"),
+      lit(1).as("has_prev"))
+    uw.join(nxt, Seq("user_id", "week"), "left")
+      .join(prv, Seq("user_id", "week"), "left")
+      .groupBy(col("week"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(coalesce(col("has_next"), lit(0))).cast("long").as("n_retained"),
+        sum(when(col("has_next").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_churned"),
+        sum(when(col("has_prev").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      .orderBy(col("week"))
+  }
+
+  private val weeklyChurnSql =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 604800000000 AS week
+      |  FROM events
+      |)
+      |SELECT a.week,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_retained,
+      |  CAST(SUM(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_churned,
+      |  CAST(SUM(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new
+      |FROM uw a
+      |LEFT JOIN uw n ON n.user_id = a.user_id AND n.week = a.week + 1
+      |LEFT JOIN uw p ON p.user_id = a.user_id AND p.week = a.week - 1
+      |GROUP BY 1 ORDER BY a.week""".stripMargin
+
+  // ---- within-session event-type affinity ------------------------------
+
+  /** Market-basket lift between event types co-occurring in the same
+    * 5-minute session: for each unordered type pair,
+    * lift = P(both) / (P(a)·P(b)) over sessions. Sessionize once
+    * (user-keyed, the q103 semantics), collect the ≤5 distinct types per
+    * session (bounded set, not a row explosion), pair within the session
+    * key, and divide exact BIGINT products once at the end. Type-count
+    * and session-count sides broadcast (≤5 rows / 1 row). */
+  def typeAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Catalog.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(collect_set(col("event_type")).as("types"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_us"), col("types"))
+    val st = sess.select(col("user_id"), col("sess_us"),
+      explode(col("types")).as("t"))
+    val nSess = sess.agg(count(lit(1)).as("n_sess"))
+    val perType = st.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    st.select(col("user_id"), col("sess_us"), col("t").as("t1"))
+      .join(st.select(col("user_id"), col("sess_us"), col("t").as("t2")),
+        Seq("user_id", "sess_us"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.select(col("t").as("t1"), col("n_t").as("n1"))),
+        "t1")
+      .join(broadcast(perType.select(col("t").as("t2"), col("n_t").as("n2"))),
+        "t2")
+      .crossJoin(broadcast(nSess))
+      .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+        col("n_sess"),
+        ((col("n_both") * col("n_sess")).cast("double")
+          / (col("n1") * col("n2")).cast("double")).as("lift"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  private val typeAffinitySql =
+    """WITH t AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+      |    CASE WHEN epoch_ns(ts) // 1000
+      |           - lag(epoch_ns(ts) // 1000) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id)
+      |           >= 300000000
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS NULL
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |), s AS (
+      |  SELECT *, SUM(new_sess) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM t
+      |), st AS (
+      |  SELECT DISTINCT user_id, sess_id, event_type FROM s
+      |), ns AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sess
+      |  FROM (SELECT DISTINCT user_id, sess_id FROM s) q
+      |), pt AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      |  FROM st GROUP BY 1
+      |), pr AS (
+      |  SELECT a.event_type AS t1, b.event_type AS t2,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM st a JOIN st b ON a.user_id = b.user_id
+      |    AND a.sess_id = b.sess_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT t1, t2, n_both, x.n_t AS n1, y.n_t AS n2, n_sess,
+      |  CAST(n_both * n_sess AS DOUBLE) / CAST(x.n_t * y.n_t AS DOUBLE)
+      |    AS lift
+      |FROM pr JOIN pt x ON x.event_type = t1
+      |        JOIN pt y ON y.event_type = t2, ns
+      |ORDER BY t1, t2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q263_weekly_churn", weeklyChurn, Some(weeklyChurnSql),
+      "weekly active/retained/churned/new user flow from one distinct " +
+        "(user,week) table self-joined at ±1 week"),
+    Q("q265_type_affinity", typeAffinity, Some(typeAffinitySql),
+      "within-session event-type pair lift (bounded per-session type " +
+        "sets, broadcast marginals, one IEEE division)"),
     Q("q260_session_count_hist", sessionCountHist, Some(sessionCountHistSql),
       "sessions-per-user histogram over 5-min gap sessions (one user " +
         "shuffle, map-side-combinable rollups)"),

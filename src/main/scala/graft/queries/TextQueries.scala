@@ -1406,7 +1406,61 @@ object TextQueries {
       |    AS novelty_rate
       |FROM st, bd""".stripMargin
 
+  // ---- cross-source vocabulary overlap ---------------------------------
+
+  /** Pairwise vocabulary Jaccard between document sources — the
+    * mixture-design diagnostic that says which crawl sources are
+    * near-duplicates of each other at the vocabulary level. One distinct
+    * (source, token) reduction, a token-keyed self-join for
+    * intersections (pair fan-out bounded by the source count squared,
+    * a small constant), broadcast per-source sizes, one IEEE division
+    * per pair. */
+  def sourceVocabJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val st = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    st.select(col("source").as("s1"), col("tok"))
+      .join(st.select(col("source").as("s2"), col("tok")), "tok")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("nv").as("n1"))),
+        "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("nv").as("n2"))),
+        "s2")
+      .select(col("s1"), col("s2"), col("n_inter"), col("n1"), col("n2"),
+        (col("n_inter").cast("double")
+          / (col("n1") + col("n2") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  private val sourceVocabJaccardSql =
+    """WITH st AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE text IS NOT NULL) s
+      |  WHERE tok <> ''
+      |), sz AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM st GROUP BY 1
+      |), it AS (
+      |  SELECT a.source AS s1, b.source AS s2,
+      |    CAST(COUNT(*) AS BIGINT) AS n_inter
+      |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s1, s2, n_inter, x.nv AS n1, y.nv AS n2,
+      |  CAST(n_inter AS DOUBLE) / CAST(x.nv + y.nv - n_inter AS DOUBLE)
+      |    AS jaccard
+      |FROM it JOIN sz x ON x.source = s1 JOIN sz y ON y.source = s2
+      |ORDER BY s1, s2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q264_source_vocab_jaccard", sourceVocabJaccard,
+      Some(sourceVocabJaccardSql),
+      "pairwise source vocabulary Jaccard: distinct (source,token) " +
+        "reduction + token-keyed intersection join, broadcast sizes"),
     Q("q261_ngram_novelty", ngramNovelty, Some(ngramNoveltySql),
       "trigram novelty of the corpus tail vs first 90%: min/max-per-" +
         "shingle aggregate, broadcast boundary, one IEEE division"),

@@ -585,4 +585,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("weekly churn / type affinity / source jaccard: equi-joins only " +
+    "(no cartesian), marginals broadcast where hinted") {
+    for (q <- Seq("q263_weekly_churn", "q265_type_affinity",
+        "q264_source_vocab_jaccard")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+    val affinity = plan(EventQueries.typeAffinity(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(affinity).size >= 2, affinity)
+  }
 }
