@@ -2672,7 +2672,56 @@ object AnalyticsQueries {
       |FROM cum WHERE cw * 2 >= tw
       |GROUP BY flag ORDER BY flag""".stripMargin
 
+  // ---- table profiling (data-quality audit) ----------------------------
+
+  /** One-pass column profile of `orders` — the schema-drift / data-
+    * quality audit an ingest runs before publishing: per column, the
+    * null count and exact distinct count, plus the table row count. ALL
+    * statistics come from a single aggregate over one scan (Spark plans
+    * the multi-distinct via expand, still one pass over the parquet);
+    * the unpivot to one-row-per-column happens on the 1-row aggregate.
+    * Exact integers only — no value rendering, so no cross-engine
+    * formatting hazards. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val one = Catalog.load(spark, dir, "orders")
+      .agg(aggs.head, aggs.tail: _*)
+    val stack = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${cols.length}, $stack) as (col_name, n_nulls, n_distinct)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
+  private val columnProfileSql = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.map(c =>
+      s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS nn_$c, CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd_$c")
+      .mkString(",\n    ")
+    val arms = cols.map(c =>
+      s"SELECT '$c' AS col_name, n_rows, nn_$c AS n_nulls, nd_$c AS n_distinct FROM a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    $aggs
+       |  FROM orders
+       |)
+       |SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+       |  $arms
+       |) u ORDER BY col_name""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q269_column_profile", columnProfile, Some(columnProfileSql),
+      "one-pass table profile: per-column null + exact distinct counts " +
+        "from a single scan, unpivoted on the 1-row aggregate"),
     Q("q252_holt_winters", holtWintersQ, Some(holtWintersSql),
       "Holt-Winters triple smoothing (period 7) in fixed-point " +
         "micro-units, bit-exact vs a 7-slot rotating recursive CTE"),

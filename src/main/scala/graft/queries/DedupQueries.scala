@@ -169,6 +169,31 @@ object DedupQueries {
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Near-dup cluster size histogram — the dedup observability view:
+    * how many clusters of each size the 0.5-Jaccard graph produces
+    * (size 1 = unique docs). Rolls q65's connected components into two
+    * map-side-combinable aggregates; the component computation is the
+    * only corpus-sized work and is shared machinery. */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupClusters(docs(spark, dir), n = 5, threshold = 0.5)
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("sz"))
+
+  private val clusterSizeHistSql =
+    s"""WITH RECURSIVE $reachCtes, rep AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |), cs AS (
+       |  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM rep GROUP BY 1
+       |)
+       |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM cs GROUP BY 1 ORDER BY sz""".stripMargin
+
   def corpusClean(spark: SparkSession, dir: String): DataFrame =
     DedupOps.corpusClean(docs(spark, dir), qualityMin = 0.38)
       .orderBy(col("doc_id"))
@@ -484,6 +509,9 @@ object DedupQueries {
         "bit_count hamming verify (spec-checked vs brute force)"),
     Q("q65_dedup_clusters", clusters, Some(clustersSql),
       "connected-component dup clusters via min-label propagation (oracle: recursive CTE)"),
+    Q("q266_cluster_size_hist", clusterSizeHist, Some(clusterSizeHistSql),
+      "near-dup cluster size histogram (dedup observability; rolls q65's " +
+        "components into two combinable aggregates)"),
     Q("q66_corpus_clean", corpusClean, Some(corpusCleanSql),
       "composed pipeline: quality gate + exact keeper + near-dup cluster rep"),
     Q("q67_dup_stats", dupStats, Some(dupStatsSql),

@@ -2652,7 +2652,74 @@ object EventQueries {
       |        JOIN pt y ON y.event_type = t2, ns
       |ORDER BY t1, t2""".stripMargin
 
+  // ---- per-stage funnel latency ----------------------------------------
+
+  /** Stage-to-stage funnel timing: first-signup→first-view and
+    * first-view→first-purchase gaps per user (forward-ordered pairs
+    * only), with exact rank-selected median/p90 per stage pair — q200's
+    * single-hop latency generalized to the staged funnel. One per-user
+    * conditional-min aggregate (no event self-join), then the shared
+    * rank-percentile machinery per pair. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val u = e.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "signup", col("t"))).as("t_signup"),
+      min(when(col("event_type") === "view", col("t"))).as("t_view"),
+      min(when(col("event_type") === "purchase", col("t"))).as("t_purchase"))
+    val sToV = u
+      .filter(col("t_signup").isNotNull && col("t_view").isNotNull &&
+        col("t_view") >= col("t_signup"))
+      .select(lit("signup_to_view").as("stage_pair"), col("user_id"),
+        (col("t_view") - col("t_signup")).as("gap_us"))
+    val vToP = u
+      .filter(col("t_view").isNotNull && col("t_purchase").isNotNull &&
+        col("t_purchase") >= col("t_view"))
+      .select(lit("view_to_purchase").as("stage_pair"), col("user_id"),
+        (col("t_purchase") - col("t_view")).as("gap_us"))
+    graft.ops.StatsOps.rankPercentiles(sToV.union(vToP),
+        col("stage_pair"), col("gap_us"), col("user_id"))
+      .withColumnRenamed("k", "stage_pair")
+      .orderBy(col("stage_pair"))
+  }
+
+  private val funnelLatencySql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events
+      |), u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN t END) AS t_signup,
+      |    MIN(CASE WHEN event_type = 'view' THEN t END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN t END) AS t_purchase
+      |  FROM e GROUP BY 1
+      |), g AS (
+      |  SELECT 'signup_to_view' AS stage_pair, user_id,
+      |    t_view - t_signup AS gap_us
+      |  FROM u WHERE t_signup IS NOT NULL AND t_view IS NOT NULL
+      |    AND t_view >= t_signup
+      |  UNION ALL
+      |  SELECT 'view_to_purchase', user_id, t_purchase - t_view
+      |  FROM u WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+      |    AND t_purchase >= t_view
+      |), r AS (
+      |  SELECT stage_pair, gap_us,
+      |    ROW_NUMBER() OVER (PARTITION BY stage_pair
+      |      ORDER BY gap_us, user_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY stage_pair) AS n
+      |  FROM g
+      |)
+      |SELECT stage_pair, MAX(n) AS n,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN gap_us END)) / 2 AS median,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN gap_us END)
+      |    AS p90
+      |FROM r GROUP BY 1 ORDER BY stage_pair""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q268_funnel_latency", funnelLatency, Some(funnelLatencySql),
+      "stage-to-stage funnel latency: per-user conditional mins, exact " +
+        "rank-selected median/p90 per stage pair"),
     Q("q263_weekly_churn", weeklyChurn, Some(weeklyChurnSql),
       "weekly active/retained/churned/new user flow from one distinct " +
         "(user,week) table self-joined at ±1 week"),

@@ -148,6 +148,28 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-ID confusion matrix: the dataset's `lang` label against
+    * the stopword-count heuristic's prediction (q53's exact semantics),
+    * rolled to (label, prediction) counts — the accuracy audit a
+    * filtering pipeline runs before trusting the classifier at scale.
+    * One join on doc_id (both sides doc-keyed) + one combinable
+    * aggregate. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(TextOps.langId(docs(spark, dir))
+        .select(col("doc_id"), col("pred_lang")), "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  private val langConfusionSql =
+    s"""WITH pred AS (
+       |$langIdSql
+       |)
+       |SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM documents d JOIN pred p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+
   /** MapType surface: per-doc term-frequency MAP built with
     * map_from_entries(collect_list(struct)), then probed with size /
     * try_element_at (ANSI mode: plain element_at throws on a missing
@@ -1530,6 +1552,9 @@ object TextQueries {
       "corpus term frequencies top-20"),
     Q("q52_quality_score", quality, Some(qualitySql),
       "document quality scoring from exact counts"),
+    Q("q267_lang_confusion", langConfusion, Some(langConfusionSql),
+      "language-ID confusion matrix: dataset label vs stopword-heuristic " +
+        "prediction, doc-keyed join + one aggregate"),
     Q("q53_lang_id", langId, Some(langIdSql),
       "stopword-profile language identification"),
     Q("q57_map_pack", tfMap, Some(tfMapSql),

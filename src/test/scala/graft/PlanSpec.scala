@@ -596,4 +596,10 @@ class PlanSpec extends AnyFunSuite {
     val affinity = plan(EventQueries.typeAffinity(spark, dir))
     assert("BroadcastHashJoin".r.findAllIn(affinity).size >= 2, affinity)
   }
+
+  test("column profile: all per-column statistics come from ONE scan of " +
+    "the table") {
+    val p = plan(AnalyticsQueries.columnProfile(spark, dir))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
 }
