@@ -680,6 +680,34 @@ object Streams {
         }
       }
 
+  // ---- arbitrary stateful processing v2 (transformWithState) -----------
+
+  case class SpendRow(user_id: Long, cents: Long)
+  case class SpendTotal(user_id: Long, n_purchases: Long, total_cents: Long)
+
+  /** Per-user running purchase totals on Spark 4's transformWithState —
+    * the state-API-v2 successor to flatMapGroupsWithState (typed
+    * composable state, TTL support, RocksDB-backed). ValueState holds
+    * (count, cents); every micro-batch emits the updated totals for the
+    * keys it touched (update-mode semantics). Integer cents keep the
+    * accumulation exact in any within-batch arrival order, so the final
+    * emission per user equals the batch aggregate bit-for-bit. Requires
+    * the RocksDB state store provider (the only provider the v2 state
+    * API supports). */
+  def spendTotalsStream(events: DataFrame)
+      : Dataset[SpendTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .as[SpendRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new SpendProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Pure gap-split (shared by the stateful op and its spec oracle). */
   def splitSessions(uid: Long, sorted: Seq[(Long, Double)]): Seq[Session] = {
     if (sorted.isEmpty) return Nil
@@ -697,5 +725,30 @@ object Streams {
     }
     out += Session(uid, start, last + GapUs, n, sum.toDouble)
     out.toSeq
+  }
+}
+
+/** The StatefulProcessor behind [[Streams.spendTotalsStream]]: one
+  * ValueState[(count, cents)] per user key. State reads/writes go through
+  * the v2 typed-state handle, so the same processor runs unchanged on the
+  * RocksDB provider with changelog checkpointing at scale. */
+class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Streams.SpendRow, Streams.SpendTotal] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Streams.SpendRow],
+      timerValues: TimerValues): Iterator[Streams.SpendTotal] = {
+    val (c0, s0) = if (totals.exists()) totals.get() else (0L, 0L)
+    var c = c0
+    var s = s0
+    rows.foreach { r => c += 1; s += r.cents }
+    totals.update((c, s))
+    Iterator.single(Streams.SpendTotal(key, c, s))
   }
 }

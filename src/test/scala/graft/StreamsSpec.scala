@@ -254,6 +254,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids.toSet.size == ids.length)
   }
 
+  test("transformWithState (state API v2): running spend totals equal " +
+    "the batch aggregate, RocksDB-backed") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val staged = java.nio.file.Files.createTempDirectory("events-tws")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val q = Streams
+        .spendTotalsStream(Streams.eventStream(spark, staged.toString))
+        .toDF().writeStream.format("memory").queryName("tws")
+        .outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+      // last emission per user — totals are monotone across micro-batches
+      val streamed = spark.table("tws")
+        .groupBy($"user_id")
+        .agg(max($"n_purchases"), max($"total_cents"))
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.catalog.Catalog.load(spark, dir, "events")
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)),
+          sum(expr("cast(round(value * 100) as long)")))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionizer state runs on the RocksDB state store provider") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
