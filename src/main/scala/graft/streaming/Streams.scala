@@ -708,6 +708,26 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** The 5-minute-gap sessionizer re-expressed on the v2 state API with
+    * EVENT-TIME TIMERS: events buffer in ListState; one pending timer per
+    * user at (last event + gap), re-registered as later events arrive;
+    * when the watermark passes it, every buffered session is closed —
+    * the timer fires once, the flush emits all sessions via the SAME
+    * [[splitSessions]] kernel as the flatMapGroupsWithState form, so the
+    * two implementations are spec-comparable session for session. */
+  def sessionizeStreamV2(events: DataFrame,
+      watermarkDelay: String = "10 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorV2, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Pure gap-split (shared by the stateful op and its spec oracle). */
   def splitSessions(uid: Long, sorted: Seq[(Long, Double)]): Seq[Session] = {
     if (sorted.isEmpty) return Nil
@@ -750,5 +770,48 @@ class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
     rows.foreach { r => c += 1; s += r.cents }
     totals.update((c, s))
     Iterator.single(Streams.SpendTotal(key, c, s))
+  }
+}
+
+/** The event-time-timer StatefulProcessor behind
+  * [[Streams.sessionizeStreamV2]]: ListState buffers (ts_us, value) per
+  * user; exactly one pending timer per key tracks the open tail's close
+  * time; the expired-timer path flushes every buffered session through
+  * the shared [[Streams.splitSessions]] kernel and clears state — each
+  * session emitted exactly once. */
+class SessionProcessorV2 extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Streams.EvT, Streams.Session] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var buf: ListState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[(Long, Double)]("events",
+      org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Streams.EvT],
+      timerValues: TimerValues): Iterator[Streams.Session] = {
+    var maxUs = Long.MinValue
+    rows.foreach { e =>
+      val inst = e.ts.toInstant
+      val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      buf.appendValue((us, e.value))
+      if (us > maxUs) maxUs = us
+    }
+    if (maxUs != Long.MinValue) {
+      // keep a single pending flush timer at the newest close time; +1ms
+      // keeps it strictly past the µs→ms-truncated watermark
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(maxUs / 1000L + Streams.GapUs / 1000L + 1L)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[Streams.Session] = {
+    val all = buf.get().toSeq.sortBy(_._1)
+    buf.clear()
+    if (all.isEmpty) Iterator.empty
+    else Streams.splitSessions(key, all).iterator
   }
 }

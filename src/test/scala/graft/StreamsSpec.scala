@@ -254,6 +254,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids.toSet.size == ids.length)
   }
 
+  test("sessionizer on transformWithState event-time timers == batch " +
+    "sessions, exactly once") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val staged = java.nio.file.Files.createTempDirectory("events-sess-v2")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val q = Streams
+        .sessionizeStreamV2(Streams.eventStream(spark, staged.toString))
+        .toDF().writeStream.format("memory").queryName("sessv2")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // sentinel pushes the watermark past every real session's close
+      // time → every pending per-user timer fires and flushes
+      stageSentinel(staged, maxTsUs + Streams.GapUs + 100L * 1000000L)
+      q.processAllAvailable(); q.stop()
+      val emitted = spark.table("sessv2").filter($"user_id" >= 0)
+        .select("user_id", "sess_start_us", "sess_end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(emitted.size == emitted.toSet.size) // exactly once
+      val batch = EventQueries.sessions(spark, dir)
+        .select("user_id", "sess_start_us", "sess_end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(emitted.toSet == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState (state API v2): running spend totals equal " +
     "the batch aggregate, RocksDB-backed") {
     val key = "spark.sql.streaming.stateStore.providerClass"
