@@ -2716,7 +2716,109 @@ object EventQueries {
       |    AS p90
       |FROM r GROUP BY 1 ORDER BY stage_pair""".stripMargin
 
+  // ---- seasonal-naive forecast error -----------------------------------
+
+  /** Backtest of the seasonal-naive forecaster (ŷ(t) = y(t−7 days)) on
+    * daily order revenue: exact integer-cent absolute errors over all
+    * day pairs present at both ends, one division for the MAE — the
+    * baseline every forecasting pipeline must beat, evaluated
+    * engine-exactly. One aggregate + one self-equi-join on the shifted
+    * day key. */
+  def seasonalNaiveError(spark: SparkSession, dir: String): DataFrame = {
+    val d = Catalog.load(spark, dir, "orders")
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as long)"))
+        .cast("long").as("cents"))
+    val lagged = d.select((col("day") + 7).as("day"),
+      col("cents").as("cents_prev"))
+    d.join(lagged, "day")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("cents") - col("cents_prev")))
+          .cast("long").as("sum_abs_err"),
+        max(abs(col("cents") - col("cents_prev"))).as("max_abs_err"))
+      .select(col("n_pairs"), col("sum_abs_err"), col("max_abs_err"),
+        (col("sum_abs_err").cast("double") / col("n_pairs").cast("double"))
+          .as("mae_cents"))
+  }
+
+  private val seasonalNaiveErrorSql =
+    """WITH d AS (
+      |  SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |), j AS (
+      |  SELECT a.cents, b.cents AS cents_prev
+      |  FROM d a JOIN d b ON a.day = b.day + 7
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(abs(cents - cents_prev)) AS BIGINT) AS sum_abs_err,
+      |  CAST(MAX(abs(cents - cents_prev)) AS BIGINT) AS max_abs_err,
+      |  CAST(SUM(abs(cents - cents_prev)) AS DOUBLE) / COUNT(*) AS mae_cents
+      |FROM j""".stripMargin
+
+  // ---- session abandonment by day --------------------------------------
+
+  /** Daily session-abandonment report: per session-start day, total
+    * sessions, purchasing sessions, and abandoned sessions (saw a view,
+    * never purchased) — the canonical conversion-health dashboard. One
+    * sessionizing aggregate with per-session boolean flags folded in
+    * (no second pass over events), then a tiny daily rollup. */
+  def abandonment(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0))
+          .as("has_view"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("has_purchase"))
+      .select(
+        expr("unix_micros(session_window.start) div 86400000000").as("day"),
+        col("has_view"), col("has_purchase"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("has_purchase")).cast("long").as("n_purchase"),
+        sum(when(col("has_view") === 1 && col("has_purchase") === 0, 1L)
+          .otherwise(0L)).cast("long").as("n_abandoned"))
+      .orderBy(col("day"))
+
+  private val abandonmentSql =
+    """WITH t AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+      |    CASE WHEN epoch_ns(ts) // 1000
+      |           - lag(epoch_ns(ts) // 1000) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id)
+      |           >= 300000000
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS NULL
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |), s AS (
+      |  SELECT *, SUM(new_sess) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM t
+      |), sess AS (
+      |  SELECT user_id, sess_id, MIN(ts_us) AS start_us,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS has_purchase
+      |  FROM s GROUP BY 1, 2
+      |)
+      |SELECT start_us // 86400000000 AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(has_purchase) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 0 THEN 1
+      |    ELSE 0 END) AS BIGINT) AS n_abandoned
+      |FROM sess GROUP BY 1 ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q270_seasonal_naive", seasonalNaiveError, Some(seasonalNaiveErrorSql),
+      "seasonal-naive (t-7d) revenue backtest: exact integer-cent " +
+        "errors, one division for MAE"),
+    Q("q271_abandonment", abandonment, Some(abandonmentSql),
+      "daily session abandonment: per-session view/purchase flags folded " +
+        "into the sessionizing aggregate, tiny daily rollup"),
     Q("q268_funnel_latency", funnelLatency, Some(funnelLatencySql),
       "stage-to-stage funnel latency: per-user conditional mins, exact " +
         "rank-selected median/p90 per stage pair"),
