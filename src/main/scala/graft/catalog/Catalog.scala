@@ -124,22 +124,30 @@ object Catalog {
       val conf = spark.sessionState.newHadoopConf()
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
-      val file =
+      val files =
         if (fs.getFileStatus(hp).isDirectory)
           fs.listStatus(hp).map(_.getPath)
-            .filter(q => q.getName.endsWith(".parquet")).head
-        else hp
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-      try {
-        val schema = reader.getFileMetaData.getSchema
-        schema.getType(schema.getFieldIndex("ts"))
-          .asPrimitiveType().getLogicalTypeAnnotation match {
-          case t: TimestampLogicalTypeAnnotation =>
-            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-          case null => true // bare INT64: the ns-era physical layout
-          case _    => false
-        }
-      } finally reader.close()
+            .filter(q => q.getName.endsWith(".parquet"))
+        else Array(hp)
+      if (files.isEmpty)
+        // nothing to probe (e.g. a stream dir awaiting its first file):
+        // assume the current µs layout; a later ns file would fail the
+        // read loudly rather than silently mis-scale
+        java.lang.Boolean.FALSE
+      else {
+        val reader =
+          ParquetFileReader.open(HadoopInputFile.fromPath(files.head, conf))
+        try {
+          val schema = reader.getFileMetaData.getSchema
+          schema.getType(schema.getFieldIndex("ts"))
+            .asPrimitiveType().getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case null => true // bare INT64: the ns-era physical layout
+            case _    => false
+          }
+        } finally reader.close()
+      }
     })
 
   /** Unit-aware events scan over an explicit path (file or directory):
