@@ -708,6 +708,25 @@ object Streams {
         OutputMode.Update())
   }
 
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user event-type histogram on v2 MapState — the third state
+    * shape next to ValueState (spend totals) and ListState+timers
+    * (sessionizer): MapState[event_type → count] per user, each
+    * micro-batch emitting the updated count for every type it touched
+    * (update-mode). Keys are stored individually in the state store, so
+    * a single hot user with many types never deserializes one giant
+    * blob — the reason MapState exists over ValueState[Map]. */
+  def typeCountsStream(events: DataFrame): Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.select(col("user_id"), col("ts"), col("event_type")).as[EvTyped]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** The 5-minute-gap sessionizer re-expressed on the v2 state API with
     * EVENT-TIME TIMERS: events buffer in ListState; one pending timer per
     * user at (last event + gap), re-registered as later events arrive;
@@ -770,6 +789,35 @@ class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
     rows.foreach { r => c += 1; s += r.cents }
     totals.update((c, s))
     Iterator.single(Streams.SpendTotal(key, c, s))
+  }
+}
+
+/** The MapState StatefulProcessor behind [[Streams.typeCountsStream]]:
+  * one map entry per (user, event_type), incremented per row; the output
+  * list is materialized eagerly so no state access outlives the
+  * handleInputRows call. */
+class TypeCountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Streams.EvTyped, Streams.TypeCount] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Streams.EvTyped],
+      timerValues: TimerValues): Iterator[Streams.TypeCount] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { e =>
+      val c = if (counts.containsKey(e.event_type))
+        counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, c + 1L)
+      touched += e.event_type
+    }
+    touched.toList
+      .map(t => Streams.TypeCount(key, t, counts.getValue(t))).iterator
   }
 }
 

@@ -254,6 +254,38 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids.toSet.size == ids.length)
   }
 
+  test("transformWithState MapState: per-user type histogram equals the " +
+    "batch groupBy, RocksDB-backed") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val staged = java.nio.file.Files.createTempDirectory("events-twsmap")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val q = Streams
+        .typeCountsStream(Streams.eventStream(spark, staged.toString))
+        .toDF().writeStream.format("memory").queryName("twsmap")
+        .outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+      // last emission per (user, type) — counts are monotone
+      val streamed = spark.table("twsmap")
+        .groupBy($"user_id", $"event_type").agg(max($"n"))
+        .as[(Long, String, Long)].collect().toSet
+      val batch = graft.catalog.Catalog.load(spark, dir, "events")
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)))
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionizer on transformWithState event-time timers == batch " +
     "sessions, exactly once") {
     val key = "spark.sql.streaming.stateStore.providerClass"
