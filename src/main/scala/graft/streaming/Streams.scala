@@ -708,6 +708,33 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** Spend totals warm-started from a BATCH backfill — the production
+    * bootstrap pattern: the historical aggregate seeds per-key state via
+    * StatefulProcessorWithInitialState.handleInitialState, then the
+    * stream continues accumulating on top. Final totals equal the
+    * aggregate over backfill+stream as if it had all streamed — the
+    * cutover invariant a backfilled pipeline must satisfy. */
+  def spendTotalsStreamWithInit(events: DataFrame,
+      backfill: DataFrame): Dataset[SpendTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val init = backfill.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as long)")).cast("long").as("s"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .as[SpendRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new SpendProcessorWithInit, TimeMode.None(),
+        OutputMode.Update(), init)
+  }
+
   case class TypeCount(user_id: Long, event_type: String, n: Long)
 
   /** Per-user event-type histogram on v2 MapState — the third state
@@ -780,6 +807,35 @@ class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     totals = getHandle.getValueState[(Long, Long)]("totals",
       org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Streams.SpendRow],
+      timerValues: TimerValues): Iterator[Streams.SpendTotal] = {
+    val (c0, s0) = if (totals.exists()) totals.get() else (0L, 0L)
+    var c = c0
+    var s = s0
+    rows.foreach { r => c += 1; s += r.cents }
+    totals.update((c, s))
+    Iterator.single(Streams.SpendTotal(key, c, s))
+  }
+}
+
+/** [[SpendProcessor]]'s warm-start twin: identical accumulation, plus
+  * handleInitialState seeds the ValueState from the batch backfill
+  * aggregate before the first micro-batch touches the key. */
+class SpendProcessorWithInit
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, Streams.SpendRow, Streams.SpendTotal, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInitialState(key: Long, initialState: (Long, Long),
+      timerValues: TimerValues): Unit =
+    totals.update(initialState)
 
   override def handleInputRows(key: Long, rows: Iterator[Streams.SpendRow],
       timerValues: TimerValues): Iterator[Streams.SpendTotal] = {

@@ -254,6 +254,55 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids.toSet.size == ids.length)
   }
 
+  test("transformWithState initial state: batch backfill seeds the " +
+    "stream, totals equal the all-streamed aggregate") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = graft.catalog.Catalog.load(spark, dir, "events")
+      val (lo, hi) = all
+        .agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+        .as[(Long, Long)].head()
+      val cutUs = (lo + hi) / 2
+      val backfill = all.filter(unix_micros($"ts") < cutUs)
+      val staged = java.nio.file.Files.createTempDirectory("events-twsinit")
+      all.filter(unix_micros($"ts") >= cutUs)
+        .write.mode("overwrite").parquet(staged.toString)
+      val q = Streams.spendTotalsStreamWithInit(
+          Streams.eventStream(spark, staged.toString), backfill)
+        .toDF().writeStream.format("memory").queryName("twsinit")
+        .outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("twsinit")
+        .groupBy($"user_id").agg(max($"n_purchases"), max($"total_cents"))
+        .as[(Long, Long, Long)].collect()
+      // cutover invariant: every user the stream touched lands on the
+      // same totals as if the whole history had streamed
+      val full = all.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)), sum(expr("cast(round(value * 100) as long)")))
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (u, n, s) =>
+        assert(full(u) == ((n, s)), s"user $u: ($n,$s) vs ${full(u)}")
+      }
+      // the warm start mattered: at least one streamed user had
+      // backfill-era purchases folded in
+      val backfillBuyers = backfill
+        .filter($"event_type" === "purchase")
+        .select($"user_id").distinct().as[Long].collect().toSet
+      assert(streamed.exists(t => backfillBuyers(t._1)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState MapState: per-user type histogram equals the " +
     "batch groupBy, RocksDB-backed") {
     val key = "spark.sql.streaming.stateStore.providerClass"
