@@ -1478,7 +1478,64 @@ object TextQueries {
       |FROM it JOIN sz x ON x.source = s1 JOIN sz y ON y.source = s2
       |ORDER BY s1, s2""".stripMargin
 
+  // ---- Pareto vocabulary coverage --------------------------------------
+
+  /** Tokenizer-budget planning: the vocabulary size needed to cover
+    * 50/90/99% of all token OCCURRENCES (rank tokens by frequency, find
+    * the smallest prefix whose cumulative count crosses each threshold).
+    * The corpus-sized work is one (token → count) aggregate; the ranked
+    * cumulative window then runs on the VOCAB aggregate — the same
+    * model-sized-not-corpus-sized argument as the BPE trainer — with
+    * integer threshold arithmetic (cum·100 ≥ total·pct), no floats
+    * anywhere. */
+  def paretoCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = TextOps.exploded(docs(spark, dir))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("c").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(
+        counts.agg(sum(col("c")).cast("long").as("total"))))
+    val thresholds = spark.range(0, 3)
+      .select(expr("element_at(array(50, 90, 99), cast(id as int) + 1)")
+        .as("pct"))
+    ranked.join(broadcast(thresholds),
+        expr("cum * 100 >= total * pct"))
+      .groupBy(col("pct"))
+      .agg(min(col("rank")).cast("long").as("vocab_size"),
+        max(col("total")).as("total_occurrences"))
+      .orderBy(col("pct"))
+  }
+
+  private val paretoCoverageSql =
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), f AS (
+      |  SELECT tok, COUNT(*) AS c FROM t WHERE tok <> '' GROUP BY 1
+      |), r AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank,
+      |    SUM(c) OVER (ORDER BY c DESC, tok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM f
+      |), tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS total FROM f
+      |)
+      |SELECT pct, CAST(MIN(rank) AS BIGINT) AS vocab_size,
+      |  MAX(total) AS total_occurrences
+      |FROM r, tot, (VALUES (50), (90), (99)) th(pct)
+      |WHERE cum * 100 >= total * pct
+      |GROUP BY 1 ORDER BY pct""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q272_pareto_coverage", paretoCoverage, Some(paretoCoverageSql),
+      "vocab size covering 50/90/99% of token occurrences: corpus-sized " +
+        "count aggregate, vocab-sized ranked window, integer thresholds"),
     Q("q264_source_vocab_jaccard", sourceVocabJaccard,
       Some(sourceVocabJaccardSql),
       "pairwise source vocabulary Jaccard: distinct (source,token) " +
