@@ -2812,7 +2812,94 @@ object EventQueries {
       |    ELSE 0 END) AS BIGINT) AS n_abandoned
       |FROM sess GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---- first-touch mix -------------------------------------------------
+
+  /** Acquisition-integrity audit: which event type each user's history
+    * STARTS with (rank-1 row per user, deterministic (ts, event_id)
+    * order), rolled to a type mix — cold-start purchases with no prior
+    * view/signup surface here as a tracking bug. One user-keyed window,
+    * WindowGroupLimit-prunable to rank 1. */
+  def firstTouch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type").as("first_event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("first_event_type"))
+  }
+
+  private val firstTouchSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS rn
+      |  FROM e
+      |)
+      |SELECT event_type AS first_event_type, COUNT(*) AS n_users
+      |FROM r WHERE rn = 1
+      |GROUP BY 1 ORDER BY first_event_type""".stripMargin
+
+  // ---- inter-arrival gap histogram (log scale) -------------------------
+
+  /** Power-of-two histogram of per-user inter-arrival gaps — q257's
+    * percentile view replaced by the full log-scale shape (the
+    * heavy-tail diagnostic). Integer bit-length bucketing (q162's
+    * trick), no floating log2; zero gaps clamp to the 1 µs bucket
+    * identically on both engines. */
+  def gapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .select(greatest(col("next_us") - col("ts_us"), lit(1L)).as("gap_us"))
+      .withColumn("bits", length(conv(col("gap_us"), 10, 2)))
+      .withColumn("bucket_lo",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), bits - 1) AS BIGINT)"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  private val gapHistogramSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+      |), g AS (
+      |  SELECT lead(ts_us, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) - ts_us AS raw_gap
+      |  FROM e
+      |), f AS (
+      |  SELECT greatest(raw_gap, 1) AS gap_us FROM g
+      |  WHERE raw_gap IS NOT NULL
+      |)
+      |SELECT CAST(1 AS BIGINT)
+      |    << (length(ltrim(bin(CAST(gap_us AS BIGINT)), '0')) - 1)
+      |    AS bucket_lo,
+      |  COUNT(*) AS n_gaps, MIN(gap_us) AS min_gap_us,
+      |  MAX(gap_us) AS max_gap_us
+      |FROM f
+      |GROUP BY 1 ORDER BY bucket_lo""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q273_first_touch", firstTouch, Some(firstTouchSql),
+      "first-event-type mix per user (rank-1 window, acquisition " +
+        "tracking audit)"),
+    Q("q274_gap_histogram", gapHistogram, Some(gapHistogramSql),
+      "power-of-two inter-arrival gap histogram via integer bit-length " +
+        "buckets, no floating log2"),
     Q("q270_seasonal_naive", seasonalNaiveError, Some(seasonalNaiveErrorSql),
       "seasonal-naive (t-7d) revenue backtest: exact integer-cent " +
         "errors, one division for MAE"),
