@@ -2893,7 +2893,102 @@ object EventQueries {
       |FROM f
       |GROUP BY 1 ORDER BY bucket_lo""".stripMargin
 
+  // ---- session duration percentiles ------------------------------------
+
+  /** Exact session-duration distribution: median/p90 of 5-minute-gap
+    * session lengths (close time − start, so a single-event session
+    * lasts exactly the gap) via the shared rank-percentile machinery —
+    * q260's count histogram complemented by the duration shape. The
+    * sessionizing aggregate is the only corpus-sized pass. */
+  def sessionDurations(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Catalog.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        (unix_micros(col("session_window.end"))
+          - unix_micros(col("session_window.start"))).as("dur_us"))
+    graft.ops.StatsOps.rankPercentiles(
+        sess.withColumn("g", lit("all")), col("g"), col("dur_us"),
+        struct(col("start_us"), col("user_id")))
+      .select(col("n"), col("median"), col("p90"))
+  }
+
+  private val sessionDurationsSql =
+    """WITH t AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |    CASE WHEN epoch_ns(ts) // 1000
+      |           - lag(epoch_ns(ts) // 1000) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id)
+      |           >= 300000000
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS NULL
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |), s AS (
+      |  SELECT *, SUM(new_sess) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM t
+      |), sess AS (
+      |  SELECT user_id, MIN(ts_us) AS start_us,
+      |    MAX(ts_us) + 300000000 - MIN(ts_us) AS dur_us
+      |  FROM s GROUP BY user_id, sess_id
+      |), r AS (
+      |  SELECT dur_us,
+      |    ROW_NUMBER() OVER (ORDER BY dur_us, start_us, user_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM sess
+      |)
+      |SELECT MAX(n) AS n,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN dur_us END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN dur_us END)) / 2 AS median,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN dur_us END)
+      |    AS p90
+      |FROM r""".stripMargin
+
+  // ---- repeat-purchase summary -----------------------------------------
+
+  /** One-time vs repeat buyers: purchase-count per user folded into the
+    * repeat-rate summary every commerce dashboard leads with — exact
+    * integers plus one division. Two combinable aggregates. */
+  def repeatPurchase(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("np") === 1, 1L).otherwise(0L))
+          .cast("long").as("n_one_time"),
+        sum(when(col("np") >= 2, 1L).otherwise(0L))
+          .cast("long").as("n_repeat"),
+        sum(col("np")).cast("long").as("n_purchases"))
+      .select(col("n_buyers"), col("n_one_time"), col("n_repeat"),
+        col("n_purchases"),
+        (col("n_repeat").cast("double") / col("n_buyers").cast("double"))
+          .as("repeat_rate"))
+
+  private val repeatPurchaseSql =
+    """WITH u AS (
+      |  SELECT user_id, COUNT(*) AS np FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+      |  CAST(SUM(CASE WHEN np = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_one_time,
+      |  CAST(SUM(CASE WHEN np >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeat,
+      |  CAST(SUM(np) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN np >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS repeat_rate
+      |FROM u""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q275_session_durations", sessionDurations, Some(sessionDurationsSql),
+      "exact median/p90 session duration via the shared rank-percentile " +
+        "recipe over the sessionizing aggregate"),
+    Q("q276_repeat_purchase", repeatPurchase, Some(repeatPurchaseSql),
+      "one-time vs repeat buyer summary: exact integers, one division " +
+        "for the repeat rate"),
     Q("q273_first_touch", firstTouch, Some(firstTouchSql),
       "first-event-type mix per user (rank-1 window, acquisition " +
         "tracking audit)"),
