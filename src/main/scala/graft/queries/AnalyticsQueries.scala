@@ -2718,7 +2718,127 @@ object AnalyticsQueries {
        |) u ORDER BY col_name""".stripMargin
   }
 
+  // ---- bloom-prefiltered semi join -------------------------------------
+
+  /** Semi join with a broadcast Bloom prefilter on the probe side — the
+    * shape that keeps a 100 TB probe⋉dim join cheap: the build side's
+    * keys are folded into a ~1 MB Bloom sketch (distributed aggregate,
+    * driver holds only the sketch), broadcast, and applied BEFORE the
+    * exchange, so only rows that might match are ever shuffled. The
+    * exact semi join afterwards removes the Bloom's false positives, so
+    * the result is bit-identical to a plain semi join (the oracle) —
+    * the Bloom changes the data volume, never the answer. Catalyst's
+    * runtime bloom filter does this automatically under AQE for some
+    * plans; this operator is the explicit, always-on version. */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val rich = Catalog.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey"))
+    val nKeys = math.max(rich.count(), 1L)
+    val bloom = rich.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    Catalog.load(spark, dir, "lineitem")
+      .filter(mightContain(col("l_orderkey")))     // pre-shuffle prune
+      .join(rich, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .cast("long").as("rev_c"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val bloomSemiJoinSql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_c
+      |FROM lineitem
+      |WHERE l_orderkey IN
+      |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- order-to-ship latency profile -----------------------------------
+
+  /** Fulfilment latency (order date → line ship date) per order
+    * priority: exact integer day arithmetic on DATE-truncated
+    * timestamps (both engines subtract calendar dates, so no
+    * day-boundary ambiguity), BIGINT sums, one mirrored division for
+    * the mean. One shuffle on the join key, one small rollup. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+    val l = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("sd"), col("od")).cast("long").as("days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        min(col("days")).as("min_days"), max(col("days")).as("max_days"),
+        sum(col("days")).cast("long").as("sum_days"))
+      .select(col("o_orderpriority"), col("n"), col("min_days"),
+        col("max_days"), col("sum_days"),
+        (col("sum_days").cast("double") / col("n").cast("double"))
+          .as("avg_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val shipLatencySql =
+    """WITH t AS (
+      |  SELECT o.o_orderpriority,
+      |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+      |      AS BIGINT) AS days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(days) AS BIGINT) AS min_days,
+      |  CAST(MAX(days) AS BIGINT) AS max_days,
+      |  CAST(SUM(days) AS BIGINT) AS sum_days,
+      |  CAST(SUM(days) AS DOUBLE) / COUNT(*) AS avg_days
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- shuffle-partition skew audit ------------------------------------
+
+  /** Hash-partition skew audit: rows and distinct orders per modulo-32
+    * bucket of the join key, with each bucket's load factor vs the even
+    * split (skew = n·32/total, one mirrored division). This is the
+    * profile a planner consults before choosing salting/AQE skew-join
+    * for a key — at 100 TB a 5× hot bucket is the difference between a
+    * straggler-free shuffle and one executor running for hours. Exact
+    * integer bucketing (`% 32`), engine-independent. */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "lineitem")
+      .select((col("l_orderkey") % 32).as("bucket"), col("l_orderkey"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("nd_orders"))
+      .select(col("bucket"), col("n"), col("nd_orders"),
+        (col("n").cast("double") * 32.0 /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()).cast("double")).as("skew"))
+      .orderBy(col("bucket"))
+
+  private val skewAuditSql =
+    """WITH b AS (
+      |  SELECT l_orderkey % 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_orders
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT bucket, n, nd_orders,
+      |  CAST(n AS DOUBLE) * 32 / SUM(n) OVER () AS skew
+      |FROM b ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q277_bloom_semi_join", bloomSemiJoin, Some(bloomSemiJoinSql),
+      "broadcast-Bloom prefiltered semi join == plain semi join " +
+        "(pre-shuffle probe pruning; FPs removed by the exact join)"),
+    Q("q278_ship_latency", shipLatency, Some(shipLatencySql),
+      "order-to-ship latency per priority: exact calendar-day integers, " +
+        "BIGINT sums, one mirrored division for the mean"),
+    Q("q279_skew_audit", skewAudit, Some(skewAuditSql),
+      "join-key hash-bucket skew audit: per-bucket load factor vs even " +
+        "split, the pre-salting planner profile"),
     Q("q269_column_profile", columnProfile, Some(columnProfileSql),
       "one-pass table profile: per-column null + exact distinct counts " +
         "from a single scan, unpivoted on the 1-row aggregate"),

@@ -473,7 +473,63 @@ object DedupQueries {
       .orderBy(col("grp_a"), col("grp_b"))
   }
 
+  /** Cross-source near-duplicate flow matrix: the exact 5-gram-Jaccard
+    * pair graph (q61's machinery, threshold 0.5) rolled up by the
+    * UNDIRECTED source pair of each edge. This is the provenance audit
+    * run before mixing crawl snapshots: a heavy off-diagonal cell means
+    * two "independent" sources are substantially the same corpus and
+    * mixing weights must be corrected. The pair graph is df-capped as
+    * in q61, so the rollup adds only a doc→source broadcast join and a
+    * ~sources²-cell aggregate; `max` (order-independent) is the one
+    * float column. */
+  def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    DedupOps.jaccardPairs(docs(spark, dir), n = 5, threshold = 0.5)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jac"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val crossSourceDupSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      |  WHERE len(t) >= 5
+      |), card AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) AS jaccard
+      |  FROM common
+      |  JOIN card x ON doc_a = x.doc_id
+      |  JOIN card y ON doc_b = y.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= 0.5
+      |)
+      |SELECT least(da.source, db.source) AS src_a,
+      |  greatest(da.source, db.source) AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  MAX(jaccard) AS max_jac
+      |FROM pairs
+      |JOIN documents da ON da.doc_id = pairs.doc_a
+      |JOIN documents db ON db.doc_id = pairs.doc_b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q281_cross_source_dup", crossSourceDup, Some(crossSourceDupSql),
+      "cross-source near-dup flow matrix: exact-Jaccard pair graph " +
+        "rolled up by undirected source pair (corpus provenance audit)"),
     Q("q214_kmv_jaccard", kmvVocabJaccard, None,
       "KMV bottom-k sketch Jaccard between source vocabularies " +
         "(mergeable union sketch; error-bound spec vs exact)"),

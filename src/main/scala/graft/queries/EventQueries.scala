@@ -2982,7 +2982,250 @@ object EventQueries {
       |    / COUNT(*) AS repeat_rate
       |FROM u""".stripMargin
 
+  // ---- algebraic partial-aggregate merge -------------------------------
+
+  /** Two-level aggregation exercising the algebraic-merge property every
+    * distributed agg relies on: shard the table (event_id parity, standing
+    * in for "two ingest partitions computed on different days"), compute
+    * per-shard partials (n, Σcents, min, max), then MERGE the partials —
+    * Σn, ΣΣ, min-of-mins, max-of-maxes — instead of re-touching rows.
+    * The merged result must equal the direct one-pass aggregate (the
+    * oracle): that equality is exactly what lets a 100 TB pipeline keep
+    * per-partition/per-day partials and fold them without a rescan.
+    * Integer cents throughout; one mirrored division for the mean. */
+  def partialMerge(spark: SparkSession, dir: String): DataFrame = {
+    val partials = Catalog.load(spark, dir, "events")
+      .select(col("event_type"), (col("event_id") % 2).as("shard"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("shard"))
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).cast("long").as("ps"),
+        min(col("cents")).as("pmin"), max(col("cents")).as("pmax"))
+    partials.groupBy(col("event_type"))
+      .agg(sum(col("pn")).cast("long").as("n"),
+        sum(col("ps")).cast("long").as("sum_c"),
+        min(col("pmin")).as("min_c"), max(col("pmax")).as("max_c"))
+      .select(col("event_type"), col("n"), col("sum_c"), col("min_c"),
+        col("max_c"),
+        (col("sum_c").cast("double") / col("n").cast("double"))
+          .as("avg_c"))
+      .orderBy(col("event_type"))
+  }
+
+  private val partialMergeSql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+      |  CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
+      |  CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / COUNT(*)
+      |    AS avg_c
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- day-of-week × hour activity heatmap -----------------------------
+
+  /** Traffic heatmap: events and distinct users per (ISO weekday, hour)
+    * cell — the load-shape profile capacity planning reads. ISO weekday
+    * (Mon=1) is the one day-numbering both engines can produce exactly
+    * (Spark `weekday()+1` == DuckDB `isodow()`); Sunday-based
+    * `dayofweek` disagrees across engines. 168 output cells from one
+    * exact aggregate. */
+  def dowHourHeat(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "events")
+      .select(expr("CAST(weekday(ts) + 1 AS BIGINT)").as("isodow"),
+        expr("CAST(hour(ts) AS BIGINT)").as("hr"), col("user_id"))
+      .groupBy(col("isodow"), col("hr"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("nd_users"))
+      .orderBy(col("isodow"), col("hr"))
+
+  private val dowHourHeatSql =
+    """SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+      |  CAST(hour(ts) AS BIGINT) AS hr,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- integer-exact daily volume anomaly flags ------------------------
+
+  /** Daily event-volume anomaly flags (|n − μ| > 2σ over the full span)
+    * with ZERO floating point: the 2σ test is algebraically cleared of
+    * divisions — (n·d − Σn)² > 4·(d·Σn² − (Σn)²) — and evaluated in
+    * DECIMAL(38,0), so the flag is bit-identical on any engine and safe
+    * at any scale (the squares overflow BIGINT around 1e9 events/day).
+    * One daily aggregate; the moment sums are a 1-row cross-joined
+    * rollup of those ~O(days) rows. */
+  def dailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val d = Catalog.load(spark, dir, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val m = d.agg(count(lit(1)).as("dcnt"),
+      sum(col("n")).cast("long").as("s"),
+      sum(col("n") * col("n")).cast("long").as("q"))
+    d.crossJoin(m)
+      .select(col("day"), col("n"),
+        when((col("n") * col("dcnt") - col("s")).cast("decimal(38,0)")
+            * (col("n") * col("dcnt") - col("s")).cast("decimal(38,0)")
+          > (lit(4).cast("decimal(38,0)") *
+              (col("dcnt") * col("q") - col("s") * col("s"))
+                .cast("decimal(38,0)")),
+          1L).otherwise(0L).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  private val dailyAnomalySql =
+    """WITH d AS (
+      |  SELECT epoch_ns(ts) // 1000 // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS dcnt,
+      |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q
+      |  FROM d
+      |)
+      |SELECT day, n,
+      |  CAST(CASE WHEN
+      |      CAST(n * dcnt - s AS DECIMAL(38,0))
+      |        * CAST(n * dcnt - s AS DECIMAL(38,0))
+      |      > CAST(4 AS DECIMAL(38,0))
+      |        * CAST(dcnt * q - s * s AS DECIMAL(38,0))
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM d, m ORDER BY day""".stripMargin
+
+  // ---- first-event → first-purchase conversion time --------------------
+
+  /** Time-to-convert distribution: whole hours between a user's first
+    * event of any kind and their first purchase, summarized as exact
+    * rank-selected n/median/p90 via the shared percentile recipe. Two
+    * conditional mins in ONE grouped pass (no join of two aggregates),
+    * then the ~converted-users-sized percentile window. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val per = Catalog.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("tp"))
+      .filter(col("tp").isNotNull)
+      .select(col("user_id"),
+        expr("(tp - t0) div 3600000000").as("hours"))
+    graft.ops.StatsOps.rankPercentiles(
+        per.withColumn("g", lit("all")), col("g"), col("hours"),
+        col("user_id"))
+      .select(col("n"), col("median"), col("p90"))
+  }
+
+  private val timeToConvertSql =
+    """WITH per AS (
+      |  SELECT user_id, MIN(epoch_ns(ts) // 1000) AS t0,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_ns(ts) // 1000 END) AS tp
+      |  FROM events GROUP BY 1
+      |), h AS (
+      |  SELECT user_id, (tp - t0) // 3600000000 AS hours
+      |  FROM per WHERE tp IS NOT NULL
+      |), r AS (
+      |  SELECT hours, ROW_NUMBER() OVER (ORDER BY hours, user_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM h
+      |)
+      |SELECT MAX(n) AS n,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN hours END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN hours END)) / 2 AS median,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN hours END)
+      |    AS p90
+      |FROM r""".stripMargin
+
+  // ---- monthly revenue growth-accounting bridge ------------------------
+
+  /** Growth-accounting revenue bridge: each month's revenue split into
+    * new (customer's first month), retained (also bought last month) and
+    * resurrected (bought before, but not last month), plus the churned
+    * column — last month's revenue from customers who did NOT return
+    * this month. The four columns are the canonical SaaS/commerce
+    * "where did growth come from" decomposition. Everything is one
+    * (customer, month) cents aggregate plus self-joins at month−1 —
+    * key-partitioned, no window over the whole table, exact integers. */
+  def revenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val cm = Catalog.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long").as("v"))
+      .localCheckpoint(false)
+    val first = cm.groupBy(col("c")).agg(min(col("m")).as("m0"))
+    val prev = cm.select(col("c"), (col("m") + 1).as("m"),
+      col("v").as("v_prev"))
+    val classed = cm.join(first, "c")
+      .join(prev, Seq("c", "m"), "left")
+      .select(col("m"),
+        when(col("m") === col("m0"), col("v")).otherwise(0L).as("new_v"),
+        when(col("v_prev").isNotNull && col("m") =!= col("m0"), col("v"))
+          .otherwise(0L).as("ret_v"),
+        when(col("v_prev").isNull && col("m") =!= col("m0"), col("v"))
+          .otherwise(0L).as("res_v"))
+      .groupBy(col("m"))
+      .agg(sum(col("new_v")).cast("long").as("new_c"),
+        sum(col("ret_v")).cast("long").as("retained_c"),
+        sum(col("res_v")).cast("long").as("resurrected_c"))
+    val churned = prev
+      .join(cm.select(col("c"), col("m")), Seq("c", "m"), "left_anti")
+      .groupBy(col("m"))
+      .agg(sum(col("v_prev")).cast("long").as("churned_c"))
+    classed.join(churned, Seq("m"), "left")
+      .select(col("m"), col("new_c"), col("retained_c"),
+        col("resurrected_c"),
+        coalesce(col("churned_c"), lit(0L)).as("churned_c"))
+      .orderBy(col("m"))
+  }
+
+  private val revenueBridgeSql =
+    """WITH cm AS (
+      |  SELECT o_custkey AS c,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS v
+      |  FROM orders GROUP BY 1, 2
+      |), f AS (
+      |  SELECT c, MIN(m) AS m0 FROM cm GROUP BY 1
+      |), cl AS (
+      |  SELECT cm.m,
+      |    CAST(SUM(CASE WHEN cm.m = f.m0 THEN cm.v ELSE 0 END) AS BIGINT)
+      |      AS new_c,
+      |    CAST(SUM(CASE WHEN p.c IS NOT NULL AND cm.m <> f.m0
+      |      THEN cm.v ELSE 0 END) AS BIGINT) AS retained_c,
+      |    CAST(SUM(CASE WHEN p.c IS NULL AND cm.m <> f.m0
+      |      THEN cm.v ELSE 0 END) AS BIGINT) AS resurrected_c
+      |  FROM cm
+      |  JOIN f ON f.c = cm.c
+      |  LEFT JOIN cm p ON p.c = cm.c AND p.m = cm.m - 1
+      |  GROUP BY 1
+      |), ch AS (
+      |  SELECT p.m + 1 AS m, CAST(SUM(p.v) AS BIGINT) AS churned_c
+      |  FROM cm p
+      |  LEFT JOIN cm cur ON cur.c = p.c AND cur.m = p.m + 1
+      |  WHERE cur.c IS NULL
+      |  GROUP BY 1
+      |)
+      |SELECT cl.m, cl.new_c, cl.retained_c, cl.resurrected_c,
+      |  COALESCE(ch.churned_c, 0) AS churned_c
+      |FROM cl LEFT JOIN ch ON ch.m = cl.m
+      |ORDER BY cl.m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q284_time_to_convert", timeToConvert, Some(timeToConvertSql),
+      "hours from first event to first purchase: exact rank-selected " +
+        "n/median/p90 from one conditional-min pass"),
+    Q("q285_revenue_bridge", revenueBridge, Some(revenueBridgeSql),
+      "monthly growth-accounting bridge: new/retained/resurrected/" +
+        "churned revenue, exact cents, month-1 self-joins only"),
+    Q("q280_partial_merge", partialMerge, Some(partialMergeSql),
+      "sharded partial aggregates merged algebraically == direct " +
+        "one-pass aggregate (the fold every incremental pipeline runs)"),
+    Q("q282_dow_hour_heat", dowHourHeat, Some(dowHourHeatSql),
+      "ISO-weekday × hour traffic heatmap with exact distinct users " +
+        "(the only day numbering both engines share)"),
+    Q("q283_daily_anomaly", dailyAnomaly, Some(dailyAnomalySql),
+      "daily volume 2-sigma anomaly flags with the variance test " +
+        "cleared of divisions — DECIMAL(38,0) integer-exact"),
     Q("q275_session_durations", sessionDurations, Some(sessionDurationsSql),
       "exact median/p90 session duration via the shared rank-percentile " +
         "recipe over the sessionizing aggregate"),

@@ -1532,7 +1532,52 @@ object TextQueries {
       |WHERE cum * 100 >= total * pct
       |GROUP BY 1 ORDER BY pct""".stripMargin
 
+  /** Per-source Simpson diversity of the token distribution:
+    * 1 − Σc(c−1)/(N(N−1)) — the probability two tokens drawn without
+    * replacement differ. The entropy-free diversity index: every term is
+    * an exact integer (token counts and one Σc(c−1) sum), so unlike
+    * per-term ln entropy it hash-matches across engines; the single
+    * division is mirrored IEEE. Corpus pass → vocab-sized count table →
+    * per-source 1-row rollup. BIGINT bounds hold to ~3·10⁹ repeats of
+    * one token in one source; beyond that the sums move to
+    * DECIMAL(38,0) unchanged in shape. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.exploded(
+        Catalog.load(spark, dir, "documents"))
+      .join(Catalog.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source")), "doc_id")
+    toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("c") * (col("c") - 1)).cast("long").as("ss"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (lit(1.0) - col("ss").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+          .as("simpson"))
+      .orderBy(col("source"))
+  }
+
+  private val simpsonDiversitySql =
+    """WITH t AS (
+      |  SELECT d.source, unnest(string_split(d.text, ' ')) AS tok
+      |  FROM documents d
+      |), c AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM t GROUP BY 1, 2
+      |)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab,
+      |  1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+      |    / CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE) AS simpson
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q286_simpson_diversity", simpsonDiversity,
+      Some(simpsonDiversitySql),
+      "per-source Simpson token diversity 1-sum(c(c-1))/(N(N-1)): " +
+        "integer-exact, one mirrored division (the entropy-free index)"),
     Q("q272_pareto_coverage", paretoCoverage, Some(paretoCoverageSql),
       "vocab size covering 50/90/99% of token occurrences: corpus-sized " +
         "count aggregate, vocab-sized ranked window, integer thresholds"),
