@@ -2734,12 +2734,19 @@ object AnalyticsQueries {
     val rich = Catalog.load(spark, dir, "orders")
       .filter(col("o_totalprice") > 300000.0)
       .select(col("o_orderkey"))
-    val nKeys = math.max(rich.count(), 1L)
-    val bloom = rich.stat.bloomFilter("o_orderkey", nKeys, 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    Catalog.load(spark, dir, "lineitem")
-      .filter(mightContain(col("l_orderkey")))     // pre-shuffle prune
+    val nKeys = rich.count()
+    val li = Catalog.load(spark, dir, "lineitem")
+    // zero build keys ⇒ empty semi join; stat.bloomFilter over zero rows
+    // yields a bit-array-less sketch that can't be probed, so short-circuit
+    val prefiltered =
+      if (nKeys == 0L) li.filter(lit(false))
+      else {
+        val bloom = rich.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+        li.filter(mightContain(col("l_orderkey"))) // pre-shuffle prune
+      }
+    prefiltered
       .join(rich, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),

@@ -602,4 +602,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(AnalyticsQueries.columnProfile(spark, dir))
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
   }
+
+  test("bloom semi join: UDF prefilter sits in the lineitem scan stage, " +
+    "below any exchange (pre-shuffle probe pruning)") {
+    val p = plan(AnalyticsQueries.bloomSemiJoin(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+    // the printed tree is top-down: the bloom Filter line must be
+    // followed by the lineitem FileScan with no Exchange in between —
+    // i.e. the prune happens map-side on the scanned partition, so only
+    // might-match rows are ever shuffled/broadcast-probed
+    val fi = p.indexOf("UDF(")
+    assert(fi >= 0, p)
+    val scan = p.indexOf("FileScan parquet", fi)
+    assert(scan > fi, p)
+    assert(!p.substring(fi, scan).contains("Exchange"),
+      p.substring(fi, scan))
+  }
+
+  test("revenue bridge: month-1 self-joins stay on the (cust,month) " +
+    "aggregate — no window over raw orders, no cartesian") {
+    val p = plan(EventQueries.revenueBridge(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
