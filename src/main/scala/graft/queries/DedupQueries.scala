@@ -526,7 +526,46 @@ object DedupQueries {
       |JOIN documents db ON db.doc_id = pairs.doc_b
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Dedup storage-savings report: per source, how many documents (and
+    * how many characters) near-dup dedup would drop — every doc that is
+    * NOT its 0.5-Jaccard cluster representative is redundant. The
+    * business-facing "what does dedup buy us" number, exact integers on
+    * top of q65's shared connected-components machinery; the rollup
+    * itself is one doc-keyed join + a sources-sized aggregate. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupClusters(docs(spark, dir), n = 5, threshold = 0.5)
+      .join(docs(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_rep") =!= col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_redundant"),
+        sum(col("n_chars")).cast("long").as("chars_total"),
+        sum(when(col("cluster_rep") =!= col("doc_id"), col("n_chars"))
+          .otherwise(0L)).cast("long").as("chars_redundant"))
+      .orderBy(col("source"))
+
+  private val dedupSavingsSql =
+    s"""WITH RECURSIVE $reachCtes, rep AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN rep.cluster_rep <> d.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_redundant,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+       |  CAST(SUM(CASE WHEN rep.cluster_rep <> d.doc_id THEN d.n_chars
+       |    ELSE 0 END) AS BIGINT) AS chars_redundant
+       |FROM documents d JOIN rep ON rep.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q289_dedup_savings", dedupSavings, Some(dedupSavingsSql),
+      "per-source near-dup storage savings: docs/chars that are not " +
+        "their cluster representative (exact integers, shared CC machinery)"),
     Q("q281_cross_source_dup", crossSourceDup, Some(crossSourceDupSql),
       "cross-source near-dup flow matrix: exact-Jaccard pair graph " +
         "rolled up by undirected source pair (corpus provenance audit)"),

@@ -3210,7 +3210,60 @@ object EventQueries {
       |FROM cl LEFT JOIN ch ON ch.m = cl.m
       |ORDER BY cl.m""".stripMargin
 
+  // ---- weekly order-value quartile bands -------------------------------
+
+  /** Weekly p25/p50/p75 bands of order value — the spread-over-time view
+    * (is the mix shifting, not just the mean). Exact rank selection at
+    * ceil(q·n) per epoch-week partition (single-rank, no interpolation —
+    * same convention both engines), integer cents, deterministic
+    * orderkey tiebreak. One week-keyed window over the order table. */
+  def weeklyQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Catalog.load(spark, dir, "orders")
+      .select(expr("unix_micros(o_orderdate) div 86400000000 div 7")
+          .as("week"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey"))
+    val w = Window.partitionBy(col("week"))
+    o.withColumn("rn", row_number().over(
+        w.orderBy(col("cents"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy(col("week"))
+      .agg(max(col("n")).as("n"),
+        max(when(expr("rn = cast(ceil(n * 0.25) as bigint)"),
+          col("cents"))).as("p25_c"),
+        max(when(expr("rn = cast(ceil(n * 0.5) as bigint)"),
+          col("cents"))).as("p50_c"),
+        max(when(expr("rn = cast(ceil(n * 0.75) as bigint)"),
+          col("cents"))).as("p75_c"))
+      .orderBy(col("week"))
+  }
+
+  private val weeklyQuartilesSql =
+    """WITH o AS (
+      |  SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 // 7 AS week,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      |  FROM orders
+      |), r AS (
+      |  SELECT week, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY week ORDER BY cents, o_orderkey)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY week) AS n
+      |  FROM o
+      |)
+      |SELECT week, CAST(MAX(n) AS BIGINT) AS n,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN cents END)
+      |    AS p25_c,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN cents END)
+      |    AS p50_c,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN cents END)
+      |    AS p75_c
+      |FROM r GROUP BY week ORDER BY week""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q287_weekly_quartiles", weeklyQuartiles, Some(weeklyQuartilesSql),
+      "weekly p25/p50/p75 order-value bands: exact single-rank " +
+        "selection per epoch-week window, integer cents"),
     Q("q284_time_to_convert", timeToConvert, Some(timeToConvertSql),
       "hours from first event to first purchase: exact rank-selected " +
         "n/median/p90 from one conditional-min pass"),

@@ -466,7 +466,52 @@ object VectorQueries {
        |FROM v ev JOIN v$pcaIters w ON ev.i = w.i
        |GROUP BY 1 ORDER BY vec_id""".stripMargin
 
+  /** Per-label embedding squared-norm profile in the scaled-integer
+    * domain (floor(x·10⁶) per element — the same engine-exact trick the
+    * cosine oracles use): n vectors, min/max/sum/mean of Σxi². The
+    * norm-distribution audit run before cosine search (un-normalized
+    * embeddings silently break inner-product ranking). The fold is a
+    * row-local higher-order `aggregate` — zero shuffle before the
+    * label-sized rollup. BIGINT bound: per-vector Σxi² ≤ dims·10¹²,
+    * label sums safe below ~10⁶ vectors·dim; the scaled domain shrinks
+    * 10⁶× before overflow matters. */
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"),
+        expr("""aggregate(embedding, CAST(0 AS BIGINT),
+                 (acc, x) -> acc + CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                   AS BIGINT) * CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                   AS BIGINT))""").as("sq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("sq")).as("min_sq"), max(col("sq")).as("max_sq"),
+        sum(col("sq")).cast("long").as("sum_sq"))
+      .select(col("label"), col("n_vecs"), col("min_sq"), col("max_sq"),
+        col("sum_sq"),
+        (col("sum_sq").cast("double") / col("n_vecs").cast("double"))
+          .as("avg_sq"))
+      .orderBy(col("label"))
+
+  private val embeddingNormsSql =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS xi
+      |  FROM embeddings
+      |), sq AS (
+      |  SELECT vec_id, label, CAST(SUM(xi * xi) AS BIGINT) AS sq
+      |  FROM v GROUP BY 1, 2
+      |)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  MIN(sq) AS min_sq, MAX(sq) AS max_sq,
+      |  CAST(SUM(sq) AS BIGINT) AS sum_sq,
+      |  CAST(SUM(sq) AS DOUBLE) / COUNT(*) AS avg_sq
+      |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q288_embedding_norms", embeddingNorms, Some(embeddingNormsSql),
+      "per-label squared-norm profile in the scaled-integer domain — " +
+        "row-local higher-order fold, the pre-search normalization audit"),
     Q("q240_pca_power", pcaPower, Some(pcaPowerSql),
       "top principal direction: single-pass gram reduce + fixed-point " +
         "power iteration (8 rounds), bit-exact vs unrolled-CTE oracle"),
