@@ -2836,7 +2836,182 @@ object AnalyticsQueries {
       |  CAST(n AS DOUBLE) * 32 / SUM(n) OVER () AS skew
       |FROM b ORDER BY bucket""".stripMargin
 
+  // ---- weighted single-source shortest path ----------------------------
+
+  /** Weighted SSSP on the customer–supplier trade graph (edge weight =
+    * co-order count), three Bellman–Ford rounds from customer c1 —
+    * min-cost over all ≤3-edge walks, exactly what the oracle's bounded
+    * recursive enumeration takes MIN over. Each round is one
+    * frontier⨝edges relax + a min-merge groupBy on 8-byte keys (per-round
+    * work ∝ reachable set, never walk enumeration — the oracle's triple
+    * fan-out would melt at scale, the relaxation doesn't). Integer
+    * weights/distances: nothing drifts cross-engine. */
+  def ssspSeed(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("u"),
+        (col("l_suppkey") * 2 + 1).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0
+      .union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(false)
+    var dist = edges.filter(col("u") === 2L) // c1
+      .select(col("u").as("n")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(false)
+    for (_ <- 1 to 3) {
+      val relaxed = dist.join(edges, dist("n") === edges("u"))
+        .select(col("v").as("n"), (col("d") + col("w")).as("d"))
+      dist = dist.union(relaxed)
+        .groupBy(col("n")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist.select(
+        when(col("n") % 2 === 0,
+          concat(lit("c"), (col("n") / 2).cast("long")))
+          .otherwise(concat(lit("s"), (col("n") / 2).cast("long")))
+          .as("node"),
+        col("d").as("dist"))
+      .orderBy(col("node"))
+  }
+
+  private val ssspSeedSql =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+      |    's' || CAST(l_suppkey AS VARCHAR) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2
+      |), edges AS (
+      |  SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0
+      |), r(n, h, cd) AS (
+      |  SELECT DISTINCT u, 0, CAST(0 AS BIGINT) FROM edges WHERE u = 'c1'
+      |  UNION
+      |  SELECT e.v, r.h + 1, r.cd + e.w
+      |  FROM r JOIN edges e ON e.u = r.n WHERE r.h < 3
+      |)
+      |SELECT n AS node, CAST(MIN(cd) AS BIGINT) AS dist
+      |FROM r GROUP BY n ORDER BY node""".stripMargin
+
+  // ---- hierarchical revenue shares -------------------------------------
+
+  /** Percent-of-parent rollup: nation revenue as a share of its region
+    * and of the world — the drill-down tree every revenue dashboard
+    * renders. Exact cents at the (region, nation) leaf, parent totals
+    * via two window sums over the ~25-row aggregate (NOT over raw
+    * orders), mirrored IEEE divisions. */
+  def shareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Catalog.load(spark, dir, "orders")
+      .join(Catalog.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Catalog.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Catalog.load(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long").as("rev_c"))
+    rev.select(col("r_name"), col("n_name"), col("rev_c"),
+        (col("rev_c").cast("double") /
+          sum(col("rev_c")).over(Window.partitionBy(col("r_name")))
+            .cast("double")).as("pct_of_region"),
+        (col("rev_c").cast("double") /
+          sum(col("rev_c")).over(Window.partitionBy()).cast("double"))
+          .as("pct_of_total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val shareOfParentSql =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT r_name, n_name, rev_c,
+      |  CAST(rev_c AS DOUBLE)
+      |    / CAST(SUM(rev_c) OVER (PARTITION BY r_name) AS DOUBLE)
+      |    AS pct_of_region,
+      |  CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER () AS DOUBLE)
+      |    AS pct_of_total
+      |FROM rev ORDER BY r_name, n_name""".stripMargin
+
+  // ---- pairwise correlation matrix -------------------------------------
+
+  /** Pairwise Pearson correlations among quantity / price / discount in
+    * ONE scan: nine decimal-exact moment sums in a single 1-row
+    * aggregate, unpivoted into three (pair, n, corr) rows with the same
+    * division-guarded formula text as q34 (bare n·sxy−sx·sy shapes FMA-
+    * fuse on some engines; (sxy − sx·sy/n) pieces don't). The m×m
+    * correlation matrix at 100 TB is exactly this: one combinable pass,
+    * m² driver-sized finish. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val m = Catalog.load(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      dsum(col("l_quantity")).as("sx"),
+      dsum(col("l_extendedprice")).as("sy"),
+      dsum(col("l_discount")).as("sz"),
+      dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+      dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+      dsum(col("l_discount") * col("l_discount")).as("szz"),
+      dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+      dsum(col("l_quantity") * col("l_discount")).as("sxz"),
+      dsum(col("l_extendedprice") * col("l_discount")).as("syz"))
+    def corr(a: String, b: String, sab: String, saa: String, sbb: String,
+        sa: String, sb: String) =
+      m.selectExpr(s"'${a}_$b' AS pair", "n",
+        s"(($sab - $sa*$sb/n) / (n - 1)) / " +
+          s"(sqrt(($saa - $sa*$sa/n) / (n - 1)) * " +
+          s"sqrt(($sbb - $sb*$sb/n) / (n - 1))) AS corr")
+    corr("qty", "price", "sxy", "sxx", "syy", "sx", "sy")
+      .union(corr("qty", "disc", "sxz", "sxx", "szz", "sx", "sz"))
+      .union(corr("price", "disc", "syz", "syy", "szz", "sy", "sz"))
+      .orderBy(col("pair"))
+  }
+
+  private val corrMatrixSql = {
+    def c(pair: String, sab: String, saa: String, sbb: String,
+        sa: String, sb: String) =
+      s"""SELECT '$pair' AS pair, n,
+         |  (($sab - $sa*$sb/n) / (n - 1)) /
+         |    (sqrt(($saa - $sa*$sa/n) / (n - 1)) *
+         |     sqrt(($sbb - $sb*$sb/n) / (n - 1))) AS corr FROM m""".stripMargin
+    s"""WITH m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${sqlSum("l_quantity")} AS sx,
+       |    ${sqlSum("l_extendedprice")} AS sy,
+       |    ${sqlSum("l_discount")} AS sz,
+       |    ${sqlSum("l_quantity * l_quantity")} AS sxx,
+       |    ${sqlSum("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${sqlSum("l_discount * l_discount")} AS szz,
+       |    ${sqlSum("l_quantity * l_extendedprice")} AS sxy,
+       |    ${sqlSum("l_quantity * l_discount")} AS sxz,
+       |    ${sqlSum("l_extendedprice * l_discount")} AS syz
+       |  FROM lineitem
+       |)
+       |${c("qty_price", "sxy", "sxx", "syy", "sx", "sy")}
+       |UNION ALL ${c("qty_disc", "sxz", "sxx", "szz", "sx", "sz")}
+       |UNION ALL ${c("price_disc", "syz", "syy", "szz", "sy", "sz")}
+       |ORDER BY pair""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q290_sssp_seed", ssspSeed, Some(ssspSeedSql),
+      "weighted single-source shortest path (3 Bellman-Ford rounds) on " +
+        "the trade graph — frontier relaxation vs walk enumeration"),
+    Q("q291_share_of_parent", shareOfParent, Some(shareOfParentSql),
+      "nation revenue share of region and world: exact cents leaf, " +
+        "window totals over the aggregate, mirrored divisions"),
+    Q("q292_corr_matrix", corrMatrix, Some(corrMatrixSql),
+      "pairwise correlation matrix in one scan: nine decimal moment " +
+        "sums, division-guarded shared formula per pair"),
     Q("q277_bloom_semi_join", bloomSemiJoin, Some(bloomSemiJoinSql),
       "broadcast-Bloom prefiltered semi join == plain semi join " +
         "(pre-shuffle probe pruning; FPs removed by the exact join)"),

@@ -3260,7 +3260,59 @@ object EventQueries {
       |    AS p75_c
       |FROM r GROUP BY week ORDER BY week""".stripMargin
 
+  // ---- cohort LTV curve ------------------------------------------------
+
+  /** Cohort lifetime-value curve: purchase revenue per (signup-week
+    * cohort, weeks-since-signup age), with the running cumulative —
+    * "how much has the week-N cohort spent by age K", the LTV payback
+    * view next to q112's retention matrix. Cohort = the user's first
+    * event week (any type). Exact integer cents; the cumulative window
+    * runs over the cohort×age aggregate (~weeks² rows), never raw
+    * events. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("wk"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cw"), (col("wk") - col("cw")).as("age"))
+      .agg(sum(col("cents")).cast("long").as("rev_c"))
+      .withColumn("cum_rev_c",
+        sum(col("rev_c")).over(Window.partitionBy(col("cw"))
+          .orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .orderBy(col("cw"), col("age"))
+  }
+
+  private val cohortLtvSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    epoch_ns(ts) // 1000 // 86400000000 // 7 AS wk,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), cohort AS (
+      |  SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY 1
+      |), a AS (
+      |  SELECT c.cw, e.wk - c.cw AS age,
+      |    CAST(SUM(e.cents) AS BIGINT) AS rev_c
+      |  FROM ev e JOIN cohort c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cw, age, rev_c,
+      |  CAST(SUM(rev_c) OVER (PARTITION BY cw ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_rev_c
+      |FROM a ORDER BY cw, age""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q293_cohort_ltv", cohortLtv, Some(cohortLtvSql),
+      "cohort LTV curve: cumulative purchase cents per (signup week, " +
+        "age week), window over the cohort-sized aggregate"),
     Q("q287_weekly_quartiles", weeklyQuartiles, Some(weeklyQuartilesSql),
       "weekly p25/p50/p75 order-value bands: exact single-rank " +
         "selection per epoch-week window, integer cents"),
