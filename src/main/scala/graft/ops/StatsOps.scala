@@ -411,7 +411,10 @@ object StatsOps {
       .agg(new KmvAgg(k).toColumn.name("kmins"))
       .toDF("grp", "kmins")
       .localCheckpoint(false) // both sides of the pairwise sketch join
-    sk.as("a").join(sk.as("b"), col("a.grp") < col("b.grp"))
+    // sketch table is |groups| rows (k longs each) — broadcast one side
+    // so the inequality pair join plans as BroadcastNestedLoopJoin, not
+    // a CartesianProduct (localCheckpoint hides the tiny size estimate)
+    sk.as("a").join(broadcast(sk.as("b")), col("a.grp") < col("b.grp"))
       .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
         est(col("a.kmins")).as("na_est"), est(col("b.kmins")).as("nb_est"),
         est(slice(array_sort(array_union(col("a.kmins"), col("b.kmins"))),
