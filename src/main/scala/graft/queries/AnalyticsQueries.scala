@@ -3002,7 +3002,193 @@ object AnalyticsQueries {
        |ORDER BY pair""".stripMargin
   }
 
+  // ---- join cardinality audit (no join executed) -----------------------
+
+  /** Exact join-size audit WITHOUT running the join: |A⋈B| =
+    * Σ_k cnt_A(k)·cnt_B(k) over the two per-key count aggregates, plus
+    * the hottest key's contribution share — the planner probe run
+    * before a 100 TB join to decide broadcast/salt/skew handling. The
+    * count tables are the only shuffles; the join that would produce
+    * those rows never materializes. Exact BIGINTs, one mirrored
+    * division for the share. */
+  def joinSizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val a = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val b = Catalog.load(spark, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    a.join(b, "k")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("ca") * col("cb")).cast("long").as("join_rows"),
+        max(col("ca") * col("cb")).as("max_key_rows"))
+      .select(col("n_keys"), col("join_rows"), col("max_key_rows"),
+        (col("max_key_rows").cast("double") /
+          col("join_rows").cast("double")).as("max_key_share"))
+  }
+
+  private val joinSizeAuditSql =
+    """WITH a AS (
+      |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+      |  FROM lineitem GROUP BY 1
+      |), b AS (
+      |  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+      |  CAST(MAX(ca * cb) AS BIGINT) AS max_key_rows,
+      |  CAST(MAX(ca * cb) AS DOUBLE) / CAST(SUM(ca * cb) AS DOUBLE)
+      |    AS max_key_share
+      |FROM a JOIN b USING (k)""".stripMargin
+
+  // ---- linear interpolation over series gaps ---------------------------
+
+  /** Time-series imputation: daily revenue per supplier nation on the
+    * full calendar spine, gaps LINEARLY interpolated between the
+    * nearest known days — v_p + (v_n − v_p)·(d − d_p)/(d_n − d_p) — the
+    * step up from forward-fill (q146) every metrics store offers.
+    * Known values are exact cents; the interpolation is one mirrored
+    * IEEE expression over exact integer gaps. Edge gaps (no prev/next)
+    * take the one known neighbor. The spine is days×nations
+    * (calendar-bounded), built by exploding a sequence against the
+    * broadcast nation dim — never a shuffle-side cartesian. */
+  def linearInterp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Catalog.load(spark, dir, "lineitem")
+      .join(Catalog.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Catalog.load(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long").as("rev_c"))
+      .localCheckpoint(false)
+    val bounds = rev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+      .crossJoin(broadcast(
+        Catalog.load(spark, dir, "nation").select(col("n_name"))))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("day"))
+    spine.join(rev, Seq("n_name", "day"), "left")
+      .withColumn("dp", last(when(col("rev_c").isNotNull, col("day")),
+        ignoreNulls = true).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("vp", last(col("rev_c"), ignoreNulls = true).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dn", first(when(col("rev_c").isNotNull, col("day")),
+        ignoreNulls = true).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("vn", first(col("rev_c"), ignoreNulls = true).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .select(col("n_name"), col("day"),
+        when(col("rev_c").isNotNull, lit(1L)).otherwise(0L).as("known"),
+        when(col("rev_c").isNotNull, col("rev_c").cast("double"))
+          .when(col("vp").isNull, col("vn").cast("double"))
+          .when(col("vn").isNull, col("vp").cast("double"))
+          .otherwise(col("vp").cast("double") +
+            (col("vn") - col("vp")).cast("double") *
+              (col("day") - col("dp")).cast("double") /
+              (col("dn") - col("dp")).cast("double"))
+          .as("rev_filled"))
+      .orderBy(col("n_name"), col("day"))
+  }
+
+  private val linearInterpSql =
+    """WITH rev AS (
+      |  SELECT n_name,
+      |    epoch_ns(l_shipdate) // 1000 // 86400000000 AS day,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |), b AS (
+      |  SELECT MIN(day) AS lo, MAX(day) AS hi FROM rev
+      |), spine AS (
+      |  SELECT n.n_name, CAST(u.day AS BIGINT) AS day
+      |  FROM b, nation n, unnest(range(b.lo, b.hi + 1)) AS u(day)
+      |), j AS (
+      |  SELECT s.n_name, s.day, r.rev_c,
+      |    last_value(CASE WHEN r.rev_c IS NOT NULL THEN s.day END
+      |      IGNORE NULLS) OVER (PARTITION BY s.n_name ORDER BY s.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+      |    last_value(r.rev_c IGNORE NULLS) OVER (PARTITION BY s.n_name
+      |      ORDER BY s.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+      |    first_value(CASE WHEN r.rev_c IS NOT NULL THEN s.day END
+      |      IGNORE NULLS) OVER (PARTITION BY s.n_name ORDER BY s.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn,
+      |    first_value(r.rev_c IGNORE NULLS) OVER (PARTITION BY s.n_name
+      |      ORDER BY s.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+      |  FROM spine s LEFT JOIN rev r
+      |    ON r.n_name = s.n_name AND r.day = s.day
+      |)
+      |SELECT n_name, day,
+      |  CAST(CASE WHEN rev_c IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS known,
+      |  CASE WHEN rev_c IS NOT NULL THEN CAST(rev_c AS DOUBLE)
+      |       WHEN vp IS NULL THEN CAST(vn AS DOUBLE)
+      |       WHEN vn IS NULL THEN CAST(vp AS DOUBLE)
+      |       ELSE CAST(vp AS DOUBLE) + CAST(vn - vp AS DOUBLE)
+      |         * CAST(day - dp AS DOUBLE) / CAST(dn - dp AS DOUBLE)
+      |  END AS rev_filled
+      |FROM j ORDER BY n_name, day""".stripMargin
+
+  // ---- M4 series downsampling ------------------------------------------
+
+  /** M4 downsampling: the daily revenue series reduced to 20 buckets,
+    * each keeping min/max/first/last — the lossless-for-rendering
+    * reduction (Jugel et al., M4) that lets a dashboard draw a
+    * billion-point series from 4·buckets values without visual error.
+    * Bucket id by integer arithmetic over the day span; first/last by
+    * exact rank selection inside the bucket. One aggregate over the
+    * daily series (itself one aggregate over the table). */
+  def m4Downsample(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long").as("rev_c"))
+      .localCheckpoint(false)
+    val b = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    daily.crossJoin(broadcast(b))
+      .select(col("day"), col("rev_c"),
+        least(expr("(day - lo) * 20 div (hi - lo + 1)"), lit(19L))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("rev_c")).as("min_c"), max(col("rev_c")).as("max_c"),
+        min_by(col("rev_c"), col("day")).as("first_c"),
+        max_by(col("rev_c"), col("day")).as("last_c"))
+      .orderBy(col("bucket"))
+  }
+
+  private val m4DownsampleSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1
+      |), b AS (
+      |  SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+      |)
+      |SELECT least((day - lo) * 20 // (hi - lo + 1), 19) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  MIN(rev_c) AS min_c, MAX(rev_c) AS max_c,
+      |  arg_min(rev_c, day) AS first_c, arg_max(rev_c, day) AS last_c
+      |FROM daily, b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q294_join_size_audit", joinSizeAudit, Some(joinSizeAuditSql),
+      "exact join cardinality + hottest-key share from per-key counts " +
+        "only — the pre-join planner probe, no join executed"),
+    Q("q295_linear_interp", linearInterp, Some(linearInterpSql),
+      "calendar-spine gap imputation by linear interpolation between " +
+        "nearest known days — exact cents, one mirrored expression"),
+    Q("q297_m4_downsample", m4Downsample, Some(m4DownsampleSql),
+      "M4 min/max/first/last bucket downsampling of the daily revenue " +
+        "series — the lossless-for-rendering reduction"),
     Q("q290_sssp_seed", ssspSeed, Some(ssspSeedSql),
       "weighted single-source shortest path (3 Bellman-Ford rounds) on " +
         "the trade graph — frontier relaxation vs walk enumeration"),

@@ -3309,7 +3309,75 @@ object EventQueries {
       |    AS cum_rev_c
       |FROM a ORDER BY cw, age""".stripMargin
 
+  // ---- time-windowed funnel --------------------------------------------
+
+  /** Conversion-window funnel: signup → first view WITHIN 72h → first
+    * purchase WITHIN 72h of that view. Unlike q111's unbounded strict
+    * order, each step must land inside the attribution window — the
+    * form marketing actually reports. Two user-keyed conditional-min
+    * joins against the event table (work ∝ events, state ∝ users; no
+    * event×event self-join), exact microsecond arithmetic, one row of
+    * stage counts with nullif-guarded rates. */
+  def windowedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val win = 72L * 3600000000L // 72h in µs
+    val ev = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .localCheckpoint(false)
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t")).as("ts0"))
+    val v = s.join(ev.filter(col("event_type") === "view"), "user_id")
+      .filter(col("t") > col("ts0") && col("t") <= col("ts0") + win)
+      .groupBy(col("user_id")).agg(min(col("ts0")).as("ts0"),
+        min(col("t")).as("tv"))
+    val p = v.join(ev.filter(col("event_type") === "purchase"), "user_id")
+      .filter(col("t") > col("tv") && col("t") <= col("tv") + win)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+    val ns = s.agg(count(lit(1)).as("c")).select(col("c"))
+    val nv = v.agg(count(lit(1)).as("c")).select(col("c"))
+    val np = p.agg(count(lit(1)).as("c")).select(col("c"))
+    ns.crossJoin(broadcast(nv.withColumnRenamed("c", "cv")))
+      .crossJoin(broadcast(np.withColumnRenamed("c", "cp")))
+      .select(col("c").as("n_signup"), col("cv").as("n_view_72h"),
+        col("cp").as("n_purchase_72h"),
+        (col("cv").cast("double") /
+          nullif(col("c"), lit(0)).cast("double")).as("view_rate"),
+        (col("cp").cast("double") /
+          nullif(col("cv"), lit(0)).cast("double")).as("purchase_rate"))
+  }
+
+  private val windowedFunnelSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events
+      |), s AS (
+      |  SELECT user_id, MIN(t) AS ts0 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), v AS (
+      |  SELECT s.user_id, MIN(s.ts0) AS ts0, MIN(e.t) AS tv
+      |  FROM s JOIN ev e ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'view'
+      |    AND e.t > s.ts0 AND e.t <= s.ts0 + 259200000000
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT v.user_id, COUNT(*) AS np
+      |  FROM v JOIN ev e ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.t > v.tv AND e.t <= v.tv + 259200000000
+      |  GROUP BY 1
+      |)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view_72h,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_72h,
+      |  CAST((SELECT COUNT(*) FROM v) AS DOUBLE)
+      |    / nullif((SELECT COUNT(*) FROM s), 0) AS view_rate,
+      |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+      |    / nullif((SELECT COUNT(*) FROM v), 0) AS purchase_rate""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q296_windowed_funnel", windowedFunnel, Some(windowedFunnelSql),
+      "72h-attribution-window funnel signup->view->purchase: user-keyed " +
+        "conditional-min joins, no event self-join, nullif-guarded rates"),
     Q("q293_cohort_ltv", cohortLtv, Some(cohortLtvSql),
       "cohort LTV curve: cumulative purchase cents per (signup week, " +
         "age week), window over the cohort-sized aggregate"),
