@@ -3179,7 +3179,164 @@ object AnalyticsQueries {
       |  arg_min(rev_c, day) AS first_c, arg_max(rev_c, day) AS last_c
       |FROM daily, b GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---- 2-D histogram ---------------------------------------------------
+
+  /** Two-dimensional 10×10 histogram of (quantity, price) — the joint-
+    * distribution heatmap behind correlation numbers (q292 says HOW
+    * related; this shows WHERE the mass sits). Bucket edges from the
+    * 1-row min/max aggregate broadcast back; bucket ids by pure integer
+    * arithmetic on exact units/cents, so every cell count is engine-
+    * exact. One scan + one 100-cell aggregate. */
+  def histogram2d(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("qx"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cy"))
+      .localCheckpoint(false)
+    val b = li.agg(min(col("qx")).as("qlo"), max(col("qx")).as("qhi"),
+      min(col("cy")).as("clo"), max(col("cy")).as("chi"))
+    li.crossJoin(broadcast(b))
+      .select(
+        least(expr("(qx - qlo) * 10 div (qhi - qlo + 1)"), lit(9L))
+          .as("bx"),
+        least(expr("(cy - clo) * 10 div (chi - clo + 1)"), lit(9L))
+          .as("by"))
+      .groupBy(col("bx"), col("by"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bx"), col("by"))
+  }
+
+  private val histogram2dSql =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS qx,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cy
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT MIN(qx) AS qlo, MAX(qx) AS qhi,
+      |    MIN(cy) AS clo, MAX(cy) AS chi
+      |  FROM li
+      |)
+      |SELECT least((qx - qlo) * 10 // (qhi - qlo + 1), 9) AS bx,
+      |  least((cy - clo) * 10 // (chi - clo + 1), 9) AS by,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM li, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- bit-packed activity bitmap --------------------------------------
+
+  /** User-activity bitmaps: each user's active days packed into ONE
+    * BIGINT (bit i = active on day min_day+i — the fixture span fits 62
+    * bits), then profiled with pure bit arithmetic: popcount for active
+    * days and the classic contiguity test — shift out trailing zeros
+    * (x / (x & −x), an exact power-of-two division), then a run is
+    * contiguous iff y & (y+1) = 0. The bit-packed representation is the
+    * retention-engineering primitive: 8 bytes per user per ~2 months
+    * instead of a row per (user, day), and every downstream question is
+    * register arithmetic. Output: users per (active_days, contiguous). */
+  def activityBitmap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.load(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val lo = ev.agg(min(col("day")).as("d0"))
+    ev.crossJoin(broadcast(lo))
+      .filter(col("day") - col("d0") < 62)
+      .select(col("user_id"), (col("day") - col("d0")).as("off"))
+      .groupBy(col("user_id"))
+      .agg(sum_distinct(expr("shiftleft(CAST(1 AS BIGINT), CAST(off AS INT))"))
+        .cast("long").as("bits"))
+      .select(col("user_id"),
+        expr("bit_count(bits)").cast("long").as("active_days"),
+        expr("""CASE WHEN
+            ((bits div (bits & -bits)) & ((bits div (bits & -bits)) + 1))
+              = 0 THEN 1 ELSE 0 END""").cast("long").as("contiguous"))
+      .groupBy(col("active_days"), col("contiguous"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("active_days"), col("contiguous"))
+  }
+
+  private val activityBitmapSql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    epoch_ns(ts) // 1000 // 86400000000 AS day
+      |  FROM events
+      |), lo AS (SELECT MIN(day) AS d0 FROM ev
+      |), bm AS (
+      |  SELECT user_id,
+      |    CAST(SUM(DISTINCT (CAST(1 AS BIGINT) << CAST(day - d0 AS INT)))
+      |      AS BIGINT) AS bits
+      |  FROM ev, lo WHERE day - d0 < 62 GROUP BY 1
+      |), f AS (
+      |  SELECT user_id, CAST(bit_count(bits) AS BIGINT) AS active_days,
+      |    CAST(CASE WHEN
+      |      ((bits // (bits & -bits)) & ((bits // (bits & -bits)) + 1)) = 0
+      |      THEN 1 ELSE 0 END AS BIGINT) AS contiguous
+      |  FROM bm
+      |)
+      |SELECT active_days, contiguous, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- centered rolling median -----------------------------------------
+
+  /** 7-day centered rolling median of daily revenue — the robust
+    * smoother (spikes don't drag it the way a moving average drags).
+    * No engine has an exact median window function, so the frame is
+    * materialized: the daily aggregate self-joined within ±3 days (a
+    * calendar-bounded ≤7× expansion of the DAILY table, not the raw
+    * data), then the shared lower/upper-rank median selection per
+    * center day. Exact cents; deterministic tiebreak on day. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long").as("rev_c"))
+      .localCheckpoint(false)
+    val win = daily.select(col("day").as("center"))
+      .join(daily, col("day").between(col("center") - 3, col("center") + 3))
+    val w = Window.partitionBy(col("center"))
+    win
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("rev_c"), col("day"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy(col("center"))
+      .agg(max(col("n")).as("n_window"),
+        max(when(expr("rn = (n + 1) div 2"), col("rev_c"))).as("med_lo"),
+        max(when(expr("rn = (n + 2) div 2"), col("rev_c"))).as("med_hi"))
+      .select(col("center").as("day"), col("n_window"),
+        ((col("med_lo") + col("med_hi")) / 2).as("med"))
+      .orderBy(col("day"))
+  }
+
+  private val rollingMedianSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1
+      |), win AS (
+      |  SELECT c.day AS center, d.day, d.rev_c
+      |  FROM daily c JOIN daily d
+      |    ON d.day BETWEEN c.day - 3 AND c.day + 3
+      |), r AS (
+      |  SELECT center, rev_c,
+      |    ROW_NUMBER() OVER (PARTITION BY center ORDER BY rev_c, day)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY center) AS n
+      |  FROM win
+      |)
+      |SELECT center AS day, CAST(MAX(n) AS BIGINT) AS n_window,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN rev_c END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN rev_c END)) / 2 AS med
+      |FROM r GROUP BY center ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q298_histogram2d", histogram2d, Some(histogram2dSql),
+      "10x10 joint histogram of (quantity, price): integer bucket ids " +
+        "from broadcast min/max edges, one 100-cell aggregate"),
+    Q("q299_activity_bitmap", activityBitmap, Some(activityBitmapSql),
+      "bit-packed per-user activity bitmaps: popcount active days + " +
+        "bit-trick contiguity test, 8 bytes of state per user"),
+    Q("q300_rolling_median", rollingMedian, Some(rollingMedianSql),
+      "7-day centered rolling median of daily revenue: calendar-bounded " +
+        "frame materialization + exact rank-selected median"),
     Q("q294_join_size_audit", joinSizeAudit, Some(joinSizeAuditSql),
       "exact join cardinality + hottest-key share from per-key counts " +
         "only — the pre-join planner probe, no join executed"),
