@@ -3327,7 +3327,71 @@ object AnalyticsQueries {
       |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN rev_c END)) / 2 AS med
       |FROM r GROUP BY center ORDER BY day""".stripMargin
 
+  // ---- deterministic negative sampling ---------------------------------
+
+  /** Implicit-feedback negative sampling: for each of the first 50
+    * customers, draw candidate parts by a DETERMINISTIC multiplicative
+    * hash (replayable on any engine — rand() streams are engine-
+    * private), drop candidates the customer actually bought (anti-join
+    * on the interaction set), keep the first 3 survivors by draw order.
+    * The recsys training-negatives primitive with the scale-correct
+    * shape: k·candidates rows per user (never user×item), interaction
+    * anti-join on the composite key. Everything integer-exact. */
+  def negativeSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = Catalog.load(spark, dir, "part")
+      .agg(max(col("p_partkey")).as("np"))
+    val users = Catalog.load(spark, dir, "customer")
+      .filter(col("c_custkey") <= 50).select(col("c_custkey"))
+    val cands = users.crossJoin(broadcast(nParts))
+      .select(col("c_custkey"), col("np"),
+        explode(expr("sequence(1, 10)")).as("j"))
+      .select(col("c_custkey"), col("j"),
+        expr("""1 + ((c_custkey % 1000000007) * 2654435761 + j * 1000003)
+                % 1000000007 % np""").as("cand_part"))
+    val interactions = Catalog.load(spark, dir, "orders")
+      .join(Catalog.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c_custkey"),
+        col("l_partkey").as("cand_part"))
+      .distinct()
+    cands.join(interactions, Seq("c_custkey", "cand_part"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_custkey")).orderBy(col("j"))))
+      .filter(col("rn") <= 3)
+      .select(col("c_custkey"), col("cand_part"),
+        col("j").cast("long").as("j"), col("rn"))
+      .orderBy(col("c_custkey"), col("rn"))
+  }
+
+  private val negativeSampleSql =
+    """WITH np AS (
+      |  SELECT MAX(p_partkey) AS np FROM part
+      |), cands AS (
+      |  SELECT c.c_custkey, u.j,
+      |    1 + ((c.c_custkey % 1000000007) * 2654435761 + u.j * 1000003)
+      |      % 1000000007 % np.np AS cand_part
+      |  FROM customer c, np, unnest(range(1, 11)) AS u(j)
+      |  WHERE c.c_custkey <= 50
+      |), inter AS (
+      |  SELECT DISTINCT o_custkey AS c_custkey, l_partkey AS cand_part
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), surv AS (
+      |  SELECT cd.c_custkey, cd.cand_part, cd.j,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cd.c_custkey ORDER BY cd.j)
+      |      AS BIGINT) AS rn
+      |  FROM cands cd LEFT JOIN inter i
+      |    ON i.c_custkey = cd.c_custkey AND i.cand_part = cd.cand_part
+      |  WHERE i.c_custkey IS NULL
+      |)
+      |SELECT c_custkey, cand_part, CAST(j AS BIGINT) AS j, rn
+      |FROM surv WHERE rn <= 3
+      |ORDER BY c_custkey, rn""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q305_negative_sample", negativeSample, Some(negativeSampleSql),
+      "deterministic-hash negative sampling with interaction anti-join " +
+        "— replayable recsys training negatives, k rows per user"),
     Q("q298_histogram2d", histogram2d, Some(histogram2dSql),
       "10x10 joint histogram of (quantity, price): integer bucket ids " +
         "from broadcast min/max edges, one 100-cell aggregate"),

@@ -3374,7 +3374,154 @@ object EventQueries {
       |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
       |    / nullif((SELECT COUNT(*) FROM v), 0) AS purchase_rate""".stripMargin
 
+  // ---- JSON-dimension conversion segments ------------------------------
+
+  /** Conversion rate segmented by a dimension that exists only inside
+    * the JSON props payload (k-decile): the parse-then-pivot pattern
+    * every semi-structured event store runs. JSON extraction happens
+    * once per event in the same scan as the aggregation (no separate
+    * parse pass); per bucket: exact distinct users / purchasers and a
+    * nullif-guarded rate. */
+  def propsSegment(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("user_id"), col("event_type"))
+      // integer division on BOTH engines: a double-division-then-cast
+      // would truncate here but round in the oracle
+      .select(expr("k div 10").as("k_decile"), col("user_id"),
+        col("event_type"))
+      .groupBy(col("k_decile"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "purchase",
+          col("user_id"))).as("n_buyers"))
+      .select(col("k_decile"), col("n_users"), col("n_buyers"),
+        (col("n_buyers").cast("double") /
+          nullif(col("n_users"), lit(0)).cast("double")).as("buy_rate"))
+      .orderBy(col("k_decile"))
+
+  private val propsSegmentSql =
+    """WITH e AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+      |      AS k_decile,
+      |    user_id, event_type
+      |  FROM events
+      |)
+      |SELECT k_decile,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+      |    THEN user_id END) AS BIGINT) AS n_buyers,
+      |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+      |    THEN user_id END) AS DOUBLE)
+      |    / nullif(COUNT(DISTINCT user_id), 0) AS buy_rate
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- feature-store materialization -----------------------------------
+
+  /** Per-user ML feature vector in ONE grouped pass: event volume,
+    * purchase count, exact spend cents, active days, tenure, behavioral
+    * breadth (distinct types), and recency vs the global horizon — the
+    * feature-store materialization a churn model trains on. Every
+    * feature is an exact integer; the one scan produces all of them
+    * (per-feature queries would rescan the table per feature at
+    * 100 TB). */
+  def userFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint(false)
+    val horizon = ev.agg(max(col("day")).as("hmax"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).cast("long").as("spend_c"),
+        countDistinct(col("day")).as("active_days"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("spend_c"), col("active_days"), col("n_types"),
+        (col("last_day") - col("first_day")).as("tenure_days"),
+        (col("hmax") - col("last_day")).as("recency_days"))
+      .orderBy(col("user_id"))
+  }
+
+  private val userFeaturesSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    epoch_ns(ts) // 1000 // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), h AS (SELECT MAX(day) AS hmax FROM ev)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+      |    AS BIGINT) AS spend_c,
+      |  CAST(COUNT(DISTINCT day) AS BIGINT) AS active_days,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  CAST(MAX(day) - MIN(day) AS BIGINT) AS tenure_days,
+      |  CAST(MAX(hmax) - MAX(day) AS BIGINT) AS recency_days
+      |FROM ev, h GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- supervised training frame ---------------------------------------
+
+  /** Supervised-learning training frame: per (user, week) — this week's
+    * spend and event count, the two lagged weeks' spend (features), and
+    * NEXT week's spend (the label) — the time-shifted frame every
+    * forecasting/churn model trains on, materialized with leakage-safe
+    * alignment (features strictly before the label window). Lag/lead
+    * over the user-week aggregate: state ∝ user-weeks, one user-keyed
+    * window exchange. */
+  def trainingFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Catalog.load(spark, dir, "events")
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("wk"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+          .cast("long").as("spend_c"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    uw.select(col("user_id"), col("wk"), col("n_events"), col("spend_c"),
+        lag(col("spend_c"), 1).over(w).as("spend_lag1"),
+        lag(col("spend_c"), 2).over(w).as("spend_lag2"),
+        lead(col("spend_c"), 1).over(w).as("label_next_spend"))
+      .orderBy(col("user_id"), col("wk"))
+  }
+
+  private val trainingFrameSql =
+    """WITH uw AS (
+      |  SELECT user_id,
+      |    epoch_ns(ts) // 1000 // 86400000000 // 7 AS wk,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS spend_c
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT user_id, wk, n_events, spend_c,
+      |  lag(spend_c, 1) OVER (PARTITION BY user_id ORDER BY wk)
+      |    AS spend_lag1,
+      |  lag(spend_c, 2) OVER (PARTITION BY user_id ORDER BY wk)
+      |    AS spend_lag2,
+      |  lead(spend_c, 1) OVER (PARTITION BY user_id ORDER BY wk)
+      |    AS label_next_spend
+      |FROM uw ORDER BY user_id, wk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q301_props_segment", propsSegment, Some(propsSegmentSql),
+      "conversion by JSON-props k-decile: parse-in-scan, exact distinct " +
+        "users/buyers, nullif-guarded rate"),
+    Q("q303_user_features", userFeatures, Some(userFeaturesSql),
+      "per-user feature-store vector (volume/spend/tenure/recency/" +
+        "breadth) — all exact integers from ONE grouped pass"),
+    Q("q304_training_frame", trainingFrame, Some(trainingFrameSql),
+      "leakage-safe supervised training frame: lagged spend features + " +
+        "next-week label via one user-keyed window"),
     Q("q296_windowed_funnel", windowedFunnel, Some(windowedFunnelSql),
       "72h-attribution-window funnel signup->view->purchase: user-keyed " +
         "conditional-min joins, no event self-join, nullif-guarded rates"),

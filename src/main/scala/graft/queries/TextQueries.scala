@@ -1573,7 +1573,49 @@ object TextQueries {
       |    / CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE) AS simpson
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Token-class mix per source: how many tokens are numeric, contain a
+    * digit, are "long" (≥10 chars), or single-char — the cleaning-signal
+    * profile (a source whose tokens are 30% digit-bearing is telemetry,
+    * not prose, and gets filtered before LLM training). Pure
+    * length/regexp predicates chosen from the RE2∩java.regex-safe
+    * subset (same discipline as q99), exact integer counts, one
+    * corpus pass. */
+  def tokenClasses(spark: SparkSession, dir: String): DataFrame =
+    TextOps.exploded(Catalog.load(spark, dir, "documents"))
+      .join(Catalog.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").rlike("^[0-9]+$"), 1L).otherwise(0L))
+          .cast("long").as("n_numeric"),
+        sum(when(col("tok").rlike("[0-9]"), 1L).otherwise(0L))
+          .cast("long").as("n_has_digit"),
+        sum(when(length(col("tok")) >= 10, 1L).otherwise(0L))
+          .cast("long").as("n_long"),
+        sum(when(length(col("tok")) === 1, 1L).otherwise(0L))
+          .cast("long").as("n_single"))
+      .orderBy(col("source"))
+
+  private val tokenClassesSql =
+    """WITH t AS (
+      |  SELECT d.source, unnest(string_split(d.text, ' ')) AS tok
+      |  FROM documents d
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_numeric,
+      |  CAST(SUM(CASE WHEN regexp_matches(tok, '[0-9]') THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_has_digit,
+      |  CAST(SUM(CASE WHEN length(tok) >= 10 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_long,
+      |  CAST(SUM(CASE WHEN length(tok) = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_single
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q302_token_classes", tokenClasses, Some(tokenClassesSql),
+      "token-class mix per source (numeric/digit-bearing/long/single) — " +
+        "the telemetry-vs-prose cleaning signal, exact counts"),
     Q("q286_simpson_diversity", simpsonDiversity,
       Some(simpsonDiversitySql),
       "per-source Simpson token diversity 1-sum(c(c-1))/(N(N-1)): " +
