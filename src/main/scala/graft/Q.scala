@@ -24,7 +24,8 @@ object Registry {
       queries.DedupQueries.all ++
       queries.VectorQueries.all ++
       queries.EventQueries.all ++
-      queries.MultimodalQueries.all
+      queries.MultimodalQueries.all ++
+      queries.MiningQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
