@@ -278,7 +278,313 @@ object MiningQueries {
       |FROM by_dow, tot
       |ORDER BY isodow""".stripMargin
 
+  // ---- HITS hubs & authorities on the bipartite purchase graph --------
+
+  private val HitsRounds = 2
+
+  /** HITS authority scores for suppliers on the customer→supplier
+    * purchase graph (customers are hubs, suppliers authorities — the
+    * natural bipartite reading). Normalization each half-round is a
+    * fixed-point rescale to max=10⁶ by BIGINT floor division (L2 norms
+    * would drag a sqrt into the iteration; max-rescale is the standard
+    * integer-stable alternative and order-free). Two full rounds
+    * unrolled; per half-round one join+sum aggregate on 8-byte keys +
+    * one broadcast scalar max — the PageRank shuffle shape. */
+  def hitsAuthority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    var hub = edges.select(col("c")).distinct()
+      .select(col("c"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      val a0 = edges.join(hub, "c").groupBy(col("s")).agg(sum(col("h")).as("a"))
+      val amax = a0.agg(max(col("a")).as("am"))
+      auth = a0.crossJoin(broadcast(amax))
+        .select(col("s"), expr("a * 1000000L div am").as("a"))
+        .localCheckpoint(eager = false)
+      val h0 = edges.join(auth, "s").groupBy(col("c")).agg(sum(col("a")).as("h"))
+      val hmax = h0.agg(max(col("h")).as("hm"))
+      hub = h0.crossJoin(broadcast(hmax))
+        .select(col("c"), expr("h * 1000000L div hm").as("h"))
+        .localCheckpoint(eager = false)
+    }
+    auth.select(col("s").as("s_suppkey"), col("a").as("authority_micro"),
+        (col("a").cast("double") / 1000000L).as("authority"))
+      .orderBy(col("authority_micro").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  private val hitsAuthoritySql = {
+    def round(k: Int) =
+      s"""a$k AS (
+         |  SELECT e.s, CAST(SUM(h.h) AS BIGINT) AS a
+         |  FROM edges e JOIN h${k - 1} h ON e.c = h.c GROUP BY e.s
+         |), an$k AS (
+         |  SELECT s, a * 1000000 // (SELECT MAX(a) FROM a$k) AS a FROM a$k
+         |), hh$k AS (
+         |  SELECT e.c, CAST(SUM(a.a) AS BIGINT) AS h
+         |  FROM edges e JOIN an$k a ON e.s = a.s GROUP BY e.c
+         |), h$k AS (
+         |  SELECT c, h * 1000000 // (SELECT MAX(h) FROM hh$k) AS h FROM hh$k
+         |)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), h0 AS (
+       |  SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM edges
+       |), ${(1 to HitsRounds).map(round).mkString(", ")}
+       |SELECT s AS s_suppkey, CAST(a AS BIGINT) AS authority_micro,
+       |  CAST(a AS DOUBLE) / 1000000 AS authority
+       |FROM an$HitsRounds
+       |ORDER BY authority_micro DESC, s_suppkey
+       |LIMIT 20""".stripMargin
+  }
+
+  // ---- distinctive keywords per source: per-term chi-square -----------
+
+  /** Top-5 distinctive terms per document source by the 2×2 chi-square
+    * statistic (term-in-source vs term-elsewhere) — the "what makes this
+    * corpus slice different" profiling op used to audit training-data
+    * mixes. χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with every product in
+    * DECIMAL(38,0) (n·(ad−bc)² overflows int64 at corpus scale), ONE
+    * final division. Shuffles: tokenize→(term,source) count, then a
+    * broadcast of per-source totals; per-source top-5 is a
+    * WindowGroupLimit-prunable window. */
+  def keywordChi2(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val toks = Catalog.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val ts = toks.groupBy(col("term"), col("source")).agg(count(lit(1)).as("a0"))
+    val termTot = toks.groupBy(col("term")).agg(count(lit(1)).as("t_tot"))
+    val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("s_tot"))
+    val nTot = toks.agg(count(lit(1)).as("n"))
+    val cells = ts
+      .join(termTot, "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("term"),
+        col("a0").cast(dec).as("a"),
+        (col("s_tot") - col("a0")).cast(dec).as("b"),
+        (col("t_tot") - col("a0")).cast(dec).as("c"),
+        (col("n") - col("s_tot") - col("t_tot") + col("a0")).cast(dec).as("d"),
+        col("n").cast(dec).as("n"))
+    val chi = cells.select(col("source"), col("term"), col("a").cast("long").as("in_source"),
+      ((col("n") * (col("a") * col("d") - col("b") * col("c"))
+        * (col("a") * col("d") - col("b") * col("c"))).cast("double") /
+        ((col("a") + col("b")) * (col("c") + col("d"))
+          * (col("a") + col("c")) * (col("b") + col("d"))).cast("double"))
+        .as("chi2"))
+      .filter(col("chi2").isNotNull)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("chi2").desc, col("term"))
+    chi.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn"), col("term"), col("in_source"), col("chi2"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  private def hugeDbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+
+  private val keywordChi2Sql =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+       |), toks2 AS (
+       |  SELECT source, term FROM toks WHERE len(term) > 0
+       |), ts AS (
+       |  SELECT term, source, CAST(COUNT(*) AS HUGEINT) AS a FROM toks2 GROUP BY 1, 2
+       |), tt AS (
+       |  SELECT term, CAST(COUNT(*) AS HUGEINT) AS t_tot FROM toks2 GROUP BY 1
+       |), st AS (
+       |  SELECT source, CAST(COUNT(*) AS HUGEINT) AS s_tot FROM toks2 GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM toks2
+       |), cells AS (
+       |  SELECT ts.source, ts.term, ts.a, st.s_tot - ts.a AS b,
+       |    tt.t_tot - ts.a AS c, n.n - st.s_tot - tt.t_tot + ts.a AS d, n.n
+       |  FROM ts JOIN tt USING (term) JOIN st USING (source) CROSS JOIN n
+       |), chi AS (
+       |  SELECT source, term, CAST(a AS BIGINT) AS in_source,
+       |    ${hugeDbl("n * (a * d - b * c) * (a * d - b * c)")} /
+       |      ${hugeDbl("(a + b) * (c + d) * (a + c) * (b + d)")} AS chi2
+       |  FROM cells
+       |), ranked AS (
+       |  SELECT source, term, in_source, chi2,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY chi2 DESC, term) AS INT) AS rn
+       |  FROM chi WHERE chi2 IS NOT NULL
+       |)
+       |SELECT source, rn, term, in_source, chi2
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY source, rn""".stripMargin
+
+  // ---- per-dimension embedding statistics ------------------------------
+
+  /** Per-dimension mean/variance audit over the embedding corpus — the
+    * "is a dimension dead or exploding" check before similarity serving.
+    * Scaled-int per-dim values (xi = floor(x·10⁶)); moment sums in
+    * DECIMAL(38,0) (n·Σx² overflows int64 at corpus scale); mean and
+    * population variance each get ONE final double division. One
+    * posexplode + one aggregate keyed by the 64 dims — the tiny-key
+    * aggregate is map-side combinable, so the shuffle carries 64 rows
+    * per partition regardless of corpus size. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = Catalog.load(spark, dir, "embeddings")
+      .select(posexplode(
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+        .as(Seq("dim", "xi")))
+    v.groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast(dec)).as("sx"),
+        sum((col("xi").cast(dec) * col("xi")).cast(dec)).as("sxx"))
+      .select(col("dim"), col("n"),
+        (col("sx").cast("double") / (col("n").cast(dec) * 1000000L).cast("double"))
+          .as("mean"),
+        (((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))).cast("double") /
+          ((col("n").cast(dec) * col("n")).cast(dec) * lit(1000000000000L).cast(dec))
+            .cast("double")).as("variance"))
+      .orderBy(col("dim"))
+  }
+
+  private val dimStatsSql =
+    s"""WITH v AS (
+       |  SELECT CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS HUGEINT) AS xi
+       |  FROM embeddings
+       |), m AS (
+       |  SELECT dim, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    SUM(xi) AS sx, SUM(xi * xi) AS sxx
+       |  FROM v GROUP BY dim
+       |)
+       |SELECT dim, CAST(n AS BIGINT) AS n,
+       |  ${hugeDbl("sx")} / ${hugeDbl("n * 1000000")} AS mean,
+       |  ${hugeDbl("n * sxx - sx * sx")}
+       |    / ${hugeDbl("n * n * CAST(1000000000000 AS HUGEINT)")} AS variance
+       |FROM m
+       |ORDER BY dim""".stripMargin
+
+  // ---- functional-dependency validation (data profiling) --------------
+
+  /** Candidate functional-dependency check across the star schema — the
+    * Metanome-style profiling primitive: A→B holds iff
+    * |distinct A| = |distinct (A,B)|. Each candidate is two exact
+    * distinct-counts (map-side partial-aggregatable); candidates union
+    * into one report. At 100 TB each check is one shuffle on the LHS
+    * key — no pairwise row comparison ever happens. */
+  def fdCheck(spark: SparkSession, dir: String): DataFrame = {
+    def check(table: String, lhs: String, rhs: String): DataFrame =
+      Catalog.load(spark, dir, table).agg(
+        countDistinct(col(lhs)).as("n_lhs"),
+        countDistinct(col(lhs), col(rhs)).as("n_pairs"))
+        .select(lit(s"$table.$lhs->$rhs").as("fd"), col("n_lhs"), col("n_pairs"),
+          (col("n_lhs") === col("n_pairs")).as("holds"))
+    Seq(
+      check("nation", "n_nationkey", "n_regionkey"),
+      check("customer", "c_nationkey", "c_mktsegment"),
+      check("orders", "o_custkey", "o_orderpriority"),
+      check("part", "p_brand", "p_type"),
+      check("lineitem", "l_partkey", "l_suppkey"),
+      check("events", "user_id", "event_type"),
+      check("documents", "source", "lang"))
+      .reduce(_.unionAll(_))
+      .orderBy(col("fd"))
+  }
+
+  private val fdCheckSql = {
+    def check(table: String, lhs: String, rhs: String) =
+      s"""SELECT '$table.$lhs->$rhs' AS fd,
+         |  CAST(COUNT(DISTINCT $lhs) AS BIGINT) AS n_lhs,
+         |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT $lhs, $rhs FROM $table))
+         |    AS BIGINT) AS n_pairs,
+         |  COUNT(DISTINCT $lhs)
+         |    = (SELECT COUNT(*) FROM (SELECT DISTINCT $lhs, $rhs FROM $table))
+         |    AS holds
+         |FROM $table""".stripMargin
+    Seq(
+      check("nation", "n_nationkey", "n_regionkey"),
+      check("customer", "c_nationkey", "c_mktsegment"),
+      check("orders", "o_custkey", "o_orderpriority"),
+      check("part", "p_brand", "p_type"),
+      check("lineitem", "l_partkey", "l_suppkey"),
+      check("events", "user_id", "event_type"),
+      check("documents", "source", "lang"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
+  // ---- rolling OLS trend: 14-day windowed regression slope ------------
+
+  /** Per-day 14-day trailing OLS slope of daily revenue (cents/day) —
+    * rolling trend detection for monitoring. x = epoch-day, y = exact
+    * daily cents; the four windowed moment sums are BIGINT (windowed
+    * integer sums are order-free), the slope is the textbook closed form
+    * with ONE double division. Only full 14-row windows are emitted.
+    * Scale: one date aggregate then a single-partition window over the
+    * calendar-sized daily series (thousands of rows at any corpus
+    * scale — the series, not the raw data, is windowed). */
+  def rollingOls(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      .select(col("d"), expr("CAST(unix_date(d) AS BIGINT)").as("x"), col("y"))
+    val w = Window.orderBy(col("d")).rowsBetween(-13, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .filter(col("n") === 14)
+      .select(col("d"), col("y"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_cents_per_day"))
+      .orderBy(col("d"))
+  }
+
+  private val rollingOlsSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2
+      |), roll AS (
+      |  SELECT d, y,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+      |    CAST(SUM(x) OVER w AS BIGINT) AS sx,
+      |    CAST(SUM(y) OVER w AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT d, y,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+      |FROM roll WHERE n = 14
+      |ORDER BY d""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q311_hits_authority", hitsAuthority, Some(hitsAuthoritySql),
+      "HITS supplier authority on the bipartite purchase graph, 2 " +
+        "rounds, integer max-rescale fixed point — top-20"),
+    Q("q312_keyword_chi2", keywordChi2, Some(keywordChi2Sql),
+      "top-5 distinctive terms per source by 2x2 chi-square, " +
+        "DECIMAL(38,0) products, one division"),
+    Q("q313_dim_stats", dimStats, Some(dimStatsSql),
+      "per-dimension embedding mean/variance audit from scaled-int " +
+        "moments — dead/exploding dimension check"),
+    Q("q314_fd_check", fdCheck, Some(fdCheckSql),
+      "functional-dependency validation across 7 candidate A->B pairs " +
+        "via exact distinct-count equality"),
+    Q("q315_rolling_ols", rollingOls, Some(rollingOlsSql),
+      "14-day trailing OLS revenue slope from exact windowed integer " +
+        "moments, one division per day"),
     Q("q306_recall_at_k", recallAtK, Some(recallAtKSql),
       "recall@10 of an 8-dim prefix retriever vs exact full-dim top-10 " +
         "— integer-exact rankings, broadcast query fan-out"),
