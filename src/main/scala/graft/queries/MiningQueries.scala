@@ -52,14 +52,13 @@ object MiningQueries {
       .orderBy(col("full_dot").desc, col("neighbor_id"))
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(col("pre_dot").desc, col("neighbor_id"))
-    val ranked = pairs
+    // both rankings live on the SAME pair rows, so the gt∩cand
+    // intersection is just rf<=K AND rp<=K per row — no self-join, one
+    // corpus pass, both windows share one query_id exchange
+    pairs
       .withColumn("rf", row_number().over(wFull))
       .withColumn("rp", row_number().over(wPre))
-    val gt = ranked.filter(col("rf") <= K)
-      .select(col("query_id"), col("neighbor_id"))
-    val cand = ranked.filter(col("rp") <= K)
-      .select(col("query_id"), col("neighbor_id"))
-    gt.join(cand, Seq("query_id", "neighbor_id"), "left_semi")
+      .filter(col("rf") <= K && col("rp") <= K)
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("hits"))
       .select(col("query_id"), col("hits"),
@@ -89,13 +88,11 @@ object MiningQueries {
        |      ORDER BY pre_dot DESC, neighbor_id) AS rp
        |  FROM dots
        |)
-       |SELECT g.query_id, CAST(COUNT(*) AS BIGINT) AS hits,
+       |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits,
        |  CAST(COUNT(*) AS DOUBLE) / $K AS recall
-       |FROM (SELECT query_id, neighbor_id FROM ranked WHERE rf <= $K) g
-       |JOIN (SELECT query_id, neighbor_id FROM ranked WHERE rp <= $K) c
-       |  ON g.query_id = c.query_id AND g.neighbor_id = c.neighbor_id
-       |GROUP BY g.query_id
-       |ORDER BY g.query_id""".stripMargin
+       |FROM ranked WHERE rf <= $K AND rp <= $K
+       |GROUP BY query_id
+       |ORDER BY query_id""".stripMargin
 
   // ---- community detection: synchronous min-label propagation ---------
 

@@ -625,4 +625,64 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("recall@k: the NQ query vectors broadcast — the corpus streams " +
+    "once, never a corpus x corpus join") {
+    val p = plan(MiningQueries.recallAtK(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly the two embeddings scans (corpus + query side), no more
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p)
+  }
+
+  test("label prop / hits: every iteration round is an equi-join + " +
+    "partial->final aggregate on integer keys — no cartesian, no " +
+    "nested loop in the fixed-point") {
+    for (q <- Seq("q307_label_prop", "q311_hits_authority")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+    // hits' visible plan ends at its localCheckpoint; label prop's final
+    // community rollup aggregates after the checkpoint and must show
+    val p = plan(MiningQueries.labelProp(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("seq trigrams: one user-partitioned window then " +
+    "TakeOrderedAndProject — the top-20 never sorts globally") {
+    val p = plan(MiningQueries.seqTrigrams(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("effective types / dim stats / fd check: pure partial->final " +
+    "aggregates, zero windows, zero joins over fact rows") {
+    for (q <- Seq("q309_effective_types", "q313_dim_stats", "q314_fd_check")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("Window"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
+  test("dow seasonal / rolling ols: orders collapse to the daily " +
+    "aggregate BEFORE any window/broadcast — the window sees " +
+    "calendar-sized input only") {
+    val seasonal = plan(MiningQueries.dowSeasonal(spark, dir))
+    assert(seasonal.contains("BroadcastNestedLoopJoin"), seasonal)
+    val ols = plan(MiningQueries.rollingOls(spark, dir))
+    // printed top-down: the Window node must sit ABOVE (before) the
+    // aggregate that collapses orders, so it windows daily rows
+    val w = ols.indexOf("Window")
+    val agg = ols.indexOf("HashAggregate", w)
+    assert(w >= 0 && agg > w, ols)
+  }
+
+  test("keyword chi2: per-source top-5 prunes via WindowGroupLimit; " +
+    "source totals broadcast onto the (term,source) aggregate") {
+    val p = plan(MiningQueries.keywordChi2(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
