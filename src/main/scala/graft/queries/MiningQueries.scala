@@ -566,7 +566,275 @@ object MiningQueries {
       |FROM roll WHERE n = 14
       |ORDER BY d""".stripMargin
 
+  // ---- revenue concentration: top-k order share -----------------------
+
+  /** Share of total revenue held by the top-10/100/1000 orders — the
+    * whale-concentration report. One global row_number caps at 1000 via
+    * WindowGroupLimit (each map task keeps its local top-1000 before the
+    * single merge — never a full global sort of the fact table), then
+    * three conditional sums against the broadcast exact total. Cents
+    * BIGINT end-to-end; one division per k. */
+  def topShare(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val total = o.agg(sum(col("cents")).as("total_cents"))
+    val w = Window.orderBy(col("cents").desc, col("o_orderkey"))
+    // ONE ranked pass (WindowGroupLimit caps each task at 1000 rows
+    // before the merge), three conditional sums, stacked to rows —
+    // not three scans
+    val ks = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1000)
+      .agg(sum(when(col("rn") <= 10, col("cents"))).as("c10"),
+        sum(when(col("rn") <= 100, col("cents"))).as("c100"),
+        sum(col("cents")).as("c1000"))
+      .selectExpr("stack(3, 10L, c10, 100L, c100, 1000L, c1000) AS (k, k_cents)")
+    ks.crossJoin(broadcast(total))
+      .select(col("k"), col("k_cents"), col("total_cents"),
+        (col("k_cents").cast("double") / col("total_cents").cast("double"))
+          .as("share"))
+      .orderBy(col("k"))
+  }
+
+  private val topShareSql =
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), t AS (
+      |  SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM o
+      |), top AS (
+      |  SELECT cents, row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rn
+      |  FROM o
+      |), ks AS (
+      |  SELECT CAST(k AS BIGINT) AS k,
+      |    (SELECT CAST(SUM(cents) AS BIGINT) FROM top WHERE rn <= k) AS k_cents
+      |  FROM (VALUES (10), (100), (1000)) AS v(k)
+      |)
+      |SELECT k, k_cents, total_cents,
+      |  CAST(k_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS share
+      |FROM ks, t
+      |ORDER BY k""".stripMargin
+
+  // ---- community quality: exact Newman modularity ---------------------
+
+  /** Newman modularity of the q307 label-propagation partition on the
+    * sparse purchase graph — the "are these communities real" score.
+    * With directed-doubled edges: Q = (2m·ΣLᵢ − ΣDᵢ²)/(2m)², where Lᵢ
+    * counts intra-community doubled edges and Dᵢ sums community degrees
+    * — EVERY term an exact integer sum (the usual per-community double
+    * accumulation would be order-dependent), ONE final division. Adds
+    * one edge-endpoint label join + two tiny aggregates on top of the
+    * label-prop rounds. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Catalog.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 50)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val nodes = edges.select(col("u").as("n")).distinct()
+    var lab = nodes.select(col("n"), col("n").as("lab"))
+    for (_ <- 1 to LpRounds) {
+      val nbrMin = edges.join(lab, edges("u") === lab("n"))
+        .groupBy(col("v")).agg(min(col("lab")).as("nl"))
+      lab = lab.join(nbrMin, lab("n") === nbrMin("v"), "left")
+        .select(col("n"), least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+        .localCheckpoint(eager = false)
+    }
+    val lu = lab.select(col("n").as("u"), col("lab").as("lu"))
+    val lv = lab.select(col("n").as("v"), col("lab").as("lv"))
+    val labeled = edges.join(lu, "u").join(lv, "v")
+    val m2 = labeled.agg(count(lit(1)).as("m2"))
+    val intra = labeled.filter(col("lu") === col("lv"))
+      .groupBy(col("lu")).agg(count(lit(1)).as("li"))
+      .agg(sum(col("li")).as("sum_l"), count(lit(1)).as("n_comm"))
+    val degSq = labeled.groupBy(col("u"), col("lu"))
+      .agg(count(lit(1)).as("d"))
+      .groupBy(col("lu")).agg(sum(col("d")).as("di"))
+      .agg(sum(col("di") * col("di")).as("sum_d2"))
+    intra.crossJoin(broadcast(m2)).crossJoin(broadcast(degSq))
+      .select(col("n_comm"), (col("m2") / 2).as("m"),
+        ((col("m2") * col("sum_l") - col("sum_d2")).cast("double") /
+          (col("m2") * col("m2")).cast("double")).as("modularity"))
+  }
+
+  private val modularitySql = {
+    def round(k: Int) =
+      s"""l$k AS (
+         |  SELECT l.n, LEAST(l.lab, COALESCE(m.nl, l.lab)) AS lab
+         |  FROM l${k - 1} l LEFT JOIN (
+         |    SELECT e.v, MIN(p.lab) AS nl
+         |    FROM edges e JOIN l${k - 1} p ON e.u = p.n
+         |    GROUP BY e.v) m ON m.v = l.n
+         |)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE l_quantity >= 50
+       |), edges AS (
+       |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+       |), nodes AS (
+       |  SELECT DISTINCT u AS n FROM edges
+       |), l0 AS (
+       |  SELECT n, n AS lab FROM nodes
+       |), ${(1 to LpRounds).map(round).mkString(", ")}, labeled AS (
+       |  SELECT e.u, e.v, lu.lab AS lu, lv.lab AS lv
+       |  FROM edges e JOIN l$LpRounds lu ON e.u = lu.n
+       |  JOIN l$LpRounds lv ON e.v = lv.n
+       |), m2 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM labeled
+       |), intra AS (
+       |  SELECT CAST(SUM(li) AS BIGINT) AS sum_l,
+       |    CAST(COUNT(*) AS BIGINT) AS n_comm
+       |  FROM (SELECT lu, COUNT(*) AS li FROM labeled WHERE lu = lv GROUP BY lu)
+       |), d2 AS (
+       |  SELECT CAST(SUM(di * di) AS BIGINT) AS sum_d2
+       |  FROM (SELECT lu, CAST(SUM(d) AS BIGINT) AS di
+       |        FROM (SELECT u, lu, COUNT(*) AS d FROM labeled GROUP BY u, lu)
+       |        GROUP BY lu)
+       |)
+       |SELECT n_comm, m2 // 2 AS m,
+       |  CAST(m2 * sum_l - sum_d2 AS DOUBLE)
+       |    / CAST(m2 * m2 AS DOUBLE) AS modularity
+       |FROM intra, m2, d2""".stripMargin
+  }
+
+  // ---- frequent 3-itemsets (Apriori step) ------------------------------
+
+  /** Top-20 frequent part triples across order baskets — the Apriori
+    * 3-itemset step after q179's pairs. Two self-equi-joins on the
+    * basket key with a<b<c canonicalization; baskets are bounded (≤7
+    * lines in TPC-H shape), so the intra-basket fan-out is C(7,3) — at
+    * 100 TB a pathological mega-basket would get a per-key cap upstream
+    * like the dedup candidate joins. Integer support counts; top-20 via
+    * TakeOrdered. */
+  def itemsets3(spark: SparkSession, dir: String): DataFrame = {
+    val items = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    items.select(col("ok"), col("pk").as("a"))
+      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .join(items.select(col("ok"), col("pk").as("c")), "ok")
+      .filter(col("b") < col("c"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+      .limit(20)
+  }
+
+  private val itemsets3Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |)
+      |SELECT x.pk AS a, y.pk AS b, z.pk AS c,
+      |  CAST(COUNT(*) AS BIGINT) AS support
+      |FROM items x
+      |JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+      |JOIN items z ON y.ok = z.ok AND y.pk < z.pk
+      |GROUP BY 1, 2, 3
+      |HAVING COUNT(*) >= 2
+      |ORDER BY support DESC, a, b, c
+      |LIMIT 20""".stripMargin
+
+  // ---- A/B experiment sizing: required sample per segment -------------
+
+  /** Per-priority-segment sample size needed to detect a 2% lift in
+    * order value at ~80% power / 5% α (the 16·σ²/δ² rule of thumb) —
+    * the experiment-planning op run before any A/B test. Moments are
+    * exact DECIMAL(38,0); mean, variance, and n = ⌈16σ²/(0.02µ)²⌉ are
+    * a FIXED chain of correctly-rounded IEEE ops mirrored on both
+    * engines. One partial->final aggregate per segment. */
+  def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("segment"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("y").cast(dec) * col("y")).cast(dec)).as("syy"))
+      .select(col("segment"), col("n"),
+        (col("sy").cast("double") / col("n").cast("double") / 100.0).as("mean"),
+        ((col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double") /
+          (col("n").cast(dec) * col("n")).cast("double") / 10000.0).as("variance"))
+      .withColumn("n_required",
+        ceil(lit(16.0) * col("variance") /
+          ((col("mean") * 0.02) * (col("mean") * 0.02))).cast("long"))
+      .orderBy(col("segment"))
+  }
+
+  private val powerAnalysisSql =
+    s"""WITH m AS (
+       |  SELECT o_orderpriority AS segment, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)) AS sy,
+       |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+       |        * CAST(round(o_totalprice * 100) AS BIGINT)) AS syy
+       |  FROM orders GROUP BY 1
+       |), s AS (
+       |  SELECT segment, CAST(n AS BIGINT) AS n,
+       |    ${hugeDbl("sy")} / ${hugeDbl("n")} / 100.0 AS mean,
+       |    ${hugeDbl("n * syy - sy * sy")} / ${hugeDbl("n * n")} / 10000.0
+       |      AS variance
+       |  FROM m
+       |)
+       |SELECT segment, n, mean, variance,
+       |  CAST(ceil(16.0 * variance / ((mean * 0.02) * (mean * 0.02)))
+       |    AS BIGINT) AS n_required
+       |FROM s
+       |ORDER BY segment""".stripMargin
+
+  // ---- cross-language duplicate audit ---------------------------------
+
+  /** Documents sharing an identical 10-token opening — the shared
+    * boilerplate-header detector (common crawl headers, license
+    * preambles), cross-checked against language tags: a prefix group
+    * spanning ≥2 langs is either boilerplate or a labeling bug. Groups
+    * on the short prefix string (tiny group key, map-side combinable);
+    * language list is a sorted set for a deterministic column. */
+  def prefixDup(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "documents")
+      .groupBy(array_join(slice(split(col("text"), " "), 1, 10), " ").as("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        array_join(sort_array(collect_set(col("lang"))), ",").as("langs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("first_doc"), col("prefix"), col("n_docs"),
+        col("n_langs"), col("langs"))
+      .orderBy(col("first_doc"))
+
+  private val prefixDupSql =
+    """SELECT MIN(doc_id) AS first_doc,
+      |  array_to_string(string_split(text, ' ')[1:10], ' ') AS prefix,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+      |FROM documents
+      |GROUP BY 2
+      |HAVING COUNT(*) >= 2
+      |ORDER BY first_doc""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q316_top_share", topShare, Some(topShareSql),
+      "revenue share of top-10/100/1000 orders — WindowGroupLimit-capped " +
+        "global rank, exact cents, one division per k"),
+    Q("q317_modularity", modularity, Some(modularitySql),
+      "exact Newman modularity of the label-prop partition from pure " +
+        "integer sums, one division"),
+    Q("q318_itemsets3", itemsets3, Some(itemsets3Sql),
+      "frequent part triples across baskets (Apriori 3-itemset step), " +
+        "basket-bounded self-joins, support >= 2"),
+    Q("q319_power_analysis", powerAnalysis, Some(powerAnalysisSql),
+      "per-segment A/B sample size 16*var/(0.02*mean)^2 from exact " +
+        "decimal moments"),
+    Q("q320_prefix_dup", prefixDup, Some(prefixDupSql),
+      "shared 10-token opening groups with language spread — " +
+        "boilerplate-header / labeling-bug audit"),
     Q("q311_hits_authority", hitsAuthority, Some(hitsAuthoritySql),
       "HITS supplier authority on the bipartite purchase graph, 2 " +
         "rounds, integer max-rescale fixed point — top-20"),

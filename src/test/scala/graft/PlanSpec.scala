@@ -685,4 +685,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("top share: ONE ranked pass over orders (map-side top-k prune), " +
+    "one total scan — never three per-k scans, no cartesian") {
+    val p = plan(MiningQueries.topShare(spark, dir))
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p)
+  }
+
+  test("modularity / itemsets3: label join and basket self-joins stay " +
+    "equi — no cartesian; itemsets top-20 is TakeOrderedAndProject") {
+    val pm = plan(MiningQueries.modularity(spark, dir))
+    assert(!pm.contains("CartesianProduct"), pm)
+    val pi = plan(MiningQueries.itemsets3(spark, dir))
+    assert(!pi.contains("CartesianProduct"), pi)
+    assert(pi.contains("TakeOrderedAndProject"), pi)
+  }
+
+  test("power analysis / prefix dup: one partial->final aggregate over " +
+    "a single scan — no window, no shuffle-side join") {
+    for (q <- Seq("q319_power_analysis", "q320_prefix_dup")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("Window"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q\n$p")
+      assert("FileScan parquet".r.findAllIn(p).size == 1, s"$q\n$p")
+    }
+  }
 }
