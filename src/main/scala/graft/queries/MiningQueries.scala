@@ -819,7 +819,294 @@ object MiningQueries {
       |HAVING COUNT(*) >= 2
       |ORDER BY first_doc""".stripMargin
 
+  // ---- revenue-weighted PageRank --------------------------------------
+
+  /** PageRank over the purchase graph with REVENUE-weighted transitions:
+    * each node splits its rank across neighbors proportionally to the
+    * exact cents traded on the edge (q105's uniform split is the
+    * unweighted special case). Fixed-point micro-rank integers: each
+    * contribution is rank·w_edge // W_out (both BIGINT — products stay
+    * under 2⁶³ because rank ≤ ~10⁶ micro-units and edge cents < 10¹²),
+    * so the recurrence has exactly one answer on any engine. Same
+    * join+aggregate-per-round shuffle shape as q105. */
+  def weightedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .agg(sum(col("cents")).as("w"))
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
+    val nodes = edges.select(col("u").as("n")).distinct()
+    var pr = nodes.select(col("n"), lit(1000000L).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = edges.join(pr, edges("u") === pr("n"))
+        .join(outW, "u")
+        .select(col("v"), expr("r * w div wu").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, nodes("n") === contrib("v"), "left")
+        .select(col("n"),
+          (lit(150000L) + expr("85 * coalesce(s, 0L) div 100")).as("r"))
+        .localCheckpoint(eager = false)
+    }
+    pr.select(
+        when(col("n") % 2 === 0, concat(lit("c"), (col("n") / 2).cast("long")))
+          .otherwise(concat(lit("s"), (col("n") / 2).cast("long"))).as("node"),
+        (col("r").cast("double") / 1000000L).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  private val weightedPagerankSql = {
+    def round(k: Int) =
+      s"""pr$k AS (
+         |  SELECT n.n,
+         |    CAST(150000 AS BIGINT) + CAST(85 * COALESCE(c.s, 0) AS BIGINT) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.v, SUM(p.r * e.w // o.wu) AS s
+         |    FROM edges e JOIN pr${k - 1} p ON e.u = p.n JOIN outw o ON e.u = o.u
+         |    GROUP BY e.v) c ON c.v = n.n
+         |)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0
+       |), outw AS (
+       |  SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM edges GROUP BY 1
+       |), nodes AS (
+       |  SELECT DISTINCT u AS n FROM edges
+       |), pr0 AS (
+       |  SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), ${(1 to 5).map(round).mkString(", ")}
+       |SELECT CASE WHEN n % 2 = 0 THEN 'c' || CAST(n // 2 AS VARCHAR)
+       |            ELSE 's' || CAST(n // 2 AS VARCHAR) END AS node,
+       |  CAST(r AS DOUBLE) / 1000000 AS rank
+       |FROM pr5
+       |ORDER BY node""".stripMargin
+  }
+
+  // ---- one-mode bipartite projection ----------------------------------
+
+  /** Supplier↔supplier co-purchase projection: top-20 supplier pairs by
+    * the number of DISTINCT customers buying from both — collapsing the
+    * bipartite purchase graph to its one-mode shadow, the standard move
+    * before any supplier-similarity analysis. Self-equi-join on the
+    * customer key of the distinct (cust, supp) edge list; at 100 TB a
+    * hub customer would get the same df-cap treatment as the dedup
+    * candidate joins (drop customers above a supplier-count ceiling,
+    * mirrored in the oracle). Top-20 via TakeOrdered, counts exact. */
+  def bipartiteProjection(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Catalog.load(spark, dir, "orders")
+      .join(Catalog.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    cs.select(col("c"), col("s").as("s1"))
+      .join(cs.select(col("c"), col("s").as("s2")), "c")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared_customers"))
+      .orderBy(col("shared_customers").desc, col("s1"), col("s2"))
+      .limit(20)
+  }
+
+  private val bipartiteProjectionSql =
+    """WITH cs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |)
+      |SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared_customers
+      |FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+      |GROUP BY 1, 2
+      |ORDER BY shared_customers DESC, s1, s2
+      |LIMIT 20""".stripMargin
+
+  // ---- two-proportion z-test (conversion A/B) --------------------------
+
+  /** Two-proportion z-test on ACTIVATION (first purchase within 24 h of
+    * the user's first event) between the deterministic user_id%2 split —
+    * the textbook A/B significance check on a non-degenerate funnel
+    * metric (lifetime "ever purchased" saturates to 1.0 on any long
+    * window). Per-user min-ts vs min-purchase-ts come from ONE
+    * aggregate (no join); p̂₁, p̂₂, pooled p̂ and z are a FIXED chain of
+    * correctly-rounded IEEE ops mirrored on both engines. */
+  def twoPropZ(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val byVariant = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("tp"))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("tp").isNotNull && col("tp") <= col("t0") + DayUs, 1L)
+          .otherwise(0L).as("converted"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = byVariant.filter(col("variant") === 0)
+      .select(col("n").as("n1"), col("conv").as("c1"))
+    val b = byVariant.filter(col("variant") === 1)
+      .select(col("n").as("n2"), col("conv").as("c2"))
+    a.crossJoin(b)
+      .select(col("n1"), col("c1"), col("n2"), col("c2"),
+        (col("c1").cast("double") / col("n1").cast("double")).as("p1"),
+        (col("c2").cast("double") / col("n2").cast("double")).as("p2"))
+      .withColumn("p_pool",
+        (col("c1") + col("c2")).cast("double") / (col("n1") + col("n2")).cast("double"))
+      .withColumn("z",
+        (col("p1") - col("p2")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))))
+      .select(col("n1"), col("c1"), col("p1"), col("n2"), col("c2"),
+        col("p2"), col("z"))
+  }
+
+  private val twoPropZSql =
+    """WITH u AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      |  FROM events GROUP BY 1
+      |), v AS (
+      |  SELECT user_id % 2 AS variant, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN tp IS NOT NULL AND tp <= t0 + 86400000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |  FROM u GROUP BY 1
+      |), a AS (SELECT n AS n1, conv AS c1 FROM v WHERE variant = 0),
+      |b AS (SELECT n AS n2, conv AS c2 FROM v WHERE variant = 1),
+      |j AS (
+      |  SELECT n1, c1, n2, c2,
+      |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+      |    CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS p_pool
+      |  FROM a, b
+      |)
+      |SELECT n1, c1, p1, n2, c2, p2,
+      |  (p1 - p2) / sqrt(p_pool * (1.0 - p_pool)
+      |    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
+      |FROM j""".stripMargin
+
+  // ---- session bounce rate by day -------------------------------------
+
+  /** Daily bounce rate: share of 30-min-gap sessions containing exactly
+    * one event, keyed by the session's START day — the engagement-
+    * quality report on top of q103's sessionizer. One user-partitioned
+    * window builds session ids, one (user, session) aggregate sizes
+    * them, one daily rollup; rate is the only division. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val gap = graft.streaming.Streams.GapUs
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sessions = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("session_seq",
+        sum(when(col("prev").isNull || col("ts_us") - col("prev") >= gap, 1L)
+          .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"))
+    sessions
+      .groupBy(to_date(timestamp_micros(col("start_us"))).as("d"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .select(col("d"), col("n_sessions"), col("n_bounce"),
+        (col("n_bounce").cast("double") / col("n_sessions").cast("double"))
+          .as("bounce_rate"))
+      .orderBy(col("d"))
+  }
+
+  private val bounceRateSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS prev
+       |  FROM events
+       |), marked AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    SUM(CASE WHEN prev IS NULL OR ts_us - prev >= ${graft.streaming.Streams.GapUs}
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM e
+       |), s AS (
+       |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+       |    MIN(ts_us) AS start_us
+       |  FROM marked GROUP BY 1, 2
+       |)
+       |SELECT CAST(make_timestamp(start_us) AS DATE) AS d,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bounce,
+       |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+       |FROM s
+       |GROUP BY 1
+       |ORDER BY d""".stripMargin
+
+  // ---- exact rank-based length percentiles per language ----------------
+
+  /** Exact p50/p90/p99 token counts per language from RANK selection
+    * (value at ⌈p·n⌉ in the (count, doc_id) total order) — integer-only,
+    * no interpolation, so every engine answers identically; the
+    * interpolating quantile_cont/percentile variants disagree in their
+    * float paths. One tokenize pass, one per-lang window, conditional
+    * min-selects. */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Catalog.load(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("c"), col("doc_id"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") === expr("(n * 50 + 99) div 100"), col("c"))).as("p50"),
+        min(when(col("rn") === expr("(n * 90 + 99) div 100"), col("c"))).as("p90"),
+        min(when(col("rn") === expr("(n * 99 + 99) div 100"), col("c"))).as("p99"))
+      .orderBy(col("lang"))
+  }
+
+  private val lengthPercentilesSql =
+    """WITH counts AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS c
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT lang, c,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY c, doc_id)
+      |      AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM counts
+      |)
+      |SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+      |  MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN c END) AS p50,
+      |  MIN(CASE WHEN rn = (n * 90 + 99) // 100 THEN c END) AS p90,
+      |  MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN c END) AS p99
+      |FROM ranked
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q321_weighted_pagerank", weightedPagerank, Some(weightedPagerankSql),
+      "revenue-weighted PageRank: rank splits by exact edge cents, " +
+        "integer fixed point, 5 rounds"),
+    Q("q322_bipartite_projection", bipartiteProjection, Some(bipartiteProjectionSql),
+      "supplier co-purchase projection: top-20 pairs by distinct shared " +
+        "customers, one-mode graph collapse"),
+    Q("q323_two_prop_z", twoPropZ, Some(twoPropZSql),
+      "two-proportion z-test on purchase conversion across the " +
+        "user_id%2 split — exact counts, mirrored IEEE chain"),
+    Q("q324_bounce_rate", bounceRate, Some(bounceRateSql),
+      "daily share of single-event 30-min sessions — sessionizer + " +
+        "per-session size rollup"),
+    Q("q325_length_percentiles", lengthPercentiles, Some(lengthPercentilesSql),
+      "exact rank-selected p50/p90/p99 token counts per language — " +
+        "interpolation-free percentiles"),
     Q("q316_top_share", topShare, Some(topShareSql),
       "revenue share of top-10/100/1000 orders — WindowGroupLimit-capped " +
         "global rank, exact cents, one division per k"),

@@ -712,4 +712,34 @@ class PlanSpec extends AnyFunSuite {
       assert("FileScan parquet".r.findAllIn(p).size == 1, s"$q\n$p")
     }
   }
+
+  test("weighted pagerank / bipartite projection: equi-joins only in " +
+    "the rounds and the one-mode collapse; projection top-20 is " +
+    "TakeOrderedAndProject") {
+    for (q <- Seq("q321_weighted_pagerank", "q322_bipartite_projection")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+    }
+    val p = plan(MiningQueries.bipartiteProjection(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("two-prop z / bounce rate: the per-user collapse happens in one " +
+    "aggregate before the tiny variant/day rollup — no self-join of " +
+    "events") {
+    val pz = plan(MiningQueries.twoPropZ(spark, dir))
+    assert("FileScan parquet".r.findAllIn(pz).size == 2, pz) // a & b branches
+    assert(!pz.contains("SortMergeJoin"), pz)
+    val pb = plan(MiningQueries.bounceRate(spark, dir))
+    assert("FileScan parquet".r.findAllIn(pb).size == 1, pb)
+    assert(!pb.contains("CartesianProduct"), pb)
+  }
+
+  test("length percentiles: one tokenize scan, per-lang window, no join " +
+    "at all") {
+    val p = plan(MiningQueries.lengthPercentiles(spark, dir))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
 }
