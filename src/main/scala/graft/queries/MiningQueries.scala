@@ -1091,7 +1091,290 @@ object MiningQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---- vocabulary tail health: hapax share per source ------------------
+
+  /** Per-source vocabulary tail profile: distinct terms, hapax terms
+    * (frequency 1 inside the source), and the token mass held by
+    * frequency ≤ 2 terms — the bottom-of-Zipf health check that pairs
+    * with q272's top-side Pareto coverage (a swelling hapax share is
+    * the classic OCR-noise / boilerplate-explosion symptom). Two
+    * stacked aggregates, integer counts, two final divisions. */
+  def hapaxShare(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Catalog.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") <= 2, col("c")).otherwise(0L)).as("tail_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_terms"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_terms").cast("double"))
+          .as("hapax_share"),
+        (col("tail_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("tail_mass"))
+      .orderBy(col("source"))
+  }
+
+  private val hapaxShareSql =
+    """WITH tf AS (
+      |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE len(term) > 0
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS hapax_share,
+      |  CAST(SUM(CASE WHEN c <= 2 THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(c) AS DOUBLE) AS tail_mass
+      |FROM tf
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---- k-NN classifier eval over labeled embeddings --------------------
+
+  private val KnnNQ = 100
+  private val KnnK = 10
+
+  /** Shared ranked-neighbor frame for the k-NN evals: exact cosine
+    * top-k (q70's scaled-int recipe) for the first `KnnNQ` vectors,
+    * with the query's own true label and each neighbor's label. */
+  private def knnRanked(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Catalog.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("sv"), col("label"))
+    val withNorm = emb.withColumn("n2", dotCol(col("sv"), col("sv")))
+    val queries = withNorm.filter(col("vec_id") < KnnNQ)
+      .select(col("vec_id").as("query_id"), col("sv").as("qv"),
+        col("n2").as("qn2"), col("label").as("true_label"))
+    val pairs = withNorm.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("nn_label"),
+        (dotCol(col("qv"), col("sv")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= KnnK)
+  }
+
+  /** Majority-vote k-NN classification accuracy per true label — the
+    * "are these embeddings actually separable" eval every labeled
+    * corpus gets before the classifier is trusted. Exact cosine top-10
+    * (broadcast queries, corpus streams once), per-query majority by
+    * (votes DESC, label ASC), accuracy from integer counts. */
+  def knnEval(spark: SparkSession, dir: String): DataFrame = {
+    val votes = knnRanked(spark, dir)
+      .groupBy(col("query_id"), col("true_label"), col("nn_label"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nn_label"))
+    val pred = votes.withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("nn_label").as("predicted"))
+    pred.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("predicted") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_queries"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_queries").cast("double"))
+          .as("accuracy"))
+      .orderBy(col("true_label"))
+  }
+
+  private def knnRankedSql =
+    s"""v AS (
+       |  SELECT vec_id, label,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+       |    unnest(range(len(embedding))) AS i
+       |  FROM embeddings
+       |), n2 AS (
+       |  SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM v GROUP BY 1
+       |), dots AS (
+       |  SELECT q.vec_id AS query_id, MIN(q.label) AS true_label,
+       |    d.vec_id AS neighbor_id, MIN(d.label) AS nn_label,
+       |    CAST(SUM(q.xi * d.xi) AS BIGINT) AS dot
+       |  FROM v q JOIN v d ON q.i = d.i
+       |  WHERE q.vec_id < $KnnNQ AND d.vec_id <> q.vec_id
+       |  GROUP BY q.vec_id, d.vec_id
+       |), ranked AS (
+       |  SELECT query_id, true_label, neighbor_id, nn_label,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE))
+       |        * sqrt(CAST(dn.n2 AS DOUBLE))) DESC, neighbor_id) AS rn
+       |  FROM dots
+       |  JOIN n2 qn ON query_id = qn.vec_id
+       |  JOIN n2 dn ON neighbor_id = dn.vec_id
+       |)""".stripMargin
+
+  private val knnEvalSql =
+    s"""WITH $knnRankedSql, votes AS (
+       |  SELECT query_id, true_label, nn_label,
+       |    CAST(COUNT(*) AS BIGINT) AS votes
+       |  FROM ranked WHERE rn <= $KnnK
+       |  GROUP BY 1, 2, 3
+       |), pred AS (
+       |  SELECT query_id, true_label, nn_label AS predicted
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY votes DESC, nn_label) AS vr FROM votes)
+       |  WHERE vr = 1
+       |)
+       |SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+       |FROM pred
+       |GROUP BY true_label
+       |ORDER BY true_label""".stripMargin
+
+  /** 1-NN label confusion matrix — which labels the embedding space
+    * confuses with which: (true label, nearest neighbor's label) cell
+    * counts over the eval queries. Same ranked frame as q327 filtered
+    * to rn=1. */
+  def nnConfusion(spark: SparkSession, dir: String): DataFrame =
+    knnRanked(spark, dir).filter(col("rn") === 1)
+      .groupBy(col("true_label"), col("nn_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_label"), col("nn_label"))
+
+  private val nnConfusionSql =
+    s"""WITH $knnRankedSql
+       |SELECT true_label, nn_label, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM ranked WHERE rn = 1
+       |GROUP BY 1, 2
+       |ORDER BY true_label, nn_label""".stripMargin
+
+  // ---- linear (equal-credit) multi-touch attribution -------------------
+
+  /** Linear multi-touch attribution: every purchase splits one unit of
+    * credit equally across the user's non-purchase touches in the 7
+    * days before it (q121 last-touch / q273 first-touch complete the
+    * standard trio). Per-touch credit is the exact integer 10⁶ div n —
+    * summing floats 1/n would be accumulation-order-dependent, micro-
+    * units are not. The touch join is an equi-join on user with a time-
+    * band residual (bounded per-user fan-out); credit rolls up once per
+    * channel. */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts_us").as("tp"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts_us").as("tt"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("tt") < col("tp") && col("tt") >= col("tp") - lit(7L) * DayUs)
+    val wp = Window.partitionBy(col("pid"))
+    joined
+      .withColumn("n_touch", count(lit(1)).over(wp))
+      .withColumn("credit_micro", expr("1000000L div n_touch"))
+      .groupBy(col("channel"))
+      .agg(countDistinct(col("pid")).as("purchases_touched"),
+        sum(col("credit_micro")).as("credit_micro"))
+      .select(col("channel"), col("purchases_touched"), col("credit_micro"),
+        (col("credit_micro").cast("double") / 1000000L).as("credit"))
+      .orderBy(col("channel"))
+  }
+
+  private val linearAttributionSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS pid, epoch_us(ts) AS tp
+      |  FROM events WHERE event_type = 'purchase'
+      |), t AS (
+      |  SELECT user_id, event_type AS channel, epoch_us(ts) AS tt
+      |  FROM events WHERE event_type <> 'purchase'
+      |), j AS (
+      |  SELECT p.pid, t.channel
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.tt < p.tp AND t.tt >= p.tp - 604800000000
+      |), c AS (
+      |  SELECT pid, channel,
+      |    1000000 // (CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT))
+      |      AS credit_micro
+      |  FROM j
+      |)
+      |SELECT channel, CAST(COUNT(DISTINCT pid) AS BIGINT) AS purchases_touched,
+      |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro,
+      |  CAST(SUM(credit_micro) AS DOUBLE) / 1000000 AS credit
+      |FROM c
+      |GROUP BY channel
+      |ORDER BY channel""".stripMargin
+
+  // ---- calendar coverage gaps ------------------------------------------
+
+  /** Days with NO orders per priority segment, against the generated
+    * full calendar spine — the data-completeness audit that catches
+    * silently dropped ingestion partitions. Spine × 5 segments is a
+    * broadcast cross of two tiny generated sides; the anti-join probes
+    * the (day, segment) aggregate of orders, so the fact table
+    * collapses before any join. */
+  def coverageGaps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+    val bounds = o.agg(min(to_date(col("o_orderdate"))).as("d0"),
+      max(to_date(col("o_orderdate"))).as("d1"))
+    val spine = bounds.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val segs = o.select(col("o_orderpriority").as("segment")).distinct()
+    val present = o.groupBy(to_date(col("o_orderdate")).as("d"),
+        col("o_orderpriority").as("segment"))
+      .agg(count(lit(1)).as("c"))
+    spine.crossJoin(segs)
+      .join(present, Seq("d", "segment"), "left_anti")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("missing_days"), min(col("d")).as("first_missing"))
+      .orderBy(col("segment"))
+  }
+
+  private val coverageGapsSql =
+    """WITH b AS (
+      |  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+      |    MAX(CAST(o_orderdate AS DATE)) AS d1
+      |  FROM orders
+      |), spine AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM b
+      |), segs AS (
+      |  SELECT DISTINCT o_orderpriority AS segment FROM orders
+      |), present AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+      |    o_orderpriority AS segment
+      |  FROM orders
+      |)
+      |SELECT s.segment, CAST(COUNT(*) AS BIGINT) AS missing_days,
+      |  MIN(sp.d) AS first_missing
+      |FROM spine sp CROSS JOIN segs s
+      |LEFT JOIN present p ON p.d = sp.d AND p.segment = s.segment
+      |WHERE p.d IS NULL
+      |GROUP BY s.segment
+      |ORDER BY s.segment""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q326_hapax_share", hapaxShare, Some(hapaxShareSql),
+      "per-source hapax share + freq<=2 tail mass — bottom-of-Zipf " +
+        "vocabulary health"),
+    Q("q327_knn_eval", knnEval, Some(knnEvalSql),
+      "majority-vote 10-NN classification accuracy per label over " +
+        "exact cosine neighbors"),
+    Q("q328_nn_confusion", nnConfusion, Some(nnConfusionSql),
+      "1-NN label confusion matrix over the eval queries — embedding " +
+        "separability map"),
+    Q("q329_linear_attribution", linearAttribution, Some(linearAttributionSql),
+      "equal-credit multi-touch attribution in exact micro-units over " +
+        "a 7-day lookback band"),
+    Q("q330_coverage_gaps", coverageGaps, Some(coverageGapsSql),
+      "missing (day, segment) cells vs the generated calendar spine — " +
+        "ingestion completeness audit"),
     Q("q321_weighted_pagerank", weightedPagerank, Some(weightedPagerankSql),
       "revenue-weighted PageRank: rank splits by exact edge cents, " +
         "integer fixed point, 5 rounds"),

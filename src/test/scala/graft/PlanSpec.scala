@@ -742,4 +742,36 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("hapax share: tokenize collapses in stacked partial->final " +
+    "aggregates — single scan, no join, no window") {
+    val p = plan(MiningQueries.hapaxShare(spark, dir))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("knn eval / confusion: eval queries broadcast (corpus streams " +
+    "once per ranked frame), top-k prunes via WindowGroupLimit") {
+    for (q <- Seq("q327_knn_eval", "q328_nn_confusion")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+      assert(p.contains("WindowGroupLimit"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
+  test("linear attribution: purchases x touches is an equi-join on " +
+    "user with a residual time band — no cartesian, no nested loop") {
+    val p = plan(MiningQueries.linearAttribution(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("coverage gaps: the fact table collapses before the anti-join; " +
+    "only the generated spine x segments crosses") {
+    val p = plan(MiningQueries.coverageGaps(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    // the only nested-loop is the tiny spine x 5-segment cross
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
