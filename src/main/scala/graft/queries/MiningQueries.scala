@@ -1359,7 +1359,347 @@ object MiningQueries {
       |GROUP BY s.segment
       |ORDER BY s.segment""".stripMargin
 
+  // ---- embedding drift: per-label centroid shift -----------------------
+
+  /** Per-label centroid L2 shift between the first and second half of
+    * the corpus (by vec_id) — the embedding-drift monitor run between
+    * model or pipeline versions. The trick that keeps it engine-exact:
+    * the mean difference per dimension is the RATIONAL
+    * (S1·n2 − S2·n1)/(n1·n2), whose numerators are integers — so
+    * Σ_dims num² is an exact DECIMAL(38,0) sum, and the shift is
+    * sqrt(Σnum²)/(n1·n2·10⁶) — sqrt+division once at the end, never a
+    * float accumulation over dimensions. One posexplode aggregate per
+    * half, a 64-row join per label. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val mid = Catalog.load(spark, dir, "embeddings")
+      .agg(max(col("vec_id")).as("mx"))
+      .select((col("mx") / 2).cast("long").as("mid"))
+    val v = Catalog.load(spark, dir, "embeddings")
+      .crossJoin(broadcast(mid))
+      .select(col("label"), when(col("vec_id") <= col("mid"), 1).otherwise(2).as("half"),
+        posexplode(
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+          .as(Seq("dim", "xi")))
+    val sums = v.groupBy(col("label"), col("half"), col("dim"))
+      .agg(sum(col("xi").cast(dec)).as("s"), count(lit(1)).as("n"))
+    val h1 = sums.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("s").as("s1"), col("n").as("n1"))
+    val h2 = sums.filter(col("half") === 2)
+      .select(col("label"), col("dim"), col("s").as("s2"), col("n").as("n2"))
+    h1.join(h2, Seq("label", "dim"))
+      .select(col("label"), col("n1"), col("n2"),
+        ((col("s1") * col("n2") - col("s2") * col("n1"))
+          * (col("s1") * col("n2") - col("s2") * col("n1"))).cast(dec).as("num2"))
+      .groupBy(col("label"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("num2")).as("sum_num2"))
+      .select(col("label"), col("n1"), col("n2"),
+        (sqrt(col("sum_num2").cast("double")) /
+          ((col("n1") * col("n2")).cast("double") * 1000000.0))
+          .as("centroid_shift"))
+      .orderBy(col("label"))
+  }
+
+  private val centroidDriftSql =
+    s"""WITH mid AS (
+       |  SELECT CAST(MAX(vec_id) // 2 AS BIGINT) AS mid FROM embeddings
+       |), v AS (
+       |  SELECT label,
+       |    CASE WHEN vec_id <= mid.mid THEN 1 ELSE 2 END AS half,
+       |    CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS HUGEINT) AS xi
+       |  FROM embeddings, mid
+       |), sums AS (
+       |  SELECT label, half, dim, SUM(xi) AS s,
+       |    CAST(COUNT(*) AS HUGEINT) AS n
+       |  FROM v GROUP BY 1, 2, 3
+       |), j AS (
+       |  SELECT a.label, a.dim, a.s AS s1, a.n AS n1, b.s AS s2, b.n AS n2,
+       |    (a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n) AS num2
+       |  FROM sums a JOIN sums b
+       |    ON a.label = b.label AND a.dim = b.dim AND a.half = 1 AND b.half = 2
+       |), agg AS (
+       |  SELECT label, MAX(n1) AS n1, MAX(n2) AS n2, SUM(num2) AS sum_num2
+       |  FROM j GROUP BY label
+       |)
+       |SELECT label, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  sqrt(${hugeDbl("sum_num2")})
+       |    / (${hugeDbl("n1 * n2")} * 1000000.0) AS centroid_shift
+       |FROM agg
+       |ORDER BY label""".stripMargin
+
+  // ---- Simpson's paradox detector --------------------------------------
+
+  /** Simpson's-paradox audit on activation conversion (q323's metric)
+    * split by the user's dominant event count parity... no — segment by
+    * the user's first event type: does the variant-0-vs-1 conversion
+    * direction hold inside every segment, or does aggregation flip it?
+    * The direction compare is the EXACT integer cross-product sign
+    * c₁·n₂ − c₂·n₁ (no division anywhere until the report columns), so
+    * the paradox flag is bit-robust. One per-user collapse, one segment
+    * rollup, a broadcast overall row. */
+  def simpsonParadox(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val users = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("rn") === 1, col("event_type"))).as("segment"),
+        min(col("ts_us")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("tp"))
+      .select(col("segment"), (col("user_id") % 2).as("variant"),
+        when(col("tp").isNotNull && col("tp") <= col("t0") + DayUs, 1L)
+          .otherwise(0L).as("conv"))
+    val bySeg = users.groupBy(col("segment"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c1"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c2"))
+    val overall = bySeg.agg(sum(col("n1")).as("on1"), sum(col("c1")).as("oc1"),
+      sum(col("n2")).as("on2"), sum(col("c2")).as("oc2"))
+    bySeg.crossJoin(broadcast(overall))
+      .select(col("segment"), col("n1"), col("c1"), col("n2"), col("c2"),
+        signum((col("c1") * col("n2") - col("c2") * col("n1")).cast("double"))
+          .cast("long").as("seg_direction"),
+        signum((col("oc1") * col("on2") - col("oc2") * col("on1")).cast("double"))
+          .cast("long").as("overall_direction"))
+      .withColumn("flips",
+        col("seg_direction") =!= lit(0L) &&
+          col("seg_direction") === -col("overall_direction"))
+      .orderBy(col("segment"))
+  }
+
+  private val simpsonParadoxSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN rn = 1 THEN event_type END) AS segment,
+      |    MIN(ts_us) AS t0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) AS tp
+      |  FROM e GROUP BY 1
+      |), users AS (
+      |  SELECT segment, user_id % 2 AS variant,
+      |    CASE WHEN tp IS NOT NULL AND tp <= t0 + 86400000000
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM u
+      |), by_seg AS (
+      |  SELECT segment,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+      |  FROM users GROUP BY 1
+      |), o AS (
+      |  SELECT SUM(n1) AS on1, SUM(c1) AS oc1, SUM(n2) AS on2, SUM(c2) AS oc2
+      |  FROM by_seg
+      |)
+      |SELECT segment, n1, c1, n2, c2,
+      |  CAST(sign(c1 * n2 - c2 * n1) AS BIGINT) AS seg_direction,
+      |  CAST(sign(oc1 * on2 - oc2 * on1) AS BIGINT) AS overall_direction,
+      |  CAST(sign(c1 * n2 - c2 * n1) AS BIGINT) <> 0
+      |    AND CAST(sign(c1 * n2 - c2 * n1) AS BIGINT)
+      |      = -CAST(sign(oc1 * on2 - oc2 * on1) AS BIGINT) AS flips
+      |FROM by_seg, o
+      |ORDER BY segment""".stripMargin
+
+  // ---- difference-in-differences ---------------------------------------
+
+  /** Diff-in-diff estimate of the "urgent-priority weekend effect" on
+    * order value: (urgent_weekend − urgent_weekday) − (other_weekend −
+    * other_weekday). The four cell means come from ONE aggregate row of
+    * exact cent sums and counts; the estimate is a fixed scalar
+    * expression over those eight values — four divisions and three
+    * subtractions in a deterministic tree, no data-dependent float
+    * accumulation anywhere. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(
+        (col("o_orderpriority").isin("1-URGENT", "2-HIGH")).as("treated"),
+        (expr("weekday(o_orderdate)") >= 5).as("weekend"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def cell(t: Boolean, we: Boolean, suffix: String) = Seq(
+      sum(when(col("treated") === t && col("weekend") === we, col("cents"))
+        .otherwise(0L)).as(s"s$suffix"),
+      sum(when(col("treated") === t && col("weekend") === we, 1L)
+        .otherwise(0L)).as(s"n$suffix"))
+    val cols = cell(true, true, "11") ++ cell(true, false, "10") ++
+      cell(false, true, "01") ++ cell(false, false, "00")
+    val agg = o.agg(cols.head, cols.tail: _*)
+    def m(s: String) =
+      col(s"s$s").cast("double") / col(s"n$s").cast("double") / 100.0
+    agg.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      m("11").as("m11"), m("10").as("m10"), m("01").as("m01"), m("00").as("m00"))
+      .withColumn("did", (col("m11") - col("m10")) - (col("m01") - col("m00")))
+  }
+
+  private val diffInDiffSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS treated,
+      |    isodow(CAST(o_orderdate AS DATE)) >= 6 AS weekend,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN treated AND weekend THEN cents ELSE 0 END) AS BIGINT) AS s11,
+      |    CAST(SUM(CASE WHEN treated AND weekend THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN treated AND NOT weekend THEN cents ELSE 0 END) AS BIGINT) AS s10,
+      |    CAST(SUM(CASE WHEN treated AND NOT weekend THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN NOT treated AND weekend THEN cents ELSE 0 END) AS BIGINT) AS s01,
+      |    CAST(SUM(CASE WHEN NOT treated AND weekend THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN NOT treated AND NOT weekend THEN cents ELSE 0 END) AS BIGINT) AS s00,
+      |    CAST(SUM(CASE WHEN NOT treated AND NOT weekend THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM o
+      |)
+      |SELECT n11, n10, n01, n00,
+      |  CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / 100.0 AS m11,
+      |  CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / 100.0 AS m10,
+      |  CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / 100.0 AS m01,
+      |  CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / 100.0 AS m00,
+      |  (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / 100.0
+      |    - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / 100.0)
+      |  - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / 100.0
+      |    - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / 100.0) AS did
+      |FROM a""".stripMargin
+
+  // ---- directional association rules -----------------------------------
+
+  /** Top-20 directional association rules A→B over order baskets by
+    * confidence (support ≥ 3): confidence = n_ab/n_a, lift rides along
+    * — q179's pair counts made directional, the actual "customers who
+    * bought X also bought Y" serving table. Counts exact; confidence
+    * and lift are the only divisions; top-20 via TakeOrdered. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val perPart = items.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = items.select(col("ok"), col("pk").as("a"))
+      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(perPart.select(col("pk").as("a"), col("n_part").as("n_a")), "a")
+      .join(perPart.select(col("pk").as("b"), col("n_part").as("n_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        (col("n_ab").cast("double") * col("n_orders")
+          / (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("confidence").desc, col("n_ab").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  private val assocRulesSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), n AS (
+      |  SELECT COUNT(DISTINCT ok) AS n_orders FROM items
+      |), pp AS (
+      |  SELECT pk, COUNT(*) AS n_part FROM items GROUP BY 1
+      |), pairs AS (
+      |  SELECT x.pk AS a, y.pk AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk <> y.pk
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3
+      |)
+      |SELECT p.a, p.b, p.n_ab, CAST(pa.n_part AS BIGINT) AS n_a,
+      |  CAST(p.n_ab AS DOUBLE) / CAST(pa.n_part AS DOUBLE) AS confidence,
+      |  CAST(p.n_ab AS DOUBLE) * n.n_orders / (pa.n_part * pb.n_part) AS lift
+      |FROM pairs p
+      |JOIN pp pa ON pa.pk = p.a
+      |JOIN pp pb ON pb.pk = p.b
+      |CROSS JOIN n
+      |ORDER BY confidence DESC, p.n_ab DESC, p.a, p.b
+      |LIMIT 20""".stripMargin
+
+  // ---- user journey signatures -----------------------------------------
+
+  /** Distribution of first-3-event journey signatures ("view>click>
+    * signup") with their 24h-activation rate — the onboarding-archetype
+    * report. One user-partitioned window pass builds the signature and
+    * the activation flag; signatures roll up with exact counts and one
+    * rate division. */
+  def journeySignature(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val users = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("rn") === 1, col("event_type"))).as("e1"),
+        min(when(col("rn") === 2, col("event_type"))).as("e2"),
+        min(when(col("rn") === 3, col("event_type"))).as("e3"),
+        min(col("ts_us")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("tp"))
+      .select(
+        concat_ws(">", coalesce(col("e1"), lit("-")),
+          coalesce(col("e2"), lit("-")), coalesce(col("e3"), lit("-")))
+          .as("signature"),
+        when(col("tp").isNotNull && col("tp") <= col("t0") + DayUs, 1L)
+          .otherwise(0L).as("activated"))
+    users.groupBy(col("signature"))
+      .agg(count(lit(1)).as("n_users"), sum(col("activated")).as("n_activated"))
+      .select(col("signature"), col("n_users"), col("n_activated"),
+        (col("n_activated").cast("double") / col("n_users").cast("double"))
+          .as("activation_rate"))
+      .orderBy(col("n_users").desc, col("signature"))
+      .limit(25)
+  }
+
+  private val journeySignatureSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id,
+      |    COALESCE(MIN(CASE WHEN rn = 1 THEN event_type END), '-')
+      |      || '>' || COALESCE(MIN(CASE WHEN rn = 2 THEN event_type END), '-')
+      |      || '>' || COALESCE(MIN(CASE WHEN rn = 3 THEN event_type END), '-')
+      |      AS signature,
+      |    CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+      |        IS NOT NULL
+      |      AND MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+      |        <= MIN(ts_us) + 86400000000
+      |      THEN 1 ELSE 0 END AS activated
+      |  FROM e GROUP BY user_id
+      |)
+      |SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(activated) AS BIGINT) AS n_activated,
+      |  CAST(SUM(activated) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS activation_rate
+      |FROM u
+      |GROUP BY signature
+      |ORDER BY n_users DESC, signature
+      |LIMIT 25""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q331_centroid_drift", centroidDrift, Some(centroidDriftSql),
+      "per-label centroid L2 shift first-half vs second-half — exact " +
+        "integer numerators, one sqrt+division"),
+    Q("q332_simpson_paradox", simpsonParadox, Some(simpsonParadoxSql),
+      "segment-vs-overall conversion direction via exact integer " +
+        "cross-products — paradox flag per first-event segment"),
+    Q("q333_diff_in_diff", diffInDiff, Some(diffInDiffSql),
+      "urgent x weekend diff-in-diff on order value from one 8-column " +
+        "exact aggregate row"),
+    Q("q334_assoc_rules", assocRules, Some(assocRulesSql),
+      "top-20 directional basket rules by confidence (support >= 3), " +
+        "lift alongside"),
+    Q("q335_journey_signature", journeySignature, Some(journeySignatureSql),
+      "first-3-event journey archetypes with 24h activation rate"),
     Q("q326_hapax_share", hapaxShare, Some(hapaxShareSql),
       "per-source hapax share + freq<=2 tail mass — bottom-of-Zipf " +
         "vocabulary health"),

@@ -774,4 +774,31 @@ class PlanSpec extends AnyFunSuite {
     // the only nested-loop is the tiny spine x 5-segment cross
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("centroid drift: halves join on (label, dim) — 64-row-per-label " +
+    "equi-join over the collapsed moment sums, no cartesian") {
+    val p = plan(MiningQueries.centroidDrift(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("simpson / journey / diff-in-diff: the per-user (or one-row) " +
+    "collapse happens before any tiny rollup — no raw-event self-join") {
+    for (q <- Seq("q332_simpson_paradox", "q335_journey_signature",
+        "q333_diff_in_diff")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q\n$p")
+    }
+    val pd = plan(MiningQueries.diffInDiff(spark, dir))
+    assert("FileScan parquet".r.findAllIn(pd).size == 1, pd)
+    assert(!pd.contains("Window"), pd)
+  }
+
+  test("assoc rules: basket self-join stays equi, marginals join on the " +
+    "pair aggregate, top-20 via TakeOrderedAndProject") {
+    val p = plan(MiningQueries.assocRules(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
