@@ -1685,7 +1685,287 @@ object MiningQueries {
       |ORDER BY n_users DESC, signature
       |LIMIT 25""".stripMargin
 
+  // ---- reciprocal best match (mutual top-1) ----------------------------
+
+  /** Supplier↔part mutual-best pairs: the supplier's #1 part by exact
+    * revenue cents AND that part's #1 supplier — the reciprocal-best
+    * filter used in entity resolution and assignment problems to keep
+    * only unambiguous matches. Two WindowGroupLimit-prunable top-1
+    * windows over the same (s, p) revenue aggregate, one equi self-join
+    * on the pair key. */
+  def mutualBest(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val bySupp = sp.withColumn("rs", row_number().over(
+      Window.partitionBy(col("s")).orderBy(col("cents").desc, col("p"))))
+      .filter(col("rs") === 1).select(col("s"), col("p"), col("cents"))
+    val byPart = sp.withColumn("rp", row_number().over(
+      Window.partitionBy(col("p")).orderBy(col("cents").desc, col("s"))))
+      .filter(col("rp") === 1).select(col("s"), col("p"))
+    bySupp.join(byPart, Seq("s", "p"))
+      .select(col("s").as("s_suppkey"), col("p").as("p_partkey"), col("cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val mutualBestSql =
+    """WITH sp AS (
+      |  SELECT l_suppkey AS s, l_partkey AS p,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem GROUP BY 1, 2
+      |), bs AS (
+      |  SELECT s, p, cents FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY s
+      |      ORDER BY cents DESC, p) AS rs FROM sp) WHERE rs = 1
+      |), bp AS (
+      |  SELECT s, p FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p
+      |      ORDER BY cents DESC, s) AS rp FROM sp) WHERE rp = 1
+      |)
+      |SELECT bs.s AS s_suppkey, bs.p AS p_partkey, bs.cents
+      |FROM bs JOIN bp ON bs.s = bp.s AND bs.p = bp.p
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---- 10% trimmed mean per segment ------------------------------------
+
+  /** 10%-trimmed mean order value per priority — the robust central
+    * tendency that DROPS the tails q131's winsorize clamps. Rank window
+    * per segment, keep ranks in (⌊n/10⌋, n−⌊n/10⌋], exact cent sums,
+    * one division. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("segment"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      .filter(col("rn") > expr("n div 10") && col("rn") <= col("n") - expr("n div 10"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("kept_cents"))
+      .select(col("segment"), col("n_kept"),
+        (col("kept_cents").cast("double") / col("n_kept").cast("double") / 100.0)
+          .as("trimmed_mean"))
+      .orderBy(col("segment"))
+  }
+
+  private val trimmedMeanSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS segment, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), r AS (
+      |  SELECT segment, cents,
+      |    CAST(row_number() OVER (PARTITION BY segment
+      |      ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+      |  FROM o
+      |)
+      |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+      |    AS trimmed_mean
+      |FROM r
+      |WHERE rn > n // 10 AND rn <= n - n // 10
+      |GROUP BY segment
+      |ORDER BY segment""".stripMargin
+
+  // ---- quantile treatment effect ---------------------------------------
+
+  /** Quantile treatment effect of the o_custkey%2 split on order value:
+    * the p25/p50/p75 differences between the two arms, each quantile an
+    * exact rank-selected cent value (⌈p·n⌉ in the (cents, orderkey)
+    * total order — interpolation-free, so both engines agree bit-for-
+    * bit). The distribution-level view a mean-diff test misses. */
+  def qte(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select((col("o_custkey") % 2).as("variant"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("variant"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val ranked = o.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("variant"))))
+    val qs = ranked.groupBy(col("variant"))
+      .agg(min(when(col("rn") === expr("(n * 25 + 99) div 100"), col("cents"))).as("p25"),
+        min(when(col("rn") === expr("(n * 50 + 99) div 100"), col("cents"))).as("p50"),
+        min(when(col("rn") === expr("(n * 75 + 99) div 100"), col("cents"))).as("p75"))
+    val v0 = qs.filter(col("variant") === 0)
+      .select(col("p25").as("q25_0"), col("p50").as("q50_0"), col("p75").as("q75_0"))
+    val v1 = qs.filter(col("variant") === 1)
+      .select(col("p25").as("q25_1"), col("p50").as("q50_1"), col("p75").as("q75_1"))
+    v0.crossJoin(v1)
+      .selectExpr(
+        """stack(3,
+          | 25L, q25_0, q25_1, q25_1 - q25_0,
+          | 50L, q50_0, q50_1, q50_1 - q50_0,
+          | 75L, q75_0, q75_1, q75_1 - q75_0)
+          |AS (percentile, cents_v0, cents_v1, qte_cents)""".stripMargin)
+      .orderBy(col("percentile"))
+  }
+
+  private val qteSql =
+    """WITH o AS (
+      |  SELECT o_custkey % 2 AS variant, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), r AS (
+      |  SELECT variant, cents,
+      |    CAST(row_number() OVER (PARTITION BY variant
+      |      ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY variant) AS BIGINT) AS n
+      |  FROM o
+      |), q AS (
+      |  SELECT variant,
+      |    MIN(CASE WHEN rn = (n * 25 + 99) // 100 THEN cents END) AS p25,
+      |    MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS p50,
+      |    MIN(CASE WHEN rn = (n * 75 + 99) // 100 THEN cents END) AS p75
+      |  FROM r GROUP BY variant
+      |), v0 AS (SELECT p25 AS q25_0, p50 AS q50_0, p75 AS q75_0 FROM q WHERE variant = 0),
+      |v1 AS (SELECT p25 AS q25_1, p50 AS q50_1, p75 AS q75_1 FROM q WHERE variant = 1),
+      |cells AS (
+      |  SELECT CAST(25 AS BIGINT) AS percentile, q25_0 AS cents_v0,
+      |    q25_1 AS cents_v1, q25_1 - q25_0 AS qte_cents FROM v0, v1
+      |  UNION ALL
+      |  SELECT 50, q50_0, q50_1, q50_1 - q50_0 FROM v0, v1
+      |  UNION ALL
+      |  SELECT 75, q75_0, q75_1, q75_1 - q75_0 FROM v0, v1
+      |)
+      |SELECT * FROM cells ORDER BY percentile""".stripMargin
+
+  // ---- dedup threshold sweep -------------------------------------------
+
+  /** Near-dup pair counts at Jaccard thresholds 0.3…0.8 from ONE
+    * pairwise-similarity computation — the dedup-tuning curve that
+    * shows where the cliff is before anyone picks a production
+    * threshold. Reuses the df-capped candidate machinery
+    * ([[graft.ops.DedupOps.jaccardPairs]]); each threshold is a
+    * conditional count over the same single-division jaccard values
+    * (identical division+compare on both engines). */
+  def jaccardSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.DedupOps.jaccardPairs(
+      Catalog.load(spark, dir, "documents"), n = 5, threshold = 0.3)
+    val agg = pairs.agg(
+      sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("t30"),
+      sum(when(col("jaccard") >= 0.4, 1L).otherwise(0L)).as("t40"),
+      sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("t50"),
+      sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("t60"),
+      sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("t70"),
+      sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("t80"))
+    agg.selectExpr(
+      """stack(6, 30L, t30, 40L, t40, 50L, t50, 60L, t60, 70L, t70, 80L, t80)
+        |AS (threshold_pct, n_pairs)""".stripMargin)
+      .select(col("threshold_pct"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy(col("threshold_pct"))
+  }
+
+  private val jaccardSweepSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      |  WHERE len(t) >= 5
+      |), card AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), sims AS (
+      |  SELECT CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) AS j
+      |  FROM common
+      |  JOIN card x ON doc_a = x.doc_id
+      |  JOIN card y ON doc_b = y.doc_id
+      |), cells AS (
+      |  SELECT CAST(t AS BIGINT) AS threshold_pct,
+      |    (SELECT CAST(COALESCE(SUM(CASE WHEN j >= t / 100.0 THEN 1 ELSE 0 END), 0)
+      |       AS BIGINT) FROM sims) AS n_pairs
+      |  FROM (VALUES (30), (40), (50), (60), (70), (80)) AS v(t)
+      |)
+      |SELECT * FROM cells ORDER BY threshold_pct""".stripMargin
+
+  // ---- ratio-metric variance via the delta method ----------------------
+
+  /** Delta-method standard error for the ratio metric "event value per
+    * event" per experiment arm — THE experimentation primitive for
+    * ratio metrics (naively treating a ratio as a mean understates its
+    * variance). Per-user (x=Σvalue cents, y=n events) collapse, then
+    * exact DECIMAL(38,0) moments per arm; R̂ = ΣX/ΣY and
+    * var(R̂) ≈ (s²x − 2R̂·sxy + R̂²·s²y)/(n·ȳ²) are a fixed mirrored
+    * IEEE chain over those exact moments. */
+  def ratioDelta(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perUser = Catalog.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"),
+        count(lit(1)).as("y"))
+    val m = perUser.groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x").cast(dec) * col("x")).cast(dec)).as("sxx"),
+        sum((col("y").cast(dec) * col("y")).cast(dec)).as("syy"),
+        sum((col("x").cast(dec) * col("y")).cast(dec)).as("sxy"))
+    val n = col("n").cast(dec)
+    m.select(col("variant"), col("n"),
+        (col("sx").cast("double") / col("sy").cast("double")).as("ratio"),
+        ((n * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (n * (n - 1)).cast("double")).as("vx"),
+        ((n * col("syy") - col("sy") * col("sy")).cast("double") /
+          (n * (n - 1)).cast("double")).as("vy"),
+        ((n * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (n * (n - 1)).cast("double")).as("cxy"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"))
+      .withColumn("se_ratio",
+        sqrt((col("vx") - lit(2.0) * col("ratio") * col("cxy")
+          + col("ratio") * col("ratio") * col("vy"))
+          / (col("n").cast("double") * col("ybar") * col("ybar"))))
+      .select(col("variant"), col("n"), col("ratio"), col("se_ratio"))
+      .orderBy(col("variant"))
+  }
+
+  private val ratioDeltaSql =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS x,
+       |    CAST(COUNT(*) AS HUGEINT) AS y
+       |  FROM events GROUP BY 1
+       |), m AS (
+       |  SELECT user_id % 2 AS variant, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+       |  FROM pu GROUP BY 1
+       |), s AS (
+       |  SELECT variant, CAST(n AS BIGINT) AS n,
+       |    ${hugeDbl("sx")} / ${hugeDbl("sy")} AS ratio,
+       |    ${hugeDbl("n * sxx - sx * sx")} / ${hugeDbl("n * (n - 1)")} AS vx,
+       |    ${hugeDbl("n * syy - sy * sy")} / ${hugeDbl("n * (n - 1)")} AS vy,
+       |    ${hugeDbl("n * sxy - sx * sy")} / ${hugeDbl("n * (n - 1)")} AS cxy,
+       |    ${hugeDbl("sy")} / ${hugeDbl("n")} AS ybar
+       |  FROM m
+       |)
+       |SELECT variant, n, ratio,
+       |  sqrt((vx - 2.0 * ratio * cxy + ratio * ratio * vy)
+       |    / (CAST(n AS DOUBLE) * ybar * ybar)) AS se_ratio
+       |FROM s
+       |ORDER BY variant""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q336_mutual_best", mutualBest, Some(mutualBestSql),
+      "supplier-part reciprocal best match by exact revenue — " +
+        "unambiguous-assignment filter"),
+    Q("q337_trimmed_mean", trimmedMean, Some(trimmedMeanSql),
+      "10% trimmed mean order value per priority — rank-windowed tail " +
+        "drop, exact cents"),
+    Q("q338_qte", qte, Some(qteSql),
+      "p25/p50/p75 quantile treatment effects of the custkey%2 split — " +
+        "rank-selected, interpolation-free"),
+    Q("q339_jaccard_sweep", jaccardSweep, Some(jaccardSweepSql),
+      "near-dup pair counts at thresholds 0.3-0.8 from one pairwise " +
+        "pass — dedup tuning curve"),
+    Q("q340_ratio_delta", ratioDelta, Some(ratioDeltaSql),
+      "delta-method SE for the value-per-event ratio metric per arm — " +
+        "exact decimal moments, mirrored IEEE chain"),
     Q("q331_centroid_drift", centroidDrift, Some(centroidDriftSql),
       "per-label centroid L2 shift first-half vs second-half — exact " +
         "integer numerators, one sqrt+division"),

@@ -801,4 +801,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("mutual best: both top-1 windows prune via WindowGroupLimit over " +
+    "ONE (s,p) revenue aggregate; the reciprocal filter is an equi-join") {
+    val p = plan(MiningQueries.mutualBest(spark, dir))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("trimmed mean / qte: segment-partitioned rank windows, no join " +
+    "of fact rows, exact-cent aggregates") {
+    for (q <- Seq("q337_trimmed_mean", "q338_qte")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q\n$p")
+    }
+  }
+
+  test("ratio delta: per-user collapse then per-arm moment aggregate — " +
+    "two stacked partial->final aggregates, one scan, no window") {
+    val p = plan(MiningQueries.ratioDelta(spark, dir))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
