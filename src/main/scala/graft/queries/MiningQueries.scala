@@ -1950,7 +1950,223 @@ object MiningQueries {
        |FROM s
        |ORDER BY variant""".stripMargin
 
+  // ---- effective dimensionality (participation ratio) ------------------
+
+  /** Participation-ratio effective dimensionality of the embedding
+    * corpus under the diagonal-covariance approximation:
+    * PR = (Σ_d λ_d)²/Σ_d λ_d² with λ_d the per-dimension variance.
+    * Because every λ_d shares the denominator n², PR reduces to
+    * (Σ num_d)²/Σ num_d² over the INTEGER numerators
+    * num_d = n·Σx² − (Σx)² — exact DECIMAL(38,0) end-to-end, one final
+    * division. (Headroom note: num² ≈ 10³⁶ at fixture scale; a larger
+    * corpus would drop the 10⁶ scaling to 10⁴ to stay inside
+    * DECIMAL(38).) The "how many dimensions are actually used" audit
+    * that catches collapsed embedding spaces. */
+  def effectiveDim(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perDim = Catalog.load(spark, dir, "embeddings")
+      .select(posexplode(
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+        .as(Seq("dim", "xi")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast(dec)).as("sx"),
+        sum((col("xi").cast(dec) * col("xi")).cast(dec)).as("sxx"))
+      .select(col("dim"),
+        (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast(dec)
+          .as("num"))
+    perDim.agg(count(lit(1)).as("n_dims"),
+        sum(col("num")).as("s1"),
+        sum((col("num") * col("num")).cast(dec)).as("s2"))
+      .select(col("n_dims"),
+        ((col("s1") * col("s1")).cast("double") / col("s2").cast("double"))
+          .as("effective_dims"))
+  }
+
+  private val effectiveDimSql =
+    s"""WITH v AS (
+       |  SELECT CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS HUGEINT) AS xi
+       |  FROM embeddings
+       |), per_dim AS (
+       |  SELECT dim,
+       |    CAST(COUNT(*) AS HUGEINT) * SUM(xi * xi) - SUM(xi) * SUM(xi) AS num
+       |  FROM v GROUP BY dim
+       |), s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+       |    SUM(num) AS s1, SUM(num * num) AS s2
+       |  FROM per_dim
+       |)
+       |SELECT n_dims,
+       |  ${hugeDbl("s1 * s1")} / ${hugeDbl("s2")} AS effective_dims
+       |FROM s""".stripMargin
+
+  // ---- shuffle-key advisor: bucket imbalance per candidate key ---------
+
+  /** Partition-key advisor: for three candidate integer bucketings of
+    * the event stream (user_id%32, event_id%32, day-of-month), the
+    * max/avg bucket-count skew a 32-way shuffle would see — the
+    * pre-job answer to "which key balances". Plain modulo bucketing
+    * (not engine hash functions, which differ) keeps it engine-exact;
+    * one aggregate per strategy over one scan each, integer counts, one
+    * division. */
+  def partitionAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    def strat(name: String, bucket: Column): DataFrame =
+      e.groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("c")).as("max_rows"),
+          sum(col("c")).as("total"))
+        .select(lit(name).as("strategy"), col("n_buckets"), col("max_rows"),
+          (col("max_rows").cast("double") * col("n_buckets").cast("double")
+            / col("total").cast("double")).as("skew_ratio"))
+    strat("user_mod32", pmod(col("user_id"), lit(32)))
+      .unionAll(strat("event_mod32", pmod(col("event_id"), lit(32))))
+      .unionAll(strat("day_of_month", dayofmonth(col("ts")).cast("long")))
+      .orderBy(col("strategy"))
+  }
+
+  private val partitionAdvisorSql = {
+    def strat(name: String, bucket: String) =
+      s"""SELECT '$name' AS strategy,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(MAX(c) AS BIGINT) AS max_rows,
+         |  CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) AS skew_ratio
+         |FROM (SELECT $bucket AS b, COUNT(*) AS c FROM events GROUP BY 1)""".stripMargin
+    Seq(strat("user_mod32", "user_id % 32"),
+      strat("event_mod32", "event_id % 32"),
+      strat("day_of_month", "CAST(day(ts) AS BIGINT)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY strategy")
+  }
+
+  // ---- burst detection (bot heuristic) ---------------------------------
+
+  /** Users whose event rate ever reached 3+ events inside a rolling
+    * one-hour window — the bot/scraper heuristic every training-data
+    * event pipeline runs before trusting engagement counts (threshold
+    * calibrated to the fixture's ~2 events/user/day baseline; a real
+    * clickstream would use minutes). RANGE frame over integer
+    * microseconds per user (exact row counts, no floats at all); one
+    * window pass, one per-user max. */
+  def burstUsers(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-HourUs, 0)
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("burst")).as("max_events_1h"), count(lit(1)).as("n_events"))
+      .filter(col("max_events_1h") >= 3)
+      .orderBy(col("max_events_1h").desc, col("user_id"))
+  }
+
+  private val burstUsersSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |), b AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS burst
+      |  FROM e
+      |)
+      |SELECT user_id, CAST(MAX(burst) AS BIGINT) AS max_events_1h,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM b
+      |GROUP BY user_id
+      |HAVING MAX(burst) >= 3
+      |ORDER BY max_events_1h DESC, user_id""".stripMargin
+
+  // ---- near-dup graph degree distribution ------------------------------
+
+  /** Degree histogram of the 0.5-Jaccard near-dup graph: how many docs
+    * have 1, 2, … near-duplicate neighbors — the shape report that
+    * distinguishes "scattered pairs" from "one giant template family"
+    * before anyone runs clustering. Pairs from the df-capped exact
+    * machinery; degrees by exploding each pair to both endpoints. */
+  def dedupDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.DedupOps.jaccardPairs(
+      Catalog.load(spark, dir, "documents"), n = 5, threshold = 0.5)
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+  }
+
+  private val dedupDegreeHistSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      |  WHERE len(t) >= 5
+      |), card AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM common
+      |  JOIN card x ON doc_a = x.doc_id
+      |  JOIN card y ON doc_b = y.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= 0.5
+      |), deg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+      |  FROM (SELECT doc_a AS doc_id FROM pairs
+      |        UNION ALL SELECT doc_b FROM pairs)
+      |  GROUP BY 1
+      |)
+      |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
+
+  // ---- label balance: chi-square goodness of fit -----------------------
+
+  /** Chi-square goodness-of-fit of the embedding label distribution
+    * against uniform — the class-balance gate before any sampling or
+    * eval split. χ² = (k·Σc² − n²)/n: entirely integer until ONE
+    * division (expanding Σ(cᵢ−n/k)²/(n/k) over the shared n/k
+    * denominator — no per-class float terms to accumulate). */
+  def labelBalance(spark: SparkSession, dir: String): DataFrame = {
+    val perLabel = Catalog.load(spark, dir, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("c"))
+    perLabel.agg(count(lit(1)).as("k"), sum(col("c")).as("n"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("k"), col("n"),
+        ((col("k") * col("sc2") - col("n") * col("n")).cast("double") /
+          col("n").cast("double")).as("chi2_uniform"))
+  }
+
+  private val labelBalanceSql =
+    """WITH per_label AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM embeddings GROUP BY 1
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |  CAST(SUM(c) AS BIGINT) AS n,
+      |  CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+      |    / CAST(SUM(c) AS DOUBLE) AS chi2_uniform
+      |FROM per_label""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q341_effective_dim", effectiveDim, Some(effectiveDimSql),
+      "participation-ratio effective dimensionality from integer " +
+        "variance numerators — collapsed-space audit"),
+    Q("q342_partition_advisor", partitionAdvisor, Some(partitionAdvisorSql),
+      "32-way bucket skew per candidate shuffle key (max/avg ratio) — " +
+        "pre-job partitioning advisor"),
+    Q("q343_burst_users", burstUsers, Some(burstUsersSql),
+      "users reaching 3+ events in any rolling 1h RANGE window — " +
+        "bot/scraper heuristic, integer-exact"),
+    Q("q344_dedup_degree_hist", dedupDegreeHist, Some(dedupDegreeHistSql),
+      "degree histogram of the 0.5-Jaccard near-dup graph — template-" +
+        "family shape report"),
+    Q("q345_label_balance", labelBalance, Some(labelBalanceSql),
+      "chi-square goodness-of-fit of labels vs uniform, integer until " +
+        "one division"),
     Q("q336_mutual_best", mutualBest, Some(mutualBestSql),
       "supplier-part reciprocal best match by exact revenue — " +
         "unambiguous-assignment filter"),

@@ -825,4 +825,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("effective dim / label balance: pure stacked aggregates over one " +
+    "scan each — no join, no window") {
+    for (q <- Seq("q341_effective_dim", "q345_label_balance")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert("FileScan parquet".r.findAllIn(p).size == 1, s"$q\n$p")
+      assert(!p.contains("Join"), s"$q\n$p")
+      assert(!p.contains("Window"), s"$q\n$p")
+    }
+  }
+
+  test("partition advisor / burst users: per-strategy aggregates and " +
+    "the RANGE burst window stay cartesian-free; burst windows on the " +
+    "user partition, never global") {
+    val pa = plan(MiningQueries.partitionAdvisor(spark, dir))
+    assert(!pa.contains("CartesianProduct"), pa)
+    val pb = plan(MiningQueries.burstUsers(spark, dir))
+    assert(pb.contains("windowspecdefinition(user_id"), pb)
+    assert(!pb.contains("Exchange SinglePartition"), pb)
+  }
 }
