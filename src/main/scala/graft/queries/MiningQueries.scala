@@ -118,7 +118,9 @@ object MiningQueries {
     val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
       .distinct()
+    // loop-invariant edge list: checkpoint once, not once per round
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
     val nodes = edges.select(col("u").as("n")).distinct()
     var lab = nodes.select(col("n"), col("n").as("lab"))
     for (_ <- 1 to LpRounds) {
@@ -295,6 +297,8 @@ object MiningQueries {
     val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
+      // loop-invariant: checkpoint once, 4 half-rounds reuse it
+      .localCheckpoint(eager = false)
     var hub = edges.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("h"))
     var auth: DataFrame = null
@@ -634,7 +638,9 @@ object MiningQueries {
     val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
       .distinct()
+    // loop-invariant + reused by the modularity terms: checkpoint once
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
     val nodes = edges.select(col("u").as("n")).distinct()
     var lab = nodes.select(col("n"), col("n").as("lab"))
     for (_ <- 1 to LpRounds) {
@@ -646,7 +652,10 @@ object MiningQueries {
     }
     val lu = lab.select(col("n").as("u"), col("lab").as("lu"))
     val lv = lab.select(col("n").as("v"), col("lab").as("lv"))
+    // three consumers (m2 / intra / degSq) — checkpoint or the label
+    // join re-executes per consumer
     val labeled = edges.join(lu, "u").join(lv, "v")
+      .localCheckpoint(eager = false)
     val m2 = labeled.agg(count(lit(1)).as("m2"))
     val intra = labeled.filter(col("lu") === col("lv"))
       .groupBy(col("lu")).agg(count(lit(1)).as("li"))
@@ -838,13 +847,18 @@ object MiningQueries {
     val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
       .agg(sum(col("cents")).as("w"))
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
-    val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
+    val edges0 = e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val outW = edges0.groupBy(col("u")).agg(sum(col("w")).as("wu"))
+    // the edge list (with its out-weight pre-joined) is loop-invariant:
+    // checkpoint ONCE or every round re-executes the orders x lineitem
+    // build — 5x the scan cost for identical bytes
+    val edges = edges0.join(outW, "u")
+      .select(col("u"), col("v"), col("w"), col("wu"))
+      .localCheckpoint(eager = false)
     val nodes = edges.select(col("u").as("n")).distinct()
     var pr = nodes.select(col("n"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
       val contrib = edges.join(pr, edges("u") === pr("n"))
-        .join(outW, "u")
         .select(col("v"), expr("r * w div wu").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
       pr = nodes.join(contrib, nodes("n") === contrib("v"), "left")
@@ -2151,7 +2165,263 @@ object MiningQueries {
       |    / CAST(SUM(c) AS DOUBLE) AS chi2_uniform
       |FROM per_label""".stripMargin
 
+  // ---- 1-NN margin distribution ----------------------------------------
+
+  /** Histogram of 1-NN confidence margins (cos@1 − cos@2 per query,
+    * floored to 0.01 buckets) — how decisively the embedding space
+    * separates nearest neighbors; a mass near zero means retrieval
+    * order is noise. Reuses the exact ranked frame (q327); the margin
+    * is one subtraction of two single-division cosines and the bucket
+    * one floor — all correctly-rounded, engine-exact. */
+  def nnMargin(spark: SparkSession, dir: String): DataFrame = {
+    val top2 = knnRanked(spark, dir).filter(col("rn") <= 2)
+    val byQuery = top2.groupBy(col("query_id"))
+      .agg(min(when(col("rn") === 1, col("cos_sim"))).as("c1"),
+        min(when(col("rn") === 2, col("cos_sim"))).as("c2"))
+    byQuery
+      .select((floor((col("c1") - col("c2")) * 100) / 100).as("margin_bucket"))
+      .groupBy(col("margin_bucket"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy(col("margin_bucket"))
+  }
+
+  private val nnMarginSql =
+    s"""WITH $knnRankedSql, sims AS (
+       |  SELECT d.query_id, d.neighbor_id, r.rn,
+       |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE))
+       |      * sqrt(CAST(dn.n2 AS DOUBLE))) AS cos_sim
+       |  FROM dots d
+       |  JOIN ranked r ON d.query_id = r.query_id
+       |    AND d.neighbor_id = r.neighbor_id
+       |  JOIN n2 qn ON d.query_id = qn.vec_id
+       |  JOIN n2 dn ON d.neighbor_id = dn.vec_id
+       |  WHERE r.rn <= 2
+       |), m AS (
+       |  SELECT query_id,
+       |    MIN(CASE WHEN rn = 1 THEN cos_sim END) AS c1,
+       |    MIN(CASE WHEN rn = 2 THEN cos_sim END) AS c2
+       |  FROM sims GROUP BY 1
+       |)
+       |SELECT floor((c1 - c2) * 100) / 100 AS margin_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_queries
+       |FROM m
+       |GROUP BY 1
+       |ORDER BY margin_bucket""".stripMargin
+
+  // ---- catalog coverage -------------------------------------------------
+
+  /** Catalog coverage snapshot: how many parts never sold (anti-join
+    * against the fact table), and what share of revenue the top-decile
+    * parts hold — the assortment health one-liner. The unsold probe is
+    * a left-anti against the collapsed per-part aggregate; the decile
+    * share is a rank window over that same aggregate. */
+  def catalogCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val sold = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val nParts = Catalog.load(spark, dir, "part")
+      .agg(count(lit(1)).as("n_parts"))
+    val unsold = Catalog.load(spark, dir, "part")
+      .join(sold, col("p_partkey") === col("pk"), "left_anti")
+      .agg(count(lit(1)).as("n_unsold"))
+    val w = Window.orderBy(col("cents").desc, col("pk"))
+    val ranked = sold
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over())
+    val shares = ranked.agg(
+      count(lit(1)).as("n_sold"), sum(col("cents")).as("total_cents"),
+      sum(when(col("rn") <= expr("(n + 9) div 10"), col("cents"))
+        .otherwise(0L)).as("top_decile_cents"))
+    shares.crossJoin(broadcast(nParts)).crossJoin(broadcast(unsold))
+      .select(col("n_parts"), col("n_sold"), col("n_unsold"),
+        (col("n_unsold").cast("double") / col("n_parts").cast("double"))
+          .as("unsold_share"),
+        (col("top_decile_cents").cast("double") / col("total_cents").cast("double"))
+          .as("top_decile_revenue_share"))
+  }
+
+  private val catalogCoverageSql =
+    """WITH sold AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem GROUP BY 1
+      |), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
+      |nu AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_unsold
+      |  FROM part LEFT JOIN sold ON p_partkey = pk WHERE pk IS NULL
+      |), r AS (
+      |  SELECT cents,
+      |    CAST(row_number() OVER (ORDER BY cents DESC, pk) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM sold
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sold,
+      |    CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |    CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS top_decile_cents
+      |  FROM r
+      |)
+      |SELECT n_parts, n_sold, n_unsold,
+      |  CAST(n_unsold AS DOUBLE) / CAST(n_parts AS DOUBLE) AS unsold_share,
+      |  CAST(top_decile_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+      |    AS top_decile_revenue_share
+      |FROM s, np, nu""".stripMargin
+
+  // ---- Markov stationary distribution ----------------------------------
+
+  /** Stationary distribution of the event-type transition chain by 10
+    * unrolled power-iteration rounds in integer micro-units — "where do
+    * user journeys spend their time in the limit". The transition
+    * matrix is the exact per-type LEAD count table (5×5); each round is
+    * π·P with BIGINT floor products; the tiny matrix rides broadcast
+    * while the counting pass is the only corpus-sized work. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("c"))
+    val outTot = trans.groupBy(col("src")).agg(sum(col("c")).as("tot"))
+    val p = trans.join(outTot, "src")
+      .select(col("src"), col("dst"), col("c"), col("tot"))
+      .localCheckpoint(eager = false)
+    var pi = p.select(col("src").as("t")).distinct()
+      .select(col("t"), lit(1000000L).as("m"))
+    for (_ <- 1 to 10) {
+      pi = p.join(pi, p("src") === pi("t"))
+        .select(col("dst"), expr("m * c div tot").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+        .select(col("dst").as("t"), col("m"))
+        .localCheckpoint(eager = false)
+    }
+    pi.select(col("t").as("event_type"), col("m").as("stationary_micro"),
+        (col("m").cast("double") / 1000000L).as("stationary"))
+      .orderBy(col("event_type"))
+  }
+
+  private val markovStationarySql = {
+    def round(k: Int) =
+      s"""pi$k AS (
+         |  SELECT p.dst AS t, CAST(SUM(pi.m * p.c // p.tot) AS BIGINT) AS m
+         |  FROM p JOIN pi${k - 1} pi ON p.src = pi.t
+         |  GROUP BY p.dst
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS dst
+       |  FROM events
+       |), trans AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM e WHERE dst IS NOT NULL GROUP BY 1, 2
+       |), p AS (
+       |  SELECT t.src, t.dst, t.c, o.tot
+       |  FROM trans t JOIN (
+       |    SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM trans GROUP BY 1) o
+       |    ON t.src = o.src
+       |), pi0 AS (
+       |  SELECT DISTINCT src AS t, CAST(1000000 AS BIGINT) AS m FROM p
+       |), ${(1 to 10).map(round).mkString(", ")}
+       |SELECT t AS event_type, m AS stationary_micro,
+       |  CAST(m AS DOUBLE) / 1000000 AS stationary
+       |FROM pi10
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // ---- contingency residual anomalies ----------------------------------
+
+  /** Standardized Pearson residuals (o−e)/√e for every cell of the
+    * ISO-dow × event-type contingency table, flagging |r| ≥ 2 — which
+    * weekday×type cells are anomalously hot or cold given both
+    * marginals. Each residual is a per-cell scalar chain over exact
+    * integer (o, row, col, n) — no cross-cell float accumulation, so
+    * the whole table is engine-exact. One count aggregate + two
+    * broadcast marginals. */
+  def residualCells(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Catalog.load(spark, dir, "events")
+      .groupBy(expr("CAST(weekday(ts) + 1 AS BIGINT)").as("isodow"),
+        col("event_type"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("isodow")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rowTot), "isodow")
+      .join(broadcast(colTot), "event_type")
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+      .withColumn("residual", (col("o").cast("double") - col("e")) / sqrt(col("e")))
+      .withColumn("anomalous", abs(col("residual")) >= 2.0)
+      .select(col("isodow"), col("event_type"), col("o"), col("e"),
+        col("residual"), col("anomalous"))
+      .orderBy(col("isodow"), col("event_type"))
+  }
+
+  private val residualCellsSql =
+    """WITH cells AS (
+      |  SELECT CAST(isodow(ts) AS BIGINT) AS isodow, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2
+      |), rt AS (
+      |  SELECT isodow, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+      |), ct AS (
+      |  SELECT event_type, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+      |), n AS (
+      |  SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+      |)
+      |SELECT c.isodow, c.event_type, c.o,
+      |  CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS e,
+      |  (CAST(c.o AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |    / sqrt(CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE)) AS residual,
+      |  abs((CAST(c.o AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |    / sqrt(CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))) >= 2.0
+      |    AS anomalous
+      |FROM cells c
+      |JOIN rt ON c.isodow = rt.isodow
+      |JOIN ct ON c.event_type = ct.event_type
+      |CROSS JOIN n
+      |ORDER BY c.isodow, c.event_type""".stripMargin
+
+  // ---- basket size histogram -------------------------------------------
+
+  /** Distribution of basket sizes (distinct parts per order) — the 1:N
+    * multiplicity profile of the orders→lineitem relationship that
+    * sizes every downstream pair join (q179/q318's fan-out is
+    * C(size,2)/C(size,3)). Two stacked count aggregates. */
+  def basketSizeHist(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("basket_size"))
+      .groupBy(col("basket_size")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("basket_size"))
+
+  private val basketSizeHistSql =
+    """SELECT basket_size, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM (SELECT l_orderkey,
+      |        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS basket_size
+      |      FROM lineitem GROUP BY 1)
+      |GROUP BY 1
+      |ORDER BY basket_size""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q346_nn_margin", nnMargin, Some(nnMarginSql),
+      "1-NN vs 2-NN cosine margin histogram (0.01 buckets) — retrieval " +
+        "decisiveness audit"),
+    Q("q347_catalog_coverage", catalogCoverage, Some(catalogCoverageSql),
+      "unsold-part share + top-decile revenue concentration — " +
+        "assortment health snapshot"),
+    Q("q348_markov_stationary", markovStationary, Some(markovStationarySql),
+      "stationary distribution of the event-type chain, 10 integer " +
+        "power-iteration rounds"),
+    Q("q349_residual_cells", residualCells, Some(residualCellsSql),
+      "standardized Pearson residuals per dow x type cell with |r|>=2 " +
+        "anomaly flags"),
+    Q("q350_basket_size_hist", basketSizeHist, Some(basketSizeHistSql),
+      "distinct-parts-per-order histogram — the 1:N multiplicity " +
+        "profile sizing pair joins"),
     Q("q341_effective_dim", effectiveDim, Some(effectiveDimSql),
       "participation-ratio effective dimensionality from integer " +
         "variance numerators — collapsed-space audit"),

@@ -845,4 +845,30 @@ class PlanSpec extends AnyFunSuite {
     assert(pb.contains("windowspecdefinition(user_id"), pb)
     assert(!pb.contains("Exchange SinglePartition"), pb)
   }
+
+  test("markov stationary: the 5x5 transition table checkpoints once — " +
+    "rounds join against it, never against raw events") {
+    val p = plan(MiningQueries.markovStationary(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // post-checkpoint plan must not rescan the events parquet per round
+    assert(!p.contains("FileScan parquet"), p)
+  }
+
+  test("residual cells / basket hist / catalog coverage: marginals " +
+    "broadcast onto the collapsed cell aggregate — no sort-merge, no " +
+    "cartesian") {
+    for (q <- Seq("q349_residual_cells", "q350_basket_size_hist",
+        "q347_catalog_coverage")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q\n$p")
+    }
+  }
+
+  test("nn margin: same broadcast-query ranked frame as knn eval — " +
+    "corpus never self-joins") {
+    val p = plan(MiningQueries.nnMargin(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
