@@ -2406,7 +2406,286 @@ object MiningQueries {
       |GROUP BY 1
       |ORDER BY basket_size""".stripMargin
 
+  // ---- engagement depth vs conversion ----------------------------------
+
+  /** Purchase rate by session depth bucket (1, 2-3, 4-7, 8+ events) —
+    * the engagement curve that justifies (or kills) "drive more
+    * pageviews" roadmaps. Sessions from the shared 30-min gap
+    * sessionizer; depth buckets by integer thresholds; rate is the one
+    * division. */
+  def depthConversion(spark: SparkSession, dir: String): DataFrame = {
+    val gap = graft.streaming.Streams.GapUs
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sessions = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("session_seq",
+        sum(when(col("prev").isNull || col("ts_us") - col("prev") >= gap, 1L)
+          .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("depth"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sessions
+      .select(
+        when(col("depth") === 1, "1").when(col("depth") <= 3, "2-3")
+          .when(col("depth") <= 7, "4-7").otherwise("8+").as("depth_bucket"),
+        col("converted"))
+      .groupBy(col("depth_bucket"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .select(col("depth_bucket"), col("n_sessions"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_sessions").cast("double"))
+          .as("conversion_rate"))
+      .orderBy(col("depth_bucket"))
+  }
+
+  private val depthConversionSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS prev
+       |  FROM events
+       |), marked AS (
+       |  SELECT user_id, event_type, ts_us,
+       |    SUM(CASE WHEN prev IS NULL OR ts_us - prev >= ${graft.streaming.Streams.GapUs}
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM e
+       |), s AS (
+       |  SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS depth,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS converted
+       |  FROM marked GROUP BY 1, 2
+       |), b AS (
+       |  SELECT CASE WHEN depth = 1 THEN '1' WHEN depth <= 3 THEN '2-3'
+       |    WHEN depth <= 7 THEN '4-7' ELSE '8+' END AS depth_bucket,
+       |    converted
+       |  FROM s
+       |)
+       |SELECT depth_bucket, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+       |  CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS conversion_rate
+       |FROM b
+       |GROUP BY 1
+       |ORDER BY depth_bucket""".stripMargin
+
+  // ---- local-maximum peak days -----------------------------------------
+
+  /** Daily-revenue peak detection: days strictly above every one of the
+    * 3 days on each side (integer cent compares over two ROWS frames —
+    * no floats, no thresholds to tune). The ops primitive behind "what
+    * happened on the 14th". Only full 7-day neighborhoods qualify. */
+  def peakDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val wAll = Window.orderBy(col("d"))
+    val prev3 = wAll.rowsBetween(-3, -1)
+    val next3 = wAll.rowsBetween(1, 3)
+    daily
+      .withColumn("pmax", max(col("cents")).over(prev3))
+      .withColumn("nmax", max(col("cents")).over(next3))
+      .withColumn("pn", count(lit(1)).over(prev3))
+      .withColumn("nn", count(lit(1)).over(next3))
+      .filter(col("pn") === 3 && col("nn") === 3 &&
+        col("cents") > col("pmax") && col("cents") > col("nmax"))
+      .select(col("d"), col("cents"), col("pmax"), col("nmax"))
+      .orderBy(col("d"))
+  }
+
+  private val peakDaysSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1
+      |), w AS (
+      |  SELECT d, cents,
+      |    MAX(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+      |      AS pmax,
+      |    MAX(cents) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+      |      AS nmax,
+      |    COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+      |      AS pn,
+      |    COUNT(*) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+      |      AS nn
+      |  FROM daily
+      |)
+      |SELECT d, cents, pmax, nmax
+      |FROM w
+      |WHERE pn = 3 AND nn = 3 AND cents > pmax AND cents > nmax
+      |ORDER BY d""".stripMargin
+
+  // ---- weighted Jaccard between source vocabularies --------------------
+
+  /** Weighted Jaccard Σmin(fᵢ)/Σmax(fᵢ) between every source pair's
+    * term-frequency vectors — the frequency-aware twin of q264's set
+    * Jaccard (two corpora can share every term yet have wildly
+    * different emphasis). A FULL OUTER join per pair aligns
+    * vocabularies (absent term = weight 0); all sums integer, one
+    * division; the 20-source pair list is tiny next to the tf
+    * aggregate it probes. */
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Catalog.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(eager = false)
+    val a = tf.select(col("source").as("sa"), col("term"), col("f").as("fa"))
+    val b = tf.select(col("source").as("sb"), col("term"), col("f").as("fb"))
+    // one pair aggregate carries all four shared sums; Σmax then adds
+    // each side's unshared mass: sum_shared_max + (tot_a − sha) + (tot_b − shb)
+    val pairs = a.join(b, Seq("term"), "inner")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(least(col("fa"), col("fb"))).as("sum_min"),
+        sum(greatest(col("fa"), col("fb"))).as("sum_shared_max"),
+        sum(col("fa")).as("sha"), sum(col("fb")).as("shb"))
+    val tot = tf.groupBy(col("source")).agg(sum(col("f")).as("tot"))
+    pairs
+      .join(tot.select(col("source").as("sa"), col("tot").as("ta")), "sa")
+      .join(tot.select(col("source").as("sb"), col("tot").as("tb")), "sb")
+      .select(col("sa"), col("sb"), col("sum_min"),
+        (col("sum_shared_max") + (col("ta") - col("sha")) + (col("tb") - col("shb")))
+          .as("sum_max"))
+      .withColumn("weighted_jaccard",
+        col("sum_min").cast("double") / col("sum_max").cast("double"))
+      .orderBy(col("weighted_jaccard").desc, col("sa"), col("sb"))
+      .limit(20)
+  }
+
+  private val weightedJaccardSql =
+    """WITH tf AS (
+      |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE len(term) > 0
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT source, CAST(SUM(f) AS BIGINT) AS tot FROM tf GROUP BY 1
+      |), sh AS (
+      |  SELECT a.source AS sa, b.source AS sb,
+      |    CAST(SUM(LEAST(a.f, b.f)) AS BIGINT) AS sum_min,
+      |    CAST(SUM(GREATEST(a.f, b.f)) AS BIGINT) AS sum_shared_max,
+      |    CAST(SUM(a.f) AS BIGINT) AS sha, CAST(SUM(b.f) AS BIGINT) AS shb
+      |  FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT sa, sb, sum_min,
+      |  sum_shared_max + (ta.tot - sha) + (tb.tot - shb) AS sum_max,
+      |  CAST(sum_min AS DOUBLE)
+      |    / CAST(sum_shared_max + (ta.tot - sha) + (tb.tot - shb) AS DOUBLE)
+      |    AS weighted_jaccard
+      |FROM sh
+      |JOIN tot ta ON sh.sa = ta.source
+      |JOIN tot tb ON sh.sb = tb.source
+      |ORDER BY weighted_jaccard DESC, sa, sb
+      |LIMIT 20""".stripMargin
+
+  // ---- telemetry double-fire audit -------------------------------------
+
+  /** Rapid same-type repeats: the same user firing the same event type
+    * again within one hour of the previous occurrence — the SDK
+    * retry-bug / double-fire detector run before any engagement metric
+    * is trusted (the 1h threshold matches the fixture's ~2 events/
+    * user/day baseline; a production clickstream would use seconds).
+    * One lag window inside the (user, type) partition; integer
+    * microsecond compares; per-type rollup with the tightest gap. */
+  def doubleFire(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val flagged = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_ts").isNotNull &&
+        col("ts_us") - col("prev_ts") <= HourUs)
+    flagged
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_suspect"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts_us") - col("prev_ts")).as("min_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  private val doubleFireSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER w AS prev_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |    ORDER BY epoch_us(ts), event_id)
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_suspect,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(MIN(ts_us - prev_ts) AS BIGINT) AS min_gap_us
+      |FROM e
+      |WHERE prev_ts IS NOT NULL AND ts_us - prev_ts <= 3600000000
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---- prefix uniqueness depth -----------------------------------------
+
+  /** Share of documents uniquely identified by their first k tokens for
+    * k ∈ {3, 5, 10, 20} — how long a dedup/blocking key must be before
+    * it separates the corpus (the flip side of q320's prefix-collision
+    * audit). One tokenize pass, four conditional group keys from the
+    * same array, exact counts. */
+  def prefixUniqueness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .localCheckpoint(eager = false)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    def level(k: Int): DataFrame =
+      docs.groupBy(array_join(slice(col("t"), 1, k), " ").as("p"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(lit(k.toLong).as("k"), col("n_unique"))
+    Seq(3, 5, 10, 20).map(level).reduce(_.unionAll(_))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_unique"), col("n_docs"),
+        (col("n_unique").cast("double") / col("n_docs").cast("double"))
+          .as("unique_share"))
+      .orderBy(col("k"))
+  }
+
+  private val prefixUniquenessSql = {
+    def level(k: Int) =
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  (SELECT CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM (SELECT array_to_string(string_split(text, ' ')[1:$k], ' ') AS p,
+         |           COUNT(*) AS c
+         |         FROM documents GROUP BY 1)) AS n_unique""".stripMargin
+    s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |levels AS (
+       |${Seq(3, 5, 10, 20).map(level).mkString("", "\nUNION ALL\n", "")}
+       |)
+       |SELECT k, n_unique, n_docs,
+       |  CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS unique_share
+       |FROM levels, n
+       |ORDER BY k""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q351_depth_conversion", depthConversion, Some(depthConversionSql),
+      "purchase rate by session depth bucket — the engagement curve " +
+        "over 30-min sessions"),
+    Q("q352_peak_days", peakDays, Some(peakDaysSql),
+      "strict local-maximum revenue days over +/-3-day ROWS frames — " +
+        "integer-exact peak detection"),
+    Q("q353_weighted_jaccard", weightedJaccard, Some(weightedJaccardSql),
+      "frequency-weighted Jaccard between source vocabularies — " +
+        "emphasis-aware corpus similarity"),
+    Q("q354_double_fire", doubleFire, Some(doubleFireSql),
+      "same user+type repeats within 1h with tightest gap — telemetry " +
+        "double-fire audit"),
+    Q("q355_prefix_uniqueness", prefixUniqueness, Some(prefixUniquenessSql),
+      "share of docs unique by first k tokens (k=3,5,10,20) — blocking-" +
+        "key depth audit"),
     Q("q346_nn_margin", nnMargin, Some(nnMarginSql),
       "1-NN vs 2-NN cosine margin histogram (0.01 buckets) — retrieval " +
         "decisiveness audit"),

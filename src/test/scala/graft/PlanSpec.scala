@@ -871,4 +871,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("depth conversion / double fire: user-partitioned windows then " +
+    "tiny rollups — no event self-join, no cartesian") {
+    for (q <- Seq("q351_depth_conversion", "q354_double_fire")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(p.contains("windowspecdefinition(user_id"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(!p.contains("Join"), s"$q\n$p")
+    }
+  }
+
+  test("peak days: windows run over the collapsed daily aggregate, " +
+    "never over raw orders") {
+    val p = plan(MiningQueries.peakDays(spark, dir))
+    val w = p.indexOf("Window")
+    val agg = p.indexOf("HashAggregate", w)
+    assert(w >= 0 && agg > w, p)
+  }
+
+  test("weighted jaccard: vocab pair join is an equi-join on term over " +
+    "the checkpointed tf aggregate; top-20 via TakeOrderedAndProject") {
+    val p = plan(MiningQueries.weightedJaccard(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
