@@ -2670,7 +2670,249 @@ object MiningQueries {
        |ORDER BY k""".stripMargin
   }
 
+  // ---- lagged cross-correlation ----------------------------------------
+
+  /** Pearson cross-correlation between daily NON-purchase activity
+    * counts and daily PURCHASE value at lags −3…+3 days — "does
+    * browsing lead spend" (both series from the event stream; the
+    * orders table lives on a disjoint 1990s calendar). The lag join
+    * aligns the two daily series (calendar-sized); all five moment
+    * sums per lag are exact BIGINTs from one aggregate; each
+    * correlation is the closed form with two sqrts and one division. */
+  def laggedXcorr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+    val ev = e.filter(col("event_type") =!= "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val lags = spark.range(-3, 4).select(col("id").as("lag"))
+    val joined = ev.crossJoin(broadcast(lags))
+      .select(col("lag"), expr("date_add(d, CAST(lag AS INT))").as("d"), col("x"))
+      .join(rev, Seq("d"))
+    joined.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("xcorr"))
+      .orderBy(col("lag"))
+  }
+
+  private val laggedXcorrSql =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events WHERE event_type <> 'purchase' GROUP BY 1
+      |), rev AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), lags AS (
+      |  SELECT CAST(l AS BIGINT) AS lag
+      |  FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS v(l)
+      |), j AS (
+      |  SELECT lags.lag, ev.x, rev.y
+      |  FROM ev CROSS JOIN lags
+      |  JOIN rev ON rev.d = ev.d + CAST(lags.lag AS INT)
+      |), m AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT lag, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS xcorr
+      |FROM m
+      |ORDER BY lag""".stripMargin
+
+  // ---- language purity per source --------------------------------------
+
+  /** Majority-language share per source — the labeling-consistency
+    * audit: a source whose top language holds <90% of docs is either
+    * genuinely multilingual or mislabeled upstream. One (source, lang)
+    * count, per-source max via a WindowGroupLimit-prunable top-1, one
+    * division. */
+  def langPurity(spark: SparkSession, dir: String): DataFrame = {
+    val sl = Catalog.load(spark, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("lang"))
+    val tot = sl.groupBy(col("source")).agg(sum(col("c")).as("n_docs"),
+      count(lit(1)).as("n_langs"))
+    sl.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("majority_lang"), col("c").as("majority_docs"))
+      .join(tot, "source")
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("majority_lang"), col("majority_docs"),
+        (col("majority_docs").cast("double") / col("n_docs").cast("double"))
+          .as("purity"))
+      .orderBy(col("source"))
+  }
+
+  private val langPuritySql =
+    """WITH sl AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2
+      |), top AS (
+      |  SELECT source, lang AS majority_lang, c AS majority_docs
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |          ORDER BY c DESC, lang) AS rn FROM sl)
+      |  WHERE rn = 1
+      |), tot AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_langs
+      |  FROM sl GROUP BY 1
+      |)
+      |SELECT t.source, tot.n_docs, tot.n_langs, t.majority_lang,
+      |  t.majority_docs,
+      |  CAST(t.majority_docs AS DOUBLE) / CAST(tot.n_docs AS DOUBLE) AS purity
+      |FROM top t JOIN tot ON t.source = tot.source
+      |ORDER BY t.source""".stripMargin
+
+  // ---- L-scale (second L-moment) ---------------------------------------
+
+  /** L-scale (second L-moment) of order value per priority — the
+    * order-statistics dispersion measure that is robust like MAD but
+    * linear in the sorted sample: λ₂ = Σᵢ(2i−n−1)·x₍ᵢ₎ / (n(n−1)).
+    * The weighted sum is EXACT integer cents × integer rank weights;
+    * one division at the end. One rank window per segment. */
+  def lScale(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("segment"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    o.withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      .groupBy(col("segment"))
+      .agg(max(col("n")).as("n"),
+        sum((lit(2L) * col("i") - col("n") - 1L) * col("cents")).as("wsum"))
+      .select(col("segment"), col("n"),
+        (col("wsum").cast("double") /
+          (col("n") * (col("n") - 1L)).cast("double") / 100.0)
+          .as("l_scale"))
+      .orderBy(col("segment"))
+  }
+
+  private val lScaleSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS segment, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), r AS (
+      |  SELECT segment, cents,
+      |    CAST(row_number() OVER (PARTITION BY segment
+      |      ORDER BY cents, o_orderkey) AS BIGINT) AS i,
+      |    CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+      |  FROM o
+      |)
+      |SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(SUM((2 * i - n - 1) * cents) AS DOUBLE)
+      |    / CAST(MAX(n) * (MAX(n) - 1) AS DOUBLE) / 100.0 AS l_scale
+      |FROM r
+      |GROUP BY segment
+      |ORDER BY segment""".stripMargin
+
+  // ---- output file sizing advisor --------------------------------------
+
+  /** Write-planning advisor for the documents table: estimated mean row
+    * payload (text + fixed column overhead) and the rows-per-file that
+    * hits a 128 MB target — the number every partitioned writer needs
+    * before `repartition(n)`. Exact byte sums (length() is exact), one
+    * floor division mirrored on both engines. */
+  def fileSizing(spark: SparkSession, dir: String): DataFrame = {
+    val FixedOverhead = 64L // ids + lang/source + offsets, per row
+    val Target = 128L * 1024 * 1024
+    Catalog.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long") + FixedOverhead).as("est_bytes"))
+      .select(col("n_docs"), col("est_bytes"),
+        expr("est_bytes div n_docs").as("bytes_per_row"),
+        expr(s"CAST($Target AS BIGINT) div (est_bytes div n_docs)")
+          .as("rows_per_128mb"))
+  }
+
+  private val fileSizingSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(text) + 64) AS BIGINT) AS est_bytes,
+      |  CAST(SUM(length(text) + 64) AS BIGINT) // COUNT(*) AS bytes_per_row,
+      |  CAST(134217728 AS BIGINT)
+      |    // (CAST(SUM(length(text) + 64) AS BIGINT) // COUNT(*))
+      |    AS rows_per_128mb
+      |FROM documents""".stripMargin
+
+  // ---- Poisson count-change significance -------------------------------
+
+  /** Week-over-week order-count change per priority with the Poisson
+    * two-count z-score (c₂−c₁)/√(c₁+c₂) for the LAST two complete
+    * ISO weeks — "is this drop real or noise" for count metrics where
+    * a t-test has no per-unit variance to use. Counts exact; one
+    * subtraction, one sqrt, one division per row. */
+  def countChangeZ(spark: SparkSession, dir: String): DataFrame = {
+    val byWeek = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("segment"),
+        expr("CAST(unix_date(CAST(date_trunc('WEEK', o_orderdate) AS DATE)) AS BIGINT)")
+          .as("wk"))
+      .groupBy(col("segment"), col("wk")).agg(count(lit(1)).as("c"))
+    val lastW = byWeek.agg(max(col("wk")).as("maxw"))
+      .select((col("maxw") - 7).as("w1"), col("maxw").as("w2"))
+    byWeek.crossJoin(broadcast(lastW))
+      .filter(col("wk") === col("w1") || col("wk") === col("w2"))
+      .groupBy(col("segment"))
+      .agg(sum(when(col("wk") === col("w1"), col("c")).otherwise(0L)).as("c1"),
+        sum(when(col("wk") === col("w2"), col("c")).otherwise(0L)).as("c2"))
+      .select(col("segment"), col("c1"), col("c2"),
+        ((col("c2") - col("c1")).cast("double") /
+          sqrt((col("c1") + col("c2")).cast("double"))).as("z"))
+      .orderBy(col("segment"))
+  }
+
+  private val countChangeZSql =
+    """WITH bw AS (
+      |  SELECT o_orderpriority AS segment,
+      |    CAST(date_trunc('week', CAST(o_orderdate AS DATE))
+      |      - DATE '1970-01-01' AS BIGINT) AS wk,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2
+      |), lw AS (
+      |  SELECT MAX(wk) - 7 AS w1, MAX(wk) AS w2 FROM bw
+      |), s AS (
+      |  SELECT segment,
+      |    CAST(SUM(CASE WHEN wk = w1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN wk = w2 THEN c ELSE 0 END) AS BIGINT) AS c2
+      |  FROM bw, lw
+      |  WHERE wk = w1 OR wk = w2
+      |  GROUP BY segment
+      |)
+      |SELECT segment, c1, c2,
+      |  CAST(c2 - c1 AS DOUBLE) / sqrt(CAST(c1 + c2 AS DOUBLE)) AS z
+      |FROM s
+      |ORDER BY segment""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q356_lagged_xcorr", laggedXcorr, Some(laggedXcorrSql),
+      "daily activity x revenue cross-correlation at lags -3..+3 — " +
+        "lead/lag detection from exact moments"),
+    Q("q357_lang_purity", langPurity, Some(langPuritySql),
+      "majority-language share per source — labeling consistency audit"),
+    Q("q358_l_scale", lScale, Some(lScaleSql),
+      "second L-moment dispersion per priority from exact rank-weighted " +
+        "cent sums"),
+    Q("q359_file_sizing", fileSizing, Some(fileSizingSql),
+      "estimated bytes/row and rows per 128MB output file — " +
+        "partitioned-writer planning"),
+    Q("q360_count_change_z", countChangeZ, Some(countChangeZSql),
+      "Poisson two-count z for last-two-week order counts per segment"),
     Q("q351_depth_conversion", depthConversion, Some(depthConversionSql),
       "purchase rate by session depth bucket — the engagement curve " +
         "over 30-min sessions"),

@@ -896,4 +896,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("lagged xcorr: the 7-lag table broadcasts onto the collapsed " +
+    "daily series; the align join stays equi on the shifted date") {
+    val p = plan(MiningQueries.laggedXcorr(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("lang purity / l-scale / file sizing / count change: collapsed " +
+    "aggregates and segment windows only — no cartesian, no sort-merge " +
+    "over fact rows") {
+    for (q <- Seq("q357_lang_purity", "q358_l_scale", "q359_file_sizing",
+        "q360_count_change_z")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+    val pf = plan(MiningQueries.fileSizing(spark, dir))
+    assert("FileScan parquet".r.findAllIn(pf).size == 1, pf)
+    assert(!pf.contains("Join"), pf)
+  }
 }
