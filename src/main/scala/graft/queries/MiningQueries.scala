@@ -2899,7 +2899,271 @@ object MiningQueries {
       |FROM s
       |ORDER BY segment""".stripMargin
 
+  // ---- customer lifecycle: value by order sequence ---------------------
+
+  /** Mean order value by the customer's order sequence number (1st,
+    * 2nd, 3rd, 4th, 5th+) — "do repeat customers spend more". One rank
+    * window per customer (date-ordered, keyed tiebreak), integer cents,
+    * one division per bucket. */
+  def orderSeqValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("seq", row_number().over(w))
+      .select(when(col("seq") >= 5, "5+").otherwise(col("seq").cast("string"))
+        .as("order_seq"), col("cents"))
+      .groupBy(col("order_seq"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .select(col("order_seq"), col("n_orders"),
+        (col("sum_cents").cast("double") / col("n_orders").cast("double") / 100.0)
+          .as("mean_value"))
+      .orderBy(col("order_seq"))
+  }
+
+  private val orderSeqValueSql =
+    """WITH r AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS seq
+      |  FROM orders
+      |), b AS (
+      |  SELECT CASE WHEN seq >= 5 THEN '5+' ELSE CAST(seq AS VARCHAR) END
+      |    AS order_seq, cents
+      |  FROM r
+      |)
+      |SELECT order_seq, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+      |    AS mean_value
+      |FROM b
+      |GROUP BY 1
+      |ORDER BY order_seq""".stripMargin
+
+  // ---- brand cross-shopping overlap ------------------------------------
+
+  /** Top-20 brand pairs by customer-set Jaccard — which brands share
+    * shoppers (q322's supplier projection, normalized so big brands
+    * don't dominate). Distinct (customer, brand) edges, pair equi-join
+    * on customer, exact |∩| and marginals, rational Jaccard with one
+    * division. */
+  def brandOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val cb = Catalog.load(spark, dir, "orders")
+      .join(Catalog.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Catalog.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("c"), col("p_brand").as("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val marg = cb.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+    val pairs = cb.select(col("c"), col("b").as("b1"))
+      .join(cb.select(col("c"), col("b").as("b2")), "c")
+      .filter(col("b1") < col("b2"))
+      .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(marg.select(col("b").as("b1"), col("nb").as("n1")), "b1")
+      .join(marg.select(col("b").as("b2"), col("nb").as("n2")), "b2")
+      .select(col("b1"), col("b2"), col("n_both"),
+        (col("n_both").cast("double") /
+          (col("n1") + col("n2") - col("n_both")).cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("b1"), col("b2"))
+      .limit(20)
+  }
+
+  private val brandOverlapSql =
+    """WITH cb AS (
+      |  SELECT DISTINCT o_custkey AS c, p_brand AS b
+      |  FROM orders
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |), marg AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM cb GROUP BY 1
+      |), pairs AS (
+      |  SELECT x.b AS b1, y.b AS b2, CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM cb x JOIN cb y ON x.c = y.c AND x.b < y.b
+      |  GROUP BY 1, 2
+      |)
+      |SELECT b1, b2, n_both,
+      |  CAST(n_both AS DOUBLE) / CAST(m1.nb + m2.nb - n_both AS DOUBLE) AS jaccard
+      |FROM pairs
+      |JOIN marg m1 ON b1 = m1.b
+      |JOIN marg m2 ON b2 = m2.b
+      |ORDER BY jaccard DESC, b1, b2
+      |LIMIT 20""".stripMargin
+
+  // ---- weekly top-k churn ----------------------------------------------
+
+  /** Week-over-week churn of the top-10 parts by revenue: per week, how
+    * many of the current top-10 were in the previous week's top-10 —
+    * the watchlist-stability report. Per-week top-10 via a
+    * WindowGroupLimit-prunable rank, then a self-equi-join on
+    * (previous week, part). Integer counts, one share division. */
+  def topkChurn(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Catalog.load(spark, dir, "orders")
+      .join(Catalog.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(
+        expr("CAST(unix_date(CAST(date_trunc('WEEK', o_orderdate) AS DATE)) AS BIGINT)")
+          .as("wk"),
+        col("l_partkey").as("pk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy(col("wk")).orderBy(col("cents").desc, col("pk"))
+    val top = wk.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("wk"), col("pk"))
+      .localCheckpoint(eager = false)
+    val prev = top.select((col("wk") + 7).as("wk"), col("pk"))
+    top.join(prev, Seq("wk", "pk"), "left_semi")
+      .groupBy(col("wk")).agg(count(lit(1)).as("stable"))
+      .select(col("wk"), col("stable"), (lit(10L) - col("stable")).as("new_entries"),
+        (col("stable").cast("double") / 10.0).as("stability"))
+      .orderBy(col("wk"))
+  }
+
+  private val topkChurnSql =
+    """WITH wk AS (
+      |  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE))
+      |      - DATE '1970-01-01' AS BIGINT) AS wk,
+      |    l_partkey AS pk,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2
+      |), top AS (
+      |  SELECT wk, pk FROM (
+      |    SELECT wk, pk, row_number() OVER (PARTITION BY wk
+      |      ORDER BY cents DESC, pk) AS rn FROM wk)
+      |  WHERE rn <= 10
+      |)
+      |SELECT t.wk, CAST(COUNT(*) AS BIGINT) AS stable,
+      |  10 - CAST(COUNT(*) AS BIGINT) AS new_entries,
+      |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS stability
+      |FROM top t
+      |WHERE EXISTS (SELECT 1 FROM top p
+      |              WHERE p.wk + 7 = t.wk AND p.pk = t.pk)
+      |GROUP BY t.wk
+      |ORDER BY t.wk""".stripMargin
+
+  // ---- revenue Pareto targets ------------------------------------------
+
+  /** How many top parts cover 50 / 80 / 95 % of revenue — the SKU-count
+    * Pareto planner (q272's vocabulary twin, on money). Parts ranked by
+    * exact cents with a cumulative window; the target rank is the MIN
+    * rank whose cumulative share clears the target, compared by exact
+    * integer cross-multiplication (cum·100 ≥ target·total — no float
+    * thresholds). */
+  def revenuePareto(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("pk"))
+    val ranked = parts
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cents"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(parts.agg(sum(col("cents")).as("total"),
+        count(lit(1)).as("n_parts"))))
+      .localCheckpoint(eager = false)
+    def target(t: Int): DataFrame =
+      ranked.filter(col("cum") * 100 >= lit(t.toLong) * col("total"))
+        .agg(min(col("rn")).as("parts_needed"), max(col("n_parts")).as("n_parts"))
+        .select(lit(t.toLong).as("target_pct"), col("parts_needed"), col("n_parts"),
+          (col("parts_needed").cast("double") / col("n_parts").cast("double"))
+            .as("parts_share"))
+    Seq(50, 80, 95).map(target).reduce(_.unionAll(_)).orderBy(col("target_pct"))
+  }
+
+  private val revenueParetoSql = {
+    def target(t: Int) =
+      s"""SELECT CAST($t AS BIGINT) AS target_pct,
+         |  (SELECT MIN(rn) FROM ranked WHERE cum * 100 >= $t * total)
+         |    AS parts_needed,
+         |  (SELECT MAX(n_parts) FROM ranked) AS n_parts,
+         |  CAST((SELECT MIN(rn) FROM ranked WHERE cum * 100 >= $t * total)
+         |    AS DOUBLE) / (SELECT MAX(n_parts) FROM ranked) AS parts_share""".stripMargin
+    s"""WITH parts AS (
+       |  SELECT l_partkey AS pk,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM lineitem GROUP BY 1
+       |), ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cents DESC, pk) AS BIGINT) AS rn,
+       |    CAST(SUM(cents) OVER (ORDER BY cents DESC, pk
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(SUM(cents) OVER () AS BIGINT) AS total,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n_parts
+       |  FROM parts
+       |)
+       |${Seq(50, 80, 95).map(target).mkString("\nUNION ALL\n")}
+       |ORDER BY target_pct""".stripMargin
+  }
+
+  // ---- grouped OLS: discount→quantity slope per brand ------------------
+
+  /** Per-brand OLS slope of quantity on discount — "which brands'
+    * volumes actually respond to discounting", the grouped-regression
+    * primitive (one regression PER GROUP, not one global fit like
+    * q228). x = discount basis points, y = integral quantity; the five
+    * moment sums per brand are exact BIGINTs from one aggregate; slope
+    * is the closed form with one division. Top-10 most elastic. */
+  def groupedOls(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .join(Catalog.load(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)").as("x"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+    li.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
+      .select(col("brand"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_qty_per_bp"))
+      .orderBy(abs(col("slope_qty_per_bp")).desc, col("brand"))
+      .limit(10)
+  }
+
+  private val groupedOlsSql =
+    """WITH li AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(round(l_discount * 10000) AS BIGINT) AS x,
+      |    CAST(round(l_quantity) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), m AS (
+      |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM li GROUP BY 1
+      |)
+      |SELECT brand, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_qty_per_bp
+      |FROM m
+      |WHERE n * sxx - sx * sx <> 0
+      |ORDER BY abs(CAST(n * sxy - sx * sy AS DOUBLE)
+      |  / CAST(n * sxx - sx * sx AS DOUBLE)) DESC, brand
+      |LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q361_order_seq_value", orderSeqValue, Some(orderSeqValueSql),
+      "mean order value by customer order sequence (1..5+) — repeat-" +
+        "spend lifecycle curve"),
+    Q("q362_brand_overlap", brandOverlap, Some(brandOverlapSql),
+      "top-20 brand pairs by customer-set Jaccard — normalized cross-" +
+        "shopping map"),
+    Q("q363_topk_churn", topkChurn, Some(topkChurnSql),
+      "week-over-week stability of the top-10 revenue parts — " +
+        "watchlist churn"),
+    Q("q364_revenue_pareto", revenuePareto, Some(revenueParetoSql),
+      "SKUs needed for 50/80/95% of revenue — integer cross-multiplied " +
+        "Pareto targets"),
+    Q("q365_grouped_ols", groupedOls, Some(groupedOlsSql),
+      "per-brand discount-to-quantity OLS slope, top-10 by elasticity " +
+        "— grouped regression"),
     Q("q356_lagged_xcorr", laggedXcorr, Some(laggedXcorrSql),
       "daily activity x revenue cross-correlation at lags -3..+3 — " +
         "lead/lag detection from exact moments"),

@@ -916,4 +916,16 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(pf).size == 1, pf)
     assert(!pf.contains("Join"), pf)
   }
+
+  test("order seq / brand overlap / topk churn / pareto / grouped ols: " +
+    "equi-joins and WindowGroupLimit prunes only — no cartesian in the " +
+    "lifecycle batch") {
+    for (q <- Seq("q361_order_seq_value", "q362_brand_overlap",
+        "q363_topk_churn", "q364_revenue_pareto", "q365_grouped_ols")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+    val pt = plan(MiningQueries.groupedOls(spark, dir))
+    assert(pt.contains("TakeOrderedAndProject"), pt)
+  }
 }
