@@ -3148,7 +3148,206 @@ object MiningQueries {
       |  / CAST(n * sxx - sx * sx AS DOUBLE)) DESC, brand
       |LIMIT 10""".stripMargin
 
+  // ---- near-dup contamination across sources ---------------------------
+
+  /** Share of 0.5-Jaccard near-dup pairs that CROSS source boundaries —
+    * the near-dup face of q281's exact cross-source audit (syndicated /
+    * scraped content shows up here long before byte-exact mirrors do).
+    * Pairs from the shared df-capped machinery, one source join per
+    * endpoint, integer counts, one division. */
+  def crossSourceNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog.load(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = graft.ops.DedupOps.jaccardPairs(docs, n = 5, threshold = 0.5)
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross"))
+      .select(col("n_pairs"), col("n_cross"),
+        (col("n_cross").cast("double") / col("n_pairs").cast("double"))
+          .as("cross_source_share"))
+  }
+
+  private val crossSourceNearDupSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      |  WHERE len(t) >= 5
+      |), card AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM common
+      |  JOIN card x ON doc_a = x.doc_id
+      |  JOIN card y ON doc_b = y.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= 0.5
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_cross,
+      |  CAST(SUM(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cross_source_share
+      |FROM pairs
+      |JOIN documents da ON doc_a = da.doc_id
+      |JOIN documents db ON doc_b = db.doc_id""".stripMargin
+
+  // ---- hourly conversion profile ---------------------------------------
+
+  /** Purchase share of events by hour of day — the diurnal conversion
+    * profile behind send-time optimization. One scan, 24-row aggregate,
+    * one division per row. */
+  def hourlyConversion(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "events")
+      .groupBy(hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .select(col("hr"), col("n_events"), col("n_purchases"),
+        (col("n_purchases").cast("double") / col("n_events").cast("double"))
+          .as("purchase_share"))
+      .orderBy(col("hr"))
+
+  private val hourlyConversionSql =
+    """SELECT CAST(hour(ts) AS BIGINT) AS hr,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS purchase_share
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY hr""".stripMargin
+
+  // ---- language-model context fanout -----------------------------------
+
+  /** Most ambiguous 2-token contexts: distinct continuations and
+    * continuation count per bigram prefix, top-20 by fanout — the
+    * branching-factor profile that predicts where an n-gram LM (or a
+    * speculative decoder) will be uncertain. Window-free: one shingle
+    * pass builds (w1 w2 → w3) triples, two stacked aggregates. */
+  def contextFanout(spark: SparkSession, dir: String): DataFrame = {
+    val tri = Catalog.load(spark, dir, "documents")
+      .select(split(col("text"), " ").as("t"))
+      // guard BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 2), " +
+          "i -> struct(concat_ws(' ', t[i-1], t[i]) AS ctx, t[i+1] AS nxt))"))
+        .as("g"))
+      .select(col("g.ctx"), col("g.nxt"))
+    tri.groupBy(col("ctx"))
+      .agg(countDistinct(col("nxt")).as("fanout"),
+        count(lit(1)).as("occurrences"))
+      .orderBy(col("fanout").desc, col("occurrences").desc, col("ctx"))
+      .limit(20)
+  }
+
+  private val contextFanoutSql =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents
+      |), tri AS (
+      |  SELECT t[i] || ' ' || t[i+1] AS ctx, t[i+2] AS nxt
+      |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      |)
+      |SELECT ctx, CAST(COUNT(DISTINCT nxt) AS BIGINT) AS fanout,
+      |  CAST(COUNT(*) AS BIGINT) AS occurrences
+      |FROM tri
+      |GROUP BY 1
+      |ORDER BY fanout DESC, occurrences DESC, ctx
+      |LIMIT 20""".stripMargin
+
+  // ---- Zipf constancy check --------------------------------------------
+
+  /** rank×frequency for the top-20 corpus terms — Zipf's law predicts a
+    * near-constant product; a systematic drift flags templated or
+    * synthetic text. Exact integer products over the ranked term
+    * counts; the transcendental-free version of a log-log slope fit. */
+  def zipfCheck(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Catalog.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(col("f").desc, col("term"))
+    tf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("term"), col("f"),
+        (col("rank") * col("f")).as("rank_freq"))
+      .orderBy(col("rank"))
+  }
+
+  private val zipfCheckSql =
+    """WITH tf AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE len(term) > 0
+      |  GROUP BY 1
+      |), r AS (
+      |  SELECT term, f,
+      |    CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT) AS rank
+      |  FROM tf
+      |)
+      |SELECT rank, term, f, rank * f AS rank_freq
+      |FROM r
+      |WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
+  // ---- daily behavioural diversity -------------------------------------
+
+  /** Effective number of event types per day (inverse Simpson n²/Σc²,
+    * q309's rational diversity applied to the daily mix) — a collapsing
+    * value flags days where one event type (an error storm, a bot
+    * flood) drowned the mix. One (day, type) aggregate, one daily
+    * rollup, one division. */
+  def dailyDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Catalog.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    perType.groupBy(col("d"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("types"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("d"), col("n"), col("types"),
+        ((col("n") * col("n")).cast("double") / col("sum_c2").cast("double"))
+          .as("effective_types"))
+      .orderBy(col("d"))
+  }
+
+  private val dailyDiversitySql =
+    """WITH per_type AS (
+      |  SELECT CAST(ts AS DATE) AS d, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT d, CAST(SUM(c) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS types,
+      |  CAST(SUM(c) * SUM(c) AS DOUBLE) / CAST(SUM(c * c) AS DOUBLE)
+      |    AS effective_types
+      |FROM per_type
+      |GROUP BY d
+      |ORDER BY d""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q366_cross_source_neardup", crossSourceNearDup, Some(crossSourceNearDupSql),
+      "share of 0.5-Jaccard near-dup pairs crossing source boundaries " +
+        "— syndication contamination audit"),
+    Q("q367_hourly_conversion", hourlyConversion, Some(hourlyConversionSql),
+      "purchase share of events by hour of day — diurnal conversion " +
+        "profile"),
+    Q("q368_context_fanout", contextFanout, Some(contextFanoutSql),
+      "top-20 bigram contexts by distinct-continuation fanout — n-gram " +
+        "LM branching profile"),
+    Q("q369_zipf_check", zipfCheck, Some(zipfCheckSql),
+      "rank x frequency for top-20 terms — transcendental-free Zipf " +
+        "constancy check"),
+    Q("q370_daily_diversity", dailyDiversity, Some(dailyDiversitySql),
+      "effective event-type count per day (inverse Simpson) — mix-" +
+        "collapse monitor"),
     Q("q361_order_seq_value", orderSeqValue, Some(orderSeqValueSql),
       "mean order value by customer order sequence (1..5+) — repeat-" +
         "spend lifecycle curve"),

@@ -928,4 +928,19 @@ class PlanSpec extends AnyFunSuite {
     val pt = plan(MiningQueries.groupedOls(spark, dir))
     assert(pt.contains("TakeOrderedAndProject"), pt)
   }
+
+  test("cross-source near-dup / context fanout / zipf / hourly / daily " +
+    "diversity: shingle and token passes collapse before any join — no " +
+    "cartesian anywhere in the corpus batch") {
+    for (q <- Seq("q366_cross_source_neardup", "q368_context_fanout",
+        "q369_zipf_check", "q367_hourly_conversion", "q370_daily_diversity")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+    val pf = plan(MiningQueries.contextFanout(spark, dir))
+    assert(pf.contains("TakeOrderedAndProject"), pf)
+    val ph = plan(MiningQueries.hourlyConversion(spark, dir))
+    assert("FileScan parquet".r.findAllIn(ph).size == 1, ph)
+    assert(!ph.contains("Join"), ph)
+  }
 }
