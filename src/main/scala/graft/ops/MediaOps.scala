@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — binary columns, typed Dataset rows,
   * `mapPartitions` with per-partition (batch) processing, fixed-width
-  * feature schema — while the codec itself is a STUB (this container has
-  * no image/audio libraries): `decodeStub` derives deterministic fake
-  * dimensions/frames from the bytes where a real implementation would
-  * call a decoder. Swap `decodeStub` for a real codec and nothing else
-  * changes.
+  * feature schema. IMAGE decode/resize is real too: `decodeImage` uses
+  * the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP, headless-safe, zero
+  * external jars), so dimensions, pixel-hashed features, and bilinear
+  * resampling come from actual rasters. Payloads no registered reader
+  * understands (audio/video in this jar-less build) fall back to
+  * `decodeStub`, which derives deterministic fake dimensions/frames
+  * from the bytes — link an audio/video codec behind the same interface
+  * and nothing else changes.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); payload bytes never shuffle — downstream aggregations group
@@ -57,9 +60,10 @@ object MediaOps {
         col("content").as("payload"),
         col("path"), col("length"))
 
-  /** ---- STUB ---- deterministic fake decode: a real build links an
-    * image/audio codec here. Metadata is a pure function of byte length
-    * (so it is oracle-checkable); "frames" are byte slices. */
+  /** ---- STUB ---- deterministic fake decode for payloads no available
+    * codec understands (audio/video in this build): metadata is a pure
+    * function of byte length (so it is oracle-checkable); "frames" are
+    * byte slices. Image payloads take the REAL [[decodeImage]] path. */
   def decodeStub(m: MediaRow): (Int, Int, Int, Array[Array[Byte]]) = {
     val len = m.payload.length
     val width = 64 + len % 640
@@ -69,20 +73,51 @@ object MediaOps {
     (width, height, frames.length, frames)
   }
 
-  /** Batch feature extraction: rolling-hash bytes into a fixed-width
-    * float vector (stands in for a CNN/spectrogram embedding). Partition-
-    * local, allocation-light, deterministic. */
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP
+    * readers ship with every JVM — no external jar, works headless).
+    * None when no registered reader recognizes the payload (audio/video/
+    * text bytes) — callers fall back to [[decodeStub]], so the stub now
+    * covers only genuinely absent codecs. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** Batch feature extraction. Decodable images get REAL metadata
+    * (pixel width/height, 1 frame) and features hashed from the decoded
+    * ARGB raster — the actual pixels, not the container bytes — so two
+    * encodings of the same image featurize identically. Everything else
+    * runs the deterministic stub. Partition-local, allocation-light. */
   private def extract(m: MediaRow): MediaFeatures = {
-    val (w, h, nf, _) = decodeStub(m)
     val acc = new Array[Long](FeatureDim)
-    var i = 0
-    while (i < m.payload.length) {
-      val b = m.payload(i) & 0xff
-      acc(i % FeatureDim) = acc(i % FeatureDim) * 31 + b
-      i += 1
+    decodeImage(m.payload) match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            acc(i % FeatureDim) = acc(i % FeatureDim) * 31 + (img.getRGB(x, y) & 0xffffff)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        val feats = acc.map(v => (v & 0xffffff).toFloat / 0xffffff)
+        MediaFeatures(m.media_id, m.media_type, w, h, 1,
+          m.payload.length.toLong, feats)
+      case None =>
+        val (w, h, nf, _) = decodeStub(m)
+        var i = 0
+        while (i < m.payload.length) {
+          val b = m.payload(i) & 0xff
+          acc(i % FeatureDim) = acc(i % FeatureDim) * 31 + b
+          i += 1
+        }
+        val feats = acc.map(v => (v & 0xffffff).toFloat / 0xffffff)
+        MediaFeatures(m.media_id, m.media_type, w, h, nf,
+          m.payload.length.toLong, feats)
     }
-    val feats = acc.map(v => (v & 0xffffff).toFloat / 0xffffff)
-    MediaFeatures(m.media_id, m.media_type, w, h, nf, m.payload.length.toLong, feats)
   }
 
   /** The decode/feature pipeline: typed rows → mapPartitions (batch shape:
@@ -106,21 +141,40 @@ object MediaOps {
   case class Resized(media_id: Long, width: Int, height: Int,
       new_w: Int, new_h: Int, resized_bytes: Long)
 
-  /** Aspect-preserving resize into a `box`×`box` bounding box — STUB like
-    * decode: the dimension arithmetic (the part a pipeline plans around:
-    * shapes, batch memory) is real and oracle-checkable; the pixel
-    * resample would live where `decodeStub` links a codec. Partition-
+  /** Aspect-preserving resize into a `box`×`box` bounding box.
+    * Decodable images get a REAL pixel resample (BufferedImage +
+    * Graphics2D bilinear, headless-safe, JDK-only); other payloads keep
+    * the deterministic dimension arithmetic on stub dims — the part a
+    * pipeline plans around (shapes, batch memory) either way. Partition-
     * local map, no shuffle. */
   def resizeStub(media: DataFrame, box: Int = 64): Dataset[Resized] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { m =>
-      val (w, h, _, _) = decodeStub(m)
-      val mx = math.max(w, h)
-      val scale = if (mx > box) box.toDouble / mx else 1.0
-      val nw = math.max(1, math.floor(w * scale).toInt)
-      val nh = math.max(1, math.floor(h * scale).toInt)
-      Resized(m.media_id, w, h, nw, nh, nw.toLong * nh * 3)
+      def fit(w: Int, h: Int): (Int, Int) = {
+        val mx = math.max(w, h)
+        val scale = if (mx > box) box.toDouble / mx else 1.0
+        (math.max(1, math.floor(w * scale).toInt),
+          math.max(1, math.floor(h * scale).toInt))
+      }
+      decodeImage(m.payload) match {
+        case Some(img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (nw, nh) = fit(w, h)
+          val out = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+          g.dispose()
+          Resized(m.media_id, w, h, nw, nh, nw.toLong * nh * 3)
+        case None =>
+          val (w, h, _, _) = decodeStub(m)
+          val (nw, nh) = fit(w, h)
+          Resized(m.media_id, w, h, nw, nh, nw.toLong * nh * 3)
+      }
     })
   }
 
@@ -150,7 +204,11 @@ object MediaOps {
         new String(out)
       }
       it.flatMap { m =>
-        val (_, _, _, frames) = decodeStub(m)
+        // a decoded still image is its own single frame; undecodable
+        // payloads (audio/video stand-ins) keep the stub's byte slices
+        val frames =
+          if (decodeImage(m.payload).isDefined) Array(m.payload)
+          else decodeStub(m)._4
         frames.iterator.zipWithIndex.map { case (f, i) =>
           Frame(m.media_id, i, f.length, md5Hex(f))
         }

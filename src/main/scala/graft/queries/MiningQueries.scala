@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.catalog.Catalog
+import graft.functions.ScaledIntDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -20,16 +21,11 @@ object MiningQueries {
   private val K = 10
   private val PrefixDims = 8
 
-  /** Embeddings with the q70 scaled-integer view: xi = floor(x·10⁶) per
-    * dimension, so every dot product is an exact BIGINT on any engine. */
-  private def scaledEmb(spark: SparkSession, dir: String): DataFrame =
-    Catalog.load(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-          .as("sv"))
-
-  private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  // All retrieval-eval dot products run through the fused codegen kernel
+  // graft.functions.ScaledIntDot (xi = floor(x·10⁶) exact-BIGINT dots, the
+  // q70 recipe) — an interpreted aggregate(zip_with(...)) computes the same
+  // value but is never codegen'd by Spark, which made q327 alone 25.8 s at
+  // sf0.1 in round 7. Bit-identical results, ~order-of-magnitude faster.
 
   /** Recall@10 of a cheap 8-prefix-dimension dot-product retriever
     * against the exact full-dimension dot-product top-10, per query —
@@ -40,14 +36,15 @@ object MiningQueries {
     * shuffle of the corpus), each side's top-k via one per-query window
     * — never a corpus×corpus join. */
   def recallAtK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = scaledEmb(spark, dir)
+    val emb = Catalog.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("sv").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val pairs = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dotCol(col("qv"), col("sv")).as("full_dot"),
-        dotCol(slice(col("qv"), 1, PrefixDims),
-          slice(col("sv"), 1, PrefixDims)).as("pre_dot"))
+        ScaledIntDot.scaledDot(col("qe"), col("embedding")).as("full_dot"),
+        ScaledIntDot.scaledDot(col("qe"), col("embedding"), PrefixDims)
+          .as("pre_dot"))
     val wFull = Window.partitionBy(col("query_id"))
       .orderBy(col("full_dot").desc, col("neighbor_id"))
     val wPre = Window.partitionBy(col("query_id"))
@@ -665,7 +662,7 @@ object MiningQueries {
       .groupBy(col("lu")).agg(sum(col("d")).as("di"))
       .agg(sum(col("di") * col("di")).as("sum_d2"))
     intra.crossJoin(broadcast(m2)).crossJoin(broadcast(degSq))
-      .select(col("n_comm"), (col("m2") / 2).as("m"),
+      .select(col("n_comm"), expr("m2 div 2").as("m"),
         ((col("m2") * col("sum_l") - col("sum_d2")).cast("double") /
           (col("m2") * col("m2")).cast("double")).as("modularity"))
   }
@@ -713,17 +710,44 @@ object MiningQueries {
 
   // ---- frequent 3-itemsets (Apriori step) ------------------------------
 
-  /** Top-20 frequent part triples across order baskets — the Apriori
-    * 3-itemset step after q179's pairs. Two self-equi-joins on the
-    * basket key with a<b<c canonicalization; baskets are bounded (≤7
-    * lines in TPC-H shape), so the intra-basket fan-out is C(7,3) — at
-    * 100 TB a pathological mega-basket would get a per-key cap upstream
-    * like the dedup candidate joins. Integer support counts; top-20 via
-    * TakeOrdered. */
-  def itemsets3(spark: SparkSession, dir: String): DataFrame = {
-    val items = Catalog.load(spark, dir, "lineitem")
+  /** Mega-basket ceiling for the pair/triple miners (q318/q334): a
+    * basket with more than this many distinct parts contributes
+    * O(size²)–O(size³) rows to the self-joins — the same quadratic
+    * blow-up the dedup candidate joins bound with a shingle df-cap
+    * (`DedupOps.capHotKeys`). Baskets above the cap are dropped BEFORE
+    * the self-joins, mirrored in the oracles, so the per-key fan-out is
+    * bounded by C(cap,3) at any corpus scale. TPC-H baskets are ≤7
+    * lines, so the cap is inert on the fixtures — it exists for the
+    * 100 TB pathological mega-basket. */
+  private val MaxBasketSize = 64
+
+  /** Distinct (order, part) basket items with [[MaxBasketSize]] applied. */
+  private def cappedBaskets(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("ok"))))
+      .filter(col("bsz") <= MaxBasketSize)
+      .select(col("ok"), col("pk"))
+
+  /** Oracle mirror of [[cappedBaskets]]: CTE fragment defining `items`. */
+  private val cappedBasketsSql =
+    s"""items0 AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), items AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM items0)
+       |  WHERE bsz <= $MaxBasketSize
+       |)""".stripMargin
+
+  /** Top-20 frequent part triples across order baskets — the Apriori
+    * 3-itemset step after q179's pairs. Two self-equi-joins on the
+    * basket key with a<b<c canonicalization; baskets above
+    * [[MaxBasketSize]] are dropped first (mirrored in the oracle), so
+    * the intra-basket fan-out is C(cap,3) at worst — C(7,3) on TPC-H
+    * shapes. Integer support counts; top-20 via TakeOrdered. */
+  def itemsets3(spark: SparkSession, dir: String): DataFrame = {
+    val items = cappedBaskets(spark, dir)
     items.select(col("ok"), col("pk").as("a"))
       .join(items.select(col("ok"), col("pk").as("b")), "ok")
       .filter(col("a") < col("b"))
@@ -737,9 +761,7 @@ object MiningQueries {
   }
 
   private val itemsets3Sql =
-    """WITH items AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-      |)
+    s"""WITH $cappedBasketsSql
       |SELECT x.pk AS a, y.pk AS b, z.pk AS c,
       |  CAST(COUNT(*) AS BIGINT) AS support
       |FROM items x
@@ -906,20 +928,32 @@ object MiningQueries {
 
   // ---- one-mode bipartite projection ----------------------------------
 
+  /** Hub ceiling for the one-mode projection: a customer buying from
+    * more than this many suppliers contributes O(deg²) pairs — the same
+    * quadratic blow-up the dedup candidate joins cap with a shingle
+    * df-cap (`DedupOps.capHotKeys`). Mirrored in the oracle, so the
+    * bound is part of the operator's contract, not a silent prune. */
+  private val BipartiteMaxDeg = 128
+
   /** Supplier↔supplier co-purchase projection: top-20 supplier pairs by
     * the number of DISTINCT customers buying from both — collapsing the
     * bipartite purchase graph to its one-mode shadow, the standard move
     * before any supplier-similarity analysis. Self-equi-join on the
-    * customer key of the distinct (cust, supp) edge list; at 100 TB a
-    * hub customer would get the same df-cap treatment as the dedup
-    * candidate joins (drop customers above a supplier-count ceiling,
-    * mirrored in the oracle). Top-20 via TakeOrdered, counts exact. */
+    * customer key of the distinct (cust, supp) edge list; hub customers
+    * above [[BipartiteMaxDeg]] suppliers are dropped BEFORE the
+    * self-join (df-cap, mirrored in the oracle) so the per-key fan-out
+    * is bounded by C(cap,2) at any corpus scale. Top-20 via
+    * TakeOrdered, counts exact. */
   def bipartiteProjection(spark: SparkSession, dir: String): DataFrame = {
-    val cs = Catalog.load(spark, dir, "orders")
+    val cs0 = Catalog.load(spark, dir, "orders")
       .join(Catalog.load(spark, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
+    val cs = cs0
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("c"))))
+      .filter(col("deg") <= BipartiteMaxDeg)
+      .select(col("c"), col("s"))
     cs.select(col("c"), col("s").as("s1"))
       .join(cs.select(col("c"), col("s").as("s2")), "c")
       .filter(col("s1") < col("s2"))
@@ -930,9 +964,13 @@ object MiningQueries {
   }
 
   private val bipartiteProjectionSql =
-    """WITH cs AS (
+    s"""WITH cs0 AS (
       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), cs AS (
+      |  SELECT c, s FROM (
+      |    SELECT c, s, COUNT(*) OVER (PARTITION BY c) AS deg FROM cs0)
+      |  WHERE deg <= $BipartiteMaxDeg
       |)
       |SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared_customers
       |FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
@@ -1161,17 +1199,16 @@ object MiningQueries {
     * with the query's own true label and each neighbor's label. */
   private def knnRanked(spark: SparkSession, dir: String): DataFrame = {
     val emb = Catalog.load(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-          .as("sv"), col("label"))
-    val withNorm = emb.withColumn("n2", dotCol(col("sv"), col("sv")))
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val withNorm = emb.withColumn("n2",
+      ScaledIntDot.scaledDot(col("embedding"), col("embedding")))
     val queries = withNorm.filter(col("vec_id") < KnnNQ)
-      .select(col("vec_id").as("query_id"), col("sv").as("qv"),
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("n2").as("qn2"), col("label").as("true_label"))
     val pairs = withNorm.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("true_label"),
         col("vec_id").as("neighbor_id"), col("label").as("nn_label"),
-        (dotCol(col("qv"), col("sv")).cast("double") /
+        (ScaledIntDot.scaledDot(col("qe"), col("embedding")).cast("double") /
           (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
           .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
@@ -1587,12 +1624,13 @@ object MiningQueries {
   /** Top-20 directional association rules A→B over order baskets by
     * confidence (support ≥ 3): confidence = n_ab/n_a, lift rides along
     * — q179's pair counts made directional, the actual "customers who
-    * bought X also bought Y" serving table. Counts exact; confidence
-    * and lift are the only divisions; top-20 via TakeOrdered. */
+    * bought X also bought Y" serving table. Baskets above
+    * [[MaxBasketSize]] are dropped first (mirrored in the oracle) so
+    * the pair fan-out stays bounded at any scale. Counts exact;
+    * confidence and lift are the only divisions; top-20 via
+    * TakeOrdered. */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val items = Catalog.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    val items = cappedBaskets(spark, dir)
     val nOrders = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val perPart = items.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
@@ -1614,9 +1652,7 @@ object MiningQueries {
   }
 
   private val assocRulesSql =
-    """WITH items AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-      |), n AS (
+    s"""WITH $cappedBasketsSql, n AS (
       |  SELECT COUNT(DISTINCT ok) AS n_orders FROM items
       |), pp AS (
       |  SELECT pk, COUNT(*) AS n_part FROM items GROUP BY 1
@@ -1872,6 +1908,12 @@ object MiningQueries {
       .orderBy(col("threshold_pct"))
   }
 
+  // Mirrors the Scala path faithfully, INCLUDING the candidate df-cap
+  // (DedupOps.DefaultMaxDf=1000): candidate pairs must share ≥1 shingle
+  // with df ≤ 1000, while |∩| is still counted over the FULL shingle
+  // sets — the cap changes candidate recall only, never a jaccard value.
+  // Inert on the fixtures (every posting ≤500 docs) but keeps the oracle
+  // honest if fixture corpora ever grow a boilerplate hot key.
   private val jaccardSweepSql =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1879,6 +1921,12 @@ object MiningQueries {
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
       |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
       |  WHERE len(t) >= 5
+      |), cold AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN cold ON a.shingle = cold.shingle
       |), card AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
       |), common AS (
@@ -1889,6 +1937,7 @@ object MiningQueries {
       |), sims AS (
       |  SELECT CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) AS j
       |  FROM common
+      |  JOIN cand USING (doc_a, doc_b)
       |  JOIN card x ON doc_a = x.doc_id
       |  JOIN card y ON doc_b = y.doc_id
       |), cells AS (
@@ -2109,6 +2158,8 @@ object MiningQueries {
       .orderBy(col("degree"))
   }
 
+  // Same df-cap mirror as jaccardSweepSql: candidates need ≥1 shingle
+  // with df ≤ 1000 (DedupOps.DefaultMaxDf); |∩| over full sets.
   private val dedupDegreeHistSql =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2116,6 +2167,12 @@ object MiningQueries {
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
       |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
       |  WHERE len(t) >= 5
+      |), cold AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN cold ON a.shingle = cold.shingle
       |), card AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
       |), common AS (
@@ -2125,6 +2182,7 @@ object MiningQueries {
       |  GROUP BY 1, 2
       |), pairs AS (
       |  SELECT doc_a, doc_b FROM common
+      |  JOIN cand USING (doc_a, doc_b)
       |  JOIN card x ON doc_a = x.doc_id
       |  JOIN card y ON doc_b = y.doc_id
       |  WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= 0.5
@@ -2998,8 +3056,15 @@ object MiningQueries {
     * many of the current top-10 were in the previous week's top-10 —
     * the watchlist-stability report. Per-week top-10 via a
     * WindowGroupLimit-prunable rank, then a self-equi-join on
-    * (previous week, part). Integer counts, one share division. */
-  def topkChurn(spark: SparkSession, dir: String): DataFrame = {
+    * (previous week, part). The per-week top-k size is derived from the
+    * data (a thin week can rank fewer than 10 parts), and weeks with
+    * zero stable parts still appear (left join, stable=0) — not the
+    * hardcoded /10 that inflates churn on short weeks. Integer counts,
+    * one share division. */
+  /** Pre-checkpoint per-week top-10 frame — split out so PlanSpec can
+    * pin the WindowGroupLimit prune (the checkpoint in [[topkChurn]]
+    * hides the producing plan behind a LogicalRDD scan). */
+  private[graft] def topkChurnRanked(spark: SparkSession, dir: String): DataFrame = {
     val wk = Catalog.load(spark, dir, "orders")
       .join(Catalog.load(spark, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
@@ -3009,14 +3074,24 @@ object MiningQueries {
         col("l_partkey").as("pk"))
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
     val w = Window.partitionBy(col("wk")).orderBy(col("cents").desc, col("pk"))
-    val top = wk.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    wk.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select(col("wk"), col("pk"))
-      .localCheckpoint(eager = false)
+  }
+
+  def topkChurn(spark: SparkSession, dir: String): DataFrame = {
+    // three consumers (sized / prev / stable) — checkpoint or the
+    // join+agg+window pass re-executes per consumer
+    val top = topkChurnRanked(spark, dir).localCheckpoint(eager = false)
+    val sized = top.groupBy(col("wk")).agg(count(lit(1)).as("k_size"))
     val prev = top.select((col("wk") + 7).as("wk"), col("pk"))
-    top.join(prev, Seq("wk", "pk"), "left_semi")
-      .groupBy(col("wk")).agg(count(lit(1)).as("stable"))
-      .select(col("wk"), col("stable"), (lit(10L) - col("stable")).as("new_entries"),
-        (col("stable").cast("double") / 10.0).as("stability"))
+    val st = top.join(prev, Seq("wk", "pk"), "left_semi")
+      .groupBy(col("wk")).agg(count(lit(1)).as("st"))
+    sized.join(st, Seq("wk"), "left")
+      .select(col("wk"), col("k_size"),
+        coalesce(col("st"), lit(0L)).as("stable"),
+        (col("k_size") - coalesce(col("st"), lit(0L))).as("new_entries"),
+        (coalesce(col("st"), lit(0L)).cast("double") /
+          col("k_size").cast("double")).as("stability"))
       .orderBy(col("wk"))
   }
 
@@ -3034,15 +3109,22 @@ object MiningQueries {
       |    SELECT wk, pk, row_number() OVER (PARTITION BY wk
       |      ORDER BY cents DESC, pk) AS rn FROM wk)
       |  WHERE rn <= 10
+      |), sized AS (
+      |  SELECT wk, CAST(COUNT(*) AS BIGINT) AS k_size FROM top GROUP BY wk
+      |), st AS (
+      |  SELECT t.wk, CAST(COUNT(*) AS BIGINT) AS st
+      |  FROM top t
+      |  WHERE EXISTS (SELECT 1 FROM top p
+      |                WHERE p.wk + 7 = t.wk AND p.pk = t.pk)
+      |  GROUP BY t.wk
       |)
-      |SELECT t.wk, CAST(COUNT(*) AS BIGINT) AS stable,
-      |  10 - CAST(COUNT(*) AS BIGINT) AS new_entries,
-      |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS stability
-      |FROM top t
-      |WHERE EXISTS (SELECT 1 FROM top p
-      |              WHERE p.wk + 7 = t.wk AND p.pk = t.pk)
-      |GROUP BY t.wk
-      |ORDER BY t.wk""".stripMargin
+      |SELECT s.wk, s.k_size,
+      |  COALESCE(st.st, CAST(0 AS BIGINT)) AS stable,
+      |  s.k_size - COALESCE(st.st, CAST(0 AS BIGINT)) AS new_entries,
+      |  CAST(COALESCE(st.st, CAST(0 AS BIGINT)) AS DOUBLE)
+      |    / CAST(s.k_size AS DOUBLE) AS stability
+      |FROM sized s LEFT JOIN st ON s.wk = st.wk
+      |ORDER BY s.wk""".stripMargin
 
   // ---- revenue Pareto targets ------------------------------------------
 
@@ -3169,6 +3251,8 @@ object MiningQueries {
           .as("cross_source_share"))
   }
 
+  // Same df-cap mirror as jaccardSweepSql: candidates need ≥1 shingle
+  // with df ≤ 1000 (DedupOps.DefaultMaxDf); |∩| over full sets.
   private val crossSourceNearDupSql =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -3176,6 +3260,12 @@ object MiningQueries {
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
       |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
       |  WHERE len(t) >= 5
+      |), cold AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN cold ON a.shingle = cold.shingle
       |), card AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
       |), common AS (
@@ -3185,6 +3275,7 @@ object MiningQueries {
       |  GROUP BY 1, 2
       |), pairs AS (
       |  SELECT doc_a, doc_b FROM common
+      |  JOIN cand USING (doc_a, doc_b)
       |  JOIN card x ON doc_a = x.doc_id
       |  JOIN card y ON doc_b = y.doc_id
       |  WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= 0.5

@@ -943,4 +943,22 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(ph).size == 1, ph)
     assert(!ph.contains("Join"), ph)
   }
+
+  test("global-window top-k pins (top share / zipf / topk churn): the " +
+    "rank<=k filter keeps the partial WindowGroupLimit prune — a refactor " +
+    "that drops the filter would silently fall back to a single-reducer " +
+    "full sort") {
+    // global (un-partitioned) rank<=k windows plan as TakeOrderedAndProject
+    // (per-task top-k before ONE merge — strictly stronger than
+    // WindowGroupLimit); partitioned ones plan as WindowGroupLimit.
+    // Either way the full sort is pruned map-side.
+    for (q <- Seq("q316_top_share", "q369_zipf_check")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+        s"$q\n$p")
+    }
+    // q363's checkpoint hides the producing plan — pin its ranked frame
+    val pc = plan(MiningQueries.topkChurnRanked(spark, dir))
+    assert(pc.contains("WindowGroupLimit"), pc)
+  }
 }

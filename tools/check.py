@@ -55,7 +55,19 @@ for name in sorted(oracle):
     bad = []
     for c in g.columns:
         gv, ev = g[c], e[c]
-        if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+        # dtype parity: the driver's hash is type-sensitive — an int column
+        # on one side vs float on the other (e.g. `x / 2` DOUBLE vs `x // 2`
+        # BIGINT, the q317 slip) passes a float-coerced value compare but
+        # fails the driver. Flag it here before submission.
+        g_int = pd.api.types.is_integer_dtype(gv)
+        e_int = pd.api.types.is_integer_dtype(ev)
+        g_flt = pd.api.types.is_float_dtype(gv)
+        e_flt = pd.api.types.is_float_dtype(ev)
+        if (g_int and e_flt) or (g_flt and e_int):
+            bad.append(f"{c}: dtype mismatch {gv.dtype} vs {ev.dtype} "
+                       f"(int/float parity — driver hash is type-sensitive)")
+            continue
+        if g_flt or e_flt:
             gv = gv.astype(float); ev = ev.astype(float)
             neq = ~((gv == ev) | (gv.isna() & ev.isna()))
             if neq.any():
