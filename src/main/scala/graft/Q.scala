@@ -25,7 +25,8 @@ object Registry {
       queries.VectorQueries.all ++
       queries.EventQueries.all ++
       queries.MultimodalQueries.all ++
-      queries.MiningQueries.all
+      queries.MiningQueries.all ++
+      queries.ScienceQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,839 @@
+package graft.queries
+
+import graft.Q
+import graft.catalog.Catalog
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-8 widening: applied-statistics and embedding-geometry operators
+  * (variance homogeneity, normality, effect size, readability, isotropy,
+  * silhouette, clip calibration) plus inventory/ops analytics (ABC
+  * classes, drawdown, control bands, stickiness, tax margins).
+  *
+  * Determinism rules as everywhere else in the repo: integer / decimal
+  * exact state end-to-end; where a statistic needs IEEE arithmetic the
+  * whole chain is a FIXED, textually-mirrored sequence of correctly-
+  * rounded double ops evaluated in one row (never a float sum across
+  * rows, whose order Spark does not define).
+  */
+object ScienceQueries {
+
+  private val dec = "decimal(38,0)"
+
+  private def orderCents: Column =
+    expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+
+  // ---- ABC inventory classes -------------------------------------------
+
+  /** ABC revenue classification of the part catalog: class A = parts up
+    * to 80% cumulative revenue, B to 95%, C the tail — the inventory-
+    * policy partition behind every stocking decision. Class membership
+    * by exact integer cross-multiplication (cum·100 ≤ total·80 — no
+    * float thresholds); one share division per class row. The global
+    * cumulative window runs on the per-part AGGREGATE (catalog-sized,
+    * not fact-sized — same policy as q364's Pareto ranks). */
+  def abcClasses(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val total = parts.agg(sum(col("cents")).as("total_cents"))
+    val w = Window.orderBy(col("cents").desc, col("pk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.withColumn("cum", sum(col("cents")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("total_cents") * 80, "A")
+          .when(col("cum") * 100 <= col("total_cents") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("class_cents"),
+        max(col("total_cents")).as("tc"))
+      .select(col("abc_class"), col("n_parts"), col("class_cents"),
+        (col("class_cents").cast("double") / col("tc").cast("double"))
+          .as("share"))
+      .orderBy(col("abc_class"))
+  }
+
+  private val abcClassesSql =
+    """WITH p AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM p
+      |), r AS (
+      |  SELECT cents,
+      |    CAST(SUM(cents) OVER (ORDER BY cents DESC, pk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM p
+      |), c AS (
+      |  SELECT CASE WHEN cum * 100 <= total_cents * 80 THEN 'A'
+      |              WHEN cum * 100 <= total_cents * 95 THEN 'B'
+      |              ELSE 'C' END AS abc_class,
+      |    cents, total_cents
+      |  FROM r, t
+      |)
+      |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(cents) AS BIGINT) AS class_cents,
+      |  CAST(SUM(cents) AS DOUBLE) / CAST(MAX(total_cents) AS DOUBLE) AS share
+      |FROM c
+      |GROUP BY abc_class
+      |ORDER BY abc_class""".stripMargin
+
+  // ---- Brown–Forsythe variance homogeneity ------------------------------
+
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Brown–Forsythe (median-based Levene) W for order-value variance
+    * homogeneity across the five order priorities — the check every
+    * ANOVA/t-test on this segmentation silently assumes. Group medians
+    * are exact rank-selected integers (lower median, (n+1) div 2), so
+    * the |y−med| deviations are exact BIGINTs; per-group moment sums
+    * are exact; W's between/within quotient is ONE fixed five-term
+    * chain evaluated in a single row (the five groups are pivoted to
+    * columns — never a float sum over rows). */
+  def levene(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"), orderCents.as("y"))
+    val wp = Window.partitionBy(col("pri")).orderBy(col("y"), col("o_orderkey"))
+    val med = o.withColumn("rn", row_number().over(wp))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("pri"), col("y").as("med"))
+    val z = o.join(med, "pri")
+      .select(col("pri"), abs(col("y") - col("med")).as("z"))
+    val g = z.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+        sum((col("z").cast(dec) * col("z")).cast(dec)).as("szz"))
+    // pivot the five fixed groups into one row
+    val pivCols = Priorities.zipWithIndex.flatMap { case (p, i) =>
+      Seq(sum(when(col("pri") === p, col("n"))).as(s"n$i"),
+        sum(when(col("pri") === p, col("sz"))).as(s"sz$i"),
+        sum(when(col("pri") === p, col("szz"))).as(s"szz$i"))
+    }
+    val piv = g.agg(pivCols.head, pivCols.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val nTot = (0 to 4).map(i => col(s"n$i")).reduce(_ + _)
+    val szTot = (0 to 4).map(i => col(s"sz$i")).reduce(_ + _)
+    val zbar = d(szTot) / d(nTot)
+    val num = (0 to 4).map { i =>
+      d(col(s"n$i")) * (d(col(s"sz$i")) / d(col(s"n$i")) - zbar) *
+        (d(col(s"sz$i")) / d(col(s"n$i")) - zbar)
+    }.reduce(_ + _)
+    val den = (0 to 4).map { i =>
+      d(col(s"szz$i")) - d(col(s"sz$i")) * d(col(s"sz$i")) / d(col(s"n$i"))
+    }.reduce(_ + _)
+    piv.select(nTot.as("n"),
+      ((d(nTot - 5) / 4.0) * (num / den)).as("w_stat"))
+  }
+
+  private val leveneSql = {
+    val pris = Priorities
+    def cond(i: Int, agg: String) =
+      s"SUM(CASE WHEN pri = '${pris(i)}' THEN $agg END)"
+    val ns = (0 to 4).map(i => s"${cond(i, "n")} AS n$i").mkString(", ")
+    val szs = (0 to 4).map(i => s"${cond(i, "sz")} AS sz$i").mkString(", ")
+    val szzs = (0 to 4).map(i => s"${cond(i, "szz")} AS szz$i").mkString(", ")
+    val nTot = (0 to 4).map(i => s"n$i").mkString(" + ")
+    val szTot = (0 to 4).map(i => s"sz$i").mkString(" + ")
+    val zbar = s"(CAST($szTot AS DOUBLE) / CAST($nTot AS DOUBLE))"
+    val num = (0 to 4).map { i =>
+      s"CAST(n$i AS DOUBLE) * (CAST(sz$i AS DOUBLE) / CAST(n$i AS DOUBLE) - $zbar)" +
+        s" * (CAST(sz$i AS DOUBLE) / CAST(n$i AS DOUBLE) - $zbar)"
+    }.mkString(" + ")
+    // each within-group term parenthesized so the five-term sum associates
+    // exactly like the Spark Column reduce: (A0-P0)+(A1-P1)+... — without
+    // parens "A0 - P0 + A1 - ..." folds subtractions differently (1-ulp
+    // hash mismatch, caught by check.py)
+    val den = (0 to 4).map { i =>
+      s"(CAST(szz$i AS DOUBLE) - CAST(sz$i AS DOUBLE) * CAST(sz$i AS DOUBLE)" +
+        s" / CAST(n$i AS DOUBLE))"
+    }.mkString(" + ")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS pri, o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+       |  FROM orders
+       |), med AS (
+       |  SELECT pri, y AS med FROM (
+       |    SELECT pri, y,
+       |      row_number() OVER (PARTITION BY pri ORDER BY y, o_orderkey) AS rn,
+       |      COUNT(*) OVER (PARTITION BY pri) AS n
+       |    FROM o)
+       |  WHERE rn = (n + 1) // 2
+       |), z AS (
+       |  SELECT o.pri, abs(o.y - med.med) AS z
+       |  FROM o JOIN med ON o.pri = med.pri
+       |), g AS (
+       |  SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(z) AS BIGINT) AS sz,
+       |    SUM(CAST(z AS HUGEINT) * z) AS szz
+       |  FROM z GROUP BY 1
+       |), piv AS (
+       |  SELECT $ns, $szs, $szzs FROM g
+       |)
+       |SELECT CAST($nTot AS BIGINT) AS n,
+       |  (CAST(($nTot) - 5 AS DOUBLE) / 4.0) * (($num) / ($den)) AS w_stat
+       |FROM piv""".stripMargin
+  }
+
+  // ---- Cohen's d effect size -------------------------------------------
+
+  /** Cohen's d for order value between the deterministic o_custkey%2
+    * split — the effect-size companion to the q180/q323 significance
+    * tests (a tiny p-value with d≈0 is noise, not a finding). Exact
+    * integer/decimal moments per arm pivoted to one row; means,
+    * pooled SD and d are one fixed mirrored chain. */
+  def cohensD(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select((col("o_custkey") % 2).as("v"), orderCents.as("y"))
+    val g = o.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum((col("y").cast(dec) * col("y")).cast(dec)).as("ss"))
+    val piv = g.agg(
+      sum(when(col("v") === 0, col("n"))).as("n0"),
+      sum(when(col("v") === 0, col("s"))).as("s0"),
+      sum(when(col("v") === 0, col("ss"))).as("ss0"),
+      sum(when(col("v") === 1, col("n"))).as("n1"),
+      sum(when(col("v") === 1, col("s"))).as("s1"),
+      sum(when(col("v") === 1, col("ss"))).as("ss1"))
+    def d(c: Column) = c.cast("double")
+    def variance(n: String, s: String, ss: String): Column =
+      (col(n).cast(dec) * col(ss) - col(s).cast(dec) * col(s)).cast("double") /
+        (col(n) * (col(n) - 1)).cast("double")
+    val m0 = d(col("s0")) / d(col("n0"))
+    val m1 = d(col("s1")) / d(col("n1"))
+    val pooled = (d(col("n0") - 1) * variance("n0", "s0", "ss0") +
+      d(col("n1") - 1) * variance("n1", "s1", "ss1")) /
+      d(col("n0") + col("n1") - 2)
+    piv.select(col("n0"), col("n1"), m0.as("mean0"), m1.as("mean1"),
+      ((m0 - m1) / sqrt(pooled)).as("cohens_d"))
+  }
+
+  private val cohensDSql = {
+    def variance(n: String, s: String, ss: String) =
+      s"CAST(CAST($n AS HUGEINT) * $ss - CAST($s AS HUGEINT) * $s AS DOUBLE)" +
+        s" / CAST($n * ($n - 1) AS DOUBLE)"
+    val m0 = "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    val m1 = "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    s"""WITH o AS (
+       |  SELECT o_custkey % 2 AS v,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+       |  FROM orders
+       |), g AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+       |    SUM(CAST(y AS HUGEINT) * y) AS ss
+       |  FROM o GROUP BY 1
+       |), piv AS (
+       |  SELECT
+       |    SUM(CASE WHEN v = 0 THEN n END) AS n0,
+       |    SUM(CASE WHEN v = 0 THEN s END) AS s0,
+       |    SUM(CASE WHEN v = 0 THEN ss END) AS ss0,
+       |    SUM(CASE WHEN v = 1 THEN n END) AS n1,
+       |    SUM(CASE WHEN v = 1 THEN s END) AS s1,
+       |    SUM(CASE WHEN v = 1 THEN ss END) AS ss1
+       |  FROM g
+       |)
+       |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       |  $m0 AS mean0, $m1 AS mean1,
+       |  (($m0) - ($m1)) / sqrt(
+       |    (CAST(n0 - 1 AS DOUBLE) * (${variance("n0", "s0", "ss0")})
+       |     + CAST(n1 - 1 AS DOUBLE) * (${variance("n1", "s1", "ss1")}))
+       |    / CAST(n0 + n1 - 2 AS DOUBLE)) AS cohens_d
+       |FROM piv""".stripMargin
+  }
+
+  // ---- Jarque–Bera normality -------------------------------------------
+
+  /** Jarque–Bera normality statistic of order value (whole dollars) per
+    * priority segment: JB = n/6·(S² + K²/4) from skewness S and excess
+    * kurtosis K. Power sums Σy..Σy⁴ are exact DECIMAL(38,0) (dollar
+    * units keep Σy⁴ ≤ ~10³⁰ at any plausible scale); the central-moment
+    * chain runs once per segment row, textually mirrored. */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("segment"),
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("y"))
+    val g = o.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("s1"),
+        sum((col("y").cast(dec) * col("y")).cast(dec)).as("s2"),
+        sum((col("y").cast(dec) * col("y") * col("y")).cast(dec)).as("s3"),
+        sum((col("y").cast(dec) * col("y") * col("y") * col("y")).cast(dec))
+          .as("s4"))
+    def d(c: Column) = c.cast("double")
+    val nD = d(col("n"))
+    val m = d(col("s1")) / nD
+    val q2 = d(col("s2")) / nD
+    val q3 = d(col("s3")) / nD
+    val q4 = d(col("s4")) / nD
+    val m2 = q2 - m * m
+    val m3 = q3 - lit(3.0) * m * q2 + lit(2.0) * m * m * m
+    val m4 = q4 - lit(4.0) * m * q3 + lit(6.0) * m * m * q2 -
+      lit(3.0) * m * m * m * m
+    val skew = m3 / (sqrt(m2) * m2)
+    val exk = m4 / (m2 * m2) - lit(3.0)
+    g.select(col("segment"), col("n"), skew.as("skewness"),
+        exk.as("ex_kurtosis"),
+        (nD / lit(6.0) * (skew * skew + exk * exk / lit(4.0))).as("jb"))
+      .orderBy(col("segment"))
+  }
+
+  private val jarqueBeraSql = {
+    val m = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val q2 = "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val q3 = "(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val q4 = "(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val m2 = s"($q2 - $m * $m)"
+    val m3 = s"($q3 - 3.0 * $m * $q2 + 2.0 * $m * $m * $m)"
+    val m4 = s"($q4 - 4.0 * $m * $q3 + 6.0 * $m * $m * $q2 - 3.0 * $m * $m * $m * $m)"
+    val skew = s"($m3 / (sqrt($m2) * $m2))"
+    val exk = s"($m4 / ($m2 * $m2) - 3.0)"
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS segment,
+       |    CAST(round(o_totalprice) AS BIGINT) AS y
+       |  FROM orders
+       |), g AS (
+       |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS s1,
+       |    SUM(CAST(y AS HUGEINT) * y) AS s2,
+       |    SUM(CAST(y AS HUGEINT) * y * y) AS s3,
+       |    SUM(CAST(y AS HUGEINT) * y * y * y) AS s4
+       |  FROM o GROUP BY 1
+       |)
+       |SELECT segment, n, $skew AS skewness, $exk AS ex_kurtosis,
+       |  CAST(n AS DOUBLE) / 6.0 * ($skew * $skew + $exk * $exk / 4.0) AS jb
+       |FROM g
+       |ORDER BY segment""".stripMargin
+  }
+
+  // ---- readability (Automated Readability Index) ------------------------
+
+  /** Corpus-level Automated Readability Index per source: ARI =
+    * 4.71·(chars/words) + 0.5·(words/sentences) − 21.43 — the
+    * transcendental-free readability grade (no syllable model), a
+    * standard quality-mix signal for training-data curation. Characters
+    * (non-space), words (non-empty tokens), and sentence marks are all
+    * exact integer counts; the grade is one mirrored chain per source
+    * row. One scan, no shuffle beyond the source rollup. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val g = Catalog.load(spark, dir, "documents")
+      .select(col("source"),
+        expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").as("chars"),
+        expr("CAST(size(filter(split(text, ' '), t -> length(t) > 0)) AS BIGINT)")
+          .as("words"),
+        greatest(lit(1L),
+          expr("CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)"))
+          .as("sents"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"),
+        sum(col("words")).as("words"), sum(col("sents")).as("sentences"))
+    def d(c: Column) = c.cast("double")
+    g.select(col("source"), col("n_docs"), col("chars"), col("words"),
+        col("sentences"),
+        (lit(4.71) * (d(col("chars")) / d(col("words"))) +
+          lit(0.5) * (d(col("words")) / d(col("sentences"))) - lit(21.43))
+          .as("ari"))
+      .orderBy(col("source"))
+  }
+
+  private val readabilitySql =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+      |      AS BIGINT) AS words,
+      |    greatest(CAST(1 AS BIGINT),
+      |      CAST(length(text) - length(replace(text, '.', '')) AS BIGINT))
+      |      AS sents
+      |  FROM documents
+      |), g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(chars) AS BIGINT) AS chars,
+      |    CAST(SUM(words) AS BIGINT) AS words,
+      |    CAST(SUM(sents) AS BIGINT) AS sentences
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT source, n_docs, chars, words, sentences,
+      |  4.71 * (CAST(chars AS DOUBLE) / CAST(words AS DOUBLE))
+      |    + 0.5 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+      |    - 21.43 AS ari
+      |FROM g
+      |ORDER BY source""".stripMargin
+
+  // ---- embedding isotropy ----------------------------------------------
+
+  private def scaledArr =
+    expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+
+  /** Embedding isotropy WITHOUT a pairwise join: the mean pairwise dot
+    * product over all n(n−1) ordered pairs equals (‖Σv‖² − Σ‖v‖²)/(n(n−1))
+    * — two linear passes (per-dim sums, then one 64-row reduce) replace
+    * the O(n²) comparison entirely, so the op costs the same at 100 TB
+    * as a mean. Scaled-int exact sums; isotropy = mean cross-pair dot
+    * over mean self dot (≈0 for a well-spread space, →1 as vectors
+    * collapse onto one direction). */
+  def isotropy(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Catalog.load(spark, dir, "embeddings")
+    val v = emb.select(posexplode(scaledArr).as(Seq("dim", "xi")))
+    val perDim = v.groupBy(col("dim"))
+      .agg(sum(col("xi")).as("sd"),
+        sum((col("xi").cast(dec) * col("xi")).cast(dec)).as("selfd"))
+    val agg = perDim.agg(
+      sum((col("sd").cast(dec) * col("sd")).cast(dec)).as("s2"),
+      sum(col("selfd")).as("selfsum"))
+    val n = emb.agg(count(lit(1)).as("n"))
+    def d(c: Column) = c.cast("double")
+    agg.crossJoin(broadcast(n))
+      .select(col("n"),
+        ((col("s2") - col("selfsum")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("mean_cross_dot"),
+        (d(col("selfsum")) / d(col("n"))).as("mean_self_dot"),
+        (((col("s2") - col("selfsum")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")) /
+          (d(col("selfsum")) / d(col("n")))).as("isotropy"))
+  }
+
+  private val isotropySql =
+    """WITH v AS (
+      |  SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS xi,
+      |    unnest(range(len(embedding))) AS i
+      |  FROM embeddings
+      |), per_dim AS (
+      |  SELECT i, CAST(SUM(xi) AS BIGINT) AS sd,
+      |    SUM(CAST(xi AS HUGEINT) * xi) AS selfd
+      |  FROM v GROUP BY 1
+      |), a AS (
+      |  SELECT SUM(CAST(sd AS HUGEINT) * sd) AS s2,
+      |    SUM(selfd) AS selfsum
+      |  FROM per_dim
+      |), nn AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+      |)
+      |SELECT n,
+      |  CAST(s2 - selfsum AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+      |    AS mean_cross_dot,
+      |  CAST(selfsum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_self_dot,
+      |  (CAST(s2 - selfsum AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+      |    / (CAST(selfsum AS DOUBLE) / CAST(n AS DOUBLE)) AS isotropy
+      |FROM a, nn""".stripMargin
+
+  // ---- centroid silhouette ---------------------------------------------
+
+  /** Median centroid-silhouette per label: s = (b−a)/max(a,b) with a =
+    * distance to the own-label centroid and b = the nearest other
+    * centroid — the "are these labels geometrically real" score. The
+    * centroid never becomes a float: distances are compared as exact
+    * integers scaled by n², D(v,l)·n_l² = Σ_d(n_l·x_d − S_ld)², so the
+    * only IEEE steps are the final per-row divide/sqrt chain, and the
+    * per-label summary is a rank-selected MEDIAN (a float mean across
+    * rows would be accumulation-order-dependent). Cost: n·k·dim rows —
+    * linear in the corpus, never pairwise. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Catalog.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        scaledArr.as("sv"))
+    val v = emb.select(col("vec_id"), col("label"),
+      posexplode(col("sv")).as(Seq("dim", "xi")))
+    val nl = emb.groupBy(col("label")).agg(count(lit(1)).as("cn"))
+      .select(col("label").as("clabel"), col("cn"))
+    val cent = v.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(sum(col("xi")).as("s"))
+      .join(nl, "clabel")
+    val diff = v.join(cent, "dim")
+      .withColumn("dv", col("cn") * col("xi") - col("s"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"), col("cn"))
+      .agg(sum((col("dv").cast(dec) * col("dv")).cast(dec)).as("d2"))
+      .withColumn("v",
+        col("d2").cast("double") / (col("cn") * col("cn")).cast("double"))
+    val ab = diff.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("v"))).as("a2"),
+        min(when(col("clabel") =!= col("label"), col("v"))).as("b2"))
+      .select(col("vec_id"), col("label"),
+        ((sqrt(col("b2")) - sqrt(col("a2"))) /
+          greatest(sqrt(col("a2")), sqrt(col("b2")))).as("sil"))
+    val wl = Window.partitionBy(col("label")).orderBy(col("sil"), col("vec_id"))
+    ab.withColumn("rn", row_number().over(wl))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("label"), col("n"), col("sil").as("median_silhouette"))
+      .orderBy(col("label"))
+  }
+
+  private val silhouetteSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS xi,
+      |    unnest(range(len(embedding))) AS i
+      |  FROM embeddings
+      |), nl AS (
+      |  SELECT CAST(label AS BIGINT) AS clabel, CAST(COUNT(*) AS BIGINT) AS cn
+      |  FROM embeddings GROUP BY 1
+      |), cent AS (
+      |  SELECT v.label AS clabel, v.i, CAST(SUM(v.xi) AS BIGINT) AS s, MIN(nl.cn) AS cn
+      |  FROM v JOIN nl ON v.label = nl.clabel
+      |  GROUP BY 1, 2
+      |), dd AS (
+      |  SELECT v.vec_id, v.label, c.clabel, MIN(c.cn) AS cn,
+      |    SUM(CAST(c.cn * v.xi - c.s AS HUGEINT) * (c.cn * v.xi - c.s)) AS d2
+      |  FROM v JOIN cent c ON v.i = c.i
+      |  GROUP BY 1, 2, 3
+      |), vals AS (
+      |  SELECT vec_id, label, clabel,
+      |    CAST(d2 AS DOUBLE) / CAST(cn * cn AS DOUBLE) AS v
+      |  FROM dd
+      |), ab AS (
+      |  SELECT vec_id, label,
+      |    MIN(CASE WHEN clabel = label THEN v END) AS a2,
+      |    MIN(CASE WHEN clabel <> label THEN v END) AS b2
+      |  FROM vals GROUP BY 1, 2
+      |), s AS (
+      |  SELECT vec_id, label,
+      |    (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) AS sil
+      |  FROM ab
+      |), r AS (
+      |  SELECT label, sil,
+      |    row_number() OVER (PARTITION BY label ORDER BY sil, vec_id) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n
+      |  FROM s
+      |)
+      |SELECT label, n, sil AS median_silhouette
+      |FROM r
+      |WHERE rn = (n + 1) // 2
+      |ORDER BY label""".stripMargin
+
+  // ---- label-centroid cosine matrix ------------------------------------
+
+  /** Pairwise cosine similarity between label centroids — the k×k
+    * "which classes the space thinks are alike" matrix (q328's NN
+    * confusion from geometry instead of retrieval). Cosine is scale-
+    * invariant, so the UN-normalized per-dim label sums serve as exact
+    * integer centroids: dot and norms are exact decimals, one mirrored
+    * divide/sqrt chain per pair. k²·dim work — independent of corpus
+    * size after the one linear sum pass. */
+  def labelCentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val v = Catalog.load(spark, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(scaledArr).as(Seq("dim", "xi")))
+    val cent = v.groupBy(col("label"), col("dim")).agg(sum(col("xi")).as("s"))
+    val a = cent.select(col("label").as("label_a"), col("dim"), col("s").as("sa"))
+    val b = cent.select(col("label").as("label_b"), col("dim"), col("s").as("sb"))
+    a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("sa").cast(dec) * col("sb")).cast(dec)).as("dot"),
+        sum((col("sa").cast(dec) * col("sa")).cast(dec)).as("na"),
+        sum((col("sb").cast(dec) * col("sb")).cast(dec)).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos_sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  private val labelCentroidSimSql =
+    """WITH v AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS xi,
+      |    unnest(range(len(embedding))) AS i
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT label, i, CAST(SUM(xi) AS BIGINT) AS s FROM v GROUP BY 1, 2
+      |)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  CAST(SUM(CAST(a.s AS HUGEINT) * b.s) AS DOUBLE) /
+      |    (sqrt(CAST(SUM(CAST(a.s AS HUGEINT) * a.s) AS DOUBLE))
+      |     * sqrt(CAST(SUM(CAST(b.s AS HUGEINT) * b.s) AS DOUBLE))) AS cos_sim
+      |FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      |GROUP BY 1, 2
+      |ORDER BY label_a, label_b""".stripMargin
+
+  // ---- per-dimension clip calibration ----------------------------------
+
+  /** Exact p1/p99 clip bounds per embedding dimension (scaled-int units)
+    * — the calibration table int8 quantization (q78) clips against;
+    * approximate quantiles drift per-run, these are rank-exact and
+    * reproducible. Entirely integer: rank selection with the repo's
+    * ceil-rank convention, zero float columns. The per-dim sort
+    * shuffles on 64 keys; at corpus scale this is the one family where
+    * exactness costs a per-dim sort — q93's approx variant is the
+    * cheap path when ±ε is acceptable. */
+  def dimClip(spark: SparkSession, dir: String): DataFrame = {
+    val v = Catalog.load(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(scaledArr).as(Seq("dim", "xi")))
+    val w = Window.partitionBy(col("dim")).orderBy(col("xi"), col("vec_id"))
+    v.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("dim"))))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") === expr("(n * 1 + 99) div 100"), col("xi")))
+          .as("p01_scaled"),
+        min(when(col("rn") === expr("(n * 99 + 99) div 100"), col("xi")))
+          .as("p99_scaled"))
+      .orderBy(col("dim"))
+  }
+
+  private val dimClipSql =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS xi,
+      |    unnest(range(len(embedding))) AS i
+      |  FROM embeddings
+      |), r AS (
+      |  SELECT i, xi,
+      |    CAST(row_number() OVER (PARTITION BY i ORDER BY xi, vec_id)
+      |      AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY i) AS BIGINT) AS n
+      |  FROM v
+      |)
+      |SELECT CAST(i AS BIGINT) AS dim, CAST(MAX(n) AS BIGINT) AS n,
+      |  MIN(CASE WHEN rn = (n * 1 + 99) // 100 THEN xi END) AS p01_scaled,
+      |  MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN xi END) AS p99_scaled
+      |FROM r
+      |GROUP BY 1
+      |ORDER BY dim""".stripMargin
+
+  // ---- revenue drawdown -------------------------------------------------
+
+  /** Maximum drawdown of the daily-revenue series: the largest gap
+    * between a day's revenue and the running peak before it — the
+    * demand-collapse severity metric. Calendar-bounded prefix-max
+    * window, exact cents, first day achieving the max (ties broken on
+    * date). */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(orderCents).as("cents"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("peak", max(col("cents")).over(w))
+      .withColumn("dd", col("peak") - col("cents"))
+      .orderBy(col("dd").desc, col("d"))
+      .limit(1)
+      .select(col("d").as("dd_date"), col("cents").as("day_cents"),
+        col("peak").as("peak_cents"), col("dd").as("max_drawdown_cents"))
+  }
+
+  private val drawdownSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |), r AS (
+      |  SELECT d, cents,
+      |    CAST(MAX(cents) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS peak
+      |  FROM daily
+      |)
+      |SELECT d AS dd_date, cents AS day_cents, peak AS peak_cents,
+      |  peak - cents AS max_drawdown_cents
+      |FROM r
+      |ORDER BY peak - cents DESC, d
+      |LIMIT 1""".stripMargin
+
+  // ---- Bollinger control band breaches ----------------------------------
+
+  /** Days whose revenue breaches the trailing-7-day mean ± 2σ control
+    * band — the SPC anomaly counter, with the breach test kept ENTIRELY
+    * in integers: (y−S/7)² > 4·(7·SS−S²)/49 cross-multiplies to
+    * (7y−S)² > 4·(7·SS−S²), so no sqrt/float ever enters the
+    * comparison. Trailing window excludes the current day (it is the
+    * candidate anomaly); only full 7-day windows count. */
+  def bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(orderCents).as("cents"))
+    val w = Window.orderBy(col("d")).rowsBetween(-7, -1)
+    val r = daily
+      .withColumn("s7", sum(col("cents")).over(w))
+      .withColumn("ss7", sum((col("cents").cast(dec) * col("cents")).cast(dec))
+        .over(w))
+      .withColumn("c7", count(lit(1)).over(w))
+      .filter(col("c7") === 7)
+      .withColumn("dev", lit(7) * col("cents") - col("s7"))
+      .withColumn("lhs", (col("dev").cast(dec) * col("dev")).cast(dec))
+      .withColumn("rhs",
+        (lit(4).cast(dec) * (lit(7).cast(dec) * col("ss7") -
+          (col("s7").cast(dec) * col("s7")).cast(dec))).cast(dec))
+    r.agg(count(lit(1)).as("n_windows"),
+      sum(when(col("dev") > 0 && col("lhs") > col("rhs"), 1L).otherwise(0L))
+        .as("n_breach_hi"),
+      sum(when(col("dev") < 0 && col("lhs") > col("rhs"), 1L).otherwise(0L))
+        .as("n_breach_lo"))
+  }
+
+  private val bollingerSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |), r AS (
+      |  SELECT d, cents,
+      |    SUM(cents) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |      AS s7,
+      |    SUM(CAST(cents AS HUGEINT) * cents) OVER (ORDER BY d
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ss7,
+      |    COUNT(*) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |      AS c7
+      |  FROM daily
+      |), f AS (
+      |  SELECT 7 * cents - s7 AS dev,
+      |    CAST(7 * cents - s7 AS HUGEINT) * (7 * cents - s7) AS lhs,
+      |    4 * (7 * ss7 - CAST(s7 AS HUGEINT) * s7) AS rhs
+      |  FROM r WHERE c7 = 7
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(SUM(CASE WHEN dev > 0 AND lhs > rhs THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_breach_hi,
+      |  CAST(SUM(CASE WHEN dev < 0 AND lhs > rhs THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_breach_lo
+      |FROM f""".stripMargin
+
+  // ---- monthly stickiness ----------------------------------------------
+
+  /** Monthly stickiness = mean DAU / MAU — the engagement-depth ratio
+    * (what share of the monthly audience shows up on an average day).
+    * Two count-distinct aggregates; stickiness = Σdau/(days·mau) keeps
+    * the mean-DAU division exact-integer until ONE final divide. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.load(spark, dir, "events")
+      .select(date_trunc("month", col("ts")).cast("date").as("m"),
+        to_date(col("ts")).as("d"), col("user_id"))
+    val dau = ev.groupBy(col("m"), col("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("days"), sum(col("dau")).as("sdau"))
+    val mau = ev.groupBy(col("m"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "m")
+      .select(col("m"), col("days"), col("sdau"), col("mau"),
+        (col("sdau").cast("double") / (col("days") * col("mau")).cast("double"))
+          .as("stickiness"))
+      .orderBy(col("m"))
+  }
+
+  private val stickinessSql =
+    """WITH ev AS (
+      |  SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+      |    CAST(ts AS DATE) AS d, user_id
+      |  FROM events
+      |), dau AS (
+      |  SELECT m, CAST(COUNT(*) AS BIGINT) AS days,
+      |    CAST(SUM(dau) AS BIGINT) AS sdau
+      |  FROM (SELECT m, d, COUNT(DISTINCT user_id) AS dau
+      |        FROM ev GROUP BY 1, 2)
+      |  GROUP BY m
+      |), mau AS (
+      |  SELECT m, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM ev GROUP BY 1
+      |)
+      |SELECT dau.m, days, sdau, mau,
+      |  CAST(sdau AS DOUBLE) / CAST(days * mau AS DOUBLE) AS stickiness
+      |FROM dau JOIN mau ON dau.m = mau.m
+      |ORDER BY dau.m""".stripMargin
+
+  // ---- effective tax margin by supplier nation --------------------------
+
+  /** Effective tax share of net revenue by supplier nation — the fiscal
+    * roll-up that exercises the l_tax column end-to-end. Discount and
+    * tax rates are exact basis-point integers (round(rate·100)), so net
+    * (cent·pct) and tax (cent·pct²) sums are exact decimals; share and
+    * gross-dollars each get one mirrored division. Dimension joins
+    * broadcast. */
+  def taxMargin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("dbp"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("tbp"))
+      .withColumn("net", col("cents") * (lit(100) - col("dbp")))
+    val sup = Catalog.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Catalog.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("net").cast(dec)).as("netp"),
+        sum((col("net").cast(dec) * col("tbp")).cast(dec)).as("taxpp"))
+      .select(col("nation"), col("n_lines"),
+        (col("netp").cast("double") / 10000.0).as("gross_dollars"),
+        (col("taxpp").cast("double") / (col("netp").cast("double") * 100.0))
+          .as("tax_share"))
+      .orderBy(col("nation"))
+  }
+
+  private val taxMarginSql =
+    """WITH li AS (
+      |  SELECT l_suppkey,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS net,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS tbp
+      |  FROM lineitem
+      |), g AS (
+      |  SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    SUM(CAST(net AS HUGEINT)) AS netp,
+      |    SUM(CAST(net AS HUGEINT) * tbp) AS taxpp
+      |  FROM li
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1
+      |)
+      |SELECT nation, n_lines,
+      |  CAST(netp AS DOUBLE) / 10000.0 AS gross_dollars,
+      |  CAST(taxpp AS DOUBLE) / (CAST(netp AS DOUBLE) * 100.0) AS tax_share
+      |FROM g
+      |ORDER BY nation""".stripMargin
+
+  // ---- registry ---------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+    Q("q371_abc_classes", abcClasses, Some(abcClassesSql),
+      "ABC revenue classes (80/95% cuts by exact integer cross-multiply) " +
+        "— inventory-policy partition of the part catalog"),
+    Q("q372_levene", levene, Some(leveneSql),
+      "Brown-Forsythe variance-homogeneity W across order priorities, " +
+        "exact group medians + pivoted fixed-chain quotient"),
+    Q("q373_cohens_d", cohensD, Some(cohensDSql),
+      "Cohen's d effect size for order value between custkey%2 arms — " +
+        "exact moments, one mirrored pooled-SD chain"),
+    Q("q374_jarque_bera", jarqueBera, Some(jarqueBeraSql),
+      "Jarque-Bera normality per priority from exact dollar power sums " +
+        "(skewness + excess kurtosis chain)"),
+    Q("q375_readability", readability, Some(readabilitySql),
+      "Automated Readability Index per source from exact char/word/" +
+        "sentence counts — syllable-free quality grade"),
+    Q("q376_isotropy", isotropy, Some(isotropySql),
+      "embedding isotropy via (norm-of-sum minus sum-of-norms) identity " +
+        "— mean pairwise dot with NO pairwise join"),
+    Q("q377_silhouette", silhouette, Some(silhouetteSql),
+      "median centroid-silhouette per label, integer n-scaled distances, " +
+        "rank-selected median — label-geometry health"),
+    Q("q378_label_centroid_sim", labelCentroidSim, Some(labelCentroidSimSql),
+      "label-centroid cosine matrix from unnormalized integer sum " +
+        "vectors — k x k class-confusability geometry"),
+    Q("q379_dim_clip", dimClip, Some(dimClipSql),
+      "exact p1/p99 scaled-int clip bounds per embedding dimension — " +
+        "int8 quantization calibration table"),
+    Q("q380_drawdown", drawdown, Some(drawdownSql),
+      "max drawdown of daily revenue vs running peak, exact cents, " +
+        "first-day tie-break"),
+    Q("q381_bollinger", bollinger, Some(bollingerSql),
+      "trailing-7-day mean+-2sigma breach counts with the variance test " +
+        "cross-multiplied to pure integers"),
+    Q("q382_stickiness", stickiness, Some(stickinessSql),
+      "monthly mean-DAU/MAU stickiness ratio, integer state, one final " +
+        "division"),
+    Q("q383_tax_margin", taxMargin, Some(taxMarginSql),
+      "effective tax share of net revenue by supplier nation in exact " +
+        "cent-basis-point units"))
+}
