@@ -794,6 +794,333 @@ object ScienceQueries {
       |FROM g
       |ORDER BY nation""".stripMargin
 
+  // ---- Mann–Kendall trend test -----------------------------------------
+
+  /** Shared Spark/DuckDB z text (the q169 wilson pattern: identical
+    * literal text = identical correctly-rounded doubles): continuity-
+    * corrected Mann–Kendall z from integer S and the tie-corrected
+    * variance numerator (var_s = var_num/18). */
+  private val mkZExpr =
+    "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)" +
+      " / sqrt(CAST(var_num AS DOUBLE) / 18.0)" +
+      " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)" +
+      " / sqrt(CAST(var_num AS DOUBLE) / 18.0)" +
+      " ELSE 0.0 END"
+
+  /** Mann–Kendall monotone-trend test on daily revenue — the
+    * nonparametric "is demand actually drifting" companion to q203's
+    * Theil–Sen slope (same robustness, this one gives the significance).
+    * S = Σ_{i<j} sign(y_j − y_i) over the CALENDAR-BOUNDED daily
+    * aggregate (the pairwise pass is days², independent of fact volume),
+    * tie groups corrected exactly; S and the variance numerator are
+    * exact integers, z is one shared-text chain. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(orderCents).as("c"))
+      .localCheckpoint(eager = false) // three consumers: pairs×2 + ties
+    val a = daily.select(col("d").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("d").as("d2"), col("c").as("c2"))
+    val s = a.join(b, col("d1") < col("d2"))
+      .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_corr"))
+    s.crossJoin(broadcast(ties))
+      .withColumn("var_num",
+        col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_corr"))
+      .select(col("n"), col("s_stat"), col("var_num"),
+        expr(mkZExpr).as("z"))
+  }
+
+  private val mannKendallSql =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS c
+       |  FROM orders GROUP BY 1
+       |), s AS (
+       |  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+       |                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+       |    AS s_stat
+       |  FROM daily a JOIN daily b ON a.d < b.d
+       |), ties AS (
+       |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+       |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+       |  FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c)
+       |), f AS (
+       |  SELECT n, s_stat,
+       |    n * (n - 1) * (2 * n + 5) - tie_corr AS var_num
+       |  FROM s, ties
+       |)
+       |SELECT n, s_stat, var_num, $mkZExpr AS z
+       |FROM f""".stripMargin
+
+  // ---- Wald–Wolfowitz runs test ----------------------------------------
+
+  /** Shared z text for the runs test ([[mkZExpr]] pattern): mixed
+    * int/double promotion and left-association are identical in both
+    * engines, so identical text = identical doubles. */
+  // the leading CAST(n1 AS DOUBLE) is load-bearing: DuckDB parses the
+  // bare literal 2.0 as DECIMAL, so "2.0 * n1 * n0 / n" would run in
+  // decimal arithmetic there (observed 1e-8 drift vs Spark's double
+  // chain); with one DOUBLE operand first, every later op promotes to
+  // double identically in both engines
+  private val runsZExpr =
+    "(CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n0 / n))" +
+      " / sqrt((2.0 * CAST(n1 AS DOUBLE) * n0) * (2.0 * CAST(n1 AS DOUBLE) * n0 - n)" +
+      " / (CAST(n AS DOUBLE) * n * (n - 1)))"
+
+  /** Wald–Wolfowitz runs test on daily revenue vs its exact median —
+    * "is the above/below-median sequence random, or does demand cluster
+    * in regimes". Median by rank selection (lower median, ties to the
+    * above side by the mirrored >= convention); runs counted with one
+    * lag over the calendar-bounded series; z is one shared-text chain
+    * over exact integer counts. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(orderCents).as("c"))
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("c"), col("d"))))
+      .withColumn("n", count(lit(1)).over())
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("c").as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .select(col("d"), when(col("c") >= col("med"), 1L).otherwise(0L).as("s"))
+    val w = Window.orderBy(col("d"))
+    signs.withColumn("chg",
+        when(lag(col("s"), 1).over(w).isNotNull &&
+          col("s") =!= lag(col("s"), 1).over(w), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("n1"),
+        (count(lit(1)) - sum(col("s"))).as("n0"),
+        (sum(col("chg")) + 1L).as("runs"))
+      .select(col("n"), col("n1"), col("n0"), col("runs"),
+        expr(runsZExpr).as("z"))
+  }
+
+  private val runsTestSql =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS c
+       |  FROM orders GROUP BY 1
+       |), med AS (
+       |  SELECT c AS med FROM (
+       |    SELECT c, row_number() OVER (ORDER BY c, d) AS rn,
+       |      COUNT(*) OVER () AS n
+       |    FROM daily)
+       |  WHERE rn = (n + 1) // 2
+       |), signs AS (
+       |  SELECT d, CASE WHEN c >= med THEN 1 ELSE 0 END AS s
+       |  FROM daily, med
+       |), r AS (
+       |  SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NOT NULL
+       |                  AND s <> lag(s) OVER (ORDER BY d)
+       |             THEN 1 ELSE 0 END AS chg
+       |  FROM signs
+       |), f AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS n1,
+       |    CAST(COUNT(*) - SUM(s) AS BIGINT) AS n0,
+       |    CAST(SUM(chg) + 1 AS BIGINT) AS runs
+       |  FROM r
+       |)
+       |SELECT n, n1, n0, runs, $runsZExpr AS z
+       |FROM f""".stripMargin
+
+  // ---- source character-trigram similarity ------------------------------
+
+  /** Pairwise cosine similarity between per-source character-trigram
+    * profiles — q264's vocabulary Jaccard made sub-word (catches
+    * same-language/different-tokenization mirrors and near-identical
+    * boilerplate styles that word-level overlap misses). One corpus
+    * explode into (source, trigram) counts, then a 20×20 profile join on
+    * the trigram key; dots/norms exact decimals, one mirrored chain per
+    * pair. */
+  def sourceTrigramCos(spark: SparkSession, dir: String): DataFrame = {
+    val tri = Catalog.load(spark, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("source"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("tri"))
+      .groupBy(col("source"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // norms + both join sides
+    val norms = tri.groupBy(col("source"))
+      .agg(sum((col("c").cast(dec) * col("c")).cast(dec)).as("n2"))
+    val a = tri.select(col("source").as("source_a"), col("tri"), col("c").as("ca"))
+    val b = tri.select(col("source").as("source_b"), col("tri"), col("c").as("cb"))
+    a.join(b, Seq("tri")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum((col("ca").cast(dec) * col("cb")).cast(dec)).as("dot"))
+      .join(broadcast(norms.select(col("source").as("source_a"), col("n2").as("na"))),
+        "source_a")
+      .join(broadcast(norms.select(col("source").as("source_b"), col("n2").as("nb"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos_sim"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val sourceTrigramCosSql =
+    """WITH tri AS (
+      |  SELECT source, substr(text, i, 3) AS tri, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents, unnest(range(1, len(text) - 1)) AS u(i)
+      |  WHERE len(text) >= 3
+      |  GROUP BY 1, 2
+      |), norms AS (
+      |  SELECT source, SUM(CAST(c AS HUGEINT) * c) AS n2
+      |  FROM tri GROUP BY 1
+      |), dots AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    SUM(CAST(a.c AS HUGEINT) * b.c) AS dot
+      |  FROM tri a JOIN tri b ON a.tri = b.tri AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source_a, source_b,
+      |  CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+      |FROM dots
+      |JOIN norms na ON source_a = na.source
+      |JOIN norms nb ON source_b = nb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // ---- return rate by brand with Wilson lower bound ---------------------
+
+  /** q169's wilson pattern: identical formula text on both engines. */
+  private val brandWilsonExpr =
+    "(p + 3.8416 / (2 * n) - 1.96 * sqrt(p * (1 - p) / n" +
+      " + 3.8416 / (4 * n * n))) / (1 + 3.8416 / n)"
+
+  /** Return rate (l_returnflag = 'R') by brand with the Wilson 95% lower
+    * bound — the defect-rate leaderboard that doesn't reward small-n
+    * brands for luck (raw rate ranks a 2/3 brand above a 400/1000 one;
+    * the Wilson bound does not). Integer counts from one broadcast-
+    * joined aggregate; p and the bound are the shared-text chain. */
+  def returnRate(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_returnflag"))
+    val part = Catalog.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"))
+      .withColumn("p", col("n_returned").cast("double") / col("n"))
+      .withColumn("wilson_lo", expr(brandWilsonExpr))
+      .orderBy(col("brand"))
+  }
+
+  private val returnRateSql =
+    s"""WITH g AS (
+       |  SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_returned
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1
+       |), r AS (
+       |  SELECT brand, n, n_returned,
+       |    CAST(n_returned AS DOUBLE) / n AS p
+       |  FROM g
+       |)
+       |SELECT brand, n, n_returned, p, $brandWilsonExpr AS wilson_lo
+       |FROM r
+       |ORDER BY brand""".stripMargin
+
+  // ---- open-order backlog curve ----------------------------------------
+
+  /** Peak open-order backlog: +1 the day an order is placed, −1 the day
+    * its LAST line ships, cumulated over the calendar — the WIP curve
+    * ops teams staff against; reported as the top-10 backlog days.
+    * Entirely integer; the cumulative window runs on the daily delta
+    * aggregate (calendar-bounded). */
+  def openOrders(spark: SparkSession, dir: String): DataFrame = {
+    val placed = Catalog.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), lit(1L).as("delta"))
+    val shipped = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("d"))
+      .select(col("d"), lit(-1L).as("delta"))
+    placed.unionAll(shipped)
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+      .withColumn("backlog", sum(col("delta")).over(Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("backlog").desc, col("d"))
+      .limit(10)
+      .select(col("d"), col("backlog"))
+  }
+
+  private val openOrdersSql =
+    """WITH deltas AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(1 AS BIGINT) AS delta
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT d, CAST(-1 AS BIGINT)
+      |  FROM (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS d
+      |        FROM lineitem GROUP BY 1)
+      |), daily AS (
+      |  SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM deltas GROUP BY 1
+      |), c AS (
+      |  SELECT d, CAST(SUM(delta) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS backlog
+      |  FROM daily
+      |)
+      |SELECT d, backlog FROM c
+      |ORDER BY backlog DESC, d
+      |LIMIT 10""".stripMargin
+
+  // ---- Gini concentration per segment -----------------------------------
+
+  /** Gini coefficient of order value within each priority segment —
+    * q174's global Lorenz concentration, segmented (uneven concentration
+    * across segments breaks any "treat all priorities alike" capacity
+    * model). Rank formula G = (2·Σi·yᵢ − (n+1)·Σy)/(n·Σy) with exact
+    * integer rank-weighted sums (invariant under tie permutations), ONE
+    * division per segment. */
+  def giniSegment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("segment"), col("o_orderkey"),
+        orderCents.as("y"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("y"), col("o_orderkey"))
+    o.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum((col("i").cast(dec) * col("y")).cast(dec)).as("siy"))
+      .select(col("segment"), col("n"),
+        ((lit(2).cast(dec) * col("siy") -
+          ((col("n") + 1).cast(dec) * col("sy")).cast(dec)).cast("double") /
+          (col("n").cast(dec) * col("sy")).cast("double")).as("gini"))
+      .orderBy(col("segment"))
+  }
+
+  private val giniSegmentSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS segment, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders
+      |), r AS (
+      |  SELECT segment, y,
+      |    CAST(row_number() OVER (PARTITION BY segment ORDER BY y, o_orderkey)
+      |      AS BIGINT) AS i
+      |  FROM o
+      |), g AS (
+      |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(i AS HUGEINT) * y) AS siy
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT segment, n,
+      |  CAST(2 * siy - CAST(n + 1 AS HUGEINT) * sy AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * sy AS DOUBLE) AS gini
+      |FROM g
+      |ORDER BY segment""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -835,5 +1162,23 @@ object ScienceQueries {
         "division"),
     Q("q383_tax_margin", taxMargin, Some(taxMarginSql),
       "effective tax share of net revenue by supplier nation in exact " +
-        "cent-basis-point units"))
+        "cent-basis-point units"),
+    Q("q384_mann_kendall", mannKendall, Some(mannKendallSql),
+      "Mann-Kendall trend test on daily revenue: exact integer S + tie-" +
+        "corrected variance, shared-text continuity-corrected z"),
+    Q("q385_runs_test", runsTest, Some(runsTestSql),
+      "Wald-Wolfowitz runs test vs the exact daily-revenue median — " +
+        "regime-clustering detector, integer counts, shared-text z"),
+    Q("q386_source_trigram_cos", sourceTrigramCos, Some(sourceTrigramCosSql),
+      "pairwise char-trigram cosine between source profiles — sub-word " +
+        "style/mirror similarity matrix"),
+    Q("q387_return_rate", returnRate, Some(returnRateSql),
+      "return rate by brand with Wilson 95% lower bound — small-n-honest " +
+        "defect leaderboard"),
+    Q("q388_open_orders", openOrders, Some(openOrdersSql),
+      "top-10 open-order backlog days from a +1/-1 place/last-ship delta " +
+        "cumulation — WIP curve peaks"),
+    Q("q389_gini_segment", giniSegment, Some(giniSegmentSql),
+      "Gini concentration of order value per priority segment via the " +
+        "exact integer rank formula"))
 }
