@@ -443,7 +443,9 @@ object ScienceQueries {
     val cent = v.groupBy(col("label").as("clabel"), col("dim"))
       .agg(sum(col("xi")).as("s"))
       .join(nl, "clabel")
-    val diff = v.join(cent, "dim")
+    // centroids are k·dim rows — broadcast, or the corpus-sized exploded
+    // frame would shuffle onto 64 dim keys (maximal skew at scale)
+    val diff = v.join(broadcast(cent), "dim")
       .withColumn("dv", col("cn") * col("xi") - col("s"))
       .groupBy(col("vec_id"), col("label"), col("clabel"), col("cn"))
       .agg(sum((col("dv").cast(dec) * col("dv")).cast(dec)).as("d2"))
@@ -939,14 +941,32 @@ object ScienceQueries {
     * the trigram key; dots/norms exact decimals, one mirrored chain per
     * pair. */
   def sourceTrigramCos(spark: SparkSession, dir: String): DataFrame = {
-    val tri = Catalog.load(spark, dir, "documents")
-      .filter(length(col("text")) >= 3)
-      .select(col("source"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("tri"))
+    val docs = Catalog.load(spark, dir, "documents")
+    import docs.sparkSession.implicits._
+    // compiled partition-local trigram counting (the transform+substring
+    // HOF formulation runs interpreted — the DedupOps.shingles lesson);
+    // per-document pre-counts also shrink the shuffle to distinct
+    // (source, trigram) rows per doc instead of one row per position
+    val tri = docs.select(col("source"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (src, text) =>
+          if (text == null || text.length < 3) Iterator.empty
+          else {
+            val m = new java.util.HashMap[String, Long](text.length * 2)
+            var i = 0
+            while (i <= text.length - 3) {
+              val k = text.substring(i, i + 3)
+              m.put(k, m.getOrDefault(k, 0L) + 1L)
+              i += 1
+            }
+            val out = Array.newBuilder[(String, String, Long)]
+            m.forEach((k, v) => out += ((src, k, v)))
+            out.result().iterator
+          }
+        }
+      }.toDF("source", "tri", "pc")
       .groupBy(col("source"), col("tri"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("pc")).as("c"))
       .localCheckpoint(eager = false) // norms + both join sides
     val norms = tri.groupBy(col("source"))
       .agg(sum((col("c").cast(dec) * col("c")).cast(dec)).as("n2"))
@@ -1121,6 +1141,300 @@ object ScienceQueries {
       |FROM g
       |ORDER BY segment""".stripMargin
 
+  // ---- weekly growth accounting ----------------------------------------
+
+  /** Weekly growth accounting: every active user classified as NEW
+    * (first-ever week), RETAINED (also active the prior week) or
+    * RESURRECTED (returning after a gap), plus the week's CHURNED count
+    * (active prior week, absent now) — the standard DAU/WAU growth
+    * decomposition (new − churned = net growth). One distinct
+    * (user, week) frame feeds everything; prior-week membership via a
+    * self-equi-join on (user, week−7); all integer counts. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Catalog.load(spark, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(unix_date(CAST(date_trunc('WEEK', ts) AS DATE)) AS BIGINT)")
+          .as("wk"))
+      .distinct()
+      .localCheckpoint(eager = false) // four consumers below
+    val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("fw"))
+    val prev = uw.select(col("user_id"), (col("wk") + 7).as("wk"))
+    // classify in one pass: left join against prior-week membership (uw
+    // is distinct, so the left join cannot fan out)
+    val flags = uw.join(first, "user_id")
+      .join(prev.withColumn("had_prev", lit(1L)), Seq("user_id", "wk"), "left")
+      .select(col("wk"),
+        when(col("fw") === col("wk"), 1L).otherwise(0L).as("is_new"),
+        when(col("fw") < col("wk") && col("had_prev").isNotNull, 1L)
+          .otherwise(0L).as("is_retained"),
+        when(col("fw") < col("wk") && col("had_prev").isNull, 1L)
+          .otherwise(0L).as("is_resurrected"))
+      .groupBy(col("wk"))
+      .agg(sum(col("is_new")).as("new_users"),
+        sum(col("is_retained")).as("retained"),
+        sum(col("is_resurrected")).as("resurrected"))
+    val churned = uw.select(col("user_id"), (col("wk") + 7).as("wk"))
+      .join(uw, Seq("user_id", "wk"), "left_anti")
+      .groupBy(col("wk")).agg(count(lit(1)).as("churned"))
+    flags.join(churned, Seq("wk"), "left")
+      .select(col("wk"), col("new_users"), col("retained"), col("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy(col("wk"))
+  }
+
+  private val growthAccountingSql =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS DATE)) - DATE '1970-01-01'
+      |      AS BIGINT) AS wk
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, CAST(MIN(wk) AS BIGINT) AS fw FROM uw GROUP BY 1
+      |), flags AS (
+      |  SELECT uw.wk,
+      |    CAST(SUM(CASE WHEN f.fw = uw.wk THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS new_users,
+      |    CAST(SUM(CASE WHEN f.fw < uw.wk AND p.user_id IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+      |    CAST(SUM(CASE WHEN f.fw < uw.wk AND p.user_id IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+      |  FROM uw
+      |  JOIN f ON uw.user_id = f.user_id
+      |  LEFT JOIN uw p ON p.user_id = uw.user_id AND p.wk + 7 = uw.wk
+      |  GROUP BY 1
+      |), ch AS (
+      |  SELECT a.wk + 7 AS wk, CAST(COUNT(*) AS BIGINT) AS churned
+      |  FROM uw a
+      |  WHERE NOT EXISTS (SELECT 1 FROM uw b
+      |                    WHERE b.user_id = a.user_id AND b.wk = a.wk + 7)
+      |  GROUP BY 1
+      |)
+      |SELECT flags.wk, new_users, retained, resurrected,
+      |  COALESCE(ch.churned, CAST(0 AS BIGINT)) AS churned
+      |FROM flags LEFT JOIN ch ON flags.wk = ch.wk
+      |ORDER BY flags.wk""".stripMargin
+
+  // ---- ship-latency percentile bands ------------------------------------
+
+  /** Exact p50/p90/p99 order→ship latency (days) per priority — the SLA
+    * banding q278's min/mean/max summary can't support (the tail IS the
+    * SLA). Rank selection with the repo's ceil-rank convention; integer
+    * day values end-to-end, no floats at all. */
+  def latencyPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val lat = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(Catalog.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+            to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("priority"), datediff(col("sd"), col("od")).cast("long")
+        .as("days"), col("l_orderkey"))
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("days"), col("l_orderkey"))
+    lat.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("priority"))))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") === expr("(n * 50 + 99) div 100"), col("days")))
+          .as("p50_days"),
+        min(when(col("rn") === expr("(n * 90 + 99) div 100"), col("days")))
+          .as("p90_days"),
+        min(when(col("rn") === expr("(n * 99 + 99) div 100"), col("days")))
+          .as("p99_days"))
+      .orderBy(col("priority"))
+  }
+
+  private val latencyPercentilesSql =
+    """WITH lat AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+      |      AS BIGINT) AS days,
+      |    l_orderkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), r AS (
+      |  SELECT priority, days,
+      |    CAST(row_number() OVER (PARTITION BY priority ORDER BY days,
+      |      l_orderkey) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      |  FROM lat
+      |)
+      |SELECT priority, CAST(MAX(n) AS BIGINT) AS n,
+      |  MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN days END) AS p50_days,
+      |  MIN(CASE WHEN rn = (n * 90 + 99) // 100 THEN days END) AS p90_days,
+      |  MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN days END) AS p99_days
+      |FROM r
+      |GROUP BY priority
+      |ORDER BY priority""".stripMargin
+
+  // ---- order-priority transition matrix ---------------------------------
+
+  /** Customer order-priority transition matrix: for consecutive orders
+    * of the same customer, counts and row-normalized probabilities of
+    * moving from priority A to priority B — q117's event-type Markov
+    * chain on the purchase ledger (diagonal mass = priority loyalty).
+    * One per-customer LEAD window, exact counts, one division per cell
+    * against the broadcast row total. */
+  def priorityTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val pairs = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority").as("from_pri"))
+      .withColumn("to_pri", lead(col("from_pri"), 1).over(w))
+      .filter(col("to_pri").isNotNull)
+      .groupBy(col("from_pri"), col("to_pri"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_pri")).agg(sum(col("n")).as("row_n"))
+    pairs.join(broadcast(totals), "from_pri")
+      .select(col("from_pri"), col("to_pri"), col("n"),
+        (col("n").cast("double") / col("row_n").cast("double")).as("p"))
+      .orderBy(col("from_pri"), col("to_pri"))
+  }
+
+  private val priorityTransitionsSql =
+    """WITH seq AS (
+      |  SELECT o_orderpriority AS from_pri,
+      |    lead(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS to_pri
+      |  FROM orders
+      |), pairs AS (
+      |  SELECT from_pri, to_pri, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE to_pri IS NOT NULL
+      |  GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT from_pri, CAST(SUM(n) AS BIGINT) AS row_n FROM pairs GROUP BY 1
+      |)
+      |SELECT p.from_pri, p.to_pri, p.n,
+      |  CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+      |FROM pairs p JOIN totals t ON p.from_pri = t.from_pri
+      |ORDER BY p.from_pri, p.to_pri""".stripMargin
+
+  // ---- A/B funnel comparison --------------------------------------------
+
+  /** The q111 strict-order view→click→purchase funnel split by the
+    * deterministic user_id%2 arms — step counts and per-step conversion
+    * side by side, the actual readout an experiment on funnel UX ships.
+    * Same single-window sequential-min recipe as q111; two mirrored
+    * divisions per arm. */
+  def abFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("view_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("click_us",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") >= col("view_us"), col("ts_us"))).over(w))
+      .withColumn("purchase_us",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") >= col("click_us"), col("ts_us"))).over(w))
+      .filter(col("view_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("click_us")).as("click_us"),
+        min(col("purchase_us")).as("purchase_us"))
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_viewed"),
+        sum(when(col("click_us").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(col("purchase_us").isNotNull, 1L).otherwise(0L))
+          .as("n_purchased"))
+      .select(col("variant"), col("n_viewed"), col("n_clicked"),
+        col("n_purchased"),
+        (col("n_clicked").cast("double") / col("n_viewed").cast("double"))
+          .as("view_to_click"),
+        (col("n_purchased").cast("double") / col("n_clicked").cast("double"))
+          .as("click_to_purchase"))
+      .orderBy(col("variant"))
+  }
+
+  private val abFunnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |), u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+      |      OVER (PARTITION BY user_id) AS view_us,
+      |    ts_us, event_type
+      |  FROM e
+      |), c AS (
+      |  SELECT user_id, view_us,
+      |    MIN(CASE WHEN event_type = 'click' AND ts_us >= view_us
+      |      THEN ts_us END) OVER (PARTITION BY user_id) AS click_us,
+      |    ts_us, event_type
+      |  FROM u
+      |), p AS (
+      |  SELECT user_id, view_us, click_us,
+      |    MIN(CASE WHEN event_type = 'purchase' AND ts_us >= click_us
+      |      THEN ts_us END) OVER (PARTITION BY user_id) AS purchase_us
+      |  FROM c
+      |), per_user AS (
+      |  SELECT user_id, MIN(click_us) AS click_us,
+      |    MIN(purchase_us) AS purchase_us
+      |  FROM p WHERE view_us IS NOT NULL
+      |  GROUP BY 1
+      |)
+      |SELECT user_id % 2 AS variant,
+      |  CAST(COUNT(*) AS BIGINT) AS n_viewed,
+      |  CAST(SUM(CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clicked,
+      |  CAST(SUM(CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchased,
+      |  CAST(SUM(CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS view_to_click,
+      |  CAST(SUM(CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) /
+      |    CAST(SUM(CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS click_to_purchase
+      |FROM per_user
+      |GROUP BY 1
+      |ORDER BY variant""".stripMargin
+
+  // ---- account-balance decile boundaries --------------------------------
+
+  /** Exact account-balance decile boundaries per market segment — the
+    * credit-banding table (q217's lift analysis consumes deciles; this
+    * emits the reproducible boundaries themselves). Balances as exact
+    * cents (negatives included), rank-selected upper boundary of each
+    * decile, zero float columns. */
+  def balanceDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.load(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("cents"), col("c_custkey"))
+    val r = c.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+    val deciles = (1 to 9).map { d =>
+      min(when(col("rn") === expr(s"(n * ${d * 10} + 99) div 100"),
+        col("cents"))).as(s"d$d")
+    }
+    r.groupBy(col("segment"))
+      .agg(max(col("n")).as("n"), deciles: _*)
+      .orderBy(col("segment"))
+  }
+
+  private val balanceDecilesSql = {
+    val cells = (1 to 9).map { d =>
+      s"MIN(CASE WHEN rn = (n * ${d * 10} + 99) // 100 THEN cents END) AS d$d"
+    }.mkString(",\n      |  ")
+    s"""WITH c AS (
+       |  SELECT c_mktsegment AS segment, c_custkey,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+       |  FROM customer
+       |), r AS (
+       |  SELECT segment, cents,
+       |    CAST(row_number() OVER (PARTITION BY segment ORDER BY cents,
+       |      c_custkey) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+       |  FROM c
+       |)
+       |SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+       |  $cells
+       |FROM r
+       |GROUP BY segment
+       |ORDER BY segment""".stripMargin
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1180,5 +1494,20 @@ object ScienceQueries {
         "cumulation — WIP curve peaks"),
     Q("q389_gini_segment", giniSegment, Some(giniSegmentSql),
       "Gini concentration of order value per priority segment via the " +
-        "exact integer rank formula"))
+        "exact integer rank formula"),
+    Q("q390_growth_accounting", growthAccounting, Some(growthAccountingSql),
+      "weekly new/retained/resurrected/churned user decomposition from " +
+        "one distinct (user, week) frame"),
+    Q("q391_latency_percentiles", latencyPercentiles, Some(latencyPercentilesSql),
+      "exact p50/p90/p99 order-to-ship latency days per priority — SLA " +
+        "tail bands, zero float columns"),
+    Q("q392_priority_transitions", priorityTransitions, Some(priorityTransitionsSql),
+      "customer order-priority transition matrix (counts + row-normalized " +
+        "probabilities) via one LEAD window"),
+    Q("q393_ab_funnel", abFunnel, Some(abFunnelSql),
+      "strict-order view>click>purchase funnel split by user%2 arms with " +
+        "per-step conversion — the experiment readout"),
+    Q("q394_balance_deciles", balanceDeciles, Some(balanceDecilesSql),
+      "exact account-balance decile boundaries per market segment, rank-" +
+        "selected integer cents"))
 }

@@ -961,4 +961,18 @@ class PlanSpec extends AnyFunSuite {
     val pc = plan(MiningQueries.topkChurnRanked(spark, dir))
     assert(pc.contains("WindowGroupLimit"), pc)
   }
+
+  test("science family: silhouette broadcasts the k x dim centroid frame " +
+    "(never shuffles the exploded corpus onto 64 dim keys); the Mann-" +
+    "Kendall pair pass is a broadcast nested loop over the CALENDAR " +
+    "aggregate; isotropy needs no join at all beyond the 1-row combine") {
+    val ps = plan(ScienceQueries.silhouette(spark, dir))
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("CartesianProduct"), ps)
+    val pm = plan(ScienceQueries.mannKendall(spark, dir))
+    assert(pm.contains("BroadcastNestedLoopJoin"), pm)
+    val pi = plan(ScienceQueries.isotropy(spark, dir))
+    assert(!pi.contains("SortMergeJoin"), pi)
+    assert("FileScan parquet".r.findAllIn(pi).size == 2, pi) // sums + count
+  }
 }
