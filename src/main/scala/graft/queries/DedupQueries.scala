@@ -104,6 +104,8 @@ object DedupQueries {
       |LEFT JOIN near n ON b.doc_id = n.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // Mirrors the Scala candidate df-cap (DedupOps.DefaultMaxDf=1000) —
+  // see the reachCtes comment below.
   private val jaccardSql =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -111,6 +113,12 @@ object DedupQueries {
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
       |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
       |  WHERE len(t) >= 5
+      |), cold AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN cold ON a.shingle = cold.shingle
       |), card AS (
       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
       |), common AS (
@@ -121,13 +129,18 @@ object DedupQueries {
       |SELECT doc_a, doc_b,
       |  CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) AS jaccard
       |FROM common
+      |JOIN cand USING (doc_a, doc_b)
       |JOIN card x ON doc_a = x.doc_id
       |JOIN card y ON doc_b = y.doc_id
       |WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Shared oracle fragment: the exact-Jaccard pair graph (q61's CTEs)
-    * extended to undirected edges + recursive transitive closure. */
+    * extended to undirected edges + recursive transitive closure.
+    * Mirrors the Scala candidate df-cap (DedupOps.DefaultMaxDf=1000):
+    * candidate pairs must share ≥1 shingle with df ≤ 1000 while |∩| is
+    * still counted over full sets — inert on the fixtures, faithful if
+    * a boilerplate hot key ever appears. */
   private val reachCtes =
     """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -135,6 +148,12 @@ object DedupQueries {
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
       |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
       |  WHERE len(t) >= 5
+      |), cold AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN cold ON a.shingle = cold.shingle
       |), card AS (
       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
       |), common AS (
@@ -144,6 +163,7 @@ object DedupQueries {
       |), pairs AS (
       |  SELECT doc_a, doc_b
       |  FROM common
+      |  JOIN cand USING (doc_a, doc_b)
       |  JOIN card x ON doc_a = x.doc_id
       |  JOIN card y ON doc_b = y.doc_id
       |  WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= 0.5
@@ -193,6 +213,50 @@ object DedupQueries {
        |)
        |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
        |FROM cs GROUP BY 1 ORDER BY sz""".stripMargin
+
+  /** Source purity of near-dup clusters (size ≥ 2): how many dup
+    * families live inside ONE source vs span several — the syndication
+    * fingerprint at cluster granularity (q366 counts cross-source
+    * PAIRS; this counts cross-source FAMILIES, which is what a
+    * keep-one-per-cluster dedup actually deletes across). Shares the
+    * q65 component machinery; two integer aggregates and one share
+    * division on top. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val reps = DedupOps.dedupClusters(docs(spark, dir), n = 5, threshold = 0.5)
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    val per = reps.join(src, "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("source")).as("n_sources"))
+      .filter(col("sz") >= 2)
+    per.agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("single_source"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L)).as("multi_source"))
+      .select(col("n_clusters"), col("single_source"), col("multi_source"),
+        (col("multi_source").cast("double") / col("n_clusters").cast("double"))
+          .as("multi_share"))
+  }
+
+  private val clusterPuritySql =
+    s"""WITH RECURSIVE $reachCtes, rep AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id, d.source
+       |), per AS (
+       |  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS sz,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+       |  FROM rep GROUP BY 1
+       |  HAVING COUNT(*) >= 2
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS single_source,
+       |  CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS multi_source,
+       |  CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS multi_share
+       |FROM per""".stripMargin
 
   def corpusClean(spark: SparkSession, dir: String): DataFrame =
     DedupOps.corpusClean(docs(spark, dir), qualityMin = 0.38)
@@ -417,6 +481,12 @@ object DedupQueries {
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
       |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
       |  WHERE len(t) >= 5
+      |), cold AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN cold ON a.shingle = cold.shingle
       |), card AS (
       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
       |), common AS (
@@ -427,6 +497,7 @@ object DedupQueries {
       |SELECT doc_a, doc_b,
       |  CAST(c AS DOUBLE) / least(x.n_sh, y.n_sh) AS containment
       |FROM common
+      |JOIN cand USING (doc_a, doc_b)
       |JOIN card x ON doc_a = x.doc_id
       |JOIN card y ON doc_b = y.doc_id
       |WHERE CAST(c AS DOUBLE) / least(x.n_sh, y.n_sh) >= 0.8
@@ -503,6 +574,12 @@ object DedupQueries {
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
       |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
       |  WHERE len(t) >= 5
+      |), cold AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN cold ON a.shingle = cold.shingle
       |), card AS (
       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
       |), common AS (
@@ -513,6 +590,7 @@ object DedupQueries {
       |  SELECT doc_a, doc_b,
       |    CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) AS jaccard
       |  FROM common
+      |  JOIN cand USING (doc_a, doc_b)
       |  JOIN card x ON doc_a = x.doc_id
       |  JOIN card y ON doc_b = y.doc_id
       |  WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= 0.5
@@ -604,6 +682,9 @@ object DedupQueries {
         "bit_count hamming verify (spec-checked vs brute force)"),
     Q("q65_dedup_clusters", clusters, Some(clustersSql),
       "connected-component dup clusters via min-label propagation (oracle: recursive CTE)"),
+    Q("q395_cluster_purity", clusterPurity, Some(clusterPuritySql),
+      "source purity of near-dup clusters: single- vs multi-source dup " +
+        "families — syndication at cluster granularity"),
     Q("q266_cluster_size_hist", clusterSizeHist, Some(clusterSizeHistSql),
       "near-dup cluster size histogram (dedup observability; rolls q65's " +
         "components into two combinable aggregates)"),

@@ -1435,6 +1435,157 @@ object ScienceQueries {
        |ORDER BY segment""".stripMargin
   }
 
+  // ---- weekday seasonality strength -------------------------------------
+
+  /** Share of daily-revenue variance explained by the day-of-week
+    * profile (η² of weekday on daily revenue) — the one number that
+    * says whether q310's per-dow indices are signal or noise. The seven
+    * weekday groups are FIXED, so between/total sums of squares pivot
+    * to one row and evaluate as a parenthesized fixed chain over exact
+    * integer moments (the levene recipe). */
+  def dowStrength(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(orderCents).as("y"))
+      .select(expr("CAST(weekday(d) + 1 AS INT)").as("dw"), col("y"))
+    val g = daily.groupBy(col("dw"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum((col("y").cast(dec) * col("y")).cast(dec)).as("ss"))
+    val pivCols = (1 to 7).flatMap { i =>
+      Seq(sum(when(col("dw") === i, col("n"))).as(s"n$i"),
+        sum(when(col("dw") === i, col("s"))).as(s"s$i"))
+    } ++ Seq(sum(col("n")).as("nt"), sum(col("s")).as("st"),
+      sum(col("ss")).as("sst_raw"))
+    val piv = g.agg(pivCols.head, pivCols.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val ssbTerms = (1 to 7).map { i =>
+      d(col(s"s$i")) * d(col(s"s$i")) / d(col(s"n$i"))
+    }.reduce(_ + _)
+    val gm = d(col("st")) * d(col("st")) / d(col("nt"))
+    val ssb = ssbTerms - gm
+    val sst = d(col("sst_raw")) - gm
+    piv.select(col("nt").as("n_days"), ssb.as("ssb"), sst.as("sst"),
+      (ssb / sst).as("eta2_dow"))
+  }
+
+  private val dowStrengthSql = {
+    val ssbTerms = (1 to 7).map { i =>
+      s"(CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE))"
+    }.mkString(" + ")
+    val gm = "(CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))"
+    val ssb = s"($ssbTerms - $gm)"
+    val sst = s"(CAST(sst_raw AS DOUBLE) - $gm)"
+    val ns = (1 to 7).map(i =>
+      s"SUM(CASE WHEN dw = $i THEN n END) AS n$i").mkString(", ")
+    val ss = (1 to 7).map(i =>
+      s"SUM(CASE WHEN dw = $i THEN s END) AS s$i").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS y
+       |  FROM orders GROUP BY 1
+       |), dd AS (
+       |  SELECT isodow(d) AS dw, y FROM daily
+       |), g AS (
+       |  SELECT dw, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+       |    SUM(CAST(y AS HUGEINT) * y) AS ss
+       |  FROM dd GROUP BY 1
+       |), piv AS (
+       |  SELECT $ns, $ss,
+       |    CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+       |    SUM(ss) AS sst_raw
+       |  FROM g
+       |)
+       |SELECT nt AS n_days, $ssb AS ssb, $sst AS sst,
+       |  $ssb / $sst AS eta2_dow
+       |FROM piv""".stripMargin
+  }
+
+  // ---- length-curriculum staging ----------------------------------------
+
+  /** Curriculum staging by document length: the corpus split into four
+    * rank-exact length quartile stages (short→long, the classic
+    * "easy-first" curriculum heuristic) with per-stage doc/token/char
+    * budgets — the shard manifest a staged training run consumes. All
+    * integer except one mean division per stage. */
+  def lengthCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = Catalog.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        expr("CAST(size(filter(split(text, ' '), t -> length(t) > 0)) AS BIGINT)")
+          .as("tokens"))
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    d.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over())
+      .withColumn("stage", expr("1 + ((rn - 1) * 4) div n"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .select(col("stage"), col("n_docs"), col("total_tokens"),
+        col("min_chars"), col("max_chars"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"))
+      .orderBy(col("stage"))
+  }
+
+  private val lengthCurriculumSql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+      |      AS BIGINT) AS tokens
+      |  FROM documents
+      |), r AS (
+      |  SELECT n_chars, tokens,
+      |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM d
+      |), s AS (
+      |  SELECT 1 + ((rn - 1) * 4) // n AS stage, n_chars, tokens FROM r
+      |)
+      |SELECT CAST(stage AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(SUM(tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+      |FROM s
+      |GROUP BY 1
+      |ORDER BY stage""".stripMargin
+
+  // ---- shard balance audit ----------------------------------------------
+
+  /** Token-mass balance across a 64-way deterministic sharding
+    * (doc_id % 64) — the pre-flight audit before writing training
+    * shards: a skewed shard is a straggler for every epoch that reads
+    * it. Integer masses; imbalance = max·shards/total (1.0 = perfectly
+    * even). */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "documents")
+      .select((col("doc_id") % 64).as("shard"),
+        expr("CAST(size(filter(split(text, ' '), t -> length(t) > 0)) AS BIGINT)")
+          .as("tokens"))
+      .groupBy(col("shard")).agg(sum(col("tokens")).as("mass"))
+      .agg(count(lit(1)).as("n_shards"), min(col("mass")).as("min_tokens"),
+        max(col("mass")).as("max_tokens"), sum(col("mass")).as("total_tokens"))
+      .select(col("n_shards"), col("min_tokens"), col("max_tokens"),
+        col("total_tokens"),
+        ((col("max_tokens") * col("n_shards")).cast("double") /
+          col("total_tokens").cast("double")).as("imbalance"))
+
+  private val shardBalanceSql =
+    """WITH m AS (
+      |  SELECT doc_id % 64 AS shard,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), t -> len(t) > 0)))
+      |      AS BIGINT) AS mass
+      |  FROM documents
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+      |  CAST(MIN(mass) AS BIGINT) AS min_tokens,
+      |  CAST(MAX(mass) AS BIGINT) AS max_tokens,
+      |  CAST(SUM(mass) AS BIGINT) AS total_tokens,
+      |  CAST(MAX(mass) * COUNT(*) AS DOUBLE) / CAST(SUM(mass) AS DOUBLE)
+      |    AS imbalance
+      |FROM m""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1509,5 +1660,14 @@ object ScienceQueries {
         "per-step conversion — the experiment readout"),
     Q("q394_balance_deciles", balanceDeciles, Some(balanceDecilesSql),
       "exact account-balance decile boundaries per market segment, rank-" +
-        "selected integer cents"))
+        "selected integer cents"),
+    Q("q396_dow_strength", dowStrength, Some(dowStrengthSql),
+      "variance of daily revenue explained by weekday (eta-squared) from " +
+        "pivoted exact moments — seasonality strength"),
+    Q("q397_length_curriculum", lengthCurriculum, Some(lengthCurriculumSql),
+      "rank-exact length-quartile curriculum stages with per-stage doc/" +
+        "token/char budgets — staged-training manifest"),
+    Q("q398_shard_balance", shardBalance, Some(shardBalanceSql),
+      "token-mass balance across a 64-way deterministic sharding with " +
+        "max/avg imbalance ratio — straggler pre-flight"))
 }
