@@ -1586,6 +1586,233 @@ object ScienceQueries {
       |    AS imbalance
       |FROM m""".stripMargin
 
+  // ---- monthly brand share shift ----------------------------------------
+
+  /** Top-20 month-over-month brand revenue-share movers — the mix-shift
+    * report behind every "why did margin move" question (absolute
+    * revenue can grow while share collapses). Shares are one division
+    * per (brand, month) against the broadcast month total; the delta
+    * subtracts two such shares (fixed mirrored chain); month arithmetic
+    * stays integer (year·12+month index). */
+  def shareShift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("midx"))
+    val part = Catalog.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand").as("brand"))
+    val bm = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("brand"), col("midx"))
+      .agg(sum(col("cents")).as("cents"))
+      .localCheckpoint(eager = false) // totals + current + previous
+    val totals = bm.groupBy(col("midx")).agg(sum(col("cents")).as("tot"))
+    val shares = bm.join(broadcast(totals), "midx")
+      .select(col("brand"), col("midx"),
+        (col("cents").cast("double") / col("tot").cast("double")).as("share"))
+    val prev = shares.select(col("brand"), (col("midx") + 1).as("midx"),
+      col("share").as("prev_share"))
+    shares.join(prev, Seq("brand", "midx"))
+      .select(col("brand"), col("midx"), col("share"), col("prev_share"),
+        (col("share") - col("prev_share")).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("brand"), col("midx"))
+      .limit(20)
+  }
+
+  private val shareShiftSql =
+    """WITH bm AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS midx,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT midx, CAST(SUM(cents) AS BIGINT) AS tot FROM bm GROUP BY 1
+      |), shares AS (
+      |  SELECT brand, bm.midx,
+      |    CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      |  FROM bm JOIN totals ON bm.midx = totals.midx
+      |)
+      |SELECT a.brand, a.midx, a.share, b.share AS prev_share,
+      |  a.share - b.share AS delta
+      |FROM shares a
+      |JOIN shares b ON a.brand = b.brand AND b.midx + 1 = a.midx
+      |ORDER BY abs(a.share - b.share) DESC, a.brand, a.midx
+      |LIMIT 20""".stripMargin
+
+  // ---- reorder-interval median ------------------------------------------
+
+  /** Median days between a customer's consecutive orders, per market
+    * segment — the replenishment-cycle number behind reorder reminders
+    * (q257's event inter-arrival, on the purchase ledger, segmented).
+    * One per-customer LEAD window, exact day gaps, rank-selected
+    * median per segment — zero float columns. */
+  def reorderInterval(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od"), col("o_orderkey"))
+    val gaps = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("nd", lead(col("od"), 1).over(w))
+      .withColumn("nk", lead(col("o_orderkey"), 1).over(w))
+      .filter(col("nd").isNotNull)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), datediff(col("nd"), col("od")).cast("long")
+        .as("gap_days"), col("o_orderkey"), col("nk"))
+    val ws = Window.partitionBy(col("segment"))
+      .orderBy(col("gap_days"), col("o_orderkey"), col("nk"))
+    gaps.withColumn("rn", row_number().over(ws))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      .groupBy(col("segment"))
+      .agg(max(col("n")).as("n_gaps"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("gap_days")))
+          .as("median_gap_days"))
+      .orderBy(col("segment"))
+  }
+
+  private val reorderIntervalSql =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+      |    lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS nd,
+      |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS nk
+      |  FROM orders
+      |), gaps AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(nd - od AS BIGINT) AS gap_days, o_orderkey, nk
+      |  FROM seq JOIN customer ON o_custkey = c_custkey
+      |  WHERE nd IS NOT NULL
+      |), r AS (
+      |  SELECT segment, gap_days,
+      |    CAST(row_number() OVER (PARTITION BY segment ORDER BY gap_days,
+      |      o_orderkey, nk) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+      |  FROM gaps
+      |)
+      |SELECT segment, CAST(MAX(n) AS BIGINT) AS n_gaps,
+      |  MIN(CASE WHEN rn = (n + 1) // 2 THEN gap_days END) AS median_gap_days
+      |FROM r
+      |GROUP BY segment
+      |ORDER BY segment""".stripMargin
+
+  // ---- second-digit Benford profile -------------------------------------
+
+  /** Second-significant-digit distribution of order totals (in cents) —
+    * the forensic companion to q160's first-digit test (fabricated
+    * values pass first-digit Benford far more often than second-digit).
+    * Digit extraction is pure integer/string arithmetic; one share
+    * division per digit row. */
+  def benford2(spark: SparkSession, dir: String): DataFrame = {
+    val d2 = Catalog.load(spark, dir, "orders")
+      .select(orderCents.as("c"))
+      .filter(col("c") >= 10)
+      .select(expr("CAST(substring(CAST(c AS STRING), 2, 1) AS BIGINT)")
+        .as("digit"))
+    val g = d2.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("n")).as("t"))
+    g.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("t").cast("double")).as("share"))
+      .orderBy(col("digit"))
+  }
+
+  private val benford2Sql =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |    AS VARCHAR), 2, 1) AS BIGINT) AS digit
+      |  FROM orders
+      |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 10
+      |), g AS (
+      |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS t FROM g
+      |)
+      |SELECT digit, n, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+      |FROM g, t
+      |ORDER BY digit""".stripMargin
+
+  // ---- PageRank convergence curve ---------------------------------------
+
+  /** Per-round L1 movement of the q105 micro-integer PageRank — the
+    * convergence diagnostic that says whether 5 rounds was enough (the
+    * delta should be collapsing geometrically; a flat curve means the
+    * damping/topology needs attention). Every rank is an exact BIGINT
+    * micro-unit, so the per-round |Δ| sums are exact integers with one
+    * answer on both engines; the oracle unrolls the identical
+    * recurrence. */
+  def rankConvergence(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("u").as("n")).distinct().localCheckpoint(eager = false)
+    val ed = e.join(e.groupBy(col("u")).agg(count(lit(1)).as("d")), "u")
+      .localCheckpoint(eager = false)
+    var pr = nodes.withColumn("r", lit(1000000L))
+    val deltas = (1 to 5).map { k =>
+      val contrib = ed.join(pr.withColumnRenamed("n", "pn"), col("u") === col("pn"))
+        .select(col("v"), expr("r div d").as("x"))
+        .groupBy(col("v")).agg(sum(col("x")).as("s"))
+      val next = nodes.join(contrib, col("n") === col("v"), "left")
+        .select(col("n"), expr("150000L + (85 * coalesce(s, 0L)) div 100").as("r"))
+        .localCheckpoint(eager = false)
+      val delta = next.join(pr.select(col("n"), col("r").as("rp")), "n")
+        .agg(sum(abs(col("r") - col("rp"))).as("l1_delta_micro"),
+          sum(when(col("r") =!= col("rp"), 1L).otherwise(0L)).as("n_changed"))
+        .select(lit(k.toLong).as("round"), col("l1_delta_micro"), col("n_changed"))
+      pr = next
+      delta
+    }
+    deltas.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  private val rankConvergenceSql = {
+    def round(k: Int) =
+      s"""pr$k AS (
+         |  SELECT n.n,
+         |    CAST(150000 AS BIGINT)
+         |      + CAST(85 * COALESCE(c.s, 0) AS BIGINT) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.v, SUM(p.r // d.d) AS s
+         |    FROM edges e JOIN pr${k - 1} p ON e.u = p.n JOIN deg d ON e.u = d.u
+         |    GROUP BY e.v) c ON c.v = n.n
+         |)""".stripMargin
+    def delta(k: Int) =
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1_delta_micro,
+         |  CAST(SUM(CASE WHEN a.r <> b.r THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_changed
+         |FROM pr$k a JOIN pr${k - 1} b ON a.n = b.n""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+       |), deg AS (
+       |  SELECT u, COUNT(*) AS d FROM edges GROUP BY 1
+       |), nodes AS (
+       |  SELECT DISTINCT u AS n FROM edges
+       |), pr0 AS (
+       |  SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), ${(1 to 5).map(round).mkString(", ")}
+       |${(1 to 5).map(delta).mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1669,5 +1896,17 @@ object ScienceQueries {
         "token/char budgets — staged-training manifest"),
     Q("q398_shard_balance", shardBalance, Some(shardBalanceSql),
       "token-mass balance across a 64-way deterministic sharding with " +
-        "max/avg imbalance ratio — straggler pre-flight"))
+        "max/avg imbalance ratio — straggler pre-flight"),
+    Q("q399_share_shift", shareShift, Some(shareShiftSql),
+      "top-20 month-over-month brand revenue-share movers — the mix-" +
+        "shift report, integer month index"),
+    Q("q400_reorder_interval", reorderInterval, Some(reorderIntervalSql),
+      "median days between consecutive orders per market segment — " +
+        "replenishment cycle, rank-exact, zero floats"),
+    Q("q401_benford2", benford2, Some(benford2Sql),
+      "second-significant-digit distribution of order cents — the " +
+        "forensic companion to the first-digit test"),
+    Q("q402_rank_convergence", rankConvergence, Some(rankConvergenceSql),
+      "per-round L1 movement of the micro-integer PageRank — exact " +
+        "convergence curve, oracle unrolls the same recurrence"))
 }
