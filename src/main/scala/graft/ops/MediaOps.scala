@@ -178,6 +178,46 @@ object MediaOps {
     })
   }
 
+  /** Per-image luminance histogram row: bucket (0-15) and pixel count. */
+  case class LumaBucket(media_id: Long, bucket: Int, n_pixels: Long)
+
+  /** 16-bin luminance histogram from DECODED pixels (integer Rec.601
+    * luma: (77R + 150G + 29B) >> 8, buckets of 16) — the exposure/
+    * contrast profile an image-dedup or quality gate reads. Payloads
+    * without a decodable image are skipped (the stub has no pixels to
+    * histogram honestly). Partition-local flatMap; pixels never leave
+    * the task. */
+  def lumaHistogram(media: DataFrame): Dataset[LumaBucket] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { m =>
+        decodeImage(m.payload) match {
+          case Some(img) =>
+            val counts = new Array[Long](16)
+            val w = img.getWidth; val h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                val luma = (77 * r + 150 * g + 29 * b) >> 8
+                counts(luma >> 4) += 1
+                x += 1
+              }
+              y += 1
+            }
+            (0 until 16).iterator
+              .filter(counts(_) > 0)
+              .map(i => LumaBucket(m.media_id, i, counts(i)))
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** One sampled frame: position, size, content digest. */
   case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Int,
       frame_md5: String)

@@ -109,6 +109,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(frames.count(_.media_id == 1L) == 1)
     assert(frames.count(_.media_id == 2L) ==
       (stubLen + 31) / 32) // stub: 32-byte slices
+    // luminance histogram: real pixels only — counts must sum to the
+    // raster size and match a direct recomputation; no rows for the
+    // undecodable payload
+    val hist = MediaOps.lumaHistogram(media).collect()
+    assert(hist.forall(_.media_id == 1L))
+    assert(hist.map(_.n_pixels).sum == 20L * 12)
+    val expected = new Array[Long](16)
+    for (y <- 0 until 12; x <- 0 until 20) {
+      val rgb = (x * 41 + y * 101) & 0xffffff
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      expected(((77 * r + 150 * g + 29 * b) >> 8) >> 4) += 1
+    }
+    hist.foreach(hb => assert(hb.n_pixels == expected(hb.bucket),
+      s"bucket ${hb.bucket}"))
   }
 
   test("compaction: fragmented dataset collapses to sized files, rows intact") {
