@@ -1813,6 +1813,385 @@ object ScienceQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // ---- stalest parts ----------------------------------------------------
+
+  /** Top-20 stalest parts: days since each part's LAST shipment,
+    * measured against the corpus max ship date — the dead-stock
+    * report. One per-part max aggregate, broadcast global max, exact
+    * day integers, TakeOrdered top-20. */
+  def staleParts(spark: SparkSession, dir: String): DataFrame = {
+    val lastShip = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    val gmax = lastShip.agg(max(col("last_ship")).as("gmax"))
+    lastShip.crossJoin(broadcast(gmax))
+      .select(col("pk"), col("last_ship"),
+        datediff(col("gmax"), col("last_ship")).cast("long").as("days_stale"))
+      .orderBy(col("days_stale").desc, col("pk"))
+      .limit(20)
+  }
+
+  private val stalePartsSql =
+    """WITH ls AS (
+      |  SELECT l_partkey AS pk, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+      |  FROM lineitem GROUP BY 1
+      |), g AS (
+      |  SELECT MAX(last_ship) AS gmax FROM ls
+      |)
+      |SELECT pk, last_ship,
+      |  CAST(gmax - last_ship AS BIGINT) AS days_stale
+      |FROM ls, g
+      |ORDER BY days_stale DESC, pk
+      |LIMIT 20""".stripMargin
+
+  // ---- price-deviation histogram ----------------------------------------
+
+  /** Histogram of line-price vs catalog-price deviation: basis points of
+    * extendedprice/(quantity·retailprice), floored to 10%-wide buckets
+    * — the pricing-integrity audit (bad feeds and fat-finger discounts
+    * land in the tails). Entirely integer: the ratio is a BIGINT floor
+    * division of exact cent products, never a float. */
+  def priceDeviation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ext"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      .filter(col("qty") > 0)
+    val part = Catalog.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("retail"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(expr("(ext * 10000) div (qty * retail)").as("bp"))
+      .select((expr("bp div 1000")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("bucket"))
+  }
+
+  private val priceDeviationSql =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ext,
+      |    CAST(round(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem
+      |  WHERE CAST(round(l_quantity) AS BIGINT) > 0
+      |), b AS (
+      |  SELECT ((ext * 10000) // (qty * CAST(round(p_retailprice * 100)
+      |    AS BIGINT))) // 1000 AS bucket
+      |  FROM li JOIN part ON l_partkey = p_partkey
+      |)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---- same-day multi-order audit ---------------------------------------
+
+  /** How often a customer places k orders on ONE calendar day — the
+    * double-submit / dedup-at-ingest audit for the order feed. Two
+    * stacked integer aggregates, nothing else. */
+  def sameDayOrders(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_customer_days"))
+      .orderBy(col("k"))
+
+  private val sameDayOrdersSql =
+    """WITH cd AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_customer_days
+      |FROM cd GROUP BY 1 ORDER BY k""".stripMargin
+
+  // ---- term PMI / lift pairs --------------------------------------------
+
+  /** Df window for the PMI miner: terms need df ≥ 5 (below that, lift
+    * is noise) and df ≤ 90% of docs (true boilerplate carries no
+    * signal), and docs holding more than 100 participating terms are
+    * dropped — all three bounds mirrored in the oracle. Without them
+    * the within-doc pair join is quadratic in hot-term count (the dedup
+    * df-cap lesson applied to co-occurrence mining). The upper df bound
+    * is RELATIVE so it means the same thing at every corpus scale. */
+  private val PmiMinDf = 5L
+  private val PmiMaxDocTerms = 100L
+
+  /** Top-20 non-adjacent term pairs by co-occurrence lift
+    * (n_ab·N/(n_a·n_b), exact micro-units — the PMI ranking without
+    * the log, which preserves order) with support ≥ 3 — topic-pair
+    * mining beyond q102's adjacent collocations. All counts exact; the
+    * lift is a BIGINT floor division. */
+  def termPmi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog.load(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val mid = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= PmiMinDf && col("df") * 10 <= col("n_docs") * 9)
+      .select(col("term"), col("df"))
+    val capped = dt.join(mid, "term")
+      .withColumn("dt_n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("dt_n") <= PmiMaxDocTerms)
+      .select(col("doc_id"), col("term"), col("df"))
+    val pairs = capped.select(col("doc_id"), col("term").as("a"), col("df").as("dfa"))
+      .join(capped.select(col("doc_id"), col("term").as("b"), col("df").as("dfb")),
+        "doc_id")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"), max(col("dfa")).as("n_a"),
+        max(col("dfb")).as("n_b"))
+      .filter(col("n_ab") >= 3)
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(n_ab * n_docs * 1000000) div (n_a * n_b)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  private val termPmiSql =
+    s"""WITH nd AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+       |), dt AS (
+       |  SELECT DISTINCT doc_id, term
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE len(term) > 0
+       |), mid AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM dt, nd GROUP BY term, n_docs
+       |  HAVING COUNT(*) >= $PmiMinDf AND COUNT(*) * 10 <= n_docs * 9
+       |), capped AS (
+       |  SELECT doc_id, term, df FROM (
+       |    SELECT dt.doc_id, dt.term, mid.df,
+       |      COUNT(*) OVER (PARTITION BY dt.doc_id) AS dt_n
+       |    FROM dt JOIN mid ON dt.term = mid.term)
+       |  WHERE dt_n <= $PmiMaxDocTerms
+       |), pairs AS (
+       |  SELECT x.term AS a, y.term AS b, CAST(COUNT(*) AS BIGINT) AS n_ab,
+       |    CAST(MAX(x.df) AS BIGINT) AS n_a, CAST(MAX(y.df) AS BIGINT) AS n_b
+       |  FROM capped x JOIN capped y ON x.doc_id = y.doc_id AND x.term < y.term
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 3
+       |)
+       |SELECT a, b, n_ab, n_a, n_b,
+       |  (n_ab * n_docs * 1000000) // (n_a * n_b) AS lift_micro
+       |FROM pairs, nd
+       |ORDER BY lift_micro DESC, a, b
+       |LIMIT 20""".stripMargin
+
+  // ---- regional revenue index -------------------------------------------
+
+  /** Revenue-vs-customer-base index per region: (region revenue share) /
+    * (region customer share), computed as one exact integer
+    * cross-multiplication with a single final division — >1 means the
+    * region outspends its headcount. Dimension joins broadcast. */
+  def regionIndex(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Catalog.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Catalog.load(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val custRegion = Catalog.load(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("region"))
+    val rev = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), orderCents.as("cents"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("region")).agg(sum(col("cents")).as("cents"))
+    val cust = custRegion.groupBy(col("region")).agg(count(lit(1)).as("n_cust"))
+    val joined = rev.join(cust, "region").localCheckpoint(eager = false)
+    val totals = joined.agg(sum(col("cents")).as("tc"), sum(col("n_cust")).as("tn"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("region"), col("cents"), col("n_cust"),
+        ((col("cents").cast(dec) * col("tn")).cast("double") /
+          (col("tc").cast(dec) * col("n_cust")).cast("double")).as("index"))
+      .orderBy(col("region"))
+  }
+
+  private val regionIndexSql =
+    """WITH cr AS (
+      |  SELECT c_custkey, r_name AS region
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |), g AS (
+      |  SELECT region,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN cr ON o_custkey = c_custkey
+      |  GROUP BY 1
+      |), cn AS (
+      |  SELECT region, CAST(COUNT(*) AS BIGINT) AS n_cust FROM cr GROUP BY 1
+      |), j AS (
+      |  SELECT g.region, cents, n_cust FROM g JOIN cn ON g.region = cn.region
+      |), t AS (
+      |  SELECT CAST(SUM(cents) AS BIGINT) AS tc,
+      |    CAST(SUM(n_cust) AS BIGINT) AS tn
+      |  FROM j
+      |)
+      |SELECT region, cents, n_cust,
+      |  CAST(CAST(cents AS HUGEINT) * tn AS DOUBLE)
+      |    / CAST(CAST(tc AS HUGEINT) * n_cust AS DOUBLE) AS index
+      |FROM j, t
+      |ORDER BY region""".stripMargin
+
+  // ---- balance vs spend correlation -------------------------------------
+
+  /** Pearson correlation between a customer's account balance and their
+    * lifetime order spend — q292's one-scan moment recipe applied
+    * across a join (does credit standing predict spend at all).
+    * Customers without orders count as zero spend (left join, the
+    * honest frame). Exact decimal moments, one mirrored chain. */
+  def balanceSpendCorr(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Catalog.load(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(sum(orderCents).as("spend"))
+    val c = Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("bal"), coalesce(col("spend"), lit(0L)).as("spend"))
+    val m = c.agg(count(lit(1)).as("n"),
+      sum(col("bal")).as("sx"), sum(col("spend")).as("sy"),
+      sum((col("bal").cast(dec) * col("bal")).cast(dec)).as("sxx"),
+      sum((col("spend").cast(dec) * col("spend")).cast(dec)).as("syy"),
+      sum((col("bal").cast(dec) * col("spend")).cast(dec)).as("sxy"))
+    def d(c2: Column) = c2.cast("double")
+    val n = col("n").cast(dec)
+    m.select(col("n"),
+      ((n * col("sxy") - col("sx").cast(dec) * col("sy")).cast("double") /
+        (sqrt((n * col("sxx") - col("sx").cast(dec) * col("sx")).cast("double")) *
+          sqrt((n * col("syy") - col("sy").cast(dec) * col("sy")).cast("double"))))
+        .as("pearson_r"))
+  }
+
+  private val balanceSpendCorrSql =
+    """WITH c AS (
+      |  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+      |    COALESCE(s.spend, CAST(0 AS BIGINT)) AS spend
+      |  FROM customer
+      |  LEFT JOIN (SELECT o_custkey,
+      |               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                 AS BIGINT) AS spend
+      |             FROM orders GROUP BY 1) s ON c_custkey = s.o_custkey
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(bal) AS BIGINT) AS sx, CAST(SUM(spend) AS BIGINT) AS sy,
+      |    SUM(CAST(bal AS HUGEINT) * bal) AS sxx,
+      |    SUM(CAST(spend AS HUGEINT) * spend) AS syy,
+      |    SUM(CAST(bal AS HUGEINT) * spend) AS sxy
+      |  FROM c
+      |)
+      |SELECT n,
+      |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |    / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+      |        AS DOUBLE))
+      |     * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+      |        AS DOUBLE))) AS pearson_r
+      |FROM m""".stripMargin
+
+  // ---- single-source supply risk ----------------------------------------
+
+  /** Decile histogram of each part's top-supplier volume share — the
+    * single-source-risk profile (decile 9-10 = parts that die with one
+    * supplier). Share deciles computed by integer floor division of
+    * exact quantity sums; no float column anywhere. */
+  def singleSourceRisk(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey"))
+      .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("q"))
+    ps.groupBy(col("pk"))
+      .agg(max(col("q")).as("maxq"), sum(col("q")).as("totq"))
+      .select(least(expr("(maxq * 10) div totq"), lit(9L)).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("decile"))
+  }
+
+  private val singleSourceRiskSql =
+    """WITH ps AS (
+      |  SELECT l_partkey AS pk, l_suppkey,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT pk, CAST(MAX(q) AS BIGINT) AS maxq,
+      |    CAST(SUM(q) AS BIGINT) AS totq
+      |  FROM ps GROUP BY 1
+      |)
+      |SELECT least((maxq * 10) // totq, 9) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts
+      |FROM agg GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // ---- weekend-effect Welch t -------------------------------------------
+
+  /** Welch t statistic for weekend vs weekday DAILY revenue — the
+    * day-mix contrast behind staffing and campaign timing (unequal
+    * variances assumed, hence Welch not pooled). Two pivoted exact
+    * moment sets; the t is one fixed mirrored chain. */
+  def weekendWelch(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(orderCents).as("y"))
+      .select(when(expr("weekday(d) + 1") >= 6, 1L).otherwise(0L).as("we"),
+        col("y"))
+    val g = daily.groupBy(col("we"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum((col("y").cast(dec) * col("y")).cast(dec)).as("ss"))
+    val piv = g.agg(
+      sum(when(col("we") === 0, col("n"))).as("n0"),
+      sum(when(col("we") === 0, col("s"))).as("s0"),
+      sum(when(col("we") === 0, col("ss"))).as("ss0"),
+      sum(when(col("we") === 1, col("n"))).as("n1"),
+      sum(when(col("we") === 1, col("s"))).as("s1"),
+      sum(when(col("we") === 1, col("ss"))).as("ss1"))
+    def d(c2: Column) = c2.cast("double")
+    def variance(n: String, s: String, ss: String): Column =
+      (col(n).cast(dec) * col(ss) - col(s).cast(dec) * col(s)).cast("double") /
+        (col(n) * (col(n) - 1)).cast("double")
+    val m0 = d(col("s0")) / d(col("n0"))
+    val m1 = d(col("s1")) / d(col("n1"))
+    piv.select(col("n0").as("n_weekday"), col("n1").as("n_weekend"),
+      m0.as("mean_weekday_cents"), m1.as("mean_weekend_cents"),
+      ((m1 - m0) / sqrt(variance("n1", "s1", "ss1") / d(col("n1")) +
+        variance("n0", "s0", "ss0") / d(col("n0")))).as("welch_t"))
+  }
+
+  private val weekendWelchSql = {
+    def variance(n: String, s: String, ss: String) =
+      s"CAST(CAST($n AS HUGEINT) * $ss - CAST($s AS HUGEINT) * $s AS DOUBLE)" +
+        s" / CAST($n * ($n - 1) AS DOUBLE)"
+    val m0 = "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    val m1 = "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS y
+       |  FROM orders GROUP BY 1
+       |), f AS (
+       |  SELECT CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS we, y
+       |  FROM daily
+       |), g AS (
+       |  SELECT we, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+       |    SUM(CAST(y AS HUGEINT) * y) AS ss
+       |  FROM f GROUP BY 1
+       |), piv AS (
+       |  SELECT
+       |    SUM(CASE WHEN we = 0 THEN n END) AS n0,
+       |    SUM(CASE WHEN we = 0 THEN s END) AS s0,
+       |    SUM(CASE WHEN we = 0 THEN ss END) AS ss0,
+       |    SUM(CASE WHEN we = 1 THEN n END) AS n1,
+       |    SUM(CASE WHEN we = 1 THEN s END) AS s1,
+       |    SUM(CASE WHEN we = 1 THEN ss END) AS ss1
+       |  FROM g
+       |)
+       |SELECT CAST(n0 AS BIGINT) AS n_weekday, CAST(n1 AS BIGINT) AS n_weekend,
+       |  $m0 AS mean_weekday_cents, $m1 AS mean_weekend_cents,
+       |  (($m1) - ($m0)) / sqrt(${variance("n1", "s1", "ss1")}
+       |    / CAST(n1 AS DOUBLE) + ${variance("n0", "s0", "ss0")}
+       |    / CAST(n0 AS DOUBLE)) AS welch_t
+       |FROM piv""".stripMargin
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1908,5 +2287,29 @@ object ScienceQueries {
         "forensic companion to the first-digit test"),
     Q("q402_rank_convergence", rankConvergence, Some(rankConvergenceSql),
       "per-round L1 movement of the micro-integer PageRank — exact " +
-        "convergence curve, oracle unrolls the same recurrence"))
+        "convergence curve, oracle unrolls the same recurrence"),
+    Q("q403_stale_parts", staleParts, Some(stalePartsSql),
+      "top-20 stalest parts by days since last shipment — dead-stock " +
+        "report, exact day integers"),
+    Q("q404_price_deviation", priceDeviation, Some(priceDeviationSql),
+      "10%-bucket histogram of line price vs catalog price basis points " +
+        "— pricing-integrity audit, integer floor division"),
+    Q("q405_same_day_orders", sameDayOrders, Some(sameDayOrdersSql),
+      "customers placing k orders on one day — double-submit audit " +
+        "histogram"),
+    Q("q406_term_pmi", termPmi, Some(termPmiSql),
+      "top-20 co-occurring term pairs by exact micro-unit lift, df-" +
+        "windowed [5,50] + 40-term doc cap mirrored in the oracle"),
+    Q("q407_region_index", regionIndex, Some(regionIndexSql),
+      "revenue-share over customer-share index per region via one exact " +
+        "cross-multiplication"),
+    Q("q408_balance_spend_corr", balanceSpendCorr, Some(balanceSpendCorrSql),
+      "Pearson r between account balance and lifetime spend (zero-spend " +
+        "customers included) — exact decimal moments"),
+    Q("q409_single_source_risk", singleSourceRisk, Some(singleSourceRiskSql),
+      "decile histogram of each part's top-supplier volume share — " +
+        "single-source risk, integer-only"),
+    Q("q410_weekend_welch", weekendWelch, Some(weekendWelchSql),
+      "Welch t for weekend vs weekday daily revenue from pivoted exact " +
+        "moments — day-mix contrast"))
 }
