@@ -2192,6 +2192,159 @@ object ScienceQueries {
        |FROM piv""".stripMargin
   }
 
+  // ---- order/line status consistency ------------------------------------
+
+  /** (order status × line status) contingency counts — the referential
+    * state-machine audit: an 'F' (finished) order carrying 'O' (open)
+    * lines is a pipeline bug upstream. One joined aggregate, integer
+    * counts, share against the broadcast total. */
+  def statusFlow(spark: SparkSession, dir: String): DataFrame = {
+    val g = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .join(Catalog.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linestatus")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"))
+    val tot = g.agg(sum(col("n_lines")).as("t"))
+    g.crossJoin(broadcast(tot))
+      .select(col("o_orderstatus"), col("l_linestatus"), col("n_lines"),
+        (col("n_lines").cast("double") / col("t").cast("double")).as("share"))
+      .orderBy(col("o_orderstatus"), col("l_linestatus"))
+  }
+
+  private val statusFlowSql =
+    """WITH g AS (
+      |  SELECT o_orderstatus, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_lines
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2
+      |), t AS (
+      |  SELECT CAST(SUM(n_lines) AS BIGINT) AS t FROM g
+      |)
+      |SELECT o_orderstatus, l_linestatus, n_lines,
+      |  CAST(n_lines AS DOUBLE) / CAST(t AS DOUBLE) AS share
+      |FROM g, t
+      |ORDER BY o_orderstatus, l_linestatus""".stripMargin
+
+  // ---- quantity-discount interaction ------------------------------------
+
+  /** Mean discount (basis points, exact micro-units) by order quantity —
+    * does the discount schedule actually slope with volume. The mean is
+    * an INTEGER floor division in micro-units (sum·10⁶ div n), so the
+    * whole table is float-free and drift-proof. */
+  def qtyDiscount(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "lineitem")
+      .select(expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("dbp"))
+      .groupBy(col("qty"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("dbp")).as("sum_dbp"))
+      .select(col("qty"), col("n_lines"),
+        expr("(sum_dbp * 1000000) div n_lines").as("mean_dbp_micro"))
+      .orderBy(col("qty"))
+
+  private val qtyDiscountSql =
+    """WITH g AS (
+      |  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      |      AS sum_dbp
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT qty, n_lines, (sum_dbp * 1000000) // n_lines AS mean_dbp_micro
+      |FROM g
+      |ORDER BY qty""".stripMargin
+
+  // ---- nation trade-flow corridors --------------------------------------
+
+  /** Top-20 customer-nation → supplier-nation revenue corridors — the
+    * trade-flow matrix behind sourcing strategy (TPC-H Q7's essence as
+    * a leaderboard, all nation pairs not two fixed ones). Both
+    * dimension paths broadcast; exact cents; TakeOrdered top-20. */
+  def tradeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Catalog.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val custNat = Catalog.load(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val suppNat = Catalog.load(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(Catalog.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("cents"))
+      .orderBy(col("cents").desc, col("cust_nation"), col("supp_nation"))
+      .limit(20)
+  }
+
+  private val tradeMatrixSql =
+    """WITH f AS (
+      |  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |)
+      |SELECT cust_nation, supp_nation, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM f
+      |GROUP BY 1, 2
+      |ORDER BY cents DESC, cust_nation, supp_nation
+      |LIMIT 20""".stripMargin
+
+  // ---- first-order priority vs repeat -----------------------------------
+
+  /** Repeat-purchase rate cohorted by the customer's FIRST order
+    * priority — does the entry order's urgency predict loyalty. First
+    * order by (date, key) rank; repeat = ≥2 lifetime orders; integer
+    * counts, one rate division. */
+  def firstPriorityRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_orders", count(lit(1)).over(
+        Window.partitionBy(col("o_custkey"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderpriority").as("first_priority"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      .select(col("first_priority"), col("n_customers"), col("n_repeat"),
+        (col("n_repeat").cast("double") / col("n_customers").cast("double"))
+          .as("repeat_rate"))
+      .orderBy(col("first_priority"))
+  }
+
+  private val firstPriorityRepeatSql =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority AS first_priority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeat,
+      |  CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+      |FROM r
+      |WHERE rn = 1
+      |GROUP BY 1
+      |ORDER BY first_priority""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2311,5 +2464,18 @@ object ScienceQueries {
         "single-source risk, integer-only"),
     Q("q410_weekend_welch", weekendWelch, Some(weekendWelchSql),
       "Welch t for weekend vs weekday daily revenue from pivoted exact " +
-        "moments — day-mix contrast"))
+        "moments — day-mix contrast"),
+    Q("q411_status_flow", statusFlow, Some(statusFlowSql),
+      "order-status x line-status contingency with shares — state-machine " +
+        "integrity audit"),
+    Q("q412_qty_discount", qtyDiscount, Some(qtyDiscountSql),
+      "mean discount basis points by quantity in exact integer micro-" +
+        "units — float-free discount schedule"),
+    Q("q413_trade_matrix", tradeMatrix, Some(tradeMatrixSql),
+      "top-20 customer-nation to supplier-nation revenue corridors — " +
+        "all-pairs trade-flow leaderboard"),
+    Q("q414_first_priority_repeat", firstPriorityRepeat,
+      Some(firstPriorityRepeatSql),
+      "repeat-purchase rate cohorted by first-order priority — entry-" +
+        "order loyalty signal"))
 }
