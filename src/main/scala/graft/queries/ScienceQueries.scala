@@ -2345,6 +2345,173 @@ object ScienceQueries {
       |GROUP BY 1
       |ORDER BY first_priority""".stripMargin
 
+  // ---- acquisition cohort quality ---------------------------------------
+
+  /** Mean FIRST-order value by acquisition month (the month of each
+    * customer's first order) — is acquisition quality drifting. The
+    * mean is an exact integer micro-cent floor division; first order by
+    * (date, key) rank. */
+  def cohortQuality(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        orderCents.as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("sum_cents"))
+      .select(col("m"), col("n_customers"),
+        expr("(sum_cents * 1000000) div n_customers").as("mean_first_micro"))
+      .orderBy(col("m"))
+  }
+
+  private val cohortQualitySql =
+    """WITH f AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders
+      |), g AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM f WHERE rn = 1
+      |  GROUP BY 1
+      |)
+      |SELECT m, n_customers,
+      |  (sum_cents * 1000000) // n_customers AS mean_first_micro
+      |FROM g
+      |ORDER BY m""".stripMargin
+
+  // ---- realized discount rate -------------------------------------------
+
+  /** Monthly realized discount rate: revenue-weighted mean discount in
+    * exact micro-units — what the discount schedule actually COSTS each
+    * month (a flat schedule with shifting mix still moves this).
+    * rate_micro = Σ(ext·dbp)·10⁴ div Σext (dbp = discount basis points),
+    * entirely integer. */
+  def realizedDiscount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ext"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("dbp"))
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("ext")).as("ext_cents"),
+        sum((col("ext").cast(dec) * col("dbp")).cast(dec)).as("ext_dbp"))
+      .select(col("m"), col("n_lines"), col("ext_cents"),
+        expr("CAST((ext_dbp * 10000) div ext_cents AS BIGINT)")
+          .as("rate_micro"))
+      .orderBy(col("m"))
+  }
+
+  private val realizedDiscountSql =
+    """WITH j AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ext,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS dbp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), g AS (
+      |  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(SUM(ext) AS BIGINT) AS ext_cents,
+      |    SUM(CAST(ext AS HUGEINT) * dbp) AS ext_dbp
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT m, n_lines, ext_cents,
+      |  CAST((ext_dbp * 10000) // ext_cents AS BIGINT) AS rate_micro
+      |FROM g
+      |ORDER BY m""".stripMargin
+
+  // ---- recency-weighted spend score -------------------------------------
+
+  /** Top-20 customers by hyperbolically recency-weighted spend: each
+    * order contributes cents·10⁶/(1+days_ago) — an exact-integer decay
+    * score (the usual exp(−λt) needs a transcendental; 1/(1+t) ranks
+    * the same way and every term is a BIGINT floor division, so the
+    * score is drift-proof). days_ago measured against the corpus max
+    * order date (broadcast). */
+  def recencyScore(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        orderCents.as("cents"))
+    val gmax = o.agg(max(col("od")).as("gmax"))
+    o.crossJoin(broadcast(gmax))
+      .select(col("o_custkey"),
+        expr("(cents * 1000000) div (1 + datediff(gmax, od))").as("term"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("term")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("o_custkey"))
+      .limit(20)
+  }
+
+  private val recencyScoreSql =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), g AS (
+      |  SELECT MAX(od) AS gmax FROM o
+      |), t AS (
+      |  SELECT o_custkey,
+      |    (cents * 1000000) // (1 + CAST(gmax - od AS BIGINT)) AS term
+      |  FROM o, g
+      |)
+      |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(term) AS BIGINT) AS score_micro
+      |FROM t
+      |GROUP BY 1
+      |ORDER BY score_micro DESC, o_custkey
+      |LIMIT 20""".stripMargin
+
+  // ---- order value median by basket size --------------------------------
+
+  /** Exact median order value by basket size (line count) — does a
+    * bigger basket mean a bigger ticket, in medians (means are whale-
+    * distorted exactly where this question matters). Rank-selected
+    * integer cents per line-count group. */
+  def basketValueMedian(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), orderCents.as("cents"))
+      .join(sizes, col("o_orderkey") === col("l_orderkey"))
+    val w = Window.partitionBy(col("n_lines"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("n_lines"))))
+      .groupBy(col("n_lines"))
+      .agg(max(col("n")).as("n_orders"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+          .as("median_cents"))
+      .orderBy(col("n_lines"))
+  }
+
+  private val basketValueMedianSql =
+    """WITH s AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      |  FROM lineitem GROUP BY 1
+      |), o AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    n_lines
+      |  FROM orders JOIN s ON o_orderkey = l_orderkey
+      |), r AS (
+      |  SELECT n_lines, cents,
+      |    CAST(row_number() OVER (PARTITION BY n_lines ORDER BY cents,
+      |      o_orderkey) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY n_lines) AS BIGINT) AS n
+      |  FROM o
+      |)
+      |SELECT n_lines, CAST(MAX(n) AS BIGINT) AS n_orders,
+      |  MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS median_cents
+      |FROM r
+      |GROUP BY n_lines
+      |ORDER BY n_lines""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2477,5 +2644,17 @@ object ScienceQueries {
     Q("q414_first_priority_repeat", firstPriorityRepeat,
       Some(firstPriorityRepeatSql),
       "repeat-purchase rate cohorted by first-order priority — entry-" +
-        "order loyalty signal"))
+        "order loyalty signal"),
+    Q("q415_cohort_quality", cohortQuality, Some(cohortQualitySql),
+      "mean first-order value by acquisition month in exact integer " +
+        "micro-cents — acquisition-quality drift"),
+    Q("q416_realized_discount", realizedDiscount, Some(realizedDiscountSql),
+      "monthly revenue-weighted realized discount rate, exact micro-" +
+        "units — what the schedule costs"),
+    Q("q417_recency_score", recencyScore, Some(recencyScoreSql),
+      "top-20 customers by hyperbolic recency-weighted spend — exact-" +
+        "integer decay, no transcendentals"),
+    Q("q418_basket_value_median", basketValueMedian, Some(basketValueMedianSql),
+      "exact median order value by basket line count — whale-proof " +
+        "ticket-size curve"))
 }
