@@ -735,6 +735,35 @@ object Streams {
         OutputMode.Update(), init)
   }
 
+  case class WeekEv(user_id: Long, wk: Long)
+  case class GrowthEv(wk: Long, user_id: Long, status: String)
+
+  /** STREAMING growth accounting — the q390 weekly
+    * new/retained/resurrected classification as an incremental v2
+    * stateful op: 8 bytes of ValueState per user (the last classified
+    * week) instead of the batch job's full (user, week) frame. Each
+    * user's weeks are classified in ascending order: no prior state →
+    * `new`, exactly one week after the last → `retained`, a longer gap
+    * → `resurrected`; duplicate/late weeks within the frontier are
+    * dropped (the batch twin's distinct). Rolling the emissions up by
+    * (wk, status) equals q390's new/retained/resurrected columns —
+    * spec-pinned. Churn is the complement (prior-week actives minus
+    * current) and stays a batch/rollup concern: emitting it streaming
+    * would need a per-week timer per user for the NON-event, which
+    * costs more state than the downstream anti-join it replaces. */
+  def growthStream(events: DataFrame): Dataset[GrowthEv] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.select(col("user_id"),
+        expr("CAST(unix_date(CAST(date_trunc('WEEK', ts) AS DATE)) AS BIGINT)")
+          .as("wk"))
+      .as[WeekEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new GrowthProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   case class TypeCount(user_id: Long, event_type: String, n: Long)
 
   /** Per-user event-type histogram on v2 MapState — the third state
@@ -845,6 +874,37 @@ class SpendProcessorWithInit
     rows.foreach { r => c += 1; s += r.cents }
     totals.update((c, s))
     Iterator.single(Streams.SpendTotal(key, c, s))
+  }
+}
+
+/** The ValueState processor behind [[Streams.growthStream]]: last
+  * classified week per user. Weeks inside one micro-batch are sorted
+  * ascending before classification so arrival order within a batch
+  * never changes a label. */
+class GrowthProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Streams.WeekEv, Streams.GrowthEv] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var lastWk: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastWk = getHandle.getValueState[Long]("lastWk",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Streams.WeekEv],
+      timerValues: TimerValues): Iterator[Streams.GrowthEv] = {
+    val weeks = rows.map(_.wk).toArray.distinct.sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[Streams.GrowthEv]
+    var last = if (lastWk.exists()) lastWk.get() else Long.MinValue
+    weeks.foreach { wk =>
+      if (last == Long.MinValue) out += Streams.GrowthEv(wk, key, "new")
+      else if (wk == last + 7) out += Streams.GrowthEv(wk, key, "retained")
+      else if (wk > last + 7) out += Streams.GrowthEv(wk, key, "resurrected")
+      // wk <= last: duplicate or late week — already classified, drop
+      if (wk > last || last == Long.MinValue) last = wk
+    }
+    if (last != Long.MinValue) lastWk.update(last)
+    out.iterator
   }
 }
 

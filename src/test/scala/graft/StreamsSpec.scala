@@ -407,6 +407,45 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState growth accounting: streamed new/retained/" +
+    "resurrected rollup equals the batch q390 columns") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val staged = java.nio.file.Files.createTempDirectory("events-growth")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val q = Streams.growthStream(Streams.eventStream(spark, staged.toString))
+        .toDF().writeStream.format("memory").queryName("growth")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("growth")
+        .groupBy($"wk", $"status").count()
+        .as[(Long, String, Long)].collect()
+        .map { case (wk, st, n) => (wk, st) -> n }.toMap
+      val batch = graft.queries.ScienceQueries
+        .growthAccounting(spark, dir)
+        .select($"wk", $"new_users", $"retained", $"resurrected")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(batch.nonEmpty)
+      batch.foreach { case (wk, nNew, nRet, nRes) =>
+        assert(streamed.getOrElse((wk, "new"), 0L) == nNew, s"new@$wk")
+        assert(streamed.getOrElse((wk, "retained"), 0L) == nRet, s"ret@$wk")
+        assert(streamed.getOrElse((wk, "resurrected"), 0L) == nRes, s"res@$wk")
+      }
+      // nothing beyond the batch weeks was emitted
+      assert(streamed.keys.map(_._1).toSet == batch.map(_._1).toSet)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionizer state runs on the RocksDB state store provider") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
