@@ -2512,6 +2512,98 @@ object ScienceQueries {
       |GROUP BY n_lines
       |ORDER BY n_lines""".stripMargin
 
+  // ---- shipment fragmentation -------------------------------------------
+
+  /** Histogram of distinct ship dates per order — shipment
+    * fragmentation (each extra date is another delivery cost / partial-
+    * shipment email). Two stacked integer aggregates. */
+  def shipFragmentation(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(to_date(col("l_shipdate"))).as("ship_dates"))
+      .groupBy(col("ship_dates")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("ship_dates"))
+
+  private val shipFragmentationSql =
+    """WITH o AS (
+      |  SELECT l_orderkey,
+      |    CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+      |      AS ship_dates
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT ship_dates, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM o GROUP BY 1 ORDER BY ship_dates""".stripMargin
+
+  // ---- discount vs return interaction -----------------------------------
+
+  /** Return rate by discount basis-point bucket — are discounted lines
+    * returned more (margin leak × reverse-logistics cost interaction).
+    * Integer counts, one rate division per bucket. */
+  def discountReturns(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "lineitem")
+      .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("dbp"),
+        col("l_returnflag"))
+      .groupBy(col("dbp"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"))
+      .select(col("dbp"), col("n_lines"), col("n_returned"),
+        (col("n_returned").cast("double") / col("n_lines").cast("double"))
+          .as("return_rate"))
+      .orderBy(col("dbp"))
+
+  private val discountReturnsSql =
+    """SELECT CAST(round(l_discount * 100) AS BIGINT) AS dbp,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_returned,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS return_rate
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY dbp""".stripMargin
+
+  // ---- event-value bands by type ----------------------------------------
+
+  /** Exact p50/p90 event value (cents) per event type — the per-type
+    * monetization bands (means hide the zero-heavy mixture). Rank
+    * selection per type, integer cents, zero float columns. */
+  def valueBands(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") === expr("(n * 50 + 99) div 100"), col("cents")))
+          .as("p50_cents"),
+        min(when(col("rn") === expr("(n * 90 + 99) div 100"), col("cents")))
+          .as("p90_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val valueBandsSql =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, cents,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents,
+      |      event_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM e
+      |)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS p50_cents,
+      |  MIN(CASE WHEN rn = (n * 90 + 99) // 100 THEN cents END) AS p90_cents
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2656,5 +2748,14 @@ object ScienceQueries {
         "integer decay, no transcendentals"),
     Q("q418_basket_value_median", basketValueMedian, Some(basketValueMedianSql),
       "exact median order value by basket line count — whale-proof " +
-        "ticket-size curve"))
+        "ticket-size curve"),
+    Q("q419_ship_fragmentation", shipFragmentation, Some(shipFragmentationSql),
+      "distinct ship dates per order histogram — shipment fragmentation " +
+        "cost profile"),
+    Q("q420_discount_returns", discountReturns, Some(discountReturnsSql),
+      "return rate by discount basis-point bucket — margin x reverse-" +
+        "logistics interaction"),
+    Q("q421_value_bands", valueBands, Some(valueBandsSql),
+      "exact p50/p90 event value cents per event type — per-type " +
+        "monetization bands"))
 }
