@@ -2604,6 +2604,113 @@ object ScienceQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---- user-activity concentration --------------------------------------
+
+  /** Gini coefficient of events-per-user — activity concentration (a
+    * rising value is the classic bot/power-user skew signal before any
+    * per-user rate limit is designed). Same exact integer rank formula
+    * as q389, applied to the per-user event counts. */
+  def activityGini(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Catalog.load(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("y"))
+    val w = Window.orderBy(col("y"), col("user_id"))
+    perUser.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("n_events"),
+        sum((col("i").cast(dec) * col("y")).cast(dec)).as("siy"))
+      .select(col("n_users"), col("n_events"),
+        ((lit(2).cast(dec) * col("siy") -
+          ((col("n_users") + 1).cast(dec) * col("n_events")).cast(dec))
+          .cast("double") /
+          (col("n_users").cast(dec) * col("n_events")).cast("double"))
+          .as("gini"))
+  }
+
+  private val activityGiniSql =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1
+      |), r AS (
+      |  SELECT y,
+      |    CAST(row_number() OVER (ORDER BY y, user_id) AS BIGINT) AS i
+      |  FROM pu
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(y) AS BIGINT) AS n_events,
+      |  CAST(2 * SUM(CAST(i AS HUGEINT) * y)
+      |      - CAST(COUNT(*) + 1 AS HUGEINT) * SUM(y) AS DOUBLE)
+      |    / CAST(CAST(COUNT(*) AS HUGEINT) * SUM(y) AS DOUBLE) AS gini
+      |FROM r""".stripMargin
+
+  // ---- fulfillment-latency trend ----------------------------------------
+
+  /** Is fulfillment degrading: the monthly MEDIAN ship latency plus the
+    * exact OLS slope of that median over the month index — a composite
+    * of the rank-selection and integer-moment recipes (medians are
+    * whale-proof; the slope says whether the drift is real). Slope
+    * numerator/denominator are exact integers over the month-sized
+    * frame; one final division. */
+  def latencyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val lat = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("sd"))
+      .join(Catalog.load(spark, dir, "orders")
+          .select(col("o_orderkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("midx"),
+            to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("midx"), datediff(col("sd"), col("od")).cast("long")
+        .as("days"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("midx"))
+      .orderBy(col("days"), col("l_orderkey"), col("l_linenumber"))
+    val monthly = lat.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("midx"))))
+      .groupBy(col("midx"))
+      .agg(min(when(col("rn") === expr("(n + 1) div 2"), col("days")))
+        .as("median_days"))
+    val m = monthly.agg(count(lit(1)).as("k"),
+      sum(col("midx")).as("sx"), sum(col("median_days")).as("sy"),
+      sum((col("midx").cast(dec) * col("midx")).cast(dec)).as("sxx"),
+      sum((col("midx").cast(dec) * col("median_days")).cast(dec)).as("sxy"))
+    m.select(col("k").as("n_months"),
+      ((col("k").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy"))
+        .cast("double") /
+        (col("k").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx"))
+          .cast("double")).as("slope_days_per_month"))
+  }
+
+  private val latencyTrendSql =
+    """WITH lat AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS midx,
+      |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+      |      AS BIGINT) AS days,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), r AS (
+      |  SELECT midx, days,
+      |    CAST(row_number() OVER (PARTITION BY midx ORDER BY days,
+      |      l_orderkey, l_linenumber) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY midx) AS BIGINT) AS n
+      |  FROM lat
+      |), monthly AS (
+      |  SELECT midx,
+      |    MIN(CASE WHEN rn = (n + 1) // 2 THEN days END) AS median_days
+      |  FROM r GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(midx) AS BIGINT) AS sx,
+      |    CAST(SUM(median_days) AS BIGINT) AS sy,
+      |    SUM(CAST(midx AS HUGEINT) * midx) AS sxx,
+      |    SUM(CAST(midx AS HUGEINT) * median_days) AS sxy
+      |  FROM monthly
+      |)
+      |SELECT k AS n_months,
+      |  CAST(CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |    / CAST(CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+      |        AS DOUBLE) AS slope_days_per_month
+      |FROM m""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2757,5 +2864,11 @@ object ScienceQueries {
         "logistics interaction"),
     Q("q421_value_bands", valueBands, Some(valueBandsSql),
       "exact p50/p90 event value cents per event type — per-type " +
-        "monetization bands"))
+        "monetization bands"),
+    Q("q422_activity_gini", activityGini, Some(activityGiniSql),
+      "Gini of events-per-user via the exact integer rank formula — " +
+        "bot/power-user concentration signal"),
+    Q("q423_latency_trend", latencyTrend, Some(latencyTrendSql),
+      "OLS slope of the monthly MEDIAN ship latency — whale-proof " +
+        "fulfillment-drift detector, exact integer moments"))
 }
