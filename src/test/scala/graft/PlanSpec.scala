@@ -962,6 +962,20 @@ class PlanSpec extends AnyFunSuite {
     assert(pc.contains("WindowGroupLimit"), pc)
   }
 
+  test("round-8 leaderboards: trade matrix / recency score / stale parts " +
+    "rank with TakeOrderedAndProject (per-task top-k, never a global " +
+    "sort); trade-matrix dimensions broadcast") {
+    for (q <- Seq("q413_trade_matrix", "q417_recency_score",
+        "q403_stale_parts")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(p.contains("TakeOrderedAndProject"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+    val pt = plan(ScienceQueries.tradeMatrix(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(pt).size >= 2, pt)
+    assert(!pt.contains("SortMergeJoin"), pt)
+  }
+
   test("science family: silhouette broadcasts the k x dim centroid frame " +
     "(never shuffles the exploded corpus onto 64 dim keys); the Mann-" +
     "Kendall pair pass is a broadcast nested loop over the CALENDAR " +
