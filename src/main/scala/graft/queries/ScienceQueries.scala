@@ -2711,6 +2711,136 @@ object ScienceQueries {
       |        AS DOUBLE) AS slope_days_per_month
       |FROM m""".stripMargin
 
+  // ---- annual peak-week share -------------------------------------------
+
+  /** Per year: the peak revenue week and its share of annual revenue —
+    * the capacity-planning peakiness number (a 4% peak week and a 15%
+    * one need different warehouses). Weekly integer cents, rank-1
+    * window per year, one share division. */
+  def peakWeekShare(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Catalog.load(spark, dir, "orders")
+      .groupBy(
+        expr("CAST(date_trunc('WEEK', o_orderdate) AS DATE)").as("wk_start"))
+      .agg(sum(orderCents).as("cents"))
+      .withColumn("yr", year(col("wk_start")).cast("long"))
+    val w = Window.partitionBy(col("yr"))
+      .orderBy(col("cents").desc, col("wk_start"))
+    val totals = weekly.groupBy(col("yr"))
+      .agg(sum(col("cents")).as("year_cents"), count(lit(1)).as("n_weeks"))
+    weekly.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(totals, "yr")
+      .select(col("yr"), col("n_weeks"), col("wk_start").as("peak_week"),
+        col("cents").as("peak_cents"), col("year_cents"),
+        (col("cents").cast("double") / col("year_cents").cast("double"))
+          .as("peak_share"))
+      .orderBy(col("yr"))
+  }
+
+  private val peakWeekShareSql =
+    """WITH weekly AS (
+      |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk_start,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |), y AS (
+      |  SELECT wk_start, cents, CAST(year(wk_start) AS BIGINT) AS yr,
+      |    row_number() OVER (PARTITION BY year(wk_start)
+      |      ORDER BY cents DESC, wk_start) AS rn
+      |  FROM weekly
+      |), t AS (
+      |  SELECT CAST(year(wk_start) AS BIGINT) AS yr,
+      |    CAST(SUM(cents) AS BIGINT) AS year_cents,
+      |    CAST(COUNT(*) AS BIGINT) AS n_weeks
+      |  FROM weekly GROUP BY 1
+      |)
+      |SELECT y.yr, t.n_weeks, y.wk_start AS peak_week,
+      |  y.cents AS peak_cents, t.year_cents,
+      |  CAST(y.cents AS DOUBLE) / CAST(t.year_cents AS DOUBLE) AS peak_share
+      |FROM y JOIN t ON y.yr = t.yr
+      |WHERE y.rn = 1
+      |ORDER BY y.yr""".stripMargin
+
+  // ---- per-brand weekday seasonality ------------------------------------
+
+  /** Top-10 brands by weekday-seasonality strength: q396's η² (variance
+    * of daily revenue explained by day-of-week) computed PER BRAND —
+    * which product lines actually live on a weekly rhythm. The seven
+    * dow groups pivot to columns per brand, so the fixed mirrored chain
+    * evaluates row-wise; brands missing any weekday are excluded (no
+    * partial chains, mirrored). */
+  def brandDowStrength(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(Catalog.load(spark, dir, "orders")
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Catalog.load(spark, dir, "part")
+          .select(col("p_partkey"), col("p_brand").as("brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("brand"), col("d"))
+      .agg(sum(col("cents")).as("y"))
+      .select(col("brand"), expr("CAST(weekday(d) + 1 AS INT)").as("dw"),
+        col("y"))
+    val g = daily.groupBy(col("brand"), col("dw"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum((col("y").cast(dec) * col("y")).cast(dec)).as("ss"))
+    val pivCols = (1 to 7).flatMap { i =>
+      Seq(sum(when(col("dw") === i, col("n"))).as(s"n$i"),
+        sum(when(col("dw") === i, col("s"))).as(s"s$i"))
+    } ++ Seq(sum(col("n")).as("nt"), sum(col("s")).as("st"),
+      sum(col("ss")).as("sst_raw"))
+    val piv = g.groupBy(col("brand")).agg(pivCols.head, pivCols.tail: _*)
+      .filter((1 to 7).map(i => col(s"n$i").isNotNull).reduce(_ && _))
+    def d(c: Column) = c.cast("double")
+    val ssbTerms = (1 to 7).map { i =>
+      d(col(s"s$i")) * d(col(s"s$i")) / d(col(s"n$i"))
+    }.reduce(_ + _)
+    val gm = d(col("st")) * d(col("st")) / d(col("nt"))
+    val eta2 = (ssbTerms - gm) / (d(col("sst_raw")) - gm)
+    piv.select(col("brand"), col("nt").as("n_days"), eta2.as("eta2_dow"))
+      .orderBy(eta2.desc, col("brand"))
+      .limit(10)
+  }
+
+  private val brandDowStrengthSql = {
+    val ssbTerms = (1 to 7).map { i =>
+      s"(CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE))"
+    }.mkString(" + ")
+    val gm = "(CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))"
+    val eta2 = s"(($ssbTerms - $gm) / (CAST(sst_raw AS DOUBLE) - $gm))"
+    val ns = (1 to 7).map(i =>
+      s"SUM(CASE WHEN dw = $i THEN n END) AS n$i").mkString(", ")
+    val ss = (1 to 7).map(i =>
+      s"SUM(CASE WHEN dw = $i THEN s END) AS s$i").mkString(", ")
+    val notNull = (1 to 7).map(i => s"n$i IS NOT NULL").mkString(" AND ")
+    s"""WITH daily AS (
+       |  SELECT p_brand AS brand, CAST(o_orderdate AS DATE) AS d,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS y
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2
+       |), dd AS (
+       |  SELECT brand, isodow(d) AS dw, y FROM daily
+       |), g AS (
+       |  SELECT brand, dw, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS s, SUM(CAST(y AS HUGEINT) * y) AS ss
+       |  FROM dd GROUP BY 1, 2
+       |), piv AS (
+       |  SELECT brand, $ns, $ss,
+       |    CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+       |    SUM(ss) AS sst_raw
+       |  FROM g GROUP BY brand
+       |)
+       |SELECT brand, nt AS n_days, $eta2 AS eta2_dow
+       |FROM piv
+       |WHERE $notNull
+       |ORDER BY $eta2 DESC, brand
+       |LIMIT 10""".stripMargin
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2870,5 +3000,11 @@ object ScienceQueries {
         "bot/power-user concentration signal"),
     Q("q423_latency_trend", latencyTrend, Some(latencyTrendSql),
       "OLS slope of the monthly MEDIAN ship latency — whale-proof " +
-        "fulfillment-drift detector, exact integer moments"))
+        "fulfillment-drift detector, exact integer moments"),
+    Q("q424_peak_week_share", peakWeekShare, Some(peakWeekShareSql),
+      "peak revenue week and its share of annual revenue per year — " +
+        "capacity-planning peakiness"),
+    Q("q425_brand_dow_strength", brandDowStrength, Some(brandDowStrengthSql),
+      "top-10 brands by weekday-seasonality eta-squared — per-brand " +
+        "pivoted fixed-chain variance decomposition"))
 }
