@@ -2841,6 +2841,70 @@ object ScienceQueries {
        |LIMIT 10""".stripMargin
   }
 
+  // ---- monthly ARPU -----------------------------------------------------
+
+  /** Monthly ARPU — revenue per distinct ordering customer, in exact
+    * integer micro-cents (floor division, no float means) — the unit-
+    * economics trendline under the raw revenue curve. */
+  def monthlyArpu(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        sum(orderCents).as("cents"))
+      .select(col("m"), col("n_customers"), col("cents"),
+        expr("(cents * 1000000) div n_customers").as("arpu_micro"))
+      .orderBy(col("m"))
+
+  private val monthlyArpuSql =
+    """WITH g AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT m, n_customers, cents,
+      |  (cents * 1000000) // n_customers AS arpu_micro
+      |FROM g
+      |ORDER BY m""".stripMargin
+
+  // ---- order-value dispersion per segment --------------------------------
+
+  /** Coefficient of variation (sample σ/µ) of order value per priority
+    * — the normalized dispersion that makes segments with different
+    * scales comparable (raw variance cannot). Exact decimal moments,
+    * one mirrored sqrt/divide chain per segment row. */
+  def valueCv(spark: SparkSession, dir: String): DataFrame = {
+    val g = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("segment"), orderCents.as("y"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum((col("y").cast(dec) * col("y")).cast(dec)).as("ss"))
+    def d(c: Column) = c.cast("double")
+    val mean = d(col("s")) / d(col("n"))
+    val variance =
+      (col("n").cast(dec) * col("ss") - col("s").cast(dec) * col("s"))
+        .cast("double") / (col("n") * (col("n") - 1)).cast("double")
+    g.select(col("segment"), col("n"), mean.as("mean_cents"),
+        (sqrt(variance) / mean).as("cv"))
+      .orderBy(col("segment"))
+  }
+
+  private val valueCvSql =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+      |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS ss
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT segment, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+      |  sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+      |      / CAST(n * (n - 1) AS DOUBLE))
+      |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS cv
+      |FROM g
+      |ORDER BY segment""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3006,5 +3070,11 @@ object ScienceQueries {
         "capacity-planning peakiness"),
     Q("q425_brand_dow_strength", brandDowStrength, Some(brandDowStrengthSql),
       "top-10 brands by weekday-seasonality eta-squared — per-brand " +
-        "pivoted fixed-chain variance decomposition"))
+        "pivoted fixed-chain variance decomposition"),
+    Q("q426_monthly_arpu", monthlyArpu, Some(monthlyArpuSql),
+      "monthly revenue per distinct ordering customer in exact integer " +
+        "micro-cents — unit-economics trendline"),
+    Q("q427_value_cv", valueCv, Some(valueCvSql),
+      "coefficient of variation of order value per priority — normalized " +
+        "dispersion from exact moments"))
 }
