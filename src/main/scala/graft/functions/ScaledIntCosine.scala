@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.GraftBridge
 
 /** Oracle-exact cosine: scales each float to an exact integer
@@ -13,9 +14,22 @@ import org.apache.spark.sql.GraftBridge
   * so the result is bit-identical across engines AND an order of
   * magnitude faster than the zip_with/aggregate formulation (fused
   * codegen loop, no intermediate arrays).
+  *
+  * Input contract (same as [[ScaledIntDot]]): children must be
+  * `array<float>` — enforced at analysis via [[checkInputDataTypes]] —
+  * and array elements are assumed non-null (a null slot reads as 0.0f).
   */
 case class ScaledIntCosine(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"scaled_int_cosine needs two array<float> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
 
   override def dataType: DataType = DoubleType
 

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 import org.apache.spark.sql.GraftBridge
 
 /** Oracle-exact scaled-integer dot product: Σ floor(xᵢ·10⁶)·floor(yᵢ·10⁶)
@@ -14,9 +15,26 @@ import org.apache.spark.sql.GraftBridge
   * loop over the float arrays: no intermediate scaled array, no
   * interpreted `aggregate(zip_with(...))` lambdas (which Spark never
   * compiles — the round-7 k-NN eval hotspot).
+  *
+  * Input contract: both children must be `array<float>` (any other
+  * element type fails ANALYSIS through [[checkInputDataTypes]] —
+  * `getFloat` on an array<double> would silently read garbage bits).
+  * Array ELEMENTS are assumed non-null (the embeddings schema):
+  * `getFloat` reads a null slot as 0.0f rather than propagating null —
+  * acceptable for the embedding corpus, wrong for nullable-element
+  * arrays, hence the documented assumption.
   */
 case class ScaledIntDot(left: Expression, right: Expression, prefix: Int)
     extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"scaled_int_dot needs two array<float> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
 
   override def dataType: DataType = LongType
 

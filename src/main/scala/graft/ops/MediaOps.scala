@@ -83,6 +83,23 @@ object MediaOps {
       new java.io.ByteArrayInputStream(payload)))
     catch { case _: java.io.IOException => None }
 
+  /** Cheap header sniff: does any registered ImageIO reader recognize
+    * the payload's magic bytes? No raster is ever decoded — this is the
+    * branch test for paths that need "is this an image?" without the
+    * pixels (frame counting), where a full [[decodeImage]] would pay a
+    * complete decode just to call `.isDefined` on the result. Contract:
+    * a recognized header whose pixel data is later found corrupt still
+    * sniffs true — header-level decisions (n_frames) may differ from
+    * pixel-level fallbacks (features/resize/histogram) on corrupt
+    * payloads, which is the honest behavior for each. */
+  def sniffImage(payload: Array[Byte]): Boolean =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try javax.imageio.ImageIO.getImageReaders(iis).hasNext
+      finally if (iis != null) iis.close()
+    } catch { case _: java.io.IOException => false }
+
   /** Batch feature extraction. Decodable images get REAL metadata
     * (pixel width/height, 1 frame) and features hashed from the decoded
     * ARGB raster — the actual pixels, not the container bytes — so two
@@ -136,8 +153,8 @@ object MediaOps {
         col("features"))
   }
 
-  /** Resize result: original + target dimensions and the resized payload
-    * size (stub: 3 bytes/pixel RGB). */
+  /** Resize result: original + target dimensions and the resized raster
+    * size (TYPE_INT_RGB accounting: 3 color bytes/pixel). */
   case class Resized(media_id: Long, width: Int, height: Int,
       new_w: Int, new_h: Int, resized_bytes: Long)
 
@@ -147,7 +164,7 @@ object MediaOps {
     * the deterministic dimension arithmetic on stub dims — the part a
     * pipeline plans around (shapes, batch memory) either way. Partition-
     * local map, no shuffle. */
-  def resizeStub(media: DataFrame, box: Int = 64): Dataset[Resized] = {
+  def resize(media: DataFrame, box: Int = 64): Dataset[Resized] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { m =>
@@ -244,10 +261,13 @@ object MediaOps {
         new String(out)
       }
       it.flatMap { m =>
-        // a decoded still image is its own single frame; undecodable
-        // payloads (audio/video stand-ins) keep the stub's byte slices
+        // a still image is its own single frame; payloads no reader
+        // recognizes (audio/video stand-ins) keep the stub's byte
+        // slices. Header sniff only — frame COUNTING never needs the
+        // raster, so decoding here would be a discarded full decode
+        // per image row (the round-8 advice finding).
         val frames =
-          if (decodeImage(m.payload).isDefined) Array(m.payload)
+          if (sniffImage(m.payload)) Array(m.payload)
           else decodeStub(m)._4
         frames.iterator.zipWithIndex.map { case (f, i) =>
           Frame(m.media_id, i, f.length, md5Hex(f))

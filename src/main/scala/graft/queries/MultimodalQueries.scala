@@ -116,7 +116,7 @@ object MultimodalQueries {
   /** Resize path (oracle-checked on the dimension arithmetic — same IEEE
     * scale expression on both engines). */
   def mediaResize(spark: SparkSession, dir: String): DataFrame =
-    MediaOps.resizeStub(
+    MediaOps.resize(
         MediaOps.mediaFromDocuments(Catalog.load(spark, dir, "documents")))
       .toDF()
       .select(col("media_id"),

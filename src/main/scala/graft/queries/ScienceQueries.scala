@@ -3011,8 +3011,8 @@ object ScienceQueries {
       "customers placing k orders on one day — double-submit audit " +
         "histogram"),
     Q("q406_term_pmi", termPmi, Some(termPmiSql),
-      "top-20 co-occurring term pairs by exact micro-unit lift, df-" +
-        "windowed [5,50] + 40-term doc cap mirrored in the oracle"),
+      "top-20 co-occurring term pairs by exact micro-unit lift, df in " +
+        "[5, 90% of docs] + 100-term doc cap mirrored in the oracle"),
     Q("q407_region_index", regionIndex, Some(regionIndexSql),
       "revenue-share over customer-share index per region via one exact " +
         "cross-multiplication"),

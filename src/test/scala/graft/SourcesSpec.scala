@@ -100,7 +100,7 @@ class SourcesSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(bos2.toByteArray))
     assert(roundTrip.getWidth == 20 && roundTrip.getHeight == 12)
     // real resize: 20x12 into a 10-box → 10x6, resampled raster
-    val resized = MediaOps.resizeStub(media, box = 10).collect()
+    val resized = MediaOps.resize(media, box = 10).collect()
       .map(r => r.media_id -> r).toMap
     assert(resized(1L).new_w == 10 && resized(1L).new_h == 6)
     assert(resized(1L).resized_bytes == 10L * 6 * 3)
