@@ -454,41 +454,35 @@ object VectorOps {
       .toDF("vec_id", "codes", "cos_recon")
   }
 
-  /** IVF-PQ search — the composed production ANN layout: a coarse
-    * quantizer partitions the corpus into cells ([[kmeansCentroids]]),
-    * PQ codebooks are trained on the RESIDUALS v − centroid(cell)
-    * (residuals are smaller than raw vectors, so the same code budget
-    * quantizes finer — the standard IVF-PQ detail), and each query
-    * probes its `nProbe` nearest cells ranking candidates by
-    * cosine(query, centroid + residual-reconstruction). Corpus vectors
-    * are represented by cell id + m codes only: at 100 TB the serving
-    * tier holds ~1 byte-per-subspace per vector instead of d floats,
-    * cells shard across executors, and the rank join touches probed
-    * cells only. Queries keep their original (asymmetric) vectors. */
-  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int,
-      nCells: Int = 16, nProbe: Int = 6, m: Int = 8, pqK: Int = 16,
-      dim: Int = 64): DataFrame = {
+  /** The empty `(query_id, rn, neighbor_id, cos_sim)` frame — what every
+    * ANN search returns over an empty corpus / empty model. */
+  private def emptyTopKFrame(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cos_sim",
+          org.apache.spark.sql.types.DoubleType))))
+
+  /** Residuals v − centroid(nearest cell) against a FROZEN coarse model:
+    * `(vec_id, embedding = residual, cell)`. One fused-argmin pass +
+    * one partition-local subtract — no shuffle. Shared by the one-shot
+    * [[ivfPqTopK]] and the published-index build/append paths
+    * ([[graft.ops.AnnIndex]]), so both quantize identically. */
+  def ivfResiduals(emb: DataFrame,
+      coarse: Seq[(Int, Array[Float])]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val coarse = kmeansCentroids(emb, nCells)
-    if (coarse.isEmpty)
-      return emb.sparkSession.createDataFrame(
-        emb.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("rn",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("neighbor_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cos_sim",
-            org.apache.spark.sql.types.DoubleType))))
     val coarseMap = coarse.toMap
-    def cells(vCol: Column, n: Int): Column =
-      graft.functions.NearestCentroids.nearestCells(vCol, coarse, n)
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      element_at(cells(col("embedding"), 1), 1).as("cell"))
-    val residuals = assigned.as[(Long, Array[Float], Int)]
+    emb.select(col("vec_id"), col("embedding"),
+        element_at(graft.functions.NearestCentroids.nearestCells(
+          col("embedding"), coarse, 1), 1).as("cell"))
+      .as[(Long, Array[Float], Int)]
       .mapPartitions(_.map { case (id, v, cell) =>
         val c = coarseMap(cell)
         val r = new Array[Float](v.length)
@@ -496,30 +490,57 @@ object VectorOps {
         while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
         (id, r, cell)
       }).toDF("vec_id", "embedding", "cell")
-      .localCheckpoint(false) // feeds pqTrain (m passes) + encode
-    val books = pqTrain(residuals, m, pqK, dim)
-    val sub = dim / m
-    val lookup: Array[Map[Int, Array[Float]]] = books.map(_.toMap).toArray
-    // compressed representation: (vec_id, cell, codes) is ALL the
-    // serving tier keeps; recon = centroid(cell) + decode(codes)
-    val recon = residuals
+  }
+
+  /** Encode a corpus against a FROZEN IVF-PQ model: assign cells,
+    * compute residuals, PQ-encode them → `(vec_id, cell, codes)` — the
+    * complete compressed representation the serving tier stores (~m
+    * small codes + a cell id per vector instead of d floats). This is
+    * the O(batch) admission path: appending a new batch to a published
+    * index runs exactly this over the batch, never touching the
+    * existing corpus ([[graft.ops.AnnIndex.append]]). */
+  def ivfPqEncodeWith(emb: DataFrame, coarse: Seq[(Int, Array[Float])],
+      books: Seq[Seq[(Int, Array[Float])]], dim: Int = 64): DataFrame = {
+    val residuals = ivfResiduals(emb, coarse)
+    residuals.select(col("vec_id"), col("cell"))
       .join(pqEncode(residuals, books, dim), "vec_id")
       .select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  /** Rank probed-cell candidates for `queries` `(query_id, qv)` against
+    * a compressed corpus `(vec_id, cell, codes)` under a frozen model:
+    * recon = centroid(cell) + decode(codes), cosine(qv, recon),
+    * deterministic (cos desc, id asc) top-k. The rank join touches
+    * probed cells only; queries keep their original (asymmetric)
+    * vectors. Bit-identical between the one-shot and published-index
+    * paths because recon depends only on (cell, codes, model) — all of
+    * which round-trip parquet exactly. */
+  def ivfPqRank(codes: DataFrame, queries: DataFrame, k: Int,
+      coarse: Seq[(Int, Array[Float])], books: Seq[Seq[(Int, Array[Float])]],
+      nProbe: Int = 6, dim: Int = 64): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = books.size
+    val sub = dim / m
+    val coarseMap = coarse.toMap
+    val lookup: Array[Map[Int, Array[Float]]] = books.map(_.toMap).toArray
+    val recon = codes
+      .select(col("vec_id"), col("cell"), col("codes"))
       .as[(Long, Int, Array[Int])]
-      .mapPartitions(_.map { case (id, cell, codes) =>
+      .mapPartitions(_.map { case (id, cell, cs) =>
         val out = coarseMap(cell).clone()
         var s = 0
         while (s < m) {
-          val cv = lookup(s)(codes(s))
+          val cv = lookup(s)(cs(s))
           var i = 0
           while (i < sub) { out(s * sub + i) += cv(i); i += 1 }
           s += 1
         }
         (id, cell, out)
       }).toDF("vec_id", "cell", "recon")
-    val queryProbes = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(cells(col("embedding"), nProbe)).as("cell"))
+    val queryProbes = queries.select(col("query_id"), col("qv"),
+      explode(graft.functions.NearestCentroids.nearestCells(
+        col("qv"), coarse, nProbe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     recon.join(broadcast(queryProbes),
@@ -532,6 +553,42 @@ object VectorOps {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("rn").cast("long").as("rn"),
         col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** IVF-PQ search — the composed production ANN layout: a coarse
+    * quantizer partitions the corpus into cells ([[kmeansCentroids]]),
+    * PQ codebooks are trained on the RESIDUALS v − centroid(cell)
+    * (residuals are smaller than raw vectors, so the same code budget
+    * quantizes finer — the standard IVF-PQ detail), and each query
+    * probes its `nProbe` nearest cells ranking candidates by
+    * cosine(query, centroid + residual-reconstruction). Corpus vectors
+    * are represented by cell id + m codes only: at 100 TB the serving
+    * tier holds ~1 byte-per-subspace per vector instead of d floats,
+    * cells shard across executors, and the rank join touches probed
+    * cells only. Queries keep their original (asymmetric) vectors.
+    *
+    * This one-shot form trains, encodes, and searches in a single call;
+    * the production decomposition — publish the trained model + codes
+    * once, serve and append O(batch) forever after — is
+    * [[graft.ops.AnnIndex]], built from the same [[ivfResiduals]] /
+    * [[pqTrain]] / [[ivfPqEncodeWith]] / [[ivfPqRank]] stages, so the
+    * two paths return bit-identical rankings (AnnIndexSpec). */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, nProbe: Int = 6, m: Int = 8, pqK: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val coarse = kmeansCentroids(emb, nCells)
+    if (coarse.isEmpty) return emptyTopKFrame(emb.sparkSession)
+    val residuals = ivfResiduals(emb, coarse)
+      .localCheckpoint(false) // feeds pqTrain (m passes) + encode
+    val books = pqTrain(residuals, m, pqK, dim)
+    // compressed representation: (vec_id, cell, codes) is ALL the
+    // serving tier keeps; recon = centroid(cell) + decode(codes)
+    val codes = residuals.select(col("vec_id"), col("cell"))
+      .join(pqEncode(residuals, books, dim), "vec_id")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    ivfPqRank(codes, queries, k, coarse, books, nProbe, dim)
   }
 
   /** PQ asymmetric-distance top-k (ADC): rank corpus vectors for each

@@ -160,6 +160,29 @@ object Versioned {
       .filter(_.endsWith(suffix))
       .flatMap(_.stripSuffix(suffix).toLongOption)
 
+  /** One member of a group transaction ([[publishGroupMembers]]). */
+  sealed trait GroupMember { def name: String }
+  /** Full rewrite: stage `df` as the table's next plain version. */
+  final case class GroupFull(name: String, df: DataFrame) extends GroupMember
+  /** Partition-scoped rewrite: stage `df` (the REWRITTEN partitions)
+    * Hive-partitioned by `partCol`, linking every `reuse` manifest entry
+    * from a prior version unchanged — the group form of
+    * [[publishDelta]]: an append touching 1 of N partitions stages
+    * O(1/N) of the bytes. */
+  final case class GroupDelta(name: String, df: DataFrame, partCol: String,
+      reuse: Seq[(String, String)]) extends GroupMember
+  /** No data movement: journal the table AT an existing committed
+    * version. This is how a transaction rewrites one table of a family
+    * while the snapshot ([[readGroup]]) stays consistent across ALL of
+    * them — e.g. an ANN-index append re-journals the frozen model
+    * tables at their build-time versions next to the grown codes table.
+    * Retention caveat: linking does not pin — if the linked table later
+    * accrues `keep` newer versions, per-table pruning can delete the
+    * journaled version and time travel to this group breaks (the Delta
+    * vacuum trade-off); the LATEST group is immune because its linked
+    * versions are, by construction, each table's newest. */
+  final case class GroupLink(name: String, version: Long) extends GroupMember
+
   /** Publish several tables as ONE logical transaction. Sequence:
     * (1) stage every table's next version directory (all the data I/O,
     * no commits yet); (2) write a journal listing (table, version) —
@@ -175,25 +198,57 @@ object Versioned {
     * its journaled version — cross-table snapshot isolation built from
     * per-table time travel, no coordination on the read path. */
   def publishGroup(dfs: Seq[(String, DataFrame)], baseDir: String,
+      keep: Int = 3): Map[String, Long] =
+    publishGroupMembers(dfs.map { case (n, df) => GroupFull(n, df) },
+      baseDir, keep)
+
+  /** [[publishGroup]] generalized over member kinds (full rewrite /
+    * partition delta / link-at-version): same staging → journal →
+    * commit → done sequence, same crash roll-forward, same
+    * [[readGroup]] snapshot contract. Linked members stage nothing and
+    * are never re-committed (their `_COMMIT` already exists). */
+  def publishGroupMembers(members: Seq[GroupMember], baseDir: String,
       keep: Int = 3): Map[String, Long] = {
-    require(dfs.nonEmpty, "publishGroup needs at least one table")
+    require(members.nonEmpty, "publishGroup needs at least one table")
+    require(members.map(_.name).distinct.size == members.size,
+      "group members must be distinct tables")
     Fs.mkdirs(txnDir(baseDir))
-    val staged = dfs.map { case (name, df) =>
-      val t = tableDir(baseDir, name)
-      Fs.mkdirs(t)
-      val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
-      df.write.mode(SaveMode.ErrorIfExists).parquet(vdir(t, next).toString)
-      name -> next
+    // (name, version, freshlyStaged)
+    val staged = members.map {
+      case GroupLink(name, v) =>
+        require(Fs.exists(commitPath(tableDir(baseDir, name), v)),
+          s"linked version $v of $name is not committed")
+        (name, v, false)
+      case GroupFull(name, df) =>
+        val t = tableDir(baseDir, name)
+        Fs.mkdirs(t)
+        val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
+        df.write.mode(SaveMode.ErrorIfExists).parquet(vdir(t, next).toString)
+        (name, next, true)
+      case GroupDelta(name, df, partCol, reuse) =>
+        val t = tableDir(baseDir, name)
+        Fs.mkdirs(t)
+        val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
+        val vd = vdir(t, next)
+        df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
+          .parquet(vd.toString)
+        val fresh = partDirEntries(vd, s"_v$next", partCol)
+        val freshVals = fresh.map(_._1).toSet
+        writeManifest(t, next, Manifest(partCol,
+          df.schema(partCol).dataType.catalogString,
+          (fresh ++ reuse.filterNot(r => freshVals(r._1))).sortBy(_._1)))
+        (name, next, true)
     }
     val id = (txnIds(baseDir, ".staged") ++ txnIds(baseDir, ".committed"))
       .maxOption.getOrElse(-1L) + 1L
     // trailing END sentinel: a journal truncated by a crash mid-write
     // must never be rolled forward as if it named the whole group
     Fs.writeString(stagedPath(baseDir, id),
-      staged.map { case (n, v) => s"$n\t$v" }.mkString("", "\n", "\nEND\n"))
-    staged.foreach { case (n, v) => commitAndPrune(tableDir(baseDir, n), v, keep) }
+      staged.map { case (n, v, _) => s"$n\t$v" }.mkString("", "\n", "\nEND\n"))
+    staged.foreach { case (n, v, freshlyStaged) =>
+      if (freshlyStaged) commitAndPrune(tableDir(baseDir, n), v, keep) }
     Fs.createExclusive(committedPath(baseDir, id), "done\n")
-    staged.toMap
+    staged.map { case (n, v, _) => n -> v }.toMap
   }
 
   /** Roll forward crashed group publishes: any journal without its

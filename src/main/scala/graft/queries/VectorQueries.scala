@@ -114,6 +114,37 @@ object VectorQueries {
     VectorOps.ivfPqTopK(emb(spark, dir), col("vec_id") < NQ, K)
       .orderBy(col("query_id"), col("rn"))
 
+  /** Build the published IVF-PQ index family (train once, publish
+    * model + codes as one atomic group) and report the published
+    * tables' row counts — the registered surface of
+    * [[graft.ops.AnnIndex.build]]. Deterministic output: versions are 0
+    * in a fresh directory; row counts are corpus facts. */
+  def annIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx_")
+      .toString
+    val versions = graft.ops.AnnIndex.build(emb(spark, dir), idx)
+    versions.toSeq.sortBy(_._1).map { case (t, v) =>
+      (t, v, graft.pipelines.Versioned.read(spark, idx, t, Some(v)).count())
+    }.toDF("table_name", "version", "n_rows")
+  }
+
+  /** Build the index, then answer the q196 query SET from the PUBLISHED
+    * artifact — [[graft.ops.AnnIndex.serveTopK]] runs only probe/rank
+    * over the codes snapshot (no training, no corpus scan at serve
+    * time). AnnIndexSpec asserts this output is bit-identical to the
+    * one-shot q196_ivf_pq_topk. */
+  def annIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx_")
+      .toString
+    graft.ops.AnnIndex.build(e, idx)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** MMR diverse retrieval for query vec 0 (engine-specific rerank →
     * rows-only; VectorOpsSpec pins the diversity property). */
   def mmrTopK(spark: SparkSession, dir: String): DataFrame =
@@ -553,6 +584,14 @@ object VectorQueries {
     Q("q196_ivf_pq_topk", ivfPqTopK, None,
       "IVF-PQ search: coarse cells + residual codes, probed-cell " +
         "asymmetric rerank (rows-only; recall spec-checked)"),
+    Q("q428_ann_index_build", annIndexBuild, None,
+      "publish the IVF-PQ index as a versioned table family (model + " +
+        "batch-partitioned codes, one atomic group txn) — table/version/" +
+        "rows summary (rows-only; AnnIndexSpec)"),
+    Q("q429_ann_index_serve", annIndexServe, None,
+      "serve top-k from the PUBLISHED index: probe/rank only over the " +
+        "codes snapshot, no retraining (rows-only; spec-asserted " +
+        "bit-identical to q196)"),
     Q("q194_pq_audit", pqAudit, None,
       "product quantization: per-subspace codebooks, codegen encode, " +
         "reconstruction-cosine audit (rows-only; spec-checked)"),

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.ops.{AnnIndex, VectorOps}
+import graft.pipelines.{Fs, Versioned}
+import org.apache.hadoop.fs.Path
+
+/** The published IVF-PQ index family: build+serve must be bit-identical
+  * to the one-shot search, appends must stage O(batch) bytes against the
+  * frozen model, and every read must resolve a consistent cross-table
+  * snapshot.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Catalog.load(spark, dir, "embeddings")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("ann_idx_spec_").toString
+
+  private def collectTopK(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("serve from the published index == one-shot ivfPqTopK (bit-identical)") {
+    val idx = tmp()
+    val versions = AnnIndex.build(emb, idx)
+    assert(versions == Map(AnnIndex.CentroidsTable -> 0L,
+      AnnIndex.CodebooksTable -> 0L, AnnIndex.CodesTable -> 0L))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
+    val oneShot = collectTopK(VectorOps.ivfPqTopK(emb, col("vec_id") < 8, 5))
+    assert(served == oneShot) // exact, including every cos_sim bit
+  }
+
+  test("append encodes against the FROZEN model, stages only the new batch, " +
+    "and serve sees the union") {
+    val idx = tmp()
+    val n = emb.count()
+    val cut = n / 2
+    val base = emb.filter(col("vec_id") < cut)
+    val rest = emb.filter(col("vec_id") >= cut)
+    AnnIndex.build(base, idx)
+    val (coarse0, books0) = AnnIndex.loadModel(spark, idx)
+    val v1 = AnnIndex.append(rest, idx, batchId = 1L)
+    // model tables linked at their build versions — no new model data
+    assert(v1(AnnIndex.CentroidsTable) == 0L)
+    assert(v1(AnnIndex.CodebooksTable) == 0L)
+    assert(v1(AnnIndex.CodesTable) == 1L)
+    // model is FROZEN: identical before and after the append
+    val (coarse1, books1) = AnnIndex.loadModel(spark, idx)
+    assert(coarse0.map { case (c, v) => (c, v.toSeq) } ==
+      coarse1.map { case (c, v) => (c, v.toSeq) })
+    assert(books0.map(_.map { case (c, v) => (c, v.toSeq) }) ==
+      books1.map(_.map { case (c, v) => (c, v.toSeq) }))
+    // O(batch) staging, physically: the new codes version directory
+    // contains ONLY the batch=1 partition; batch=0 lives in _v0 and is
+    // reached through the manifest link
+    val v1dirs = Fs.list(new Path(s"$idx/${AnnIndex.CodesTable}/_v1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(v1dirs == Set("batch=1"))
+    val m = Versioned.manifest(idx, AnnIndex.CodesTable, 1L).get
+    assert(m.entries.toMap == Map("0" -> "_v0/batch=0", "1" -> "_v1/batch=1"))
+    // the served corpus is the union: every vector is indexed exactly once
+    val codes = Versioned.readGroup(spark, idx)(AnnIndex.CodesTable)
+    assert(codes.count() == n)
+    assert(codes.select("vec_id").distinct().count() == n)
+    // appended codes == encoding the batch with the frozen model directly
+    val expect = VectorOps.ivfPqEncodeWith(rest, coarse0, books0,
+        coarse0.head._2.length)
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    val got = codes.filter(col("batch") === 1L)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(got == expect)
+    // and serving ranks the full union under that frozen model
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
+    val expectRank = collectTopK(VectorOps.ivfPqRank(
+      codes.select("vec_id", "cell", "codes"), queries, 5, coarse0, books0,
+      nProbe = 6, dim = coarse0.head._2.length))
+    assert(served == expectRank)
+  }
+
+  test("append with a duplicate batch id is refused; empty batch is a no-op") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 100), idx)
+    val more = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    AnnIndex.append(more, idx, batchId = 1L)
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(more, idx, batchId = 1L)
+    }
+    val before = Versioned.latestVersion(idx, AnnIndex.CodesTable)
+    val after = AnnIndex.append(emb.filter(lit(false)), idx, batchId = 2L)
+    assert(Versioned.latestVersion(idx, AnnIndex.CodesTable) == before)
+    assert(after(AnnIndex.CodesTable) == before.get)
+  }
+
+  test("readGroup snapshot stays consistent across appends (linked model + " +
+    "grown codes in ONE journaled transaction)") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 200), idx)
+    AnnIndex.append(emb.filter(col("vec_id") >= 200 && col("vec_id") < 260),
+      idx, batchId = 1L)
+    val snap = Versioned.readGroup(spark, idx)
+    assert(snap.keySet == Set(AnnIndex.CentroidsTable,
+      AnnIndex.CodebooksTable, AnnIndex.CodesTable))
+    // snapshot codes = latest committed group's codes (both batches)
+    assert(snap(AnnIndex.CodesTable).count() == 260)
+    // the model tables in the snapshot are the (only) build versions
+    assert(snap(AnnIndex.CentroidsTable).count() == 16)
+    assert(snap(AnnIndex.CodebooksTable).count() == 8 * 16)
+  }
+}
