@@ -750,7 +750,9 @@ object Streams {
     * spec-pinned. Churn is the complement (prior-week actives minus
     * current) and stays a batch/rollup concern: emitting it streaming
     * would need a per-week timer per user for the NON-event, which
-    * costs more state than the downstream anti-join it replaces. */
+    * costs more state than the downstream anti-join it replaces —
+    * that anti-join is [[growthRollup]], which completes the streamed
+    * emissions to q390's full frame including `churned`. */
   def growthStream(events: DataFrame): Dataset[GrowthEv] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -762,6 +764,37 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new GrowthProcessor, TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** The churn complement, downstream of [[growthStream]]: roll the
+    * streamed emissions up to q390's FULL weekly frame —
+    * new/retained/resurrected straight from the statuses, churned from
+    * the emissions alone. The key property making this possible without
+    * any extra input: every (user, active-week) pair gets EXACTLY ONE
+    * emission (new | retained | resurrected), so the emission set IS the
+    * distinct active frame, and churned(w) = actives(w−7) anti-joined
+    * against actives(w). This is the batch half of the argued trade in
+    * [[growthStream]]'s doc — emitting churn per-event would need a
+    * per-week timer per user for the NON-event (more state than this
+    * anti-join); running the complement as a small rollup over the
+    * already-classified emissions costs one shuffle on (user, wk).
+    * StreamsSpec asserts streamed-emissions → this rollup == batch q390,
+    * all columns. */
+  def growthRollup(emissions: DataFrame): DataFrame = {
+    val uw = emissions.select(col("user_id"), col("wk"))
+      .localCheckpoint(eager = false) // both sides of the churn anti-join
+    val counts = emissions.groupBy(col("wk")).agg(
+      sum(when(col("status") === "new", 1L).otherwise(0L)).as("new_users"),
+      sum(when(col("status") === "retained", 1L).otherwise(0L)).as("retained"),
+      sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+        .as("resurrected"))
+    val churned = uw.select(col("user_id"), (col("wk") + 7).as("wk"))
+      .join(uw, Seq("user_id", "wk"), "left_anti")
+      .groupBy(col("wk")).agg(count(lit(1)).as("churned"))
+    counts.join(churned, Seq("wk"), "left")
+      .select(col("wk"), col("new_users"), col("retained"),
+        col("resurrected"), coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy(col("wk"))
   }
 
   case class TypeCount(user_id: Long, event_type: String, n: Long)

@@ -989,4 +989,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!pi.contains("SortMergeJoin"), pi)
     assert("FileScan parquet".r.findAllIn(pi).size == 2, pi) // sums + count
   }
+
+  test("round-8 heavy hitters: q425's brand dimension stays broadcast and " +
+    "its top-10 is TakeOrderedAndProject; q402's rounds reuse the " +
+    "checkpointed edge/degree frames (zero source rescans in the final " +
+    "plan) — losing either silently triples the two most expensive new " +
+    "queries") {
+    val p425 = plan(ScienceQueries.brandDowStrength(spark, dir))
+    assert(p425.contains("BroadcastHashJoin"), p425) // broadcast(part) dim
+    assert(!p425.contains("CartesianProduct"), p425)
+    assert(p425.contains("TakeOrderedAndProject"), p425) // top-10, no global sort
+    // q402: edges/degrees/per-round ranks are localCheckpointed, so every
+    // round's delta reads ExistingRDD scans — a refactor that re-derives
+    // the orders x lineitem join per round would reintroduce FileScans here
+    val p402 = plan(ScienceQueries.rankConvergence(spark, dir))
+    assert("FileScan parquet".r.findAllIn(p402).isEmpty, p402)
+    assert(p402.contains("Scan ExistingRDD"), p402)
+  }
 }

@@ -438,6 +438,16 @@ class StreamsSpec extends AnyFunSuite {
       }
       // nothing beyond the batch weeks was emitted
       assert(streamed.keys.map(_._1).toSet == batch.map(_._1).toSet)
+      // the churn complement: growthRollup over the streamed emissions
+      // reproduces q390's FULL frame — every column including churned,
+      // which the stream deliberately never emits (the per-week
+      // non-event timer would cost more state than this anti-join)
+      val rolled = Streams.growthRollup(spark.table("growth"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val batchFull = graft.queries.ScienceQueries
+        .growthAccounting(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(rolled == batchFull)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
