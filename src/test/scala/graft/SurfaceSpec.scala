@@ -122,4 +122,22 @@ class SurfaceSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("SURVEY.md generated query inventory matches the registry exactly " +
+    "(regenerate with `sbt \"runMain graft.Survey\"` after registering " +
+    "queries)") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val begin = text.indexOf("<!-- BEGIN GENERATED QUERY INVENTORY")
+    val end = text.indexOf("<!-- END GENERATED QUERY INVENTORY")
+    assert(begin >= 0 && end > begin, "sentinel markers missing from SURVEY.md")
+    val nameRe = """^\| (q\d+_\S+) \|""".r
+    val listed = text.substring(begin, end).linesIterator
+      .flatMap(l => nameRe.findFirstMatchIn(l).map(_.group(1))).toSet
+    val registered = Registry.all.map(_.name).toSet
+    val missing = registered -- listed
+    val stale = listed -- registered
+    assert(missing.isEmpty && stale.isEmpty,
+      s"SURVEY.md inventory drifted — missing: $missing, stale: $stale")
+  }
 }
