@@ -124,28 +124,77 @@ object AnnIndex {
     * the new (table → version) map; an empty batch is a no-op returning
     * the current versions. */
   def append(batch: DataFrame, indexDir: String, batchId: Long,
-      keep: Int = 3): Map[String, Long] = {
+      keep: Int = 3, skipIfExists: Boolean = false): Map[String, Long] = {
     val spark = batch.sparkSession
     val (coarse, books) = loadModel(spark, indexDir)
     val dim = coarse.head._2.length
     val centroidsV = Versioned.latestVersion(indexDir, CentroidsTable).get
     val codebooksV = Versioned.latestVersion(indexDir, CodebooksTable).get
     val codesV = Versioned.latestVersion(indexDir, CodesTable).get
-    if (batch.isEmpty)
-      return Map(CentroidsTable -> centroidsV, CodebooksTable -> codebooksV,
-        CodesTable -> codesV)
+    val current = Map(CentroidsTable -> centroidsV,
+      CodebooksTable -> codebooksV, CodesTable -> codesV)
+    if (batch.isEmpty) return current
     val reuse = Versioned.manifest(indexDir, CodesTable, codesV)
       .getOrElse(throw new IllegalStateException(
         s"$CodesTable v$codesV has no partition manifest — not an AnnIndex build?"))
       .entries
-    require(!reuse.exists(_._1 == batchId.toString),
-      s"batch $batchId already exists in the index (appends must use fresh ids)")
+    if (reuse.exists(_._1 == batchId.toString)) {
+      // the manifest doubles as an idempotence ledger: a batch id that
+      // already landed is either a caller bug (fail) or a micro-batch
+      // REPLAY after a failure (skip) — `skipIfExists` is how
+      // [[ingestStream]] gets exactly-once admission from at-least-once
+      // delivery, the same move as streaming-sink epoch dedup
+      if (skipIfExists) return current
+      throw new IllegalArgumentException(
+        s"batch $batchId already exists in the index (appends must use fresh ids)")
+    }
     val codes = VectorOps.ivfPqEncodeWith(batch, coarse, books, dim)
       .withColumn("batch", lit(batchId))
     Versioned.publishGroupMembers(Seq(
       Versioned.GroupLink(CentroidsTable, centroidsV),
       Versioned.GroupLink(CodebooksTable, codebooksV),
       Versioned.GroupDelta(CodesTable, codes, "batch", reuse)),
+      indexDir, keep)
+  }
+
+  /** Continuous micro-batch admission: each streamed embedding
+    * micro-batch becomes one [[append]] (batch id = epoch + 1, so batch
+    * 0 stays the build). foreachBatch replays after a failure re-deliver
+    * an epoch — `skipIfExists` turns the manifest into an idempotence
+    * ledger, giving exactly-once index admission over at-least-once
+    * delivery without any extra state. Every appended batch is
+    * immediately visible to [[serveTopK]]'s next snapshot. */
+  def ingestStream(embStream: DataFrame,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    embStream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epoch: Long) =>
+        append(b, indexDir, batchId = epoch + 1L, skipIfExists = true)
+        ()
+      }
+      .start()
+
+  /** Rewrite all code batches into one `batch=0` partition (model tables
+    * linked unchanged, one group transaction). Run when many small
+    * appends have fragmented the codes table — the LSM/OPTIMIZE trade:
+    * an O(corpus-codes) rewrite now buys back per-scan planning and
+    * open-file costs forever after. Compacting the COMPRESSED codes is
+    * cheap relative to the corpus: m small ints + 2 ids per vector. A
+    * post-compaction [[serveTopK]] returns exactly what it did before
+    * (AnnIndexSpec); batch-id idempotence history is deliberately reset
+    * (the ledger compacts with the data, like sink epoch logs past a
+    * checkpoint). */
+  def compact(spark: SparkSession, indexDir: String,
+      keep: Int = 3): Map[String, Long] = {
+    val centroidsV = Versioned.latestVersion(indexDir, CentroidsTable).get
+    val codebooksV = Versioned.latestVersion(indexDir, CodebooksTable).get
+    val merged = Versioned.readGroup(spark, indexDir)(CodesTable)
+      .select(col("vec_id"), col("cell"), col("codes"),
+        lit(0L).as("batch"))
+    Versioned.publishGroupMembers(Seq(
+      Versioned.GroupLink(CentroidsTable, centroidsV),
+      Versioned.GroupLink(CodebooksTable, codebooksV),
+      Versioned.GroupDelta(CodesTable, merged, "batch", reuse = Nil)),
       indexDir, keep)
   }
 }

@@ -101,6 +101,66 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(after(AnnIndex.CodesTable) == before.get)
   }
 
+  test("streaming micro-batch ingestion: epoch-keyed appends, idempotent " +
+    "under replay semantics, immediately servable") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 300), idx)
+    val (coarse, books) = AnnIndex.loadModel(spark, idx)
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val stream = ms.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val rows = emb.filter(col("vec_id") >= 300)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val q = AnnIndex.ingestStream(stream, idx)
+    try {
+      ms.addData(rows.take(100).toSeq)
+      q.processAllAvailable()
+      ms.addData(rows.drop(100).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val codes = Versioned.readGroup(spark, idx)(AnnIndex.CodesTable)
+    assert(codes.count() == emb.count())
+    assert(codes.select("batch").distinct().as[Long].collect().toSet ==
+      Set(0L, 1L, 2L))
+    // replaying an already-landed epoch is a no-op (skipIfExists):
+    // exactly-once admission over at-least-once delivery
+    val before = Versioned.latestVersion(idx, AnnIndex.CodesTable)
+    AnnIndex.append(emb.filter(col("vec_id") >= 300).limit(100)
+      .select(col("vec_id"), col("embedding")), idx, batchId = 1L,
+      skipIfExists = true)
+    assert(Versioned.latestVersion(idx, AnnIndex.CodesTable) == before)
+    // every streamed vector is encoded exactly as the frozen model would
+    val expect = VectorOps.ivfPqEncodeWith(emb, coarse, books,
+        coarse.head._2.length)
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    val got = codes.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(got == expect)
+  }
+
+  test("compact rewrites all batches into batch=0; serve is unchanged") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 250), idx)
+    AnnIndex.append(emb.filter(col("vec_id") >= 250 && col("vec_id") < 400),
+      idx, batchId = 1L)
+    AnnIndex.append(emb.filter(col("vec_id") >= 400), idx, batchId = 2L)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val servedBefore = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
+    AnnIndex.compact(spark, idx)
+    val m = Versioned.manifest(idx,
+      AnnIndex.CodesTable,
+      Versioned.latestVersion(idx, AnnIndex.CodesTable).get).get
+    assert(m.entries.map(_._1) == Seq("0")) // one partition again
+    assert(Versioned.readGroup(spark, idx)(AnnIndex.CodesTable).count() ==
+      emb.count())
+    val servedAfter = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
+    assert(servedAfter == servedBefore)
+  }
+
   test("readGroup snapshot stays consistent across appends (linked model + " +
     "grown codes in ONE journaled transaction)") {
     val idx = tmp()
