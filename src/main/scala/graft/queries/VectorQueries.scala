@@ -121,9 +121,15 @@ object VectorQueries {
     * in a fresh directory; row counts are corpus facts. */
   def annIndexBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val e = emb(spark, dir)
+    // an empty corpus has no quantizer to train — no index, empty report
+    // (the zero-row contract every ANN op in VectorOps shares)
+    if (e.isEmpty)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("table_name", "version", "n_rows")
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx_")
       .toString
-    val versions = graft.ops.AnnIndex.build(emb(spark, dir), idx)
+    val versions = graft.ops.AnnIndex.build(e, idx)
     versions.toSeq.sortBy(_._1).map { case (t, v) =>
       (t, v, graft.pipelines.Versioned.read(spark, idx, t, Some(v)).count())
     }.toDF("table_name", "version", "n_rows")
@@ -135,7 +141,11 @@ object VectorQueries {
     * time). AnnIndexSpec asserts this output is bit-identical to the
     * one-shot q196_ivf_pq_topk. */
   def annIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = emb(spark, dir)
+    if (e.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rn", "neighbor_id", "cos_sim")
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx_")
       .toString
     graft.ops.AnnIndex.build(e, idx)
