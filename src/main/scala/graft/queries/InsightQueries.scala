@@ -1,0 +1,438 @@
+package graft.queries
+
+import graft.Q
+import graft.catalog.Catalog
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 applied-diagnostics pack (q430–q436): contingency testing,
+  * demand regularity, supply concentration, discount response, returns
+  * comparison, classical seasonality, and acquisition-quality cohorts —
+  * every query exact-integer (micro-unit fixed point, `div`/`//`
+  * mirrored, sign-split where a quotient can be negative) or
+  * exact-operand IEEE with identical expression text, so each is
+  * DuckDB-oracle-checked bit for bit.
+  *
+  * Scale shapes: every aggregate is a map-side-combinable hash agg on a
+  * fact scan; windows run either per-key (lag over customer orders) or
+  * over dimension/aggregate-sized frames (24-cell contingency, ~80-month
+  * series, per-customer firsts); the one dimension join broadcasts part.
+  */
+object InsightQueries {
+
+  private val dec = "decimal(38,0)"
+
+  // ---- priority × status chi-square contingency -------------------------
+
+  /** Pearson chi-square independence cells for order-priority × order-
+    * status: does priority actually move fulfillment state? Observed
+    * counts are exact BIGINTs; expected counts and per-cell chi²
+    * contributions are exact micro-units through one cross-
+    * multiplication — (O·T − R·C)² / (R·C·T) never materializes a float
+    * (decimal(38) here, HUGEINT in the oracle). The marginals come from
+    * windows over the 15-cell aggregate, not a rescan; no join at all.
+    * Bound: safe while T² ≤ 10³² — beyond that (counts past ~10¹⁶ rows)
+    * drop the micro-unit scale; a chi² on counts that size is decided
+    * anyway. */
+  def contingencyChi2(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("o"))
+    o.withColumn("r",
+        sum(col("o")).over(Window.partitionBy(col("o_orderpriority"))))
+      .withColumn("c",
+        sum(col("o")).over(Window.partitionBy(col("o_orderstatus"))))
+      .withColumn("t", sum(col("o")).over(Window.partitionBy()))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("o"),
+        expr(s"CAST((CAST(r AS $dec) * c * 1000000) div t AS BIGINT)")
+          .as("e_micro"),
+        expr(s"""CAST(((CAST(o AS $dec) * t - CAST(r AS $dec) * c)
+                 * (CAST(o AS $dec) * t - CAST(r AS $dec) * c) * 1000000)
+                 div (CAST(r AS $dec) * c * t) AS BIGINT)""")
+          .as("chi2_micro"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  private val contingencyChi2Sql =
+    """WITH o AS (
+      |  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM orders GROUP BY 1, 2
+      |), x AS (
+      |  SELECT o_orderpriority, o_orderstatus, o,
+      |    CAST(SUM(o) OVER (PARTITION BY o_orderpriority) AS HUGEINT) AS r,
+      |    CAST(SUM(o) OVER (PARTITION BY o_orderstatus) AS HUGEINT) AS c,
+      |    CAST(SUM(o) OVER () AS HUGEINT) AS t
+      |  FROM o
+      |)
+      |SELECT o_orderpriority, o_orderstatus, o,
+      |  CAST((r * c * 1000000) // t AS BIGINT) AS e_micro,
+      |  CAST(((CAST(o AS HUGEINT) * t - r * c)
+      |    * (CAST(o AS HUGEINT) * t - r * c) * 1000000)
+      |    // (r * c * t) AS BIGINT) AS chi2_micro
+      |FROM x ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  // ---- order-gap regularity (coefficient of variation) ------------------
+
+  /** The 20 most REGULAR customers: lowest squared coefficient of
+    * variation of days between consecutive distinct order dates (≥5
+    * dates). CV² = var/mean² collapses to the pure-integer identity
+    * (n·Σg² − (Σg)²) / (Σg)² — no float ever; same-day repeat orders are
+    * deduplicated first so a zero gap can't fake regularity. One
+    * per-customer lag window + one grouped pass; top-20 is a
+    * TakeOrderedAndProject, not a global sort. */
+  def orderGapRegularity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"))
+    Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      .distinct()
+      .withColumn("nd", lead(col("od"), 1).over(w))
+      .filter(col("nd").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("nd"), col("od")).cast("long").as("g"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sgg"))
+      .filter(col("n_gaps") >= 4 && col("sg") > 0)
+      .select(col("o_custkey"), col("n_gaps"),
+        expr("CAST((sg * 1000000) div n_gaps AS BIGINT)").as("mean_gap_micro"),
+        expr("CAST(((n_gaps * sgg - sg * sg) * 1000000) div (sg * sg) AS BIGINT)")
+          .as("cv2_micro"))
+      .orderBy(col("cv2_micro"), col("o_custkey"))
+      .limit(20)
+  }
+
+  private val orderGapRegularitySql =
+    """WITH seq AS (
+      |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS od
+      |  FROM orders
+      |), gaps AS (
+      |  SELECT o_custkey,
+      |    CAST(lead(od) OVER (PARTITION BY o_custkey ORDER BY od) - od
+      |      AS BIGINT) AS g
+      |  FROM seq
+      |), s AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(g) AS BIGINT) AS sg, CAST(SUM(g * g) AS BIGINT) AS sgg
+      |  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+      |)
+      |SELECT o_custkey, n_gaps,
+      |  CAST((sg * 1000000) // n_gaps AS BIGINT) AS mean_gap_micro,
+      |  CAST(((n_gaps * sgg - sg * sg) * 1000000) // (sg * sg) AS BIGINT)
+      |    AS cv2_micro
+      |FROM s
+      |WHERE n_gaps >= 4 AND sg > 0
+      |ORDER BY cv2_micro, o_custkey
+      |LIMIT 20""".stripMargin
+
+  // ---- supplier concentration (Herfindahl) per part ---------------------
+
+  /** The 20 most supplier-concentrated parts among those with ≥2
+    * suppliers: Herfindahl–Hirschman index of supplier quantity shares,
+    * exact micro-units via HHI = Σq_s²/T² — a SINGLE integer division,
+    * never per-share rounding. The supply-chain-risk ranking: a part at
+    * 10⁶ micro-units rides on one supplier. Two map-side-combinable
+    * aggregates; no join at all. */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q")).as("qs"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("qs")).as("total_qty"),
+        sum(col("qs") * col("qs")).as("sq2"))
+      .filter(col("n_suppliers") >= 2 && col("total_qty") > 0)
+      .select(col("l_partkey"), col("n_suppliers"), col("total_qty"),
+        expr("CAST((sq2 * 1000000) div (total_qty * total_qty) AS BIGINT)")
+          .as("hhi_micro"))
+      .orderBy(col("hhi_micro").desc, col("l_partkey"))
+      .limit(20)
+
+  private val supplierHhiSql =
+    """WITH per AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qs
+      |  FROM lineitem GROUP BY 1, 2
+      |), s AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |    CAST(SUM(qs) AS BIGINT) AS total_qty,
+      |    CAST(SUM(qs * qs) AS BIGINT) AS sq2
+      |  FROM per GROUP BY 1
+      |)
+      |SELECT l_partkey, n_suppliers, total_qty,
+      |  CAST((sq2 * 1000000) // (total_qty * total_qty) AS BIGINT) AS hhi_micro
+      |FROM s
+      |WHERE n_suppliers >= 2 AND total_qty > 0
+      |ORDER BY hhi_micro DESC, l_partkey
+      |LIMIT 20""".stripMargin
+
+  // ---- discount response slope per brand --------------------------------
+
+  /** Per-brand OLS slope of quantity on discount (basis points) — the
+    * demand-response proxy: does discounting this brand move volume?
+    * Slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in exact micro-units; the
+    * numerator can be negative, so the quotient is sign-split onto
+    * non-negative operands (floor-vs-truncate division differs between
+    * engines for negatives — the q105/PCA rule). x is exact (discounts
+    * are 0.00–0.10 in cents), y exact; moments come from ONE grouped
+    * pass over the broadcast-part join. */
+  def discountResponse(spark: SparkSession, dir: String): DataFrame = {
+    val part = Catalog.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand").as("brand"))
+    Catalog.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)").as("x"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("den") > 0)
+      .select(col("brand"), col("n"),
+        expr(s"""CAST(CASE WHEN num < 0
+                 THEN -((CAST(-num AS $dec) * 1000000) div den)
+                 ELSE (CAST(num AS $dec) * 1000000) div den
+                 END AS BIGINT)""").as("slope_micro"))
+      .orderBy(col("brand"))
+  }
+
+  private val discountResponseSql =
+    """WITH d AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(round(l_discount * 10000) AS BIGINT) AS x,
+      |    CAST(round(l_quantity) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), s AS (
+      |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM d GROUP BY 1
+      |), m AS (
+      |  SELECT brand, n, n * sxy - sx * sy AS num,
+      |    n * sxx - sx * sx AS den
+      |  FROM s
+      |)
+      |SELECT brand, n,
+      |  CAST(CASE WHEN num < 0
+      |    THEN -((CAST(-num AS HUGEINT) * 1000000) // den)
+      |    ELSE (CAST(num AS HUGEINT) * 1000000) // den
+      |  END AS BIGINT) AS slope_micro
+      |FROM m
+      |WHERE den > 0
+      |ORDER BY brand""".stripMargin
+
+  // ---- returns-rate two-proportion z per order priority -----------------
+
+  /** Two-proportion z-test of each order priority's line-return rate
+    * against all other priorities pooled — "do urgent orders really come
+    * back more?" with a real test statistic, not an eyeballed rate.
+    * Counts are exact; every float op is a single correctly-rounded IEEE
+    * operation on exact operands with IDENTICAL parenthesized expression
+    * text on both engines (and a leading CAST AS DOUBLE so DuckDB can't
+    * slip into decimal arithmetic). One fact-fact join on the 8-byte
+    * orderkey, one grouped pass, a broadcast 1-row total. */
+  def returnsZtest(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+    val per = li.join(Catalog.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n1"), sum(col("ret")).as("r1"))
+    val tot = per.agg(sum(col("n1")).as("nt"), sum(col("r1")).as("rt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("o_orderpriority"), col("n1"), col("r1"),
+        (col("nt") - col("n1")).as("n2"), (col("rt") - col("r1")).as("r2"),
+        col("nt"), col("rt"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .selectExpr("o_orderpriority", "n1", "r1",
+        "CAST(r1 AS DOUBLE) / n1 AS p1",
+        "CAST(r2 AS DOUBLE) / n2 AS p2",
+        """((CAST(r1 AS DOUBLE) / n1) - (CAST(r2 AS DOUBLE) / n2))
+           / nullif(sqrt(((CAST(rt AS DOUBLE) / nt)
+             * (CAST(1 AS DOUBLE) - (CAST(rt AS DOUBLE) / nt)))
+             * ((CAST(1 AS DOUBLE) / n1) + (CAST(1 AS DOUBLE) / n2))),
+             CAST(0 AS DOUBLE)) AS z""")
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val returnsZtestSql =
+    """WITH per AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r1
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(n1) AS BIGINT) AS nt, CAST(SUM(r1) AS BIGINT) AS rt
+      |  FROM per
+      |), m AS (
+      |  SELECT o_orderpriority, n1, r1, nt - n1 AS n2, rt - r1 AS r2, nt, rt
+      |  FROM per, tot
+      |)
+      |SELECT o_orderpriority, n1, r1,
+      |  CAST(r1 AS DOUBLE) / n1 AS p1,
+      |  CAST(r2 AS DOUBLE) / n2 AS p2,
+      |  ((CAST(r1 AS DOUBLE) / n1) - (CAST(r2 AS DOUBLE) / n2))
+      |    / nullif(sqrt(((CAST(rt AS DOUBLE) / nt)
+      |      * (CAST(1 AS DOUBLE) - (CAST(rt AS DOUBLE) / nt)))
+      |      * ((CAST(1 AS DOUBLE) / n1) + (CAST(1 AS DOUBLE) / n2))),
+      |      CAST(0 AS DOUBLE)) AS z
+      |FROM m
+      |WHERE n1 > 0 AND n2 > 0
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- classical monthly seasonal indices -------------------------------
+
+  /** Ratio-to-centered-moving-average seasonal indices by calendar
+    * month: each month's revenue over its 12-month centered MA
+    * (half-weighted endpoints, the classical decomposition), averaged
+    * per month-of-year — which months structurally over/under-index.
+    * Entirely integer: ratio = 24·rev·10⁶ / (m₋₆ + 2·Σ₋₅..₊₅ + m₊₆),
+    * index = Σratio div n. The windows run over the ~80-row MONTHLY
+    * aggregate (single-reducer on aggregate-sized data — the accepted
+    * shape); the fact scan is one map-side-combinable rollup. Bound:
+    * 24·10⁶·monthly-cents must fit BIGINT — fine to ~380 B$/month. */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("mo"))
+    val m = Catalog.load(spark, dir, "orders")
+      .select(
+        expr("CAST(date_trunc('MONTH', CAST(o_orderdate AS DATE)) AS DATE)")
+          .as("mo"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("mo")).agg(sum(col("cents")).as("rev"))
+    m.withColumn("mlo", lag(col("rev"), 6).over(w))
+      .withColumn("mhi", lead(col("rev"), 6).over(w))
+      .withColumn("mid", sum(col("rev")).over(w.rowsBetween(-5, 5)))
+      .withColumn("cnt", count(lit(1)).over(w.rowsBetween(-5, 5)))
+      .filter(col("mlo").isNotNull && col("mhi").isNotNull && col("cnt") === 11)
+      .select(month(col("mo")).cast("long").as("month"),
+        expr("CAST((rev * 24000000) div (mlo + 2 * mid + mhi) AS BIGINT)")
+          .as("ratio_micro"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("ratio_micro")).as("s"))
+      .select(col("month"), col("n_windows"),
+        expr("CAST(s div n_windows AS BIGINT)").as("seasonal_index_micro"))
+      .orderBy(col("month"))
+  }
+
+  private val seasonalIndexSql =
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+      |      AS mo,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1
+      |), wnd AS (
+      |  SELECT mo, rev,
+      |    lag(rev, 6) OVER (ORDER BY mo) AS mlo,
+      |    lead(rev, 6) OVER (ORDER BY mo) AS mhi,
+      |    SUM(rev) OVER (ORDER BY mo
+      |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS mid,
+      |    COUNT(*) OVER (ORDER BY mo
+      |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS cnt
+      |  FROM m
+      |), ratios AS (
+      |  SELECT CAST(month(mo) AS BIGINT) AS month,
+      |    CAST((rev * 24000000) // (mlo + 2 * mid + mhi) AS BIGINT)
+      |      AS ratio_micro
+      |  FROM wnd
+      |  WHERE mlo IS NOT NULL AND mhi IS NOT NULL AND cnt = 11
+      |)
+      |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(SUM(ratio_micro) // COUNT(*) AS BIGINT)
+      |    AS seasonal_index_micro
+      |FROM ratios GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- first-order-value decile vs repeat rate --------------------------
+
+  /** Acquisition quality: customers bucketed into deciles of their FIRST
+    * order's value (cents; deterministic first = earliest date, then
+    * lowest orderkey), with each decile's repeat rate (≥2 lifetime
+    * orders) in exact micro-units — does a big first basket predict a
+    * second one? The ntile ranks the CUSTOMER dimension (first orders
+    * only), not the fact table; the order counts ride along from the
+    * same grouped pass. */
+  def firstValueRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od"), col("o_orderkey"))
+    val first = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(wf))
+      .withColumn("n_orders", count(lit(1)).over(
+        Window.partitionBy(col("o_custkey"))))
+      .filter(col("rn") === 1)
+    first
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("repeaters"))
+      .select(col("decile"), col("n_customers"), col("repeaters"),
+        expr("CAST((repeaters * 1000000) div n_customers AS BIGINT)")
+          .as("repeat_rate_micro"))
+      .orderBy(col("decile"))
+  }
+
+  private val firstValueRepeatSql =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+      |  FROM orders
+      |), first AS (
+      |  SELECT o_custkey, cents, n_orders FROM o WHERE rn = 1
+      |), d AS (
+      |  SELECT CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT)
+      |      AS decile,
+      |    n_orders
+      |  FROM first
+      |)
+      |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS repeaters,
+      |  CAST((SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000)
+      |    // COUNT(*) AS BIGINT) AS repeat_rate_micro
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q430_contingency_chi2", contingencyChi2, Some(contingencyChi2Sql),
+      "priority × status chi-square cells: exact micro-unit expected " +
+        "counts and contributions via one integer cross-multiplication " +
+        "(decimal(38)/HUGEINT), marginals from windows over the 15-cell " +
+        "aggregate"),
+    Q("q431_order_gap_regularity", orderGapRegularity, Some(orderGapRegularitySql),
+      "20 most regular customers by CV² of inter-order-date gaps — " +
+        "pure-integer (nΣg²−(Σg)²)/(Σg)², ≥5 distinct dates, " +
+        "TakeOrderedAndProject top-k"),
+    Q("q432_supplier_hhi", supplierHhi, Some(supplierHhiSql),
+      "top-20 supplier-concentrated parts: exact micro-unit Herfindahl " +
+        "Σq²/T² in a single integer division, two combinable aggregates, " +
+        "no join"),
+    Q("q433_discount_response", discountResponse, Some(discountResponseSql),
+      "per-brand OLS slope of quantity on discount basis points — exact " +
+        "micro-units, sign-split integer quotient, one grouped pass over " +
+        "the broadcast-part join"),
+    Q("q434_returns_ztest", returnsZtest, Some(returnsZtestSql),
+      "two-proportion z of each order priority's return rate vs the " +
+        "pooled rest — exact counts, identical parenthesized IEEE " +
+        "chain, leading DOUBLE cast per the decimal-literal rule"),
+    Q("q435_seasonal_index", seasonalIndex, Some(seasonalIndexSql),
+      "classical ratio-to-centered-MA monthly seasonal indices in pure " +
+        "integers — 12-month half-weighted CMA over the ~80-row monthly " +
+        "aggregate, per-month integer mean"),
+    Q("q436_first_value_repeat", firstValueRepeat, Some(firstValueRepeatSql),
+      "first-order-value deciles vs repeat rate: deterministic " +
+        "first-order selection, customer-dimension ntile, exact " +
+        "micro-unit rates"))
+}
