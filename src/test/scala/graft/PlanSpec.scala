@@ -1006,4 +1006,23 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p402).isEmpty, p402)
     assert(p402.contains("Scan ExistingRDD"), p402)
   }
+
+  test("insight pack shapes: top-k queries are TakeOrderedAndProject; " +
+    "q433's part dimension broadcasts; q430/q432 scan their fact exactly " +
+    "once; every aggregate runs partial->final") {
+    for (q <- Seq("q431_order_gap_regularity", "q432_supplier_hhi")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert(p.contains("TakeOrderedAndProject"), s"$q\n$p")
+    }
+    val p433 = plan(InsightQueries.discountResponse(spark, dir))
+    assert(p433.contains("BroadcastHashJoin"), p433)
+    assert(!p433.contains("SortMergeJoin"), p433)
+    assert(p433.contains("partial_sum") || p433.contains("partial_count"), p433)
+    // single fact scan each: marginals/moments come from the tiny
+    // aggregate (windows / second-level agg), never a rescan
+    for (q <- Seq("q430_contingency_chi2", "q432_supplier_hhi")) {
+      val p = plan(graft.Registry.byName(q).build(spark, dir))
+      assert("FileScan parquet".r.findAllIn(p).size == 1, s"$q\n$p")
+    }
+  }
 }
