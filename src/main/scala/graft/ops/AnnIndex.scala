@@ -67,10 +67,14 @@ object AnnIndex {
     val residuals = VectorOps.ivfResiduals(emb, coarse)
       .localCheckpoint(false) // feeds pqTrain (m passes) + encode
     val books = VectorOps.pqTrain(residuals, p.m, p.pqK, p.dim)
+    // cell-sorted within files: parquet row-group min/max on `cell`
+    // become tight disjoint ranges, so serveTopK's pushed In(cell, …)
+    // filter skips unprobed cells' bytes (the IVF layout contract)
     val codes = residuals.select(col("vec_id"), col("cell"))
       .join(VectorOps.pqEncode(residuals, books, p.dim), "vec_id")
       .select(col("vec_id"), col("cell"), col("codes"),
         lit(0L).as("batch"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
     val centroidsDf = coarse.toDF("cell", "centroid")
     val booksDf = books.zipWithIndex
       .flatMap { case (book, s) => book.map { case (c, v) => (s, c, v) } }
@@ -104,13 +108,28 @@ object AnnIndex {
     * read the codes snapshot, and run ONLY the probe/rank stages
     * ([[VectorOps.ivfPqRank]]). `queries` is `(query_id, qv)` — external
     * query vectors or a corpus slice; a query also present in the corpus
-    * never matches itself. No training, no full-corpus scan: the rank
-    * join reads probed cells of the compressed codes table. */
+    * never matches itself. No training, no full-corpus scan: the probe
+    * CELL SET (bounded by nCells no matter how many queries — one tiny
+    * distinct over the small side) is collected and pushed into the
+    * codes scan as an `In(cell, …)` parquet filter, so with the
+    * cell-sorted layout [[build]]/[[append]] write, row-group min/max
+    * statistics skip every unprobed cell's bytes — the scan reads
+    * O(probed cells), not O(corpus), which is the entire point of an
+    * inverted file. AnnIndexSpec pins both the pushdown and
+    * pruned ≡ unpruned results. */
   def serveTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nProbe: Int = 6): DataFrame = {
+    import spark.implicits._
     val (coarse, books) = loadModel(spark, indexDir)
     val dim = coarse.head._2.length
-    val codes = Versioned.readGroup(spark, indexDir)(CodesTable)
+    val probeCells = queries.select(
+        explode(graft.functions.NearestCentroids.nearestCells(
+          col("qv"), coarse, nProbe)).as("cell"))
+      .distinct().as[Int].collect().sorted
+    val all = Versioned.readGroup(spark, indexDir)(CodesTable)
+    val codes =
+      if (probeCells.isEmpty) all.filter(lit(false)) // no queries → no scan
+      else all.filter(col("cell").isInCollection(probeCells.toSeq))
     VectorOps.ivfPqRank(codes, queries, k, coarse, books, nProbe, dim)
   }
 
@@ -150,6 +169,7 @@ object AnnIndex {
     }
     val codes = VectorOps.ivfPqEncodeWith(batch, coarse, books, dim)
       .withColumn("batch", lit(batchId))
+      .sortWithinPartitions(col("cell"), col("vec_id")) // IVF layout, as in build
     Versioned.publishGroupMembers(Seq(
       Versioned.GroupLink(CentroidsTable, centroidsV),
       Versioned.GroupLink(CodebooksTable, codebooksV),
@@ -191,6 +211,7 @@ object AnnIndex {
     val merged = Versioned.readGroup(spark, indexDir)(CodesTable)
       .select(col("vec_id"), col("cell"), col("codes"),
         lit(0L).as("batch"))
+      .sortWithinPartitions(col("cell"), col("vec_id")) // restore IVF layout
     Versioned.publishGroupMembers(Seq(
       Versioned.GroupLink(CentroidsTable, centroidsV),
       Versioned.GroupLink(CodebooksTable, codebooksV),

@@ -37,6 +37,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served == oneShot) // exact, including every cos_sim bit
   }
 
+  test("serve pushes the probe-cell set into the codes scan; pruning is " +
+    "result-neutral") {
+    val idx = tmp()
+    AnnIndex.build(emb, idx)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served = AnnIndex.serveTopK(spark, idx, queries, 5)
+    // the bounded probe-cell set reaches the parquet scan as In(cell, …):
+    // with the cell-sorted file layout, row-group stats skip every
+    // unprobed cell — the scan is O(probed cells), not O(corpus)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(cell"), plan)
+    val (coarse, books) = AnnIndex.loadModel(spark, idx)
+    val full = VectorOps.ivfPqRank(
+      Versioned.readGroup(spark, idx)(AnnIndex.CodesTable)
+        .select("vec_id", "cell", "codes"),
+      queries, 5, coarse, books, nProbe = 6, dim = coarse.head._2.length)
+    assert(collectTopK(served) == collectTopK(full))
+  }
+
   test("append encodes against the FROZEN model, stages only the new batch, " +
     "and serve sees the union") {
     val idx = tmp()
