@@ -405,6 +405,248 @@ object InsightQueries {
       |    // COUNT(*) AS BIGINT) AS repeat_rate_micro
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- Kruskal–Wallis across order priorities ---------------------------
+
+  /** Kruskal–Wallis rank test of order value across ALL FIVE priorities —
+    * the k-group extension of q193's Mann–Whitney, exact end to end:
+    * average tie ranks in DOUBLED integer units (2·rank_min + ties − 1),
+    * per-group rank sums as BIGINTs, H and its tie-corrected form in
+    * micro-units through decimal(38)/HUGEINT cross-multiplication (the
+    * per-group Rj²/nj terms are floored integer divisions, mirrored —
+    * the house "defined statistic" convention). The one global rank is a
+    * total-order sort, the same accepted shape as every exact-rank
+    * query; everything after runs on the 5-row group aggregate. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+    val ranked = o
+      .withColumn("rmin", rank().over(Window.orderBy(col("x"))).cast("long"))
+      .withColumn("ties", count(lit(1)).over(Window.partitionBy(col("x"))))
+      .withColumn("r2", lit(2L) * col("rmin") + col("ties") - 1L)
+    val grp = ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("nj"), sum(col("r2")).as("rj2"))
+      .select(expr(s"CAST((CAST(rj2 AS $dec) * rj2) div (4 * nj) AS BIGINT)")
+        .as("term"), col("nj"))
+    val tiesAgg = o.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+    grp.agg(sum(col("term")).as("sterm"), sum(col("nj")).as("n"))
+      .crossJoin(broadcast(tiesAgg.select(col("tt"))))
+      .select(col("n"),
+        expr(s"""CAST((CAST(sterm AS $dec) * 12000000) div (n * (n + 1))
+                 - 3 * (n + 1) * 1000000 AS BIGINT)""").as("h_micro"),
+        expr(s"CAST(1000000 - (CAST(tt AS $dec) * 1000000) div (n * n * n - n) AS BIGINT)")
+          .as("c_micro"))
+      .select(col("n"), col("h_micro"), col("c_micro"),
+        expr(s"""CAST(CASE WHEN h_micro < 0
+                 THEN -((CAST(-h_micro AS $dec) * 1000000) div c_micro)
+                 ELSE (CAST(h_micro AS $dec) * 1000000) div c_micro
+                 END AS BIGINT)""").as("h_corrected_micro"))
+  }
+
+  private val kruskalWallisSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      |  FROM orders
+      |), r AS (
+      |  SELECT g, x,
+      |    CAST(rank() OVER (ORDER BY x) AS BIGINT) AS rmin,
+      |    COUNT(*) OVER (PARTITION BY x) AS ties
+      |  FROM o
+      |), r2 AS (SELECT g, 2 * rmin + ties - 1 AS r2 FROM r
+      |), grp AS (
+      |  SELECT CAST((CAST(SUM(r2) AS HUGEINT) * SUM(r2))
+      |      // (4 * COUNT(*)) AS BIGINT) AS term,
+      |    CAST(COUNT(*) AS BIGINT) AS nj
+      |  FROM r2 GROUP BY g
+      |), t AS (
+      |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt FROM (
+      |    SELECT CAST(COUNT(*) AS BIGINT) AS t FROM o GROUP BY x)
+      |), s AS (
+      |  SELECT CAST(SUM(term) AS BIGINT) AS sterm,
+      |    CAST(SUM(nj) AS BIGINT) AS n
+      |  FROM grp
+      |), h AS (
+      |  SELECT n,
+      |    CAST((CAST(sterm AS HUGEINT) * 12000000) // (n * (n + 1))
+      |      - 3 * (n + 1) * 1000000 AS BIGINT) AS h_micro,
+      |    CAST(1000000 - (CAST(tt AS HUGEINT) * 1000000)
+      |      // (n * n * n - n) AS BIGINT) AS c_micro
+      |  FROM s, t
+      |)
+      |SELECT n, h_micro, c_micro,
+      |  CAST(CASE WHEN h_micro < 0
+      |    THEN -((CAST(-h_micro AS HUGEINT) * 1000000) // c_micro)
+      |    ELSE (CAST(h_micro AS HUGEINT) * 1000000) // c_micro
+      |  END AS BIGINT) AS h_corrected_micro
+      |FROM h""".stripMargin
+
+  // ---- per-part unit-price dispersion across lines ----------------------
+
+  /** The 20 parts with the widest unit-price spread: per-line unit price
+    * in exact micro-cents (cents·10⁶ div quantity — floored integer
+    * division, mirrored), then max/min per part and their ratio in
+    * micro-units — the procurement-arbitrage audit ("we paid 3× for the
+    * same part"). One scan, one combinable aggregate, one top-k. */
+  def priceDispersion(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("""CAST((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000)
+                div CAST(round(l_quantity) AS BIGINT) AS BIGINT)""")
+          .as("up"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), min(col("up")).as("min_up"),
+        max(col("up")).as("max_up"))
+      .filter(col("n_lines") >= 2 && col("min_up") > 0)
+      .select(col("l_partkey"), col("n_lines"), col("min_up"), col("max_up"),
+        expr(s"CAST((CAST(max_up AS $dec) * 1000000) div min_up AS BIGINT)")
+          .as("spread_micro"))
+      .orderBy(col("spread_micro").desc, col("l_partkey"))
+      .limit(20)
+
+  private val priceDispersionSql =
+    """WITH up AS (
+      |  SELECT l_partkey,
+      |    CAST((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000)
+      |      // CAST(round(l_quantity) AS BIGINT) AS BIGINT) AS up
+      |  FROM lineitem
+      |), s AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    MIN(up) AS min_up, MAX(up) AS max_up
+      |  FROM up GROUP BY 1
+      |)
+      |SELECT l_partkey, n_lines, min_up, max_up,
+      |  CAST((CAST(max_up AS HUGEINT) * 1000000) // min_up AS BIGINT)
+      |    AS spread_micro
+      |FROM s
+      |WHERE n_lines >= 2 AND min_up > 0
+      |ORDER BY spread_micro DESC, l_partkey
+      |LIMIT 20""".stripMargin
+
+  // ---- exact-integer 3σ outlier counts ----------------------------------
+
+  /** Order-value outliers per priority WITHOUT ever computing a float
+    * mean or stddev: |x − μ| > 3σ is equivalent to the pure-integer
+    * comparison (n·x − S)² > 9·(n·Sxx − S²) — cross-multiplied through
+    * so the census is exact on any engine (decimal(38)/HUGEINT for the
+    * squares). Group moments come from one combinable aggregate,
+    * broadcast back over the scan as a 5-row join; zero windows on the
+    * fact. */
+  def outlierCensus(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+    val m = o.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum((col("x").cast(dec) * col("x")).cast(dec)).as("sxx"))
+    o.join(broadcast(m), "g")
+      .select(col("g"), col("n"),
+        expr(s"""CASE WHEN (CAST(n AS $dec) * x - s) * (CAST(n AS $dec) * x - s)
+                 > 9 * (CAST(n AS $dec) * sxx - CAST(s AS $dec) * s)
+                 THEN 1 ELSE 0 END""").as("is_out"))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n_orders"),
+        sum(col("is_out")).cast("long").as("n_outliers"))
+      .select(col("g").as("o_orderpriority"), col("n_orders"),
+        col("n_outliers"),
+        expr("CAST((n_outliers * 1000000) div n_orders AS BIGINT)")
+          .as("outlier_rate_micro"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val outlierCensusSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      |  FROM orders
+      |), m AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |  FROM o GROUP BY 1
+      |), f AS (
+      |  SELECT o.g, m.n,
+      |    CASE WHEN (CAST(m.n AS HUGEINT) * o.x - m.s)
+      |        * (CAST(m.n AS HUGEINT) * o.x - m.s)
+      |      > 9 * (CAST(m.n AS HUGEINT) * m.sxx - CAST(m.s AS HUGEINT) * m.s)
+      |      THEN 1 ELSE 0 END AS is_out
+      |  FROM o JOIN m ON o.g = m.g
+      |)
+      |SELECT g AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+      |  CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+      |  CAST((SUM(is_out) * 1000000) // MAX(n) AS BIGINT)
+      |    AS outlier_rate_micro
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- purchase-acceleration share per segment --------------------------
+
+  /** Is each customer ordering faster or slower over time? Per customer
+    * with ≥3 inter-order gaps, the OLS slope SIGN of gap length against
+    * gap index is a pure-integer quantity (n·Σig − Σi·Σg — no division
+    * needed for a sign); the segment rollup reports what share of its
+    * customers are accelerating (negative slope: gaps shrinking). One
+    * per-customer window pass, one broadcast customer-dimension join,
+    * exact micro-unit shares. */
+  def accelerationShare(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"))
+    val gaps = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      .distinct()
+      .withColumn("nd", lead(col("od"), 1).over(w))
+      .filter(col("nd").isNotNull)
+      .select(col("o_custkey"),
+        (row_number().over(w)).cast("long").as("i"),
+        datediff(col("nd"), col("od")).cast("long").as("g"))
+    val slopes = gaps.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("i")).as("si"),
+        sum(col("g")).as("sg"), sum(col("i") * col("g")).as("sig"))
+      .filter(col("n") >= 3)
+      .select(col("o_custkey"),
+        (col("n") * col("sig") - col("si") * col("sg")).as("num"))
+    val cust = Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    slopes.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("num") < 0, 1L).otherwise(0L)).as("n_accelerating"),
+        sum(when(col("num") > 0, 1L).otherwise(0L)).as("n_decelerating"))
+      .select(col("segment"), col("n_customers"), col("n_accelerating"),
+        col("n_decelerating"),
+        expr("CAST((n_accelerating * 1000000) div n_customers AS BIGINT)")
+          .as("accel_share_micro"))
+      .orderBy(col("segment"))
+  }
+
+  private val accelerationShareSql =
+    """WITH seq AS (
+      |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS od
+      |  FROM orders
+      |), gaps AS (
+      |  SELECT o_custkey,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY od)
+      |      AS BIGINT) AS i,
+      |    CAST(lead(od) OVER (PARTITION BY o_custkey ORDER BY od) - od
+      |      AS BIGINT) AS g
+      |  FROM seq
+      |), s AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(i) AS BIGINT) AS si, CAST(SUM(g) AS BIGINT) AS sg,
+      |    CAST(SUM(i * g) AS BIGINT) AS sig
+      |  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+      |), sl AS (
+      |  SELECT o_custkey, n * sig - si * sg AS num
+      |  FROM s WHERE n >= 3
+      |)
+      |SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(CASE WHEN num < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_accelerating,
+      |  CAST(SUM(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_decelerating,
+      |  CAST((SUM(CASE WHEN num < 0 THEN 1 ELSE 0 END) * 1000000)
+      |    // COUNT(*) AS BIGINT) AS accel_share_micro
+      |FROM sl JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q430_contingency_chi2", contingencyChi2, Some(contingencyChi2Sql),
       "priority × status chi-square cells: exact micro-unit expected " +
@@ -434,5 +676,21 @@ object InsightQueries {
     Q("q436_first_value_repeat", firstValueRepeat, Some(firstValueRepeatSql),
       "first-order-value deciles vs repeat rate: deterministic " +
         "first-order selection, customer-dimension ntile, exact " +
-        "micro-unit rates"))
+        "micro-unit rates"),
+    Q("q437_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql),
+      "Kruskal-Wallis H across all five priorities: doubled-integer tie " +
+        "ranks, BIGINT rank sums, micro-unit H + tie-corrected H via " +
+        "decimal(38)/HUGEINT — the k-group Mann-Whitney"),
+    Q("q438_price_dispersion", priceDispersion, Some(priceDispersionSql),
+      "top-20 parts by unit-price spread: exact micro-cent unit prices " +
+        "(floored division, mirrored), max/min ratio per part, one scan " +
+        "+ one combinable aggregate"),
+    Q("q439_outlier_census", outlierCensus, Some(outlierCensusSql),
+      "3-sigma order-value outlier counts per priority without a float " +
+        "mean/stddev: (n·x−S)² > 9(n·Sxx−S²) cross-multiplied exact, " +
+        "5-row moments broadcast over the scan"),
+    Q("q440_acceleration_share", accelerationShare, Some(accelerationShareSql),
+      "share of customers per segment whose inter-order gaps are " +
+        "shrinking — integer OLS slope SIGN (no division), one " +
+        "per-customer window + broadcast segment join"))
 }
