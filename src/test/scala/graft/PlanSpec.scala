@@ -1024,5 +1024,17 @@ class PlanSpec extends AnyFunSuite {
       val p = plan(graft.Registry.byName(q).build(spark, dir))
       assert("FileScan parquet".r.findAllIn(p).size == 1, s"$q\n$p")
     }
+    // q439's group moments broadcast back over the scan (5 rows) — a
+    // refactor to a fact-partitioned window would funnel each priority
+    // through one reducer; q438's top-k stays TakeOrderedAndProject;
+    // q440's customer dimension stays broadcast
+    val p439 = plan(InsightQueries.outlierCensus(spark, dir))
+    assert(p439.contains("BroadcastHashJoin"), p439)
+    assert(!p439.contains("Window"), p439)
+    val p438 = plan(InsightQueries.priceDispersion(spark, dir))
+    assert(p438.contains("TakeOrderedAndProject"), p438)
+    val p440 = plan(InsightQueries.accelerationShare(spark, dir))
+    assert(p440.contains("BroadcastHashJoin"), p440)
+    assert(!p440.contains("SortMergeJoin"), p440)
   }
 }
