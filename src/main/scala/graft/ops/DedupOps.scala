@@ -771,9 +771,9 @@ object DedupOps {
     * covers exact dups of ≥n tokens — rule 2 catches the short ones).
     * Output: (doc_id, lang, quality) of survivors. */
   def corpusClean(docs: DataFrame, qualityMin: Double = 0.38,
-      maxDf: Long = DefaultMaxDf): DataFrame = {
+      maxDf: Long = DefaultMaxDf, threshold: Double = 0.5): DataFrame = {
     val quality = TextOps.qualityScored(docs).select(col("doc_id"), col("quality"))
-    val reps = dedupClusters(docs, maxDf = maxDf)
+    val reps = dedupClusters(docs, threshold = threshold, maxDf = maxDf)
       .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
     val keepers = exactGroups(docs).select(col("keep_id").as("doc_id"))
     docs.select(col("doc_id"), col("lang"))

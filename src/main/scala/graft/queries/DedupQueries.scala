@@ -342,6 +342,105 @@ object DedupQueries {
        |FROM rep
        |ORDER BY doc_id""".stripMargin
 
+  /** The composed end-to-end corpus publish ([[graft.pipelines
+    * .CorpusPublisher]]): clean (quality + exact keeper + near-dup rep
+    * at τ=0.5) → leakage-safe split at the LOOSER τ=0.3 → atomic
+    * versioned group publish — surfaced through its per-split budget
+    * manifest, read back from the PUBLISHED tables so the oracle checks
+    * the entire pipeline including the publish round-trip. */
+  def corpusPublish(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus_pub_")
+      .toString
+    graft.pipelines.CorpusPublisher.publish(docs(spark, dir), out)
+    graft.pipelines.Versioned.read(spark, out,
+        graft.pipelines.CorpusPublisher.ManifestTable)
+      .orderBy(col("split"))
+  }
+
+  /** Both-threshold reach chains share the shingle fragments; only the
+    * Jaccard cut in `pairs` differs (0.5 = dedup keep, 0.3 = split
+    * scope). Same df-cap mirror as [[reachCtes]]. */
+  private def reachChainAt(sfx: String, thr: String) =
+    s"""pairs$sfx AS (
+       |  SELECT doc_a, doc_b
+       |  FROM common
+       |  JOIN cand USING (doc_a, doc_b)
+       |  JOIN card x ON doc_a = x.doc_id
+       |  JOIN card y ON doc_b = y.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (x.n_sh + y.n_sh - c) >= $thr
+       |), edges$sfx AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs$sfx
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs$sfx
+       |), reach$sfx AS (
+       |  SELECT u, v FROM edges$sfx
+       |  UNION
+       |  SELECT r.u, e.v FROM reach$sfx r JOIN edges$sfx e ON r.v = e.u
+       |), rep$sfx AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach$sfx r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |)""".stripMargin
+
+  private val corpusPublishSql = {
+    val stops = graft.ops.TextOps.stopwords("en").map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+       |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+       |  WHERE len(t) >= 5
+       |), cold AS (
+       |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN cold ON a.shingle = cold.shingle
+       |), card AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+       |), common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), ${reachChainAt("5", "0.5")}, ${reachChainAt("3", "0.3")},
+       |keeper AS (
+       |  SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY sha256(text)
+       |), tq AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), qc AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    COUNT(*) FILTER (tok IN ($stops)) AS n_stop,
+       |    COUNT(DISTINCT tok) AS n_distinct
+       |  FROM tq GROUP BY doc_id
+       |), qual AS (
+       |  SELECT doc_id,
+       |    least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+       |      + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+       |      + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3 AS quality
+       |  FROM qc
+       |), kept AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d
+       |  JOIN qual ON qual.doc_id = d.doc_id
+       |  JOIN rep5 ON rep5.doc_id = d.doc_id
+       |  WHERE qual.quality >= 0.38
+       |    AND rep5.cluster_rep = d.doc_id
+       |    AND d.doc_id IN (SELECT keep_id FROM keeper)
+       |), assigned AS (
+       |  SELECT k.doc_id, k.text,
+       |    CASE WHEN rep3.cluster_rep % 100 < 80 THEN 'train'
+       |         WHEN rep3.cluster_rep % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM kept k JOIN rep3 ON rep3.doc_id = k.doc_id
+       |)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     DedupOps.contamination(
@@ -690,6 +789,10 @@ object DedupQueries {
         "components into two combinable aggregates)"),
     Q("q66_corpus_clean", corpusClean, Some(corpusCleanSql),
       "composed pipeline: quality gate + exact keeper + near-dup cluster rep"),
+    Q("q441_corpus_publish", corpusPublish, Some(corpusPublishSql),
+      "END-TO-END corpus publish: clean (τ=0.5 dedup) → leakage-safe " +
+        "split (τ=0.3) → atomic versioned group — manifest read back " +
+        "from the PUBLISHED tables, oracle covers the whole pipeline"),
     Q("q67_dup_stats", dupStats, Some(dupStatsSql),
       "per-source duplicate-rate observability rollup"),
     Q("q100_leakage_safe_split", splits, Some(splitsSql),
