@@ -69,11 +69,10 @@ object AnnIndex {
     val books = VectorOps.pqTrain(residuals, p.m, p.pqK, p.dim)
     // cell-sorted within files: parquet row-group min/max on `cell`
     // become tight disjoint ranges, so serveTopK's pushed In(cell, …)
-    // filter skips unprobed cells' bytes (the IVF layout contract)
-    val codes = residuals.select(col("vec_id"), col("cell"))
-      .join(VectorOps.pqEncode(residuals, books, p.dim), "vec_id")
-      .select(col("vec_id"), col("cell"), col("codes"),
-        lit(0L).as("batch"))
+    // filter skips unprobed cells' bytes (the IVF layout contract).
+    // Encode is a zero-join projection over the checkpointed residuals.
+    val codes = VectorOps.encodeResiduals(residuals, books, p.dim)
+      .withColumn("batch", lit(0L))
       .sortWithinPartitions(col("cell"), col("vec_id"))
     val centroidsDf = coarse.toDF("cell", "centroid")
     val booksDf = books.zipWithIndex

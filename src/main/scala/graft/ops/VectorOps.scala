@@ -492,19 +492,44 @@ object VectorOps {
       }).toDF("vec_id", "embedding", "cell")
   }
 
+  /** The m-subspace PQ code array as ONE projection over a residual
+    * frame's `embedding` column — the same per-subspace fused-argmin
+    * expressions as [[pqEncode]], but composable into an existing
+    * select so encode rides the residual pass with NO vec_id join (the
+    * join form shuffles the corpus on vec_id just to glue `cell` back
+    * onto `codes` that were computed from the same rows). */
+  private def pqCodes(books: Seq[Seq[(Int, Array[Float])]],
+      dim: Int): Column = {
+    val m = books.size
+    val sub = dim / m
+    array((0 until m).map { s =>
+      element_at(graft.functions.NearestCentroids.nearestCells(
+        slice(col("embedding"), s * sub + 1, sub), books(s), 1), 1)
+    }: _*)
+  }
+
   /** Encode a corpus against a FROZEN IVF-PQ model: assign cells,
     * compute residuals, PQ-encode them → `(vec_id, cell, codes)` — the
     * complete compressed representation the serving tier stores (~m
-    * small codes + a cell id per vector instead of d floats). This is
-    * the O(batch) admission path: appending a new batch to a published
-    * index runs exactly this over the batch, never touching the
-    * existing corpus ([[graft.ops.AnnIndex.append]]). */
+    * small codes + a cell id per vector instead of d floats). One
+    * map-only pass: cell assignment, residual subtract, and all m code
+    * lookups fuse into a single projection — no join, no shuffle. This
+    * is the O(batch) admission path: appending a new batch to a
+    * published index runs exactly this over the batch, never touching
+    * the existing corpus ([[graft.ops.AnnIndex.append]]). */
   def ivfPqEncodeWith(emb: DataFrame, coarse: Seq[(Int, Array[Float])],
+      books: Seq[Seq[(Int, Array[Float])]], dim: Int = 64): DataFrame =
+    encodeResiduals(ivfResiduals(emb, coarse), books, dim)
+
+  /** `(vec_id, cell, codes)` over an ALREADY-COMPUTED residual frame —
+    * for callers holding a (checkpointed) [[ivfResiduals]] output, like
+    * [[graft.ops.AnnIndex.build]]. Same zero-join projection. */
+  def encodeResiduals(residuals: DataFrame,
       books: Seq[Seq[(Int, Array[Float])]], dim: Int = 64): DataFrame = {
-    val residuals = ivfResiduals(emb, coarse)
-    residuals.select(col("vec_id"), col("cell"))
-      .join(pqEncode(residuals, books, dim), "vec_id")
-      .select(col("vec_id"), col("cell"), col("codes"))
+    if (books.isEmpty || books.exists(_.isEmpty))
+      return residuals.select(col("vec_id"), lit(0).as("cell"),
+        array().cast("array<int>").as("codes")).limit(0)
+    residuals.select(col("vec_id"), col("cell"), pqCodes(books, dim).as("codes"))
   }
 
   /** Rank probed-cell candidates for `queries` `(query_id, qv)` against
@@ -582,10 +607,12 @@ object VectorOps {
       .localCheckpoint(false) // feeds pqTrain (m passes) + encode
     val books = pqTrain(residuals, m, pqK, dim)
     // compressed representation: (vec_id, cell, codes) is ALL the
-    // serving tier keeps; recon = centroid(cell) + decode(codes)
-    val codes = residuals.select(col("vec_id"), col("cell"))
-      .join(pqEncode(residuals, books, dim), "vec_id")
-      .select(col("vec_id"), col("cell"), col("codes"))
+    // serving tier keeps; recon = centroid(cell) + decode(codes).
+    // Codes are ONE projection over the checkpointed residuals — no
+    // vec_id self-join (the old form shuffled the corpus just to glue
+    // cell onto codes computed from the same rows)
+    val codes = residuals.select(col("vec_id"), col("cell"),
+      pqCodes(books, dim).as("codes"))
     val queries = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     ivfPqRank(codes, queries, k, coarse, books, nProbe, dim)
