@@ -379,12 +379,67 @@ object VectorOps {
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
       iters: Int = 2, trainCap: Int = 4096): Seq[Seq[(Int, Array[Float])]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    // ALL m subspace codebooks train JOINTLY: one checkpoint of the
+    // bounded training prefix, one init collect, and ONE assignment +
+    // moment job per Lloyd round for every subspace together — versus
+    // the per-subspace form's m independent loops (m checkpoints,
+    // m·(iters+1) driver actions of fixed scheduling overhead each;
+    // measured ~1.5-2.5 s of pure job latency per IVF-PQ build at any
+    // scale, since the prefix is trainCap rows). Arithmetic is
+    // bit-identical to per-subspace [[kmeansCentroids]] — same init
+    // (first k prefix rows), same fused-argmin assignment against the
+    // same float centroids, same scaled-integer exact means — asserted
+    // element-wise in VectorOpsSpec.
+    val train = emb.filter(col("vec_id") < trainCap)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(false)
+    val first = train.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect()
+    if (first.isEmpty) return Seq.fill(m)(Nil)
+    var books: IndexedSeq[Seq[(Int, Array[Float])]] = (0 until m).map { s =>
+      first.zipWithIndex
+        .map { case (v, i) => (i, v.slice(s * sub, (s + 1) * sub)) }.toSeq
+    }
+    for (_ <- 0 until iters) {
+      // (subspace, label, i, xi) in one projection: per subspace the
+      // fused-argmin label against the current codebook plus the
+      // scaled-integer slice — then one grouped exact-mean job
+      val perSub = array((0 until m).map { s =>
+        val sl = slice(col("embedding"), s * sub + 1, sub)
+        struct(lit(s).as("s"),
+          element_at(graft.functions.NearestCentroids.nearestCells(
+            sl, books(s), 1), 1).as("label"),
+          scaled(sl).as("sv"))
+      }: _*)
+      val moments = train.select(explode(perSub).as("a"))
+        .select(col("a.s").as("s"), col("a.label").as("label"),
+          posexplode(col("a.sv")).as(Seq("i", "xi")))
+        .groupBy(col("s"), col("label"), col("i"))
+        .agg((sum(col("xi")).cast("double") / count(lit(1)) / 1000000.0)
+          .as("c"))
+        .as[(Int, Int, Int, Double)].collect()
+      books = (0 until m).map { s =>
+        moments.filter(_._1 == s).groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (label, rows) =>
+            (label, rows.sortBy(_._3).map(_._4.toFloat).toArray)
+          }
+      }
+    }
+    books.map(_.toSeq)
+  }
+
+  /** The round-8 per-subspace training loop, kept verbatim as the
+    * equality oracle for the joint [[pqTrain]] (VectorOpsSpec asserts
+    * element-wise identical codebooks). */
+  private[graft] def pqTrainPerSubspace(emb: DataFrame, m: Int = 8,
+      k: Int = 16, dim: Int = 64, iters: Int = 2,
+      trainCap: Int = 4096): Seq[Seq[(Int, Array[Float])]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val sub = dim / m
     (0 until m).map { s =>
-      // lazy checkpoint of the bounded TRAINING PREFIX only: each
-      // subspace's loop takes iters+1 actions over its slice —
-      // materialize it once instead of re-scanning and re-slicing the
-      // corpus every round (the prefix is trainCap rows at any scale)
       kmeansCentroids(
         emb.filter(col("vec_id") < trainCap)
           .select(col("vec_id"),

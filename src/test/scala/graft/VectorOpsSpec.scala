@@ -176,6 +176,18 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("joint pqTrain == per-subspace training, element-wise (the round-9 " +
+    "one-job-per-round rewrite must not move a single centroid bit)") {
+    import graft.ops.VectorOps
+    val joint = VectorOps.pqTrain(emb)
+    val perSub = VectorOps.pqTrainPerSubspace(emb)
+    assert(joint.size == perSub.size)
+    assert(joint.zip(perSub).forall { case (a, b) =>
+      a.map(_._1) == b.map(_._1) &&
+        a.zip(b).forall { case ((_, x), (_, y)) => x.sameElements(y) }
+    })
+  }
+
   test("PQ: deterministic codebooks, codes in range, reconstruction " +
     "beats the global-centroid baseline, ADC recall@10 vs exact") {
     import graft.ops.VectorOps
