@@ -107,6 +107,23 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served == expectRank)
   }
 
+  test("the index family runs end-to-end on a non-file FileSystem scheme " +
+    "(graftfs://) — build, append, serve resolve through the Hadoop API") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val idx = s"graftfs://${tmp()}"
+    AnnIndex.build(emb.filter(col("vec_id") < 300), idx)
+    AnnIndex.append(emb.filter(col("vec_id") >= 300), idx, batchId = 1L)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
+    // identical to the same build+append on plain local disk
+    val local = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 300), local)
+    AnnIndex.append(emb.filter(col("vec_id") >= 300), local, batchId = 1L)
+    assert(served == collectTopK(AnnIndex.serveTopK(spark, local, queries, 5)))
+  }
+
   test("append with a duplicate batch id is refused; empty batch is a no-op") {
     val idx = tmp()
     AnnIndex.build(emb.filter(col("vec_id") < 100), idx)
