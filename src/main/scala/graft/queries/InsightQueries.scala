@@ -647,6 +647,160 @@ object InsightQueries {
       |FROM sl JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- Pettitt changepoint on daily order volume ------------------------
+
+  /** Pettitt's rank-based changepoint test on the daily order-count
+    * series: the day t maximizing |U_t|, U_t = Σ_{i≤t}R2_i − t(N+1)
+    * with R2 the DOUBLED average tie ranks (so every U_t is an exact
+    * BIGINT — Pettitt reduces to cumulative rank sums, no pair join).
+    * Answers "when did volume regime-shift?" non-parametrically. The
+    * ranks and cumulative windows run over the DAILY aggregate
+    * (thousands of rows at any corpus scale); ties break to the
+    * earliest day. */
+  def pettittChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val ranked = daily
+      .withColumn("rmin", rank().over(Window.orderBy(col("x"))).cast("long"))
+      .withColumn("ties", count(lit(1)).over(Window.partitionBy(col("x"))))
+      .withColumn("r2", lit(2L) * col("rmin") + col("ties") - 1L)
+    val wd = Window.orderBy(col("d"))
+    ranked
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("cum_r2", sum(col("r2")).over(wd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("u", col("cum_r2") - col("t") * (col("n") + 1L))
+      .filter(col("t") < col("n")) // U_N ≡ 0, not a candidate
+      .select(col("d").as("change_day"), col("n").as("n_days"),
+        col("u").as("u_stat"), abs(col("u")).as("k_abs"))
+      .orderBy(col("k_abs").desc, col("change_day"))
+      .limit(1)
+  }
+
+  private val pettittChangepointSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1
+      |), r AS (
+      |  SELECT d, x,
+      |    CAST(rank() OVER (ORDER BY x) AS BIGINT) AS rmin,
+      |    COUNT(*) OVER (PARTITION BY x) AS ties
+      |  FROM daily
+      |), c AS (
+      |  SELECT d, 2 * rmin + ties - 1 AS r2,
+      |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+      |    CAST(SUM(2 * rmin + ties - 1) OVER (ORDER BY d) AS BIGINT)
+      |      AS cum_r2,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM r
+      |)
+      |SELECT d AS change_day, n AS n_days,
+      |  CAST(cum_r2 - t * (n + 1) AS BIGINT) AS u_stat,
+      |  CAST(ABS(cum_r2 - t * (n + 1)) AS BIGINT) AS k_abs
+      |FROM c
+      |WHERE t < n
+      |ORDER BY k_abs DESC, change_day
+      |LIMIT 1""".stripMargin
+
+  // ---- longest weekly revenue growth streaks ----------------------------
+
+  /** The five longest runs of consecutive week-over-week revenue growth
+    * — gaps-and-islands on the WEEKLY cents aggregate: flag = this week
+    * beat last week (exact BIGINT comparison), island id = cumulative
+    * count of non-growth weeks, streak = contiguous flagged block. The
+    * momentum telemetry a "best quarter ever" claim gets checked
+    * against. Windows run over ~hundreds of weekly rows at any scale. */
+  def growthStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window.orderBy(col("wk"))
+    val weekly = Catalog.load(spark, dir, "orders")
+      .groupBy(expr(
+        "CAST(date_trunc('WEEK', CAST(o_orderdate AS DATE)) AS DATE)")
+        .as("wk"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+    weekly
+      .withColumn("prev", lag(col("rev"), 1).over(wd))
+      .filter(col("prev").isNotNull)
+      .withColumn("up", when(col("rev") > col("prev"), 1L).otherwise(0L))
+      .withColumn("blk", sum(lit(1L) - col("up")).over(wd))
+      .filter(col("up") === 1L)
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("streak_weeks"), min(col("wk")).as("start_week"),
+        max(col("wk")).as("end_week"))
+      .select(col("streak_weeks"), col("start_week"), col("end_week"))
+      .orderBy(col("streak_weeks").desc, col("start_week"))
+      .limit(5)
+  }
+
+  private val growthStreaksSql =
+    """WITH weekly AS (
+      |  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+      |      AS wk,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1
+      |), f AS (
+      |  SELECT wk, rev, lag(rev) OVER (ORDER BY wk) AS prev
+      |  FROM weekly
+      |), g AS (
+      |  SELECT wk,
+      |    CASE WHEN rev > prev THEN 1 ELSE 0 END AS up,
+      |    CAST(SUM(CASE WHEN rev > prev THEN 0 ELSE 1 END)
+      |      OVER (ORDER BY wk) AS BIGINT) AS blk
+      |  FROM f WHERE prev IS NOT NULL
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS streak_weeks,
+      |  MIN(wk) AS start_week, MAX(wk) AS end_week
+      |FROM g WHERE up = 1
+      |GROUP BY blk
+      |ORDER BY streak_weeks DESC, start_week
+      |LIMIT 5""".stripMargin
+
+  // ---- yearly priority-mix drift (total variation) ----------------------
+
+  /** Total-variation distance between each order-year's priority mix and
+    * the all-time mix — "is the business actually changing shape?" in
+    * one number per year. TV = Σ|n_py·n − n_p·n_y| / (2·n_y·n) stays
+    * pure integer until a single micro-unit division (the chi² cross-
+    * multiplication trick applied to distribution distance — a metric
+    * the KS/chi² family here didn't yet cover). Marginals via windows
+    * over the ~35-row (year × priority) aggregate. */
+  def priorityMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Catalog.load(spark, dir, "orders")
+      .groupBy(expr("CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)")
+        .as("yr"), col("o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("npy"))
+    cell
+      .withColumn("ny", sum(col("npy")).over(Window.partitionBy(col("yr"))))
+      .withColumn("np", sum(col("npy")).over(Window.partitionBy(col("p"))))
+      .withColumn("n", sum(col("npy")).over(Window.partitionBy()))
+      .groupBy(col("yr"))
+      .agg(max(col("ny")).as("n_orders"),
+        sum(abs(col("npy") * col("n") - col("np") * col("ny"))).as("sad"),
+        max(col("n")).as("n"))
+      .select(col("yr"), col("n_orders"),
+        expr(s"CAST((CAST(sad AS $dec) * 1000000) div (2 * n_orders * n) AS BIGINT)")
+          .as("tv_micro"))
+      .orderBy(col("yr"))
+  }
+
+  private val priorityMixDriftSql =
+    """WITH cell AS (
+      |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |    o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS npy
+      |  FROM orders GROUP BY 1, 2
+      |), m AS (
+      |  SELECT yr, p, npy,
+      |    CAST(SUM(npy) OVER (PARTITION BY yr) AS BIGINT) AS ny,
+      |    CAST(SUM(npy) OVER (PARTITION BY p) AS BIGINT) AS np,
+      |    CAST(SUM(npy) OVER () AS BIGINT) AS n
+      |  FROM cell
+      |)
+      |SELECT yr, CAST(MAX(ny) AS BIGINT) AS n_orders,
+      |  CAST((CAST(SUM(ABS(npy * n - np * ny)) AS HUGEINT) * 1000000)
+      |    // (2 * MAX(ny) * MAX(n)) AS BIGINT) AS tv_micro
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q430_contingency_chi2", contingencyChi2, Some(contingencyChi2Sql),
       "priority × status chi-square cells: exact micro-unit expected " +
@@ -692,5 +846,17 @@ object InsightQueries {
     Q("q440_acceleration_share", accelerationShare, Some(accelerationShareSql),
       "share of customers per segment whose inter-order gaps are " +
         "shrinking — integer OLS slope SIGN (no division), one " +
-        "per-customer window + broadcast segment join"))
+        "per-customer window + broadcast segment join"),
+    Q("q442_pettitt_changepoint", pettittChangepoint, Some(pettittChangepointSql),
+      "Pettitt rank changepoint of daily order volume: exact BIGINT U_t " +
+        "from doubled tie ranks + cumulative sums over the daily " +
+        "aggregate — no pair join"),
+    Q("q443_growth_streaks", growthStreaks, Some(growthStreaksSql),
+      "five longest week-over-week revenue growth runs — " +
+        "gaps-and-islands on the weekly cents aggregate, exact BIGINT " +
+        "comparisons"),
+    Q("q444_priority_mix_drift", priorityMixDrift, Some(priorityMixDriftSql),
+      "yearly total-variation distance of the priority mix vs all-time " +
+        "— pure-integer cross-multiplication until one micro-unit " +
+        "division, marginals from windows over the 35-row aggregate"))
 }
