@@ -589,11 +589,24 @@ object DedupOps {
     * AnalyticsSpec / ScaleSpec). */
   def dedupClusters(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
       maxIters: Int = 25, driverEdgeCap: Long = 1L << 20,
-      maxDf: Long = DefaultMaxDf): DataFrame = {
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    clustersFromPairs(docs,
+      jaccardPairsHashed(docs, n, threshold, maxDf), maxIters, driverEdgeCap)
+
+  /** Connected components over an ALREADY-SCORED near-dup pair frame
+    * `(doc_a, doc_b, …)` — the [[dedupClusters]] solver with candidate
+    * generation factored out, for callers that need components at
+    * SEVERAL thresholds from one shingle pass: the Jaccard threshold
+    * only enters [[jaccardPairsHashed]]'s final filter, so
+    * `pairs(τ_hi) ≡ pairs(τ_lo).filter(jaccard ≥ τ_hi)` and the whole
+    * candidate/verify machinery — the expensive part at corpus scale —
+    * never reruns ([[graft.pipelines.CorpusPublisher]] clusters at both
+    * its thresholds this way). */
+  def clustersFromPairs(docs: DataFrame, scoredPairs: DataFrame,
+      maxIters: Int = 25, driverEdgeCap: Long = 1L << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = jaccardPairsHashed(docs, n, threshold, maxDf)
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = scoredPairs.select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v").localCheckpoint(true)
     val nEdges = edges.count() // already materialized by the checkpoint

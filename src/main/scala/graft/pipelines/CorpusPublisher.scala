@@ -40,13 +40,40 @@ object CorpusPublisher {
   val ManifestTable = "corpus_manifest"
 
   /** The kept, split-assigned corpus rows (pre-publish view):
-    * (doc_id, lang, quality, token_count, text, split). */
+    * (doc_id, lang, quality, token_count, text, split).
+    *
+    * The shingle/candidate/verify machinery — the expensive stage at
+    * corpus scale — runs ONCE: pairs are scored at the looser
+    * `splitThreshold` and the dedup components reuse the same frame
+    * filtered to `dedupThreshold` (the threshold only enters the final
+    * Jaccard cut, so the filtered set is exactly what scoring at the
+    * higher threshold would produce; CorpusPublisherSpec pins equality
+    * with the independently-computed [[DedupOps.corpusClean]]). */
   def prepared(docs: DataFrame, qualityMin: Double = 0.38,
       dedupThreshold: Double = 0.5, splitThreshold: Double = 0.3,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val kept = DedupOps.corpusClean(docs, qualityMin, threshold = dedupThreshold)
-    val splits = DedupOps.leakageSafeSplits(docs,
-        threshold = splitThreshold, trainPct = trainPct, valPct = valPct)
+    require(splitThreshold <= dedupThreshold,
+      "the split scope must be at most as strict as the dedup cut")
+    val pairsLow = DedupOps.jaccardPairsHashed(docs,
+        threshold = splitThreshold)
+      .localCheckpoint(false) // feeds both component solves below
+    val repsHigh = DedupOps.clustersFromPairs(docs,
+        pairsLow.filter(col("jaccard") >= dedupThreshold))
+      .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
+    val quality = TextOps.qualityScored(docs)
+      .select(col("doc_id"), col("quality"))
+    val keepers = DedupOps.exactGroups(docs)
+      .select(col("keep_id").as("doc_id"))
+    val kept = docs.select(col("doc_id"), col("lang"))
+      .join(quality, "doc_id")
+      .filter(col("quality") >= qualityMin)
+      .join(repsHigh, Seq("doc_id"), "left_semi")
+      .join(keepers, Seq("doc_id"), "left_semi")
+    val splits = DedupOps.clustersFromPairs(docs, pairsLow)
+      .withColumn("split",
+        when(col("cluster_rep") % 100 < trainPct, "train")
+          .when(col("cluster_rep") % 100 < trainPct + valPct, "val")
+          .otherwise("test"))
       .select(col("doc_id"), col("split"))
     kept
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
