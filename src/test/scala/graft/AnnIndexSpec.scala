@@ -124,6 +124,43 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served == collectTopK(AnnIndex.serveTopK(spark, local, queries, 5)))
   }
 
+  test("randomized append sequences (seeded): row conservation, manifest " +
+    "ledger exactness, and serve == frozen-model rank after every step") {
+    val rnd = new scala.util.Random(4242L)
+    val idx = tmp()
+    val n = emb.count()
+    AnnIndex.build(emb.filter(col("vec_id") < 200), idx)
+    val (coarse, books) = AnnIndex.loadModel(spark, idx)
+    // carve the remainder into 3 random contiguous batches
+    var lo = 200L
+    val cuts = Seq(lo + 50 + rnd.nextInt(50), lo + 150 + rnd.nextInt(50), n)
+    cuts.zipWithIndex.foreach { case (hi, i) =>
+      AnnIndex.append(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi), idx,
+        batchId = i + 1L)
+      lo = hi
+      val codes = Versioned.readGroup(spark, idx)(AnnIndex.CodesTable)
+      assert(codes.count() == (if (hi == n) n else hi)) // conservation
+      assert(codes.select("vec_id").distinct().count() == codes.count())
+      val m = Versioned.manifest(idx, AnnIndex.CodesTable,
+        Versioned.latestVersion(idx, AnnIndex.CodesTable).get).get
+      assert(m.entries.map(_._1).sorted ==
+        (0 to (i + 1)).map(_.toString).sorted) // ledger == appended ids
+    }
+    // model never moved; serve equals ranking the union under it
+    val (coarse2, books2) = AnnIndex.loadModel(spark, idx)
+    assert(coarse.map { case (c, v) => (c, v.toSeq) } ==
+      coarse2.map { case (c, v) => (c, v.toSeq) })
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
+    val expect = collectTopK(VectorOps.ivfPqRank(
+      Versioned.readGroup(spark, idx)(AnnIndex.CodesTable)
+        .select("vec_id", "cell", "codes"),
+      queries, 5, coarse, books, nProbe = 6, dim = coarse.head._2.length))
+    assert(served == expect)
+  }
+
   test("append with a duplicate batch id is refused; empty batch is a no-op") {
     val idx = tmp()
     AnnIndex.build(emb.filter(col("vec_id") < 100), idx)
@@ -196,6 +233,31 @@ class AnnIndexSpec extends AnyFunSuite {
       emb.count())
     val servedAfter = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
     assert(servedAfter == servedBefore)
+  }
+
+  test("append crash between journal and commit rolls FORWARD: the torn " +
+    "Delta member's _COMMIT is restored by recoverGroups and the index " +
+    "serves the full union") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 300), idx)
+    val v1 = AnnIndex.append(emb.filter(col("vec_id") >= 300), idx,
+      batchId = 1L)
+    // crash simulation (the PublishSpec pattern, on the Delta/Link
+    // member kinds): tear out the appended codes version's commit
+    // marker and the group journal's committed marker
+    Fs.deleteRecursive(new Path(
+      s"$idx/${AnnIndex.CodesTable}/_v${v1(AnnIndex.CodesTable)}/_COMMIT"))
+    Fs.deleteRecursive(new Path(s"$idx/_txn/1.committed"))
+    assert(Versioned.latestVersion(idx, AnnIndex.CodesTable) == Some(0L))
+    assert(Versioned.recoverGroups(idx) == Seq(1L))
+    assert(Versioned.latestVersion(idx, AnnIndex.CodesTable) ==
+      Some(v1(AnnIndex.CodesTable)))
+    // the recovered snapshot serves build + append
+    assert(Versioned.readGroup(spark, idx)(AnnIndex.CodesTable).count() ==
+      emb.count())
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    assert(collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5)).nonEmpty)
   }
 
   test("readGroup snapshot stays consistent across appends (linked model + " +
