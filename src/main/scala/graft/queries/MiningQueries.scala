@@ -877,7 +877,10 @@ object MiningQueries {
     val edges = edges0.join(outW, "u")
       .select(col("u"), col("v"), col("w"), col("wu"))
       .localCheckpoint(eager = false)
+    // nodes feed EVERY round's left join — without the checkpoint each
+    // round re-runs the distinct over the edge list (5 extra shuffles)
     val nodes = edges.select(col("u").as("n")).distinct()
+      .localCheckpoint(eager = false)
     var pr = nodes.select(col("n"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
       val contrib = edges.join(pr, edges("u") === pr("n"))
