@@ -801,6 +801,63 @@ object InsightQueries {
       |    // (2 * MAX(ny) * MAX(n)) AS BIGINT) AS tv_micro
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- peak open-order concurrency (sweep line) -------------------------
+
+  /** Peak number of simultaneously-open orders per year (open = from
+    * order date through its last line's ship date) and the earliest day
+    * the peak was hit — the classic sweep line: +1/−1 boundary deltas
+    * netted per DAY, one cumulative window over the ~daily aggregate,
+    * never an interval self-join (the naive overlap join is quadratic
+    * in concurrency; the sweep is linear and aggregate-sized). Exact
+    * integers end to end; capacity planning's favorite number. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ends = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("e"))
+    val span = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s"))
+      .join(ends, col("o_orderkey") === col("l_orderkey"))
+    val deltas = span.select(col("s").as("d"), lit(1L).as("dl"))
+      .unionAll(span.select(date_add(col("e"), 1).as("d"), lit(-1L).as("dl")))
+      .groupBy(col("d")).agg(sum(col("dl")).as("net"))
+    val wd = Window.orderBy(col("d"))
+    deltas
+      .withColumn("open", sum(col("net")).over(wd))
+      .withColumn("yr", year(col("d")).cast("long"))
+      .withColumn("peak", max(col("open")).over(Window.partitionBy(col("yr"))))
+      .filter(col("open") === col("peak"))
+      .groupBy(col("yr"))
+      .agg(max(col("peak")).as("peak_open"), min(col("d")).as("peak_day"))
+      .orderBy(col("yr"))
+  }
+
+  private val peakConcurrencySql =
+    """WITH ends AS (
+      |  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS e
+      |  FROM lineitem GROUP BY 1
+      |), span AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS s, e
+      |  FROM orders JOIN ends ON o_orderkey = l_orderkey
+      |), deltas AS (
+      |  SELECT d, CAST(SUM(dl) AS BIGINT) AS net FROM (
+      |    SELECT s AS d, 1 AS dl FROM span
+      |    UNION ALL
+      |    SELECT e + 1 AS d, -1 AS dl FROM span
+      |  ) GROUP BY 1
+      |), sweep AS (
+      |  SELECT d, CAST(SUM(net) OVER (ORDER BY d) AS BIGINT) AS open,
+      |    CAST(year(d) AS BIGINT) AS yr
+      |  FROM deltas
+      |), peaks AS (
+      |  SELECT yr, d, open,
+      |    MAX(open) OVER (PARTITION BY yr) AS peak
+      |  FROM sweep
+      |)
+      |SELECT yr, CAST(MAX(peak) AS BIGINT) AS peak_open,
+      |  MIN(d) AS peak_day
+      |FROM peaks WHERE open = peak
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q430_contingency_chi2", contingencyChi2, Some(contingencyChi2Sql),
       "priority × status chi-square cells: exact micro-unit expected " +
@@ -858,5 +915,9 @@ object InsightQueries {
     Q("q444_priority_mix_drift", priorityMixDrift, Some(priorityMixDriftSql),
       "yearly total-variation distance of the priority mix vs all-time " +
         "— pure-integer cross-multiplication until one micro-unit " +
-        "division, marginals from windows over the 35-row aggregate"))
+        "division, marginals from windows over the 35-row aggregate"),
+    Q("q445_peak_concurrency", peakConcurrency, Some(peakConcurrencySql),
+      "peak simultaneously-open orders per year + earliest peak day — " +
+        "sweep line over daily +1/−1 boundary deltas, no interval " +
+        "self-join, exact integers"))
 }
