@@ -24,6 +24,17 @@ object Bench {
     // 400-query sweep costs 10+ min to answer a one-query question.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fail fast on a typo'd or empty selection: an unmatched name would
+    // otherwise silently time zero queries and emit an empty results
+    // file — exactly the misread this flag's adjudication runs can't
+    // afford (a "clean" run that measured nothing).
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, "SPARK_GRAFT_BENCH_ONLY names not in " +
+        s"SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(names.nonEmpty,
+        "SPARK_GRAFT_BENCH_ONLY is set but selects no queries")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
@@ -38,8 +49,15 @@ object Bench {
       // query: in a 150-query single-JVM sweep the leftover blocks
       // otherwise accumulate in the block manager and inflate later
       // queries' times by memory pressure they didn't cause.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // ... but SPARE the TradeGraph memo blocks: those are the shared
+      // loop-invariant graph frames deliberately reused across the
+      // q105/q172/q290/q311/q321/q402 family (and across reps) — an
+      // unpersisted localCheckpoint cannot recompute, so sweeping them
+      // would force a full rebuild per query, defeating the sharing.
+      val spare = graft.queries.TradeGraph.liveRddIds
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => spare(id) }
+        .values.foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
       // ANY failed rep reports -1.0 (excluded from total): a query that
       // crashes intermittently must never masquerade as a healthy median

@@ -40,6 +40,16 @@ object GraphOps {
     // instead of two (the degree never changes between rounds)
     val ed = e.join(e.groupBy(col("u")).agg(count(lit(1)).as("d")), "u")
       .localCheckpoint(false)
+    pageRankOn(ed, nodes, iters)
+  }
+
+  /** [[pageRank]] over PRE-BUILT loop-invariant frames: `ed` is the
+    * deduplicated edge list with out-degree attached (u, v, d) and
+    * `nodes` the node frame (n). This is the entry point for callers
+    * that share one graph build across many queries
+    * ([[graft.queries.TradeGraph]]) — the recurrence is unchanged, so
+    * results are bit-identical to the self-building overload. */
+  def pageRankOn(ed: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     var pr = nodes.withColumn("r", lit(1000000L)) // 1.0 in micro-units
     for (i <- 0 until iters) {
       val contrib = ed.join(pr, ed("u") === pr("n"))
@@ -73,11 +83,19 @@ object GraphOps {
     val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
     val nodes = e.select(col("u").as("n"))
       .union(e.select(col("v").as("n"))).distinct()
-      .withColumn("b",
-        when(col("n").isInCollection(sources), lit(150000L)).otherwise(lit(0L)))
       .localCheckpoint(false)
     val ed = e.join(e.groupBy(col("u")).agg(count(lit(1)).as("d")), "u")
       .localCheckpoint(false)
+    personalizedPageRankOn(ed, nodes, sources, iters)
+  }
+
+  /** [[personalizedPageRank]] over pre-built loop-invariant frames (see
+    * [[pageRankOn]]): the restart flag is a cheap projection over the
+    * shared node frame, never re-derived from the edges. */
+  def personalizedPageRankOn(ed: DataFrame, nodes0: DataFrame,
+      sources: Seq[Long], iters: Int): DataFrame = {
+    val nodes = nodes0.withColumn("b",
+      when(col("n").isInCollection(sources), lit(150000L)).otherwise(lit(0L)))
     var pr = nodes.select(col("n"), col("b"), col("b").as("r"))
     for (i <- 0 until iters) {
       val contrib = ed.join(pr, ed("u") === pr("n"))

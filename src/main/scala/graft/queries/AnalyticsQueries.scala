@@ -497,19 +497,16 @@ object AnalyticsQueries {
     * GraphOps.pageRank), so the final doubles hash-match DuckDB's
     * unrolled-CTE evaluation of the identical recurrence bit-for-bit. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val o = Catalog.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Catalog.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
     // numeric node ids (customer → 2k, supplier → 2k+1) keep every
     // iteration shuffle on 8-byte keys; the rank values are identical to
     // a labeled-graph run (same groups, order-independent decimal sums),
-    // so labels are formatted only on the final 1-row-per-node output
-    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("u"),
-        (col("l_suppkey") * 2 + 1).as("v"))
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    graft.ops.GraphOps.pageRank(edges, iters = 5)
+    // so labels are formatted only on the final 1-row-per-node output.
+    // The loop-invariant edge/degree/node frames come from the shared
+    // memoized TradeGraph build (one orders⋈lineitem projection per
+    // session+dataset, reused by the whole q105/q172/q290/q311/q321/q402
+    // family instead of six independent rebuilds).
+    graft.ops.GraphOps.pageRankOn(TradeGraph.symDeg(spark, dir),
+        TradeGraph.nodes(spark, dir), iters = 5)
       .select(
         when(col("n") % 2 === 0, concat(lit("c"), (col("n") / 2).cast("long")))
           .otherwise(concat(lit("s"), (col("n") / 2).cast("long"))).as("node"),
@@ -556,16 +553,10 @@ object AnalyticsQueries {
     * Seeds missing from a small graph simply contribute nothing (CASE
     * mirrors the Spark-side isin flag). */
   def ppr(spark: SparkSession, dir: String): DataFrame = {
-    val o = Catalog.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Catalog.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("u"),
-        (col("l_suppkey") * 2 + 1).as("v"))
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    // custkeys 1..3 under the numeric (customer → 2k) node scheme
-    graft.ops.GraphOps.personalizedPageRank(edges, Seq(2L, 4L, 6L), iters = 5)
+    // custkeys 1..3 under the numeric (customer → 2k) node scheme;
+    // loop-invariant frames shared via the memoized TradeGraph build
+    graft.ops.GraphOps.personalizedPageRankOn(TradeGraph.symDeg(spark, dir),
+      TradeGraph.nodes(spark, dir), Seq(2L, 4L, 6L), iters = 5)
       .select(
         when(col("n") % 2 === 0, concat(lit("c"), (col("n") / 2).cast("long")))
           .otherwise(concat(lit("s"), (col("n") / 2).cast("long"))).as("node"),
@@ -2847,17 +2838,9 @@ object AnalyticsQueries {
     * fan-out would melt at scale, the relaxation doesn't). Integer
     * weights/distances: nothing drifts cross-engine. */
   def ssspSeed(spark: SparkSession, dir: String): DataFrame = {
-    val o = Catalog.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Catalog.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("u"),
-        (col("l_suppkey") * 2 + 1).as("v"))
-      .agg(count(lit(1)).as("w"))
-    val edges = e0
-      .union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .localCheckpoint(false)
+    // count-weighted symmetric edges from the shared memoized TradeGraph
+    // build (already checkpointed there — no per-query rebuild)
+    val edges = TradeGraph.countWeighted(spark, dir)
     var dist = edges.filter(col("u") === 2L) // c1
       .select(col("u").as("n")).distinct()
       .withColumn("d", lit(0L)).localCheckpoint(false)

@@ -287,15 +287,12 @@ object MiningQueries {
     * unrolled; per half-round one join+sum aggregate on 8-byte keys +
     * one broadcast scalar max — the PageRank shuffle shape. */
   def hitsAuthority(spark: SparkSession, dir: String): DataFrame = {
-    val o = Catalog.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Catalog.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-      // loop-invariant: checkpoint once, 4 half-rounds reuse it
-      .localCheckpoint(eager = false)
+    // loop-invariant distinct (customer, supplier) edges, projected off
+    // the shared memoized TradeGraph base (u = 2c even, v = 2s+1 odd —
+    // the floor divisions recover the raw keys exactly); the base is
+    // already checkpointed, so the 4 half-rounds reuse its blocks
+    val edges = graft.queries.TradeGraph.base(spark, dir)
+      .select(expr("u div 2").as("c"), expr("v div 2").as("s"))
     var hub = edges.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("h"))
     var auth: DataFrame = null
@@ -861,26 +858,11 @@ object MiningQueries {
     * so the recurrence has exactly one answer on any engine. Same
     * join+aggregate-per-round shuffle shape as q105. */
   def weightedPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val o = Catalog.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Catalog.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
-      .agg(sum(col("cents")).as("w"))
-    val edges0 = e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
-    val outW = edges0.groupBy(col("u")).agg(sum(col("w")).as("wu"))
-    // the edge list (with its out-weight pre-joined) is loop-invariant:
-    // checkpoint ONCE or every round re-executes the orders x lineitem
-    // build — 5x the scan cost for identical bytes
-    val edges = edges0.join(outW, "u")
-      .select(col("u"), col("v"), col("w"), col("wu"))
-      .localCheckpoint(eager = false)
-    // nodes feed EVERY round's left join — without the checkpoint each
-    // round re-runs the distinct over the edge list (5 extra shuffles)
-    val nodes = edges.select(col("u").as("n")).distinct()
-      .localCheckpoint(eager = false)
+    // loop-invariant cents-weighted edge list (out-weight pre-joined) and
+    // node frame from the shared memoized TradeGraph build — checkpointed
+    // once per session+dataset and reused across the whole graph family
+    val edges = graft.queries.TradeGraph.centsWeighted(spark, dir)
+    val nodes = graft.queries.TradeGraph.nodes(spark, dir)
     var pr = nodes.select(col("n"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
       val contrib = edges.join(pr, edges("u") === pr("n"))

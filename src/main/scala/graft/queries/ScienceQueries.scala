@@ -1750,18 +1750,10 @@ object ScienceQueries {
     * answer on both engines; the oracle unrolls the identical
     * recurrence. */
   def rankConvergence(spark: SparkSession, dir: String): DataFrame = {
-    val o = Catalog.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Catalog.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
-      .distinct()
-    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(eager = false)
-    val nodes = e.select(col("u").as("n")).distinct().localCheckpoint(eager = false)
-    val ed = e.join(e.groupBy(col("u")).agg(count(lit(1)).as("d")), "u")
-      .localCheckpoint(eager = false)
+    // loop-invariant degree-joined edges + node frame from the shared
+    // memoized TradeGraph build (same recurrence frames as q105/q172)
+    val ed = graft.queries.TradeGraph.symDeg(spark, dir)
+    val nodes = graft.queries.TradeGraph.nodes(spark, dir)
     var pr = nodes.withColumn("r", lit(1000000L))
     val deltas = (1 to 5).map { k =>
       val contrib = ed.join(pr.withColumnRenamed("n", "pn"), col("u") === col("pn"))

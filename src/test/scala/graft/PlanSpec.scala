@@ -1037,4 +1037,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p440.contains("BroadcastHashJoin"), p440)
     assert(!p440.contains("SortMergeJoin"), p440)
   }
+
+  test("q318 triple miner (round-9/10 adjudication pin): both basket " +
+    "self-joins are equi-joins on the basket key — the a<b<c ordering is " +
+    "a post-join filter, never a join condition that would force a " +
+    "nested-loop — and the top-20 plans as TakeOrderedAndProject") {
+    val p = plan(graft.Registry.byName("q318_itemsets3").build(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the capped-basket frame feeds both joins; the lineitem parquet is
+    // scanned a bounded number of times (once per self-join arm)
+    assert("FileScan parquet".r.findAllIn(p).size <= 3, p)
+  }
 }
