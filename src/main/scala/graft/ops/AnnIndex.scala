@@ -1,6 +1,7 @@
 package graft.ops
 
-import graft.pipelines.Versioned
+import graft.pipelines.{Fs, Versioned}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,13 +20,17 @@ import org.apache.spark.sql.functions._
   * model and codes always belong to the same transaction, even while an
   * append or rebuild is landing.
   *
-  * The three operations a 100 TB ANN tier actually runs:
+  * The serving-lifecycle operations a 100 TB ANN tier actually runs:
   *
   *   - [[build]]: train once over the corpus (the only full-scan job),
   *     publish model + batch-0 codes atomically.
-  *   - [[serveTopK]]: read the snapshot, probe/rank ONLY — no training,
-  *     no full-corpus pass. Rankings are bit-identical to the one-shot
-  *     path (AnnIndexSpec) because recon depends only on (cell, codes,
+  *   - [[serveTopK]]: resolve ONE group snapshot, probe/rank ONLY — no
+  *     training, no full-corpus pass. The (model tables → versions)
+  *     part of the snapshot keys a driver-side model cache, so repeated
+  *     serves against an unchanged model read no model files at all
+  *     ([[modelLoads]] counts actual loads; AnnIndexSpec pins the second
+  *     serve at zero). Rankings are bit-identical to the one-shot path
+  *     (AnnIndexSpec) because recon depends only on (cell, codes,
   *     model), all of which round-trip parquet exactly.
   *   - [[append]]: encode a NEW batch against the FROZEN model
   *     (the incremental-dedup admission pattern), stage only that
@@ -34,12 +39,16 @@ import org.apache.spark.sql.functions._
   *     prior code batches link through the partition manifest
   *     ([[Versioned.GroupDelta]] reuse). Cost is O(batch) in both
   *     compute and bytes staged, never O(corpus).
+  *   - [[recallAudit]] / [[maybeRebuild]]: the drift loop — sampled
+  *     recall@k of the served index against exact brute force, per
+  *     published version, and the measured rebuild trigger it feeds.
   *
   * Freezing the codebooks is the standard production trade: appended
   * vectors quantize against centroids trained on the build-time
-  * distribution, so recall degrades slowly under drift and the answer
-  * is a periodic [[build]] (full retrain), not per-batch retraining —
-  * exactly how FAISS/ScaNN index lifecycles work.
+  * distribution, so recall degrades slowly under drift. The answer is a
+  * periodic [[build]] (full retrain), not per-batch retraining — and
+  * "periodic" is not a policy until something measures the decay, which
+  * is exactly what [[recallAudit]] does and [[maybeRebuild]] acts on.
   */
 object AnnIndex {
 
@@ -53,10 +62,47 @@ object AnnIndex {
   final case class Params(nCells: Int = 16, m: Int = 8, pqK: Int = 16,
       dim: Int = 64)
 
+  // ---- batch-admission ledger (high-water mark) -----------------------
+  // The codes manifest doubles as the idempotence ledger for micro-batch
+  // replays — but compact/build collapse the manifest to batch=0, which
+  // would forget every admitted id and re-admit a failure-replay of an
+  // epoch that landed just before the rewrite (duplicating its vectors).
+  // The sidecar high-water mark survives those rewrites: batch ids are
+  // monotone for the lifetime of the index DIRECTORY (the Delta-sink
+  // txnVersion contract — ingestStream's durable checkpoint guarantees
+  // it for streamed epochs), so `batchId <= hwm` means "already admitted
+  // at some point", whether or not the manifest still remembers it.
+
+  private def hwmPath(indexDir: String) = new Path(s"$indexDir/_batch_hwm")
+
+  private def readHwm(indexDir: String): Long = {
+    val p = hwmPath(indexDir)
+    if (Fs.exists(p)) Fs.readString(p).trim.toLong else -1L
+  }
+
+  /** Raise the ledger to cover `atLeast` and every batch id the CURRENT
+    * codes manifest names. Called BEFORE a manifest-collapsing rewrite
+    * (compact/rebuild) so a crash between ledger write and publish still
+    * leaves every admitted id covered by manifest ∪ ledger. */
+  private def advanceHwm(indexDir: String, atLeast: Long): Long = {
+    val manifestMax = Versioned.latestVersion(indexDir, CodesTable)
+      .flatMap(v => Versioned.manifest(indexDir, CodesTable, v))
+      .map(_.entries.flatMap(_._1.toLongOption)
+        .foldLeft(-1L)(math.max))
+      .getOrElse(-1L)
+    val next = math.max(math.max(readHwm(indexDir), manifestMax), atLeast)
+    Fs.writeString(hwmPath(indexDir), s"$next\n")
+    next
+  }
+
   /** Train the IVF-PQ model over `emb`, encode the full corpus, and
     * publish all three tables as one atomic group transaction. Returns
     * the published (table → version) map. The ONLY operation that scans
-    * the whole corpus; everything after serves from the index. */
+    * the whole corpus; everything after serves from the index. A rebuild
+    * into an existing directory carries the admission ledger forward
+    * (see the high-water notes above): batch ids stay monotone across
+    * index generations, so a replay of a pre-rebuild epoch can never be
+    * re-admitted as fresh data. */
   def build(emb: DataFrame, indexDir: String, p: Params = Params(),
       keep: Int = 3): Map[String, Long] = {
     val spark = emb.sparkSession
@@ -78,6 +124,8 @@ object AnnIndex {
     val booksDf = books.zipWithIndex
       .flatMap { case (book, s) => book.map { case (c, v) => (s, c, v) } }
       .toDF("subspace", "code", "centroid")
+    // ledger BEFORE the manifest-collapsing publish (crash-safe order)
+    advanceHwm(indexDir, 0L)
     Versioned.publishGroupMembers(Seq(
       Versioned.GroupFull(CentroidsTable, centroidsDf),
       Versioned.GroupFull(CodebooksTable, booksDf),
@@ -85,47 +133,84 @@ object AnnIndex {
       indexDir, keep)
   }
 
+  // ---- model loading (driver-sized, memoized per published version) ---
+
+  private type Model = (Seq[(Int, Array[Float])], Seq[Seq[(Int, Array[Float])]])
+
+  // keyed by (indexDir, centroids version, codebooks version): an append
+  // LINKS the model tables at their existing versions, so the cache stays
+  // hot across appends and invalidates exactly when a rebuild publishes
+  // new model versions. Model-sized values (nCells + m·pqK vectors).
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Model]()
+  private val modelLoadCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Number of ACTUAL model-parquet loads since JVM start — the
+    * observability hook AnnIndexSpec uses to prove that a repeated serve
+    * against an unchanged model reads no model files. */
+  def modelLoads: Long = modelLoadCount.get
+
+  /** Test/maintenance hook: drop every cached model. */
+  def invalidateModelCache(): Unit = modelCache.clear()
+
   /** The frozen model from the last committed group snapshot: coarse
     * centroids + per-subspace codebooks, reconstructed in the exact
     * `Seq` shapes [[VectorOps]] trains (floats round-trip parquet
     * bit-exactly, so a served model IS the built model). Model-sized
-    * driver collect — nCells + m·pqK small vectors, never the corpus. */
-  def loadModel(spark: SparkSession, indexDir: String)
-      : (Seq[(Int, Array[Float])], Seq[Seq[(Int, Array[Float])]]) = {
+    * driver collect — nCells + m·pqK small vectors, never the corpus —
+    * and memoized by published version, so it runs at most once per
+    * (directory, model generation) per JVM. */
+  def loadModel(spark: SparkSession, indexDir: String): Model =
+    loadModelAt(spark, indexDir, Versioned.latestGroupVersions(indexDir))
+
+  private def loadModelAt(spark: SparkSession, indexDir: String,
+      versions: Map[String, Long]): Model = {
     import spark.implicits._
-    val snap = Versioned.readGroup(spark, indexDir)
-    val coarse = snap(CentroidsTable)
+    val key = (indexDir, versions(CentroidsTable), versions(CodebooksTable))
+    val hit = modelCache.get(key)
+    if (hit != null) return hit
+    val coarse = Versioned.read(spark, indexDir, CentroidsTable,
+        Some(versions(CentroidsTable)))
       .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
-    val books = snap(CodebooksTable)
+    val books = Versioned.read(spark, indexDir, CodebooksTable,
+        Some(versions(CodebooksTable)))
       .as[(Int, Int, Array[Float])].collect()
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(r => (r._2, r._3)).toSeq }
+    modelLoadCount.incrementAndGet()
+    if (modelCache.size > 64) modelCache.clear() // bound a long session
+    modelCache.put(key, (coarse, books))
     (coarse, books)
   }
 
-  /** Serve top-k from the published index: load the model (driver-sized),
-    * read the codes snapshot, and run ONLY the probe/rank stages
-    * ([[VectorOps.ivfPqRank]]). `queries` is `(query_id, qv)` — external
-    * query vectors or a corpus slice; a query also present in the corpus
-    * never matches itself. No training, no full-corpus scan: the probe
-    * CELL SET (bounded by nCells no matter how many queries — one tiny
-    * distinct over the small side) is collected and pushed into the
-    * codes scan as an `In(cell, …)` parquet filter, so with the
-    * cell-sorted layout [[build]]/[[append]] write, row-group min/max
-    * statistics skip every unprobed cell's bytes — the scan reads
-    * O(probed cells), not O(corpus), which is the entire point of an
-    * inverted file. AnnIndexSpec pins both the pushdown and
-    * pruned ≡ unpruned results. */
+  /** Serve top-k from the published index: resolve ONE group snapshot,
+    * load its model (driver-sized, cached per model version), and run
+    * ONLY the probe/rank stages ([[VectorOps.ivfPqRank]]). `queries` is
+    * `(query_id, qv)` — external query vectors or a corpus slice; a
+    * query also present in the corpus never matches itself. No training,
+    * no full-corpus scan: the probe CELL SET (bounded by nCells no
+    * matter how many queries — one tiny distinct over the small side) is
+    * collected and pushed into the codes scan as an `In(cell, …)`
+    * parquet filter, so with the cell-sorted layout [[build]]/[[append]]
+    * write, row-group min/max statistics skip every unprobed cell's
+    * bytes — the scan reads O(probed cells), not O(corpus), which is
+    * the entire point of an inverted file. Model and codes both come
+    * from the SAME journaled transaction: a rebuild committing between
+    * any two reads here can never mix generations. AnnIndexSpec pins
+    * the pushdown, pruned ≡ unpruned results, and the zero-model-read
+    * repeat serve. */
   def serveTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nProbe: Int = 6): DataFrame = {
     import spark.implicits._
-    val (coarse, books) = loadModel(spark, indexDir)
+    val snapshot = Versioned.latestGroupVersions(indexDir)
+    val (coarse, books) = loadModelAt(spark, indexDir, snapshot)
     val dim = coarse.head._2.length
     val probeCells = queries.select(
         explode(graft.functions.NearestCentroids.nearestCells(
           col("qv"), coarse, nProbe)).as("cell"))
       .distinct().as[Int].collect().sorted
-    val all = Versioned.readGroup(spark, indexDir)(CodesTable)
+    val all = Versioned.read(spark, indexDir, CodesTable,
+      Some(snapshot(CodesTable)))
     val codes =
       if (probeCells.isEmpty) all.filter(lit(false)) // no queries → no scan
       else all.filter(col("cell").isInCollection(probeCells.toSeq))
@@ -140,52 +225,70 @@ object AnnIndex {
     * batch partition through the manifest. Bytes staged and rows
     * scanned are O(batch); the existing corpus is never read. Returns
     * the new (table → version) map; an empty batch is a no-op returning
-    * the current versions. */
+    * the current versions. Batch ids must be MONOTONE per index
+    * directory (ingestStream's epoch ids are): the manifest plus the
+    * compaction-surviving high-water ledger together decide replays. */
   def append(batch: DataFrame, indexDir: String, batchId: Long,
       keep: Int = 3, skipIfExists: Boolean = false): Map[String, Long] = {
     val spark = batch.sparkSession
-    val (coarse, books) = loadModel(spark, indexDir)
+    val snapshot = Versioned.latestGroupVersions(indexDir)
+    val (coarse, books) = loadModelAt(spark, indexDir, snapshot)
     val dim = coarse.head._2.length
-    val centroidsV = Versioned.latestVersion(indexDir, CentroidsTable).get
-    val codebooksV = Versioned.latestVersion(indexDir, CodebooksTable).get
-    val codesV = Versioned.latestVersion(indexDir, CodesTable).get
-    val current = Map(CentroidsTable -> centroidsV,
-      CodebooksTable -> codebooksV, CodesTable -> codesV)
+    val current = Map(CentroidsTable -> snapshot(CentroidsTable),
+      CodebooksTable -> snapshot(CodebooksTable),
+      CodesTable -> snapshot(CodesTable))
     if (batch.isEmpty) return current
-    val reuse = Versioned.manifest(indexDir, CodesTable, codesV)
+    val reuse = Versioned.manifest(indexDir, CodesTable,
+        snapshot(CodesTable))
       .getOrElse(throw new IllegalStateException(
-        s"$CodesTable v$codesV has no partition manifest — not an AnnIndex build?"))
+        s"$CodesTable v${snapshot(CodesTable)} has no partition manifest — " +
+          "not an AnnIndex build?"))
       .entries
-    if (reuse.exists(_._1 == batchId.toString)) {
-      // the manifest doubles as an idempotence ledger: a batch id that
-      // already landed is either a caller bug (fail) or a micro-batch
-      // REPLAY after a failure (skip) — `skipIfExists` is how
-      // [[ingestStream]] gets exactly-once admission from at-least-once
-      // delivery, the same move as streaming-sink epoch dedup
+    // the manifest is the primary idempotence ledger; the high-water
+    // mark covers ids the manifest forgot at the last compact/rebuild.
+    // Either way: a batch id that already landed is a caller bug (fail)
+    // or a micro-batch REPLAY after a failure (skip) — `skipIfExists`
+    // is how [[ingestStream]] gets exactly-once admission from
+    // at-least-once delivery, the same move as streaming-sink epoch dedup
+    if (reuse.exists(_._1 == batchId.toString) ||
+        batchId <= readHwm(indexDir)) {
       if (skipIfExists) return current
       throw new IllegalArgumentException(
-        s"batch $batchId already exists in the index (appends must use fresh ids)")
+        s"batch $batchId already admitted to the index " +
+          "(appends must use fresh, monotone ids)")
     }
     val codes = VectorOps.ivfPqEncodeWith(batch, coarse, books, dim)
       .withColumn("batch", lit(batchId))
       .sortWithinPartitions(col("cell"), col("vec_id")) // IVF layout, as in build
-    Versioned.publishGroupMembers(Seq(
-      Versioned.GroupLink(CentroidsTable, centroidsV),
-      Versioned.GroupLink(CodebooksTable, codebooksV),
+    val published = Versioned.publishGroupMembers(Seq(
+      Versioned.GroupLink(CentroidsTable, snapshot(CentroidsTable)),
+      Versioned.GroupLink(CodebooksTable, snapshot(CodebooksTable)),
       Versioned.GroupDelta(CodesTable, codes, "batch", reuse)),
       indexDir, keep)
+    // ledger AFTER the commit: an id is only "admitted" once its data is
+    // readable (a crash before this line is re-caught by the manifest)
+    advanceHwm(indexDir, batchId)
+    published
   }
 
   /** Continuous micro-batch admission: each streamed embedding
     * micro-batch becomes one [[append]] (batch id = epoch + 1, so batch
-    * 0 stays the build). foreachBatch replays after a failure re-deliver
-    * an epoch — `skipIfExists` turns the manifest into an idempotence
-    * ledger, giving exactly-once index admission over at-least-once
-    * delivery without any extra state. Every appended batch is
-    * immediately visible to [[serveTopK]]'s next snapshot. */
-  def ingestStream(embStream: DataFrame,
-      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    * 0 stays the build). The checkpoint location is DURABLE (defaulting
+    * to `<indexDir>/_stream_checkpoint`), so epoch ids keep increasing
+    * across stream restarts — without it Spark would use a temporary
+    * checkpoint, restart epochs at 0, and `skipIfExists` would silently
+    * drop genuinely-new batches that collide with already-landed ids.
+    * foreachBatch replays after a failure re-deliver an epoch —
+    * `skipIfExists` turns manifest + high-water ledger into an
+    * idempotence check, giving exactly-once index admission over
+    * at-least-once delivery without any extra state. Every appended
+    * batch is immediately visible to [[serveTopK]]'s next snapshot. */
+  def ingestStream(embStream: DataFrame, indexDir: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     embStream.writeStream
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$indexDir/_stream_checkpoint"))
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           epoch: Long) =>
         append(b, indexDir, batchId = epoch + 1L, skipIfExists = true)
@@ -200,21 +303,86 @@ object AnnIndex {
     * open-file costs forever after. Compacting the COMPRESSED codes is
     * cheap relative to the corpus: m small ints + 2 ids per vector. A
     * post-compaction [[serveTopK]] returns exactly what it did before
-    * (AnnIndexSpec); batch-id idempotence history is deliberately reset
-    * (the ledger compacts with the data, like sink epoch logs past a
-    * checkpoint). */
+    * (AnnIndexSpec). The manifest's batch-id entries collapse with the
+    * data, but the admission ledger does NOT: the high-water mark is
+    * advanced over every currently-manifested id BEFORE the rewrite, so
+    * a failure-replay of a pre-compaction epoch is still recognized and
+    * skipped (AnnIndexSpec pins this). */
   def compact(spark: SparkSession, indexDir: String,
       keep: Int = 3): Map[String, Long] = {
-    val centroidsV = Versioned.latestVersion(indexDir, CentroidsTable).get
-    val codebooksV = Versioned.latestVersion(indexDir, CodebooksTable).get
-    val merged = Versioned.readGroup(spark, indexDir)(CodesTable)
+    val snapshot = Versioned.latestGroupVersions(indexDir)
+    val merged = Versioned.read(spark, indexDir, CodesTable,
+        Some(snapshot(CodesTable)))
       .select(col("vec_id"), col("cell"), col("codes"),
         lit(0L).as("batch"))
       .sortWithinPartitions(col("cell"), col("vec_id")) // restore IVF layout
+    // ledger BEFORE the manifest-collapsing publish (crash-safe order:
+    // until the new version commits, the old manifest still names every
+    // id; after it commits, the ledger does)
+    advanceHwm(indexDir, -1L)
     Versioned.publishGroupMembers(Seq(
-      Versioned.GroupLink(CentroidsTable, centroidsV),
-      Versioned.GroupLink(CodebooksTable, codebooksV),
+      Versioned.GroupLink(CentroidsTable, snapshot(CentroidsTable)),
+      Versioned.GroupLink(CodebooksTable, snapshot(CodebooksTable)),
       Versioned.GroupDelta(CodesTable, merged, "batch", reuse = Nil)),
       indexDir, keep)
+  }
+
+  // ---- recall-drift observability -------------------------------------
+
+  /** Sampled recall@k of the SERVED index against exact brute-force
+    * cosine, for the current published snapshot — the measurement that
+    * turns "periodically rebuild" into a policy. `corpus` is the
+    * ground-truth vector table the index currently covers (the index
+    * stores only compressed codes, so exact similarities need the raw
+    * vectors); queries are a deterministic hash-ordered sample of its
+    * ids. One row: the audited versions, the sample size, and
+    * recall@k = |served ∩ exact| / |exact|. Cost is O(sample × corpus)
+    * for the ground truth — run it on a sample, per published version,
+    * not per query. */
+  def recallAudit(spark: SparkSession, indexDir: String, corpus: DataFrame,
+      nQueries: Int = 32, k: Int = 10, nProbe: Int = 6): DataFrame = {
+    import spark.implicits._
+    val vs = Versioned.latestGroupVersions(indexDir)
+    val ids = corpus.select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nQueries).as[Long].collect().sorted.toSeq
+    val pred = col("vec_id").isInCollection(ids)
+    val queries = corpus.filter(pred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val truth = VectorOps.cosineTopK(corpus, pred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false) // denominator + hit join below
+    val served = serveTopK(spark, indexDir, queries, k, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val nTruth = truth.count()
+    val hits = truth.join(served, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    Seq((vs(CodesTable), vs(CentroidsTable), ids.size.toLong, k.toLong,
+        nProbe.toLong, hits,
+        if (nTruth == 0) 1.0 else hits.toDouble / nTruth))
+      .toDF("codes_version", "model_version", "n_queries", "k", "n_probe",
+        "n_hits", "recall_at_k")
+  }
+
+  /** The measured rebuild trigger: audit the current snapshot's recall
+    * and, when it has drifted below `minRecall`, retrain over `corpus`
+    * ([[build]] — new model generation, ledger carried forward) and
+    * re-audit. Returns one decision row either way, so a scheduler can
+    * log the drift → rebuild loop per run. */
+  def maybeRebuild(corpus: DataFrame, indexDir: String, minRecall: Double,
+      nQueries: Int = 32, k: Int = 10, nProbe: Int = 6,
+      p: Params = Params(), keep: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def audit() = recallAudit(spark, indexDir, corpus, nQueries, k, nProbe)
+      .select(col("codes_version"), col("recall_at_k"))
+      .as[(Long, Double)].head()
+    val (vBefore, rBefore) = audit()
+    val rebuilt = rBefore < minRecall
+    if (rebuilt) build(corpus, indexDir, p, keep)
+    val (vAfter, rAfter) = if (rebuilt) audit() else (vBefore, rBefore)
+    Seq((vBefore, rBefore, minRecall, rebuilt, vAfter, rAfter))
+      .toDF("audited_version", "recall_before", "min_recall", "rebuilt",
+        "current_version", "recall_after")
   }
 }

@@ -281,19 +281,29 @@ object Versioned {
     }
   }
 
-  /** The last fully-committed group as (table → frame AT its journaled
-    * version): a consistent cross-table snapshot even while newer
-    * per-table versions land. */
-  def readGroup(spark: SparkSession, baseDir: String): Map[String, DataFrame] = {
+  /** The last fully-committed group's (table → journaled version) map —
+    * ONE journal read resolving the whole snapshot. Callers that need
+    * several member tables at a consistent point resolve this once and
+    * read each member at its named version; resolving per-table
+    * "latest" (or calling [[readGroup]] twice) can interleave with a
+    * concurrent group commit and mix two snapshots. */
+  def latestGroupVersions(baseDir: String): Map[String, Long] = {
     val id = txnIds(baseDir, ".committed").maxOption.getOrElse(
       throw new IllegalStateException("no committed group"))
     Fs.readString(stagedPath(baseDir, id)).split("\n")
       .filter(l => l.nonEmpty && l != "END")
       .map(_.split("\t")).collect {
-        case Array(n, v) if v.toLongOption.isDefined =>
-          n -> read(spark, baseDir, n, Some(v.toLong))
+        case Array(n, v) if v.toLongOption.isDefined => n -> v.toLong
       }.toMap
   }
+
+  /** The last fully-committed group as (table → frame AT its journaled
+    * version): a consistent cross-table snapshot even while newer
+    * per-table versions land. */
+  def readGroup(spark: SparkSession, baseDir: String): Map[String, DataFrame] =
+    latestGroupVersions(baseDir).map { case (n, v) =>
+      n -> read(spark, baseDir, n, Some(v))
+    }
 
   /** Hive-escaped partition-dir suffix → raw value (%XX unescape). */
   private def unescapePart(s: String): String =

@@ -352,9 +352,18 @@ object DedupQueries {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus_pub_")
       .toString
     graft.pipelines.CorpusPublisher.publish(docs(spark, dir), out)
-    graft.pipelines.Versioned.read(spark, out,
+    val manifest = graft.pipelines.Versioned.read(spark, out,
         graft.pipelines.CorpusPublisher.ManifestTable)
       .orderBy(col("split"))
+    // the query's result is the (tiny) manifest; materialize it and
+    // delete the published family — without this, each bench sweep
+    // (3 reps + warmup) leaks whole corpora into /tmp
+    val rows = manifest.collect().toSeq
+    val schema = manifest.schema
+    graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   /** Both-threshold reach chains share the shingle fragments; only the

@@ -118,7 +118,10 @@ object VectorQueries {
     * model + codes as one atomic group) and report the published
     * tables' row counts — the registered surface of
     * [[graft.ops.AnnIndex.build]]. Deterministic output: versions are 0
-    * in a fresh directory; row counts are corpus facts. */
+    * in a fresh directory; row counts are corpus facts. The published
+    * artifact is driver-temp debris (the report already holds its
+    * counts), so it is deleted before returning — q429 serves from its
+    * own session-scoped index, not from this one. */
   def annIndexBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
@@ -130,29 +133,100 @@ object VectorQueries {
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx_")
       .toString
     val versions = graft.ops.AnnIndex.build(e, idx)
-    versions.toSeq.sortBy(_._1).map { case (t, v) =>
+    val report = versions.toSeq.sortBy(_._1).map { case (t, v) =>
       (t, v, graft.pipelines.Versioned.read(spark, idx, t, Some(v)).count())
-    }.toDF("table_name", "version", "n_rows")
+    } // materialized driver-side before the directory goes away
+    graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(idx))
+    report.toDF("table_name", "version", "n_rows")
   }
 
-  /** Build the index, then answer the q196 query SET from the PUBLISHED
-    * artifact — [[graft.ops.AnnIndex.serveTopK]] runs only probe/rank
-    * over the codes snapshot (no training, no corpus scan at serve
-    * time). AnnIndexSpec asserts this output is bit-identical to the
-    * one-shot q196_ivf_pq_topk. */
+  // One PRE-BUILT index per (dataset dir) and JVM, for the serve-path
+  // queries: q429 then measures what a serving tier actually pays —
+  // probe + rank over the published snapshot with a warm model cache —
+  // instead of re-paying q428's build on every invocation. Built lazily
+  // by the first caller; deleted at JVM exit (tmp-dir hygiene).
+  private val sessionIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sessionIndex(spark: SparkSession, dir: String): String =
+    sessionIdx.synchronized {
+      sessionIdx.getOrElseUpdate(dir, {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ann_session_idx_").toString
+        graft.ops.AnnIndex.build(emb(spark, dir), idx)
+        sys.addShutdownHook {
+          graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(idx))
+        }
+        idx
+      })
+    }
+
+  /** Answer the q196 query SET from the session's PUBLISHED index —
+    * [[graft.ops.AnnIndex.serveTopK]] runs only probe/rank over the
+    * codes snapshot (no training, no corpus scan, and — after the first
+    * call — no model read: the model cache keys on the published model
+    * version). The index is built once per session by the first serve;
+    * repeated invocations measure the pure serve path. AnnIndexSpec
+    * asserts this output is bit-identical to the one-shot
+    * q196_ivf_pq_topk. */
   def annIndexServe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
     if (e.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "rn", "neighbor_id", "cos_sim")
-    val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx_")
-      .toString
-    graft.ops.AnnIndex.build(e, idx)
+    val idx = sessionIndex(spark, dir)
     val queries = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** The ANN serving lifecycle's drift loop, end-to-end on the fixture
+    * corpus: build on the first half, measure recall@5 against exact
+    * brute force ([[graft.ops.AnnIndex.recallAudit]]), append a
+    * distribution-SHIFTED second half (scaled+offset vectors — the
+    * frozen codebooks quantize them badly), re-measure, then let
+    * [[graft.ops.AnnIndex.maybeRebuild]] apply the measured policy:
+    * rebuild iff recall fell below 90% of the fresh-build recall. Three
+    * rows — fresh / drifted / decision — each carrying the audited
+    * codes version, so the output IS the per-version recall table the
+    * rebuild trigger reads. Engine-specific k-means model → rows-only;
+    * AnnIndexSpec pins the ordering (fresh > drifted, rebuild recovers)
+    * and determinism. */
+  def annRecallDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    if (e.isEmpty)
+      return Seq.empty[(String, Long, Double, Boolean)]
+        .toDF("stage", "codes_version", "recall_at_k", "rebuilt")
+    val n = e.count()
+    val base = e.filter(col("vec_id") < n / 2)
+      .select(col("vec_id"), col("embedding"))
+    val shifted = e.filter(col("vec_id") >= n / 2)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(-3.0f) + lit(2.0f)).cast("float")).as("embedding"))
+    val corpus = base.unionByName(shifted).localCheckpoint(false)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ann_drift_").toString
+    val nq = 16
+    val k = 5
+    def audit(c: org.apache.spark.sql.DataFrame) =
+      graft.ops.AnnIndex.recallAudit(spark, idx, c, nq, k)
+        .select(col("codes_version"), col("recall_at_k"))
+        .as[(Long, Double)].head()
+    graft.ops.AnnIndex.build(base, idx)
+    val fresh = audit(base)
+    graft.ops.AnnIndex.append(shifted, idx, batchId = 1L)
+    val drifted = audit(corpus)
+    val decision = graft.ops.AnnIndex.maybeRebuild(corpus, idx,
+        minRecall = fresh._2 * 0.9, nQueries = nq, k = k)
+      .select(col("rebuilt"), col("current_version"), col("recall_after"))
+      .as[(Boolean, Long, Double)].head()
+    graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(idx))
+    Seq(("1_fresh", fresh._1, fresh._2, false),
+        ("2_after_shift_append", drifted._1, drifted._2, false),
+        ("3_decision", decision._2, decision._3, decision._1))
+      .toDF("stage", "codes_version", "recall_at_k", "rebuilt")
   }
 
   /** MMR diverse retrieval for query vec 0 (engine-specific rerank →
@@ -599,9 +673,13 @@ object VectorQueries {
         "batch-partitioned codes, one atomic group txn) — table/version/" +
         "rows summary (rows-only; AnnIndexSpec)"),
     Q("q429_ann_index_serve", annIndexServe, None,
-      "serve top-k from the PUBLISHED index: probe/rank only over the " +
-        "codes snapshot, no retraining (rows-only; spec-asserted " +
-        "bit-identical to q196)"),
+      "serve top-k from the PUBLISHED session index: probe/rank only " +
+        "over the codes snapshot, warm model cache, no retraining " +
+        "(rows-only; spec-asserted bit-identical to q196)"),
+    Q("q446_ann_recall_drift", annRecallDrift, None,
+      "per-version recall@k audit vs exact brute force + the measured " +
+        "rebuild trigger: build, drifted append, maybeRebuild at 90% of " +
+        "fresh recall (rows-only; AnnIndexSpec pins ordering/recovery)"),
     Q("q194_pq_audit", pqAudit, None,
       "product quantization: per-subspace codebooks, codegen encode, " +
         "reconstruction-cosine audit (rows-only; spec-checked)"),

@@ -260,6 +260,134 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5)).nonEmpty)
   }
 
+  test("repeat serve against an unchanged model reads NO model files: the " +
+    "model cache keys on the published model versions, stays hot across " +
+    "appends (which link the model), and invalidates on rebuild") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 300), idx)
+    AnnIndex.invalidateModelCache()
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val l0 = AnnIndex.modelLoads
+    val s1 = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
+    assert(AnnIndex.modelLoads == l0 + 1) // first serve loads the model
+    val s2 = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
+    assert(AnnIndex.modelLoads == l0 + 1) // second serve: zero new loads
+    assert(s2 == s1) // and bit-identical results
+    // an append links the model tables at their existing versions — the
+    // cache key doesn't move, so append + the serve after it still load
+    // nothing
+    AnnIndex.append(emb.filter(col("vec_id") >= 300), idx, batchId = 1L)
+    AnnIndex.serveTopK(spark, idx, queries, 5).count()
+    assert(AnnIndex.modelLoads == l0 + 1)
+    // a rebuild publishes a NEW model generation → exactly one reload
+    AnnIndex.build(emb, idx)
+    AnnIndex.serveTopK(spark, idx, queries, 5).count()
+    assert(AnnIndex.modelLoads == l0 + 2)
+  }
+
+  test("serve resolves model AND codes from one journaled snapshot (no " +
+    "per-table latest reads that a concurrent commit could interleave)") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 300), idx)
+    AnnIndex.append(emb.filter(col("vec_id") >= 300), idx, batchId = 1L)
+    val vs = Versioned.latestGroupVersions(idx)
+    assert(vs == Map(AnnIndex.CentroidsTable -> 0L,
+      AnnIndex.CodebooksTable -> 0L, AnnIndex.CodesTable -> 1L))
+    // the snapshot the serve path reads == journaled versions (model at
+    // the linked build version, codes at the appended version)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served = AnnIndex.serveTopK(spark, idx, queries, 5)
+    assert(collectTopK(served).nonEmpty)
+  }
+
+  test("a replay of a batch that landed BEFORE compaction is still " +
+    "recognized and skipped: the admission ledger survives the " +
+    "manifest collapse") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 300), idx)
+    val b1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    AnnIndex.append(b1, idx, batchId = 1L)
+    AnnIndex.compact(spark, idx)
+    val n = Versioned.readGroup(spark, idx)(AnnIndex.CodesTable).count()
+    // failure-replay of epoch 1 after the compact: manifest no longer
+    // names batch 1, but the high-water ledger does — skipped, not
+    // duplicated
+    val before = Versioned.latestVersion(idx, AnnIndex.CodesTable)
+    AnnIndex.append(b1, idx, batchId = 1L, skipIfExists = true)
+    assert(Versioned.latestVersion(idx, AnnIndex.CodesTable) == before)
+    assert(Versioned.readGroup(spark, idx)(AnnIndex.CodesTable).count() == n)
+    // without the replay flag it is a caller bug, loudly
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(b1, idx, batchId = 1L)
+    }
+    // fresh monotone ids still admit normally after the compact
+    AnnIndex.append(emb.filter(col("vec_id") >= 400), idx, batchId = 2L)
+    assert(Versioned.readGroup(spark, idx)(AnnIndex.CodesTable).count() ==
+      emb.count())
+  }
+
+  test("ingestStream checkpoints durably under the index directory (epoch " +
+    "ids survive restarts instead of resetting to 0 and colliding)") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 300), idx)
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val stream = ms.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val rows = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val q = AnnIndex.ingestStream(stream, idx)
+    try { ms.addData(rows); q.processAllAvailable() } finally q.stop()
+    // the durable default location, inside the index family directory
+    assert(Fs.exists(new Path(s"$idx/_stream_checkpoint/offsets")))
+  }
+
+  test("recall drift is measurable per published version, and " +
+    "maybeRebuild acts on it: fresh build recall > recall after " +
+    "distribution-shifted appends, rebuild recovers it") {
+    val idx = tmp()
+    val base = emb.filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    // a shifted second wave: scaled + offset vectors land far from the
+    // frozen build-time centroids, so their PQ residuals quantize badly
+    val shifted = emb.filter(col("vec_id") >= 300)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(-3.0f) + lit(2.0f)).cast("float")).as("embedding"))
+    val corpus0 = base
+    val corpus1 = base.unionByName(shifted).localCheckpoint(true)
+    AnnIndex.build(corpus0, idx)
+    val fresh = AnnIndex.recallAudit(spark, idx, corpus0, nQueries = 24)
+      .select(col("codes_version"), col("recall_at_k"))
+      .as[(Long, Double)].head()
+    assert(fresh._1 == 0L)
+    AnnIndex.append(shifted, idx, batchId = 1L)
+    val drifted = AnnIndex.recallAudit(spark, idx, corpus1, nQueries = 24)
+      .select(col("codes_version"), col("recall_at_k"))
+      .as[(Long, Double)].head()
+    assert(drifted._1 == 1L) // audits are per published version
+    assert(drifted._2 < fresh._2,
+      s"expected drift: fresh=${fresh._2} drifted=${drifted._2}")
+    // the measured trigger: threshold between the two recalls → rebuild
+    val thr = (fresh._2 + drifted._2) / 2
+    val decision = AnnIndex.maybeRebuild(corpus1, idx, minRecall = thr,
+        nQueries = 24)
+      .select(col("rebuilt"), col("recall_before"), col("recall_after"))
+      .as[(Boolean, Double, Double)].head()
+    assert(decision._1) // drifted below the floor → retrained
+    assert(decision._3 > decision._2,
+      s"rebuild should recover recall: ${decision._2} -> ${decision._3}")
+    // and a healthy index is left alone
+    val noop = AnnIndex.maybeRebuild(corpus1, idx, minRecall = thr,
+        nQueries = 24)
+      .select(col("rebuilt")).as[Boolean].head()
+    assert(!noop)
+  }
+
   test("readGroup snapshot stays consistent across appends (linked model + " +
     "grown codes in ONE journaled transaction)") {
     val idx = tmp()
