@@ -741,7 +741,36 @@ object DedupOps {
         .join(bHash.groupBy(col("h")).agg(min(col("doc_id")).as("keep")), "h")
         .filter(col("doc_id") =!= col("keep")).select(col("doc_id")))
       .distinct()
-    // near tier: row-local shingle sets, df-capped union postings
+    // near tier: the scored admission pairs, thresholded to a drop set
+    val nearDup = incrementalJaccardPairs(corpus, batch, n, threshold, maxDf)
+      .select(col("doc_b").as("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(exactDup.withColumn("__e", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("__n", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__e").isNotNull, "exact_dup")
+          .when(col("__n").isNotNull, "near_dup")
+          .otherwise("admitted").as("status"))
+  }
+
+  /** The SCORED admission pairs behind [[incrementalDedup]]'s near tier:
+    * every (batch doc, other doc) pair with n-gram Jaccard ≥ `threshold`,
+    * where `other` ranges over the corpus AND smaller-id batch docs —
+    * the (batch×corpus) ∪ (batch×batch) candidate join of the admission
+    * pattern (never corpus×corpus), df-capped postings, full exact
+    * verify. Keeping the SCORE (instead of collapsing to a status) is
+    * what lets one machinery run serve two thresholds downstream — the
+    * [[graft.pipelines.CorpusPublisher]] two-threshold discipline
+    * (dedup at the high cut, split/contamination scope at the loose
+    * one) — exactly like the jaccardPairsHashed reuse in the full
+    * publish path.
+    *
+    * @return (doc_b, doc_a, other_side, jaccard): doc_b is always the
+    *         batch doc; other_side is "c" (corpus) or "b" (smaller-id
+    *         batch doc). */
+  def incrementalJaccardPairs(corpus: DataFrame, batch: DataFrame,
+      n: Int = 5, threshold: Double = 0.5,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
     val cmd = minhashDocs(corpus, n, k = 0).filter(size(col("shs")) > 0)
       .localCheckpoint(false)
     val bmd = minhashDocs(batch, n, k = 0).filter(size(col("shs")) > 0)
@@ -755,25 +784,20 @@ object DedupOps {
       .join(posts.as("y"),
         col("x.sh_h") === col("y.sh_h") &&
           (col("y.side") === "c" || col("x.doc_id") > col("y.doc_id")))
-      .select(col("x.doc_id").as("doc_b"), col("y.doc_id").as("doc_a"))
+      .select(col("x.doc_id").as("doc_b"), col("y.doc_id").as("doc_a"),
+        col("y.side").as("other_side"))
       .distinct()
     val docsets = cmd.union(bmd).select(col("doc_id"), col("shs"),
       size(col("shs")).cast("long").as("n_sh"))
-    val nearDup = cand
+    cand
       .join(docsets.as("a"), col("doc_a") === col("a.doc_id"))
       .join(docsets.as("b"), col("doc_b") === col("b.doc_id"))
       .withColumn("n_common",
         size(array_intersect(col("a.shs"), col("b.shs"))).cast("long"))
-      .filter(col("n_common").cast("double") /
-        (col("a.n_sh") + col("b.n_sh") - col("n_common")) >= threshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-    batch.select(col("doc_id"))
-      .join(exactDup.withColumn("__e", lit(1)), Seq("doc_id"), "left")
-      .join(nearDup.withColumn("__n", lit(1)), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("__e").isNotNull, "exact_dup")
-          .when(col("__n").isNotNull, "near_dup")
-          .otherwise("admitted").as("status"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("a.n_sh") + col("b.n_sh") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b"), col("doc_a"), col("other_side"), col("jaccard"))
   }
 
   /** End-to-end corpus cleaning — the composed training-data pipeline:

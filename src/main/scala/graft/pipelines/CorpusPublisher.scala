@@ -21,11 +21,19 @@ import org.apache.spark.sql.functions._
   *      that a single-threshold pipeline gets wrong;
   *   3. per-split budget manifest (docs, whitespace tokens, chars) —
   *      the numbers a mixture/curriculum planner reads;
-  *   4. ONE [[Versioned.publishGroup]] transaction: `corpus_train` /
-  *      `corpus_val` / `corpus_test` (doc_id, lang, quality,
-  *      token_count, text) + `corpus_manifest` — readers snapshot all
-  *      four consistently via [[Versioned.readGroup]], and a crashed
-  *      publish rolls forward exactly like any other group.
+  *   4. ONE [[Versioned.publishGroupMembers]] transaction:
+  *      `corpus_train` / `corpus_val` / `corpus_test` (doc_id, lang,
+  *      quality, token_count, text, batch) + `corpus_manifest` —
+  *      readers snapshot all four consistently via
+  *      [[Versioned.readGroup]], and a crashed publish rolls forward
+  *      exactly like any other group.
+  *
+  * The corpus tables are Hive-partitioned by ingest `batch` (the full
+  * publish is batch 0), which is what makes [[appendBatch]] an O(batch)
+  * transaction: a new document batch stages ONE new partition per
+  * table and links every prior batch through the manifest — the
+  * admission move [[graft.ops.AnnIndex.append]] makes against its
+  * frozen model, applied to the published corpus family.
   *
   * Scale: every stage is the already-audited operator (hashed-shingle
   * joins under the df cap, no all-pairs stage); the publish itself adds
@@ -38,6 +46,9 @@ object CorpusPublisher {
   val ValTable = "corpus_val"
   val TestTable = "corpus_test"
   val ManifestTable = "corpus_manifest"
+
+  private val SplitTables =
+    Seq(TrainTable -> "train", ValTable -> "val", TestTable -> "test")
 
   /** The kept, split-assigned corpus rows (pre-publish view):
     * (doc_id, lang, quality, token_count, text, split).
@@ -70,10 +81,7 @@ object CorpusPublisher {
       .join(repsHigh, Seq("doc_id"), "left_semi")
       .join(keepers, Seq("doc_id"), "left_semi")
     val splits = DedupOps.clustersFromPairs(docs, pairsLow)
-      .withColumn("split",
-        when(col("cluster_rep") % 100 < trainPct, "train")
-          .when(col("cluster_rep") % 100 < trainPct + valPct, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("cluster_rep"), trainPct, valPct))
       .select(col("doc_id"), col("split"))
     kept
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
@@ -83,8 +91,30 @@ object CorpusPublisher {
         col("text"), col("split"))
   }
 
-  /** Publish the prepared corpus as one atomic versioned group; returns
-    * (table → version). */
+  /** The deterministic split rule, shared by the full publish and the
+    * standalone-cluster path of [[appendBatch]] (it must be the SAME
+    * function or batch admission diverges from a full republish). */
+  private def splitOf(clusterRep: org.apache.spark.sql.Column,
+      trainPct: Int, valPct: Int): org.apache.spark.sql.Column =
+    when(clusterRep % 100 < trainPct, "train")
+      .when(clusterRep % 100 < trainPct + valPct, "val")
+      .otherwise("test")
+
+  /** A split table's member for a group publish: normally one new
+    * `batch=` partition (GroupDelta) linking `reuse`; but a partitioned
+    * version may not be EMPTY (the manifest must name at least one
+    * partition directory), so an empty side with nothing to link is
+    * published as a plain empty version instead — same columns, and
+    * a later append over it simply starts its partition history then. */
+  private def sideMember(t: String, rows: DataFrame, batchId: Long,
+      reuse: Seq[(String, String)]): Versioned.GroupMember = {
+    val withBatch = rows.withColumn("batch", lit(batchId))
+    if (reuse.isEmpty && rows.isEmpty) Versioned.GroupFull(t, withBatch)
+    else Versioned.GroupDelta(t, withBatch, "batch", reuse)
+  }
+
+  /** Publish the prepared corpus as one atomic versioned group (all
+    * rows land in `batch` partition 0); returns (table → version). */
   def publish(docs: DataFrame, baseDir: String, qualityMin: Double = 0.38,
       dedupThreshold: Double = 0.5, splitThreshold: Double = 0.3,
       trainPct: Int = 80, valPct: Int = 10, keep: Int = 3): Map[String, Long] = {
@@ -97,10 +127,185 @@ object CorpusPublisher {
         sum(length(col("text")).cast("long")).cast("long").as("n_chars"))
       .orderBy(col("split"))
     def side(s: String) = prep.filter(col("split") === s).drop("split")
-    Versioned.publishGroup(Seq(
-      TrainTable -> side("train"),
-      ValTable -> side("val"),
-      TestTable -> side("test"),
-      ManifestTable -> manifest), baseDir, keep)
+    Versioned.publishGroupMembers(
+      SplitTables.map { case (t, s) =>
+        sideMember(t, side(s), batchId = 0L, reuse = Nil)
+      } :+ Versioned.GroupFull(ManifestTable, manifest), baseDir, keep)
+  }
+
+  /** Admit a NEW document batch into the published corpus family as one
+    * O(batch) group transaction — the corpus-side analogue of
+    * [[graft.ops.AnnIndex.append]] against its frozen model: the batch
+    * is vetted against the PUBLISHED corpus (the admission pattern —
+    * (batch×corpus) ∪ (batch×batch) shingle joins via
+    * [[DedupOps.incrementalJaccardPairs]], never corpus×corpus), each
+    * split table stages only its new `batch=<batchId>` partition with
+    * every prior batch linked through the manifest, and the budget
+    * manifest is updated from the OLD manifest + the batch's deltas
+    * (exact long sums — no corpus re-aggregation). Batch `doc_id`s must
+    * exceed every published id (the monotone-id contract), and batch
+    * ids must be fresh — a reused batch id fails loudly against the
+    * partition ledger.
+    *
+    * Admission rules, chosen so that on a non-bridging batch the result
+    * EQUALS a full republish of (original docs ∪ batch)
+    * (CorpusPublisherSpec pins the equality):
+    *   - quality gate: same pure-function score, same floor;
+    *   - exact tier: batch doc dropped if its sha256 matches any
+    *     published doc (the published doc has the smaller id and stays
+    *     keeper) or a smaller-id batch doc;
+    *   - near tier at `dedupThreshold`: a batch CLUSTER (connected
+    *     components over batch×batch pairs) is dropped entirely when
+    *     any member pairs with a published doc (the published rep
+    *     stays; transitively attached batch docs go with it, matching
+    *     the republish cluster); a standalone batch cluster keeps its
+    *     min-id representative only;
+    *   - splits at `splitThreshold`: a batch cluster with published
+    *     neighbors in exactly ONE split inherits it (its members join
+    *     that cluster under republish, whose corpus rep — and therefore
+    *     split — is unchanged); with NO published neighbors it is a new
+    *     cluster and gets `splitOf(min batch id)`, the republish rule
+    *     verbatim. A cluster whose neighbors span ≥2 splits is a BRIDGE:
+    *     under republish it would merge two published clusters and flip
+    *     existing docs' splits, which admission must never do — it is
+    *     dropped (conservative: admitting it to either side would
+    *     contaminate the other), so the leakage invariant holds
+    *     UNCONDITIONALLY across versions and no published doc's split
+    *     ever changes. Bridges are re-homed by the next full publish.
+    *
+    * Vetting compares against PUBLISHED docs only (like every admission
+    * system): a batch doc near-duplicate of a previously REJECTED doc
+    * is judged on its own merits — identical text still fails the same
+    * pure-function quality gate, but a near-dup of a dropped
+    * low-quality doc can be admitted where a from-scratch republish
+    * containing the old doc would drop it. That asymmetry is inherent
+    * to O(batch) admission (the rejected doc is not in the published
+    * state) and is the same trade [[graft.ops.AnnIndex.append]] makes
+    * by encoding against the frozen model.
+    *
+    * @return (table → version) of the new group snapshot. */
+  def appendBatch(batch: DataFrame, baseDir: String, batchId: Long,
+      qualityMin: Double = 0.38, dedupThreshold: Double = 0.5,
+      splitThreshold: Double = 0.3, trainPct: Int = 80, valPct: Int = 10,
+      keep: Int = 3): Map[String, Long] = {
+    require(splitThreshold <= dedupThreshold,
+      "the split scope must be at most as strict as the dedup cut")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val vs = Versioned.latestGroupVersions(baseDir)
+    // reuse entries per split table: a missing manifest is legal only
+    // for a table published EMPTY (the sideMember fallback) — anything
+    // else is an old-layout publish that must be redone first
+    val reuseOf = SplitTables.map { case (t, _) =>
+      t -> (Versioned.manifest(baseDir, t, vs(t)) match {
+        case Some(m) => m.entries
+        case None =>
+          require(
+            Versioned.read(spark, baseDir, t, Some(vs(t))).isEmpty,
+            s"$t v${vs(t)} has data but no partition manifest — " +
+              "published by an older CorpusPublisher? republish first")
+          Nil
+      })
+    }.toMap
+    require(!reuseOf.values.exists(_.exists(_._1 == batchId.toString)),
+      s"batch $batchId already admitted to the corpus (ids must be fresh)")
+    val published = SplitTables.map { case (t, s) =>
+      Versioned.read(spark, baseDir, t, Some(vs(t)))
+        .select(col("doc_id"), col("text"), lit(s).as("split"))
+    }.reduce(_ unionByName _).localCheckpoint(false) // hash + shingle tiers
+    val maxPublished = published.agg(coalesce(max(col("doc_id")), lit(-1L)))
+      .as[Long].head()
+    val b = batch.localCheckpoint(false) // quality/hash/shingle/join fan-out
+    require(b.filter(col("doc_id") <= maxPublished).isEmpty,
+      "batch doc_ids must exceed every published id (monotone-id contract)")
+
+    // exact tier: keeper within the batch, nothing identical to corpus
+    val exactKeepers = DedupOps.exactGroups(b)
+      .select(col("keep_id").as("doc_id"))
+    val notCorpusCopy = b.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(published.select(sha2(col("text"), 256).as("h")), Seq("h"),
+        "left_anti")
+      .select(col("doc_id"))
+
+    // the scored admission pairs, ONCE at the looser threshold; both
+    // cuts below are filters over this one frame (two-threshold reuse)
+    val pairsLow = DedupOps.incrementalJaccardPairs(
+        published.select(col("doc_id"), col("text")), b,
+        threshold = splitThreshold)
+      .localCheckpoint(false)
+
+    // near tier at the dedup cut: batch clusters over batch×batch pairs;
+    // drop clusters touching the corpus, keep standalone reps
+    val pairsHighB = pairsLow.filter(col("other_side") === "b" &&
+      col("jaccard") >= dedupThreshold)
+    val highClusters = DedupOps.clustersFromPairs(b,
+      pairsHighB.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val corpusDupIds = pairsLow.filter(col("other_side") === "c" &&
+        col("jaccard") >= dedupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val corpusDupClusters = highClusters
+      .join(corpusDupIds, Seq("doc_id"), "left_semi")
+      .select(col("cluster_rep")).distinct()
+    val nearKept = highClusters
+      .join(corpusDupClusters, Seq("cluster_rep"), "left_anti")
+      .filter(col("doc_id") === col("cluster_rep"))
+      .select(col("doc_id"))
+
+    // split tier at the loose cut: batch clusters + their published
+    // neighbors' splits → inherit / new-cluster rule / bridge drop
+    val lowClusters = DedupOps.clustersFromPairs(b,
+        pairsLow.filter(col("other_side") === "b")
+          .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(false) // joined twice below
+    val neighborSplits = pairsLow.filter(col("other_side") === "c")
+      .join(published.select(col("doc_id").as("doc_a"), col("split")), "doc_a")
+      .join(lowClusters.select(col("doc_id").as("doc_b"),
+        col("cluster_rep")), "doc_b")
+      .groupBy(col("cluster_rep"))
+      .agg(countDistinct(col("split")).as("n_splits"),
+        min(col("split")).as("corpus_split"))
+    val assigned = lowClusters
+      .join(neighborSplits, Seq("cluster_rep"), "left")
+      .filter(coalesce(col("n_splits"), lit(1L)) === 1L) // bridges out
+      .select(col("doc_id"),
+        coalesce(col("corpus_split"),
+          splitOf(col("cluster_rep"), trainPct, valPct)).as("split"))
+
+    val quality = TextOps.qualityScored(b)
+      .select(col("doc_id"), col("quality"))
+    val admitted = b.select(col("doc_id"), col("lang"), col("text"))
+      .join(quality, "doc_id")
+      .filter(col("quality") >= qualityMin)
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(notCorpusCopy, Seq("doc_id"), "left_semi")
+      .join(nearKept, Seq("doc_id"), "left_semi")
+      .join(assigned, "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        size(TextOps.tokens(col("text"))).cast("long").as("token_count"),
+        col("text"), col("split"))
+      .localCheckpoint(false) // three split filters + the delta rollup
+
+    // budget manifest: OLD manifest + this batch's exact deltas — the
+    // published corpus is never re-aggregated
+    val deltas = admitted.groupBy(col("split"))
+      .agg(count(lit(1)).as("d_docs"),
+        sum(col("token_count")).cast("long").as("d_tokens"),
+        sum(length(col("text")).cast("long")).cast("long").as("d_chars"))
+    val manifest = Versioned.read(spark, baseDir, ManifestTable,
+        Some(vs(ManifestTable)))
+      .join(deltas, Seq("split"), "full_outer")
+      .select(col("split"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) +
+          coalesce(col("d_tokens"), lit(0L))).as("n_tokens"),
+        (coalesce(col("n_chars"), lit(0L)) +
+          coalesce(col("d_chars"), lit(0L))).as("n_chars"))
+      .orderBy(col("split"))
+    def side(s: String) = admitted.filter(col("split") === s).drop("split")
+    Versioned.publishGroupMembers(
+      SplitTables.map { case (t, s) =>
+        sideMember(t, side(s), batchId, reuse = reuseOf(t))
+      } :+ Versioned.GroupFull(ManifestTable, manifest), baseDir, keep)
   }
 }

@@ -55,6 +55,108 @@ class CorpusPublisherSpec extends AnyFunSuite {
     assert(manifest == recomputed)
   }
 
+  private def publishedWithSplit(idx: String) = {
+    val snap = Versioned.readGroup(spark, idx)
+    Seq(CorpusPublisher.TrainTable -> "train",
+      CorpusPublisher.ValTable -> "val",
+      CorpusPublisher.TestTable -> "test").map { case (t, s) =>
+        snap(t).withColumn("split", lit(s))
+      }.reduce(_ unionByName _)
+  }
+
+  private def tableRows(idx: String) = publishedWithSplit(idx)
+    .select(col("doc_id"), col("lang"), col("quality"), col("token_count"),
+      length(col("text")).as("n_chars"), col("split"))
+    .as[(Long, String, Double, Long, Int, String)].collect().sortBy(_._1).toSeq
+
+  test("appendBatch == full republish on a non-bridging batch (same kept " +
+    "docs, same splits, same manifest), staged as O(batch): the new " +
+    "version holds ONLY the batch partition") {
+    val incr = tmp()
+    val full = tmp()
+    val base = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    CorpusPublisher.publish(base, incr)
+    val v0 = publishedWithSplit(incr)
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val versions = CorpusPublisher.appendBatch(batch, incr, batchId = 1L)
+    CorpusPublisher.publish(docs, full)
+    assert(tableRows(incr) == tableRows(full)) // admission ≡ republish
+    // manifests agree too (incremental one came from old + deltas)
+    val mIncr = Versioned.readGroup(spark, incr)(CorpusPublisher.ManifestTable)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val mFull = Versioned.readGroup(spark, full)(CorpusPublisher.ManifestTable)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(mIncr == mFull)
+    // split STABILITY: no published doc moved
+    val v1 = publishedWithSplit(incr).select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    assert(v0.forall { case (id, s) => v1.get(id).contains(s) })
+    // O(batch) physically: each split table's new version directory
+    // contains at most the batch=1 partition; batch=0 is reached through
+    // the manifest link (or the table was empty and stayed linked)
+    Seq(CorpusPublisher.TrainTable, CorpusPublisher.ValTable,
+      CorpusPublisher.TestTable).foreach { t =>
+      val v = versions(t)
+      val dirs = graft.pipelines.Fs.list(
+          new org.apache.hadoop.fs.Path(s"$incr/$t/_v$v"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(dirs.subsetOf(Set("batch=1")), s"$t staged $dirs")
+      val m = Versioned.manifest(incr, t, v)
+      assert(m.forall(_.entries.forall { case (b, rel) =>
+        b == "1" || !rel.startsWith(s"_v$v/") }))
+    }
+    // leakage invariant ACROSS versions: no admitted doc sits within the
+    // split threshold of a published doc in another split
+    val admitted = publishedWithSplit(incr)
+      .join(base.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val pairs = graft.ops.DedupOps.incrementalJaccardPairs(
+      publishedWithSplit(incr).select(col("doc_id"), col("text")),
+      admitted.select(col("doc_id"), col("text")), threshold = 0.3)
+    val splits = publishedWithSplit(incr).select(col("doc_id"), col("split"))
+    val crossSplit = pairs
+      .join(splits.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), "doc_b")
+      .join(splits.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), "doc_a")
+      .filter(col("sa") =!= col("sb"))
+    assert(crossSplit.count() == 0)
+    // a reused batch id is refused loudly
+    intercept[IllegalArgumentException] {
+      CorpusPublisher.appendBatch(batch, incr, batchId = 1L)
+    }
+  }
+
+  test("a BRIDGE batch doc (split-threshold-similar to published docs in " +
+    "two different splits) is dropped — admission never merges published " +
+    "clusters or flips a split — while a one-sided neighbor inherits its " +
+    "split") {
+    // synthetic corpus with controlled 5-gram overlaps; quality gate off
+    def text(lo: Int, hi: Int) = (lo to hi).map(i => s"t$i").mkString(" ")
+    val base = Seq(
+      (1L, "en", text(1, 40)),     // rep 1   -> 1  % 100 = 1  -> train
+      (95L, "en", text(101, 140))) // rep 95  -> 95 % 100 = 95 -> test
+      .toDF("doc_id", "lang", "text")
+    val idx = tmp()
+    CorpusPublisher.publish(base, idx, qualityMin = 0.0)
+    val v0 = publishedWithSplit(idx).select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    assert(v0 == Map(1L -> "train", 95L -> "test"))
+    // X bridges both published docs (~0.34 jaccard to each, below the
+    // 0.5 dedup cut); Y overlaps only the test doc (~0.41)
+    val batch = Seq(
+      (1000L, "en", text(1, 25) + " " + text(101, 125)), // bridge
+      (1001L, "en", text(116, 155)))                     // test-side only
+      .toDF("doc_id", "lang", "text")
+    CorpusPublisher.appendBatch(batch, idx, batchId = 1L, qualityMin = 0.0)
+    val v1 = publishedWithSplit(idx).select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    assert(!v1.contains(1000L)) // the bridge is refused
+    assert(v1.get(1001L).contains("test")) // inheritance, not the id rule
+    assert(v1(1L) == "train" && v1(95L) == "test") // nothing flipped
+  }
+
   test("two-threshold leakage guarantee: docs in the same near-dup cluster " +
     "at the LOOSER split threshold always land in the same split") {
     val idx = tmp()
