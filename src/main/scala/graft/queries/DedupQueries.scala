@@ -366,6 +366,37 @@ object DedupQueries {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
+  /** The INCREMENTAL admission path measured against the SAME oracle as
+    * q441: publish the first 80% of the corpus, admit the remaining 20%
+    * through [[graft.pipelines.CorpusPublisher.appendBatch]] (O(batch)
+    * staging, stability-safe splits), and return the resulting budget
+    * manifest. Because batch admission ≡ full republish on a
+    * non-bridging batch (CorpusPublisherSpec), the manifest must equal
+    * what one full publish over all documents produces — so DuckDB's
+    * full-pipeline corpusPublishSql oracle checks the whole admission
+    * path end-to-end, the q13/q10 fused-twin pattern applied to the
+    * publishing tier. */
+  def corpusAppend(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus_app_")
+      .toString
+    val d = docs(spark, dir).localCheckpoint(false) // both stages below
+    val n = d.agg(count(lit(1))).collect()(0).getLong(0)
+    val cut = n * 4 / 5
+    graft.pipelines.CorpusPublisher.publish(
+      d.filter(col("doc_id") < cut), out)
+    graft.pipelines.CorpusPublisher.appendBatch(
+      d.filter(col("doc_id") >= cut), out, batchId = 1L)
+    val manifest = graft.pipelines.Versioned.read(spark, out,
+        graft.pipelines.CorpusPublisher.ManifestTable)
+      .orderBy(col("split"))
+    val rows = manifest.collect().toSeq
+    val schema = manifest.schema
+    graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** Both-threshold reach chains share the shingle fragments; only the
     * Jaccard cut in `pairs` differs (0.5 = dedup keep, 0.3 = split
     * scope). Same df-cap mirror as [[reachCtes]]. */
@@ -802,6 +833,10 @@ object DedupQueries {
       "END-TO-END corpus publish: clean (τ=0.5 dedup) → leakage-safe " +
         "split (τ=0.3) → atomic versioned group — manifest read back " +
         "from the PUBLISHED tables, oracle covers the whole pipeline"),
+    Q("q447_corpus_append", corpusAppend, Some(corpusPublishSql),
+      "INCREMENTAL corpus admission: publish 80%, appendBatch the rest " +
+        "as one O(batch) delta transaction — same oracle as q441, so " +
+        "DuckDB certifies batch-admission ≡ full republish end-to-end"),
     Q("q67_dup_stats", dupStats, Some(dupStatsSql),
       "per-source duplicate-rate observability rollup"),
     Q("q100_leakage_safe_split", splits, Some(splitsSql),
