@@ -217,15 +217,17 @@ object VectorQueries {
     graft.ops.AnnIndex.build(base, idx)
     val fresh = audit(base)
     graft.ops.AnnIndex.append(shifted, idx, batchId = 1L)
-    val drifted = audit(corpus)
+    // maybeRebuild's decision row already carries the post-append audit
+    // (recall_before at audited_version) — no separate drifted audit
     val decision = graft.ops.AnnIndex.maybeRebuild(corpus, idx,
         minRecall = fresh._2 * 0.9, nQueries = nq, k = k)
-      .select(col("rebuilt"), col("current_version"), col("recall_after"))
-      .as[(Boolean, Long, Double)].head()
+      .select(col("audited_version"), col("recall_before"), col("rebuilt"),
+        col("current_version"), col("recall_after"))
+      .as[(Long, Double, Boolean, Long, Double)].head()
     graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(idx))
     Seq(("1_fresh", fresh._1, fresh._2, false),
-        ("2_after_shift_append", drifted._1, drifted._2, false),
-        ("3_decision", decision._2, decision._3, decision._1))
+        ("2_after_shift_append", decision._1, decision._2, false),
+        ("3_decision", decision._4, decision._5, decision._3))
       .toDF("stage", "codes_version", "recall_at_k", "rebuilt")
   }
 

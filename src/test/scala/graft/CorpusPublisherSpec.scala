@@ -128,6 +128,36 @@ class CorpusPublisherSpec extends AnyFunSuite {
     }
   }
 
+  test("sequential appends chain through the manifest: two batches land " +
+    "as batch=1 and batch=2, the reuse links accumulate, and the final " +
+    "state still equals one full republish") {
+    val incr = tmp()
+    val full = tmp()
+    CorpusPublisher.publish(docs.filter(col("doc_id") < 300), incr)
+    CorpusPublisher.appendBatch(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), incr,
+      batchId = 1L)
+    val v2 = CorpusPublisher.appendBatch(
+      docs.filter(col("doc_id") >= 400), incr, batchId = 2L)
+    CorpusPublisher.publish(docs, full)
+    assert(tableRows(incr) == tableRows(full))
+    val mIncr = Versioned.readGroup(spark, incr)(CorpusPublisher.ManifestTable)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val mFull = Versioned.readGroup(spark, full)(CorpusPublisher.ManifestTable)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(mIncr == mFull)
+    // every non-empty split table's ledger names each admitted batch at
+    // most once, and all its linked partitions resolve
+    Seq(CorpusPublisher.TrainTable, CorpusPublisher.ValTable,
+      CorpusPublisher.TestTable).foreach { t =>
+      Versioned.manifest(incr, t, v2(t)).foreach { m =>
+        val ids = m.entries.map(_._1)
+        assert(ids.distinct == ids)
+        assert(ids.toSet.subsetOf(Set("0", "1", "2")))
+      }
+    }
+  }
+
   test("a BRIDGE batch doc (split-threshold-similar to published docs in " +
     "two different splits) is dropped — admission never merges published " +
     "clusters or flips a split — while a one-sided neighbor inherits its " +
