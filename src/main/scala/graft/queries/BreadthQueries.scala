@@ -684,16 +684,14 @@ object BreadthQueries {
     * twin of this shape). Counts stay exact integers; lift is ONE
     * mirrored double expression over them. */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val items = Catalog.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    // shared memoized basket frames: one lineitem distinct + one basket
+    // self-join per session+dataset for the whole q179/q236/q318/q334
+    // family (bit-identical exact counts)
+    val items = BasketFrames.items(spark, dir)
     val nOrders = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val perPart = items.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
-    val pairs = items.select(col("ok"), col("pk").as("a"))
-      .join(items.select(col("ok"), col("pk").as("b")), "ok")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val pairs = BasketFrames.pairCounts(spark, dir)
     pairs
       .join(perPart.select(col("pk").as("a"), col("n_part").as("n_a")), "a")
       .join(perPart.select(col("pk").as("b"), col("n_part").as("n_b")), "b")
@@ -736,14 +734,13 @@ object BreadthQueries {
     * cosine is two exact-rounded sqrts and one division — deterministic
     * cross-engine. */
   def itemSimilar(spark: SparkSession, dir: String): DataFrame = {
-    val items = Catalog.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    val items = BasketFrames.items(spark, dir)
     val perPart = items.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
-    val pairs = items.select(col("ok"), col("pk").as("a"))
-      .join(items.select(col("ok"), col("pk").as("b")), "ok")
-      .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    // ordered (a ≠ b) view of the shared pair aggregate: an unordered
+    // pair counts the same both ways, so union-of-swap == the a ≠ b
+    // groupBy, bit for bit
+    val pairs = BasketFrames
+      .symmetrized(BasketFrames.pairCounts(spark, dir))
       .filter(col("n_ab") >= 2)
     val w = Window.partitionBy(col("a"))
       .orderBy(col("cos_sim").desc, col("b"))

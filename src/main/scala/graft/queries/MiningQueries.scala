@@ -707,25 +707,15 @@ object MiningQueries {
 
   // ---- frequent 3-itemsets (Apriori step) ------------------------------
 
-  /** Mega-basket ceiling for the pair/triple miners (q318/q334): a
-    * basket with more than this many distinct parts contributes
-    * O(size²)–O(size³) rows to the self-joins — the same quadratic
-    * blow-up the dedup candidate joins bound with a shingle df-cap
-    * (`DedupOps.capHotKeys`). Baskets above the cap are dropped BEFORE
-    * the self-joins, mirrored in the oracles, so the per-key fan-out is
-    * bounded by C(cap,3) at any corpus scale. TPC-H baskets are ≤7
-    * lines, so the cap is inert on the fixtures — it exists for the
-    * 100 TB pathological mega-basket. */
-  private val MaxBasketSize = 64
+  /** Mega-basket ceiling (see [[BasketFrames.MaxBasketSize]]) — kept as
+    * the oracle-SQL interpolation point. */
+  private val MaxBasketSize = BasketFrames.MaxBasketSize
 
-  /** Distinct (order, part) basket items with [[MaxBasketSize]] applied. */
+  /** Distinct (order, part) basket items with [[MaxBasketSize]] applied —
+    * the shared memoized [[BasketFrames.cappedItems]] frame (built and
+    * checkpointed once per session+dataset for q318/q334). */
   private def cappedBaskets(spark: SparkSession, dir: String): DataFrame =
-    Catalog.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("ok"))))
-      .filter(col("bsz") <= MaxBasketSize)
-      .select(col("ok"), col("pk"))
+    BasketFrames.cappedItems(spark, dir)
 
   /** Oracle mirror of [[cappedBaskets]]: CTE fragment defining `items`. */
   private val cappedBasketsSql =
@@ -930,11 +920,11 @@ object MiningQueries {
     * is bounded by C(cap,2) at any corpus scale. Top-20 via
     * TakeOrdered, counts exact. */
   def bipartiteProjection(spark: SparkSession, dir: String): DataFrame = {
-    val cs0 = Catalog.load(spark, dir, "orders")
-      .join(Catalog.load(spark, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
+    // distinct (customer, supplier) pairs off the shared memoized
+    // TradeGraph base (u = 2c even, v = 2s+1 odd — floor divisions
+    // recover the raw keys exactly), as in q311
+    val cs0 = graft.queries.TradeGraph.base(spark, dir)
+      .select(expr("u div 2").as("c"), expr("v div 2").as("s"))
     val cs = cs0
       .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("c"))))
       .filter(col("deg") <= BipartiteMaxDeg)
@@ -1619,10 +1609,11 @@ object MiningQueries {
     val nOrders = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val perPart = items.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
-    val pairs = items.select(col("ok"), col("pk").as("a"))
-      .join(items.select(col("ok"), col("pk").as("b")), "ok")
-      .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    // ordered (a ≠ b) view of the shared memoized pair aggregate — an
+    // unordered pair counts the same in both directions, so the
+    // union-of-swap equals the a ≠ b groupBy bit for bit
+    val pairs = BasketFrames
+      .symmetrized(BasketFrames.cappedPairCounts(spark, dir))
       .filter(col("n_ab") >= 3)
     pairs
       .join(perPart.select(col("pk").as("a"), col("n_part").as("n_a")), "a")
@@ -2435,9 +2426,9 @@ object MiningQueries {
     * sizes every downstream pair join (q179/q318's fan-out is
     * C(size,2)/C(size,3)). Two stacked count aggregates. */
   def basketSizeHist(spark: SparkSession, dir: String): DataFrame =
-    Catalog.load(spark, dir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_partkey")).as("basket_size"))
+    BasketFrames.items(spark, dir)
+      .groupBy(col("ok"))
+      .agg(count(lit(1)).as("basket_size")) // items is already distinct
       .groupBy(col("basket_size")).agg(count(lit(1)).as("n_orders"))
       .orderBy(col("basket_size"))
 

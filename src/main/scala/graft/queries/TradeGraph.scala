@@ -37,46 +37,19 @@ import org.apache.spark.sql.functions._
   */
 object TradeGraph {
 
-  private final case class Entry(session: SparkSession, rddId: Int,
-      df: DataFrame)
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Entry]
-
   /** The checkpointed RDD ids currently backing memo entries — Bench's
     * between-query unpersist sweep consults this so cross-query reuse
     * survives the sweep (these blocks ARE the feature being shared;
-    * everything else is per-query debris). */
-  def liveRddIds: Set[Int] = memo.values.map(_.rddId).toSet
+    * everything else is per-query debris). Covers every
+    * [[SessionFrames]] family (trade graph AND basket frames). */
+  def liveRddIds: Set[Int] = SessionFrames.liveRddIds
 
   /** Drop every memo entry (tests use this to force a cold rebuild). */
-  def invalidateAll(): Unit = synchronized { memo.clear() }
+  def invalidateAll(): Unit = SessionFrames.invalidateAll()
 
-  private def rddIdOf(df: DataFrame): Int =
-    df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-    }.headOption.getOrElse(throw new IllegalStateException(
-      "expected a localCheckpoint-backed frame"))
-
-  /** Memo lookup with the two staleness checks that make reuse safe: the
-    * entry's session must still be THIS session, and its checkpointed
-    * RDD must still be registered (an unpersisted localCheckpoint cannot
-    * recompute — its lineage was truncated — so a swept entry is rebuilt
-    * rather than returned). */
   private def cached(kind: String, dir: String, spark: SparkSession)
-      (build: => DataFrame): DataFrame = synchronized {
-    memo.get((kind, dir)) match {
-      case Some(e) if (e.session eq spark) &&
-          spark.sparkContext.getPersistentRDDs.contains(e.rddId) =>
-        e.df
-      case _ =>
-        // lazy checkpoint: materializes inside the first action that
-        // uses it; the persist registration (consulted above and by
-        // Bench's sweep) happens immediately
-        val df = build.localCheckpoint(eager = false)
-        memo.put((kind, dir), Entry(spark, rddIdOf(df), df))
-        df
-    }
-  }
+      (build: => DataFrame): DataFrame =
+    SessionFrames.cached(kind, dir, spark)(build)
 
   /** The base aggregate every other frame derives from: one row per
     * distinct customer→supplier trading pair with both edge weights the
