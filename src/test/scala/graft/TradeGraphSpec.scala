@@ -68,6 +68,30 @@ class TradeGraphSpec extends AnyFunSuite {
       .filter(col("w") > col("wu")).isEmpty) // out-weight ≥ any edge
   }
 
+  test("warm basket frames: q179/q334 plans read the checkpointed pair " +
+    "aggregate, not lineitem (one distinct + one self-join per session, " +
+    "shared by the whole co-occurrence family)") {
+    graft.queries.BasketFrames.pairCounts(spark, dir).count()       // warm
+    graft.queries.BasketFrames.cappedPairCounts(spark, dir).count() // warm
+    for (q <- Seq("q179_basket_pairs", "q334_assoc_rules")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan"), s"$q re-scans parquet:\n${p.take(1500)}")
+      assert(p.contains("ExistingRDD"), s"$q\n${p.take(500)}")
+    }
+    // and the symmetrized view equals the ordered a != b aggregate
+    val it = graft.queries.BasketFrames.items(spark, dir)
+    val direct = it.select(col("ok"), col("pk").as("a"))
+      .join(it.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val sym = graft.queries.BasketFrames
+      .symmetrized(graft.queries.BasketFrames.pairCounts(spark, dir))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(sym == direct)
+  }
+
   test("warm family plans iterate over the checkpointed blocks — no " +
     "parquet re-scan inside q172's recurrence (adjudication pin)") {
     TradeGraph.symDeg(spark, dir).count() // warm the memo
