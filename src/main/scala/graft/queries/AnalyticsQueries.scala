@@ -849,14 +849,10 @@ object AnalyticsQueries {
     // Thresholding keeps edge count ∝ orders while pair capacity grows
     // ∝ suppliers², so node degree stays ~constant as sf scales — the
     // graph stays in the regime the operator is built for.
-    val pe = Catalog.load(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 45)
-      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
     // pairs per order are bounded by the suppliers-per-order cardinality
-    // (≤ order line count), so the self-join fans out O(k²) per order
-    val edges = pe.as("x").join(pe.as("y"),
-        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+    // (≤ order line count), so the self-join fans out O(k²) per order;
+    // the frame itself is the shared memoized co-supply build
+    val edges = coSupplyEdges(spark, dir)
     graft.ops.GraphOps.trianglesPerNode(edges)
       .select(col("n").as("supp"), col("triangles"))
       .orderBy(col("supp"))
@@ -1187,13 +1183,8 @@ object AnalyticsQueries {
     * triangle table joins back on node id. Integer inputs + one IEEE
     * division keep the double bit-identical cross-engine. */
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val pe = Catalog.load(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 45)
-      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
-    val edges = pe.as("x").join(pe.as("y"),
-        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
-      .localCheckpoint(false) // feeds degrees + the triangle wedge join
+    // shared memoized co-supply frame feeds degrees + the wedge join
+    val edges = coSupplyEdges(spark, dir)
     val deg = edges.select(col("a").as("n"))
       .union(edges.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("degree"))
@@ -1528,15 +1519,12 @@ object AnalyticsQueries {
       |SELECT * FROM p WHERE score_milli >= 3000
       |ORDER BY cust_a, cust_b""".stripMargin
 
+  /** The shared memoized co-supply graph ([[TradeGraph.coSupply]]):
+    * built and checkpointed once per (minQty, dataset) for the whole
+    * q119/q162/q207/q224/q225/q235/q248 family. */
   private def coSupplyEdges(spark: SparkSession, dir: String,
-      minQty: Int = 45): DataFrame = {
-    val pe = Catalog.load(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= minQty)
-      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
-    pe.as("x").join(pe.as("y"),
-        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
-  }
+      minQty: Int = 45): DataFrame =
+    TradeGraph.coSupply(spark, dir, minQty)
 
   private def coSupplyEdgesSqlAt(minQty: Int) =
     s"""e0 AS (
@@ -3723,12 +3711,7 @@ object AnalyticsQueries {
     * flip a bucket), so [1], [2-3], [4-7], ... Degree counting unions
     * both endpoint columns — one shuffle on the node id. */
   def degreeHist(spark: SparkSession, dir: String): DataFrame = {
-    val pe = Catalog.load(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 45)
-      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
-    val edges = pe.as("x").join(pe.as("y"),
-        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+    val edges = coSupplyEdges(spark, dir)
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))

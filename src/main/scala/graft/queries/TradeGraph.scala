@@ -108,4 +108,23 @@ object TradeGraph {
         col("cnt").as("w"))
       e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
     }
+
+  /** HIGH-VOLUME co-supply pair graph: distinct supplier pairs (a, b),
+    * a < b, sharing an order where both lines have quantity ≥ `minQty`
+    * — the undirected graph behind q119 triangles, q162 degree
+    * histogram, q207 clustering coefficient, q224 k-core, q225
+    * assortativity, q235 two-hop reach (at 48) and q248 link
+    * prediction. The quantity threshold keeps edge count ∝ orders
+    * (degree ~constant as sf scales) — see q119's doc comment. Each
+    * distinct `minQty` memoizes its own frame. */
+  def coSupply(spark: SparkSession, dir: String, minQty: Int = 45): DataFrame =
+    cached(s"cosupply$minQty", dir, spark) {
+      val pe = Catalog.load(spark, dir, "lineitem")
+        .filter(col("l_quantity") >= minQty)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+        .distinct()
+      pe.as("x").join(pe.as("y"),
+          col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+        .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+    }
 }
