@@ -1153,6 +1153,66 @@ object EventQueries {
       |FROM r JOIN mad USING (dow)
       |ORDER BY r.day_us""".stripMargin
 
+  /** SAX symbolic discretization of the daily-revenue series (Lin et
+    * al. 2003, robust variant): each day's revenue is normalized by the
+    * series MEDIAN/MAD (exact rank-selected cents — unlike µ/σ the
+    * inputs stay exactly-representable doubles, so the one mirrored
+    * division per day is engine-exact), cut at the standard 4-symbol
+    * breakpoints (±0.6745, 0), and the per-epoch-week symbols assemble
+    * into SAX WORDS via ordered listagg — the discrete alphabet that
+    * turns motif/novelty search over a 10⁹-point series into string
+    * matching. One daily aggregate, one broadcast 1-row stats join, one
+    * week rollup. */
+  def saxWords(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(unix_micros(date_trunc("day", col("o_orderdate"))).as("day_us"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val med = daily.agg(median(col("rev_c")).as("med"))
+    val mad = daily.crossJoin(broadcast(med))
+      .agg(median(abs(col("rev_c") - col("med"))).as("mad"),
+        first(col("med")).as("med"))
+    daily.crossJoin(broadcast(mad))
+      .selectExpr("day_us", "rev_c",
+        "(rev_c - med) / (1.4826 * mad) AS z")
+      .selectExpr("day_us",
+        """CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+          |     WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym""".stripMargin)
+      .groupBy(expr("day_us div 604800000000").as("epoch_week"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("listagg(sym, '') WITHIN GROUP (ORDER BY day_us)")
+          .as("sax_word"))
+      .orderBy(col("epoch_week"))
+  }
+
+  private val saxWordsSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(date_trunc('day', o_orderdate)) // 1000 AS day_us,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders WHERE o_orderdate IS NOT NULL
+      |  GROUP BY 1
+      |), st AS (
+      |  SELECT median(rev_c) AS med FROM daily
+      |), st2 AS (
+      |  SELECT st.med, median(abs(d.rev_c - st.med)) AS mad
+      |  FROM daily d CROSS JOIN st GROUP BY st.med
+      |), z AS (
+      |  SELECT day_us, (rev_c - med) / (1.4826 * mad) AS z
+      |  FROM daily CROSS JOIN st2
+      |), s AS (
+      |  SELECT day_us,
+      |    CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+      |         WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+      |  FROM z
+      |)
+      |SELECT day_us // 604800000000 AS epoch_week,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  string_agg(sym, '' ORDER BY day_us) AS sax_word
+      |FROM s
+      |GROUP BY 1
+      |ORDER BY epoch_week""".stripMargin
+
   /** Wilson-score lower bound on the hourly purchase rate — the
     * ranking-safe conversion metric (a 3-of-5 hour never outranks a
     * 300-of-500 hour, which the raw rate allows). The bound's algebra is
@@ -3513,6 +3573,10 @@ object EventQueries {
       |FROM uw ORDER BY user_id, wk""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q448_sax_words", saxWords, Some(saxWordsSql),
+      "SAX symbolic discretization of the daily-revenue series: " +
+        "median/MAD-normalized (exact inputs), 4-symbol breakpoints, " +
+        "per-week words via ordered listagg — motif search as strings"),
     Q("q301_props_segment", propsSegment, Some(propsSegmentSql),
       "conversion by JSON-props k-decile: parse-in-scan, exact distinct " +
         "users/buyers, nullif-guarded rate"),

@@ -759,6 +759,92 @@ object MiningQueries {
       |ORDER BY support DESC, a, b, c
       |LIMIT 20""".stripMargin
 
+  // ---- Gini-gain attribute ranking (decision-tree split selection) ----
+
+  /** Which lineitem attribute best predicts the return flag — the
+    * CART/C4.5 split-selection step (and the label-model feature audit
+    * before training a quality classifier), ranked by GINI GAIN:
+    * parent impurity 1 − Σ(C/n)² minus the attribute-weighted child
+    * impurity Σ_g (n_g/n)·(1 − Σ(c/n_g)²). The entire chain stays in
+    * exact integers until one mirrored division per output: impurities
+    * are computed as (n² − Σc²)·10⁶ div n micro-units (64-bit floor
+    * division — n² ≤ 3.6·10¹¹ and the ×10⁶ product ≤ 3.6·10¹⁷ both fit
+    * BIGINT exactly), child terms SUM as exact BIGINTs (no
+    * combine-order float hazard), and the ln-free formulation sidesteps
+    * the entropy/log portability trap entirely. One (attr, label)
+    * aggregate per candidate, each aggregate-sized. */
+  def giniGain(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("y"),
+        col("l_linestatus").as("a_linestatus"),
+        month(col("l_shipdate")).cast("string").as("a_shipmonth"),
+        expr("CAST(CAST(l_quantity AS INT) div 10 AS STRING)")
+          .as("a_qtyband"),
+        expr("CAST(CAST(round(l_discount * 100) AS INT) AS STRING)")
+          .as("a_discpct"))
+      .localCheckpoint(false) // one scan feeds all four candidates
+    def forAttr(attr: String): DataFrame = {
+      val cell = li.groupBy(col(attr).as("g"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      val byG = cell.groupBy(col("g"))
+        .agg(sum(col("c")).as("ng"), sum(col("c") * col("c")).as("sc2"))
+      byG.agg(
+          sum(col("ng")).as("n"),
+          sum(expr("(ng * ng - sc2) * 1000000L div ng")).as("child_micro"))
+        .crossJoin(broadcast(
+          cell.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+            .agg(sum(col("cy") * col("cy")).as("sy2"))))
+        .selectExpr(s"'$attr' AS attribute",
+          "CAST((n * n - sy2) * 1000000L div n AS DOUBLE) / 1000000.0 / n" +
+            " AS parent_gini",
+          "CAST(child_micro AS DOUBLE) / 1000000.0 / n AS weighted_gini")
+        .selectExpr("attribute", "parent_gini", "weighted_gini",
+          "parent_gini - weighted_gini AS gini_gain")
+    }
+    Seq("a_linestatus", "a_shipmonth", "a_qtyband", "a_discpct")
+      .map(forAttr)
+      .reduce(_ unionByName _)
+      .orderBy(col("gini_gain").desc, col("attribute"))
+  }
+
+  private val giniGainSql = {
+    def one(attr: String, expr: String) =
+      s"""SELECT '$attr' AS attribute, parent_gini, weighted_gini,
+         |  parent_gini - weighted_gini AS gini_gain
+         |FROM (
+         |  SELECT
+         |    CAST((t.n * t.n - p.sy2) * 1000000 // t.n AS DOUBLE)
+         |      / 1000000.0 / t.n AS parent_gini,
+         |    CAST(t.child_micro AS DOUBLE) / 1000000.0 / t.n
+         |      AS weighted_gini
+         |  FROM (
+         |    SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         |      CAST(SUM((ng * ng - sc2) * 1000000 // ng) AS BIGINT)
+         |        AS child_micro
+         |    FROM (
+         |      SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+         |        CAST(SUM(c * c) AS BIGINT) AS sc2
+         |      FROM (
+         |        SELECT $expr AS g, l_returnflag AS y,
+         |          CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM lineitem GROUP BY 1, 2)
+         |      GROUP BY g)) t
+         |  CROSS JOIN (
+         |    SELECT CAST(SUM(cy * cy) AS BIGINT) AS sy2 FROM (
+         |      SELECT CAST(COUNT(*) AS BIGINT) AS cy
+         |      FROM lineitem GROUP BY l_returnflag)) p
+         |)""".stripMargin
+    s"""${one("a_linestatus", "l_linestatus")}
+       |UNION ALL
+       |${one("a_shipmonth", "CAST(month(l_shipdate) AS VARCHAR)")}
+       |UNION ALL
+       |${one("a_qtyband", "CAST(CAST(l_quantity AS INT) // 10 AS VARCHAR)")}
+       |UNION ALL
+       |${one("a_discpct",
+             "CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR)")}
+       |ORDER BY gini_gain DESC, attribute""".stripMargin
+  }
+
   // ---- A/B experiment sizing: required sample per segment -------------
 
   /** Per-priority-segment sample size needed to detect a 2% lift in
@@ -3400,6 +3486,10 @@ object MiningQueries {
       |ORDER BY d""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q449_gini_gain", giniGain, Some(giniGainSql),
+      "Gini-gain attribute ranking (CART split selection) over the " +
+        "return-flag label: impurities in exact BIGINT micro-units " +
+        "(ln-free), one mirrored division per output"),
     Q("q366_cross_source_neardup", crossSourceNearDup, Some(crossSourceNearDupSql),
       "share of 0.5-Jaccard near-dup pairs crossing source boundaries " +
         "— syndication contamination audit"),
