@@ -388,6 +388,47 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!noop)
   }
 
+  test("randomized interleaved append / replay / compact sequence " +
+    "(seeded): every vector is admitted exactly once at every step, " +
+    "the ledger stays exact across manifest collapses, and the final " +
+    "serve ranks the full union") {
+    val rnd = new scala.util.Random(20260814L)
+    val idx = tmp()
+    val n = emb.count()
+    AnnIndex.build(emb.filter(col("vec_id") < 100), idx)
+    // carve the remainder into 8 contiguous slices = candidate batches
+    val cuts = (100L to n by ((n - 100) / 8).max(1)).toSeq :+ n
+    val slices = cuts.zip(cuts.tail).filter(p => p._2 > p._1).take(8)
+    var admitted = 100L // vectors currently in the index
+    var landed = Vector.empty[(Long, Long, Long)] // (batchId, lo, hi)
+    var nextSlice = 0
+    var nextBatch = 1L
+    for (_ <- 1 to 14) {
+      rnd.nextInt(3) match {
+        case 0 if nextSlice < slices.size => // fresh append
+          val (lo, hi) = slices(nextSlice)
+          AnnIndex.append(
+            emb.filter(col("vec_id") >= lo && col("vec_id") < hi), idx,
+            batchId = nextBatch)
+          landed :+= ((nextBatch, lo, hi))
+          admitted += hi - lo; nextSlice += 1; nextBatch += 1
+        case 1 if landed.nonEmpty => // failure replay of a landed batch
+          val (b, lo, hi) = landed(rnd.nextInt(landed.size))
+          AnnIndex.append(
+            emb.filter(col("vec_id") >= lo && col("vec_id") < hi), idx,
+            batchId = b, skipIfExists = true)
+        case 2 => AnnIndex.compact(spark, idx)
+        case _ => // chosen op not applicable this step
+      }
+      val codes = Versioned.readGroup(spark, idx)(AnnIndex.CodesTable)
+      assert(codes.count() == admitted) // exactly-once, no duplicates
+      assert(codes.select("vec_id").distinct().count() == admitted)
+    }
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    assert(collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5)).nonEmpty)
+  }
+
   test("readGroup snapshot stays consistent across appends (linked model + " +
     "grown codes in ONE journaled transaction)") {
     val idx = tmp()

@@ -158,6 +158,54 @@ class CorpusPublisherSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized multi-batch admission (seeded): split stability and " +
+    "exact manifest bookkeeping after every step; the leakage invariant " +
+    "holds over the final corpus") {
+    val rnd = new scala.util.Random(774422L)
+    val idx = tmp()
+    CorpusPublisher.publish(docs.filter(col("doc_id") < 250), idx)
+    // remaining docs in 4 random-width contiguous slices, appended in
+    // id order (the monotone-id contract)
+    val bounds = (Seq(250L, 500L) ++ Seq.fill(3)(250L + rnd.nextInt(250)))
+      .distinct.sorted
+    val slices = bounds.zip(bounds.tail)
+    slices.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val before = publishedWithSplit(idx).select(col("doc_id"), col("split"))
+        .as[(Long, String)].collect().toMap
+      CorpusPublisher.appendBatch(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi), idx,
+        batchId = i + 1L)
+      val after = publishedWithSplit(idx).select(col("doc_id"), col("split"))
+        .as[(Long, String)].collect().toMap
+      // stability: nothing previously published moved or vanished
+      assert(before.forall { case (id, s) => after.get(id).contains(s) })
+      // manifest == recompute from the published tables, every step
+      val manifest = Versioned.readGroup(spark, idx)(
+          CorpusPublisher.ManifestTable)
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val recomputed = publishedWithSplit(idx)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("token_count")).as("t"),
+          sum(length(col("text")).cast("long")).as("c"))
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(manifest.filter(_._2 > 0) == recomputed)
+    }
+    // leakage invariant over the FINAL corpus: no split-threshold pair
+    // crosses a split boundary
+    val fin = publishedWithSplit(idx).localCheckpoint(true)
+    val pairs = graft.ops.DedupOps.jaccardPairsHashed(
+      fin.select(col("doc_id"), col("text")), threshold = 0.3)
+    val splits = fin.select(col("doc_id"), col("split"))
+    val cross = pairs
+      .join(splits.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), "doc_a")
+      .join(splits.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(cross.count() == 0)
+  }
+
   test("a BRIDGE batch doc (split-threshold-similar to published docs in " +
     "two different splits) is dropped — admission never merges published " +
     "clusters or flips a split — while a one-sided neighbor inherits its " +
