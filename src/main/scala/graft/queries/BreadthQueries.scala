@@ -441,6 +441,65 @@ object BreadthQueries {
   /** Multiset set operations — EXCEPT ALL / INTERSECT ALL keep
     * duplicates by occurrence count (bag semantics), unlike the q23-q26
     * set forms: the dedup-aware diff/overlap between two ingest batches. */
+  /** Row-level change set between two PUBLISHED versions of a table,
+    * through the real time-travel machinery ([[graft.pipelines
+    * .Versioned.diff]] — multiset EXCEPT ALL both ways over the
+    * committed version directories): v0 is a deterministic orders
+    * slice, v1 drops some rows, updates others (an update shows up as
+    * its add+remove pair under the key), and adds a disjoint slice.
+    * The oracle rebuilds both versions as CTEs and diffs them with the
+    * same EXCEPT ALL algebra, so the hash compare certifies the entire
+    * publish → time-travel → diff round-trip, not just the set
+    * algebra. Values stay exact integer cents. The published family is
+    * temp debris and is deleted after the diff is materialized. */
+  def versionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_vdiff_")
+      .toString
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderpriority").as("prio"))
+    val v0 = o.filter(col("k") % 3 === 0)
+    val v1 = v0.filter(col("k") % 21 =!= 0) // deletes
+      .withColumn("cents",
+        when(col("k") % 15 === 0, col("cents") * 2) // updates
+          .otherwise(col("cents")))
+      .unionByName(o.filter(col("k") % 3 === 1)) // inserts
+    graft.pipelines.Versioned.publish(v0, out, "orders_slice")
+    graft.pipelines.Versioned.publish(v1, out, "orders_slice")
+    val d = graft.pipelines.Versioned.diff(spark, out, "orders_slice", 0L, 1L)
+      .orderBy(col("change"), col("k"))
+    val rows = d.collect().toSeq
+    val schema = d.schema
+    graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  private val versionDiffSql =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderpriority AS prio
+      |  FROM orders
+      |), v0 AS (
+      |  SELECT * FROM o WHERE k % 3 = 0
+      |), v1 AS (
+      |  SELECT k, c,
+      |    CASE WHEN k % 15 = 0 THEN cents * 2 ELSE cents END AS cents,
+      |    prio
+      |  FROM v0 WHERE k % 21 <> 0
+      |  UNION ALL
+      |  SELECT * FROM o WHERE k % 3 = 1
+      |)
+      |SELECT k, c, cents, prio, change FROM (
+      |  SELECT *, 'added' AS change FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+      |  UNION ALL
+      |  SELECT *, 'removed' AS change FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+      |)
+      |ORDER BY change, k""".stripMargin
+
   def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
     val li = Catalog.load(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_linenumber"))
@@ -781,6 +840,10 @@ object BreadthQueries {
       |WHERE rn <= 3 ORDER BY a, rn""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q450_version_diff", versionDiff, Some(versionDiffSql),
+      "row-level change set between two PUBLISHED table versions via " +
+        "the time-travel diff (multiset EXCEPT ALL both ways) — oracle " +
+        "certifies the publish -> time-travel -> diff round-trip"),
     Q("q236_item_similar", itemSimilar, Some(itemSimilarSql),
       "item2item collaborative filtering: co-occurrence cosine top-3 " +
         "neighbors per item (basket-bounded pair join, exact counts)"),
