@@ -2899,7 +2899,117 @@ object ScienceQueries {
 
   // ---- registry ---------------------------------------------------------
 
+  // ---- Benjamini–Hochberg multiple-testing correction ------------------
+
+  /** Critical |z| values for the BH step-up at α=0.10 over m=25 tests:
+    * zcrit(k) = Φ⁻¹(1 − (k·α/m)/2). Literals (not a runtime Φ⁻¹ — the
+    * normal quantile function is not portably computable), parsed from
+    * IDENTICAL decimal strings on both engines, so the comparisons are
+    * engine-exact. Sorting p-values ascending is sorting |z| descending
+    * (p is monotone in |z|), which is what lets BH run entirely in
+    * z-space without ever materializing a p-value. */
+  private val bhCritZ = Seq(
+    2.878162, 2.65207, 2.512144, 2.408916, 2.326348, 2.257129, 2.197286,
+    2.144411, 2.096927, 2.053749, 2.014091, 1.977368, 1.943134, 1.911036,
+    1.880794, 1.85218, 1.825007, 1.799118, 1.774382, 1.750686, 1.727934,
+    1.706043, 1.684941, 1.664563, 1.644854)
+
+  /** Which nations' urgent-order rates deviate from the global rate,
+    * with the FALSE-DISCOVERY control a 25-way scan needs: per-nation
+    * one-sample proportion z against the pooled rate (the q323/q434
+    * mirrored-IEEE chain from exact integer counts), then
+    * Benjamini–Hochberg at α=0.10 — rank the tests by |z| (≡ by
+    * p-value), compare each to its literal critical value, and flag
+    * every rank up to the LAST hit (the step-up). m is structurally 25
+    * (the nation dim), so the critical table always lines up; a nation
+    * with no orders contributes z=0 and ranks last. The multiple-
+    * testing correction is what separates "25 dashboards, 2 false
+    * alarms expected" from a defensible anomaly list. */
+  def bhCorrection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byNation = Catalog.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .join(Catalog.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("n_nationkey") === col("c_nationkey"), "left")
+      .join(Catalog.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("o_custkey")).as("n"),
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("x"))
+    val pool = byNation.agg(sum(col("x")).as("sx"), sum(col("n")).as("sn"))
+    val z = byNation.crossJoin(broadcast(pool))
+      .selectExpr("n_name", "n", "x",
+        "CAST(sx AS DOUBLE) / sn AS p_pool",
+        """CASE WHEN n = 0 THEN 0.0 ELSE
+          |  (CAST(x AS DOUBLE) / n - CAST(sx AS DOUBLE) / sn)
+          |    / sqrt(CAST(sx AS DOUBLE) / sn * (1.0 - CAST(sx AS DOUBLE) / sn) / n)
+          |END AS z""".stripMargin)
+    val ranked = z.withColumn("rnk",
+      row_number().over(Window.orderBy(abs(col("z")).desc, col("n_name")))
+        .cast("long"))
+    val crit = bhCritZ.zipWithIndex
+      .map { case (c, i) => (i + 1L, c) }.toDF("rnk", "crit_z")
+    val hit = ranked.join(broadcast(crit), "rnk")
+      .withColumn("kmax",
+        max(when(abs(col("z")) >= col("crit_z"), col("rnk"))
+          .otherwise(lit(0L)))
+          .over(Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+    hit.select(col("n_name"), col("n"), col("x"), col("z"), col("rnk"),
+        col("crit_z"), (col("rnk") <= col("kmax")).as("significant"))
+      .orderBy(col("rnk"))
+  }
+
+  private val bhCorrectionSql = {
+    // CAST each literal: a bare decimal literal in DuckDB VALUES types
+    // as DECIMAL, which would flip the column dtype and the comparison
+    // semantics vs Spark's double
+    val critRows = bhCritZ.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, CAST($c AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH bn AS (
+       |  SELECT n.n_name,
+       |    CAST(COUNT(o.o_custkey) AS BIGINT) AS n,
+       |    CAST(COUNT(*) FILTER (o.o_orderpriority = '1-URGENT') AS BIGINT)
+       |      AS x
+       |  FROM nation n
+       |  LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+       |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       |  GROUP BY 1
+       |), pool AS (
+       |  SELECT CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(n) AS BIGINT) AS sn
+       |  FROM bn
+       |), z AS (
+       |  SELECT n_name, n, x,
+       |    CASE WHEN n = 0 THEN 0.0 ELSE
+       |      (CAST(x AS DOUBLE) / n - CAST(sx AS DOUBLE) / sn)
+       |        / sqrt(CAST(sx AS DOUBLE) / sn * (1.0 - CAST(sx AS DOUBLE) / sn) / n)
+       |    END AS z
+       |  FROM bn CROSS JOIN pool
+       |), ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY abs(z) DESC, n_name)
+       |    AS BIGINT) AS rnk
+       |  FROM z
+       |), crit(rnk, crit_z) AS (VALUES $critRows
+       |), hit AS (
+       |  SELECT r.*, c.crit_z,
+       |    MAX(CASE WHEN abs(r.z) >= c.crit_z THEN r.rnk ELSE 0 END)
+       |      OVER () AS kmax
+       |  FROM ranked r JOIN crit c ON r.rnk = c.rnk
+       |)
+       |SELECT n_name, n, x, z, rnk, crit_z, rnk <= kmax AS significant
+       |FROM hit
+       |ORDER BY rnk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q451_bh_correction", bhCorrection, Some(bhCorrectionSql),
+      "Benjamini-Hochberg FDR control over 25 per-nation urgent-rate " +
+        "z-tests: BH runs in z-space against a literal critical-value " +
+        "table (no runtime normal quantile), step-up flags every rank " +
+        "up to the last hit"),
     Q("q371_abc_classes", abcClasses, Some(abcClassesSql),
       "ABC revenue classes (80/95% cuts by exact integer cross-multiply) " +
         "— inventory-policy partition of the part catalog"),
