@@ -500,6 +500,47 @@ object BreadthQueries {
       |)
       |ORDER BY change, k""".stripMargin
 
+  /** CUBE with GROUPING metadata: revenue over (region, nation) at all
+    * four aggregation levels, where each row carries its grouping-id
+    * bitmask (grouping(region)·2 + grouping(nation)) — the metadata
+    * column that lets a consumer tell a REAL null group from a
+    * subtotal row, which `coalesce`-label hacks cannot (q25's cube
+    * shows the values; this shows the machine-readable level). Exact
+    * integer cents; the bitmask is the same closed-form on both
+    * engines. */
+  def cubeGroupingId(spark: SparkSession, dir: String): DataFrame = {
+    val j = Catalog.load(spark, dir, "orders")
+      .join(Catalog.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Catalog.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Catalog.load(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    j.cube(col("r_name"), col("n_name"))
+      // grouping() is only resolvable INSIDE the cube's aggregate list
+      .agg((grouping(col("r_name")) * 2 + grouping(col("n_name")))
+          .cast("long").as("gid"),
+        sum(col("cents")).as("rev_c"), count(lit(1)).as("n_orders"))
+      .select(col("r_name"), col("n_name"), col("gid"), col("rev_c"),
+        col("n_orders"))
+      .orderBy(col("gid"), col("r_name"), col("n_name"))
+  }
+
+  private val cubeGroupingIdSql =
+    """SELECT r_name, n_name,
+      |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, n_name)
+      |ORDER BY gid, r_name, n_name""".stripMargin
+
   def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
     val li = Catalog.load(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_linenumber"))
@@ -840,6 +881,10 @@ object BreadthQueries {
       |WHERE rn <= 3 ORDER BY a, rn""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q453_cube_grouping_id", cubeGroupingId, Some(cubeGroupingIdSql),
+      "CUBE over (region, nation) revenue with the GROUPING bitmask — " +
+        "machine-readable aggregation level per row (subtotal vs real " +
+        "null group), exact integer cents"),
     Q("q450_version_diff", versionDiff, Some(versionDiffSql),
       "row-level change set between two PUBLISHED table versions via " +
         "the time-travel diff (multiset EXCEPT ALL both ways) — oracle " +

@@ -759,6 +759,68 @@ object MiningQueries {
       |ORDER BY support DESC, a, b, c
       |LIMIT 20""".stripMargin
 
+  // ---- grid-density core cells (DBSCAN's density step, relationally) --
+
+  /** The density-estimation core of grid-DBSCAN over the (quantity,
+    * price) plane: bucket every lineitem into a 2-D grid cell, then
+    * compute each cell's 3×3-NEIGHBORHOOD mass as a relational
+    * convolution — the cell table joined to a 9-row literal offset
+    * table, re-joined to itself on the shifted key, one aggregate. A
+    * cell is CORE when its neighborhood holds ≥ 2× the uniform share
+    * (mass·n_cells ≥ 18·total — exact integer cross-multiplication, no
+    * division). This is how density clustering survives 100 TB: the
+    * O(n²) ε-neighborhood graph collapses to one grid aggregate +
+    * one 9-way cell-level join, both aggregate-sized. */
+  def gridDensityCores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Catalog.load(spark, dir, "lineitem")
+      .groupBy(expr("CAST(floor(l_quantity) AS INT) div 5").as("qb"),
+        expr("CAST(floor(l_extendedprice) AS INT) div 10000").as("pb"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // convolution self-join + totals below
+    val offsets = (for { dq <- -1 to 1; dp <- -1 to 1 } yield (dq, dp))
+      .toDF("dq", "dp")
+    val total = cells.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_cells"))
+    val mass = cells.crossJoin(broadcast(offsets))
+      .select((col("qb") + col("dq")).as("nqb"),
+        (col("pb") + col("dp")).as("npb"), col("qb"), col("pb"))
+      .join(cells.select(col("qb").as("nqb"), col("pb").as("npb"),
+        col("cnt").as("ncnt")), Seq("nqb", "npb"))
+      .groupBy(col("qb"), col("pb"))
+      .agg(sum(col("ncnt")).as("mass"))
+    cells.join(mass, Seq("qb", "pb"))
+      .crossJoin(broadcast(total))
+      .select(col("qb"), col("pb"), col("cnt"), col("mass"),
+        (col("mass") * col("n_cells") >= col("total") * 18).as("is_core"))
+      .orderBy(col("qb"), col("pb"))
+  }
+
+  private val gridDensityCoresSql =
+    """WITH cells AS (
+      |  SELECT CAST(floor(l_quantity) AS INT) // 5 AS qb,
+      |    CAST(floor(l_extendedprice) AS INT) // 10000 AS pb,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2
+      |), offsets(dq, dp) AS (
+      |  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+      |), total AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cells
+      |  FROM cells
+      |), mass AS (
+      |  SELECT c.qb, c.pb, CAST(SUM(n.cnt) AS BIGINT) AS mass
+      |  FROM cells c
+      |  CROSS JOIN offsets o
+      |  JOIN cells n ON n.qb = c.qb + o.dq AND n.pb = c.pb + o.dp
+      |  GROUP BY 1, 2
+      |)
+      |SELECT c.qb, c.pb, c.cnt, m.mass,
+      |  m.mass * t.n_cells >= t.total * 18 AS is_core
+      |FROM cells c JOIN mass m ON c.qb = m.qb AND c.pb = m.pb
+      |CROSS JOIN total t
+      |ORDER BY c.qb, c.pb""".stripMargin
+
   // ---- Gini-gain attribute ranking (decision-tree split selection) ----
 
   /** Which lineitem attribute best predicts the return flag — the
@@ -3486,6 +3548,10 @@ object MiningQueries {
       |ORDER BY d""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q452_grid_density_cores", gridDensityCores, Some(gridDensityCoresSql),
+      "grid-DBSCAN density step: 2-D cell histogram + 3x3 neighborhood " +
+        "mass as a relational convolution (9-row offset join), core flag " +
+        "by exact integer cross-multiplication"),
     Q("q449_gini_gain", giniGain, Some(giniGainSql),
       "Gini-gain attribute ranking (CART split selection) over the " +
         "return-flag label: impurities in exact BIGINT micro-units " +
