@@ -1153,6 +1153,63 @@ object EventQueries {
       |FROM r JOIN mad USING (dow)
       |ORDER BY r.day_us""".stripMargin
 
+  /** NEGATIVE-pattern funnel: users whose first view converts to a
+    * purchase with NO error event in between — the exclusion constraint
+    * ("A then B without C between") that positive-match funnels (q111,
+    * q198) cannot express and that real journey analysis always needs
+    * (did checkout succeed CLEANLY?). Three user-keyed conditional
+    * aggregates chained by time bounds — no event self-join, no
+    * per-event window: stage 1 pins the first view, stage 2 the first
+    * purchase after it, stage 3 counts errors strictly between. All
+    * epoch-µs integers. */
+  def cleanPathConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .localCheckpoint(false) // three bounded re-joins below
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("tv_us"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tv, "user_id")
+      .filter(col("ts_us") > col("tv_us"))
+      .groupBy(col("user_id"), col("tv_us"))
+      .agg(min(col("ts_us")).as("tp_us"))
+    val err = ev.filter(col("event_type") === "error")
+      .join(tp, "user_id")
+      .filter(col("ts_us") > col("tv_us") && col("ts_us") < col("tp_us"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
+    tp.join(err, Seq("user_id"), "left")
+      .select(col("user_id"), col("tv_us"), col("tp_us"),
+        coalesce(col("n_err"), lit(0L)).as("n_errors_between"),
+        (coalesce(col("n_err"), lit(0L)) === 0L).as("clean"))
+      .orderBy(col("user_id"))
+  }
+
+  private val cleanPathConversionSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events
+      |), tv AS (
+      |  SELECT user_id, MIN(ts_us) AS tv_us FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), tp AS (
+      |  SELECT e.user_id, tv.tv_us, MIN(e.ts_us) AS tp_us
+      |  FROM ev e JOIN tv ON e.user_id = tv.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts_us > tv.tv_us
+      |  GROUP BY 1, 2
+      |), err AS (
+      |  SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_err
+      |  FROM ev e JOIN tp ON e.user_id = tp.user_id
+      |  WHERE e.event_type = 'error'
+      |    AND e.ts_us > tp.tv_us AND e.ts_us < tp.tp_us
+      |  GROUP BY 1
+      |)
+      |SELECT tp.user_id, tp.tv_us, tp.tp_us,
+      |  COALESCE(err.n_err, 0) AS n_errors_between,
+      |  COALESCE(err.n_err, 0) = 0 AS clean
+      |FROM tp LEFT JOIN err ON tp.user_id = err.user_id
+      |ORDER BY tp.user_id""".stripMargin
+
   /** SAX symbolic discretization of the daily-revenue series (Lin et
     * al. 2003, robust variant): each day's revenue is normalized by the
     * series MEDIAN/MAD (exact rank-selected cents — unlike µ/σ the
@@ -3573,6 +3630,11 @@ object EventQueries {
       |FROM uw ORDER BY user_id, wk""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q454_clean_path_conversion", cleanPathConversion,
+      Some(cleanPathConversionSql),
+      "negative-pattern funnel: first view -> first purchase with NO " +
+        "error between (A-then-B-without-C) via three chained " +
+        "user-keyed conditional aggregates, no event self-join"),
     Q("q448_sax_words", saxWords, Some(saxWordsSql),
       "SAX symbolic discretization of the daily-revenue series: " +
         "median/MAD-normalized (exact inputs), 4-symbol breakpoints, " +

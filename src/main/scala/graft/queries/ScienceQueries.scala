@@ -2899,6 +2899,67 @@ object ScienceQueries {
 
   // ---- registry ---------------------------------------------------------
 
+  // ---- Haar wavelet pyramid over the daily-revenue series -------------
+
+  /** Three-level un-normalized Haar transform of the daily revenue
+    * series: per level k, each bucket of 2ᵏ absolute day indices
+    * carries its APPROXIMATION (total cents — the downsampled series)
+    * and its DETAIL (first-half total − second-half total — the change
+    * signal at that scale). Everything is exact BIGINT sums of cents
+    * keyed by integer day-index arithmetic, so the multiresolution
+    * decomposition is engine-exact — no float averaging anywhere (the
+    * 1/√2 normalization is a display constant, deliberately omitted).
+    * This is the series structure behind anomaly localization ("which
+    * scale moved?") and progressive dashboard rendering — one daily
+    * aggregate + one shuffle per level, each a fraction of the last. */
+  def haarPyramid(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(expr("unix_micros(date_trunc('day', o_orderdate))" +
+        " div 86400000000").as("day_idx"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .localCheckpoint(false) // three level rollups below
+    val levels = (1 to 3).map { k =>
+      val w = 1L << k
+      val half = 1L << (k - 1)
+      daily
+        .groupBy(expr(s"day_idx div $w").as("bucket"))
+        .agg(sum(col("rev_c")).as("approx_c"),
+          sum(when(expr(s"(day_idx div $half) % 2") === 0, col("rev_c"))
+            .otherwise(-col("rev_c"))).as("detail_c"))
+        .select(lit(k.toLong).as("level"), col("bucket"),
+          col("approx_c"), col("detail_c"))
+    }
+    levels.reduce(_ unionByName _)
+      .orderBy(col("level"), col("bucket"))
+  }
+
+  private val haarPyramidSql = {
+    def level(k: Int) = {
+      val w = 1L << k
+      val half = 1L << (k - 1)
+      s"""SELECT CAST($k AS BIGINT) AS level, day_idx // $w AS bucket,
+         |  CAST(SUM(rev_c) AS BIGINT) AS approx_c,
+         |  CAST(SUM(CASE WHEN (day_idx // $half) % 2 = 0
+         |                THEN rev_c ELSE -rev_c END) AS BIGINT) AS detail_c
+         |FROM daily GROUP BY 2""".stripMargin
+    }
+    s"""WITH daily AS (
+       |  SELECT epoch_ns(date_trunc('day', o_orderdate)) // 1000
+       |      // 86400000000 AS day_idx,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_c
+       |  FROM orders WHERE o_orderdate IS NOT NULL
+       |  GROUP BY 1
+       |)
+       |${level(1)}
+       |UNION ALL
+       |${level(2)}
+       |UNION ALL
+       |${level(3)}
+       |ORDER BY level, bucket""".stripMargin
+  }
+
   // ---- Benjamini–Hochberg multiple-testing correction ------------------
 
   /** Critical |z| values for the BH step-up at α=0.10 over m=25 tests:
@@ -3005,6 +3066,10 @@ object ScienceQueries {
   }
 
   val all: Seq[Q] = Seq(
+    Q("q455_haar_pyramid", haarPyramid, Some(haarPyramidSql),
+      "3-level un-normalized Haar pyramid of daily revenue: exact " +
+        "BIGINT approximation + detail per dyadic bucket — " +
+        "multiresolution change localization, no float averaging"),
     Q("q451_bh_correction", bhCorrection, Some(bhCorrectionSql),
       "Benjamini-Hochberg FDR control over 25 per-nation urgent-rate " +
         "z-tests: BH runs in z-space against a literal critical-value " +
