@@ -189,6 +189,84 @@ object DedupQueries {
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Split-balance audit: total-variation distance of the LANGUAGE mix
+    * between each pair of leakage-safe splits — the post-assignment
+    * parity check a training pipeline runs before trusting val/test
+    * numbers (cluster-keyed splitting preserves leakage safety but can
+    * skew covariates; this measures by how much). Because every
+    * language term shares the pair's denominator, TV collapses to ONE
+    * exact integer sum over cross-multiplied counts divided once:
+    * TV = Σ_l |c_a,l·n_b − c_b,l·n_a| / (2·n_a·n_b) — no per-term
+    * float accumulation, one mirrored division per pair. Split
+    * assignment is the shared q100 machinery. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val withLang = DedupOps.leakageSafeSplits(docs(spark, dir))
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+    val byLang = withLang.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // both sides of the pair join below
+    val totals = byLang.groupBy(col("split")).agg(sum(col("c")).as("n"))
+    def side(s: String) = byLang.filter(col("split") === s)
+      .select(col("lang"), col("c"))
+    def tot(s: String, out: String) = totals.filter(col("split") === s)
+      .select(col("n").as(out)) // 1-row scalar, broadcast below
+    val pairs = Seq(("train", "val"), ("train", "test"), ("val", "test"))
+    pairs.map { case (a, b) =>
+      side(a).withColumnRenamed("c", "ca")
+        .join(side(b).withColumnRenamed("c", "cb"), Seq("lang"),
+          "full_outer")
+        .crossJoin(broadcast(tot(a, "na")))
+        .crossJoin(broadcast(tot(b, "nb")))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(abs(coalesce(col("ca"), lit(0L)) * col("nb") -
+            coalesce(col("cb"), lit(0L)) * col("na"))).as("num"))
+        .select(lit(a).as("split_a"), lit(b).as("split_b"),
+          col("n_a"), col("n_b"),
+          (col("num").cast("double") / (lit(2.0) * col("n_a") * col("n_b")))
+            .as("tv_lang"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  private val splitBalanceSql =
+    s"""WITH RECURSIVE $reachCtes, rep AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |), assigned AS (
+       |  SELECT rep.doc_id,
+       |    CASE WHEN cluster_rep % 100 < 80 THEN 'train'
+       |         WHEN cluster_rep % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    d.lang
+       |  FROM rep JOIN documents d ON rep.doc_id = d.doc_id
+       |), bl AS (
+       |  SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM assigned GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT split, CAST(SUM(c) AS BIGINT) AS n FROM bl GROUP BY 1
+       |), sp_pairs(split_a, split_b) AS (
+       |  VALUES ('train', 'val'), ('train', 'test'), ('val', 'test')
+       |), tv AS (
+       |  SELECT p.split_a, p.split_b,
+       |    MAX(ta.n) AS n_a, MAX(tb.n) AS n_b,
+       |    CAST(SUM(abs(COALESCE(a.c, 0) * tb.n - COALESCE(b.c, 0) * ta.n))
+       |      AS BIGINT) AS num
+       |  FROM sp_pairs p
+       |  JOIN tot ta ON ta.split = p.split_a
+       |  JOIN tot tb ON tb.split = p.split_b
+       |  JOIN (SELECT DISTINCT lang FROM bl) l ON TRUE
+       |  LEFT JOIN bl a ON a.split = p.split_a AND a.lang = l.lang
+       |  LEFT JOIN bl b ON b.split = p.split_b AND b.lang = l.lang
+       |  GROUP BY 1, 2
+       |)
+       |SELECT split_a, split_b, n_a, n_b,
+       |  CAST(num AS DOUBLE) / (2.0 * n_a * n_b) AS tv_lang
+       |FROM tv
+       |ORDER BY split_a, split_b""".stripMargin
+
   /** Near-dup cluster size histogram — the dedup observability view:
     * how many clusters of each size the 0.5-Jaccard graph produces
     * (size 1 = unique docs). Rolls q65's connected components into two
@@ -833,6 +911,10 @@ object DedupQueries {
       "END-TO-END corpus publish: clean (τ=0.5 dedup) → leakage-safe " +
         "split (τ=0.3) → atomic versioned group — manifest read back " +
         "from the PUBLISHED tables, oracle covers the whole pipeline"),
+    Q("q457_split_balance", splitBalance, Some(splitBalanceSql),
+      "post-split covariate parity: TV distance of the language mix " +
+        "between each leakage-safe split pair — one exact " +
+        "cross-multiplied integer sum + one mirrored division per pair"),
     Q("q447_corpus_append", corpusAppend, Some(corpusPublishSql),
       "INCREMENTAL corpus admission: publish 80%, appendBatch the rest " +
         "as one O(batch) delta transaction — same oracle as q441, so " +

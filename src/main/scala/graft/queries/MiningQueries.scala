@@ -759,6 +759,79 @@ object MiningQueries {
       |ORDER BY support DESC, a, b, c
       |LIMIT 20""".stripMargin
 
+  // ---- spend-quintile migration matrix --------------------------------
+
+  /** Customer spend-quintile MIGRATION between the first and second
+    * half of the order history — the segment-flow view behind every
+    * CRM "who is upgrading/churning" dashboard (q159 gives the
+    * point-in-time RFM cut; this gives the transition dynamics).
+    * The half boundary is the midpoint of the observed date range
+    * (broadcast 1-row), spend is exact cents per (customer, half), and
+    * quintiles use a fully deterministic NTILE (ordered by spend then
+    * customer id — no tie ambiguity for the oracle to disagree on).
+    * Output: the 5×5 matrix over customers active in BOTH halves plus
+    * each cell's share of its origin quintile (one mirrored division). */
+  def quintileMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey").as("c"),
+        expr("unix_micros(date_trunc('day', o_orderdate)) div 86400000000")
+          .as("d"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint(false) // bounds aggregate + both half rollups
+    val mid = o.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val spend = o.crossJoin(broadcast(mid))
+      .groupBy(col("c"), (col("d") <= col("mid")).as("early"))
+      .agg(sum(col("cents")).as("spend_c"))
+    def quintiles(early: Boolean, out: String) =
+      spend.filter(col("early") === early)
+        .withColumn(out, ntile(5)
+          .over(Window.orderBy(col("spend_c"), col("c"))).cast("long"))
+        .select(col("c"), col(out))
+    quintiles(early = true, "q_from")
+      .join(quintiles(early = false, "q_to"), "c")
+      .groupBy(col("q_from"), col("q_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("from_total",
+        sum(col("n_customers")).over(Window.partitionBy(col("q_from"))))
+      .select(col("q_from"), col("q_to"), col("n_customers"),
+        (col("n_customers").cast("double") / col("from_total"))
+          .as("share_of_origin"))
+      .orderBy(col("q_from"), col("q_to"))
+  }
+
+  private val quintileMigrationSql =
+    """WITH o AS (
+      |  SELECT o_custkey AS c,
+      |    epoch_ns(date_trunc('day', o_orderdate)) // 1000
+      |      // 86400000000 AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderdate IS NOT NULL
+      |), mid AS (
+      |  SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM o
+      |), spend AS (
+      |  SELECT c, d <= mid AS early,
+      |    CAST(SUM(cents) AS BIGINT) AS spend_c
+      |  FROM o CROSS JOIN mid GROUP BY 1, 2
+      |), qf AS (
+      |  SELECT c, CAST(NTILE(5) OVER (ORDER BY spend_c, c) AS BIGINT)
+      |    AS q_from
+      |  FROM spend WHERE early
+      |), qt AS (
+      |  SELECT c, CAST(NTILE(5) OVER (ORDER BY spend_c, c) AS BIGINT)
+      |    AS q_to
+      |  FROM spend WHERE NOT early
+      |), m AS (
+      |  SELECT q_from, q_to, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |  FROM qf JOIN qt USING (c)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT q_from, q_to, n_customers,
+      |  CAST(n_customers AS DOUBLE)
+      |    / SUM(n_customers) OVER (PARTITION BY q_from) AS share_of_origin
+      |FROM m
+      |ORDER BY q_from, q_to""".stripMargin
+
   // ---- grid-density core cells (DBSCAN's density step, relationally) --
 
   /** The density-estimation core of grid-DBSCAN over the (quantity,
@@ -3548,6 +3621,11 @@ object MiningQueries {
       |ORDER BY d""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q456_quintile_migration", quintileMigration,
+      Some(quintileMigrationSql),
+      "customer spend-quintile migration matrix between the two halves " +
+        "of the order history — deterministic NTILE (spend, custkey), " +
+        "exact cents, per-origin share via one mirrored division"),
     Q("q452_grid_density_cores", gridDensityCores, Some(gridDensityCoresSql),
       "grid-DBSCAN density step: 2-D cell histogram + 3x3 neighborhood " +
         "mass as a relational convolution (9-row offset join), core flag " +
