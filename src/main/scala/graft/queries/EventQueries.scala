@@ -2008,6 +2008,91 @@ object EventQueries {
           .as("z_approx"))
   }
 
+  /** Pairwise CLIFF'S DELTA across all ten priority pairs — the
+    * distribution-free EFFECT SIZE that belongs next to q193's
+    * Mann–Whitney significance: δ = P(X₁ > X₂) − P(X₁ < X₂), computed
+    * exactly from the same doubled midrank-U integers
+    * (δ = (2U₁ − n₁n₂)/(n₁n₂) — one mirrored division per pair), with
+    * the conventional magnitude labels cut at literal thresholds. Ranks
+    * are per-pair (one window partitioned by the pair key over the
+    * 10-way pair-expanded frame — each priority joins its 4 pairs, a
+    * bounded literal fan-out, never an order self-join). A z-test says
+    * whether the difference is real; δ says whether anyone should
+    * care — the pair matrix shows both extremes on one screen. */
+  def cliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val pairs = (for {
+      a <- prios; b <- prios if a < b
+    } yield (a, b)).toDF("g1", "g2")
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("g"), col("o_totalprice").as("x"))
+    val expanded = o.join(broadcast(pairs),
+      col("g") === col("g1") || col("g") === col("g2"))
+    val w = Window.partitionBy(col("g1"), col("g2"))
+    val ranked = expanded
+      .withColumn("rmin", rank().over(w.orderBy(col("x"))).cast("long"))
+      .withColumn("ties",
+        count(lit(1)).over(Window.partitionBy(col("g1"), col("g2"), col("x"))))
+      .withColumn("r2", lit(2L) * col("rmin") + col("ties") - 1L)
+    ranked.groupBy(col("g1"), col("g2"))
+      .agg(count(when(col("g") === col("g1"), 1)).as("n1"),
+        count(when(col("g") === col("g2"), 1)).as("n2"),
+        sum(when(col("g") === col("g1"), col("r2"))).as("r1_x2"))
+      .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1L))
+      .withColumn("cliffs_delta",
+        (col("u1_x2") - col("n1") * col("n2")).cast("double") /
+          (col("n1") * col("n2")).cast("double"))
+      .withColumn("magnitude",
+        when(abs(col("cliffs_delta")) < 0.147, "negligible")
+          .when(abs(col("cliffs_delta")) < 0.33, "small")
+          .when(abs(col("cliffs_delta")) < 0.474, "medium")
+          .otherwise("large"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"), col("u1_x2"),
+        col("cliffs_delta"), col("magnitude"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
+  private val cliffsDeltaSql =
+    """WITH prios(p) AS (
+      |  VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+      |    ('4-NOT SPECIFIED'), ('5-LOW')
+      |), pr(g1, g2) AS (
+      |  SELECT a.p, b.p FROM prios a JOIN prios b ON a.p < b.p
+      |), expanded AS (
+      |  SELECT pr.g1, pr.g2, o.o_orderpriority AS g, o.o_totalprice AS x
+      |  FROM orders o JOIN pr
+      |    ON o.o_orderpriority = pr.g1 OR o.o_orderpriority = pr.g2
+      |), ranked AS (
+      |  SELECT g1, g2, g,
+      |    CAST(RANK() OVER (PARTITION BY g1, g2 ORDER BY x) AS BIGINT)
+      |      AS rmin,
+      |    CAST(COUNT(*) OVER (PARTITION BY g1, g2, x) AS BIGINT) AS ties
+      |  FROM expanded
+      |), agg AS (
+      |  SELECT g1, g2,
+      |    CAST(COUNT(*) FILTER (g = g1) AS BIGINT) AS n1,
+      |    CAST(COUNT(*) FILTER (g = g2) AS BIGINT) AS n2,
+      |    CAST(SUM(2 * rmin + ties - 1) FILTER (g = g1) AS BIGINT)
+      |      AS r1_x2
+      |  FROM ranked GROUP BY 1, 2
+      |)
+      |SELECT g1, g2, n1, n2,
+      |  r1_x2 - n1 * (n1 + 1) AS u1_x2,
+      |  CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+      |    / CAST(n1 * n2 AS DOUBLE) AS cliffs_delta,
+      |  CASE WHEN abs(CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+      |           / CAST(n1 * n2 AS DOUBLE)) < 0.147 THEN 'negligible'
+      |       WHEN abs(CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+      |           / CAST(n1 * n2 AS DOUBLE)) < 0.33 THEN 'small'
+      |       WHEN abs(CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+      |           / CAST(n1 * n2 AS DOUBLE)) < 0.474 THEN 'medium'
+      |       ELSE 'large' END AS magnitude
+      |FROM agg
+      |ORDER BY g1, g2""".stripMargin
+
   private val mannWhitneySql =
     """WITH o AS (
       |  SELECT o_orderpriority AS g, o_totalprice AS x FROM orders
@@ -3630,6 +3715,10 @@ object EventQueries {
       |FROM uw ORDER BY user_id, wk""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q458_cliffs_delta", cliffsDelta, Some(cliffsDeltaSql),
+      "pairwise Cliff's delta effect-size matrix over all ten priority " +
+        "pairs — exact doubled midrank-U integers, one mirrored " +
+        "division per pair, literal magnitude cuts"),
     Q("q454_clean_path_conversion", cleanPathConversion,
       Some(cleanPathConversionSql),
       "negative-pattern funnel: first view -> first purchase with NO " +
