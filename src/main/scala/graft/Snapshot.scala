@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** TEMPORARY round-11 harness: snapshot named query outputs to parquet
+  * (mode=save) or compare current outputs against a snapshot
+  * (mode=check). Used to prove the global-ntile rewrites are
+  * bit-identical; deleted once the rewrite lands. */
+object Snapshot {
+  val names = Seq("q36_ranking_pack", "q135_equidepth_hist", "q159_rfm",
+    "q171_quality_dup_profile", "q436_first_value_repeat",
+    "q456_quintile_migration")
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0) // save | check
+    val outDir = args(1)
+    val sfDir = args(2)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failed = 0
+    names.foreach { n =>
+      val df = Registry.byName(n).build(spark, sfDir)
+      if (mode == "save") {
+        df.write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+        println(s"SAVED $n")
+      } else {
+        val prev = spark.read.parquet(s"$outDir/$n.parquet")
+        val cur = df
+        val sameSchema = prev.schema.map(f => (f.name, f.dataType)).sortBy(_._1) ==
+          cur.schema.map(f => (f.name, f.dataType)).sortBy(_._1)
+        val cols = prev.columns.sorted.toSeq
+        def rows(d: org.apache.spark.sql.DataFrame) =
+          d.select(cols.map(org.apache.spark.sql.functions.col): _*)
+            .collect().map(_.toSeq).sortBy(_.mkString(""))
+        val ok = sameSchema && {
+          val a = rows(prev); val b = rows(cur)
+          a.length == b.length && a.zip(b).forall { case (x, y) => x == y }
+        }
+        if (!ok) failed += 1
+        println(s"${if (ok) "MATCH" else "MISMATCH"} $n (schemaOk=$sameSchema)")
+      }
+    }
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -1018,19 +1018,29 @@ object AnalyticsQueries {
       |FROM c GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
-  /** Equi-depth histogram via ntile: 10 buckets of equal row count per
-    * flag, each reporting its exact value range and population — the
+  /** Equi-depth histogram via exact ntile: 10 buckets of equal row count
+    * per flag, each reporting its exact value range and population — the
     * complement of q91's fixed-width histogram (stats collectors keep
-    * both). Ordering inside ntile is made total with a unique tiebreak,
-    * so bucket assignment is deterministic on any engine. */
+    * both). Ordering inside the ntile is made total with a unique
+    * tiebreak, so bucket assignment is deterministic on any engine. The
+    * flag dimension has 3 values, so a `PARTITION BY flag` window would
+    * still put ~⅓ of the fact table through one task; instead this is
+    * [[graft.ops.GlobalRank]]'s grouped form — ONE range shuffle on
+    * (flag, x, tiebreak), per-flag bases from a broadcast-sized
+    * aggregate, buckets assigned arithmetically. */
   def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Catalog.load(spark, dir, "lineitem")
+    import graft.ops.GlobalRank
+    val base = Catalog.load(spark, dir, "lineitem")
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"),
         col("l_orderkey"), col("l_linenumber"))
-      .withColumn("bucket", ntile(10).over(Window.partitionBy(col("flag"))
-        .orderBy(col("x"), col("l_orderkey"), col("l_linenumber")))
-        .cast("long"))
+    val r = GlobalRank.withRowNumber(base,
+      Seq(col("flag"), col("x"), col("l_orderkey"), col("l_linenumber")),
+      "grn")
+    val bounds = r.groupBy(col("flag"))
+      .agg(min(col("grn")).as("g0"), count(lit(1)).as("gn"))
+    r.join(broadcast(bounds), "flag")
+      .withColumn("bucket", GlobalRank.ntileFromRowNumber(
+        col("grn") - col("g0") + 1, col("gn"), 10).cast("long"))
       .groupBy(col("flag"), col("bucket"))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
         count(lit(1)).as("n"))

@@ -3990,27 +3990,23 @@ object EventQueries {
   // ---- user segmentation -----------------------------------------------
 
   /** RFM segmentation: per-user recency (last event µs), frequency
-    * (event count), monetary (decimal-exact value sum) → quintiles via
-    * `ntile(5)` under a STRICT total order (metric, user_id), so both
-    * engines assign identical buckets. The ntile windows run over the
-    * AGGREGATED user frame (|users| rows, not |events|) — at a 1e9-user
-    * scale swap the ntile for the rank-threshold form (q114's
-    * rank-selected bounds) to avoid the single-partition window. */
+    * (event count), monetary (decimal-exact value sum) → quintiles under
+    * a STRICT total order (metric, user_id), so both engines assign
+    * identical buckets. Each quintile pass is [[graft.ops.GlobalRank]]'s
+    * distributed exact ntile (range shuffle + per-partition offsets) —
+    * bucket-identical to `ntile(5) OVER (ORDER BY …)` with no
+    * single-partition window over the 1e9-row user dimension. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Det
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.{Det, GlobalRank}
     val perUser = Catalog.load(spark, dir, "events")
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("recency_us"),
         count(lit(1)).as("frequency"),
         Det.dsum(col("value")).as("monetary"))
-    perUser
-      .withColumn("r_q",
-        ntile(5).over(Window.orderBy(col("recency_us"), col("user_id"))))
-      .withColumn("f_q",
-        ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))))
-      .withColumn("m_q",
-        ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
+    Seq(("recency_us", "r_q"), ("frequency", "f_q"), ("monetary", "m_q"))
+      .foldLeft(perUser) { case (df, (metric, out)) =>
+        GlobalRank.withNtile(df, 5, Seq(col(metric), col("user_id")), out)
+      }
       .withColumn("segment",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
       .orderBy(col("user_id"))

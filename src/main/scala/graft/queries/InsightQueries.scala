@@ -356,9 +356,11 @@ object InsightQueries {
     * order's value (cents; deterministic first = earliest date, then
     * lowest orderkey), with each decile's repeat rate (≥2 lifetime
     * orders) in exact micro-units — does a big first basket predict a
-    * second one? The ntile ranks the CUSTOMER dimension (first orders
-    * only), not the fact table; the order counts ride along from the
-    * same grouped pass. */
+    * second one? The decile cut ranks the CUSTOMER dimension (first
+    * orders only), not the fact table, via
+    * [[graft.ops.GlobalRank.withNtile]] — exact ntile semantics with no
+    * single-partition window over the customer frame; the order counts
+    * ride along from the same grouped pass. */
   def firstValueRepeat(spark: SparkSession, dir: String): DataFrame = {
     val wf = Window.partitionBy(col("o_custkey"))
       .orderBy(col("od"), col("o_orderkey"))
@@ -370,9 +372,9 @@ object InsightQueries {
       .withColumn("n_orders", count(lit(1)).over(
         Window.partitionBy(col("o_custkey"))))
       .filter(col("rn") === 1)
-    first
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+    graft.ops.GlobalRank.withNtile(first, 10,
+        Seq(col("cents"), col("o_custkey")), "decile")
+      .withColumn("decile", col("decile").cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("repeaters"))

@@ -768,7 +768,9 @@ object MiningQueries {
     * The half boundary is the midpoint of the observed date range
     * (broadcast 1-row), spend is exact cents per (customer, half), and
     * quintiles use a fully deterministic NTILE (ordered by spend then
-    * customer id — no tie ambiguity for the oracle to disagree on).
+    * customer id — no tie ambiguity for the oracle to disagree on),
+    * computed by [[graft.ops.GlobalRank.withNtile]] so the 1e9-customer
+    * frame never funnels through a single-partition window.
     * Output: the 5×5 matrix over customers active in BOTH halves plus
     * each cell's share of its origin quintile (one mirrored division). */
   def quintileMigration(spark: SparkSession, dir: String): DataFrame = {
@@ -784,10 +786,9 @@ object MiningQueries {
       .groupBy(col("c"), (col("d") <= col("mid")).as("early"))
       .agg(sum(col("cents")).as("spend_c"))
     def quintiles(early: Boolean, out: String) =
-      spend.filter(col("early") === early)
-        .withColumn(out, ntile(5)
-          .over(Window.orderBy(col("spend_c"), col("c"))).cast("long"))
-        .select(col("c"), col(out))
+      graft.ops.GlobalRank.withNtile(spend.filter(col("early") === early),
+          5, Seq(col("spend_c"), col("c")), out)
+        .select(col("c"), col(out).cast("long").as(out))
     quintiles(early = true, "q_from")
       .join(quintiles(early = false, "q_to"), "c")
       .groupBy(col("q_from"), col("q_to"))

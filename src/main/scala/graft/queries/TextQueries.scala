@@ -68,10 +68,10 @@ object TextQueries {
     * training-data pipeline runs before choosing a quality cutoff: does
     * low quality predict duplication? Composes q52's exact quality score
     * with q60's exact-hash dup flag, deciles by deterministic total-order
-    * ntile (q135's pattern), and reports one mirrored-division rate per
-    * decile. The two data-sized legs are the token aggregate and the
-    * 32-byte-hash count; the decile window orders only (score, id)
-    * pairs. */
+    * exact ntile ([[graft.ops.GlobalRank.withNtile]] — range shuffle +
+    * offsets, no single-partition window over the per-doc frame), and
+    * reports one mirrored-division rate per decile. The two data-sized
+    * legs are the token aggregate and the 32-byte-hash count. */
   def qualityDupProfile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(spark, dir)
@@ -80,9 +80,8 @@ object TextQueries {
       .withColumn("n_copies", count(lit(1)).over(
         Window.partitionBy(col("h"))))
       .select(col("doc_id"), (col("n_copies") > 1).as("is_dup"))
-    q.join(dupFlag, "doc_id")
-      .withColumn("decile", ntile(10).over(
-        Window.partitionBy().orderBy(col("quality"), col("doc_id"))))
+    graft.ops.GlobalRank.withNtile(q.join(dupFlag, "doc_id"), 10,
+        Seq(col("quality"), col("doc_id")), "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         count(when(col("is_dup"), 1)).as("n_dup"))

@@ -40,20 +40,50 @@ object WindowQueries {
       |ORDER BY o_custkey, rn""".stripMargin
 
   /** Ranking family: rank/dense_rank (tie-stable), ntile/percent_rank/
-    * cume_dist (over a total order). */
+    * cume_dist (over a total order), all per order status. The status
+    * dimension has 3 values, so `PARTITION BY o_orderstatus` windows
+    * would put ~⅓ of the fact table through each window task; instead
+    * every member derives from [[graft.ops.GlobalRank]]'s grouped exact
+    * row_number (one range shuffle, per-status bases broadcast):
+    *   - per-status rn over the TOTAL order → ntile(4) arithmetically;
+    *   - rank = min(rn) and peer-group end = max(rn) over the (status,
+    *     price) tie frame (a distributed aggregate + equi-join back);
+    *   - dense_rank = the tie frame's own per-status row_number;
+    *   - percent_rank = (rank-1)/(n-1), cume_dist = peerEnd/n — the
+    *     exact builtin formulas, bit-identical doubles. */
   def rankingPack(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.GlobalRank
     val o = Catalog.load(spark, dir, "orders")
-    val byPrice = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice").desc)
-    val total = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    o.select(
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val r = GlobalRank.withRowNumber(o,
+      Seq(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey")),
+      "grn")
+    val statusBounds = r.groupBy(col("o_orderstatus"))
+      .agg(min(col("grn")).as("s0"), count(lit(1)).as("sn"))
+    val rs = r.join(broadcast(statusBounds), "o_orderstatus")
+      .withColumn("rn", col("grn") - col("s0") + 1)
+    // tie frame: one row per (status, price) with rank + peer-group end
+    val ties = rs.groupBy(col("o_orderstatus").as("ts"),
+        col("o_totalprice").as("tp"))
+      .agg(min(col("rn")).as("rnk_l"), max(col("rn")).as("hi_l"))
+    val td = GlobalRank.withRowNumber(ties,
+      Seq(col("ts"), col("tp").desc), "tgrn")
+    val tieBounds = td.groupBy(col("ts")).agg(min(col("tgrn")).as("t0"))
+    val tiesRanked = td.join(broadcast(tieBounds), "ts")
+      .withColumn("drnk_l", col("tgrn") - col("t0") + 1)
+      .select(col("ts"), col("tp"), col("rnk_l"), col("hi_l"), col("drnk_l"))
+    rs.join(tiesRanked, col("o_orderstatus") === col("ts") &&
+        col("o_totalprice") === col("tp"))
+      .select(
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        rank().over(byPrice).cast("long").as("rnk"),
-        dense_rank().over(byPrice).cast("long").as("drnk"),
-        percent_rank().over(byPrice).as("prk"),
-        cume_dist().over(byPrice).as("cd"),
-        ntile(4).over(total).cast("long").as("quartile"))
+        col("rnk_l").cast("long").as("rnk"),
+        col("drnk_l").cast("long").as("drnk"),
+        when(col("sn") === 1, lit(0.0))
+          .otherwise((col("rnk_l") - 1).cast("double") /
+            (col("sn") - 1).cast("double")).as("prk"),
+        (col("hi_l").cast("double") / col("sn").cast("double")).as("cd"),
+        GlobalRank.ntileFromRowNumber(col("rn"), col("sn"), 4)
+          .cast("long").as("quartile"))
       .orderBy(col("o_orderkey"))
   }
 
