@@ -7,14 +7,11 @@ import org.apache.spark.sql.SparkSession
   * (mode=check). Used to prove the global-ntile rewrites are
   * bit-identical; deleted once the rewrite lands. */
 object Snapshot {
-  val names = Seq("q36_ranking_pack", "q135_equidepth_hist", "q159_rfm",
-    "q171_quality_dup_profile", "q436_first_value_repeat",
-    "q456_quintile_migration")
-
   def main(args: Array[String]): Unit = {
     val mode = args(0) // save | check
     val outDir = args(1)
     val sfDir = args(2)
+    val names = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

@@ -129,4 +129,44 @@ object GlobalRank {
       .withColumn(out, ntileFromRowNumber(col(tmp), lit(n), k))
       .drop(tmp)
   }
+
+  /** `df` + `out` (LongType): the exact global running sum of `value`
+    * over the total order `order` — hash-identical to
+    * `sum(value).over(Window.orderBy(order).rowsBetween(unboundedPreceding,
+    * currentRow))` with no single-partition window. `value` must be an
+    * EXACT integral column (LongType cents/counts — the engine's
+    * standard exact-accumulation shape): integer addition reassociates
+    * freely, so per-partition partial sums + broadcast prefix offsets
+    * give bit-identical results; a DOUBLE column would change the FP
+    * association and is rejected. The local cumsum window partitions by
+    * the range-partition id, so each window task holds one shuffle
+    * partition — bounded by partition size, never by frame size. */
+  def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val v = s"__grank_v_$out"
+    val ck = df.withColumn(v, value)
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(IdCol, monotonically_increasing_id())
+      .localCheckpoint(false)
+    require(ck.schema(v).dataType == org.apache.spark.sql.types.LongType,
+      s"withRunningSum needs an exact LongType value, got ${ck.schema(v).dataType}")
+    val sums = ck.groupBy(shiftright(col(IdCol), 33).as("pid"))
+      .agg(sum(col(v)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
+    val pid = shiftright(col(IdCol), 33)
+    val offset = offsets.foldLeft(lit(0L)) { case (e, (p, o)) =>
+      when(pid === p, lit(o)).otherwise(e)
+    }
+    val localW = Window.partitionBy(pid)
+      .orderBy(col(IdCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ck.withColumn(out, sum(col(v)).over(localW) + offset)
+      .drop(IdCol, v)
+  }
 }

@@ -67,6 +67,35 @@ object StatsOps {
         ((col("med_lo") + col("med_hi")) / 2).as("median"), col("p90"))
   }
 
+  /** [[rankPercentiles]] for a GLOBAL (ungrouped) frame: same chosen
+    * ranks — lower/upper median, ceil(0.9·n) — and the same final
+    * expressions, but the rank comes from
+    * [[GlobalRank.withRowNumber]]'s range shuffle + per-partition
+    * offsets instead of a constant-key window (which the optimizer
+    * folds to an unpartitioned WindowExec funnelling the whole frame
+    * through ONE task). The frame size is driver-known from the same
+    * pass, so the three order statistics are picked by a tiny isin
+    * filter. Output (n, median, p90), hash-identical to the grouped
+    * form under a constant key with k dropped; empty input → empty
+    * output, as with the grouped form. */
+  def globalRankPercentiles(df: DataFrame, v: Column, tiebreak: Column)
+      : DataFrame = {
+    val base = df.select(v.as("v"), tiebreak.as("tb"))
+    val (ranked, n) = GlobalRank.withRowNumberAndTotal(
+      base, Seq(col("v"), col("tb")), "rn")
+    val rMedLo = (n + 1) / 2
+    val rMedHi = (n + 2) / 2
+    val rP90 = math.ceil(n * 0.9).toLong // same IEEE expr as the SQL form
+    ranked.filter(col("rn").isin(rMedLo, rMedHi, rP90))
+      .agg(
+        max(when(col("rn") === rMedLo, col("v"))).as("med_lo"),
+        max(when(col("rn") === rMedHi, col("v"))).as("med_hi"),
+        max(when(col("rn") === rP90, col("v"))).as("p90"))
+      .select(lit(n).as("n"),
+        ((col("med_lo") + col("med_hi")) / 2).as("median"), col("p90"))
+      .limit(if (n == 0) 0 else 1)
+  }
+
   /** Misra–Gries heavy-hitters buffer: at most `k` tracked candidates. */
   case class MgBuf(counts: Map[String, Long])
 

@@ -1400,13 +1400,16 @@ object AnalyticsQueries {
     * mirrored IEEE divisions only. */
   def decileLift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Catalog.load(spark, dir, "events")
-      .filter(col("value").isNotNull && col("event_type").isNotNull)
-      .select(expr("cast(round(value * 100) as bigint)").as("cents"),
-        col("event_id"),
-        (col("event_type") === "purchase").cast("int").as("pos"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("cents").desc, col("event_id"))))
+    // the decile cut ranks the EVENTS fact table — GlobalRank's exact
+    // distributed ntile, never a single-partition window; the cumulative
+    // windows below run on the collapsed 10-row decile spine
+    val e = graft.ops.GlobalRank.withNtile(
+      Catalog.load(spark, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+          col("event_id"),
+          (col("event_type") === "purchase").cast("int").as("pos")),
+      10, Seq(col("cents").desc, col("event_id")), "decile")
     val d = e.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
     d.withColumn("cum_pos",
@@ -1609,23 +1612,28 @@ object AnalyticsQueries {
     * integral (2·rank + |ties| − 1), then Pearson over the doubled
     * ranks from exact DECIMAL(38,0) moment sums and one mirrored IEEE
     * closed form (÷, sqrt, × are correctly rounded — engine-exact).
-    * The global rank is one total-order sort; at 100 TB it becomes a
-    * range-partitioned sort with per-partition offsets, the moment
-    * rollup is unchanged. BIGINT would overflow at m·Σxy ≈ 4n³ — the
-    * decimal moments hold to n ≈ 10⁹ rows per corpus. */
+    * Each doubled rank lives on its DISTINCT-VALUE frame (min rank =
+    * cumulative count − ties + 1, cumulative counts via
+    * [[graft.ops.GlobalRank.withRunningSum]] — no fact-sized
+    * single-partition window) and joins back to the fact rows by
+    * value, so the (x2, y2) pairs feeding the moments are unchanged.
+    * BIGINT would overflow at m·Σxy ≈ 4n³ — the decimal moments hold
+    * to n ≈ 10⁹ rows per corpus. */
   def spearman(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.GlobalRank
     val dec = "decimal(38,0)"
     val b = Catalog.load(spark, dir, "lineitem")
       .select(col("l_quantity").cast("long").as("x"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
+    def doubledRanks(v: String) = GlobalRank.withRunningSum(
+        b.groupBy(col(v)).agg(count(lit(1)).as("t")),
+        Seq(col(v)), col("t"), "cumn")
+      .select(col(v).as(v + "k"),
+        (lit(2L) * (col("cumn") - col("t") + 1) + col("t") - 1)
+          .as(v + "2"))
     val r = b
-      .withColumn("x2", rank().over(Window.orderBy(col("x")))
-        .cast("long") * 2 +
-        count(lit(1)).over(Window.partitionBy(col("x"))) - 1)
-      .withColumn("y2", rank().over(Window.orderBy(col("y")))
-        .cast("long") * 2 +
-        count(lit(1)).over(Window.partitionBy(col("y"))) - 1)
+      .join(doubledRanks("x"), col("x") === col("xk"))
+      .join(doubledRanks("y"), col("y") === col("yk"))
     val s = r.agg(count(lit(1)).as("m"),
       sum(col("x2").cast(dec)).as("sx"), sum(col("y2").cast(dec)).as("sy"),
       sum((col("x2").cast(dec) * col("x2")).cast(dec)).as("sxx"),
@@ -1687,9 +1695,12 @@ object AnalyticsQueries {
           .as("g"))
     val per = b.groupBy(col("v"))
       .agg(sum(col("g")).as("d1"), sum(lit(1L) - col("g")).as("d2"))
-    val cum = per
-      .withColumn("c1", sum(col("d1")).over(Window.orderBy(col("v"))))
-      .withColumn("c2", sum(col("d2")).over(Window.orderBy(col("v"))))
+    // both ECDF prefixes via GlobalRank's exact distributed running sum
+    // (the distinct-value frame is score-range-sized, but unbounded in
+    // principle — no single-partition window)
+    val cum = graft.ops.GlobalRank.withRunningSum(
+      graft.ops.GlobalRank.withRunningSum(per, Seq(col("v")), col("d1"), "c1"),
+      Seq(col("v")), col("d2"), "c2")
     val tot = b.agg(sum(col("g")).as("n1"),
       sum(lit(1L) - col("g")).as("n2"))
     cum.crossJoin(tot)
@@ -2570,9 +2581,11 @@ object AnalyticsQueries {
           .as("g"))
     val per = b.groupBy(col("v"))
       .agg(sum(col("g")).as("d1"), sum(lit(1L) - col("g")).as("d2"))
-    val cum = per
-      .withColumn("c1", sum(col("d1")).over(Window.orderBy(col("v"))))
-      .withColumn("c2", sum(col("d2")).over(Window.orderBy(col("v"))))
+    // ECDF prefixes via GlobalRank's exact distributed running sum —
+    // same shape as q227's KS rewrite
+    val cum = graft.ops.GlobalRank.withRunningSum(
+      graft.ops.GlobalRank.withRunningSum(per, Seq(col("v")), col("d1"), "c1"),
+      Seq(col("v")), col("d2"), "c2")
     val tot = b.agg(sum(col("g")).as("n1"),
       sum(lit(1L) - col("g")).as("n2"))
     cum.crossJoin(tot)

@@ -644,22 +644,25 @@ object BreadthQueries {
     * is two mirrored IEEE divisions, exact on both engines. Each ranking
     * is one aggregate + one window; the fusion joins on the key. */
   def rankFusion(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.GlobalRank
     // BOTH ranking signals come out of ONE lineitem scan + one supplier
-    // aggregate; the two global rank windows then order only the
+    // aggregate; the two global ranks then order only the
     // |suppliers|-sized frame (a join of two separately-built rankings
-    // would scan and shuffle the fact table twice)
+    // would scan and shuffle the fact table twice), each via
+    // GlobalRank's range shuffle — no single-partition window over the
+    // supplier dimension
     val bySupp = Catalog.load(spark, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"),
         countDistinct(col("l_orderkey")).as("n_orders"))
-    bySupp
-      .withColumn("r_rev", row_number().over(
-        Window.partitionBy().orderBy(col("revenue").desc, col("l_suppkey"))))
-      .withColumn("r_cnt", row_number().over(
-        Window.partitionBy().orderBy(col("n_orders").desc, col("l_suppkey"))))
-      .select(col("l_suppkey"), col("r_rev"), col("r_cnt"),
+    val r1 = GlobalRank.withRowNumber(bySupp,
+      Seq(col("revenue").desc, col("l_suppkey")), "r_rev")
+    GlobalRank.withRowNumber(r1,
+        Seq(col("n_orders").desc, col("l_suppkey")), "r_cnt")
+      .select(col("l_suppkey"),
+        col("r_rev").cast("int").as("r_rev"),
+        col("r_cnt").cast("int").as("r_cnt"),
         (lit(1.0) / (lit(60.0) + col("r_rev"))
           + lit(1.0) / (lit(60.0) + col("r_cnt"))).as("rrf"))
       .orderBy(col("rrf").desc, col("l_suppkey"))
@@ -699,17 +702,20 @@ object BreadthQueries {
     * cumulative sums). The "top 1% of suppliers carry X% of revenue"
     * readout drops straight out of the tail rows. */
   def lorenz(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.GlobalRank
     val s = Catalog.load(spark, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
     val tot = s.agg(sum(col("rev_c")).as("total_c"))
-    val ord = Window.partitionBy().orderBy(col("rev_c"), col("l_suppkey"))
-    s.crossJoin(broadcast(tot))
-      .withColumn("rk", row_number().over(ord))
-      .withColumn("cum_c", sum(col("rev_c")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("rk"), col("l_suppkey"), col("rev_c"), col("cum_c"),
+    // rank + exact-integer cumulative sum both via GlobalRank (range
+    // shuffle + broadcast offsets) — the supplier dimension never
+    // funnels through a single window task
+    val ord = Seq(col("rev_c"), col("l_suppkey"))
+    val ranked = GlobalRank.withRunningSum(
+      GlobalRank.withRowNumber(s, ord, "rk"), ord, col("rev_c"), "cum_c")
+    ranked.crossJoin(broadcast(tot))
+      .select(col("rk").cast("int").as("rk"), col("l_suppkey"),
+        col("rev_c"), col("cum_c"),
         (col("cum_c").cast("double") / col("total_c")).as("cum_share"))
       .orderBy(col("rk"))
   }

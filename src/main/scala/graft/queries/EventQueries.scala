@@ -1819,9 +1819,7 @@ object EventQueries {
       .agg(min(col("t")).as("p0"))
       .select(col("user_id"), (col("p0") - col("v0")).as("lat_us"))
     graft.ops.StatsOps
-      .rankPercentiles(perUser.withColumn("g", lit("all")), col("g"),
-        col("lat_us"), col("user_id"))
-      .select(col("n"), col("median"), col("p90"))
+      .globalRankPercentiles(perUser, col("lat_us"), col("user_id"))
   }
 
   private val conversionLatencySql =
@@ -1979,23 +1977,29 @@ object EventQueries {
     * units (2·rank_min + ties − 1), so rank sums and both U statistics
     * are BIGINT arithmetic with one answer on any engine; only the
     * final normal-approximation z goes through (identical) IEEE ops.
-    * The global rank is one total-order sort — at scale a
-    * range-partitioned sort, the same shape as any global ranking. */
+    * Ranks come from the DISTINCT-VALUE frame: per value, the min rank
+    * is (cumulative count − ties + 1), with the cumulative count an
+    * exact [[graft.ops.GlobalRank.withRunningSum]] — no fact-sized
+    * single-partition window, and the per-group rank sums collapse to
+    * Σ countᵍ(x)·r2(x) over distinct values. */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g1 = "1-URGENT"; val g2 = "5-LOW"
     val o = Catalog.load(spark, dir, "orders")
       .filter(col("o_orderpriority").isin(g1, g2))
       .select(col("o_orderpriority").as("g"), col("o_totalprice").as("x"))
-    val ranked = o
-      .withColumn("rmin", rank().over(Window.orderBy(col("x"))).cast("long"))
-      .withColumn("ties", count(lit(1)).over(Window.partitionBy(col("x"))))
+    val byX = o.groupBy(col("x")).agg(
+      count(lit(1)).as("ties"),
+      count(when(col("g") === g1, 1)).as("c1"),
+      count(when(col("g") === g2, 1)).as("c2"))
+    val ranked = graft.ops.GlobalRank.withRunningSum(
+        byX, Seq(col("x")), col("ties"), "cumn")
+      .withColumn("rmin", col("cumn") - col("ties") + 1)
       .withColumn("r2", lit(2L) * col("rmin") + col("ties") - 1L)
     ranked.groupBy()
       .agg(
-        count(when(col("g") === g1, 1)).as("n1"),
-        count(when(col("g") === g2, 1)).as("n2"),
-        sum(when(col("g") === g1, col("r2"))).as("r1_x2"))
+        sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"),
+        sum(col("c1") * col("r2")).as("r1_x2"))
       .withColumn("u1_x2",
         col("r1_x2") - col("n1") * (col("n1") + 1L))
       .withColumn("u2_x2",
@@ -2291,8 +2295,11 @@ object EventQueries {
       .groupBy(col("cents"))
       .agg(sum(col("pos")).as("np"),
         sum(lit(1) - col("pos")).as("nn"))
-    val cum = g.withColumn("cum_nn",
-      sum(col("nn")).over(Window.orderBy(col("cents"))))
+    // the negatives-below prefix via GlobalRank's exact distributed
+    // running sum over the distinct-score frame (no single-partition
+    // window)
+    val cum = graft.ops.GlobalRank.withRunningSum(
+      g, Seq(col("cents")), col("nn"), "cum_nn")
     cum.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (lit(2) * (col("cum_nn") - col("nn")) + col("nn")))
           .as("auc_num2"))
@@ -3110,10 +3117,8 @@ object EventQueries {
         unix_micros(col("session_window.start")).as("start_us"),
         (unix_micros(col("session_window.end"))
           - unix_micros(col("session_window.start"))).as("dur_us"))
-    graft.ops.StatsOps.rankPercentiles(
-        sess.withColumn("g", lit("all")), col("g"), col("dur_us"),
-        struct(col("start_us"), col("user_id")))
-      .select(col("n"), col("median"), col("p90"))
+    graft.ops.StatsOps.globalRankPercentiles(
+      sess, col("dur_us"), struct(col("start_us"), col("user_id")))
   }
 
   private val sessionDurationsSql =
@@ -3308,10 +3313,8 @@ object EventQueries {
       .filter(col("tp").isNotNull)
       .select(col("user_id"),
         expr("(tp - t0) div 3600000000").as("hours"))
-    graft.ops.StatsOps.rankPercentiles(
-        per.withColumn("g", lit("all")), col("g"), col("hours"),
-        col("user_id"))
-      .select(col("n"), col("median"), col("p90"))
+    graft.ops.StatsOps.globalRankPercentiles(
+      per, col("hours"), col("user_id"))
   }
 
   private val timeToConvertSql =

@@ -415,22 +415,30 @@ object InsightQueries {
     * per-group rank sums as BIGINTs, H and its tie-corrected form in
     * micro-units through decimal(38)/HUGEINT cross-multiplication (the
     * per-group Rj²/nj terms are floored integer divisions, mirrored —
-    * the house "defined statistic" convention). The one global rank is a
-    * total-order sort, the same accepted shape as every exact-rank
-    * query; everything after runs on the 5-row group aggregate. */
+    * the house "defined statistic" convention). Ranks come from the
+    * DISTINCT-VALUE frame — min rank per value = cumulative count −
+    * ties + 1 with the cumulative count an exact
+    * [[graft.ops.GlobalRank.withRunningSum]] (no fact-sized
+    * single-partition window) — and the per-group rank sums collapse
+    * to Σ countᵍ(x)·r2(x) over distinct values; everything after runs
+    * on the 5-row group aggregate. */
   def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
     val o = Catalog.load(spark, dir, "orders")
       .select(col("o_orderpriority").as("g"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
-    val ranked = o
-      .withColumn("rmin", rank().over(Window.orderBy(col("x"))).cast("long"))
-      .withColumn("ties", count(lit(1)).over(Window.partitionBy(col("x"))))
-      .withColumn("r2", lit(2L) * col("rmin") + col("ties") - 1L)
-    val grp = ranked.groupBy(col("g"))
-      .agg(count(lit(1)).as("nj"), sum(col("r2")).as("rj2"))
+    val byGX = o.groupBy(col("g"), col("x")).agg(count(lit(1)).as("cnt"))
+    val byX = byGX.groupBy(col("x")).agg(sum(col("cnt")).as("t"))
+    val rankedX = graft.ops.GlobalRank.withRunningSum(
+        byX, Seq(col("x")), col("t"), "cumn")
+      .withColumn("r2",
+        lit(2L) * (col("cumn") - col("t") + 1) + col("t") - 1L)
+      .select(col("x").as("xk"), col("r2"))
+    val grp = byGX.join(rankedX, col("x") === col("xk"))
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("nj"), sum(col("cnt") * col("r2")).as("rj2"))
       .select(expr(s"CAST((CAST(rj2 AS $dec) * rj2) div (4 * nj) AS BIGINT)")
         .as("term"), col("nj"))
-    val tiesAgg = o.groupBy(col("x")).agg(count(lit(1)).as("t"))
+    val tiesAgg = byX
       .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
     grp.agg(sum(col("term")).as("sterm"), sum(col("nj")).as("n"))
       .crossJoin(broadcast(tiesAgg.select(col("tt"))))

@@ -2480,13 +2480,15 @@ object MiningQueries {
     val unsold = Catalog.load(spark, dir, "part")
       .join(sold, col("p_partkey") === col("pk"), "left_anti")
       .agg(count(lit(1)).as("n_unsold"))
-    val w = Window.orderBy(col("cents").desc, col("pk"))
-    val ranked = sold
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over())
+    // rank over the per-part aggregate via GlobalRank (no
+    // single-partition window over the catalog); the frame size comes
+    // back driver-side from the same pass, so the decile threshold
+    // (n + 9) div 10 is the identical integer division as a literal
+    val (ranked, nSold) = graft.ops.GlobalRank.withRowNumberAndTotal(
+      sold, Seq(col("cents").desc, col("pk")), "rn")
     val shares = ranked.agg(
       count(lit(1)).as("n_sold"), sum(col("cents")).as("total_cents"),
-      sum(when(col("rn") <= expr("(n + 9) div 10"), col("cents"))
+      sum(when(col("rn") <= lit((nSold + 9) / 10), col("cents"))
         .otherwise(0L)).as("top_decile_cents"))
     shares.crossJoin(broadcast(nParts)).crossJoin(broadcast(unsold))
       .select(col("n_parts"), col("n_sold"), col("n_unsold"),

@@ -31,16 +31,17 @@ object ScienceQueries {
     * policy partition behind every stocking decision. Class membership
     * by exact integer cross-multiplication (cum·100 ≤ total·80 — no
     * float thresholds); one share division per class row. The global
-    * cumulative window runs on the per-part AGGREGATE (catalog-sized,
-    * not fact-sized — same policy as q364's Pareto ranks). */
+    * cumulative sum runs on the per-part AGGREGATE (catalog-sized, not
+    * fact-sized) via [[graft.ops.GlobalRank.withRunningSum]] — exact
+    * integer prefix sums from a range shuffle + broadcast offsets, no
+    * single-partition window over the part dimension. */
   def abcClasses(spark: SparkSession, dir: String): DataFrame = {
     val parts = Catalog.load(spark, dir, "lineitem")
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
     val total = parts.agg(sum(col("cents")).as("total_cents"))
-    val w = Window.orderBy(col("cents").desc, col("pk"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts.withColumn("cum", sum(col("cents")).over(w))
+    graft.ops.GlobalRank.withRunningSum(parts,
+        Seq(col("cents").desc, col("pk")), col("cents"), "cum")
       .crossJoin(broadcast(total))
       .withColumn("abc_class",
         when(col("cum") * 100 <= col("total_cents") * 80, "A")
@@ -1513,10 +1514,13 @@ object ScienceQueries {
       .select(col("doc_id"), col("n_chars"),
         expr("CAST(size(filter(split(text, ' '), t -> length(t) > 0)) AS BIGINT)")
           .as("tokens"))
-    val w = Window.orderBy(col("n_chars"), col("doc_id"))
-    d.withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over())
-      .withColumn("stage", expr("1 + ((rn - 1) * 4) div n"))
+    // corpus-sized rank via GlobalRank (range shuffle, no
+    // single-partition window over the doc dimension); n is
+    // driver-known from the same pass — the stage formula's integer
+    // division is unchanged
+    val (r, n) = graft.ops.GlobalRank.withRowNumberAndTotal(
+      d, Seq(col("n_chars"), col("doc_id")), "rn")
+    r.withColumn("stage", expr(s"1 + ((rn - 1) * 4) div ${n}L"))
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"),
         min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
@@ -2605,8 +2609,10 @@ object ScienceQueries {
   def activityGini(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Catalog.load(spark, dir, "events")
       .groupBy(col("user_id")).agg(count(lit(1)).as("y"))
-    val w = Window.orderBy(col("y"), col("user_id"))
-    perUser.withColumn("i", row_number().over(w).cast("long"))
+    // exact global rank i via GlobalRank — the user dimension never
+    // funnels through a single window task
+    graft.ops.GlobalRank.withRowNumber(
+        perUser, Seq(col("y"), col("user_id")), "i")
       .agg(count(lit(1)).as("n_users"), sum(col("y")).as("n_events"),
         sum((col("i").cast(dec) * col("y")).cast(dec)).as("siy"))
       .select(col("n_users"), col("n_events"),

@@ -78,6 +78,27 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(out.rdd.getNumPartitions > 1, "frame collapsed to one partition")
   }
 
+  test("withRunningSum == sum over unbounded-preceding window (exact longs)") {
+    for (n <- sizes) {
+      val df = frame(n).withColumn("c", (col("id") * 7 - 3).cast("long"))
+      val expected = df.withColumn("cum",
+          sum(col("c")).over(Window.orderBy(col("v"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "cum").as[(Long, Long)].collect().sorted
+      val got = GlobalRank.withRunningSum(df,
+          Seq(col("v"), col("id")), col("c"), "cum")
+        .select("id", "cum").as[(Long, Long)].collect().sorted
+      assert(got.toSeq == expected.toSeq, s"n=$n")
+    }
+  }
+
+  test("withRunningSum rejects non-exact value types") {
+    val df = frame(10).withColumn("d", col("id").cast("double"))
+    intercept[IllegalArgumentException] {
+      GlobalRank.withRunningSum(df, Seq(col("v"), col("id")), col("d"), "cum")
+    }
+  }
+
   test("ntile formula handles the n just below/above k*threshold edges") {
     // exhaustive small sweep: every (n, k) with n <= 25, k <= 8
     for (n <- 0 to 25; k <- 1 to 8) {
