@@ -2,10 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** TEMPORARY round-11 harness: snapshot named query outputs to parquet
-  * (mode=save) or compare current outputs against a snapshot
-  * (mode=check). Used to prove the global-ntile rewrites are
-  * bit-identical; deleted once the rewrite lands. */
+/** Rewrite-equivalence harness: snapshot named query outputs to parquet
+  * (mode=save) BEFORE a plan-shape rewrite, then prove the rewritten
+  * queries bit-identical (mode=check) — row-for-row, column-dtype-for-
+  * dtype — before the change ships. This is how the round-11
+  * [[graft.ops.GlobalRank]] migration certified all 22 window rewrites
+  * against the previous hash-green implementations without re-running
+  * the DuckDB oracle.
+  *
+  *   runMain graft.Snapshot save  /tmp/snap <sfDir> q1,q2,...
+  *   runMain graft.Snapshot check /tmp/snap <sfDir> q1,q2,...
+  */
 object Snapshot {
   def main(args: Array[String]): Unit = {
     val mode = args(0) // save | check

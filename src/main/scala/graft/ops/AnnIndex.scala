@@ -77,7 +77,43 @@ object AnnIndex {
 
   private def readHwm(indexDir: String): Long = {
     val p = hwmPath(indexDir)
-    if (Fs.exists(p)) Fs.readString(p).trim.toLong else -1L
+    if (!Fs.exists(p)) -1L
+    else {
+      val raw = Fs.readString(p).trim
+      // a missing ledger means "nothing admitted yet" — but an
+      // UNPARSEABLE one must never be treated as missing or low: a
+      // silently-lowered high-water mark would re-admit replayed
+      // pre-compaction batches, exactly the duplication the ledger
+      // exists to prevent. Fail loud with the recovery recipe.
+      raw.toLongOption.getOrElse(throw new IllegalStateException(
+        s"corrupt ANN admission ledger $p (content: '${raw.take(32)}') — " +
+          "refusing to guess a high-water mark. Recover by writing the " +
+          "highest batch id ever admitted to this index directory " +
+          "(at least the max batch= value in the current codes manifest) " +
+          "followed by a newline."))
+    }
+  }
+
+  /** Atomic ledger write: stage to a temp sibling, then rename over the
+    * live path — a crash mid-write can no longer leave an empty or
+    * truncated ledger (the failure ADVICE r10 flagged: '' wedges every
+    * subsequent append, '4' from '42' silently re-admits replays). */
+  private def writeHwm(indexDir: String, value: Long): Unit = {
+    val p = hwmPath(indexDir)
+    val tmp = new Path(s"$indexDir/_batch_hwm.tmp")
+    Fs.writeString(tmp, s"$value\n")
+    try Fs.rename(tmp, p)
+    catch {
+      case _: java.io.IOException if Fs.exists(p) =>
+        // some filesystems refuse rename-over-existing; delete + retry.
+        // A crash between the two leaves NO ledger, which both callers
+        // tolerate: advanceHwm runs BEFORE a manifest-collapsing
+        // publish (ids still manifested) and append's ledger write runs
+        // AFTER its commit (id already manifested) — missing is safe,
+        // truncated is not, and staging makes truncation impossible.
+        Fs.deleteRecursive(p)
+        Fs.rename(tmp, p)
+    }
   }
 
   /** Raise the ledger to cover `atLeast` and every batch id the CURRENT
@@ -91,7 +127,7 @@ object AnnIndex {
         .foldLeft(-1L)(math.max))
       .getOrElse(-1L)
     val next = math.max(math.max(readHwm(indexDir), manifestMax), atLeast)
-    Fs.writeString(hwmPath(indexDir), s"$next\n")
+    writeHwm(indexDir, next)
     next
   }
 
@@ -137,12 +173,17 @@ object AnnIndex {
 
   private type Model = (Seq[(Int, Array[Float])], Seq[Seq[(Int, Array[Float])]])
 
-  // keyed by (indexDir, centroids version, codebooks version): an append
-  // LINKS the model tables at their existing versions, so the cache stays
-  // hot across appends and invalidates exactly when a rebuild publishes
-  // new model versions. Model-sized values (nCells + m·pqK vectors).
+  // keyed by (indexDir, centroids version, codebooks version, commit
+  // stamp): an append LINKS the model tables at their existing versions,
+  // so the cache stays hot across appends and invalidates exactly when a
+  // rebuild publishes new model versions. The commit-marker stamp
+  // ([[Versioned.commitStamp]]) guards the delete-and-rebuild-same-path
+  // hazard ADVICE r10 flagged: a fresh incarnation restarts versions at
+  // 0, but its markers carry new mtimes, so a stale model from the
+  // previous incarnation can never serve against the new codes.
+  // Model-sized values (nCells + m·pqK vectors).
   private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Model]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), Model]()
   private val modelLoadCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Number of ACTUAL model-parquet loads since JVM start — the
@@ -166,7 +207,9 @@ object AnnIndex {
   private def loadModelAt(spark: SparkSession, indexDir: String,
       versions: Map[String, Long]): Model = {
     import spark.implicits._
-    val key = (indexDir, versions(CentroidsTable), versions(CodebooksTable))
+    val key = (indexDir, versions(CentroidsTable), versions(CodebooksTable),
+      Versioned.commitStamp(indexDir, CentroidsTable,
+        versions(CentroidsTable)))
     val hit = modelCache.get(key)
     if (hit != null) return hit
     val coarse = Versioned.read(spark, indexDir, CentroidsTable,
@@ -214,6 +257,44 @@ object AnnIndex {
     val codes =
       if (probeCells.isEmpty) all.filter(lit(false)) // no queries → no scan
       else all.filter(col("cell").isInCollection(probeCells.toSeq))
+    VectorOps.ivfPqRank(codes, queries, k, coarse, books, nProbe, dim)
+  }
+
+  /** FILTERED serve — "top-k WHERE metadata predicate", the most common
+    * real-world vector-search request: `allowed` is the (vec_id) key set
+    * a metadata predicate admits (the caller filters its metadata table
+    * and projects the key — any predicate, any table), and ranking runs
+    * ONLY over admitted candidates, so k survivors are k TRUE matches.
+    * The over-fetch-and-post-filter alternative (serve k', then drop
+    * disallowed) loses recall under selective filters: a filter keeping
+    * 1% of the corpus leaves ~k'/100 usable results.
+    *
+    * Plan shape: the probed-cell `In(cell, …)` parquet pushdown prunes
+    * the codes scan exactly as [[serveTopK]] does, then a LEFT SEMI join
+    * on vec_id admits survivors (Catalyst broadcasts a small key set,
+    * shuffles a large one — both scale-safe), and only those are ADC-
+    * ranked. Model/codes come from one journaled snapshot, same as the
+    * unfiltered path. AnnIndexSpec pins: filtered serve ≡ one-shot
+    * IVF-PQ over the filtered corpus (bit-identical), recall@k under a
+    * selective filter vs brute-force-with-filter, and the pushdown. */
+  def serveTopKFiltered(spark: SparkSession, indexDir: String,
+      queries: DataFrame, allowed: DataFrame, k: Int,
+      nProbe: Int = 6): DataFrame = {
+    import spark.implicits._
+    val snapshot = Versioned.latestGroupVersions(indexDir)
+    val (coarse, books) = loadModelAt(spark, indexDir, snapshot)
+    val dim = coarse.head._2.length
+    val probeCells = queries.select(
+        explode(graft.functions.NearestCentroids.nearestCells(
+          col("qv"), coarse, nProbe)).as("cell"))
+      .distinct().as[Int].collect().sorted
+    val all = Versioned.read(spark, indexDir, CodesTable,
+      Some(snapshot(CodesTable)))
+    val codes =
+      if (probeCells.isEmpty) all.filter(lit(false))
+      else all.filter(col("cell").isInCollection(probeCells.toSeq))
+        .join(allowed.select(col("vec_id")).distinct(), Seq("vec_id"),
+          "left_semi")
     VectorOps.ivfPqRank(codes, queries, k, coarse, books, nProbe, dim)
   }
 

@@ -39,6 +39,17 @@ object Versioned {
   private def tableDir(baseDir: String, name: String) = new Path(s"$baseDir/$name")
   private def vdir(t: Path, v: Long) = new Path(t, s"_v$v")
   private def commitPath(t: Path, v: Long) = new Path(vdir(t, v), "_COMMIT")
+
+  /** Modification time of a committed version's commit marker — a
+    * per-INCARNATION stamp: if a table directory is deleted and
+    * republished so version numbers restart, the same (name, version)
+    * resolves to a different stamp. Caches keyed on version numbers add
+    * this to their key so a stale entry from a previous incarnation of
+    * the path can never serve ([[graft.ops.AnnIndex]]'s model cache). */
+  def commitStamp(baseDir: String, name: String, version: Long): Long = {
+    val p = commitPath(tableDir(baseDir, name), version)
+    Fs.of(p).getFileStatus(p).getModificationTime
+  }
   private def manifestPath(t: Path, v: Long) = new Path(vdir(t, v), "_MANIFEST")
 
   /** Every `_v<k>` directory on disk, committed or not (a publish that
@@ -433,16 +444,60 @@ object Versioned {
     * row is an add+remove pair under its key — the caller joins the two
     * sides on the key to see updates as such. Answers "what did that
     * publish actually change?" across time travel without any external
-    * diff tool; for a cheap partition-level pre-screen at 100 TB run the
-    * q165-style content checksum per partition first and diff only
-    * partitions whose checksums moved. */
+    * diff tool.
+    *
+    * MANIFEST-AWARE: when both versions carry partition manifests on
+    * the same partition column, a partition whose manifest entry is
+    * IDENTICAL in both (same linked relDir → physically the same
+    * files, therefore the same rows — exceptAll of equal multisets is
+    * empty) is skipped without reading a byte. Only partitions that
+    * were staged, dropped, or re-pointed between the versions are
+    * scanned — the read-side mirror of [[publishDelta]]'s O(touched)
+    * write: diffing a one-partition delta publish of a 100 TB table
+    * costs one partition, not two full-table shuffles. Falls back to
+    * the full two-sided EXCEPT ALL when either version has no manifest
+    * or the partition column changed (PublishSpec pins both paths). */
   def diff(spark: SparkSession, baseDir: String, name: String,
       vOld: Long, vNew: Long): DataFrame = {
-    val before = read(spark, baseDir, name, Some(vOld))
-    val after = read(spark, baseDir, name, Some(vNew))
+    val t = tableDir(baseDir, name)
+    def full() = {
+      val before = read(spark, baseDir, name, Some(vOld))
+      val after = read(spark, baseDir, name, Some(vNew))
+      diffFrames(before, after)
+    }
+    (manifestOf(t, vOld), manifestOf(t, vNew)) match {
+      case (Some(mo), Some(mn)) if mo.partCol == mn.partCol =>
+        val om = mo.entries.toMap
+        val nm = mn.entries.toMap
+        val touchedOld = mo.entries.filter { case (v, rel) =>
+          !nm.get(v).contains(rel) }
+        val touchedNew = mn.entries.filter { case (v, rel) =>
+          !om.get(v).contains(rel) }
+        // an untouched side becomes a schema-only empty relation (no
+        // file scan in the plan — `diff(v, v)` must read zero bytes)
+        def empty(schema: org.apache.spark.sql.types.StructType) =
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        (touchedOld, touchedNew) match {
+          case (Nil, Nil) =>
+            val schema = read(spark, baseDir, name, Some(vNew)).schema
+            diffFrames(empty(schema), empty(schema))
+          case (o, Nil) =>
+            val before = readEntries(spark, t, mo, o)
+            diffFrames(before, empty(before.schema))
+          case (Nil, n) =>
+            val after = readEntries(spark, t, mn, n)
+            diffFrames(empty(after.schema), after)
+          case (o, n) =>
+            diffFrames(readEntries(spark, t, mo, o), readEntries(spark, t, mn, n))
+        }
+      case _ => full()
+    }
+  }
+
+  private def diffFrames(before: DataFrame, after: DataFrame): DataFrame =
     after.exceptAll(before).withColumn("change", lit("added"))
       .unionByName(before.exceptAll(after).withColumn("change", lit("removed")))
-  }
 
   /** Roll back: republish an old version's content as the NEW latest
     * (history stays linear — the bad version remains on disk for

@@ -455,26 +455,35 @@ object BreadthQueries {
   def versionDiff(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_vdiff_")
       .toString
-    val o = Catalog.load(spark, dir, "orders")
-      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
-        col("o_orderpriority").as("prio"))
-    val v0 = o.filter(col("k") % 3 === 0)
-    val v1 = v0.filter(col("k") % 21 =!= 0) // deletes
-      .withColumn("cents",
-        when(col("k") % 15 === 0, col("cents") * 2) // updates
-          .otherwise(col("cents")))
-      .unionByName(o.filter(col("k") % 3 === 1)) // inserts
-    graft.pipelines.Versioned.publish(v0, out, "orders_slice")
-    graft.pipelines.Versioned.publish(v1, out, "orders_slice")
-    val d = graft.pipelines.Versioned.diff(spark, out, "orders_slice", 0L, 1L)
-      .orderBy(col("change"), col("k"))
-    val rows = d.collect().toSeq
-    val schema = d.schema
-    graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out))
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    try {
+      val o = Catalog.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderpriority").as("prio"))
+      val v0 = o.filter(col("k") % 3 === 0)
+      val v1 = v0.filter(col("k") % 21 =!= 0) // deletes
+        .withColumn("cents",
+          when(col("k") % 15 === 0, col("cents") * 2) // updates
+            .otherwise(col("cents")))
+        .unionByName(o.filter(col("k") % 3 === 1)) // inserts
+      graft.pipelines.Versioned.publish(v0, out, "orders_slice")
+      graft.pipelines.Versioned.publish(v1, out, "orders_slice")
+      val d = graft.pipelines.Versioned.diff(spark, out, "orders_slice", 0L, 1L)
+        .orderBy(col("change"), col("k"))
+      // HARNESS-ONLY collect: the diff must outlive the temp-dir cleanup
+      // below, and this fixture diff is a bounded orders slice. A
+      // pipeline diffing real versions must keep the DataFrame lazy and
+      // write it out — never collect a table-sized change set.
+      val rows = d.collect().toSeq
+      val schema = d.schema
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    } finally {
+      // finally, not success-path-only: a failed bench rep must not
+      // leak a published family into /tmp
+      graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out))
+    }
   }
 
   private val versionDiffSql =

@@ -429,19 +429,22 @@ object DedupQueries {
   def corpusPublish(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus_pub_")
       .toString
-    graft.pipelines.CorpusPublisher.publish(docs(spark, dir), out)
-    val manifest = graft.pipelines.Versioned.read(spark, out,
-        graft.pipelines.CorpusPublisher.ManifestTable)
-      .orderBy(col("split"))
-    // the query's result is the (tiny) manifest; materialize it and
-    // delete the published family — without this, each bench sweep
-    // (3 reps + warmup) leaks whole corpora into /tmp
-    val rows = manifest.collect().toSeq
-    val schema = manifest.schema
-    graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out))
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    try {
+      graft.pipelines.CorpusPublisher.publish(docs(spark, dir), out)
+      val manifest = graft.pipelines.Versioned.read(spark, out,
+          graft.pipelines.CorpusPublisher.ManifestTable)
+        .orderBy(col("split"))
+      // the query's result is the (tiny) manifest; materialize it and
+      // delete the published family — without this, each bench sweep
+      // (3 reps + warmup) leaks whole corpora into /tmp. finally, not
+      // success-path-only, so a failed rep can't leak either.
+      val rows = manifest.collect().toSeq
+      val schema = manifest.schema
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    } finally graft.pipelines.Fs.deleteRecursive(
+      new org.apache.hadoop.fs.Path(out))
   }
 
   /** The INCREMENTAL admission path measured against the SAME oracle as
@@ -457,22 +460,24 @@ object DedupQueries {
   def corpusAppend(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus_app_")
       .toString
-    val d = docs(spark, dir).localCheckpoint(false) // both stages below
-    val n = d.agg(count(lit(1))).collect()(0).getLong(0)
-    val cut = n * 4 / 5
-    graft.pipelines.CorpusPublisher.publish(
-      d.filter(col("doc_id") < cut), out)
-    graft.pipelines.CorpusPublisher.appendBatch(
-      d.filter(col("doc_id") >= cut), out, batchId = 1L)
-    val manifest = graft.pipelines.Versioned.read(spark, out,
-        graft.pipelines.CorpusPublisher.ManifestTable)
-      .orderBy(col("split"))
-    val rows = manifest.collect().toSeq
-    val schema = manifest.schema
-    graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out))
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    try {
+      val d = docs(spark, dir).localCheckpoint(false) // both stages below
+      val n = d.agg(count(lit(1))).collect()(0).getLong(0)
+      val cut = n * 4 / 5
+      graft.pipelines.CorpusPublisher.publish(
+        d.filter(col("doc_id") < cut), out)
+      graft.pipelines.CorpusPublisher.appendBatch(
+        d.filter(col("doc_id") >= cut), out, batchId = 1L)
+      val manifest = graft.pipelines.Versioned.read(spark, out,
+          graft.pipelines.CorpusPublisher.ManifestTable)
+        .orderBy(col("split"))
+      val rows = manifest.collect().toSeq
+      val schema = manifest.schema
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    } finally graft.pipelines.Fs.deleteRecursive(
+      new org.apache.hadoop.fs.Path(out))
   }
 
   /** Both-threshold reach chains share the shingle fragments; only the

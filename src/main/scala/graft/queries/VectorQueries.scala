@@ -132,12 +132,14 @@ object VectorQueries {
         .toDF("table_name", "version", "n_rows")
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx_")
       .toString
-    val versions = graft.ops.AnnIndex.build(e, idx)
-    val report = versions.toSeq.sortBy(_._1).map { case (t, v) =>
-      (t, v, graft.pipelines.Versioned.read(spark, idx, t, Some(v)).count())
-    } // materialized driver-side before the directory goes away
-    graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(idx))
-    report.toDF("table_name", "version", "n_rows")
+    try {
+      val versions = graft.ops.AnnIndex.build(e, idx)
+      val report = versions.toSeq.sortBy(_._1).map { case (t, v) =>
+        (t, v, graft.pipelines.Versioned.read(spark, idx, t, Some(v)).count())
+      } // materialized driver-side before the directory goes away
+      report.toDF("table_name", "version", "n_rows")
+    } finally graft.pipelines.Fs.deleteRecursive( // also on a failed rep
+      new org.apache.hadoop.fs.Path(idx))
   }
 
   // One PRE-BUILT index per (dataset dir) and JVM, for the serve-path
@@ -180,6 +182,92 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** FILTERED serve — "top-5 WHERE label ∈ {3, 7}" against the session's
+    * published index ([[graft.ops.AnnIndex.serveTopKFiltered]]): the
+    * metadata predicate runs on the embeddings table (any metadata
+    * source works — the operator takes the admitted key set), and
+    * ranking happens ONLY over admitted candidates, so every returned
+    * row satisfies the filter and k survivors are k true matches — no
+    * over-fetch-and-post-filter recall loss. Rows-only (engine-specific
+    * k-means model); AnnIndexSpec pins filtered ≡ unfiltered under an
+    * all-pass filter, the recall bound under this selective filter vs
+    * brute force over the admitted corpus, and that disallowed ids
+    * never appear. */
+  def annFilteredServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    if (e.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rn", "neighbor_id", "cos_sim")
+    val idx = sessionIndex(spark, dir)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val allowed = e.filter(col("label").isin(3, 7)).select(col("vec_id"))
+    graft.ops.AnnIndex.serveTopKFiltered(spark, idx, queries, allowed, K)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** HYBRID retrieval: reciprocal-rank fusion of the served DENSE
+    * ranking (the q429 session index — probe/rank only, warm model
+    * cache) with a LEXICAL token-Jaccard ranking over the aligned
+    * documents table (doc_id ≡ vec_id in the fixture corpus) — q154's
+    * RRF algebra composed with the published ANN index, which is how a
+    * production hybrid search actually runs (each retriever returns its
+    * top-k, fusion sees the union). The lexical leg is an inverted-
+    * index token join (distinct tokens, shared-count aggregate,
+    * per-query top-k window partitioned by query) — never a doc×doc
+    * product; the fusion is a full-outer join on (query, candidate)
+    * with absent ranks contributing 0, the standard RRF-over-union
+    * convention. 1/(60+r) terms are mirrored IEEE divisions. Rows-only
+    * (dense leg uses the engine-trained quantizer). */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    if (e.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rn", "cand", "rrf")
+    val idx = sessionIndex(spark, dir)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val dense = graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("rn").as("r_dense"))
+    val toks = Catalog.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val qt = toks.filter(col("doc_id") < NQ)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val lex = qt.join(toks, "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("query_id"),
+        col("n_toks").as("nq")), "query_id")
+      .join(sizes, "doc_id")
+      .select(col("query_id"), col("doc_id").as("cand"),
+        (col("shared").cast("double") /
+          (col("nq") + col("n_toks") - col("shared")).cast("double"))
+          .as("jac"))
+      .withColumn("r_lex", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("jac").desc, col("cand"))))
+      .filter(col("r_lex") <= K)
+      .select(col("query_id"), col("cand"), col("r_lex"))
+    dense.join(lex, Seq("query_id", "cand"), "full_outer")
+      .select(col("query_id"), col("cand"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)))
+          .as("rrf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("cand"))).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("rn"), col("cand"), col("rrf"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** The ANN serving lifecycle's drift loop, end-to-end on the fixture
     * corpus: build on the first half, measure recall@5 against exact
     * brute force ([[graft.ops.AnnIndex.recallAudit]]), append a
@@ -208,27 +296,29 @@ object VectorQueries {
     val corpus = base.unionByName(shifted).localCheckpoint(false)
     val idx = java.nio.file.Files
       .createTempDirectory("graft_ann_drift_").toString
-    val nq = 16
-    val k = 5
-    def audit(c: org.apache.spark.sql.DataFrame) =
-      graft.ops.AnnIndex.recallAudit(spark, idx, c, nq, k)
-        .select(col("codes_version"), col("recall_at_k"))
-        .as[(Long, Double)].head()
-    graft.ops.AnnIndex.build(base, idx)
-    val fresh = audit(base)
-    graft.ops.AnnIndex.append(shifted, idx, batchId = 1L)
-    // maybeRebuild's decision row already carries the post-append audit
-    // (recall_before at audited_version) — no separate drifted audit
-    val decision = graft.ops.AnnIndex.maybeRebuild(corpus, idx,
-        minRecall = fresh._2 * 0.9, nQueries = nq, k = k)
-      .select(col("audited_version"), col("recall_before"), col("rebuilt"),
-        col("current_version"), col("recall_after"))
-      .as[(Long, Double, Boolean, Long, Double)].head()
-    graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(idx))
-    Seq(("1_fresh", fresh._1, fresh._2, false),
-        ("2_after_shift_append", decision._1, decision._2, false),
-        ("3_decision", decision._4, decision._5, decision._3))
-      .toDF("stage", "codes_version", "recall_at_k", "rebuilt")
+    try {
+      val nq = 16
+      val k = 5
+      def audit(c: org.apache.spark.sql.DataFrame) =
+        graft.ops.AnnIndex.recallAudit(spark, idx, c, nq, k)
+          .select(col("codes_version"), col("recall_at_k"))
+          .as[(Long, Double)].head()
+      graft.ops.AnnIndex.build(base, idx)
+      val fresh = audit(base)
+      graft.ops.AnnIndex.append(shifted, idx, batchId = 1L)
+      // maybeRebuild's decision row already carries the post-append audit
+      // (recall_before at audited_version) — no separate drifted audit
+      val decision = graft.ops.AnnIndex.maybeRebuild(corpus, idx,
+          minRecall = fresh._2 * 0.9, nQueries = nq, k = k)
+        .select(col("audited_version"), col("recall_before"), col("rebuilt"),
+          col("current_version"), col("recall_after"))
+        .as[(Long, Double, Boolean, Long, Double)].head()
+      Seq(("1_fresh", fresh._1, fresh._2, false),
+          ("2_after_shift_append", decision._1, decision._2, false),
+          ("3_decision", decision._4, decision._5, decision._3))
+        .toDF("stage", "codes_version", "recall_at_k", "rebuilt")
+    } finally graft.pipelines.Fs.deleteRecursive( // also on a failed rep
+      new org.apache.hadoop.fs.Path(idx))
   }
 
   /** MMR diverse retrieval for query vec 0 (engine-specific rerank →
@@ -678,6 +768,16 @@ object VectorQueries {
       "serve top-k from the PUBLISHED session index: probe/rank only " +
         "over the codes snapshot, warm model cache, no retraining " +
         "(rows-only; spec-asserted bit-identical to q196)"),
+    Q("q459_ann_filtered_serve", annFilteredServe, None,
+      "filtered ANN serve: top-5 WHERE label IN (3,7) from the published " +
+        "index — ranking only over admitted candidates after the " +
+        "probed-cell pushdown (rows-only; AnnIndexSpec pins all-pass " +
+        "equivalence, the selective-filter recall bound, and filter " +
+        "soundness)"),
+    Q("q460_hybrid_rrf", hybridRrf, None,
+      "hybrid retrieval: RRF fusion of the served dense ranking with a " +
+        "lexical token-Jaccard top-k over the aligned documents " +
+        "(rows-only; q154's fusion algebra composed with the index)"),
     Q("q446_ann_recall_drift", annRecallDrift, None,
       "per-version recall@k audit vs exact brute force + the measured " +
         "rebuild trigger: build, drifted append, maybeRebuild at 90% of " +

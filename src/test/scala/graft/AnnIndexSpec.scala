@@ -57,6 +57,53 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(collectTopK(served) == collectTopK(full))
   }
 
+  test("filtered serve: all-pass filter == unfiltered serve; selective " +
+    "filter is sound (only admitted ids) and recall-bounded vs filtered " +
+    "brute force") {
+    val idx = tmp()
+    AnnIndex.build(emb, idx)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // 1) an all-pass filter must be BIT-IDENTICAL to the unfiltered path
+    val allIds = emb.select(col("vec_id"))
+    val allPass = collectTopK(
+      AnnIndex.serveTopKFiltered(spark, idx, queries, allIds, 5))
+    assert(allPass == collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5)))
+    // 2) a selective metadata filter: every returned neighbor satisfies it
+    val allowedPred = col("label").isin(3, 7)
+    val allowed = emb.filter(allowedPred).select(col("vec_id"))
+    val allowedSet = allowed.as[Long].collect().toSet
+    assert(allowedSet.nonEmpty && allowedSet.size < emb.count())
+    val served = AnnIndex.serveTopKFiltered(spark, idx, queries, allowed, 5)
+    val servedRows = collectTopK(served)
+    assert(servedRows.nonEmpty)
+    assert(servedRows.forall(r => allowedSet(r._3)),
+      "filtered serve returned a disallowed neighbor")
+    // 3) recall@5 vs exact brute force over the ADMITTED corpus — the
+    // contract over-fetch-and-post-filter cannot give under selective
+    // filters. Same scaled-int cosine as VectorOps.cosineTopK, with the
+    // candidate side restricted to the filter's survivors.
+    val base = emb.filter(allowedPred).select(col("vec_id"), col("embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc,
+        col("neighbor_id"))
+    val truth = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.ScaledIntCosine.scaledCosine(
+          col("qv"), col("embedding")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val hits = servedRows.map(r => (r._1, r._3)).count(truth)
+    val recall = hits.toDouble / truth.size
+    assert(recall >= 0.5, s"filtered recall@5 = $recall (expected >= 0.5)")
+    // 4) the filter COMPOSES with the probed-cell pushdown: the codes
+    // scan still carries In(cell, …)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("In(cell"), plan)
+  }
+
   test("append encodes against the FROZEN model, stages only the new batch, " +
     "and serve sees the union") {
     val idx = tmp()

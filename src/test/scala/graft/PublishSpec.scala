@@ -194,6 +194,37 @@ class PublishSpec extends AnyFunSuite {
     assert(Versioned.diff(spark, base, "t", 1L, 1L).count() == 0L)
   }
 
+  test("diff is manifest-aware: a delta publish diffs by reading ONLY the " +
+    "touched partition's files; linked partitions contribute zero I/O") {
+    val base = tmp("vdiff-manifest")
+    val v0 = (0 until 300).map(i => (i.toLong, s"val$i", i % 3))
+      .toDF("k", "v", "p")
+    assert(Versioned.publishPartitioned(v0, base, "t", "p") == 0L)
+    // delta touches ONLY p=1 (one update, one insert)
+    val delta = Seq((1L, "UPDATED", 1), (1000L, "NEW", 1)).toDF("k", "v", "p")
+    assert(Incremental.publishUpsertPartitioned(
+      spark, base, "t", delta, Seq("k"), "p") == 1L)
+    val d = Versioned.diff(spark, base, "t", 0L, 1L)
+    // the plan reads only files under the touched partition's two version
+    // dirs — never the linked p=0 / p=2 bytes (at 100 TB that is the
+    // difference between an O(touched) answer and two full-table shuffles)
+    val files = d.inputFiles.toSeq
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("/p=1")), files.mkString("\n"))
+    // and the change set is still exact
+    val rows = d.as[(Long, String, Int, String)].collect().toSeq
+      .groupBy(_._4).view
+      .mapValues(_.map(r => (r._1, r._2)).sorted).toMap
+    assert(rows("added") == Seq((1L, "UPDATED"), (1000L, "NEW")))
+    assert(rows("removed") == Seq((1L, "val1")))
+    // identical manifest versions: zero partitions touched, empty diff
+    assert(Versioned.diff(spark, base, "t", 1L, 1L).count() == 0L)
+    // fallback stays pinned: unpartitioned publishes (no manifest) diff
+    // over full reads — the previous test exercises that path; here the
+    // manifest version against ITSELF must also read no files at all
+    assert(Versioned.diff(spark, base, "t", 1L, 1L).inputFiles.isEmpty)
+  }
+
   test("maintainJoin: view == one-shot join at every version; earlier " +
     "epochs' files are manifest-linked, never rewritten") {
     val base = tmp("ivm")
