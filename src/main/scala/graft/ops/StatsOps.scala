@@ -50,14 +50,25 @@ object StatsOps {
     * quantile builtin: interpolation order differs across engines). The
     * chosen ranks — lower/upper median, ceil(0.9·n) for p90 — and the
     * final (lo+hi)/2 are the same integer/IEEE expressions on both sides.
-    * Plan shape: one window (rank + group size in a single shuffle) and
-    * one hash aggregate; at scale this is sort-within-group, no collect. */
+    *
+    * Plan shape (round 11): a `PARTITION BY key` window looks grouped
+    * but is a scale trap when the key is LOW-CARDINALITY (event types,
+    * priorities, regions — every caller here): each window task swallows
+    * ~1/|keys| of the fact table. Instead the per-key rank derives from
+    * [[GlobalRank]]'s grouped form — one range shuffle on (key, v, tb),
+    * per-key base/size from an aggregate joined back (null-safe, so a
+    * null key keeps its group exactly as the window form did; AQE
+    * broadcasts the small side) — then the same rank-pick aggregate.
+    * Values are identical to the window form at any key cardinality. */
   def rankPercentiles(df: DataFrame, key: Column, v: Column, tiebreak: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = df.select(key.as("k"), v.as("v"), tiebreak.as("tb"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("k")).orderBy(col("v"), col("tb"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("k"))))
+    val base = df.select(key.as("k"), v.as("v"), tiebreak.as("tb"))
+    val r = GlobalRank.withRowNumber(base,
+      Seq(col("k"), col("v"), col("tb")), "grn")
+    val bounds = r.groupBy(col("k"))
+      .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
+      .withColumnRenamed("k", "bk")
+    val ranked = r.join(bounds, col("k") <=> col("bk"))
+      .withColumn("rn", col("grn") - col("g0") + 1)
     ranked.groupBy(col("k")).agg(
         max(col("n")).as("n"),
         max(when(expr("rn = (n + 1) div 2"), col("v"))).as("med_lo"),
@@ -543,18 +554,28 @@ object StatsOps {
     * well-defined): every row is ranked within its group into
     * `ntile(k)` buckets on a fully deterministic order, and the
     * normalized value is the cross-group mean of its bucket — after
-    * which every group shares one distribution. Two shuffles total
-    * (rank window + bucket aggregate); the ≤k-row bucket reference
-    * broadcasts back. The decimal-sum mean ([[Det.davg]]) keeps the
-    * result order-independent at any parallelism.
+    * which every group shares one distribution. The per-group ntile is
+    * [[GlobalRank]]'s grouped form (low-cardinality groups would put
+    * ~1/|groups| of the table through one window task — the round-11
+    * plan policy), bucket-identical to the `PARTITION BY group` window;
+    * the ≤k-row bucket reference broadcasts back. The decimal-sum mean
+    * ([[Det.davg]]) keeps the result order-independent at any
+    * parallelism.
     *
     * @param tieBreak unique column making the in-group order total —
     *   without it ntile on tied values is engine-dependent. */
   def quantileNormalize(df: DataFrame, group: Column, value: Column,
       tieBreak: Column, k: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bucketed = df.withColumn("bucket",
-      ntile(k).over(Window.partitionBy(group).orderBy(value, tieBreak)))
+    val tagged = df.withColumn("__qn_g", group)
+    val r = GlobalRank.withRowNumber(tagged,
+      Seq(col("__qn_g"), value, tieBreak), "__qn_grn")
+    val bounds = r.groupBy(col("__qn_g"))
+      .agg(min(col("__qn_grn")).as("__qn_g0"), count(lit(1)).as("__qn_n"))
+      .withColumnRenamed("__qn_g", "__qn_bg")
+    val bucketed = r.join(bounds, col("__qn_g") <=> col("__qn_bg"))
+      .withColumn("bucket", GlobalRank.ntileFromRowNumber(
+        col("__qn_grn") - col("__qn_g0") + 1, col("__qn_n"), k))
+      .drop("__qn_g", "__qn_grn", "__qn_bg", "__qn_g0", "__qn_n")
     val ref = bucketed.groupBy(col("bucket"))
       .agg(davg(value).as("norm_value"))
     bucketed.join(broadcast(ref), "bucket")

@@ -2017,34 +2017,45 @@ object EventQueries {
     * Mann–Whitney significance: δ = P(X₁ > X₂) − P(X₁ < X₂), computed
     * exactly from the same doubled midrank-U integers
     * (δ = (2U₁ − n₁n₂)/(n₁n₂) — one mirrored division per pair), with
-    * the conventional magnitude labels cut at literal thresholds. Ranks
-    * are per-pair (one window partitioned by the pair key over the
-    * 10-way pair-expanded frame — each priority joins its 4 pairs, a
-    * bounded literal fan-out, never an order self-join). A z-test says
+    * the conventional magnitude labels cut at literal thresholds. The
+    * pair fan-out happens on the per-(priority, value) AGGREGATE (the
+    * distinct-value frame, never the fact rows), and per-pair midranks
+    * come from [[graft.ops.GlobalRank.withRunningSum]] over the
+    * (pair, value) order with per-pair bases subtracted — 10 window
+    * partitions each ~40% of the fact table was the same
+    * single-task-funnel class the round-11 sweep retired. A z-test says
     * whether the difference is real; δ says whether anyone should
     * care — the pair matrix shows both extremes on one screen. */
   def cliffsDelta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
       "5-LOW")
     val pairs = (for {
       a <- prios; b <- prios if a < b
     } yield (a, b)).toDF("g1", "g2")
-    val o = Catalog.load(spark, dir, "orders")
+    val byGX = Catalog.load(spark, dir, "orders")
       .select(col("o_orderpriority").as("g"), col("o_totalprice").as("x"))
-    val expanded = o.join(broadcast(pairs),
-      col("g") === col("g1") || col("g") === col("g2"))
-    val w = Window.partitionBy(col("g1"), col("g2"))
-    val ranked = expanded
-      .withColumn("rmin", rank().over(w.orderBy(col("x"))).cast("long"))
-      .withColumn("ties",
-        count(lit(1)).over(Window.partitionBy(col("g1"), col("g2"), col("x"))))
+      .groupBy(col("g"), col("x")).agg(count(lit(1)).as("cnt"))
+    val byPX = byGX.join(broadcast(pairs),
+        col("g") === col("g1") || col("g") === col("g2"))
+      .groupBy(col("g1"), col("g2"), col("x"))
+      .agg(sum(col("cnt")).as("ties"),
+        sum(when(col("g") === col("g1"), col("cnt"))).as("c1"),
+        sum(when(col("g") === col("g2"), col("cnt"))).as("c2"))
+    val cum = graft.ops.GlobalRank.withRunningSum(byPX,
+      Seq(col("g1"), col("g2"), col("x")), col("ties"), "gcum")
+    // per-pair prefix = global prefix minus everything before the pair
+    // (pairs are contiguous in the global order); the 10-row base frame
+    // broadcasts
+    val bases = cum.groupBy(col("g1"), col("g2"))
+      .agg(min(col("gcum") - col("ties")).as("base"))
+    val ranked = cum.join(broadcast(bases), Seq("g1", "g2"))
+      .withColumn("rmin", col("gcum") - col("base") - col("ties") + 1)
       .withColumn("r2", lit(2L) * col("rmin") + col("ties") - 1L)
     ranked.groupBy(col("g1"), col("g2"))
-      .agg(count(when(col("g") === col("g1"), 1)).as("n1"),
-        count(when(col("g") === col("g2"), 1)).as("n2"),
-        sum(when(col("g") === col("g1"), col("r2"))).as("r1_x2"))
+      .agg(sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"),
+        sum(col("c1") * col("r2")).as("r1_x2"))
       .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1L))
       .withColumn("cliffs_delta",
         (col("u1_x2") - col("n1") * col("n2")).cast("double") /
