@@ -895,7 +895,182 @@ object BreadthQueries {
       |  FROM sims)
       |WHERE rn <= 3 ORDER BY a, rn""".stripMargin
 
+  // ---- Cohen's kappa ---------------------------------------------------
+
+  /** Inter-rater agreement, exactly: Cohen's κ between "the buyer said
+    * it was urgent" (order priority ∈ {1-URGENT, 2-HIGH}) and "the
+    * warehouse shipped it fast" (first lineitem shipped within 30 days
+    * of the order date) — the process-consistency audit behind every
+    * SLA dashboard. Both raters collapse to one bit per ORDER (the
+    * lineitem side via a min-latency aggregate — one fact-table pass,
+    * no row explosion), the 2×2 cell counts are exact BIGINTs, and
+    * κ = (n·(a+d) − Σ rᵢcᵢ) / (n² − Σ rᵢcᵢ) is the cross-multiplied
+    * closed form: all integers until ONE final division, so both
+    * engines land on the identical double. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    val rated = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+          .as("urgent"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("fast",
+        (datediff(col("first_ship"), col("od")) <= 30).cast("int"))
+    rated.agg(
+        count(lit(1)).as("n"),
+        sum(col("urgent") * col("fast")).as("a"),
+        sum(col("urgent") * (lit(1) - col("fast"))).as("b"),
+        sum((lit(1) - col("urgent")) * col("fast")).as("c"),
+        sum((lit(1) - col("urgent")) * (lit(1) - col("fast"))).as("d"))
+      .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+        ((col("n") * (col("a") + col("d"))
+          - ((col("a") + col("b")) * (col("a") + col("c"))
+            + (col("c") + col("d")) * (col("b") + col("d"))))
+          .cast("double") /
+          (col("n") * col("n")
+            - ((col("a") + col("b")) * (col("a") + col("c"))
+              + (col("c") + col("d")) * (col("b") + col("d"))))
+            .cast("double")).as("kappa"))
+  }
+
+  private val cohensKappaSql =
+    """WITH f AS (
+      |  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      |  FROM lineitem GROUP BY 1
+      |), r AS (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END AS urgent,
+      |    CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+      |           <= 30 THEN 1 ELSE 0 END AS fast
+      |  FROM orders JOIN f ON o_orderkey = l_orderkey
+      |), cells AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(urgent * fast) AS BIGINT) AS a,
+      |    CAST(SUM(urgent * (1 - fast)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - urgent) * fast) AS BIGINT) AS c,
+      |    CAST(SUM((1 - urgent) * (1 - fast)) AS BIGINT) AS d
+      |  FROM r
+      |)
+      |SELECT n, a, b, c, d,
+      |  CAST(n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))
+      |    AS DOUBLE)
+      |  / CAST(n * n - ((a + b) * (a + c) + (c + d) * (b + d))
+      |    AS DOUBLE) AS kappa
+      |FROM cells""".stripMargin
+
+  // ---- Hoover (Robin Hood) index --------------------------------------
+
+  /** Hoover index of customer-spend inequality — the share of total
+    * revenue that would have to move to equalize every customer, the
+    * third member of the house inequality family (q132/q422 Gini give
+    * the area view, q174 the curve): H = Σ|xᵢ − μ| / (2·Σxᵢ), computed
+    * in the cross-multiplied ALL-INTEGER form Σ|n·xᵢ − S| / (2·n·S) —
+    * decimal(38,0) keeps n·xᵢ exact at any corpus size, and the single
+    * final division goes decimal→double (correctly rounded on the
+    * Spark side; the oracle mirrors through VARCHAR per the Det.scala
+    * recipe). */
+  def hooverIndex(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = Catalog.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val tot = per.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    per.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_customers"), max(col("s")).as("total_cents"),
+        sum(abs(col("n").cast(dec) * col("cents") - col("s")))
+          .as("abs_dev"))
+      .select(col("n_customers"), col("total_cents"),
+        col("abs_dev").cast("decimal(38,0)").as("abs_dev"),
+        (col("abs_dev").cast("double") /
+          (lit(2).cast(dec) * col("n_customers") * col("total_cents"))
+            .cast("double")).as("hoover"))
+  }
+
+  private val hooverIndexSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      |  FROM per
+      |), agg AS (
+      |  SELECT MAX(n) AS n_customers, MAX(s) AS total_cents,
+      |    SUM(abs(CAST(n AS HUGEINT) * cents - s)) AS abs_dev
+      |  FROM per, t
+      |)
+      |SELECT n_customers, total_cents,
+      |  CAST(CAST(abs_dev AS VARCHAR) AS DECIMAL(38,0)) AS abs_dev,
+      |  CAST(CAST(abs_dev AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(2 AS HUGEINT) * n_customers * total_cents
+      |        AS VARCHAR) AS DOUBLE) AS hoover
+      |FROM agg""".stripMargin
+
+  // ---- weighted quantiles via distributed running sum ------------------
+
+  /** Quantity-WEIGHTED price quartiles over lineitem — "the price a
+    * median unit ships at", which whale orders can't dominate the way
+    * they dominate the row-median (q129): type-1 weighted quantile,
+    * x(q) = min price whose cumulative quantity reaches q·W. The
+    * cumulative weight is [[graft.ops.GlobalRank.withRunningSum]] over
+    * the (price, key) total order — exact BIGINT prefix sums, no
+    * single-partition window — and each quartile is one conditional-min
+    * aggregate over the crossing condition 100·cumw ≥ q·W (all-integer,
+    * tie-order-proof: every row of a tied price carries the same
+    * price). */
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .as("cents"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val tot = li.agg(sum(col("w")).as("wtot"))
+    val cum = graft.ops.GlobalRank.withRunningSum(li,
+      Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+      col("w"), "cw")
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("wtot")).as("total_weight"),
+        min(when(col("cw") * 100 >= col("wtot") * 25, col("cents")))
+          .as("wp25_cents"),
+        min(when(col("cw") * 100 >= col("wtot") * 50, col("cents")))
+          .as("wp50_cents"),
+        min(when(col("cw") * 100 >= col("wtot") * 75, col("cents")))
+          .as("wp75_cents"))
+  }
+
+  private val weightedQuantilesSql =
+    """WITH li AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+      |  FROM lineitem
+      |), t AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM li),
+      |cum AS (
+      |  SELECT cents,
+      |    CAST(SUM(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      |  FROM li
+      |)
+      |SELECT MAX(wtot) AS total_weight,
+      |  MIN(CASE WHEN cw * 100 >= wtot * 25 THEN cents END) AS wp25_cents,
+      |  MIN(CASE WHEN cw * 100 >= wtot * 50 THEN cents END) AS wp50_cents,
+      |  MIN(CASE WHEN cw * 100 >= wtot * 75 THEN cents END) AS wp75_cents
+      |FROM cum, t""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q461_cohens_kappa", cohensKappa, Some(cohensKappaSql),
+      "Cohen's kappa between buyer urgency and fast shipping per order " +
+        "(exact 2x2 cells, cross-multiplied closed form, one division)"),
+    Q("q462_hoover_index", hooverIndex, Some(hooverIndexSql),
+      "Hoover/Robin-Hood inequality index of customer spend — " +
+        "all-integer cross-multiplied |n*x - S| sum, one division"),
+    Q("q463_weighted_quantiles", weightedQuantiles,
+      Some(weightedQuantilesSql),
+      "quantity-weighted price quartiles via the distributed exact " +
+        "running sum (type-1 weighted quantile, all-integer crossings)"),
     Q("q453_cube_grouping_id", cubeGroupingId, Some(cubeGroupingIdSql),
       "CUBE over (region, nation) revenue with the GROUPING bitmask — " +
         "machine-readable aggregation level per row (subtotal vs real " +

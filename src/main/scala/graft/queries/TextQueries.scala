@@ -1611,7 +1611,73 @@ object TextQueries {
       |    AS BIGINT) AS n_single
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- cross-source vocabulary overlap ---------------------------------
+
+  /** Pairwise VOCABULARY overlap between document sources — the corpus-
+    * diversity audit run before mixing sources into a training blend
+    * (two sources sharing 90% of their vocabulary add far less than
+    * their row counts suggest; q286 scores diversity WITHIN a source,
+    * this scores redundancy BETWEEN them). Distinct (source, token)
+    * pairs feed an inverted-index self-join on token (each token's
+    * posting list is bounded by the source count — never a doc×doc or
+    * source×source product), exact BIGINT set sizes, Jaccard + the
+    * smaller-side containment as mirrored divisions. */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = docs(spark, dir)
+      .select(col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val shared = st.select(col("source").as("src_a"), col("tok"))
+      .join(st.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("source").as("src_a"), col("v").as("v_a")),
+        "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("v").as("v_b")),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"),
+        col("shared"),
+        (col("shared").cast("double") /
+          (col("v_a") + col("v_b") - col("shared")).cast("double"))
+          .as("jaccard"),
+        (col("shared").cast("double") /
+          least(col("v_a"), col("v_b")).cast("double")).as("containment"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val vocabOverlapSql =
+    """WITH st AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  WHERE len(tok) > 0
+      |), sizes AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st GROUP BY 1
+      |), shared AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT src_a, src_b, sa.v AS v_a, sb.v AS v_b, shared,
+      |  CAST(shared AS DOUBLE) / CAST(sa.v + sb.v - shared AS DOUBLE)
+      |    AS jaccard,
+      |  CAST(shared AS DOUBLE) / CAST(least(sa.v, sb.v) AS DOUBLE)
+      |    AS containment
+      |FROM shared
+      |JOIN sizes sa ON src_a = sa.source
+      |JOIN sizes sb ON src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q464_vocab_overlap", vocabOverlap, Some(vocabOverlapSql),
+      "pairwise source vocabulary overlap (inverted-index token join, " +
+        "exact set sizes, Jaccard + containment) — the blend-redundancy " +
+        "audit next to q286's within-source diversity"),
     Q("q302_token_classes", tokenClasses, Some(tokenClassesSql),
       "token-class mix per source (numeric/digit-bearing/long/single) — " +
         "the telemetry-vs-prose cleaning signal, exact counts"),
