@@ -3382,7 +3382,201 @@ object AnalyticsQueries {
       |FROM surv WHERE rn <= 3
       |ORDER BY c_custkey, rn""".stripMargin
 
+  // ---- Tukey fences ----------------------------------------------------
+
+  /** Tukey-fence outlier audit per order priority: exact rank-selected
+    * Q1/Q3 (the `ceil(frac·n)` order-statistic picks, same convention
+    * as rankPercentiles' p90 — interpolating quantile builtins can't be
+    * hash-compared), 1.5·IQR fences as mirrored IEEE doubles, and the
+    * count of rows outside each fence from one join-back pass — the
+    * box-plot-with-outliers numbers every data-quality dashboard draws.
+    * Per-key ranks via the GlobalRank grouped form (priority has 5
+    * values — a PARTITION BY window would funnel ~1/5 of the fact table
+    * per task). */
+  def tukeyFences(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.GlobalRank
+    val base = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+        col("o_orderkey").as("tb"))
+    val r = GlobalRank.withRowNumber(base,
+      Seq(col("k"), col("v"), col("tb")), "grn")
+    val bounds = r.groupBy(col("k"))
+      .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
+      .withColumnRenamed("k", "bk")
+    val quartiles = r.join(bounds, col("k") <=> col("bk"))
+      .withColumn("rn", col("grn") - col("g0") + 1)
+      .groupBy(col("k")).agg(
+        max(col("n")).as("n"),
+        max(when(expr("rn = cast(ceil(n * 0.25) as bigint)"), col("v")))
+          .as("q1"),
+        max(when(expr("rn = cast(ceil(n * 0.75) as bigint)"), col("v")))
+          .as("q3"))
+      .withColumn("lo_fence",
+        col("q1").cast("double") - lit(1.5) *
+          (col("q3") - col("q1")).cast("double"))
+      .withColumn("hi_fence",
+        col("q3").cast("double") + lit(1.5) *
+          (col("q3") - col("q1")).cast("double"))
+    base.join(broadcast(quartiles), "k")
+      .groupBy(col("k"))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1_cents"),
+        max(col("q3")).as("q3_cents"),
+        sum(when(col("v").cast("double") < col("lo_fence"), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("v").cast("double") > col("hi_fence"), 1L)
+          .otherwise(0L)).as("n_high"))
+      .withColumnRenamed("k", "o_orderpriority")
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val tukeyFencesSql =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey AS tb
+      |  FROM orders
+      |), r AS (
+      |  SELECT k, v,
+      |    CAST(row_number() OVER (PARTITION BY k ORDER BY v, tb)
+      |      AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n
+      |  FROM base
+      |), q AS (
+      |  SELECT k, MAX(n) AS n,
+      |    MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN v END)
+      |      AS q1,
+      |    MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN v END)
+      |      AS q3
+      |  FROM r GROUP BY k
+      |), f AS (
+      |  SELECT k, n, q1, q3,
+      |    CAST(q1 AS DOUBLE) - 1.5 * CAST(q3 - q1 AS DOUBLE) AS lo_fence,
+      |    CAST(q3 AS DOUBLE) + 1.5 * CAST(q3 - q1 AS DOUBLE) AS hi_fence
+      |  FROM q
+      |)
+      |SELECT k AS o_orderpriority, MAX(f.n) AS n,
+      |  MAX(q1) AS q1_cents, MAX(q3) AS q3_cents,
+      |  CAST(SUM(CASE WHEN CAST(v AS DOUBLE) < lo_fence THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_low,
+      |  CAST(SUM(CASE WHEN CAST(v AS DOUBLE) > hi_fence THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_high
+      |FROM base JOIN f USING (k)
+      |GROUP BY k
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- median absolute deviation ---------------------------------------
+
+  /** MAD (median absolute deviation) per priority — the robust scale
+    * estimate a z-score can't give when whales stretch the stddev: two
+    * exact rank-median passes (value median, then median of |v − med|)
+    * through the shared scale-safe percentile machinery. Deviations are
+    * exact half-cent-grained doubles (cents minus an integer-or-.5
+    * median), so their ordering and the second rank pick are
+    * engine-identical. */
+  def madPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey"))
+    val med = StatsOps.rankPercentiles(base, col("g"), col("cents"),
+        col("o_orderkey"))
+      .select(col("k").as("mk"), col("median").as("med"))
+    val dev = base.join(broadcast(med), col("g") <=> col("mk"))
+      .select(col("g"), abs(col("cents").cast("double") - col("med"))
+        .as("dev"), col("o_orderkey"))
+    StatsOps.rankPercentiles(dev, col("g"), col("dev"), col("o_orderkey"))
+      .select(col("k").as("o_orderpriority"), col("n"),
+        col("median").as("mad"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val madPerGroupSql =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      |  FROM orders
+      |), r AS (
+      |  SELECT g, cents,
+      |    CAST(row_number() OVER (PARTITION BY g ORDER BY cents, o_orderkey)
+      |      AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      |  FROM base
+      |), med AS (
+      |  SELECT g,
+      |    (MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+      |     + MAX(CASE WHEN rn = (n + 2) // 2 THEN cents END)) / 2.0 AS med
+      |  FROM r GROUP BY g
+      |), dev AS (
+      |  SELECT base.g, abs(CAST(cents AS DOUBLE) - med) AS dev, o_orderkey
+      |  FROM base JOIN med ON base.g = med.g
+      |), rd AS (
+      |  SELECT g, dev,
+      |    CAST(row_number() OVER (PARTITION BY g ORDER BY dev, o_orderkey)
+      |      AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      |  FROM dev
+      |)
+      |SELECT g AS o_orderpriority, MAX(n) AS n,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+      |   + MAX(CASE WHEN rn = (n + 2) // 2 THEN dev END)) / 2 AS mad
+      |FROM rd GROUP BY g
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- Poisson dispersion test -----------------------------------------
+
+  /** Index-of-dispersion (variance-to-mean) test on daily order counts —
+    * "is demand Poisson or bursty": s²/x̄ ≈ 1 under Poisson, and the
+    * χ² form (n−1)·s²/x̄ feeds the standard test. Daily counts collapse
+    * the fact table to a calendar frame; both statistics come from
+    * exact integer moments (n, Σc, Σc²) with mirrored IEEE divisions —
+    * no per-row doubles anywhere. */
+  def dispersionTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Catalog.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    daily.agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("n_days"), col("s").as("n_orders"),
+        ((col("n_days") * col("ss") - col("s") * col("s")).cast("double")
+          / (col("n_days") * (col("n_days") - 1)).cast("double")
+          / (col("s").cast("double") / col("n_days").cast("double")))
+          .as("dispersion_index"),
+        ((col("n_days") * col("ss") - col("s") * col("s")).cast("double")
+          / col("n_days").cast("double")
+          / (col("s").cast("double") / col("n_days").cast("double")))
+          .as("chi2"))
+  }
+
+  private val dispersionTestSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS ss
+      |  FROM daily
+      |)
+      |SELECT n_days, s AS n_orders,
+      |  CAST(n_days * ss - s * s AS DOUBLE)
+      |    / CAST(n_days * (n_days - 1) AS DOUBLE)
+      |    / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |    AS dispersion_index,
+      |  CAST(n_days * ss - s * s AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) AS chi2
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q466_tukey_fences", tukeyFences, Some(tukeyFencesSql),
+      "Tukey 1.5*IQR outlier fences per priority: exact rank-selected " +
+        "Q1/Q3, mirrored-double fences, join-back outlier counts"),
+    Q("q467_mad", madPerGroup, Some(madPerGroupSql),
+      "median absolute deviation per priority — two exact rank-median " +
+        "passes through the scale-safe percentile machinery"),
+    Q("q468_dispersion_test", dispersionTest, Some(dispersionTestSql),
+      "Poisson index-of-dispersion test on daily order counts (exact " +
+        "integer moments, mirrored divisions)"),
     Q("q305_negative_sample", negativeSample, Some(negativeSampleSql),
       "deterministic-hash negative sampling with interaction anti-join " +
         "— replayable recsys training negatives, k rows per user"),

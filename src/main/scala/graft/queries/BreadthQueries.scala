@@ -960,6 +960,59 @@ object BreadthQueries {
       |    AS DOUBLE) AS kappa
       |FROM cells""".stripMargin
 
+  // ---- McNemar's test --------------------------------------------------
+
+  /** McNemar's marginal-homogeneity test on the SAME paired bits as
+    * q461's κ (urgent-said vs fast-shipped per order): does the process
+    * break promises asymmetrically? Only the discordant cells matter —
+    * b = urgent-but-slow, c = fast-but-not-urgent — and
+    * χ² = (b−c)²/(b+c) (plus the continuity-corrected (|b−c|−1)²/(b+c))
+    * is exact integers until one mirrored division each. κ says "how
+    * much agreement"; McNemar says "which direction the disagreement
+    * leans" — together they are the full 2×2 process audit. */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+          .as("urgent"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("fast",
+        (datediff(col("first_ship"), col("od")) <= 30).cast("int"))
+      .agg(
+        sum(col("urgent") * (lit(1) - col("fast"))).as("b"),
+        sum((lit(1) - col("urgent")) * col("fast")).as("c"))
+      .select(col("b"), col("c"),
+        (((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+          (col("b") + col("c")).cast("double")).as("chi2"),
+        (((abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1))
+          .cast("double") /
+          (col("b") + col("c")).cast("double")).as("chi2_cc"))
+  }
+
+  private val mcnemarSql =
+    """WITH f AS (
+      |  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      |  FROM lineitem GROUP BY 1
+      |), r AS (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END AS urgent,
+      |    CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+      |           <= 30 THEN 1 ELSE 0 END AS fast
+      |  FROM orders JOIN f ON o_orderkey = l_orderkey
+      |), cells AS (
+      |  SELECT CAST(SUM(urgent * (1 - fast)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - urgent) * fast) AS BIGINT) AS c
+      |  FROM r
+      |)
+      |SELECT b, c,
+      |  CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE) AS chi2,
+      |  CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+      |    / CAST(b + c AS DOUBLE) AS chi2_cc
+      |FROM cells""".stripMargin
+
   // ---- Hoover (Robin Hood) index --------------------------------------
 
   /** Hoover index of customer-spend inequality — the share of total
@@ -1061,6 +1114,10 @@ object BreadthQueries {
       |FROM cum, t""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q465_mcnemar", mcnemar, Some(mcnemarSql),
+      "McNemar's test on the q461 paired bits — discordant-cell chi2 " +
+        "plus continuity-corrected form, exact integers, one division " +
+        "each"),
     Q("q461_cohens_kappa", cohensKappa, Some(cohensKappaSql),
       "Cohen's kappa between buyer urgency and fast shipping per order " +
         "(exact 2x2 cells, cross-multiplied closed form, one division)"),

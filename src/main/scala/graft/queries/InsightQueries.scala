@@ -868,7 +868,82 @@ object InsightQueries {
       |FROM peaks WHERE open = peak
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- within-nation spend deciles --------------------------------------
+
+  /** Top-decile revenue concentration WITHIN each nation: customers
+    * deciled by spend INSIDE their nation (market-relative whales — a
+    * global cut like q436's would put every customer from a rich nation
+    * in the top buckets), then each nation's top-decile spend share.
+    * The grouped decile is [[graft.ops.GlobalRank]]'s per-key form
+    * (nation has 25 values — a PARTITION BY window would funnel 1/25 of
+    * the customer dimension per task): one range shuffle on
+    * (nation, spend, custkey), 25-row bases broadcast, buckets by the
+    * exact ntile formula. Exact BIGINT cents; one mirrored division
+    * per nation. */
+  def nationDecileShare(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.GlobalRank
+    val spend = Catalog.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val cust = Catalog.load(spark, dir, "customer")
+      .join(broadcast(Catalog.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val base = spend.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("n_name"), col("cents"), col("o_custkey"))
+    val r = GlobalRank.withRowNumber(base,
+      Seq(col("n_name"), col("cents"), col("o_custkey")), "grn")
+    val bounds = r.groupBy(col("n_name"))
+      .agg(min(col("grn")).as("g0"), count(lit(1)).as("gn"))
+      .withColumnRenamed("n_name", "bn")
+    r.join(broadcast(bounds), col("n_name") <=> col("bn"))
+      .withColumn("decile", GlobalRank.ntileFromRowNumber(
+        col("grn") - col("g0") + 1, col("gn"), 10).cast("long"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("nation_cents"),
+        sum(when(col("decile") === 10, col("cents")).otherwise(0L))
+          .as("top_decile_cents"))
+      .select(col("n_name"), col("n_customers"), col("nation_cents"),
+        col("top_decile_cents"),
+        (col("top_decile_cents").cast("double") /
+          col("nation_cents").cast("double")).as("top_decile_share"))
+      .orderBy(col("n_name"))
+  }
+
+  private val nationDecileShareSql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |), base AS (
+      |  SELECT n_name, cents, o_custkey
+      |  FROM spend
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |), d AS (
+      |  SELECT n_name, cents,
+      |    CAST(ntile(10) OVER (PARTITION BY n_name
+      |      ORDER BY cents, o_custkey) AS BIGINT) AS decile
+      |  FROM base
+      |)
+      |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(cents) AS BIGINT) AS nation_cents,
+      |  CAST(SUM(CASE WHEN decile = 10 THEN cents ELSE 0 END) AS BIGINT)
+      |    AS top_decile_cents,
+      |  CAST(SUM(CASE WHEN decile = 10 THEN cents ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(cents) AS DOUBLE) AS top_decile_share
+      |FROM d GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q469_nation_decile_share", nationDecileShare,
+      Some(nationDecileShareSql),
+      "within-nation spend deciles (GlobalRank grouped exact ntile) and " +
+        "each nation's top-decile revenue share — market-relative whale " +
+        "concentration, exact cents"),
     Q("q430_contingency_chi2", contingencyChi2, Some(contingencyChi2Sql),
       "priority × status chi-square cells: exact micro-unit expected " +
         "counts and contributions via one integer cross-multiplication " +
