@@ -569,13 +569,18 @@ object StatsOps {
     val tagged = df.withColumn("__qn_g", group)
     val r = GlobalRank.withRowNumber(tagged,
       Seq(col("__qn_g"), value, tieBreak), "__qn_grn")
+    // per-group bounds are |groups|-sized (quantile normalization is a
+    // modest-group-count operation by nature) → broadcast; the bucketed
+    // frame feeds BOTH the reference aggregate and the final join, so
+    // pin it once instead of recomputing the join per consumer
     val bounds = r.groupBy(col("__qn_g"))
       .agg(min(col("__qn_grn")).as("__qn_g0"), count(lit(1)).as("__qn_n"))
       .withColumnRenamed("__qn_g", "__qn_bg")
-    val bucketed = r.join(bounds, col("__qn_g") <=> col("__qn_bg"))
+    val bucketed = r.join(broadcast(bounds), col("__qn_g") <=> col("__qn_bg"))
       .withColumn("bucket", GlobalRank.ntileFromRowNumber(
         col("__qn_grn") - col("__qn_g0") + 1, col("__qn_n"), k))
       .drop("__qn_g", "__qn_grn", "__qn_bg", "__qn_g0", "__qn_n")
+      .localCheckpoint(false)
     val ref = bucketed.groupBy(col("bucket"))
       .agg(davg(value).as("norm_value"))
     bucketed.join(broadcast(ref), "bucket")

@@ -1063,6 +1063,143 @@ object BreadthQueries {
       |        AS VARCHAR) AS DOUBLE) AS hoover
       |FROM agg""".stripMargin
 
+  // ---- 2x2 effect sizes ------------------------------------------------
+
+  /** Effect sizes for the urgent×fast 2×2 (the numbers an A/B or
+    * epidemiology readout reports NEXT TO the tests: q430-family chi²
+    * says "is it real", κ/McNemar say "do the raters agree", these say
+    * "how big is it"): odds ratio a·d/(b·c) and relative risk
+    * a(c+d)/(c(a+b)) as cross-multiplied decimal→double single
+    * divisions, risk difference in exact micro-units via mirrored
+    * floored integer division (the house fixed-point convention for
+    * possibly-negative quotients: sign-split). */
+  def effectSizes2x2(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val firstShip = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+          .as("urgent"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("fast",
+        (datediff(col("first_ship"), col("od")) <= 30).cast("int"))
+      .agg(
+        sum(col("urgent") * col("fast")).as("a"),
+        sum(col("urgent") * (lit(1) - col("fast"))).as("b"),
+        sum((lit(1) - col("urgent")) * col("fast")).as("c"),
+        sum((lit(1) - col("urgent")) * (lit(1) - col("fast"))).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        (expr(s"CAST(CAST(a AS $dec) * d AS $dec)").cast("double") /
+          expr(s"CAST(CAST(b AS $dec) * c AS $dec)").cast("double"))
+          .as("odds_ratio"),
+        (expr(s"CAST(CAST(a AS $dec) * (c + d) AS $dec)").cast("double") /
+          expr(s"CAST(CAST(c AS $dec) * (a + b) AS $dec)").cast("double"))
+          .as("relative_risk"),
+        expr("""CAST((a * 1000000) div (a + b)
+                - (c * 1000000) div (c + d) AS BIGINT)""")
+          .as("risk_diff_micro"))
+  }
+
+  private val effectSizes2x2Sql =
+    """WITH f AS (
+      |  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      |  FROM lineitem GROUP BY 1
+      |), r AS (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END AS urgent,
+      |    CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+      |           <= 30 THEN 1 ELSE 0 END AS fast
+      |  FROM orders JOIN f ON o_orderkey = l_orderkey
+      |), cells AS (
+      |  SELECT CAST(SUM(urgent * fast) AS BIGINT) AS a,
+      |    CAST(SUM(urgent * (1 - fast)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - urgent) * fast) AS BIGINT) AS c,
+      |    CAST(SUM((1 - urgent) * (1 - fast)) AS BIGINT) AS d
+      |  FROM r
+      |)
+      |SELECT a, b, c, d,
+      |  CAST(CAST(CAST(a AS HUGEINT) * d AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(b AS HUGEINT) * c AS VARCHAR) AS DOUBLE)
+      |    AS odds_ratio,
+      |  CAST(CAST(CAST(a AS HUGEINT) * (c + d) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(c AS HUGEINT) * (a + b) AS VARCHAR) AS DOUBLE)
+      |    AS relative_risk,
+      |  CAST((a * 1000000) // (a + b) - (c * 1000000) // (c + d)
+      |    AS BIGINT) AS risk_diff_micro
+      |FROM cells""".stripMargin
+
+  // ---- Cochran–Armitage trend test ------------------------------------
+
+  /** Cochran–Armitage TREND test: does fast shipping decline
+    * monotonically across the ORDERED priority ladder (scores 1..5)?
+    * The 2×k completion of the process-audit family — q430's chi²
+    * ignores the ordering, κ/McNemar see only a collapsed 2×2; trend is
+    * the question an SLA owner actually asks. Fully exact: per-priority
+    * (nᵢ, fastᵢ) counts, T = N·Σsᵢaᵢ − A·Σsᵢnᵢ, and
+    * z² = T²·N / (A·(N−A)·(N·Σnᵢsᵢ² − (Σnᵢsᵢ)²)) — numerator and
+    * denominator cross-multiplied decimal(38,0) integers, ONE final
+    * division through the correctly-rounded decimal→double cast (the
+    * oracle mirrors via VARCHAR per the Det recipe). */
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val firstShip = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    val grp = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("s"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("fast",
+        (datediff(col("first_ship"), col("od")) <= 30).cast("long"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("ni"), sum(col("fast")).as("ai"))
+    grp.agg(sum(col("ni")).as("nn"), sum(col("ai")).as("aa"),
+        sum(col("s") * col("ai")).as("sa"),
+        sum(col("s") * col("ni")).as("sn"),
+        sum(col("s") * col("s") * col("ni")).as("ssn"))
+      .withColumn("t_num",
+        expr(s"CAST(CAST(nn AS $dec) * sa - CAST(aa AS $dec) * sn AS $dec)"))
+      .select(col("nn").as("n"), col("aa").as("n_fast"), col("t_num"),
+        (expr(s"CAST(t_num * t_num AS $dec)").cast("double")
+          * col("nn").cast("double") /
+          expr(s"CAST(CAST(aa AS $dec) * (nn - aa) * (CAST(nn AS $dec) * ssn - CAST(sn AS $dec) * sn) AS $dec)")
+            .cast("double")).as("z2"))
+  }
+
+  private val cochranArmitageSql =
+    """WITH f AS (
+      |  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      |  FROM lineitem GROUP BY 1
+      |), r AS (
+      |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+      |    CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+      |           <= 30 THEN 1 ELSE 0 END AS fast
+      |  FROM orders JOIN f ON o_orderkey = l_orderkey
+      |), g AS (
+      |  SELECT s, CAST(COUNT(*) AS BIGINT) AS ni,
+      |    CAST(SUM(fast) AS BIGINT) AS ai
+      |  FROM r GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(SUM(ni) AS BIGINT) AS nn, CAST(SUM(ai) AS BIGINT) AS aa,
+      |    CAST(SUM(s * ai) AS BIGINT) AS sa,
+      |    CAST(SUM(s * ni) AS BIGINT) AS sn,
+      |    CAST(SUM(s * s * ni) AS BIGINT) AS ssn
+      |  FROM g
+      |)
+      |SELECT nn AS n, aa AS n_fast,
+      |  CAST(CAST(CAST(nn AS HUGEINT) * sa - CAST(aa AS HUGEINT) * sn
+      |    AS VARCHAR) AS DECIMAL(38,0)) AS t_num,
+      |  CAST(CAST((CAST(nn AS HUGEINT) * sa - CAST(aa AS HUGEINT) * sn)
+      |      * (CAST(nn AS HUGEINT) * sa - CAST(aa AS HUGEINT) * sn)
+      |      AS VARCHAR) AS DOUBLE)
+      |    * CAST(nn AS DOUBLE)
+      |    / CAST(CAST(CAST(aa AS HUGEINT) * (nn - aa)
+      |        * (CAST(nn AS HUGEINT) * ssn - CAST(sn AS HUGEINT) * sn)
+      |        AS VARCHAR) AS DOUBLE) AS z2
+      |FROM m""".stripMargin
+
   // ---- weighted quantiles via distributed running sum ------------------
 
   /** Quantity-WEIGHTED price quartiles over lineitem — "the price a
@@ -1113,7 +1250,168 @@ object BreadthQueries {
       |  MIN(CASE WHEN cw * 100 >= wtot * 75 THEN cents END) AS wp75_cents
       |FROM cum, t""".stripMargin
 
+  // ---- Friedman blocked rank test ---------------------------------------
+
+  /** Friedman test — the BLOCKED completion of the k-sample family:
+    * q437's Kruskal–Wallis pools all rows, this ranks the k=5 regions
+    * WITHIN each calendar month (block) and asks whether any region is
+    * consistently ahead once month-to-month level shifts are removed.
+    * The monthly (month, region) revenue cells are a collapsed calendar
+    * spine (≤ 12·years·5 rows at any data scale), so the per-month
+    * rank window is bounded by construction; ranks are strict
+    * row_numbers over (exact decimal revenue, region name) — both
+    * engines see identical decimals, so identical ranks. Incomplete
+    * blocks (a month missing a region) are dropped, as the test
+    * requires. χ²_F = 12·ΣR_j²/(n·k·(k+1)) − 3·n·(k+1), exact in
+    * micro-units via one floored integer division. */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        date_trunc("month", to_date(col("o_orderdate"))).cast("date").as("m"),
+        col("o_totalprice"))
+    val c = Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Catalog.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val r = Catalog.load(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val cell = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("m"), col("r_name"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val full = cell
+      .withColumn("kc", count(lit(1)).over(Window.partitionBy(col("m"))))
+      .filter(col("kc") === 5)
+    val rj = full
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("m")).orderBy(col("rev"), col("r_name")))
+        .cast("long"))
+      .groupBy(col("r_name")).agg(sum(col("rk")).as("rjs"))
+    val nb = full.select(col("m")).distinct()
+      .agg(count(lit(1)).as("n_blocks"))
+    rj.agg(sum(col("rjs") * col("rjs")).as("sum_rj2"))
+      .crossJoin(broadcast(nb))
+      .select(col("n_blocks"), lit(5L).as("k"), col("sum_rj2"),
+        expr("""CAST((sum_rj2 * 12000000) div (n_blocks * 30)
+                - 18000000 * n_blocks AS BIGINT)""").as("chi2_f_micro"))
+  }
+
+  private val friedmanSql =
+    """WITH cell AS (
+      |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+      |      AS m, r_name, SUM(o_totalprice) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2
+      |), fullb AS (
+      |  SELECT m, r_name, rev FROM (
+      |    SELECT m, r_name, rev, COUNT(*) OVER (PARTITION BY m) AS kc
+      |    FROM cell) c
+      |  WHERE kc = 5
+      |), rj AS (
+      |  SELECT r_name, CAST(SUM(rk) AS BIGINT) AS rjs FROM (
+      |    SELECT r_name, CAST(row_number() OVER (
+      |      PARTITION BY m ORDER BY rev, r_name) AS BIGINT) AS rk
+      |    FROM fullb) x
+      |  GROUP BY 1
+      |), nb AS (
+      |  SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS n_blocks FROM fullb
+      |)
+      |SELECT n_blocks, CAST(5 AS BIGINT) AS k,
+      |  CAST(SUM(rjs * rjs) AS BIGINT) AS sum_rj2,
+      |  CAST((CAST(SUM(rjs * rjs) AS BIGINT) * 12000000) // (n_blocks * 30)
+      |    - 18000000 * n_blocks AS BIGINT) AS chi2_f_micro
+      |FROM rj, nb
+      |GROUP BY n_blocks""".stripMargin
+
+  // ---- Cochran's Q test --------------------------------------------------
+
+  /** Cochran's Q — the k-condition generalization of q465's McNemar:
+    * did the SAME subjects (customers) succeed at different rates
+    * across k=3 matched binary conditions (ordered in 1995 / 1996 /
+    * 1997)? Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²), every term an
+    * exact integer from two aggregates (per-customer year flags →
+    * column totals + row-total squares), one floored division into
+    * micro-units. All customers are subjects; all-zero and all-one
+    * rows are retained (they cancel in the denominator exactly). */
+  def cochransQ(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val flags = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("y"))
+      .filter(col("y").isin(1995, 1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(max((col("y") === 1995).cast("long")).as("f1"),
+        max((col("y") === 1996).cast("long")).as("f2"),
+        max((col("y") === 1997).cast("long")).as("f3"))
+    Catalog.load(spark, dir, "customer").select(col("c_custkey"))
+      .join(flags, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("f1"), lit(0L)).as("f1"),
+        coalesce(col("f2"), lit(0L)).as("f2"),
+        coalesce(col("f3"), lit(0L)).as("f3"))
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(col("f1")).as("c1"), sum(col("f2")).as("c2"),
+        sum(col("f3")).as("c3"),
+        sum((col("f1") + col("f2") + col("f3"))
+          * (col("f1") + col("f2") + col("f3"))).as("sum_ri2"))
+      .select(col("n_subjects"), col("c1"), col("c2"), col("c3"),
+        (col("c1") + col("c2") + col("c3")).as("n_success"), col("sum_ri2"))
+      .select(col("n_subjects"), col("c1"), col("c2"), col("c3"),
+        col("n_success"), col("sum_ri2"),
+        expr(s"""CAST((2 * (3 * (CAST(c1 AS $dec) * c1
+                 + CAST(c2 AS $dec) * c2 + CAST(c3 AS $dec) * c3)
+                 - CAST(n_success AS $dec) * n_success) * 1000000)
+                 div (3 * n_success - sum_ri2) AS BIGINT)""").as("q_micro"))
+  }
+
+  private val cochransQSql =
+    """WITH f AS (
+      |  SELECT o_custkey,
+      |    MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+      |      THEN 1 ELSE 0 END) AS f1,
+      |    MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+      |      THEN 1 ELSE 0 END) AS f2,
+      |    MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+      |      THEN 1 ELSE 0 END) AS f3
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+      |  GROUP BY 1
+      |), a AS (
+      |  SELECT COALESCE(f1, 0) AS f1, COALESCE(f2, 0) AS f2,
+      |    COALESCE(f3, 0) AS f3
+      |  FROM customer LEFT JOIN f ON c_custkey = o_custkey
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+      |    CAST(SUM(f1) AS BIGINT) AS c1, CAST(SUM(f2) AS BIGINT) AS c2,
+      |    CAST(SUM(f3) AS BIGINT) AS c3,
+      |    CAST(SUM((f1 + f2 + f3) * (f1 + f2 + f3)) AS BIGINT) AS sum_ri2
+      |  FROM a
+      |)
+      |SELECT n_subjects, c1, c2, c3, c1 + c2 + c3 AS n_success, sum_ri2,
+      |  CAST((2 * (3 * (CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2
+      |    + CAST(c3 AS HUGEINT) * c3)
+      |    - CAST(c1 + c2 + c3 AS HUGEINT) * (c1 + c2 + c3)) * 1000000)
+      |    // (3 * (c1 + c2 + c3) - sum_ri2) AS BIGINT) AS q_micro
+      |FROM s""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q473_friedman", friedman, Some(friedmanSql),
+      "Friedman blocked rank test: regions ranked within each calendar " +
+        "month — the within-block completion of q437's pooled " +
+        "Kruskal-Wallis, exact micro-unit chi2_F"),
+    Q("q474_cochrans_q", cochransQ, Some(cochransQSql),
+      "Cochran's Q over k=3 matched binary conditions per customer " +
+        "(ordered in 1995/96/97) — the k-way McNemar, exact integers, " +
+        "one floored division"),
+    Q("q470_cochran_armitage", cochranArmitage, Some(cochranArmitageSql),
+      "Cochran-Armitage trend test: does fast shipping decline " +
+        "monotonically across the ordered priority ladder — exact " +
+        "cross-multiplied z^2, one division"),
+    Q("q464_effect_sizes_2x2", effectSizes2x2, Some(effectSizes2x2Sql),
+      "2x2 effect sizes (odds ratio, relative risk, micro-unit risk " +
+        "difference) for urgent x fast-shipped — the how-big companion " +
+        "to the chi2/kappa/McNemar tests"),
     Q("q465_mcnemar", mcnemar, Some(mcnemarSql),
       "McNemar's test on the q461 paired bits — discordant-cell chi2 " +
         "plus continuity-corrected form, exact integers, one division " +

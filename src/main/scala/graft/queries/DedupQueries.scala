@@ -862,7 +862,57 @@ object DedupQueries {
        |FROM documents d JOIN rep ON rep.doc_id = d.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- exact-dup cluster size histogram --------------------------------
+
+  /** NEAR-dup CLUSTER-SIZE histogram: how many exact-Jaccard copy
+    * families of each size the corpus carries, and what share of all
+    * documents each size class holds — the "is duplication a few huge
+    * families or a long tail of pairs" readout that decides whether
+    * dedup should target heads or run exhaustively (q65 lists the
+    * clusters, q289 prices the savings; this shows the SHAPE). Two
+    * aggregates on top of the shared connected-component machinery —
+    * cluster-keyed, then size-domain-bounded — exact counts, one
+    * mirrored division per row. */
+  def dupSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val total = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    DedupOps.dedupClusters(docs(spark, dir), n = 5, threshold = 0.5)
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("docs_in_class"),
+        ((col("size") * col("n_clusters")).cast("double") /
+          col("n_docs").cast("double")).as("share_of_corpus"))
+      .orderBy(col("size"))
+  }
+
+  private val dupSizeHistogramSql =
+    s"""WITH RECURSIVE $reachCtes, rep AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |c AS (
+       |  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS size
+       |  FROM rep GROUP BY 1
+       |), s AS (
+       |  SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT size, n_clusters, size * n_clusters AS docs_in_class,
+       |  CAST(size * n_clusters AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    AS share_of_corpus
+       |FROM s, t
+       |ORDER BY size""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q471_dup_size_histogram", dupSizeHistogram,
+      Some(dupSizeHistogramSql),
+      "near-dup cluster-size histogram with corpus share per size " +
+        "class — the head-vs-tail duplication shape over the shared " +
+        "connected-component machinery (exact counts)"),
     Q("q289_dedup_savings", dedupSavings, Some(dedupSavingsSql),
       "per-source near-dup storage savings: docs/chars that are not " +
         "their cluster representative (exact integers, shared CC machinery)"),

@@ -3071,7 +3071,112 @@ object ScienceQueries {
        |ORDER BY rnk""".stripMargin
   }
 
+  // ---- trade-network reciprocity ----------------------------------------
+
+  /** RECIPROCITY of the nation→nation trade network — the world-trade-web
+    * statistic (Garlaschelli–Loffredo): of the directed flow edges
+    * (customer-nation i buys from supplier-nation j, i≠j), what share
+    * has a reverse edge, and what share of flow VALUE is matched by
+    * reverse flow (Σ min(w_ij, w_ji) / Σ w_ij)? Plus the ρ coefficient
+    * (r − ā)/(1 − ā) that corrects for density, computed as one
+    * cross-multiplied integer ratio. The flow matrix is the q413
+    * aggregate without the top-20 cut — |nations|² ≤ 625 cells at any
+    * data scale — so the reverse-edge self-join is broadcast-trivial;
+    * the only fact-sized work is the one groupBy that collapses
+    * lineitem into it. */
+  def tradeReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Catalog.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val custNat = Catalog.load(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cn"))
+    val suppNat = Catalog.load(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("sn"))
+    val flow = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(Catalog.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("cn"), col("sn"))
+      .agg(sum(col("cents")).as("w"))
+      .filter(col("cn") =!= col("sn"))
+    val rev = flow.select(col("sn").as("rc"), col("cn").as("rs"),
+      col("w").as("rw"))
+    val nn = flow.select(col("cn").as("x"))
+      .union(flow.select(col("sn").as("x"))).distinct()
+      .agg(count(lit(1)).as("n_nations"))
+    flow.join(broadcast(rev),
+        col("cn") === col("rc") && col("sn") === col("rs"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("rw").isNotNull.cast("long")).as("n_recip"),
+        sum(col("w")).as("w_total"),
+        sum(when(col("rw").isNotNull, least(col("w"), col("rw")))
+          .otherwise(lit(0L))).as("w_recip"))
+      .crossJoin(broadcast(nn))
+      .select(col("n_nations"), col("n_edges"), col("n_recip"),
+        (col("n_recip").cast("double") / col("n_edges").cast("double"))
+          .as("recip_rate"),
+        col("w_total"), col("w_recip"),
+        (col("w_recip").cast("double") / col("w_total").cast("double"))
+          .as("w_recip_rate"),
+        // a COMPLETE flow network (every pair trades, the TPC-H case at
+        // sf>=0.01) has density 1, where rho = (r-1)/(1-1) is undefined
+        when(col("n_edges") === col("n_nations") * (col("n_nations") - 1),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("n_recip") * col("n_nations") * (col("n_nations") - 1)
+              - col("n_edges") * col("n_edges")).cast("double")
+              / (col("n_edges") * (col("n_nations") * (col("n_nations") - 1)
+                - col("n_edges"))).cast("double")).as("rho_gl"))
+  }
+
+  private val tradeReciprocitySql =
+    """WITH flow AS (
+      |  SELECT cn.n_name AS c, sn.n_name AS s,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2
+      |  HAVING cn.n_name <> sn.n_name
+      |), nn AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nations FROM (
+      |    SELECT c AS x FROM flow UNION SELECT s FROM flow) u
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |    CAST(SUM(CASE WHEN r.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_recip,
+      |    CAST(SUM(f.w) AS BIGINT) AS w_total,
+      |    CAST(SUM(CASE WHEN r.w IS NOT NULL
+      |      THEN least(f.w, r.w) ELSE 0 END) AS BIGINT) AS w_recip
+      |  FROM flow f LEFT JOIN flow r ON f.c = r.s AND f.s = r.c
+      |)
+      |SELECT n_nations, n_edges, n_recip,
+      |  CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE) AS recip_rate,
+      |  w_total, w_recip,
+      |  CAST(w_recip AS DOUBLE) / CAST(w_total AS DOUBLE) AS w_recip_rate,
+      |  CASE WHEN n_edges = n_nations * (n_nations - 1) THEN NULL
+      |    ELSE CAST(n_recip * n_nations * (n_nations - 1) - n_edges * n_edges
+      |        AS DOUBLE)
+      |      / CAST(n_edges * (n_nations * (n_nations - 1) - n_edges)
+      |        AS DOUBLE)
+      |  END AS rho_gl
+      |FROM m, nn""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q475_trade_reciprocity", tradeReciprocity,
+      Some(tradeReciprocitySql),
+      "nation-network reciprocity: edge/value share matched by reverse " +
+        "flow + density-corrected Garlaschelli-Loffredo rho — exact " +
+        "integers, three mirrored divisions"),
     Q("q455_haar_pyramid", haarPyramid, Some(haarPyramidSql),
       "3-level un-normalized Haar pyramid of daily revenue: exact " +
         "BIGINT approximation + detail per dyadic bucket — " +

@@ -1611,73 +1611,69 @@ object TextQueries {
       |    AS BIGINT) AS n_single
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // ---- cross-source vocabulary overlap ---------------------------------
+  // ---- intra-document repetition ratio ---------------------------------
 
-  /** Pairwise VOCABULARY overlap between document sources — the corpus-
-    * diversity audit run before mixing sources into a training blend
-    * (two sources sharing 90% of their vocabulary add far less than
-    * their row counts suggest; q286 scores diversity WITHIN a source,
-    * this scores redundancy BETWEEN them). Distinct (source, token)
-    * pairs feed an inverted-index self-join on token (each token's
-    * posting list is bounded by the source count — never a doc×doc or
-    * source×source product), exact BIGINT set sizes, Jaccard + the
-    * smaller-side containment as mirrored divisions. */
-  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val st = docs(spark, dir)
-      .select(col("source"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .distinct()
-    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
-    val shared = st.select(col("source").as("src_a"), col("tok"))
-      .join(st.select(col("source").as("src_b"), col("tok")), "tok")
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("source").as("src_a"), col("v").as("v_a")),
-        "src_a")
-      .join(sizes.select(col("source").as("src_b"), col("v").as("v_b")),
-        "src_b")
-      .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"),
-        col("shared"),
-        (col("shared").cast("double") /
-          (col("v_a") + col("v_b") - col("shared")).cast("double"))
-          .as("jaccard"),
-        (col("shared").cast("double") /
-          least(col("v_a"), col("v_b")).cast("double")).as("containment"))
-      .orderBy(col("src_a"), col("src_b"))
+  /** Per-source REPETITION ratio: the share of token trigrams inside a
+    * document that are repeats of an earlier trigram in the SAME
+    * document — the boilerplate/spam signal (navigation chrome, SEO
+    * keyword stuffing, template mail) that per-doc lexical diversity
+    * (q50) underweights because repeated PHRASES reuse common tokens.
+    * One row-local shingle pass (per-doc distinct trigrams), one
+    * doc-keyed count, a source rollup with exact integer totals; the
+    * "repetitive doc" flag (per-doc repeated share > 20%) is the exact
+    * cross-multiplied integer compare 5·distinct < 4·total — no float
+    * threshold. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("text").isNotNull)
+    val perDoc = graft.ops.DedupOps.shingles(d, 3)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dtg"))
+    d.select(col("doc_id"), col("source"),
+        (size(split(col("text"), " ", -1)) - 2).cast("long").as("ttg"))
+      .filter(col("ttg") > 0)
+      .join(perDoc, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ttg")).as("total_trigrams"),
+        sum(col("dtg")).as("distinct_trigrams"),
+        sum((col("dtg") * 5 < col("ttg") * 4).cast("long"))
+          .as("n_repetitive"))
+      .select(col("source"), col("n_docs"), col("total_trigrams"),
+        col("distinct_trigrams"),
+        ((col("total_trigrams") - col("distinct_trigrams")).cast("double")
+          / col("total_trigrams").cast("double")).as("rep_ratio"),
+        col("n_repetitive"))
+      .orderBy(col("source"))
   }
 
-  private val vocabOverlapSql =
-    """WITH st AS (
-      |  SELECT DISTINCT source, tok FROM (
-      |    SELECT source, unnest(string_split(text, ' ')) AS tok
-      |    FROM documents)
-      |  WHERE len(tok) > 0
-      |), sizes AS (
-      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st GROUP BY 1
-      |), shared AS (
-      |  SELECT a.source AS src_a, b.source AS src_b,
-      |    CAST(COUNT(*) AS BIGINT) AS shared
-      |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
-      |  GROUP BY 1, 2
+  private val repetitionRatioSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents WHERE text IS NOT NULL
+      |), base AS (
+      |  SELECT doc_id, source, CAST(len(t) - 2 AS BIGINT) AS ttg
+      |  FROM toks WHERE len(t) >= 3
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(DISTINCT array_to_string(t[i:i+2], ' ')) AS BIGINT)
+      |      AS dtg
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+      |  GROUP BY doc_id
       |)
-      |SELECT src_a, src_b, sa.v AS v_a, sb.v AS v_b, shared,
-      |  CAST(shared AS DOUBLE) / CAST(sa.v + sb.v - shared AS DOUBLE)
-      |    AS jaccard,
-      |  CAST(shared AS DOUBLE) / CAST(least(sa.v, sb.v) AS DOUBLE)
-      |    AS containment
-      |FROM shared
-      |JOIN sizes sa ON src_a = sa.source
-      |JOIN sizes sb ON src_b = sb.source
-      |ORDER BY src_a, src_b""".stripMargin
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(ttg) AS BIGINT) AS total_trigrams,
+      |  CAST(SUM(dtg) AS BIGINT) AS distinct_trigrams,
+      |  CAST(SUM(ttg) - SUM(dtg) AS DOUBLE) / CAST(SUM(ttg) AS DOUBLE)
+      |    AS rep_ratio,
+      |  CAST(SUM(CASE WHEN dtg * 5 < ttg * 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repetitive
+      |FROM base JOIN sh USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("q464_vocab_overlap", vocabOverlap, Some(vocabOverlapSql),
-      "pairwise source vocabulary overlap (inverted-index token join, " +
-        "exact set sizes, Jaccard + containment) — the blend-redundancy " +
-        "audit next to q286's within-source diversity"),
+    Q("q472_repetition_ratio", repetitionRatio, Some(repetitionRatioSql),
+      "SOURCE-level trigram repetition rollup + repetitive-doc census " +
+        "(exact 5d<4t integer threshold) — the blend-decision view of " +
+        "q97's per-doc Gopher metrics"),
     Q("q302_token_classes", tokenClasses, Some(tokenClassesSql),
       "token-class mix per source (numeric/digit-bearing/long/single) — " +
         "the telemetry-vs-prose cleaning signal, exact counts"),
