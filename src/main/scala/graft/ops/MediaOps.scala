@@ -275,4 +275,112 @@ object MediaOps {
       }
     }
   }
+
+  /** 64-bit perceptual average-hash as 16 four-bit bands. */
+  case class MediaHash(media_id: Long, bands: Array[Int])
+
+  /** aHash bits: decodable images hash the REAL raster — 8×8 grid of
+    * integer Rec.601 luma sums, bit c set iff cell average exceeds the
+    * image average (cross-multiplied exact integer compare, no float
+    * threshold). Other payloads hash the bytes through the SAME
+    * algorithm with the byte stream as a 1×64 "raster" (cell of byte
+    * i = i·64/len): a real average-hash over the stub's fake pixels,
+    * deterministic and engine-mirrorable. */
+  private def aHashBits(m: MediaRow): Array[Int] = {
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    decodeImage(m.payload) match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val cell = (y * 8 / h) * 8 + x * 8 / w
+            sums(cell) += (77 * r + 150 * g + 29 * b) >> 8
+            cnts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+      case None =>
+        val len = m.payload.length
+        var i = 0
+        while (i < len) {
+          val cell = (i.toLong * 64 / len).toInt
+          sums(cell) += m.payload(i) & 0xff
+          cnts(cell) += 1
+          i += 1
+        }
+    }
+    var s = 0L; var l = 0L
+    var c = 0
+    while (c < 64) { s += sums(c); l += cnts(c); c += 1 }
+    val bits = new Array[Int](64)
+    c = 0
+    while (c < 64) {
+      if (sums(c) * l > s * cnts(c)) bits(c) = 1
+      c += 1
+    }
+    bits
+  }
+
+  /** Per-item aHash, packed into 16 four-bit bands (bit c → band c/4,
+    * bit position c%4). Empty/null payloads are dropped — there is
+    * nothing to hash. Partition-local; payload bytes never shuffle,
+    * the (id, bands) digest rows do. */
+  def aHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .filter(m => m.payload != null && m.payload.nonEmpty)
+      .mapPartitions(_.map { m =>
+        val bits = aHashBits(m)
+        val bands = new Array[Int](16)
+        var c = 0
+        while (c < 64) { bands(c / 4) |= bits(c) << (c % 4); c += 1 }
+        MediaHash(m.media_id, bands)
+      }).toDF()
+  }
+
+  /** Near-duplicate media pairs by aHash Hamming distance — the
+    * image-dedup primitive next to the text family (q62/q63/q156), run
+    * entirely on 64-bit digests: payloads are hashed once
+    * partition-locally and never join. Banding is LOSSLESS for the
+    * default bound (≤12 differing bits across 16 disjoint 4-bit bands
+    * leave at least one band identical — pigeonhole), so the pair set
+    * equals the brute-force one except inside `dfCap`-hot bands. The
+    * 4-bit bands are deliberately permissive (16 values each): at
+    * corpus scale the df-cap is the valve that keeps hot-band
+    * candidate lists bounded — the same documented trade every LSH
+    * family here makes. Candidates are an equi-join on (band, value);
+    * the final Hamming filter is an exact popcount over the 16 band
+    * nibbles. */
+  def aHashNearDupPairs(media: DataFrame, maxHamming: Int = 12,
+      dfCap: Int = 1000): DataFrame = {
+    val h = aHashes(media)
+    val banded = h.select(col("media_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val capped = banded.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= dfCap).drop("n")
+    val cand = banded.join(capped, Seq("band_idx", "band_val"))
+      .select(col("band_idx"), col("band_val"), col("media_id").as("ma"))
+      .join(banded.select(col("band_idx"), col("band_val"),
+        col("media_id").as("mb")), Seq("band_idx", "band_val"))
+      .filter(col("ma") < col("mb"))
+      .select(col("ma"), col("mb")).distinct()
+    // HOF hamming over the CANDIDATE set only (band-collision-bounded,
+    // orders of magnitude below the corpus) — not a hot-path lambda
+    cand.join(h.select(col("media_id").as("ma"), col("bands").as("ba")), "ma")
+      .join(h.select(col("media_id").as("mb"), col("bands").as("bb")), "mb")
+      .withColumn("hamming", expr(
+        """aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)),
+           0, (a, x) -> a + x)""").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ma").as("media_a"), col("mb").as("media_b"),
+        col("hamming"))
+  }
 }

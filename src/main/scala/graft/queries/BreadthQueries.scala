@@ -1395,7 +1395,308 @@ object BreadthQueries {
       |    // (3 * (c1 + c2 + c3) - sum_ri2) AS BIGINT) AS q_micro
       |FROM s""".stripMargin
 
+  // ---- rich-club coefficient ---------------------------------------------
+
+  /** RICH-CLUB coefficient φ(k) of the part co-purchase graph: do
+    * high-degree parts co-occur with EACH OTHER more densely than the
+    * graph average — the hub-interconnection readout (next to q225's
+    * assortativity, which is the correlation view of the same
+    * question). Both inputs collapse to DOMAIN-sized histograms before
+    * the threshold sweep: nodes per degree value and edges per
+    * min-endpoint-degree value, each joined against a 7-value literal
+    * threshold grid — the fact-scale work is the one shared basket
+    * self-join every pair miner reuses. Exact integer counts; φ is one
+    * guarded mirrored division per threshold. */
+  def richClub(spark: SparkSession, dir: String): DataFrame = {
+    val edges = BasketFrames.pairCounts(spark, dir).select(col("a"), col("b"))
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val degHist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    val eHist = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(least(col("da"), col("db")).as("dmin"))
+      .groupBy(col("dmin")).agg(count(lit(1)).as("n_edges"))
+    val ks = spark.range(1).select(explode(array(
+      Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L).map(lit(_)): _*)).as("k"))
+    val nk = degHist.crossJoin(broadcast(ks)).groupBy(col("k"))
+      .agg(sum(when(col("deg") > col("k"), col("n_nodes")).otherwise(0L))
+        .as("n_k"))
+    val ek = eHist.crossJoin(broadcast(ks)).groupBy(col("k"))
+      .agg(sum(when(col("dmin") > col("k"), col("n_edges")).otherwise(0L))
+        .as("e_k"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_k"),
+        coalesce(col("e_k"), lit(0L)).as("e_k"))
+      .withColumn("phi",
+        when(col("n_k") >= 2,
+          (col("e_k") * 2).cast("double")
+            / (col("n_k") * (col("n_k") - 1)).cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .orderBy(col("k"))
+  }
+
+  private val richClubSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), edges AS (
+      |  SELECT x.pk AS a, y.pk AS b
+      |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY 1, 2
+      |), deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) u
+      |  GROUP BY 1
+      |), dh AS (
+      |  SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+      |), em AS (
+      |  SELECT least(da.deg, db.deg) AS dmin FROM edges
+      |  JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+      |), eh AS (
+      |  SELECT dmin, CAST(COUNT(*) AS BIGINT) AS n_edges FROM em GROUP BY 1
+      |), ks AS (
+      |  SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64]) AS BIGINT) AS k
+      |), nk AS (
+      |  SELECT k, CAST(COALESCE(SUM(CASE WHEN deg > k THEN n_nodes END), 0)
+      |    AS BIGINT) AS n_k
+      |  FROM ks, dh GROUP BY 1
+      |), ek AS (
+      |  SELECT k, CAST(COALESCE(SUM(CASE WHEN dmin > k THEN n_edges END), 0)
+      |    AS BIGINT) AS e_k
+      |  FROM ks, eh GROUP BY 1
+      |)
+      |SELECT nk.k, n_k, e_k,
+      |  CASE WHEN n_k >= 2 THEN CAST(e_k * 2 AS DOUBLE)
+      |    / CAST(n_k * (n_k - 1) AS DOUBLE) END AS phi
+      |FROM nk JOIN ek ON nk.k = ek.k
+      |ORDER BY nk.k""".stripMargin
+
+  // ---- jackknife ratio estimate -------------------------------------------
+
+  /** Leave-one-NATION-out JACKKNIFE of the mean order value θ = S/C —
+    * the resampling answer to "how sensitive is this corpus-level ratio
+    * to any single stratum, and is the plug-in estimate biased". The
+    * n=25 replicates are ALGEBRAIC — θ₍ᵢ₎ = (S−sᵢ)/(C−cᵢ) from the
+    * per-nation totals, never a second scan — so the whole estimator is
+    * two aggregates regardless of data scale. Replicates live in exact
+    * floored micro-units (the house fixed-point convention); bias and
+    * SE are final one-shot double expressions over exact decimal
+    * moments. */
+  def jackknifeRatio(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(Catalog.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("cents")).as("s_i"), count(lit(1)).as("c_i"))
+    val tot = g.agg(sum(col("s_i")).as("s"), sum(col("c_i")).as("c"))
+    g.crossJoin(broadcast(tot))
+      .select(col("s"), col("c"),
+        expr(s"CAST((CAST(s - s_i AS $dec) * 1000000) div (c - c_i) AS BIGINT)")
+          .as("th_i"))
+      .agg(count(lit(1)).as("n"), max(col("s")).as("s"),
+        max(col("c")).as("c"), sum(col("th_i")).as("st"),
+        sum(expr(s"CAST(CAST(th_i AS $dec) * th_i AS $dec)")).as("st2"))
+      .select(col("n").as("n_nations"), col("s").as("total_cents"),
+        col("c").as("n_orders"),
+        expr(s"CAST((CAST(s AS $dec) * 1000000) div c AS BIGINT)")
+          .as("theta_micro"),
+        expr("CAST(st div n AS BIGINT)").as("jk_mean_micro"),
+        (expr(s"CAST((n - 1) * (CAST(st AS $dec) - n * ((CAST(s AS $dec) * 1000000) div c)) AS $dec)")
+          .cast("double") / col("n").cast("double")).as("jk_bias_micro"),
+        sqrt(expr(s"CAST((n - 1) * (n * st2 - CAST(st AS $dec) * st) AS $dec)")
+          .cast("double") / (col("n") * col("n")).cast("double"))
+          .as("jk_se_micro"))
+  }
+
+  private val jackknifeRatioSql =
+    """WITH g AS (
+      |  SELECT c_nationkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS s_i,
+      |    CAST(COUNT(*) AS BIGINT) AS c_i
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(s_i) AS BIGINT) AS s, CAST(SUM(c_i) AS BIGINT) AS c
+      |  FROM g
+      |), th AS (
+      |  SELECT s, c,
+      |    CAST((CAST(s - s_i AS HUGEINT) * 1000000) // (c - c_i) AS BIGINT)
+      |      AS th_i
+      |  FROM g, tot
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(s) AS s, MAX(c) AS c,
+      |    CAST(SUM(th_i) AS BIGINT) AS st,
+      |    CAST(CAST(SUM(CAST(th_i AS HUGEINT) * th_i) AS VARCHAR)
+      |      AS DECIMAL(38,0)) AS st2
+      |  FROM th
+      |)
+      |SELECT n AS n_nations, s AS total_cents, c AS n_orders,
+      |  CAST((CAST(s AS HUGEINT) * 1000000) // c AS BIGINT) AS theta_micro,
+      |  CAST(st // n AS BIGINT) AS jk_mean_micro,
+      |  CAST(CAST((n - 1) * (CAST(st AS HUGEINT)
+      |      - n * ((CAST(s AS HUGEINT) * 1000000) // c)) AS VARCHAR)
+      |    AS DOUBLE) / CAST(n AS DOUBLE) AS jk_bias_micro,
+      |  sqrt(CAST(CAST((n - 1) * (n * CAST(st2 AS HUGEINT)
+      |      - CAST(st AS HUGEINT) * st) AS VARCHAR) AS DOUBLE)
+      |    / CAST(n * n AS DOUBLE)) AS jk_se_micro
+      |FROM m""".stripMargin
+
+  // ---- capture–recapture vocabulary estimate ------------------------------
+
+  /** CAPTURE–RECAPTURE (Chapman) estimate of the corpus vocabulary:
+    * treat the even-doc_id half as the capture sample and the odd half
+    * as the recapture, estimate total distinct tokens from the overlap
+    * — N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — and audit it against the exact
+    * truth the same scan already knows. The two-sample trick estimates
+    * "how much vocabulary exists that NEITHER half saw", which is what
+    * a crawl-coverage planner wants before fetching more data. One
+    * distinct (parity, token) reduction, one token-keyed min/max
+    * aggregate, exact integers, one floored micro-division + one error
+    * ratio. */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val t = Catalog.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select((col("doc_id") % 2).as("par"),
+        explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    t.groupBy(col("tok"))
+      .agg(min(col("par")).as("p0"), max(col("par")).as("p1"))
+      .agg(count(lit(1)).as("vocab_true"),
+        sum((col("p0") === 0).cast("long")).as("n_even"),
+        sum((col("p1") === 1).cast("long")).as("n_odd"),
+        sum((col("p0") === 0 && col("p1") === 1).cast("long")).as("n_both"))
+      .select(col("n_even"), col("n_odd"), col("n_both"), col("vocab_true"),
+        expr(s"""CAST((CAST(n_even + 1 AS $dec) * (n_odd + 1) * 1000000)
+                 div (n_both + 1) - 1000000 AS BIGINT)""")
+          .as("chapman_micro"))
+      .withColumn("err_pct",
+        (col("chapman_micro").cast("double") / lit(1e4)
+          / col("vocab_true").cast("double")) - lit(100.0))
+  }
+
+  private val captureRecaptureSql =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id % 2 AS par, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE text IS NOT NULL) u
+      |  WHERE tok <> ''
+      |), bt AS (
+      |  SELECT tok, MIN(par) AS p0, MAX(par) AS p1 FROM t GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_true,
+      |    CAST(SUM(CASE WHEN p0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+      |    CAST(SUM(CASE WHEN p1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd,
+      |    CAST(SUM(CASE WHEN p0 = 0 AND p1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_both
+      |  FROM bt
+      |)
+      |SELECT n_even, n_odd, n_both, vocab_true,
+      |  CAST((CAST(n_even + 1 AS HUGEINT) * (n_odd + 1) * 1000000)
+      |    // (n_both + 1) - 1000000 AS BIGINT) AS chapman_micro,
+      |  CAST(CAST((CAST(n_even + 1 AS HUGEINT) * (n_odd + 1) * 1000000)
+      |    // (n_both + 1) - 1000000 AS BIGINT) AS DOUBLE) / 1e4
+      |    / CAST(vocab_true AS DOUBLE) - 100.0 AS err_pct
+      |FROM m""".stripMargin
+
+  // ---- quantile shape indices (Bowley / Moors) -----------------------------
+
+  /** Moment-free SHAPE indices per order priority: Bowley quantile
+    * skewness (Q₁+Q₃−2·median)/(Q₃−Q₁) and Moors octile kurtosis
+    * ((E₇−E₅)+(E₃−E₁))/(E₆−E₂) — the outlier-immune companions to
+    * q34's moment-based variance/skew machinery (one 9-figure order
+    * corrupts a moment; it moves an octile by one rank). Octiles are
+    * exact type-1 order statistics picked by GlobalRank row_number
+    * (rank ⌈j·n/8⌉, deterministic (value, key) tie-break — the
+    * scale-safe distributed-rank recipe, never a single-partition
+    * window); the indices are mirrored double divisions of exact
+    * cents. */
+  def quantileShape(spark: SparkSession, dir: String): DataFrame = {
+    val base = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+        col("o_orderkey").as("tb"))
+    val r = graft.ops.GlobalRank.withRowNumber(base,
+      Seq(col("g"), col("v"), col("tb")), "grn")
+    val bounds = r.groupBy(col("g"))
+      .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
+      .withColumnRenamed("g", "bg")
+    val ranked = r.join(broadcast(bounds), col("g") <=> col("bg"))
+      .withColumn("rn", col("grn") - col("g0") + 1)
+    val oct = ranked.groupBy(col("g")).agg(
+      max(col("n")).as("n"),
+      max(when(expr("rn = (1 * n + 7) div 8"), col("v"))).as("e1"),
+      max(when(expr("rn = (2 * n + 7) div 8"), col("v"))).as("e2"),
+      max(when(expr("rn = (3 * n + 7) div 8"), col("v"))).as("e3"),
+      max(when(expr("rn = (4 * n + 7) div 8"), col("v"))).as("e4"),
+      max(when(expr("rn = (5 * n + 7) div 8"), col("v"))).as("e5"),
+      max(when(expr("rn = (6 * n + 7) div 8"), col("v"))).as("e6"),
+      max(when(expr("rn = (7 * n + 7) div 8"), col("v"))).as("e7"))
+    oct.select(col("g").as("priority"), col("n"),
+        col("e2").as("q1_cents"), col("e4").as("median_cents"),
+        col("e6").as("q3_cents"),
+        ((col("e2") + col("e6") - lit(2L) * col("e4")).cast("double")
+          / nullif((col("e6") - col("e2")).cast("double"), lit(0.0)))
+          .as("bowley_skew"),
+        (((col("e7") - col("e5")) + (col("e3") - col("e1"))).cast("double")
+          / nullif((col("e6") - col("e2")).cast("double"), lit(0.0)))
+          .as("moors_kurt"))
+      .orderBy(col("priority"))
+  }
+
+  private val quantileShapeSql =
+    """WITH r AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+      |      AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+      |  FROM orders
+      |), oct AS (
+      |  SELECT g, MAX(n) AS n,
+      |    MAX(CASE WHEN rn = (1 * n + 7) // 8 THEN v END) AS e1,
+      |    MAX(CASE WHEN rn = (2 * n + 7) // 8 THEN v END) AS e2,
+      |    MAX(CASE WHEN rn = (3 * n + 7) // 8 THEN v END) AS e3,
+      |    MAX(CASE WHEN rn = (4 * n + 7) // 8 THEN v END) AS e4,
+      |    MAX(CASE WHEN rn = (5 * n + 7) // 8 THEN v END) AS e5,
+      |    MAX(CASE WHEN rn = (6 * n + 7) // 8 THEN v END) AS e6,
+      |    MAX(CASE WHEN rn = (7 * n + 7) // 8 THEN v END) AS e7
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT g AS priority, n, e2 AS q1_cents, e4 AS median_cents,
+      |  e6 AS q3_cents,
+      |  CAST(e2 + e6 - 2 * e4 AS DOUBLE)
+      |    / nullif(CAST(e6 - e2 AS DOUBLE), 0.0) AS bowley_skew,
+      |  CAST((e7 - e5) + (e3 - e1) AS DOUBLE)
+      |    / nullif(CAST(e6 - e2 AS DOUBLE), 0.0) AS moors_kurt
+      |FROM oct
+      |ORDER BY priority""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q478_rich_club", richClub, Some(richClubSql),
+      "rich-club coefficient sweep over the part co-purchase graph " +
+        "(degree-domain histograms x 7-threshold grid, exact counts) — " +
+        "hub interconnection next to q225 assortativity"),
+    Q("q479_jackknife_ratio", jackknifeRatio, Some(jackknifeRatioSql),
+      "leave-one-nation-out jackknife of mean order value: algebraic " +
+        "replicates in exact micro-units, bias + SE from decimal moments"),
+    Q("q480_capture_recapture", captureRecapture,
+      Some(captureRecaptureSql),
+      "Chapman capture-recapture vocabulary estimate from the even/odd " +
+        "doc split, audited against the exact truth — crawl-coverage " +
+        "planning, exact integers"),
+    Q("q481_quantile_shape", quantileShape, Some(quantileShapeSql),
+      "Bowley quantile skewness + Moors octile kurtosis per priority " +
+        "from exact rank-selected octiles (GlobalRank, no single-" +
+        "partition window) — outlier-immune shape indices"),
     Q("q473_friedman", friedman, Some(friedmanSql),
       "Friedman blocked rank test: regions ranked within each calendar " +
         "month — the within-block completion of q437's pooled " +

@@ -100,7 +100,78 @@ object MultimodalQueries {
       |  unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT))) AS u(i)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Near-duplicate MEDIA pairs by perceptual average-hash — the
+    * image-dedup gap next to the text near-dup family: hash every
+    * payload to 64 bits partition-locally (real 8×8 luma grid for
+    * decodable images; the same algorithm over byte cells for stub
+    * payloads), band into 16 nibbles, equi-join candidates sharing a
+    * band (lossless for Hamming ≤ 12 by pigeonhole; hot bands df-capped),
+    * exact popcount filter. The oracle mirrors the byte-cell path
+    * exactly — per-char cell sums, cross-multiplied threshold, the
+    * same banding and cap — valid because the fixture's text payloads
+    * never decode as images (the q75 stub-oracle precedent). */
+  def mediaAhashDups(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.aHashNearDupPairs(
+        MediaOps.mediaFromDocuments(Catalog.load(spark, dir, "documents")))
+      .orderBy(col("media_a"), col("media_b"))
+
+  private val mediaAhashDupsSql =
+    """WITH chars AS (
+      |  SELECT doc_id, (i - 1) * 64 // strlen(text) AS c,
+      |    CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS code
+      |  FROM documents, unnest(range(1, strlen(text) + 1)) AS u(i)
+      |  WHERE text IS NOT NULL AND strlen(text) > 0
+      |), cells AS (
+      |  SELECT doc_id, c, CAST(SUM(code) AS BIGINT) AS s_c,
+      |    CAST(COUNT(*) AS BIGINT) AS n_c
+      |  FROM chars GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT doc_id, CAST(SUM(code) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS l
+      |  FROM chars GROUP BY 1
+      |), bits AS (
+      |  SELECT cells.doc_id, cells.c,
+      |    CASE WHEN cells.s_c * tot.l > tot.s * cells.n_c
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id
+      |), bandsum AS (
+      |  SELECT doc_id, c // 4 AS band_idx,
+      |    CAST(SUM(bit << CAST(c % 4 AS INT)) AS BIGINT) AS band_val
+      |  FROM bits GROUP BY 1, 2
+      |), bands AS (
+      |  SELECT tg.doc_id, tg.band_idx, COALESCE(b.band_val, 0) AS band_val
+      |  FROM (SELECT t.doc_id, g.band_idx
+      |        FROM tot t, unnest(range(0, 16)) AS g(band_idx)) tg
+      |  LEFT JOIN bandsum b
+      |    ON b.doc_id = tg.doc_id AND b.band_idx = tg.band_idx
+      |), capped AS (
+      |  SELECT band_idx, band_val FROM bands
+      |  GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS ma, b.doc_id AS mb
+      |  FROM bands a
+      |  JOIN capped k
+      |    ON a.band_idx = k.band_idx AND a.band_val = k.band_val
+      |  JOIN bands b
+      |    ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+      |  WHERE a.doc_id < b.doc_id
+      |)
+      |SELECT ma AS media_a, mb AS media_b, hamming FROM (
+      |  SELECT ma, mb,
+      |    CAST(SUM(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+      |      AS hamming
+      |  FROM cand
+      |  JOIN bands x ON x.doc_id = ma
+      |  JOIN bands y ON y.doc_id = mb AND y.band_idx = x.band_idx
+      |  GROUP BY 1, 2) p
+      |WHERE hamming <= 12
+      |ORDER BY media_a, media_b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q477_media_ahash_dups", mediaAhashDups, Some(mediaAhashDupsSql),
+      "near-dup media pairs by 64-bit perceptual average-hash (16-band " +
+        "LSH, lossless at Hamming<=12, exact popcount verify) — image " +
+        "dedup next to the text near-dup family"),
     Q("q183_modality_coverage", modalityCoverage, Some(modalityCoverageSql),
       "modality coverage audit: per media type, how many items carry an " +
         "embedding (left join on 8-byte ids, nullif-guarded pct)"),

@@ -1669,7 +1669,92 @@ object TextQueries {
       |FROM base JOIN sh USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- capped water-fill token allocation -------------------------------
+
+  /** Capped WATER-FILL token allocation across sources — the epoch
+    * scheduler's question when balancing a training blend: keep the
+    * total token budget equal to the corpus size, pull every source
+    * toward an equal share, but never repeat a source more than C=3
+    * epochs. Sources too small to reach the common water level w are
+    * capped at 3× their tokens; the freed budget raises w for the
+    * rest. The split point is found declaratively with the house
+    * rank-threshold recipe — sort by capped size, one running sum over
+    * the |sources|-row frame, the prefix where cap·(k−r) ≤ B−S_r is
+    * exactly the capped set — no iteration, no driver loop. w and the
+    * per-source repeat factors are exact floored micro-units (q120/q186
+    * hand out DOC quotas for a sample; this allocates TOKENS for the
+    * epoch plan). */
+  def cappedWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val a = docs(spark, dir).filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ", -1)).cast("long")).as("a"))
+    val tot = a.agg(count(lit(1)).as("k"), sum(col("a")).as("b"))
+    val w = Window.orderBy(col("cap_a"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = a.withColumn("cap_a", col("a") * 3)
+      .crossJoin(broadcast(tot))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cap_a"), col("source"))).cast("long"))
+      .withColumn("s_r", sum(col("cap_a")).over(w))
+      .withColumn("is_capped",
+        col("cap_a") * (col("k") - col("r")) <= col("b") - col("s_r"))
+    val lvl = t.agg(max(col("b")).as("b"), max(col("k")).as("k"),
+        sum(when(col("is_capped"), col("cap_a")).otherwise(0L)).as("s_p"),
+        sum(col("is_capped").cast("long")).as("p"))
+      .select(expr(s"CAST((CAST(b - s_p AS $dec) * 1000000) div (k - p) AS BIGINT)")
+        .as("w_micro"))
+    t.crossJoin(broadcast(lvl))
+      .select(col("source"), col("a").as("tokens"),
+        col("cap_a").as("cap_tokens"),
+        (expr(s"CAST(CAST(cap_a AS $dec) * 1000000 AS $dec)")
+          <= col("w_micro")).as("capped"),
+        expr(s"""CAST(least(CAST(cap_a AS $dec) * 1000000,
+                 CAST(w_micro AS $dec)) AS BIGINT)""").as("alloc_micro"),
+        expr(s"""CAST(least(CAST(cap_a AS $dec) * 1000000,
+                 CAST(w_micro AS $dec)) div a AS BIGINT)""")
+          .as("repeat_micro"))
+      .orderBy(col("source"))
+  }
+
+  private val cappedWaterfillSql =
+    """WITH a AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |      AS a
+      |  FROM documents WHERE text IS NOT NULL GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(a) AS BIGINT) AS b
+      |  FROM a
+      |), t AS (
+      |  SELECT source, a, 3 * a AS cap_a, k, b,
+      |    CAST(row_number() OVER (ORDER BY 3 * a, source) AS BIGINT) AS r,
+      |    CAST(SUM(3 * a) OVER (ORDER BY 3 * a, source
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_r
+      |  FROM a, tot
+      |), lvl AS (
+      |  SELECT CAST((CAST(MAX(b) - COALESCE(SUM(CASE
+      |      WHEN cap_a * (k - r) <= b - s_r THEN cap_a END), 0) AS HUGEINT)
+      |      * 1000000)
+      |    // (MAX(k) - COALESCE(SUM(CASE
+      |      WHEN cap_a * (k - r) <= b - s_r THEN 1 END), 0)) AS BIGINT)
+      |      AS w_micro
+      |  FROM t
+      |)
+      |SELECT source, a AS tokens, cap_a AS cap_tokens,
+      |  CAST(cap_a AS HUGEINT) * 1000000 <= w_micro AS capped,
+      |  CAST(least(CAST(cap_a AS HUGEINT) * 1000000,
+      |    CAST(w_micro AS HUGEINT)) AS BIGINT) AS alloc_micro,
+      |  CAST(least(CAST(cap_a AS HUGEINT) * 1000000,
+      |    CAST(w_micro AS HUGEINT)) // a AS BIGINT) AS repeat_micro
+      |FROM t, lvl
+      |ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q476_capped_waterfill", cappedWaterfill, Some(cappedWaterfillSql),
+      "capped water-fill token allocation across sources (3-epoch cap, " +
+        "exact rank-threshold split, micro-unit level/repeat factors) — " +
+        "the epoch plan next to q120/q186's doc quotas"),
     Q("q472_repetition_ratio", repetitionRatio, Some(repetitionRatioSql),
       "SOURCE-level trigram repetition rollup + repetitive-doc census " +
         "(exact 5d<4t integer threshold) — the blend-decision view of " +

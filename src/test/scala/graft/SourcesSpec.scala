@@ -125,6 +125,44 @@ class SourcesSpec extends AnyFunSuite {
       s"bucket ${hb.bucket}"))
   }
 
+  test("aHash near-dup: container-invariant on the REAL image path, " +
+    "exact Hamming, lossless 16-band candidates at the <=12 bound") {
+    // the same 20x12 raster through two separate PNG encodes must hash
+    // identically (pixels, not container bytes) → a Hamming-0 pair
+    def encodePng(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        20, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 20)
+        img.setRGB(x, y, (x * 41 + y * 101 + seed) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", encodePng(0)),
+      (2L, "image", encodePng(0)), // same pixels, fresh encode
+      (3L, "image", encodePng(1 << 16)), // brightness-shifted variant
+      (4L, "audio", "totally unrelated payload bytes".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+    val pairs = MediaOps.aHashNearDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0L),
+      s"re-encoded raster must pair at Hamming 0: $pairs")
+    // lossless banding: every pair within the bound that shares ANY
+    // band must appear; brute-force over the tiny set confirms no
+    // in-bound pair is missed
+    val hashes = MediaOps.aHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val brute = for {
+      a <- hashes.keys.toSeq; b <- hashes.keys.toSeq if a < b
+      h = hashes(a).zip(hashes(b))
+        .map { case (x, y) => java.lang.Integer.bitCount(x ^ y) }.sum
+      if h <= 12
+    } yield (a, b) -> h.toLong
+    assert(pairs == brute.toMap,
+      s"banded pair set must equal brute force: $pairs vs $brute")
+  }
+
   test("compaction: fragmented dataset collapses to sized files, rows intact") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     val docs = Catalog.load(spark, dir, "documents")
