@@ -1680,7 +1680,312 @@ object BreadthQueries {
       |FROM oct
       |ORDER BY priority""".stripMargin
 
+  // ---- Mantel–Haenszel stratified odds ratio ------------------------------
+
+  /** MANTEL–HAENSZEL pooled odds ratio for urgent×fast-shipped,
+    * STRATIFIED by customer nation — the confounding-adjusted
+    * completion of q464's crude 2×2 effect sizes (q332 demonstrates
+    * Simpson's paradox; MH is the estimator that defuses it):
+    * OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ), each stratum term an exact
+    * floored micro-unit (the house fixed-point convention), reported
+    * next to the crude pooled OR so the confounding gap is visible.
+    * One fact aggregate to nation-level cells, then arithmetic over a
+    * 25-row frame. */
+  def mantelHaenszel(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val firstShip = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    val cells = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+          .as("urgent"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .join(Catalog.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("fast",
+        (datediff(col("first_ship"), col("od")) <= 30).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("urgent") * col("fast")).as("a"),
+        sum(col("urgent") * (lit(1L) - col("fast"))).as("b"),
+        sum((lit(1L) - col("urgent")) * col("fast")).as("c"),
+        sum((lit(1L) - col("urgent")) * (lit(1L) - col("fast"))).as("d"))
+    cells
+      .select(col("a"), col("b"), col("c"), col("d"),
+        (col("a") + col("b") + col("c") + col("d")).as("nn"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        expr(s"CAST((CAST(a AS $dec) * d * 1000000) div nn AS BIGINT)")
+          .as("r_i"),
+        expr(s"CAST((CAST(b AS $dec) * c * 1000000) div nn AS BIGINT)")
+          .as("s_i"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("c")).as("sc"), sum(col("d")).as("sd"),
+        sum(col("r_i")).as("r_micro"), sum(col("s_i")).as("s_micro"))
+      .select(col("n_strata"), col("r_micro"), col("s_micro"),
+        (col("r_micro").cast("double") / col("s_micro").cast("double"))
+          .as("or_mh"),
+        (expr(s"CAST(CAST(sa AS $dec) * sd AS $dec)").cast("double")
+          / expr(s"CAST(CAST(sb AS $dec) * sc AS $dec)").cast("double"))
+          .as("or_crude"))
+  }
+
+  private val mantelHaenszelSql =
+    """WITH f AS (
+      |  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      |  FROM lineitem GROUP BY 1
+      |), r AS (
+      |  SELECT c_nationkey,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS urgent,
+      |    CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+      |      <= 30 THEN 1 ELSE 0 END AS fast
+      |  FROM orders JOIN f ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |), cells AS (
+      |  SELECT c_nationkey,
+      |    CAST(SUM(urgent * fast) AS BIGINT) AS a,
+      |    CAST(SUM(urgent * (1 - fast)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - urgent) * fast) AS BIGINT) AS c,
+      |    CAST(SUM((1 - urgent) * (1 - fast)) AS BIGINT) AS d
+      |  FROM r GROUP BY 1
+      |), t AS (
+      |  SELECT a, b, c, d, a + b + c + d AS nn FROM cells
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+      |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+      |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(d) AS BIGINT) AS sd,
+      |    CAST(SUM(CAST((CAST(a AS HUGEINT) * d * 1000000) // nn AS BIGINT))
+      |      AS BIGINT) AS r_micro,
+      |    CAST(SUM(CAST((CAST(b AS HUGEINT) * c * 1000000) // nn AS BIGINT))
+      |      AS BIGINT) AS s_micro
+      |  FROM t
+      |)
+      |SELECT n_strata, r_micro, s_micro,
+      |  CAST(r_micro AS DOUBLE) / CAST(s_micro AS DOUBLE) AS or_mh,
+      |  CAST(CAST(CAST(sa AS HUGEINT) * sd AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(sb AS HUGEINT) * sc AS VARCHAR) AS DOUBLE)
+      |    AS or_crude
+      |FROM m""".stripMargin
+
+  // ---- GE(2) inequality decomposition -------------------------------------
+
+  /** Generalized-entropy GE(2) inequality of order values, DECOMPOSED
+    * within/between nations — the question q174/q422's Gini cannot
+    * answer (Gini does not decompose additively): is order-value
+    * inequality a cross-country story or an everywhere story?
+    * GE(2) = (n·Σx² − S²)/(2S²) needs no logarithm — exact decimal
+    * moments, one mirrored division; the between term replaces Σx²
+    * with Σ⌊s_g²/n_g⌋ (exact decimal floor via modulo subtraction —
+    * Spark's `div` returns BIGINT and would overflow on the 10²⁴
+    * squares), and within = total − between holds by the GE(2)
+    * additive identity up to the sub-unit floor slack. */
+  def ge2Decomposition(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+      .join(Catalog.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(expr(s"CAST(CAST(x AS $dec) * x AS $dec)")).as("q_g"))
+    g.select(col("n_g"), col("s_g"), col("q_g"),
+        expr(s"""CAST((CAST(s_g AS $dec) * s_g
+                 - (CAST(s_g AS $dec) * s_g) % n_g) / n_g AS $dec)""")
+          .as("t_g"))
+      .agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"),
+        sum(col("q_g")).as("q"), sum(col("t_g")).as("t"))
+      .select(
+        (expr(s"CAST(n * q - CAST(s AS $dec) * s AS $dec)").cast("double")
+          / expr(s"CAST(2 * CAST(s AS $dec) * s AS $dec)").cast("double"))
+          .as("ge2_total"),
+        (expr(s"CAST(n * t - CAST(s AS $dec) * s AS $dec)").cast("double")
+          / expr(s"CAST(2 * CAST(s AS $dec) * s AS $dec)").cast("double"))
+          .as("ge2_between"))
+      .withColumn("ge2_within", col("ge2_total") - col("ge2_between"))
+      .withColumn("between_share", col("ge2_between") / col("ge2_total"))
+  }
+
+  private val ge2DecompositionSql =
+    """WITH g AS (
+      |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS s_g,
+      |    SUM(CAST(round(o_totalprice * 100) AS HUGEINT)
+      |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS q_g
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
+      |    SUM(q_g) AS q,
+      |    SUM((CAST(s_g AS HUGEINT) * s_g) // n_g) AS t
+      |  FROM g
+      |), o AS (
+      |  SELECT
+      |    CAST(CAST(n * q - CAST(s AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(2 * CAST(s AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
+      |      AS ge2_total,
+      |    CAST(CAST(n * t - CAST(s AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(2 * CAST(s AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
+      |      AS ge2_between
+      |  FROM m
+      |)
+      |SELECT ge2_total, ge2_between,
+      |  ge2_total - ge2_between AS ge2_within,
+      |  ge2_between / ge2_total AS between_share
+      |FROM o""".stripMargin
+
+  // ---- Lorenz asymmetry coefficient ---------------------------------------
+
+  /** LORENZ ASYMMETRY coefficient S = F(μ) + L(μ) of order values —
+    * the companion q174's Lorenz curve and q422's Gini leave out: the
+    * SAME Gini can come from many-small-units inequality (S < 1) or
+    * few-huge-units inequality (S > 1), and the remediation differs.
+    * F(μ) = share of orders strictly below the mean (exact
+    * cross-multiplied compare x·n < S — the mean is never
+    * materialized as a float), L(μ) = their value share. One
+    * aggregate for totals, one conditional re-aggregate, two mirrored
+    * divisions. */
+  def lorenzAsymmetry(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = Catalog.load(spark, dir, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+    val tot = x.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    x.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("s")).as("s"),
+        sum(expr(s"CAST(CASE WHEN CAST(x AS $dec) * n < s THEN 1 ELSE 0 END AS BIGINT)"))
+          .as("n_below"),
+        sum(expr(s"CASE WHEN CAST(x AS $dec) * n < s THEN x ELSE 0 END"))
+          .as("mass_below"))
+      .select(col("n"), col("s"), col("n_below"), col("mass_below"),
+        (col("n_below").cast("double") / col("n").cast("double"))
+          .as("f_mu"),
+        (col("mass_below").cast("double") / col("s").cast("double"))
+          .as("l_mu"))
+      .withColumn("lorenz_asym", col("f_mu") + col("l_mu"))
+  }
+
+  private val lorenzAsymmetrySql =
+    """WITH x AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      |  FROM x
+      |), m AS (
+      |  SELECT MAX(n) AS n, MAX(s) AS s,
+      |    CAST(SUM(CASE WHEN CAST(x AS HUGEINT) * n < s THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_below,
+      |    CAST(SUM(CASE WHEN CAST(x AS HUGEINT) * n < s THEN x ELSE 0 END)
+      |      AS BIGINT) AS mass_below
+      |  FROM x, tot
+      |)
+      |SELECT n, s, n_below, mass_below,
+      |  CAST(n_below AS DOUBLE) / CAST(n AS DOUBLE) AS f_mu,
+      |  CAST(mass_below AS DOUBLE) / CAST(s AS DOUBLE) AS l_mu,
+      |  CAST(n_below AS DOUBLE) / CAST(n AS DOUBLE)
+      |    + CAST(mass_below AS DOUBLE) / CAST(s AS DOUBLE) AS lorenz_asym
+      |FROM m""".stripMargin
+
+  // ---- Cronbach's alpha -----------------------------------------------------
+
+  /** CRONBACH'S ALPHA over the k=3 matched yearly spend "items"
+    * (1995/96/97 order cents per customer, 0 when inactive) — the
+    * internal-consistency readout for q474's panel: do the three
+    * yearly measurements track ONE underlying customer trait?
+    * α = k/(k−1)·(1 − Σvar(itemᵢ)/var(Σitems)); every variance
+    * numerator n·Σx² − (Σx)² shares the same n² denominator, so α is
+    * ONE exact decimal ratio — no per-variance float, no logarithm. */
+  def cronbachAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val spend = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("y"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("y").isin(1995, 1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("y") === 1995, col("cents")).otherwise(0L)).as("x1"),
+        sum(when(col("y") === 1996, col("cents")).otherwise(0L)).as("x2"),
+        sum(when(col("y") === 1997, col("cents")).otherwise(0L)).as("x3"))
+    Catalog.load(spark, dir, "customer").select(col("c_custkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("x1"), lit(0L)).as("x1"),
+        coalesce(col("x2"), lit(0L)).as("x2"),
+        coalesce(col("x3"), lit(0L)).as("x3"))
+      .withColumn("t", col("x1") + col("x2") + col("x3"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x3")).as("s3"), sum(col("t")).as("st"),
+        sum(expr(s"CAST(CAST(x1 AS $dec) * x1 AS $dec)")).as("q1"),
+        sum(expr(s"CAST(CAST(x2 AS $dec) * x2 AS $dec)")).as("q2"),
+        sum(expr(s"CAST(CAST(x3 AS $dec) * x3 AS $dec)")).as("q3"),
+        sum(expr(s"CAST(CAST(t AS $dec) * t AS $dec)")).as("qt"))
+      .select(col("n").as("n_subjects"),
+        (lit(1.5) * (lit(1.0)
+          - expr(s"""CAST(n * (q1 + q2 + q3)
+                     - (CAST(s1 AS $dec) * s1 + CAST(s2 AS $dec) * s2
+                        + CAST(s3 AS $dec) * s3) AS $dec)""").cast("double")
+            / expr(s"CAST(n * qt - CAST(st AS $dec) * st AS $dec)")
+              .cast("double"))).as("alpha"))
+  }
+
+  private val cronbachAlphaSql =
+    """WITH sp AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS x1,
+      |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS x2,
+      |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS x3
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+      |  GROUP BY 1
+      |), a AS (
+      |  SELECT COALESCE(x1, 0) AS x1, COALESCE(x2, 0) AS x2,
+      |    COALESCE(x3, 0) AS x3,
+      |    COALESCE(x1, 0) + COALESCE(x2, 0) + COALESCE(x3, 0) AS t
+      |  FROM customer LEFT JOIN sp ON c_custkey = o_custkey
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+      |    CAST(SUM(x3) AS BIGINT) AS s3, CAST(SUM(t) AS BIGINT) AS st,
+      |    SUM(CAST(x1 AS HUGEINT) * x1) AS q1,
+      |    SUM(CAST(x2 AS HUGEINT) * x2) AS q2,
+      |    SUM(CAST(x3 AS HUGEINT) * x3) AS q3,
+      |    SUM(CAST(t AS HUGEINT) * t) AS qt
+      |  FROM a
+      |)
+      |SELECT n AS n_subjects,
+      |  1.5 * (1.0 - CAST(CAST(n * (q1 + q2 + q3)
+      |      - (CAST(s1 AS HUGEINT) * s1 + CAST(s2 AS HUGEINT) * s2
+      |         + CAST(s3 AS HUGEINT) * s3) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(n * qt - CAST(st AS HUGEINT) * st AS VARCHAR)
+      |      AS DOUBLE)) AS alpha
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q482_mantel_haenszel", mantelHaenszel, Some(mantelHaenszelSql),
+      "Mantel-Haenszel nation-stratified odds ratio for urgent x fast " +
+        "next to the crude pooled OR — the confounding-adjusted " +
+        "completion of q464, exact micro-unit stratum terms"),
+    Q("q483_ge2_decomposition", ge2Decomposition,
+      Some(ge2DecompositionSql),
+      "GE(2) inequality of order values decomposed within/between " +
+        "nations from exact decimal moments — the additive split Gini " +
+        "cannot give, logarithm-free"),
+    Q("q484_lorenz_asymmetry", lorenzAsymmetry, Some(lorenzAsymmetrySql),
+      "Lorenz asymmetry coefficient F(mu)+L(mu) with the mean applied " +
+        "as an exact cross-multiplied compare — distinguishes small-" +
+        "unit from large-unit inequality at equal Gini"),
+    Q("q485_cronbach_alpha", cronbachAlpha, Some(cronbachAlphaSql),
+      "Cronbach's alpha over the 1995/96/97 yearly spend items per " +
+        "customer — internal consistency as one exact decimal ratio"),
     Q("q478_rich_club", richClub, Some(richClubSql),
       "rich-club coefficient sweep over the part co-purchase graph " +
         "(degree-domain histograms x 7-threshold grid, exact counts) — " +
