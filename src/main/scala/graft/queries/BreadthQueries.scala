@@ -1969,7 +1969,89 @@ object BreadthQueries {
       |      AS DOUBLE)) AS alpha
       |FROM m""".stripMargin
 
+  // ---- upper-tail dependence ------------------------------------------------
+
+  /** UPPER-TAIL dependence between customer balance and lifetime spend:
+    * given a customer is in the top decile on balance, how likely are
+    * they ALSO top-decile on spend — λ_U = P(s > t_s | b > t_b), with
+    * the independence lift n_both·n/(n_b·n_s). Correlation (q408)
+    * summarizes the middle of the joint distribution; risk and VIP
+    * planning care about the corner, and a Gaussian-looking r can
+    * carry zero tail dependence. Both thresholds are exact rank-
+    * selected order statistics at the integer rank (9n+9) div 10
+    * (GlobalRank, no single-partition window, no float percentile);
+    * the corner census is one conditional aggregate. */
+  def tailDependence(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Catalog.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("s"))
+    val j = Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("b"))
+      .join(sp, col("k") === col("o_custkey"), "left")
+      .select(col("k"), col("b"), coalesce(col("s"), lit(0L)).as("s"))
+    def p90(v: String, out: String): DataFrame = {
+      val (ranked, n) = graft.ops.GlobalRank.withRowNumberAndTotal(
+        j.select(col(v).as("v"), col("k").as("tb")),
+        Seq(col("v"), col("tb")), "rn")
+      ranked.filter(col("rn") === (9 * n + 9) / 10)
+        .select(col("v").as(out))
+    }
+    j.crossJoin(broadcast(p90("b", "t_b")))
+      .crossJoin(broadcast(p90("s", "t_s")))
+      .agg(count(lit(1)).as("n"), max(col("t_b")).as("t_b"),
+        max(col("t_s")).as("t_s"),
+        sum((col("b") > col("t_b")).cast("long")).as("n_b"),
+        sum((col("s") > col("t_s")).cast("long")).as("n_s"),
+        sum((col("b") > col("t_b") && col("s") > col("t_s")).cast("long"))
+          .as("n_both"))
+      .select(col("n"), col("t_b"), col("t_s"), col("n_b"), col("n_s"),
+        col("n_both"),
+        (col("n_both").cast("double") / col("n_b").cast("double"))
+          .as("lambda_u"),
+        ((col("n_both") * col("n")).cast("double")
+          / (col("n_b") * col("n_s")).cast("double")).as("lift"))
+  }
+
+  private val tailDependenceSql =
+    """WITH sp AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS s
+      |  FROM orders GROUP BY 1
+      |), j AS (
+      |  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS b,
+      |    COALESCE(s, 0) AS s
+      |  FROM customer LEFT JOIN sp ON c_custkey = o_custkey
+      |), nn AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j
+      |), tb AS (
+      |  SELECT v AS t_b FROM (
+      |    SELECT b AS v, row_number() OVER (ORDER BY b, k) AS rn FROM j) x,
+      |    nn WHERE rn = (9 * n + 9) // 10
+      |), ts AS (
+      |  SELECT v AS t_s FROM (
+      |    SELECT s AS v, row_number() OVER (ORDER BY s, k) AS rn FROM j) y,
+      |    nn WHERE rn = (9 * n + 9) // 10
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(t_b) AS t_b,
+      |    MAX(t_s) AS t_s,
+      |    CAST(SUM(CASE WHEN b > t_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN s > t_s THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+      |    CAST(SUM(CASE WHEN b > t_b AND s > t_s THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_both
+      |  FROM j, tb, ts
+      |)
+      |SELECT n, t_b, t_s, n_b, n_s, n_both,
+      |  CAST(n_both AS DOUBLE) / CAST(n_b AS DOUBLE) AS lambda_u,
+      |  CAST(n_both * n AS DOUBLE) / CAST(n_b * n_s AS DOUBLE) AS lift
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q487_tail_dependence", tailDependence, Some(tailDependenceSql),
+      "upper-tail dependence lambda_U between balance and spend top " +
+        "deciles + independence lift — the joint-corner risk readout " +
+        "correlation misses, exact integer-rank thresholds"),
     Q("q482_mantel_haenszel", mantelHaenszel, Some(mantelHaenszelSql),
       "Mantel-Haenszel nation-stratified odds ratio for urgent x fast " +
         "next to the crude pooled OR — the confounding-adjusted " +

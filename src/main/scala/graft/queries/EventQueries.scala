@@ -3728,7 +3728,93 @@ object EventQueries {
       |    AS label_next_spend
       |FROM uw ORDER BY user_id, wk""".stripMargin
 
+  // ---- Brier score decomposition -----------------------------------------
+
+  /** MURPHY decomposition of the binned Brier score for q209's
+    * value-as-confidence purchase predictor: reliability (how far each
+    * bin's forecast sits from its observed rate — the part calibration
+    * fixes), resolution (how much the bins separate outcomes — the
+    * part only a better feature fixes), and uncertainty (the
+    * irreducible base-rate term), with binned Brier = REL − RES + UNC.
+    * q209 plots the curve; this scores it and says WHICH defect
+    * dominates. Forecasts are the clipped exact value cents / 50000;
+    * every per-bin term is a cross-multiplied integer squared over a
+    * floored micro-division (10 bins → ≤10 micro-units of floor
+    * slack), so the whole decomposition is engine-exact. */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = Catalog.load(spark, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(least(expr("CAST(round(value * 100) AS BIGINT)"), lit(50000L))
+          .as("cc"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+      .withColumn("bin", least(expr("cc div 5000"), lit(9L)))
+    val bins = e.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_k"), sum(col("pos")).as("p_k"),
+        sum(col("cc")).as("s_k"))
+    val tot = bins.agg(sum(col("n_k")).as("n"), sum(col("p_k")).as("p"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("p"),
+        expr(s"""CAST((CAST(s_k - 50000 * p_k AS $dec)
+                 * (s_k - 50000 * p_k) * 1000000)
+                 div (CAST(n_k AS $dec) * 2500000000) AS BIGINT)""")
+          .as("rel_k"),
+        expr(s"""CAST((CAST(p_k AS $dec) * n - CAST(p AS $dec) * n_k)
+                 * (CAST(p_k AS $dec) * n - CAST(p AS $dec) * n_k)
+                 * 1000000
+                 div (CAST(n_k AS $dec) * n * n) AS BIGINT)""").as("res_k"))
+      .groupBy(col("n"), col("p"))
+      .agg(sum(col("rel_k")).as("rel_micro"),
+        sum(col("res_k")).as("res_micro"))
+      .select(col("n"), col("p").as("n_pos"),
+        col("rel_micro"), col("res_micro"),
+        expr(s"""CAST((CAST(p AS $dec) * (n - p) * 1000000)
+                 div (CAST(n AS $dec) * n) AS BIGINT)""").as("unc_micro"))
+      .withColumn("brier_micro",
+        col("rel_micro") - col("res_micro") + col("unc_micro"))
+  }
+
+  private val brierDecompositionSql =
+    """WITH e AS (
+      |  SELECT least(CAST(round(value * 100) AS BIGINT), 50000) AS cc,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |), b AS (
+      |  SELECT least(cc // 5000, 9) AS bin, CAST(COUNT(*) AS BIGINT) AS n_k,
+      |    CAST(SUM(pos) AS BIGINT) AS p_k, CAST(SUM(cc) AS BIGINT) AS s_k
+      |  FROM e GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(n_k) AS BIGINT) AS n, CAST(SUM(p_k) AS BIGINT) AS p
+      |  FROM b
+      |), k AS (
+      |  SELECT n, p,
+      |    CAST((CAST(s_k - 50000 * p_k AS HUGEINT)
+      |      * (s_k - 50000 * p_k) * 1000000)
+      |      // (CAST(n_k AS HUGEINT) * 2500000000) AS BIGINT) AS rel_k,
+      |    CAST((CAST(p_k AS HUGEINT) * n - CAST(p AS HUGEINT) * n_k)
+      |      * (CAST(p_k AS HUGEINT) * n - CAST(p AS HUGEINT) * n_k)
+      |      * 1000000
+      |      // (CAST(n_k AS HUGEINT) * n * n) AS BIGINT) AS res_k
+      |  FROM b, t
+      |), m AS (
+      |  SELECT n, p, CAST(SUM(rel_k) AS BIGINT) AS rel_micro,
+      |    CAST(SUM(res_k) AS BIGINT) AS res_micro
+      |  FROM k GROUP BY 1, 2
+      |)
+      |SELECT n, p AS n_pos, rel_micro, res_micro,
+      |  CAST((CAST(p AS HUGEINT) * (n - p) * 1000000)
+      |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_micro,
+      |  rel_micro - res_micro
+      |    + CAST((CAST(p AS HUGEINT) * (n - p) * 1000000)
+      |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS brier_micro
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q488_brier_decomposition", brierDecomposition,
+      Some(brierDecompositionSql),
+      "Murphy decomposition of the binned Brier score (reliability - " +
+        "resolution + uncertainty) for q209's calibration setup — " +
+        "exact micro-unit terms, says which defect dominates"),
     Q("q458_cliffs_delta", cliffsDelta, Some(cliffsDeltaSql),
       "pairwise Cliff's delta effect-size matrix over all ten priority " +
         "pairs — exact doubled midrank-U integers, one mirrored " +

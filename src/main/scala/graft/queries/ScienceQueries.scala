@@ -3171,7 +3171,193 @@ object ScienceQueries {
       |  END AS rho_gl
       |FROM m, nn""".stripMargin
 
+  // ---- matched-basket price indices ---------------------------------------
+
+  /** LASPEYRES / PAASCHE / FISHER price indices per 1996 month against
+    * the 1995 base year, over the matched part basket — the standard
+    * "are prices actually rising, holding the basket fixed" econ
+    * aggregates (q404 tracks single-part deviations; an index needs
+    * basket weighting). Unit prices are exact rationals rev/qty; each
+    * index term is one per-part floored micro-division (house
+    * fixed-point), summed as decimals; Fisher is the geometric mean
+    * √(L·P) of two deterministic doubles. Fact work is two
+    * (part, period) collapses and one part-keyed join of the two
+    * period tables. */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("pk"), to_date(col("l_shipdate")).as("d"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("rev"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+    val base = li.filter(year(col("d")) === 1995)
+      .groupBy(col("pk"))
+      .agg(sum(col("rev")).as("rev0"), sum(col("qty")).as("qty0"))
+    val cur = li.filter(year(col("d")) === 1996)
+      .groupBy(col("pk"),
+        date_trunc("month", col("d")).cast("date").as("m"))
+      .agg(sum(col("rev")).as("revt"), sum(col("qty")).as("qtyt"))
+    cur.join(base, "pk")
+      .select(col("m"), col("rev0"), col("revt"),
+        // p_t·q_0 and p_0·q_t in exact floored micro-cents
+        expr(s"CAST((CAST(revt AS $dec) * qty0 * 1000000) div qtyt AS $dec)")
+          .as("ptq0"),
+        expr(s"CAST((CAST(rev0 AS $dec) * qtyt * 1000000) div qty0 AS $dec)")
+          .as("p0qt"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("ptq0")).as("num_l"), sum(col("rev0")).as("den_l"),
+        sum(col("revt")).as("num_p"), sum(col("p0qt")).as("den_p"))
+      .select(col("m").as("month"), col("n_parts"),
+        (col("num_l").cast("double")
+          / expr(s"CAST(CAST(den_l AS $dec) * 1000000 AS $dec)")
+            .cast("double")).as("laspeyres"),
+        (expr(s"CAST(CAST(num_p AS $dec) * 1000000 AS $dec)").cast("double")
+          / col("den_p").cast("double")).as("paasche"))
+      .withColumn("fisher", sqrt(col("laspeyres") * col("paasche")))
+      .orderBy(col("month"))
+  }
+
+  private val priceIndexSql =
+    """WITH li AS (
+      |  SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS d,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS rev,
+      |    CAST(round(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem
+      |), base AS (
+      |  SELECT pk, CAST(SUM(rev) AS BIGINT) AS rev0,
+      |    CAST(SUM(qty) AS BIGINT) AS qty0
+      |  FROM li WHERE year(d) = 1995 GROUP BY 1
+      |), cur AS (
+      |  SELECT pk, CAST(date_trunc('month', d) AS DATE) AS m,
+      |    CAST(SUM(rev) AS BIGINT) AS revt, CAST(SUM(qty) AS BIGINT) AS qtyt
+      |  FROM li WHERE year(d) = 1996 GROUP BY 1, 2
+      |), t AS (
+      |  SELECT m, rev0, revt,
+      |    (CAST(revt AS HUGEINT) * qty0 * 1000000) // qtyt AS ptq0,
+      |    (CAST(rev0 AS HUGEINT) * qtyt * 1000000) // qty0 AS p0qt
+      |  FROM cur JOIN base USING (pk)
+      |), g AS (
+      |  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |    SUM(ptq0) AS num_l, CAST(SUM(rev0) AS BIGINT) AS den_l,
+      |    CAST(SUM(revt) AS BIGINT) AS num_p, SUM(p0qt) AS den_p
+      |  FROM t GROUP BY 1
+      |), o AS (
+      |  SELECT m AS month, n_parts,
+      |    CAST(CAST(num_l AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(CAST(den_l AS HUGEINT) * 1000000 AS VARCHAR)
+      |        AS DOUBLE) AS laspeyres,
+      |    CAST(CAST(CAST(num_p AS HUGEINT) * 1000000 AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(den_p AS VARCHAR) AS DOUBLE) AS paasche
+      |  FROM g
+      |)
+      |SELECT month, n_parts, laspeyres, paasche,
+      |  sqrt(laspeyres * paasche) AS fisher
+      |FROM o
+      |ORDER BY month""".stripMargin
+
+  // ---- Croston intermittent-demand forecast --------------------------------
+
+  /** CROSTON point forecast for INTERMITTENT part demand — the
+    * forecasting family's gap: Holt/EWMA/seasonal-naive (q245/q147/
+    * q270) average zeros into the level and systematically lowball
+    * sparse SKUs; Croston smooths the nonzero demand SIZES and the
+    * INTER-DEMAND intervals separately and forecasts size/interval per
+    * day. Same truncated 8/4/2/1 smoothing memory as q147's EWMA
+    * (4 sizes, 4 intervals), evaluated at each part's latest demand
+    * event; the rate is one exact cross-multiplied floored
+    * micro-division of integer weighted sums — no float state. Both
+    * windows are partitioned by part. */
+  def croston(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("pk")).orderBy(col("d"))
+    val lagged = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("pk"), to_date(col("l_shipdate")).as("d"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q0"))
+      .groupBy(col("pk"), col("d")).agg(sum(col("q0")).as("q"))
+      .withColumn("q1", lag(col("q"), 1).over(w))
+      .withColumn("q2", lag(col("q"), 2).over(w))
+      .withColumn("q3", lag(col("q"), 3).over(w))
+      .withColumn("d1", lag(col("d"), 1).over(w))
+      .withColumn("d2", lag(col("d"), 2).over(w))
+      .withColumn("d3", lag(col("d"), 3).over(w))
+      .withColumn("d4", lag(col("d"), 4).over(w))
+    lagged
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy(col("pk")).orderBy(col("d").desc)))
+      .filter(col("rnd") === 1 && col("d1").isNotNull)
+      .select(col("pk"), col("d").as("last_demand"),
+        (col("q") * 8 + coalesce(col("q1"), lit(0L)) * 4
+          + coalesce(col("q2"), lit(0L)) * 2
+          + coalesce(col("q3"), lit(0L))).as("zn"),
+        (lit(8L) + when(col("q1").isNotNull, 4L).otherwise(0L)
+          + when(col("q2").isNotNull, 2L).otherwise(0L)
+          + when(col("q3").isNotNull, 1L).otherwise(0L)).as("zw"),
+        (datediff(col("d"), col("d1")).cast("long") * 8
+          + coalesce(datediff(col("d1"), col("d2")).cast("long"), lit(0L)) * 4
+          + coalesce(datediff(col("d2"), col("d3")).cast("long"), lit(0L)) * 2
+          + coalesce(datediff(col("d3"), col("d4")).cast("long"), lit(0L)))
+          .as("pn"),
+        (lit(8L) + when(col("d2").isNotNull, 4L).otherwise(0L)
+          + when(col("d3").isNotNull, 2L).otherwise(0L)
+          + when(col("d4").isNotNull, 1L).otherwise(0L)).as("pw"))
+      .select(col("pk"), col("last_demand"), col("zn"), col("zw"),
+        col("pn"), col("pw"),
+        expr(s"CAST((CAST(zn AS $dec) * pw * 1000000) div (CAST(zw AS $dec) * pn) AS BIGINT)")
+          .as("croston_micro"))
+      .orderBy(col("croston_micro").desc, col("pk"))
+      .limit(50)
+  }
+
+  private val crostonSql =
+    """WITH dem AS (
+      |  SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS d,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2
+      |), lagged AS (
+      |  SELECT pk, d, q,
+      |    lag(q, 1) OVER w AS q1, lag(q, 2) OVER w AS q2,
+      |    lag(q, 3) OVER w AS q3,
+      |    lag(d, 1) OVER w AS d1, lag(d, 2) OVER w AS d2,
+      |    lag(d, 3) OVER w AS d3, lag(d, 4) OVER w AS d4,
+      |    row_number() OVER (PARTITION BY pk ORDER BY d DESC) AS rnd
+      |  FROM dem
+      |  WINDOW w AS (PARTITION BY pk ORDER BY d)
+      |), latest AS (
+      |  SELECT pk, d AS last_demand,
+      |    q * 8 + COALESCE(q1, 0) * 4 + COALESCE(q2, 0) * 2
+      |      + COALESCE(q3, 0) AS zn,
+      |    8 + CASE WHEN q1 IS NOT NULL THEN 4 ELSE 0 END
+      |      + CASE WHEN q2 IS NOT NULL THEN 2 ELSE 0 END
+      |      + CASE WHEN q3 IS NOT NULL THEN 1 ELSE 0 END AS zw,
+      |    date_diff('day', d1, d) * 8
+      |      + COALESCE(date_diff('day', d2, d1), 0) * 4
+      |      + COALESCE(date_diff('day', d3, d2), 0) * 2
+      |      + COALESCE(date_diff('day', d4, d3), 0) AS pn,
+      |    8 + CASE WHEN d2 IS NOT NULL THEN 4 ELSE 0 END
+      |      + CASE WHEN d3 IS NOT NULL THEN 2 ELSE 0 END
+      |      + CASE WHEN d4 IS NOT NULL THEN 1 ELSE 0 END AS pw
+      |  FROM lagged WHERE rnd = 1 AND d1 IS NOT NULL
+      |)
+      |SELECT pk, last_demand, CAST(zn AS BIGINT) AS zn,
+      |  CAST(zw AS BIGINT) AS zw, CAST(pn AS BIGINT) AS pn,
+      |  CAST(pw AS BIGINT) AS pw,
+      |  CAST((CAST(zn AS HUGEINT) * pw * 1000000)
+      |    // (CAST(zw AS HUGEINT) * pn) AS BIGINT) AS croston_micro
+      |FROM latest
+      |ORDER BY croston_micro DESC, pk
+      |LIMIT 50""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q489_croston", croston, Some(crostonSql),
+      "Croston intermittent-demand forecast per part (separate 8/4/2/1 " +
+        "smoothing of nonzero sizes and inter-demand intervals, exact " +
+        "micro rate at the latest event) — the sparse-SKU gap in the " +
+        "forecasting family"),
+    Q("q486_price_index", priceIndex, Some(priceIndexSql),
+      "Laspeyres/Paasche/Fisher price indices per 1996 month vs the " +
+        "1995 base over the matched part basket — exact rational unit " +
+        "prices in floored micro-cents"),
     Q("q475_trade_reciprocity", tradeReciprocity,
       Some(tradeReciprocitySql),
       "nation-network reciprocity: edge/value share matched by reverse " +
