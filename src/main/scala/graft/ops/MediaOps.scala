@@ -361,7 +361,9 @@ object MediaOps {
     * nibbles. */
   def aHashNearDupPairs(media: DataFrame, maxHamming: Int = 12,
       dfCap: Int = 1000): DataFrame = {
-    val h = aHashes(media)
+    // three consumers (banding + both sides of the verify join) — pin
+    // the digests so payloads are decoded/hashed exactly once
+    val h = aHashes(media).localCheckpoint(false)
     val banded = h.select(col("media_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
     val capped = banded.groupBy(col("band_idx"), col("band_val"))

@@ -3185,17 +3185,23 @@ object ScienceQueries {
     * period tables. */
   def priceIndex(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val li = Catalog.load(spark, dir, "lineitem")
+    // ONE fact scan: collapse to (part, month) cells for both periods,
+    // pin, then split — base re-aggregates the 1995 months
+    val cells = Catalog.load(spark, dir, "lineitem")
       .select(col("l_partkey").as("pk"), to_date(col("l_shipdate")).as("d"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("rev"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
-    val base = li.filter(year(col("d")) === 1995)
+      .filter(year(col("d")).isin(1995, 1996))
+      .groupBy(col("pk"), year(col("d")).as("y"),
+        date_trunc("month", col("d")).cast("date").as("m"))
+      .agg(sum(col("rev")).as("rev"), sum(col("qty")).as("qty"))
+      .localCheckpoint(false)
+    val base = cells.filter(col("y") === 1995)
       .groupBy(col("pk"))
       .agg(sum(col("rev")).as("rev0"), sum(col("qty")).as("qty0"))
-    val cur = li.filter(year(col("d")) === 1996)
-      .groupBy(col("pk"),
-        date_trunc("month", col("d")).cast("date").as("m"))
-      .agg(sum(col("rev")).as("revt"), sum(col("qty")).as("qtyt"))
+    val cur = cells.filter(col("y") === 1996)
+      .select(col("pk"), col("m"), col("rev").as("revt"),
+        col("qty").as("qtyt"))
     cur.join(base, "pk")
       .select(col("m"), col("rev0"), col("revt"),
         // p_t·q_0 and p_0·q_t in exact floored micro-cents
