@@ -2047,7 +2047,75 @@ object BreadthQueries {
       |  CAST(n_both * n AS DOUBLE) / CAST(n_b * n_s AS DOUBLE) AS lift
       |FROM m""".stripMargin
 
+  // ---- Wilcoxon signed-rank test ---------------------------------------------
+
+  /** WILCOXON SIGNED-RANK test on the 12 matched month-of-year revenue
+    * pairs, 1996 vs 1995 — the nonparametric PAIRED test the family
+    * lacks (q192 Welch and q193 Mann–Whitney compare independent
+    * samples; pairing by calendar month removes the seasonal
+    * variance). |d| ranks are strict row_numbers over the 12-row
+    * collapsed calendar frame (exact decimal cents differences never
+    * tie across engines); W⁺, the exact mean n(n+1)/4 (reported ×4 to
+    * stay integral) and the normal z-score are one integer pass plus
+    * one final sqrt. */
+  def wilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame = {
+    val m = Catalog.load(spark, dir, "orders")
+      .select(year(to_date(col("o_orderdate"))).as("y"),
+        month(to_date(col("o_orderdate"))).as("mo"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("y").isin(1995, 1996))
+      .groupBy(col("mo"))
+      .agg(sum(when(col("y") === 1996, col("cents")).otherwise(0L))
+          .as("c96"),
+        sum(when(col("y") === 1995, col("cents")).otherwise(0L)).as("c95"))
+      .select(col("mo"), (col("c96") - col("c95")).as("d"))
+      .filter(col("d") =!= 0)
+    val ranked = m
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("d")), col("mo"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, col("rk")).otherwise(0L)).as("w_plus"))
+      .select(col("n"), col("w_plus"),
+        (col("n") * (col("n") + 1)).as("w_mean_x4"),
+        ((col("w_plus") * 4 - col("n") * (col("n") + 1)).cast("double")
+          / (lit(4.0) * sqrt((col("n") * (col("n") + 1)
+            * (lit(2L) * col("n") + 1)).cast("double") / lit(24.0))))
+          .as("z"))
+  }
+
+  private val wilcoxonSignedRankSql =
+    """WITH g AS (
+      |  SELECT month(CAST(o_orderdate AS DATE)) AS mo,
+      |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT)
+      |    - CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+      |  GROUP BY 1
+      |), r AS (
+      |  SELECT d, CAST(row_number() OVER (ORDER BY abs(d), mo) AS BIGINT)
+      |    AS rk
+      |  FROM g WHERE d <> 0
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN d > 0 THEN rk ELSE 0 END) AS BIGINT) AS w_plus
+      |  FROM r
+      |)
+      |SELECT n, w_plus, n * (n + 1) AS w_mean_x4,
+      |  CAST(w_plus * 4 - n * (n + 1) AS DOUBLE)
+      |    / (4.0 * sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0))
+      |    AS z
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q493_wilcoxon_signed", wilcoxonSignedRank,
+      Some(wilcoxonSignedRankSql),
+      "Wilcoxon signed-rank on the 12 matched month-of-year revenue " +
+        "pairs 1996 vs 1995 — the paired nonparametric test next to " +
+        "Mann-Whitney, exact integer W+ and x4 mean"),
     Q("q487_tail_dependence", tailDependence, Some(tailDependenceSql),
       "upper-tail dependence lambda_U between balance and spend top " +
         "deciles + independence lift — the joint-corner risk readout " +

@@ -3809,7 +3809,97 @@ object EventQueries {
       |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS brier_micro
       |FROM m""".stripMargin
 
+  // ---- Lin's concordance correlation ---------------------------------------
+
+  /** LIN'S CONCORDANCE correlation between the 7-day seasonal-naive
+    * forecast and the actual daily revenue — the agreement metric
+    * q270's MAE and Pearson's r both miss: r rewards any linear
+    * relation (a forecast that is always 2× actual gets r = 1), CCC
+    * demands identity-line agreement, penalizing both scale and
+    * location bias. CCC = 2(nΣxy−ΣxΣy) /
+    * (nΣx²−(Σx)² + nΣy²−(Σy)² + (Σx−Σy)²) — ONE exact decimal ratio
+    * from five moment sums; Pearson r reported next to it so the gap
+    * IS the bias readout. */
+  def linCcc(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = Catalog.load(spark, dir, "orders")
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val lagged = d.select((col("day") + 7).as("day"),
+      col("cents").as("x"))
+    d.select(col("day"), col("cents").as("y"))
+      .join(lagged, "day")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr(s"CAST(CAST(x AS $dec) * y AS $dec)")).as("sxy"),
+        sum(expr(s"CAST(CAST(x AS $dec) * x AS $dec)")).as("sxx"),
+        sum(expr(s"CAST(CAST(y AS $dec) * y AS $dec)")).as("syy"))
+      .select(col("n"),
+        (expr(s"CAST(2 * (n * sxy - CAST(sx AS $dec) * sy) AS $dec)")
+          .cast("double")
+          / expr(s"""CAST(n * sxx - CAST(sx AS $dec) * sx
+                     + n * syy - CAST(sy AS $dec) * sy
+                     + (CAST(sx AS $dec) - sy) * (CAST(sx AS $dec) - sy)
+                     AS $dec)""").cast("double")).as("ccc"),
+        (expr(s"CAST(n * sxy - CAST(sx AS $dec) * sy AS $dec)")
+          .cast("double")
+          / sqrt(expr(s"CAST(n * sxx - CAST(sx AS $dec) * sx AS $dec)")
+              .cast("double")
+            * expr(s"CAST(n * syy - CAST(sy AS $dec) * sy AS $dec)")
+              .cast("double"))).as("pearson_r"))
+      .withColumn("bias_correction", col("ccc") / col("pearson_r"))
+  }
+
+  private val linCccSql =
+    """WITH d AS (
+      |  SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |), j AS (
+      |  SELECT a.cents AS y, b.cents AS x
+      |  FROM d a JOIN d b ON a.day = b.day + 7
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM j
+      |)
+      |SELECT n,
+      |  CAST(CAST(2 * (n * sxy - CAST(sx AS HUGEINT) * sy) AS VARCHAR)
+      |    AS DOUBLE)
+      |  / CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+      |      + n * syy - CAST(sy AS HUGEINT) * sy
+      |      + (CAST(sx AS HUGEINT) - sy) * (CAST(sx AS HUGEINT) - sy)
+      |      AS VARCHAR) AS DOUBLE) AS ccc,
+      |  CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+      |  / sqrt(CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR)
+      |        AS DOUBLE)
+      |      * CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR)
+      |        AS DOUBLE)) AS pearson_r,
+      |  (CAST(CAST(2 * (n * sxy - CAST(sx AS HUGEINT) * sy) AS VARCHAR)
+      |    AS DOUBLE)
+      |  / CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+      |      + n * syy - CAST(sy AS HUGEINT) * sy
+      |      + (CAST(sx AS HUGEINT) - sy) * (CAST(sx AS HUGEINT) - sy)
+      |      AS VARCHAR) AS DOUBLE))
+
+      |  / (CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR)
+      |      AS DOUBLE)
+      |  / sqrt(CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR)
+      |        AS DOUBLE)
+      |      * CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR)
+      |        AS DOUBLE))) AS bias_correction
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q492_lin_ccc", linCcc, Some(linCccSql),
+      "Lin's concordance correlation between the 7-day seasonal-naive " +
+        "forecast and actual daily revenue, next to Pearson r — the " +
+        "identity-line agreement metric, one exact decimal ratio"),
     Q("q488_brier_decomposition", brierDecomposition,
       Some(brierDecompositionSql),
       "Murphy decomposition of the binned Brier score (reliability - " +

@@ -3354,7 +3354,71 @@ object ScienceQueries {
       |ORDER BY croston_micro DESC, pk
       |LIMIT 50""".stripMargin
 
+  // ---- trade-graph evolution ------------------------------------------------
+
+  /** Monthly EVOLUTION of the customer–supplier trade graph: active
+    * nodes on each side, distinct trading edges, bipartite density,
+    * and the share of edges that are NEW (first month that pair ever
+    * traded) — the graph-growth audit behind "is the network
+    * densifying or just churning" (the static family q105/q321/q225
+    * sees one snapshot; this is the time axis). One fact collapse to
+    * distinct (month, cust, supp), a min-month per pair for first-seen
+    * (both edge-list-sized), exact counts, two mirrored divisions per
+    * month. */
+  def graphEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Catalog.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Catalog.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            date_trunc("month", to_date(col("o_orderdate"))).cast("date")
+              .as("m")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("m"), col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .localCheckpoint(false)
+    val first = pm.groupBy(col("c"), col("s")).agg(min(col("m")).as("fm"))
+    pm.join(first, Seq("c", "s"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("fm") === col("m")).cast("long")).as("n_new"),
+        countDistinct(col("c")).as("n_cust"),
+        countDistinct(col("s")).as("n_supp"))
+      .select(col("m").as("month"), col("n_edges"), col("n_new"),
+        col("n_cust"), col("n_supp"),
+        (col("n_new").cast("double") / col("n_edges").cast("double"))
+          .as("pct_new"),
+        (col("n_edges").cast("double")
+          / (col("n_cust") * col("n_supp")).cast("double")).as("density"))
+      .orderBy(col("month"))
+  }
+
+  private val graphEvolutionSql =
+    """WITH pm AS (
+      |  SELECT DISTINCT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+      |      AS DATE) AS m,
+      |    o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), f AS (
+      |  SELECT c, s, MIN(m) AS fm FROM pm GROUP BY 1, 2
+      |)
+      |SELECT m AS month, CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |  CAST(SUM(CASE WHEN fm = m THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cust,
+      |  CAST(COUNT(DISTINCT s) AS BIGINT) AS n_supp,
+      |  CAST(SUM(CASE WHEN fm = m THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS pct_new,
+      |  CAST(COUNT(*) AS DOUBLE)
+      |    / CAST(COUNT(DISTINCT c) * COUNT(DISTINCT s) AS DOUBLE)
+      |    AS density
+      |FROM pm JOIN f USING (c, s)
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q491_graph_evolution", graphEvolution, Some(graphEvolutionSql),
+      "monthly trade-graph evolution: active nodes, edges, bipartite " +
+        "density, share of first-seen edges — the growth-vs-churn time " +
+        "axis the static graph family lacks"),
     Q("q489_croston", croston, Some(crostonSql),
       "Croston intermittent-demand forecast per part (separate 8/4/2/1 " +
         "smoothing of nonzero sizes and inter-demand intervals, exact " +

@@ -1750,7 +1750,62 @@ object TextQueries {
       |FROM t, lvl
       |ORDER BY source""".stripMargin
 
+  // ---- span-corruption budget plan ---------------------------------------
+
+  /** T5-style SPAN-CORRUPTION budget plan per source: at 15% noise
+    * density and mean span 3, each doc contributes
+    * n_spans = max(1, round(n/20)) spans, masked = min(n, 3·n_spans)
+    * tokens, an encoder input of n − masked + n_spans (each span
+    * collapses to one sentinel) and a decoder target of
+    * masked + n_spans — the length arithmetic a denoising-pretraining
+    * batch planner runs over the corpus BEFORE deciding packing and
+    * steps-per-epoch (q108 packs the results; q125 selects under a
+    * budget; this prices the objective itself). Pure integer per-doc
+    * arithmetic, exact rollup, one mirrored ratio. */
+  def spanCorruptionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n"))
+      .withColumn("n_spans",
+        greatest(lit(1L), expr("(n + 10) div 20")))
+      .withColumn("masked", least(col("n"), col("n_spans") * 3))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+        sum(col("n_spans")).as("total_spans"),
+        sum(col("masked")).as("total_masked"),
+        sum(col("n") - col("masked") + col("n_spans"))
+          .as("total_input_len"),
+        sum(col("masked") + col("n_spans")).as("total_target_len"))
+      .withColumn("mask_ratio",
+        col("total_masked").cast("double")
+          / col("total_tokens").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  private val spanCorruptionPlanSql =
+    """WITH d AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE text IS NOT NULL
+      |), p AS (
+      |  SELECT source, n, greatest(1, (n + 10) // 20) AS n_spans,
+      |    least(n, greatest(1, (n + 10) // 20) * 3) AS masked
+      |  FROM d
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+      |  CAST(SUM(masked) AS BIGINT) AS total_masked,
+      |  CAST(SUM(n - masked + n_spans) AS BIGINT) AS total_input_len,
+      |  CAST(SUM(masked + n_spans) AS BIGINT) AS total_target_len,
+      |  CAST(SUM(masked) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS mask_ratio
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q490_span_corruption_plan", spanCorruptionPlan,
+      Some(spanCorruptionPlanSql),
+      "T5 span-corruption budget per source (spans, masked tokens, " +
+        "encoder/decoder lengths at 15% density, mean span 3) — the " +
+        "denoising-objective pricing pass, exact integers"),
     Q("q476_capped_waterfill", cappedWaterfill, Some(cappedWaterfillSql),
       "capped water-fill token allocation across sources (3-epoch cap, " +
         "exact rank-threshold split, micro-unit level/repeat factors) — " +

@@ -45,6 +45,7 @@ class WindowSweepSpec extends AnyFunSuite {
     "q445_peak_concurrency" -> "daily net-change cumsum",
     "q443_growth_streaks" -> "weekly revenue spine",
     "q435_seasonal_index" -> "monthly spine, 12-lag windows",
+    "q493_wilcoxon_signed" -> "12 month-of-year pair frame",
     // post-aggregate spines with literal-bounded cardinality
     "q217_decile_lift" -> "10-row decile spine (fact-sized ntile is GlobalRank)",
     "q120_mixture" -> "per-stratum remainder frame (|strata| rows)",
