@@ -276,8 +276,9 @@ object MediaOps {
     }
   }
 
-  /** 64-bit perceptual average-hash as 16 four-bit bands. */
-  case class MediaHash(media_id: Long, bands: Array[Int])
+  /** 64-bit perceptual average-hash: 16 four-bit LSH bands plus the
+    * same 64 bits packed into one long for codegen popcount. */
+  case class MediaHash(media_id: Long, bands: Array[Int], h: Long)
 
   /** aHash bits: decodable images hash the REAL raster — 8×8 grid of
     * integer Rec.601 luma sums, bit c set iff cell average exceeds the
@@ -340,9 +341,14 @@ object MediaOps {
       .mapPartitions(_.map { m =>
         val bits = aHashBits(m)
         val bands = new Array[Int](16)
+        var h = 0L
         var c = 0
-        while (c < 64) { bands(c / 4) |= bits(c) << (c % 4); c += 1 }
-        MediaHash(m.media_id, bands)
+        while (c < 64) {
+          bands(c / 4) |= bits(c) << (c % 4)
+          h |= bits(c).toLong << c
+          c += 1
+        }
+        MediaHash(m.media_id, bands, h)
       }).toDF()
   }
 
@@ -364,25 +370,25 @@ object MediaOps {
     // three consumers (banding + both sides of the verify join) — pin
     // the digests so payloads are decoded/hashed exactly once
     val h = aHashes(media).localCheckpoint(false)
-    val banded = h.select(col("media_id"),
+    val banded = h.select(col("media_id"), col("h"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
     val capped = banded.groupBy(col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= dfCap).drop("n")
-    val cand = banded.join(capped, Seq("band_idx", "band_val"))
-      .select(col("band_idx"), col("band_val"), col("media_id").as("ma"))
+    // ONE digest self-join; the exact popcount is a codegen'd
+    // bit_count(xor) on the packed longs and prunes INSIDE the join
+    // stage, so only true near-dup pairs reach the distinct — the
+    // permissive 4-bit bands never materialize an all-pairs frame
+    banded.join(capped, Seq("band_idx", "band_val"))
+      .select(col("band_idx"), col("band_val"), col("media_id").as("ma"),
+        col("h").as("ha"))
       .join(banded.select(col("band_idx"), col("band_val"),
-        col("media_id").as("mb")), Seq("band_idx", "band_val"))
+        col("media_id").as("mb"), col("h").as("hb")),
+        Seq("band_idx", "band_val"))
       .filter(col("ma") < col("mb"))
-      .select(col("ma"), col("mb")).distinct()
-    // HOF hamming over the CANDIDATE set only (band-collision-bounded,
-    // orders of magnitude below the corpus) — not a hot-path lambda
-    cand.join(h.select(col("media_id").as("ma"), col("bands").as("ba")), "ma")
-      .join(h.select(col("media_id").as("mb"), col("bands").as("bb")), "mb")
-      .withColumn("hamming", expr(
-        """aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)),
-           0, (a, x) -> a + x)""").cast("long"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("ma").as("media_a"), col("mb").as("media_b"),
         col("hamming"))
+      .distinct()
   }
 }

@@ -3567,7 +3567,68 @@ object AnalyticsQueries {
       |    / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) AS chi2
       |FROM m""".stripMargin
 
+  // ---- record-breaking days vs the iid expectation ---------------------------
+
+  /** RECORD-day census of daily revenue against records theory: for an
+    * exchangeable series the expected number of running-maximum
+    * records in n days is the harmonic number H_n, independent of the
+    * distribution — so actual/expected ≫ 1 is distribution-free
+    * evidence of growth (trend tests q384/q144 estimate a slope; this
+    * needs no model at all). Records come from one running max over
+    * the collapsed daily spine; H_n is mirrored exactly as the
+    * floored-micro harmonic sum Σ⌊10⁶/k⌋ over the same spine's row
+    * numbers — no float series, no special function. */
+  def recordDays(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Catalog.load(spark, dir, "orders")
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val w = Window.orderBy(col("day"))
+    d.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_max",
+        max(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("prev_max").isNull || col("cents") > col("prev_max"))
+          .cast("long")).as("n_records"),
+        sum(expr("1000000 div rn")).as("expected_micro"),
+        max(when(col("prev_max").isNull || col("cents") > col("prev_max"),
+          col("day"))).as("last_record_day"))
+      .select(col("n_days"), col("n_records"), col("expected_micro"),
+        col("last_record_day"),
+        (col("n_records").cast("double") * lit(1e6)
+          / col("expected_micro").cast("double")).as("records_ratio"))
+  }
+
+  private val recordDaysSql =
+    """WITH d AS (
+      |  SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |), r AS (
+      |  SELECT day, cents,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+      |    max(cents) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM d
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(CASE WHEN prev_max IS NULL OR cents > prev_max
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+      |  CAST(SUM(1000000 // rn) AS BIGINT) AS expected_micro,
+      |  MAX(CASE WHEN prev_max IS NULL OR cents > prev_max
+      |    THEN day END) AS last_record_day,
+      |  CAST(SUM(CASE WHEN prev_max IS NULL OR cents > prev_max
+      |    THEN 1 ELSE 0 END) AS DOUBLE) * 1e6
+      |    / CAST(SUM(1000000 // rn) AS DOUBLE) AS records_ratio
+      |FROM r""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q496_record_days", recordDays, Some(recordDaysSql),
+      "record-breaking revenue days vs the distribution-free harmonic " +
+        "expectation H_n (floored-micro harmonic sum) — model-free " +
+        "growth evidence from one daily running max"),
     Q("q466_tukey_fences", tukeyFences, Some(tukeyFencesSql),
       "Tukey 1.5*IQR outlier fences per priority: exact rank-selected " +
         "Q1/Q3, mirrored-double fences, join-back outlier counts"),

@@ -3895,7 +3895,243 @@ object EventQueries {
       |        AS DOUBLE))) AS bias_correction
       |FROM m""".stripMargin
 
+  // ---- Shapley channel attribution ------------------------------------------
+
+  /** SHAPLEY-value channel attribution over the view/click/signup
+    * touch channels with purchase as the outcome — the game-theoretic
+    * split that first-touch (q273) and linear (q329) attribution
+    * approximate: with k=3 channels there are exactly 8 observable
+    * coalitions, v(S) = the conversion rate of users whose touch set
+    * is EXACTLY S, and each channel's Shapley value is the closed-form
+    * weighted sum of its 4 marginal contributions (weights 2/1/1/2
+    * over 6). Coalition rates are floored micro-units of exact counts;
+    * unobserved coalitions contribute v = 0 (flagged by the n_* counts
+    * in the output). Everything collapses to one 8-row frame after a
+    * single per-user aggregate; Σφ = v(full) − v(∅) is reported as the
+    * efficiency check. */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val u = Catalog.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "view").cast("long")).as("fv"),
+        max((col("event_type") === "click").cast("long")).as("fc"),
+        max((col("event_type") === "signup").cast("long")).as("fs"),
+        max((col("event_type") === "purchase").cast("long")).as("conv"))
+    val cells = u.groupBy(col("fv"), col("fc"), col("fs"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .withColumn("v_micro", expr("CAST((c * 1000000) div n AS BIGINT)"))
+    // pivot the 8 coalitions into one row: v(vcs) named by membership,
+    // unobserved coalitions filled with v = 0
+    val coalitions = Seq(
+      ("0", 0, 0, 0), ("v", 1, 0, 0), ("c", 0, 1, 0), ("s", 0, 0, 1),
+      ("vc", 1, 1, 0), ("vs", 1, 0, 1), ("cs", 0, 1, 1), ("vcs", 1, 1, 1))
+    val aggs = coalitions.flatMap { case (o, fv, fc, fs) =>
+      val m = col("fv") === fv && col("fc") === fc && col("fs") === fs
+      Seq(coalesce(max(when(m, col("v_micro"))), lit(0L)).as(s"v_$o"),
+        sum(when(m, col("n")).otherwise(0L)).as(s"n_$o"))
+    }
+    val filled = cells.agg(aggs.head, aggs.tail: _*)
+    filled.select(
+        expr("""CAST((2 * (v_v - v_0) + (v_vc - v_c) + (v_vs - v_s)
+                + 2 * (v_vcs - v_cs)) AS BIGINT)""").as("phi_view_x6"),
+        expr("""CAST((2 * (v_c - v_0) + (v_vc - v_v) + (v_cs - v_s)
+                + 2 * (v_vcs - v_vs)) AS BIGINT)""").as("phi_click_x6"),
+        expr("""CAST((2 * (v_s - v_0) + (v_vs - v_v) + (v_cs - v_c)
+                + 2 * (v_vcs - v_vc)) AS BIGINT)""").as("phi_signup_x6"),
+        col("v_vcs"), col("v_0"), col("n_vcs"), col("n_0"))
+      .withColumn("efficiency_check_x6",
+        col("phi_view_x6") + col("phi_click_x6") + col("phi_signup_x6")
+          - lit(6L) * (col("v_vcs") - col("v_0")))
+  }
+
+  private val shapleyAttributionSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fv,
+      |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fc,
+      |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS fs,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events WHERE event_type IS NOT NULL
+      |  GROUP BY 1
+      |), cells AS (
+      |  SELECT fv, fc, fs, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(conv) AS BIGINT) AS c,
+      |    CAST((CAST(SUM(conv) AS BIGINT) * 1000000)
+      |      // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS v_micro
+      |  FROM u GROUP BY 1, 2, 3
+      |), p AS (
+      |  SELECT
+      |    COALESCE(MAX(CASE WHEN fv=0 AND fc=0 AND fs=0 THEN v_micro END), 0) AS v_0,
+      |    SUM(CASE WHEN fv=0 AND fc=0 AND fs=0 THEN n ELSE 0 END) AS n_0,
+      |    COALESCE(MAX(CASE WHEN fv=1 AND fc=0 AND fs=0 THEN v_micro END), 0) AS v_v,
+      |    COALESCE(MAX(CASE WHEN fv=0 AND fc=1 AND fs=0 THEN v_micro END), 0) AS v_c,
+      |    COALESCE(MAX(CASE WHEN fv=0 AND fc=0 AND fs=1 THEN v_micro END), 0) AS v_s,
+      |    COALESCE(MAX(CASE WHEN fv=1 AND fc=1 AND fs=0 THEN v_micro END), 0) AS v_vc,
+      |    COALESCE(MAX(CASE WHEN fv=1 AND fc=0 AND fs=1 THEN v_micro END), 0) AS v_vs,
+      |    COALESCE(MAX(CASE WHEN fv=0 AND fc=1 AND fs=1 THEN v_micro END), 0) AS v_cs,
+      |    COALESCE(MAX(CASE WHEN fv=1 AND fc=1 AND fs=1 THEN v_micro END), 0) AS v_vcs,
+      |    SUM(CASE WHEN fv=1 AND fc=1 AND fs=1 THEN n ELSE 0 END) AS n_vcs
+      |  FROM cells
+      |)
+      |SELECT
+      |  CAST(2 * (v_v - v_0) + (v_vc - v_c) + (v_vs - v_s)
+      |    + 2 * (v_vcs - v_cs) AS BIGINT) AS phi_view_x6,
+      |  CAST(2 * (v_c - v_0) + (v_vc - v_v) + (v_cs - v_s)
+      |    + 2 * (v_vcs - v_vs) AS BIGINT) AS phi_click_x6,
+      |  CAST(2 * (v_s - v_0) + (v_vs - v_v) + (v_cs - v_c)
+      |    + 2 * (v_vcs - v_vc) AS BIGINT) AS phi_signup_x6,
+      |  v_vcs, v_0,
+      |  CAST(n_vcs AS BIGINT) AS n_vcs, CAST(n_0 AS BIGINT) AS n_0,
+      |  CAST((2 * (v_v - v_0) + (v_vc - v_c) + (v_vs - v_s)
+      |    + 2 * (v_vcs - v_cs))
+      |   + (2 * (v_c - v_0) + (v_vc - v_v) + (v_cs - v_s)
+      |    + 2 * (v_vcs - v_vs))
+      |   + (2 * (v_s - v_0) + (v_vs - v_v) + (v_cs - v_c)
+      |    + 2 * (v_vcs - v_vc))
+      |   - 6 * (v_vcs - v_0) AS BIGINT) AS efficiency_check_x6
+      |FROM p""".stripMargin
+
+  // ---- logrank survival test ---------------------------------------------------
+
+  /** LOGRANK test: do users whose FIRST event is a view (organic
+    * entry) reach their first purchase faster — the standard censored-
+    * survival comparison q256's Kaplan–Meier table cannot adjudicate
+    * on its own (it draws the curves; logrank says whether they
+    * differ). Same survival frame as q256 (time-to-purchase, censored
+    * at the horizon), split by the deterministic (ts, event_id)-first
+    * event type; at each event day the expected group-1
+    * events d·n₁/n and the hypergeometric variance
+    * d·n₁·(n−n₁)·(n−d)/(n²(n−1)) are exact floored micro-units over
+    * the day-domain frame (at-risk counts are two running sums on the
+    * horizon-bounded duration spine); χ² = (O₁−E₁)²/V is one final
+    * mirrored double. */
+  def logrank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val e = Catalog.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    val horizon = e.agg(max(col("ts_us")).as("horizon_us"))
+    val perUser = e.groupBy(col("user_id")).agg(
+      min(col("ts_us")).as("t0_us"),
+      min(when(col("event_type") === "purchase", col("ts_us"))).as("tp_us"),
+      min(struct(col("ts_us"), col("event_id"), col("event_type")))
+        .as("fe"))
+      .withColumn("g",
+        (col("fe.event_type") === "view").cast("long"))
+    val durations = perUser.crossJoin(broadcast(horizon))
+      .select(col("g"),
+        when(col("tp_us").isNotNull,
+          expr("(tp_us - t0_us) div 86400000000"))
+          .otherwise(expr("(horizon_us - t0_us) div 86400000000"))
+          .as("dur_day"),
+        col("tp_us").isNotNull.cast("long").as("observed"))
+    val byDay = durations.groupBy(col("dur_day")).agg(
+      sum(col("observed") * col("g")).as("d1"),
+      sum(col("observed")).as("d"),
+      sum(col("g")).as("a1"),
+      count(lit(1)).as("a"))
+    val wRisk = Window.orderBy(col("dur_day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n1", sum(col("a1")).over(wRisk))
+      .withColumn("n", sum(col("a")).over(wRisk))
+      .filter(col("d") > 0 && col("n") > 1)
+      // the when() guards are belt-and-braces: the fused stage may
+      // evaluate the projection on a row the filter is about to drop
+      // (observed on the n=1 head of the risk spine), and ANSI div
+      // refuses the n-1=0 divisor eagerly
+      .select(col("d1"), col("d"),
+        when(col("n") > 1,
+          expr(s"CAST((CAST(d AS $dec) * n1 * 1000000) div n AS BIGINT)"))
+          .as("e1_mu"),
+        when(col("n") > 1,
+          expr(s"""CAST((CAST(d AS $dec) * n1 * (n - n1) * (n - d)
+                   * 1000000)
+                   div (CAST(n AS $dec) * n * (n - 1)) AS BIGINT)"""))
+          .as("v_mu"))
+      .agg(sum(col("d1")).as("o1"), sum(col("d")).as("d_total"),
+        sum(col("e1_mu")).as("e1_micro"), sum(col("v_mu")).as("v_micro"))
+      .select(col("o1"), col("d_total"), col("e1_micro"), col("v_micro"),
+        (expr(s"""CAST((CAST(o1 AS $dec) * 1000000 - e1_micro)
+                  * (CAST(o1 AS $dec) * 1000000 - e1_micro) AS $dec)""")
+          .cast("double")
+          / expr(s"CAST(CAST(v_micro AS $dec) * 1000000 AS $dec)")
+            .cast("double")).as("chi2"))
+  }
+
+  private val logrankSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+      |    event_type
+      |  FROM events
+      |), h AS (
+      |  SELECT MAX(ts_us) AS horizon_us FROM e
+      |), fe AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g
+      |  FROM (SELECT user_id, event_type,
+      |          row_number() OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id) AS rn
+      |        FROM e) x
+      |  WHERE rn = 1
+      |), u AS (
+      |  SELECT e.user_id, MIN(ts_us) AS t0_us,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) AS tp_us,
+      |    MAX(g) AS g
+      |  FROM e JOIN fe ON e.user_id = fe.user_id
+      |  GROUP BY 1
+      |), d AS (
+      |  SELECT g,
+      |    CASE WHEN tp_us IS NOT NULL
+      |      THEN (tp_us - t0_us) // 86400000000
+      |      ELSE (horizon_us - t0_us) // 86400000000 END AS dur_day,
+      |    CASE WHEN tp_us IS NOT NULL THEN 1 ELSE 0 END AS observed
+      |  FROM u, h
+      |), byday AS (
+      |  SELECT dur_day, CAST(SUM(observed * g) AS BIGINT) AS d1,
+      |    CAST(SUM(observed) AS BIGINT) AS d,
+      |    CAST(SUM(g) AS BIGINT) AS a1, CAST(COUNT(*) AS BIGINT) AS a
+      |  FROM d GROUP BY 1
+      |), risk AS (
+      |  SELECT d1, d,
+      |    CAST(SUM(a1) OVER w AS BIGINT) AS n1,
+      |    CAST(SUM(a) OVER w AS BIGINT) AS n
+      |  FROM byday
+      |  WINDOW w AS (ORDER BY dur_day DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), terms AS (
+      |  SELECT d1, d,
+      |    (CAST(d AS HUGEINT) * n1 * 1000000) // n AS e1_mu,
+      |    (CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) * 1000000)
+      |      // (CAST(n AS HUGEINT) * n * (n - 1)) AS v_mu
+      |  FROM risk WHERE d > 0 AND n > 1
+      |), m AS (
+      |  SELECT CAST(SUM(d1) AS BIGINT) AS o1, CAST(SUM(d) AS BIGINT)
+      |      AS d_total,
+      |    CAST(SUM(e1_mu) AS BIGINT) AS e1_micro,
+      |    CAST(SUM(v_mu) AS BIGINT) AS v_micro
+      |  FROM terms
+      |)
+      |SELECT o1, d_total, e1_micro, v_micro,
+      |  CAST(CAST((CAST(o1 AS HUGEINT) * 1000000 - e1_micro)
+      |    * (CAST(o1 AS HUGEINT) * 1000000 - e1_micro) AS VARCHAR)
+      |    AS DOUBLE)
+      |  / CAST(CAST(CAST(v_micro AS HUGEINT) * 1000000 AS VARCHAR)
+      |    AS DOUBLE) AS chi2
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q497_logrank", logrank, Some(logrankSql),
+      "logrank test on time-to-first-purchase, view-entry vs other " +
+        "first-event users (censored at horizon) — the curve-" +
+        "comparison verdict next to q256's Kaplan-Meier table, exact " +
+        "micro-unit O/E/V"),
+    Q("q494_shapley_attribution", shapleyAttribution,
+      Some(shapleyAttributionSql),
+      "Shapley channel attribution over view/click/signup coalitions " +
+        "with purchase conversion as the value function — exact 8-cell " +
+        "closed form with the efficiency identity as a check column"),
     Q("q492_lin_ccc", linCcc, Some(linCccSql),
       "Lin's concordance correlation between the 7-day seasonal-naive " +
         "forecast and actual daily revenue, next to Pearson r — the " +

@@ -144,27 +144,26 @@ object MultimodalQueries {
       |        FROM tot t, unnest(range(0, 16)) AS g(band_idx)) tg
       |  LEFT JOIN bandsum b
       |    ON b.doc_id = tg.doc_id AND b.band_idx = tg.band_idx
+      |), packed AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN bit = 1 THEN
+      |      CASE WHEN c = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |        ELSE CAST(CAST(1 AS BIGINT) << CAST(c AS INT) AS HUGEINT)
+      |      END ELSE 0 END) AS BIGINT) AS h
+      |  FROM bits GROUP BY 1
+      |), bh AS (
+      |  SELECT bands.doc_id, band_idx, band_val, packed.h
+      |  FROM bands JOIN packed ON bands.doc_id = packed.doc_id
       |), capped AS (
       |  SELECT band_idx, band_val FROM bands
       |  GROUP BY 1, 2 HAVING COUNT(*) <= 1000
-      |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS ma, b.doc_id AS mb
-      |  FROM bands a
-      |  JOIN capped k
-      |    ON a.band_idx = k.band_idx AND a.band_val = k.band_val
-      |  JOIN bands b
-      |    ON b.band_idx = a.band_idx AND b.band_val = a.band_val
-      |  WHERE a.doc_id < b.doc_id
       |)
-      |SELECT ma AS media_a, mb AS media_b, hamming FROM (
-      |  SELECT ma, mb,
-      |    CAST(SUM(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
-      |      AS hamming
-      |  FROM cand
-      |  JOIN bands x ON x.doc_id = ma
-      |  JOIN bands y ON y.doc_id = mb AND y.band_idx = x.band_idx
-      |  GROUP BY 1, 2) p
-      |WHERE hamming <= 12
+      |SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+      |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |FROM bh a
+      |JOIN capped k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
+      |JOIN bh b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+      |  AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 12
       |ORDER BY media_a, media_b""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -3414,7 +3414,59 @@ object ScienceQueries {
       |GROUP BY 1
       |ORDER BY month""".stripMargin
 
+  // ---- arc price elasticity ---------------------------------------------------
+
+  /** ARC ELASTICITY of demand between ADJACENT discount levels — the
+    * midpoint-formula answer to "how much extra quantity does one more
+    * point of discount buy", level by level (q433 fits one global
+    * slope; pricing wants the local curve). Effective price at
+    * discount d% is (100−d); for each adjacent pair the arc elasticity
+    * ((q₂−q₁)/(q₂+q₁)) / ((p₂−p₁)/(p₂+p₁)) is one sign-split floored
+    * micro-division of exact integer quantities — the discount domain
+    * is 11 values, so everything after the one fact collapse is a
+    * literal-bounded self-join, no window at all. */
+  def arcElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lv = Catalog.load(spark, dir, "lineitem")
+      .groupBy(expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"))
+      .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("q"))
+    lv.select(col("d").as("d_lo"), col("q").as("q_lo"))
+      .join(lv.select(col("d").as("d_hi"), col("q").as("q_hi")),
+        col("d_hi") === col("d_lo") + 1)
+      .select(col("d_lo"), col("d_hi"), col("q_lo"), col("q_hi"),
+        // p_lo = 100 - d_lo, p_hi = 100 - d_hi; p_hi - p_lo = -1
+        expr(s"""CAST(CASE WHEN q_hi >= q_lo
+                 THEN -(((CAST(q_hi AS $dec) - q_lo) * (200 - d_lo - d_hi)
+                        * 1000000)
+                        div (CAST(q_hi + q_lo AS $dec)))
+                 ELSE (((CAST(q_lo AS $dec) - q_hi) * (200 - d_lo - d_hi)
+                        * 1000000)
+                        div (CAST(q_hi + q_lo AS $dec)))
+                 END AS BIGINT)""").as("elasticity_micro"))
+      .orderBy(col("d_lo"))
+  }
+
+  private val arcElasticitySql =
+    """WITH lv AS (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS d,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT a.d AS d_lo, b.d AS d_hi, a.q AS q_lo, b.q AS q_hi,
+      |  CAST(CASE WHEN b.q >= a.q
+      |    THEN -(((CAST(b.q AS HUGEINT) - a.q) * (200 - a.d - b.d)
+      |           * 1000000) // (CAST(b.q + a.q AS HUGEINT)))
+      |    ELSE (((CAST(a.q AS HUGEINT) - b.q) * (200 - a.d - b.d)
+      |           * 1000000) // (CAST(b.q + a.q AS HUGEINT)))
+      |  END AS BIGINT) AS elasticity_micro
+      |FROM lv a JOIN lv b ON b.d = a.d + 1
+      |ORDER BY d_lo""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q495_arc_elasticity", arcElasticity, Some(arcElasticitySql),
+      "arc price elasticity of demand between adjacent discount levels " +
+        "(midpoint formula, sign-split exact micro-units) — the local " +
+        "pricing curve next to q433's global slope"),
     Q("q491_graph_evolution", graphEvolution, Some(graphEvolutionSql),
       "monthly trade-graph evolution: active nodes, edges, bipartite " +
         "density, share of first-seen edges — the growth-vs-churn time " +

@@ -41,6 +41,7 @@ class WindowSweepSpec extends AnyFunSuite {
     "q381_bollinger" -> "daily 7-row band frames",
     "q385_runs_test" -> "daily sign runs; median rank over days",
     "q388_open_orders" -> "daily backlog cumsum",
+    "q496_record_days" -> "daily running max + harmonic spine",
     "q442_pettitt_changepoint" -> "daily rank/U statistics",
     "q445_peak_concurrency" -> "daily net-change cumsum",
     "q443_growth_streaks" -> "weekly revenue spine",
@@ -60,6 +61,7 @@ class WindowSweepSpec extends AnyFunSuite {
     "q221_bootstrap_ci" -> "B=200 bootstrap replicate means",
     "q122_skyline" -> "distinct part sizes (50 values)",
     "q256_km_hazard" -> "distinct whole-day durations (horizon-bounded)",
+    "q497_logrank" -> "distinct whole-day durations (horizon-bounded)",
     // vocabulary spines: token types grow ~log of corpus size
     "q272_pareto_coverage" -> "token vocabulary frame",
     "q369_zipf_check" -> "token vocabulary frame",
