@@ -2110,7 +2110,72 @@ object BreadthQueries {
       |    AS z
       |FROM m""".stripMargin
 
+  // ---- distribution-free median confidence interval ---------------------------
+
+  /** DISTRIBUTION-FREE 95% confidence interval for the median order
+    * value — the order-statistic CI (binomial ranks
+    * l = ⌊(n − 1.96√n)/2⌋, u = n − l + 1) that needs no normality, no
+    * bootstrap resamples (q221 bootstraps a MEAN with B replicate
+    * scans; the median CI is just two more rank picks from the same
+    * pass that yields the median). All three order statistics come
+    * from one GlobalRank row-number pass — the rank arithmetic runs on
+    * the driver against the exact total count, the same IEEE √n both
+    * engines compute. */
+  def medianCi(spark: SparkSession, dir: String): DataFrame = {
+    val base = Catalog.load(spark, dir, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+        col("o_orderkey").as("tb"))
+    val (ranked, n) = graft.ops.GlobalRank.withRowNumberAndTotal(
+      base, Seq(col("v"), col("tb")), "rn")
+    val l = math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2).toLong
+    val u = n - l + 1
+    val medLo = (n + 1) / 2
+    val medHi = (n + 2) / 2
+    ranked.filter(col("rn").isin(l, u, medLo, medHi))
+      .agg(
+        max(when(col("rn") === medLo, col("v"))).as("med_lo"),
+        max(when(col("rn") === medHi, col("v"))).as("med_hi"),
+        max(when(col("rn") === l, col("v"))).as("ci_lo_cents"),
+        max(when(col("rn") === u, col("v"))).as("ci_hi_cents"))
+      .select(lit(n).as("n"), lit(l).as("rank_lo"), lit(u).as("rank_hi"),
+        ((col("med_lo") + col("med_hi")).cast("double") / lit(2.0))
+          .as("median_cents"),
+        col("ci_lo_cents"), col("ci_hi_cents"))
+  }
+
+  private val medianCiSql =
+    """WITH base AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    o_orderkey AS tb
+      |  FROM orders
+      |), nn AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+      |), ranks AS (
+      |  SELECT n,
+      |    CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT)
+      |      AS l,
+      |    n - CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2)
+      |      AS BIGINT) + 1 AS u,
+      |    (n + 1) // 2 AS med_lo_rank, (n + 2) // 2 AS med_hi_rank
+      |  FROM nn
+      |), r AS (
+      |  SELECT v, CAST(row_number() OVER (ORDER BY v, tb) AS BIGINT) AS rn
+      |  FROM base
+      |)
+      |SELECT n, l AS rank_lo, u AS rank_hi,
+      |  CAST(MAX(CASE WHEN rn = med_lo_rank THEN v END)
+      |     + MAX(CASE WHEN rn = med_hi_rank THEN v END) AS DOUBLE) / 2.0
+      |    AS median_cents,
+      |  MAX(CASE WHEN rn = l THEN v END) AS ci_lo_cents,
+      |  MAX(CASE WHEN rn = u THEN v END) AS ci_hi_cents
+      |FROM r, ranks
+      |GROUP BY n, l, u""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q500_median_ci", medianCi, Some(medianCiSql),
+      "distribution-free 95% CI for the median order value from " +
+        "binomial order-statistic ranks — two extra rank picks from " +
+        "the same GlobalRank pass that yields the median"),
     Q("q493_wilcoxon_signed", wilcoxonSignedRank,
       Some(wilcoxonSignedRankSql),
       "Wilcoxon signed-rank on the 12 matched month-of-year revenue " +

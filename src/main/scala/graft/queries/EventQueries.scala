@@ -4121,7 +4121,88 @@ object EventQueries {
       |    AS DOUBLE) AS chi2
       |FROM m""".stripMargin
 
+  // ---- Youden-optimal threshold ---------------------------------------------
+
+  /** YOUDEN-J optimal operating point for the value→purchase predictor:
+    * q210 scores the whole ROC curve (AUC); deployment needs ONE
+    * threshold, and Youden's J = TPR − FPR is the standard cut when
+    * both error types weigh equally. At every distinct score the
+    * confusion counts come from the same exact distributed prefix sums
+    * as q210 (GlobalRank over the score-domain frame, no
+    * single-partition window); the argmax is the exact integer
+    * J-numerator tp·N − fp·P with the smallest threshold as the
+    * deterministic tie-break — one TakeOrdered(1), no float compare. */
+  def youdenThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val g = Catalog.load(spark, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+      .groupBy(col("cents"))
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val cum1 = graft.ops.GlobalRank.withRunningSum(
+      g, Seq(col("cents")), col("nn"), "cum_nn")
+    val cum = graft.ops.GlobalRank.withRunningSum(
+      cum1, Seq(col("cents")), col("np"), "cum_np")
+    val tot = g.agg(sum(col("np")).as("p"), sum(col("nn")).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("cents").as("threshold_cents"),
+        (col("p") - col("cum_np") + col("np")).as("tp"),
+        (col("n") - col("cum_nn") + col("nn")).as("fp"),
+        col("p"), col("n"))
+      .select(col("threshold_cents"), col("tp"), col("fp"),
+        (col("p") - col("tp")).as("fn"), (col("n") - col("fp")).as("tn"),
+        (col("tp") * col("n") - col("fp") * col("p")).as("j_num"),
+        col("p"), col("n"))
+      .orderBy(col("j_num").desc, col("threshold_cents"))
+      .limit(1)
+      .select(col("threshold_cents"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        expr("CAST((j_num * 1000000) div (p * n) AS BIGINT)")
+          .as("j_micro"),
+        (col("tp").cast("double") / col("p").cast("double"))
+          .as("sensitivity"),
+        (col("tn").cast("double") / col("n").cast("double"))
+          .as("specificity"))
+  }
+
+  private val youdenThresholdSql =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |), g AS (
+      |  SELECT cents, CAST(SUM(pos) AS BIGINT) AS np,
+      |    CAST(SUM(1 - pos) AS BIGINT) AS nn
+      |  FROM e GROUP BY 1
+      |), c AS (
+      |  SELECT cents, np, nn,
+      |    CAST(SUM(nn) OVER w AS BIGINT) AS cum_nn,
+      |    CAST(SUM(np) OVER w AS BIGINT) AS cum_np
+      |  FROM g
+      |  WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+      |), tot AS (
+      |  SELECT CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n
+      |  FROM g
+      |), j AS (
+      |  SELECT cents AS threshold_cents,
+      |    p - cum_np + np AS tp, n - cum_nn + nn AS fp,
+      |    p - (p - cum_np + np) AS fn, n - (n - cum_nn + nn) AS tn,
+      |    (p - cum_np + np) * n - (n - cum_nn + nn) * p AS j_num, p, n
+      |  FROM c, tot
+      |)
+      |SELECT threshold_cents, tp, fp, fn, tn,
+      |  CAST((j_num * 1000000) // (p * n) AS BIGINT) AS j_micro,
+      |  CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) AS sensitivity,
+      |  CAST(tn AS DOUBLE) / CAST(n AS DOUBLE) AS specificity
+      |FROM j
+      |ORDER BY j_num DESC, threshold_cents
+      |LIMIT 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q499_youden_threshold", youdenThreshold, Some(youdenThresholdSql),
+      "Youden-J optimal threshold for the value->purchase predictor: " +
+        "exact confusion counts at every distinct score via " +
+        "distributed prefix sums, integer-argmax operating point"),
     Q("q497_logrank", logrank, Some(logrankSql),
       "logrank test on time-to-first-purchase, view-entry vs other " +
         "first-event users (censored at horizon) — the curve-" +

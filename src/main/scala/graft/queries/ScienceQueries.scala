@@ -3462,7 +3462,97 @@ object ScienceQueries {
       |FROM lv a JOIN lv b ON b.d = a.d + 1
       |ORDER BY d_lo""".stripMargin
 
+  // ---- Deming regression ---------------------------------------------------
+
+  /** DEMING regression between two MEASUREMENTS of the same daily
+    * quantity — order-header revenue vs summed line extended price per
+    * day (they differ by discount/tax treatment and rounding): OLS
+    * (q228) assumes x is error-free and biases the slope toward zero
+    * when both sides are noisy; Deming (λ=1) treats the errors
+    * symmetrically, slope = (S_yy − S_xx + √((S_xx−S_yy)² + 4S_xy²)) /
+    * (2S_xy). All three centered moments are exact decimals scaled by
+    * the same n², so the slope is a deterministic double chain over
+    * exact operands; the OLS slope sits next to it so the attenuation
+    * gap is visible. */
+  def demingRegression(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ox = Catalog.load(spark, dir, "orders")
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val ly = Catalog.load(spark, dir, "lineitem")
+      .groupBy(expr("unix_micros(l_shipdate) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("y"))
+    ox.join(ly, "day")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr(s"CAST(CAST(x AS $dec) * y AS $dec)")).as("sxy"),
+        sum(expr(s"CAST(CAST(x AS $dec) * x AS $dec)")).as("sxx"),
+        sum(expr(s"CAST(CAST(y AS $dec) * y AS $dec)")).as("syy"))
+      .select(col("n"),
+        expr(s"CAST(n * sxx - CAST(sx AS $dec) * sx AS $dec)")
+          .cast("double").as("dxx"),
+        expr(s"CAST(n * syy - CAST(sy AS $dec) * sy AS $dec)")
+          .cast("double").as("dyy"),
+        expr(s"CAST(n * sxy - CAST(sx AS $dec) * sy AS $dec)")
+          .cast("double").as("dxy"),
+        col("sx"), col("sy"))
+      .select(col("n"),
+        ((col("dyy") - col("dxx")
+          + sqrt((col("dxx") - col("dyy")) * (col("dxx") - col("dyy"))
+            + lit(4.0) * col("dxy") * col("dxy")))
+          / (lit(2.0) * col("dxy"))).as("deming_slope"),
+        (col("dxy") / col("dxx")).as("ols_slope"),
+        col("sx"), col("sy"))
+      .withColumn("deming_intercept_cents",
+        (col("sy").cast("double") - col("deming_slope")
+          * col("sx").cast("double")) / col("n").cast("double"))
+      .drop("sx", "sy")
+  }
+
+  private val demingRegressionSql =
+    """WITH ox AS (
+      |  SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY 1
+      |), ly AS (
+      |  SELECT epoch_ns(l_shipdate) // 1000 // 86400000000 AS day,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM lineitem GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM ox JOIN ly USING (day)
+      |), d AS (
+      |  SELECT n, sx, sy,
+      |    CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR)
+      |      AS DOUBLE) AS dxx,
+      |    CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR)
+      |      AS DOUBLE) AS dyy,
+      |    CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR)
+      |      AS DOUBLE) AS dxy
+      |  FROM m
+      |)
+      |SELECT n,
+      |  (dyy - dxx + sqrt((dxx - dyy) * (dxx - dyy) + 4.0 * dxy * dxy))
+      |    / (2.0 * dxy) AS deming_slope,
+      |  dxy / dxx AS ols_slope,
+      |  (CAST(sy AS DOUBLE)
+      |    - ((dyy - dxx + sqrt((dxx - dyy) * (dxx - dyy)
+      |        + 4.0 * dxy * dxy)) / (2.0 * dxy)) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS deming_intercept_cents
+      |FROM d""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q498_deming", demingRegression, Some(demingRegressionSql),
+      "Deming errors-in-both regression of line-sum vs header daily " +
+        "revenue (two measurements of one quantity) next to the " +
+        "attenuated OLS slope — exact decimal moments, one sqrt chain"),
     Q("q495_arc_elasticity", arcElasticity, Some(arcElasticitySql),
       "arc price elasticity of demand between adjacent discount levels " +
         "(midpoint formula, sign-split exact micro-units) — the local " +
