@@ -4053,11 +4053,16 @@ object EventQueries {
       .agg(sum(col("d1")).as("o1"), sum(col("d")).as("d_total"),
         sum(col("e1_mu")).as("e1_micro"), sum(col("v_mu")).as("v_micro"))
       .select(col("o1"), col("d_total"), col("e1_micro"), col("v_micro"),
-        (expr(s"""CAST((CAST(o1 AS $dec) * 1000000 - e1_micro)
-                  * (CAST(o1 AS $dec) * 1000000 - e1_micro) AS $dec)""")
-          .cast("double")
-          / expr(s"CAST(CAST(v_micro AS $dec) * 1000000 AS $dec)")
-            .cast("double")).as("chi2"))
+        // V = 0 (a degenerate group split, e.g. a tiny fixture where
+        // every at-risk set is single-group) carries no information —
+        // chi2 is undefined, not infinite
+        when(col("v_micro") > 0,
+          expr(s"""CAST((CAST(o1 AS $dec) * 1000000 - e1_micro)
+                   * (CAST(o1 AS $dec) * 1000000 - e1_micro) AS $dec)""")
+            .cast("double")
+            / expr(s"CAST(CAST(v_micro AS $dec) * 1000000 AS $dec)")
+              .cast("double"))
+          .otherwise(lit(null).cast("double")).as("chi2"))
   }
 
   private val logrankSql =
@@ -4114,11 +4119,13 @@ object EventQueries {
       |  FROM terms
       |)
       |SELECT o1, d_total, e1_micro, v_micro,
-      |  CAST(CAST((CAST(o1 AS HUGEINT) * 1000000 - e1_micro)
-      |    * (CAST(o1 AS HUGEINT) * 1000000 - e1_micro) AS VARCHAR)
-      |    AS DOUBLE)
-      |  / CAST(CAST(CAST(v_micro AS HUGEINT) * 1000000 AS VARCHAR)
-      |    AS DOUBLE) AS chi2
+      |  CASE WHEN v_micro > 0 THEN
+      |    CAST(CAST((CAST(o1 AS HUGEINT) * 1000000 - e1_micro)
+      |      * (CAST(o1 AS HUGEINT) * 1000000 - e1_micro) AS VARCHAR)
+      |      AS DOUBLE)
+      |    / CAST(CAST(CAST(v_micro AS HUGEINT) * 1000000 AS VARCHAR)
+      |      AS DOUBLE)
+      |  END AS chi2
       |FROM m""".stripMargin
 
   // ---- Youden-optimal threshold ---------------------------------------------
@@ -4198,7 +4205,85 @@ object EventQueries {
       |ORDER BY j_num DESC, threshold_cents
       |LIMIT 1""".stripMargin
 
+  // ---- Rayleigh circular-uniformity test --------------------------------------
+
+  /** RAYLEIGH test per event type: is activity uniform around the 24 h
+    * CLOCK, or does it concentrate at a preferred hour — the circular
+    * statistic the linear family cannot express (q282's dow×hour heat
+    * map describes; Rayleigh z = n·R̄² tests). Hour angles enter as a
+    * 24-entry INTEGER table of cos/sin scaled by 10⁹ (the q451
+    * literal-table recipe — no engine trig in the data path), so the
+    * resultant components are exact BIGINT sums and z is one mirrored
+    * decimal→double ratio. */
+  def rayleighTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cosT = Seq(1000000000L, 965925826L, 866025404L, 707106781L,
+      500000000L, 258819045L, 0L, -258819045L, -500000000L, -707106781L,
+      -866025404L, -965925826L, -1000000000L, -965925826L, -866025404L,
+      -707106781L, -500000000L, -258819045L, 0L, 258819045L, 500000000L,
+      707106781L, 866025404L, 965925826L)
+    val sinT = Seq(0L, 258819045L, 500000000L, 707106781L, 866025404L,
+      965925826L, 1000000000L, 965925826L, 866025404L, 707106781L,
+      500000000L, 258819045L, 0L, -258819045L, -500000000L, -707106781L,
+      -866025404L, -965925826L, -1000000000L, -965925826L, -866025404L,
+      -707106781L, -500000000L, -258819045L)
+    Catalog.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), hour(col("ts")).as("h"))
+      .withColumn("c", element_at(
+        array(cosT.map(lit(_)): _*), col("h").cast("int") + 1))
+      .withColumn("s", element_at(
+        array(sinT.map(lit(_)): _*), col("h").cast("int") + 1))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc_scaled"),
+        sum(col("s")).as("ss_scaled"))
+      .select(col("event_type"), col("n"), col("sc_scaled"),
+        col("ss_scaled"),
+        (expr(s"""CAST(CAST(sc_scaled AS $dec) * sc_scaled
+                  + CAST(ss_scaled AS $dec) * ss_scaled AS $dec)""")
+          .cast("double")
+          / expr(s"CAST(CAST(n AS $dec) * 1000000000 * 1000000000 AS $dec)")
+            .cast("double")).as("rayleigh_z"))
+      .orderBy(col("event_type"))
+  }
+
+  private val rayleighTestSql =
+    """WITH trig(h, c, s) AS (VALUES
+      |  (0, 1000000000, 0), (1, 965925826, 258819045),
+      |  (2, 866025404, 500000000), (3, 707106781, 707106781),
+      |  (4, 500000000, 866025404), (5, 258819045, 965925826),
+      |  (6, 0, 1000000000), (7, -258819045, 965925826),
+      |  (8, -500000000, 866025404), (9, -707106781, 707106781),
+      |  (10, -866025404, 500000000), (11, -965925826, 258819045),
+      |  (12, -1000000000, 0), (13, -965925826, -258819045),
+      |  (14, -866025404, -500000000), (15, -707106781, -707106781),
+      |  (16, -500000000, -866025404), (17, -258819045, -965925826),
+      |  (18, 0, -1000000000), (19, 258819045, -965925826),
+      |  (20, 500000000, -866025404), (21, 707106781, -707106781),
+      |  (22, 866025404, -500000000), (23, 965925826, -258819045)
+      |), e AS (
+      |  SELECT event_type, hour(ts) AS h FROM events
+      |  WHERE event_type IS NOT NULL
+      |), m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS sc_scaled,
+      |    CAST(SUM(s) AS BIGINT) AS ss_scaled
+      |  FROM e JOIN trig USING (h)
+      |  GROUP BY 1
+      |)
+      |SELECT event_type, n, sc_scaled, ss_scaled,
+      |  CAST(CAST(CAST(sc_scaled AS HUGEINT) * sc_scaled
+      |    + CAST(ss_scaled AS HUGEINT) * ss_scaled AS VARCHAR) AS DOUBLE)
+      |  / CAST(CAST(CAST(n AS HUGEINT) * 1000000000 * 1000000000
+      |    AS VARCHAR) AS DOUBLE) AS rayleigh_z
+      |FROM m
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q501_rayleigh_test", rayleighTest, Some(rayleighTestSql),
+      "Rayleigh circular-uniformity z per event type over the 24h " +
+        "clock — scaled-integer trig table, exact resultant sums, one " +
+        "mirrored ratio (the test behind q282's descriptive heat map)"),
     Q("q499_youden_threshold", youdenThreshold, Some(youdenThresholdSql),
       "Youden-J optimal threshold for the value->purchase predictor: " +
         "exact confusion counts at every distinct score via " +
