@@ -3624,7 +3624,374 @@ object AnalyticsQueries {
       |    / CAST(SUM(1000000 // rn) AS DOUBLE) AS records_ratio
       |FROM r""".stripMargin
 
+  // ---- regression diagnostics pack (daily revenue time trend) ---------------
+  //
+  // Shared frame: y = daily revenue in whole DOLLARS (cents would push
+  // the n·Dx·y·10⁶ scaled residuals past decimal(38) at large SF), x =
+  // epoch day. The OLS residual e_i is carried as the EXACT integer
+  // E_i = n·Dx·y_i − Dx·Sy + Num·Sx − n·Num·x_i (= n·Dx·e_i), floored
+  // into micro-dollars — so Durbin–Watson, Breusch–Pagan and Cook's
+  // distances are deterministic integer/decimal chains with one final
+  // double each, never a float residual recurrence.
+
+  private def dailyDollars(spark: SparkSession, dir: String): DataFrame =
+    Catalog.load(spark, dir, "orders")
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("x"))
+      .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT)")).as("y"))
+
+  /** Moments + per-row exact micro-dollar residuals of the daily trend. */
+  private def dailyResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = dailyDollars(spark, dir)
+    val m = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(expr(s"CAST(CAST(x AS $dec) * x AS $dec)")).as("sxx"),
+      sum(expr(s"CAST(CAST(x AS $dec) * y AS $dec)")).as("sxy"))
+    d.crossJoin(broadcast(m))
+      .withColumn("dxm", expr(s"CAST(n * sxx - CAST(sx AS $dec) * sx AS $dec)"))
+      .withColumn("num", expr(s"CAST(n * sxy - CAST(sx AS $dec) * sy AS $dec)"))
+      .withColumn("e_raw",
+        expr(s"""CAST(n * dxm * y - dxm * sy + num * sx - n * num * x
+                 AS $dec)"""))
+      .withColumn("e_mu", expr(
+        s"""CAST(CASE WHEN e_raw >= 0
+           THEN (e_raw * 1000000) div (n * dxm)
+           ELSE -((-e_raw * 1000000) div (n * dxm)) END AS BIGINT)"""))
+  }
+
+  /** The oracle twin of [[dailyResiduals]], as reusable CTE text. */
+  private val dailyResidualsCtes =
+    """d AS (
+      |  SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS x,
+      |    CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM d
+      |), r AS (
+      |  SELECT x, y, n,
+      |    n * sxx - CAST(sx AS HUGEINT) * sx AS dxm,
+      |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    CAST(CASE WHEN n * (n * sxx - CAST(sx AS HUGEINT) * sx) * y
+      |        - (n * sxx - CAST(sx AS HUGEINT) * sx) * sy
+      |        + (n * sxy - CAST(sx AS HUGEINT) * sy) * sx
+      |        - n * (n * sxy - CAST(sx AS HUGEINT) * sy) * x >= 0
+      |      THEN ((n * (n * sxx - CAST(sx AS HUGEINT) * sx) * y
+      |        - (n * sxx - CAST(sx AS HUGEINT) * sx) * sy
+      |        + (n * sxy - CAST(sx AS HUGEINT) * sy) * sx
+      |        - n * (n * sxy - CAST(sx AS HUGEINT) * sy) * x) * 1000000)
+      |        // (n * (n * sxx - CAST(sx AS HUGEINT) * sx))
+      |      ELSE -((-(n * (n * sxx - CAST(sx AS HUGEINT) * sx) * y
+      |        - (n * sxx - CAST(sx AS HUGEINT) * sx) * sy
+      |        + (n * sxy - CAST(sx AS HUGEINT) * sy) * sx
+      |        - n * (n * sxy - CAST(sx AS HUGEINT) * sy) * x) * 1000000)
+      |        // (n * (n * sxx - CAST(sx AS HUGEINT) * sx)))
+      |    END AS BIGINT) AS e_mu
+      |  FROM d, m
+      |)""".stripMargin
+
+  /** DURBIN–WATSON test on the daily-trend residuals: DW =
+    * Σ(eₜ−eₜ₋₁)²/Σeₜ² detects the serial correlation an OLS slope's
+    * stated precision silently assumes away (q144's trend, q315's
+    * rolling fits report slopes; none of them check their own error
+    * independence). Residuals are exact floored micro-dollars, the lag
+    * runs over the collapsed daily spine, both sums are exact decimal
+    * squares, DW and the implied ρ₁ ≈ 1 − DW/2 are two final mirrored
+    * doubles. */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    dailyResiduals(spark, dir)
+      .withColumn("e_prev",
+        lag(col("e_mu"), 1).over(Window.orderBy(col("x"))))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(CAST(e_mu AS $dec) * e_mu AS $dec)")).as("see"),
+        sum(expr(s"""CAST(CAST(e_mu - e_prev AS $dec) * (e_mu - e_prev)
+                     AS $dec)""")).as("sdd"))
+      .select(col("n"),
+        (col("sdd").cast("double") / col("see").cast("double")).as("dw"))
+      .withColumn("rho1_implied", lit(1.0) - col("dw") / lit(2.0))
+  }
+
+  private val durbinWatsonSql =
+    s"""WITH $dailyResidualsCtes, l AS (
+       |  SELECT e_mu, lag(e_mu, 1) OVER (ORDER BY x) AS e_prev FROM r
+       |), s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(e_mu AS HUGEINT) * e_mu) AS see,
+       |    SUM(CAST(e_mu - e_prev AS HUGEINT) * (e_mu - e_prev)) AS sdd
+       |  FROM l
+       |)
+       |SELECT n,
+       |  CAST(CAST(sdd AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(see AS VARCHAR) AS DOUBLE) AS dw,
+       |  1.0 - (CAST(CAST(sdd AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(see AS VARCHAR) AS DOUBLE)) / 2.0 AS rho1_implied
+       |FROM s""".stripMargin
+
+  /** BREUSCH–PAGAN heteroskedasticity test: regress the STANDARDIZED
+    * squared residuals uᵢ = eᵢ²/σ̂² (exact floored micro-units of an
+    * exact integer ratio) back on x; LM = n·R²_aux. A fanning-out
+    * error band inflates every CI the trend family reports — this is
+    * the check that says whether the band is even constant. Three
+    * aggregates, no window, one final double. */
+  def breuschPagan(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val r = dailyResiduals(spark, dir)
+      .select(col("x"), col("e_mu")).localCheckpoint(false)
+    val msq = r.agg(count(lit(1)).as("n2"),
+      sum(expr(s"CAST(CAST(e_mu AS $dec) * e_mu AS $dec)")).as("se2"))
+      .select(col("n2"),
+        expr(s"CAST((se2 - se2 % n2) / n2 AS $dec)").as("msq"))
+    val u = r.crossJoin(broadcast(msq))
+      .select(col("x"),
+        expr(s"""CAST((CAST(e_mu AS $dec) * e_mu * 1000000
+                 - (CAST(e_mu AS $dec) * e_mu * 1000000) % msq)
+                 / msq AS BIGINT)""").as("u"))
+    u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("u")).as("su"),
+        sum(expr(s"CAST(CAST(x AS $dec) * x AS $dec)")).as("sxx"),
+        sum(expr(s"CAST(CAST(x AS $dec) * u AS $dec)")).as("sxu"),
+        sum(expr(s"CAST(CAST(u AS $dec) * u AS $dec)")).as("suu"))
+      .select(col("n"),
+        (expr(s"""CAST((n * sxu - CAST(sx AS $dec) * su)
+                  * (n * sxu - CAST(sx AS $dec) * su) AS $dec)""")
+          .cast("double")
+          / (expr(s"CAST(n * sxx - CAST(sx AS $dec) * sx AS $dec)")
+              .cast("double")
+            * expr(s"CAST(n * suu - CAST(su AS $dec) * su AS $dec)")
+              .cast("double"))).as("r2_aux"))
+      .withColumn("bp_lm", col("n").cast("double") * col("r2_aux"))
+  }
+
+  private val breuschPaganSql =
+    s"""WITH $dailyResidualsCtes, ms AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+       |    SUM(CAST(e_mu AS HUGEINT) * e_mu)
+       |      // CAST(COUNT(*) AS BIGINT) AS msq
+       |  FROM r
+       |), u AS (
+       |  SELECT x, CAST((CAST(e_mu AS HUGEINT) * e_mu * 1000000) // msq
+       |    AS BIGINT) AS u
+       |  FROM r, ms
+       |), s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(u) AS BIGINT) AS su,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(x AS HUGEINT) * u) AS sxu,
+       |    SUM(CAST(u AS HUGEINT) * u) AS suu
+       |  FROM u
+       |)
+       |SELECT n,
+       |  CAST(CAST((n * sxu - CAST(sx AS HUGEINT) * su)
+       |      * (n * sxu - CAST(sx AS HUGEINT) * su) AS VARCHAR) AS DOUBLE)
+       |  / (CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR)
+       |      AS DOUBLE)
+       |    * CAST(CAST(n * suu - CAST(su AS HUGEINT) * su AS VARCHAR)
+       |      AS DOUBLE)) AS r2_aux,
+       |  CAST(n AS DOUBLE)
+       |    * (CAST(CAST((n * sxu - CAST(sx AS HUGEINT) * su)
+       |        * (n * sxu - CAST(sx AS HUGEINT) * su) AS VARCHAR)
+       |        AS DOUBLE)
+       |      / (CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR)
+       |          AS DOUBLE)
+       |        * CAST(CAST(n * suu - CAST(su AS HUGEINT) * su AS VARCHAR)
+       |          AS DOUBLE))) AS bp_lm
+       |FROM s""".stripMargin
+
+  /** CHOW structural-break test at 1996-01-01: did the daily-revenue
+    * trend CHANGE regime — the regression-based complement to q442's
+    * nonparametric Pettitt mean-shift (a slope can break with no mean
+    * shift at the cut). All three RSS terms come from the moment
+    * identity RSS = (Dx·Dy − Num²)/(n·Dx) over one conditional
+    * aggregate — no residual materialization at all — and F is a
+    * final double chain over exact decimal operands. */
+  def chowTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cut = 9496L // epoch day of 1996-01-01
+    val seg = dailyDollars(spark, dir)
+      .withColumn("g", (col("x") < cut).cast("long"))
+    def moments(pred: Column, tag: String) = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(pred, col("x")).otherwise(0L)).as(s"sx_$tag"),
+      sum(when(pred, col("y")).otherwise(0L)).as(s"sy_$tag"),
+      sum(when(pred, expr(s"CAST(CAST(x AS $dec) * x AS $dec)"))
+        .otherwise(expr(s"CAST(0 AS $dec)"))).as(s"sxx_$tag"),
+      sum(when(pred, expr(s"CAST(CAST(x AS $dec) * y AS $dec)"))
+        .otherwise(expr(s"CAST(0 AS $dec)"))).as(s"sxy_$tag"),
+      sum(when(pred, expr(s"CAST(CAST(y AS $dec) * y AS $dec)"))
+        .otherwise(expr(s"CAST(0 AS $dec)"))).as(s"syy_$tag"))
+    val aggs = moments(lit(true), "f") ++ moments(col("g") === 1, "a") ++
+      moments(col("g") === 0, "b")
+    def rss(tag: String): Column = {
+      val dx = expr(s"CAST(n_$tag * sxx_$tag - CAST(sx_$tag AS $dec) * sx_$tag AS $dec)")
+      val dy = expr(s"CAST(n_$tag * syy_$tag - CAST(sy_$tag AS $dec) * sy_$tag AS $dec)")
+      val nu = expr(s"CAST(n_$tag * sxy_$tag - CAST(sx_$tag AS $dec) * sy_$tag AS $dec)")
+      (expr(s"""CAST((CAST(n_$tag * sxx_$tag - CAST(sx_$tag AS $dec) * sx_$tag AS $dec))
+               * (CAST(n_$tag * syy_$tag - CAST(sy_$tag AS $dec) * sy_$tag AS $dec))
+               - (CAST(n_$tag * sxy_$tag - CAST(sx_$tag AS $dec) * sy_$tag AS $dec))
+               * (CAST(n_$tag * sxy_$tag - CAST(sx_$tag AS $dec) * sy_$tag AS $dec))
+               AS $dec)""").cast("double")
+        / (dx * expr(s"CAST(n_$tag AS $dec)")).cast("double"))
+    }
+    seg.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_a").as("n_pre"), col("n_b").as("n_post"),
+        rss("f").as("rss_full"), rss("a").as("rss_pre"),
+        rss("b").as("rss_post"))
+      .withColumn("chow_f",
+        ((col("rss_full") - col("rss_pre") - col("rss_post")) / lit(2.0))
+          / ((col("rss_pre") + col("rss_post"))
+            / (col("n_pre") + col("n_post") - lit(4L)).cast("double")))
+  }
+
+  private val chowTestSql =
+    """WITH d AS (
+      |  SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS x,
+      |    CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1
+      |), seg AS (
+      |  SELECT x, y, CASE WHEN x < 9496 THEN 1 ELSE 0 END AS g FROM d
+      |), mo AS (
+      |  SELECT
+      |    CAST(COUNT(*) AS BIGINT) AS n_f,
+      |    CAST(SUM(x) AS BIGINT) AS sx_f, CAST(SUM(y) AS BIGINT) AS sy_f,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx_f,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy_f,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy_f,
+      |    CAST(SUM(g) AS BIGINT) AS n_a,
+      |    CAST(SUM(g * x) AS BIGINT) AS sx_a,
+      |    CAST(SUM(g * y) AS BIGINT) AS sy_a,
+      |    SUM(g * CAST(x AS HUGEINT) * x) AS sxx_a,
+      |    SUM(g * CAST(x AS HUGEINT) * y) AS sxy_a,
+      |    SUM(g * CAST(y AS HUGEINT) * y) AS syy_a,
+      |    CAST(SUM(1 - g) AS BIGINT) AS n_b,
+      |    CAST(SUM((1 - g) * x) AS BIGINT) AS sx_b,
+      |    CAST(SUM((1 - g) * y) AS BIGINT) AS sy_b,
+      |    SUM((1 - g) * CAST(x AS HUGEINT) * x) AS sxx_b,
+      |    SUM((1 - g) * CAST(x AS HUGEINT) * y) AS sxy_b,
+      |    SUM((1 - g) * CAST(y AS HUGEINT) * y) AS syy_b
+      |  FROM seg
+      |), o AS (
+      |  SELECT n_a AS n_pre, n_b AS n_post,
+      |    CAST(CAST((n_f * sxx_f - CAST(sx_f AS HUGEINT) * sx_f)
+      |        * (n_f * syy_f - CAST(sy_f AS HUGEINT) * sy_f)
+      |        - (n_f * sxy_f - CAST(sx_f AS HUGEINT) * sy_f)
+      |        * (n_f * sxy_f - CAST(sx_f AS HUGEINT) * sy_f) AS VARCHAR)
+      |      AS DOUBLE)
+      |      / CAST(CAST((n_f * sxx_f - CAST(sx_f AS HUGEINT) * sx_f) * n_f
+      |        AS VARCHAR) AS DOUBLE) AS rss_full,
+      |    CAST(CAST((n_a * sxx_a - CAST(sx_a AS HUGEINT) * sx_a)
+      |        * (n_a * syy_a - CAST(sy_a AS HUGEINT) * sy_a)
+      |        - (n_a * sxy_a - CAST(sx_a AS HUGEINT) * sy_a)
+      |        * (n_a * sxy_a - CAST(sx_a AS HUGEINT) * sy_a) AS VARCHAR)
+      |      AS DOUBLE)
+      |      / CAST(CAST((n_a * sxx_a - CAST(sx_a AS HUGEINT) * sx_a) * n_a
+      |        AS VARCHAR) AS DOUBLE) AS rss_pre,
+      |    CAST(CAST((n_b * sxx_b - CAST(sx_b AS HUGEINT) * sx_b)
+      |        * (n_b * syy_b - CAST(sy_b AS HUGEINT) * sy_b)
+      |        - (n_b * sxy_b - CAST(sx_b AS HUGEINT) * sy_b)
+      |        * (n_b * sxy_b - CAST(sx_b AS HUGEINT) * sy_b) AS VARCHAR)
+      |      AS DOUBLE)
+      |      / CAST(CAST((n_b * sxx_b - CAST(sx_b AS HUGEINT) * sx_b) * n_b
+      |        AS VARCHAR) AS DOUBLE) AS rss_post
+      |  FROM mo
+      |)
+      |SELECT n_pre, n_post, rss_full, rss_pre, rss_post,
+      |  ((rss_full - rss_pre - rss_post) / 2.0)
+      |    / ((rss_pre + rss_post)
+      |      / CAST(n_pre + n_post - 4 AS DOUBLE)) AS chow_f
+      |FROM o""".stripMargin
+
+  /** COOK'S DISTANCE top-10: which single days, removed, would move
+    * the fitted trend the most — the influence audit that separates
+    * "one crazy day drives the slope" from a real signal (q136/q467
+    * flag outliers in y alone; influence weighs them by LEVERAGE too).
+    * Leverage is the exact integer ratio (Dx + (n·x−Sx)²)/(n·Dx);
+    * e²/s² is a ratio of exact micro-residual squares; D assembles
+    * them in one deterministic double chain. TakeOrdered(10), no
+    * window. */
+  def cooksDistance(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val r = dailyResiduals(spark, dir).localCheckpoint(false)
+    val s2 = r.agg(count(lit(1)).as("nn"),
+      sum(expr(s"CAST(CAST(e_mu AS $dec) * e_mu AS $dec)")).as("se2"))
+      .select(col("nn"),
+        expr(s"CAST((se2 - se2 % (nn - 2)) / (nn - 2) AS $dec)").as("s2"))
+    r.crossJoin(broadcast(s2))
+      .withColumn("h_num",
+        expr(s"""CAST(dxm + (CAST(n AS $dec) * x - sx)
+                 * (CAST(n AS $dec) * x - sx) AS $dec)"""))
+      .withColumn("leverage",
+        col("h_num").cast("double")
+          / expr(s"CAST(CAST(n AS $dec) * dxm AS $dec)").cast("double"))
+      .withColumn("cooks_d",
+        (expr(s"CAST(CAST(e_mu AS $dec) * e_mu AS $dec)").cast("double")
+          / col("s2").cast("double"))
+          * (col("h_num").cast("double")
+            * expr(s"CAST(CAST(n AS $dec) * dxm AS $dec)").cast("double"))
+          / (lit(2.0)
+            * expr(s"CAST(CAST(n AS $dec) * dxm - h_num AS $dec)")
+              .cast("double")
+            * expr(s"CAST(CAST(n AS $dec) * dxm - h_num AS $dec)")
+              .cast("double")))
+      .select(col("x").as("day"), col("y").as("revenue_dollars"),
+        col("e_mu"), col("leverage"), col("cooks_d"))
+      .orderBy(col("cooks_d").desc, col("day"))
+      .limit(10)
+  }
+
+  private val cooksDistanceSql =
+    s"""WITH $dailyResidualsCtes, s2t AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+       |    SUM(CAST(e_mu AS HUGEINT) * e_mu)
+       |      // (CAST(COUNT(*) AS BIGINT) - 2) AS s2
+       |  FROM r
+       |), t AS (
+       |  SELECT x AS day, y AS revenue_dollars, e_mu,
+       |    CAST(CAST(dxm + (CAST(r.n AS HUGEINT) * x - m.sx)
+       |        * (CAST(r.n AS HUGEINT) * x - m.sx) AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(CAST(r.n AS HUGEINT) * dxm AS VARCHAR) AS DOUBLE)
+       |      AS leverage,
+       |    (CAST(CAST(CAST(e_mu AS HUGEINT) * e_mu AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
+       |    * (CAST(CAST(dxm + (CAST(r.n AS HUGEINT) * x - m.sx)
+       |        * (CAST(r.n AS HUGEINT) * x - m.sx) AS VARCHAR) AS DOUBLE)
+       |      * CAST(CAST(CAST(r.n AS HUGEINT) * dxm AS VARCHAR) AS DOUBLE))
+       |    / (2.0
+       |      * CAST(CAST(CAST(r.n AS HUGEINT) * dxm
+       |        - (dxm + (CAST(r.n AS HUGEINT) * x - m.sx)
+       |          * (CAST(r.n AS HUGEINT) * x - m.sx)) AS VARCHAR) AS DOUBLE)
+       |      * CAST(CAST(CAST(r.n AS HUGEINT) * dxm
+       |        - (dxm + (CAST(r.n AS HUGEINT) * x - m.sx)
+       |          * (CAST(r.n AS HUGEINT) * x - m.sx)) AS VARCHAR) AS DOUBLE))
+       |      AS cooks_d
+       |  FROM r, m, s2t
+       |)
+       |SELECT day, revenue_dollars, e_mu, leverage, cooks_d
+       |FROM t
+       |ORDER BY cooks_d DESC, day
+       |LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q502_durbin_watson", durbinWatson, Some(durbinWatsonSql),
+      "Durbin-Watson serial-correlation test on the daily-trend OLS " +
+        "residuals — exact micro-dollar residuals, decimal square " +
+        "sums, two mirrored doubles"),
+    Q("q503_breusch_pagan", breuschPagan, Some(breuschPaganSql),
+      "Breusch-Pagan heteroskedasticity LM: standardized squared " +
+        "residuals (exact floored micro-units) regressed back on the " +
+        "day — is the trend's error band even constant"),
+    Q("q504_chow_test", chowTest, Some(chowTestSql),
+      "Chow structural-break F at 1996-01-01 from the moment identity " +
+        "RSS = (Dx*Dy - Num^2)/(n*Dx) — no residual materialization, " +
+        "the regression complement to Pettitt"),
+    Q("q505_cooks_distance", cooksDistance, Some(cooksDistanceSql),
+      "top-10 influential days by Cook's distance (exact integer " +
+        "leverage ratio x exact micro residual ratio) — the influence " +
+        "audit outlier flags alone miss"),
     Q("q496_record_days", recordDays, Some(recordDaysSql),
       "record-breaking revenue days vs the distribution-free harmonic " +
         "expectation H_n (floored-micro harmonic sum) — model-free " +

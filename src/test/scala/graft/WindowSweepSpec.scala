@@ -41,6 +41,7 @@ class WindowSweepSpec extends AnyFunSuite {
     "q381_bollinger" -> "daily 7-row band frames",
     "q385_runs_test" -> "daily sign runs; median rank over days",
     "q388_open_orders" -> "daily backlog cumsum",
+    "q502_durbin_watson" -> "daily residual spine",
     "q496_record_days" -> "daily running max + harmonic spine",
     "q442_pettitt_changepoint" -> "daily rank/U statistics",
     "q445_peak_concurrency" -> "daily net-change cumsum",
