@@ -3975,7 +3975,132 @@ object AnalyticsQueries {
        |ORDER BY cooks_d DESC, day
        |LIMIT 10""".stripMargin
 
+  /** VARIANCE INFLATION FACTORS for the three standard customer
+    * covariates (account balance, order count, lifetime spend) — the
+    * multicollinearity gate run BEFORE fitting any model on them:
+    * q292's correlation matrix shows pairwise r, but VIF measures what
+    * matters for coefficients — how well each covariate is predicted
+    * by the OTHER TWO jointly (closed form for k=3 from the pairwise
+    * r's). Order count and spend are near-duplicates by construction;
+    * VIF says exactly how redundant. One moment aggregate, exact
+    * decimal d_ij numerators, a fixed-order double chain both engines
+    * share. */
+  def vif3(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sp = Catalog.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_ord"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend"))
+    val base = Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("x1"))
+      .join(sp, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("x1"), coalesce(col("n_ord"), lit(0L)).as("x2"),
+        coalesce(col("spend"), lit(0L)).as("x3"))
+    val r = base.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x3")).as("s3"),
+        sum(expr(s"CAST(CAST(x1 AS $dec) * x1 AS $dec)")).as("s11"),
+        sum(expr(s"CAST(CAST(x2 AS $dec) * x2 AS $dec)")).as("s22"),
+        sum(expr(s"CAST(CAST(x3 AS $dec) * x3 AS $dec)")).as("s33"),
+        sum(expr(s"CAST(CAST(x1 AS $dec) * x2 AS $dec)")).as("s12"),
+        sum(expr(s"CAST(CAST(x1 AS $dec) * x3 AS $dec)")).as("s13"),
+        sum(expr(s"CAST(CAST(x2 AS $dec) * x3 AS $dec)")).as("s23"))
+      .select(
+        (expr(s"CAST(n * s12 - CAST(s1 AS $dec) * s2 AS $dec)").cast("double")
+          / (sqrt(expr(s"CAST(n * s11 - CAST(s1 AS $dec) * s1 AS $dec)")
+              .cast("double"))
+            * sqrt(expr(s"CAST(n * s22 - CAST(s2 AS $dec) * s2 AS $dec)")
+              .cast("double")))).as("r12"),
+        (expr(s"CAST(n * s13 - CAST(s1 AS $dec) * s3 AS $dec)").cast("double")
+          / (sqrt(expr(s"CAST(n * s11 - CAST(s1 AS $dec) * s1 AS $dec)")
+              .cast("double"))
+            * sqrt(expr(s"CAST(n * s33 - CAST(s3 AS $dec) * s3 AS $dec)")
+              .cast("double")))).as("r13"),
+        (expr(s"CAST(n * s23 - CAST(s2 AS $dec) * s3 AS $dec)").cast("double")
+          / (sqrt(expr(s"CAST(n * s22 - CAST(s2 AS $dec) * s2 AS $dec)")
+              .cast("double"))
+            * sqrt(expr(s"CAST(n * s33 - CAST(s3 AS $dec) * s3 AS $dec)")
+              .cast("double")))).as("r23"))
+    r.select(col("r12"), col("r13"), col("r23"),
+        ((col("r12") * col("r12") + col("r13") * col("r13")
+          - lit(2.0) * col("r12") * col("r13") * col("r23"))
+          / (lit(1.0) - col("r23") * col("r23"))).as("rsq1"),
+        ((col("r12") * col("r12") + col("r23") * col("r23")
+          - lit(2.0) * col("r12") * col("r23") * col("r13"))
+          / (lit(1.0) - col("r13") * col("r13"))).as("rsq2"),
+        ((col("r13") * col("r13") + col("r23") * col("r23")
+          - lit(2.0) * col("r13") * col("r23") * col("r12"))
+          / (lit(1.0) - col("r12") * col("r12"))).as("rsq3"))
+      .select(col("r12"), col("r13"), col("r23"),
+        (lit(1.0) / (lit(1.0) - col("rsq1"))).as("vif_balance"),
+        (lit(1.0) / (lit(1.0) - col("rsq2"))).as("vif_orders"),
+        (lit(1.0) / (lit(1.0) - col("rsq3"))).as("vif_spend"))
+  }
+
+  private val vif3Sql =
+    """WITH sp AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ord,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS spend
+      |  FROM orders GROUP BY 1
+      |), base AS (
+      |  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+      |    COALESCE(n_ord, 0) AS x2, COALESCE(spend, 0) AS x3
+      |  FROM customer LEFT JOIN sp ON c_custkey = o_custkey
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+      |    CAST(SUM(x3) AS BIGINT) AS s3,
+      |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+      |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+      |    SUM(CAST(x3 AS HUGEINT) * x3) AS s33,
+      |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+      |    SUM(CAST(x1 AS HUGEINT) * x3) AS s13,
+      |    SUM(CAST(x2 AS HUGEINT) * x3) AS s23
+      |  FROM base
+      |), r AS (
+      |  SELECT
+      |    CAST(CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS VARCHAR)
+      |        AS DOUBLE)
+      |      / (sqrt(CAST(CAST(n * s11 - CAST(s1 AS HUGEINT) * s1
+      |          AS VARCHAR) AS DOUBLE))
+      |        * sqrt(CAST(CAST(n * s22 - CAST(s2 AS HUGEINT) * s2
+      |          AS VARCHAR) AS DOUBLE))) AS r12,
+      |    CAST(CAST(n * s13 - CAST(s1 AS HUGEINT) * s3 AS VARCHAR)
+      |        AS DOUBLE)
+      |      / (sqrt(CAST(CAST(n * s11 - CAST(s1 AS HUGEINT) * s1
+      |          AS VARCHAR) AS DOUBLE))
+      |        * sqrt(CAST(CAST(n * s33 - CAST(s3 AS HUGEINT) * s3
+      |          AS VARCHAR) AS DOUBLE))) AS r13,
+      |    CAST(CAST(n * s23 - CAST(s2 AS HUGEINT) * s3 AS VARCHAR)
+      |        AS DOUBLE)
+      |      / (sqrt(CAST(CAST(n * s22 - CAST(s2 AS HUGEINT) * s2
+      |          AS VARCHAR) AS DOUBLE))
+      |        * sqrt(CAST(CAST(n * s33 - CAST(s3 AS HUGEINT) * s3
+      |          AS VARCHAR) AS DOUBLE))) AS r23
+      |  FROM m
+      |), q AS (
+      |  SELECT r12, r13, r23,
+      |    (r12 * r12 + r13 * r13 - 2.0 * r12 * r13 * r23)
+      |      / (1.0 - r23 * r23) AS rsq1,
+      |    (r12 * r12 + r23 * r23 - 2.0 * r12 * r23 * r13)
+      |      / (1.0 - r13 * r13) AS rsq2,
+      |    (r13 * r13 + r23 * r23 - 2.0 * r13 * r23 * r12)
+      |      / (1.0 - r12 * r12) AS rsq3
+      |  FROM r
+      |)
+      |SELECT r12, r13, r23,
+      |  1.0 / (1.0 - rsq1) AS vif_balance,
+      |  1.0 / (1.0 - rsq2) AS vif_orders,
+      |  1.0 / (1.0 - rsq3) AS vif_spend
+      |FROM q""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q506_vif", vif3, Some(vif3Sql),
+      "variance inflation factors for balance/order-count/spend from " +
+        "the closed 3-variable form — the multicollinearity gate " +
+        "before any model uses them together"),
     Q("q502_durbin_watson", durbinWatson, Some(durbinWatsonSql),
       "Durbin-Watson serial-correlation test on the daily-trend OLS " +
         "residuals — exact micro-dollar residuals, decimal square " +

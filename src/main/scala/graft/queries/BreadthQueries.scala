@@ -2171,7 +2171,93 @@ object BreadthQueries {
       |FROM r, ranks
       |GROUP BY n, l, u""".stripMargin
 
+  // ---- Fleiss' kappa -------------------------------------------------------------
+
+  /** FLEISS' KAPPA over the three matched yearly "raters" (did the
+    * customer order in 1995/1996/1997) — the m-rater completion of the
+    * agreement family: q461's Cohen κ handles exactly two raters,
+    * Fleiss asks whether ALL THREE years agree on who is active beyond
+    * the base-rate chance. With m=3 binary raters the whole statistic
+    * reduces to two integer sums (Σrᵢ and Σ(rᵢ²+(3−rᵢ)²)):
+    * κ = (9n²·A − 6n·E)/(6n·(9n² − E)) with A = Σ(rᵢ²+(3−rᵢ)²) − 3n
+    * and E = S² + (3n−S)² — exact cross-multiplied integers, one
+    * sign-split floored micro division. */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val flags = Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("y"))
+      .filter(col("y").isin(1995, 1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg((max((col("y") === 1995).cast("long"))
+        + max((col("y") === 1996).cast("long"))
+        + max((col("y") === 1997).cast("long"))).as("r"))
+    Catalog.load(spark, dir, "customer").select(col("c_custkey"))
+      .join(flags, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("r"), lit(0L)).as("r"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("s"),
+        sum(col("r") * col("r") + (lit(3L) - col("r"))
+          * (lit(3L) - col("r"))).as("sq"))
+      .select(col("n"), col("s"),
+        expr(s"CAST(sq - 3 * n AS BIGINT)").as("a"),
+        expr(s"""CAST(CAST(s AS $dec) * s
+                 + (3 * CAST(n AS $dec) - s) * (3 * CAST(n AS $dec) - s)
+                 AS $dec)""").as("e"))
+      .select(col("n"), col("s").as("s_yes"),
+        expr(s"""CAST(CASE
+                 WHEN 9 * CAST(n AS $dec) * n * a - 6 * CAST(n AS $dec) * e >= 0
+                 THEN ((9 * CAST(n AS $dec) * n * a
+                        - 6 * CAST(n AS $dec) * e) * 1000000)
+                      div (6 * CAST(n AS $dec) * (9 * CAST(n AS $dec) * n - e))
+                 ELSE -(((6 * CAST(n AS $dec) * e
+                          - 9 * CAST(n AS $dec) * n * a) * 1000000)
+                      div (6 * CAST(n AS $dec) * (9 * CAST(n AS $dec) * n - e)))
+                 END AS BIGINT)""").as("kappa_micro"))
+  }
+
+  private val fleissKappaSql =
+    """WITH f AS (
+      |  SELECT o_custkey,
+      |    MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+      |      THEN 1 ELSE 0 END)
+      |    + MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+      |      THEN 1 ELSE 0 END)
+      |    + MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+      |      THEN 1 ELSE 0 END) AS r
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+      |  GROUP BY 1
+      |), a AS (
+      |  SELECT COALESCE(r, 0) AS r
+      |  FROM customer LEFT JOIN f ON c_custkey = o_custkey
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS s,
+      |    CAST(SUM(r * r + (3 - r) * (3 - r)) AS BIGINT) AS sq
+      |  FROM a
+      |), t AS (
+      |  SELECT n, s, sq - 3 * n AS a,
+      |    CAST(s AS HUGEINT) * s
+      |      + (3 * CAST(n AS HUGEINT) - s) * (3 * CAST(n AS HUGEINT) - s)
+      |      AS e
+      |  FROM m
+      |)
+      |SELECT n, s AS s_yes,
+      |  CAST(CASE
+      |    WHEN 9 * CAST(n AS HUGEINT) * n * a - 6 * CAST(n AS HUGEINT) * e
+      |      >= 0
+      |    THEN ((9 * CAST(n AS HUGEINT) * n * a - 6 * CAST(n AS HUGEINT) * e)
+      |          * 1000000)
+      |         // (6 * CAST(n AS HUGEINT) * (9 * CAST(n AS HUGEINT) * n - e))
+      |    ELSE -(((6 * CAST(n AS HUGEINT) * e
+      |             - 9 * CAST(n AS HUGEINT) * n * a) * 1000000)
+      |         // (6 * CAST(n AS HUGEINT) * (9 * CAST(n AS HUGEINT) * n - e)))
+      |  END AS BIGINT) AS kappa_micro
+      |FROM t""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q509_fleiss_kappa", fleissKappa, Some(fleissKappaSql),
+      "Fleiss' kappa across the three matched yearly activity raters " +
+        "per customer — the m-rater completion of q461's Cohen kappa, " +
+        "exact cross-multiplied integers, sign-split micro division"),
     Q("q500_median_ci", medianCi, Some(medianCiSql),
       "distribution-free 95% CI for the median order value from " +
         "binomial order-statistic ranks — two extra rank picks from " +

@@ -3548,7 +3548,146 @@ object ScienceQueries {
       |    / CAST(n AS DOUBLE) AS deming_intercept_cents
       |FROM d""".stripMargin
 
+  // ---- indirect standardization (SMR) -----------------------------------------
+
+  /** INDIRECTLY STANDARDIZED urgency ratio per nation — the
+    * epidemiology adjustment (SMR = observed/expected) that answers
+    * "is this nation really more urgent-heavy, or does it just order
+    * in urgent-heavy YEARS?": expected counts apply each year's GLOBAL
+    * urgent rate to the nation's own year mix (q451 tests raw rates;
+    * this removes the calendar confounder first, the indirect twin of
+    * q482's stratified OR). Per-(nation, year) cells → exact floored
+    * micro expectations → one mirrored ratio per nation. */
+  def smrUrgency(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Catalog.load(spark, dir, "orders")
+      .join(Catalog.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+        year(to_date(col("o_orderdate"))).as("y"))
+      .agg(count(lit(1)).as("n_ny"),
+        sum(col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"))
+          .as("u_ny"))
+      .localCheckpoint(false)
+    val yearRates = cells.groupBy(col("y"))
+      .agg(sum(col("n_ny")).as("n_y"), sum(col("u_ny")).as("u_y"))
+    cells.join(broadcast(yearRates), "y")
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("u_ny")).as("observed"),
+        sum(expr(s"CAST((CAST(n_ny AS $dec) * u_y * 1000000) div n_y AS BIGINT)"))
+          .as("expected_micro"))
+      .select(col("c_nationkey"), col("observed"), col("expected_micro"),
+        expr(s"""CAST((CAST(observed AS $dec) * 1000000000000)
+                 div expected_micro AS BIGINT)""").as("smr_micro"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val smrUrgencySql =
+    """WITH cells AS (
+      |  SELECT c_nationkey, year(CAST(o_orderdate AS DATE)) AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ny,
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS u_ny
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), yr AS (
+      |  SELECT y, CAST(SUM(n_ny) AS BIGINT) AS n_y,
+      |    CAST(SUM(u_ny) AS BIGINT) AS u_y
+      |  FROM cells GROUP BY 1
+      |), e AS (
+      |  SELECT c_nationkey, CAST(SUM(u_ny) AS BIGINT) AS observed,
+      |    CAST(SUM((CAST(n_ny AS HUGEINT) * u_y * 1000000) // n_y)
+      |      AS BIGINT) AS expected_micro
+      |  FROM cells JOIN yr USING (y)
+      |  GROUP BY 1
+      |)
+      |SELECT c_nationkey, observed, expected_micro,
+      |  CAST((CAST(observed AS HUGEINT) * 1000000000000)
+      |    // expected_micro AS BIGINT) AS smr_micro
+      |FROM e
+      |ORDER BY c_nationkey""".stripMargin
+
+  // ---- seasonal Mann–Kendall --------------------------------------------------
+
+  /** SEASONAL Mann–Kendall: q384's monotone-trend S computed WITHIN
+    * each month-of-year over the (year, monthly revenue) series, then
+    * summed — the hydrology-standard variant that a strong seasonal
+    * cycle cannot fool (plain MK reads the seasonal up-ramps as trend;
+    * here January is only ever compared with other Januaries).
+    * Season-local pairs join on the month key (≤ 12·C(years,2) pairs at
+    * any data scale), tie-corrected variance numerators sum across
+    * seasons, and the continuity-corrected z reuses the exact q384
+    * convention. */
+  def seasonalMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Catalog.load(spark, dir, "orders")
+      .groupBy(year(to_date(col("o_orderdate"))).as("yr"),
+        month(to_date(col("o_orderdate"))).as("mo"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .localCheckpoint(false)
+    val a = monthly.select(col("mo"), col("yr").as("y1"), col("c").as("c1"))
+    val b = monthly.select(col("mo").as("mo2"), col("yr").as("y2"),
+      col("c").as("c2"))
+    val s = a.join(b, col("mo") === col("mo2") && col("y1") < col("y2"))
+      .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val vars = monthly.groupBy(col("mo"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("mo"))
+      .agg(sum(col("t")).as("n_m"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_m"))
+      .agg(sum(col("n_m")).as("n"),
+        sum(col("n_m") * (col("n_m") - 1) * (col("n_m") * 2 + 5)
+          - col("tie_m")).as("var_num"))
+    s.crossJoin(broadcast(vars))
+      .select(col("n"), col("n_pairs"), col("s_stat"), col("var_num"),
+        expr(mkZExpr).as("z"))
+  }
+
+  private val seasonalMannKendallSql =
+    s"""WITH monthly AS (
+       |  SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+       |    month(CAST(o_orderdate AS DATE)) AS mo,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS c
+       |  FROM orders GROUP BY 1, 2
+       |), s AS (
+       |  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+       |                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+       |      AS s_stat,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM monthly a JOIN monthly b
+       |    ON a.mo = b.mo AND a.yr < b.yr
+       |), vm AS (
+       |  SELECT mo, CAST(SUM(t) AS BIGINT) AS n_m,
+       |    CAST(SUM(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie_m
+       |  FROM (SELECT mo, c, CAST(COUNT(*) AS BIGINT) AS t
+       |        FROM monthly GROUP BY 1, 2) x
+       |  GROUP BY 1
+       |), v AS (
+       |  SELECT CAST(SUM(n_m) AS BIGINT) AS n,
+       |    CAST(SUM(n_m * (n_m - 1) * (n_m * 2 + 5) - tie_m) AS BIGINT)
+       |      AS var_num
+       |  FROM vm
+       |)
+       |SELECT n, n_pairs, s_stat, var_num,
+       |  CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+       |    / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+       |  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+       |    / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+       |  ELSE 0.0 END AS z
+       |FROM s, v""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q507_smr_urgency", smrUrgency, Some(smrUrgencySql),
+      "indirectly standardized urgency ratio per nation (year-rate " +
+        "expectations in floored micro-units) — the SMR adjustment " +
+        "that removes the calendar confounder before comparing"),
+    Q("q508_seasonal_mann_kendall", seasonalMannKendall,
+      Some(seasonalMannKendallSql),
+      "seasonal Mann-Kendall: within-month-of-year trend S summed " +
+        "across seasons with tie-corrected variance — the cycle-proof " +
+        "variant of q384"),
     Q("q498_deming", demingRegression, Some(demingRegressionSql),
       "Deming errors-in-both regression of line-sum vs header daily " +
         "revenue (two measurements of one quantity) next to the " +
