@@ -3985,7 +3985,10 @@ object AnalyticsQueries {
     * VIF says exactly how redundant. One moment aggregate, exact
     * decimal d_ij numerators, a fixed-order double chain both engines
     * share. */
-  def vif3(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared (r12, r13, r23) pairwise-correlation frame for
+    * q506/q512 — one exact decimal moment aggregate over the customer
+    * covariates. */
+  private def vifCorrFrame(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
     val sp = Catalog.load(spark, dir, "orders")
       .groupBy(col("o_custkey"))
@@ -4022,7 +4025,12 @@ object AnalyticsQueries {
               .cast("double"))
             * sqrt(expr(s"CAST(n * s33 - CAST(s3 AS $dec) * s3 AS $dec)")
               .cast("double")))).as("r23"))
-    r.select(col("r12"), col("r13"), col("r23"),
+    r
+  }
+
+  def vif3(spark: SparkSession, dir: String): DataFrame =
+    vifCorrFrame(spark, dir)
+      .select(col("r12"), col("r13"), col("r23"),
         ((col("r12") * col("r12") + col("r13") * col("r13")
           - lit(2.0) * col("r12") * col("r13") * col("r23"))
           / (lit(1.0) - col("r23") * col("r23"))).as("rsq1"),
@@ -4036,7 +4044,6 @@ object AnalyticsQueries {
         (lit(1.0) / (lit(1.0) - col("rsq1"))).as("vif_balance"),
         (lit(1.0) / (lit(1.0) - col("rsq2"))).as("vif_orders"),
         (lit(1.0) / (lit(1.0) - col("rsq3"))).as("vif_spend"))
-  }
 
   private val vif3Sql =
     """WITH sp AS (
@@ -4096,7 +4103,163 @@ object AnalyticsQueries {
       |  1.0 / (1.0 - rsq3) AS vif_spend
       |FROM q""".stripMargin
 
+  /** JONCKHEERE–TERPSTRA ordered-alternative test: does order value
+    * rise MONOTONICALLY down the 1-URGENT…5-LOW priority ladder —
+    * the test with actual power against the ordering q437's
+    * Kruskal–Wallis ignores (KW burns power on arbitrary permutations;
+    * the priorities are ordinal by construction, q470's trend logic
+    * for a continuous response). J = Σ_{g<h} #(x_g < x_h), doubled to
+    * keep half-ties integral: the value-domain histogram is pivoted to
+    * per-group counts, five GlobalRank running sums give each group's
+    * strictly-below prefix (no single-partition and no 5-partition
+    * window), and J₂ accumulates exactly; z uses the closed-form null
+    * moments. */
+  def jonckheere(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist = Catalog.load(spark, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .groupBy(col("v"))
+      .agg(sum((col("g") === 1).cast("long")).as("c1"),
+        (2 to 5).map(i =>
+          sum((col("g") === i).cast("long")).as(s"c$i")): _*)
+    val cum = (1 to 5).foldLeft(hist) { (df, i) =>
+      graft.ops.GlobalRank.withRunningSum(
+        df, Seq(col("v")), col(s"c$i"), s"cum$i")
+    }
+    val row = cum.select((Seq(col("v")) ++
+      (1 to 5).map(i => col(s"c$i")) ++
+      (1 to 5).map(i => (col(s"cum$i") - col(s"c$i")).as(s"lt$i"))): _*)
+    val j = row.select(
+      ((2 to 5).map { h =>
+        val lts = (1 until h).map(g => col(s"lt$g")).reduce(_ + _)
+        val cs = (1 until h).map(g => col(s"c$g")).reduce(_ + _)
+        col(s"c$h") * (lts * 2 + cs)
+      }.reduce(_ + _)).as("j2_part"))
+      .agg(sum(expr(s"CAST(j2_part AS $dec)")).as("j2"))
+    val tot = hist.agg(sum(col("c1")).as("n1"),
+      (2 to 5).map(i => sum(col(s"c$i")).as(s"n$i")): _*)
+    j.crossJoin(broadcast(tot))
+      .withColumn("n",
+        (1 to 5).map(i => col(s"n$i")).reduce(_ + _))
+      .withColumn("sumsq", expr(s"""CAST(${(1 to 5)
+        .map(i => s"CAST(n$i AS $dec) * n$i").mkString(" + ")} AS $dec)"""))
+      .withColumn("e2",
+        expr(s"CAST((CAST(n AS $dec) * n - sumsq) / 2 AS $dec)"))
+      .withColumn("var72", expr(s"""CAST(CAST(n AS $dec) * n * (2 * n + 3)
+        - (${(1 to 5).map(i => s"CAST(n$i AS $dec) * n$i * (2 * n$i + 3)")
+          .mkString(" + ")}) AS $dec)"""))
+      .select(col("n"), col("j2").cast("long").as("j2"),
+        col("e2").cast("long").as("e2"),
+        ((col("j2") - col("e2")).cast("double")
+          / (lit(2.0) * sqrt(col("var72").cast("double") / lit(72.0))))
+          .as("z"))
+  }
+
+  private val jonckheereSql = {
+    val cSums = (1 to 5).map(i =>
+      s"""CAST(SUM(CASE WHEN g = $i THEN 1 ELSE 0 END) AS BIGINT)
+         AS c$i""").mkString(",\n      |    ")
+    s"""WITH o AS (
+       |  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders
+       |), hist AS (
+       |  SELECT v,
+       |    $cSums
+       |  FROM o GROUP BY 1
+       |), cum AS (
+       |  SELECT v, ${(1 to 5).map(i => s"c$i").mkString(", ")},
+       |    ${(1 to 5).map(i =>
+      s"CAST(SUM(c$i) OVER w - c$i AS BIGINT) AS lt$i")
+        .mkString(",\n       |    ")}
+       |  FROM hist
+       |  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |), jp AS (
+       |  SELECT ${(2 to 5).map { h =>
+      val lts = (1 until h).map(g => s"lt$g").mkString(" + ")
+      val cs = (1 until h).map(g => s"c$g").mkString(" + ")
+      s"c$h * (($lts) * 2 + ($cs))"
+    }.mkString(" + ")} AS j2_part
+       |  FROM cum
+       |), j AS (
+       |  SELECT CAST(SUM(CAST(j2_part AS HUGEINT)) AS BIGINT) AS j2 FROM jp
+       |), tot AS (
+       |  SELECT ${(1 to 5).map(i =>
+      s"CAST(SUM(c$i) AS BIGINT) AS n$i").mkString(", ")}
+       |  FROM hist
+       |), m AS (
+       |  SELECT j2, ${(1 to 5).map(i => s"n$i").mkString(" + ")} AS n,
+       |    ${(1 to 5).map(i => s"CAST(n$i AS HUGEINT) * n$i")
+      .mkString(" + ")} AS sumsq,
+       |    ${(1 to 5).map(i =>
+      s"CAST(n$i AS HUGEINT) * n$i * (2 * n$i + 3)").mkString(" + ")}
+       |      AS varg
+       |  FROM j, tot
+       |)
+       |SELECT n, j2,
+       |  CAST((CAST(n AS HUGEINT) * n - sumsq) // 2 AS BIGINT) AS e2,
+       |  CAST(CAST(j2 - (CAST(n AS HUGEINT) * n - sumsq) // 2 AS VARCHAR)
+       |      AS DOUBLE)
+       |    / (2.0 * sqrt(CAST(CAST(CAST(n AS HUGEINT) * n * (2 * n + 3)
+       |        - varg AS VARCHAR) AS DOUBLE) / 72.0)) AS z
+       |FROM m""".stripMargin
+  }
+
+  /** PARTIAL correlations among balance / order count / spend — each
+    * pairwise r with the THIRD variable held fixed:
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). q408 reports
+    * the raw balance↔spend r; the partial says how much survives once
+    * order count is controlled — the difference IS the mediation
+    * readout. Same exact decimal moment aggregate as q506, a
+    * fixed-order double chain both engines share. */
+  def partialCorr(spark: SparkSession, dir: String): DataFrame =
+    vifCorrFrame(spark, dir)
+      .select(col("r12"), col("r13"), col("r23"),
+        ((col("r12") - col("r13") * col("r23"))
+          / sqrt((lit(1.0) - col("r13") * col("r13"))
+            * (lit(1.0) - col("r23") * col("r23"))))
+          .as("partial_bal_ord_given_spend"),
+        ((col("r13") - col("r12") * col("r23"))
+          / sqrt((lit(1.0) - col("r12") * col("r12"))
+            * (lit(1.0) - col("r23") * col("r23"))))
+          .as("partial_bal_spend_given_ord"),
+        ((col("r23") - col("r12") * col("r13"))
+          / sqrt((lit(1.0) - col("r12") * col("r12"))
+            * (lit(1.0) - col("r13") * col("r13"))))
+          .as("partial_ord_spend_given_bal"))
+
+  private val partialCorrSql =
+    vif3Sql.replace(
+      """|)
+        |SELECT r12, r13, r23,
+        |  1.0 / (1.0 - rsq1) AS vif_balance,
+        |  1.0 / (1.0 - rsq2) AS vif_orders,
+        |  1.0 / (1.0 - rsq3) AS vif_spend
+        |FROM q""".stripMargin,
+      """|)
+        |SELECT r12, r13, r23,
+        |  (r12 - r13 * r23)
+        |    / sqrt((1.0 - r13 * r13) * (1.0 - r23 * r23))
+        |    AS partial_bal_ord_given_spend,
+        |  (r13 - r12 * r23)
+        |    / sqrt((1.0 - r12 * r12) * (1.0 - r23 * r23))
+        |    AS partial_bal_spend_given_ord,
+        |  (r23 - r12 * r13)
+        |    / sqrt((1.0 - r12 * r12) * (1.0 - r13 * r13))
+        |    AS partial_ord_spend_given_bal
+        |FROM q""".stripMargin)
+
   val all: Seq[Q] = Seq(
+    Q("q512_partial_corr", partialCorr, Some(partialCorrSql),
+      "partial correlations among balance/order-count/spend with the " +
+        "third variable controlled — the mediation readout next to " +
+        "q408's raw r, same exact moment machinery as q506"),
+    Q("q511_jonckheere", jonckheere, Some(jonckheereSql),
+      "Jonckheere-Terpstra ordered-alternative test down the priority " +
+        "ladder (doubled half-tie J from five GlobalRank prefix sums " +
+        "over the value-domain histogram) — the ordinal power " +
+        "Kruskal-Wallis throws away"),
     Q("q506_vif", vif3, Some(vif3Sql),
       "variance inflation factors for balance/order-count/spend from " +
         "the closed 3-variable form — the multicollinearity gate " +

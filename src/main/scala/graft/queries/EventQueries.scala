@@ -4279,7 +4279,72 @@ object EventQueries {
       |FROM m
       |ORDER BY event_type""".stripMargin
 
+  // ---- Kuiper two-sample circular test ----------------------------------------
+
+  /** KUIPER two-sample test between the view and purchase HOUR-OF-DAY
+    * distributions — the circular-data analogue of q227's KS: V =
+    * D⁺ + D⁻ is invariant to where the 24 h clock is "cut", so a
+    * concentration difference straddling midnight (which KS can read
+    * as nothing) still registers. ECDF gaps live as exact integer
+    * numerators c₁·n₂ − c₂·n₁ over the fixed 24-hour frame; the
+    * cumulative step is a 24×24 literal-bounded self-join (no window
+    * at all), and V is one final mirrored division. */
+  def kuiperTest(spark: SparkSession, dir: String): DataFrame = {
+    val hc = Catalog.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(hour(col("ts")).as("h"))
+      .agg(sum((col("event_type") === "view").cast("long")).as("c1"),
+        sum((col("event_type") === "purchase").cast("long")).as("c2"))
+    val cum = hc.select(col("h").as("hx"), col("c1"), col("c2"))
+      .join(hc.select(col("h")), col("h") >= col("hx"))
+      .groupBy(col("h"))
+      .agg(sum(col("c1")).as("f1"), sum(col("c2")).as("f2"))
+    val tot = hc.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select((col("f1") * col("n2") - col("f2") * col("n1")).as("gap"),
+        col("n1"), col("n2"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("gap")).as("d_plus_num"),
+        max(-col("gap")).as("d_minus_num"))
+      .select(col("n1"), col("n2"), col("d_plus_num"), col("d_minus_num"),
+        ((col("d_plus_num") + col("d_minus_num")).cast("double")
+          / (col("n1") * col("n2")).cast("double")).as("kuiper_v"))
+  }
+
+  private val kuiperTestSql =
+    """WITH hc AS (
+      |  SELECT hour(ts) AS h,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c2
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1
+      |), cum AS (
+      |  SELECT b.h, CAST(SUM(a.c1) AS BIGINT) AS f1,
+      |    CAST(SUM(a.c2) AS BIGINT) AS f2
+      |  FROM hc a JOIN hc b ON b.h >= a.h
+      |  GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      |  FROM hc
+      |), g AS (
+      |  SELECT f1 * n2 - f2 * n1 AS gap, n1, n2 FROM cum, tot
+      |), m AS (
+      |  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+      |    MAX(gap) AS d_plus_num, MAX(-gap) AS d_minus_num
+      |  FROM g
+      |)
+      |SELECT n1, n2, d_plus_num, d_minus_num,
+      |  CAST(d_plus_num + d_minus_num AS DOUBLE)
+      |    / CAST(n1 * n2 AS DOUBLE) AS kuiper_v
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q510_kuiper", kuiperTest, Some(kuiperTestSql),
+      "Kuiper two-sample test between view and purchase hour-of-day " +
+        "distributions — the cut-point-invariant circular KS, exact " +
+        "integer ECDF gaps over the fixed 24-hour frame"),
     Q("q501_rayleigh_test", rayleighTest, Some(rayleighTestSql),
       "Rayleigh circular-uniformity z per event type over the 24h " +
         "clock — scaled-integer trig table, exact resultant sums, one " +
