@@ -2253,7 +2253,103 @@ object BreadthQueries {
       |  END AS BIGINT) AS kappa_micro
       |FROM t""".stripMargin
 
+  // ---- Cochran–Mantel–Haenszel test ---------------------------------------------
+
+  /** COCHRAN–MANTEL–HAENSZEL χ² for urgent×fast across the 25 nation
+    * strata — the TEST that belongs to q482's MH odds-ratio ESTIMATE:
+    * is there ANY common association once nation is controlled?
+    * Per-stratum E_i = r₁c₁/n and hypergeometric V_i =
+    * r₁r₂c₁c₂/(n²(n−1)) in exact floored micro-units (the logrank
+    * recipe on a different panel), χ² = (ΣO−ΣE)²/ΣV one final
+    * mirrored double. Same single fact collapse as q482. */
+  def cmhTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val firstShip = Catalog.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    val cells = Catalog.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+          .as("urgent"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .join(Catalog.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("fast",
+        (datediff(col("first_ship"), col("od")) <= 30).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("urgent") * col("fast")).as("a"),
+        sum(col("urgent")).as("r1"), sum(col("fast")).as("c1"),
+        count(lit(1)).as("nn"))
+    cells
+      .filter(col("nn") > 1)
+      .select(col("a"),
+        expr(s"CAST((CAST(r1 AS $dec) * c1 * 1000000) div nn AS BIGINT)")
+          .as("e_mu"),
+        expr(s"""CAST((CAST(r1 AS $dec) * (nn - r1) * c1 * (nn - c1)
+                 * 1000000)
+                 div (CAST(nn AS $dec) * nn * (nn - 1)) AS BIGINT)""")
+          .as("v_mu"))
+      .agg(count(lit(1)).as("n_strata"), sum(col("a")).as("o_sum"),
+        sum(col("e_mu")).as("e_micro"), sum(col("v_mu")).as("v_micro"))
+      .select(col("n_strata"), col("o_sum"), col("e_micro"),
+        col("v_micro"),
+        when(col("v_micro") > 0,
+          expr(s"""CAST((CAST(o_sum AS $dec) * 1000000 - e_micro)
+                   * (CAST(o_sum AS $dec) * 1000000 - e_micro) AS $dec)""")
+            .cast("double")
+            / expr(s"CAST(CAST(v_micro AS $dec) * 1000000 AS $dec)")
+              .cast("double"))
+          .otherwise(lit(null).cast("double")).as("cmh_chi2"))
+  }
+
+  private val cmhTestSql =
+    """WITH f AS (
+      |  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      |  FROM lineitem GROUP BY 1
+      |), r AS (
+      |  SELECT c_nationkey,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS urgent,
+      |    CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+      |      <= 30 THEN 1 ELSE 0 END AS fast
+      |  FROM orders JOIN f ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |), cells AS (
+      |  SELECT c_nationkey, CAST(SUM(urgent * fast) AS BIGINT) AS a,
+      |    CAST(SUM(urgent) AS BIGINT) AS r1,
+      |    CAST(SUM(fast) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS nn
+      |  FROM r GROUP BY 1
+      |), t AS (
+      |  SELECT a,
+      |    (CAST(r1 AS HUGEINT) * c1 * 1000000) // nn AS e_mu,
+      |    (CAST(r1 AS HUGEINT) * (nn - r1) * c1 * (nn - c1) * 1000000)
+      |      // (CAST(nn AS HUGEINT) * nn * (nn - 1)) AS v_mu
+      |  FROM cells WHERE nn > 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+      |    CAST(SUM(a) AS BIGINT) AS o_sum,
+      |    CAST(SUM(e_mu) AS BIGINT) AS e_micro,
+      |    CAST(SUM(v_mu) AS BIGINT) AS v_micro
+      |  FROM t
+      |)
+      |SELECT n_strata, o_sum, e_micro, v_micro,
+      |  CASE WHEN v_micro > 0 THEN
+      |    CAST(CAST((CAST(o_sum AS HUGEINT) * 1000000 - e_micro)
+      |      * (CAST(o_sum AS HUGEINT) * 1000000 - e_micro) AS VARCHAR)
+      |      AS DOUBLE)
+      |    / CAST(CAST(CAST(v_micro AS HUGEINT) * 1000000 AS VARCHAR)
+      |      AS DOUBLE)
+      |  END AS cmh_chi2
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q513_cmh_test", cmhTest, Some(cmhTestSql),
+      "Cochran-Mantel-Haenszel chi2 for urgent x fast across nation " +
+        "strata — the significance test behind q482's pooled OR, exact " +
+        "micro O/E/V per stratum"),
     Q("q509_fleiss_kappa", fleissKappa, Some(fleissKappaSql),
       "Fleiss' kappa across the three matched yearly activity raters " +
         "per customer — the m-rater completion of q461's Cohen kappa, " +

@@ -4340,7 +4340,65 @@ object EventQueries {
       |    / CAST(n1 * n2 AS DOUBLE) AS kuiper_v
       |FROM m""".stripMargin
 
+  // ---- forecast skill: MASE + Theil's U2 ---------------------------------------
+
+  /** MASE and THEIL'S U₂ for the 7-day seasonal-naive forecaster —
+    * the SCALE-FREE skill scores q270's raw MAE cannot give: both
+    * divide by the one-step naive's error on the SAME days, so values
+    * below 1 mean the seasonal model genuinely beats the
+    * last-observation fallback and numbers compare across datasets.
+    * Exact integer absolute-error sums and decimal squared-error sums
+    * over the day pairs where both baselines exist; two final mirrored
+    * ratios (one under a sqrt). */
+  def forecastSkill(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = Catalog.load(spark, dir, "orders")
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("c"))
+      .localCheckpoint(false)
+    d.join(d.select((col("day") + 7).as("day"), col("c").as("c7")), "day")
+      .join(d.select((col("day") + 1).as("day"), col("c").as("c1")), "day")
+      .select(abs(col("c") - col("c7")).as("a7"),
+        abs(col("c") - col("c1")).as("a1"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a7")).as("sa7"), sum(col("a1")).as("sa1"),
+        sum(expr(s"CAST(CAST(a7 AS $dec) * a7 AS $dec)")).as("sq7"),
+        sum(expr(s"CAST(CAST(a1 AS $dec) * a1 AS $dec)")).as("sq1"))
+      .select(col("n"),
+        (col("sa7").cast("double") / col("sa1").cast("double")).as("mase"),
+        sqrt(col("sq7").cast("double") / col("sq1").cast("double"))
+          .as("theil_u2"))
+  }
+
+  private val forecastSkillSql =
+    """WITH d AS (
+      |  SELECT epoch_ns(o_orderdate) // 1000 // 86400000000 AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS c
+      |  FROM orders GROUP BY 1
+      |), j AS (
+      |  SELECT abs(a.c - b.c) AS a7, abs(a.c - e.c) AS a1
+      |  FROM d a JOIN d b ON a.day = b.day + 7
+      |  JOIN d e ON a.day = e.day + 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(a7) AS BIGINT) AS sa7, CAST(SUM(a1) AS BIGINT) AS sa1,
+      |    SUM(CAST(a7 AS HUGEINT) * a7) AS sq7,
+      |    SUM(CAST(a1 AS HUGEINT) * a1) AS sq1
+      |  FROM j
+      |)
+      |SELECT n,
+      |  CAST(sa7 AS DOUBLE) / CAST(sa1 AS DOUBLE) AS mase,
+      |  sqrt(CAST(CAST(sq7 AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(sq1 AS VARCHAR) AS DOUBLE)) AS theil_u2
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q515_forecast_skill", forecastSkill, Some(forecastSkillSql),
+      "MASE and Theil's U2 for the 7-day seasonal naive vs the " +
+        "one-step naive on matched days — scale-free forecast skill, " +
+        "exact error sums, two mirrored ratios"),
     Q("q510_kuiper", kuiperTest, Some(kuiperTestSql),
       "Kuiper two-sample test between view and purchase hour-of-day " +
         "distributions — the cut-point-invariant circular KS, exact " +

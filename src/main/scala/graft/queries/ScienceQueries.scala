@@ -3678,7 +3678,78 @@ object ScienceQueries {
        |  ELSE 0.0 END AS z
        |FROM s, v""".stripMargin
 
+  /** DIRECTLY standardized urgency rates per nation — the other
+    * classical adjustment, completing q507's indirect SMR: apply each
+    * nation's OWN year-specific rates to the GLOBAL year mix, so every
+    * nation is scored on the same standard calendar. Direct
+    * standardization is what you publish when nations are big enough
+    * to have stable stratum rates; indirect (q507) when they are not —
+    * shipping both is the textbook pairing. Exact floored micro rate
+    * per (nation, year), global-weight blend, one mirrored ratio. */
+  def directStandardization(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Catalog.load(spark, dir, "orders")
+      .join(Catalog.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+        year(to_date(col("o_orderdate"))).as("y"))
+      .agg(count(lit(1)).as("n_ny"),
+        sum(col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"))
+          .as("u_ny"))
+      .localCheckpoint(false)
+    val weights = cells.groupBy(col("y")).agg(sum(col("n_ny")).as("w_y"))
+    val tot = weights.agg(sum(col("w_y")).as("w"))
+    cells.join(broadcast(weights), "y")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("u_ny")).as("observed"), sum(col("n_ny")).as("n_orders"),
+        // Σ_y w_y·(u_ny/n_ny) in floored micro, then / Σw — the
+        // standardized rate on the global calendar mix
+        sum(expr(s"CAST((CAST(u_ny AS $dec) * w_y * 1000000) div n_ny AS BIGINT)"))
+          .as("num_micro"),
+        max(col("w")).as("w"))
+      .select(col("c_nationkey"), col("observed"), col("n_orders"),
+        expr("CAST(num_micro div w AS BIGINT)").as("adj_rate_micro"),
+        expr(s"""CAST((CAST(observed AS $dec) * 1000000) div n_orders
+                 AS BIGINT)""").as("crude_rate_micro"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val directStandardizationSql =
+    """WITH cells AS (
+      |  SELECT c_nationkey, year(CAST(o_orderdate AS DATE)) AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ny,
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS u_ny
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), wt AS (
+      |  SELECT y, CAST(SUM(n_ny) AS BIGINT) AS w_y FROM cells GROUP BY 1
+      |), tw AS (
+      |  SELECT CAST(SUM(w_y) AS BIGINT) AS w FROM wt
+      |), e AS (
+      |  SELECT c_nationkey, CAST(SUM(u_ny) AS BIGINT) AS observed,
+      |    CAST(SUM(n_ny) AS BIGINT) AS n_orders,
+      |    CAST(SUM((CAST(u_ny AS HUGEINT) * w_y * 1000000) // n_ny)
+      |      AS BIGINT) AS num_micro,
+      |    MAX(w) AS w
+      |  FROM cells JOIN wt USING (y), tw
+      |  GROUP BY 1
+      |)
+      |SELECT c_nationkey, observed, n_orders,
+      |  CAST(num_micro // w AS BIGINT) AS adj_rate_micro,
+      |  CAST((CAST(observed AS HUGEINT) * 1000000) // n_orders AS BIGINT)
+      |    AS crude_rate_micro
+      |FROM e
+      |ORDER BY c_nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q514_direct_standardization", directStandardization,
+      Some(directStandardizationSql),
+      "directly standardized urgency rates per nation (own year rates " +
+        "on the global calendar mix, floored micro) next to the crude " +
+        "rate — the textbook pair to q507's indirect SMR"),
     Q("q507_smr_urgency", smrUrgency, Some(smrUrgencySql),
       "indirectly standardized urgency ratio per nation (year-rate " +
         "expectations in floored micro-units) — the SMR adjustment " +
