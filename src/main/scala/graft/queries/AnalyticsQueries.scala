@@ -4250,7 +4250,118 @@ object AnalyticsQueries {
         |    AS partial_ord_spend_given_bal
         |FROM q""".stripMargin)
 
+  /** DUNN'S POST-HOC test — the pairwise follow-up q437's omnibus
+    * Kruskal–Wallis demands: WHICH of the ten priority pairs actually
+    * differ, on the pooled midranks with the tie-corrected variance,
+    * flagged at the Bonferroni 0.05/10 critical z (2.807034). Doubled
+    * midranks 2·#below + ties + 1 stay integral; per-group rank sums
+    * come from ONE GlobalRank prefix pass over the value-domain
+    * histogram; the ten z's assemble on a 5-row frame. */
+  def dunnPosthoc(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist = Catalog.load(spark, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .groupBy(col("v"))
+      .agg(sum((col("g") === 1).cast("long")).as("c1"),
+        (2 to 5).map(i =>
+          sum((col("g") === i).cast("long")).as(s"c$i")): _*)
+      .withColumn("t", (1 to 5).map(i => col(s"c$i")).reduce(_ + _))
+    val cum = graft.ops.GlobalRank.withRunningSum(
+      hist, Seq(col("v")), col("t"), "cum_t")
+      .withColumn("mr2", (col("cum_t") - col("t")) * 2 + col("t") + 1)
+    val aggs = Seq(sum(col("t")).as("n"),
+      sum(expr(s"CAST(CAST(t AS $dec) * t * t - t AS $dec)")).as("tie")) ++
+      (1 to 5).flatMap(i => Seq(sum(col(s"c$i")).as(s"n$i"),
+        sum(expr(s"CAST(CAST(c$i AS $dec) * mr2 AS $dec)")).as(s"r2_$i")))
+    val one = cum.agg(aggs.head, aggs.tail: _*)
+    val groups = one.select(col("n"), col("tie"),
+        explode(array((1 to 5).map(i => struct(lit(i).as("g"),
+          col(s"n$i").as("ng"), col(s"r2_$i").as("r2"))): _*)).as("s"))
+      .select(col("n"), col("tie"), col("s.g").as("g"),
+        col("s.ng").as("ng"), col("s.r2").as("r2"))
+      .localCheckpoint(false)
+    val a = groups.select(col("n"), col("tie"), col("g").as("ga"),
+      col("ng").as("na"), col("r2").as("ra"))
+    val b = groups.select(col("g").as("gb"), col("ng").as("nb"),
+      col("r2").as("rb"))
+    a.join(b, col("ga") < col("gb"))
+      .withColumn("mdiff",
+        expr(s"CAST(ra * nb - rb * na AS $dec)").cast("double")
+          / expr(s"CAST(2 * CAST(na AS $dec) * nb AS $dec)").cast("double"))
+      .withColumn("var_all",
+        expr(s"CAST(CAST(n AS $dec) * (n + 1) AS $dec)").cast("double")
+          / lit(12.0)
+          - col("tie").cast("double")
+          / (lit(12.0) * (col("n") - 1).cast("double")))
+      .withColumn("sigma",
+        sqrt(col("var_all") * (lit(1.0) / col("na").cast("double")
+          + lit(1.0) / col("nb").cast("double"))))
+      .select(col("ga").as("g_lo"), col("gb").as("g_hi"),
+        col("na").as("n_lo"), col("nb").as("n_hi"),
+        (col("mdiff") / col("sigma")).as("z"))
+      .withColumn("significant", abs(col("z")) > lit(2.807034))
+      .orderBy(col("g_lo"), col("g_hi"))
+  }
+
+  private val dunnPosthocSql = {
+    val cSums = (1 to 5).map(i =>
+      s"CAST(SUM(CASE WHEN g = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i")
+      .mkString(",\n       |    ")
+    s"""WITH o AS (
+       |  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders
+       |), hist AS (
+       |  SELECT v,
+       |    $cSums,
+       |    CAST(COUNT(*) AS BIGINT) AS t
+       |  FROM o GROUP BY 1
+       |), cum AS (
+       |  SELECT *, (CAST(SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) - t) * 2 + t + 1 AS mr2
+       |  FROM hist
+       |), one AS (
+       |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+       |    SUM(CAST(t AS HUGEINT) * t * t - t) AS tie,
+       |    ${(1 to 5).map(i =>
+      s"""CAST(SUM(c$i) AS BIGINT) AS n$i,
+         |    SUM(CAST(c$i AS HUGEINT) * mr2) AS r2_$i""".stripMargin)
+      .mkString(",\n       |    ")}
+       |  FROM cum
+       |), groups AS (
+       |  ${(1 to 5).map(i =>
+      s"SELECT n, tie, $i AS g, n$i AS ng, r2_$i AS r2 FROM one")
+      .mkString("\n       |  UNION ALL\n       |  ")}
+       |), p AS (
+       |  SELECT a.n, a.tie, a.g AS g_lo, b.g AS g_hi,
+       |    a.ng AS n_lo, b.ng AS n_hi,
+       |    CAST(CAST(a.r2 * b.ng - b.r2 * a.ng AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(2 * CAST(a.ng AS HUGEINT) * b.ng AS VARCHAR)
+       |        AS DOUBLE) AS mdiff,
+       |    CAST(CAST(CAST(a.n AS HUGEINT) * (a.n + 1) AS VARCHAR)
+       |      AS DOUBLE) / 12.0
+       |      - CAST(CAST(a.tie AS VARCHAR) AS DOUBLE)
+       |        / (12.0 * CAST(a.n - 1 AS DOUBLE)) AS var_all
+       |  FROM groups a JOIN groups b ON a.g < b.g
+       |)
+       |SELECT g_lo, g_hi, n_lo, n_hi,
+       |  mdiff / sqrt(var_all
+       |    * (1.0 / CAST(n_lo AS DOUBLE) + 1.0 / CAST(n_hi AS DOUBLE)))
+       |    AS z,
+       |  abs(mdiff / sqrt(var_all
+       |    * (1.0 / CAST(n_lo AS DOUBLE) + 1.0 / CAST(n_hi AS DOUBLE))))
+       |    > 2.807034 AS significant
+       |FROM p
+       |ORDER BY g_lo, g_hi""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q516_dunn_posthoc", dunnPosthoc, Some(dunnPosthocSql),
+      "Dunn's post-hoc pairwise z over the ten priority pairs " +
+        "(pooled doubled midranks from one GlobalRank pass, tie-" +
+        "corrected variance, Bonferroni flags) — the follow-up q437's " +
+        "omnibus demands"),
     Q("q512_partial_corr", partialCorr, Some(partialCorrSql),
       "partial correlations among balance/order-count/spend with the " +
         "third variable controlled — the mediation readout next to " +
