@@ -1800,7 +1800,79 @@ object TextQueries {
       |  CAST(SUM(masked) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS mask_ratio
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- vocabulary richness estimators ------------------------------------------
+
+  /** VOCABULARY RICHNESS panel per source — the ecology estimators
+    * that answer "how much vocabulary does this source have that we
+    * have NOT yet seen" (q480's capture–recapture needs a split; these
+    * work from one sample's frequency-of-frequencies): Chao1
+    * D + f₁²/(2f₂), first-order jackknife D + f₁·(n−1)/n, Good–Turing
+    * coverage 1 − f₁/N, and Berger–Parker dominance max(c)/N. All from
+    * one (source, token) count reduction — f₁/f₂ are singleton/
+    * doubleton type counts — exact integers with one floored micro
+    * division per estimator. */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tc = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    tc.groupBy(col("source"))
+      .agg(count(lit(1)).as("d_types"), sum(col("c")).as("n_tokens"),
+        sum((col("c") === 1).cast("long")).as("f1"),
+        sum((col("c") === 2).cast("long")).as("f2"),
+        max(col("c")).as("max_c"))
+      .select(col("source"), col("d_types"), col("n_tokens"), col("f1"),
+        col("f2"),
+        (col("d_types") * 1000000L
+          + expr(s"""CAST(CASE WHEN f2 > 0
+                     THEN (CAST(f1 AS $dec) * f1 * 1000000) div (2 * f2)
+                     ELSE CAST(f1 AS $dec) * (f1 - 1) * 500000 END
+                     AS BIGINT)""")).as("chao1_micro"),
+        (col("d_types") * 1000000L
+          + expr(s"""CAST((CAST(f1 AS $dec) * (d_types - 1) * 1000000)
+                     div d_types AS BIGINT)""")).as("jackknife1_micro"),
+        expr(s"""CAST(1000000 - (CAST(f1 AS $dec) * 1000000) div n_tokens
+                 AS BIGINT)""").as("gt_coverage_micro"),
+        expr(s"""CAST((CAST(max_c AS $dec) * 1000000) div n_tokens
+                 AS BIGINT)""").as("berger_parker_micro"))
+      .orderBy(col("source"))
+  }
+
+  private val vocabRichnessSql =
+    """WITH tc AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE text IS NOT NULL) u
+      |  WHERE tok <> ''
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS d_types,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |    MAX(c) AS max_c
+      |  FROM tc GROUP BY 1
+      |)
+      |SELECT source, d_types, n_tokens, f1, f2,
+      |  d_types * 1000000 + CAST(CASE WHEN f2 > 0
+      |    THEN (CAST(f1 AS HUGEINT) * f1 * 1000000) // (2 * f2)
+      |    ELSE CAST(f1 AS HUGEINT) * (f1 - 1) * 500000 END AS BIGINT)
+      |    AS chao1_micro,
+      |  d_types * 1000000 + CAST((CAST(f1 AS HUGEINT) * (d_types - 1)
+      |    * 1000000) // d_types AS BIGINT) AS jackknife1_micro,
+      |  CAST(1000000 - (CAST(f1 AS HUGEINT) * 1000000) // n_tokens
+      |    AS BIGINT) AS gt_coverage_micro,
+      |  CAST((CAST(max_c AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
+      |    AS berger_parker_micro
+      |FROM m ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q517_vocab_richness", vocabRichness, Some(vocabRichnessSql),
+      "vocabulary richness panel per source: Chao1 + jackknife-1 " +
+        "unseen-type estimators, Good-Turing coverage, Berger-Parker " +
+        "dominance — all from one frequency-of-frequencies reduction"),
     Q("q490_span_corruption_plan", spanCorruptionPlan,
       Some(spanCorruptionPlanSql),
       "T5 span-corruption budget per source (spans, masked tokens, " +
