@@ -169,4 +169,58 @@ object GlobalRank {
     ck.withColumn(out, sum(col(v)).over(localW) + offset)
       .drop(IdCol, v)
   }
+
+  /** [[withRunningSum]] for SEVERAL exact integral columns in ONE range
+    * shuffle, one offset-collect job and one local window pass — the
+    * k-column form per-group prefix sums need (k chained single-column
+    * calls pay k range shuffles and k checkpoints for identical
+    * layouts; q511 measured 5 passes at ~4 s vs ~1 s fused).
+    * Bit-identical to the chained form: integer partial sums
+    * reassociate freely and all k window functions share one
+    * WindowExec over the same pinned layout. */
+  def withRunningSums(df: DataFrame, order: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(values.nonEmpty, "withRunningSums needs at least one column")
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val vNames = values.indices.map(i => s"__grank_mv_$i")
+    val withVals = values.zip(vNames).foldLeft(df) {
+      case (d, ((c, _), vn)) => d.withColumn(vn, c)
+    }
+    val ck = withVals
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(IdCol, monotonically_increasing_id())
+      .localCheckpoint(false)
+    vNames.foreach { vn =>
+      require(ck.schema(vn).dataType == org.apache.spark.sql.types.LongType,
+        s"withRunningSums needs exact LongType values, " +
+          s"got ${ck.schema(vn).dataType} for $vn")
+    }
+    val sumAggs = vNames.map(vn => sum(col(vn)).as(s"s_$vn"))
+    val sums = ck.groupBy(shiftright(col(IdCol), 33).as("pid"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), vNames.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val acc = Array.fill(values.length)(0L)
+    val offsets = sums.map { case (p, ss) =>
+      val base = acc.clone().toSeq
+      ss.zipWithIndex.foreach { case (s, i) => acc(i) += s }
+      (p, base)
+    }
+    val pid = shiftright(col(IdCol), 33)
+    val localW = Window.partitionBy(pid)
+      .orderBy(col(IdCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOuts = values.zip(vNames).zipWithIndex.foldLeft(ck) {
+      case (d, (((_, out), vn), i)) =>
+        val offset = offsets.foldLeft(lit(0L)) { case (e, (p, os)) =>
+          when(pid === p, lit(os(i))).otherwise(e)
+        }
+        d.withColumn(out, sum(col(vn)).over(localW) + offset)
+    }
+    withOuts.drop(IdCol).drop(vNames: _*)
+  }
 }

@@ -4110,10 +4110,10 @@ object AnalyticsQueries {
     * the priorities are ordinal by construction, q470's trend logic
     * for a continuous response). J = Σ_{g<h} #(x_g < x_h), doubled to
     * keep half-ties integral: the value-domain histogram is pivoted to
-    * per-group counts, five GlobalRank running sums give each group's
-    * strictly-below prefix (no single-partition and no 5-partition
-    * window), and J₂ accumulates exactly; z uses the closed-form null
-    * moments. */
+    * per-group counts, ONE fused GlobalRank pass gives all five
+    * groups' strictly-below prefixes (no single-partition and no
+    * 5-partition window, one range shuffle), and J₂ accumulates
+    * exactly; z uses the closed-form null moments. */
   def jonckheere(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
     val hist = Catalog.load(spark, dir, "orders")
@@ -4123,10 +4123,8 @@ object AnalyticsQueries {
       .agg(sum((col("g") === 1).cast("long")).as("c1"),
         (2 to 5).map(i =>
           sum((col("g") === i).cast("long")).as(s"c$i")): _*)
-    val cum = (1 to 5).foldLeft(hist) { (df, i) =>
-      graft.ops.GlobalRank.withRunningSum(
-        df, Seq(col("v")), col(s"c$i"), s"cum$i")
-    }
+    val cum = graft.ops.GlobalRank.withRunningSums(hist, Seq(col("v")),
+      (1 to 5).map(i => (col(s"c$i"), s"cum$i")))
     val row = cum.select((Seq(col("v")) ++
       (1 to 5).map(i => col(s"c$i")) ++
       (1 to 5).map(i => (col(s"cum$i") - col(s"c$i")).as(s"lt$i"))): _*)

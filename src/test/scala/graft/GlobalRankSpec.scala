@@ -99,6 +99,27 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withRunningSums (fused multi-column) ≡ k chained withRunningSum " +
+    "calls, bit for bit") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 500)
+      .map(i => (rnd.nextInt(50), i.toLong, rnd.nextInt(9).toLong,
+        rnd.nextInt(9).toLong, rnd.nextInt(9).toLong))
+      .toDF("v", "id", "a", "b", "c")
+    val fused = GlobalRank.withRunningSums(df, Seq(col("v"), col("id")),
+        Seq((col("a"), "ca"), (col("b"), "cb"), (col("c"), "cc")))
+      .select("id", "ca", "cb", "cc")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val chained = Seq(("a", "ca"), ("b", "cb"), ("c", "cc"))
+      .foldLeft(df) { case (d, (in, out)) =>
+        GlobalRank.withRunningSum(d, Seq(col("v"), col("id")),
+          col(in), out)
+      }
+      .select("id", "ca", "cb", "cc")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(fused.toSeq == chained.toSeq)
+  }
+
   test("ntile formula handles the n just below/above k*threshold edges") {
     // exhaustive small sweep: every (n, k) with n <= 25, k <= 8
     for (n <- 0 to 25; k <- 1 to 8) {
