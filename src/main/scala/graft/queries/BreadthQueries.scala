@@ -1023,7 +1023,12 @@ object BreadthQueries {
     * decimal(38,0) keeps n·xᵢ exact at any corpus size, and the single
     * final division goes decimal→double (correctly rounded on the
     * Spark side; the oracle mirrors through VARCHAR per the Det.scala
-    * recipe). */
+    * recipe). The audit column `abs_dev` is ALSO emitted as the
+    * correctly-rounded double, not the raw decimal(38,0): DuckDB's
+    * pandas bridge renders wide decimals as float64 while parquet
+    * decimals arrive as object(Decimal), so a raw decimal output column
+    * hash-diverges at the driver even when the values are identical
+    * (the r11 q462/q470 lesson). */
   def hooverIndex(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
     val per = Catalog.load(spark, dir, "orders")
@@ -1036,7 +1041,7 @@ object BreadthQueries {
         sum(abs(col("n").cast(dec) * col("cents") - col("s")))
           .as("abs_dev"))
       .select(col("n_customers"), col("total_cents"),
-        col("abs_dev").cast("decimal(38,0)").as("abs_dev"),
+        col("abs_dev").cast("decimal(38,0)").cast("double").as("abs_dev"),
         (col("abs_dev").cast("double") /
           (lit(2).cast(dec) * col("n_customers") * col("total_cents"))
             .cast("double")).as("hoover"))
@@ -1057,7 +1062,7 @@ object BreadthQueries {
       |  FROM per, t
       |)
       |SELECT n_customers, total_cents,
-      |  CAST(CAST(abs_dev AS VARCHAR) AS DECIMAL(38,0)) AS abs_dev,
+      |  CAST(CAST(abs_dev AS VARCHAR) AS DOUBLE) AS abs_dev,
       |  CAST(CAST(abs_dev AS VARCHAR) AS DOUBLE)
       |    / CAST(CAST(CAST(2 AS HUGEINT) * n_customers * total_cents
       |        AS VARCHAR) AS DOUBLE) AS hoover
@@ -1141,7 +1146,10 @@ object BreadthQueries {
     * z² = T²·N / (A·(N−A)·(N·Σnᵢsᵢ² − (Σnᵢsᵢ)²)) — numerator and
     * denominator cross-multiplied decimal(38,0) integers, ONE final
     * division through the correctly-rounded decimal→double cast (the
-    * oracle mirrors via VARCHAR per the Det recipe). */
+    * oracle mirrors via VARCHAR per the Det recipe). `t_num` (which can
+    * be negative — a declining trend) is emitted as the
+    * correctly-rounded double, not raw decimal(38,0), for the same
+    * driver-rendering reason documented at [[hooverIndex]]. */
   def cochranArmitage(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
     val firstShip = Catalog.load(spark, dir, "lineitem")
@@ -1161,7 +1169,8 @@ object BreadthQueries {
         sum(col("s") * col("s") * col("ni")).as("ssn"))
       .withColumn("t_num",
         expr(s"CAST(CAST(nn AS $dec) * sa - CAST(aa AS $dec) * sn AS $dec)"))
-      .select(col("nn").as("n"), col("aa").as("n_fast"), col("t_num"),
+      .select(col("nn").as("n"), col("aa").as("n_fast"),
+        col("t_num").cast("double").as("t_num"),
         (expr(s"CAST(t_num * t_num AS $dec)").cast("double")
           * col("nn").cast("double") /
           expr(s"CAST(CAST(aa AS $dec) * (nn - aa) * (CAST(nn AS $dec) * ssn - CAST(sn AS $dec) * sn) AS $dec)")
@@ -1190,7 +1199,7 @@ object BreadthQueries {
       |)
       |SELECT nn AS n, aa AS n_fast,
       |  CAST(CAST(CAST(nn AS HUGEINT) * sa - CAST(aa AS HUGEINT) * sn
-      |    AS VARCHAR) AS DECIMAL(38,0)) AS t_num,
+      |    AS VARCHAR) AS DOUBLE) AS t_num,
       |  CAST(CAST((CAST(nn AS HUGEINT) * sa - CAST(aa AS HUGEINT) * sn)
       |      * (CAST(nn AS HUGEINT) * sa - CAST(aa AS HUGEINT) * sn)
       |      AS VARCHAR) AS DOUBLE)
