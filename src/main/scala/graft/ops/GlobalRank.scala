@@ -24,8 +24,14 @@ import org.apache.spark.sql.functions._
   *      SAME pids even under AQE partition coalescing;
   *   4. per-partition counts (≤ numShufflePartitions rows) are
   *      collected driver-side — a manifest-sized collect, same class
-  *      as k-means seeds — and folded into a broadcast-free `when`
-  *      chain of cumulative bases: `rn = base(pid) + pos + 1`.
+  *      as k-means seeds — and folded into ONE array literal of
+  *      cumulative bases indexed by pid: `rn = bases[pid] + pos + 1`
+  *      via `element_at`, an O(1) lookup per row. (The first cut was
+  *      a nested `when` chain — O(numShufflePartitions) branches PER
+  *      ROW per output column, which at a realistic 2,000–10,000
+  *      shuffle partitions blows the 64 KB codegen method limit into
+  *      interpreted fallback. The array literal is a single codegen
+  *      reference regardless of partition count.)
   *
   * The order MUST be total (include a unique tiebreak) for the result
   * to be deterministic — same contract as the window form. Bucket
@@ -52,6 +58,28 @@ object GlobalRank {
 
   private val IdCol = "__grank_id"
   private val PosMask = (1L << 33) - 1
+
+  /** Fold driver-side per-pid values into a DENSE cumulative-base array
+    * (index = pid; empty pids carry the running base unchanged, so any
+    * pid a live row can hold resolves correctly) and return the O(1)
+    * per-row lookup `bases[pid]` as a Column. `element_at` over an
+    * array LITERAL is a single codegen reference — constant-size
+    * bytecode at ANY shuffle-partition count, unlike a when-chain whose
+    * branch count grows with the partition count and falls out of
+    * whole-stage codegen past the 64 KB method limit. */
+  private def cumulativeBase(pid: Column, perPid: Seq[(Long, Long)])
+      : (Column, Long) = {
+    val m = perPid.toMap
+    val maxPid = if (perPid.isEmpty) -1L else perPid.map(_._1).max
+    var acc = 0L
+    val dense = (0L to maxPid).map { p =>
+      val b = acc; acc += m.getOrElse(p, 0L); b
+    }.toArray
+    val base =
+      if (dense.isEmpty) lit(0L)
+      else element_at(typedLit(dense.toSeq), (pid + lit(1L)).cast("int"))
+    (base, acc)
+  }
 
   /** Exact integer division for Column args (`a div b` for non-negative
     * longs) that never routes through doubles: `(a - a mod b) / b` on
@@ -91,14 +119,10 @@ object GlobalRank {
   def withRowNumberAndTotal(df: DataFrame, order: Seq[Column], out: String)
       : (DataFrame, Long) = {
     val (ck, counts) = pinned(df, order)
-    var acc = 0L
-    val bases = counts.map { case (pid, c) => val b = acc; acc += c; (pid, b) }
     val pid = shiftright(col(IdCol), 33)
-    val base = bases.foldLeft(lit(0L)) { case (e, (p, b)) =>
-      when(pid === p, lit(b)).otherwise(e)
-    }
+    val (base, total) = cumulativeBase(pid, counts)
     val rn = (col(IdCol).bitwiseAND(lit(PosMask)) + base + lit(1L)).as(out)
-    (ck.withColumn(out, rn).drop(IdCol), acc)
+    (ck.withColumn(out, rn).drop(IdCol), total)
   }
 
   /** Spark's exact `NTile(k)` bucket from a 1-based row number and the
@@ -138,7 +162,10 @@ object GlobalRank {
     * standard exact-accumulation shape): integer addition reassociates
     * freely, so per-partition partial sums + broadcast prefix offsets
     * give bit-identical results; a DOUBLE column would change the FP
-    * association and is rejected. The local cumsum window partitions by
+    * association and is rejected. NULLs are skipped exactly like the
+    * window form (the cumsum stays NULL until the first non-null of the
+    * whole order, then carries across all-null stretches — including
+    * whole all-null range partitions). The local cumsum window partitions by
     * the range-partition id, so each window task holds one shuffle
     * partition — bounded by partition size, never by frame size. */
   def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
@@ -154,19 +181,25 @@ object GlobalRank {
       .localCheckpoint(false)
     require(ck.schema(v).dataType == org.apache.spark.sql.types.LongType,
       s"withRunningSum needs an exact LongType value, got ${ck.schema(v).dataType}")
+    // NULL fidelity with the window form: sum().over skips nulls and is
+    // NULL only until the first non-null of the WHOLE order. So carry
+    // (coalesced sum, non-null count) per partition — the coalesce keeps
+    // an all-NULL partition from NPE-ing the offset collect, and the
+    // cumulative count decides null-vs-carried-sum exactly.
     val sums = ck.groupBy(shiftright(col(IdCol), 33).as("pid"))
-      .agg(sum(col(v)).as("s"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = sums.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
+      .agg(coalesce(sum(col(v)), lit(0L)).as("s"), count(col(v)).as("nn"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).sortBy(_._1)
     val pid = shiftright(col(IdCol), 33)
-    val offset = offsets.foldLeft(lit(0L)) { case (e, (p, o)) =>
-      when(pid === p, lit(o)).otherwise(e)
-    }
+    val (offset, _) = cumulativeBase(pid, sums.map { case (p, (s, _)) => (p, s) })
+    val (cntOff, _) = cumulativeBase(pid, sums.map { case (p, (_, c)) => (p, c) })
     val localW = Window.partitionBy(pid)
       .orderBy(col(IdCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ck.withColumn(out, sum(col(v)).over(localW) + offset)
+    val cum = when(count(col(v)).over(localW) + cntOff === 0,
+        lit(null).cast("long"))
+      .otherwise(coalesce(sum(col(v)).over(localW), lit(0L)) + offset)
+    ck.withColumn(out, cum)
       .drop(IdCol, v)
   }
 
@@ -198,28 +231,31 @@ object GlobalRank {
         s"withRunningSums needs exact LongType values, " +
           s"got ${ck.schema(vn).dataType} for $vn")
     }
-    val sumAggs = vNames.map(vn => sum(col(vn)).as(s"s_$vn"))
+    // (coalesced sum, non-null count) per column — NULL fidelity with
+    // the window form, same recipe as withRunningSum.
+    val sumAggs = vNames.flatMap(vn => Seq(
+      coalesce(sum(col(vn)), lit(0L)).as(s"s_$vn"),
+      count(col(vn)).as(s"n_$vn")))
     val sums = ck.groupBy(shiftright(col(IdCol), 33).as("pid"))
       .agg(sumAggs.head, sumAggs.tail: _*)
       .collect()
-      .map(r => (r.getLong(0), vNames.indices.map(i => r.getLong(i + 1))))
+      .map(r => (r.getLong(0),
+        vNames.indices.map(i => (r.getLong(2 * i + 1), r.getLong(2 * i + 2)))))
       .sortBy(_._1)
-    val acc = Array.fill(values.length)(0L)
-    val offsets = sums.map { case (p, ss) =>
-      val base = acc.clone().toSeq
-      ss.zipWithIndex.foreach { case (s, i) => acc(i) += s }
-      (p, base)
-    }
     val pid = shiftright(col(IdCol), 33)
     val localW = Window.partitionBy(pid)
       .orderBy(col(IdCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withOuts = values.zip(vNames).zipWithIndex.foldLeft(ck) {
       case (d, (((_, out), vn), i)) =>
-        val offset = offsets.foldLeft(lit(0L)) { case (e, (p, os)) =>
-          when(pid === p, lit(os(i))).otherwise(e)
-        }
-        d.withColumn(out, sum(col(vn)).over(localW) + offset)
+        val (offset, _) =
+          cumulativeBase(pid, sums.map { case (p, ss) => (p, ss(i)._1) })
+        val (cntOff, _) =
+          cumulativeBase(pid, sums.map { case (p, ss) => (p, ss(i)._2) })
+        val cum = when(count(col(vn)).over(localW) + cntOff === 0,
+            lit(null).cast("long"))
+          .otherwise(coalesce(sum(col(vn)).over(localW), lit(0L)) + offset)
+        d.withColumn(out, cum)
     }
     withOuts.drop(IdCol).drop(vNames: _*)
   }

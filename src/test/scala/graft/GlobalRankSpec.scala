@@ -92,6 +92,27 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withRunningSum: NULL values (incl. all-null range partitions) " +
+    "match the window form's null-skipping sum") {
+    // Two null regimes in one frame: a leading null stretch (cumsum must
+    // stay NULL until the first non-null of the WHOLE order) and a long
+    // mid-order null stretch wide enough to swallow entire range
+    // partitions (cumsum must CARRY the prior sum, not go NULL — and the
+    // all-null partition must not NPE the offset collect).
+    val df = (0 until 800).map { i =>
+      val c = if (i < 50 || (i >= 200 && i < 600)) None else Some(i.toLong % 11)
+      (i / 4, i.toLong, c)
+    }.toDF("v", "id", "c")
+    val expected = df.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Option[Long])].collect().sorted
+    val got = GlobalRank.withRunningSum(df,
+        Seq(col("v"), col("id")), col("c"), "cum")
+      .select("id", "cum").as[(Long, Option[Long])].collect().sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("withRunningSum rejects non-exact value types") {
     val df = frame(10).withColumn("d", col("id").cast("double"))
     intercept[IllegalArgumentException] {
