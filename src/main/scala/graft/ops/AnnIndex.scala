@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   *     serve at zero). Rankings are bit-identical to the one-shot path
   *     (AnnIndexSpec) because recon depends only on (cell, codes,
   *     model), all of which round-trip parquet exactly.
+  *   - [[delete]]: row-level erasure WITHOUT a retrain — victims land
+  *     as a tombstone delta (`ann_tombstones`, the fourth family
+  *     member) and every serve anti-joins them out; [[compact]] folds
+  *     them into the codes rewrite and drops the table from the
+  *     snapshot; [[build]] clears them (the caller retrains over the
+  *     already-erased corpus). A GDPR erasure is one O(victims)
+  *     metadata transaction, not an O(corpus) retrain.
   *   - [[append]]: encode a NEW batch against the FROZEN model
   *     (the incremental-dedup admission pattern), stage only that
   *     batch's partition, and link everything else — model tables
@@ -55,6 +62,7 @@ object AnnIndex {
   val CentroidsTable = "ann_centroids"
   val CodebooksTable = "ann_codebooks"
   val CodesTable = "ann_codes"
+  val TombstonesTable = "ann_tombstones"
 
   /** Index hyperparameters, persisted implicitly by the published model
     * shapes (nCells = centroid rows, m = distinct subspaces, pqK = codes
@@ -138,7 +146,10 @@ object AnnIndex {
     * into an existing directory carries the admission ledger forward
     * (see the high-water notes above): batch ids stay monotone across
     * index generations, so a replay of a pre-rebuild epoch can never be
-    * re-admitted as fresh data. */
+    * re-admitted as fresh data. Any pending tombstones are CLEARED (the
+    * new journal omits the table): the caller retrains over the
+    * current, already-erased corpus, so the erase is physical in the
+    * new generation. */
   def build(emb: DataFrame, indexDir: String, p: Params = Params(),
       keep: Int = 3): Map[String, Long] = {
     val spark = emb.sparkSession
@@ -226,6 +237,74 @@ object AnnIndex {
     (coarse, books)
   }
 
+  /** Anti-join the snapshot's tombstones (if the snapshot carries any)
+    * out of a codes frame. Applied AFTER the probed-cell filter so the
+    * `In(cell, …)` parquet pushdown is untouched; the tombstone side is
+    * a small distinct key set (Catalyst broadcasts it), so the erase
+    * costs one broadcast-anti over already-pruned candidates — never a
+    * corpus shuffle. Indexes published before any [[delete]] have no
+    * tombstone member in their snapshot and skip the join entirely. */
+  private def antiTombstones(spark: SparkSession, indexDir: String,
+      snapshot: Map[String, Long], codes: DataFrame): DataFrame =
+    snapshot.get(TombstonesTable).fold(codes) { v =>
+      codes.join(
+        Versioned.read(spark, indexDir, TombstonesTable, Some(v))
+          .select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+    }
+
+  /** Row-level DELETE from the published index — the GDPR-erasure path.
+    * Victims (`vec_id` rows; extra columns ignored) are staged as one
+    * new tombstone batch partition; codes and model tables are LINKED
+    * unchanged, so the transaction stages O(victims) bytes and zero
+    * corpus data. Every subsequent [[serveTopK]] /
+    * [[serveTopKFiltered]] anti-joins the snapshot's tombstones out of
+    * the probed candidates, so an erased vector can never be returned —
+    * the serve ≡ filtered-serve-over-the-complement equivalence
+    * AnnIndexSpec pins bit-identically. Tombstones are folded into the
+    * data (and the table dropped from the snapshot) by the next
+    * [[compact]] or [[build]]; [[maybeRebuild]] counts deletion
+    * pressure toward its rebuild trigger. Deleting an id twice, or an
+    * id the index never held, is a harmless no-op (set semantics); an
+    * EMPTY victims frame returns the current snapshot untouched. */
+  def delete(victims: DataFrame, indexDir: String, keep: Int = 3)
+      : Map[String, Long] = {
+    val snapshot = Versioned.latestGroupVersions(indexDir)
+    val dedup = victims.select(col("vec_id")).distinct()
+    if (dedup.isEmpty) return snapshot
+    val (reuse, nextBatch) = snapshot.get(TombstonesTable) match {
+      case Some(v) =>
+        val m = Versioned.manifest(indexDir, TombstonesTable, v)
+          .getOrElse(throw new IllegalStateException(
+            s"$TombstonesTable v$v has no partition manifest"))
+        (m.entries,
+          m.entries.flatMap(_._1.toLongOption).foldLeft(-1L)(math.max) + 1L)
+      case None => (Seq.empty[(String, String)], 0L)
+    }
+    Versioned.publishGroupMembers(Seq(
+      Versioned.GroupLink(CentroidsTable, snapshot(CentroidsTable)),
+      Versioned.GroupLink(CodebooksTable, snapshot(CodebooksTable)),
+      Versioned.GroupLink(CodesTable, snapshot(CodesTable)),
+      Versioned.GroupDelta(TombstonesTable,
+        dedup.withColumn("batch", lit(nextBatch)), "batch", reuse)),
+      indexDir, keep)
+  }
+
+  /** (live codes rows, tombstoned ids) for the current snapshot — the
+    * deletion-pressure measurement [[maybeRebuild]] folds into its
+    * trigger. Counts only; never reads vectors. */
+  def deletionPressure(spark: SparkSession, indexDir: String): (Long, Long) = {
+    val snapshot = Versioned.latestGroupVersions(indexDir)
+    val tombs = snapshot.get(TombstonesTable) match {
+      case None => 0L
+      case Some(v) => Versioned.read(spark, indexDir, TombstonesTable, Some(v))
+        .select(col("vec_id")).distinct().count()
+    }
+    val codes = Versioned.read(spark, indexDir, CodesTable,
+      Some(snapshot(CodesTable))).count()
+    (codes, tombs)
+  }
+
   /** Serve top-k from the published index: resolve ONE group snapshot,
     * load its model (driver-sized, cached per model version), and run
     * ONLY the probe/rank stages ([[VectorOps.ivfPqRank]]). `queries` is
@@ -256,7 +335,8 @@ object AnnIndex {
       Some(snapshot(CodesTable)))
     val codes =
       if (probeCells.isEmpty) all.filter(lit(false)) // no queries → no scan
-      else all.filter(col("cell").isInCollection(probeCells.toSeq))
+      else antiTombstones(spark, indexDir, snapshot,
+        all.filter(col("cell").isInCollection(probeCells.toSeq)))
     VectorOps.ivfPqRank(codes, queries, k, coarse, books, nProbe, dim)
   }
 
@@ -292,7 +372,8 @@ object AnnIndex {
       Some(snapshot(CodesTable)))
     val codes =
       if (probeCells.isEmpty) all.filter(lit(false))
-      else all.filter(col("cell").isInCollection(probeCells.toSeq))
+      else antiTombstones(spark, indexDir, snapshot,
+        all.filter(col("cell").isInCollection(probeCells.toSeq)))
         .join(allowed.select(col("vec_id")).distinct(), Seq("vec_id"),
           "left_semi")
     VectorOps.ivfPqRank(codes, queries, k, coarse, books, nProbe, dim)
@@ -315,9 +396,7 @@ object AnnIndex {
     val snapshot = Versioned.latestGroupVersions(indexDir)
     val (coarse, books) = loadModelAt(spark, indexDir, snapshot)
     val dim = coarse.head._2.length
-    val current = Map(CentroidsTable -> snapshot(CentroidsTable),
-      CodebooksTable -> snapshot(CodebooksTable),
-      CodesTable -> snapshot(CodesTable))
+    val current = snapshot
     if (batch.isEmpty) return current
     val reuse = Versioned.manifest(indexDir, CodesTable,
         snapshot(CodesTable))
@@ -341,10 +420,15 @@ object AnnIndex {
     val codes = VectorOps.ivfPqEncodeWith(batch, coarse, books, dim)
       .withColumn("batch", lit(batchId))
       .sortWithinPartitions(col("cell"), col("vec_id")) // IVF layout, as in build
+    // tombstones (if any) ride along at their current version — an
+    // append must never resurrect erased ids by dropping the tombstone
+    // member from the snapshot
     val published = Versioned.publishGroupMembers(Seq(
       Versioned.GroupLink(CentroidsTable, snapshot(CentroidsTable)),
       Versioned.GroupLink(CodebooksTable, snapshot(CodebooksTable)),
-      Versioned.GroupDelta(CodesTable, codes, "batch", reuse)),
+      Versioned.GroupDelta(CodesTable, codes, "batch", reuse)) ++
+      snapshot.get(TombstonesTable)
+        .map(v => Versioned.GroupLink(TombstonesTable, v)).toSeq,
       indexDir, keep)
     // ledger AFTER the commit: an id is only "admitted" once its data is
     // readable (a crash before this line is re-caught by the manifest)
@@ -392,8 +476,13 @@ object AnnIndex {
   def compact(spark: SparkSession, indexDir: String,
       keep: Int = 3): Map[String, Long] = {
     val snapshot = Versioned.latestGroupVersions(indexDir)
-    val merged = Versioned.read(spark, indexDir, CodesTable,
-        Some(snapshot(CodesTable)))
+    // tombstones FOLD IN here: the rewrite anti-joins erased ids out of
+    // the merged codes, and the new group journal simply omits the
+    // tombstone member — the erase becomes physical and the snapshot
+    // carries no tombstone table until the next delete
+    val merged = antiTombstones(spark, indexDir, snapshot,
+        Versioned.read(spark, indexDir, CodesTable,
+          Some(snapshot(CodesTable))))
       .select(col("vec_id"), col("cell"), col("codes"),
         lit(0L).as("batch"))
       .sortWithinPartitions(col("cell"), col("vec_id")) // restore IVF layout
@@ -446,20 +535,30 @@ object AnnIndex {
   }
 
   /** The measured rebuild trigger: audit the current snapshot's recall
-    * and, when it has drifted below `minRecall`, retrain over `corpus`
-    * ([[build]] — new model generation, ledger carried forward) and
-    * re-audit. Returns one decision row either way, so a scheduler can
-    * log the drift → rebuild loop per run. */
+    * and, when it has drifted below `minRecall` — or when DELETION
+    * PRESSURE (tombstoned ids / live codes, see [[deletionPressure]])
+    * reaches `maxDeletedFrac` — retrain over `corpus` ([[build]] — new
+    * model generation, ledger carried forward, tombstones cleared) and
+    * re-audit. Deletions count toward drift because the quantizer was
+    * trained on a distribution that erased rows no longer represent,
+    * and every serve pays the anti-join until a rewrite folds them in.
+    * Returns one decision row either way, so a scheduler can log the
+    * drift → rebuild loop per run. */
   def maybeRebuild(corpus: DataFrame, indexDir: String, minRecall: Double,
       nQueries: Int = 32, k: Int = 10, nProbe: Int = 6,
-      p: Params = Params(), keep: Int = 3): DataFrame = {
+      p: Params = Params(), keep: Int = 3,
+      maxDeletedFrac: Double = 1.0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     def audit() = recallAudit(spark, indexDir, corpus, nQueries, k, nProbe)
       .select(col("codes_version"), col("recall_at_k"))
       .as[(Long, Double)].head()
     val (vBefore, rBefore) = audit()
-    val rebuilt = rBefore < minRecall
+    val deletePressured = maxDeletedFrac < 1.0 && {
+      val (codes, tombs) = deletionPressure(spark, indexDir)
+      tombs > 0 && tombs.toDouble / math.max(codes, 1L) >= maxDeletedFrac
+    }
+    val rebuilt = rBefore < minRecall || deletePressured
     if (rebuilt) build(corpus, indexDir, p, keep)
     val (vAfter, rAfter) = if (rebuilt) audit() else (vBefore, rBefore)
     Seq((vBefore, rBefore, minRecall, rebuilt, vAfter, rAfter))

@@ -321,6 +321,145 @@ object VectorQueries {
       new org.apache.hadoop.fs.Path(idx))
   }
 
+  /** Row-level DELETE lifecycle, end-to-end and SELF-AUDITING: build a
+    * fresh index over the corpus, tombstone every vec_id ≡ 3 (mod 7)
+    * ([[graft.ops.AnnIndex.delete]] — an O(victims) metadata
+    * transaction, codes and model linked unchanged), then emit ONE row
+    * whose values ARE the lifecycle contract: zero erased ids served
+    * (`n_violations`), serve-after-delete bit-identical to the
+    * filtered serve over the complement (`matches_complement` — the
+    * anti-join ≡ semi-join equivalence AnnIndexSpec pins), tombstones
+    * folded physically by compact (`tombstones_after_compact`,
+    * `codes_after_compact`) with the serve unchanged
+    * (`serve_stable_after_compact`). Deterministic fixture facts, so
+    * the driver's rows-only artifact carries the full erase audit, not
+    * just a row count. */
+  def annDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    if (e.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Boolean, Long, Long, Boolean)]
+        .toDF("n_corpus", "n_victims", "n_served", "n_violations",
+          "matches_complement", "tombstones_after_compact",
+          "codes_after_compact", "serve_stable_after_compact")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ann_delete_").toString
+    try {
+      graft.ops.AnnIndex.build(e, idx)
+      val queries = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val victimPred = col("vec_id") % 7 === 3
+      val victims = e.filter(victimPred).select(col("vec_id"))
+      val victimSet = victims.as[Long].collect().toSet
+      val expected = graft.ops.AnnIndex.serveTopKFiltered(spark, idx,
+          queries, e.filter(!victimPred).select(col("vec_id")), K)
+        .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      graft.ops.AnnIndex.delete(victims, idx)
+      def serve() = graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
+        .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val served = serve()
+      graft.ops.AnnIndex.compact(spark, idx)
+      val after = serve()
+      val (codesRows, tombs) = graft.ops.AnnIndex.deletionPressure(spark, idx)
+      Seq((e.count(), victimSet.size.toLong, served.length.toLong,
+          served.count(r => victimSet(r._3)).toLong,
+          served.toSeq == expected.toSeq, tombs, codesRows,
+          after.toSeq == served.toSeq))
+        .toDF("n_corpus", "n_victims", "n_served", "n_violations",
+          "matches_complement", "tombstones_after_compact",
+          "codes_after_compact", "serve_stable_after_compact")
+    } finally graft.pipelines.Fs.deleteRecursive(
+      new org.apache.hadoop.fs.Path(idx))
+  }
+
+  /** Deterministic end-to-end recall statement for the FILTERED serve
+    * (the CORRECTNESS-artifact promotion of q459's spec-only pins): the
+    * fixed query sample (vec_id < NQ) served through the session index
+    * under the fixed label ∈ {3,7} filter, scored against EXACT
+    * brute-force cosine over the admitted corpus. One row: sample size,
+    * ground-truth size, hits, recall@k, and the soundness count of
+    * served rows violating the filter (must be 0). All inputs are
+    * fixture facts and the quantizer is deterministically seeded, so
+    * the emitted recall is a stable number the driver's artifact
+    * records per round. */
+  def annFilteredRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    if (e.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Double, Long)]
+        .toDF("n_queries", "k", "n_truth", "n_hits", "recall_at_k",
+          "n_disallowed")
+    val idx = sessionIndex(spark, dir)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val allowedPred = col("label").isin(3, 7)
+    val allowed = e.filter(allowedPred).select(col("vec_id"))
+    val allowedSet = allowed.as[Long].collect().toSet
+    val served = graft.ops.AnnIndex
+      .serveTopKFiltered(spark, idx, queries, allowed, K)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSeq
+    // exact ground truth: brute-force scaled-int cosine, candidates
+    // restricted to the admitted corpus (the same arithmetic the
+    // oracle-paired q70 uses)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val truth = e.filter(allowedPred).select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.ScaledIntCosine.scaledCosine(
+          col("qv"), col("embedding")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val hits = served.count(truth)
+    Seq((queries.count(), K.toLong, truth.size.toLong, hits.toLong,
+        if (truth.isEmpty) 1.0 else hits.toDouble / truth.size,
+        served.count(r => !allowedSet(r._2)).toLong))
+      .toDF("n_queries", "k", "n_truth", "n_hits", "recall_at_k",
+        "n_disallowed")
+  }
+
+  /** Deterministic end-to-end recall statement for the HYBRID RRF
+    * composition (q460's promotion): the fused top-k for the fixed
+    * query sample, scored against exact brute-force cosine top-k over
+    * the full corpus (the dense ground truth), with the dense leg's own
+    * recall on the same truth alongside — the artifact shows exactly
+    * how much dense recall the fusion trades for lexical relevance
+    * (RRF mixes the two rankings, so fused < dense on a dense-only
+    * truth is the expected, documented shape). Every input is a
+    * fixture fact; the numbers are stable per round. */
+  def hybridRrfAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    if (e.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Double, Double)]
+        .toDF("n_queries", "k", "n_truth", "n_hits_fused", "recall_fused",
+          "recall_dense")
+    val truth = VectorOps.cosineTopK(e, col("vec_id") < NQ, K)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val fused = hybridRrf(spark, dir)
+      .select(col("query_id"), col("cand"))
+      .as[(Long, Long)].collect().toSeq
+    val idx = sessionIndex(spark, dir)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val dense = graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSeq
+    val hitsF = fused.count(truth)
+    val hitsD = dense.count(truth)
+    def recall(h: Int) = if (truth.isEmpty) 1.0 else h.toDouble / truth.size
+    Seq((NQ.toLong, K.toLong, truth.size.toLong, hitsF.toLong,
+        recall(hitsF), recall(hitsD)))
+      .toDF("n_queries", "k", "n_truth", "n_hits_fused", "recall_fused",
+        "recall_dense")
+  }
+
   /** MMR diverse retrieval for query vec 0 (engine-specific rerank →
     * rows-only; VectorOpsSpec pins the diversity property). */
   def mmrTopK(spark: SparkSession, dir: String): DataFrame =
@@ -778,6 +917,19 @@ object VectorQueries {
       "hybrid retrieval: RRF fusion of the served dense ranking with a " +
         "lexical token-Jaccard top-k over the aligned documents " +
         "(rows-only; q154's fusion algebra composed with the index)"),
+    Q("q518_ann_delete", annDelete, None,
+      "row-level erase lifecycle, self-auditing: O(victims) tombstone " +
+        "txn, zero erased ids served, anti-join ≡ complement semi-join, " +
+        "compact folds physically with serve unchanged (rows-only; the " +
+        "emitted row IS the audit)"),
+    Q("q519_filtered_recall_audit", annFilteredRecallAudit, None,
+      "deterministic recall@5 of the FILTERED serve vs exact brute force " +
+        "over the admitted corpus + filter-soundness count — q459's " +
+        "end-to-end statement in the CORRECTNESS artifact (rows-only)"),
+    Q("q520_hybrid_rrf_audit", hybridRrfAudit, None,
+      "deterministic recall@5 of the hybrid RRF top-k vs exact cosine " +
+        "truth, with the dense leg's recall alongside — q460's " +
+        "end-to-end statement in the CORRECTNESS artifact (rows-only)"),
     Q("q446_ann_recall_drift", annRecallDrift, None,
       "per-version recall@k audit vs exact brute force + the measured " +
         "rebuild trigger: build, drifted append, maybeRebuild at 90% of " +

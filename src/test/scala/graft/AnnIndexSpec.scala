@@ -491,4 +491,103 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(snap(AnnIndex.CentroidsTable).count() == 16)
     assert(snap(AnnIndex.CodebooksTable).count() == 8 * 16)
   }
+
+  test("row-level delete: serve after delete ≡ filtered serve over the " +
+    "complement (bit-identical), erased ids never return, O(victims) " +
+    "transaction") {
+    val idx = tmp()
+    AnnIndex.build(emb, idx)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val victimPred = col("vec_id") % 7 === 3
+    val victims = emb.filter(victimPred).select(col("vec_id"))
+    val victimSet = victims.as[Long].collect().toSet
+    assert(victimSet.nonEmpty)
+    // expected = the already-pinned filtered path over the complement,
+    // computed BEFORE the delete (no tombstones in its snapshot)
+    val complement = emb.filter(!victimPred).select(col("vec_id"))
+    val expected = collectTopK(
+      AnnIndex.serveTopKFiltered(spark, idx, queries, complement, 5))
+    val vs = AnnIndex.delete(victims, idx)
+    // erase is a metadata transaction: codes + model tables all LINKED
+    assert(vs(AnnIndex.CodesTable) == 0L && vs(AnnIndex.CentroidsTable) == 0L)
+    assert(vs.contains(AnnIndex.TombstonesTable))
+    val served = AnnIndex.serveTopK(spark, idx, queries, 5)
+    val servedRows = collectTopK(served)
+    assert(servedRows.forall(r => !victimSet(r._3)),
+      "serve returned an erased vector")
+    assert(servedRows == expected) // anti-join(victims) ≡ semi-join(complement)
+    // the probed-cell parquet pushdown survives the tombstone anti-join
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("In(cell"), plan)
+    // the filtered path composes with tombstones too
+    val filteredServed = collectTopK(AnnIndex.serveTopKFiltered(
+      spark, idx, queries, emb.select(col("vec_id")), 5))
+    assert(filteredServed == expected)
+    // deleting the same ids again is a no-op on results
+    AnnIndex.delete(victims, idx)
+    assert(collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5)) == expected)
+  }
+
+  test("delete survives append (tombstones linked forward) and compact " +
+    "folds it in physically (table leaves the snapshot, serve unchanged)") {
+    val idx = tmp()
+    val n = emb.count()
+    val cut = n / 2
+    AnnIndex.build(emb.filter(col("vec_id") < cut), idx)
+    val victims = emb.filter(col("vec_id") < cut && col("vec_id") % 5 === 1)
+      .select(col("vec_id"))
+    val victimSet = victims.as[Long].collect().toSet
+    AnnIndex.delete(victims, idx)
+    // an append AFTER the delete must not resurrect the victims
+    AnnIndex.append(emb.filter(col("vec_id") >= cut), idx, batchId = 1L)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val before = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
+    assert(before.forall(r => !victimSet(r._3)),
+      "append resurrected an erased vector")
+    assert(Versioned.latestGroupVersions(idx).contains(AnnIndex.TombstonesTable))
+    // pressure counts the distinct tombstoned ids against live codes
+    val (codesRows, tombs) = AnnIndex.deletionPressure(spark, idx)
+    assert(tombs == victimSet.size && codesRows == n)
+    // compact: erase becomes physical, tombstone member leaves the
+    // snapshot, serve is bit-identical
+    AnnIndex.compact(spark, idx)
+    val snapAfter = Versioned.latestGroupVersions(idx)
+    assert(!snapAfter.contains(AnnIndex.TombstonesTable))
+    val merged = Versioned.read(spark, idx, AnnIndex.CodesTable,
+      Some(snapAfter(AnnIndex.CodesTable)))
+    assert(merged.count() == n - victimSet.size)
+    assert(merged.filter(col("vec_id").isInCollection(victimSet.toSeq))
+      .isEmpty)
+    assert(collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5)) == before)
+  }
+
+  test("maybeRebuild counts deletion pressure toward the rebuild trigger " +
+    "and the rebuild clears the tombstones") {
+    val idx = tmp()
+    AnnIndex.build(emb, idx)
+    val victims = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    AnnIndex.delete(victims, idx)
+    val corpus = emb.join(victims, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    // recall is healthy (floor 0), but ~1/3 of the codes are tombstoned —
+    // the deletion-pressure leg alone must trigger the retrain
+    val decision = AnnIndex.maybeRebuild(corpus, idx, minRecall = 0.0,
+        nQueries = 16, maxDeletedFrac = 0.25)
+      .select(col("rebuilt")).as[Boolean].head()
+    assert(decision)
+    val snap = Versioned.latestGroupVersions(idx)
+    assert(!snap.contains(AnnIndex.TombstonesTable)) // cleared by build
+    val (codesRows, tombs) = AnnIndex.deletionPressure(spark, idx)
+    assert(tombs == 0L && codesRows == corpus.count())
+    // and with the default threshold the same pressure is ignored
+    val idx2 = tmp()
+    AnnIndex.build(emb, idx2)
+    AnnIndex.delete(victims, idx2)
+    val noop = AnnIndex.maybeRebuild(corpus, idx2, minRecall = 0.0,
+        nQueries = 16)
+      .select(col("rebuilt")).as[Boolean].head()
+    assert(!noop)
+  }
 }
