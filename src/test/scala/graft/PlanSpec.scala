@@ -1050,4 +1050,46 @@ class PlanSpec extends AnyFunSuite {
     // scanned a bounded number of times (once per self-join arm)
     assert("FileScan parquet".r.findAllIn(p).size <= 3, p)
   }
+
+  test("q172 personalized pagerank (r11 adjudication pin): the final " +
+    "round's plan reads ONLY checkpointed loop-invariant frames — zero " +
+    "parquet scans, no cartesian/nested-loop join, and a bounded " +
+    "exchange count (one contribution agg + the rank joins), so an " +
+    "accidental per-round graph rebuild or join-shape drift fails here " +
+    "instead of surfacing as a bench surprise") {
+    val df = graft.Registry.byName("q172_personalized_pagerank")
+      .build(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // every round is localCheckpoint'ed: the executed plan's leaves are
+    // checkpoint scans, never a re-derivation of orders ⋈ lineitem
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    // final round: contribution aggregate + left rank join + output sort;
+    // a when-chain/extra-pass regression shows up as exchange growth
+    assert("Exchange".r.findAllIn(p).size <= 8,
+      s"exchange count grew: ${"Exchange".r.findAllIn(p).size}\n$p")
+  }
+
+  test("q163 jaccard prefix filter (r11 adjudication pin): one compiled " +
+    "shingling pass feeds everything through its checkpoint (zero " +
+    "parquet scans in the final plan), the candidate join is an " +
+    "equi-join on the hashed shingle (id order is a post-filter), and " +
+    "both prefix windows share one doc_id exchange") {
+    val df = graft.Registry.byName("q163_jaccard_prefix").build(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    // doc_id-partitioned exchanges: the two docset-aggregate arms, the
+    // shared prefix-window exchange, and the verify join — the rnk and
+    // n_sh windows must NOT each pay their own (that would read 5+)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size <= 4, p)
+    // total exchange budget of the whole pipeline (hash + broadcast +
+    // the output range sort, 12 today); growth = an extra pass landed
+    assert("Exchange".r.findAllIn(p).size <= 12,
+      s"exchange count grew: ${"Exchange".r.findAllIn(p).size}\n$p")
+  }
 }
