@@ -37,9 +37,32 @@ object Snapshot {
         val sameSchema = prev.schema.map(f => (f.name, f.dataType)).sortBy(_._1) ==
           cur.schema.map(f => (f.name, f.dataType)).sortBy(_._1)
         val cols = prev.columns.sorted.toSeq
+        // canonical value: binary/array columns become Seqs (Array's ==
+        // is reference equality -- identical bytes would read MISMATCH);
+        // nested rows/maps normalize recursively
+        def canon(v: Any): Any = v match {
+          case a: Array[Byte] => a.toSeq
+          case a: Array[_] => a.toSeq.map(canon)
+          case s: scala.collection.Seq[_] => s.map(canon).toSeq
+          case r: org.apache.spark.sql.Row => r.toSeq.map(canon)
+          case m: scala.collection.Map[_, _] =>
+            m.toSeq.map { case (k, x) => (canon(k), canon(x)) }
+              .sortBy(_.toString())
+          case x => x
+        }
+        // sort key: LENGTH-PREFIXED delimited field encodings -- a bare
+        // delimiter join lets distinct rows collide (("ab","c") vs
+        // ("a","bc") under "", or fields containing the delimiter) and
+        // pair differently across the two sides, producing spurious
+        // MISMATCH on genuinely identical outputs
+        def key(row: Seq[Any]): String = row.map { v =>
+          val s = String.valueOf(v); s"${s.length}:$s"
+        }.mkString("\u0001")
         def rows(d: org.apache.spark.sql.DataFrame) =
           d.select(cols.map(org.apache.spark.sql.functions.col): _*)
-            .collect().map(_.toSeq).sortBy(_.mkString(""))
+            .collect()
+            .map(r => r.toSeq.map(canon))
+            .sortBy(key)
         val ok = sameSchema && {
           val a = rows(prev); val b = rows(cur)
           a.length == b.length && a.zip(b).forall { case (x, y) => x == y }

@@ -40,16 +40,29 @@ object Versioned {
   private def vdir(t: Path, v: Long) = new Path(t, s"_v$v")
   private def commitPath(t: Path, v: Long) = new Path(vdir(t, v), "_COMMIT")
 
-  /** Modification time of a committed version's commit marker — a
-    * per-INCARNATION stamp: if a table directory is deleted and
-    * republished so version numbers restart, the same (name, version)
-    * resolves to a different stamp. Caches keyed on version numbers add
-    * this to their key so a stale entry from a previous incarnation of
-    * the path can never serve ([[graft.ops.AnnIndex]]'s model cache). */
+  /** Per-INCARNATION stamp of a committed version: if a table directory
+    * is deleted and republished so version numbers restart, the same
+    * (name, version) resolves to a different stamp. Caches keyed on
+    * version numbers add this to their key so a stale entry from a
+    * previous incarnation of the path can never serve
+    * ([[graft.ops.AnnIndex]]'s model cache). Derived from the marker's
+    * CONTENT — every publish writes a unique incarnation token into
+    * `_COMMIT` — combined with its mtime: an mtime alone is not enough
+    * (a delete-and-rebuild completing within one coarse-granularity
+    * (1 s) filesystem tick reproduces the identical stamp — the exact
+    * hazard this exists to close, ADVICE r11), and the mtime fold keeps
+    * markers written before the token existed distinguishable. */
   def commitStamp(baseDir: String, name: String, version: Long): Long = {
     val p = commitPath(tableDir(baseDir, name), version)
-    Fs.of(p).getFileStatus(p).getModificationTime
+    val mtime = Fs.of(p).getFileStatus(p).getModificationTime
+    scala.util.hashing.MurmurHash3.stringHash(Fs.readString(p)).toLong *
+      1000003L ^ mtime
   }
+
+  /** Commit-marker content: the version plus a UUID incarnation token
+    * (see [[commitStamp]]); nothing parses the content beyond hashing. */
+  private def commitBody(v: Long): String =
+    s"$v ${java.util.UUID.randomUUID()}\n"
   private def manifestPath(t: Path, v: Long) = new Path(vdir(t, v), "_MANIFEST")
 
   /** Every `_v<k>` directory on disk, committed or not (a publish that
@@ -103,7 +116,7 @@ object Versioned {
     * "latest" before the commit may still be scanning keep-1 versions
     * back — size `keep` to exceed your longest query. */
   private def commitAndPrune(t: Path, next: Long, keep: Int): Unit = {
-    Fs.createExclusive(commitPath(t, next), s"$next\n")
+    Fs.createExclusive(commitPath(t, next), commitBody(next))
     val cutoff = next - keep + 1
     val referenced = versionsOnDisk(t)
       .filter(v => v >= cutoff && Fs.exists(commitPath(t, v)))
@@ -284,7 +297,7 @@ object Versioned {
       if (complete) {
         entries.foreach { case (n, v) =>
           val cp = commitPath(tableDir(baseDir, n), v)
-          if (!Fs.exists(cp)) Fs.createExclusive(cp, s"$v\n")
+          if (!Fs.exists(cp)) Fs.createExclusive(cp, commitBody(v))
         }
         Fs.createExclusive(committedPath(baseDir, id), "recovered\n")
       } else Fs.deleteRecursive(stagedPath(baseDir, id))

@@ -1806,7 +1806,9 @@ object TextQueries {
     * that answer "how much vocabulary does this source have that we
     * have NOT yet seen" (q480's capture–recapture needs a split; these
     * work from one sample's frequency-of-frequencies): Chao1
-    * D + f₁²/(2f₂), first-order jackknife D + f₁·(n−1)/n, Good–Turing
+    * D + f₁²/(2f₂), first-order jackknife D + f₁·(n−1)/n with n = the
+    * TOKEN count (the abundance-based sample size — ADVICE r11 caught
+    * the first cut dividing by the type count), Good–Turing
     * coverage 1 − f₁/N, and Berger–Parker dominance max(c)/N. All from
     * one (source, token) count reduction — f₁/f₂ are singleton/
     * doubleton type counts — exact integers with one floored micro
@@ -1831,8 +1833,8 @@ object TextQueries {
                      ELSE CAST(f1 AS $dec) * (f1 - 1) * 500000 END
                      AS BIGINT)""")).as("chao1_micro"),
         (col("d_types") * 1000000L
-          + expr(s"""CAST((CAST(f1 AS $dec) * (d_types - 1) * 1000000)
-                     div d_types AS BIGINT)""")).as("jackknife1_micro"),
+          + expr(s"""CAST((CAST(f1 AS $dec) * (n_tokens - 1) * 1000000)
+                     div n_tokens AS BIGINT)""")).as("jackknife1_micro"),
         expr(s"""CAST(1000000 - (CAST(f1 AS $dec) * 1000000) div n_tokens
                  AS BIGINT)""").as("gt_coverage_micro"),
         expr(s"""CAST((CAST(max_c AS $dec) * 1000000) div n_tokens
@@ -1860,8 +1862,8 @@ object TextQueries {
       |    THEN (CAST(f1 AS HUGEINT) * f1 * 1000000) // (2 * f2)
       |    ELSE CAST(f1 AS HUGEINT) * (f1 - 1) * 500000 END AS BIGINT)
       |    AS chao1_micro,
-      |  d_types * 1000000 + CAST((CAST(f1 AS HUGEINT) * (d_types - 1)
-      |    * 1000000) // d_types AS BIGINT) AS jackknife1_micro,
+      |  d_types * 1000000 + CAST((CAST(f1 AS HUGEINT) * (n_tokens - 1)
+      |    * 1000000) // n_tokens AS BIGINT) AS jackknife1_micro,
       |  CAST(1000000 - (CAST(f1 AS HUGEINT) * 1000000) // n_tokens
       |    AS BIGINT) AS gt_coverage_micro,
       |  CAST((CAST(max_c AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
