@@ -436,6 +436,25 @@ object AnnIndex {
     published
   }
 
+  /** Bootstrap-or-grow admission for streamed corpora
+    * ([[graft.streaming.Streams.ingestDedupedIndexed]]): the FIRST call
+    * trains and publishes the index over its batch ([[build]]) and then
+    * raises the admission ledger to `batchId`, so a failure-replay of
+    * the bootstrap epoch is recognized and skipped like any other
+    * replay (without the raise, the bootstrap's vectors would re-append
+    * under the replay's fresh batch id — duplication); later calls are
+    * plain frozen-model [[append]]s with `skipIfExists` — exactly-once
+    * admission over at-least-once delivery. An empty batch is a no-op
+    * (and never trains). */
+  def buildOrAppend(batch: DataFrame, indexDir: String, batchId: Long,
+      p: Params = Params(), keep: Int = 3): Map[String, Long] =
+    if (Versioned.latestVersion(indexDir, CodesTable).isEmpty) {
+      if (batch.isEmpty) return Map.empty
+      val out = build(batch, indexDir, p, keep)
+      advanceHwm(indexDir, batchId)
+      out
+    } else append(batch, indexDir, batchId, keep, skipIfExists = true)
+
   /** Continuous micro-batch admission: each streamed embedding
     * micro-batch becomes one [[append]] (batch id = epoch + 1, so batch
     * 0 stays the build). The checkpoint location is DURABLE (defaulting

@@ -115,8 +115,11 @@ object MultimodalQueries {
         MediaOps.mediaFromDocuments(Catalog.load(spark, dir, "documents")))
       .orderBy(col("media_a"), col("media_b"))
 
-  private val mediaAhashDupsSql =
-    """WITH chars AS (
+  /** The aHash near-dup CTE chain (hash → bands → df-cap → banded
+    * candidate join → popcount verify), shared verbatim between the
+    * q477 oracle and the multimodal composition below. */
+  private val aHashPairCtes =
+    """chars AS (
       |  SELECT doc_id, (i - 1) * 64 // strlen(text) AS c,
       |    CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS code
       |  FROM documents, unnest(range(1, strlen(text) + 1)) AS u(i)
@@ -156,17 +159,81 @@ object MultimodalQueries {
       |), capped AS (
       |  SELECT band_idx, band_val FROM bands
       |  GROUP BY 1, 2 HAVING COUNT(*) <= 1000
-      |)
-      |SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+      |)""".stripMargin
+
+  private val aHashPairSelect =
+    """SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
       |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
       |FROM bh a
       |JOIN capped k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
       |JOIN bh b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
       |  AND a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.h, b.h)) <= 12
-      |ORDER BY media_a, media_b""".stripMargin
+      |WHERE bit_count(xor(a.h, b.h)) <= 12""".stripMargin
+
+  private val mediaAhashDupsSql =
+    s"""WITH $aHashPairCtes
+       |$aHashPairSelect
+       |ORDER BY media_a, media_b""".stripMargin
+
+  /** MULTIMODAL near-dup verification — the cross-modality join a
+    * training pipeline runs before trusting either signal alone: every
+    * visually-near pair (the q477 aHash band join, byte-cell stub path)
+    * is joined to the aligned embedding table (doc_id ≡ vec_id) and
+    * scored with the EXACT scaled-int cosine (q64's machinery), so one
+    * row carries both modality distances: perceptual `hamming` and
+    * semantic `cos_sim`. Both legs are oracle-paired, so the whole
+    * composition hash-checks — no all-pairs stage anywhere (candidates
+    * come banded+df-capped from the aHash leg; the embedding join is
+    * two 8-byte-key equi-joins; the cosine is a codegen kernel). */
+  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = MediaOps.aHashNearDupPairs(
+      MediaOps.mediaFromDocuments(Catalog.load(spark, dir, "documents")))
+    val e = Catalog.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("media_a"),
+        col("embedding").as("__ea")), "media_a")
+      .join(e.select(col("vec_id").as("media_b"),
+        col("embedding").as("__eb")), "media_b")
+      .select(col("media_a"), col("media_b"), col("hamming"),
+        graft.functions.ScaledIntCosine
+          .scaledCosine(col("__ea"), col("__eb")).as("cos_sim"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  private val multimodalNearDupSql =
+    s"""WITH $aHashPairCtes, pairs AS (
+       |$aHashPairSelect
+       |), v AS (
+       |  SELECT vec_id,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+       |    unnest(range(len(embedding))) AS i
+       |  FROM embeddings
+       |), nn AS (
+       |  SELECT vec_id, SUM(xi * xi) AS n2 FROM v GROUP BY 1
+       |), dd AS (
+       |  SELECT p.media_a, p.media_b, CAST(SUM(a.xi * b.xi) AS BIGINT) AS dot
+       |  FROM pairs p
+       |  JOIN v a ON a.vec_id = p.media_a
+       |  JOIN v b ON b.vec_id = p.media_b AND a.i = b.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.media_a AS media_a, p.media_b AS media_b, p.hamming,
+       |  CAST(dot AS DOUBLE) /
+       |    (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos_sim
+       |FROM pairs p
+       |JOIN dd ON p.media_a = dd.media_a AND p.media_b = dd.media_b
+       |JOIN nn x ON p.media_a = x.vec_id
+       |JOIN nn y ON p.media_b = y.vec_id
+       |ORDER BY p.media_a, p.media_b""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q521_multimodal_near_dup", multimodalNearDup,
+      Some(multimodalNearDupSql),
+      "cross-modality near-dup verification: every aHash-banded visual " +
+        "pair joined to the aligned embeddings and scored with the exact " +
+        "scaled-int cosine — one row carries both modality distances, " +
+        "the whole composition oracle-checked"),
     Q("q477_media_ahash_dups", mediaAhashDups, Some(mediaAhashDupsSql),
       "near-dup media pairs by 64-bit perceptual average-hash (16-band " +
         "LSH, lossless at Hamming<=12, exact popcount verify) — image " +

@@ -460,6 +460,98 @@ object VectorQueries {
         "recall_dense")
   }
 
+  /** Document row for the deterministic MemoryStream epochs of
+    * [[streamingIndexedIngest]] (mirrors the documents fixture schema). */
+  final case class IngestDoc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+
+  /** STREAMING SEARCHABLE-CORPUS ingestion, end-to-end and
+    * self-auditing — [[graft.streaming.Streams.ingestDedupedIndexed]]
+    * driven by two deterministic micro-batch epochs (doc_id parity
+    * slices of the bounded doc_id < 300 range — the q64-style bounded
+    * fixture range: the audit is about composition semantics, and the
+    * per-epoch pipeline cost is fixed overhead the corpus size must
+    * not multiply) plus one LOGICAL-REPLAY epoch:
+    * each batch is dedup-vetted against the published corpus, admitted
+    * docs are upserted as a new corpus version AND their aligned
+    * embeddings admitted to the published IVF-PQ index (epoch 1
+    * bootstraps the model; later epochs encode frozen, O(batch)). The
+    * one output row states the composed contract as data:
+    * `index_matches_corpus` (indexed ids ≡ published corpus ∩
+    * embedding-bearing ids — every admitted doc is searchable, nothing
+    * else is), `replay_changed_nothing` (re-delivering epoch 1's
+    * documents leaves both corpus and codes counts unchanged — the
+    * dedup vet rejects every logical duplicate), and
+    * `served_all_indexed` (a top-k serve from the final snapshot
+    * returns only indexed members). Deterministic fixture facts →
+    * stable rows-only audit (StreamsSpec pins the operator; ORACLES.md
+    * argues the composition). The driver-side epoch material is the
+    * MemoryStream harness requirement, not the operator's shape — the
+    * foreachBatch legs are the audited distributed ops. */
+  def streamingIndexedIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Catalog.load(spark, dir, "documents")
+    val e = emb(spark, dir)
+    if (d.isEmpty || e.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Boolean, Boolean, Long, Boolean)]
+        .toDF("n_docs_in", "n_epochs", "corpus_size", "n_indexed",
+          "index_matches_corpus", "replay_changed_nothing",
+          "n_served", "served_all_indexed")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx_").toString
+    try {
+      val base = s"$tmp/corpus"
+      val idx = s"$tmp/index"
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[IngestDoc]
+      val embedFn: DataFrame => DataFrame = admitted =>
+        e.select(col("vec_id"), col("embedding"))
+          .join(admitted.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+      // a small quantizer (8 cells, 4 subspaces): the audit pins the
+      // composition contract, not recall — the bootstrap train is pure
+      // fixed overhead here
+      val q = graft.streaming.Streams.ingestDedupedIndexed(
+          ms.toDF(), base, "corpus", idx, embedFn,
+          p = graft.ops.AnnIndex.Params(nCells = 8, m = 4))
+        .option("checkpointLocation", s"$tmp/_ck").start()
+      try {
+        val rows = d.filter(col("doc_id") < 300)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .as[IngestDoc].collect() // MemoryStream harness input, driver-fed
+        val epochs = Seq(0L, 1L).map(m => rows.filter(_.doc_id % 2 == m))
+        epochs.foreach { ep => ms.addData(ep.toSeq); q.processAllAvailable() }
+        val corpusIds = graft.pipelines.Versioned.read(spark, base, "corpus")
+          .select(col("doc_id")).as[Long].collect().toSet
+        val indexedIds = graft.pipelines.Versioned
+          .read(spark, idx, graft.ops.AnnIndex.CodesTable)
+          .select(col("vec_id")).as[Long].collect().toSet
+        val withEmb = e.select(col("vec_id")).as[Long].collect().toSet
+        // logical replay: re-deliver epoch 1's docs — all already
+        // published, so the dedup vet must admit nothing on either leg
+        ms.addData(epochs.head.toSeq); q.processAllAvailable()
+        val corpusAfter = graft.pipelines.Versioned
+          .read(spark, base, "corpus").count()
+        val codesAfter = graft.pipelines.Versioned
+          .read(spark, idx, graft.ops.AnnIndex.CodesTable).count()
+        val queries = e.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val served = graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
+          .select(col("neighbor_id")).as[Long].collect()
+        Seq((rows.length.toLong, epochs.size.toLong, corpusIds.size.toLong,
+            indexedIds.size.toLong,
+            indexedIds == (corpusIds intersect withEmb),
+            corpusAfter == corpusIds.size && codesAfter == indexedIds.size,
+            served.length.toLong, served.forall(indexedIds)))
+          .toDF("n_docs_in", "n_epochs", "corpus_size", "n_indexed",
+            "index_matches_corpus", "replay_changed_nothing",
+            "n_served", "served_all_indexed")
+      } finally q.stop()
+    } finally graft.pipelines.Fs.deleteRecursive(
+      new org.apache.hadoop.fs.Path(tmp))
+  }
+
   /** MMR diverse retrieval for query vec 0 (engine-specific rerank →
     * rows-only; VectorOpsSpec pins the diversity property). */
   def mmrTopK(spark: SparkSession, dir: String): DataFrame =
@@ -917,6 +1009,11 @@ object VectorQueries {
       "hybrid retrieval: RRF fusion of the served dense ranking with a " +
         "lexical token-Jaccard top-k over the aligned documents " +
         "(rows-only; q154's fusion algebra composed with the index)"),
+    Q("q522_streaming_indexed_ingest", streamingIndexedIngest, None,
+      "streaming searchable-corpus ingestion: dedup-vetted micro-batches " +
+        "upsert the corpus AND admit embeddings to the published index " +
+        "in the same epoch; the audit row pins corpus≡index, logical-" +
+        "replay idempotence, and serve membership (rows-only)"),
     Q("q518_ann_delete", annDelete, None,
       "row-level erase lifecycle, self-auditing: O(victims) tombstone " +
         "txn, zero erased ids served, anti-join ≡ complement semi-join, " +

@@ -680,6 +680,59 @@ object Streams {
         }
       }
 
+  /** [[ingestDeduped]] composed with ANN-INDEX admission — the streaming
+    * front door of a SEARCHABLE corpus, which is what a training-data
+    * tier actually serves: each micro-batch is dedup-vetted against the
+    * published corpus exactly as [[ingestDeduped]] does, admitted
+    * documents land as a new corpus version, AND their vectors (via
+    * `embed` — an embedding lookup or featurizer over the admitted
+    * frame, returning (vec_id, embedding)) are admitted to the
+    * published IVF-PQ index in the same epoch. The first non-empty
+    * epoch bootstraps the index (the only model-training pass); every
+    * later epoch encodes against the frozen model in O(batch)
+    * ([[graft.ops.AnnIndex.buildOrAppend]]). Replays are absorbed on
+    * BOTH legs: logical duplicates are rejected by the dedup vet
+    * (already-published docs read `exact_dup`/`near_dup` → nothing to
+    * upsert or index), and engine-level epoch replays are skipped by
+    * the index admission ledger (batchId = epoch + 1, monotone) and
+    * key-replaced by the corpus upsert. Every admitted document is
+    * servable from the NEXT serve's snapshot; corpus and index versions
+    * advance together, one group transaction each. */
+  def ingestDedupedIndexed(docs: DataFrame, baseDir: String, name: String,
+      indexDir: String, embed: DataFrame => DataFrame,
+      n: Int = 5, threshold: Double = 0.5, keep: Int = 3,
+      p: graft.ops.AnnIndex.Params = graft.ops.AnnIndex.Params())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val corpus = graft.pipelines.Versioned
+            .latestVersion(baseDir, name) match {
+            case Some(_) => graft.pipelines.Versioned.read(spark, baseDir, name)
+            case None => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema)
+          }
+          val verdicts = graft.ops.DedupOps.incrementalDedup(
+            corpus, batch.toDF(), n, threshold)
+          val admitted = batch.toDF().join(
+            verdicts.filter(col("status") === "admitted").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+            .localCheckpoint(false) // feeds the upsert AND the embed leg
+          if (!admitted.isEmpty) {
+            graft.pipelines.Incremental.publishUpsert(
+              spark, baseDir, name, admitted, Seq("doc_id"), keep)
+            val vecs = embed(admitted)
+            if (!vecs.isEmpty) {
+              graft.ops.AnnIndex.buildOrAppend(vecs, indexDir,
+                batchId = epoch + 1L, p, keep)
+              ()
+            }
+          }
+        }
+      }
+
   // ---- arbitrary stateful processing v2 (transformWithState) -----------
 
   case class SpendRow(user_id: Long, cents: Long)

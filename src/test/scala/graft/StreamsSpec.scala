@@ -235,6 +235,58 @@ class StreamsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("ingestDedupedIndexed: admitted docs land in corpus AND index " +
+    "each epoch, duplicates admit nothing on either leg, replayed " +
+    "bootstrap epoch is skipped, final serve covers the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ingest-idx").toString
+    val base = s"$tmp/corpus"
+    val idx = s"$tmp/index"
+    val emb = graft.catalog.Catalog.load(spark, dir, "embeddings")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val embedFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      admitted => emb.select($"vec_id", $"embedding")
+        .join(admitted.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+    val q = graft.streaming.Streams.ingestDedupedIndexed(
+        docs, base, "corpus", idx, embedFn)
+      .option("checkpointLocation", s"$tmp/_ck").start()
+    try {
+      val a = "a1 a2 a3 a4 a5 a6 a7 a8"
+      val b = "b1 b2 b3 b4 b5 b6 b7 b8"
+      // epoch 0: bootstrap — two clean docs train and publish the index
+      in.addData((1L, a), (2L, b)); q.processAllAvailable()
+      def indexed() = graft.pipelines.Versioned
+        .read(spark, idx, graft.ops.AnnIndex.CodesTable)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(indexed() == Set(1L, 2L))
+      // epoch 1: an exact dup, a near dup, one clean doc → only the
+      // clean doc reaches the corpus AND the index (frozen-model append)
+      in.addData((10L, a), (11L, b.replace("b8", "zz")),
+        (12L, "c1 c2 c3 c4 c5 c6"))
+      q.processAllAvailable()
+      assert(graft.pipelines.Versioned.read(spark, base, "corpus")
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 12L))
+      assert(indexed() == Set(1L, 2L, 12L))
+      // model tables still at their bootstrap versions — the appends
+      // never retrained
+      val vs = graft.pipelines.Versioned.latestGroupVersions(idx)
+      assert(vs(graft.ops.AnnIndex.CentroidsTable) == 0L)
+      // epoch 2: pure logical replay — nothing admitted anywhere
+      in.addData((1L, a), (2L, b)); q.processAllAvailable()
+      assert(graft.pipelines.Versioned.read(spark, base, "corpus")
+        .count() == 3L)
+      assert(indexed() == Set(1L, 2L, 12L))
+      // the published union is servable
+      val queries = emb.filter($"vec_id" === 0L)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val served = graft.ops.AnnIndex.serveTopK(spark, idx, queries, 3)
+        .select($"neighbor_id").as[Long].collect()
+      assert(served.nonEmpty && served.forall(Set(1L, 2L, 12L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup-within-watermark suppresses re-ingested duplicates") {
     val staged = java.nio.file.Files.createTempDirectory("events-dedup-stream")
     // the same fixture file lands twice (re-ingestion): every event is a dup
