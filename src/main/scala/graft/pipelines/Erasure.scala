@@ -1,0 +1,53 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Full-stack right-to-erasure — the composed GDPR path across BOTH
+  * stores a served corpus actually lives in: the versioned corpus
+  * TABLE and the published ANN INDEX derived from it. Erasing from one
+  * without the other is the compliance bug this operator exists to
+  * prevent: a row deleted from the table but still servable from the
+  * index (or vice versa) is not erased.
+  *
+  * Legs, in order:
+  *   1. corpus: anti-join the latest version against the victim keys
+  *      and publish the survivors with `keep = 1`
+  *      ([[Incremental.publishDelete]]) — the publish immediately
+  *      prunes every older version, so time travel to the erased rows
+  *      dies with the erase (erasure semantics, not just a new head).
+  *   2. index: one O(victims) tombstone transaction
+  *      ([[graft.ops.AnnIndex.delete]]) — every subsequent serve
+  *      anti-joins the victims out, so nothing erased is returned even
+  *      before the rewrite.
+  *   3. optionally (`physical = true`, the default) an immediate
+  *      [[graft.ops.AnnIndex.compact]] with `keep = 1`: the codes
+  *      rewrite folds the tombstones in and pruning removes the
+  *      pre-delete code files — the victims' derived bytes are gone
+  *      from disk, not just unreachable. With `physical = false` the
+  *      tombstones stand until the next scheduled compact/rebuild
+  *      (cheaper; correct serving either way).
+  *
+  * Cost: O(table survivors) for the corpus rewrite (the table form of
+  * delete cannot be cheaper without tombstoning the table too),
+  * O(victims) for the index transaction, O(corpus codes) for the
+  * optional physical fold — never O(corpus × anything). Returns the
+  * new corpus version and the index's (table → version) map.
+  * AnnIndexSpec pins the composed contract end-to-end; the registered
+  * q518 audit row states it as data per round. */
+object Erasure {
+
+  def eraseEverywhere(spark: SparkSession, baseDir: String, table: String,
+      keys: Seq[String], indexDir: String, victims: DataFrame,
+      vecKey: String = "doc_id", physical: Boolean = true)
+      : (Long, Map[String, Long]) = {
+    val corpusVersion = Incremental.publishDelete(
+      spark, baseDir, table, victims, keys, keep = 1)
+    val vecVictims = victims.select(col(vecKey).as("vec_id"))
+    graft.ops.AnnIndex.delete(vecVictims, indexDir, keep = 1)
+    val indexVersions =
+      if (physical) graft.ops.AnnIndex.compact(spark, indexDir, keep = 1)
+      else Versioned.latestGroupVersions(indexDir)
+    (corpusVersion, indexVersions)
+  }
+}

@@ -321,30 +321,36 @@ object VectorQueries {
       new org.apache.hadoop.fs.Path(idx))
   }
 
-  /** Row-level DELETE lifecycle, end-to-end and SELF-AUDITING: build a
-    * fresh index over the corpus, tombstone every vec_id ≡ 3 (mod 7)
-    * ([[graft.ops.AnnIndex.delete]] — an O(victims) metadata
-    * transaction, codes and model linked unchanged), then emit ONE row
-    * whose values ARE the lifecycle contract: zero erased ids served
-    * (`n_violations`), serve-after-delete bit-identical to the
-    * filtered serve over the complement (`matches_complement` — the
-    * anti-join ≡ semi-join equivalence AnnIndexSpec pins), tombstones
-    * folded physically by compact (`tombstones_after_compact`,
-    * `codes_after_compact`) with the serve unchanged
-    * (`serve_stable_after_compact`). Deterministic fixture facts, so
-    * the driver's rows-only artifact carries the full erase audit, not
-    * just a row count. */
+  /** FULL-STACK right-to-erasure, end-to-end and SELF-AUDITING
+    * ([[graft.pipelines.Erasure.eraseEverywhere]]): publish the
+    * documents fixture as a versioned corpus TABLE, build the ANN index
+    * over its aligned embeddings, then erase every doc_id ≡ 3 (mod 7)
+    * from BOTH stores in one call — the corpus anti-join publish with
+    * keep=1 (older versions pruned: time travel to erased rows dies
+    * with the erase), the O(victims) index tombstone transaction, and
+    * the immediate physical compact that folds the tombstones into a
+    * rewritten codes file set. One output row states the composed
+    * contract as data: zero victims in the latest corpus version AND
+    * exactly one corpus version left on disk; the post-erase serve is
+    * bit-identical to the filtered serve over the complement (the
+    * anti-join ≡ semi-join equivalence AnnIndexSpec pins) with zero
+    * erased ids returned; zero tombstones and zero victim codes after
+    * the fold. Deterministic fixture facts, so the driver's rows-only
+    * artifact carries the full erasure audit, not just a row count. */
   def annDelete(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
-    if (e.isEmpty)
-      return Seq.empty[(Long, Long, Long, Long, Boolean, Long, Long, Boolean)]
-        .toDF("n_corpus", "n_victims", "n_served", "n_violations",
-          "matches_complement", "tombstones_after_compact",
-          "codes_after_compact", "serve_stable_after_compact")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_ann_delete_").toString
+    val d = Catalog.load(spark, dir, "documents")
+    if (e.isEmpty || d.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Boolean, Long, Long)]
+        .toDF("n_corpus", "n_victims", "corpus_victims_after",
+          "corpus_versions_on_disk", "n_served", "n_violations",
+          "matches_complement", "tombstones_after", "codes_after")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_erasure_").toString
     try {
+      val idx = s"$tmp/index"
+      graft.pipelines.Versioned.publish(d, tmp, "corpus")
       graft.ops.AnnIndex.build(e, idx)
       val queries = e.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -355,23 +361,29 @@ object VectorQueries {
           queries, e.filter(!victimPred).select(col("vec_id")), K)
         .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
         .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
-      graft.ops.AnnIndex.delete(victims, idx)
-      def serve() = graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
+      graft.pipelines.Erasure.eraseEverywhere(spark, tmp, "corpus",
+        Seq("doc_id"), idx, victims.select(col("vec_id").as("doc_id")))
+      val served = graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
         .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
         .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
-      val served = serve()
-      graft.ops.AnnIndex.compact(spark, idx)
-      val after = serve()
+      val corpusAfter = graft.pipelines.Versioned.read(spark, tmp, "corpus")
+      val victimsAfter = corpusAfter
+        .filter(col("doc_id").isInCollection(victimSet.toSeq)).count()
+      val versionsOnDisk = graft.pipelines.Versioned
+        .describe(spark, tmp, "corpus").count()
       val (codesRows, tombs) = graft.ops.AnnIndex.deletionPressure(spark, idx)
-      Seq((e.count(), victimSet.size.toLong, served.length.toLong,
-          served.count(r => victimSet(r._3)).toLong,
-          served.toSeq == expected.toSeq, tombs, codesRows,
-          after.toSeq == served.toSeq))
-        .toDF("n_corpus", "n_victims", "n_served", "n_violations",
-          "matches_complement", "tombstones_after_compact",
-          "codes_after_compact", "serve_stable_after_compact")
+      val victimCodes = graft.pipelines.Versioned
+        .read(spark, idx, graft.ops.AnnIndex.CodesTable)
+        .filter(col("vec_id").isInCollection(victimSet.toSeq)).count()
+      Seq((d.count(), victimSet.size.toLong, victimsAfter, versionsOnDisk,
+          served.length.toLong,
+          served.count(r => victimSet(r._3)).toLong + victimCodes,
+          served.toSeq == expected.toSeq, tombs, codesRows))
+        .toDF("n_corpus", "n_victims", "corpus_victims_after",
+          "corpus_versions_on_disk", "n_served", "n_violations",
+          "matches_complement", "tombstones_after", "codes_after")
     } finally graft.pipelines.Fs.deleteRecursive(
-      new org.apache.hadoop.fs.Path(idx))
+      new org.apache.hadoop.fs.Path(tmp))
   }
 
   /** Deterministic end-to-end recall statement for the FILTERED serve
@@ -1015,10 +1027,11 @@ object VectorQueries {
         "in the same epoch; the audit row pins corpus≡index, logical-" +
         "replay idempotence, and serve membership (rows-only)"),
     Q("q518_ann_delete", annDelete, None,
-      "row-level erase lifecycle, self-auditing: O(victims) tombstone " +
-        "txn, zero erased ids served, anti-join ≡ complement semi-join, " +
-        "compact folds physically with serve unchanged (rows-only; the " +
-        "emitted row IS the audit)"),
+      "FULL-STACK right-to-erasure, self-auditing: one call erases " +
+        "victims from the versioned corpus table (keep=1, old versions " +
+        "pruned) AND the published index (O(victims) tombstone txn + " +
+        "physical compact); zero victims in corpus/codes/serve, serve ≡ " +
+        "complement semi-join (rows-only; the emitted row IS the audit)"),
     Q("q519_filtered_recall_audit", annFilteredRecallAudit, None,
       "deterministic recall@5 of the FILTERED serve vs exact brute force " +
         "over the admitted corpus + filter-soundness count — q459's " +

@@ -20,6 +20,7 @@ class AnnIndexSpec extends AnyFunSuite {
 
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("ann_idx_spec_").toString
+  private def tmpRoot(): String = tmp()
 
   private def collectTopK(df: org.apache.spark.sql.DataFrame) =
     df.select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
@@ -561,6 +562,52 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(merged.filter(col("vec_id").isInCollection(victimSet.toSeq))
       .isEmpty)
     assert(collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5)) == before)
+  }
+
+  test("Erasure.eraseEverywhere: one call removes victims from the " +
+    "corpus table (old versions pruned) AND the index (tombstone + " +
+    "physical fold); lazy variant leaves tombstones standing but serves " +
+    "clean") {
+    import graft.pipelines.{Erasure, Incremental}
+    val docs = Catalog.load(spark, dir, "documents")
+    val victimPred = col("doc_id") % 7 === 3
+    val victims = docs.filter(victimPred).select(col("doc_id"))
+    val victimSet = victims.as[Long].collect().toSet
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def setup(): String = {
+      val tmp = tmpRoot()
+      Incremental.publishUpsert(spark, tmp, "corpus", docs, Seq("doc_id"))
+      Incremental.publishUpsert(spark, tmp, "corpus", docs.limit(10),
+        Seq("doc_id")) // a second version, so pruning has something to prune
+      AnnIndex.build(emb, s"$tmp/index")
+      tmp
+    }
+    // physical erase (default): victims gone from corpus + codes + serve
+    val t1 = setup()
+    Erasure.eraseEverywhere(spark, t1, "corpus", Seq("doc_id"),
+      s"$t1/index", victims)
+    assert(Versioned.read(spark, t1, "corpus")
+      .filter(col("doc_id").isInCollection(victimSet.toSeq)).isEmpty)
+    assert(Versioned.describe(spark, t1, "corpus").count() == 1L,
+      "keep=1 erase must prune the pre-erase corpus versions")
+    val snap1 = Versioned.latestGroupVersions(s"$t1/index")
+    assert(!snap1.contains(AnnIndex.TombstonesTable)) // folded physically
+    assert(Versioned.read(spark, s"$t1/index", AnnIndex.CodesTable)
+      .filter(col("vec_id").isInCollection(victimSet.toSeq)).isEmpty)
+    val served1 = collectTopK(AnnIndex.serveTopK(spark, s"$t1/index",
+      queries, 5))
+    assert(served1.nonEmpty && served1.forall(r => !victimSet(r._3)))
+    // lazy erase: tombstones stand, serve is equally clean
+    val t2 = setup()
+    Erasure.eraseEverywhere(spark, t2, "corpus", Seq("doc_id"),
+      s"$t2/index", victims, physical = false)
+    assert(Versioned.latestGroupVersions(s"$t2/index")
+      .contains(AnnIndex.TombstonesTable))
+    val served2 = collectTopK(AnnIndex.serveTopK(spark, s"$t2/index",
+      queries, 5))
+    assert(served2 == served1,
+      "lazy and physical erase must serve identically")
   }
 
   test("maybeRebuild counts deletion pressure toward the rebuild trigger " +
