@@ -203,6 +203,66 @@ object GlobalRank {
       .drop(IdCol, v)
   }
 
+  /** Global row number AND k exact running sums over ONE total order in
+    * ONE range shuffle, one per-partition stats collect and one local
+    * window pass — the fused form of `withRowNumber` chained with
+    * `withRunningSum(s)` (q174's Lorenz rank+cumshare shape), which
+    * would pay two identical range shuffles and two checkpoints for
+    * the same pinned layout. Bit-identical to the chained calls
+    * (integer partial sums reassociate freely; GlobalRankSpec pins
+    * equality) with the same NULL fidelity as [[withRunningSum]]. */
+  def withRowNumberAndRunningSums(df: DataFrame, order: Seq[Column],
+      rnOut: String, values: Seq[(Column, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(values.nonEmpty, "withRowNumberAndRunningSums needs a column")
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val vNames = values.indices.map(i => s"__grank_rv_$i")
+    val withVals = values.zip(vNames).foldLeft(df) {
+      case (d, ((c, _), vn)) => d.withColumn(vn, c)
+    }
+    val ck = withVals
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(IdCol, monotonically_increasing_id())
+      .localCheckpoint(false)
+    vNames.foreach { vn =>
+      require(ck.schema(vn).dataType == org.apache.spark.sql.types.LongType,
+        s"withRowNumberAndRunningSums needs exact LongType values, " +
+          s"got ${ck.schema(vn).dataType} for $vn")
+    }
+    // ONE collect carries the rank bases (row counts) and every value
+    // column's (coalesced sum, non-null count)
+    val aggs = count(lit(1)).as("c") +: vNames.flatMap(vn => Seq(
+      coalesce(sum(col(vn)), lit(0L)).as(s"s_$vn"),
+      count(col(vn)).as(s"n_$vn")))
+    val stats = ck.groupBy(shiftright(col(IdCol), 33).as("pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        vNames.indices.map(i => (r.getLong(2 * i + 2), r.getLong(2 * i + 3)))))
+      .sortBy(_._1)
+    val pid = shiftright(col(IdCol), 33)
+    val (base, _) = cumulativeBase(pid, stats.map(s => (s._1, s._2)))
+    val localW = Window.partitionBy(pid)
+      .orderBy(col(IdCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRn = ck.withColumn(rnOut,
+      col(IdCol).bitwiseAND(lit(PosMask)) + base + lit(1L))
+    val withOuts = values.zip(vNames).zipWithIndex.foldLeft(withRn) {
+      case (d, (((_, out), vn), i)) =>
+        val (offset, _) =
+          cumulativeBase(pid, stats.map { case (p, _, ss) => (p, ss(i)._1) })
+        val (cntOff, _) =
+          cumulativeBase(pid, stats.map { case (p, _, ss) => (p, ss(i)._2) })
+        val cum = when(count(col(vn)).over(localW) + cntOff === 0,
+            lit(null).cast("long"))
+          .otherwise(coalesce(sum(col(vn)).over(localW), lit(0L)) + offset)
+        d.withColumn(out, cum)
+    }
+    withOuts.drop(IdCol).drop(vNames: _*)
+  }
+
   /** [[withRunningSum]] for SEVERAL exact integral columns in ONE range
     * shuffle, one offset-collect job and one local window pass — the
     * k-column form per-group prefix sums need (k chained single-column

@@ -1697,10 +1697,10 @@ object AnalyticsQueries {
       .agg(sum(col("g")).as("d1"), sum(lit(1L) - col("g")).as("d2"))
     // both ECDF prefixes via GlobalRank's exact distributed running sum
     // (the distinct-value frame is score-range-sized, but unbounded in
-    // principle — no single-partition window)
-    val cum = graft.ops.GlobalRank.withRunningSum(
-      graft.ops.GlobalRank.withRunningSum(per, Seq(col("v")), col("d1"), "c1"),
-      Seq(col("v")), col("d2"), "c2")
+    // principle — no single-partition window); fused: one range shuffle
+    // for both prefixes instead of two identical ones
+    val cum = graft.ops.GlobalRank.withRunningSums(per, Seq(col("v")),
+      Seq((col("d1"), "c1"), (col("d2"), "c2")))
     val tot = b.agg(sum(col("g")).as("n1"),
       sum(lit(1L) - col("g")).as("n2"))
     cum.crossJoin(tot)
@@ -2582,10 +2582,9 @@ object AnalyticsQueries {
     val per = b.groupBy(col("v"))
       .agg(sum(col("g")).as("d1"), sum(lit(1L) - col("g")).as("d2"))
     // ECDF prefixes via GlobalRank's exact distributed running sum —
-    // same shape as q227's KS rewrite
-    val cum = graft.ops.GlobalRank.withRunningSum(
-      graft.ops.GlobalRank.withRunningSum(per, Seq(col("v")), col("d1"), "c1"),
-      Seq(col("v")), col("d2"), "c2")
+    // same fused one-shuffle shape as q227's KS rewrite
+    val cum = graft.ops.GlobalRank.withRunningSums(per, Seq(col("v")),
+      Seq((col("d1"), "c1"), (col("d2"), "c2")))
     val tot = b.agg(sum(col("g")).as("n1"),
       sum(lit(1L) - col("g")).as("n2"))
     cum.crossJoin(tot)

@@ -718,10 +718,12 @@ object BreadthQueries {
     val tot = s.agg(sum(col("rev_c")).as("total_c"))
     // rank + exact-integer cumulative sum both via GlobalRank (range
     // shuffle + broadcast offsets) — the supplier dimension never
-    // funnels through a single window task
+    // funnels through a single window task; FUSED: one range shuffle
+    // and one stats collect for both outputs (bit-identical to the
+    // chained form, GlobalRankSpec-pinned)
     val ord = Seq(col("rev_c"), col("l_suppkey"))
-    val ranked = GlobalRank.withRunningSum(
-      GlobalRank.withRowNumber(s, ord, "rk"), ord, col("rev_c"), "cum_c")
+    val ranked = GlobalRank.withRowNumberAndRunningSums(s, ord, "rk",
+      Seq((col("rev_c"), "cum_c")))
     ranked.crossJoin(broadcast(tot))
       .select(col("rk").cast("int").as("rk"), col("l_suppkey"),
         col("rev_c"), col("cum_c"),

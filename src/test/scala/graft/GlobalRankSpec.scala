@@ -141,6 +141,27 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(fused.toSeq == chained.toSeq)
   }
 
+  test("withRowNumberAndRunningSums (fused rank + k cumsums) ≡ chained " +
+    "withRowNumber → withRunningSum calls, bit for bit") {
+    val rnd = new scala.util.Random(12)
+    val df = (0 until 400)
+      .map(i => (rnd.nextInt(40), i.toLong, rnd.nextInt(9).toLong,
+        rnd.nextInt(9).toLong))
+      .toDF("v", "id", "a", "b")
+    val ord = Seq(col("v"), col("id"))
+    val fused = GlobalRank.withRowNumberAndRunningSums(df, ord, "rk",
+        Seq((col("a"), "ca"), (col("b"), "cb")))
+      .select("id", "rk", "ca", "cb")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    val chained = GlobalRank.withRunningSum(
+        GlobalRank.withRunningSum(
+          GlobalRank.withRowNumber(df, ord, "rk"), ord, col("a"), "ca"),
+        ord, col("b"), "cb")
+      .select("id", "rk", "ca", "cb")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    assert(fused.toSeq == chained.toSeq)
+  }
+
   test("ntile formula handles the n just below/above k*threshold edges") {
     // exhaustive small sweep: every (n, k) with n <= 25, k <= 8
     for (n <- 0 to 25; k <- 1 to 8) {
