@@ -55,8 +55,12 @@ object Snapshot {
         // ("a","bc") under "", or fields containing the delimiter) and
         // pair differently across the two sides, producing spurious
         // MISMATCH on genuinely identical outputs
-        def key(row: Seq[Any]): String = row.map { v =>
-          val s = String.valueOf(v); s"${s.length}:$s"
+        // 'N'/'V' tag keeps SQL NULL distinct from the string "null"
+        // (String.valueOf(null) == "null" would tie them in the sort
+        // and let identical outputs pair differently across sides)
+        def key(row: Seq[Any]): String = row.map {
+          case null => "N"
+          case v => val s = String.valueOf(v); s"V${s.length}:$s"
         }.mkString("\u0001")
         def rows(d: org.apache.spark.sql.DataFrame) =
           d.select(cols.map(org.apache.spark.sql.functions.col): _*)

@@ -290,19 +290,27 @@ object AnnIndex {
       indexDir, keep)
   }
 
-  /** (live codes rows, tombstoned ids) for the current snapshot — the
+  /** (live codes rows, DEAD codes rows) for the current snapshot — the
     * deletion-pressure measurement [[maybeRebuild]] folds into its
-    * trigger. Counts only; never reads vectors. */
+    * trigger. "Dead" counts tombstoned ids ACTUALLY PRESENT in the
+    * codes (a tombstone for an id the index never held is the
+    * documented no-op and must not pressure a retrain); "live" is the
+    * remainder, so pressure = dead / (live + dead) is the true erased
+    * fraction of the index. Id-only semi-join counts; never reads
+    * vectors. */
   def deletionPressure(spark: SparkSession, indexDir: String): (Long, Long) = {
     val snapshot = Versioned.latestGroupVersions(indexDir)
-    val tombs = snapshot.get(TombstonesTable) match {
-      case None => 0L
-      case Some(v) => Versioned.read(spark, indexDir, TombstonesTable, Some(v))
-        .select(col("vec_id")).distinct().count()
-    }
     val codes = Versioned.read(spark, indexDir, CodesTable,
-      Some(snapshot(CodesTable))).count()
-    (codes, tombs)
+      Some(snapshot(CodesTable)))
+    val total = codes.count()
+    val dead = snapshot.get(TombstonesTable) match {
+      case None => 0L
+      case Some(v) => codes.join(
+        Versioned.read(spark, indexDir, TombstonesTable, Some(v))
+          .select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi").count()
+    }
+    (total - dead, dead)
   }
 
   /** Serve top-k from the published index: resolve ONE group snapshot,
@@ -445,14 +453,19 @@ object AnnIndex {
     * under the replay's fresh batch id — duplication); later calls are
     * plain frozen-model [[append]]s with `skipIfExists` — exactly-once
     * admission over at-least-once delivery. An empty batch is a no-op
-    * (and never trains). */
+    * (and never trains). The ledger raise happens BEFORE the build's
+    * publish: a crash between the two leaves no committed codes, so
+    * the replay bootstraps again (idempotent — the orphan staging dir
+    * ages out via vacuum/retention); the reverse order would let a
+    * crash after the publish replay the bootstrap vectors as a fresh
+    * batch id, duplicating every one of them. */
   def buildOrAppend(batch: DataFrame, indexDir: String, batchId: Long,
       p: Params = Params(), keep: Int = 3): Map[String, Long] =
     if (Versioned.latestVersion(indexDir, CodesTable).isEmpty) {
       if (batch.isEmpty) return Map.empty
-      val out = build(batch, indexDir, p, keep)
+      Fs.mkdirs(new Path(indexDir))
       advanceHwm(indexDir, batchId)
-      out
+      build(batch, indexDir, p, keep)
     } else append(batch, indexDir, batchId, keep, skipIfExists = true)
 
   /** Continuous micro-batch admission: each streamed embedding
@@ -509,11 +522,23 @@ object AnnIndex {
     // until the new version commits, the old manifest still names every
     // id; after it commits, the ledger does)
     advanceHwm(indexDir, -1L)
-    Versioned.publishGroupMembers(Seq(
+    val published = Versioned.publishGroupMembers(Seq(
       Versioned.GroupLink(CentroidsTable, snapshot(CentroidsTable)),
       Versioned.GroupLink(CodebooksTable, snapshot(CodebooksTable)),
       Versioned.GroupDelta(CodesTable, merged, "batch", reuse = Nil)),
       indexDir, keep)
+    // physically remove the tombstone table AFTER the fold commits:
+    // the victim id list must not remain enumerable on disk once the
+    // erase is folded (the GDPR point of `physical = true` in
+    // [[graft.pipelines.Erasure]]). The new journal no longer names the
+    // member, so no current reader resolves it; a reader still scanning
+    // an older snapshot is the same accepted retention-window trade
+    // every prune makes. Runs even when THIS snapshot carried no
+    // tombstones, so a crash between a previous compact's commit and
+    // its cleanup is healed by the next compact.
+    val tombDir = new Path(s"$indexDir/$TombstonesTable")
+    if (Fs.exists(tombDir)) Fs.deleteRecursive(tombDir)
+    published
   }
 
   // ---- recall-drift observability -------------------------------------
@@ -574,8 +599,8 @@ object AnnIndex {
       .as[(Long, Double)].head()
     val (vBefore, rBefore) = audit()
     val deletePressured = maxDeletedFrac < 1.0 && {
-      val (codes, tombs) = deletionPressure(spark, indexDir)
-      tombs > 0 && tombs.toDouble / math.max(codes, 1L) >= maxDeletedFrac
+      val (live, dead) = deletionPressure(spark, indexDir)
+      dead > 0 && dead.toDouble / math.max(live + dead, 1L) >= maxDeletedFrac
     }
     val rebuilt = rBefore < minRecall || deletePressured
     if (rebuilt) build(corpus, indexDir, p, keep)

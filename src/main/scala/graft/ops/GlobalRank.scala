@@ -169,39 +169,8 @@ object GlobalRank {
     * the range-partition id, so each window task holds one shuffle
     * partition — bounded by partition size, never by frame size. */
   def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
-      out: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val v = s"__grank_v_$out"
-    val ck = df.withColumn(v, value)
-      .repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn(IdCol, monotonically_increasing_id())
-      .localCheckpoint(false)
-    require(ck.schema(v).dataType == org.apache.spark.sql.types.LongType,
-      s"withRunningSum needs an exact LongType value, got ${ck.schema(v).dataType}")
-    // NULL fidelity with the window form: sum().over skips nulls and is
-    // NULL only until the first non-null of the WHOLE order. So carry
-    // (coalesced sum, non-null count) per partition — the coalesce keeps
-    // an all-NULL partition from NPE-ing the offset collect, and the
-    // cumulative count decides null-vs-carried-sum exactly.
-    val sums = ck.groupBy(shiftright(col(IdCol), 33).as("pid"))
-      .agg(coalesce(sum(col(v)), lit(0L)).as("s"), count(col(v)).as("nn"))
-      .collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).sortBy(_._1)
-    val pid = shiftright(col(IdCol), 33)
-    val (offset, _) = cumulativeBase(pid, sums.map { case (p, (s, _)) => (p, s) })
-    val (cntOff, _) = cumulativeBase(pid, sums.map { case (p, (_, c)) => (p, c) })
-    val localW = Window.partitionBy(pid)
-      .orderBy(col(IdCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = when(count(col(v)).over(localW) + cntOff === 0,
-        lit(null).cast("long"))
-      .otherwise(coalesce(sum(col(v)).over(localW), lit(0L)) + offset)
-    ck.withColumn(out, cum)
-      .drop(IdCol, v)
-  }
+      out: String): DataFrame =
+    rankedSums(df, order, None, Seq((value, out)))
 
   /** Global row number AND k exact running sums over ONE total order in
     * ONE range shuffle, one per-partition stats collect and one local
@@ -212,56 +181,8 @@ object GlobalRank {
     * (integer partial sums reassociate freely; GlobalRankSpec pins
     * equality) with the same NULL fidelity as [[withRunningSum]]. */
   def withRowNumberAndRunningSums(df: DataFrame, order: Seq[Column],
-      rnOut: String, values: Seq[(Column, String)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(values.nonEmpty, "withRowNumberAndRunningSums needs a column")
-    val spark = df.sparkSession
-    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val vNames = values.indices.map(i => s"__grank_rv_$i")
-    val withVals = values.zip(vNames).foldLeft(df) {
-      case (d, ((c, _), vn)) => d.withColumn(vn, c)
-    }
-    val ck = withVals
-      .repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn(IdCol, monotonically_increasing_id())
-      .localCheckpoint(false)
-    vNames.foreach { vn =>
-      require(ck.schema(vn).dataType == org.apache.spark.sql.types.LongType,
-        s"withRowNumberAndRunningSums needs exact LongType values, " +
-          s"got ${ck.schema(vn).dataType} for $vn")
-    }
-    // ONE collect carries the rank bases (row counts) and every value
-    // column's (coalesced sum, non-null count)
-    val aggs = count(lit(1)).as("c") +: vNames.flatMap(vn => Seq(
-      coalesce(sum(col(vn)), lit(0L)).as(s"s_$vn"),
-      count(col(vn)).as(s"n_$vn")))
-    val stats = ck.groupBy(shiftright(col(IdCol), 33).as("pid"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1),
-        vNames.indices.map(i => (r.getLong(2 * i + 2), r.getLong(2 * i + 3)))))
-      .sortBy(_._1)
-    val pid = shiftright(col(IdCol), 33)
-    val (base, _) = cumulativeBase(pid, stats.map(s => (s._1, s._2)))
-    val localW = Window.partitionBy(pid)
-      .orderBy(col(IdCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withRn = ck.withColumn(rnOut,
-      col(IdCol).bitwiseAND(lit(PosMask)) + base + lit(1L))
-    val withOuts = values.zip(vNames).zipWithIndex.foldLeft(withRn) {
-      case (d, (((_, out), vn), i)) =>
-        val (offset, _) =
-          cumulativeBase(pid, stats.map { case (p, _, ss) => (p, ss(i)._1) })
-        val (cntOff, _) =
-          cumulativeBase(pid, stats.map { case (p, _, ss) => (p, ss(i)._2) })
-        val cum = when(count(col(vn)).over(localW) + cntOff === 0,
-            lit(null).cast("long"))
-          .otherwise(coalesce(sum(col(vn)).over(localW), lit(0L)) + offset)
-        d.withColumn(out, cum)
-    }
-    withOuts.drop(IdCol).drop(vNames: _*)
-  }
+      rnOut: String, values: Seq[(Column, String)]): DataFrame =
+    rankedSums(df, order, Some(rnOut), values)
 
   /** [[withRunningSum]] for SEVERAL exact integral columns in ONE range
     * shuffle, one offset-collect job and one local window pass — the
@@ -272,9 +193,24 @@ object GlobalRank {
     * reassociate freely and all k window functions share one
     * WindowExec over the same pinned layout. */
   def withRunningSums(df: DataFrame, order: Seq[Column],
-      values: Seq[(Column, String)]): DataFrame = {
+      values: Seq[(Column, String)]): DataFrame =
+    rankedSums(df, order, None, values)
+
+  /** The shared core behind every running-sum form (and the fused
+    * rank+sums): pin the range layout once, collect ONE per-partition
+    * stats frame — row count (rank bases) plus each value column's
+    * (coalesced sum, non-null count) — and attach the outputs.
+    *
+    * NULL fidelity with the window builtins: `sum().over` skips nulls
+    * and is NULL only until the first non-null of the WHOLE order. The
+    * coalesce keeps an all-NULL partition from NPE-ing the offset
+    * collect, and the cumulative non-null count decides
+    * null-vs-carried-sum exactly (a null-prefix row after non-null
+    * earlier partitions carries the prior sum, as the builtin does). */
+  private def rankedSums(df: DataFrame, order: Seq[Column],
+      rnOut: Option[String], values: Seq[(Column, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(values.nonEmpty, "withRunningSums needs at least one column")
+    require(values.nonEmpty, "GlobalRank running sums need a value column")
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val vNames = values.indices.map(i => s"__grank_mv_$i")
@@ -288,30 +224,32 @@ object GlobalRank {
       .localCheckpoint(false)
     vNames.foreach { vn =>
       require(ck.schema(vn).dataType == org.apache.spark.sql.types.LongType,
-        s"withRunningSums needs exact LongType values, " +
+        s"GlobalRank running sums need exact LongType values, " +
           s"got ${ck.schema(vn).dataType} for $vn")
     }
-    // (coalesced sum, non-null count) per column — NULL fidelity with
-    // the window form, same recipe as withRunningSum.
-    val sumAggs = vNames.flatMap(vn => Seq(
+    val aggs = count(lit(1)).as("c") +: vNames.flatMap(vn => Seq(
       coalesce(sum(col(vn)), lit(0L)).as(s"s_$vn"),
       count(col(vn)).as(s"n_$vn")))
-    val sums = ck.groupBy(shiftright(col(IdCol), 33).as("pid"))
-      .agg(sumAggs.head, sumAggs.tail: _*)
+    val stats = ck.groupBy(shiftright(col(IdCol), 33).as("pid"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => (r.getLong(0),
-        vNames.indices.map(i => (r.getLong(2 * i + 1), r.getLong(2 * i + 2)))))
+      .map(r => (r.getLong(0), r.getLong(1),
+        vNames.indices.map(i => (r.getLong(2 * i + 2), r.getLong(2 * i + 3)))))
       .sortBy(_._1)
     val pid = shiftright(col(IdCol), 33)
     val localW = Window.partitionBy(pid)
       .orderBy(col(IdCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withOuts = values.zip(vNames).zipWithIndex.foldLeft(ck) {
+    val withRn = rnOut.fold(ck) { rn =>
+      val (base, _) = cumulativeBase(pid, stats.map(s => (s._1, s._2)))
+      ck.withColumn(rn, col(IdCol).bitwiseAND(lit(PosMask)) + base + lit(1L))
+    }
+    val withOuts = values.zip(vNames).zipWithIndex.foldLeft(withRn) {
       case (d, (((_, out), vn), i)) =>
         val (offset, _) =
-          cumulativeBase(pid, sums.map { case (p, ss) => (p, ss(i)._1) })
+          cumulativeBase(pid, stats.map { case (p, _, ss) => (p, ss(i)._1) })
         val (cntOff, _) =
-          cumulativeBase(pid, sums.map { case (p, ss) => (p, ss(i)._2) })
+          cumulativeBase(pid, stats.map { case (p, _, ss) => (p, ss(i)._2) })
         val cum = when(count(col(vn)).over(localW) + cntOff === 0,
             lit(null).cast("long"))
           .otherwise(coalesce(sum(col(vn)).over(localW), lit(0L)) + offset)

@@ -52,11 +52,32 @@ object Versioned {
     * (1 s) filesystem tick reproduces the identical stamp — the exact
     * hazard this exists to close, ADVICE r11), and the mtime fold keeps
     * markers written before the token existed distinguishable. */
+  // (path, mtime) → stamp: the marker is immutable once written, so the
+  // content read happens at most once per observed mtime — the hot serve
+  // path (AnnIndex's per-serve model-cache key) pays one getFileStatus,
+  // not a content GET, per call. Bounded: markers are few and the map
+  // clears past 1024 entries.
+  private val stampCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+
   def commitStamp(baseDir: String, name: String, version: Long): Long = {
     val p = commitPath(tableDir(baseDir, name), version)
     val mtime = Fs.of(p).getFileStatus(p).getModificationTime
-    scala.util.hashing.MurmurHash3.stringHash(Fs.readString(p)).toLong *
-      1000003L ^ mtime
+    val key = (p.toString, mtime)
+    val hit = stampCache.get(key)
+    if (hit != 0L) return hit
+    // a freshly-created marker can be visible before its content lands
+    // (create-then-write); an empty read must not be cached or a racer
+    // pins the empty-content stamp for the incarnation's lifetime
+    val content = Fs.readString(p)
+    val stamp =
+      scala.util.hashing.MurmurHash3.stringHash(content).toLong *
+        1000003L ^ mtime
+    if (content.nonEmpty) {
+      if (stampCache.size > 1024) stampCache.clear()
+      stampCache.put(key, if (stamp == 0L) 1L else stamp)
+    }
+    if (stamp == 0L) 1L else stamp
   }
 
   /** Commit-marker content: the version plus a UUID incarnation token

@@ -721,14 +721,24 @@ object Streams {
             Seq("doc_id"), "left_semi")
             .localCheckpoint(false) // feeds the upsert AND the embed leg
           if (!admitted.isEmpty) {
-            graft.pipelines.Incremental.publishUpsert(
-              spark, baseDir, name, admitted, Seq("doc_id"), keep)
+            // INDEX leg FIRST, corpus publish second — the crash-safe
+            // order. A crash between the two legs replays the epoch:
+            // with this order the docs are still absent from the
+            // corpus, so the dedup vet re-admits them, the index
+            // admission ledger skips the already-landed batch id, and
+            // the corpus publish completes — nothing is lost. The
+            // reverse order would strand admitted docs forever
+            // unindexed (the replay's vet reads them as exact_dup and
+            // the embed leg never sees them again).
             val vecs = embed(admitted)
             if (!vecs.isEmpty) {
               graft.ops.AnnIndex.buildOrAppend(vecs, indexDir,
                 batchId = epoch + 1L, p, keep)
               ()
             }
+            graft.pipelines.Incremental.publishUpsert(
+              spark, baseDir, name, admitted, Seq("doc_id"), keep)
+            ()
           }
         }
       }

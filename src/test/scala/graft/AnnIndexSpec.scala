@@ -548,20 +548,46 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(before.forall(r => !victimSet(r._3)),
       "append resurrected an erased vector")
     assert(Versioned.latestGroupVersions(idx).contains(AnnIndex.TombstonesTable))
-    // pressure counts the distinct tombstoned ids against live codes
-    val (codesRows, tombs) = AnnIndex.deletionPressure(spark, idx)
-    assert(tombs == victimSet.size && codesRows == n)
+    // pressure counts tombstoned ids ACTUALLY IN the codes (dead) and
+    // the live remainder — a tombstone for an id the index never held
+    // must not count (it's the documented no-op)
+    val (live, dead) = AnnIndex.deletionPressure(spark, idx)
+    assert(dead == victimSet.size && live == n - victimSet.size)
+    AnnIndex.delete(emb.sparkSession.range(10).select(
+      (col("id") + 1000000L).as("vec_id")), idx) // ids never indexed
+    val (live2, dead2) = AnnIndex.deletionPressure(spark, idx)
+    assert(dead2 == dead && live2 == live,
+      "phantom tombstones must not register as deletion pressure")
     // compact: erase becomes physical, tombstone member leaves the
-    // snapshot, serve is bit-identical
+    // snapshot AND its table directory (the victim id list must not
+    // remain enumerable on disk), serve is bit-identical
     AnnIndex.compact(spark, idx)
     val snapAfter = Versioned.latestGroupVersions(idx)
     assert(!snapAfter.contains(AnnIndex.TombstonesTable))
+    assert(!Fs.exists(new Path(s"$idx/${AnnIndex.TombstonesTable}")),
+      "compact must remove the tombstone table from disk")
     val merged = Versioned.read(spark, idx, AnnIndex.CodesTable,
       Some(snapAfter(AnnIndex.CodesTable)))
     assert(merged.count() == n - victimSet.size)
     assert(merged.filter(col("vec_id").isInCollection(victimSet.toSeq))
       .isEmpty)
     assert(collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5)) == before)
+  }
+
+  test("buildOrAppend: bootstrap raises the ledger to its epoch id, so " +
+    "a replayed bootstrap batch is skipped, not re-appended; later ids " +
+    "append normally") {
+    val idx = tmp()
+    val batch = emb.filter(col("vec_id") < 100)
+    AnnIndex.buildOrAppend(batch, idx, batchId = 6L)
+    val n0 = Versioned.read(spark, idx, AnnIndex.CodesTable).count()
+    assert(n0 == 100L)
+    AnnIndex.buildOrAppend(batch, idx, batchId = 6L) // at-least-once replay
+    assert(Versioned.read(spark, idx, AnnIndex.CodesTable).count() == n0,
+      "replayed bootstrap epoch must not duplicate its vectors")
+    AnnIndex.buildOrAppend(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150), idx, 7L)
+    assert(Versioned.read(spark, idx, AnnIndex.CodesTable).count() == 150L)
   }
 
   test("Erasure.eraseEverywhere: one call removes victims from the " +
