@@ -55,13 +55,20 @@ object Snapshot {
         // ("a","bc") under "", or fields containing the delimiter) and
         // pair differently across the two sides, producing spurious
         // MISMATCH on genuinely identical outputs
-        // 'N'/'V' tag keeps SQL NULL distinct from the string "null"
-        // (String.valueOf(null) == "null" would tie them in the sort
-        // and let identical outputs pair differently across sides)
-        def key(row: Seq[Any]): String = row.map {
+        // 'N'/'V' tags keep SQL NULL distinct from the string "null"
+        // AT EVERY NESTING LEVEL (String.valueOf renders a null inside
+        // an array as 'null' too — Array(null) vs Array("null") would
+        // tie in the sort and let identical outputs pair differently
+        // across sides). canon has already normalized values to
+        // primitives / Seqs / (k, v) tuples.
+        def enc(v: Any): String = v match {
           case null => "N"
-          case v => val s = String.valueOf(v); s"V${s.length}:$s"
-        }.mkString("\u0001")
+          case s: scala.collection.Seq[_] =>
+            s.map(enc).mkString("A[", ",", "]")
+          case (a, b) => s"T(${enc(a)},${enc(b)})"
+          case x => val s = String.valueOf(x); s"V${s.length}:$s"
+        }
+        def key(row: Seq[Any]): String = row.map(enc).mkString("\u0001")
         def rows(d: org.apache.spark.sql.DataFrame) =
           d.select(cols.map(org.apache.spark.sql.functions.col): _*)
             .collect()

@@ -527,17 +527,23 @@ object AnnIndex {
       Versioned.GroupLink(CodebooksTable, snapshot(CodebooksTable)),
       Versioned.GroupDelta(CodesTable, merged, "batch", reuse = Nil)),
       indexDir, keep)
-    // physically remove the tombstone table AFTER the fold commits:
-    // the victim id list must not remain enumerable on disk once the
-    // erase is folded (the GDPR point of `physical = true` in
-    // [[graft.pipelines.Erasure]]). The new journal no longer names the
-    // member, so no current reader resolves it; a reader still scanning
-    // an older snapshot is the same accepted retention-window trade
-    // every prune makes. Runs even when THIS snapshot carried no
-    // tombstones, so a crash between a previous compact's commit and
-    // its cleanup is healed by the next compact.
-    val tombDir = new Path(s"$indexDir/$TombstonesTable")
-    if (Fs.exists(tombDir)) Fs.deleteRecursive(tombDir)
+    // With ERASURE retention (keep <= 1), physically remove the
+    // tombstone table AFTER the fold commits: the victim id list must
+    // not remain enumerable on disk once the erase is folded (the GDPR
+    // point of `physical = true` in [[graft.pipelines.Erasure]], which
+    // calls compact with keep = 1). Gated on keep: at keep = 1 a reader
+    // mid-scan on the pre-compact snapshot already races normal
+    // version pruning (the documented "size keep to exceed your longest
+    // query" trade), so the dir removal adds no new hazard class; at
+    // keep > 1 the readers-need-no-coordination contract holds and the
+    // tombstone versions stay within retention like any other table's.
+    // Runs even when THIS snapshot carried no tombstones, so a crash
+    // between a previous erase-compact's commit and its cleanup is
+    // healed by the next one.
+    if (keep <= 1) {
+      val tombDir = new Path(s"$indexDir/$TombstonesTable")
+      if (Fs.exists(tombDir)) Fs.deleteRecursive(tombDir)
+    }
     published
   }
 

@@ -10,16 +10,22 @@ import org.apache.spark.sql.functions.col
   * prevent: a row deleted from the table but still servable from the
   * index (or vice versa) is not erased.
   *
-  * Legs, in order:
-  *   1. corpus: anti-join the latest version against the victim keys
+  * Legs, in order — INDEX FIRST, deliberately: the tombstone
+  * transaction is O(victims) metadata and makes the victims
+  * unservable within milliseconds, while the corpus rewrite is
+  * O(table). Run the slow leg first and a crash between the two
+  * leaves victims fully servable until someone retries; run the fast
+  * leg first and the crash state is benign — victims already
+  * unservable, the corpus delete retry-safe.
+  *   1. index: one O(victims) tombstone transaction
+  *      ([[graft.ops.AnnIndex.delete]]) — every subsequent serve
+  *      anti-joins the victims out, so nothing erased is returned even
+  *      before any rewrite.
+  *   2. corpus: anti-join the latest version against the victim keys
   *      and publish the survivors with `keep = 1`
   *      ([[Incremental.publishDelete]]) — the publish immediately
   *      prunes every older version, so time travel to the erased rows
   *      dies with the erase (erasure semantics, not just a new head).
-  *   2. index: one O(victims) tombstone transaction
-  *      ([[graft.ops.AnnIndex.delete]]) — every subsequent serve
-  *      anti-joins the victims out, so nothing erased is returned even
-  *      before the rewrite.
   *   3. optionally (`physical = true`, the default) an immediate
   *      [[graft.ops.AnnIndex.compact]] with `keep = 1`: the codes
   *      rewrite folds the tombstones in and pruning removes the
@@ -41,13 +47,13 @@ object Erasure {
       keys: Seq[String], indexDir: String, victims: DataFrame,
       vecKey: String = "doc_id", physical: Boolean = true)
       : (Long, Map[String, Long]) = {
+    val vecVictims = victims.select(col(vecKey).as("vec_id"))
+    val tombstoned = graft.ops.AnnIndex.delete(vecVictims, indexDir, keep = 1)
     val corpusVersion = Incremental.publishDelete(
       spark, baseDir, table, victims, keys, keep = 1)
-    val vecVictims = victims.select(col(vecKey).as("vec_id"))
-    graft.ops.AnnIndex.delete(vecVictims, indexDir, keep = 1)
     val indexVersions =
       if (physical) graft.ops.AnnIndex.compact(spark, indexDir, keep = 1)
-      else Versioned.latestGroupVersions(indexDir)
+      else tombstoned
     (corpusVersion, indexVersions)
   }
 }

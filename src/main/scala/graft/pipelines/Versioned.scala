@@ -52,11 +52,16 @@ object Versioned {
     * (1 s) filesystem tick reproduces the identical stamp — the exact
     * hazard this exists to close, ADVICE r11), and the mtime fold keeps
     * markers written before the token existed distinguishable. */
-  // (path, mtime) → stamp: the marker is immutable once written, so the
-  // content read happens at most once per observed mtime — the hot serve
-  // path (AnnIndex's per-serve model-cache key) pays one getFileStatus,
-  // not a content GET, per call. Bounded: markers are few and the map
-  // clears past 1024 entries.
+  // (path, mtime) → stamp memo for the hot serve path (AnnIndex's
+  // per-serve model-cache key pays one getFileStatus, not a content GET,
+  // per call). CACHE-SAFETY: an entry is stored ONLY once the marker's
+  // mtime tick has safely closed (mtime at least 2 s in the past) — a
+  // delete-and-rebuild landing its new marker inside the SAME coarse
+  // (1 s) mtime tick is exactly the incarnation hazard the content hash
+  // exists to disambiguate, and a (path, mtime)-keyed hit taken during
+  // that window would return the OLD incarnation's stamp. Outside the
+  // window the clock has moved on, so any future marker at this path
+  // carries a different mtime and can never alias a cached key.
   private val stampCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
 
@@ -73,7 +78,8 @@ object Versioned {
     val stamp =
       scala.util.hashing.MurmurHash3.stringHash(content).toLong *
         1000003L ^ mtime
-    if (content.nonEmpty) {
+    if (content.nonEmpty &&
+        System.currentTimeMillis() - mtime > 2000L) {
       if (stampCache.size > 1024) stampCache.clear()
       stampCache.put(key, if (stamp == 0L) 1L else stamp)
     }

@@ -354,15 +354,18 @@ object VectorQueries {
       graft.ops.AnnIndex.build(e, idx)
       val queries = e.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val victimPred = col("vec_id") % 7 === 3
-      val victims = e.filter(victimPred).select(col("vec_id"))
+      // victims come from the table BEING ERASED (documents), not from
+      // the embeddings — a doc_id without an embedding row must still
+      // leave the corpus, and the audit below must be able to catch it
+      // if it didn't
+      val victims = d.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
       val victimSet = victims.as[Long].collect().toSet
       val expected = graft.ops.AnnIndex.serveTopKFiltered(spark, idx,
-          queries, e.filter(!victimPred).select(col("vec_id")), K)
+          queries, e.filter(!(col("vec_id") % 7 === 3)).select(col("vec_id")), K)
         .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
         .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
       graft.pipelines.Erasure.eraseEverywhere(spark, tmp, "corpus",
-        Seq("doc_id"), idx, victims.select(col("vec_id").as("doc_id")))
+        Seq("doc_id"), idx, victims)
       val served = graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
         .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
         .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
@@ -371,14 +374,15 @@ object VectorQueries {
         .filter(col("doc_id").isInCollection(victimSet.toSeq)).count()
       val versionsOnDisk = graft.pipelines.Versioned
         .describe(spark, tmp, "corpus").count()
-      val (codesRows, tombs) = graft.ops.AnnIndex.deletionPressure(spark, idx)
+      val (liveCodes, deadCodes) =
+        graft.ops.AnnIndex.deletionPressure(spark, idx)
       val victimCodes = graft.pipelines.Versioned
         .read(spark, idx, graft.ops.AnnIndex.CodesTable)
         .filter(col("vec_id").isInCollection(victimSet.toSeq)).count()
       Seq((d.count(), victimSet.size.toLong, victimsAfter, versionsOnDisk,
           served.length.toLong,
           served.count(r => victimSet(r._3)).toLong + victimCodes,
-          served.toSeq == expected.toSeq, tombs, codesRows))
+          served.toSeq == expected.toSeq, deadCodes, liveCodes))
         .toDF("n_corpus", "n_victims", "corpus_victims_after",
           "corpus_versions_on_disk", "n_served", "n_violations",
           "matches_complement", "tombstones_after", "codes_after")

@@ -558,14 +558,16 @@ class AnnIndexSpec extends AnyFunSuite {
     val (live2, dead2) = AnnIndex.deletionPressure(spark, idx)
     assert(dead2 == dead && live2 == live,
       "phantom tombstones must not register as deletion pressure")
-    // compact: erase becomes physical, tombstone member leaves the
-    // snapshot AND its table directory (the victim id list must not
-    // remain enumerable on disk), serve is bit-identical
+    // compact (default retention): erase becomes physical in the codes,
+    // the tombstone member leaves the snapshot, serve is bit-identical;
+    // the tombstone DIRECTORY survives within retention (readers on the
+    // pre-compact snapshot keep their no-coordination contract) — only
+    // erasure retention (keep = 1, the Erasure path) removes it
     AnnIndex.compact(spark, idx)
     val snapAfter = Versioned.latestGroupVersions(idx)
     assert(!snapAfter.contains(AnnIndex.TombstonesTable))
-    assert(!Fs.exists(new Path(s"$idx/${AnnIndex.TombstonesTable}")),
-      "compact must remove the tombstone table from disk")
+    assert(Fs.exists(new Path(s"$idx/${AnnIndex.TombstonesTable}")),
+      "default-retention compact must leave tombstone versions readable")
     val merged = Versioned.read(spark, idx, AnnIndex.CodesTable,
       Some(snapAfter(AnnIndex.CodesTable)))
     assert(merged.count() == n - victimSet.size)
@@ -619,6 +621,8 @@ class AnnIndexSpec extends AnyFunSuite {
       "keep=1 erase must prune the pre-erase corpus versions")
     val snap1 = Versioned.latestGroupVersions(s"$t1/index")
     assert(!snap1.contains(AnnIndex.TombstonesTable)) // folded physically
+    assert(!Fs.exists(new Path(s"$t1/index/${AnnIndex.TombstonesTable}")),
+      "erasure-retention compact must remove the victim id list from disk")
     assert(Versioned.read(spark, s"$t1/index", AnnIndex.CodesTable)
       .filter(col("vec_id").isInCollection(victimSet.toSeq)).isEmpty)
     val served1 = collectTopK(AnnIndex.serveTopK(spark, s"$t1/index",
@@ -652,8 +656,8 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(decision)
     val snap = Versioned.latestGroupVersions(idx)
     assert(!snap.contains(AnnIndex.TombstonesTable)) // cleared by build
-    val (codesRows, tombs) = AnnIndex.deletionPressure(spark, idx)
-    assert(tombs == 0L && codesRows == corpus.count())
+    val (liveAfter, deadAfter) = AnnIndex.deletionPressure(spark, idx)
+    assert(deadAfter == 0L && liveAfter == corpus.count())
     // and with the default threshold the same pressure is ignored
     val idx2 = tmp()
     AnnIndex.build(emb, idx2)
