@@ -11,8 +11,26 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // populate task-end executor metrics (peak storage/exec memory)
+      // continuously instead of only at 10 s heartbeats — the peaks are
+      // SweepStats' memory-pressure signal and a sub-second query would
+      // otherwise never see a sample
+      .config("spark.executor.metrics.pollingInterval", "250ms")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Resource instrumentation (r12 verdict item 1): per-query task /
+    // GC / spill / block-storage counters, snapshotted between queries
+    // with a forced listener-bus drain so attribution is exact. The
+    // full table lands in a sidecar JSON (committed per round as
+    // BENCH_STATS_r{N}.json) — the data that adjudicates the
+    // sweep-vs-focused gap on the checkpoint-heavy family.
+    val stats = new graft.bench.SweepStats
+    spark.sparkContext.addSparkListener(stats)
+    def statsWindow(): graft.bench.SweepStats.Window = {
+      org.apache.spark.graft.BenchBus.flush(spark.sparkContext)
+      stats.snapshotAndReset()
+    }
+    graft.bench.StageTimings.clear()
     // Untimed warmup: JVM/codegen/scan setup shouldn't be charged to
     // whichever query happens to run first.
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
@@ -52,13 +70,23 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val statsRows = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.map { case (name, fn) =>
+      statsWindow() // close out warmup / previous query's unpersist noise
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           errors(name) = e.getClass.getSimpleName; None }
       }
+      // stats window covers exactly the timed reps (bus drained), BEFORE
+      // the unpersist sweep below — a drop counted here happened while
+      // the query ran (eviction), not from between-query hygiene
+      val w = statsWindow()
+      val walls = times.map(t => math.rint(t * 1000) / 1000)
+        .mkString("[", ",", "]")
+      statsRows += s"""{"query":"$name","walls":$walls,""" +
+        w.toJson.stripPrefix("{")
       // Release engine-internal persisted state (localCheckpoint blocks
       // from the dedup/graph builders, cached plans) before the next
       // query: in a 150-query single-JVM sweep the leftover blocks
@@ -78,6 +106,16 @@ object Bench {
       // crashes intermittently must never masquerade as a healthy median
       name -> (if (times.size < reps) -1.0 else times.sorted.apply(times.size / 2))
     }.toMap
+    // Sidecar: the full per-query resource table (one JSON object per
+    // line — greppable, diffable, and independent of the bounded-tail
+    // capture below). Committed per round next to BENCH_r{N}.json.
+    val statsOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATS_OUT",
+      "target/bench_stats.json")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(statsOut).toAbsolutePath.getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(statsOut),
+      statsRows.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -94,13 +132,19 @@ object Bench {
     // 1000 (not 1500): with 150+ queries line 2 must leave room in the
     // ~1900-char tail for the trailing sbt status line plus any shutdown
     // warnings — at 1500 the margin was ~200 chars.
-    val maxQueryChars = 1000
+    // 850 (was 1000): the `stages` field below (q446's four-stage
+    // decomposition, the r12 verdict's item 6) costs ~130 chars of the
+    // same bounded-tail budget.
+    val maxQueryChars = 850
     val byCost = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
     val kept = byCost.scanLeft(0)((acc, e) => acc + e.length + 1).tail
       .zip(byCost).takeWhile(_._1 <= maxQueryChars).map(_._2)
     val qsTop = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":${errors.size},"errors":$es,"queries":$qsTop,"queries_omitted":${results.size - kept.size},"sf":"$sfDir"}""")
+    // `stages`: per-stage wall split of the multi-stage pipeline
+    // queries that record one (q446's build/audits/append/decision) —
+    // last (warmest) rep, so stage regressions read from the artifact.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":${errors.size},"errors":$es,"stages":${graft.bench.StageTimings.toJson},"queries":$qsTop,"queries_omitted":${results.size - kept.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
