@@ -237,57 +237,125 @@ object AnnIndex {
     (coarse, books)
   }
 
+  /** One row per tombstoned id with its widest batch CUTOFF — the scope
+    * a tombstone erases: codes batches admitted AT OR BEFORE the delete
+    * (`batch <= cutoff`), never batches appended after it. Scoping by
+    * `vec_id` alone (the pre-r13 shape, ADVICE r12) silently hid a
+    * legitimate post-delete append reusing an erased id (re-consent /
+    * id recycling) from every serve and let the next compact physically
+    * drop it while the corpus upsert kept the doc — exactly the
+    * table-vs-index divergence [[graft.pipelines.Erasure]] exists to
+    * prevent. Tables written before the `cutoff` column existed read as
+    * cutoff = ∞ (their historical "ids are never reusable" semantics).
+    * A re-deleted id keeps its widest cutoff via `max` — the later
+    * delete's scope covers the earlier one's. */
+  private def tombstoneScope(spark: SparkSession, indexDir: String,
+      version: Long): DataFrame = {
+    val raw = Versioned.read(spark, indexDir, TombstonesTable, Some(version))
+    val scoped =
+      if (raw.columns.contains("cutoff"))
+        raw.select(col("vec_id"),
+          coalesce(col("cutoff"), lit(Long.MaxValue)).as("cutoff"))
+      else raw.select(col("vec_id"), lit(Long.MaxValue).as("cutoff"))
+    scoped.groupBy("vec_id").agg(max("cutoff").as("cutoff"))
+      .select(col("vec_id").as("__t_vec_id"), col("cutoff").as("__t_cutoff"))
+  }
+
   /** Anti-join the snapshot's tombstones (if the snapshot carries any)
-    * out of a codes frame. Applied AFTER the probed-cell filter so the
-    * `In(cell, …)` parquet pushdown is untouched; the tombstone side is
-    * a small distinct key set (Catalyst broadcasts it), so the erase
-    * costs one broadcast-anti over already-pruned candidates — never a
-    * corpus shuffle. Indexes published before any [[delete]] have no
+    * out of a codes frame, scoped to each victim's admission cutoff
+    * ([[tombstoneScope]]). Applied AFTER the probed-cell filter so the
+    * `In(cell, …)` parquet pushdown is untouched. The tombstone side is
+    * one id-sized aggregate: Catalyst broadcasts it while it fits the
+    * broadcast budget and falls back to a shuffle anti-join beyond that
+    * — correct either way, and [[delete]]'s `compactAbove` bound forces
+    * a physical fold before the set can grow without limit (AnnIndexSpec
+    * pins both regimes). Indexes published before any [[delete]] have no
     * tombstone member in their snapshot and skip the join entirely. */
   private def antiTombstones(spark: SparkSession, indexDir: String,
       snapshot: Map[String, Long], codes: DataFrame): DataFrame =
     snapshot.get(TombstonesTable).fold(codes) { v =>
-      codes.join(
-        Versioned.read(spark, indexDir, TombstonesTable, Some(v))
-          .select(col("vec_id")).distinct(),
-        Seq("vec_id"), "left_anti")
+      val t = tombstoneScope(spark, indexDir, v)
+      codes.join(t,
+        codes("vec_id") === t("__t_vec_id") &&
+          codes("batch") <= t("__t_cutoff"),
+        "left_anti")
     }
 
   /** Row-level DELETE from the published index — the GDPR-erasure path.
     * Victims (`vec_id` rows; extra columns ignored) are staged as one
-    * new tombstone batch partition; codes and model tables are LINKED
-    * unchanged, so the transaction stages O(victims) bytes and zero
-    * corpus data. Every subsequent [[serveTopK]] /
-    * [[serveTopKFiltered]] anti-joins the snapshot's tombstones out of
-    * the probed candidates, so an erased vector can never be returned —
-    * the serve ≡ filtered-serve-over-the-complement equivalence
-    * AnnIndexSpec pins bit-identically. Tombstones are folded into the
-    * data (and the table dropped from the snapshot) by the next
-    * [[compact]] or [[build]]; [[maybeRebuild]] counts deletion
-    * pressure toward its rebuild trigger. Deleting an id twice, or an
-    * id the index never held, is a harmless no-op (set semantics); an
-    * EMPTY victims frame returns the current snapshot untouched. */
-  def delete(victims: DataFrame, indexDir: String, keep: Int = 3)
-      : Map[String, Long] = {
+    * new tombstone batch partition carrying a batch CUTOFF (the highest
+    * code batch admitted at delete time: manifest ∪ ledger); codes and
+    * model tables are LINKED unchanged, so the transaction stages
+    * O(victims) bytes and zero corpus data. Every subsequent
+    * [[serveTopK]] / [[serveTopKFiltered]] anti-joins the snapshot's
+    * tombstones out of the probed candidates SCOPED to that cutoff
+    * (`batch <= cutoff`), so an erased vector can never be returned —
+    * while a LATER [[append]] legitimately reusing the id (re-consent,
+    * id recycling) lands above the cutoff and stays fully servable
+    * (AnnIndexSpec pins both; serve ≡ filtered-serve-over-the-complement
+    * stays bit-identical). Tombstones are folded into the data (and the
+    * table dropped from the snapshot) by the next [[compact]] or
+    * [[build]]; [[maybeRebuild]] counts deletion pressure toward its
+    * rebuild trigger. Deleting an id twice, or an id the index never
+    * held, is a harmless no-op (set semantics); an EMPTY victims frame
+    * returns the current snapshot untouched.
+    *
+    * BOUNDED standing set: when the folded tombstone count reaches
+    * `compactAbove`, this call runs [[compact]] itself (one O(codes)
+    * rewrite) instead of letting the set grow without limit — between
+    * folds an oversized set only degrades the serve anti-join from
+    * broadcast to shuffle (correct, slower), but nothing else would
+    * ever bound it when callers skip `physical` erasure and never
+    * schedule compaction. The default (2²⁰ ids ≈ 16 MB of key+cutoff)
+    * sits above Spark's 10 MB broadcast default, so serves may pass
+    * through the shuffle-anti regime before the bound trips —
+    * AnnIndexSpec pins correctness there too. */
+  def delete(victims: DataFrame, indexDir: String, keep: Int = 3,
+      compactAbove: Long = 1L << 20): Map[String, Long] = {
+    val spark = victims.sparkSession
     val snapshot = Versioned.latestGroupVersions(indexDir)
     val dedup = victims.select(col("vec_id")).distinct()
     if (dedup.isEmpty) return snapshot
-    val (reuse, nextBatch) = snapshot.get(TombstonesTable) match {
+    // scope: erase only batches admitted up to NOW (manifest ∪ ledger —
+    // the ledger covers ids a compact's manifest collapse forgot)
+    val cutoff = math.max(readHwm(indexDir),
+      Versioned.manifest(indexDir, CodesTable, snapshot(CodesTable))
+        .map(_.entries.flatMap(_._1.toLongOption).foldLeft(-1L)(math.max))
+        .getOrElse(-1L))
+    val fresh = dedup.withColumn("cutoff", lit(cutoff))
+    val (reuse, nextBatch, stage) = snapshot.get(TombstonesTable) match {
       case Some(v) =>
         val m = Versioned.manifest(indexDir, TombstonesTable, v)
           .getOrElse(throw new IllegalStateException(
             s"$TombstonesTable v$v has no partition manifest"))
-        (m.entries,
-          m.entries.flatMap(_._1.toLongOption).foldLeft(-1L)(math.max) + 1L)
-      case None => (Seq.empty[(String, String)], 0L)
+        val prior = Versioned.read(spark, indexDir, TombstonesTable, Some(v))
+        if (prior.columns.contains("cutoff"))
+          (m.entries, m.entries.flatMap(_._1.toLongOption)
+            .foldLeft(-1L)(math.max) + 1L, fresh)
+        else
+          // one-time O(tombstones) migration of a pre-cutoff-era table:
+          // rewrite the legacy rows (cutoff = ∞, their historical
+          // semantics) into this batch instead of linking them — linked
+          // partitions with a DIFFERENT parquet schema would silently
+          // drop the new column on read
+          (Seq.empty[(String, String)], 0L,
+            prior.select(col("vec_id"))
+              .withColumn("cutoff", lit(Long.MaxValue))
+              .unionByName(fresh))
+      case None => (Seq.empty[(String, String)], 0L, fresh)
     }
-    Versioned.publishGroupMembers(Seq(
+    val published = Versioned.publishGroupMembers(Seq(
       Versioned.GroupLink(CentroidsTable, snapshot(CentroidsTable)),
       Versioned.GroupLink(CodebooksTable, snapshot(CodebooksTable)),
       Versioned.GroupLink(CodesTable, snapshot(CodesTable)),
       Versioned.GroupDelta(TombstonesTable,
-        dedup.withColumn("batch", lit(nextBatch)), "batch", reuse)),
+        stage.withColumn("batch", lit(nextBatch)), "batch", reuse)),
       indexDir, keep)
+    // the bound: one id-only count of the folded set per delete
+    val folded = Versioned.read(spark, indexDir, TombstonesTable,
+      Some(published(TombstonesTable))).count()
+    if (folded >= compactAbove) compact(spark, indexDir, keep)
+    else published
   }
 
   /** (live codes rows, DEAD codes rows) for the current snapshot — the
@@ -305,10 +373,12 @@ object AnnIndex {
     val total = codes.count()
     val dead = snapshot.get(TombstonesTable) match {
       case None => 0L
-      case Some(v) => codes.join(
-        Versioned.read(spark, indexDir, TombstonesTable, Some(v))
-          .select(col("vec_id")).distinct(),
-        Seq("vec_id"), "left_semi").count()
+      case Some(v) =>
+        val t = tombstoneScope(spark, indexDir, v)
+        codes.join(t,
+          codes("vec_id") === t("__t_vec_id") &&
+            codes("batch") <= t("__t_cutoff"),
+          "left_semi").count()
     }
     (total - dead, dead)
   }
@@ -527,22 +597,32 @@ object AnnIndex {
       Versioned.GroupLink(CodebooksTable, snapshot(CodebooksTable)),
       Versioned.GroupDelta(CodesTable, merged, "batch", reuse = Nil)),
       indexDir, keep)
-    // With ERASURE retention (keep <= 1), physically remove the
-    // tombstone table AFTER the fold commits: the victim id list must
-    // not remain enumerable on disk once the erase is folded (the GDPR
+    // Tombstone cleanup after the fold commits. At ERASURE retention
+    // (keep <= 1) the whole table dir goes: the victim id list must not
+    // remain enumerable on disk once the erase is folded (the GDPR
     // point of `physical = true` in [[graft.pipelines.Erasure]], which
-    // calls compact with keep = 1). Gated on keep: at keep = 1 a reader
-    // mid-scan on the pre-compact snapshot already races normal
-    // version pruning (the documented "size keep to exceed your longest
-    // query" trade), so the dir removal adds no new hazard class; at
-    // keep > 1 the readers-need-no-coordination contract holds and the
-    // tombstone versions stay within retention like any other table's.
-    // Runs even when THIS snapshot carried no tombstones, so a crash
-    // between a previous erase-compact's commit and its cleanup is
-    // healed by the next one.
+    // calls compact with keep = 1) — a reader mid-scan on the
+    // pre-compact snapshot already races normal keep=1 version pruning
+    // (the documented "size keep to exceed your longest query" trade),
+    // so the dir removal adds no new hazard class. At keep > 1 the fold
+    // leaves the table UNPUBLISHED forever, so per-table retention
+    // (which only runs inside a publish to that table) would never
+    // prune it again and the victim ids would stay enumerable on disk
+    // indefinitely (ADVICE r12) — instead, retire every tombstone
+    // version that no journal inside the retention window still
+    // references ([[Versioned.pruneExcept]] keeps manifest-linked dirs
+    // alive): time travel to the last `keep` group snapshots keeps
+    // working, and once those journals age out of the window the next
+    // compact removes the remainder. Both paths run even when THIS
+    // snapshot carried no tombstones, so a crash between a previous
+    // erase-compact's commit and its cleanup is healed by the next one.
     if (keep <= 1) {
       val tombDir = new Path(s"$indexDir/$TombstonesTable")
       if (Fs.exists(tombDir)) Fs.deleteRecursive(tombDir)
+    } else {
+      val referenced = Versioned.recentGroupVersions(indexDir, keep)
+        .flatMap(_.get(TombstonesTable)).toSet
+      Versioned.pruneExcept(indexDir, TombstonesTable, referenced)
     }
     published
   }

@@ -65,6 +65,25 @@ object Versioned {
   private val stampCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
 
+  /** The filesystem's OWN clock, read by statting a just-created probe
+    * file next to `near` — the admission guard below must compare the
+    * marker's mtime against the clock that STAMPED it, not the driver's
+    * (on object stores / remote HDFS the two can skew by seconds either
+    * way: negative skew would admit a memo entry while the marker's
+    * coarse mtime tick is still open — re-opening the same-tick
+    * delete-and-rebuild alias the guard exists to close — and positive
+    * skew would silently disable the memo on the hot serve path,
+    * ADVICE r12). Costs one create+stat+delete, paid only on the
+    * UNmemoized path (the first ~2 s of a marker's life); the memoized
+    * hot path stays one getFileStatus. */
+  private def fsNow(near: Path): Long = {
+    val probe = new Path(near,
+      s"_clock_probe_${java.util.UUID.randomUUID().toString.take(13)}")
+    Fs.writeString(probe, "t")
+    try Fs.of(probe).getFileStatus(probe).getModificationTime
+    finally Fs.deleteRecursive(probe)
+  }
+
   def commitStamp(baseDir: String, name: String, version: Long): Long = {
     val p = commitPath(tableDir(baseDir, name), version)
     val mtime = Fs.of(p).getFileStatus(p).getModificationTime
@@ -78,8 +97,10 @@ object Versioned {
     val stamp =
       scala.util.hashing.MurmurHash3.stringHash(content).toLong *
         1000003L ^ mtime
+    // fsNow probes the TABLE dir (same filesystem + same parent as the
+    // marker's version dir; version dirs stay probe-free)
     if (content.nonEmpty &&
-        System.currentTimeMillis() - mtime > 2000L) {
+        fsNow(tableDir(baseDir, name)) - mtime > 2000L) {
       if (stampCache.size > 1024) stampCache.clear()
       stampCache.put(key, if (stamp == 0L) 1L else stamp)
     }
@@ -346,6 +367,42 @@ object Versioned {
       .map(_.split("\t")).collect {
         case Array(n, v) if v.toLongOption.isDefined => n -> v.toLong
       }.toMap
+  }
+
+  /** The (table → version) maps of the most recent `n` committed group
+    * journals, NEWEST FIRST — the reference set retention decisions on
+    * a FOLDED group member need (a member a newer journal stopped
+    * carrying never receives another publish, so per-table pruning
+    * never sees it again; [[graft.ops.AnnIndex.compact]] prunes its
+    * folded tombstone table against this window instead). */
+  def recentGroupVersions(baseDir: String, n: Int): Seq[Map[String, Long]] =
+    txnIds(baseDir, ".committed").sorted.takeRight(n).reverse.map { id =>
+      Fs.readString(stagedPath(baseDir, id)).split("\n")
+        .filter(l => l.nonEmpty && l != "END")
+        .map(_.split("\t")).collect {
+          case Array(nm, v) if v.toLongOption.isDefined => nm -> v.toLong
+        }.toMap
+    }
+
+  /** Retention prune for a table that stopped receiving publishes (a
+    * folded group member — normal pruning only runs inside
+    * [[publish]]-to-that-table): delete every on-disk version NOT in
+    * `retain`, keeping any version a retained manifest still links
+    * partitions into (the same reference closure [[publish]]'s pruning
+    * honors). Callers own the choice of `retain` — pass the versions
+    * the journals still inside their retention window reference.
+    * Returns the pruned ids. */
+  def pruneExcept(baseDir: String, name: String, retain: Set[Long]): Seq[Long] = {
+    val t = tableDir(baseDir, name)
+    if (!Fs.exists(t)) return Nil
+    val referenced = retain.flatMap { v =>
+      v +: manifestOf(t, v).toSeq.flatMap(_.entries.flatMap {
+        case (_, rel) => rel.takeWhile(_ != '/').stripPrefix("_v").toLongOption
+      })
+    }
+    val dead = versionsOnDisk(t).filterNot(referenced).sorted
+    dead.foreach(v => Fs.deleteRecursive(vdir(t, v)))
+    dead
   }
 
   /** The last fully-committed group as (table → frame AT its journaled

@@ -509,20 +509,28 @@ object VectorQueries {
     * documents leaves both corpus and codes counts unchanged — the
     * dedup vet rejects every logical duplicate), and
     * `served_all_indexed` (a top-k serve from the final snapshot
-    * returns only indexed members). Deterministic fixture facts →
-    * stable rows-only audit (StreamsSpec pins the operator; ORACLES.md
-    * argues the composition). The driver-side epoch material is the
-    * MemoryStream harness requirement, not the operator's shape — the
-    * foreachBatch legs are the audited distributed ops. */
+    * returns only indexed members), and — the erase-while-live
+    * interleave (r13) — `erased_absent_corpus` / `erased_unservable` /
+    * `replay_after_erase_unservable`: a victim admitted in epoch 1 and
+    * erased from both stores between micro-batches of the still-running
+    * stream is gone from the corpus head, unservable, and stays
+    * unservable through an engine-level replay of the last admitted
+    * epoch. Deterministic fixture facts → stable rows-only audit
+    * (StreamsSpec pins the operator; ORACLES.md argues the
+    * composition). The driver-side epoch material is the MemoryStream
+    * harness requirement, not the operator's shape — the foreachBatch
+    * legs are the audited distributed ops. */
   def streamingIndexedIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = Catalog.load(spark, dir, "documents")
     val e = emb(spark, dir)
     if (d.isEmpty || e.isEmpty)
-      return Seq.empty[(Long, Long, Long, Long, Boolean, Boolean, Long, Boolean)]
+      return Seq.empty[(Long, Long, Long, Long, Boolean, Boolean, Long,
+          Boolean, Boolean, Boolean, Boolean)]
         .toDF("n_docs_in", "n_epochs", "corpus_size", "n_indexed",
           "index_matches_corpus", "replay_changed_nothing",
-          "n_served", "served_all_indexed")
+          "n_served", "served_all_indexed", "erased_absent_corpus",
+          "erased_unservable", "replay_after_erase_unservable")
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_stream_idx_").toString
     try {
@@ -565,14 +573,44 @@ object VectorQueries {
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
         val served = graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
           .select(col("neighbor_id")).as[Long].collect()
+        // ERASE-WHILE-LIVE interleave (r12 verdict item 5): one victim
+        // admitted in epoch 1 is erased from BOTH stores while the
+        // stream is still running (between micro-batches — the
+        // single-writer interleave), lazily (tombstones standing, the
+        // harder case for resurrection). The audit states: gone from
+        // the corpus head, unservable, and STILL unservable after an
+        // engine-level replay of the last admitted epoch (the ledger
+        // skips it and the replayed transaction keeps the tombstone
+        // member linked). StreamsSpec pins the full interleave
+        // including post-erase re-admission above the cutoff.
+        val victim = (corpusIds intersect withEmb).min
+        graft.pipelines.Erasure.eraseEverywhere(spark, base, "corpus",
+          Seq("doc_id"), idx, Seq(victim).toDF("doc_id"), physical = false)
+        val victimInCorpus = graft.pipelines.Versioned
+          .read(spark, base, "corpus")
+          .filter(col("doc_id") === victim).count()
+        def servedNow() = graft.ops.AnnIndex
+          .serveTopK(spark, idx, queries, K)
+          .select(col("neighbor_id")).as[Long].collect()
+        val afterErase = servedNow()
+        graft.ops.AnnIndex.append(
+          e.select(col("vec_id"), col("embedding"))
+            .join(epochs(1).map(_.doc_id).toSeq.toDF("vec_id"),
+              Seq("vec_id"), "left_semi"),
+          idx, batchId = 2L, skipIfExists = true)
+        val afterReplay = servedNow()
         Seq((rows.length.toLong, epochs.size.toLong, corpusIds.size.toLong,
             indexedIds.size.toLong,
             indexedIds == (corpusIds intersect withEmb),
             corpusAfter == corpusIds.size && codesAfter == indexedIds.size,
-            served.length.toLong, served.forall(indexedIds)))
+            served.length.toLong, served.forall(indexedIds),
+            victimInCorpus == 0L,
+            afterErase.nonEmpty && !afterErase.contains(victim),
+            afterReplay.nonEmpty && !afterReplay.contains(victim)))
           .toDF("n_docs_in", "n_epochs", "corpus_size", "n_indexed",
             "index_matches_corpus", "replay_changed_nothing",
-            "n_served", "served_all_indexed")
+            "n_served", "served_all_indexed", "erased_absent_corpus",
+            "erased_unservable", "replay_after_erase_unservable")
       } finally q.stop()
     } finally graft.pipelines.Fs.deleteRecursive(
       new org.apache.hadoop.fs.Path(tmp))

@@ -697,13 +697,27 @@ object Streams {
     * the index admission ledger (batchId = epoch + 1, monotone) and
     * key-replaced by the corpus upsert. Every admitted document is
     * servable from the NEXT serve's snapshot; corpus and index versions
-    * advance together, one group transaction each. */
+    * advance together, one group transaction each.
+    *
+    * The checkpoint location defaults to `<indexDir>/_stream_checkpoint`
+    * (override with `.option("checkpointLocation", …)` on the returned
+    * writer) and MUST stay durable across restarts, exactly as
+    * [[graft.ops.AnnIndex.ingestStream]]'s does: index admission depends
+    * on MONOTONE epoch ids (batchId = epoch + 1 with skipIfExists), so a
+    * restart on a fresh temporary checkpoint would replay epochs from 0
+    * and the admission ledger would silently drop genuinely-new batches
+    * that collide with already-landed ids — docs would land in the
+    * corpus while their vectors never reach the index, permanently
+    * (later replays read them as exact_dup): silent corpus/index
+    * divergence, the worst failure this composition can produce
+    * (ADVICE r12). */
   def ingestDedupedIndexed(docs: DataFrame, baseDir: String, name: String,
       indexDir: String, embed: DataFrame => DataFrame,
       n: Int = 5, threshold: Double = 0.5, keep: Int = 3,
       p: graft.ops.AnnIndex.Params = graft.ops.AnnIndex.Params())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$indexDir/_stream_checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession

@@ -640,6 +640,110 @@ class AnnIndexSpec extends AnyFunSuite {
       "lazy and physical erase must serve identically")
   }
 
+  test("delete scopes tombstones to the admission cutoff: a later append " +
+    "reusing the erased id is servable, compact folds exactly the scoped " +
+    "rows, and a re-delete erases the recycled id again") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 100), idx)
+    // query = id 7's own vector under a non-corpus query_id, so its cell
+    // is always probed and (when alive) it ranks with cos_sim = 1
+    val q = emb.filter(col("vec_id") === 7)
+      .select(lit(999L).as("query_id"), col("embedding").as("qv"))
+    val seven = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id"), col("embedding"))
+    val only7 = spark.range(1).select(lit(7L).as("vec_id"))
+    def servable7(): Boolean = collectTopK(
+      AnnIndex.serveTopKFiltered(spark, idx, q, only7, 5)).exists(_._3 == 7L)
+    assert(servable7())
+    AnnIndex.delete(only7, idx)
+    assert(!servable7(), "deleted id still servable")
+    val (live0, dead0) = AnnIndex.deletionPressure(spark, idx)
+    assert(dead0 == 1L && live0 == 99L)
+    // the id comes BACK (re-consent / id recycling): an append ABOVE the
+    // delete's cutoff must be fully servable — a vec_id-only tombstone
+    // (the pre-r13 shape) hid it from every serve and the next compact
+    // physically dropped it while the corpus kept the doc (ADVICE r12)
+    AnnIndex.append(seven, idx, batchId = 1L)
+    assert(servable7(), "re-appended id hidden by the earlier tombstone")
+    val (live1, dead1) = AnnIndex.deletionPressure(spark, idx)
+    assert(dead1 == 1L && live1 == 100L,
+      "the re-appended row must not count as dead")
+    // compact folds ONLY the scoped (batch <= cutoff) row
+    AnnIndex.compact(spark, idx)
+    assert(Versioned.read(spark, idx, AnnIndex.CodesTable)
+      .filter(col("vec_id") === 7).count() == 1L)
+    assert(servable7(), "compact dropped the re-appended row")
+    // a SECOND delete's cutoff covers the recycled generation too
+    AnnIndex.delete(only7, idx)
+    assert(!servable7(), "re-delete must erase the recycled id")
+  }
+
+  test("delete auto-compacts when the folded tombstone set crosses the " +
+    "compactAbove bound — the standing set can never grow without limit") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 100), idx)
+    AnnIndex.delete(spark.range(5).select(col("id").as("vec_id")), idx,
+      compactAbove = 8L)
+    assert(Versioned.latestGroupVersions(idx)
+      .contains(AnnIndex.TombstonesTable), "below the bound: lazy tombstones")
+    AnnIndex.delete(spark.range(5, 12).select(col("id").as("vec_id")), idx,
+      compactAbove = 8L)
+    val snap = Versioned.latestGroupVersions(idx)
+    assert(!snap.contains(AnnIndex.TombstonesTable),
+      "crossing the bound must fold the tombstones physically")
+    val codes = Versioned.read(spark, idx, AnnIndex.CodesTable)
+    assert(codes.count() == 88L)
+    assert(codes.filter(col("vec_id") < 12).isEmpty)
+  }
+
+  test("serve stays correct when the tombstone set exceeds the broadcast " +
+    "regime: the anti-join degrades to a shuffle join, results identical") {
+    val idx = tmp()
+    AnnIndex.build(emb, idx)
+    val victimPred = col("vec_id") % 7 === 3
+    val victims = emb.filter(victimPred).select(col("vec_id"))
+    val victimSet = victims.as[Long].collect().toSet
+    AnnIndex.delete(victims, idx, compactAbove = Long.MaxValue)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val expected = collectTopK(AnnIndex.serveTopK(spark, idx, queries, 5))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val served = AnnIndex.serveTopK(spark, idx, queries, 5)
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), plan)
+      assert(!"""BroadcastHashJoin[^\n]*LeftAnti""".r
+        .findFirstIn(plan).isDefined,
+        "threshold -1 must push the tombstone anti-join off broadcast")
+      val rows = collectTopK(served)
+      assert(rows == expected, "shuffle-anti regime changed the results")
+      assert(rows.forall(r => !victimSet(r._3)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("compact at keep>1 retires tombstone versions once no journal in " +
+    "the retention window references them (folded members don't " +
+    "accumulate victim ids forever)") {
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 100), idx) // journal 0
+    AnnIndex.delete(spark.range(3).select(col("id").as("vec_id")), idx) // j1
+    AnnIndex.compact(spark, idx) // j2: folds; j1 (in window) still refs v0
+    assert(Versioned.latestVersion(idx, AnnIndex.TombstonesTable)
+      .contains(0L), "tombstone v0 still referenced by a retained journal")
+    // push the delete journal out of the keep=3 window…
+    AnnIndex.append(emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding")), idx, batchId = 1L) // j3
+    AnnIndex.append(emb.filter(col("vec_id") >= 120 && col("vec_id") < 140)
+      .select(col("vec_id"), col("embedding")), idx, batchId = 2L) // j4
+    AnnIndex.compact(spark, idx) // j5: window = {j3,j4,j5}, no tomb refs
+    assert(Versioned.latestVersion(idx, AnnIndex.TombstonesTable).isEmpty,
+      "unreferenced tombstone versions must be retired by the next compact")
+    // and the data outcome is untouched: victims stayed folded out
+    assert(Versioned.read(spark, idx, AnnIndex.CodesTable)
+      .filter(col("vec_id") < 3).isEmpty)
+  }
+
   test("maybeRebuild counts deletion pressure toward the rebuild trigger " +
     "and the rebuild clears the tombstones") {
     val idx = tmp()

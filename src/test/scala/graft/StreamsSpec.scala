@@ -287,6 +287,80 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("erasure issued between micro-batches of a LIVE ingestDedupedIndexed " +
+    "stream: victim unservable + absent from the corpus head immediately; " +
+    "later epochs, engine-level replays, and the ledger/tombstone " +
+    "interleave cannot resurrect it; a post-erase logical re-delivery is " +
+    "re-admitted above the tombstone cutoff (re-consent)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ingest-erase").toString
+    val base = s"$tmp/corpus"
+    val idx = s"$tmp/index"
+    val emb = graft.catalog.Catalog.load(spark, dir, "embeddings")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val embedFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      admitted => emb.select($"vec_id", $"embedding")
+        .join(admitted.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+    val q = graft.streaming.Streams.ingestDedupedIndexed(
+        docs, base, "corpus", idx, embedFn)
+      .option("checkpointLocation", s"$tmp/_ck").start()
+    try {
+      val a = "a1 a2 a3 a4 a5 a6 a7 a8"
+      val b = "b1 b2 b3 b4 b5 b6 b7 b8"
+      val c = "c1 c2 c3 c4 c5 c6 c7 c8"
+      // ≤3 docs are ever live at once and every serve asks k=3, so a
+      // serve returns EXACTLY the live servable set — membership
+      // assertions below are exact, not recall-dependent
+      val queries = emb.filter($"vec_id" === 0L)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      def servedIds() = graft.ops.AnnIndex.serveTopK(spark, idx, queries, 3)
+        .select($"neighbor_id").as[Long].collect().toSet
+      def corpusIds() = graft.pipelines.Versioned.read(spark, base, "corpus")
+        .select($"doc_id").as[Long].collect().toSet
+      // epoch 0 admits the victim-to-be (doc 1) and a bystander
+      in.addData((1L, a), (2L, b)); q.processAllAvailable()
+      assert(servedIds() == Set(1L, 2L))
+      // ERASE while the stream is LIVE, between micro-batches — the
+      // single-writer-safe interleave (an erase concurrent with a
+      // running foreachBatch body would be two writers on one table,
+      // which the protocol excludes by contract). Lazy (physical=false):
+      // tombstones standing is the harder case for resurrection.
+      graft.pipelines.Erasure.eraseEverywhere(spark, base, "corpus",
+        Seq("doc_id"), idx, Seq(1L).toDF("doc_id"), physical = false)
+      // (a) immediate: unservable + gone from the corpus head, and
+      // keep=1 pruned the pre-erase corpus versions (time travel died)
+      assert(servedIds() == Set(2L), "victim servable after erase")
+      assert(corpusIds() == Set(2L), "victim still in the corpus head")
+      assert(graft.pipelines.Versioned.describe(spark, base, "corpus")
+        .filter($"committed").count() == 1L)
+      // a later epoch flows normally and carries the tombstone forward
+      in.addData((3L, c)); q.processAllAvailable()
+      assert(corpusIds() == Set(2L, 3L))
+      assert(servedIds() == Set(2L, 3L),
+        "epoch after the erase either lost a doc or resurrected the victim")
+      // (b) engine-level replay of that epoch (at-least-once redelivery,
+      // SAME batch id): the admission ledger skips it and the replayed
+      // transaction keeps the tombstone member linked — no resurrection
+      graft.ops.AnnIndex.append(
+        emb.filter($"vec_id" === 3L).select($"vec_id", $"embedding"),
+        idx, batchId = 2L, skipIfExists = true)
+      assert(graft.pipelines.Versioned.latestGroupVersions(idx)
+        .contains(graft.ops.AnnIndex.TombstonesTable))
+      assert(servedIds() == Set(2L, 3L))
+      // logical re-delivery of the erased doc: the corpus no longer
+      // holds it, so the dedup vet ADMITS it as new data and its vector
+      // lands above the tombstone's cutoff — fully servable again
+      // (re-consent semantics; GDPR-wise the upstream must stop sending
+      // an erased subject's data, the pipeline can't know)
+      in.addData((1L, a)); q.processAllAvailable()
+      assert(corpusIds() == Set(1L, 2L, 3L))
+      assert(servedIds() == Set(1L, 2L, 3L),
+        "re-admitted doc must serve from above the tombstone cutoff")
+    } finally q.stop()
+  }
+
   test("streaming dedup-within-watermark suppresses re-ingested duplicates") {
     val staged = java.nio.file.Files.createTempDirectory("events-dedup-stream")
     // the same fixture file lands twice (re-ingestion): every event is a dup
