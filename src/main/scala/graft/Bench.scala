@@ -71,14 +71,42 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val statsRows = scala.collection.mutable.ArrayBuffer[String]()
+    var retriedQueries = 0
     val results = selected.map { case (name, fn) =>
       statsWindow() // close out warmup / previous query's unpersist noise
-      val times = (1 to reps).flatMap { _ =>
+      def runReps(): Seq[Double] = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           errors(name) = e.getClass.getSimpleName; None }
       }
+      def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
+      val h0 = graft.bench.HostCpu.sample()
+      val times0 = runReps()
+      val (other0, self0) = graft.bench.HostCpu.fracs(h0,
+        graft.bench.HostCpu.sample())
+      // CONTENTION RETRY (r12 verdict item 1's fix): when processes
+      // OTHER than this JVM burned >20% of the host's CPU capacity
+      // during the timed window, the medians measure the co-located
+      // load, not the engine — the official r12 artifact inflated
+      // contiguous alphabetical windows of the schedule 2–10× that way
+      // (q135–q175, q487–q488), including checkpoint-free scans, while
+      // the instrumented sweep measured zero spill/eviction. One retry,
+      // keep the set with the LOWER median (a quiet window can only be
+      // closer to the engine's true cost — contention never makes a
+      // JVM faster), and flag the query in the stats artifact either
+      // way so a polluted number is visible instead of re-litigated.
+      val (times, otherFrac, selfFrac, retried) =
+        if (times0.size == reps && other0 > 0.20) {
+          retriedQueries += 1
+          val h1 = graft.bench.HostCpu.sample()
+          val times1 = runReps()
+          val (other1, self1) = graft.bench.HostCpu.fracs(h1,
+            graft.bench.HostCpu.sample())
+          if (times1.size == reps && median(times1) < median(times0))
+            (times1, other1, self1, true)
+          else (times0, other0, self0, true)
+        } else (times0, other0, self0, false)
       // stats window covers exactly the timed reps (bus drained), BEFORE
       // the unpersist sweep below — a drop counted here happened while
       // the query ran (eviction), not from between-query hygiene
@@ -86,6 +114,9 @@ object Bench {
       val walls = times.map(t => math.rint(t * 1000) / 1000)
         .mkString("[", ",", "]")
       statsRows += s"""{"query":"$name","walls":$walls,""" +
+        s""""other_busy_frac":${math.rint(otherFrac * 1000) / 1000},""" +
+        s""""self_busy_frac":${math.rint(selfFrac * 1000) / 1000},""" +
+        s""""retried":$retried,""" +
         w.toJson.stripPrefix("{")
       // Release engine-internal persisted state (localCheckpoint blocks
       // from the dedup/graph builders, cached plans) before the next
@@ -104,7 +135,7 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       // ANY failed rep reports -1.0 (excluded from total): a query that
       // crashes intermittently must never masquerade as a healthy median
-      name -> (if (times.size < reps) -1.0 else times.sorted.apply(times.size / 2))
+      name -> (if (times.size < reps) -1.0 else median(times))
     }.toMap
     // Sidecar: the full per-query resource table (one JSON object per
     // line — greppable, diffable, and independent of the bounded-tail
@@ -144,7 +175,10 @@ object Bench {
     // `stages`: per-stage wall split of the multi-stage pipeline
     // queries that record one (q446's build/audits/append/decision) —
     // last (warmest) rep, so stage regressions read from the artifact.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":${errors.size},"errors":$es,"stages":${graft.bench.StageTimings.toJson},"queries":$qsTop,"queries_omitted":${results.size - kept.size},"sf":"$sfDir"}""")
+    // `retried`: queries whose first timed window lost >20% of host CPU
+    // to other processes and were re-measured (see the contention-retry
+    // note above); per-query detail in the stats sidecar.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":${errors.size},"retried":$retriedQueries,"errors":$es,"stages":${graft.bench.StageTimings.toJson},"queries":$qsTop,"queries_omitted":${results.size - kept.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
