@@ -98,9 +98,15 @@ object Versioned {
       scala.util.hashing.MurmurHash3.stringHash(content).toLong *
         1000003L ^ mtime
     // fsNow probes the TABLE dir (same filesystem + same parent as the
-    // marker's version dir; version dirs stay probe-free)
+    // marker's version dir; version dirs stay probe-free). Fast path:
+    // a marker more than a minute old by the LOCAL clock is admitted
+    // without the probe — 60 s dwarfs any plausible clock skew plus
+    // the mtime tick, so the only calls that pay the probe write are
+    // reads of freshly published markers (cold reads of old versions,
+    // e.g. the first serve after a JVM restart, stay metadata-only)
     if (content.nonEmpty &&
-        fsNow(tableDir(baseDir, name)) - mtime > 2000L) {
+        (System.currentTimeMillis() - mtime > 60000L ||
+          fsNow(tableDir(baseDir, name)) - mtime > 2000L)) {
       if (stampCache.size > 1024) stampCache.clear()
       stampCache.put(key, if (stamp == 0L) 1L else stamp)
     }
