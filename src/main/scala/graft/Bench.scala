@@ -70,21 +70,44 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val statsRows = scala.collection.mutable.ArrayBuffer[String]()
+    // Sidecar: the full per-query resource table (one JSON object per
+    // line — greppable, diffable, and independent of the bounded-tail
+    // capture below). STREAMED a row at a time so a mid-sweep crash
+    // (OOM, kill — the very regimes this instrument investigates)
+    // keeps every completed query's window on disk. Committed per
+    // round next to BENCH_r{N}.json.
+    val statsOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATS_OUT",
+      "target/bench_stats.json")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(statsOut).toAbsolutePath.getParent)
+    val statsWriter = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(statsOut))
     var retriedQueries = 0
     val results = selected.map { case (name, fn) =>
       statsWindow() // close out warmup / previous query's unpersist noise
-      def runReps(): Seq[Double] = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          errors(name) = e.getClass.getSimpleName; None }
+      // reps + their error land TOGETHER: a rep failure during a retry
+      // whose set is then DISCARDED must not flag the query as failed
+      // when the kept set is healthy (and vice versa)
+      def runReps(): (Seq[Double], Option[String]) = {
+        var err: Option[String] = None
+        val ts = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            err = Some(e.getClass.getSimpleName); None }
+        }
+        (ts, err)
       }
       def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
       val h0 = graft.bench.HostCpu.sample()
-      val times0 = runReps()
+      val (times0, err0) = runReps()
       val (other0, self0) = graft.bench.HostCpu.fracs(h0,
         graft.bench.HostCpu.sample())
+      // window closed per rep set (bus drained) so the sidecar counters
+      // always describe exactly the KEPT walls, and a drop counted here
+      // happened while the query ran (eviction), not from the
+      // between-query unpersist hygiene below
+      val w0 = statsWindow()
       // CONTENTION RETRY (r12 verdict item 1's fix): when processes
       // OTHER than this JVM burned >20% of the host's CPU capacity
       // during the timed window, the medians measure the co-located
@@ -96,28 +119,33 @@ object Bench {
       // closer to the engine's true cost — contention never makes a
       // JVM faster), and flag the query in the stats artifact either
       // way so a polluted number is visible instead of re-litigated.
-      val (times, otherFrac, selfFrac, retried) =
+      val (times, err, otherFrac, selfFrac, w, rejectedWalls) =
         if (times0.size == reps && other0 > 0.20) {
           retriedQueries += 1
           val h1 = graft.bench.HostCpu.sample()
-          val times1 = runReps()
+          val (times1, err1) = runReps()
           val (other1, self1) = graft.bench.HostCpu.fracs(h1,
             graft.bench.HostCpu.sample())
+          val w1 = statsWindow()
           if (times1.size == reps && median(times1) < median(times0))
-            (times1, other1, self1, true)
-          else (times0, other0, self0, true)
-        } else (times0, other0, self0, false)
-      // stats window covers exactly the timed reps (bus drained), BEFORE
-      // the unpersist sweep below — a drop counted here happened while
-      // the query ran (eviction), not from between-query hygiene
-      val w = statsWindow()
-      val walls = times.map(t => math.rint(t * 1000) / 1000)
+            (times1, err1, other1, self1, w1, times0)
+          else (times0, err0, other0, self0, w0, times1)
+        } else (times0, err0, other0, self0, w0, Seq.empty[Double])
+      val retried = rejectedWalls.nonEmpty ||
+        (times0.size == reps && other0 > 0.20)
+      // only the KEPT set's failure counts (see runReps note)
+      if (times.size < reps) err.foreach(errors(name) = _)
+      def wallsJson(ts: Seq[Double]) = ts.map(t => math.rint(t * 1000) / 1000)
         .mkString("[", ",", "]")
-      statsRows += s"""{"query":"$name","walls":$walls,""" +
+      statsWriter.write(s"""{"query":"$name","walls":${wallsJson(times)},""" +
+        (if (retried) s""""walls_rejected":${wallsJson(rejectedWalls)},"""
+         else "") +
         s""""other_busy_frac":${math.rint(otherFrac * 1000) / 1000},""" +
         s""""self_busy_frac":${math.rint(selfFrac * 1000) / 1000},""" +
         s""""retried":$retried,""" +
-        w.toJson.stripPrefix("{")
+        w.toJson.stripPrefix("{"))
+      statsWriter.newLine()
+      statsWriter.flush()
       // Release engine-internal persisted state (localCheckpoint blocks
       // from the dedup/graph builders, cached plans) before the next
       // query: in a 150-query single-JVM sweep the leftover blocks
@@ -137,16 +165,7 @@ object Bench {
       // crashes intermittently must never masquerade as a healthy median
       name -> (if (times.size < reps) -1.0 else median(times))
     }.toMap
-    // Sidecar: the full per-query resource table (one JSON object per
-    // line — greppable, diffable, and independent of the bounded-tail
-    // capture below). Committed per round next to BENCH_r{N}.json.
-    val statsOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATS_OUT",
-      "target/bench_stats.json")
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(statsOut).toAbsolutePath.getParent)
-    java.nio.file.Files.write(java.nio.file.Paths.get(statsOut),
-      statsRows.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    statsWriter.close()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

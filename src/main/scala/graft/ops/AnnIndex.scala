@@ -358,6 +358,29 @@ object AnnIndex {
     else published
   }
 
+  /** The admission ledger's current high-water mark (−1 before any
+    * admission): batch ids at or below it have ALREADY been admitted to
+    * this index directory at some point, whether or not the current
+    * codes manifest still names them. Exposed so the streaming
+    * composition ([[graft.streaming.Streams.ingestDedupedIndexed]]) can
+    * recognize an engine-level epoch REPLAY before its index leg runs
+    * and scope the corpus leg accordingly (see the replay-after-erase
+    * note there). */
+  def admittedHwm(indexDir: String): Long = readHwm(indexDir)
+
+  /** The vec_ids currently SERVABLE from the latest snapshot: codes
+    * minus scoped tombstones, id-projected (one O(codes) id scan, no
+    * vectors read). The membership oracle the streaming corpus leg uses
+    * on replayed epochs: a doc whose vector was delivered but is not
+    * servable was ERASED between the epoch's original run and its
+    * replay, and must not be re-published. */
+  def servableIds(spark: SparkSession, indexDir: String): DataFrame = {
+    val snapshot = Versioned.latestGroupVersions(indexDir)
+    antiTombstones(spark, indexDir, snapshot,
+      Versioned.read(spark, indexDir, CodesTable, Some(snapshot(CodesTable))))
+      .select(col("vec_id")).distinct()
+  }
+
   /** (live codes rows, DEAD codes rows) for the current snapshot — the
     * deletion-pressure measurement [[maybeRebuild]] folds into its
     * trigger. "Dead" counts tombstoned ids ACTUALLY PRESENT in the

@@ -75,14 +75,33 @@ object Versioned {
     * skew would silently disable the memo on the hot serve path,
     * ADVICE r12). Costs one create+stat+delete, paid only on the
     * UNmemoized path (the first ~2 s of a marker's life); the memoized
-    * hot path stays one getFileStatus. */
-  private def fsNow(near: Path): Long = {
-    val probe = new Path(near,
-      s"_clock_probe_${java.util.UUID.randomUUID().toString.take(13)}")
-    Fs.writeString(probe, "t")
-    try Fs.of(probe).getFileStatus(probe).getModificationTime
-    finally Fs.deleteRecursive(probe)
-  }
+    * hot path stays one getFileStatus.
+    *
+    * READ-ONLY SAFE: a reader without write permission on the table
+    * dir (serve-only IAM role, read-only mount — precisely the remote
+    * deployments whose clock skew motivates this) gets `Long.MinValue`
+    * back, which simply fails the admission guard: the stamp is still
+    * computed and returned, the memo just never warms — correctness
+    * over memoization, readers keep their no-coordination contract.
+    * A crash between the probe's create and delete leaves one orphan;
+    * each successful probe sweeps siblings older than a minute, so
+    * debris is bounded by the crash count since the last clean probe. */
+  private def fsNow(near: Path): Long =
+    try {
+      val probe = new Path(near,
+        s"_clock_probe_${java.util.UUID.randomUUID().toString.take(13)}")
+      Fs.writeString(probe, "t")
+      val now =
+        try Fs.of(probe).getFileStatus(probe).getModificationTime
+        finally Fs.deleteRecursive(probe)
+      try
+        Fs.list(near)
+          .filter(f => f.getPath.getName.startsWith("_clock_probe_") &&
+            now - f.getModificationTime > 60000L)
+          .foreach(f => Fs.deleteRecursive(f.getPath))
+      catch { case _: Throwable => () } // sweep is best-effort
+      now
+    } catch { case _: Throwable => Long.MinValue }
 
   def commitStamp(baseDir: String, name: String, version: Long): Long = {
     val p = commitPath(tableDir(baseDir, name), version)

@@ -574,16 +574,23 @@ object VectorQueries {
         val served = graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
           .select(col("neighbor_id")).as[Long].collect()
         // ERASE-WHILE-LIVE interleave (r12 verdict item 5): one victim
-        // admitted in epoch 1 is erased from BOTH stores while the
-        // stream is still running (between micro-batches — the
-        // single-writer interleave), lazily (tombstones standing, the
-        // harder case for resurrection). The audit states: gone from
-        // the corpus head, unservable, and STILL unservable after an
-        // engine-level replay of the last admitted epoch (the ledger
-        // skips it and the replayed transaction keeps the tombstone
-        // member linked). StreamsSpec pins the full interleave
-        // including post-erase re-admission above the cutoff.
-        val victim = (corpusIds intersect withEmb).min
+        // is erased from BOTH stores while the stream is still running
+        // (between micro-batches — the single-writer interleave),
+        // lazily (tombstones standing, the harder case for
+        // resurrection). The victim comes from EPOCH 1 (the odd-id
+        // batch) ON PURPOSE: the engine-level replay below re-delivers
+        // epoch 1's vectors under their original batch id, so the
+        // replayed batch CONTAINS the victim's vector — if the ledger
+        // skip or the tombstone link broke, the audit column goes
+        // false (a victim from the bootstrap epoch would make the
+        // replay check vacuous: a batch that never held the victim
+        // cannot resurrect it). The audit states: gone from the corpus
+        // head, unservable, and STILL unservable after that replay.
+        // StreamsSpec pins the full interleave including post-erase
+        // re-admission above the cutoff.
+        val admittedEmb = corpusIds intersect withEmb
+        val victim = admittedEmb.filter(_ % 2 == 1)
+          .minOption.getOrElse(admittedEmb.min)
         graft.pipelines.Erasure.eraseEverywhere(spark, base, "corpus",
           Seq("doc_id"), idx, Seq(victim).toDF("doc_id"), physical = false)
         val victimInCorpus = graft.pipelines.Versioned

@@ -699,6 +699,19 @@ object Streams {
     * servable from the NEXT serve's snapshot; corpus and index versions
     * advance together, one group transaction each.
     *
+    * REPLAY vs ERASURE: an engine-level replay of an epoch that fully
+    * landed once, arriving AFTER an [[graft.pipelines.Erasure]] call
+    * erased some of its documents, would re-admit those docs corpus-side
+    * (the vet no longer sees them) while the admission ledger rightly
+    * refuses their vectors — permanent corpus/index divergence. The
+    * corpus leg therefore excludes, on replayed epochs only (batch id at
+    * or below the admission high-water mark), any doc whose delivered
+    * vector is not servable from the index — erased docs stay erased
+    * under replay, while a crash between the index leg and the corpus
+    * publish is still completed by the replay (those vectors ARE
+    * servable), and a logical re-delivery in a NEW epoch is still
+    * re-admitted (re-consent). StreamsSpec pins all three.
+    *
     * The checkpoint location defaults to `<indexDir>/_stream_checkpoint`
     * (override with `.option("checkpointLocation", …)` on the returned
     * writer) and MUST stay durable across restarts, exactly as
@@ -735,6 +748,12 @@ object Streams {
             Seq("doc_id"), "left_semi")
             .localCheckpoint(false) // feeds the upsert AND the embed leg
           if (!admitted.isEmpty) {
+            // Engine-level REPLAY detection, read BEFORE the index leg
+            // can advance the ledger: a batch id at or below the
+            // high-water mark was already admitted once, so this
+            // delivery is an at-least-once redelivery, not new data.
+            val isReplay =
+              graft.ops.AnnIndex.admittedHwm(indexDir) >= epoch + 1L
             // INDEX leg FIRST, corpus publish second — the crash-safe
             // order. A crash between the two legs replays the epoch:
             // with this order the docs are still absent from the
@@ -745,14 +764,40 @@ object Streams {
             // unindexed (the replay's vet reads them as exact_dup and
             // the embed leg never sees them again).
             val vecs = embed(admitted)
-            if (!vecs.isEmpty) {
+            val hasVecs = !vecs.isEmpty
+            if (hasVecs) {
               graft.ops.AnnIndex.buildOrAppend(vecs, indexDir,
                 batchId = epoch + 1L, p, keep)
               ()
             }
-            graft.pipelines.Incremental.publishUpsert(
-              spark, baseDir, name, admitted, Seq("doc_id"), keep)
-            ()
+            // REPLAY-AFTER-ERASE guard on the corpus leg: on a replayed
+            // epoch, a doc whose vector was delivered but is NOT
+            // servable from the post-leg index was ERASED between the
+            // epoch's original run and this redelivery (its vector is
+            // tombstoned or folded away, and the ledger rightly skipped
+            // re-admitting it) — re-publishing the doc would reverse
+            // the erasure AND leave it permanently unindexed, the
+            // silent corpus/index divergence this composition exists to
+            // prevent. The crash-between-legs completion still works:
+            // those docs' vectors landed (first leg of the original
+            // run) and are servable, so they pass the guard and the
+            // corpus publish completes. Fresh epochs are untouched, so
+            // a LOGICAL re-delivery of erased data in a NEW epoch is
+            // still re-admitted (re-consent — the pipeline cannot know
+            // upstream intent; StreamsSpec pins both behaviors).
+            val toPublish =
+              if (!isReplay || !hasVecs) admitted
+              else admitted.join(
+                vecs.select(col("vec_id")).distinct()
+                  .join(graft.ops.AnnIndex.servableIds(spark, indexDir),
+                    Seq("vec_id"), "left_anti")
+                  .select(col("vec_id").as("doc_id")),
+                Seq("doc_id"), "left_anti")
+            if (!toPublish.isEmpty) {
+              graft.pipelines.Incremental.publishUpsert(
+                spark, baseDir, name, toPublish, Seq("doc_id"), keep)
+              ()
+            }
           }
         }
       }

@@ -340,9 +340,17 @@ class StreamsSpec extends AnyFunSuite {
       assert(corpusIds() == Set(2L, 3L))
       assert(servedIds() == Set(2L, 3L),
         "epoch after the erase either lost a doc or resurrected the victim")
-      // (b) engine-level replay of that epoch (at-least-once redelivery,
-      // SAME batch id): the admission ledger skips it and the replayed
-      // transaction keeps the tombstone member linked — no resurrection
+      // (b) engine-level replay of the VICTIM'S OWN epoch (at-least-once
+      // redelivery of the bootstrap batch, SAME batch id, vectors 1+2 —
+      // i.e. the replayed payload CONTAINS the erased vector): the
+      // admission ledger skips it, so the victim's vector cannot
+      // re-enter the codes; a later epoch's replay likewise skips and
+      // keeps the tombstone member linked — no resurrection path
+      graft.ops.AnnIndex.buildOrAppend(
+        emb.filter($"vec_id".isin(1L, 2L)).select($"vec_id", $"embedding"),
+        idx, batchId = 1L)
+      assert(servedIds() == Set(2L, 3L),
+        "bootstrap replay re-admitted the erased vector")
       graft.ops.AnnIndex.append(
         emb.filter($"vec_id" === 3L).select($"vec_id", $"embedding"),
         idx, batchId = 2L, skipIfExists = true)
@@ -359,6 +367,63 @@ class StreamsSpec extends AnyFunSuite {
       assert(servedIds() == Set(1L, 2L, 3L),
         "re-admitted doc must serve from above the tombstone cutoff")
     } finally q.stop()
+  }
+
+  test("engine-level replay of a fully-landed epoch after an erase does " +
+    "NOT re-admit the erased doc to the corpus (no corpus/index " +
+    "divergence), while a crash-between-legs replay still completes the " +
+    "corpus leg") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("replay-erase").toString
+    val base = s"$tmp/corpus"
+    val idx = s"$tmp/index"
+    val emb = graft.catalog.Catalog.load(spark, dir, "embeddings")
+    val embedFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      admitted => emb.select($"vec_id", $"embedding")
+        .join(admitted.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val c = "c1 c2 c3 c4 c5 c6 c7 c8"
+    def corpusIds() = graft.pipelines.Versioned.read(spark, base, "corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    def runEpoch(ck: String, rows: (Long, String)*): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.ingestDedupedIndexed(
+          in.toDF().toDF("doc_id", "text"), base, "corpus", idx, embedFn)
+        .option("checkpointLocation", s"$tmp/$ck").start()
+      try { in.addData(rows.toSeq); q.processAllAvailable() } finally q.stop()
+    }
+    // epoch lands fully (index + corpus), stream goes down (q.stop)
+    runEpoch("ck1", (1L, a), (2L, b))
+    assert(corpusIds() == Set(1L, 2L))
+    // erase doc 1 while the stream is down (lazy — tombstones standing)
+    graft.pipelines.Erasure.eraseEverywhere(spark, base, "corpus",
+      Seq("doc_id"), idx, Seq(1L).toDF("doc_id"), physical = false)
+    assert(corpusIds() == Set(2L))
+    // ENGINE replay of that epoch: a fresh checkpoint restarts epoch ids
+    // at 0, so the same payload re-arrives under its original batch id
+    // (1) — at or below the admission high-water mark. The erased doc's
+    // vector is ledger-skipped AND tombstone-hidden, so the corpus leg
+    // must NOT re-admit the doc: erasure wins over redelivery.
+    runEpoch("ck2", (1L, a), (2L, b))
+    assert(corpusIds() == Set(2L),
+      "replay re-admitted an erased doc (corpus/index divergence)")
+    val codes = graft.pipelines.Versioned
+      .read(spark, idx, graft.ops.AnnIndex.CodesTable)
+    assert(codes.filter($"vec_id" === 1L).count() == 1L,
+      "replay must not re-append the erased vector either")
+    // crash-BETWEEN-legs completion still works: simulate the index leg
+    // of epoch 1 (batchId 2) having landed with no corpus publish …
+    graft.ops.AnnIndex.append(
+      emb.filter($"vec_id" === 3L).select($"vec_id", $"embedding"),
+      idx, batchId = 2L)
+    // … then the replay re-delivers the epoch (fresh checkpoint, epoch 0
+    // → batch id 1 ≤ hwm 2 → replay path): doc 3's vector IS servable,
+    // so the guard passes it and the corpus leg completes
+    runEpoch("ck3", (3L, c))
+    assert(corpusIds() == Set(2L, 3L),
+      "crash-between-legs replay failed to complete the corpus publish")
   }
 
   test("streaming dedup-within-watermark suppresses re-ingested duplicates") {
