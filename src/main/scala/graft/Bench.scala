@@ -83,7 +83,7 @@ object Bench {
     val statsWriter = java.nio.file.Files.newBufferedWriter(
       java.nio.file.Paths.get(statsOut))
     var retriedQueries = 0
-    val results = selected.map { case (name, fn) =>
+    val results = try selected.map { case (name, fn) =>
       statsWindow() // close out warmup / previous query's unpersist noise
       // reps + their error land TOGETHER: a rep failure during a retry
       // whose set is then DISCARDED must not flag the query as failed
@@ -119,7 +119,7 @@ object Bench {
       // closer to the engine's true cost — contention never makes a
       // JVM faster), and flag the query in the stats artifact either
       // way so a polluted number is visible instead of re-litigated.
-      val (times, err, otherFrac, selfFrac, w, rejectedWalls) =
+      val (times, err, otherFrac, selfFrac, w, rejectedWalls, retried) =
         if (times0.size == reps && other0 > 0.20) {
           retriedQueries += 1
           val h1 = graft.bench.HostCpu.sample()
@@ -128,11 +128,9 @@ object Bench {
             graft.bench.HostCpu.sample())
           val w1 = statsWindow()
           if (times1.size == reps && median(times1) < median(times0))
-            (times1, err1, other1, self1, w1, times0)
-          else (times0, err0, other0, self0, w0, times1)
-        } else (times0, err0, other0, self0, w0, Seq.empty[Double])
-      val retried = rejectedWalls.nonEmpty ||
-        (times0.size == reps && other0 > 0.20)
+            (times1, err1, other1, self1, w1, times0, true)
+          else (times0, err0, other0, self0, w0, times1, true)
+        } else (times0, err0, other0, self0, w0, Seq.empty[Double], false)
       // only the KEPT set's failure counts (see runReps note)
       if (times.size < reps) err.foreach(errors(name) = _)
       def wallsJson(ts: Seq[Double]) = ts.map(t => math.rint(t * 1000) / 1000)
@@ -165,7 +163,7 @@ object Bench {
       // crashes intermittently must never masquerade as a healthy median
       name -> (if (times.size < reps) -1.0 else median(times))
     }.toMap
-    statsWriter.close()
+    finally statsWriter.close()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

@@ -317,11 +317,9 @@ object AnnIndex {
     val dedup = victims.select(col("vec_id")).distinct()
     if (dedup.isEmpty) return snapshot
     // scope: erase only batches admitted up to NOW (manifest ∪ ledger —
-    // the ledger covers ids a compact's manifest collapse forgot)
-    val cutoff = math.max(readHwm(indexDir),
-      Versioned.manifest(indexDir, CodesTable, snapshot(CodesTable))
-        .map(_.entries.flatMap(_._1.toLongOption).foldLeft(-1L)(math.max))
-        .getOrElse(-1L))
+    // the ledger covers ids a compact's manifest collapse forgot, the
+    // manifest covers a crash before append's ledger write)
+    val cutoff = admittedHwm(indexDir)
     val fresh = dedup.withColumn("cutoff", lit(cutoff))
     val (reuse, nextBatch, stage) = snapshot.get(TombstonesTable) match {
       case Some(v) =>
@@ -358,15 +356,24 @@ object AnnIndex {
     else published
   }
 
-  /** The admission ledger's current high-water mark (−1 before any
-    * admission): batch ids at or below it have ALREADY been admitted to
-    * this index directory at some point, whether or not the current
-    * codes manifest still names them. Exposed so the streaming
-    * composition ([[graft.streaming.Streams.ingestDedupedIndexed]]) can
-    * recognize an engine-level epoch REPLAY before its index leg runs
-    * and scope the corpus leg accordingly (see the replay-after-erase
-    * note there). */
-  def admittedHwm(indexDir: String): Long = readHwm(indexDir)
+  /** The highest batch id ever ADMITTED to this index directory (−1
+    * before any admission): ledger ∪ current codes manifest — the same
+    * two-source union [[delete]] uses for its cutoff and [[append]]
+    * uses for replay detection, because each source alone has a crash
+    * window (the ledger is written AFTER append's commit, so a crash
+    * between the two leaves a manifest-admitted batch the ledger
+    * doesn't know; the manifest collapses at compact, which only the
+    * ledger survives). Exposed so the streaming composition
+    * ([[graft.streaming.Streams.ingestDedupedIndexed]]) can recognize
+    * an engine-level epoch REPLAY before its index leg runs and scope
+    * the corpus leg accordingly (the replay-after-erase note there). */
+  def admittedHwm(indexDir: String): Long = {
+    val manifestMax = Versioned.latestVersion(indexDir, CodesTable)
+      .flatMap(v => Versioned.manifest(indexDir, CodesTable, v))
+      .map(_.entries.flatMap(_._1.toLongOption).foldLeft(-1L)(math.max))
+      .getOrElse(-1L)
+    math.max(readHwm(indexDir), manifestMax)
+  }
 
   /** The vec_ids currently SERVABLE from the latest snapshot: codes
     * minus scoped tombstones, id-projected (one O(codes) id scan, no

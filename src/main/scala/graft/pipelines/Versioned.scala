@@ -123,9 +123,17 @@ object Versioned {
     // the mtime tick, so the only calls that pay the probe write are
     // reads of freshly published markers (cold reads of old versions,
     // e.g. the first serve after a JVM restart, stay metadata-only)
+    // the probe's failure sentinel must be checked BEFORE the
+    // subtraction: Long.MinValue - mtime wraps positive, which would
+    // turn a failed probe into a memo admission inside the open tick —
+    // the exact alias the guard exists to block
+    def probedTickClosed(): Boolean = {
+      val now = fsNow(tableDir(baseDir, name))
+      now != Long.MinValue && now - mtime > 2000L
+    }
     if (content.nonEmpty &&
         (System.currentTimeMillis() - mtime > 60000L ||
-          fsNow(tableDir(baseDir, name)) - mtime > 2000L)) {
+          probedTickClosed())) {
       if (stampCache.size > 1024) stampCache.clear()
       stampCache.put(key, if (stamp == 0L) 1L else stamp)
     }

@@ -577,20 +577,22 @@ object VectorQueries {
         // is erased from BOTH stores while the stream is still running
         // (between micro-batches — the single-writer interleave),
         // lazily (tombstones standing, the harder case for
-        // resurrection). The victim comes from EPOCH 1 (the odd-id
-        // batch) ON PURPOSE: the engine-level replay below re-delivers
-        // epoch 1's vectors under their original batch id, so the
-        // replayed batch CONTAINS the victim's vector — if the ledger
-        // skip or the tombstone link broke, the audit column goes
-        // false (a victim from the bootstrap epoch would make the
-        // replay check vacuous: a batch that never held the victim
-        // cannot resurrect it). The audit states: gone from the corpus
-        // head, unservable, and STILL unservable after that replay.
-        // StreamsSpec pins the full interleave including post-erase
-        // re-admission above the cutoff.
+        // resurrection). The engine-level replay below re-delivers the
+        // VICTIM'S OWN epoch under its original batch id, so the
+        // replayed payload always CONTAINS the victim's vector — if the
+        // ledger skip or the tombstone link broke, the audit column
+        // goes false (replaying any other epoch would be vacuous: a
+        // batch that never held the victim cannot resurrect it). The
+        // audit states: gone from the corpus head, unservable, and
+        // STILL unservable after that replay. StreamsSpec pins the full
+        // interleave including post-erase re-admission above the
+        // cutoff.
         val admittedEmb = corpusIds intersect withEmb
         val victim = admittedEmb.filter(_ % 2 == 1)
           .minOption.getOrElse(admittedEmb.min)
+        // epochs(0) = even ids (bootstrap, batch 1); epochs(1) = odd
+        // (batch 2) — replay whichever one admitted the victim
+        val victimEpoch = (victim % 2).toInt
         graft.pipelines.Erasure.eraseEverywhere(spark, base, "corpus",
           Seq("doc_id"), idx, Seq(victim).toDF("doc_id"), physical = false)
         val victimInCorpus = graft.pipelines.Versioned
@@ -602,9 +604,9 @@ object VectorQueries {
         val afterErase = servedNow()
         graft.ops.AnnIndex.append(
           e.select(col("vec_id"), col("embedding"))
-            .join(epochs(1).map(_.doc_id).toSeq.toDF("vec_id"),
+            .join(epochs(victimEpoch).map(_.doc_id).toSeq.toDF("vec_id"),
               Seq("vec_id"), "left_semi"),
-          idx, batchId = 2L, skipIfExists = true)
+          idx, batchId = victimEpoch + 1L, skipIfExists = true)
         val afterReplay = servedNow()
         Seq((rows.length.toLong, epochs.size.toLong, corpusIds.size.toLong,
             indexedIds.size.toLong,

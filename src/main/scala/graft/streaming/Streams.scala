@@ -717,13 +717,16 @@ object Streams {
     * writer) and MUST stay durable across restarts, exactly as
     * [[graft.ops.AnnIndex.ingestStream]]'s does: index admission depends
     * on MONOTONE epoch ids (batchId = epoch + 1 with skipIfExists), so a
-    * restart on a fresh temporary checkpoint would replay epochs from 0
-    * and the admission ledger would silently drop genuinely-new batches
-    * that collide with already-landed ids — docs would land in the
-    * corpus while their vectors never reach the index, permanently
-    * (later replays read them as exact_dup): silent corpus/index
-    * divergence, the worst failure this composition can produce
-    * (ADVICE r12). */
+    * restart on a fresh temporary checkpoint replays epochs from 0 and
+    * every post-restart epoch colliding with an already-admitted id is
+    * treated as an engine-level REPLAY — its new vectors are
+    * ledger-skipped and the replay-after-erase guard below then drops
+    * its docs from the corpus publish too (they are not index-backed):
+    * genuinely-new data silently vanishes from BOTH stores, epoch after
+    * epoch. The guard logs a loud per-epoch warning whenever a replay
+    * drops admitted docs, which is also the signature to look for when
+    * diagnosing exactly this misconfiguration (ADVICE r12; sharpened
+    * r13 when the guard unified the two legs' replay handling). */
   def ingestDedupedIndexed(docs: DataFrame, baseDir: String, name: String,
       indexDir: String, embed: DataFrame => DataFrame,
       n: Int = 5, threshold: Double = 0.5, keep: Int = 3,
@@ -770,29 +773,53 @@ object Streams {
                 batchId = epoch + 1L, p, keep)
               ()
             }
-            // REPLAY-AFTER-ERASE guard on the corpus leg: on a replayed
-            // epoch, a doc whose vector was delivered but is NOT
-            // servable from the post-leg index was ERASED between the
-            // epoch's original run and this redelivery (its vector is
-            // tombstoned or folded away, and the ledger rightly skipped
-            // re-admitting it) — re-publishing the doc would reverse
-            // the erasure AND leave it permanently unindexed, the
-            // silent corpus/index divergence this composition exists to
-            // prevent. The crash-between-legs completion still works:
-            // those docs' vectors landed (first leg of the original
-            // run) and are servable, so they pass the guard and the
-            // corpus publish completes. Fresh epochs are untouched, so
-            // a LOGICAL re-delivery of erased data in a NEW epoch is
-            // still re-admitted (re-consent — the pipeline cannot know
-            // upstream intent; StreamsSpec pins both behaviors).
+            // REPLAY-AFTER-ERASE guard on the corpus leg: a replayed
+            // epoch publishes ONLY docs whose vectors are SERVABLE from
+            // the post-leg index. A doc admitted on a replay (i.e.
+            // absent from the corpus it already entered once) that is
+            // not index-backed was ERASED between the epoch's original
+            // run and this redelivery — tombstoned, folded away, or
+            // gone from the embedding source itself — and re-publishing
+            // it would reverse the erasure while leaving it permanently
+            // unindexed, the silent corpus/index divergence this
+            // composition exists to prevent. Servability (not
+            // delivered-vector membership) is the criterion because the
+            // realistic GDPR flow erases the embedding store too, which
+            // hides the victim from any delivered-vector check. The
+            // privacy-first trade: an originally-embedding-less doc
+            // caught in a crash-between-legs replay is dropped rather
+            // than re-published — a RECOVERABLE outcome (the source
+            // re-delivers it in a fresh epoch and it admits normally),
+            // whereas a reversed erasure is a silent compliance
+            // violation. Crash-between-legs completion of indexed docs
+            // still works (their vectors landed in the original first
+            // leg and are servable); a LOGICAL re-delivery in a NEW
+            // epoch is still re-admitted (re-consent). StreamsSpec pins
+            // all of these. Dropped docs are logged loudly: with a
+            // non-durable checkpoint every post-restart epoch reads as
+            // a replay and this guard would silently discard
+            // genuinely-new data (the docstring's durability warning).
             val toPublish =
-              if (!isReplay || !hasVecs) admitted
+              if (!isReplay) admitted
+              // replay of a crashed bootstrap whose vectors vanished
+              // from the embedding source since: no committed index to
+              // prove anything against — nothing publishable
+              else if (graft.pipelines.Versioned
+                  .latestVersion(indexDir, graft.ops.AnnIndex.CodesTable)
+                  .isEmpty) admitted.filter(lit(false))
               else admitted.join(
-                vecs.select(col("vec_id")).distinct()
-                  .join(graft.ops.AnnIndex.servableIds(spark, indexDir),
-                    Seq("vec_id"), "left_anti")
+                graft.ops.AnnIndex.servableIds(spark, indexDir)
                   .select(col("vec_id").as("doc_id")),
-                Seq("doc_id"), "left_anti")
+                Seq("doc_id"), "left_semi")
+            if (isReplay) {
+              val dropped = admitted.count() - toPublish.count()
+              if (dropped > 0)
+                org.slf4j.LoggerFactory.getLogger("graft.streaming").warn(
+                  s"ingestDedupedIndexed: replayed epoch $epoch dropped " +
+                    s"$dropped admitted doc(s) not backed by the index " +
+                    "(erased since the original run, or a non-durable " +
+                    "checkpoint is colliding new data with admitted ids)")
+            }
             if (!toPublish.isEmpty) {
               graft.pipelines.Incremental.publishUpsert(
                 spark, baseDir, name, toPublish, Seq("doc_id"), keep)
