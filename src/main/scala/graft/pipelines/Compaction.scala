@@ -35,7 +35,16 @@ object Compaction {
     * silently flattened by a whole-dataset rewrite, so it is rejected —
     * compact each partition directory individually instead. A directory
     * with no parquet files is likewise rejected (rather than dying later
-    * inside schema inference, or being mistaken for a healthy no-op). */
+    * inside schema inference, or being mistaken for a healthy no-op).
+    *
+    * QUIESCED datasets only — run from the scheduler slot that owns
+    * writes to this path, never concurrently with a producer: the
+    * rewrite reads a point-in-time file listing and the swap replaces
+    * the WHOLE directory, so a file appended between the listing and
+    * the swap would be silently discarded with the old directory. A
+    * dataset with live concurrent appends belongs in [[Versioned]]
+    * (whose publishes never replace directories) — compaction there is
+    * a new version, not an in-place swap. */
   def compact(spark: SparkSession, baseDir: String, name: String,
       targetBytes: Long = 128L * 1024 * 1024,
       shuffle: Boolean = false): CompactReport = {

@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.ops.{DedupOps, TextOps}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end TRAINING-CORPUS publisher — the document-side sibling of
@@ -306,6 +306,53 @@ object CorpusPublisher {
     Versioned.publishGroupMembers(
       SplitTables.map { case (t, s) =>
         sideMember(t, side(s), batchId, reuse = reuseOf(t))
+      } :+ Versioned.GroupFull(ManifestTable, manifest), baseDir, keep)
+  }
+
+  /** GDPR erasure over the PUBLISHED corpus family — the group-journaled
+    * counterpart of [[Erasure.eraseEverywhere]]'s flat corpus leg, which
+    * must NOT be pointed at this family (its `keep = 1` flat republish
+    * would prune the versions the group journal still references,
+    * breaking [[Versioned.readGroup]] and [[appendBatch]]; Erasure
+    * guards against that composition and points here). ONE group
+    * transaction rewrites every split table minus the victims —
+    * `batch` partition values preserved, so the admitted-batch ledger
+    * [[appendBatch]]'s freshness check reads keeps its history (a batch
+    * erased to zero rows does drop out of the manifest; reusing such an
+    * id afterwards is on the caller, same caveat as a folded ANN
+    * manifest) — and recomputes the budget manifest from the survivors.
+    * With the default erasure retention (`keep = 1`) the pre-erase
+    * versions are pruned once the journal commits, so time travel to
+    * the erased rows dies with the erase. Victims anywhere in ANY split
+    * are removed — erasure must not depend on knowing which split a
+    * subject landed in. Cost: O(sum of split tables), the table form of
+    * delete (cheaper needs tombstoning the table too). Returns the new
+    * (table → version) snapshot. */
+  def erase(spark: SparkSession, baseDir: String, victims: DataFrame,
+      keep: Int = 1): Map[String, Long] = {
+    val vs = Versioned.latestGroupVersions(baseDir)
+    val vKeys = victims.select(col("doc_id")).distinct()
+    val sides = SplitTables.map { case (t, s) =>
+      val survivors = Versioned.read(spark, baseDir, t, Some(vs(t)))
+        .join(vKeys, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false) // feeds the member write AND the manifest
+      (t, s, survivors)
+    }
+    val manifest = sides.map { case (_, s, rows) =>
+        rows.agg(count(lit(1)).as("n_docs"),
+          sum(col("token_count")).cast("long").as("n_tokens"),
+          sum(length(col("text")).cast("long")).cast("long").as("n_chars"))
+          .select(lit(s).as("split"), col("n_docs"), col("n_tokens"),
+            col("n_chars"))
+      }.reduce(_ unionByName _)
+      .filter(col("n_docs") > 0) // publish() lists only non-empty splits
+      .orderBy(col("split"))
+    Versioned.publishGroupMembers(
+      sides.map { case (t, _, survivors) =>
+        // empty side: the sideMember fallback representation (a plain
+        // empty version — a partitioned version may not be empty)
+        if (survivors.isEmpty) Versioned.GroupFull(t, survivors)
+        else Versioned.GroupDelta(t, survivors, "batch", reuse = Nil)
       } :+ Versioned.GroupFull(ManifestTable, manifest), baseDir, keep)
   }
 }

@@ -47,6 +47,20 @@ object Erasure {
       keys: Seq[String], indexDir: String, victims: DataFrame,
       vecKey: String = "doc_id", physical: Boolean = true)
       : (Long, Map[String, Long]) = {
+    // group-journaled families are NOT erasable through the flat path:
+    // the keep=1 flat republish below would prune the versions the
+    // family's group journal still references (readGroup and
+    // CorpusPublisher.appendBatch would then die on the missing
+    // versions, and victims in the OTHER members would survive). Fail
+    // loudly toward the family-atomic path instead.
+    val grouped =
+      try Versioned.latestGroupVersions(baseDir).contains(table)
+      catch { case _: IllegalStateException => false }
+    require(!grouped,
+      s"$table is a member of a group-journaled family under $baseDir — " +
+        "erase the whole family in one group transaction instead " +
+        "(CorpusPublisher.erase for the corpus family), then handle the " +
+        "index leg via AnnIndex.delete/compact as needed")
     val vecVictims = victims.select(col(vecKey).as("vec_id"))
     val tombstoned = graft.ops.AnnIndex.delete(vecVictims, indexDir, keep = 1)
     val corpusVersion = Incremental.publishDelete(

@@ -17,8 +17,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Atomicity contract used by callers:
   *  - `createExclusive` (create with overwrite=false) is the commit
-  *    primitive: atomic create on HDFS, conditional PUT on S3-compatible
-  *    stores — at most one writer wins.
+  *    primitive: at most one writer wins WHERE THE CONNECTOR ENFORCES
+  *    EXCLUSIVE CREATE ATOMICALLY — HDFS and local disk do; on S3A the
+  *    classic implementation is a non-atomic existence-check-then-PUT
+  *    (two racing writers can both "win"), and only recent Hadoop with
+  *    S3 conditional-write support restores the guarantee. Deployments
+  *    on stores without it rely on the SINGLE-WRITER-per-table
+  *    deployment contract (one scheduler slot owns each table's
+  *    publishes) as the load-bearing defense; the marker then only has
+  *    to make a committed version VISIBLE atomically, which a PUT is.
   *  - `rename` is atomic on HDFS and single-volume local disk; on S3A it
   *    is copy+delete (NOT atomic) — rename-based protocols
   *    ([[Runner.AtomicParquetSink]]) document this and the marker-commit

@@ -160,6 +160,18 @@ object Incremental {
   def publishUpsertPartitioned(spark: SparkSession, baseDir: String,
       name: String, incoming: DataFrame, keys: Seq[String], partCol: String,
       keep: Int = 3): Long = {
+    // The non-null contract is ENFORCED, not just documented: a NULL
+    // partition value would land as Hive's __HIVE_DEFAULT_PARTITION__
+    // dir, which the typed manifest matching below cannot address — a
+    // later batch that also carried NULLs would stage a fresh default
+    // dir whose manifest entry SHADOWS the old one without its rows
+    // ever being read into the merge: silent loss of every previously
+    // published NULL-partition row. Fail loudly instead (batch-sized
+    // scan of the increment only).
+    require(incoming.filter(col(partCol).isNull).isEmpty,
+      s"publishUpsertPartitioned($name): partition column $partCol " +
+        "contains NULLs — null partition values cannot be upserted " +
+        "partition-scoped (map them to a sentinel value first)")
     val prevManifest = Versioned.latestVersion(baseDir, name)
       .flatMap(v => Versioned.manifest(baseDir, name, v))
     prevManifest match {
@@ -231,26 +243,12 @@ object Incremental {
         .select(payload.map(col): _*))
   }
 
-  /** Append `rows` to the versioned table `name` as a new `epoch=<k>`
-    * partition, linking every earlier epoch's files unchanged — an
-    * O(batch) append with time travel, the storage shape incremental
-    * view maintenance needs. */
-  private def appendEpoch(baseDir: String, name: String, rows: DataFrame,
-      keep: Int): Long = {
-    val reuse = Versioned.latestVersion(baseDir, name)
-      .flatMap(v => Versioned.manifest(baseDir, name, v))
-      .map(_.entries).getOrElse(Nil)
-    val epoch = reuse.flatMap(_._1.toLongOption).maxOption.getOrElse(-1L) + 1L
-    Versioned.publishDelta(rows.withColumn("epoch", lit(epoch)),
-      baseDir, name, "epoch", reuse, keep)
-  }
-
   /** Incremental JOIN view maintenance — the delta rule
     * ΔJ = (ΔA ⨝ B) ∪ (A ⨝ ΔB) ∪ (ΔA ⨝ ΔB) for insert-only feeds.
     * Maintains three epoch-partitioned versioned tables under `name`:
     * the A and B snapshots and the join view `name` itself; each refresh
     * joins only the DELTAS against the opposite snapshot and appends one
-    * new epoch partition per table ([[appendEpoch]] links all earlier
+    * new epoch partition per table (the delta links all earlier
     * epochs' files untouched), so refresh cost is O(|ΔA|+|ΔB|+|ΔJ|) —
     * the accumulated snapshots are read but never rewritten, and at
     * scale the delta side of each join is batch-sized and broadcasts.
@@ -258,21 +256,58 @@ object Incremental {
     * fed, at every version (spec-asserted); key columns must be the only
     * shared names between the two schemas (standard using-join
     * contract). Deletes/updates need keyed tombstones on top — this is
-    * the insert-only core every event/log pipeline runs. */
+    * the insert-only core every event/log pipeline runs.
+    *
+    * The three tables advance in ONE group transaction
+    * ([[Versioned.publishGroupMembers]]): three independent publishes
+    * would make a crash between them unrecoverable under replay — the
+    * A snapshot would already contain ΔA, so re-running the refresh
+    * would append ΔA a second time AND double-count ΔA⨝ΔB in the view,
+    * silently and forever. With the journal, a crash anywhere is rolled
+    * forward by [[Versioned.recoverGroups]] and the caller retries
+    * nothing; [[Versioned.readGroup]] additionally serves (A, B, view)
+    * as one consistent snapshot. For at-least-once feeders, pass the
+    * batch's `epochId`: a refresh whose epoch already landed is
+    * recognized and skipped (exactly-once over redelivery — the
+    * foreachBatch recipe); the default −1 auto-numbers for
+    * exactly-once callers. Returns the epoch that holds the deltas. */
   def maintainJoin(spark: SparkSession, baseDir: String, name: String,
       deltaA: DataFrame, deltaB: DataFrame, keys: Seq[String],
-      keep: Int = 3): Long = {
+      keep: Int = 3, epochId: Long = -1L): Long = {
     def snapshot(n: String): Option[DataFrame] =
       Versioned.latestVersion(baseDir, n)
         .map(_ => Versioned.read(spark, baseDir, n).drop("epoch"))
+    def reuseOf(n: String): Seq[(String, String)] =
+      Versioned.latestVersion(baseDir, n)
+        .flatMap(v => Versioned.manifest(baseDir, n, v))
+        .map(_.entries).getOrElse(Nil)
+    val reuseA = reuseOf(s"${name}_A")
+    val epoch =
+      if (epochId >= 0) epochId
+      else reuseA.flatMap(_._1.toLongOption).maxOption.getOrElse(-1L) + 1L
+    // replay check against the VIEW table's manifest: the group commits
+    // all three together (and recoverGroups completes a torn commit),
+    // so one member's ledger answers for the transaction
+    if (reuseOf(name).exists(_._1 == epoch.toString)) return epoch
+    require(!reuseA.exists(_._1 == epoch.toString),
+      s"maintainJoin($name): epoch $epoch present in ${name}_A but not " +
+        s"the view — torn state; run Versioned.recoverGroups($baseDir)")
     val aOld = snapshot(s"${name}_A")
     val bOld = snapshot(s"${name}_B")
     val newMatches = Seq(
       bOld.map(b => deltaA.join(b, keys)),
       aOld.map(a => a.join(deltaB, keys)))
       .flatten.foldLeft(deltaA.join(deltaB, keys))(_.unionByName(_))
-    appendEpoch(baseDir, s"${name}_A", deltaA, keep)
-    appendEpoch(baseDir, s"${name}_B", deltaB, keep)
-    appendEpoch(baseDir, name, newMatches, keep)
+    Versioned.publishGroupMembers(Seq(
+      Versioned.GroupDelta(s"${name}_A",
+        deltaA.withColumn("epoch", lit(epoch)), "epoch", reuseA),
+      Versioned.GroupDelta(s"${name}_B",
+        deltaB.withColumn("epoch", lit(epoch)), "epoch",
+        reuseOf(s"${name}_B")),
+      Versioned.GroupDelta(name,
+        newMatches.withColumn("epoch", lit(epoch)), "epoch",
+        reuseOf(name))),
+      baseDir, keep)
+    epoch
   }
 }

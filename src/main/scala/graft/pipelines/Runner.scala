@@ -67,6 +67,32 @@ object Runner {
   final case class AtomicParquetSink(baseDir: String, runTag: String) extends Sink {
     def write(df: DataFrame, name: String): Unit = {
       val target = new Path(s"$baseDir/$name")
+      // SELF-HEAL crash debris from PREVIOUS runs before doing anything:
+      // a process kill between the two renames below leaves `target`
+      // missing and the previous version stranded under
+      // `.old-<name>-<oldTag>` — since every later run uses a fresh
+      // runTag, nothing would ever look there again and "readers treat
+      // a missing dir as retry" would mean retrying forever. Restore
+      // the newest committed aside (it carries the _COMMIT of its own
+      // original publish), then sweep remaining asides and stale
+      // staging dirs (a crash after the rename-in but before the
+      // delete leaks a full old copy; a crash mid-write leaks staging).
+      val base = new Path(baseDir)
+      if (Fs.exists(base)) {
+        val entries = Fs.list(base).map(_.getPath)
+        val asides = entries
+          .filter(_.getName.startsWith(s".old-$name-"))
+          .filter(p => Fs.exists(new Path(p, "_COMMIT")))
+          .sortBy(p => Fs.of(p).getFileStatus(p).getModificationTime)
+        if (!Fs.exists(target) && asides.nonEmpty)
+          Fs.rename(asides.last, target)
+        entries.filter { p =>
+          (p.getName.startsWith(s".old-$name-") && Fs.exists(target) &&
+            p.getName != target.getName) ||
+            (p.getName.startsWith(s".staging-$name-") &&
+              !p.getName.endsWith(runTag))
+        }.foreach(p => if (Fs.exists(p)) Fs.deleteRecursive(p))
+      }
       val staging = new Path(s"$baseDir/.staging-$name-$runTag")
       df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       val parts = Fs.list(staging).map(_.getPath.getName)
@@ -74,9 +100,12 @@ object Runner {
       Fs.writeString(new Path(staging, "_COMMIT"), s"$runTag\n$parts\n")
       // Swap: old version renamed aside, staging renamed in. Hadoop has
       // no two-dir exchange rename, so there IS an instant between the
-      // two renames with no `target`; a crash there is rolled back below,
-      // and readers are expected to treat a missing dir as "retry", not
-      // "empty".
+      // two renames with no `target`; an in-process failure is rolled
+      // back below, a process CRASH in the window is healed by the next
+      // run's debris sweep above, and readers are expected to treat a
+      // missing dir as "retry", not "empty". (Debris is namespaced by
+      // `<name>-<tag>`: mart names that are dash-prefixes of one
+      // another would share a namespace — the reference marts don't.)
       val old = new Path(s"$baseDir/.old-$name-$runTag")
       if (Fs.exists(target)) Fs.rename(target, old)
       try Fs.rename(staging, target)
@@ -217,6 +246,12 @@ object Runner {
       }
       if (statuses.values.forall(_.isRight))
         Fs.writeString(new Path(s"$d/transform_SUCCESS"), runDate.toString)
+      else
+        // the mirror of the per-mart retraction above: a FAILED run must
+        // retract a stale transform_SUCCESS from an earlier day, or a
+        // downstream existence gate proceeds against yesterday's success
+        // next to today's <mart>_ERROR
+        Fs.deleteRecursive(new Path(s"$d/transform_SUCCESS"))
     }
     RunReport(runDate, statuses, gated = false, timeout)
   }

@@ -198,6 +198,18 @@ object Versioned {
     * back — size `keep` to exceed your longest query. */
   private def commitAndPrune(t: Path, next: Long, keep: Int): Unit = {
     Fs.createExclusive(commitPath(t, next), commitBody(next))
+    pruneRetention(t, next, keep)
+  }
+
+  /** The retention half of [[commitAndPrune]], separated so GROUP
+    * publishes can commit every member BEFORE any pruning runs: inside
+    * a group, pruning in the member-commit loop would delete the
+    * PREVIOUS group's journaled versions while that journal is still
+    * the latest (keep=1 — the erasure setting — prunes everything but
+    * the new version), so a crash before the group's `.committed`
+    * marker, or any reader resolving the old journal in that window,
+    * would read versions that no longer exist. */
+  private def pruneRetention(t: Path, next: Long, keep: Int): Unit = {
     val cutoff = next - keep + 1
     val referenced = versionsOnDisk(t)
       .filter(v => v >= cutoff && Fs.exists(commitPath(t, v)))
@@ -344,15 +356,34 @@ object Versioned {
           (fresh ++ reuse.filterNot(r => freshVals(r._1))).sortBy(_._1)))
         (name, next, true)
     }
-    val id = (txnIds(baseDir, ".staged") ++ txnIds(baseDir, ".committed"))
-      .maxOption.getOrElse(-1L) + 1L
     // trailing END sentinel: a journal truncated by a crash mid-write
-    // must never be rolled forward as if it named the whole group
-    Fs.writeString(stagedPath(baseDir, id),
-      staged.map { case (n, v, _) => s"$n\t$v" }.mkString("", "\n", "\nEND\n"))
+    // must never be rolled forward as if it named the whole group.
+    // The journal id is allocated by EXCLUSIVE create (retrying past
+    // collisions): two concurrent group publishes over DISJOINT table
+    // sets — which the per-TABLE single-writer contract permits — must
+    // not overwrite each other's journal, or one group's .committed
+    // marker would seal the OTHER group's member list.
+    val body = staged.map { case (n, v, _) => s"$n\t$v" }
+      .mkString("", "\n", "\nEND\n")
+    var id = (txnIds(baseDir, ".staged") ++ txnIds(baseDir, ".committed"))
+      .maxOption.getOrElse(-1L) + 1L
+    var allocated = false
+    while (!allocated) {
+      try { Fs.createExclusive(stagedPath(baseDir, id), body); allocated = true }
+      catch {
+        case e: java.io.IOException =>
+          if (Fs.exists(stagedPath(baseDir, id))) id += 1 else throw e
+      }
+    }
+    // commit EVERY member first, then seal the journal, and only then
+    // prune: pruning earlier would delete versions the still-latest
+    // previous journal references (see [[pruneRetention]])
     staged.foreach { case (n, v, freshlyStaged) =>
-      if (freshlyStaged) commitAndPrune(tableDir(baseDir, n), v, keep) }
+      if (freshlyStaged)
+        Fs.createExclusive(commitPath(tableDir(baseDir, n), v), commitBody(v)) }
     Fs.createExclusive(committedPath(baseDir, id), "done\n")
+    staged.foreach { case (n, v, freshlyStaged) =>
+      if (freshlyStaged) pruneRetention(tableDir(baseDir, n), v, keep) }
     staged.map { case (n, v, _) => n -> v }.toMap
   }
 
@@ -785,8 +816,13 @@ object Versioned {
         val (l, h) = (toDouble(lo), toDouble(hi))
         mn.toDouble <= h && mx.toDouble >= l
       case "string" =>
-        val (l, h) = (lo.toString, hi.toString)
-        mn <= h && mx >= l
+        // compare in unsigned UTF-8 BYTE order — the order the parquet
+        // footer min/max were computed in (and Spark's own UTF8String
+        // order). Java String '<=' compares UTF-16 code units, which
+        // disagrees for supplementary-plane characters (U+10000+ sort
+        // above U+E000..U+FFFF in UTF-8 but below in UTF-16) — a file
+        // holding matching rows could be wrongly skipped.
+        utf8Cmp(mn, hi.toString) <= 0 && utf8Cmp(mx, lo.toString) >= 0
       case _ => true
     }
     val survivors = allFiles.filter(f => statted.get(f) match {
@@ -799,6 +835,21 @@ object Versioned {
     else
       spark.read.parquet(survivors.map(f => new Path(vd, f).toString): _*)
         .filter(residual)
+  }
+
+  /** Unsigned lexicographic UTF-8 byte comparison (parquet's BYTE_ARRAY
+    * stats order; also UTF8String's). */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   private def toLong(x: Any): Long = x match {

@@ -55,6 +55,71 @@ class CorpusPublisherSpec extends AnyFunSuite {
     assert(manifest == recomputed)
   }
 
+  test("erase removes victims from EVERY split table in one group " +
+    "transaction, recomputes the budget manifest, prunes pre-erase " +
+    "versions at erasure retention, and keeps appendBatch working; the " +
+    "flat Erasure path refuses group-journaled tables") {
+    val idx = tmp()
+    CorpusPublisher.publish(docs, idx)
+    val before = publishedWithSplit(idx)
+    val victims = before.filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id"))
+    val victimSet = victims.as[Long].collect().toSet
+    assert(victimSet.nonEmpty)
+    val survivorsExpected = before.filter(!(col("doc_id") % 5 === 2))
+      .select(col("doc_id")).as[Long].collect().toSet
+    // the flat keep=1 path must refuse: it would prune versions the
+    // family's group journal still references
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipelines.Erasure.eraseEverywhere(spark, idx,
+        CorpusPublisher.TrainTable, Seq("doc_id"),
+        s"$idx/__no_index", victims)
+    }
+    assert(ex.getMessage.contains("group-journaled"))
+    // the family-atomic path
+    CorpusPublisher.erase(spark, idx, victims)
+    val snap = Versioned.readGroup(spark, idx)
+    val after = publishedWithSplit(idx)
+    val afterIds = after.select("doc_id").as[Long].collect().toSet
+    assert(afterIds == survivorsExpected,
+      "erase must remove exactly the victims, across all splits")
+    // erasure retention: exactly one committed version per split table
+    Seq(CorpusPublisher.TrainTable, CorpusPublisher.ValTable,
+      CorpusPublisher.TestTable).foreach { t =>
+      assert(Versioned.describe(spark, idx, t)
+        .filter(col("committed")).count() == 1L,
+        s"$t: pre-erase versions must be pruned at keep=1")
+    }
+    // manifest matches a recomputation over the survivors
+    val manifest = snap(CorpusPublisher.ManifestTable)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val recomputed = Seq(
+      "test" -> snap(CorpusPublisher.TestTable),
+      "train" -> snap(CorpusPublisher.TrainTable),
+      "val" -> snap(CorpusPublisher.ValTable)).map { case (name, t) =>
+        (name, t.count(),
+          t.agg(coalesce(sum("token_count"), lit(0L))).as[Long].collect()(0),
+          t.agg(coalesce(sum(length(col("text")).cast("long")), lit(0L)))
+            .as[Long].collect()(0))
+      }.filter(_._2 > 0)
+    assert(manifest == recomputed)
+    // admission still works on the erased family (manifest reuse intact);
+    // batch docs are novel (unique tokens) with enough stopword mass to
+    // clear the quality gate
+    val batch = (0 until 20).map { i =>
+      (1000000L + i,
+        s"the zq${i}a a zq${i}b of zq${i}c and zq${i}d to zq${i}e " +
+          s"in zq${i}f is zq${i}g", "en")
+    }.toDF("doc_id", "text", "lang")
+    CorpusPublisher.appendBatch(batch, idx, batchId = 1L)
+    val finalIds = publishedWithSplit(idx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(finalIds.intersect(victimSet).isEmpty,
+      "appendBatch after erase must not resurrect victims")
+    assert((finalIds -- survivorsExpected).nonEmpty,
+      "the post-erase batch admitted nothing — append broke")
+  }
+
   private def publishedWithSplit(idx: String) = {
     val snap = Versioned.readGroup(spark, idx)
     Seq(CorpusPublisher.TrainTable -> "train",

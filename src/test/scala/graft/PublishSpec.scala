@@ -225,6 +225,58 @@ class PublishSpec extends AnyFunSuite {
     assert(Versioned.diff(spark, base, "t", 1L, 1L).inputFiles.isEmpty)
   }
 
+  test("maintainJoin with an explicit epochId is exactly-once over " +
+    "redelivery: a replayed refresh is skipped, the three tables advance " +
+    "as ONE group transaction") {
+    val base = tmp("ivm-replay")
+    def a(rows: (Int, String)*) = rows.toSeq.toDF("k", "av")
+    def b(rows: (Int, Long)*) = rows.toSeq.toDF("k", "bv")
+    def viewCount = Versioned.read(spark, base, "j").count()
+    Incremental.maintainJoin(spark, base, "j",
+      a(1 -> "x"), b(1 -> 10L), Seq("k"), epochId = 7L)
+    assert(viewCount == 1L)
+    // at-least-once redelivery of the SAME epoch: recognized, skipped
+    val replayed = Incremental.maintainJoin(spark, base, "j",
+      a(1 -> "x"), b(1 -> 10L), Seq("k"), epochId = 7L)
+    assert(replayed == 7L)
+    assert(viewCount == 1L, "a replayed epoch must not double-append")
+    assert(Versioned.read(spark, base, "j_A").count() == 1L)
+    // the three tables are journaled together: readGroup resolves a
+    // consistent (A, B, view) snapshot
+    val group = Versioned.latestGroupVersions(base)
+    assert(group.keySet == Set("j", "j_A", "j_B"))
+    // a fresh epoch still appends
+    Incremental.maintainJoin(spark, base, "j",
+      a(2 -> "y"), b(2 -> 20L), Seq("k"), epochId = 8L)
+    assert(viewCount == 2L)
+  }
+
+  test("publishUpsertPartitioned rejects NULL partition values loudly " +
+    "instead of silently losing previously published NULL-partition rows") {
+    val base = tmp("upsert-null")
+    Incremental.publishUpsertPartitioned(spark, base, "t",
+      Seq((1, "a", 10)).toDF("k", "v", "p"), Seq("k"), "p")
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.publishUpsertPartitioned(spark, base, "t",
+        Seq((2, "b", null.asInstanceOf[Integer])).toDF("k", "v", "p"),
+        Seq("k"), "p")
+    }
+    assert(ex.getMessage.contains("NULL"))
+  }
+
+  test("readSkipping compares string bounds in UTF-8 byte order (parquet's " +
+    "stats order): supplementary-plane rows are never wrongly skipped") {
+    val base = tmp("skip-utf8")
+    // U+10000 sorts ABOVE U+FFFF in UTF-8 bytes but BELOW it in Java's
+    // UTF-16 ordering — a UTF-16 compare would skip the file
+    val hi = new String(Character.toChars(0x10000))
+    val df = Seq(("\uFFFF", 1L), (hi, 2L)).toDF("s", "v")
+    Versioned.publishSkippable(df, base, "t", Seq("s"))
+    val got = Versioned.readSkipping(spark, base, "t", "s", hi, hi)
+      .select(col("v")).as[Long].collect().toSeq
+    assert(got == Seq(2L), s"supplementary-plane row lost: $got")
+  }
+
   test("maintainJoin: view == one-shot join at every version; earlier " +
     "epochs' files are manifest-linked, never rewritten") {
     val base = tmp("ivm")

@@ -237,6 +237,54 @@ class RunnerSpec extends AnyFunSuite {
     assert(stray.count() == 0)
   }
 
+  test("atomic sink self-heals a crash between the two swap renames: the " +
+    "stranded .old aside is restored/replaced on the next run and all " +
+    "debris is swept") {
+    import graft.pipelines.Fs
+    import org.apache.hadoop.fs.Path
+    val out = java.nio.file.Files.createTempDirectory("runner-heal").toString
+    val sink1 = Runner.AtomicParquetSink(out, "r1")
+    val df1 = spark.range(5).toDF("v")
+    sink1.write(df1, "t")
+    // simulate the crash window: target renamed aside, process dies
+    // before the staging rename-in (plus a stale staging dir from the
+    // same doomed run)
+    Fs.rename(new Path(s"$out/t"), new Path(s"$out/.old-t-rX"))
+    Fs.mkdirs(new Path(s"$out/.staging-t-rX"))
+    assert(!Fs.exists(new Path(s"$out/t")))
+    // next run heals first (previous version restored), then publishes
+    val sink2 = Runner.AtomicParquetSink(out, "r2")
+    sink2.write(spark.range(9).toDF("v"), "t")
+    assert(spark.read.parquet(s"$out/t").count() == 9L)
+    val stray = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .filter(p => p.getFileName.toString.startsWith(".staging") ||
+        p.getFileName.toString.startsWith(".old"))
+    assert(stray.count() == 0, "crash debris must be swept by the next run")
+    // heal-only path: crash again, then verify a reader-visible restore
+    // happens even when the next run writes the SAME data
+    Fs.rename(new Path(s"$out/t"), new Path(s"$out/.old-t-rY"))
+    Runner.AtomicParquetSink(out, "r3").write(spark.range(3).toDF("v"), "t")
+    assert(spark.read.parquet(s"$out/t").count() == 3L)
+  }
+
+  test("a failed run retracts a stale transform_SUCCESS from an earlier " +
+    "run (the mirror of the per-mart error retraction)") {
+    val out = java.nio.file.Files.createTempDirectory("runner-stale").toString
+    val ok = Runner.run(spark, dir, Runner.PartitionedParquetSink(out, Nil),
+      markerDir = Some(out))
+    assert(ok.statuses.values.forall(_.isRight))
+    val marker = java.nio.file.Paths.get(s"$out/transform_SUCCESS")
+    assert(java.nio.file.Files.exists(marker))
+    final case class FailAll() extends Runner.Sink {
+      def write(df: org.apache.spark.sql.DataFrame, n: String): Unit =
+        throw new RuntimeException("injected")
+    }
+    val bad = Runner.run(spark, dir, FailAll(), markerDir = Some(out))
+    assert(bad.statuses.values.forall(_.isLeft))
+    assert(!java.nio.file.Files.exists(marker),
+      "yesterday's transform_SUCCESS must not survive a failed run")
+  }
+
   test("partitioned parquet sink round-trips with partition pruning layout") {
     val out = java.nio.file.Files.createTempDirectory("runner-parq").toString
     val report = Runner.run(spark, dir,
