@@ -192,7 +192,10 @@ object CorpusPublisher {
       "the split scope must be at most as strict as the dedup cut")
     val spark = batch.sparkSession
     import spark.implicits._
-    val vs = Versioned.latestGroupVersions(baseDir)
+    // family-aware snapshot: other group families may share the journal
+    val vs = Versioned.latestGroupVersionsFor(baseDir, TrainTable)
+      .getOrElse(throw new IllegalStateException(
+        s"no published corpus family under $baseDir"))
     // reuse entries per split table: a missing manifest is legal only
     // for a table published EMPTY (the sideMember fallback) — anything
     // else is an old-layout publish that must be redone first
@@ -323,14 +326,22 @@ object CorpusPublisher {
     * manifest) — and recomputes the budget manifest from the survivors.
     * With the default erasure retention (`keep = 1`) the pre-erase
     * versions are pruned once the journal commits, so time travel to
-    * the erased rows dies with the erase. Victims anywhere in ANY split
+    * the erased rows dies with the erase. (A crash between the
+    * journal's seal and that prune leaves the erase committed but the
+    * old versions readable — retry the erase, or run
+    * [[Versioned.enforceRetention]] per member: erasure pipelines are
+    * at-least-once by construction, and a crash BEFORE the seal is
+    * healed prune-included by [[Versioned.recoverGroups]].) Victims anywhere in ANY split
     * are removed — erasure must not depend on knowing which split a
     * subject landed in. Cost: O(sum of split tables), the table form of
     * delete (cheaper needs tombstoning the table too). Returns the new
     * (table → version) snapshot. */
   def erase(spark: SparkSession, baseDir: String, victims: DataFrame,
       keep: Int = 1): Map[String, Long] = {
-    val vs = Versioned.latestGroupVersions(baseDir)
+    // family-aware snapshot: other group families may share the journal
+    val vs = Versioned.latestGroupVersionsFor(baseDir, TrainTable)
+      .getOrElse(throw new IllegalStateException(
+        s"no published corpus family under $baseDir"))
     val vKeys = victims.select(col("doc_id")).distinct()
     val sides = SplitTables.map { case (t, s) =>
       val survivors = Versioned.read(spark, baseDir, t, Some(vs(t)))

@@ -52,10 +52,11 @@ object Erasure {
     // family's group journal still references (readGroup and
     // CorpusPublisher.appendBatch would then die on the missing
     // versions, and victims in the OTHER members would survive). Fail
-    // loudly toward the family-atomic path instead.
-    val grouped =
-      try Versioned.latestGroupVersions(baseDir).contains(table)
-      catch { case _: IllegalStateException => false }
+    // loudly toward the family-atomic path instead. Family-aware check
+    // (ANY committed journal naming the table, newest-first scan) —
+    // the LATEST journal alone would misclassify a family whose last
+    // commit predates another family's under the same baseDir.
+    val grouped = Versioned.latestGroupVersionsFor(baseDir, table).isDefined
     require(!grouped,
       s"$table is a member of a group-journaled family under $baseDir — " +
         "erase the whole family in one group transaction instead " +

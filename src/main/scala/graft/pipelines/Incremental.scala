@@ -282,16 +282,22 @@ object Incremental {
         .flatMap(v => Versioned.manifest(baseDir, n, v))
         .map(_.entries).getOrElse(Nil)
     val reuseA = reuseOf(s"${name}_A")
+    val reuseB = reuseOf(s"${name}_B")
+    val reuseView = reuseOf(name)
     val epoch =
       if (epochId >= 0) epochId
-      else reuseA.flatMap(_._1.toLongOption).maxOption.getOrElse(-1L) + 1L
-    // replay check against the VIEW table's manifest: the group commits
-    // all three together (and recoverGroups completes a torn commit),
-    // so one member's ledger answers for the transaction
-    if (reuseOf(name).exists(_._1 == epoch.toString)) return epoch
-    require(!reuseA.exists(_._1 == epoch.toString),
-      s"maintainJoin($name): epoch $epoch present in ${name}_A but not " +
-        s"the view — torn state; run Versioned.recoverGroups($baseDir)")
+      else (reuseA ++ reuseB ++ reuseView)
+        .flatMap(_._1.toLongOption).maxOption.getOrElse(-1L) + 1L
+    // replay check against ALL THREE manifests: an EMPTY delta stages no
+    // partition dir, so its table's manifest records nothing for the
+    // epoch — presence in ANY member means the transaction landed (the
+    // group journal commits all three together and recoverGroups
+    // completes a torn commit, so partial presence across members can
+    // only come from empty deltas, never from tearing). An epoch whose
+    // three frames were ALL empty records nothing anywhere and replays
+    // as a no-content re-publish — idempotent in content.
+    if (Seq(reuseA, reuseB, reuseView)
+        .exists(_.exists(_._1 == epoch.toString))) return epoch
     val aOld = snapshot(s"${name}_A")
     val bOld = snapshot(s"${name}_B")
     val newMatches = Seq(
@@ -302,11 +308,9 @@ object Incremental {
       Versioned.GroupDelta(s"${name}_A",
         deltaA.withColumn("epoch", lit(epoch)), "epoch", reuseA),
       Versioned.GroupDelta(s"${name}_B",
-        deltaB.withColumn("epoch", lit(epoch)), "epoch",
-        reuseOf(s"${name}_B")),
+        deltaB.withColumn("epoch", lit(epoch)), "epoch", reuseB),
       Versioned.GroupDelta(name,
-        newMatches.withColumn("epoch", lit(epoch)), "epoch",
-        reuseOf(name))),
+        newMatches.withColumn("epoch", lit(epoch)), "epoch", reuseView)),
       baseDir, keep)
     epoch
   }

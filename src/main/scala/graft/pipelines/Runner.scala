@@ -86,9 +86,12 @@ object Runner {
           .sortBy(p => Fs.of(p).getFileStatus(p).getModificationTime)
         if (!Fs.exists(target) && asides.nonEmpty)
           Fs.rename(asides.last, target)
+        // sweep: asides are deletable once a target exists (a restored
+        // aside's OLD path no longer exists — the Fs.exists re-check
+        // below is what protects it, since `entries` predates the
+        // restore); stale staging dirs from other run tags always go
         entries.filter { p =>
-          (p.getName.startsWith(s".old-$name-") && Fs.exists(target) &&
-            p.getName != target.getName) ||
+          (p.getName.startsWith(s".old-$name-") && Fs.exists(target)) ||
             (p.getName.startsWith(s".staging-$name-") &&
               !p.getName.endsWith(runTag))
         }.foreach(p => if (Fs.exists(p)) Fs.deleteRecursive(p))

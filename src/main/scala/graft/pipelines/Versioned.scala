@@ -363,7 +363,10 @@ object Versioned {
     // sets — which the per-TABLE single-writer contract permits — must
     // not overwrite each other's journal, or one group's .committed
     // marker would seal the OTHER group's member list.
-    val body = staged.map { case (n, v, _) => s"$n\t$v" }
+    // The `#keep` line records the transaction's retention so
+    // [[recoverGroups]] can finish the PRUNE step of a publish that
+    // crashed before sealing (tab-less, so every member parser skips it).
+    val body = (staged.map { case (n, v, _) => s"$n\t$v" } :+ s"#keep $keep")
       .mkString("", "\n", "\nEND\n")
     var id = (txnIds(baseDir, ".staged") ++ txnIds(baseDir, ".committed"))
       .maxOption.getOrElse(-1L) + 1L
@@ -377,7 +380,13 @@ object Versioned {
     }
     // commit EVERY member first, then seal the journal, and only then
     // prune: pruning earlier would delete versions the still-latest
-    // previous journal references (see [[pruneRetention]])
+    // previous journal references (see [[pruneRetention]]). A crash
+    // BEFORE the seal is rolled forward — including this prune — by
+    // [[recoverGroups]] (the journal records `keep`); a crash AFTER the
+    // seal but before the prune leaves the transaction fully committed
+    // with retention not yet enforced — heal by retrying the operation
+    // or calling [[enforceRetention]] (erasure callers do; an
+    // at-least-once requirement every erasure pipeline has anyway).
     staged.foreach { case (n, v, freshlyStaged) =>
       if (freshlyStaged)
         Fs.createExclusive(commitPath(tableDir(baseDir, n), v), commitBody(v)) }
@@ -387,22 +396,49 @@ object Versioned {
     staged.map { case (n, v, _) => n -> v }.toMap
   }
 
+  /** Re-apply retention to `name` relative to its LATEST committed
+    * version — idempotent, callable any time. Exists for the one crash
+    * window group publishes cannot heal themselves: a kill between the
+    * journal seal and the post-seal prune leaves the transaction
+    * committed with old versions still on disk; an erasure caller
+    * re-runs this (keep = 1) to guarantee the victims' old versions are
+    * actually gone. */
+  def enforceRetention(baseDir: String, name: String, keep: Int): Unit =
+    latestVersion(baseDir, name)
+      .foreach(v => pruneRetention(tableDir(baseDir, name), v, keep))
+
+  /** Parsed journal body: the (table → version) member map plus the
+    * recorded retention (absent in pre-r13 journals). The `#keep` line
+    * is tab-less, so the member collect skips it by construction. */
+  private def readJournal(baseDir: String, id: Long): (Map[String, Long], Option[Int]) = {
+    val lines = Fs.readString(stagedPath(baseDir, id)).split("\n")
+      .filter(l => l.nonEmpty && l != "END").toSeq
+    val entries = lines.map(_.split("\t")).collect {
+      case Array(n, v) if v.toLongOption.isDefined => n -> v.toLong
+    }.toMap
+    val keep = lines.collectFirst {
+      case l if l.startsWith("#keep ") =>
+        l.stripPrefix("#keep ").trim.toIntOption
+    }.flatten
+    (entries, keep)
+  }
+
   /** Roll forward crashed group publishes: any journal without its
     * committed marker has all member data staged (journal writes follow
-    * staging), so create each member's missing `_COMMIT` and mark the
-    * journal done. Unparseable / empty journals are abandoned (their
-    * orphan version dirs age out through retention pruning). Call on
-    * writer startup, like Delta log replay. */
+    * staging), so create each member's missing `_COMMIT`, mark the
+    * journal done, and — when the journal records its retention — run
+    * the prune step the crashed publisher never reached, so a recovered
+    * keep=1 erasure actually erases. Unparseable / empty journals are
+    * abandoned (their orphan version dirs age out through retention
+    * pruning). Call on writer startup, like Delta log replay. */
   def recoverGroups(baseDir: String): Seq[Long] = {
     val pending = txnIds(baseDir, ".staged")
       .filterNot(id => Fs.exists(committedPath(baseDir, id))).sorted
     pending.filter { id =>
-      val lines = Fs.readString(stagedPath(baseDir, id)).split("\n")
+      val raw = Fs.readString(stagedPath(baseDir, id)).split("\n")
         .filter(_.nonEmpty).toSeq
-      val sealed_ = lines.lastOption.contains("END")
-      val entries = lines.dropRight(1).map(_.split("\t")).collect {
-        case Array(n, v) if v.toLongOption.isDefined => (n, v.toLong)
-      }
+      val sealed_ = raw.lastOption.contains("END")
+      val (entries, keepRec) = readJournal(baseDir, id)
       val complete = sealed_ && entries.nonEmpty &&
         entries.forall { case (n, v) =>
           Fs.exists(vdir(tableDir(baseDir, n), v)) }
@@ -412,6 +448,10 @@ object Versioned {
           if (!Fs.exists(cp)) Fs.createExclusive(cp, commitBody(v))
         }
         Fs.createExclusive(committedPath(baseDir, id), "recovered\n")
+        keepRec.foreach { k =>
+          entries.foreach { case (n, v) =>
+            pruneRetention(tableDir(baseDir, n), v, k) }
+        }
       } else Fs.deleteRecursive(stagedPath(baseDir, id))
       complete
     }
@@ -426,12 +466,23 @@ object Versioned {
   def latestGroupVersions(baseDir: String): Map[String, Long] = {
     val id = txnIds(baseDir, ".committed").maxOption.getOrElse(
       throw new IllegalStateException("no committed group"))
-    Fs.readString(stagedPath(baseDir, id)).split("\n")
-      .filter(l => l.nonEmpty && l != "END")
-      .map(_.split("\t")).collect {
-        case Array(n, v) if v.toLongOption.isDefined => n -> v.toLong
-      }.toMap
+    readJournal(baseDir, id)._1
   }
+
+  /** The most recent committed journal NAMING `table`, as its
+    * (table → version) map — the family-aware resolution when several
+    * group FAMILIES share one baseDir's journal (e.g. the corpus family
+    * next to a maintained join view): [[latestGroupVersions]] alone
+    * resolves whichever family committed LAST, which silently
+    * misclassifies every other family's tables. Newest-first scan with
+    * early exit (one tiny file read per journal walked; a table named
+    * by the latest journal costs one read); None when no committed
+    * journal names the table. */
+  def latestGroupVersionsFor(baseDir: String,
+      table: String): Option[Map[String, Long]] =
+    txnIds(baseDir, ".committed").sorted.reverse.iterator
+      .map(id => readJournal(baseDir, id)._1)
+      .find(_.contains(table))
 
   /** The (table → version) maps of the most recent `n` committed group
     * journals, NEWEST FIRST — the reference set retention decisions on
@@ -440,13 +491,8 @@ object Versioned {
     * never sees it again; [[graft.ops.AnnIndex.compact]] prunes its
     * folded tombstone table against this window instead). */
   def recentGroupVersions(baseDir: String, n: Int): Seq[Map[String, Long]] =
-    txnIds(baseDir, ".committed").sorted.takeRight(n).reverse.map { id =>
-      Fs.readString(stagedPath(baseDir, id)).split("\n")
-        .filter(l => l.nonEmpty && l != "END")
-        .map(_.split("\t")).collect {
-          case Array(nm, v) if v.toLongOption.isDefined => nm -> v.toLong
-        }.toMap
-    }
+    txnIds(baseDir, ".committed").sorted.takeRight(n).reverse
+      .map(id => readJournal(baseDir, id)._1)
 
   /** Retention prune for a table that stopped receiving publishes (a
     * folded group member — normal pruning only runs inside

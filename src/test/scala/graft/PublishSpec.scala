@@ -251,6 +251,67 @@ class PublishSpec extends AnyFunSuite {
     assert(viewCount == 2L)
   }
 
+  test("maintainJoin: an epoch whose view delta is EMPTY still replays as " +
+    "a skip (the ledger reads all three manifests, not just the view's)") {
+    val base = tmp("ivm-empty")
+    def a(rows: (Int, String)*) = rows.toSeq.toDF("k", "av")
+    def b(rows: (Int, Long)*) = rows.toSeq.toDF("k", "bv")
+    Incremental.maintainJoin(spark, base, "j",
+      a(1 -> "x"), b(1 -> 10L), Seq("k"), epochId = 7L)
+    // epoch 8: disjoint keys → zero matches → the view's manifest gains
+    // NO entry for 8 (an empty delta stages no partition dir)
+    Incremental.maintainJoin(spark, base, "j",
+      a(2 -> "y"), b(3 -> 30L), Seq("k"), epochId = 8L)
+    val aCount = Versioned.read(spark, base, "j_A").count()
+    assert(Versioned.read(spark, base, "j").count() == 1L)
+    // redelivery of epoch 8 must SKIP (epoch present in j_A/j_B), not
+    // wedge on a torn-state error or double-append
+    val replayed = Incremental.maintainJoin(spark, base, "j",
+      a(2 -> "y"), b(3 -> 30L), Seq("k"), epochId = 8L)
+    assert(replayed == 8L)
+    assert(Versioned.read(spark, base, "j_A").count() == aCount)
+    assert(Versioned.read(spark, base, "j").count() == 1L)
+  }
+
+  test("latestGroupVersionsFor resolves the right FAMILY when several " +
+    "group families share one baseDir's journal; latestGroupVersions " +
+    "alone returns whichever committed last") {
+    val base = tmp("two-families")
+    Versioned.publishGroup(Seq("x" -> Seq((1, "a")).toDF("k", "v")), base)
+    Versioned.publishGroup(Seq("y" -> Seq((2, "b")).toDF("k", "v")), base)
+    assert(Versioned.latestGroupVersions(base).keySet == Set("y"))
+    assert(Versioned.latestGroupVersionsFor(base, "x")
+      .contains(Map("x" -> 0L)))
+    assert(Versioned.latestGroupVersionsFor(base, "y")
+      .contains(Map("y" -> 0L)))
+    assert(Versioned.latestGroupVersionsFor(base, "zz").isEmpty)
+  }
+
+  test("recoverGroups finishes the PRUNE step of a crashed publish from " +
+    "the journal's recorded keep (a recovered keep=1 erasure erases)") {
+    val base = tmp("recover-prune")
+    Versioned.publishGroup(Seq("t" -> Seq((1, "a")).toDF("k", "v")), base,
+      keep = 1)
+    Versioned.publishGroup(Seq("t" -> Seq((2, "b")).toDF("k", "v")), base,
+      keep = 1)
+    assert(Versioned.describe(spark, base, "t")
+      .filter(col("committed")).count() == 1L)
+    // hand-craft the crash: data staged as _v2, journal written with
+    // #keep 1, process dies before member commits / seal / prune
+    Seq((3, "c")).toDF("k", "v").write.parquet(s"$base/t/_v2")
+    Fs.writeString(new Path(s"$base/_txn/9.staged"), "t\t2\n#keep 1\nEND\n")
+    assert(Versioned.latestVersion(base, "t").contains(1L)) // not yet live
+    val recovered = Versioned.recoverGroups(base)
+    assert(recovered == Seq(9L))
+    assert(Versioned.latestVersion(base, "t").contains(2L))
+    // the recorded keep was applied: the pre-crash version is GONE
+    assert(Versioned.describe(spark, base, "t")
+      .filter(col("committed")).count() == 1L,
+      "recovery must finish the crashed publish's retention prune")
+    assert(Versioned.read(spark, base, "t").as[(Int, String)]
+      .collect().toSet == Set((3, "c")))
+  }
+
   test("publishUpsertPartitioned rejects NULL partition values loudly " +
     "instead of silently losing previously published NULL-partition rows") {
     val base = tmp("upsert-null")
