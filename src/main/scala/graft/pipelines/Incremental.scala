@@ -304,13 +304,23 @@ object Incremental {
       bOld.map(b => deltaA.join(b, keys)),
       aOld.map(a => a.join(deltaB, keys)))
       .flatten.foldLeft(deltaA.join(deltaB, keys))(_.unionByName(_))
+    // an EMPTY frame with nothing to link cannot be a partitioned
+    // version (the manifest must name at least one directory) — publish
+    // it as a plain empty version instead, exactly like
+    // CorpusPublisher's sideMember: without this, a FIRST refresh whose
+    // view delta is empty (no key overlap yet) would throw mid-staging
+    // and wedge an at-least-once feeder on epoch 0 forever (the epoch
+    // never lands in any manifest, so the replay check can't skip it)
+    def member(t: String, frame: DataFrame,
+        reuse: Seq[(String, String)]): Versioned.GroupMember = {
+      val withEpoch = frame.withColumn("epoch", lit(epoch))
+      if (reuse.isEmpty && frame.isEmpty) Versioned.GroupFull(t, withEpoch)
+      else Versioned.GroupDelta(t, withEpoch, "epoch", reuse)
+    }
     Versioned.publishGroupMembers(Seq(
-      Versioned.GroupDelta(s"${name}_A",
-        deltaA.withColumn("epoch", lit(epoch)), "epoch", reuseA),
-      Versioned.GroupDelta(s"${name}_B",
-        deltaB.withColumn("epoch", lit(epoch)), "epoch", reuseB),
-      Versioned.GroupDelta(name,
-        newMatches.withColumn("epoch", lit(epoch)), "epoch", reuseView)),
+      member(s"${name}_A", deltaA, reuseA),
+      member(s"${name}_B", deltaB, reuseB),
+      member(name, newMatches, reuseView)),
       baseDir, keep)
     epoch
   }

@@ -79,36 +79,59 @@ object Runner {
       // delete leaks a full old copy; a crash mid-write leaks staging).
       val base = new Path(baseDir)
       if (Fs.exists(base)) {
+        // an aside/staging dir BELONGS to this mart only if its _COMMIT
+        // records this mart's name (line 2) — prefix matching alone
+        // would cross-wire marts whose names are dash-prefixes of one
+        // another (mart 't' restoring mart 't-x'.s aside over its own
+        // target, or sweeping it). Debris without a name line (a
+        // pre-name-format target crashed mid-swap, or a staging dir
+        // whose _COMMIT never landed) is left alone for this-mart
+        // restores and only swept when it unambiguously matches.
+        def ownedByThisMart(p: Path): Boolean =
+          Fs.exists(new Path(p, "_COMMIT")) &&
+            Fs.readString(new Path(p, "_COMMIT")).split("\n")
+              .lift(1).contains(name)
         val entries = Fs.list(base).map(_.getPath)
         val asides = entries
           .filter(_.getName.startsWith(s".old-$name-"))
-          .filter(p => Fs.exists(new Path(p, "_COMMIT")))
+          .filter(ownedByThisMart)
           .sortBy(p => Fs.of(p).getFileStatus(p).getModificationTime)
         if (!Fs.exists(target) && asides.nonEmpty)
           Fs.rename(asides.last, target)
-        // sweep: asides are deletable once a target exists (a restored
-        // aside's OLD path no longer exists — the Fs.exists re-check
-        // below is what protects it, since `entries` predates the
-        // restore); stale staging dirs from other run tags always go
+        // sweep: this mart's asides are deletable once a target exists
+        // (a restored aside's OLD path no longer exists — the Fs.exists
+        // re-check below is what protects it, since `entries` predates
+        // the restore); this mart's staging dirs from OTHER run tags
+        // (exact tag compare, not endsWith — tag '1' must not spare
+        // '.staging-t-r21') are crashed-run debris. Staging that died
+        // BEFORE its _COMMIT landed is unattributable (it could be
+        // another dash-prefix-sharing mart's LIVE mid-write dir) and is
+        // deliberately left for manual vacuum — the conservative side
+        // of the ownership rule.
         entries.filter { p =>
-          (p.getName.startsWith(s".old-$name-") && Fs.exists(target)) ||
+          (p.getName.startsWith(s".old-$name-") && Fs.exists(target) &&
+            ownedByThisMart(p)) ||
             (p.getName.startsWith(s".staging-$name-") &&
-              !p.getName.endsWith(runTag))
+              p.getName.stripPrefix(s".staging-$name-") != runTag &&
+              ownedByThisMart(p))
         }.foreach(p => if (Fs.exists(p)) Fs.deleteRecursive(p))
       }
       val staging = new Path(s"$baseDir/.staging-$name-$runTag")
       df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       val parts = Fs.list(staging).map(_.getPath.getName)
         .filter(_.endsWith(".parquet")).sorted.mkString("\n")
-      Fs.writeString(new Path(staging, "_COMMIT"), s"$runTag\n$parts\n")
+      // line 2 records the mart name — the ownership witness the debris
+      // heal/sweep above keys on
+      Fs.writeString(new Path(staging, "_COMMIT"), s"$runTag\n$name\n$parts\n")
       // Swap: old version renamed aside, staging renamed in. Hadoop has
       // no two-dir exchange rename, so there IS an instant between the
       // two renames with no `target`; an in-process failure is rolled
       // back below, a process CRASH in the window is healed by the next
       // run's debris sweep above, and readers are expected to treat a
-      // missing dir as "retry", not "empty". (Debris is namespaced by
-      // `<name>-<tag>`: mart names that are dash-prefixes of one
-      // another would share a namespace — the reference marts don't.)
+      // missing dir as "retry", not "empty". (Debris ownership is keyed
+      // on the _COMMIT's recorded mart name, not the dir-name prefix —
+      // mart names that are dash-prefixes of one another would
+      // otherwise share a namespace.)
       val old = new Path(s"$baseDir/.old-$name-$runTag")
       if (Fs.exists(target)) Fs.rename(target, old)
       try Fs.rename(staging, target)

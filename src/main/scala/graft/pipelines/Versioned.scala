@@ -326,6 +326,7 @@ object Versioned {
     * are never re-committed (their `_COMMIT` already exists). */
   def publishGroupMembers(members: Seq[GroupMember], baseDir: String,
       keep: Int = 3): Map[String, Long] = {
+    require(keep >= 1, "keep must retain at least the current version")
     require(members.nonEmpty, "publishGroup needs at least one table")
     require(members.map(_.name).distinct.size == members.size,
       "group members must be distinct tables")
@@ -363,10 +364,19 @@ object Versioned {
     // sets — which the per-TABLE single-writer contract permits — must
     // not overwrite each other's journal, or one group's .committed
     // marker would seal the OTHER group's member list.
-    // The `#keep` line records the transaction's retention so
-    // [[recoverGroups]] can finish the PRUNE step of a publish that
-    // crashed before sealing (tab-less, so every member parser skips it).
-    val body = (staged.map { case (n, v, _) => s"$n\t$v" } :+ s"#keep $keep")
+    // The `#keep` line records the transaction's retention and each
+    // member line carries F(resh)/L(inked) so [[recoverGroups]] can
+    // finish the PRUNE step of a publish that crashed before sealing
+    // EXACTLY as the live path would have — pruning only staged
+    // members (pruning a linked member on recovery would delete
+    // versions a crash-free publish retains). NOTE: on a connector
+    // whose exclusive create is not atomic (classic S3A — see [[Fs]]),
+    // the journal-id race protection below degrades to check-then-PUT;
+    // there, concurrent group publishes under ONE baseDir additionally
+    // need a single group-writer slot (per-table single writers are
+    // not enough to serialize the shared journal).
+    val body = (staged.map { case (n, v, fresh) =>
+        s"$n\t$v\t${if (fresh) "F" else "L"}" } :+ s"#keep $keep")
       .mkString("", "\n", "\nEND\n")
     var id = (txnIds(baseDir, ".staged") ++ txnIds(baseDir, ".committed"))
       .maxOption.getOrElse(-1L) + 1L
@@ -403,18 +413,30 @@ object Versioned {
     * committed with old versions still on disk; an erasure caller
     * re-runs this (keep = 1) to guarantee the victims' old versions are
     * actually gone. */
-  def enforceRetention(baseDir: String, name: String, keep: Int): Unit =
+  def enforceRetention(baseDir: String, name: String, keep: Int): Unit = {
+    require(keep >= 1, "keep must retain at least the current version")
     latestVersion(baseDir, name)
       .foreach(v => pruneRetention(tableDir(baseDir, name), v, keep))
+  }
 
-  /** Parsed journal body: the (table → version) member map plus the
-    * recorded retention (absent in pre-r13 journals). The `#keep` line
-    * is tab-less, so the member collect skips it by construction. */
-  private def readJournal(baseDir: String, id: Long): (Map[String, Long], Option[Int]) = {
+  /** One parsed journal member: its version and whether the
+    * transaction STAGED it (vs linked an existing version). */
+  private final case class JournalEntry(version: Long, fresh: Boolean)
+
+  /** Parsed journal body: the (table → entry) member map plus the
+    * recorded retention. The `#keep` line is tab-less, so the member
+    * collect skips it by construction; the third field (F/L =
+    * fresh/linked) is absent in pre-r13 journals, which also carry no
+    * `#keep`, so recovery never prunes them and the default is moot. */
+  private def readJournal(baseDir: String,
+      id: Long): (Map[String, JournalEntry], Option[Int]) = {
     val lines = Fs.readString(stagedPath(baseDir, id)).split("\n")
       .filter(l => l.nonEmpty && l != "END").toSeq
     val entries = lines.map(_.split("\t")).collect {
-      case Array(n, v) if v.toLongOption.isDefined => n -> v.toLong
+      case Array(n, v) if v.toLongOption.isDefined =>
+        n -> JournalEntry(v.toLong, fresh = true)
+      case Array(n, v, flag) if v.toLongOption.isDefined =>
+        n -> JournalEntry(v.toLong, fresh = flag == "F")
     }.toMap
     val keep = lines.collectFirst {
       case l if l.startsWith("#keep ") =>
@@ -440,17 +462,21 @@ object Versioned {
       val sealed_ = raw.lastOption.contains("END")
       val (entries, keepRec) = readJournal(baseDir, id)
       val complete = sealed_ && entries.nonEmpty &&
-        entries.forall { case (n, v) =>
-          Fs.exists(vdir(tableDir(baseDir, n), v)) }
+        entries.forall { case (n, e) =>
+          Fs.exists(vdir(tableDir(baseDir, n), e.version)) }
       if (complete) {
-        entries.foreach { case (n, v) =>
-          val cp = commitPath(tableDir(baseDir, n), v)
-          if (!Fs.exists(cp)) Fs.createExclusive(cp, commitBody(v))
+        entries.foreach { case (n, e) =>
+          val cp = commitPath(tableDir(baseDir, n), e.version)
+          if (!Fs.exists(cp)) Fs.createExclusive(cp, commitBody(e.version))
         }
         Fs.createExclusive(committedPath(baseDir, id), "recovered\n")
+        // prune exactly as the live path would have: STAGED members
+        // only — a linked member's version predates this transaction
+        // and pruning from it would delete versions a crash-free
+        // publish retains (e.g. the model tables an ANN delete links)
         keepRec.foreach { k =>
-          entries.foreach { case (n, v) =>
-            pruneRetention(tableDir(baseDir, n), v, k) }
+          entries.foreach { case (n, e) =>
+            if (e.fresh) pruneRetention(tableDir(baseDir, n), e.version, k) }
         }
       } else Fs.deleteRecursive(stagedPath(baseDir, id))
       complete
@@ -466,7 +492,7 @@ object Versioned {
   def latestGroupVersions(baseDir: String): Map[String, Long] = {
     val id = txnIds(baseDir, ".committed").maxOption.getOrElse(
       throw new IllegalStateException("no committed group"))
-    readJournal(baseDir, id)._1
+    readJournal(baseDir, id)._1.map { case (n, e) => n -> e.version }
   }
 
   /** The most recent committed journal NAMING `table`, as its
@@ -477,12 +503,15 @@ object Versioned {
     * misclassifies every other family's tables. Newest-first scan with
     * early exit (one tiny file read per journal walked; a table named
     * by the latest journal costs one read); None when no committed
-    * journal names the table. */
+    * journal names the table — that MISS costs O(journal history)
+    * reads, so keep flat (non-group) tables out of baseDirs with busy
+    * group journals (a journal-less baseDir answers in one listing). */
   def latestGroupVersionsFor(baseDir: String,
       table: String): Option[Map[String, Long]] =
     txnIds(baseDir, ".committed").sorted.reverse.iterator
       .map(id => readJournal(baseDir, id)._1)
       .find(_.contains(table))
+      .map(_.map { case (n, e) => n -> e.version })
 
   /** The (table → version) maps of the most recent `n` committed group
     * journals, NEWEST FIRST — the reference set retention decisions on
@@ -492,7 +521,8 @@ object Versioned {
     * folded tombstone table against this window instead). */
   def recentGroupVersions(baseDir: String, n: Int): Seq[Map[String, Long]] =
     txnIds(baseDir, ".committed").sorted.takeRight(n).reverse
-      .map(id => readJournal(baseDir, id)._1)
+      .map(id => readJournal(baseDir, id)._1
+        .map { case (nm, e) => nm -> e.version })
 
   /** Retention prune for a table that stopped receiving publishes (a
     * folded group member — normal pruning only runs inside
@@ -517,11 +547,25 @@ object Versioned {
 
   /** The last fully-committed group as (table → frame AT its journaled
     * version): a consistent cross-table snapshot even while newer
-    * per-table versions land. */
+    * per-table versions land. When several group FAMILIES share the
+    * baseDir's journal this resolves whichever family committed last —
+    * use [[readGroupOf]] to anchor on a specific family. */
   def readGroup(spark: SparkSession, baseDir: String): Map[String, DataFrame] =
     latestGroupVersions(baseDir).map { case (n, v) =>
       n -> read(spark, baseDir, n, Some(v))
     }
+
+  /** [[readGroup]] anchored on a FAMILY: the snapshot of the most
+    * recent committed journal naming `member`
+    * ([[latestGroupVersionsFor]]) — the read-side counterpart of the
+    * family-aware write paths, for baseDirs whose journal interleaves
+    * several families (a corpus family next to a maintained join view). */
+  def readGroupOf(spark: SparkSession, baseDir: String,
+      member: String): Map[String, DataFrame] =
+    latestGroupVersionsFor(baseDir, member)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed group names $member under $baseDir"))
+      .map { case (n, v) => n -> read(spark, baseDir, n, Some(v)) }
 
   /** Hive-escaped partition-dir suffix → raw value (%XX unescape). */
   private def unescapePart(s: String): String =

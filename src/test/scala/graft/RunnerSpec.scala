@@ -247,10 +247,12 @@ class RunnerSpec extends AnyFunSuite {
     val df1 = spark.range(5).toDF("v")
     sink1.write(df1, "t")
     // simulate the crash window: target renamed aside, process dies
-    // before the staging rename-in (plus a stale staging dir from the
-    // same doomed run)
+    // before the staging rename-in (plus a stale COMMITTED staging dir
+    // from the same doomed run — commit-less staging is unattributable
+    // and deliberately left alone)
     Fs.rename(new Path(s"$out/t"), new Path(s"$out/.old-t-rX"))
     Fs.mkdirs(new Path(s"$out/.staging-t-rX"))
+    Fs.writeString(new Path(s"$out/.staging-t-rX/_COMMIT"), "rX\nt\n")
     assert(!Fs.exists(new Path(s"$out/t")))
     // next run heals first (previous version restored), then publishes
     val sink2 = Runner.AtomicParquetSink(out, "r2")
