@@ -25,9 +25,15 @@ object HostCpu {
     try {
       val stat = scala.io.Source.fromFile("/proc/stat")
       val cpu = try stat.getLines().next() finally stat.close()
-      // "cpu  user nice system idle iowait irq softirq steal ..."
+      // "cpu  user nice system idle iowait irq softirq steal guest
+      // guest_nice" — guest and guest_nice (fields 9–10) are ALREADY
+      // accounted inside user/nice by the kernel, so summing all ten
+      // double-counts guest time on virtualized hosts, inflating the
+      // denominator and deflating both fractions (a contention burst
+      // could then read below the 20% retry threshold). Sum only the
+      // eight mutually exclusive buckets user..steal.
       val f = cpu.split("\\s+").drop(1).flatMap(_.toLongOption)
-      val total = f.sum
+      val total = f.take(8).sum
       val idle = f.lift(3).getOrElse(0L) + f.lift(4).getOrElse(0L)
       val self0 = scala.io.Source.fromFile("/proc/self/stat")
       val line = try self0.getLines().next() finally self0.close()

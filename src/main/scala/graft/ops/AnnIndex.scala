@@ -64,6 +64,23 @@ object AnnIndex {
   val CodesTable = "ann_codes"
   val TombstonesTable = "ann_tombstones"
 
+  private val AllTables =
+    Seq(CentroidsTable, CodebooksTable, CodesTable, TombstonesTable)
+
+  /** Run `body` as THE writer of this index — every mutating lifecycle
+    * op wraps itself in this ([[Versioned.withFamilyLease]] over all
+    * four member tables), so its read-snapshot → decide → publish span
+    * can never interleave with another writer's: a delete racing an
+    * append would otherwise commit a journal whose LINKED codes version
+    * silently rolls back the append (lost update), and a compact racing
+    * a delete could fold a tombstone set it never read. Re-entrant, so
+    * the inner `publishGroupMembers` (which leases its members itself)
+    * and a `delete`-triggered `compact` nest for free; a SECOND
+    * process's writer is refused loudly
+    * ([[Versioned.ConcurrentWriterException]]). */
+  private def asIndexWriter[A](indexDir: String)(body: => A): A =
+    Versioned.withFamilyLease(indexDir, AllTables)(body)
+
   /** Index hyperparameters, persisted implicitly by the published model
     * shapes (nCells = centroid rows, m = distinct subspaces, pqK = codes
     * per subspace, dim = centroid length). */
@@ -151,7 +168,7 @@ object AnnIndex {
     * current, already-erased corpus, so the erase is physical in the
     * new generation. */
   def build(emb: DataFrame, indexDir: String, p: Params = Params(),
-      keep: Int = 3): Map[String, Long] = {
+      keep: Int = 3): Map[String, Long] = asIndexWriter(indexDir) {
     val spark = emb.sparkSession
     import spark.implicits._
     val coarse = VectorOps.kmeansCentroids(emb, p.nCells)
@@ -300,18 +317,30 @@ object AnnIndex {
     * held, is a harmless no-op (set semantics); an EMPTY victims frame
     * returns the current snapshot untouched.
     *
-    * BOUNDED standing set: when the folded tombstone count reaches
-    * `compactAbove`, this call runs [[compact]] itself (one O(codes)
-    * rewrite) instead of letting the set grow without limit — between
-    * folds an oversized set only degrades the serve anti-join from
-    * broadcast to shuffle (correct, slower), but nothing else would
-    * ever bound it when callers skip `physical` erasure and never
-    * schedule compaction. The default (2²⁰ ids ≈ 16 MB of key+cutoff)
-    * sits above Spark's 10 MB broadcast default, so serves may pass
-    * through the shuffle-anti regime before the bound trips —
-    * AnnIndexSpec pins correctness there too. */
+    * BOUNDED standing set: when the folded tombstone count (DISTINCT
+    * ids — a re-deleted id contributes one anti-join key no matter how
+    * many delete generations name it) reaches the effective bound, this
+    * call runs [[compact]] itself (one O(codes) rewrite) instead of
+    * letting the set grow without limit — between folds an oversized
+    * set only degrades the serve anti-join from broadcast to shuffle
+    * (correct, slower), but nothing else would ever bound it when
+    * callers skip `physical` erasure and never schedule compaction.
+    * The effective bound is `min(compactAbove, [[compactTrigger]])`:
+    * the trigger derives from the session's
+    * `spark.sql.autoBroadcastJoinThreshold` so "bounded" means
+    * "broadcastable" — the serve anti-join stays in the broadcast
+    * regime instead of silently crossing into shuffle-anti well before
+    * a fixed cap trips (the r13 mismatch: a 2²⁰-id cap ≈ 16 MB of
+    * key+cutoff sat above Spark's 10 MB broadcast default).
+    * `compactAbove` remains the absolute backstop for sessions that
+    * disable auto-broadcast (threshold ≤ 0) or raise it past the cap.
+    * A single oversized delete batch can still exceed the bound once
+    * (the count runs after its publish) — the shuffle-anti regime is
+    * correct there too (AnnIndexSpec pins it) and the fold fires
+    * immediately. */
   def delete(victims: DataFrame, indexDir: String, keep: Int = 3,
-      compactAbove: Long = 1L << 20): Map[String, Long] = {
+      compactAbove: Long = 1L << 20): Map[String, Long] =
+      asIndexWriter(indexDir) {
     val spark = victims.sparkSession
     val snapshot = Versioned.latestGroupVersions(indexDir)
     val dedup = victims.select(col("vec_id")).distinct()
@@ -349,11 +378,35 @@ object AnnIndex {
       Versioned.GroupDelta(TombstonesTable,
         stage.withColumn("batch", lit(nextBatch)), "batch", reuse)),
       indexDir, keep)
-    // the bound: one id-only count of the folded set per delete
+    // the bound: one id-only DISTINCT count of the folded set per delete
+    // (rows would overcount re-deleted ids — the anti-join key set is
+    // what must stay broadcastable, and that set is distinct by
+    // construction in [[tombstoneScope]])
     val folded = Versioned.read(spark, indexDir, TombstonesTable,
-      Some(published(TombstonesTable))).count()
-    if (folded >= compactAbove) compact(spark, indexDir, keep)
+        Some(published(TombstonesTable)))
+      .select(col("vec_id")).distinct().count()
+    if (folded >= math.min(compactAbove, compactTrigger(spark)))
+      compact(spark, indexDir, keep)
     else published
+  }
+
+  /** In-memory bytes a broadcast tombstone entry costs, conservatively:
+    * 16 bytes of payload (vec_id + cutoff longs) plus hash-relation
+    * key/slot overhead. Used to translate the session's broadcast byte
+    * budget into an id-count trigger. */
+  val BytesPerTombstoneId = 32L
+
+  /** The distinct-tombstone-id count above which [[delete]] forces a
+    * [[compact]], derived from the session's
+    * `spark.sql.autoBroadcastJoinThreshold` (bytes) so the standing set
+    * stays inside the broadcast budget — i.e. the serve anti-join keeps
+    * its BroadcastHashJoin shape. Sessions with auto-broadcast disabled
+    * (threshold ≤ 0) get `Long.MaxValue` here and fall back to
+    * [[delete]]'s absolute `compactAbove` backstop. */
+  def compactTrigger(spark: SparkSession): Long = {
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) Long.MaxValue
+    else math.max(threshold / BytesPerTombstoneId, 1L)
   }
 
   /** The highest batch id ever ADMITTED to this index directory (−1
@@ -499,7 +552,8 @@ object AnnIndex {
     * directory (ingestStream's epoch ids are): the manifest plus the
     * compaction-surviving high-water ledger together decide replays. */
   def append(batch: DataFrame, indexDir: String, batchId: Long,
-      keep: Int = 3, skipIfExists: Boolean = false): Map[String, Long] = {
+      keep: Int = 3, skipIfExists: Boolean = false): Map[String, Long] =
+      asIndexWriter(indexDir) {
     val spark = batch.sparkSession
     val snapshot = Versioned.latestGroupVersions(indexDir)
     val (coarse, books) = loadModelAt(spark, indexDir, snapshot)
@@ -561,12 +615,19 @@ object AnnIndex {
     * batch id, duplicating every one of them. */
   def buildOrAppend(batch: DataFrame, indexDir: String, batchId: Long,
       p: Params = Params(), keep: Int = 3): Map[String, Long] =
-    if (Versioned.latestVersion(indexDir, CodesTable).isEmpty) {
-      if (batch.isEmpty) return Map.empty
-      Fs.mkdirs(new Path(indexDir))
-      advanceHwm(indexDir, batchId)
-      build(batch, indexDir, p, keep)
-    } else append(batch, indexDir, batchId, keep, skipIfExists = true)
+    asIndexWriter(indexDir) {
+      // the bootstrap-or-grow DECISION is inside the writer span too: a
+      // second writer between this check and the build would otherwise
+      // race two bootstraps into one directory
+      if (Versioned.latestVersion(indexDir, CodesTable).isEmpty) {
+        if (batch.isEmpty) Map.empty
+        else {
+          Fs.mkdirs(new Path(indexDir))
+          advanceHwm(indexDir, batchId)
+          build(batch, indexDir, p, keep)
+        }
+      } else append(batch, indexDir, batchId, keep, skipIfExists = true)
+    }
 
   /** Continuous micro-batch admission: each streamed embedding
     * micro-batch becomes one [[append]] (batch id = epoch + 1, so batch
@@ -606,7 +667,7 @@ object AnnIndex {
     * a failure-replay of a pre-compaction epoch is still recognized and
     * skipped (AnnIndexSpec pins this). */
   def compact(spark: SparkSession, indexDir: String,
-      keep: Int = 3): Map[String, Long] = {
+      keep: Int = 3): Map[String, Long] = asIndexWriter(indexDir) {
     val snapshot = Versioned.latestGroupVersions(indexDir)
     // tombstones FOLD IN here: the rewrite anti-joins erased ids out of
     // the merged codes, and the new group journal simply omits the

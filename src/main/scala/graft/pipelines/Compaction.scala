@@ -37,34 +37,41 @@ object Compaction {
     * with no parquet files is likewise rejected (rather than dying later
     * inside schema inference, or being mistaken for a healthy no-op).
     *
-    * QUIESCED datasets only — run from the scheduler slot that owns
-    * writes to this path, never concurrently with a producer: the
-    * rewrite reads a point-in-time file listing and the swap replaces
-    * the WHOLE directory, so a file appended between the listing and
-    * the swap would be silently discarded with the old directory. A
+    * QUIESCED datasets only, now ENFORCED (r14): the whole
+    * listing → rewrite → swap span holds the dataset's writer lease
+    * (`<baseDir>/_LEASE_<name>` — the same lease
+    * [[Runner.AtomicParquetSink]] takes), so a compaction racing a
+    * live producer on the same path is REFUSED with
+    * [[Versioned.ConcurrentWriterException]] instead of silently
+    * discarding whatever the producer appended between the listing and
+    * the swap (the r13 "documented but unguarded" gap). The guard is
+    * only as atomic as the connector's exclusive create — see the S3A
+    * caveat in [[Fs]]; and producers writing through raw
+    * `df.write.parquet` rather than the sink family still bypass it. A
     * dataset with live concurrent appends belongs in [[Versioned]]
     * (whose publishes never replace directories) — compaction there is
     * a new version, not an in-place swap. */
   def compact(spark: SparkSession, baseDir: String, name: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      shuffle: Boolean = false): CompactReport = {
-    val dir = new Path(s"$baseDir/$name")
-    val hasPartitionDirs = Fs.list(dir).exists(st =>
-      st.isDirectory && st.getPath.getName.contains("="))
-    require(!hasPartitionDirs,
-      s"$dir is Hive-partitioned; compact each partition directory, " +
-        "not the dataset root (a whole-dataset rewrite drops the layout)")
-    val before = parquetFiles(dir)
-    require(before.nonEmpty,
-      s"$dir has no parquet files to compact (missing or empty dataset)")
-    val total = before.map(_.getLen).sum
-    val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(dir.toString)
-    val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
-    Runner.AtomicParquetSink(baseDir, s"compact-${System.nanoTime()}")
-      .write(sized, name)
-    CompactReport(before.size, parquetFiles(dir).size, total, nOut)
-  }
+      shuffle: Boolean = false): CompactReport =
+    Versioned.withLeases(Seq(new Path(s"$baseDir/_LEASE_$name"))) {
+      val dir = new Path(s"$baseDir/$name")
+      val hasPartitionDirs = Fs.list(dir).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      require(!hasPartitionDirs,
+        s"$dir is Hive-partitioned; compact each partition directory, " +
+          "not the dataset root (a whole-dataset rewrite drops the layout)")
+      val before = parquetFiles(dir)
+      require(before.nonEmpty,
+        s"$dir has no parquet files to compact (missing or empty dataset)")
+      val total = before.map(_.getLen).sum
+      val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+      val df = spark.read.parquet(dir.toString)
+      val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
+      Runner.AtomicParquetSink(baseDir, s"compact-${System.nanoTime()}")
+        .write(sized, name)
+      CompactReport(before.size, parquetFiles(dir).size, total, nOut)
+    }
 
   /** Compact every partition of a Hive-layout dataset, one atomic
     * publish per partition directory — the loop the flat-dataset guard

@@ -192,6 +192,12 @@ object CorpusPublisher {
       "the split scope must be at most as strict as the dedup cut")
     val spark = batch.sparkSession
     import spark.implicits._
+    // the snapshot-read → vet → group-publish span is ONE writer
+    // transaction (r14): an erase or second append landing between this
+    // read and the commit would be silently rolled back when this
+    // journal becomes the family's latest
+    Versioned.withFamilyLease(baseDir,
+      SplitTables.map(_._1) :+ ManifestTable) {
     // family-aware snapshot: other group families may share the journal
     val vs = Versioned.latestGroupVersionsFor(baseDir, TrainTable)
       .getOrElse(throw new IllegalStateException(
@@ -310,6 +316,7 @@ object CorpusPublisher {
       SplitTables.map { case (t, s) =>
         sideMember(t, side(s), batchId, reuse = reuseOf(t))
       } :+ Versioned.GroupFull(ManifestTable, manifest), baseDir, keep)
+    }
   }
 
   /** GDPR erasure over the PUBLISHED corpus family — the group-journaled
@@ -338,6 +345,12 @@ object CorpusPublisher {
     * (table → version) snapshot. */
   def erase(spark: SparkSession, baseDir: String, victims: DataFrame,
       keep: Int = 1): Map[String, Long] = {
+    // one writer transaction across the whole family (r14): an append
+    // committing between this snapshot read and the erase's journal
+    // would be rolled back by the erase (resurrection in reverse — its
+    // admitted docs silently vanish); the lease serializes them
+    Versioned.withFamilyLease(baseDir,
+      SplitTables.map(_._1) :+ ManifestTable) {
     // family-aware snapshot: other group families may share the journal
     val vs = Versioned.latestGroupVersionsFor(baseDir, TrainTable)
       .getOrElse(throw new IllegalStateException(
@@ -365,5 +378,6 @@ object CorpusPublisher {
         if (survivors.isEmpty) Versioned.GroupFull(t, survivors)
         else Versioned.GroupDelta(t, survivors, "batch", reuse = Nil)
       } :+ Versioned.GroupFull(ManifestTable, manifest), baseDir, keep)
+    }
   }
 }

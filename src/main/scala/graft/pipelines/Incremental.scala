@@ -36,13 +36,19 @@ object Incremental {
     * `baseDir/name` (or bootstrap from `incoming` alone) and publish the
     * result as the next version; returns the new version id. */
   def publishUpsert(spark: SparkSession, baseDir: String, name: String,
-      incoming: DataFrame, keys: Seq[String], keep: Int = 3): Long = {
-    val merged = Versioned.latestVersion(baseDir, name) match {
-      case Some(_) => upsert(Versioned.read(spark, baseDir, name), incoming, keys)
-      case None => incoming
+      incoming: DataFrame, keys: Seq[String], keep: Int = 3): Long =
+    // the read-merge-publish span is one writer transaction (r14): two
+    // concurrent upserts that both read version v would otherwise each
+    // publish a merge missing the other's rows — the second one to land
+    // silently dropping the first (lost update)
+    Versioned.withFamilyLease(baseDir, Seq(name)) {
+      val merged = Versioned.latestVersion(baseDir, name) match {
+        case Some(_) =>
+          upsert(Versioned.read(spark, baseDir, name), incoming, keys)
+        case None => incoming
+      }
+      Versioned.publish(merged, baseDir, name, keep)
     }
-    Versioned.publish(merged, baseDir, name, keep)
-  }
 
   /** Slowly-changing-dimension Type 2 merge: `history` carries full row
     * versioning — (`keys`, attributes, `valid_from`, `valid_to`) with
@@ -121,11 +127,18 @@ object Incremental {
     * with the next publishes. The delete set is typically tiny →
     * broadcast anti-join, one pass over the table. */
   def publishDelete(spark: SparkSession, baseDir: String, name: String,
-      deleteKeys: DataFrame, keys: Seq[String], keep: Int = 3): Long = {
-    val survivors = Versioned.read(spark, baseDir, name)
-      .join(deleteKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    Versioned.publish(survivors, baseDir, name, keep)
-  }
+      deleteKeys: DataFrame, keys: Seq[String], keep: Int = 3): Long =
+    // read-anti-join-publish under one writer lease (r14): an upsert
+    // landing between this read and the publish would be silently
+    // reverted — for an ERASURE caller the inverse interleaving is
+    // worse still (the erase wins the race but the republished upsert
+    // resurrects the victims)
+    Versioned.withFamilyLease(baseDir, Seq(name)) {
+      val survivors = Versioned.read(spark, baseDir, name)
+        .join(deleteKeys.select(keys.map(col): _*).distinct(), keys,
+          "left_anti")
+      Versioned.publish(survivors, baseDir, name, keep)
+    }
 
   /** Incremental aggregate maintenance (the materialized-view refresh
     * core): merge a delta batch's partial SUM/COUNT aggregates into an
@@ -172,6 +185,7 @@ object Incremental {
       s"publishUpsertPartitioned($name): partition column $partCol " +
         "contains NULLs — null partition values cannot be upserted " +
         "partition-scoped (map them to a sentinel value first)")
+    Versioned.withFamilyLease(baseDir, Seq(name)) { // one writer txn (r14)
     val prevManifest = Versioned.latestVersion(baseDir, name)
       .flatMap(v => Versioned.manifest(baseDir, name, v))
     prevManifest match {
@@ -209,6 +223,7 @@ object Incremental {
         val merged = existing.map(e => upsert(e, incoming, keys))
           .getOrElse(incoming)
         Versioned.publishDelta(merged, baseDir, name, partCol, untouched, keep)
+    }
     }
   }
 
@@ -273,7 +288,13 @@ object Incremental {
     * exactly-once callers. Returns the epoch that holds the deltas. */
   def maintainJoin(spark: SparkSession, baseDir: String, name: String,
       deltaA: DataFrame, deltaB: DataFrame, keys: Seq[String],
-      keep: Int = 3, epochId: Long = -1L): Long = {
+      keep: Int = 3, epochId: Long = -1L): Long =
+      // snapshot-read → replay-check → group-publish as ONE writer span
+      // (r14): two concurrent refreshes would both pass the replay check
+      // and both join against pre-refresh snapshots — double-counted
+      // matches in whichever journal lands last
+      Versioned.withFamilyLease(baseDir,
+        Seq(s"${name}_A", s"${name}_B", name)) {
     def snapshot(n: String): Option[DataFrame] =
       Versioned.latestVersion(baseDir, n)
         .map(_ => Versioned.read(spark, baseDir, n).drop("epoch"))
@@ -323,5 +344,5 @@ object Incremental {
       member(name, newMatches, reuseView)),
       baseDir, keep)
     epoch
-  }
+    }
 }

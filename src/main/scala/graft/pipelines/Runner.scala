@@ -63,9 +63,23 @@ object Runner {
     * The swap is rename-based: atomic on HDFS and single-volume local
     * disk. On S3A, `rename` is copy+delete — NOT atomic — so for object
     * stores use [[Versioned]] (whose commit is a conditional-PUT marker
-    * and which never renames) instead of this sink. */
+    * and which never renames) instead of this sink.
+    *
+    * SINGLE-WRITER ENFORCED (r14): the whole heal → stage → swap span
+    * runs under a writer lease at `<baseDir>/_LEASE_<name>` (a SIBLING
+    * of the target, because the swap renames the target dir itself
+    * away), shared with [[Compaction.compact]] — a concurrent producer
+    * and compaction on the same dataset now refuse each other
+    * ([[Versioned.ConcurrentWriterException]]) instead of silently
+    * dropping whichever files landed between the rewrite's listing and
+    * its swap. */
   final case class AtomicParquetSink(baseDir: String, runTag: String) extends Sink {
-    def write(df: DataFrame, name: String): Unit = {
+    def write(df: DataFrame, name: String): Unit =
+      Versioned.withLeases(Seq(new Path(s"$baseDir/_LEASE_$name"))) {
+        writeLeased(df, name)
+      }
+
+    private def writeLeased(df: DataFrame, name: String): Unit = {
       val target = new Path(s"$baseDir/$name")
       // SELF-HEAL crash debris from PREVIOUS runs before doing anything:
       // a process kill between the two renames below leaves `target`
@@ -98,6 +112,34 @@ object Runner {
           .sortBy(p => Fs.of(p).getFileStatus(p).getModificationTime)
         if (!Fs.exists(target) && asides.nonEmpty)
           Fs.rename(asides.last, target)
+        // PRE-NAME-FORMAT debris (ADVICE r13): an aside whose _COMMIT
+        // predates the name line (line 2 is a parquet part filename, or
+        // absent) can never pass ownedByThisMart, so a crash in the
+        // swap window over an old-format target would strand it forever
+        // while the mart dir stays missing. Heal it when the claim is
+        // UNAMBIGUOUS: the suffix after `.old-<name>-` is a dashless
+        // run tag, so no dash-prefix-sharing sibling mart (`t` vs
+        // `t-x`) can parse the same dir name as its own — the only
+        // protection available once the recorded name is absent.
+        // Old-format asides with DASHED run tags stay manual-vacuum
+        // (documented in the class doc): restoring on a dashed parse
+        // could cross-wire marts, and wrong data is worse than a
+        // missing dir a reader treats as "retry".
+        def oldFormatUnambiguous(p: Path): Boolean = {
+          val commit = new Path(p, "_COMMIT")
+          !p.getName.stripPrefix(s".old-$name-").contains('-') &&
+            Fs.exists(commit) && {
+              val l1 = Fs.readString(commit).split("\n").lift(1)
+              l1.isEmpty || l1.exists(_.endsWith(".parquet"))
+            }
+        }
+        if (!Fs.exists(target)) {
+          val legacy = entries
+            .filter(_.getName.startsWith(s".old-$name-"))
+            .filter(oldFormatUnambiguous)
+            .sortBy(p => Fs.of(p).getFileStatus(p).getModificationTime)
+          if (legacy.nonEmpty) Fs.rename(legacy.last, target)
+        }
         // sweep: this mart's asides are deletable once a target exists
         // (a restored aside's OLD path no longer exists — the Fs.exists
         // re-check below is what protects it, since `entries` predates
@@ -110,7 +152,10 @@ object Runner {
         // of the ownership rule.
         entries.filter { p =>
           (p.getName.startsWith(s".old-$name-") && Fs.exists(target) &&
-            ownedByThisMart(p)) ||
+            // old-format asides sweep under the same unambiguous-parse
+            // rule the restore above uses (ADVICE r13's "stranded on
+            // disk forever"); ambiguous ones stay for manual vacuum
+            (ownedByThisMart(p) || oldFormatUnambiguous(p))) ||
             (p.getName.startsWith(s".staging-$name-") &&
               p.getName.stripPrefix(s".staging-$name-") != runTag &&
               ownedByThisMart(p))

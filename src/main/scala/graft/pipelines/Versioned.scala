@@ -22,9 +22,22 @@ import org.apache.spark.sql.functions.{col, lit}
   * mutable pointer file and NO rename anywhere in this protocol — every
   * object written is immutable until pruned, which is exactly the shape
   * object stores make cheap and consistent. Writer concurrency contract:
-  * SINGLE writer per table (like a Delta transaction owner) — a racing
-  * second writer loses the exclusive `_COMMIT` create and fails loudly;
-  * readers need no coordination at all.
+  * SINGLE writer per table (like a Delta transaction owner), ENFORCED
+  * (r14) by an exclusive-create writer LEASE per table dir
+  * (`<table>/_LEASE`): every mutating operation (publish / group
+  * publish / vacuum / retention / [[Compaction.compact]]) takes the
+  * lease for its whole read-decide-write span and a racing second
+  * writer is refused with [[ConcurrentWriterException]] instead of
+  * silently corrupting (the r13 "documented limit, unguarded" gap).
+  * Crashed writers leave a stale lease that is reclaimable after
+  * [[leaseTtlMs]]; readers still need no coordination at all. On
+  * connectors whose exclusive create is check-then-PUT (classic S3A —
+  * see [[Fs]]) the lease degrades to best-effort mutual exclusion:
+  * two writers racing the same millisecond can both "win", so such
+  * deployments still need the one-scheduler-slot-per-table deployment
+  * contract as the load-bearing defense; everywhere with real atomic
+  * create (local disk, HDFS, S3 conditional writes) the contract is
+  * now an invariant.
   *
   * Partitioned versions (see [[publishPartitioned]] / [[publishDelta]])
   * additionally carry a `_MANIFEST` mapping each partition value to the
@@ -74,8 +87,12 @@ object Versioned {
     * delete-and-rebuild alias the guard exists to close — and positive
     * skew would silently disable the memo on the hot serve path,
     * ADVICE r12). Costs one create+stat+delete, paid only on the
-    * UNmemoized path (the first ~2 s of a marker's life); the memoized
-    * hot path stays one getFileStatus.
+    * UNmemoized path (the first ~2 s of a marker's life), and the
+    * measured fs-vs-local clock SKEW is itself memoized per directory
+    * for [[SkewTtlMs]] ([[fsNowCached]] — ADVICE r13: without that, a
+    * burst of readers right after a publish each paid the
+    * create+stat+delete on an object store's read path); the fully
+    * memoized hot path stays one getFileStatus.
     *
     * READ-ONLY SAFE: a reader without write permission on the table
     * dir (serve-only IAM role, read-only mount — precisely the remote
@@ -103,6 +120,37 @@ object Versioned {
       now
     } catch { case _: Throwable => Long.MinValue }
 
+  // dir → (fs-minus-local clock skew ms, local sample time ms); skew ==
+  // Long.MinValue records a FAILED probe (read-only mount) so repeated
+  // reads inside the TTL don't re-attempt the create either
+  private val skewCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private val SkewTtlMs = 15000L
+
+  /** [[fsNow]] through a short-TTL clock-skew memo per directory: one
+    * probe measures `fsClock - localClock`; for [[SkewTtlMs]] afterwards
+    * the fs clock is ESTIMATED as `localNow + skew` with zero fs
+    * requests. Both clocks advance in real time, so the estimate's error
+    * over 15 s is drift noise (≪ the 2 s admission margin it feeds).
+    * This is what keeps a burst of readers right after a publish from
+    * multiplying mutating probe requests on the read path (ADVICE r13). */
+  private def fsNowCached(near: Path): Long = {
+    val key = near.toString
+    val local = System.currentTimeMillis()
+    val hit = skewCache.get(key)
+    if (hit != null && local - hit._2 <= SkewTtlMs) {
+      if (hit._1 == Long.MinValue) Long.MinValue else local + hit._1
+    } else {
+      val fs = fsNow(near)
+      val after = System.currentTimeMillis()
+      // sentinel BEFORE arithmetic (MinValue wraps — the r13 lesson)
+      val skew = if (fs == Long.MinValue) Long.MinValue else fs - after
+      if (skewCache.size > 1024) skewCache.clear()
+      skewCache.put(key, (skew, after))
+      fs
+    }
+  }
+
   def commitStamp(baseDir: String, name: String, version: Long): Long = {
     val p = commitPath(tableDir(baseDir, name), version)
     val mtime = Fs.of(p).getFileStatus(p).getModificationTime
@@ -128,7 +176,7 @@ object Versioned {
     // turn a failed probe into a memo admission inside the open tick —
     // the exact alias the guard exists to block
     def probedTickClosed(): Boolean = {
-      val now = fsNow(tableDir(baseDir, name))
+      val now = fsNowCached(tableDir(baseDir, name))
       now != Long.MinValue && now - mtime > 2000L
     }
     if (content.nonEmpty &&
@@ -145,6 +193,133 @@ object Versioned {
   private def commitBody(v: Long): String =
     s"$v ${java.util.UUID.randomUUID()}\n"
   private def manifestPath(t: Path, v: Long) = new Path(vdir(t, v), "_MANIFEST")
+
+  // ---- single-writer lease enforcement ---------------------------------
+
+  /** A mutating operation found the target leased by another live
+    * writer — the single-writer contract, enforced instead of assumed.
+    * Wait for the holder to finish (its lease file disappears) or, if
+    * it crashed, for the lease to age past [[leaseTtlMs]]. */
+  final class ConcurrentWriterException(msg: String)
+      extends IllegalStateException(msg)
+
+  /** This JVM's writer identity; every lease it takes carries it, so a
+    * re-entrant acquire (an ANN delete's inner group publish, a compact
+    * inside a delete) recognizes its own lease, and a releases-failed
+    * leftover from THIS JVM is reclaimed without waiting out the TTL. */
+  private[graft] val writerToken: String =
+    java.util.UUID.randomUUID().toString
+
+  /** Stale-lease reclaim horizon, ms. A crashed writer's lease blocks
+    * other writers on its tables until it ages past this (measured
+    * against the lease file's mtime — filesystem-clock skew is noise at
+    * this scale); a HEALTHY operation longer than this risks losing its
+    * lease to a reclaimer, so size it above your longest publish.
+    * Mutable for tests and for deployments with multi-hour compactions. */
+  @volatile private[graft] var leaseTtlMs: Long = 15L * 60 * 1000
+
+  private def leasePath(t: Path) = new Path(t, "_LEASE")
+
+  // In-JVM half of the lease: per-lease-file ReentrantLock, so two
+  // threads of ONE process (a streaming foreachBatch leg racing a
+  // maintenance call) SERIALIZE instead of both passing the file check
+  // (they share writerToken) — blocking is correct here because the
+  // holder is alive by construction and release is guaranteed by the
+  // finally in [[withLeases]]. Cross-process writers can't be waited on
+  // (no notification channel), so they get the loud refusal instead.
+  private val localLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Take the writer lease at `p` (blocking same-JVM rivals, refusing
+    * live cross-process ones, reclaiming stale ones). Re-entrant per
+    * thread; every acquire must be paired with [[releaseLease]]. */
+  private def acquireLease(p: Path): Unit = {
+    val lock = localLocks.computeIfAbsent(p.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
+    if (lock.getHoldCount > 1) return // re-entrant: outer frame owns the file
+    try {
+      var reclaims = 0
+      var done = false
+      while (!done) {
+        try { Fs.createExclusive(p, s"$writerToken\n"); done = true }
+        catch {
+          case e: java.io.IOException =>
+            if (!Fs.exists(p)) throw e // create failed for some other reason
+            // (token, mtime) of the standing lease; None = it vanished
+            // between the failed create and this read (holder released)
+            val held =
+              try Some((Fs.readString(p).trim,
+                Fs.of(p).getFileStatus(p).getModificationTime))
+              catch { case _: java.io.IOException => None }
+            held match {
+              case None => () // retry the create
+              case Some((tok, _)) if tok == writerToken =>
+                // our own leftover (a release whose delete failed) —
+                // safe to reclaim immediately: the in-JVM lock above
+                // proves no live frame of this process holds it
+                Fs.deleteRecursive(p)
+              case Some((tok, mtime)) =>
+                val age = System.currentTimeMillis() - mtime
+                if (age <= leaseTtlMs)
+                  throw new ConcurrentWriterException(
+                    s"$p is held by another writer (holder ${tok.take(8)}…, " +
+                      s"age ${age}ms ≤ ttl ${leaseTtlMs}ms) — single-writer " +
+                      "contract: wait for it to finish or go stale")
+                // stale: reclaim and retry (a racing reclaimer may win
+                // the re-create — the loop then reads a FRESH lease and
+                // refuses above). Bounded so a pathological fs can't
+                // spin us forever.
+                reclaims += 1
+                if (reclaims > 3) throw new ConcurrentWriterException(
+                  s"$p keeps reappearing after $reclaims stale reclaims")
+                Fs.deleteRecursive(p)
+            }
+        }
+      }
+    } catch { case e: Throwable => lock.unlock(); throw e }
+  }
+
+  private def releaseLease(p: Path): Unit = {
+    val lock = localLocks.get(p.toString)
+    if (lock == null || !lock.isHeldByCurrentThread) return
+    if (lock.getHoldCount == 1)
+      // dropping the last frame: give the file back. Best-effort — a
+      // failed delete is healed by the own-token reclaim in acquire.
+      try {
+        if (Fs.exists(p) && Fs.readString(p).trim == writerToken)
+          Fs.deleteRecursive(p)
+      } catch { case _: Throwable => () }
+    lock.unlock()
+  }
+
+  /** Run `body` holding the writer leases at `leaseFiles` — acquired in
+    * sorted path order (one global order = no in-JVM deadlock between
+    * writers taking overlapping sets), released in reverse, re-entrant
+    * per thread. The building block under every mutating operation
+    * here, [[Compaction.compact]], and
+    * [[Runner.AtomicParquetSink]]. */
+  private[pipelines] def withLeases[A](leaseFiles: Seq[Path])(body: => A): A = {
+    val ordered = leaseFiles.map(_.toString).distinct.sorted
+      .map(new Path(_))
+    val acquired = scala.collection.mutable.ListBuffer[Path]()
+    try {
+      ordered.foreach { p => acquireLease(p); acquired += p }
+      body
+    } finally acquired.toList.reverse.foreach(releaseLease)
+  }
+
+  /** Run `body` as THE writer of `names` under `baseDir` — the public
+    * span for multi-step read-decide-write transactions over a table
+    * FAMILY (an ANN index's delete reads the snapshot, publishes
+    * tombstones, counts, maybe compacts: without a lease spanning all
+    * of it, a concurrent append between the read and the publish is a
+    * lost update). Leases every named table (sorted), re-entrant with
+    * the per-operation leases the publish calls inside take themselves.
+    * Throws [[ConcurrentWriterException]] when another live writer
+    * holds any of them. */
+  def withFamilyLease[A](baseDir: String, names: Seq[String])(body: => A): A =
+    withLeases(names.map(n => leasePath(tableDir(baseDir, n))))(body)
 
   /** Every `_v<k>` directory on disk, committed or not (a publish that
     * crashed between data write and commit leaves an uncommitted orphan:
@@ -240,13 +415,15 @@ object Versioned {
       includeInflight: Boolean = false): Seq[Long] = {
     val t = tableDir(baseDir, name)
     if (!Fs.exists(t)) return Nil
-    val latest = latestVersion(baseDir, name).getOrElse(-1L)
-    val dead = versionsOnDisk(t)
-      .filterNot(v => Fs.exists(commitPath(t, v)))
-      .filter(v => includeInflight || v < latest)
-      .sorted
-    dead.foreach(v => Fs.deleteRecursive(vdir(t, v)))
-    dead
+    withLeases(Seq(leasePath(t))) {
+      val latest = latestVersion(baseDir, name).getOrElse(-1L)
+      val dead = versionsOnDisk(t)
+        .filterNot(v => Fs.exists(commitPath(t, v)))
+        .filter(v => includeInflight || v < latest)
+        .sorted
+      dead.foreach(v => Fs.deleteRecursive(vdir(t, v)))
+      dead
+    }
   }
 
   /** Publish `df` as the next version; returns the new version id. The
@@ -257,10 +434,12 @@ object Versioned {
     require(keep >= 1, "keep must retain at least the current version")
     val t = tableDir(baseDir, name)
     Fs.mkdirs(t)
-    val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
-    df.write.mode(SaveMode.ErrorIfExists).parquet(vdir(t, next).toString)
-    commitAndPrune(t, next, keep)
-    next
+    withLeases(Seq(leasePath(t))) {
+      val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
+      df.write.mode(SaveMode.ErrorIfExists).parquet(vdir(t, next).toString)
+      commitAndPrune(t, next, keep)
+      next
+    }
   }
 
   // ---- group (multi-table) publish: WAL journal + roll-forward --------
@@ -330,6 +509,16 @@ object Versioned {
     require(members.nonEmpty, "publishGroup needs at least one table")
     require(members.map(_.name).distinct.size == members.size,
       "group members must be distinct tables")
+    // lease EVERY member, linked ones included: a transaction that
+    // LINKS a table at version v asserts "v is still this family's
+    // current state of that table" — a concurrent writer advancing it
+    // mid-transaction would be silently rolled back when this journal
+    // becomes the family's latest snapshot (the delete-vs-append
+    // tombstone-resurrection race). Holding all members serializes
+    // same-family writers; disjoint-family groups under one baseDir
+    // still run concurrently (no shared lease; the journal-id
+    // allocation below stays their only shared step).
+    withFamilyLease(baseDir, members.map(_.name)) {
     Fs.mkdirs(txnDir(baseDir))
     // (name, version, freshlyStaged)
     val staged = members.map {
@@ -404,6 +593,7 @@ object Versioned {
     staged.foreach { case (n, v, freshlyStaged) =>
       if (freshlyStaged) pruneRetention(tableDir(baseDir, n), v, keep) }
     staged.map { case (n, v, _) => n -> v }.toMap
+    }
   }
 
   /** Re-apply retention to `name` relative to its LATEST committed
@@ -415,8 +605,10 @@ object Versioned {
     * actually gone. */
   def enforceRetention(baseDir: String, name: String, keep: Int): Unit = {
     require(keep >= 1, "keep must retain at least the current version")
-    latestVersion(baseDir, name)
-      .foreach(v => pruneRetention(tableDir(baseDir, name), v, keep))
+    withFamilyLease(baseDir, Seq(name)) {
+      latestVersion(baseDir, name)
+        .foreach(v => pruneRetention(tableDir(baseDir, name), v, keep))
+    }
   }
 
   /** One parsed journal member: its version and whether the
@@ -452,7 +644,25 @@ object Versioned {
     * the prune step the crashed publisher never reached, so a recovered
     * keep=1 erasure actually erases. Unparseable / empty journals are
     * abandoned (their orphan version dirs age out through retention
-    * pruning). Call on writer startup, like Delta log replay. */
+    * pruning). Call on writer startup, like Delta log replay.
+    *
+    * LIVE-WRITER SAFE (r13 verdict item 6): "no committed marker" is
+    * crash EVIDENCE, not crash PROOF — a publisher between its journal
+    * write and its seal looks identical to a crashed one. Recovery
+    * therefore takes each journal's member-table leases before touching
+    * it: a LIVE publisher still holds them ([[publishGroupMembers]]
+    * spans journal-write → seal → prune under the family lease), so its
+    * in-flight journal is SKIPPED this call and picked up by a later
+    * recovery only if it truly died (its lease gone or stale). After
+    * acquiring, the committed marker is re-checked — the writer may
+    * have finished while we waited — so a completed publish is never
+    * double-rolled. Unsealed (no END sentinel) journals carry no
+    * trustworthy member list to lease, so they are deleted only once
+    * OLDER than [[leaseTtlMs]] (a live writer seals within milliseconds
+    * of writing; an unsealed journal that old is crash debris) —
+    * deleting a live writer's staged journal would otherwise make its
+    * imminent seal marker point at nothing. Returns the journal ids
+    * actually rolled forward. */
   def recoverGroups(baseDir: String): Seq[Long] = {
     val pending = txnIds(baseDir, ".staged")
       .filterNot(id => Fs.exists(committedPath(baseDir, id))).sorted
@@ -465,21 +675,44 @@ object Versioned {
         entries.forall { case (n, e) =>
           Fs.exists(vdir(tableDir(baseDir, n), e.version)) }
       if (complete) {
-        entries.foreach { case (n, e) =>
-          val cp = commitPath(tableDir(baseDir, n), e.version)
-          if (!Fs.exists(cp)) Fs.createExclusive(cp, commitBody(e.version))
+        try withFamilyLease(baseDir, entries.keys.toSeq) {
+          // the writer may have sealed while we acquired — re-check
+          // under the lease so a finished publish is never re-rolled
+          if (Fs.exists(committedPath(baseDir, id))) false
+          else {
+            entries.foreach { case (n, e) =>
+              val cp = commitPath(tableDir(baseDir, n), e.version)
+              if (!Fs.exists(cp)) Fs.createExclusive(cp, commitBody(e.version))
+            }
+            Fs.createExclusive(committedPath(baseDir, id), "recovered\n")
+            // prune exactly as the live path would have: STAGED members
+            // only — a linked member's version predates this transaction
+            // and pruning from it would delete versions a crash-free
+            // publish retains (e.g. the model tables an ANN delete links)
+            keepRec.foreach { k =>
+              entries.foreach { case (n, e) =>
+                if (e.fresh)
+                  pruneRetention(tableDir(baseDir, n), e.version, k) }
+            }
+            true
+          }
+        } catch {
+          // a member lease is held by a LIVE writer: this journal is an
+          // in-flight publish, not a crash — leave it alone
+          case _: ConcurrentWriterException => false
         }
-        Fs.createExclusive(committedPath(baseDir, id), "recovered\n")
-        // prune exactly as the live path would have: STAGED members
-        // only — a linked member's version predates this transaction
-        // and pruning from it would delete versions a crash-free
-        // publish retains (e.g. the model tables an ANN delete links)
-        keepRec.foreach { k =>
-          entries.foreach { case (n, e) =>
-            if (e.fresh) pruneRetention(tableDir(baseDir, n), e.version, k) }
-        }
-      } else Fs.deleteRecursive(stagedPath(baseDir, id))
-      complete
+      } else {
+        // incomplete: unsealed, empty, or missing staged data. Only
+        // abandon it once provably dead (older than the lease horizon)
+        // — a false-positive crash detection must not delete a journal
+        // its writer is about to seal.
+        val age =
+          try System.currentTimeMillis() - Fs.of(stagedPath(baseDir, id))
+            .getFileStatus(stagedPath(baseDir, id)).getModificationTime
+          catch { case _: java.io.IOException => Long.MinValue }
+        if (age > leaseTtlMs) Fs.deleteRecursive(stagedPath(baseDir, id))
+        false
+      }
     }
   }
 
@@ -535,14 +768,16 @@ object Versioned {
   def pruneExcept(baseDir: String, name: String, retain: Set[Long]): Seq[Long] = {
     val t = tableDir(baseDir, name)
     if (!Fs.exists(t)) return Nil
-    val referenced = retain.flatMap { v =>
-      v +: manifestOf(t, v).toSeq.flatMap(_.entries.flatMap {
-        case (_, rel) => rel.takeWhile(_ != '/').stripPrefix("_v").toLongOption
-      })
+    withFamilyLease(baseDir, Seq(name)) {
+      val referenced = retain.flatMap { v =>
+        v +: manifestOf(t, v).toSeq.flatMap(_.entries.flatMap {
+          case (_, rel) => rel.takeWhile(_ != '/').stripPrefix("_v").toLongOption
+        })
+      }
+      val dead = versionsOnDisk(t).filterNot(referenced).sorted
+      dead.foreach(v => Fs.deleteRecursive(vdir(t, v)))
+      dead
     }
-    val dead = versionsOnDisk(t).filterNot(referenced).sorted
-    dead.foreach(v => Fs.deleteRecursive(vdir(t, v)))
-    dead
   }
 
   /** The last fully-committed group as (table → frame AT its journaled
@@ -609,17 +844,19 @@ object Versioned {
     require(keep >= 1, "keep must retain at least the current version")
     val t = tableDir(baseDir, name)
     Fs.mkdirs(t)
-    val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
-    val vd = vdir(t, next)
-    delta.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
-      .parquet(vd.toString)
-    val fresh = partDirEntries(vd, s"_v$next", partCol)
-    val freshVals = fresh.map(_._1).toSet
-    writeManifest(t, next, Manifest(partCol,
-      delta.schema(partCol).dataType.catalogString,
-      (fresh ++ reuse.filterNot(r => freshVals(r._1))).sortBy(_._1)))
-    commitAndPrune(t, next, keep)
-    next
+    withLeases(Seq(leasePath(t))) {
+      val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
+      val vd = vdir(t, next)
+      delta.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
+        .parquet(vd.toString)
+      val fresh = partDirEntries(vd, s"_v$next", partCol)
+      val freshVals = fresh.map(_._1).toSet
+      writeManifest(t, next, Manifest(partCol,
+        delta.schema(partCol).dataType.catalogString,
+        (fresh ++ reuse.filterNot(r => freshVals(r._1))).sortBy(_._1)))
+      commitAndPrune(t, next, keep)
+      next
+    }
   }
 
   /** Read the manifest entries' data: entries are grouped by the version
@@ -853,25 +1090,27 @@ object Versioned {
     require(keep >= 1, "keep must retain at least the current version")
     val t = tableDir(baseDir, name)
     Fs.mkdirs(t)
-    val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
-    val vd = vdir(t, next)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(vd.toString)
-    val wanted = statsCols.toSet
-    val lines = Fs.list(vd)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath).sortBy(_.getName)
-      .flatMap { p =>
-        val st = footerMinMax(p, wanted)
-        // every file appears at least once (col "-") so readers know the
-        // full file set; stat-less columns simply never prune it
-        val head = s"${enc(p.getName)}\t-\t-\t-\t-"
-        head +: st.toSeq.sorted.map { case (c, (tag, mn, mx)) =>
-          s"${enc(p.getName)}\t${enc(c)}\t$tag\t${enc(mn)}\t${enc(mx)}"
+    withLeases(Seq(leasePath(t))) {
+      val next = versionsOnDisk(t).maxOption.getOrElse(-1L) + 1L
+      val vd = vdir(t, next)
+      df.write.mode(SaveMode.ErrorIfExists).parquet(vd.toString)
+      val wanted = statsCols.toSet
+      val lines = Fs.list(vd)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName)
+        .flatMap { p =>
+          val st = footerMinMax(p, wanted)
+          // every file appears at least once (col "-") so readers know the
+          // full file set; stat-less columns simply never prune it
+          val head = s"${enc(p.getName)}\t-\t-\t-\t-"
+          head +: st.toSeq.sorted.map { case (c, (tag, mn, mx)) =>
+            s"${enc(p.getName)}\t${enc(c)}\t$tag\t${enc(mn)}\t${enc(mx)}"
+          }
         }
-      }
-    Fs.writeString(fileStatsPath(t, next), lines.mkString("", "\n", "\n"))
-    commitAndPrune(t, next, keep)
-    next
+      Fs.writeString(fileStatsPath(t, next), lines.mkString("", "\n", "\n"))
+      commitAndPrune(t, next, keep)
+      next
+    }
   }
 
   /** Range read through the skipping manifest: returns only rows with

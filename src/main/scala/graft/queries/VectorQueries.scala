@@ -551,11 +551,20 @@ object VectorQueries {
           p = graft.ops.AnnIndex.Params(nCells = 8, m = 4))
         .option("checkpointLocation", s"$tmp/_ck").start()
       try {
+        // Stage walls land in the bench artifact's `stages` field
+        // (q446's recipe — r13 verdict item 5): the reps' wall spread
+        // was adjudicated as streaming per-epoch scheduling latency,
+        // and this decomposition shows WHICH leg breathes — ingest
+        // epochs, logical replay, the erase transaction, or the
+        // serve/replay audits — from the artifact alone.
+        val QN = "q522_streaming_indexed_ingest"
         val rows = d.filter(col("doc_id") < 300)
           .select("doc_id", "text", "lang", "source", "n_chars")
           .as[IngestDoc].collect() // MemoryStream harness input, driver-fed
         val epochs = Seq(0L, 1L).map(m => rows.filter(_.doc_id % 2 == m))
-        epochs.foreach { ep => ms.addData(ep.toSeq); q.processAllAvailable() }
+        graft.bench.StageTimings.time(QN, "ingest") {
+          epochs.foreach { ep => ms.addData(ep.toSeq); q.processAllAvailable() }
+        }
         val corpusIds = graft.pipelines.Versioned.read(spark, base, "corpus")
           .select(col("doc_id")).as[Long].collect().toSet
         val indexedIds = graft.pipelines.Versioned
@@ -564,15 +573,19 @@ object VectorQueries {
         val withEmb = e.select(col("vec_id")).as[Long].collect().toSet
         // logical replay: re-deliver epoch 1's docs — all already
         // published, so the dedup vet must admit nothing on either leg
-        ms.addData(epochs.head.toSeq); q.processAllAvailable()
+        graft.bench.StageTimings.time(QN, "logical_replay") {
+          ms.addData(epochs.head.toSeq); q.processAllAvailable()
+        }
         val corpusAfter = graft.pipelines.Versioned
           .read(spark, base, "corpus").count()
         val codesAfter = graft.pipelines.Versioned
           .read(spark, idx, graft.ops.AnnIndex.CodesTable).count()
         val queries = e.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val served = graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
-          .select(col("neighbor_id")).as[Long].collect()
+        val served = graft.bench.StageTimings.time(QN, "serve") {
+          graft.ops.AnnIndex.serveTopK(spark, idx, queries, K)
+            .select(col("neighbor_id")).as[Long].collect()
+        }
         // ERASE-WHILE-LIVE interleave (r12 verdict item 5): one victim
         // is erased from BOTH stores while the stream is still running
         // (between micro-batches — the single-writer interleave),
@@ -593,21 +606,26 @@ object VectorQueries {
         // epochs(0) = even ids (bootstrap, batch 1); epochs(1) = odd
         // (batch 2) — replay whichever one admitted the victim
         val victimEpoch = (victim % 2).toInt
-        graft.pipelines.Erasure.eraseEverywhere(spark, base, "corpus",
-          Seq("doc_id"), idx, Seq(victim).toDF("doc_id"), physical = false)
+        graft.bench.StageTimings.time(QN, "erase") {
+          graft.pipelines.Erasure.eraseEverywhere(spark, base, "corpus",
+            Seq("doc_id"), idx, Seq(victim).toDF("doc_id"), physical = false)
+        }
         val victimInCorpus = graft.pipelines.Versioned
           .read(spark, base, "corpus")
           .filter(col("doc_id") === victim).count()
         def servedNow() = graft.ops.AnnIndex
           .serveTopK(spark, idx, queries, K)
           .select(col("neighbor_id")).as[Long].collect()
-        val afterErase = servedNow()
-        graft.ops.AnnIndex.append(
-          e.select(col("vec_id"), col("embedding"))
-            .join(epochs(victimEpoch).map(_.doc_id).toSeq.toDF("vec_id"),
-              Seq("vec_id"), "left_semi"),
-          idx, batchId = victimEpoch + 1L, skipIfExists = true)
-        val afterReplay = servedNow()
+        val (afterErase, afterReplay) =
+          graft.bench.StageTimings.time(QN, "replay_audit") {
+            val a = servedNow()
+            graft.ops.AnnIndex.append(
+              e.select(col("vec_id"), col("embedding"))
+                .join(epochs(victimEpoch).map(_.doc_id).toSeq.toDF("vec_id"),
+                  Seq("vec_id"), "left_semi"),
+              idx, batchId = victimEpoch + 1L, skipIfExists = true)
+            (a, servedNow())
+          }
         Seq((rows.length.toLong, epochs.size.toLong, corpusIds.size.toLong,
             indexedIds.size.toLong,
             indexedIds == (corpusIds intersect withEmb),

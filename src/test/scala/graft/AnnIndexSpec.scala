@@ -722,6 +722,59 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("the forced-compact trigger derives from the session's broadcast " +
+    "budget (bounded ⇒ broadcastable) and counts DISTINCT ids — a " +
+    "re-deleted id is one anti-join key, not one row per generation") {
+    // trigger arithmetic against the live session conf
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    assert(threshold > 0, "suite assumes auto-broadcast enabled")
+    assert(AnnIndex.compactTrigger(spark) ==
+      math.max(threshold / AnnIndex.BytesPerTombstoneId, 1L))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(AnnIndex.compactTrigger(spark) == Long.MaxValue,
+        "broadcast disabled → only the absolute backstop bounds the set")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (320L * AnnIndex.BytesPerTombstoneId).toString)
+      assert(AnnIndex.compactTrigger(spark) == 320L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    val idx = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") < 100), idx)
+    // 5 ids deleted TWICE → 10 tombstone ROWS, 5 distinct ids: the r13
+    // row-counting bound would trip compactAbove = 7 here; the id
+    // count (what the anti-join actually broadcasts) must not
+    AnnIndex.delete(spark.range(5).select(col("id").as("vec_id")), idx,
+      compactAbove = 7L)
+    AnnIndex.delete(spark.range(5).select(col("id").as("vec_id")), idx,
+      compactAbove = 7L)
+    assert(Versioned.latestGroupVersions(idx)
+      .contains(AnnIndex.TombstonesTable),
+      "5 distinct ids across two delete generations must not trip a bound of 7")
+    // below the derived trigger, the serve anti-join IS broadcast-shaped
+    // — the invariant the derivation exists to provide
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val plan = AnnIndex.serveTopK(spark, idx, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert("""BroadcastHashJoin[^\n]*LeftAnti""".r.findFirstIn(plan).isDefined,
+      s"standing set below the broadcast budget must serve broadcast-anti:\n$plan")
+    // and when the session budget shrinks below the standing set, the
+    // NEXT delete folds it physically even with a huge absolute cap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (4L * AnnIndex.BytesPerTombstoneId).toString) // trigger = 4 ids
+      AnnIndex.delete(spark.range(5, 7).select(col("id").as("vec_id")), idx,
+        compactAbove = Long.MaxValue)
+      assert(!Versioned.latestGroupVersions(idx)
+        .contains(AnnIndex.TombstonesTable),
+        "7 distinct ids ≥ trigger 4 must force the physical fold")
+      assert(Versioned.read(spark, idx, AnnIndex.CodesTable)
+        .filter(col("vec_id") < 7).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("compact at keep>1 retires tombstone versions once no journal in " +
     "the retention window references them (folded members don't " +
     "accumulate victim ids forever)") {

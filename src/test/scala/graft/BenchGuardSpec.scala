@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.bench.BenchGuard
+
+/** The sidecar-median outlier trigger's arithmetic (r13 verdict item 1):
+  * the exact numbers that must and must not re-run / flag, pinned —
+  * including the r13 escape (q135 official 11.79 s vs instrumented
+  * 1.63 s) that motivated the trigger.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("outlier requires STRICTLY more than 3× the sidecar median AND " +
+    "an absolute excess above the noise floor") {
+    assert(BenchGuard.isOutlier(11.79, Some(1.63)), "the r13 q135 escape")
+    assert(BenchGuard.isOutlier(5.0, Some(1.0)))
+    assert(!BenchGuard.isOutlier(3.0, Some(1.0)), "exactly 3× is not an outlier")
+    assert(!BenchGuard.isOutlier(2.57, Some(1.57)),
+      "q36's 1.6× drift is below the ratio — not this trigger's job")
+    // 4.5× but the excess is 70 ms: scheduler noise on a sub-second
+    // query, not evidence-weakening pollution — no retry, no flag
+    assert(!BenchGuard.isOutlier(0.09, Some(0.02)))
+    // just past both gates
+    assert(BenchGuard.isOutlier(1.30, Some(0.40)))
+    assert(!BenchGuard.isOutlier(1.19, Some(0.40)), "2.975× — under the ratio")
+    // a query with no reference row (new this round) is never an outlier
+    assert(!BenchGuard.isOutlier(100.0, None))
+  }
+
+  test("median matches Bench's rep convention (upper median on even sizes)") {
+    assert(BenchGuard.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(BenchGuard.median(Seq(4.0, 1.0, 3.0, 2.0)) == 3.0)
+    assert(BenchGuard.median(Seq(7.5)) == 7.5)
+  }
+
+  test("sidecar parsing: per-line query→median(walls); junk, truncated, " +
+    "and wall-less lines degrade to a smaller table, never an error") {
+    val lines = Seq(
+      """{"query":"q1_a","walls":[1.2,0.9,1.1],"retried":false}""",
+      """{"query":"q2_b","walls":[2.0],"other_busy_frac":0.01}""",
+      """{"query":"q3_c","walls":[],"retried":false}""", // no walls → skipped
+      """{"walls":[1.0]}""",                             // no query → skipped
+      """{"query":"q4_d","walls":[3.0,1.0""",            // truncated → skipped
+      """not json at all""",
+      """{"query":"q5_e","walls":[5.5,4.5,6.5],"walls_rejected":[9.0]}""")
+    val m = BenchGuard.parseSidecarMedians(lines.iterator)
+    assert(m == Map("q1_a" -> 1.1, "q2_b" -> 2.0, "q5_e" -> 5.5))
+  }
+
+  test("scale-factor filter: rows recorded at a different sf are dropped " +
+    "(a 10× data-size mismatch must not read as a mass outlier event); " +
+    "sf-less legacy rows are kept") {
+    val lines = Seq(
+      """{"query":"q1_a","walls":[1.0],"sf":"/data/sf0.1"}""",
+      """{"query":"q2_b","walls":[2.0],"sf":"/data/sf1"}""",
+      """{"query":"q3_c","walls":[3.0]}""") // pre-r14 row: no sf field
+    val m = BenchGuard.parseSidecarMedians(lines.iterator,
+      sf = Some("/data/sf0.1"))
+    assert(m == Map("q1_a" -> 1.0, "q3_c" -> 3.0))
+    // no filter requested → everything parses
+    assert(BenchGuard.parseSidecarMedians(lines.iterator).size == 3)
+  }
+
+  test("loadReference picks the highest ROUND number (numeric, not " +
+    "lexicographic — r13 beats r9) and returns empty when nothing exists") {
+    val dir = java.nio.file.Files.createTempDirectory("benchguard_").toString
+    def write(name: String, body: String) =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        body.getBytes("UTF-8"))
+    write("BENCH_STATS_r9_final.json",
+      """{"query":"q1_a","walls":[9.0,9.0,9.0]}""")
+    write("BENCH_STATS_r13_final.json",
+      """{"query":"q1_a","walls":[1.0,2.0,3.0]}""")
+    write("BENCH_STATS_r13_sweep1.json",
+      """{"query":"q1_a","walls":[8.0,8.0,8.0]}""") // non-final: ignored
+    assert(BenchGuard.loadReference(dir, explicit = None) ==
+      Map("q1_a" -> 2.0))
+    // explicit path wins over the directory scan
+    assert(BenchGuard.loadReference(dir,
+      explicit = Some(s"$dir/BENCH_STATS_r9_final.json")) ==
+      Map("q1_a" -> 9.0))
+    val empty = java.nio.file.Files.createTempDirectory("benchguard_e_").toString
+    assert(BenchGuard.loadReference(empty, explicit = None).isEmpty)
+  }
+}

@@ -269,6 +269,49 @@ class RunnerSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/t").count() == 3L)
   }
 
+  test("PRE-NAME-FORMAT asides (commit line 2 is a parquet part, not a " +
+    "mart name) are restored and swept when the dir-name parse is " +
+    "unambiguous (dashless run tag); dashed tags stay for manual vacuum") {
+    import graft.pipelines.Fs
+    import org.apache.hadoop.fs.Path
+    val out = java.nio.file.Files.createTempDirectory("runner-legacy").toString
+    Runner.AtomicParquetSink(out, "r1").write(spark.range(5).toDF("v"), "t")
+    // age the commit to the pre-r13 format: no name line — exactly the
+    // debris ADVICE r13 flagged as stranded forever
+    val parts = Fs.list(new Path(s"$out/t")).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.mkString("\n")
+    Fs.writeString(new Path(s"$out/t/_COMMIT"), s"r1\n$parts\n")
+    // crash window: target renamed aside, process dies
+    Fs.rename(new Path(s"$out/t"), new Path(s"$out/.old-t-r1"))
+    assert(!Fs.exists(new Path(s"$out/t")))
+    // next run HEALS first — observe the restore itself by making the
+    // new publish fail after the heal (ANSI division by zero at write)
+    intercept[Throwable] {
+      Runner.AtomicParquetSink(out, "r2").write(
+        spark.range(1).selectExpr("raise_error('boom') as v"), "t")
+    }
+    assert(Fs.exists(new Path(s"$out/t")),
+      "an unambiguous old-format aside must be restored, not stranded")
+    assert(spark.read.parquet(s"$out/t").count() == 5L)
+    // ...and once a target exists, the same rule lets the sweep take it
+    Runner.AtomicParquetSink(out, "r3").write(spark.range(9).toDF("v"), "t")
+    assert(!Fs.exists(new Path(s"$out/.old-t-r1")), "unambiguous → swept")
+    // AMBIGUOUS parse (dashed tag: '.old-t-r4-x' could be mart 't' tag
+    // 'r4-x' or a mart 't-r4' tag 'x'): never restored, never swept
+    Fs.mkdirs(new Path(s"$out/.old-t-r4-x"))
+    Fs.writeString(new Path(s"$out/.old-t-r4-x/_COMMIT"), "r4-x\npart.parquet\n")
+    Fs.deleteRecursive(new Path(s"$out/t"))
+    intercept[Throwable] {
+      Runner.AtomicParquetSink(out, "r5").write(
+        spark.range(1).selectExpr("raise_error('boom') as v"), "t")
+    }
+    assert(!Fs.exists(new Path(s"$out/t")),
+      "an ambiguous old-format aside must not be cross-wired into a restore")
+    Runner.AtomicParquetSink(out, "r6").write(spark.range(2).toDF("v"), "t")
+    assert(Fs.exists(new Path(s"$out/.old-t-r4-x")),
+      "ambiguous debris is manual-vacuum territory, not sweepable")
+  }
+
   test("a failed run retracts a stale transform_SUCCESS from an earlier " +
     "run (the mirror of the per-mart error retraction)") {
     val out = java.nio.file.Files.createTempDirectory("runner-stale").toString
