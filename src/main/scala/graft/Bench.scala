@@ -90,6 +90,7 @@ object Bench {
     // clone) disables the trigger.
     val reference = graft.bench.BenchGuard.loadReference(sf = Some(sfDir))
     val suspects = scala.collection.mutable.ArrayBuffer[String]()
+    var outlierReruns = 0
     val results = try selected.map { case (name, fn) =>
       statsWindow() // close out warmup / previous query's unpersist noise
       // reps + their error land TOGETHER: a rep failure during a retry
@@ -105,7 +106,9 @@ object Bench {
         }
         (ts, err)
       }
-      def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
+      // the ONE median convention, shared with the outlier trigger's
+      // sidecar parsing (BenchGuardSpec pins them staying in sync)
+      def median(ts: Seq[Double]) = graft.bench.BenchGuard.median(ts)
       val h0 = graft.bench.HostCpu.sample()
       var (times, err) = runReps()
       var (otherFrac, selfFrac) = graft.bench.HostCpu.fracs(h0,
@@ -153,8 +156,11 @@ object Bench {
       // if STILL high, ship it flagged `suspect` in both artifacts.
       val sidecarRef = reference.get(name)
       if (times.size == reps &&
-          graft.bench.BenchGuard.isOutlier(median(times), sidecarRef))
+          graft.bench.BenchGuard.isOutlier(median(times), sidecarRef) &&
+          outlierReruns < graft.bench.BenchGuard.MaxOutlierReruns) {
+        outlierReruns += 1
         rerunKeepingLower()
+      }
       val suspect = times.size == reps &&
         graft.bench.BenchGuard.isOutlier(median(times), sidecarRef)
       if (suspect) suspects += name

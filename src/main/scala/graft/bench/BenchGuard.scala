@@ -51,24 +51,42 @@ object BenchGuard {
     * or unparseable walls, are skipped — a truncated sidecar (the
     * crash-resilient streamed format) degrades to a smaller reference
     * table, never an error. `sf`, when given, drops rows recorded at a
-    * DIFFERENT scale factor (a 10× data-size mismatch would read as a
-    * mass outlier event): rows without an sf field (pre-r14 sidecars,
-    * all recorded at the driver's sf0.1) are kept — the benign
-    * direction is a smaller-than-reference run, where every median is
-    * simply below the trigger. */
+    * DIFFERENT scale factor — a 10× data-size mismatch would read as a
+    * mass outlier event (every query legitimately ~10× its reference,
+    * every rep set re-run, the whole suite flagged `suspect`). Rows
+    * WITHOUT an sf field exist only in pre-r14 sidecars, which were all
+    * recorded at the driver's sf0.1 — so they are kept exactly when the
+    * requested sf IS an sf0.1 directory and dropped otherwise (r14+
+    * rows carry the field and this rule never applies to them). */
   def parseSidecarMedians(lines: Iterator[String],
-      sf: Option[String] = None): Map[String, Double] =
+      sf: Option[String] = None): Map[String, Double] = {
+    def sfMatches(line: String, want: String): Boolean =
+      SfRe.findFirstMatchIn(line) match {
+        case Some(m) => m.group(1) == want
+        case None => want.contains(LegacySidecarSf) // pre-r14 row
+      }
     lines.flatMap { line =>
       for {
         q <- QueryRe.findFirstMatchIn(line).map(_.group(1))
         ws <- WallsRe.findFirstMatchIn(line).map(_.group(1))
-        if sf.forall(want =>
-          SfRe.findFirstMatchIn(line).forall(_.group(1) == want))
+        if sf.forall(sfMatches(line, _))
         walls = ws.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
           .flatMap(_.toDoubleOption)
         if walls.nonEmpty
       } yield q -> median(walls)
     }.toMap
+  }
+
+  /** The one scale every pre-r14 (sf-field-less) sidecar was recorded
+    * at — the driver's per-round sweep scale. */
+  val LegacySidecarSf = "sf0.1"
+
+  /** Ceiling on sidecar-triggered re-measurements per sweep — a
+    * defense-in-depth cap so that even a pathological reference (wrong
+    * machine class, corrupted medians) costs at most this many extra
+    * rep sets, not a doubled sweep; beyond it, outliers are still
+    * FLAGGED `suspect` (the label is the contract) but not re-run. */
+  val MaxOutlierReruns = 25
 
   /** The reference table: `SPARK_GRAFT_BENCH_REF` if set, else the
     * highest-round `BENCH_STATS_r<N>_final.json` in `dir`, else empty

@@ -116,22 +116,23 @@ object Runner {
         // predates the name line (line 2 is a parquet part filename, or
         // absent) can never pass ownedByThisMart, so a crash in the
         // swap window over an old-format target would strand it forever
-        // while the mart dir stays missing. Heal it when the claim is
-        // UNAMBIGUOUS: the suffix after `.old-<name>-` is a dashless
-        // run tag, so no dash-prefix-sharing sibling mart (`t` vs
-        // `t-x`) can parse the same dir name as its own — the only
-        // protection available once the recorded name is absent.
-        // Old-format asides with DASHED run tags stay manual-vacuum
-        // (documented in the class doc): restoring on a dashed parse
-        // could cross-wire marts, and wrong data is worse than a
-        // missing dir a reader treats as "retry".
+        // while the mart dir stays missing. The old format DOES record
+        // the run tag (line 1), and the aside dir name is exactly
+        // `.old-<name>-<tag>` — so requiring the dir name to equal
+        // `.old-<this mart>-<recorded tag>` yields exactly one valid
+        // (name, tag) split per aside: a dash-prefix-sharing sibling
+        // (`t` vs `t-r4` over `.old-t-r4-x` with recorded tag `r4-x`)
+        // computes `.old-t-r4-r4-x`, which never matches, so the
+        // cross-wire class is structurally excluded and even DASHED
+        // run tags heal for their true owner.
         def oldFormatUnambiguous(p: Path): Boolean = {
           val commit = new Path(p, "_COMMIT")
-          !p.getName.stripPrefix(s".old-$name-").contains('-') &&
-            Fs.exists(commit) && {
-              val l1 = Fs.readString(commit).split("\n").lift(1)
-              l1.isEmpty || l1.exists(_.endsWith(".parquet"))
-            }
+          Fs.exists(commit) && {
+            val lines = Fs.readString(commit).split("\n")
+            val oldFormat = lines.lift(1).forall(_.endsWith(".parquet"))
+            oldFormat && lines.headOption.exists(tag =>
+              tag.nonEmpty && p.getName == s".old-$name-$tag")
+          }
         }
         if (!Fs.exists(target)) {
           val legacy = entries
@@ -178,6 +179,10 @@ object Runner {
       // mart names that are dash-prefixes of one another would
       // otherwise share a namespace.)
       val old = new Path(s"$baseDir/.old-$name-$runTag")
+      // abort loudly if our dataset lease was stale-reclaimed while the
+      // staging write ran — swapping anyway would silently discard
+      // whatever the reclaiming writer published meanwhile
+      Versioned.verifyLeasesHeld()
       if (Fs.exists(target)) Fs.rename(target, old)
       try Fs.rename(staging, target)
       catch { case e: Throwable =>

@@ -218,6 +218,13 @@ object Versioned {
     * Mutable for tests and for deployments with multi-hour compactions. */
   @volatile private[graft] var leaseTtlMs: Long = 15L * 60 * 1000
 
+  /** A commit point found the thread's lease stolen or gone — the loud
+    * failure for a writer that outlived [[leaseTtlMs]] and lost its
+    * lease to a stale-reclaim: the operation aborts BEFORE making its
+    * work visible, instead of silently corrupting the reclaimer's. */
+  final class LeaseLostException(msg: String)
+      extends IllegalStateException(msg)
+
   private def leasePath(t: Path) = new Path(t, "_LEASE")
 
   // In-JVM half of the lease: per-lease-file ReentrantLock, so two
@@ -227,71 +234,203 @@ object Versioned {
   // holder is alive by construction and release is guaranteed by the
   // finally in [[withLeases]]. Cross-process writers can't be waited on
   // (no notification channel), so they get the loud refusal instead.
+  // Bounded: [[maybeEvictLocks]] drops idle entries past a high-water
+  // mark (a compactPartitioned over 10⁵ Hive partitions would otherwise
+  // grow this monotonically for the JVM's lifetime); eviction is safe
+  // because [[ownHeld]] is the real in-JVM ownership witness — a thread
+  // racing through a freshly re-created lock instance still waits on
+  // the file protocol below.
   private val localLocks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantLock]()
+
+  // Lease files currently held by SOME thread of this JVM — registered
+  // after the exclusive create wins, removed before the release delete.
+  // This is what makes an own-token file finding unambiguous: key
+  // present = a live frame of this process holds it (wait for it), key
+  // absent = the file is a leftover of a failed release delete
+  // (reclaim immediately).
+  private val ownHeld =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // Per-thread held-lease refcounts: re-entrancy (an ANN delete's inner
+  // group publish re-enters its family leases) and the exact set
+  // [[verifyLeasesHeld]] re-checks at commit points.
+  private val heldByThread =
+    ThreadLocal.withInitial[scala.collection.mutable.Map[String, Int]](
+      () => scala.collection.mutable.Map.empty)
 
   /** Take the writer lease at `p` (blocking same-JVM rivals, refusing
     * live cross-process ones, reclaiming stale ones). Re-entrant per
     * thread; every acquire must be paired with [[releaseLease]]. */
   private def acquireLease(p: Path): Unit = {
-    val lock = localLocks.computeIfAbsent(p.toString,
+    val key = p.toString
+    val held = heldByThread.get
+    held.get(key) match {
+      case Some(n) => held.update(key, n + 1); return // re-entrant frame
+      case None => ()
+    }
+    val lock = localLocks.computeIfAbsent(key,
       _ => new java.util.concurrent.locks.ReentrantLock())
     lock.lock()
-    if (lock.getHoldCount > 1) return // re-entrant: outer frame owns the file
     try {
-      var reclaims = 0
-      var done = false
-      while (!done) {
-        try { Fs.createExclusive(p, s"$writerToken\n"); done = true }
-        catch {
-          case e: java.io.IOException =>
-            if (!Fs.exists(p)) throw e // create failed for some other reason
-            // (token, mtime) of the standing lease; None = it vanished
-            // between the failed create and this read (holder released)
-            val held =
-              try Some((Fs.readString(p).trim,
-                Fs.of(p).getFileStatus(p).getModificationTime))
-              catch { case _: java.io.IOException => None }
-            held match {
-              case None => () // retry the create
-              case Some((tok, _)) if tok == writerToken =>
-                // our own leftover (a release whose delete failed) —
-                // safe to reclaim immediately: the in-JVM lock above
-                // proves no live frame of this process holds it
-                Fs.deleteRecursive(p)
-              case Some((tok, mtime)) =>
-                val age = System.currentTimeMillis() - mtime
-                if (age <= leaseTtlMs)
-                  throw new ConcurrentWriterException(
-                    s"$p is held by another writer (holder ${tok.take(8)}…, " +
-                      s"age ${age}ms ≤ ttl ${leaseTtlMs}ms) — single-writer " +
-                      "contract: wait for it to finish or go stale")
-                // stale: reclaim and retry (a racing reclaimer may win
-                // the re-create — the loop then reads a FRESH lease and
-                // refuses above). Bounded so a pathological fs can't
-                // spin us forever.
-                reclaims += 1
-                if (reclaims > 3) throw new ConcurrentWriterException(
-                  s"$p keeps reappearing after $reclaims stale reclaims")
-                Fs.deleteRecursive(p)
-            }
-        }
-      }
+      fileLease(p, key)
+      ownHeld.add(key)
+      held.update(key, 1)
     } catch { case e: Throwable => lock.unlock(); throw e }
   }
 
-  private def releaseLease(p: Path): Unit = {
-    val lock = localLocks.get(p.toString)
-    if (lock == null || !lock.isHeldByCurrentThread) return
-    if (lock.getHoldCount == 1)
-      // dropping the last frame: give the file back. Best-effort — a
-      // failed delete is healed by the own-token reclaim in acquire.
-      try {
-        if (Fs.exists(p) && Fs.readString(p).trim == writerToken)
-          Fs.deleteRecursive(p)
-      } catch { case _: Throwable => () }
-    lock.unlock()
+  /** The cross-process half: win the exclusive create of `p` or throw.
+    * Never returns while another LIVE writer holds the file. */
+  private def fileLease(p: Path, key: String): Unit = {
+    var reclaims = 0
+    while (true) {
+      try { Fs.createExclusive(p, s"$writerToken\n"); return }
+      catch {
+        case e: java.io.IOException =>
+          if (!Fs.exists(p)) throw e // create failed for some other reason
+          // (token, mtime) of the standing lease; None = it vanished
+          // between the failed create and this read (holder released)
+          val held =
+            try Some((Fs.readString(p).trim,
+              Fs.of(p).getFileStatus(p).getModificationTime))
+            catch { case _: java.io.IOException => None }
+          held match {
+            case None => () // retry the create
+            case Some((tok, _)) if tok == writerToken =>
+              if (ownHeld.contains(key))
+                // a live frame of this JVM holds it through an evicted
+                // lock instance — wait like lock() would; its release
+                // deletes the file and clears ownHeld
+                Thread.sleep(50)
+              else
+                // our own leftover (a release whose delete failed):
+                // nothing live holds it — reclaim immediately
+                Fs.deleteRecursive(p)
+            case Some((tok, mtime)) =>
+              val age = System.currentTimeMillis() - mtime
+              if (age <= leaseTtlMs)
+                throw new ConcurrentWriterException(
+                  s"$p is held by another writer (holder ${tok.take(8)}…, " +
+                    s"age ${age}ms ≤ ttl ${leaseTtlMs}ms) — single-writer " +
+                    "contract: wait for it to finish or go stale")
+              // stale: reclaim through the generation-keyed marker, then
+              // retry the create (a concurrent acquirer may win it — the
+              // loop then reads the FRESH lease and refuses above).
+              // Bounded so a pathological fs can't spin us forever.
+              reclaims += 1
+              if (reclaims > 3) throw new ConcurrentWriterException(
+                s"$p keeps reappearing after $reclaims stale reclaims")
+              reclaimStale(p, tok, mtime)
+          }
+      }
+    }
   }
+
+  /** Delete a provably-stale lease SAFELY. A bare delete-then-create
+    * would let two reclaimers both "win" (the second delete lands after
+    * the first reclaimer's fresh create and destroys it — both then
+    * hold a lease). Instead every reclaimer of one stale GENERATION
+    * (identified by the observed token+mtime) contends on ONE exclusive
+    * marker create: exactly one may touch the lease, and it re-verifies
+    * the lease is still that generation before deleting — so a fresh
+    * lease can never be deleted by a reclaim. A reclaimer that crashes
+    * holding the marker blocks further reclaims of that generation
+    * until the marker itself ages out; the delete-retry on an aged
+    * marker reintroduces the race one level down, but reaching it takes
+    * a crashed WRITER plus a crashed RECLAIMER plus two new racers
+    * inside one sub-second window — documented residual, not a path a
+    * real deployment walks. */
+  private def reclaimStale(p: Path, tok: String, mtime: Long): Unit = {
+    val r = new Path(p.getParent,
+      p.getName + s".reclaim.$mtime.${tok.hashCode & 0x7fffffff}")
+    try Fs.createExclusive(r, s"$writerToken\n")
+    catch {
+      case e: java.io.IOException =>
+        if (!Fs.exists(r)) throw e
+        val rAge =
+          try System.currentTimeMillis() -
+            Fs.of(r).getFileStatus(r).getModificationTime
+          catch { case _: java.io.IOException => return } // marker gone — retry
+        if (rAge > leaseTtlMs) { Fs.deleteRecursive(r); return } // crashed reclaimer
+        throw new ConcurrentWriterException(
+          s"$p is stale but its reclaim is already in progress " +
+            s"(marker ${r.getName}, age ${rAge}ms)")
+    }
+    try {
+      // verify the lease is STILL the generation judged stale — between
+      // our read and this marker the old holder may have released and a
+      // NEW writer acquired; deleting then would kill a live lease
+      val still =
+        try Some((Fs.readString(p).trim,
+          Fs.of(p).getFileStatus(p).getModificationTime))
+        catch { case _: java.io.IOException => None }
+      if (still.contains((tok, mtime))) Fs.deleteRecursive(p)
+    } finally Fs.deleteRecursive(r)
+  }
+
+  private def releaseLease(p: Path): Unit = {
+    val key = p.toString
+    val held = heldByThread.get
+    held.get(key) match {
+      case Some(n) if n > 1 => held.update(key, n - 1) // inner frame
+      case Some(_) =>
+        held.remove(key)
+        ownHeld.remove(key)
+        // give the file back — ONLY while it is provably still ours AND
+        // inside the TTL: past the TTL a reclaimer may be mid-swap, and
+        // a delete racing its fresh create would kill the new owner's
+        // lease (the overrun itself is surfaced loudly at the commit
+        // points by [[verifyLeasesHeld]]; the leftover file here ages
+        // out through the normal stale-reclaim path)
+        try {
+          if (Fs.exists(p) && Fs.readString(p).trim == writerToken &&
+              System.currentTimeMillis() -
+                Fs.of(p).getFileStatus(p).getModificationTime <= leaseTtlMs)
+            Fs.deleteRecursive(p)
+        } catch { case _: Throwable => () }
+        val lock = localLocks.get(key)
+        if (lock != null && lock.isHeldByCurrentThread) lock.unlock()
+        maybeEvictLocks()
+      case None => () // not held by this thread
+    }
+  }
+
+  // drop idle lock entries past the high-water mark; getHoldCount == 1
+  // means only our probe holds it (not an outer frame of this thread),
+  // hasQueuedThreads means someone is blocked on this instance — both
+  // keep the entry. A thread that raced through a just-evicted instance
+  // is still correct: the file protocol + ownHeld serialize it.
+  private def maybeEvictLocks(): Unit =
+    if (localLocks.size > 4096) {
+      val it = localLocks.entrySet().iterator()
+      while (it.hasNext) {
+        val l = it.next().getValue
+        if (l.tryLock()) {
+          try { if (!l.hasQueuedThreads && l.getHoldCount == 1) it.remove() }
+          finally l.unlock()
+        }
+      }
+    }
+
+  /** Re-read every lease THIS THREAD holds and confirm it still carries
+    * our token — the guard at every commit/swap point against a writer
+    * that outlived [[leaseTtlMs]] and lost its lease to a stale-reclaim:
+    * the operation dies loudly ([[LeaseLostException]]) BEFORE its
+    * commit marker / directory swap makes anything visible, instead of
+    * silently overwriting the reclaiming writer's work. One small read
+    * per held lease, paid once per commit. */
+  private[pipelines] def verifyLeasesHeld(): Unit =
+    heldByThread.get.keys.foreach { key =>
+      val p = new Path(key)
+      val ok =
+        try Fs.exists(p) && Fs.readString(p).trim == writerToken
+        catch { case _: Throwable => false }
+      if (!ok) throw new LeaseLostException(
+        s"lease $key is no longer ours at commit time — this writer " +
+          s"outlived leaseTtlMs=$leaseTtlMs and was reclaimed; aborting " +
+          "before publishing over the new owner's work (re-run with a " +
+          "TTL sized above the operation's duration)")
+    }
 
   /** Run `body` holding the writer leases at `leaseFiles` — acquired in
     * sorted path order (one global order = no in-JVM deadlock between
@@ -372,6 +511,7 @@ object Versioned {
     * "latest" before the commit may still be scanning keep-1 versions
     * back — size `keep` to exceed your longest query. */
   private def commitAndPrune(t: Path, next: Long, keep: Int): Unit = {
+    verifyLeasesHeld() // abort loudly if our lease was stale-reclaimed
     Fs.createExclusive(commitPath(t, next), commitBody(next))
     pruneRetention(t, next, keep)
   }
@@ -421,6 +561,7 @@ object Versioned {
         .filterNot(v => Fs.exists(commitPath(t, v)))
         .filter(v => includeInflight || v < latest)
         .sorted
+      verifyLeasesHeld() // deletes are as unsafe as commits when stolen
       dead.foreach(v => Fs.deleteRecursive(vdir(t, v)))
       dead
     }
@@ -586,6 +727,7 @@ object Versioned {
     // with retention not yet enforced — heal by retrying the operation
     // or calling [[enforceRetention]] (erasure callers do; an
     // at-least-once requirement every erasure pipeline has anyway).
+    verifyLeasesHeld() // abort loudly if any family lease was reclaimed
     staged.foreach { case (n, v, freshlyStaged) =>
       if (freshlyStaged)
         Fs.createExclusive(commitPath(tableDir(baseDir, n), v), commitBody(v)) }
@@ -775,6 +917,7 @@ object Versioned {
         })
       }
       val dead = versionsOnDisk(t).filterNot(referenced).sorted
+      verifyLeasesHeld() // deletes are as unsafe as commits when stolen
       dead.foreach(v => Fs.deleteRecursive(vdir(t, v)))
       dead
     }

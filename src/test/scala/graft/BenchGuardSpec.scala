@@ -56,7 +56,14 @@ class BenchGuardSpec extends AnyFunSuite {
       """{"query":"q3_c","walls":[3.0]}""") // pre-r14 row: no sf field
     val m = BenchGuard.parseSidecarMedians(lines.iterator,
       sf = Some("/data/sf0.1"))
+    // the legacy sf-less row is kept at sf0.1 (the scale every pre-r14
+    // sidecar was recorded at)…
     assert(m == Map("q1_a" -> 1.0, "q3_c" -> 3.0))
+    // …but DROPPED at any other scale — keeping it at sf1 would make
+    // the whole committed r13 reference a mass-outlier table
+    val m1 = BenchGuard.parseSidecarMedians(lines.iterator,
+      sf = Some("/data/sf1"))
+    assert(m1 == Map("q2_b" -> 2.0))
     // no filter requested → everything parses
     assert(BenchGuard.parseSidecarMedians(lines.iterator).size == 3)
   }

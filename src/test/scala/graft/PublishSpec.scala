@@ -388,6 +388,65 @@ class PublishSpec extends AnyFunSuite {
     assert(!Fs.exists(new Path(s"$base/_LEASE_flat")), "released after compact")
   }
 
+  test("stale-lease reclaim is serialized on a generation-keyed marker: " +
+    "a second reclaimer is refused while the marker is live, so two " +
+    "racers can never both win the lease") {
+    val base = tmp("lease-reclaim")
+    Versioned.publish(Seq((1, "a")).toDF("k", "v"), base, "t")
+    // a crashed writer's stale lease…
+    foreignLease(s"$base/t/_LEASE", ageMs = Versioned.leaseTtlMs + 5000)
+    // …whose reclaim ANOTHER writer already owns (fresh marker for this
+    // exact generation: mtime+tokenHash of the stale lease)
+    val lp = new Path(s"$base/t/_LEASE")
+    val mt = Fs.of(lp).getFileStatus(lp).getModificationTime
+    val tokHash = "eeeeeeee-dead-beef-0000-000000000000".hashCode & 0x7fffffff
+    val marker = s"$base/t/_LEASE.reclaim.$mt.$tokHash"
+    Fs.writeString(new Path(marker), "other-reclaimer\n")
+    val ex = intercept[Versioned.ConcurrentWriterException] {
+      Versioned.publish(Seq((2, "b")).toDF("k", "v"), base, "t")
+    }
+    assert(ex.getMessage.contains("reclaim is already in progress"))
+    // the reclaimer crashed: its marker ages out, then the next writer
+    // reclaims cleanly and leaves no marker debris behind
+    assert(new java.io.File(marker)
+      .setLastModified(System.currentTimeMillis() - Versioned.leaseTtlMs - 5000))
+    assert(Versioned.publish(Seq((2, "b")).toDF("k", "v"), base, "t") == 1L)
+    assert(!Fs.exists(new Path(marker)), "reclaim marker must be released")
+    assert(!Fs.exists(lp), "lease must be released after the publish")
+  }
+
+  test("a writer that LOSES its lease mid-span dies loudly at the commit " +
+    "point instead of publishing over the new owner's work; an overrun " +
+    "release leaves the (possibly reclaimed) lease file untouched") {
+    val base = tmp("lease-lost")
+    Versioned.publish(Seq((1, "a")).toDF("k", "v"), base, "t")
+    // simulate the reclaim landing mid-span: inside our held lease,
+    // the file suddenly carries another writer's token
+    intercept[Versioned.LeaseLostException] {
+      Versioned.withFamilyLease(base, Seq("t")) {
+        foreignLease(s"$base/t/_LEASE") // the reclaimer's fresh lease
+        Versioned.publish(Seq((2, "b")).toDF("k", "v"), base, "t")
+      }
+    }
+    // nothing committed: the staged _v dir is an orphan, latest still 0
+    assert(Versioned.latestVersion(base, "t").contains(0L))
+    Fs.deleteRecursive(new Path(s"$base/t/_LEASE"))
+    // overrun release: a span longer than the TTL must NOT delete the
+    // lease on exit (a reclaimer may be mid-swap at that very moment) —
+    // the leftover ages out through the normal stale path instead
+    val prevTtl = Versioned.leaseTtlMs
+    try {
+      Versioned.leaseTtlMs = 100L
+      Versioned.withFamilyLease(base, Seq("t")) { Thread.sleep(250) }
+      assert(Fs.exists(new Path(s"$base/t/_LEASE")),
+        "an overrun lease must be left for the stale-reclaim path")
+    } finally Versioned.leaseTtlMs = prevTtl
+    // and the leftover (our own token, no live holder) is reclaimed
+    // immediately by the next acquire — no TTL wait for own debris
+    assert(Versioned.publish(Seq((3, "c")).toDF("k", "v"), base, "t") >= 1L)
+    assert(!Fs.exists(new Path(s"$base/t/_LEASE")))
+  }
+
   test("in-JVM writers to one table SERIALIZE on the lease instead of " +
     "corrupting or failing: two concurrent publishes both land") {
     val base = tmp("lease-threads")

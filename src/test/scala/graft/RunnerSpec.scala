@@ -270,8 +270,8 @@ class RunnerSpec extends AnyFunSuite {
   }
 
   test("PRE-NAME-FORMAT asides (commit line 2 is a parquet part, not a " +
-    "mart name) are restored and swept when the dir-name parse is " +
-    "unambiguous (dashless run tag); dashed tags stay for manual vacuum") {
+    "mart name) are restored and swept when the recorded run tag proves " +
+    "the dir-name parse; mismatched tags stay for manual vacuum") {
     import graft.pipelines.Fs
     import org.apache.hadoop.fs.Path
     val out = java.nio.file.Files.createTempDirectory("runner-legacy").toString
@@ -296,8 +296,8 @@ class RunnerSpec extends AnyFunSuite {
     // ...and once a target exists, the same rule lets the sweep take it
     Runner.AtomicParquetSink(out, "r3").write(spark.range(9).toDF("v"), "t")
     assert(!Fs.exists(new Path(s"$out/.old-t-r1")), "unambiguous → swept")
-    // AMBIGUOUS parse (dashed tag: '.old-t-r4-x' could be mart 't' tag
-    // 'r4-x' or a mart 't-r4' tag 'x'): never restored, never swept
+    // DASHED tag, true owner: '.old-t-r4-x' whose recorded tag is
+    // 'r4-x' parses to (mart t, tag r4-x) exactly — restorable by t
     Fs.mkdirs(new Path(s"$out/.old-t-r4-x"))
     Fs.writeString(new Path(s"$out/.old-t-r4-x/_COMMIT"), "r4-x\npart.parquet\n")
     Fs.deleteRecursive(new Path(s"$out/t"))
@@ -305,11 +305,25 @@ class RunnerSpec extends AnyFunSuite {
       Runner.AtomicParquetSink(out, "r5").write(
         spark.range(1).selectExpr("raise_error('boom') as v"), "t")
     }
-    assert(!Fs.exists(new Path(s"$out/t")),
-      "an ambiguous old-format aside must not be cross-wired into a restore")
-    Runner.AtomicParquetSink(out, "r6").write(spark.range(2).toDF("v"), "t")
+    assert(Fs.exists(new Path(s"$out/t")),
+      "the recorded tag proves the parse — dashed tags heal for the owner")
+    // the CROSS-WIRE direction: a dash-prefix sibling mart 't-r4' sees
+    // '.old-t-r4-x' but its required dir name for tag 'r4-x' is
+    // '.old-t-r4-r4-x' — never restored as t-r4's, never swept by it
+    Fs.rename(new Path(s"$out/t"), new Path(s"$out/.old-t-r4-x"))
+    intercept[Throwable] {
+      Runner.AtomicParquetSink(out, "r7").write(
+        spark.range(1).selectExpr("raise_error('boom') as v"), "t-r4")
+    }
+    assert(!Fs.exists(new Path(s"$out/t-r4")),
+      "a sibling mart must never claim another mart's old-format aside")
+    assert(Fs.exists(new Path(s"$out/.old-t-r4-x")))
+    // and a TAG-MISMATCHED aside (recorded tag names a different split)
+    // is untouchable debris for everyone — manual vacuum
+    Fs.writeString(new Path(s"$out/.old-t-r4-x/_COMMIT"), "zzz\npart.parquet\n")
+    Runner.AtomicParquetSink(out, "r8").write(spark.range(2).toDF("v"), "t")
     assert(Fs.exists(new Path(s"$out/.old-t-r4-x")),
-      "ambiguous debris is manual-vacuum territory, not sweepable")
+      "tag-mismatched debris is manual-vacuum territory, not sweepable")
   }
 
   test("a failed run retracts a stale transform_SUCCESS from an earlier " +
