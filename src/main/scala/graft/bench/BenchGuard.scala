@@ -62,8 +62,13 @@ object BenchGuard {
       sf: Option[String] = None): Map[String, Double] = {
     def sfMatches(line: String, want: String): Boolean =
       SfRe.findFirstMatchIn(line) match {
-        case Some(m) => m.group(1) == want
-        case None => want.contains(LegacySidecarSf) // pre-r14 row
+        // compare the SCALE (last path segment), not the full path: the
+        // same sf0.1 data mounted at a different root must still match
+        // (a path compare would silently disable the trigger), while
+        // sf0.15 must NOT match sf0.1 (a substring test would re-open
+        // the mass-outlier event on near-miss names)
+        case Some(m) => scaleOf(m.group(1)) == scaleOf(want)
+        case None => scaleOf(want) == LegacySidecarSf // pre-r14 row
       }
     lines.flatMap { line =>
       for {
@@ -80,6 +85,12 @@ object BenchGuard {
   /** The one scale every pre-r14 (sf-field-less) sidecar was recorded
     * at — the driver's per-round sweep scale. */
   val LegacySidecarSf = "sf0.1"
+
+  /** The scale component of an sf directory: its last non-empty path
+    * segment ("/root/testdata/sf0.1" and "/mnt/data/sf0.1/" both →
+    * "sf0.1"). */
+  def scaleOf(sfDir: String): String =
+    sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
 
   /** Ceiling on sidecar-triggered re-measurements per sweep — a
     * defense-in-depth cap so that even a pathological reference (wrong

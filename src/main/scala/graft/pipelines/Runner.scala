@@ -116,23 +116,31 @@ object Runner {
         // predates the name line (line 2 is a parquet part filename, or
         // absent) can never pass ownedByThisMart, so a crash in the
         // swap window over an old-format target would strand it forever
-        // while the mart dir stays missing. The old format DOES record
-        // the run tag (line 1), and the aside dir name is exactly
-        // `.old-<name>-<tag>` — so requiring the dir name to equal
-        // `.old-<this mart>-<recorded tag>` yields exactly one valid
-        // (name, tag) split per aside: a dash-prefix-sharing sibling
-        // (`t` vs `t-r4` over `.old-t-r4-x` with recorded tag `r4-x`)
-        // computes `.old-t-r4-r4-x`, which never matches, so the
-        // cross-wire class is structurally excluded and even DASHED
-        // run tags heal for their true owner.
+        // while the mart dir stays missing. NOTE the recorded run tag
+        // (commit line 1) is the WRITING run's, while the aside's dir
+        // name carries the RENAMING (crashed) run's tag — they never
+        // match on genuine debris, so the dir name is the only parse
+        // material. The claim is accepted when (a) the tag suffix after
+        // `.old-<name>-` is DASHLESS — which makes this mart the
+        // longest possible name parse of the dir (any other candidate
+        // owner is a dash-PREFIX of it) — and (b) no such dash-prefix
+        // sibling mart exists as a target directory in baseDir. The
+        // residual (a dash-prefix sibling that ALSO crashed in its own
+        // swap window, so its target is missing too) plus dashed-tag
+        // debris stay manual-vacuum territory: restoring on a guess
+        // could cross-wire marts, and wrong data is worse than a
+        // missing dir a reader treats as "retry".
         def oldFormatUnambiguous(p: Path): Boolean = {
           val commit = new Path(p, "_COMMIT")
-          Fs.exists(commit) && {
-            val lines = Fs.readString(commit).split("\n")
-            val oldFormat = lines.lift(1).forall(_.endsWith(".parquet"))
-            oldFormat && lines.headOption.exists(tag =>
-              tag.nonEmpty && p.getName == s".old-$name-$tag")
-          }
+          val tag = p.getName.stripPrefix(s".old-$name-")
+          def dashPrefixSiblingExists = name.split('-').inits
+            .filter(parts => parts.nonEmpty && parts.length < name.split('-').length)
+            .map(_.mkString("-"))
+            .exists(sib => Fs.exists(new Path(s"$baseDir/$sib")))
+          !tag.contains('-') && Fs.exists(commit) && {
+            val l1 = Fs.readString(commit).split("\n").lift(1)
+            l1.isEmpty || l1.exists(_.endsWith(".parquet"))
+          } && !dashPrefixSiblingExists
         }
         if (!Fs.exists(target)) {
           val legacy = entries

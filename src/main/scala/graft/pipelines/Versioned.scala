@@ -374,20 +374,31 @@ object Versioned {
     held.get(key) match {
       case Some(n) if n > 1 => held.update(key, n - 1) // inner frame
       case Some(_) =>
-        held.remove(key)
-        ownHeld.remove(key)
-        // give the file back — ONLY while it is provably still ours AND
-        // inside the TTL: past the TTL a reclaimer may be mid-swap, and
-        // a delete racing its fresh create would kill the new owner's
-        // lease (the overrun itself is surfaced loudly at the commit
-        // points by [[verifyLeasesHeld]]; the leftover file here ages
-        // out through the normal stale-reclaim path)
+        // ORDER MATTERS: delete the file FIRST, drop the ownHeld key
+        // SECOND. An eviction-race waiter sleeping in [[fileLease]]
+        // only treats an own-token file as dead leftover once the key
+        // is gone — with this order the key disappears strictly after
+        // the file, so the waiter can never create a fresh lease that
+        // our delayed delete then destroys (delete strictly precedes
+        // the waiter's create). The reverse order had exactly that
+        // window.
+        // The delete itself runs ONLY while the file is provably still
+        // ours AND inside the TTL: past the TTL a reclaimer may be
+        // mid-swap, and a delete racing its fresh create would kill
+        // the new owner's lease (the overrun is surfaced loudly at the
+        // commit points by [[verifyLeasesHeld]]; the leftover file
+        // ages out through the normal stale-reclaim path). The
+        // read-then-delete pair can't be raced either: same-JVM
+        // creates need the file absent, and a cross-process reclaim
+        // needs it stale — which the same status snapshot just refuted.
         try {
           if (Fs.exists(p) && Fs.readString(p).trim == writerToken &&
               System.currentTimeMillis() -
                 Fs.of(p).getFileStatus(p).getModificationTime <= leaseTtlMs)
             Fs.deleteRecursive(p)
         } catch { case _: Throwable => () }
+        held.remove(key)
+        ownHeld.remove(key)
         val lock = localLocks.get(key)
         if (lock != null && lock.isHeldByCurrentThread) lock.unlock()
         maybeEvictLocks()
@@ -422,14 +433,25 @@ object Versioned {
   private[pipelines] def verifyLeasesHeld(): Unit =
     heldByThread.get.keys.foreach { key =>
       val p = new Path(key)
-      val ok =
-        try Fs.exists(p) && Fs.readString(p).trim == writerToken
-        catch { case _: Throwable => false }
-      if (!ok) throw new LeaseLostException(
-        s"lease $key is no longer ours at commit time — this writer " +
-          s"outlived leaseTtlMs=$leaseTtlMs and was reclaimed; aborting " +
-          "before publishing over the new owner's work (re-run with a " +
-          "TTL sized above the operation's duration)")
+      // one bounded retry: a single transient fs read error at the end
+      // of a multi-hour operation must not abort it with a misdiagnosis
+      // ("reclaimed, raise the TTL") when the lease is intact
+      def readToken(): Option[String] =
+        try { if (Fs.exists(p)) Some(Fs.readString(p).trim) else Some("") }
+        catch { case _: Throwable => None }
+      val tok = readToken().orElse { Thread.sleep(100); readToken() }
+      tok match {
+        case Some(t) if t == writerToken => () // still ours
+        case Some(_) => throw new LeaseLostException(
+          s"lease $key is no longer ours at commit time — this writer " +
+            s"outlived leaseTtlMs=$leaseTtlMs and was reclaimed; aborting " +
+            "before publishing over the new owner's work (re-run with a " +
+            "TTL sized above the operation's duration)")
+        case None => throw new LeaseLostException(
+          s"lease $key could not be re-read at commit time (filesystem " +
+            "error twice in a row) — aborting on the fail-safe side; the " +
+            "lease may well still be ours, retry the operation")
+      }
     }
 
   /** Run `body` holding the writer leases at `leaseFiles` — acquired in

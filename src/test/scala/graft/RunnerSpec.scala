@@ -270,60 +270,63 @@ class RunnerSpec extends AnyFunSuite {
   }
 
   test("PRE-NAME-FORMAT asides (commit line 2 is a parquet part, not a " +
-    "mart name) are restored and swept when the recorded run tag proves " +
-    "the dir-name parse; mismatched tags stay for manual vacuum") {
+    "mart name) heal when the dir-name parse is provably this mart's " +
+    "(dashless tag, no dash-prefix sibling); the rest is manual vacuum") {
     import graft.pipelines.Fs
     import org.apache.hadoop.fs.Path
     val out = java.nio.file.Files.createTempDirectory("runner-legacy").toString
     Runner.AtomicParquetSink(out, "r1").write(spark.range(5).toDF("v"), "t")
     // age the commit to the pre-r13 format: no name line — exactly the
-    // debris ADVICE r13 flagged as stranded forever
+    // debris ADVICE r13 flagged as stranded forever. NOTE the recorded
+    // tag (the WRITING run's, r1) differs from the aside's dir tag (the
+    // RENAMING run's, r2) — the genuine-debris shape.
     val parts = Fs.list(new Path(s"$out/t")).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.mkString("\n")
     Fs.writeString(new Path(s"$out/t/_COMMIT"), s"r1\n$parts\n")
-    // crash window: target renamed aside, process dies
-    Fs.rename(new Path(s"$out/t"), new Path(s"$out/.old-t-r1"))
+    // crash window: run r2 renamed the target aside, process died
+    Fs.rename(new Path(s"$out/t"), new Path(s"$out/.old-t-r2"))
     assert(!Fs.exists(new Path(s"$out/t")))
     // next run HEALS first — observe the restore itself by making the
-    // new publish fail after the heal (ANSI division by zero at write)
+    // new publish fail after the heal
     intercept[Throwable] {
-      Runner.AtomicParquetSink(out, "r2").write(
+      Runner.AtomicParquetSink(out, "r3").write(
         spark.range(1).selectExpr("raise_error('boom') as v"), "t")
     }
     assert(Fs.exists(new Path(s"$out/t")),
       "an unambiguous old-format aside must be restored, not stranded")
     assert(spark.read.parquet(s"$out/t").count() == 5L)
-    // ...and once a target exists, the same rule lets the sweep take it
-    Runner.AtomicParquetSink(out, "r3").write(spark.range(9).toDF("v"), "t")
-    assert(!Fs.exists(new Path(s"$out/.old-t-r1")), "unambiguous → swept")
-    // DASHED tag, true owner: '.old-t-r4-x' whose recorded tag is
-    // 'r4-x' parses to (mart t, tag r4-x) exactly — restorable by t
-    Fs.mkdirs(new Path(s"$out/.old-t-r4-x"))
-    Fs.writeString(new Path(s"$out/.old-t-r4-x/_COMMIT"), "r4-x\npart.parquet\n")
+    // ...and once a target exists, the same rule lets the sweep take
+    // old-format debris
+    Fs.mkdirs(new Path(s"$out/.old-t-r5"))
+    Fs.writeString(new Path(s"$out/.old-t-r5/_COMMIT"), "rW\npart.parquet\n")
+    Runner.AtomicParquetSink(out, "r6").write(spark.range(9).toDF("v"), "t")
+    assert(!Fs.exists(new Path(s"$out/.old-t-r5")), "unambiguous → swept")
+    // DASHED dir tag ('.old-t-r7-x' could be mart t tag r7-x or a mart
+    // t-r7 tag x — and the old format records no witness): never
+    // restored, never swept — manual vacuum
+    Fs.mkdirs(new Path(s"$out/.old-t-r7-x"))
+    Fs.writeString(new Path(s"$out/.old-t-r7-x/_COMMIT"), "rZ\npart.parquet\n")
     Fs.deleteRecursive(new Path(s"$out/t"))
     intercept[Throwable] {
-      Runner.AtomicParquetSink(out, "r5").write(
+      Runner.AtomicParquetSink(out, "r8").write(
         spark.range(1).selectExpr("raise_error('boom') as v"), "t")
     }
-    assert(Fs.exists(new Path(s"$out/t")),
-      "the recorded tag proves the parse — dashed tags heal for the owner")
-    // the CROSS-WIRE direction: a dash-prefix sibling mart 't-r4' sees
-    // '.old-t-r4-x' but its required dir name for tag 'r4-x' is
-    // '.old-t-r4-r4-x' — never restored as t-r4's, never swept by it
-    Fs.rename(new Path(s"$out/t"), new Path(s"$out/.old-t-r4-x"))
+    assert(!Fs.exists(new Path(s"$out/t")),
+      "a dashed-tag old-format aside must not be restored on a guess")
+    // CROSS-WIRE guard: mart 't-k9' sees '.old-t-k9-x' with a dashless
+    // suffix ('x') — but its dash-prefix sibling mart 't' exists as a
+    // target directory, so the claim is refused (the aside is likelier
+    // t's dashed-tag debris)
+    Runner.AtomicParquetSink(out, "r9").write(spark.range(2).toDF("v"), "t")
+    Fs.mkdirs(new Path(s"$out/.old-t-k9-x"))
+    Fs.writeString(new Path(s"$out/.old-t-k9-x/_COMMIT"), "rY\npart.parquet\n")
     intercept[Throwable] {
-      Runner.AtomicParquetSink(out, "r7").write(
-        spark.range(1).selectExpr("raise_error('boom') as v"), "t-r4")
+      Runner.AtomicParquetSink(out, "r10").write(
+        spark.range(1).selectExpr("raise_error('boom') as v"), "t-k9")
     }
-    assert(!Fs.exists(new Path(s"$out/t-r4")),
-      "a sibling mart must never claim another mart's old-format aside")
-    assert(Fs.exists(new Path(s"$out/.old-t-r4-x")))
-    // and a TAG-MISMATCHED aside (recorded tag names a different split)
-    // is untouchable debris for everyone — manual vacuum
-    Fs.writeString(new Path(s"$out/.old-t-r4-x/_COMMIT"), "zzz\npart.parquet\n")
-    Runner.AtomicParquetSink(out, "r8").write(spark.range(2).toDF("v"), "t")
-    assert(Fs.exists(new Path(s"$out/.old-t-r4-x")),
-      "tag-mismatched debris is manual-vacuum territory, not sweepable")
+    assert(!Fs.exists(new Path(s"$out/t-k9")),
+      "a mart with a dash-prefix sibling must not claim the sibling's debris")
+    assert(Fs.exists(new Path(s"$out/.old-t-k9-x")))
   }
 
   test("a failed run retracts a stale transform_SUCCESS from an earlier " +
