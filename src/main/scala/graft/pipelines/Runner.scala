@@ -119,28 +119,27 @@ object Runner {
         // while the mart dir stays missing. NOTE the recorded run tag
         // (commit line 1) is the WRITING run's, while the aside's dir
         // name carries the RENAMING (crashed) run's tag — they never
-        // match on genuine debris, so the dir name is the only parse
-        // material. The claim is accepted when (a) the tag suffix after
-        // `.old-<name>-` is DASHLESS — which makes this mart the
-        // longest possible name parse of the dir (any other candidate
-        // owner is a dash-PREFIX of it) — and (b) no such dash-prefix
-        // sibling mart exists as a target directory in baseDir. The
-        // residual (a dash-prefix sibling that ALSO crashed in its own
-        // swap window, so its target is missing too) plus dashed-tag
-        // debris stay manual-vacuum territory: restoring on a guess
-        // could cross-wire marts, and wrong data is worse than a
-        // missing dir a reader treats as "retry".
+        // match on genuine debris, so the dir name is the ONLY parse
+        // material, and `.old-<name>-<tag>` is unambiguous exactly when
+        // the part after `.old-` contains a SINGLE dash: then there is
+        // precisely one (name, tag) split, and this mart must be its
+        // name. Anything with more dashes admits several owners
+        // (`.old-t-k9-x` could be mart `t` tag `k9-x` or mart `t-k9`
+        // tag `x`, and no filesystem state can prove which — the
+        // plausible-looking "does the sibling's target dir exist?"
+        // probe is INVERTED in the case that matters, since crash
+        // debris implies the true owner's target is missing too) — so
+        // multi-dash debris stays manual-vacuum territory: restoring on
+        // a guess could cross-wire marts, and wrong data is worse than
+        // a missing dir a reader treats as "retry".
         def oldFormatUnambiguous(p: Path): Boolean = {
           val commit = new Path(p, "_COMMIT")
-          val tag = p.getName.stripPrefix(s".old-$name-")
-          def dashPrefixSiblingExists = name.split('-').inits
-            .filter(parts => parts.nonEmpty && parts.length < name.split('-').length)
-            .map(_.mkString("-"))
-            .exists(sib => Fs.exists(new Path(s"$baseDir/$sib")))
-          !tag.contains('-') && Fs.exists(commit) && {
-            val l1 = Fs.readString(commit).split("\n").lift(1)
-            l1.isEmpty || l1.exists(_.endsWith(".parquet"))
-          } && !dashPrefixSiblingExists
+          p.getName.stripPrefix(".old-").count(_ == '-') == 1 &&
+            p.getName.startsWith(s".old-$name-") &&
+            Fs.exists(commit) && {
+              val l1 = Fs.readString(commit).split("\n").lift(1)
+              l1.isEmpty || l1.exists(_.endsWith(".parquet"))
+            }
         }
         if (!Fs.exists(target)) {
           val legacy = entries

@@ -237,27 +237,43 @@ object Versioned {
   // Bounded: [[maybeEvictLocks]] drops idle entries past a high-water
   // mark (a compactPartitioned over 10⁵ Hive partitions would otherwise
   // grow this monotonically for the JVM's lifetime); eviction is safe
-  // because [[ownHeld]] is the real in-JVM ownership witness — a thread
-  // racing through a freshly re-created lock instance still waits on
-  // the file protocol below.
+  // because [[liveGens]] is the real in-JVM ownership witness — a
+  // thread racing through a freshly re-created lock instance still
+  // waits on the file protocol below.
   private val localLocks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantLock]()
 
-  // Lease files currently held by SOME thread of this JVM — registered
-  // after the exclusive create wins, removed before the release delete.
-  // This is what makes an own-token file finding unambiguous: key
-  // present = a live frame of this process holds it (wait for it), key
-  // absent = the file is a leftover of a failed release delete
-  // (reclaim immediately).
-  private val ownHeld =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // Every acquire gets a unique GENERATION, written into the lease
+  // file next to the JVM token and registered here BEFORE the create
+  // is attempted. An own-token file finding is then unambiguous with
+  // no timing window at all: its generation ∈ liveGens = a live frame
+  // of this process holds it (wait for it); ∉ = a leftover of a failed
+  // release delete (reclaim immediately). A plain held-KEY set (the
+  // previous design) could be wiped by a RELEASING thread racing a new
+  // acquirer on the same key — erasing the new holder's witness and
+  // letting a third thread "reclaim" a live lease; generations are
+  // owned by exactly one acquire, so a release can only ever retire
+  // its own.
+  private val genCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val liveGens =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
-  // Per-thread held-lease refcounts: re-entrancy (an ANN delete's inner
-  // group publish re-enters its family leases) and the exact set
-  // [[verifyLeasesHeld]] re-checks at commit points.
+  // Per-thread held-lease (refcount, generation): re-entrancy (an ANN
+  // delete's inner group publish re-enters its family leases) and the
+  // exact set [[verifyLeasesHeld]] re-checks at commit points —
+  // including the generation, so even a same-JVM takeover (which keeps
+  // the token identical) is detected there.
   private val heldByThread =
-    ThreadLocal.withInitial[scala.collection.mutable.Map[String, Int]](
+    ThreadLocal.withInitial[scala.collection.mutable.Map[String, (Int, Long)]](
       () => scala.collection.mutable.Map.empty)
+
+  private def leaseBody(gen: Long) = s"$writerToken $gen\n"
+  /** (token, generation) of a lease file's content; generation None for
+    * foreign/malformed content. */
+  private def parseLease(content: String): (String, Option[Long]) = {
+    val parts = content.trim.split(" ")
+    (parts.headOption.getOrElse(""), parts.lift(1).flatMap(_.toLongOption))
+  }
 
   /** Take the writer lease at `p` (blocking same-JVM rivals, refusing
     * live cross-process ones, reclaiming stale ones). Re-entrant per
@@ -266,29 +282,33 @@ object Versioned {
     val key = p.toString
     val held = heldByThread.get
     held.get(key) match {
-      case Some(n) => held.update(key, n + 1); return // re-entrant frame
+      case Some((n, g)) => held.update(key, (n + 1, g)); return // re-entrant
       case None => ()
     }
     val lock = localLocks.computeIfAbsent(key,
       _ => new java.util.concurrent.locks.ReentrantLock())
     lock.lock()
+    val gen = genCounter.incrementAndGet()
+    // the liveness witness is registered BEFORE the create can win, so
+    // no same-JVM contender can ever observe our fresh file without it
+    liveGens.add(gen)
     try {
-      fileLease(p, key)
-      ownHeld.add(key)
-      held.update(key, 1)
-    } catch { case e: Throwable => lock.unlock(); throw e }
+      fileLease(p, gen)
+      held.update(key, (1, gen))
+    } catch { case e: Throwable =>
+      liveGens.remove(gen); lock.unlock(); throw e }
   }
 
   /** The cross-process half: win the exclusive create of `p` or throw.
     * Never returns while another LIVE writer holds the file. */
-  private def fileLease(p: Path, key: String): Unit = {
+  private def fileLease(p: Path, gen: Long): Unit = {
     var reclaims = 0
     while (true) {
-      try { Fs.createExclusive(p, s"$writerToken\n"); return }
+      try { Fs.createExclusive(p, leaseBody(gen)); return }
       catch {
         case e: java.io.IOException =>
           if (!Fs.exists(p)) throw e // create failed for some other reason
-          // (token, mtime) of the standing lease; None = it vanished
+          // (content, mtime) of the standing lease; None = it vanished
           // between the failed create and this read (holder released)
           val held =
             try Some((Fs.readString(p).trim,
@@ -296,31 +316,34 @@ object Versioned {
             catch { case _: java.io.IOException => None }
           held match {
             case None => () // retry the create
-            case Some((tok, _)) if tok == writerToken =>
-              if (ownHeld.contains(key))
-                // a live frame of this JVM holds it through an evicted
-                // lock instance — wait like lock() would; its release
-                // deletes the file and clears ownHeld
-                Thread.sleep(50)
-              else
-                // our own leftover (a release whose delete failed):
-                // nothing live holds it — reclaim immediately
-                Fs.deleteRecursive(p)
-            case Some((tok, mtime)) =>
-              val age = System.currentTimeMillis() - mtime
-              if (age <= leaseTtlMs)
-                throw new ConcurrentWriterException(
-                  s"$p is held by another writer (holder ${tok.take(8)}…, " +
-                    s"age ${age}ms ≤ ttl ${leaseTtlMs}ms) — single-writer " +
-                    "contract: wait for it to finish or go stale")
-              // stale: reclaim through the generation-keyed marker, then
-              // retry the create (a concurrent acquirer may win it — the
-              // loop then reads the FRESH lease and refuses above).
-              // Bounded so a pathological fs can't spin us forever.
-              reclaims += 1
-              if (reclaims > 3) throw new ConcurrentWriterException(
-                s"$p keeps reappearing after $reclaims stale reclaims")
-              reclaimStale(p, tok, mtime)
+            case Some((content, mtime)) =>
+              val (tok, g) = parseLease(content)
+              if (tok == writerToken) {
+                if (g.exists(liveGens.contains))
+                  // a live frame of this JVM holds it (possibly through
+                  // an evicted lock instance) — wait like lock() would;
+                  // its release deletes the file and retires the gen
+                  Thread.sleep(50)
+                else
+                  // our token but a dead generation: the leftover of a
+                  // failed release delete — reclaim immediately
+                  Fs.deleteRecursive(p)
+              } else {
+                val age = System.currentTimeMillis() - mtime
+                if (age <= leaseTtlMs)
+                  throw new ConcurrentWriterException(
+                    s"$p is held by another writer (holder ${tok.take(8)}…, " +
+                      s"age ${age}ms ≤ ttl ${leaseTtlMs}ms) — single-writer " +
+                      "contract: wait for it to finish or go stale")
+                // stale: reclaim through the generation-keyed marker,
+                // then retry the create (a concurrent acquirer may win
+                // it — the loop then reads the FRESH lease and refuses
+                // above). Bounded so a pathological fs can't spin us.
+                reclaims += 1
+                if (reclaims > 3) throw new ConcurrentWriterException(
+                  s"$p keeps reappearing after $reclaims stale reclaims")
+                reclaimStale(p, content, mtime)
+              }
           }
       }
     }
@@ -340,9 +363,9 @@ object Versioned {
     * a crashed WRITER plus a crashed RECLAIMER plus two new racers
     * inside one sub-second window — documented residual, not a path a
     * real deployment walks. */
-  private def reclaimStale(p: Path, tok: String, mtime: Long): Unit = {
+  private def reclaimStale(p: Path, observed: String, mtime: Long): Unit = {
     val r = new Path(p.getParent,
-      p.getName + s".reclaim.$mtime.${tok.hashCode & 0x7fffffff}")
+      p.getName + s".reclaim.$mtime.${observed.hashCode & 0x7fffffff}")
     try Fs.createExclusive(r, s"$writerToken\n")
     catch {
       case e: java.io.IOException =>
@@ -364,7 +387,7 @@ object Versioned {
         try Some((Fs.readString(p).trim,
           Fs.of(p).getFileStatus(p).getModificationTime))
         catch { case _: java.io.IOException => None }
-      if (still.contains((tok, mtime))) Fs.deleteRecursive(p)
+      if (still.contains((observed, mtime))) Fs.deleteRecursive(p)
     } finally Fs.deleteRecursive(r)
   }
 
@@ -372,33 +395,28 @@ object Versioned {
     val key = p.toString
     val held = heldByThread.get
     held.get(key) match {
-      case Some(n) if n > 1 => held.update(key, n - 1) // inner frame
-      case Some(_) =>
-        // ORDER MATTERS: delete the file FIRST, drop the ownHeld key
-        // SECOND. An eviction-race waiter sleeping in [[fileLease]]
-        // only treats an own-token file as dead leftover once the key
-        // is gone — with this order the key disappears strictly after
-        // the file, so the waiter can never create a fresh lease that
-        // our delayed delete then destroys (delete strictly precedes
-        // the waiter's create). The reverse order had exactly that
-        // window.
-        // The delete itself runs ONLY while the file is provably still
-        // ours AND inside the TTL: past the TTL a reclaimer may be
-        // mid-swap, and a delete racing its fresh create would kill
-        // the new owner's lease (the overrun is surfaced loudly at the
-        // commit points by [[verifyLeasesHeld]]; the leftover file
-        // ages out through the normal stale-reclaim path). The
-        // read-then-delete pair can't be raced either: same-JVM
-        // creates need the file absent, and a cross-process reclaim
-        // needs it stale — which the same status snapshot just refuted.
+      case Some((n, g)) if n > 1 => held.update(key, (n - 1, g)) // inner frame
+      case Some((_, gen)) =>
+        // delete the file ONLY when it is provably OUR GENERATION (a
+        // new same-JVM holder's file carries a different gen, so a
+        // delayed release can never destroy it — the generation
+        // replaces the fragile ordering rules earlier designs needed)
+        // AND inside the TTL: past the TTL a cross-process reclaimer
+        // may be mid-swap between our read and our delete (the overrun
+        // is surfaced loudly at the commit points by
+        // [[verifyLeasesHeld]]; the leftover file ages out through the
+        // normal stale-reclaim path).
         try {
-          if (Fs.exists(p) && Fs.readString(p).trim == writerToken &&
-              System.currentTimeMillis() -
-                Fs.of(p).getFileStatus(p).getModificationTime <= leaseTtlMs)
-            Fs.deleteRecursive(p)
+          if (Fs.exists(p)) {
+            val (tok, g) = parseLease(Fs.readString(p))
+            if (tok == writerToken && g.contains(gen) &&
+                System.currentTimeMillis() -
+                  Fs.of(p).getFileStatus(p).getModificationTime <= leaseTtlMs)
+              Fs.deleteRecursive(p)
+          }
         } catch { case _: Throwable => () }
         held.remove(key)
-        ownHeld.remove(key)
+        liveGens.remove(gen)
         val lock = localLocks.get(key)
         if (lock != null && lock.isHeldByCurrentThread) lock.unlock()
         maybeEvictLocks()
@@ -431,18 +449,31 @@ object Versioned {
     * silently overwriting the reclaiming writer's work. One small read
     * per held lease, paid once per commit. */
   private[pipelines] def verifyLeasesHeld(): Unit =
-    heldByThread.get.keys.foreach { key =>
+    heldByThread.get.foreach { case (key, (_, gen)) =>
       val p = new Path(key)
-      // one bounded retry: a single transient fs read error at the end
-      // of a multi-hour operation must not abort it with a misdiagnosis
-      // ("reclaimed, raise the TTL") when the lease is intact
-      def readToken(): Option[String] =
-        try { if (Fs.exists(p)) Some(Fs.readString(p).trim) else Some("") }
-        catch { case _: Throwable => None }
-      val tok = readToken().orElse { Thread.sleep(100); readToken() }
-      tok match {
-        case Some(t) if t == writerToken => () // still ours
-        case Some(_) => throw new LeaseLostException(
+      // Some(true/false) = definitive answer; None = fs error. The
+      // check is generation-exact, so even a same-JVM takeover (which
+      // keeps the token identical) reads as lost. ONE bounded retry
+      // covers both a thrown fs error AND a transient not-found (NFS
+      // attribute-cache staleness, object-store negative caching) —
+      // either way a single flaky read at the end of a multi-hour
+      // operation must not abort it with a misdiagnosis when the lease
+      // is intact.
+      def check(): Option[Boolean] =
+        try {
+          if (!Fs.exists(p)) Some(false)
+          else {
+            val (tok, g) = parseLease(Fs.readString(p))
+            Some(tok == writerToken && g.contains(gen))
+          }
+        } catch { case _: Throwable => None }
+      val first = check()
+      val verdict =
+        if (first.contains(true)) first
+        else { Thread.sleep(100); check().orElse(first) }
+      verdict match {
+        case Some(true) => () // still ours
+        case Some(false) => throw new LeaseLostException(
           s"lease $key is no longer ours at commit time — this writer " +
             s"outlived leaseTtlMs=$leaseTtlMs and was reclaimed; aborting " +
             "before publishing over the new owner's work (re-run with a " +

@@ -626,17 +626,23 @@ object Streams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val payloadCols = batch.columns.filterNot(c => c == "op" || c == "seq")
-          val prev = graft.pipelines.Versioned
-            .latestVersion(baseDir, name) match {
-            case Some(_) =>
-              graft.pipelines.Versioned.read(spark, baseDir, name)
-            case None => // bootstrap: an empty snapshot with the payload schema
-              batch.toDF().select(payloadCols.map(col).toIndexedSeq: _*)
-                .limit(0)
+          // the snapshot-read → apply → publish span is one writer
+          // transaction (r14): a concurrent writer landing between the
+          // read and the publish would be silently reverted by this
+          // epoch's snapshot-replace
+          graft.pipelines.Versioned.withFamilyLease(baseDir, Seq(name)) {
+            val prev = graft.pipelines.Versioned
+              .latestVersion(baseDir, name) match {
+              case Some(_) =>
+                graft.pipelines.Versioned.read(spark, baseDir, name)
+              case None => // bootstrap: empty snapshot with the payload schema
+                batch.toDF().select(payloadCols.map(col).toIndexedSeq: _*)
+                  .limit(0)
+            }
+            val next = graft.pipelines.Incremental
+              .applyCdc(prev, batch.toDF(), keys)
+            graft.pipelines.Versioned.publish(next, baseDir, name, keep)
           }
-          val next = graft.pipelines.Incremental
-            .applyCdc(prev, batch.toDF(), keys)
-          graft.pipelines.Versioned.publish(next, baseDir, name, keep)
           ()
         }
       }

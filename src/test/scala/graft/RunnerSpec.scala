@@ -313,10 +313,10 @@ class RunnerSpec extends AnyFunSuite {
     }
     assert(!Fs.exists(new Path(s"$out/t")),
       "a dashed-tag old-format aside must not be restored on a guess")
-    // CROSS-WIRE guard: mart 't-k9' sees '.old-t-k9-x' with a dashless
-    // suffix ('x') — but its dash-prefix sibling mart 't' exists as a
-    // target directory, so the claim is refused (the aside is likelier
-    // t's dashed-tag debris)
+    // CROSS-WIRE guard: mart 't-k9' sees '.old-t-k9-x' — a multi-dash
+    // dir name admits several (name, tag) parses (mart t tag k9-x, or
+    // mart t-k9 tag x) and no filesystem state can prove which, so NO
+    // mart may claim it, even the one whose own parse looks dashless
     Runner.AtomicParquetSink(out, "r9").write(spark.range(2).toDF("v"), "t")
     Fs.mkdirs(new Path(s"$out/.old-t-k9-x"))
     Fs.writeString(new Path(s"$out/.old-t-k9-x/_COMMIT"), "rY\npart.parquet\n")
@@ -325,7 +325,7 @@ class RunnerSpec extends AnyFunSuite {
         spark.range(1).selectExpr("raise_error('boom') as v"), "t-k9")
     }
     assert(!Fs.exists(new Path(s"$out/t-k9")),
-      "a mart with a dash-prefix sibling must not claim the sibling's debris")
+      "a multi-dash old-format aside must never be claimed by any mart")
     assert(Fs.exists(new Path(s"$out/.old-t-k9-x")))
   }
 
