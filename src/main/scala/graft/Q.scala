@@ -30,7 +30,8 @@ object Registry {
     "src/main/scala/graft/queries/MultimodalQueries.scala" -> queries.MultimodalQueries.all,
     "src/main/scala/graft/queries/MiningQueries.scala" -> queries.MiningQueries.all,
     "src/main/scala/graft/queries/ScienceQueries.scala" -> queries.ScienceQueries.all,
-    "src/main/scala/graft/queries/InsightQueries.scala" -> queries.InsightQueries.all)
+    "src/main/scala/graft/queries/InsightQueries.scala" -> queries.InsightQueries.all,
+    "src/main/scala/graft/queries/CompositionQueries.scala" -> queries.CompositionQueries.all)
 
   /** Full declared surface; SparkEntry derives its maps from this. */
   lazy val all: Seq[Q] = families.flatMap(_._2)

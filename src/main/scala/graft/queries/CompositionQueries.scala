@@ -1,0 +1,558 @@
+package graft.queries
+
+import graft.Q
+import graft.catalog.Catalog
+import graft.ops.Det._
+import graft.ops.{DedupOps, GlobalRank, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-14 COMPOSITIONS: each query chains machinery from several
+  * already-proven operator families end-to-end — the staged reports a
+  * real curation / analytics pipeline runs, not new scalar statistics
+  * (the r13 verdict's "breadth continues into compositions" direction).
+  * Every entry is class-A oracle-checked: the DuckDB statement replays
+  * the WHOLE chain (including the recursive-CTE connected components
+  * where near-dup clustering participates), so the driver hash-gates
+  * the composition, not just its legs.
+  *
+  * Scale discipline carried over from the component families:
+  * single-explode fused token profiles (two-stage exact aggregation, no
+  * Expand), banded df-capped near-dup candidates (never corpus×corpus),
+  * GlobalRank range-shuffle ranks instead of single-partition windows
+  * on per-document frames, quota algebra only over stratum-sized
+  * aggregates, and trailing-window statistics on bounded calendar
+  * spines.
+  */
+object CompositionQueries {
+
+  private def docs(spark: SparkSession, dir: String) =
+    Catalog.load(spark, dir, "documents")
+
+  private val Langs = Seq("en", "es", "de", "fr", "zh")
+  private def stopsSql(l: String) =
+    TextOps.stopwords(l).map(s => s"'$s'").mkString(", ")
+
+  /** Fused per-doc text profile: ONE explode, two-stage EXACT
+    * aggregation (per-(doc,tok) counts, then per-doc sums) so token
+    * total, distinct count, English stop count and the five language
+    * votes all come out of a single shuffle with combinable aggregates
+    * — no Expand rewrite (countDistinct mixed with other aggs) and no
+    * second corpus scan. The q52 quality score and the q53 stopword
+    * argmax are then per-row arithmetic over exact counts, bit-identical
+    * on any engine. */
+  private def docProfile(d: DataFrame): DataFrame = {
+    val tf = TextOps.exploded(d)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val votes = Langs.map { l =>
+      sum(when(col("tok").isInCollection(TextOps.stopwords(l)), col("cnt"))
+        .otherwise(0L)).as(s"c_$l")
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_distinct"),
+      sum(when(col("tok").isInCollection(TextOps.stopwords("en")),
+        col("cnt")).otherwise(0L)).as("n_stop")) ++ votes
+    val prof = tf.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"), aggs: _*)
+    val best = Langs.map(l => col(s"c_$l")).reduce((a, b) => greatest(a, b))
+    val pred = Langs.foldRight(lit("und"): Column) { (l, rest) =>
+      when(col(s"c_$l") === best && best > 0, l).otherwise(rest)
+    }
+    prof.select(col("doc_id"), col("n_tokens"),
+      (least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.4 +
+        (col("n_stop").cast("double") / col("n_tokens")) * 0.3 +
+        (col("n_distinct").cast("double") / col("n_tokens")) * 0.3)
+        .as("quality"),
+      pred.as("pred_lang"))
+  }
+
+  // ---- q523: the curation funnel report ------------------------------
+
+  /** End-to-end curation FUNNEL per (lang, source): corpus in →
+    * language-confirmed (q53 stopword argmax agrees with the declared
+    * label — the gate a multilingual pipeline applies before trusting
+    * labels) → quality-passed (q52 score ≥ 0.5) → near-dup-deduplicated
+    * (q65's exact 5-gram Jaccard ≥ 0.5 components; the kept doc is each
+    * component's min-id member AMONG the quality survivors, so dedup
+    * never resurrects a filtered doc), plus the token mass that survives
+    * the whole chain. Stage counts are monotone non-increasing by
+    * construction — the observability row a training-data pipeline reads
+    * before committing a mixture (CompositionSpec pins monotonicity).
+    *
+    * Cost shape: one explode-aggregate for the profile ([[docProfile]]),
+    * the q65 banded candidate join for components (df-capped postings —
+    * never corpus×corpus), one doc-keyed join of the two, one window
+    * over cluster partitions (component-sized frames), one final
+    * combinable rollup on (lang, source). */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val prof = docProfile(d)
+    val clusters = DedupOps.dedupClusters(d, n = 5, threshold = 0.5)
+    val flags = d.select(col("doc_id"), col("lang"), col("source"))
+      .join(prof, Seq("doc_id"), "left_outer")
+      .withColumn("lang_ok",
+        coalesce(col("pred_lang") === col("lang"), lit(false)))
+      .withColumn("q_ok", col("lang_ok") && col("quality") >= 0.5)
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+    flags.join(clusters, "doc_id")
+      .withColumn("surv_rep",
+        min(when(col("q_ok"), col("doc_id")))
+          .over(Window.partitionBy(col("cluster_rep"))))
+      .withColumn("kept", col("q_ok") && col("doc_id") === col("surv_rep"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs_in"),
+        count(when(col("lang_ok"), 1)).as("n_lang_ok"),
+        count(when(col("q_ok"), 1)).as("n_quality_ok"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("tokens_kept"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Shared oracle CTE: the fused per-doc profile (token total, quality,
+    * predicted language) — the SQL twin of [[docProfile]]. */
+  private val profCte = {
+    val voteCols = Langs.map(l =>
+      s"SUM(CASE WHEN tok IN (${stopsSql(l)}) THEN cnt ELSE 0 END) AS c_$l")
+      .mkString(",\n    ")
+    val best = s"greatest(${Langs.map(l => s"c_$l").mkString(", ")})"
+    val pred = Langs.map(l => s"WHEN c_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), prof AS (
+       |  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+       |    SUM(CASE WHEN tok IN (${stopsSql("en")}) THEN cnt ELSE 0 END)
+       |      AS n_stop,
+       |    $voteCols
+       |  FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id, n_tokens,
+       |    least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+       |      + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+       |      + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3 AS quality,
+       |    $pred AS pred_lang
+       |  FROM prof
+       |)""".stripMargin
+  }
+
+  private val curationFunnelSql =
+    s"""WITH RECURSIVE ${DedupQueries.reachCtes}, rep AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |), $profCte, flags AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |    COALESCE(s.pred_lang = d.lang, FALSE) AS lang_ok,
+       |    COALESCE(s.pred_lang = d.lang AND s.quality >= 0.5, FALSE)
+       |      AS q_ok,
+       |    COALESCE(s.n_tokens, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN scored s USING (doc_id)
+       |), surv AS (
+       |  SELECT f.*,
+       |    MIN(CASE WHEN f.q_ok THEN f.doc_id END)
+       |      OVER (PARTITION BY r.cluster_rep) AS surv_rep
+       |  FROM flags f JOIN rep r USING (doc_id)
+       |)
+       |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS docs_in,
+       |  CAST(COUNT(*) FILTER (lang_ok) AS BIGINT) AS n_lang_ok,
+       |  CAST(COUNT(*) FILTER (q_ok) AS BIGINT) AS n_quality_ok,
+       |  CAST(COUNT(*) FILTER (q_ok AND doc_id = surv_rep) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN q_ok AND doc_id = surv_rep
+       |    THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS tokens_kept
+       |FROM surv
+       |GROUP BY 1, 2
+       |ORDER BY lang, source""".stripMargin
+
+  // ---- q524: token-budgeted temperature mixture -----------------------
+
+  /** Token budget for the q524 mixture — sized so it BITES at the
+    * fixture scale (per-language token mass is 3.5k–12k at sf0.01). */
+  private val MixBudgetTokens = 8000L
+
+  /** Token-BUDGETED temperature mixture: q186's α = 0.5 temperature
+    * reweighting applied to TOKEN mass (weight = floor(sqrt(lang
+    * tokens)·10⁶)), q120's largest-remainder apportionment of a TOKEN
+    * budget across languages, then q125's greedy prefix admission
+    * INSIDE each language in the deterministic multiplicative-hash
+    * order — i.e. the mixture composer a token-metered (not
+    * doc-metered) pre-training run actually needs. A language's take
+    * stops at the last doc whose cumulative tokens fit its quota, so
+    * tokens_taken ≤ quota_tokens always, and a language with less mass
+    * than quota contributes everything (deliberately under budget —
+    * stealing the shortfall would distort the declared mixture).
+    *
+    * Scale shape: the quota algebra runs on the |langs|-row aggregate
+    * (WindowSweep-allowlisted bounded frame); the per-document
+    * rank+prefix-sum is [[GlobalRank.withRunningSum]] over the total
+    * order (lang, hash, id) — one range shuffle, no single-partition
+    * window and no per-stratum window task that would hold 1/|langs|
+    * of a 100 TB corpus — with each language's in-stratum cumsum
+    * recovered by subtracting the preceding languages' token mass
+    * (broadcast |langs|-row offsets; integer sums reassociate freely
+    * so this is bit-identical to the per-language window form). */
+  def tokenBudgetedMixture(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000000007L
+    val d = docs(spark, dir).filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+    val perLang = d.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("lang_tokens").cast("double")) * 1e6).cast("long"))
+    val all = Window.partitionBy(lit(1))
+    val quotas = perLang
+      .withColumn("tot", sum(col("w")).over(all))
+      .withColumn("base", expr(s"($MixBudgetTokens * w) div tot"))
+      .withColumn("rem", expr(s"($MixBudgetTokens * w) % tot"))
+      .withColumn("leftover",
+        lit(MixBudgetTokens) - sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang")))
+        .cast("long"))
+      .withColumn("lang_offset",
+        coalesce(sum(col("lang_tokens")).over(
+          Window.partitionBy(lit(1)).orderBy(col("lang"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("w"), col("lang_offset"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("quota_tokens"))
+    val ranked = GlobalRank.withRunningSum(
+      d.withColumn("hkey",
+        pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p))),
+      Seq(col("lang"), col("hkey"), col("doc_id")),
+      col("n_tokens"), "cum_all")
+    ranked.join(broadcast(quotas), "lang")
+      .withColumn("taken",
+        col("cum_all") - col("lang_offset") <= col("quota_tokens"))
+      .groupBy(col("lang"))
+      .agg(min(col("w")).as("w"),
+        min(col("quota_tokens")).as("quota_tokens"),
+        count(when(col("taken"), 1)).as("docs_taken"),
+        sum(when(col("taken"), col("n_tokens")).otherwise(0L))
+          .as("tokens_taken"))
+      .orderBy(col("lang"))
+  }
+
+  private val tokenBudgetedMixtureSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE lang IS NOT NULL
+       |), s AS (
+       |  SELECT lang, SUM(n_tokens) AS lang_tokens,
+       |    CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1e6) AS BIGINT)
+       |      AS w
+       |  FROM d GROUP BY 1
+       |), q1 AS (
+       |  SELECT lang, w, SUM(w) OVER () AS tot FROM s
+       |), q2 AS (
+       |  SELECT lang, w, ($MixBudgetTokens * w) // tot AS base,
+       |    ($MixBudgetTokens * w) % tot AS rem
+       |  FROM q1
+       |), q3 AS (
+       |  SELECT lang, w, base,
+       |    $MixBudgetTokens - SUM(base) OVER () AS leftover,
+       |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+       |  FROM q2
+       |), quotas AS (
+       |  SELECT lang, w,
+       |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |      AS quota_tokens
+       |  FROM q3
+       |), ranked AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+       |                * 2654435761) % 1000000007, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_in_lang
+       |  FROM d
+       |)
+       |SELECT q.lang, q.w, q.quota_tokens,
+       |  CAST(COUNT(*) FILTER (r.cum_in_lang <= q.quota_tokens) AS BIGINT)
+       |    AS docs_taken,
+       |  CAST(COALESCE(SUM(r.n_tokens)
+       |    FILTER (r.cum_in_lang <= q.quota_tokens), 0) AS BIGINT)
+       |    AS tokens_taken
+       |FROM ranked r JOIN quotas q USING (lang)
+       |GROUP BY q.lang, q.w, q.quota_tokens
+       |ORDER BY q.lang""".stripMargin
+
+  // ---- q525: supplier risk scorecard ----------------------------------
+
+  /** Supplier risk SCORECARD: per-supplier exact metrics from one
+    * lineitem rollup (decimal-exact net revenue, return-line rate,
+    * distinct-part breadth), account balance from the supplier dim,
+    * then WITHIN-NATION tercile grading (ntile(3) over fully
+    * deterministic orders — rank-based, so no cross-engine variance
+    * arithmetic is needed) and a composite risk grade: a point each for
+    * bottom-tercile revenue, top-tercile return rate, bottom-tercile
+    * account balance. The relational composition twin of the curation
+    * funnel: join + combinable rollup + partitioned window + case
+    * grading in one report.
+    *
+    * Scale shape: lineitem collapses to the supplier grain FIRST
+    * (partial-agg combinable; the join carries |suppliers| rows, never
+    * fact rows), dims broadcast, the grading windows partition by
+    * nation over the supplier-grain frame. */
+  def supplierRiskScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.load(spark, dir, "lineitem")
+    val sup = Catalog.load(spark, dir, "supplier")
+    val nat = Catalog.load(spark, dir, "nation")
+    val m = li.groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .withColumn("ret_rate",
+        col("n_returned").cast("double") / col("n_lines"))
+    val j = sup.join(broadcast(nat),
+        sup("s_nationkey") === nat("n_nationkey"))
+      .join(m, sup("s_suppkey") === m("l_suppkey"))
+    val byNation = Window.partitionBy(col("n_name"))
+    val graded = j
+      .withColumn("rev_t", ntile(3).over(
+        byNation.orderBy(col("revenue"), col("s_suppkey"))))
+      .withColumn("ret_t", ntile(3).over(
+        byNation.orderBy(col("ret_rate"), col("s_suppkey"))))
+      .withColumn("bal_t", ntile(3).over(
+        byNation.orderBy(col("s_acctbal"), col("s_suppkey"))))
+      .withColumn("risk_points",
+        when(col("rev_t") === 1, 1).otherwise(0) +
+          when(col("ret_t") === 3, 1).otherwise(0) +
+          when(col("bal_t") === 1, 1).otherwise(0))
+    graded.select(col("s_suppkey"), col("s_name"),
+        col("n_name").as("nation"), col("revenue"), col("ret_rate"),
+        col("n_parts"), col("risk_points").cast("int").as("risk_points"),
+        when(col("risk_points") === 3, "high")
+          .when(col("risk_points") === 2, "elevated")
+          .when(col("risk_points") === 1, "watch")
+          .otherwise("low").as("grade"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val supplierRiskScorecardSql =
+    s"""WITH m AS (
+       |  SELECT l_suppkey,
+       |    ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |    COUNT(*) AS n_lines,
+       |    COUNT(*) FILTER (l_returnflag = 'R') AS n_returned,
+       |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+       |  FROM lineitem GROUP BY 1
+       |), g AS (
+       |  SELECT s.s_suppkey, s.s_name, n.n_name AS nation, m.revenue,
+       |    CAST(m.n_returned AS DOUBLE) / m.n_lines AS ret_rate,
+       |    m.n_parts,
+       |    NTILE(3) OVER (PARTITION BY n.n_name
+       |      ORDER BY m.revenue, s.s_suppkey) AS rev_t,
+       |    NTILE(3) OVER (PARTITION BY n.n_name
+       |      ORDER BY CAST(m.n_returned AS DOUBLE) / m.n_lines,
+       |        s.s_suppkey) AS ret_t,
+       |    NTILE(3) OVER (PARTITION BY n.n_name
+       |      ORDER BY s.s_acctbal, s.s_suppkey) AS bal_t
+       |  FROM supplier s
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  JOIN m ON s.s_suppkey = m.l_suppkey
+       |), p AS (
+       |  SELECT *,
+       |    (CASE WHEN rev_t = 1 THEN 1 ELSE 0 END
+       |      + CASE WHEN ret_t = 3 THEN 1 ELSE 0 END
+       |      + CASE WHEN bal_t = 1 THEN 1 ELSE 0 END) AS pts
+       |  FROM g
+       |)
+       |SELECT s_suppkey, s_name, nation, revenue, ret_rate, n_parts,
+       |  CAST(pts AS INT) AS risk_points,
+       |  CASE WHEN pts = 3 THEN 'high' WHEN pts = 2 THEN 'elevated'
+       |       WHEN pts = 1 THEN 'watch' ELSE 'low' END AS grade
+       |FROM p
+       |ORDER BY s_suppkey""".stripMargin
+
+  // ---- q526: robust anomaly drilldown ---------------------------------
+
+  /** Trailing-median anomaly DRILLDOWN over the events value stream:
+    * the daily value spine (decimal-exact totals), each day scored
+    * against the EXACT median of its trailing 7 full days (the robust
+    * detector — a mean/σ window is distorted by the very spikes it
+    * hunts; the exact middle order statistic of 7 values involves no
+    * float accumulation at all, so it is bit-identical on any engine),
+    * then the attribution leg: the top event_type by value share on
+    * every scored day. q283 flags days against a GLOBAL mean; this is
+    * its composed, windowed, drilled-in sibling — flag AND who did it.
+    *
+    * Scale shape: both legs collapse events to bounded frames first
+    * (day spine; day×type cells) with combinable aggregates; the
+    * trailing-median join is spine×7 (a century is < 40k rows), and
+    * the top-type rank partitions by day over the |types|-sized
+    * per-day frame. */
+  def anomalyDrilldown(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.load(spark, dir, "events")
+    val daily = e
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(dsum(col("value")).as("total"), count(lit(1)).as("n_events"))
+    val spine = daily.select(col("day").as("pday"), col("total").as("pt"))
+    val med = daily.join(spine,
+        col("pday").between(col("day") - 7, col("day") - 1))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("day")).orderBy(col("pt"), col("pday"))))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("day"))))
+      .filter(col("c") === 7 && col("rk") === 4)
+      .select(col("day"), col("total"), col("n_events"),
+        col("pt").as("med7"))
+    val byType = e
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .agg(dsum(col("value")).as("type_total"))
+    val top = byType.withColumn("trk", row_number().over(
+        Window.partitionBy(col("day"))
+          .orderBy(col("type_total").desc, col("event_type"))))
+      .filter(col("trk") === 1)
+      .select(col("day"), col("event_type").as("top_type"),
+        col("type_total"))
+    med.join(top, "day")
+      .select(col("day"), col("total"), col("n_events"), col("med7"),
+        (col("total") / col("med7")).as("vs_med7"),
+        (col("total") > col("med7") * 2).as("is_spike"),
+        col("top_type"),
+        (col("type_total") / col("total")).as("top_share"))
+      .orderBy(col("day"))
+  }
+
+  private val anomalyDrilldownSql =
+    s"""WITH daily AS (
+       |  SELECT epoch_ns(ts) // 1000 // 86400000000 AS day,
+       |    ${sqlSum("value")} AS total, CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1
+       |), med AS (
+       |  SELECT d.day, d.total, d.n_events, x.total AS med7,
+       |    row_number() OVER (PARTITION BY d.day
+       |      ORDER BY x.total, x.day) AS rk,
+       |    COUNT(*) OVER (PARTITION BY d.day) AS c
+       |  FROM daily d JOIN daily x ON x.day BETWEEN d.day - 7 AND d.day - 1
+       |), byType AS (
+       |  SELECT epoch_ns(ts) // 1000 // 86400000000 AS day, event_type,
+       |    ${sqlSum("value")} AS type_total
+       |  FROM events GROUP BY 1, 2
+       |), top AS (
+       |  SELECT day, event_type AS top_type, type_total,
+       |    row_number() OVER (PARTITION BY day
+       |      ORDER BY type_total DESC, event_type) AS trk
+       |  FROM byType
+       |)
+       |SELECT m.day, m.total, m.n_events, m.med7,
+       |  m.total / m.med7 AS vs_med7,
+       |  m.total > m.med7 * 2 AS is_spike,
+       |  t.top_type, t.type_total / m.total AS top_share
+       |FROM med m JOIN top t ON m.day = t.day AND t.trk = 1
+       |WHERE m.c = 7 AND m.rk = 4
+       |ORDER BY m.day""".stripMargin
+
+  // ---- q527: dedup token liability by quality decile -------------------
+
+  /** Near-dedup token LIABILITY profile: how many tokens does near-dup
+    * deduplication remove, and from which quality deciles? Composes the
+    * q52 quality score, the q65 exact-Jaccard components (kept doc =
+    * component min-id rep), and the q135-class exact global decile
+    * ([[GlobalRank.withNtile]] — range shuffle, no single-partition
+    * window over the per-doc frame), rolled to one row per decile with
+    * exact token sums and an integer-exact savings rate in ppm. q171
+    * answers "does low quality predict duplication" with a rate; this
+    * answers the budgeting question — WHERE the token mass goes when
+    * dedup runs — which is what a token-metered training plan needs. */
+  def dedupTokenLiability(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val q = TextOps.qualityScored(d)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val clus = DedupOps.dedupClusters(d, n = 5, threshold = 0.5)
+    val j = q.join(clus, "doc_id")
+      .withColumn("is_rep", col("doc_id") === col("cluster_rep"))
+    GlobalRank.withNtile(j, 10, Seq(col("quality"), col("doc_id")),
+        "decile")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("is_rep"), 1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_raw"),
+        sum(when(col("is_rep"), col("n_tokens")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("savings_ppm",
+        expr("((tokens_raw - tokens_kept) * 1000000) div tokens_raw"))
+      .orderBy(col("decile"))
+  }
+
+  private val dedupTokenLiabilitySql = {
+    val stops = stopsSql("en")
+    s"""WITH RECURSIVE ${DedupQueries.reachCtes}, rep AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |), t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    least(CAST(COUNT(*) AS DOUBLE) / 100, 1.0) * 0.4
+       |      + (CAST(COUNT(*) FILTER (tok IN ($stops)) AS DOUBLE)
+       |          / COUNT(*)) * 0.3
+       |      + (CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*)) * 0.3
+       |      AS quality
+       |  FROM t GROUP BY doc_id
+       |), x AS (
+       |  SELECT q.doc_id, q.n_tokens,
+       |    (q.doc_id = r.cluster_rep) AS is_rep,
+       |    CAST(NTILE(10) OVER (ORDER BY q.quality, q.doc_id) AS INT)
+       |      AS decile
+       |  FROM q JOIN rep r USING (doc_id)
+       |), a AS (
+       |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) FILTER (is_rep) AS BIGINT) AS n_kept,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
+       |    CAST(COALESCE(SUM(n_tokens) FILTER (is_rep), 0) AS BIGINT)
+       |      AS tokens_kept
+       |  FROM x GROUP BY 1
+       |)
+       |SELECT decile, n_docs, n_kept, tokens_raw, tokens_kept,
+       |  ((tokens_raw - tokens_kept) * 1000000) // tokens_raw
+       |    AS savings_ppm
+       |FROM a
+       |ORDER BY decile""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q523_curation_funnel", curationFunnel, Some(curationFunnelSql),
+      "END-TO-END curation funnel per (lang, source): corpus -> langid-" +
+        "confirmed -> quality-passed -> near-dup-deduplicated, with " +
+        "surviving token mass — q52+q53+q65 chained into one staged " +
+        "report, monotone by construction"),
+    Q("q524_token_budgeted_mixture", tokenBudgetedMixture,
+      Some(tokenBudgetedMixtureSql),
+      "token-BUDGETED temperature mixture: sqrt-temperature weights on " +
+        "token mass (q186) + largest-remainder token quotas (q120) + " +
+        "greedy in-stratum prefix admission (q125) via one GlobalRank " +
+        "range shuffle — the composer a token-metered run needs"),
+    Q("q525_supplier_risk_scorecard", supplierRiskScorecard,
+      Some(supplierRiskScorecardSql),
+      "supplier risk scorecard: one lineitem rollup (exact revenue, " +
+        "return rate, part breadth) + within-nation tercile grading + " +
+        "composite risk grade — join/agg/window/case composed into one " +
+        "supplier-grain report"),
+    Q("q526_anomaly_drilldown", anomalyDrilldown,
+      Some(anomalyDrilldownSql),
+      "trailing-7-day exact-median robust anomaly score over the daily " +
+        "value spine + top-contributing event_type per day — q283's " +
+        "global-mean flag composed into a windowed, attributed report"),
+    Q("q527_dedup_token_liability", dedupTokenLiability,
+      Some(dedupTokenLiabilitySql),
+      "near-dedup token savings by exact quality decile: q52 quality + " +
+        "q65 components + GlobalRank deciles -> exact token sums and " +
+        "ppm savings per decile — the token-budget liability report"))
+}

@@ -141,7 +141,9 @@ object DedupQueries {
     * candidate pairs must share ≥1 shingle with df ≤ 1000 while |∩| is
     * still counted over full sets — inert on the fixtures, faithful if
     * a boilerplate hot key ever appears. */
-  private val reachCtes =
+  // private[queries]: CompositionQueries' funnel/liability oracles embed
+  // the same component CTEs (q523/q527 replay the full near-dup chain)
+  private[queries] val reachCtes =
     """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |), sh AS (

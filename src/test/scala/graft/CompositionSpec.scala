@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the round-14 composition queries — the
+  * properties a hash-match alone would not protect during a refactor:
+  * funnel monotonicity (q523), quota conservation and admission bounds
+  * (q524), grade/point consistency (q525), trailing-median definition
+  * (q526), and token conservation across the dedup split (q527). All on
+  * the sf0.001 fixture.
+  */
+class CompositionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(name: String) =
+    Registry.byName(name).build(spark, dir).collect()
+
+  test("q523 funnel: stages monotone non-increasing, docs_in covers the " +
+    "corpus, kept tokens only from kept docs") {
+    val rs = rows("q523_curation_funnel")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val in = r.getAs[Long]("docs_in")
+      val lo = r.getAs[Long]("n_lang_ok")
+      val qo = r.getAs[Long]("n_quality_ok")
+      val k = r.getAs[Long]("n_kept")
+      assert(in >= lo && lo >= qo && qo >= k && k >= 0, r.toString)
+      if (k == 0)
+        assert(r.getAs[Long]("tokens_kept") == 0L, r.toString)
+    }
+    val total = rs.map(_.getAs[Long]("docs_in")).sum
+    val corpus = graft.catalog.Catalog.load(spark, dir, "documents").count()
+    assert(total == corpus, s"funnel docs_in $total != corpus $corpus")
+  }
+
+  test("q524 mixture: quotas conserve the token budget exactly, " +
+    "admission never exceeds quota, short strata under-fill honestly") {
+    val rs = rows("q524_token_budgeted_mixture")
+    assert(rs.nonEmpty)
+    val budget = 8000L
+    assert(rs.map(_.getAs[Long]("quota_tokens")).sum == budget,
+      "largest-remainder quotas must sum exactly to the budget")
+    rs.foreach { r =>
+      assert(r.getAs[Long]("tokens_taken") <= r.getAs[Long]("quota_tokens"),
+        s"admission overshot quota: $r")
+      assert(r.getAs[Long]("docs_taken") >= 0 && r.getAs[Long]("w") > 0,
+        r.toString)
+    }
+  }
+
+  test("q525 scorecard: points in [0,3] and grade consistent with points") {
+    val rs = rows("q525_supplier_risk_scorecard")
+    assert(rs.nonEmpty)
+    val gradeOf = Map(3 -> "high", 2 -> "elevated", 1 -> "watch", 0 -> "low")
+    rs.foreach { r =>
+      val p = r.getAs[Int]("risk_points")
+      assert(p >= 0 && p <= 3, r.toString)
+      assert(r.getAs[String]("grade") == gradeOf(p), r.toString)
+      assert(r.getAs[Double]("ret_rate") >= 0.0 &&
+        r.getAs[Double]("ret_rate") <= 1.0, r.toString)
+    }
+  }
+
+  test("q526 drilldown: med7 is the exact 4th order statistic of the " +
+    "trailing 7 full days, share bounded, spike flag matches the rule") {
+    val rs = rows("q526_anomaly_drilldown")
+    assert(rs.nonEmpty)
+    val daily = rows("q526_anomaly_drilldown").map(r =>
+      r.getAs[Long]("day") -> r.getAs[Double]("total")).toMap
+    // recompute the spine independently of the query under test
+    import org.apache.spark.sql.functions._
+    val spine = graft.catalog.Catalog.load(spark, dir, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(graft.ops.Det.dsum(col("value")).as("t"))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Double]("t"))
+      .toMap
+    rs.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val prior = (d - 7 to d - 1).flatMap(spine.get).sorted
+      assert(prior.size == 7, s"day $d lacks 7 trailing days in output")
+      assert(r.getAs[Double]("med7") == prior(3),
+        s"med7 not the 4th order stat: $r")
+      assert(r.getAs[Boolean]("is_spike") ==
+        (r.getAs[Double]("total") > prior(3) * 2), r.toString)
+      assert(r.getAs[Double]("top_share") > 0.0 &&
+        r.getAs[Double]("top_share") <= 1.0 + 1e-12, r.toString)
+      assert(daily.contains(d))
+    }
+  }
+
+  test("q527 liability: token sums conserve the corpus, kept <= raw, " +
+    "ppm within range") {
+    val rs = rows("q527_dedup_token_liability")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_raw"),
+        r.toString)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"), r.toString)
+      val ppm = r.getAs[Long]("savings_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L, r.toString)
+    }
+    import org.apache.spark.sql.functions._
+    val corpusTokens = graft.ops.TextOps
+      .qualityScored(graft.catalog.Catalog.load(spark, dir, "documents"))
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(rs.map(_.getAs[Long]("tokens_raw")).sum == corpusTokens,
+      "decile token sums must partition the corpus token mass")
+  }
+}

@@ -1092,4 +1092,49 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 12,
       s"exchange count grew: ${"Exchange".r.findAllIn(p).size}\n$p")
   }
+
+  test("q525 scorecard: lineitem collapses to supplier grain BELOW the " +
+    "broadcast joins, dims broadcast (no sort-merge), and the three " +
+    "grading windows share ONE nation exchange") {
+    val p = plan(graft.Registry.byName("q525_supplier_risk_scorecard")
+      .build(spark, dir))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the supplier-grain rollup sits under a BroadcastExchange — fact
+    // rows never cross the join
+    val bcast = p.indexOf("BroadcastExchange")
+    assert(bcast >= 0 && p.indexOf("HashAggregate", bcast) > 0, p)
+    // 3 Window ops, but only one n_name hash exchange feeding them
+    assert("Window".r.findAllIn(p).size >= 3, p)
+    assert("Exchange hashpartitioning\\(n_name".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q524 mixture: per-doc admission is ONE GlobalRank range pass " +
+    "(no per-language window over the document frame), quotas join " +
+    "back as a broadcast") {
+    val p = plan(graft.Registry.byName("q524_token_budgeted_mixture")
+      .build(spark, dir))
+    // the document-frame leg runs off GlobalRank's checkpointed range
+    // layout: the admission cumsum windows over the range-partition id
+    // (_w0), never over lang
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("windowspecdefinition(_w0"), p)
+    // two legitimate stratum-grain lang exchanges (quota aggregate +
+    // final rollup); a THIRD would mean a per-language window landed on
+    // the document frame
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q523 funnel: ONE explode feeds the fused profile (no Expand from " +
+    "mixed countDistinct, no second token pass), cluster assignment " +
+    "joins broadcast") {
+    val p = plan(graft.Registry.byName("q523_curation_funnel")
+      .build(spark, dir))
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      s"token explode count != 1\n$p")
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -51,6 +51,8 @@ class WindowSweepSpec extends AnyFunSuite {
     // post-aggregate spines with literal-bounded cardinality
     "q217_decile_lift" -> "10-row decile spine (fact-sized ntile is GlobalRank)",
     "q120_mixture" -> "per-stratum remainder frame (|strata| rows)",
+    "q524_token_budgeted_mixture" ->
+      "per-language quota frame (|langs| rows; the per-doc leg is GlobalRank)",
     "q476_capped_waterfill" -> "per-source water-fill frame (|sources| rows)",
     "q186_temperature_mix" -> "per-stratum weight frame (|strata| rows)",
     "q152_chi_square" -> "contingency cells (flag x status)",
