@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object MediaOps {
 
+  // ImageIO's default ImageInputStream is FILE-cache-backed: every
+  // read/sniff creates, writes, and deletes a temp file, so per-row
+  // decode cost tracks /tmp latency instead of CPU (measured 5x drift
+  // on this exact code when the host's /tmp slowed — r14 bench
+  // adjudication of q75/q183). Payloads are already heap-resident byte
+  // arrays, so the disk round-trip buys nothing: force the in-memory
+  // stream. Object-init runs once per JVM, on driver and executors,
+  // before any decode (every decode path lives in this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media item: opaque payload + source metadata. */
   case class MediaRow(media_id: Long, media_type: String, payload: Array[Byte])
 

@@ -96,10 +96,20 @@ object CompositionQueries {
         coalesce(col("pred_lang") === col("lang"), lit(false)))
       .withColumn("q_ok", col("lang_ok") && col("quality") >= 0.5)
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
-    flags.join(clusters, "doc_id")
-      .withColumn("surv_rep",
-        min(when(col("q_ok"), col("doc_id")))
-          .over(Window.partitionBy(col("cluster_rep"))))
+    // per-component survivor rep via groupBy + join-back, NOT a window
+    // over cluster_rep: a giant component (boilerplate family) would put
+    // its whole membership through one window task's sort, while the
+    // aggregate form pre-combines map-side and the join shuffles the
+    // same key — identical exchange count, no skew cliff. The doc-grain
+    // frame is consumed twice (rep aggregate + join), so it is
+    // localCheckpointed — without this the explode/profile subtree
+    // replans per consumer and the corpus pays a second token pass
+    // (PlanSpec pins one Generate).
+    val withClu = flags.join(clusters, "doc_id").localCheckpoint(false)
+    val survRep = withClu.filter(col("q_ok"))
+      .groupBy(col("cluster_rep"))
+      .agg(min(col("doc_id")).as("surv_rep"))
+    withClu.join(survRep, Seq("cluster_rep"), "left_outer")
       .withColumn("kept", col("q_ok") && col("doc_id") === col("surv_rep"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("docs_in"),
