@@ -88,7 +88,12 @@ object Bench {
     // item 1: q135's 11.79 s official vs 1.63 s instrumented escaped
     // the other-CPU gate). Empty map (no sidecar committed yet, fresh
     // clone) disables the trigger.
-    val reference = graft.bench.BenchGuard.loadReference(sf = Some(sfDir))
+    // exclude THIS run's stats output from the candidate scan: a
+    // round-final output name would otherwise be created (empty) by the
+    // writer above and win the highest-round pick, disarming the
+    // trigger for the very sweep meant to exercise it
+    val reference = graft.bench.BenchGuard.loadReference(sf = Some(sfDir),
+      exclude = Some(statsOut))
     val suspects = scala.collection.mutable.ArrayBuffer[String]()
     var outlierReruns = 0
     val results = try selected.map { case (name, fn) =>

@@ -101,16 +101,29 @@ object BenchGuard {
 
   /** The reference table: `SPARK_GRAFT_BENCH_REF` if set, else the
     * highest-round `BENCH_STATS_r<N>_final.json` in `dir`, else empty
-    * (trigger disabled — e.g. a fresh clone). */
+    * (trigger disabled — e.g. a fresh clone). `exclude` names the file
+    * the CURRENT run is writing: when the stats output is itself given
+    * a round-final name (the per-round sweep that produces next round's
+    * reference), the writer creates it — empty — before this load runs,
+    * and without the exclusion it wins the highest-round pick and
+    * silently disarms the trigger for exactly the run that was meant to
+    * exercise it (observed r14: a 4.3× q135 shipped unflagged,
+    * `retried: 0`). */
   def loadReference(dir: String = ".",
       explicit: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_REF"),
-      sf: Option[String] = None): Map[String, Double] = {
+      sf: Option[String] = None,
+      exclude: Option[String] = None): Map[String, Double] = {
     val re = """BENCH_STATS_r(\d+)_final\.json""".r
+    def canon(p: String) =
+      try new java.io.File(p).getCanonicalPath
+      catch { case _: Throwable => p }
+    val ex = exclude.map(canon)
     val path = explicit.orElse {
       val d = new java.io.File(dir)
       Option(d.listFiles()).getOrElse(Array.empty).toSeq
         .flatMap(f => f.getName match {
-          case re(n) => Some((n.toInt, f.getPath))
+          case re(n) if !ex.contains(canon(f.getPath)) =>
+            Some((n.toInt, f.getPath))
           case _ => None
         })
         .sortBy(_._1).lastOption.map(_._2)

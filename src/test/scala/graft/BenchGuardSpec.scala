@@ -89,4 +89,22 @@ class BenchGuardSpec extends AnyFunSuite {
     val empty = java.nio.file.Files.createTempDirectory("benchguard_e_").toString
     assert(BenchGuard.loadReference(empty, explicit = None).isEmpty)
   }
+
+  test("loadReference EXCLUDES the current run's own stats output: a " +
+    "round-final output name must not become (empty) reference and " +
+    "disarm the trigger for the sweep writing it") {
+    val dir = java.nio.file.Files.createTempDirectory("benchguard_x_").toString
+    def write(name: String, body: String) =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        body.getBytes("UTF-8"))
+    write("BENCH_STATS_r13_final.json",
+      """{"query":"q1_a","walls":[1.0,2.0,3.0]}""")
+    write("BENCH_STATS_r14_final.json", "") // the run's own, just created
+    // without the exclusion the empty r14 file wins and the table is {}
+    assert(BenchGuard.loadReference(dir, explicit = None).isEmpty)
+    // with it, the previous round's table arms the trigger
+    assert(BenchGuard.loadReference(dir, explicit = None,
+      exclude = Some(s"$dir/BENCH_STATS_r14_final.json")) ==
+      Map("q1_a" -> 2.0))
+  }
 }
