@@ -86,16 +86,27 @@ object CompositionQueries {
     * never corpus×corpus), one doc-keyed join of the two, one window
     * over cluster partitions (component-sized frames), one final
     * combinable rollup on (lang, source). */
-  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's doc-grain frame BEFORE its checkpoint — doc_id, lang,
+    * source, n_tokens, flags, cluster_rep: one fused profile pass joined
+    * to the component assignment. Factored out so PlanSpec can assert
+    * the single-explode / no-Expand shape on a plan the checkpoint has
+    * not truncated (the final query reads `Scan ExistingRDD`, where a
+    * reintroduced second token pass would be invisible). */
+  private[graft] def curationDocGrain(spark: SparkSession,
+      dir: String): DataFrame = {
     val d = docs(spark, dir)
     val prof = docProfile(d)
     val clusters = DedupOps.dedupClusters(d, n = 5, threshold = 0.5)
-    val flags = d.select(col("doc_id"), col("lang"), col("source"))
+    d.select(col("doc_id"), col("lang"), col("source"))
       .join(prof, Seq("doc_id"), "left_outer")
       .withColumn("lang_ok",
         coalesce(col("pred_lang") === col("lang"), lit(false)))
       .withColumn("q_ok", col("lang_ok") && col("quality") >= 0.5)
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .join(clusters, "doc_id")
+  }
+
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     // per-component survivor rep via groupBy + join-back, NOT a window
     // over cluster_rep: a giant component (boilerplate family) would put
     // its whole membership through one window task's sort, while the
@@ -104,8 +115,8 @@ object CompositionQueries {
     // frame is consumed twice (rep aggregate + join), so it is
     // localCheckpointed — without this the explode/profile subtree
     // replans per consumer and the corpus pays a second token pass
-    // (PlanSpec pins one Generate).
-    val withClu = flags.join(clusters, "doc_id").localCheckpoint(false)
+    // (PlanSpec pins one Generate on the pre-checkpoint frame).
+    val withClu = curationDocGrain(spark, dir).localCheckpoint(false)
     val survRep = withClu.filter(col("q_ok"))
       .groupBy(col("cluster_rep"))
       .agg(min(col("doc_id")).as("surv_rep"))
@@ -405,9 +416,24 @@ object CompositionQueries {
     * per-day frame. */
   def anomalyDrilldown(spark: SparkSession, dir: String): DataFrame = {
     val e = Catalog.load(spark, dir, "events")
-    val daily = e
-      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(dsum(col("value")).as("total"), count(lit(1)).as("n_events"))
+    // ONE events pass feeds everything: the (day, type) cells carry the
+    // exact decimal partial sums, and the day spine is their rollup —
+    // decimal addition is exact and associative, so the rolled-up total
+    // is bit-identical to a direct per-day dsum. The cells frame is
+    // bounded (days × types) and consumed three ways (spine probe,
+    // spine broadcast, top-type leg), so it is checkpointed; without
+    // that each consumer would replan its own events scan (and the
+    // spine's two join sides use different exchange kinds, so
+    // ReusedExchange could never fire).
+    val cells = e
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .agg(sum(col("value").cast(graft.ops.Det.Dec)).as("tdec"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val daily = cells.groupBy(col("day"))
+      .agg(sum(col("tdec")).cast("double").as("total"),
+        sum(col("n")).as("n_events"))
     val spine = daily.select(col("day").as("pday"), col("total").as("pt"))
     val med = daily.join(spine,
         col("pday").between(col("day") - 7, col("day") - 1))
@@ -417,10 +443,9 @@ object CompositionQueries {
       .filter(col("c") === 7 && col("rk") === 4)
       .select(col("day"), col("total"), col("n_events"),
         col("pt").as("med7"))
-    val byType = e
-      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
-        col("event_type"))
-      .agg(dsum(col("value")).as("type_total"))
+    val byType = cells
+      .select(col("day"), col("event_type"),
+        col("tdec").cast("double").as("type_total"))
     val top = byType.withColumn("trk", row_number().over(
         Window.partitionBy(col("day"))
           .orderBy(col("type_total").desc, col("event_type"))))
@@ -493,7 +518,13 @@ object CompositionQueries {
         sum(when(col("is_rep"), col("n_tokens")).otherwise(0L))
           .as("tokens_kept"))
       .withColumn("savings_ppm",
-        expr("((tokens_raw - tokens_kept) * 1000000) div tokens_raw"))
+        // decimal-widened numerator: a decile dropping > ~9.2e12 tokens
+        // (plausible when long docs concentrate in one decile of a
+        // 100 TB corpus) would overflow the long multiply — the same
+        // x*1e6 idiom GlobalRank.intDiv widens for; IntegralDivide
+        // returns LONG either way, so the output type is unchanged
+        expr("(CAST(tokens_raw - tokens_kept AS DECIMAL(38,0)) * 1000000)" +
+          " div tokens_raw"))
       .orderBy(col("decile"))
   }
 
@@ -531,8 +562,8 @@ object CompositionQueries {
        |  FROM x GROUP BY 1
        |)
        |SELECT decile, n_docs, n_kept, tokens_raw, tokens_kept,
-       |  ((tokens_raw - tokens_kept) * 1000000) // tokens_raw
-       |    AS savings_ppm
+       |  CAST((CAST(tokens_raw - tokens_kept AS HUGEINT) * 1000000)
+       |    // tokens_raw AS BIGINT) AS savings_ppm
        |FROM a
        |ORDER BY decile""".stripMargin
   }

@@ -66,8 +66,6 @@ class CompositionSpec extends AnyFunSuite {
     "trailing 7 full days, share bounded, spike flag matches the rule") {
     val rs = rows("q526_anomaly_drilldown")
     assert(rs.nonEmpty)
-    val daily = rows("q526_anomaly_drilldown").map(r =>
-      r.getAs[Long]("day") -> r.getAs[Double]("total")).toMap
     // recompute the spine independently of the query under test
     import org.apache.spark.sql.functions._
     val spine = graft.catalog.Catalog.load(spark, dir, "events")
@@ -85,7 +83,8 @@ class CompositionSpec extends AnyFunSuite {
         (r.getAs[Double]("total") > prior(3) * 2), r.toString)
       assert(r.getAs[Double]("top_share") > 0.0 &&
         r.getAs[Double]("top_share") <= 1.0 + 1e-12, r.toString)
-      assert(daily.contains(d))
+      // the query's daily total must match the independent spine
+      assert(r.getAs[Double]("total") == spine(d), r.toString)
     }
   }
 

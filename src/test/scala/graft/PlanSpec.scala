@@ -1131,16 +1131,19 @@ class PlanSpec extends AnyFunSuite {
     "mixed countDistinct, no second token pass); the survivor join " +
     "shuffles on cluster_rep (component-grain — NOT broadcast-sized at " +
     "scale)") {
-    val df = graft.Registry.byName("q523_curation_funnel").build(spark, dir)
-    val p = plan(df)
-    // the doc-grain frame is checkpointed and consumed twice (survivor
-    // aggregate + join-back): the final plan reads the checkpoint, and
-    // the ONE explode lives in its lineage — a second Generate anywhere
-    // means the profile subtree replanned per consumer again
+    // the explode/Expand pins must run on the PRE-checkpoint doc-grain
+    // frame: the registered query checkpoints it, which truncates the
+    // whole profile subtree out of the final plan — asserting there
+    // would pass no matter how many token passes the profile made
+    val grain = plan(graft.queries.CompositionQueries
+      .curationDocGrain(spark, dir))
+    assert("Generate explode".r.findAllIn(grain).size == 1,
+      s"token explode count != 1\n$grain")
+    assert(!grain.contains("Expand"), grain)
+    val p = plan(graft.Registry.byName("q523_curation_funnel")
+      .build(spark, dir))
+    // the final plan reads the checkpointed grain once per consumer
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
-    assert("Generate explode".r.findAllIn(p).size <= 1,
-      s"token explode count > 1\n$p")
-    assert(!p.contains("Expand"), p)
     assert(!p.contains("CartesianProduct"), p)
     // survRep has one row per component WITH survivors — corpus-scale
     // at 100 TB, so the cluster_rep join must be a shuffled equi-join
