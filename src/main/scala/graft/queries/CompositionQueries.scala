@@ -568,6 +568,137 @@ object CompositionQueries {
        |ORDER BY decile""".stripMargin
   }
 
+  // ---- q528: RAG context assembly under a token budget ----------------
+
+  /** The serving-side RAG composition: chunk the corpus (q104's 32/8
+    * sliding chunks) → score every chunk against the fixed 3-term query
+    * with BM25 (q143's rational-idf algebra at CHUNK granularity — the
+    * per-term scores sum in a FIXED literal order, so the multi-term
+    * score involves no engine-ordered float reduction) → assemble the
+    * answer context greedily in score order under a token budget
+    * (q125's prefix rule; cum_tokens is monotone, so the admitted set
+    * is an exact prefix of the ranked candidates). The output is the
+    * context MANIFEST a RAG server ships to the generator: rank, chunk
+    * coordinates, tokens, score, running total.
+    *
+    * Scale shape: the chunk frame is one compiled partition-local pass
+    * (checkpointed — corpus stats and term counting both consume it);
+    * candidates are only chunks containing ≥1 query term (df-bounded,
+    * never the whole corpus); corpus stats and document frequencies are
+    * 1-row broadcasts; the score-ordered rank + running token sum is
+    * ONE [[GlobalRank]] range pass (no single-partition window over the
+    * candidate frame). */
+  def ragContextPack(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "vector", "scan")
+    val budget = 256L
+    val ch = TextOps.chunked(docs(spark, dir), size = 32, overlap = 8)
+      .localCheckpoint(false)
+    val corpus = ch.agg(count(lit(1)).as("n_chunks"),
+      sum(col("n_chunk_tokens")).as("sum_dl"))
+    val tfAggs = terms.map(t =>
+      count(when(col("tok") === t, 1)).as(s"tf_$t"))
+    val tf = ch.select(col("doc_id"), col("chunk_idx"),
+        col("n_chunk_tokens").as("dl"),
+        explode(split(col("chunk_text"), " ", -1)).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("dl"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = terms.map(t =>
+      count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
+    val dfreq = tf.agg(dfAggs.head, dfAggs.tail: _*)
+    val nC = col("n_chunks").cast("double")
+    def termScore(t: String): Column =
+      when(col(s"tf_$t") > 0,
+        ((nC - col(s"df_$t").cast("double") + lit(0.5)) /
+          (col(s"df_$t").cast("double") + lit(0.5))) *
+          (col(s"tf_$t").cast("double") * lit(2.2)) /
+          (col(s"tf_$t").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("sum_dl").cast("double") / nC)))))
+        .otherwise(lit(0.0))
+    // fixed literal order — never an engine-ordered float reduction
+    val scored = tf.crossJoin(broadcast(corpus)).crossJoin(broadcast(dfreq))
+      .withColumn("score",
+        termScore("join") + termScore("vector") + termScore("scan"))
+      .select(col("doc_id"), col("chunk_idx"), col("dl"), col("score"))
+    val ranked = GlobalRank.withRowNumberAndRunningSums(scored,
+      Seq(-col("score"), col("doc_id"), col("chunk_idx")), "rank",
+      Seq((col("dl"), "cum_tokens")))
+    ranked.filter(col("cum_tokens") <= budget)
+      .select(col("rank"), col("doc_id"), col("chunk_idx"),
+        col("dl").as("n_chunk_tokens"), col("score"), col("cum_tokens"))
+      .orderBy(col("rank"))
+  }
+
+  private val ragContextPackSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), ch AS (
+      |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |    array_to_string(t[k * 24 + 1 : least(k * 24 + 32, len(t))], ' ')
+      |      AS chunk_text,
+      |    CAST(least(k * 24 + 32, len(t)) - k * 24 AS BIGINT) AS dl
+      |  FROM toks,
+      |    unnest(range(0, CAST(ceil(len(t) / 24.0) AS BIGINT))) AS u(k)
+      |), corpus AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |    CAST(SUM(dl) AS BIGINT) AS sum_dl
+      |  FROM ch
+      |), tf AS (
+      |  SELECT doc_id, chunk_idx, dl,
+      |    CAST(COUNT(*) FILTER (tok = 'join') AS BIGINT) AS tf_join,
+      |    CAST(COUNT(*) FILTER (tok = 'vector') AS BIGINT) AS tf_vector,
+      |    CAST(COUNT(*) FILTER (tok = 'scan') AS BIGINT) AS tf_scan
+      |  FROM (SELECT doc_id, chunk_idx, dl,
+      |          unnest(string_split(chunk_text, ' ')) AS tok
+      |        FROM ch)
+      |  WHERE tok IN ('join', 'vector', 'scan')
+      |  GROUP BY 1, 2, 3
+      |), dfreq AS (
+      |  SELECT CAST(COUNT(*) FILTER (tf_join > 0) AS BIGINT) AS df_join,
+      |    CAST(COUNT(*) FILTER (tf_vector > 0) AS BIGINT) AS df_vector,
+      |    CAST(COUNT(*) FILTER (tf_scan > 0) AS BIGINT) AS df_scan
+      |  FROM tf
+      |), sc AS (
+      |  SELECT doc_id, chunk_idx, dl,
+      |    (CASE WHEN tf_join > 0 THEN
+      |      ((CAST(n_chunks AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5)
+      |        / (CAST(df_join AS DOUBLE) + 0.5))
+      |      * (CAST(tf_join AS DOUBLE) * 2.2)
+      |      / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75
+      |          * (CAST(dl AS DOUBLE)
+      |             / (CAST(sum_dl AS DOUBLE) / CAST(n_chunks AS DOUBLE)))))
+      |      ELSE 0.0 END
+      |    + CASE WHEN tf_vector > 0 THEN
+      |      ((CAST(n_chunks AS DOUBLE) - CAST(df_vector AS DOUBLE) + 0.5)
+      |        / (CAST(df_vector AS DOUBLE) + 0.5))
+      |      * (CAST(tf_vector AS DOUBLE) * 2.2)
+      |      / (CAST(tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75
+      |          * (CAST(dl AS DOUBLE)
+      |             / (CAST(sum_dl AS DOUBLE) / CAST(n_chunks AS DOUBLE)))))
+      |      ELSE 0.0 END
+      |    + CASE WHEN tf_scan > 0 THEN
+      |      ((CAST(n_chunks AS DOUBLE) - CAST(df_scan AS DOUBLE) + 0.5)
+      |        / (CAST(df_scan AS DOUBLE) + 0.5))
+      |      * (CAST(tf_scan AS DOUBLE) * 2.2)
+      |      / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75
+      |          * (CAST(dl AS DOUBLE)
+      |             / (CAST(sum_dl AS DOUBLE) / CAST(n_chunks AS DOUBLE)))))
+      |      ELSE 0.0 END) AS score
+      |  FROM tf CROSS JOIN corpus CROSS JOIN dfreq
+      |), r AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id,
+      |      chunk_idx) AS BIGINT) AS rank,
+      |    doc_id, chunk_idx, dl AS n_chunk_tokens, score,
+      |    CAST(SUM(dl) OVER (ORDER BY score DESC, doc_id, chunk_idx
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM sc
+      |)
+      |SELECT rank, doc_id, chunk_idx, n_chunk_tokens, score, cum_tokens
+      |FROM r WHERE cum_tokens <= 256
+      |ORDER BY rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q523_curation_funnel", curationFunnel, Some(curationFunnelSql),
       "END-TO-END curation funnel per (lang, source): corpus -> langid-" +
@@ -595,5 +726,10 @@ object CompositionQueries {
       Some(dedupTokenLiabilitySql),
       "near-dedup token savings by exact quality decile: q52 quality + " +
         "q65 components + GlobalRank deciles -> exact token sums and " +
-        "ppm savings per decile — the token-budget liability report"))
+        "ppm savings per decile — the token-budget liability report"),
+    Q("q528_rag_context_pack", ragContextPack, Some(ragContextPackSql),
+      "RAG context assembly: q104 chunks -> chunk-level BM25 (q143 " +
+        "algebra, fixed-order multi-term sum) -> greedy token-budget " +
+        "prefix (q125 rule) via one GlobalRank pass — the context " +
+        "manifest a retrieval server ships to the generator"))
 }

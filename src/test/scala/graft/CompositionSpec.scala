@@ -106,4 +106,43 @@ class CompositionSpec extends AnyFunSuite {
     assert(rs.map(_.getAs[Long]("tokens_raw")).sum == corpusTokens,
       "decile token sums must partition the corpus token mass")
   }
+
+  test("q528 context pack: admitted set is a contiguous score-ordered " +
+    "prefix under the budget, and every admitted chunk really contains " +
+    "a query term") {
+    val rs = rows("q528_rag_context_pack").sortBy(_.getAs[Long]("rank"))
+    assert(rs.nonEmpty)
+    // contiguous prefix: ranks 1..n, cum = exact running token sum <= 256
+    rs.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rank") == i + 1, r.toString)
+    }
+    val cums = rs.scanLeft(0L)(_ + _.getAs[Long]("n_chunk_tokens")).tail
+    rs.zip(cums).foreach { case (r, c) =>
+      assert(r.getAs[Long]("cum_tokens") == c, r.toString)
+      assert(c <= 256L, r.toString)
+    }
+    // scores non-increasing down the ranking
+    rs.toSeq.sliding(2).foreach { w =>
+      if (w.size == 2)
+        assert(w(0).getAs[Double]("score") >= w(1).getAs[Double]("score"),
+          s"${w(0)} then ${w(1)}")
+    }
+    // soundness: admitted chunks contain at least one query term
+    // (independently recomputed chunk frame)
+    import org.apache.spark.sql.functions._
+    val terms = Set("join", "vector", "scan")
+    val chunkText = graft.ops.TextOps
+      .chunked(graft.catalog.Catalog.load(spark, dir, "documents"),
+        size = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        r.getAs[String]("chunk_text")).toMap
+    rs.foreach { r =>
+      val key = (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"))
+      val text = chunkText.getOrElse(key,
+        fail(s"admitted chunk $key not in the chunk frame"))
+      assert(text.split(" ", -1).exists(terms), s"no query term in $key")
+    }
+  }
 }
