@@ -617,10 +617,10 @@ object CompositionQueries {
               (col("dl").cast("double") /
                 (col("sum_dl").cast("double") / nC)))))
         .otherwise(lit(0.0))
-    // fixed literal order — never an engine-ordered float reduction
+    // fixed left-to-right fold over the term list — never an
+    // engine-ordered float reduction, and the term set lives in ONE place
     val scored = tf.crossJoin(broadcast(corpus)).crossJoin(broadcast(dfreq))
-      .withColumn("score",
-        termScore("join") + termScore("vector") + termScore("scan"))
+      .withColumn("score", terms.map(termScore).reduceLeft(_ + _))
       .select(col("doc_id"), col("chunk_idx"), col("dl"), col("score"))
     val ranked = GlobalRank.withRowNumberAndRunningSums(scored,
       Seq(-col("score"), col("doc_id"), col("chunk_idx")), "rank",

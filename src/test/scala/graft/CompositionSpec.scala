@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * properties a hash-match alone would not protect during a refactor:
   * funnel monotonicity (q523), quota conservation and admission bounds
   * (q524), grade/point consistency (q525), trailing-median definition
-  * (q526), and token conservation across the dedup split (q527). All on
-  * the sf0.001 fixture.
+  * (q526), token conservation across the dedup split (q527), and the
+  * context pack's contiguous score-ordered prefix + query-term
+  * soundness (q528). All on the sf0.001 fixture.
   */
 class CompositionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark

@@ -1151,4 +1151,21 @@ class PlanSpec extends AnyFunSuite {
     // nested loop; SortMergeJoin here is the INTENDED shape
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q528 context pack: the chunk frame is checkpointed (one compiled " +
+    "chunking pass feeds stats + term counting), the 1-row corpus/dfreq " +
+    "frames broadcast, and the rank+budget admission is one GlobalRank " +
+    "range pass") {
+    val p = plan(graft.Registry.byName("q528_rag_context_pack")
+      .build(spark, dir))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the two 1-row stat frames attach as broadcast nested loops (the
+    // intended shape for a schema-less cross of single-row frames);
+    // more than two means a data-sized frame slipped into a cross join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // GlobalRank's partition-id window is the only rank/cumsum pass
+    assert(p.contains("windowspecdefinition(_w0"), p)
+  }
 }
