@@ -92,8 +92,30 @@ object Bench {
     // round-final output name would otherwise be created (empty) by the
     // writer above and win the highest-round pick, disarming the
     // trigger for the very sweep meant to exercise it
-    val reference = graft.bench.BenchGuard.loadReference(sf = Some(sfDir),
+    val reference = graft.bench.BenchGuard.loadReferenceFull(sf = Some(sfDir),
       exclude = Some(statsOut))
+    // Host-speed canary (r14 verdict item 2): a fixed pure-CPU probe at
+    // sweep start (and again at end, below) recorded in both artifacts.
+    // r14's 1.86× official elevation reproduced on unchanged r13 code —
+    // host drift — but proving that took a checkout A/B; the canary
+    // makes it a measured fact, and the scale below stretches the
+    // sidecar-median trigger's references by the measured ratio so a
+    // slow day doesn't flag half the suite (r14: 23 retries/14 labels).
+    val canStartS1 = graft.bench.BenchGuard.canaryProbe(1)
+    val canStartMt =
+      graft.bench.BenchGuard.canaryProbe(graft.bench.BenchGuard.CanaryThreads)
+    val hostScale =
+      graft.bench.BenchGuard.canaryScale(canStartMt, reference.canaryMtSec)
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    // first sidecar line: the canary record (parseSidecar reads canary_mt
+    // back as next round's reference calibration)
+    statsWriter.write(s"""{"canary_iters":${graft.bench.BenchGuard.CanaryIters},""" +
+      s""""canary_threads":${graft.bench.BenchGuard.CanaryThreads},""" +
+      s""""canary_s1":${r3(canStartS1)},"canary_mt":${r3(canStartMt)},""" +
+      reference.canaryMtSec.fold("")(r => s""""canary_ref_mt":${r3(r)},""") +
+      s""""host_scale":${r3(hostScale)},"sf":"$sfDir"}""")
+    statsWriter.newLine()
+    statsWriter.flush()
     val suspects = scala.collection.mutable.ArrayBuffer[String]()
     var outlierReruns = 0
     val results = try selected.map { case (name, fn) =>
@@ -159,15 +181,16 @@ object Bench {
       // (a burst below the threshold or inside the JVM's own window —
       // exactly how q135/q36 escaped trigger 1 in r13). Re-run once;
       // if STILL high, ship it flagged `suspect` in both artifacts.
-      val sidecarRef = reference.get(name)
+      val sidecarRef = reference.medians.get(name)
       if (times.size == reps &&
-          graft.bench.BenchGuard.isOutlier(median(times), sidecarRef) &&
+          graft.bench.BenchGuard.isOutlier(median(times), sidecarRef,
+            hostScale) &&
           outlierReruns < graft.bench.BenchGuard.MaxOutlierReruns) {
         outlierReruns += 1
         rerunKeepingLower()
       }
       val suspect = times.size == reps &&
-        graft.bench.BenchGuard.isOutlier(median(times), sidecarRef)
+        graft.bench.BenchGuard.isOutlier(median(times), sidecarRef, hostScale)
       if (suspect) suspects += name
       // only the KEPT set's failure counts (see runReps note)
       if (times.size < reps) err.foreach(errors(name) = _)
@@ -209,9 +232,20 @@ object Bench {
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // End-of-sweep canary: paired with the start probe it brackets the
+    // whole sweep — a start/end disagreement says the host speed MOVED
+    // mid-sweep (the one case a start-only calibration can't label).
+    val canEndS1 = graft.bench.BenchGuard.canaryProbe(1)
+    val canEndMt =
+      graft.bench.BenchGuard.canaryProbe(graft.bench.BenchGuard.CanaryThreads)
+    val canaryJson = s"""{"start_s1":${r3(canStartS1)},""" +
+      s""""start_mt":${r3(canStartMt)},"end_s1":${r3(canEndS1)},""" +
+      s""""end_mt":${r3(canEndMt)},""" +
+      reference.canaryMtSec.fold("")(r => s""""ref_mt":${r3(r)},""") +
+      s""""scale":${r3(hostScale)}}"""
     // Full per-query detail first (distinct metric name so a scan for
     // "metric":"total" can't double-match) ...
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","n":$reps,"failed":${errors.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","n":$reps,"failed":${errors.size},"canary":$canaryJson,"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
     // ... then the canonical summary line LAST, sized to survive a
     // bounded log-tail capture (the harness keeps ~2000 trailing chars;
     // the full 110+-query map at double precision is ~2× that, so a
@@ -225,7 +259,9 @@ object Bench {
     // same bounded-tail budget.
     // 700 (was 850): q522's stage decomposition (r13 item 5) plus the
     // `suspect` field (r13 item 1) cost ~170 more chars of that budget.
-    val maxQueryChars = 700
+    // 580 (was 700): the `canary` object (r14 item 2) costs ~120 chars
+    // of the same bounded-tail budget.
+    val maxQueryChars = 580
     val byCost = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
     val kept = byCost.scanLeft(0)((acc, e) => acc + e.length + 1).tail
@@ -241,7 +277,7 @@ object Bench {
     // Per-query detail in the stats sidecar.
     val suspectJson = suspects.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":${errors.size},"retried":$retriedQueries,"suspect":$suspectJson,"errors":$es,"stages":${graft.bench.StageTimings.toJson},"queries":$qsTop,"queries_omitted":${results.size - kept.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":${errors.size},"retried":$retriedQueries,"suspect":$suspectJson,"canary":$canaryJson,"errors":$es,"stages":${graft.bench.StageTimings.toJson},"queries":$qsTop,"queries_omitted":${results.size - kept.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,19 +32,122 @@ object BenchGuard {
 
   /** True when `medianSec` is an outlier against the committed sidecar
     * median for the same query (None = query not in the reference —
-    * new this round — never an outlier). */
-  def isOutlier(medianSec: Double, sidecarMedianSec: Option[Double]): Boolean =
-    sidecarMedianSec.exists(ref =>
-      medianSec > Ratio * ref && medianSec - ref > MinExcessSec)
+    * new this round — never an outlier). `hostScale` ≥ 1 stretches the
+    * reference by the measured host-speed ratio ([[canaryScale]]): on a
+    * day the canary says the host runs 1.4× slower than when the
+    * reference was recorded, a query at 1.4× its reference is EXPECTED,
+    * not an outlier — r14's official sweep flagged 23 rep sets and
+    * shipped 14 `suspect` labels on exactly such a day, and the judge
+    * had to reconstruct the host drift by checkout A/B. */
+  def isOutlier(medianSec: Double, sidecarMedianSec: Option[Double],
+      hostScale: Double = 1.0): Boolean =
+    sidecarMedianSec.exists { ref0 =>
+      val ref = ref0 * hostScale
+      medianSec > Ratio * ref && medianSec - ref > MinExcessSec
+    }
 
   /** Median of a non-empty sequence (upper median for even sizes — the
     * same convention Bench's rep median uses). */
   def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
 
+  // ---- host-speed canary (r14 verdict item 2) --------------------------
+  //
+  // A fixed, pure-CPU, deterministic probe timed at sweep start/end and
+  // recorded in the bench artifacts. r14's official sweep ran 1.86× r13's
+  // with IDENTICAL per-query task counts and shuffle bytes — per-task CPU
+  // rose uniformly ~36 % on queries untouched since r7 — and proving
+  // "the host got slower, not the code" took a checkout A/B. The canary
+  // makes that drift a measured fact in the artifact itself, and
+  // [[canaryScale]] feeds it back into the sidecar-median trigger so a
+  // slow day stretches every reference instead of flagging 23 queries.
+
+  /** Iterations per canary rep — sized so one rep is a few hundred ms of
+    * pure ALU work (xorshift64*), long enough to average out scheduler
+    * jitter, short enough that start+end probes cost single-digit
+    * seconds of a multi-minute sweep. */
+  val CanaryIters: Long = 400000000L
+
+  /** Thread count of the saturating variant — FIXED (not
+    * availableProcessors) so the number stays comparable across rounds
+    * even if the container's CPU grant changes; matches the sweep's
+    * local[32]. */
+  val CanaryThreads: Int = 32
+
+  // published sink so the JIT can never prove the loop result dead
+  @volatile private[bench] var canarySink: Long = 0L
+
+  /** The probe kernel: `iters` rounds of xorshift64* from a fixed seed.
+    * Pure ALU + registers — no allocation, no memory traffic beyond the
+    * loop, so it measures effective clock speed (the resource the r14
+    * drift consumed), not cache or bus state. */
+  def canaryValue(iters: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    x
+  }
+
+  /** Wall seconds for `threads` concurrent runs of the kernel (each
+    * doing `iters`). threads=1 reads single-core speed; CanaryThreads
+    * reads saturated capacity — the regime the local[32] sweep runs in. */
+  def canarySec(iters: Long = CanaryIters, threads: Int = 1): Double = {
+    val t0 = System.nanoTime()
+    if (threads <= 1) canarySink ^= canaryValue(iters)
+    else {
+      val ts = (1 to threads).map { _ =>
+        val t = new Thread(() => { canarySink ^= canaryValue(iters) })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One warmup rep (JIT) then the MIN of `reps` timed reps — a
+    * co-tenant burst can only inflate a rep, never deflate it, so the
+    * min is the host's current best speed. */
+  def canaryProbe(threads: Int, iters: Long = CanaryIters,
+      reps: Int = 3): Double = {
+    canarySec(iters, threads) // warmup
+    (1 to reps).map(_ => canarySec(iters, threads)).min
+  }
+
+  /** Ceiling on the reference stretch — a canary rep itself hit by a
+    * pathological burst (or a reference recorded on a far faster
+    * machine class) must not disable the trigger outright. */
+  val MaxCanaryScale = 4.0
+
+  /** The reference stretch factor: current canary seconds over the
+    * reference sidecar's, clamped to [1, MaxCanaryScale]. Never below 1
+    * — a host FASTER than at reference time must not tighten the
+    * trigger below its committed calibration (the reference medians
+    * stay valid lower bounds). 1.0 when either side is missing
+    * (pre-r15 sidecars carry no canary line). */
+  def canaryScale(currentSec: Double, referenceSec: Option[Double]): Double =
+    referenceSec match {
+      case Some(ref) if ref > 0 && currentSec > 0 =>
+        math.min(math.max(currentSec / ref, 1.0), MaxCanaryScale)
+      case _ => 1.0
+    }
+
   // one sidecar line: {"query":"q1_x","walls":[1.2,0.9,1.1],"sf":"…",...}
   private val QueryRe = """"query"\s*:\s*"([^"]+)"""".r
   private val WallsRe = """"walls"\s*:\s*\[([^\]]*)\]""".r
   private val SfRe = """"sf"\s*:\s*"([^"]+)"""".r
+  // the canary line Bench streams FIRST into the sidecar:
+  // {"canary_iters":…,"canary_threads":32,"canary_s1":…,"canary_mt":…,"sf":…}
+  private val CanaryMtRe = """"canary_mt"\s*:\s*([0-9.eE+\-]+)""".r
+
+  /** A parsed reference sidecar: per-query medians plus the recording
+    * run's saturated start canary (None for pre-r15 sidecars — the
+    * trigger then runs unscaled, exactly the pre-canary behavior). The
+    * canary is NOT sf-filtered: it measures the recording host, which
+    * is the same host whatever scale the rows were recorded at. */
+  final case class Reference(medians: Map[String, Double],
+      canaryMtSec: Option[Double])
 
   /** Parse a stats sidecar (one JSON object per line) into
     * query → median(walls). Lines without both fields, or with empty
@@ -59,7 +162,13 @@ object BenchGuard {
     * requested sf IS an sf0.1 directory and dropped otherwise (r14+
     * rows carry the field and this rule never applies to them). */
   def parseSidecarMedians(lines: Iterator[String],
-      sf: Option[String] = None): Map[String, Double] = {
+      sf: Option[String] = None): Map[String, Double] =
+    parseSidecar(lines, sf).medians
+
+  /** One-pass parse of a sidecar: query medians (sf-filtered as above)
+    * plus the first canary line's saturated seconds. */
+  def parseSidecar(lines: Iterator[String],
+      sf: Option[String] = None): Reference = {
     def sfMatches(line: String, want: String): Boolean =
       SfRe.findFirstMatchIn(line) match {
         // compare the SCALE (last path segment), not the full path: the
@@ -70,7 +179,11 @@ object BenchGuard {
         case Some(m) => scaleOf(m.group(1)) == scaleOf(want)
         case None => scaleOf(want) == LegacySidecarSf // pre-r14 row
       }
-    lines.flatMap { line =>
+    var canary: Option[Double] = None
+    val medians = lines.flatMap { line =>
+      if (canary.isEmpty)
+        canary = CanaryMtRe.findFirstMatchIn(line)
+          .flatMap(_.group(1).toDoubleOption)
       for {
         q <- QueryRe.findFirstMatchIn(line).map(_.group(1))
         ws <- WallsRe.findFirstMatchIn(line).map(_.group(1))
@@ -80,6 +193,7 @@ object BenchGuard {
         if walls.nonEmpty
       } yield q -> median(walls)
     }.toMap
+    Reference(medians, canary)
   }
 
   /** The one scale every pre-r14 (sf-field-less) sidecar was recorded
@@ -112,7 +226,15 @@ object BenchGuard {
   def loadReference(dir: String = ".",
       explicit: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_REF"),
       sf: Option[String] = None,
-      exclude: Option[String] = None): Map[String, Double] = {
+      exclude: Option[String] = None): Map[String, Double] =
+    loadReferenceFull(dir, explicit, sf, exclude).medians
+
+  /** [[loadReference]] plus the reference run's canary (the full
+    * [[Reference]]) — what Bench wires into [[canaryScale]]. */
+  def loadReferenceFull(dir: String = ".",
+      explicit: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_REF"),
+      sf: Option[String] = None,
+      exclude: Option[String] = None): Reference = {
     val re = """BENCH_STATS_r(\d+)_final\.json""".r
     def canon(p: String) =
       try new java.io.File(p).getCanonicalPath
@@ -128,11 +250,11 @@ object BenchGuard {
         })
         .sortBy(_._1).lastOption.map(_._2)
     }
-    path.fold(Map.empty[String, Double]) { p =>
+    path.fold(Reference(Map.empty, None)) { p =>
       try {
         val src = scala.io.Source.fromFile(p, "UTF-8")
-        try parseSidecarMedians(src.getLines(), sf) finally src.close()
-      } catch { case _: Throwable => Map.empty }
+        try parseSidecar(src.getLines(), sf) finally src.close()
+      } catch { case _: Throwable => Reference(Map.empty, None) }
     }
   }
 }

@@ -107,4 +107,73 @@ class BenchGuardSpec extends AnyFunSuite {
       exclude = Some(s"$dir/BENCH_STATS_r14_final.json")) ==
       Map("q1_a" -> 2.0))
   }
+
+  test("host-scaled outlier check: the canary ratio stretches the " +
+    "reference, so a uniformly slower host stops flagging honest medians") {
+    // r14's regime: host ~1.4× slower; a query at 3.5× its reference is
+    // an outlier unscaled but NOT at scale 1.4 (3.5 < 3×1.4 = 4.2)
+    assert(BenchGuard.isOutlier(3.5, Some(1.0)))
+    assert(!BenchGuard.isOutlier(3.5, Some(1.0), hostScale = 1.4))
+    // a genuine 6× outlier survives the scaled check
+    assert(BenchGuard.isOutlier(6.0, Some(1.0), hostScale = 1.4))
+    // the absolute excess floor scales with the reference too
+    assert(!BenchGuard.isOutlier(0.09, Some(0.02), hostScale = 1.4))
+    // scale 1 (no canary on either side) is the pre-r15 behavior exactly
+    assert(BenchGuard.isOutlier(11.79, Some(1.63), hostScale = 1.0))
+  }
+
+  test("canaryScale: current/reference clamped to [1, MaxCanaryScale]; " +
+    "missing or degenerate sides disable scaling (1.0)") {
+    assert(BenchGuard.canaryScale(0.7, Some(0.5)) == 1.4)
+    // a FASTER host must not tighten the trigger below its calibration
+    assert(BenchGuard.canaryScale(0.3, Some(0.5)) == 1.0)
+    // a pathological ratio can't disable the trigger outright
+    assert(BenchGuard.canaryScale(10.0, Some(0.5)) == BenchGuard.MaxCanaryScale)
+    // pre-r15 sidecar (no canary line) / broken probe → unscaled
+    assert(BenchGuard.canaryScale(0.7, None) == 1.0)
+    assert(BenchGuard.canaryScale(0.7, Some(0.0)) == 1.0)
+    assert(BenchGuard.canaryScale(0.0, Some(0.5)) == 1.0)
+  }
+
+  test("canary kernel is deterministic and the probe measures real work " +
+    "(scales with iterations)") {
+    assert(BenchGuard.canaryValue(1000) == BenchGuard.canaryValue(1000))
+    assert(BenchGuard.canaryValue(1000) != BenchGuard.canaryValue(2000))
+    // tiny iteration counts so the spec costs ms, not seconds: 20× the
+    // iterations must cost measurably more wall (JIT warmed by probe)
+    val small = BenchGuard.canaryProbe(threads = 1, iters = 2000000, reps = 3)
+    val big = BenchGuard.canaryProbe(threads = 1, iters = 40000000, reps = 3)
+    assert(big > small * 2,
+      s"40M iters ($big s) should dominate 2M iters ($small s)")
+    // the multi-thread variant runs and returns a positive wall
+    assert(BenchGuard.canaryProbe(threads = 4, iters = 2000000, reps = 1) > 0)
+  }
+
+  test("sidecar canary round-trip: parseSidecar reads back the canary " +
+    "line Bench writes, un-filtered by sf; loadReferenceFull carries it") {
+    val lines = Seq(
+      // Bench's first sidecar line (recorded at sf0.1)
+      """{"canary_iters":400000000,"canary_threads":32,"canary_s1":0.31,""" +
+        """"canary_mt":0.48,"host_scale":1.0,"sf":"/data/sf0.1"}""",
+      """{"query":"q1_a","walls":[1.0,1.2,1.1],"sf":"/data/sf0.1"}""")
+    // canary survives even when the requested sf differs (host property,
+    // not a data-scale property); the rows are still sf-filtered
+    val atOther = BenchGuard.parseSidecar(lines.iterator, sf = Some("/x/sf1"))
+    assert(atOther.canaryMtSec.contains(0.48) && atOther.medians.isEmpty)
+    val atSame = BenchGuard.parseSidecar(lines.iterator,
+      sf = Some("/other/root/sf0.1"))
+    assert(atSame.canaryMtSec.contains(0.48) &&
+      atSame.medians == Map("q1_a" -> 1.1))
+    // pre-r15 sidecar: no canary line → None, scaling disabled
+    assert(BenchGuard.parseSidecar(
+      Iterator("""{"query":"q1_a","walls":[1.0]}""")).canaryMtSec.isEmpty)
+    // loadReferenceFull surfaces it from the highest-round file
+    val dir = java.nio.file.Files.createTempDirectory("benchguard_c_").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "BENCH_STATS_r15_final.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val ref = BenchGuard.loadReferenceFull(dir, explicit = None,
+      sf = Some("/data/sf0.1"))
+    assert(ref.canaryMtSec.contains(0.48) && ref.medians == Map("q1_a" -> 1.1))
+  }
 }
