@@ -1,0 +1,195 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import graft.pipelines.{Fs, Versioned}
+
+/** Cross-PROCESS lease stress (r14 verdict item 4). PublishSpec pins the
+  * protocol's refusal/reclaim arithmetic inside one JVM; these tests
+  * hammer it across real process boundaries — separate JVMs that share
+  * nothing but the filesystem, so the only serialization available is
+  * the one the protocol claims is load-bearing: `Fs.createExclusive` on
+  * the lease file. A crashed holder (`Runtime.halt`, no finally) and
+  * continuously re-seeded backdated foreign leases force the
+  * stale-reclaim path, including concurrent reclaimers of one stale
+  * generation; the `_STRESS_INSIDE` exclusive marker detects any
+  * mutual-exclusion violation (the observable corruption of a
+  * double-reclaim) directly, and the publish run asserts the end-state
+  * invariants the verdict names: no lost version (every committed
+  * version on disk is exactly one worker's claim), no stranded lease,
+  * no leftover reclaim marker.
+  */
+class LeaseStressSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // same list as build.sbt's jdk17AddOpens — the worker creates a
+  // SparkSession outside spark-submit in publish mode
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Fork a LeaseStressWorker JVM; stdout/stderr land in `out`. */
+  private def fork(out: java.io.File, xmx: String, args: String*): Process = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(java) ++ addOpens ++ Seq(s"-Xmx$xmx",
+      "-Dspark.ui.enabled=false", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.LeaseStressWorker") ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(out)
+    pb.start()
+  }
+
+  private def slurp(f: java.io.File): String =
+    if (f.exists) new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    else ""
+
+  test("three processes + a crashed holder + re-seeded stale foreign " +
+    "leases: mutual exclusion holds through createExclusive alone " +
+    "(zero violations), every process makes progress, nothing stranded") {
+    val base = tmp("lease-stress-lock")
+    val table = "t"
+    val lease = new Path(s"$base/$table/_LEASE")
+    val dir = new java.io.File(base)
+
+    // 1. a writer crashes (halt — no finally, no hooks) holding the lease
+    val crashOut = new java.io.File(dir, "crash.out")
+    val crashLog = new java.io.File(dir, "crash.log")
+    val crasher = fork(crashOut, "256m", "crash", base, table, "w-crash",
+      "0", "600000", crashLog.getPath)
+    assert(crasher.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+      s"crasher hung:\n${slurp(crashOut)}")
+    assert(crasher.exitValue == 7,
+      s"crasher should halt(7):\n${slurp(crashOut)}\n${slurp(crashLog)}")
+    assert(Fs.exists(lease), "the crash must leave its stale lease behind")
+
+    // 2. three hammers with a 1.5 s TTL must wait out the fresh-looking
+    // stale lease, reclaim it (contending on the reclaim marker), then
+    // slug it out live for the rest of the run
+    val durationMs = 8000L
+    val workers = (1 to 3).map { i =>
+      val out = new java.io.File(dir, s"w$i.out")
+      val log = new java.io.File(dir, s"w$i.log")
+      (i, out, log, fork(out, "256m", "lock", base, table, s"w$i",
+        durationMs.toString, "1500", log.getPath))
+    }
+
+    // 3. seeder: keep injecting BACKDATED foreign leases whenever the
+    // file is free, so the reclaim path runs dozens of times per run
+    // (not just once for the crasher's) — stops well before the workers
+    // so the last seed is always reclaimed
+    val seedUntil = System.currentTimeMillis() + durationMs - 3500
+    var seeded = 0
+    while (System.currentTimeMillis() < seedUntil) {
+      try {
+        if (!Fs.exists(lease)) {
+          Fs.createExclusive(lease, "dead-foreign-writer 1\n")
+          Fs.of(lease).setTimes(lease, System.currentTimeMillis() - 20000, -1)
+          seeded += 1
+        }
+      } catch { case _: java.io.IOException => () } // a worker won the create
+      Thread.sleep(150)
+    }
+
+    val summaries = workers.map { case (i, out, log, p) =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        s"worker w$i hung:\n${slurp(out)}")
+      assert(p.exitValue == 0, s"worker w$i failed:\n${slurp(out)}\n${slurp(log)}")
+      val body = slurp(log)
+      assert(!body.contains("VIOLATION") && !body.contains("ERROR") &&
+        !body.contains("FATAL"), s"worker w$i log:\n$body")
+      val acq = """"acquired":(\d+)""".r.findFirstMatchIn(body)
+        .map(_.group(1).toLong)
+      val vio = """"violations":(\d+)""".r.findFirstMatchIn(body)
+        .map(_.group(1).toLong)
+      assert(acq.isDefined && vio.isDefined, s"no summary from w$i:\n$body")
+      (acq.get, vio.get)
+    }
+    assert(summaries.map(_._2).sum == 0, "mutual-exclusion violations")
+    // every process reclaimed/contended its way to real progress
+    summaries.zipWithIndex.foreach { case ((acq, _), i) =>
+      assert(acq >= 1, s"worker ${i + 1} never acquired")
+    }
+    assert(summaries.map(_._1).sum >= 50,
+      s"suspiciously little total progress: $summaries")
+    assert(seeded >= 3, s"seeder injected only $seeded stale leases — " +
+      "the reclaim path wasn't exercised")
+    // nothing stranded: no lease, no reclaim marker, no critical-section
+    // marker survive the run
+    val leftovers = Fs.list(new Path(s"$base/$table")).map(_.getPath.getName)
+    assert(!Fs.exists(lease), s"stranded lease; dir: $leftovers")
+    assert(!leftovers.exists(_.contains(".reclaim.")),
+      s"leftover reclaim marker: $leftovers")
+    assert(!leftovers.contains("_STRESS_INSIDE"),
+      s"leftover critical-section marker: $leftovers")
+  }
+
+  test("two publishing processes on one table: every committed version " +
+    "is exactly one worker's claim (no lost update, no phantom), all " +
+    "claims readable, no stranded lease") {
+    val base = tmp("lease-stress-pub")
+    val table = "t"
+    val dir = new java.io.File(base)
+    val workers = (1 to 2).map { i =>
+      val out = new java.io.File(dir, s"p$i.out")
+      val log = new java.io.File(dir, s"p$i.log")
+      (i, out, log, fork(out, "1200m", "publish", base, table, s"p$i",
+        "12000", "600000", log.getPath))
+    }
+    val claims = workers.map { case (i, out, log, p) =>
+      assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        s"publisher p$i hung:\n${slurp(out)}")
+      assert(p.exitValue == 0,
+        s"publisher p$i failed:\n${slurp(out).takeRight(4000)}\n${slurp(log)}")
+      val body = slurp(log)
+      assert(!body.contains("LEASELOST") && !body.contains("ERROR") &&
+        !body.contains("FATAL"), s"publisher p$i log:\n$body")
+      val pubs = """(?m)^pub (\d+) (\S+) (\d+)$""".r.findAllMatchIn(body)
+        .map(m => m.group(1).toLong -> m.group(3).toInt).toMap
+      assert(pubs.nonEmpty, s"publisher p$i never published:\n$body")
+      s"p$i" -> pubs
+    }.toMap
+    // claims are globally disjoint — two workers never committed the
+    // same version id (the lost-update shape a broken lease would allow)
+    val all = claims.values.flatMap(_.keys).toSeq
+    assert(all.size == all.distinct.size,
+      s"duplicate version claims across processes: $claims")
+    // the on-disk committed set IS the union of the claims: no lost
+    // version (a claim whose commit vanished), no phantom (a commit
+    // nobody claims) — and the interleaved vacuums deleted none of them
+    val t = new Path(s"$base/$table")
+    val committed = Fs.list(t).filter(_.isDirectory)
+      .map(_.getPath).filter(p => p.getName.startsWith("_v"))
+      .filter(p => Fs.exists(new Path(p, "_COMMIT")))
+      .flatMap(_.getName.stripPrefix("_v").toLongOption).toSet
+    assert(committed == all.toSet,
+      s"on-disk committed $committed != claimed ${all.toSet}")
+    assert(Versioned.latestVersion(base, table).contains(all.max))
+    // spot-read each worker's first and last claim: the committed bytes
+    // are that worker's payload, not a racer's
+    import spark.implicits._
+    claims.foreach { case (w, pubs) =>
+      Seq(pubs.keys.min, pubs.keys.max).foreach { v =>
+        val rows = Versioned.read(spark, base, table, Some(v))
+          .as[(String, Int)].collect().toSeq
+        assert(rows == Seq((w, pubs(v))),
+          s"version $v claimed by $w holds $rows")
+      }
+    }
+    val leftovers = Fs.list(t).map(_.getPath.getName)
+    assert(!leftovers.contains("_LEASE"), s"stranded lease: $leftovers")
+    assert(!leftovers.exists(_.contains(".reclaim.")),
+      s"leftover reclaim marker: $leftovers")
+  }
+}
