@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-14 COMPOSITIONS: each query chains machinery from several
+/** Round-14/15 COMPOSITIONS: each query chains machinery from several
   * already-proven operator families end-to-end — the staged reports a
   * real curation / analytics pipeline runs, not new scalar statistics
   * (the r13 verdict's "breadth continues into compositions" direction).
@@ -699,6 +699,319 @@ object CompositionQueries {
       |FROM r WHERE cum_tokens <= 256
       |ORDER BY rank""".stripMargin
 
+  // ---- q529: the training-mixture build manifest -----------------------
+
+  /** q529's token budget — sized to BITE on the funnel SURVIVORS' token
+    * mass at the fixture scale (survivor mass is a strict subset of the
+    * q524 corpus mass, so this sits below [[MixBudgetTokens]]). */
+  private val ManifestBudgetTokens = 6000L
+
+  /** q529's packing bin size (q108 uses 2048 on the raw corpus; the
+    * admitted-survivor manifest uses smaller bins so multiple bins per
+    * language exist at the fixture scale). */
+  private val PackTokens = 512L
+
+  /** q529's survivor gate. The mixture build trusts the DECLARED
+    * language label (mixtures are composed per declared language; the
+    * funnel REPORT q523 is where the label-confirm rate gets audited —
+    * its precision gate keeps 1 doc at fixture scale, which would make
+    * the quota and packing algebra downstream vacuous) and takes a
+    * quality bar that bites at the fixture's quality median (~0.38):
+    * ~40–140 kept docs and 2.6k–9.2k surviving tokens per language, so
+    * every stage of the chain does real work. */
+  private val ManifestQualityBar = 0.35
+
+  /** END-TO-END training-mixture BUILD — the r14 verdict's suggested
+    * composition (a): the curation grain picks the survivors (quality ≥
+    * [[ManifestQualityBar]], near-dup component rep among the quality
+    * survivors — q523's dedup-never-resurrects rule), q524's
+    * temperature-quota algebra apportions [[ManifestBudgetTokens]]
+    * across the SURVIVOR languages' token mass, and q108's
+    * concat-then-chunk packing lays the admitted docs into fixed
+    * [[PackTokens]]-token bins — one doc-grain manifest (lang, doc,
+    * tokens, quota, cursor, pack coordinates) a training data loader can
+    * stream in order. The key composition fact: greedy in-language
+    * admission is a PREFIX of the deterministic (hash, id) order, so
+    * within the admitted set the in-language running sum computed over
+    * ALL survivors IS the packing cursor — packing costs no second rank
+    * pass.
+    *
+    * Scale shape, inherited from the legs: one explode-aggregate profile
+    * pass + banded df-capped dedup candidates (the [[curationDocGrain]]
+    * frame, checkpointed — consumed by the rep aggregate, the join-back,
+    * the quota aggregate and the rank), quota algebra over the
+    * |langs|-row aggregate (WindowSweep-bounded), ONE
+    * [[GlobalRank.withRunningSum]] range pass over (lang, hash, id) with
+    * in-language cursors recovered by subtracting broadcast per-language
+    * offsets — no fact-sized or single-partition window anywhere. */
+  def trainingMixtureManifest(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000000007L
+    val grain = curationDocGrain(spark, dir).localCheckpoint(false)
+    val ok = col("quality") >= ManifestQualityBar && col("lang").isNotNull
+    val survRep = grain.filter(ok)
+      .groupBy(col("cluster_rep")).agg(min(col("doc_id")).as("surv_rep"))
+    val surv = grain.join(survRep, Seq("cluster_rep"))
+      .filter(ok && col("doc_id") === col("surv_rep"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val all = Window.partitionBy(lit(1))
+    val quotas = surv.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("lang_tokens").cast("double")) * 1e6).cast("long"))
+      .withColumn("tot", sum(col("w")).over(all))
+      .withColumn("base", expr(s"($ManifestBudgetTokens * w) div tot"))
+      .withColumn("rem", expr(s"($ManifestBudgetTokens * w) % tot"))
+      .withColumn("leftover",
+        lit(ManifestBudgetTokens) - sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang")))
+        .cast("long"))
+      .withColumn("lang_offset",
+        coalesce(sum(col("lang_tokens")).over(
+          Window.partitionBy(lit(1)).orderBy(col("lang"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("lang_offset"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("quota_tokens"))
+    val ranked = GlobalRank.withRunningSum(
+      surv.withColumn("hkey",
+        pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p))),
+      Seq(col("lang"), col("hkey"), col("doc_id")),
+      col("n_tokens"), "cum_all")
+    ranked.join(broadcast(quotas), "lang")
+      .withColumn("cum_in_lang", col("cum_all") - col("lang_offset"))
+      .filter(col("cum_in_lang") <= col("quota_tokens"))
+      .withColumn("before", col("cum_in_lang") - col("n_tokens"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("quota_tokens"), col("cum_in_lang"),
+        expr(s"before div $PackTokens").as("pack_id"),
+        (col("before") % PackTokens).as("pack_offset"))
+      .orderBy(col("lang"), col("cum_in_lang"))
+  }
+
+  private val trainingMixtureManifestSql =
+    s"""WITH RECURSIVE ${DedupQueries.reachCtes}, rep AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |), $profCte, flags AS (
+       |  SELECT d.doc_id, d.lang,
+       |    COALESCE(s.quality >= $ManifestQualityBar, FALSE)
+       |      AND d.lang IS NOT NULL AS m_ok,
+       |    COALESCE(s.n_tokens, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN scored s USING (doc_id)
+       |), surv AS (
+       |  SELECT f.*,
+       |    MIN(CASE WHEN f.m_ok THEN f.doc_id END)
+       |      OVER (PARTITION BY r.cluster_rep) AS surv_rep
+       |  FROM flags f JOIN rep r USING (doc_id)
+       |), picked AS (
+       |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+       |  FROM surv WHERE m_ok AND doc_id = surv_rep
+       |), s2 AS (
+       |  SELECT lang, SUM(n_tokens) AS lang_tokens,
+       |    CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1e6) AS BIGINT)
+       |      AS w
+       |  FROM picked GROUP BY 1
+       |), q1 AS (
+       |  SELECT lang, w, SUM(w) OVER () AS tot FROM s2
+       |), q2 AS (
+       |  SELECT lang, w, ($ManifestBudgetTokens * w) // tot AS base,
+       |    ($ManifestBudgetTokens * w) % tot AS rem
+       |  FROM q1
+       |), q3 AS (
+       |  SELECT lang, base,
+       |    $ManifestBudgetTokens - SUM(base) OVER () AS leftover,
+       |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+       |  FROM q2
+       |), quotas AS (
+       |  SELECT lang,
+       |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |      AS quota_tokens
+       |  FROM q3
+       |), ranked AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+       |                * 2654435761) % 1000000007, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_in_lang
+       |  FROM picked
+       |)
+       |SELECT r.lang, r.doc_id, r.n_tokens, q.quota_tokens, r.cum_in_lang,
+       |  (r.cum_in_lang - r.n_tokens) // $PackTokens AS pack_id,
+       |  (r.cum_in_lang - r.n_tokens) % $PackTokens AS pack_offset
+       |FROM ranked r JOIN quotas q USING (lang)
+       |WHERE r.cum_in_lang <= q.quota_tokens
+       |ORDER BY lang, cum_in_lang""".stripMargin
+
+  // ---- q530: index freshness SLO report --------------------------------
+
+  private val FreshK = 5
+  private val FreshNQ = 8 // query vectors: vec_id < 8, present in BOTH versions
+
+  /** Index freshness SLO report — the r14 verdict's suggested
+    * composition (b): publish two versions of a vector corpus through
+    * the REAL [[graft.pipelines.Versioned]] machinery (v0 a
+    * deterministic embeddings slice; v1 deletes every 15th non-query id
+    * and inserts a disjoint slice), time-travel-read BOTH versions back,
+    * and answer the serving question a staleness SLO is written about:
+    * if queries are served from the STALE snapshot while the corpus has
+    * moved on, how much of the FRESH exact top-k does each query still
+    * see? Per query: overlap@k between the two brute-force top-k sets
+    * (q70's scaled-integer cosine on each version read),
+    * freshness_recall = overlap/k, how many fresh neighbors are NEW
+    * docs (unreachable from the stale snapshot at any k), and the
+    * version-diff row counts (added/removed via the anti-join diff over
+    * the two time-travel reads). The oracle rebuilds both versions as
+    * CTEs and replays the whole chain, so the hash certifies
+    * publish → time-travel → diff → dual top-k → SLO arithmetic.
+    *
+    * Scale shape: queries broadcast against each version scan (the
+    * [[VectorOps.cosineTopK]] contract — fused codegen similarity,
+    * per-partition partial top-k); the id diff is one shuffle on vec_id;
+    * the per-query legs join on (query_id, neighbor_id) at k·|queries|
+    * rows; the diff counts enter as a 1-row broadcast (the one intended
+    * nested-loop, q528's pattern). The published family is temp debris,
+    * deleted after materialization. */
+  /** Publish the two-version freshness fixture family into `out`
+    * (v0 then v1) — factored out so PlanSpec can stage the same family
+    * and pin the report frame's plan shape pre-materialization. */
+  private[graft] def publishFreshnessFixture(spark: SparkSession,
+      dir: String, out: String): Unit = {
+    val base = Catalog.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val v0 = base.filter(col("vec_id") < FreshNQ || col("vec_id") % 3 === 0)
+    val v1 = v0.filter(!(col("vec_id") >= FreshNQ &&
+        col("vec_id") % 15 === 0))
+      .unionByName(base.filter(col("vec_id") >= FreshNQ &&
+        col("vec_id") % 3 === 1))
+    graft.pipelines.Versioned.publish(v0, out, "corpus")
+    graft.pipelines.Versioned.publish(v1, out, "corpus")
+  }
+
+  /** The SLO report frame over an already-published family — lazy; the
+    * registered query materializes it before deleting the temp family. */
+  private[graft] def freshnessFrame(spark: SparkSession,
+      out: String): DataFrame = {
+    val stale = graft.pipelines.Versioned.read(spark, out, "corpus",
+      Some(0L))
+    val fresh = graft.pipelines.Versioned.read(spark, out, "corpus",
+      Some(1L))
+    val stats = stale.select(col("vec_id").as("v0id"))
+      .join(fresh.select(col("vec_id").as("v1id")),
+        col("v0id") === col("v1id"), "full_outer")
+      .agg(count(when(col("v0id").isNull, 1)).as("n_added"),
+        count(when(col("v1id").isNull, 1)).as("n_removed"))
+    val t0 = graft.ops.VectorOps
+      .cosineTopK(stale, col("vec_id") < FreshNQ, FreshK)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_stale"))
+    val t1 = graft.ops.VectorOps
+      .cosineTopK(fresh, col("vec_id") < FreshNQ, FreshK)
+      .select(col("query_id"), col("neighbor_id"))
+    t1.join(t0, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("in_stale")).as("stale_hits"),
+        count(when(col("neighbor_id") >= FreshNQ &&
+          col("neighbor_id") % 3 === 1, 1)).as("new_doc_hits"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("stale_hits"),
+        (col("stale_hits").cast("double") / FreshK)
+          .as("freshness_recall"),
+        col("new_doc_hits"), col("n_added"), col("n_removed"))
+      .orderBy(col("query_id"))
+  }
+
+  def indexFreshnessSlo(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_fresh_")
+      .toString
+    try {
+      publishFreshnessFixture(spark, dir, out)
+      val d = freshnessFrame(spark, out)
+      // HARNESS-ONLY collect: the report must outlive the temp-dir
+      // cleanup below, and it is |queries| rows by construction. A
+      // production SLO job reading durable versions keeps this lazy.
+      val rows = d.collect().toSeq
+      val schema = d.schema
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    } finally {
+      // finally, not success-path-only: a failed rep must not leak a
+      // published family into /tmp
+      graft.pipelines.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out))
+    }
+  }
+
+  private val indexFreshnessSloSql = {
+    // the per-version scaled-integer top-k legs differ only in the
+    // version CTE they scan — generate both from one template (the same
+    // arithmetic q70's oracle pins)
+    def topk(v: String, tag: String) =
+      s"""u$tag AS (
+         |  SELECT vec_id,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         |      AS BIGINT) AS xi,
+         |    unnest(range(len(embedding))) AS i
+         |  FROM $v
+         |), n$tag AS (
+         |  SELECT vec_id, SUM(xi * xi) AS n2 FROM u$tag GROUP BY 1
+         |), d$tag AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |    CAST(SUM(q.xi * d.xi) AS BIGINT) AS dot
+         |  FROM u$tag q JOIN u$tag d ON q.i = d.i
+         |  WHERE q.vec_id < $FreshNQ AND d.vec_id <> q.vec_id
+         |  GROUP BY 1, 2
+         |), s$tag AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(dn.n2 AS DOUBLE)))
+         |      AS cos_sim
+         |  FROM d$tag
+         |  JOIN n$tag qn ON query_id = qn.vec_id
+         |  JOIN n$tag dn ON neighbor_id = dn.vec_id
+         |), t$tag AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |    FROM s$tag)
+         |  WHERE rn <= $FreshK
+         |)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), v0 AS (
+       |  SELECT * FROM base
+       |  WHERE vec_id < $FreshNQ OR vec_id % 3 = 0
+       |), v1 AS (
+       |  SELECT * FROM v0
+       |  WHERE NOT (vec_id >= $FreshNQ AND vec_id % 15 = 0)
+       |  UNION ALL
+       |  SELECT * FROM base
+       |  WHERE vec_id >= $FreshNQ AND vec_id % 3 = 1
+       |), ${topk("v0", "0")}, ${topk("v1", "1")}, stats AS (
+       |  SELECT
+       |    CAST((SELECT COUNT(*) FROM v1
+       |          WHERE vec_id NOT IN (SELECT vec_id FROM v0)) AS BIGINT)
+       |      AS n_added,
+       |    CAST((SELECT COUNT(*) FROM v0
+       |          WHERE vec_id NOT IN (SELECT vec_id FROM v1)) AS BIGINT)
+       |      AS n_removed
+       |), per AS (
+       |  SELECT f.query_id,
+       |    CAST(COUNT(s.neighbor_id) AS BIGINT) AS stale_hits,
+       |    CAST(COUNT(*) FILTER (f.neighbor_id >= $FreshNQ
+       |      AND f.neighbor_id % 3 = 1) AS BIGINT) AS new_doc_hits
+       |  FROM t1 f LEFT JOIN t0 s USING (query_id, neighbor_id)
+       |  GROUP BY 1
+       |)
+       |SELECT query_id, stale_hits,
+       |  CAST(stale_hits AS DOUBLE) / $FreshK AS freshness_recall,
+       |  new_doc_hits, n_added, n_removed
+       |FROM per CROSS JOIN stats
+       |ORDER BY query_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q523_curation_funnel", curationFunnel, Some(curationFunnelSql),
       "END-TO-END curation funnel per (lang, source): corpus -> langid-" +
@@ -731,5 +1044,17 @@ object CompositionQueries {
       "RAG context assembly: q104 chunks -> chunk-level BM25 (q143 " +
         "algebra, fixed-order multi-term sum) -> greedy token-budget " +
         "prefix (q125 rule) via one GlobalRank pass — the context " +
-        "manifest a retrieval server ships to the generator"))
+        "manifest a retrieval server ships to the generator"),
+    Q("q529_training_mixture_manifest", trainingMixtureManifest,
+      Some(trainingMixtureManifestSql),
+      "training-mixture BUILD manifest: q523 funnel survivors -> q524 " +
+        "temperature token quotas -> q108 bin packing of the admitted " +
+        "prefix, one GlobalRank pass (admission prefix IS the packing " +
+        "cursor) — the doc-grain manifest a data loader streams"),
+    Q("q530_index_freshness_slo", indexFreshnessSlo,
+      Some(indexFreshnessSloSql),
+      "index freshness SLO: publish 2 corpus versions (real Versioned " +
+        "machinery), time-travel both, per-query stale-vs-fresh exact " +
+        "top-k overlap + new-doc share + version diff counts — the " +
+        "staleness report an index rebuild cadence is tuned against"))
 }

@@ -146,4 +146,81 @@ class CompositionSpec extends AnyFunSuite {
       assert(text.split(" ", -1).exists(terms), s"no query term in $key")
     }
   }
+
+  test("q529 manifest: per-language admission is an exact in-order " +
+    "prefix under quota, packing cursor is the running sum, pack " +
+    "coordinates consistent, admitted docs are dedup-kept quality " +
+    "survivors") {
+    val rs = rows("q529_training_mixture_manifest")
+    assert(rs.nonEmpty)
+    val pack = 512L
+    rs.groupBy(_.getAs[String]("lang")).foreach { case (lang, lrs0) =>
+      val lrs = lrs0.sortBy(_.getAs[Long]("cum_in_lang"))
+      val quota = lrs.head.getAs[Long]("quota_tokens")
+      // one quota per language; cum is the exact running sum of the
+      // admitted docs (the prefix property), never exceeding it
+      var cum = 0L
+      lrs.foreach { r =>
+        assert(r.getAs[Long]("quota_tokens") == quota, r.toString)
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_in_lang") == cum,
+          s"$lang cursor broken: $r (expected $cum)")
+        assert(cum <= quota, s"$lang overshot quota: $r")
+        val before = cum - r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("pack_id") == before / pack, r.toString)
+        assert(r.getAs[Long]("pack_offset") == before % pack, r.toString)
+      }
+      // pack ids are a non-decreasing sequence starting at 0
+      assert(lrs.head.getAs[Long]("pack_id") == 0L, lrs.head.toString)
+    }
+    // admitted docs are their component's min-id QUALITY survivor —
+    // recomputed independently of the query under test
+    import org.apache.spark.sql.functions._
+    val d = graft.catalog.Catalog.load(spark, dir, "documents")
+    val q = graft.ops.TextOps.qualityScored(d)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val clus = graft.ops.DedupOps.dedupClusters(d, n = 5, threshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep"))
+      .toMap
+    val survivors = clus.keySet.filter(id => q.get(id).exists(_ >= 0.35))
+    val repOf = survivors.groupBy(clus).map { case (c, ids) => c -> ids.min }
+    rs.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(survivors(id), s"admitted non-survivor $id")
+      assert(repOf(clus(id)) == id, s"admitted non-rep $id of ${clus(id)}")
+    }
+  }
+
+  test("q530 freshness SLO: one row per query, recall = hits/k, new " +
+    "docs can never be stale hits, diff counts match the version " +
+    "arithmetic ground truth") {
+    val rs = rows("q530_index_freshness_slo")
+    import org.apache.spark.sql.functions._
+    val emb = graft.catalog.Catalog.load(spark, dir, "embeddings")
+    val nq = 8L
+    assert(rs.map(_.getAs[Long]("query_id")).sorted.toSeq ==
+      (0L until nq), "one row per query vector")
+    val k = 5L
+    rs.foreach { r =>
+      val hits = r.getAs[Long]("stale_hits")
+      val newDocs = r.getAs[Long]("new_doc_hits")
+      assert(hits >= 0 && hits <= k, r.toString)
+      assert(r.getAs[Double]("freshness_recall") == hits.toDouble / k,
+        r.toString)
+      // an inserted doc is absent from v0, so it can occupy only the
+      // fresh-topk slots the stale set missed
+      assert(newDocs >= 0 && newDocs <= k - hits, r.toString)
+    }
+    // diff counts: recomputed from the version-defining arithmetic
+    val added = emb.filter(col("vec_id") >= nq && col("vec_id") % 3 === 1)
+      .count()
+    val removed = emb.filter(col("vec_id") >= nq && col("vec_id") % 15 === 0)
+      .count()
+    rs.foreach { r =>
+      assert(r.getAs[Long]("n_added") == added, r.toString)
+      assert(r.getAs[Long]("n_removed") == removed, r.toString)
+    }
+  }
 }

@@ -1168,4 +1168,46 @@ class PlanSpec extends AnyFunSuite {
     // GlobalRank's partition-id window is the only rank/cumsum pass
     assert(p.contains("windowspecdefinition(_w0"), p)
   }
+
+  test("q529 manifest: admission+packing is ONE GlobalRank range pass " +
+    "over the checkpointed survivor grain, quotas join back broadcast, " +
+    "and exactly one stratum-grain lang exchange exists") {
+    val p = plan(graft.Registry.byName("q529_training_mixture_manifest")
+      .build(spark, dir))
+    // the doc-grain frame is the checkpointed curation grain; its
+    // explode/no-Expand shape is pinned on q523's pre-checkpoint test
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("windowspecdefinition(_w0"), p)
+    // ONE legitimate lang hash exchange (the quota aggregate); a second
+    // would mean a per-language window landed on the document frame —
+    // GlobalRank's range pass and the final output sort are both
+    // rangepartitioning, and the quota join-back is a broadcast
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // no 1-row frames exist here — every join is an equi-join
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q530 freshness: each top-k leg broadcasts the QUERIES (non-equi " +
+    "broadcast loop against the version scan — never corpus x corpus), " +
+    "the diff stats attach as the one 1-row broadcast, windows stay " +
+    "query-partitioned") {
+    val out = java.nio.file.Files.createTempDirectory("plan_fresh_")
+      .toString
+    try {
+      graft.queries.CompositionQueries
+        .publishFreshnessFixture(spark, dir, out)
+      val p = plan(graft.queries.CompositionQueries
+        .freshnessFrame(spark, out))
+      assert(!p.contains("CartesianProduct"), p)
+      // 3 intended broadcast nested loops: 2 non-equi query broadcasts
+      // (|queries| rows against each version scan) + the 1-row stats
+      // frame; a 4th means a data-sized frame slipped into a cross
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p)
+      // the top-k windows partition by query_id — never unpartitioned
+      assert(p.contains("windowspecdefinition(query_id"), p)
+    } finally graft.pipelines.Fs.deleteRecursive(
+      new org.apache.hadoop.fs.Path(out))
+  }
 }

@@ -53,6 +53,9 @@ class WindowSweepSpec extends AnyFunSuite {
     "q120_mixture" -> "per-stratum remainder frame (|strata| rows)",
     "q524_token_budgeted_mixture" ->
       "per-language quota frame (|langs| rows; the per-doc leg is GlobalRank)",
+    "q529_training_mixture_manifest" ->
+      ("per-language quota frame (|langs| rows — q524's algebra over the " +
+        "funnel survivors; the per-doc admission/packing leg is GlobalRank)"),
     "q476_capped_waterfill" -> "per-source water-fill frame (|sources| rows)",
     "q186_temperature_mix" -> "per-stratum weight frame (|strata| rows)",
     "q152_chi_square" -> "contingency cells (flag x status)",
