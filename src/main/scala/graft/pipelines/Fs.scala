@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   * Atomicity contract used by callers:
   *  - `createExclusive` (create with overwrite=false) is the commit
   *    primitive: at most one writer wins WHERE THE CONNECTOR ENFORCES
-  *    EXCLUSIVE CREATE ATOMICALLY — HDFS and local disk do; on S3A the
+  *    EXCLUSIVE CREATE ATOMICALLY — HDFS does (namenode); local disk
+  *    does through the kernel's O_EXCL (the method special-cases local
+  *    filesystems because HADOOP's local create is a non-atomic
+  *    check-then-open — see createExclusive); on S3A the
   *    classic implementation is a non-atomic existence-check-then-PUT
   *    (two racing writers can both "win"), and only recent Hadoop with
   *    S3 conditional-write support restores the guarantee. Deployments
@@ -70,11 +73,36 @@ object Fs {
 
   /** Exclusive create (the commit primitive): fails with
     * `FileAlreadyExistsException` if `p` exists — at most one writer can
-    * win a given marker. */
-  def createExclusive(p: Path, s: String): Unit = {
-    val out = of(p).create(p, false)
-    try out.write(s.getBytes("UTF-8"))
-    finally out.close()
+    * win a given marker.
+    *
+    * Local filesystems get the kernel's O_EXCL (`CREATE_NEW`) through
+    * java.nio: Hadoop's `LocalFileSystem`/`RawLocalFileSystem`
+    * `create(overwrite = false)` is an exists-CHECK followed by a plain
+    * open — two processes can interleave between the check and the open
+    * and BOTH win (found by the cross-process LeaseStressSpec: two
+    * forked JVMs inside one lease's critical section), and the
+    * checksummed wrapper can additionally throw after the data file
+    * already landed, stranding a half-created marker. `CREATE_NEW` is a
+    * single atomic syscall, so neither failure mode exists. Non-local
+    * connectors keep the Hadoop call: HDFS enforces the exclusive
+    * create at the namenode; object stores without atomic
+    * conditional-create rely on the documented single-writer deployment
+    * contract (header above). */
+  def createExclusive(p: Path, s: String): Unit = of(p) match {
+    case local @ (_: org.apache.hadoop.fs.LocalFileSystem |
+                  _: org.apache.hadoop.fs.RawLocalFileSystem) =>
+      val f = java.nio.file.Paths.get(
+        local.makeQualified(p).toUri.getPath)
+      if (f.getParent != null) java.nio.file.Files.createDirectories(f.getParent)
+      val ch = java.nio.file.Files.newByteChannel(f,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { ch.write(java.nio.ByteBuffer.wrap(s.getBytes("UTF-8"))); () }
+      finally ch.close()
+    case fs =>
+      val out = fs.create(p, false)
+      try out.write(s.getBytes("UTF-8"))
+      finally out.close()
   }
 
   /** Checked rename: Hadoop's `FileSystem.rename` reports failure by

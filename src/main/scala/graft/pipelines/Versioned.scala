@@ -307,7 +307,16 @@ object Versioned {
       try { Fs.createExclusive(p, leaseBody(gen)); return }
       catch {
         case e: java.io.IOException =>
-          if (!Fs.exists(p)) throw e // create failed for some other reason
+          // the holder can release BETWEEN our failed exclusive create
+          // and the probes below: an already-exists failure with the
+          // file now gone is that benign race — retry the create (found
+          // by the cross-process LeaseStressSpec: the raw
+          // FileAlreadyExistsException escaped here). Any OTHER failure
+          // with no file standing is a real filesystem error.
+          val benignRace =
+            e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              e.isInstanceOf[java.nio.file.FileAlreadyExistsException]
+          if (!benignRace && !Fs.exists(p)) throw e
           // (content, mtime) of the standing lease; None = it vanished
           // between the failed create and this read (holder released)
           val held =
@@ -319,7 +328,12 @@ object Versioned {
             case Some((content, mtime)) =>
               val (tok, g) = parseLease(content)
               if (tok == writerToken) {
-                if (g.exists(liveGens.contains))
+                if (g.contains(gen))
+                  // THE GENERATION WE ARE ACQUIRING: our create landed
+                  // despite throwing (a connector that fails after the
+                  // data file materialized) — the lease is ours
+                  return
+                else if (g.exists(liveGens.contains))
                   // a live frame of this JVM holds it (possibly through
                   // an evicted lock instance) — wait like lock() would;
                   // its release deletes the file and retires the gen
@@ -369,7 +383,18 @@ object Versioned {
     try Fs.createExclusive(r, s"$writerToken\n")
     catch {
       case e: java.io.IOException =>
-        if (!Fs.exists(r)) throw e
+        if (!Fs.exists(r)) {
+          // same benign race as [[fileLease]]'s create: the winning
+          // reclaimer can run to completion (its finally deletes the
+          // marker) between our failed exclusive create and this probe
+          // — the reclaim happened, return and let the caller's loop
+          // re-read the lease
+          if (e.isInstanceOf[
+              org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              e.isInstanceOf[java.nio.file.FileAlreadyExistsException])
+            return
+          throw e
+        }
         val rAge =
           try System.currentTimeMillis() -
             Fs.of(r).getFileStatus(r).getModificationTime
