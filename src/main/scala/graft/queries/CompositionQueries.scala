@@ -1012,6 +1012,166 @@ object CompositionQueries {
        |ORDER BY query_id""".stripMargin
   }
 
+  // ---- q531: corpus release gate report --------------------------------
+
+  /** The release gates and their thresholds (ppm of docs unless the
+    * name says otherwise). Literal policy constants: a release gate IS
+    * a fixed contract, and fixed literals keep the oracle a pure
+    * replay. Chosen so the fixture corpus reports an honest MIX — the
+    * contamination gate genuinely fails there (the eval slice shares
+    * rare shingle runs with two corpus docs), everything else passes —
+    * because a gate report whose rows all pass tests nothing. */
+  private val GateThresholds: Seq[(String, Long)] = Seq(
+    "contamination_docs" -> 0L,
+    "exact_dup_ppm" -> 10000L,
+    "langid_mismatch_ppm" -> 650000L,
+    "near_dup_removed_ppm" -> 100000L,
+    "pii_ppm" -> 1000L,
+    "undersized_ppm" -> 50000L)
+
+  /** Pre-release GATE report — the go/no-go audit a corpus publisher
+    * runs before shipping a version: one row per gate with the measured
+    * value (exact integer ppm or count), its threshold, and the pass
+    * verdict. Six gates across four proven families: exact-dup mass
+    * (q219's card), near-dup removal mass (q65 components), language-ID
+    * mismatch and undersized-doc mass (the q52/q53 fused profile), PII
+    * incidence (q99's RE2-safe flags), and benchmark contamination
+    * against the held-out source (q101's rare-shingle scan — threshold
+    * ZERO, the only sound release policy for eval overlap).
+    *
+    * Scale shape: one doc-grain pass (+ the shared explode profile) for
+    * three gates; the exact-dup leg is a two-stage distinct on md5
+    * hashes (map-side combinable, 32-byte hashes shuffle — never text,
+    * and never an Expand from mixing countDistinct into the flag
+    * aggregate); near-dup and contamination reuse their banded/df-capped
+    * machinery; the four 1-row legs then cross as broadcast nested
+    * loops (q528's intended pattern) and stack() fans the single row
+    * into the gate grain — no data-sized frame ever crosses a join. */
+  def releaseGateReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val prof = docProfile(d)
+    val pii = col("text").rlike(TextOps.EmailPattern) ||
+      col("text").rlike(TextOps.UrlPattern) ||
+      col("text").rlike(TextOps.LongNumberPattern)
+    val flagAgg = d.select(col("doc_id"), col("lang"), col("text"))
+      .join(prof.select(col("doc_id"), col("n_tokens"), col("pred_lang")),
+        Seq("doc_id"), "left_outer")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(not(coalesce(col("pred_lang") === col("lang"),
+          lit(false))), 1)).as("n_mismatch"),
+        count(when(coalesce(col("n_tokens"), lit(0L)) < 10, 1))
+          .as("n_undersized"),
+        count(when(pii, 1)).as("n_pii"))
+    val dupAgg = d.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg((sum(col("c")) - count(lit(1))).as("n_exact_dup"))
+    val nearAgg = DedupOps.dedupClusters(d, n = 5, threshold = 0.5)
+      .agg(count(when(col("doc_id") =!= col("cluster_rep"), 1))
+        .as("n_near_dup"))
+    val contamAgg = DedupOps.contamination(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"))
+      .agg(countDistinct(col("doc_id")).as("n_contam"))
+    val one = flagAgg.crossJoin(broadcast(dupAgg))
+      .crossJoin(broadcast(nearAgg)).crossJoin(broadcast(contamAgg))
+    val gates = one.selectExpr(
+      "stack(6, " +
+        "'contamination_docs', n_contam, " +
+        "'exact_dup_ppm', (n_exact_dup * 1000000) div n_docs, " +
+        "'langid_mismatch_ppm', (n_mismatch * 1000000) div n_docs, " +
+        "'near_dup_removed_ppm', (n_near_dup * 1000000) div n_docs, " +
+        "'pii_ppm', (n_pii * 1000000) div n_docs, " +
+        "'undersized_ppm', (n_undersized * 1000000) div n_docs" +
+        ") AS (gate, value)")
+    val th = GateThresholds.foldRight(lit(null).cast("long")) {
+      case ((g, t), rest) => when(col("gate") === g, lit(t)).otherwise(rest)
+    }
+    gates.withColumn("threshold", th)
+      .withColumn("pass", col("value") <= col("threshold"))
+      .orderBy(col("gate"))
+  }
+
+  private val releaseGateReportSql = {
+    val thRows = GateThresholds.map { case (g, t) => s"('$g', $t)" }
+      .mkString(", ")
+    s"""WITH RECURSIVE ${DedupQueries.reachCtes}, $profCte, flags AS (
+       |  SELECT d.doc_id,
+       |    NOT COALESCE(s.pred_lang = d.lang, FALSE) AS mismatch,
+       |    COALESCE(s.n_tokens, 0) < 10 AS undersized,
+       |    (regexp_matches(d.text,
+       |       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')
+       |     OR regexp_matches(d.text, 'https?://[^ ]+')
+       |     OR regexp_matches(d.text, '[0-9]{9,}')) AS pii
+       |  FROM documents d LEFT JOIN scored s USING (doc_id)
+       |), base AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) FILTER (mismatch) AS BIGINT) AS n_mismatch,
+       |    CAST(COUNT(*) FILTER (undersized) AS BIGINT) AS n_undersized,
+       |    CAST(COUNT(*) FILTER (pii) AS BIGINT) AS n_pii
+       |  FROM flags
+       |), dup AS (
+       |  SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+       |    AS n_exact_dup
+       |  FROM documents
+       |), rep AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+       |      AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |), near AS (
+       |  SELECT CAST(COUNT(*) FILTER (doc_id <> cluster_rep) AS BIGINT)
+       |    AS n_near_dup
+       |  FROM rep
+       |), corpus AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE source <> 'src0'
+       |), ev AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE source = 'src0'
+       |), cs AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+       |  FROM corpus, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5
+       |), dfreq AS (
+       |  SELECT shingle, COUNT(*) AS c FROM cs GROUP BY 1
+       |), rare AS (
+       |  SELECT doc_id, shingle FROM cs JOIN dfreq USING (shingle)
+       |  WHERE c <= 1000
+       |), es AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+       |  FROM ev, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5
+       |), hits AS (
+       |  SELECT r.doc_id, e.doc_id AS eval_id, COUNT(*) AS n_common
+       |  FROM rare r JOIN es e USING (shingle)
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 3
+       |), contam AS (
+       |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contam FROM hits
+       |), vals AS (
+       |  SELECT 'contamination_docs' AS gate, n_contam AS value
+       |  FROM contam
+       |  UNION ALL
+       |  SELECT 'exact_dup_ppm', (n_exact_dup * 1000000) // n_docs
+       |  FROM dup CROSS JOIN base
+       |  UNION ALL
+       |  SELECT 'langid_mismatch_ppm', (n_mismatch * 1000000) // n_docs
+       |  FROM base
+       |  UNION ALL
+       |  SELECT 'near_dup_removed_ppm', (n_near_dup * 1000000) // n_docs
+       |  FROM near CROSS JOIN base
+       |  UNION ALL
+       |  SELECT 'pii_ppm', (n_pii * 1000000) // n_docs FROM base
+       |  UNION ALL
+       |  SELECT 'undersized_ppm', (n_undersized * 1000000) // n_docs
+       |  FROM base
+       |), th(gate, threshold) AS (VALUES $thRows)
+       |SELECT v.gate, CAST(v.value AS BIGINT) AS value,
+       |  CAST(t.threshold AS BIGINT) AS threshold,
+       |  v.value <= t.threshold AS pass
+       |FROM vals v JOIN th t USING (gate)
+       |ORDER BY gate""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q523_curation_funnel", curationFunnel, Some(curationFunnelSql),
       "END-TO-END curation funnel per (lang, source): corpus -> langid-" +
@@ -1056,5 +1216,11 @@ object CompositionQueries {
       "index freshness SLO: publish 2 corpus versions (real Versioned " +
         "machinery), time-travel both, per-query stale-vs-fresh exact " +
         "top-k overlap + new-doc share + version diff counts — the " +
-        "staleness report an index rebuild cadence is tuned against"))
+        "staleness report an index rebuild cadence is tuned against"),
+    Q("q531_release_gate_report", releaseGateReport,
+      Some(releaseGateReportSql),
+      "pre-release go/no-go gate report: exact-dup, near-dup, langid-" +
+        "mismatch, undersized, PII and eval-contamination gates (q219/" +
+        "q65/q53/q99/q101 legs) as measured-vs-threshold rows with pass " +
+        "verdicts — the audit a corpus publisher ships against"))
 }

@@ -223,4 +223,36 @@ class CompositionSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_removed") == removed, r.toString)
     }
   }
+
+  test("q531 release gates: every declared gate reports exactly once, " +
+    "ppm values in range, pass verdict matches the arithmetic, and the " +
+    "near-dup/contamination legs match independent recomputes") {
+    val rs = rows("q531_release_gate_report")
+    val expected = Set("contamination_docs", "exact_dup_ppm",
+      "langid_mismatch_ppm", "near_dup_removed_ppm", "pii_ppm",
+      "undersized_ppm")
+    assert(rs.map(_.getAs[String]("gate")).toSet == expected)
+    assert(rs.length == expected.size, "one row per gate")
+    rs.foreach { r =>
+      val v = r.getAs[Long]("value")
+      assert(v >= 0, r.toString)
+      if (r.getAs[String]("gate").endsWith("_ppm"))
+        assert(v <= 1000000L, r.toString)
+      assert(r.getAs[Boolean]("pass") == (v <= r.getAs[Long]("threshold")),
+        r.toString)
+    }
+    // independent recomputes of the two machinery-heavy legs
+    import org.apache.spark.sql.functions._
+    val d = graft.catalog.Catalog.load(spark, dir, "documents")
+    val nDocs = d.count()
+    val nearDup = graft.ops.DedupOps.dedupClusters(d, n = 5, threshold = 0.5)
+      .filter(col("doc_id") =!= col("cluster_rep")).count()
+    val byGate = rs.map(r => r.getAs[String]("gate") -> r).toMap
+    assert(byGate("near_dup_removed_ppm").getAs[Long]("value") ==
+      nearDup * 1000000L / nDocs)
+    val contam = graft.ops.DedupOps.contamination(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+      .select(col("doc_id")).distinct().count()
+    assert(byGate("contamination_docs").getAs[Long]("value") == contam)
+  }
 }

@@ -1210,4 +1210,19 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.pipelines.Fs.deleteRecursive(
       new org.apache.hadoop.fs.Path(out))
   }
+
+  test("q531 release gates: the four 1-row legs cross as broadcast " +
+    "nested loops (never a CartesianProduct, never a data-sized frame), " +
+    "and no Expand slips in from the distinct aggregates") {
+    val p = plan(graft.Registry.byName("q531_release_gate_report")
+      .build(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // 3 intended 1-row broadcast crosses (dup/near/contam legs onto the
+    // flag leg); a 4th means a data-sized frame slipped into a cross
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p)
+    // the exact-dup distinct is the two-stage groupBy form and the
+    // contamination distinct stands alone in its aggregate — neither
+    // may rewrite into an Expand over a corpus-scale frame
+    assert(!p.contains("Expand"), p)
+  }
 }
