@@ -96,7 +96,7 @@ object CompositionQueries {
       dir: String): DataFrame = {
     val d = docs(spark, dir)
     val prof = docProfile(d)
-    val clusters = DedupOps.dedupClusters(d, n = 5, threshold = 0.5)
+    val clusters = CorpusFrames.clusters(spark, dir)
     d.select(col("doc_id"), col("lang"), col("source"))
       .join(prof, Seq("doc_id"), "left_outer")
       .withColumn("lang_ok",
@@ -506,7 +506,7 @@ object CompositionQueries {
     val d = docs(spark, dir)
     val q = TextOps.qualityScored(d)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val clus = DedupOps.dedupClusters(d, n = 5, threshold = 0.5)
+    val clus = CorpusFrames.clusters(spark, dir)
     val j = q.join(clus, "doc_id")
       .withColumn("is_rep", col("doc_id") === col("cluster_rep"))
     GlobalRank.withNtile(j, 10, Seq(col("quality"), col("doc_id")),
@@ -1065,7 +1065,7 @@ object CompositionQueries {
     val dupAgg = d.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("c"))
       .agg((sum(col("c")) - count(lit(1))).as("n_exact_dup"))
-    val nearAgg = DedupOps.dedupClusters(d, n = 5, threshold = 0.5)
+    val nearAgg = CorpusFrames.clusters(spark, dir)
       .agg(count(when(col("doc_id") =!= col("cluster_rep"), 1))
         .as("n_near_dup"))
     val contamAgg = DedupOps.contamination(

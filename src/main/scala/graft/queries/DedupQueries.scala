@@ -180,7 +180,7 @@ object DedupQueries {
       |)""".stripMargin
 
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.dedupClusters(docs(spark, dir), n = 5, threshold = 0.5)
+    CorpusFrames.clusters(spark, dir)
       .orderBy(col("doc_id"))
 
   private val clustersSql =
@@ -275,7 +275,7 @@ object DedupQueries {
     * map-side-combinable aggregates; the component computation is the
     * only corpus-sized work and is shared machinery. */
   def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.dedupClusters(docs(spark, dir), n = 5, threshold = 0.5)
+    CorpusFrames.clusters(spark, dir)
       .groupBy(col("cluster_rep")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("sz"))
@@ -302,7 +302,7 @@ object DedupQueries {
     * q65 component machinery; two integer aggregates and one share
     * division on top. */
   def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
-    val reps = DedupOps.dedupClusters(docs(spark, dir), n = 5, threshold = 0.5)
+    val reps = CorpusFrames.clusters(spark, dir)
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
     val per = reps.join(src, "doc_id")
       .groupBy(col("cluster_rep"))
@@ -835,7 +835,7 @@ object DedupQueries {
     * top of q65's shared connected-components machinery; the rollup
     * itself is one doc-keyed join + a sources-sized aggregate. */
   def dedupSavings(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.dedupClusters(docs(spark, dir), n = 5, threshold = 0.5)
+    CorpusFrames.clusters(spark, dir)
       .join(docs(spark, dir)
         .select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
       .groupBy(col("source"))
@@ -877,7 +877,7 @@ object DedupQueries {
     * mirrored division per row. */
   def dupSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
     val total = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
-    DedupOps.dedupClusters(docs(spark, dir), n = 5, threshold = 0.5)
+    CorpusFrames.clusters(spark, dir)
       .groupBy(col("cluster_rep")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
       .crossJoin(broadcast(total))
