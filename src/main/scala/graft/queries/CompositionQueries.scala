@@ -1077,11 +1077,11 @@ object CompositionQueries {
     val gates = one.selectExpr(
       "stack(6, " +
         "'contamination_docs', n_contam, " +
-        "'exact_dup_ppm', (n_exact_dup * 1000000) div n_docs, " +
-        "'langid_mismatch_ppm', (n_mismatch * 1000000) div n_docs, " +
-        "'near_dup_removed_ppm', (n_near_dup * 1000000) div n_docs, " +
-        "'pii_ppm', (n_pii * 1000000) div n_docs, " +
-        "'undersized_ppm', (n_undersized * 1000000) div n_docs" +
+        "'exact_dup_ppm', (n_exact_dup * 1000000) div nullif(n_docs, 0), " +
+        "'langid_mismatch_ppm', (n_mismatch * 1000000) div nullif(n_docs, 0), " +
+        "'near_dup_removed_ppm', (n_near_dup * 1000000) div nullif(n_docs, 0), " +
+        "'pii_ppm', (n_pii * 1000000) div nullif(n_docs, 0), " +
+        "'undersized_ppm', (n_undersized * 1000000) div nullif(n_docs, 0)" +
         ") AS (gate, value)")
     val th = GateThresholds.foldRight(lit(null).cast("long")) {
       case ((g, t), rest) => when(col("gate") === g, lit(t)).otherwise(rest)
@@ -1151,18 +1151,19 @@ object CompositionQueries {
        |  SELECT 'contamination_docs' AS gate, n_contam AS value
        |  FROM contam
        |  UNION ALL
-       |  SELECT 'exact_dup_ppm', (n_exact_dup * 1000000) // n_docs
+       |  SELECT 'exact_dup_ppm', (n_exact_dup * 1000000) // nullif(n_docs, 0)
        |  FROM dup CROSS JOIN base
        |  UNION ALL
-       |  SELECT 'langid_mismatch_ppm', (n_mismatch * 1000000) // n_docs
+       |  SELECT 'langid_mismatch_ppm', (n_mismatch * 1000000) // nullif(n_docs, 0)
        |  FROM base
        |  UNION ALL
-       |  SELECT 'near_dup_removed_ppm', (n_near_dup * 1000000) // n_docs
+       |  SELECT 'near_dup_removed_ppm', (n_near_dup * 1000000) // nullif(n_docs, 0)
        |  FROM near CROSS JOIN base
        |  UNION ALL
-       |  SELECT 'pii_ppm', (n_pii * 1000000) // n_docs FROM base
+       |  SELECT 'pii_ppm', (n_pii * 1000000) // nullif(n_docs, 0)
+       |  FROM base
        |  UNION ALL
-       |  SELECT 'undersized_ppm', (n_undersized * 1000000) // n_docs
+       |  SELECT 'undersized_ppm', (n_undersized * 1000000) // nullif(n_docs, 0)
        |  FROM base
        |), th(gate, threshold) AS (VALUES $thRows)
        |SELECT v.gate, CAST(v.value AS BIGINT) AS value,
