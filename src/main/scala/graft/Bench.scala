@@ -49,6 +49,7 @@ object Bench {
       graft.queries.BasketFrames.cappedPairCounts(spark, sfDir).count()
       graft.queries.BasketFrames.pairCounts(spark, sfDir).count()
       graft.queries.CorpusFrames.clusters(spark, sfDir).count()
+      graft.queries.CompositionQueries.curationDocGrain(spark, sfDir).count()
     } catch { case _: Throwable => }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Optional focused run (SPARK_GRAFT_BENCH_ONLY=q163_...,q61_...):

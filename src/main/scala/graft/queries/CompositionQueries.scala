@@ -86,13 +86,13 @@ object CompositionQueries {
     * never corpus×corpus), one doc-keyed join of the two, one window
     * over cluster partitions (component-sized frames), one final
     * combinable rollup on (lang, source). */
-  /** The funnel's doc-grain frame BEFORE its checkpoint — doc_id, lang,
-    * source, n_tokens, flags, cluster_rep: one fused profile pass joined
-    * to the component assignment. Factored out so PlanSpec can assert
-    * the single-explode / no-Expand shape on a plan the checkpoint has
-    * not truncated (the final query reads `Scan ExistingRDD`, where a
-    * reintroduced second token pass would be invisible). */
-  private[graft] def curationDocGrain(spark: SparkSession,
+  /** The FRESH doc-grain builder — doc_id, lang, source, n_tokens,
+    * quality, flags, cluster_rep: one fused profile pass joined to the
+    * memoized component assignment. PlanSpec asserts the single-explode
+    * / no-Expand shape HERE (the memoized handle below plans as a bare
+    * `Scan ExistingRDD`, where a reintroduced second token pass would
+    * be invisible). */
+  private[graft] def curationDocGrainFresh(spark: SparkSession,
       dir: String): DataFrame = {
     val d = docs(spark, dir)
     val prof = docProfile(d)
@@ -106,17 +106,27 @@ object CompositionQueries {
       .join(clusters, "doc_id")
   }
 
+  /** Session-memoized curation grain — q523 and q529 both consume it,
+    * and each was paying the explode-profile pass per run.
+    * [[SessionFrames]] localCheckpoints the frame (same staleness
+    * contract as [[CorpusFrames.clusters]]; Bench pre-warms it), so
+    * consumers must NOT re-checkpoint. */
+  private[graft] def curationDocGrain(spark: SparkSession,
+      dir: String): DataFrame =
+    SessionFrames.cached("curation_grain", dir, spark)(
+      curationDocGrainFresh(spark, dir))
+
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     // per-component survivor rep via groupBy + join-back, NOT a window
     // over cluster_rep: a giant component (boilerplate family) would put
     // its whole membership through one window task's sort, while the
     // aggregate form pre-combines map-side and the join shuffles the
     // same key — identical exchange count, no skew cliff. The doc-grain
-    // frame is consumed twice (rep aggregate + join), so it is
-    // localCheckpointed — without this the explode/profile subtree
-    // replans per consumer and the corpus pays a second token pass
-    // (PlanSpec pins one Generate on the pre-checkpoint frame).
-    val withClu = curationDocGrain(spark, dir).localCheckpoint(false)
+    // frame is consumed twice (rep aggregate + join) and by TWO queries
+    // (q523, q529) — the session memo's checkpoint covers both, so the
+    // explode/profile subtree can never replan per consumer (PlanSpec
+    // pins one Generate on the fresh builder).
+    val withClu = curationDocGrain(spark, dir)
     val survRep = withClu.filter(col("q_ok"))
       .groupBy(col("cluster_rep"))
       .agg(min(col("doc_id")).as("surv_rep"))
@@ -746,7 +756,7 @@ object CompositionQueries {
     * offsets — no fact-sized or single-partition window anywhere. */
   def trainingMixtureManifest(spark: SparkSession, dir: String): DataFrame = {
     val p = 1000000007L
-    val grain = curationDocGrain(spark, dir).localCheckpoint(false)
+    val grain = curationDocGrain(spark, dir) // session memo, checkpointed
     val ok = col("quality") >= ManifestQualityBar && col("lang").isNotNull
     val survRep = grain.filter(ok)
       .groupBy(col("cluster_rep")).agg(min(col("doc_id")).as("surv_rep"))

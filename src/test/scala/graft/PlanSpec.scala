@@ -1131,12 +1131,13 @@ class PlanSpec extends AnyFunSuite {
     "mixed countDistinct, no second token pass); the survivor join " +
     "shuffles on cluster_rep (component-grain — NOT broadcast-sized at " +
     "scale)") {
-    // the explode/Expand pins must run on the PRE-checkpoint doc-grain
-    // frame: the registered query checkpoints it, which truncates the
-    // whole profile subtree out of the final plan — asserting there
-    // would pass no matter how many token passes the profile made
+    // the explode/Expand pins must run on the FRESH doc-grain builder:
+    // the registered query reads the session memo's checkpoint, which
+    // truncates the whole profile subtree out of the final plan —
+    // asserting there would pass no matter how many token passes the
+    // profile made
     val grain = plan(graft.queries.CompositionQueries
-      .curationDocGrain(spark, dir))
+      .curationDocGrainFresh(spark, dir))
     assert("Generate explode".r.findAllIn(grain).size == 1,
       s"token explode count != 1\n$grain")
     assert(!grain.contains("Expand"), grain)
