@@ -140,6 +140,8 @@ object BenchGuard {
   // the canary line Bench streams FIRST into the sidecar:
   // {"canary_iters":…,"canary_threads":32,"canary_s1":…,"canary_mt":…,"sf":…}
   private val CanaryMtRe = """"canary_mt"\s*:\s*([0-9.eE+\-]+)""".r
+  private val CanaryItersRe = """"canary_iters"\s*:\s*(\d+)""".r
+  private val CanaryThreadsRe = """"canary_threads"\s*:\s*(\d+)""".r
 
   /** A parsed reference sidecar: per-query medians plus the recording
     * run's saturated start canary (None for pre-r15 sidecars — the
@@ -181,7 +183,16 @@ object BenchGuard {
       }
     var canary: Option[Double] = None
     val medians = lines.flatMap { line =>
-      if (canary.isEmpty)
+      // a reference canary is only comparable when it measured the SAME
+      // workload: a future retune of CanaryIters/CanaryThreads would
+      // otherwise read as (up to 4×) host drift and silently disarm the
+      // outlier trigger — recorded iters/threads must match the current
+      // constants or the line is ignored (scale falls back to 1.0)
+      if (canary.isEmpty &&
+          CanaryItersRe.findFirstMatchIn(line)
+            .exists(_.group(1).toLongOption.contains(CanaryIters)) &&
+          CanaryThreadsRe.findFirstMatchIn(line)
+            .exists(_.group(1).toIntOption.contains(CanaryThreads)))
         canary = CanaryMtRe.findFirstMatchIn(line)
           .flatMap(_.group(1).toDoubleOption)
       for {

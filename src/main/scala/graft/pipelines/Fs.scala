@@ -93,7 +93,20 @@ object Fs {
                   _: org.apache.hadoop.fs.RawLocalFileSystem) =>
       val f = java.nio.file.Paths.get(
         local.makeQualified(p).toUri.getPath)
-      if (f.getParent != null) java.nio.file.Files.createDirectories(f.getParent)
+      val parent = f.getParent
+      // isDirectory FOLLOWS links, so a parent that is a symlink to a
+      // directory is left alone (createDirectories would throw
+      // FileAlreadyExistsException at it — NOFOLLOW check); and if an
+      // ancestor exists as a plain file, surface that as a plain
+      // IOException: a FileAlreadyExistsException from here would read
+      // to lease-acquire retry loops as the benign "marker already
+      // exists" race and spin them forever
+      if (parent != null && !java.nio.file.Files.isDirectory(parent)) {
+        try java.nio.file.Files.createDirectories(parent)
+        catch { case e: java.nio.file.FileAlreadyExistsException =>
+          throw new java.io.IOException(
+            s"cannot create parent directory $parent", e) }
+      }
       val ch = java.nio.file.Files.newByteChannel(f,
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)

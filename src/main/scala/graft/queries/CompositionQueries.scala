@@ -1049,41 +1049,43 @@ object CompositionQueries {
     * against the held-out source (q101's rare-shingle scan — threshold
     * ZERO, the only sound release policy for eval overlap).
     *
-    * Scale shape: one doc-grain pass (+ the shared explode profile) for
-    * three gates; the exact-dup leg is a two-stage distinct on md5
-    * hashes (map-side combinable, 32-byte hashes shuffle — never text,
-    * and never an Expand from mixing countDistinct into the flag
-    * aggregate); near-dup and contamination reuse their banded/df-capped
-    * machinery; the four 1-row legs then cross as broadcast nested
-    * loops (q528's intended pattern) and stack() fans the single row
-    * into the gate grain — no data-sized frame ever crosses a join. */
+    * Scale shape: lang-mismatch, undersized AND near-dup removal come
+    * out of the session-memoized curation grain in one combinable
+    * aggregate (no re-paid profile explode or component pass); PII +
+    * corpus size are one text scan; the exact-dup leg is a two-stage
+    * distinct on md5 hashes (map-side combinable, 32-byte hashes
+    * shuffle — never text, and never an Expand from mixing
+    * countDistinct into the flag aggregate); contamination reuses its
+    * df-capped machinery; the four 1-row legs then cross as broadcast
+    * nested loops (q528's intended pattern) and stack() fans the single
+    * row into the gate grain — no data-sized frame ever crosses a
+    * join. */
   def releaseGateReport(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val prof = docProfile(d)
+    // three gates off the session-memoized curation grain in ONE leg:
+    // lang_ok IS the oracle's COALESCE(pred_lang = lang, FALSE), grain
+    // n_tokens is already null-coalesced, and cluster_rep rides along —
+    // the profile explode and the component pass are never re-paid here
+    val grainAgg = curationDocGrain(spark, dir)
+      .agg(count(when(not(col("lang_ok")), 1)).as("n_mismatch"),
+        count(when(col("n_tokens") < 10, 1)).as("n_undersized"),
+        count(when(col("doc_id") =!= col("cluster_rep"), 1))
+          .as("n_near_dup"))
+    // PII + corpus size: one text scan (text lives only in this leg)
     val pii = col("text").rlike(TextOps.EmailPattern) ||
       col("text").rlike(TextOps.UrlPattern) ||
       col("text").rlike(TextOps.LongNumberPattern)
-    val flagAgg = d.select(col("doc_id"), col("lang"), col("text"))
-      .join(prof.select(col("doc_id"), col("n_tokens"), col("pred_lang")),
-        Seq("doc_id"), "left_outer")
-      .agg(count(lit(1)).as("n_docs"),
-        count(when(not(coalesce(col("pred_lang") === col("lang"),
-          lit(false))), 1)).as("n_mismatch"),
-        count(when(coalesce(col("n_tokens"), lit(0L)) < 10, 1))
-          .as("n_undersized"),
-        count(when(pii, 1)).as("n_pii"))
+    val piiAgg = d.agg(count(lit(1)).as("n_docs"),
+      count(when(pii, 1)).as("n_pii"))
     val dupAgg = d.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("c"))
       .agg((sum(col("c")) - count(lit(1))).as("n_exact_dup"))
-    val nearAgg = CorpusFrames.clusters(spark, dir)
-      .agg(count(when(col("doc_id") =!= col("cluster_rep"), 1))
-        .as("n_near_dup"))
     val contamAgg = DedupOps.contamination(
         d.filter(col("source") =!= "src0"),
         d.filter(col("source") === "src0"))
       .agg(countDistinct(col("doc_id")).as("n_contam"))
-    val one = flagAgg.crossJoin(broadcast(dupAgg))
-      .crossJoin(broadcast(nearAgg)).crossJoin(broadcast(contamAgg))
+    val one = piiAgg.crossJoin(broadcast(grainAgg))
+      .crossJoin(broadcast(dupAgg)).crossJoin(broadcast(contamAgg))
     val gates = one.selectExpr(
       "stack(6, " +
         "'contamination_docs', n_contam, " +

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-memoized corpus-wide frames shared across the documents
   * family — the text-corpus sibling of [[TradeGraph]]/[[BasketFrames]].
-  * Eight registered queries (the q65 cluster family: clusters,
+  * Nine registered queries (the q65 cluster family: clusters,
   * size histogram, purity, savings, dup-size histogram — plus the
   * q523/q527/q529/q531 compositions) consume the SAME 0.5-Jaccard
   * connected-component assignment; without the memo each pays the full

@@ -167,6 +167,15 @@ class BenchGuardSpec extends AnyFunSuite {
     // pre-r15 sidecar: no canary line → None, scaling disabled
     assert(BenchGuard.parseSidecar(
       Iterator("""{"query":"q1_a","walls":[1.0]}""")).canaryMtSec.isEmpty)
+    // a canary recorded with a DIFFERENT workload (retuned iters or
+    // thread count) is not comparable — ignored, scaling disabled,
+    // instead of reading as up-to-4x host drift
+    assert(BenchGuard.parseSidecar(Iterator(
+      """{"canary_iters":800000000,"canary_threads":32,"canary_mt":0.96}"""
+    )).canaryMtSec.isEmpty)
+    assert(BenchGuard.parseSidecar(Iterator(
+      """{"canary_iters":400000000,"canary_threads":16,"canary_mt":0.48}"""
+    )).canaryMtSec.isEmpty)
     // loadReferenceFull surfaces it from the highest-round file
     val dir = java.nio.file.Files.createTempDirectory("benchguard_c_").toString
     java.nio.file.Files.write(

@@ -64,14 +64,15 @@ def main():
               + (" …" if len(only_b) > 8 else ""))
 
     def movers(hi, lo, hi_s, tag):
-        out = [(hi[q] / max(lo[q], 1e-3), lo[q], hi[q], q) for q in common
+        # always printed A -> B regardless of direction
+        out = [(hi[q] / max(lo[q], 1e-3), a[q], b[q], q) for q in common
                if hi[q] > lo[q] * 1.5 and hi[q] - lo[q] > 0.5]
         out.sort(reverse=True)
         if out:
             print(f"{tag} (>1.5x and >0.5s): {len(out)}")
-            for r, x, y, q in out[:20]:
+            for r, va, vb, q in out[:20]:
                 lab = "  [suspect in its run]" if q in hi_s else ""
-                print(f"  {q}: {x:.2f} -> {y:.2f}  ({r:.2f}x){lab}")
+                print(f"  {q}: {va:.2f} -> {vb:.2f}  ({r:.2f}x){lab}")
     movers(b, a, sb, "UP in B")
     movers(a, b, sa, "DOWN in B")
     if sa:
