@@ -199,4 +199,73 @@ class LeaseStressSpec extends AnyFunSuite {
     assert(!leftovers.exists(_.contains(".reclaim.")),
       s"leftover reclaim marker: $leftovers")
   }
+
+  test("two group-publishing processes with interleaved recovery: every " +
+    "journal is sealed and ATOMIC (both members carry one worker's " +
+    "payload), recovery never rolls forward a live writer's journal") {
+    val base = tmp("lease-stress-grp")
+    val dir = new java.io.File(base)
+    val workers = (1 to 2).map { i =>
+      val out = new java.io.File(dir, s"g$i.out")
+      val log = new java.io.File(dir, s"g$i.log")
+      (i, out, log, fork(out, "1200m", "group", base, "unused", s"g$i",
+        "12000", "600000", log.getPath))
+    }
+    val claims = workers.flatMap { case (i, out, log, p) =>
+      assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        s"group worker g$i hung:\n${slurp(out)}")
+      assert(p.exitValue == 0,
+        s"group worker g$i failed:\n${slurp(out).takeRight(4000)}\n${slurp(log)}")
+      val body = slurp(log)
+      assert(!body.contains("LEASELOST") && !body.contains("ERROR") &&
+        !body.contains("FATAL"), s"group worker g$i log:\n$body")
+      // crash-free run: recovery must have rolled forward NOTHING — a
+      // non-empty roll means it mistook a live writer for a crash
+      """(?m)^recover \S+ (.+)$""".r.findAllMatchIn(body).foreach { m =>
+        assert(m.group(1).trim.isEmpty,
+          s"recovery rolled live journals: ${m.matched}")
+      }
+      val grps = """(?m)^grp (\d+) (\d+) (\S+) (\d+)$""".r
+        .findAllMatchIn(body)
+        .map(m => (m.group(1).toLong, m.group(2).toLong,
+          m.group(3), m.group(4).toInt)).toSeq
+      assert(grps.nonEmpty, s"group worker g$i never published:\n$body")
+      grps
+    }
+    // member versions are globally disjoint per table (no lost update)
+    assert(claims.map(_._1).distinct.size == claims.size, claims.toString)
+    assert(claims.map(_._2).distinct.size == claims.size, claims.toString)
+    // every staged journal was sealed — none abandoned, none in flight
+    val txn = Fs.list(new org.apache.hadoop.fs.Path(s"$base/_txn"))
+      .map(_.getPath.getName)
+    val staged = txn.filter(_.endsWith(".staged"))
+      .map(_.stripSuffix(".staged")).toSet
+    val committed = txn.filter(_.endsWith(".committed"))
+      .map(_.stripSuffix(".committed")).toSet
+    assert(staged == committed,
+      s"unsealed journals: ${(staged -- committed).toSeq.sorted}")
+    assert(staged.size == claims.size,
+      s"${staged.size} journals vs ${claims.size} claims")
+    // ATOMICITY: each claimed (va, vb) pair holds ONE worker's payload
+    // in both tables — a torn group would mix writers across members
+    import spark.implicits._
+    claims.foreach { case (va, vb, w, it) =>
+      val ra = Versioned.read(spark, base, "a", Some(va))
+        .as[(String, Int)].collect().toSeq
+      val rb = Versioned.read(spark, base, "b", Some(vb))
+        .as[(String, Int)].collect().toSeq
+      assert(ra == Seq((w, it)) && rb == ra,
+        s"torn group ($va, $vb): a=$ra b=$rb expected ($w, $it)")
+    }
+    // the group snapshot read resolves the newest journal coherently
+    val latest = Versioned.latestGroupVersions(base)
+    assert(Set("a", "b").subsetOf(latest.keySet), latest.toString)
+    assert(claims.exists(c => c._1 == latest("a") && c._2 == latest("b")),
+      s"latest group $latest matches no claim")
+    Seq("a", "b").foreach { n =>
+      val names = Fs.list(new org.apache.hadoop.fs.Path(s"$base/$n"))
+        .map(_.getPath.getName)
+      assert(!names.contains("_LEASE"), s"stranded lease on $n: $names")
+    }
+  }
 }

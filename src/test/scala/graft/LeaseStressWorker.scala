@@ -49,6 +49,7 @@ object LeaseStressWorker {
         }
       case "lock" => lockHammer(base, table, worker, durationMs, log)
       case "publish" => publishHammer(base, table, worker, durationMs, log)
+      case "group" => groupHammer(base, worker, durationMs, log)
       case other => sys.error(s"unknown mode $other")
     } catch {
       case e: Throwable =>
@@ -143,6 +144,55 @@ object LeaseStressWorker {
     }
     log.println(s"""SUMMARY {"worker":"$worker","iters":$iter,""" +
       s""""refused":$refused,"leaseLost":$leaseLost}""")
+    spark.stop()
+  }
+
+  /** Group-transaction hammer: two-table publishGroup transactions with
+    * recoverGroups interleaved — recovery racing LIVE cross-process
+    * writers is the contested path (a misfire would either roll forward
+    * an in-flight journal, making the writer's own seal explode, or
+    * delete a journal about to be sealed). In a crash-free run recovery
+    * must roll NOTHING; the spec asserts that and per-journal payload
+    * atomicity. */
+  private def groupHammer(base: String, worker: String,
+      durationMs: Long, log: java.io.PrintWriter): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName(s"lease-stress-grp-$worker")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory(s"lsg-wh-$worker").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new java.util.Random(worker.hashCode.toLong)
+    var iter = 0; var refused = 0L
+    val end = System.currentTimeMillis() + durationMs
+    while (System.currentTimeMillis() < end) {
+      iter += 1
+      try {
+        if (iter % 5 == 0) {
+          val rolled = Versioned.recoverGroups(base)
+          log.println(s"recover $worker ${rolled.mkString(",")}")
+        } else {
+          val df = Seq((worker, iter)).toDF("worker", "iter")
+          val vs = Versioned.publishGroup(
+            Seq("a" -> df, "b" -> df), base, keep = 10000)
+          log.println(s"grp ${vs("a")} ${vs("b")} $worker $iter")
+        }
+      } catch {
+        case _: Versioned.ConcurrentWriterException =>
+          refused += 1
+          Thread.sleep(rnd.nextInt(15).toLong)
+        case e: Versioned.LeaseLostException =>
+          log.println(s"LEASELOST $worker: ${e.getMessage}")
+        case e: Throwable =>
+          log.println(s"ERROR ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    log.println(s"""SUMMARY {"worker":"$worker","iters":$iter,""" +
+      s""""refused":$refused}""")
     spark.stop()
   }
 }
